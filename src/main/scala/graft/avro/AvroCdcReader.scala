@@ -1,0 +1,213 @@
+package graft.avro
+
+import java.io.{ObjectInputStream, ObjectOutputStream}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.avro.file.DataFileStream
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.util.CollectionAccumulator
+
+/** Hadoop `Configuration` is not `Serializable`; standard wrapper so tasks
+  * can open `FileSystem`s against any scheme (file://, hdfs://, s3a://...).
+  */
+final class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
+  private def writeObject(out: ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+/** Distributed single-pass Avro CDC reader.
+  *
+  * Design (Spark-first, NOT a port of the reference's per-file DoFn):
+  *  - File discovery is driver-side glob; schema fingerprinting is a
+  *    distributed map over paths that reads ONLY the container header
+  *    (the reference reads each file fully twice, main.py:492+517; we read
+  *    the header once for grouping and the data once for conversion).
+  *  - Files are grouped by writer-schema fingerprint so each group becomes
+  *    one well-typed DataFrame — Spark wants one schema per scan, while the
+  *    reference derives a schema per file; grouping preserves the per-file
+  *    dynamic-schema semantics without giving up DataFrame typing.
+  *  - Conversion runs inside `flatMap` tasks, one file per element, so a
+  *    1000-executor cluster converts files embarrassingly parallel with no
+  *    shuffle anywhere — same dataflow shape as the reference pipeline
+  *    (main.py:601-613), but vectorized parquet write and task-commit
+  *    atomicity come from Spark.
+  */
+object AvroCdcReader {
+
+  /** Column appended to carry provenance for folder partitioning. */
+  val InputPathCol = "_graft_input_path"
+
+  final case class FileSchema(path: String, fingerprint: Long, schemaJson: String)
+
+  sealed trait FileStatus { def path: String }
+  final case class FileOk(path: String) extends FileStatus
+  final case class FileNeedsFallback(path: String, reason: String) extends FileStatus
+  final case class FileFailed(path: String, reason: String) extends FileStatus
+
+  private def slices(n: Int, spark: SparkSession): Int =
+    math.max(1, math.min(n, spark.sparkContext.defaultParallelism * 4))
+
+  /** Distributed header-only read: writer schema JSON + Avro canonical-form
+    * fingerprint per file.
+    */
+  def schemaFingerprints(spark: SparkSession, paths: Seq[String]): Seq[FileSchema] = {
+    if (paths.isEmpty) return Seq.empty
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    spark.sparkContext
+      .parallelize(paths, slices(paths.size, spark))
+      .map { p =>
+        val stream = openStream(p, conf.value)
+        try {
+          val schema = stream.getSchema
+          FileSchema(
+            p,
+            org.apache.avro.SchemaNormalization.parsingFingerprint64(schema),
+            schema.toString)
+        } finally stream.close()
+      }
+      .collect()
+      .toSeq
+  }
+
+  private def openStream(path: String, conf: Configuration): DataFileStream[GenericRecord] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    new DataFileStream[GenericRecord](fs.open(p), new GenericDatumReader[GenericRecord]())
+  }
+
+  private def readAll(path: String, conf: Configuration): (ArrayBuffer[GenericRecord], Unit) = {
+    val stream = openStream(path, conf)
+    try {
+      val buf = new ArrayBuffer[GenericRecord]()
+      while (stream.hasNext) buf += stream.next()
+      (buf, ())
+    } finally stream.close()
+  }
+
+  /** Probe pass for ReferenceExact mode: classify each file as cleanly
+    * typed / needs all-string fallback / hard-failed. Mirrors the
+    * reference's Arrow-build try (main.py:524-527) at file granularity.
+    */
+  def probe(
+      spark: SparkSession,
+      paths: Seq[String],
+      flat: AvroSchemaConverter.FlatSchema): Seq[FileStatus] = {
+    if (paths.isEmpty) return Seq.empty
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val flatB = spark.sparkContext.broadcast(flat)
+    spark.sparkContext
+      .parallelize(paths, slices(paths.size, spark))
+      .map { p =>
+        try {
+          val (records, _) = readAll(p, conf.value)
+          records.foreach(r => AvroValueConverter.flatten(r, flatB.value, ConvertMode.ReferenceExact))
+          FileOk(p): FileStatus
+        } catch {
+          case e: FallbackConversionError =>
+            // the fallback projection itself can still hard-fail (the
+            // reference re-raises, main.py:565-567) — probe it too
+            try {
+              val (records, _) = readAll(p, conf.value)
+              records.foreach(r => AvroValueConverter.flattenFallback(r, flatB.value))
+              FileNeedsFallback(p, e.msg): FileStatus
+            } catch {
+              case e2: Exception => FileFailed(p, e2.toString): FileStatus
+            }
+          case e: Exception => FileFailed(p, e.toString): FileStatus
+        }
+      }
+      .collect()
+      .toSeq
+  }
+
+  /** The reference's declared non-nullability is never enforced at runtime
+    * (pyarrow's Table.from_pylist does not validate the nullable flag, so a
+    * null payload happily writes nulls into "required" columns). Spark's
+    * row encoder DOES enforce it, so we relax everything to nullable at the
+    * DataFrame boundary; [[AvroSchemaConverter]] still models the declared
+    * nullability for schema-derivation parity.
+    */
+  private def asNullable(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+    dt match {
+      case s: StructType =>
+        StructType(s.fields.map(f => f.copy(dataType = asNullable(f.dataType), nullable = true)))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = asNullable(a.elementType), containsNull = true)
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(valueType = asNullable(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+
+  private def sparkSchemaWithPath(flat: AvroSchemaConverter.FlatSchema): StructType = {
+    val relaxed = asNullable(flat.toSpark).asInstanceOf[StructType]
+    StructType(relaxed.fields :+ StructField(InputPathCol, StringType, nullable = false))
+  }
+
+  /** Typed read of one schema group. Per-file hard failures are isolated:
+    * the file contributes no rows and its path lands in `failedAcc`.
+    */
+  def readGroup(
+      spark: SparkSession,
+      paths: Seq[String],
+      flat: AvroSchemaConverter.FlatSchema,
+      mode: ConvertMode,
+      failedAcc: CollectionAccumulator[String]): DataFrame = {
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val flatB = spark.sparkContext.broadcast(flat)
+    val rows = spark.sparkContext
+      .parallelize(paths, slices(paths.size, spark))
+      .flatMap { p =>
+        try {
+          val (records, _) = readAll(p, conf.value)
+          records.map { r =>
+            val base = AvroValueConverter.flatten(r, flatB.value, mode)
+            Row.fromSeq(base.toSeq :+ p)
+          }
+        } catch {
+          case e: Exception =>
+            failedAcc.add(s"$p\t${e.toString}")
+            Seq.empty[Row]
+        }
+      }
+    spark.createDataFrame(rows, sparkSchemaWithPath(flat))
+  }
+
+  /** All-string fallback read of files that defeated the typed schema. */
+  def readGroupFallback(
+      spark: SparkSession,
+      paths: Seq[String],
+      flat: AvroSchemaConverter.FlatSchema,
+      failedAcc: CollectionAccumulator[String]): DataFrame = {
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val flatB = spark.sparkContext.broadcast(flat)
+    val fallbackFlat = AvroSchemaConverter.fallbackSchema(flat)
+    val rows = spark.sparkContext
+      .parallelize(paths, slices(paths.size, spark))
+      .flatMap { p =>
+        try {
+          val (records, _) = readAll(p, conf.value)
+          records.map { r =>
+            val base = AvroValueConverter.flattenFallback(r, flatB.value)
+            Row.fromSeq(base.toSeq :+ p)
+          }
+        } catch {
+          case e: Exception =>
+            failedAcc.add(s"$p\t${e.toString}")
+            Seq.empty[Row]
+        }
+      }
+    spark.createDataFrame(rows, sparkSchemaWithPath(fallbackFlat))
+  }
+}

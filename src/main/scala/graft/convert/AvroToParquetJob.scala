@@ -1,0 +1,166 @@
+package graft.convert
+
+import java.time.{LocalDate, ZoneOffset}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.avro._
+
+/** The engine's CDC conversion job: continuously (or once) convert CDC Avro
+  * container files to flattened, typed, partitioned Snappy Parquet.
+  *
+  * Capability parity with the reference pipeline (main.py:601-613):
+  *  - continuous glob discovery with seen-file dedup  → [[FileLedger]] +
+  *    [[runContinuous]] (micro-batch loop, the Spark-idiomatic equivalent
+  *    of `MatchContinuously` + processing-time windows; the reference's
+  *    window never feeds an aggregation — it only paces work, main.py:611)
+  *  - per-file schema derivation                      → schema-fingerprint
+  *    grouping (each distinct writer schema → one typed DataFrame)
+  *  - flatten + cast (source_metadata + payload.*)    → [[AvroValueConverter]]
+  *  - all-string fallback on conversion failure       → ReferenceExact probe
+  *    + fallback group (main.py:524-567)
+  *  - partitioned sink `<prefix>/<folder>/ingestion_date=YYYY-MM-DD/`
+  *    with Snappy compression                          → `partitionBy` write
+  *    (main.py:570-577); Spark's commit protocol adds task-level atomicity
+  *    the reference lacks.
+  *
+  * Scale posture: the whole plan is narrow (no shuffle); per-file tasks
+  * fan out across executors; parquet writing is Spark's vectorized path.
+  */
+object AvroToParquetJob {
+
+  final case class ConvertReport(
+      discovered: Int,
+      converted: Seq[String],
+      fallback: Seq[String],
+      failed: Seq[String])
+
+  /** Extract the partition folder from the source path: regex group after
+    * `/avro/`, else "unknown" (reference main.py:570-571).
+    */
+  def folderColumn(pathCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    coalesce(
+      nullif(regexp_extract(pathCol, "/avro/([^/]+)/", 1), lit("")),
+      lit("unknown"))
+
+  def discover(spark: SparkSession, inputPattern: String): Seq[String] = {
+    val pat = new Path(inputPattern)
+    val fs = pat.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matches = fs.globStatus(pat)
+    if (matches == null) Seq.empty
+    else matches.filter(_.isFile).map(_.getPath.toString).sorted.toSeq
+  }
+
+  def runOnce(
+      spark: SparkSession,
+      inputPattern: String,
+      outputPrefix: String,
+      mode: ConvertMode = ConvertMode.Standard,
+      ledgerDir: Option[String] = None,
+      ingestionDate: Option[String] = None): ConvertReport = {
+
+    val ledger = ledgerDir.map(d => new FileLedger(d, spark.sparkContext.hadoopConfiguration))
+    val all = discover(spark, inputPattern)
+    val seen = ledger.map(_.seen()).getOrElse(Set.empty)
+    val paths = all.filterNot(seen.contains)
+    if (paths.isEmpty) return ConvertReport(0, Nil, Nil, Nil)
+
+    val date = ingestionDate.getOrElse(LocalDate.now(ZoneOffset.UTC).toString)
+    val groups = AvroCdcReader
+      .schemaFingerprints(spark, paths)
+      .groupBy(_.fingerprint)
+      .values
+      .toSeq
+
+    var converted = Vector.empty[String]
+    var fellBack = Vector.empty[String]
+    var failed = Vector.empty[String]
+
+    groups.foreach { group =>
+      val flat = AvroSchemaConverter.deriveFlatSchema(group.head.schemaJson)
+      val groupPaths = group.map(_.path)
+
+      mode match {
+        case ConvertMode.Standard =>
+          val acc = spark.sparkContext.collectionAccumulator[String]("graft.failedFiles")
+          val df = AvroCdcReader.readGroup(spark, groupPaths, flat, mode, acc)
+          write(df, outputPrefix, date)
+          import scala.jdk.CollectionConverters._
+          val bad = acc.value.asScala.map(_.split('\t').head).toSet
+          failed ++= bad
+          converted ++= groupPaths.filterNot(bad.contains)
+
+        case ConvertMode.ReferenceExact =>
+          val statuses = AvroCdcReader.probe(spark, groupPaths, flat)
+          val ok = statuses.collect { case AvroCdcReader.FileOk(p) => p }
+          val fb = statuses.collect { case AvroCdcReader.FileNeedsFallback(p, _) => p }
+          val bad = statuses.collect { case AvroCdcReader.FileFailed(p, _) => p }
+          val acc = spark.sparkContext.collectionAccumulator[String]("graft.failedFiles")
+          if (ok.nonEmpty)
+            write(AvroCdcReader.readGroup(spark, ok, flat, mode, acc), outputPrefix, date)
+          if (fb.nonEmpty)
+            write(AvroCdcReader.readGroupFallback(spark, fb, flat, acc), outputPrefix, date)
+          converted ++= ok
+          fellBack ++= fb
+          failed ++= bad
+      }
+    }
+
+    // the ledger records every discovered path — including failed ones —
+    // matching MatchContinuously's has_deduplication (a failed file is not
+    // retried by the reference either; its DoFn failure is terminal)
+    ledger.foreach(_.add(paths))
+    ConvertReport(paths.size, converted, fellBack, failed)
+  }
+
+  private def write(df: DataFrame, outputPrefix: String, ingestionDate: String): Unit = {
+    df.withColumn("folder", folderColumn(col(AvroCdcReader.InputPathCol)))
+      .withColumn("ingestion_date", lit(ingestionDate))
+      .drop(AvroCdcReader.InputPathCol)
+      .write
+      .mode("append")
+      .partitionBy("folder", "ingestion_date")
+      .option("compression", "snappy")
+      .parquet(outputPrefix)
+  }
+
+  /** Continuous mode: poll the glob every `intervalSeconds`, convert newly
+    * appeared files, forever (or `maxIterations` for tests). Graceful-stop
+    * semantics (the reference control plane's `drain`,
+    * run_dataflow.py:121-143): finish the in-flight batch, then return.
+    */
+  def runContinuous(
+      spark: SparkSession,
+      inputPattern: String,
+      outputPrefix: String,
+      ledgerDir: String,
+      intervalSeconds: Int,
+      mode: ConvertMode = ConvertMode.Standard,
+      maxIterations: Int = Int.MaxValue,
+      shouldStop: () => Boolean = () => false): Seq[ConvertReport] = {
+    var reports = Vector.empty[ConvertReport]
+    var i = 0
+    while (i < maxIterations && !shouldStop()) {
+      reports :+= runOnce(spark, inputPattern, outputPrefix, mode, Some(ledgerDir))
+      i += 1
+      if (i < maxIterations && !shouldStop()) Thread.sleep(intervalSeconds * 1000L)
+    }
+    reports
+  }
+
+  /** `30m` / `1h` / `2d` → seconds (reference main.py:242-246). */
+  def parseDurationToSeconds(text: String): Int = {
+    val m = "(?i)\\s*(\\d+)\\s*([smhd])\\s*".r
+    text.trim match {
+      case m(n, u) =>
+        val mult = u.toLowerCase match {
+          case "s" => 1; case "m" => 60; case "h" => 3600; case "d" => 86400
+        }
+        n.toInt * mult
+      case _ => throw new IllegalArgumentException(
+        s"invalid window_duration: '$text' (use 30m, 1h, ...)")
+    }
+  }
+}

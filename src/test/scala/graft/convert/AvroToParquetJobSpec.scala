@@ -1,0 +1,253 @@
+package graft.convert
+
+import java.io.File
+import java.math.{BigDecimal => JBigDecimal}
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.avro.{AvroFixtures, ConvertMode}
+
+class AvroToParquetJobSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  test("A1 happy path: flatten, cast, partitioned snappy write") {
+    val in = tmpDir("graft-in")
+    val out = tmpDir("graft-out")
+    val f = s"$in/avro/users/batch1.avro"
+    AvroFixtures.writeAvro(f, AvroFixtures.BasicEnvelope, Seq(
+      Map(
+        "uuid" -> "u1", "read_timestamp" -> 1704067200000L, "sort_keys" -> "sk",
+        "source_metadata" -> AvroFixtures.sm("users", isDeleted = false, txId = 77L),
+        "payload" -> Map(
+          "id" -> 1L, "name" -> "alice", "active" -> true, "qty" -> 5,
+          // 2.5e-9 at scale 30 → HALF_EVEN → 0.000000002
+          "price" -> AvroFixtures.scale30("2500000000000000000000"),
+          "created_at" -> 1704067200123456L,
+          "updated_on" -> 19723)),
+      Map(
+        "uuid" -> "u2", "read_timestamp" -> 1704067201000L,
+        "source_metadata" -> AvroFixtures.sm("users", isDeleted = true, txId = 78L,
+          changeType = "DELETE"),
+        "payload" -> Map("id" -> 2L)), // all optional payload fields absent → null
+      Map(
+        "uuid" -> "u3", "read_timestamp" -> 1704067202000L,
+        "source_metadata" -> AvroFixtures.sm("users", txId = 79L)
+        // payload null → all payload columns null
+      ),
+    ))
+
+    val report = AvroToParquetJob.runOnce(
+      spark, s"$in/avro/*/*.avro", out, ConvertMode.Standard,
+      ingestionDate = Some("2024-06-01"))
+    assert(report.discovered == 1 && report.converted.size == 1 && report.failed.isEmpty)
+
+    // partition layout: <prefix>/folder=users/ingestion_date=2024-06-01/
+    assert(new File(s"$out/folder=users/ingestion_date=2024-06-01").isDirectory)
+
+    val df = spark.read.parquet(out)
+    assert(df.columns.sorted.toSeq ==
+      Seq("active", "created_at", "folder", "id", "ingestion_date", "name",
+        "price", "qty", "source_metadata", "updated_on"))
+    val rows = df.orderBy(org.apache.spark.sql.functions.col("id").asc_nulls_last).collect()
+    assert(rows.length == 3)
+
+    val r1 = rows(0)
+    val sm1 = r1.getStruct(r1.fieldIndex("source_metadata"))
+    assert(sm1.getString(sm1.fieldIndex("table")) == "users")
+    assert(!sm1.getBoolean(sm1.fieldIndex("is_deleted")))
+    assert(sm1.getLong(sm1.fieldIndex("tx_id")) == 77L)
+    assert(sm1.getSeq[String](sm1.fieldIndex("primary_keys")) == Seq("id"))
+    assert(r1.getString(r1.fieldIndex("name")) == "alice")
+    assert(r1.getAs[JBigDecimal]("price").compareTo(new JBigDecimal("0.000000002")) == 0)
+    val ts = r1.getTimestamp(r1.fieldIndex("created_at"))
+    assert(ts.getTime == 1704067200123L && ts.getNanos == 123456000)
+    assert(r1.getDate(r1.fieldIndex("updated_on")).toLocalDate ==
+      java.time.LocalDate.of(2024, 1, 1))
+
+    val r2 = rows(1)
+    assert(r2.isNullAt(r2.fieldIndex("name")) && r2.isNullAt(r2.fieldIndex("price")))
+    val r3 = rows(2)
+    assert(r3.isNullAt(r3.fieldIndex("id"))) // null payload → null payload columns
+    val sm3 = r3.getStruct(r3.fieldIndex("source_metadata"))
+    assert(sm3.getLong(sm3.fieldIndex("tx_id")) == 79L)
+  }
+
+  test("A5 folder layout: path without /avro/<x>/ goes to folder=unknown") {
+    val in = tmpDir("graft-in2")
+    val out = tmpDir("graft-out2")
+    AvroFixtures.writeAvro(s"$in/stray.avro", AvroFixtures.BasicEnvelope, Seq(
+      Map("uuid" -> "u", "read_timestamp" -> 0L,
+        "source_metadata" -> AvroFixtures.sm("t"),
+        "payload" -> Map("id" -> 1L))))
+    AvroToParquetJob.runOnce(spark, s"$in/*.avro", out, ConvertMode.Standard,
+      ingestionDate = Some("2024-06-01"))
+    assert(new File(s"$out/folder=unknown/ingestion_date=2024-06-01").isDirectory)
+  }
+
+  private val complexEnvelope =
+    """{"type":"record","name":"cdc_event","fields":[
+      {"name":"source_metadata","type":{"type":"record","name":"sm","fields":[
+        {"name":"schema","type":"string"},{"name":"table","type":"string"},
+        {"name":"is_deleted","type":"boolean"},{"name":"change_type","type":"string"},
+        {"name":"tx_id","type":["null","long"]},{"name":"lsn","type":["null","string"]},
+        {"name":"primary_keys","type":{"type":"array","items":"string"}}]}},
+      {"name":"payload","type":["null",{"type":"record","name":"p","fields":[
+        {"name":"id","type":"long"},
+        {"name":"tags","type":{"type":"array","items":"string"}},
+        {"name":"attrs","type":{"type":"map","values":"long"}},
+        {"name":"blob","type":"bytes"}]}]}
+    ]}"""
+
+  test("complex payload: Standard mode keeps typed arrays/maps/binary") {
+    val in = tmpDir("graft-in3")
+    val out = tmpDir("graft-out3")
+    AvroFixtures.writeAvro(s"$in/avro/t1/c.avro", complexEnvelope, Seq(
+      Map("source_metadata" -> AvroFixtures.sm("t1"),
+        "payload" -> Map(
+          "id" -> 1L,
+          "tags" -> Seq("x", "y"),
+          "attrs" -> Map("k1" -> 10L, "k2" -> 20L),
+          "blob" -> "raw-bytes".getBytes("UTF-8")))))
+    val rep = AvroToParquetJob.runOnce(spark, s"$in/avro/*/*.avro", out,
+      ConvertMode.Standard, ingestionDate = Some("2024-06-01"))
+    assert(rep.converted.size == 1 && rep.fallback.isEmpty)
+    val row = spark.read.parquet(out).collect().head
+    assert(row.getSeq[String](row.fieldIndex("tags")) == Seq("x", "y"))
+    assert(row.getMap[String, Long](row.fieldIndex("attrs")).toMap ==
+      Map("k1" -> 10L, "k2" -> 20L))
+    assert(new String(row.getAs[Array[Byte]]("blob"), "UTF-8") == "raw-bytes")
+  }
+
+  test("complex payload: ReferenceExact mode routes the file through the " +
+    "all-string fallback (like Arrow rejecting str-for-complex)") {
+    val in = tmpDir("graft-in4")
+    val out = tmpDir("graft-out4")
+    AvroFixtures.writeAvro(s"$in/avro/t1/c.avro", complexEnvelope, Seq(
+      Map("source_metadata" -> AvroFixtures.sm("t1"),
+        "payload" -> Map(
+          "id" -> 7L,
+          "tags" -> Seq("x", "y"),
+          "attrs" -> Map("k" -> 1L),
+          "blob" -> "bb".getBytes("UTF-8")))))
+    val rep = AvroToParquetJob.runOnce(spark, s"$in/avro/*/*.avro", out,
+      ConvertMode.ReferenceExact, ingestionDate = Some("2024-06-01"))
+    assert(rep.fallback.size == 1 && rep.converted.isEmpty && rep.failed.isEmpty)
+    val row = spark.read.parquet(out).collect().head
+    // all payload columns stringified; canonical JSON for complex values
+    assert(row.getString(row.fieldIndex("id")) == "7")
+    assert(row.getString(row.fieldIndex("tags")) == """["x","y"]""")
+    assert(row.getString(row.fieldIndex("attrs")) == """{"k":1}""")
+    // source_metadata survives as a typed struct
+    val sm = row.getStruct(row.fieldIndex("source_metadata"))
+    assert(sm.getString(sm.fieldIndex("table")) == "t1")
+  }
+
+  test("hard failure: garbage tx_id fails the file in both modes, others convert") {
+    val in = tmpDir("graft-in5")
+    val out = tmpDir("graft-out5")
+    val badSchema =
+      """{"type":"record","name":"cdc_event","fields":[
+        {"name":"source_metadata","type":{"type":"record","name":"sm","fields":[
+          {"name":"schema","type":"string"},{"name":"table","type":"string"},
+          {"name":"is_deleted","type":"boolean"},{"name":"change_type","type":"string"},
+          {"name":"tx_id","type":["null","string"]},
+          {"name":"lsn","type":["null","string"]},
+          {"name":"primary_keys","type":{"type":"array","items":"string"}}]}},
+        {"name":"payload","type":["null",{"type":"record","name":"p","fields":[
+          {"name":"id","type":"long"}]}]}
+      ]}"""
+    AvroFixtures.writeAvro(s"$in/avro/t/bad.avro", badSchema, Seq(
+      Map("source_metadata" -> (AvroFixtures.sm("t") + ("tx_id" -> "not-a-number")),
+        "payload" -> Map("id" -> 1L))))
+    AvroFixtures.writeAvro(s"$in/avro/t/good.avro", badSchema, Seq(
+      Map("source_metadata" -> (AvroFixtures.sm("t") + ("tx_id" -> "123")),
+        "payload" -> Map("id" -> 2L))))
+    val rep = AvroToParquetJob.runOnce(spark, s"$in/avro/*/*.avro", out,
+      ConvertMode.Standard, ingestionDate = Some("2024-06-01"))
+    assert(rep.failed.size == 1 && rep.failed.head.endsWith("bad.avro"))
+    assert(rep.converted.size == 1)
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("id") == 2L)
+  }
+
+  test("multiple writer schemas in one batch: fingerprint grouping produces " +
+    "both outputs; continuous ledger skips processed files") {
+    val in = tmpDir("graft-in6")
+    val out = tmpDir("graft-out6")
+    val ledger = tmpDir("graft-ledger")
+    AvroFixtures.writeAvro(s"$in/avro/a/one.avro", AvroFixtures.BasicEnvelope, Seq(
+      Map("uuid" -> "u", "read_timestamp" -> 0L,
+        "source_metadata" -> AvroFixtures.sm("a"),
+        "payload" -> Map("id" -> 1L, "name" -> "n1"))))
+    AvroFixtures.writeAvro(s"$in/avro/b/two.avro", complexEnvelope, Seq(
+      Map("source_metadata" -> AvroFixtures.sm("b"),
+        "payload" -> Map("id" -> 2L, "tags" -> Seq("t"), "attrs" -> Map("k" -> 1L),
+          "blob" -> "z".getBytes("UTF-8")))))
+
+    val rep1 = AvroToParquetJob.runOnce(spark, s"$in/avro/*/*.avro", out,
+      ConvertMode.Standard, Some(ledger), ingestionDate = Some("2024-06-01"))
+    assert(rep1.discovered == 2 && rep1.converted.size == 2)
+    assert(new File(s"$out/folder=a").isDirectory && new File(s"$out/folder=b").isDirectory)
+
+    // second run: nothing new
+    val rep2 = AvroToParquetJob.runOnce(spark, s"$in/avro/*/*.avro", out,
+      ConvertMode.Standard, Some(ledger), ingestionDate = Some("2024-06-01"))
+    assert(rep2.discovered == 0)
+
+    // a new file appears → only it is processed
+    AvroFixtures.writeAvro(s"$in/avro/a/three.avro", AvroFixtures.BasicEnvelope, Seq(
+      Map("uuid" -> "u3", "read_timestamp" -> 0L,
+        "source_metadata" -> AvroFixtures.sm("a"),
+        "payload" -> Map("id" -> 3L, "name" -> "n3"))))
+    val rep3 = AvroToParquetJob.runOnce(spark, s"$in/avro/*/*.avro", out,
+      ConvertMode.Standard, Some(ledger), ingestionDate = Some("2024-06-01"))
+    assert(rep3.discovered == 1 && rep3.converted.head.endsWith("three.avro"))
+
+    // continuous wrapper drains immediately with maxIterations
+    val reports = AvroToParquetJob.runContinuous(
+      spark, s"$in/avro/*/*.avro", out, ledger, intervalSeconds = 1,
+      maxIterations = 1)
+    assert(reports.size == 1 && reports.head.discovered == 0)
+  }
+
+  test("union-typed payload fields follow reference union rules end-to-end") {
+    // A2-style: u1 first-branch-non-null → string; u2 3-way → long
+    val unionSchema =
+      """{"type":"record","name":"cdc_event","fields":[
+        {"name":"source_metadata","type":{"type":"record","name":"sm","fields":[
+          {"name":"schema","type":"string"},{"name":"table","type":"string"},
+          {"name":"is_deleted","type":"boolean"},{"name":"change_type","type":"string"},
+          {"name":"tx_id","type":["null","long"]},{"name":"lsn","type":["null","string"]},
+          {"name":"primary_keys","type":{"type":"array","items":"string"}}]}},
+        {"name":"payload","type":["null",{"type":"record","name":"p","fields":[
+          {"name":"id","type":"long"},
+          {"name":"u1","type":["string","null"]},
+          {"name":"u2","type":["null","long","string"]}]}]}
+      ]}"""
+    val in = tmpDir("graft-in7")
+    val out = tmpDir("graft-out7")
+    AvroFixtures.writeAvro(s"$in/avro/u/f.avro", unionSchema, Seq(
+      Map("source_metadata" -> AvroFixtures.sm("u"),
+        "payload" -> Map("id" -> 1L, "u1" -> "sv", "u2" -> 42L)),
+      Map("source_metadata" -> AvroFixtures.sm("u"),
+        // u2 carries its STRING branch: lenient int of "99" → 99
+        "payload" -> Map("id" -> 2L, "u1" -> "s2", "u2" -> "99")),
+      Map("source_metadata" -> AvroFixtures.sm("u"),
+        // u2 string branch, unparseable → null (never-fail coercion)
+        "payload" -> Map("id" -> 3L, "u1" -> "s3", "u2" -> "xyz"))))
+    AvroToParquetJob.runOnce(spark, s"$in/avro/*/*.avro", out,
+      ConvertMode.Standard, ingestionDate = Some("2024-06-01"))
+    val df = spark.read.parquet(out)
+    assert(df.schema("u1").dataType == org.apache.spark.sql.types.StringType)
+    assert(df.schema("u2").dataType == org.apache.spark.sql.types.LongType)
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getAs[Long]("u2") == 42L)
+    assert(rows(1).getAs[Long]("u2") == 99L)
+    assert(rows(2).isNullAt(rows(2).fieldIndex("u2")))
+  }
+}
