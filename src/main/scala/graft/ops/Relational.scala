@@ -1,0 +1,468 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage over the TPC-H-ish test tables: scans with
+  * pushdown, aggregations, joins of every flavor, window functions,
+  * rollup/cube, set operations, subqueries, pivot, top-k.
+  *
+  * Every query is paired with equivalent ANSI SQL (the DuckDB oracle).
+  * Conventions that keep the hash-compare honest across engines:
+  *  - every computed column is aliased identically on both sides;
+  *  - double aggregates are rounded (sums of binary fractions differ in the
+  *    last ulp across summation orders);
+  *  - every query has a total deterministic ORDER BY.
+  *
+  * Scale notes (100 TB posture): group-bys aggregate partially map-side;
+  * the dimension sides of joins (nation/region/part/supplier/customer at
+  * their natural scale) are broadcast; no collect()s anywhere; sorts are
+  * either top-k (global limit pushed into TakeOrderedAndProject) or
+  * partition-local.
+  */
+object Relational {
+
+  // ---------- q01: pricing summary (scan → partial agg → final agg) ----------
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+
+  val q01Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      sum(l_quantity) AS sum_qty,
+      round(sum(l_extendedprice), 2) AS sum_base_price,
+      round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      round(avg(l_quantity), 4) AS avg_qty,
+      round(avg(l_discount), 4) AS avg_disc,
+      count(*) AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""
+
+  // ---------- q02: global top-k with tie-break (TakeOrderedAndProject) ----------
+  def q02TopkOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", round($"o_totalprice", 2).as("price"),
+        $"o_orderdate")
+      .orderBy($"price".desc, $"o_orderkey".asc)
+      .limit(20)
+
+  val q02Oracle: String =
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price, o_orderdate
+      FROM orders ORDER BY price DESC, o_orderkey ASC LIMIT 20"""
+
+  // ---------- q03: selective join + agg + top-k ----------
+  def q03ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
+    val ord = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy($"o_orderkey", $"o_orderdate")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderkey".asc)
+      .limit(10)
+  }
+
+  val q03Oracle: String =
+    """SELECT o_orderkey, o_orderdate,
+      round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY o_orderkey, o_orderdate
+      ORDER BY revenue DESC, o_orderkey ASC LIMIT 10"""
+
+  // ---------- q05: multi-way join through the star schema ----------
+  def q05LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"n_name")
+  }
+
+  val q05Oracle: String =
+    """SELECT n_name,
+      round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY n_name ORDER BY n_name"""
+
+  // ---------- broadcast dimension join ----------
+  def qJoinBroadcast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"p_brand")
+
+  val qJoinBroadcastOracle: String =
+    """SELECT p_brand,
+      round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      count(*) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand ORDER BY p_brand"""
+
+  // ---------- semi / anti joins ----------
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(year($"o_orderdate") === 1995),
+        $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+
+  val qSemiJoinOracle: String =
+    """SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)
+      ORDER BY c_custkey"""
+
+  // anti-join against the 1995 order subset: non-vacuous at every SF
+  // (every customer has SOME order in this data, so a bare anti-join
+  // would always return 0 rows and test nothing)
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(year($"o_orderdate") === 1995),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+
+  val qAntiJoinOracle: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)
+      ORDER BY c_custkey"""
+
+  // ---------- outer join + conditional agg ----------
+  def qOuterJoinAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(
+        count($"o_orderkey").as("n_orders"),
+        round(sum(coalesce($"o_totalprice", lit(0.0))), 2).as("total_spent"))
+      .orderBy($"c_custkey")
+
+  val qOuterJoinAggOracle: String =
+    """SELECT c_custkey, count(o_orderkey) AS n_orders,
+      round(sum(coalesce(o_totalprice, 0.0)), 2) AS total_spent
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey ORDER BY c_custkey"""
+
+  // ---------- window: rank / running / lag ----------
+  def qWindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.orders(spark, dir)
+      .withColumn("rnk", rank().over(w))
+      .filter($"rnk" <= 3)
+      .select($"o_custkey", $"o_orderkey", round($"o_totalprice", 2).as("price"), $"rnk")
+      .orderBy($"o_custkey", $"rnk", $"o_orderkey")
+  }
+
+  val qWindowRankOracle: String =
+    """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rnk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        rank() OVER (PARTITION BY o_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders) t WHERE rnk <= 3
+      ORDER BY o_custkey, rnk, o_orderkey"""
+
+  def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .withColumn("run_qty", sum($"l_quantity").over(w))
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"run_qty")
+      .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+  }
+
+  val qWindowRunningOracle: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      sum(l_quantity) OVER (PARTITION BY l_suppkey
+        ORDER BY l_shipdate, l_orderkey, l_linenumber
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_qty
+      FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber"""
+
+  def qWindowLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .withColumn("prev_price", round(lag($"o_totalprice", 1).over(w), 2))
+      .withColumn("next_key", lead($"o_orderkey", 1).over(w))
+      .withColumn("days_since_prev",
+        datediff($"o_orderdate".cast("date"),
+          lag($"o_orderdate", 1).over(w).cast("date")))
+      .select($"o_custkey", $"o_orderkey", $"prev_price", $"next_key", $"days_since_prev")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val qWindowLagOracle: String =
+    """SELECT o_custkey, o_orderkey,
+      round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+      lead(o_orderkey, 1) OVER w AS next_key,
+      date_diff('day', (lag(o_orderdate, 1) OVER w)::DATE, o_orderdate::DATE)::INT
+        AS days_since_prev
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey"""
+
+  // ---------- rollup / cube ----------
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), sum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+
+  val qRollupOracle: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+
+  val qCubeOracle: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
+
+  // ---------- set operations ----------
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val building = c.filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val automobile = c.filter($"c_mktsegment" === "AUTOMOBILE").select($"c_custkey")
+    val withOrders = o.select($"o_custkey".as("c_custkey"))
+    val negative = c.filter($"c_acctbal" < 0).select($"c_custkey")
+    building.intersect(withOrders)
+      .union(automobile)
+      .except(negative)
+      .distinct()
+      .orderBy($"c_custkey")
+  }
+
+  val qSetOpsOracle: String =
+    """SELECT DISTINCT c_custkey FROM (
+      (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+       INTERSECT SELECT o_custkey FROM orders)
+      UNION
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+      EXCEPT
+      SELECT c_custkey FROM customer WHERE c_acctbal < 0) t
+      ORDER BY c_custkey"""
+
+  // ---------- distinct aggregates ----------
+  def qDistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct($"l_orderkey").as("n_orders"),
+        countDistinct($"l_partkey").as("n_parts"))
+      .orderBy($"l_returnflag")
+
+  val qDistinctAggOracle: String =
+    """SELECT l_returnflag, count(*) AS n,
+      count(DISTINCT l_orderkey) AS n_orders,
+      count(DISTINCT l_partkey) AS n_parts
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  // ---------- scalar subquery ----------
+  def qScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val avgPrice = p.agg(avg($"p_retailprice").as("ap"))
+    p.crossJoin(broadcast(avgPrice))
+      .filter($"p_retailprice" > $"ap")
+      .select($"p_partkey", $"p_name", round($"p_retailprice", 2).as("price"))
+      .orderBy($"p_partkey")
+  }
+
+  val qScalarSubqueryOracle: String =
+    """SELECT p_partkey, p_name, round(p_retailprice, 2) AS price FROM part
+      WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+      ORDER BY p_partkey"""
+
+  // ---------- case / conditional aggregation ----------
+  def qCaseWhen(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("bucket",
+        when($"o_totalprice" < 50000, "low")
+          .when($"o_totalprice" < 150000, "mid")
+          .otherwise("high"))
+      .groupBy($"o_orderstatus", $"bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"o_orderpriority" === "1-URGENT", 1).otherwise(0)).as("n_urgent"))
+      .orderBy($"o_orderstatus", $"bucket")
+
+  val qCaseWhenOracle: String =
+    """SELECT o_orderstatus,
+      CASE WHEN o_totalprice < 50000 THEN 'low'
+           WHEN o_totalprice < 150000 THEN 'mid'
+           ELSE 'high' END AS bucket,
+      count(*) AS n,
+      sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS n_urgent
+      FROM orders GROUP BY o_orderstatus, bucket
+      ORDER BY o_orderstatus, bucket"""
+
+  // ---------- string functions ----------
+  def qStringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .groupBy($"p_brand")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(length($"p_name")), 4).as("avg_name_len"),
+        sum(when(upper($"p_type").contains("BRASS"), 1).otherwise(0)).as("n_brass"),
+        min(substring($"p_name", 1, 8)).as("first_prefix"))
+      .orderBy($"p_brand")
+
+  val qStringFuncsOracle: String =
+    """SELECT p_brand, count(*) AS n,
+      round(avg(length(p_name)), 4) AS avg_name_len,
+      sum(CASE WHEN upper(p_type) LIKE '%BRASS%' THEN 1 ELSE 0 END)::BIGINT AS n_brass,
+      min(substr(p_name, 1, 8)) AS first_prefix
+      FROM part GROUP BY p_brand ORDER BY p_brand"""
+
+  // ---------- date functions ----------
+  def qDateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(year($"o_orderdate").as("yr"), month($"o_orderdate").as("mo"))
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"),
+        min($"o_orderdate").as("first_order"))
+      .orderBy($"yr", $"mo")
+
+  val qDateFuncsOracle: String =
+    """SELECT year(o_orderdate)::INT AS yr, month(o_orderdate)::INT AS mo,
+      count(*) AS n, round(sum(o_totalprice), 2) AS total,
+      min(o_orderdate) AS first_order
+      FROM orders GROUP BY yr, mo ORDER BY yr, mo"""
+
+  // ---------- having ----------
+  def qHaving(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"))
+      .filter($"n_orders" >= 15)
+      .orderBy($"o_custkey")
+
+  val qHavingOracle: String =
+    """SELECT o_custkey, count(*) AS n_orders FROM orders
+      GROUP BY o_custkey HAVING count(*) >= 15 ORDER BY o_custkey"""
+
+  // ---------- pivot ----------
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum($"l_quantity"))
+      .na.fill(0.0)
+      .orderBy($"l_linestatus")
+
+  val qPivotOracle: String =
+    """SELECT l_linestatus,
+      coalesce(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 0) AS A,
+      coalesce(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 0) AS N,
+      coalesce(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 0) AS R
+      FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""
+
+  // ---------- SQL surface (spark.sql over registered views) ----------
+  def qSqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_customer")
+    spark.sql(
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        round(avg(o_totalprice), 2) AS avg_price
+        FROM graft_orders JOIN graft_customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  }
+
+  val qSqlSurfaceOracle: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      round(avg(o_totalprice), 2) AS avg_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  import org.apache.spark.sql.SparkSession
+  private implicit class Dollar(val sc: StringContext) {
+    def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_topk_orders" -> (q02TopkOrders _),
+    "q03_shipping_priority" -> (q03ShippingPriority _),
+    "q05_local_supplier" -> (q05LocalSupplier _),
+    "q_join_broadcast" -> (qJoinBroadcast _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_outer_join_agg" -> (qOuterJoinAgg _),
+    "q_window_rank" -> (qWindowRank _),
+    "q_window_running" -> (qWindowRunning _),
+    "q_window_lag" -> (qWindowLag _),
+    "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_set_ops" -> (qSetOps _),
+    "q_distinct_agg" -> (qDistinctAgg _),
+    "q_scalar_subquery" -> (qScalarSubquery _),
+    "q_case_when" -> (qCaseWhen _),
+    "q_string_funcs" -> (qStringFuncs _),
+    "q_date_funcs" -> (qDateFuncs _),
+    "q_having" -> (qHaving _),
+    "q_pivot" -> (qPivot _),
+    "q_sql_surface" -> (qSqlSurface _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Oracle,
+    "q02_topk_orders" -> q02Oracle,
+    "q03_shipping_priority" -> q03Oracle,
+    "q05_local_supplier" -> q05Oracle,
+    "q_join_broadcast" -> qJoinBroadcastOracle,
+    "q_semi_join" -> qSemiJoinOracle,
+    "q_anti_join" -> qAntiJoinOracle,
+    "q_outer_join_agg" -> qOuterJoinAggOracle,
+    "q_window_rank" -> qWindowRankOracle,
+    "q_window_running" -> qWindowRunningOracle,
+    "q_window_lag" -> qWindowLagOracle,
+    "q_rollup" -> qRollupOracle,
+    "q_cube" -> qCubeOracle,
+    "q_set_ops" -> qSetOpsOracle,
+    "q_distinct_agg" -> qDistinctAggOracle,
+    "q_scalar_subquery" -> qScalarSubqueryOracle,
+    "q_case_when" -> qCaseWhenOracle,
+    "q_string_funcs" -> qStringFuncsOracle,
+    "q_date_funcs" -> qDateFuncsOracle,
+    "q_having" -> qHavingOracle,
+    "q_pivot" -> qPivotOracle,
+    "q_sql_surface" -> qSqlSurfaceOracle,
+  )
+}
