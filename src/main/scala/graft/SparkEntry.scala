@@ -19,8 +19,10 @@ object SparkEntry {
     Relational.q05LocalSupplier(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries
+    Relational.queries ++ Dedup.queries ++ Similarity.queries ++
+      TextAnalysis.queries ++ EventOps.queries ++ Multimodal.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracles
+    Relational.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+      TextAnalysis.oracles ++ EventOps.oracles ++ Multimodal.oracles
 }

@@ -1,0 +1,225 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard.
+  *
+  * Design for 100 TB:
+  *  - The LSH paths never compare all pairs: candidates come from
+  *    equality joins on band/byte keys (shuffle on a high-cardinality key,
+  *    pairs only within buckets), then exact verification runs on the
+  *    candidate set only.
+  *  - Signatures are computed with map-side aggregation (`groupBy(doc)`
+  *    over exploded features with k `min(...)` aggregates — partial
+  *    aggregation kicks in before the shuffle).
+  *  - The verified output equals the exact-Jaccard pair set whenever LSH
+  *    recall is 1 at the chosen threshold, which the DuckDB oracle checks
+  *    end-to-end (the planted near-dups sit at J ≥ 0.9 with the
+  *    background below 0.3, and P(miss | J=0.9) ≈ 3e-12 for 16 bands of
+  *    r=2 — so the approximate path is exact here by construction).
+  */
+object Dedup {
+
+  private val Threshold = 0.8
+  // MinHash parameters: K hashes = Bands × 2 rows per band
+  private val K = 32
+  private val Bands = 16
+  private val P = 2147483647L // 2^31 - 1; (a*h + b) stays in 62 bits
+
+  /** Fixed, seeded affine hash coefficients (deterministic across runs). */
+  private val hashCoeffs: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(K)((1L + rnd.nextInt((P - 1).toInt).toLong, rnd.nextInt(P.toInt).toLong))
+  }
+
+  /** Distinct word n-gram shingles, 0-based (matches the oracle's 1-based
+    * DuckDB list comprehension element-for-element).
+    */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val ws = split(text, " ")
+    array_distinct(
+      when(size(ws) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(ws) - n), i =>
+          concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*))))
+  }
+
+  /** Distinct character n-grams, 1-based positions (dynamic-start substring
+    * needs the SQL form).
+    */
+  def charGramsExpr(textCol: String, n: Int = 5): Column =
+    expr(s"""array_distinct(CASE WHEN length($textCol) < $n
+      THEN CAST(array() AS array<string>)
+      ELSE transform(sequence(1, length($textCol) - ${n - 1}),
+        i -> substring($textCol, i, $n)) END)""")
+
+  /** Exact Jaccard of two distinct-element array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+  }
+
+  // ---------- exact dedup ----------
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct"))
+      .withColumn("n_exact_dupes", col("n_docs") - col("n_distinct"))
+      .orderBy(col("lang"))
+
+  val qDedupExactOracle: String =
+    """SELECT lang, count(*) AS n_docs, count(DISTINCT text) AS n_distinct,
+      count(*) - count(DISTINCT text) AS n_exact_dupes
+      FROM documents GROUP BY lang ORDER BY lang"""
+
+  /** The exact near-duplicate pair set via shingle-equality join — used as
+    * the shared oracle for both MinHash and SimHash (two approximate
+    * algorithms, one exact answer).
+    */
+  val exactPairOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) < 3
+          THEN []::VARCHAR[]
+          ELSE [ws[i]||' '||ws[i+1]||' '||ws[i+2] for i in range(1, len(ws)-1)]
+        END) AS shingles FROM t),
+      ex AS (SELECT doc_id, unnest(shingles) s FROM sh),
+      inter AS (SELECT a.doc_id d1, b.doc_id d2, count(*) i FROM ex a
+        JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      card AS (SELECT doc_id, len(shingles) n FROM sh)
+      SELECT d1, d2, round(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
+      FROM inter JOIN card ca ON ca.doc_id = d1 JOIN card cb ON cb.doc_id = d2
+      WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
+      ORDER BY d1, d2"""
+
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), wordShingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  private def verifyPairs(cand: DataFrame, docs: DataFrame): DataFrame = {
+    val d1 = docs.select(col("doc_id").as("d1"), col("sh").as("sh1"))
+    val d2 = docs.select(col("doc_id").as("d2"), col("sh").as("sh2"))
+    cand
+      .join(d1, "d1").join(d2, "d2")
+      .withColumn("jaccard", round(jaccard(col("sh1"), col("sh2")), 6))
+      .filter(col("jaccard") >= Threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  // ---------- MinHash + LSH ----------
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(spark, dir)
+    val exploded = docs
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("h", pmod(xxhash64(col("s")), lit(P)))
+
+    val minExprs = hashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"m$i")
+    }
+    val sig = exploded.groupBy(col("doc_id")).agg(minExprs.head, minExprs.tail: _*)
+
+    val bandCols = (0 until Bands).map { j =>
+      xxhash64(lit(j), col(s"m${2 * j}"), col(s"m${2 * j + 1}"))
+    }
+    val banded = sig.select(
+      col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_h")))
+
+    val x = banded.as("x")
+    val y = banded.as("y")
+    val cand = x.join(y,
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_h") === col("y.band_h") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+
+    verifyPairs(cand, docs)
+  }
+
+  // ---------- SimHash ----------
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(spark, dir)
+    val tokens = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+
+    // 64 bit-votes → sign → simhash
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i")
+    }
+    val voted = tokens.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sigs = voted.select(col("doc_id"), simhash.as("simhash"))
+
+    // byte-blocking: pairs sharing any of the 8 bytes become candidates
+    // (guarantees recall for hamming <= 7; verified below regardless)
+    val byteCols = (0 until 8).map { k =>
+      shiftright(col("simhash"), 8 * k).bitwiseAND(lit(255L))
+    }
+    val blocked = sigs.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array(byteCols: _*)).as(Seq("byte_idx", "byte_val")))
+
+    val x = blocked.as("x")
+    val y = blocked.as("y")
+    val cand = x.join(y,
+        col("x.byte_idx") === col("y.byte_idx") &&
+        col("x.byte_val") === col("y.byte_val") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .filter(expr("bit_count(x.simhash ^ y.simhash)") <= 12)
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+
+    verifyPairs(cand, docs)
+  }
+
+  // ---------- character n-gram Jaccard (exact, anchor-sampled) ----------
+  def qDedupNgram(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .select(col("doc_id"), charGramsExpr("text").as("g"))
+    val anchors = g.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("d1"), col("g").as("g1"))
+    val others = g.select(col("doc_id").as("d2"), col("g").as("g2"))
+    broadcast(anchors)
+      .join(others, col("d1") =!= col("d2"))
+      .withColumn("jaccard", round(jaccard(col("g1"), col("g2")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("d1"), col("d2"), col("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val qDedupNgramOracle: String =
+    """WITH g AS (SELECT doc_id, list_distinct(CASE WHEN len(text) < 5
+        THEN []::VARCHAR[]
+        ELSE [substr(text, i, 5) for i in range(1, len(text) - 3)] END) AS g
+      FROM documents),
+      a AS (SELECT doc_id d1, g g1 FROM g WHERE doc_id % 50 = 0)
+      SELECT d1, b.doc_id AS d2,
+        round(len(list_intersect(g1, b.g)) * 1.0 /
+          (len(g1) + len(b.g) - len(list_intersect(g1, b.g))), 6) AS jaccard
+      FROM a JOIN g b ON d1 <> b.doc_id
+      WHERE len(list_intersect(g1, b.g)) * 1.0 /
+        (len(g1) + len(b.g) - len(list_intersect(g1, b.g))) >= 0.5
+      ORDER BY d1, d2"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_ngram" -> (qDedupNgram _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" -> qDedupExactOracle,
+    "q_dedup_minhash" -> exactPairOracle,
+    "q_dedup_simhash" -> exactPairOracle,
+    "q_dedup_ngram" -> qDedupNgramOracle,
+  )
+}

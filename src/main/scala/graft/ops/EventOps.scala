@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Event-time operators over the `events` table: tumbling, sliding, and
+  * session windows, an as-of join, and a Structured Streaming execution of
+  * the tumbling aggregation (complete mode + memory sink, driven to
+  * completion so the result is deterministic and oracle-checkable).
+  *
+  * The reference's streaming surface is processing-time-only pacing
+  * (main.py:611 — the window never feeds an aggregation); these operators
+  * are the event-time semantics a Spark-native engine adds on top
+  * (SURVEY.md §7.5).
+  *
+  * Window starts/ends are emitted as epoch seconds/micros (BIGINT): both
+  * engines then compare pure integers, immune to timestamp rendering
+  * differences.
+  */
+object EventOps {
+
+  // ---------- tumbling window ----------
+  def qEventsTumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"),
+        col("n"), col("total"))
+      .orderBy(col("ws"), col("event_type"))
+
+  val qEventsTumblingOracle: String =
+    """SELECT epoch(date_trunc('hour', ts))::BIGINT AS ws, event_type,
+      count(*) AS n, round(sum(value), 2) AS total
+      FROM events GROUP BY ws, event_type ORDER BY ws, event_type"""
+
+  // ---------- sliding window ----------
+  def qEventsSliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"), col("n"))
+      .orderBy(col("ws"), col("event_type"))
+
+  /** Every event lands in the 4 slide-aligned windows covering it;
+    * reproduced with integer epoch-µs arithmetic.
+    */
+  val qEventsSlidingOracle: String =
+    """WITH e AS (SELECT epoch_us(ts) eu, event_type FROM events),
+      w AS (SELECT unnest(range(
+          ((eu - 3600000000) // 900000000 + 1) * 900000000,
+          (eu // 900000000) * 900000000 + 1,
+          900000000)) AS ws_us, event_type FROM e)
+      SELECT ws_us // 1000000 AS ws, event_type, count(*) AS n
+      FROM w GROUP BY ws, event_type ORDER BY ws, event_type"""
+
+  // ---------- session window ----------
+  def qEventsSession(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("session_start"),
+        unix_micros(col("w.end")).as("session_end"), col("n"), col("total"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** Gaps-and-islands reproduction: a session breaks when the gap from the
+    * previous event reaches the 10-minute timeout; session end = last
+    * event + gap (Spark's session_window semantics).
+    */
+  val qEventsSessionOracle: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) eu, value FROM events),
+      m AS (SELECT *, CASE WHEN lag(eu) OVER w IS NULL
+          OR eu - lag(eu) OVER w >= 600000000 THEN 1 ELSE 0 END AS brk
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY eu)),
+      s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY eu
+          ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+      SELECT user_id, min(eu) AS session_start,
+        max(eu) + 600000000 AS session_end,
+        count(*) AS n, round(sum(value), 2) AS total
+      FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
+
+  // ---------- as-of join (click → latest prior view, per user) ----------
+  /** As-of join composed from built-ins: tag both streams, sort-merge once
+    * per user, and carry the latest view with `last(..., ignoreNulls)` over
+    * an unbounded-preceding window — one shuffle on user_id, no per-row
+    * subqueries. This is the scalable formulation (the naive correlated
+    * form is O(clicks × views) per user).
+    */
+  def qEventsAsof(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("tag"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("tag"))
+    val tagged = views.unionByName(clicks)
+      .withColumn("v_info",
+        when(col("tag") === 0,
+          struct(unix_micros(col("ts")).as("v_ts"), col("event_id").as("v_id"))))
+    // views sort before clicks at equal ts (tag 0 < 1): a view at the same
+    // microsecond counts as "prior or equal", matching the oracle's <=
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("tag").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_view", last(col("v_info"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_micros(col("ts")).as("click_ts"),
+        col("last_view.v_id").as("view_id"),
+        col("last_view.v_ts").as("view_ts"))
+      .orderBy(col("click_id"))
+  }
+
+  val qEventsAsofOracle: String =
+    """WITH v AS (SELECT user_id, epoch_us(ts) v_ts, event_id v_id
+        FROM events WHERE event_type = 'view'),
+      c AS (SELECT user_id, epoch_us(ts) c_ts, event_id c_id
+        FROM events WHERE event_type = 'click')
+      SELECT c.c_id AS click_id, c.user_id, c.c_ts AS click_ts,
+        best.v_id AS view_id, best.v_ts AS view_ts
+      FROM c LEFT JOIN LATERAL (
+        SELECT v.v_id, v.v_ts FROM v
+        WHERE v.user_id = c.user_id AND v.v_ts <= c.c_ts
+        ORDER BY v.v_ts DESC, v.v_id DESC LIMIT 1) best ON true
+      ORDER BY click_id"""
+
+  // ---------- Structured Streaming: tumbling agg driven to completion ----------
+  /** The same tumbling aggregation executed as a real streaming query:
+    * parquet file source → event-time groupBy → complete-mode memory sink,
+    * `processAllAvailable()` so the returned result is the full answer.
+    * Shares q_events_tumbling's oracle.
+    */
+  def qStreamTumbling(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = Tables.table(spark, dir, "events").schema
+    // the streaming file source wants a directory: stream the sf dir with a
+    // glob filter selecting just the events table
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"),
+        col("n"), col("total"))
+
+    val name = "graft_stream_tumbling"
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    spark.table(name).orderBy(col("ws"), col("event_type"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_tumbling" -> (qEventsTumbling _),
+    "q_events_sliding" -> (qEventsSliding _),
+    "q_events_session" -> (qEventsSession _),
+    "q_events_asof" -> (qEventsAsof _),
+    "q_stream_tumbling" -> (qStreamTumbling _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_events_tumbling" -> qEventsTumblingOracle,
+    "q_events_sliding" -> qEventsSlidingOracle,
+    "q_events_session" -> qEventsSessionOracle,
+    "q_events_asof" -> qEventsAsofOracle,
+    "q_stream_tumbling" -> qEventsTumblingOracle,
+  )
+}

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: treat image/audio/video payloads as opaque
+  * `BINARY` columns with typed metadata, and run decode / feature-extract /
+  * frame-sample as partition-wise batch transforms.
+  *
+  * The actual media codecs are NOT in this container, so the decoder is a
+  * deterministic STUB ([[StubDecoder]]) behind a narrow interface — the
+  * Spark-side plumbing (schema, batching, partition-wise execution, typed
+  * output) is real and tested. Swapping in a real decoder is a one-class
+  * change.
+  *
+  * Scale posture: decode runs inside `mapPartitions` (one JVM-side batch
+  * per partition, no per-row UDF serialization), the binary column is
+  * pruned away right after feature extraction, and nothing ever collects.
+  */
+object Multimodal {
+
+  /** Typed metadata extracted from a binary payload. */
+  final case class MediaMeta(
+      byteLen: Long,
+      width: Int,
+      height: Int,
+      format: String,
+      frames: Seq[Long])
+
+  /** The decoder seam. Implementations MUST be pure and thread-safe. */
+  trait Decoder extends Serializable {
+    def decode(bytes: Array[Byte]): MediaMeta
+  }
+
+  /** Deterministic fake decode: "header" = first two bytes as width/height,
+    * "format" from the length mod; "frames" = 4 sample offsets. A real
+    * implementation would parse JPEG/PNG/WAV headers here.
+    */
+  object StubDecoder extends Decoder {
+    def decode(bytes: Array[Byte]): MediaMeta = {
+      val len = bytes.length.toLong
+      val w = if (bytes.length > 0) bytes(0) & 0xff else 0
+      val h = if (bytes.length > 1) bytes(1) & 0xff else 0
+      val fmt = (len % 3) match {
+        case 0 => "img"; case 1 => "audio"; case _ => "video"
+      }
+      val frames = (0L until 4L).map(i => i * (len / 4))
+      MediaMeta(len, w, h, fmt, frames)
+    }
+  }
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("byte_len", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("format", StringType),
+    StructField("frames", ArrayType(LongType, containsNull = false)),
+  ))
+
+  /** Partition-wise decode: input DF must have an `id` column and a binary
+    * `payload` column; output is (id, byte_len, width, height, format,
+    * frames) with the binary column dropped (pruned before any shuffle).
+    */
+  def extractMeta(df: DataFrame, decoder: Decoder = StubDecoder): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.select(col("id"), col("payload")).schema
+    val outSchema = StructType(StructField("id", inSchema("id").dataType) +:
+      metaSchema.fields.toSeq)
+    val rdd = df.select(col("id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val m = decoder.decode(r.getAs[Array[Byte]]("payload"))
+        Row(r.get(0), m.byteLen, m.width, m.height, m.format, m.frames)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Oracle-checkable declarative variant of the stub decode over the
+    * documents table (binary = UTF-8 bytes of the text): identical
+    * arithmetic to [[StubDecoder]] for ASCII payloads, expressed in
+    * engine-portable SQL functions.
+    */
+  def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("byte_len", length(col("payload")).cast("long"))
+      .withColumn("width", ascii(substring(col("text"), 1, 1)))
+      .withColumn("height", ascii(substring(col("text"), 2, 1)))
+      .withColumn("format",
+        when(col("byte_len") % 3 === 0, "img")
+          .when(col("byte_len") % 3 === 1, "audio")
+          .otherwise("video"))
+      .withColumn("frames",
+        transform(sequence(lit(0L), lit(3L)), i => i * (col("byte_len") / lit(4L)).cast("long")))
+      .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
+        col("format"), col("frames"))
+      .orderBy(col("doc_id"))
+
+  val qMultimodalMetaOracle: String =
+    """SELECT doc_id,
+      octet_length(encode(text))::BIGINT AS byte_len,
+      ascii(substr(text, 1, 1)) AS width,
+      ascii(substr(text, 2, 1)) AS height,
+      CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'img'
+           WHEN octet_length(encode(text)) % 3 = 1 THEN 'audio'
+           ELSE 'video' END AS format,
+      [i * (octet_length(encode(text))::BIGINT // 4) for i in range(0, 4)]
+        AS frames
+      FROM documents ORDER BY doc_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_meta" -> (qMultimodalMeta _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_multimodal_meta" -> qMultimodalMetaOracle,
+  )
+}

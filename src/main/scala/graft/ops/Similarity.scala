@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding table (`vec_id, embedding
+  * ARRAY<FLOAT>, label`).
+  *
+  * Two paths, as a large-scale pipeline needs:
+  *  - brute-force cosine against an anchor sample — the exactness baseline
+  *    (oracle-checked); scales as |anchors| × |corpus|, with the corpus
+  *    side streamed and the anchor side broadcast, so it is shuffle-free
+  *    and embarrassingly parallel at 100 TB;
+  *  - random-hyperplane LSH — the scale path: bucket join on signature
+  *    bands, exact re-rank inside buckets only. Approximate, so no SQL
+  *    oracle; recall against the brute-force baseline is asserted in
+  *    `SimilaritySpec`.
+  *
+  * All arithmetic is done in double with a sequential left-to-right fold
+  * (`aggregate(zip_with(...))`), the same evaluation order as DuckDB's
+  * `list_cosine_similarity` over `DOUBLE[]`, keeping rounded outputs
+  * engine-identical.
+  */
+object Similarity {
+
+  /** embedding (float array) → double array + L2 norm. */
+  private def withVec(df: DataFrame): DataFrame =
+    df.withColumn("vd", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("nrm",
+        sqrt(aggregate(col("vd"), lit(0.0), (acc, x) => acc + x * x)))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  // ---------- brute-force cosine near-duplicates over anchors ----------
+  def qEmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val e = withVec(Tables.embeddings(spark, dir))
+    val anchors = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("a_id"), col("vd").as("a_vd"), col("nrm").as("a_nrm"))
+    val corpus = e.select(col("vec_id").as("b_id"), col("vd").as("b_vd"),
+      col("nrm").as("b_nrm"))
+    broadcast(anchors)
+      .join(corpus, col("a_id") < col("b_id"))
+      .withColumn("cosine",
+        round(dot(col("a_vd"), col("b_vd")) / (col("a_nrm") * col("b_nrm")), 6))
+      .filter(col("cosine") >= 0.45)
+      .select(col("a_id"), col("b_id"), col("cosine"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val qEmbedNeardupOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE a.vec_id % 25 = 0
+        AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+      ORDER BY a_id, b_id"""
+
+  // ---------- brute-force top-k ANN baseline ----------
+  def qAnnTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = withVec(Tables.embeddings(spark, dir))
+    val anchors = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("a_id"), col("vd").as("a_vd"), col("nrm").as("a_nrm"))
+    val corpus = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+      col("vd").as("b_vd"), col("nrm").as("b_nrm"))
+    val scored = broadcast(anchors)
+      .join(corpus, col("a_id") =!= col("b_id"))
+      .withColumn("cosine",
+        round(dot(col("a_vd"), col("b_vd")) / (col("a_nrm") * col("b_nrm")), 6))
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("cosine").desc, col("b_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("a_id"), col("b_id"), col("b_label"), col("rnk"), col("cosine"))
+      .orderBy(col("a_id"), col("rnk"))
+  }
+
+  val qAnnTopkOracle: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+      scored AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id, b.label AS b_label,
+          round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id % 100 = 0)
+      SELECT a_id, b_id, b_label, rnk, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY a_id
+          ORDER BY cosine DESC, b_id ASC) AS rnk FROM scored) t
+      WHERE rnk <= 10 ORDER BY a_id, rnk"""
+
+  // ---------- LSH-bucketed ANN (the scale path; spec-verified) ----------
+  private val LshBits = 16
+  private val LshBands = 4 // 4 bands × 4 bits
+  private val Dim = 64
+
+  /** Fixed seeded hyperplanes (Dim × LshBits). */
+  private[ops] val hyperplanes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(LshBits)(Array.fill(Dim)(rnd.nextGaussian()))
+  }
+
+  def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val planes = hyperplanes.map(p => array(p.map(lit): _*))
+    val e = withVec(Tables.embeddings(spark, dir))
+
+    // 16-bit signature from hyperplane signs
+    val sigBits = planes.zipWithIndex.map { case (p, i) =>
+      when(dot(col("vd"), p) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sig = e.withColumn("sig", sigBits)
+
+    // band keys: 4 bands of 4 bits — candidates share at least one band
+    val bandCols = (0 until LshBands).map { b =>
+      shiftright(col("sig"), 4 * b).bitwiseAND(lit(15L))
+    }
+    val banded = sig.select(
+      col("vec_id"), col("vd"), col("nrm"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+
+    val anchors = banded.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("a_id"), col("vd").as("a_vd"),
+        col("nrm").as("a_nrm"), col("band_idx"), col("band_val"))
+    val cand = anchors
+      .join(banded.select(col("vec_id").as("b_id"), col("vd").as("b_vd"),
+          col("nrm").as("b_nrm"), col("band_idx"), col("band_val")),
+        Seq("band_idx", "band_val"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id", "a_vd", "a_nrm", "b_vd", "b_nrm")
+      .dropDuplicates("a_id", "b_id")
+
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("cosine").desc, col("b_id").asc)
+    cand
+      .withColumn("cosine",
+        round(dot(col("a_vd"), col("b_vd")) / (col("a_nrm") * col("b_nrm")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("a_id"), col("b_id"), col("rnk"), col("cosine"))
+      .orderBy(col("a_id"), col("rnk"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_neardup" -> (qEmbedNeardup _),
+    "q_ann_topk" -> (qAnnTopk _),
+    "q_ann_lsh" -> (qAnnLsh _),
+  )
+
+  /** q_ann_lsh is approximate — no SQL oracle; recall vs the brute-force
+    * baseline is asserted in SimilaritySpec.
+    */
+  val oracles: Map[String, String] = Map(
+    "q_embed_neardup" -> qEmbedNeardupOracle,
+    "q_ann_topk" -> qAnnTopkOracle,
+  )
+}

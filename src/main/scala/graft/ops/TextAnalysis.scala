@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.functions.RollingHash
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * All computations are pure integer/ratio arithmetic over string
+  * functions present in both engines, so the DuckDB oracles reproduce them
+  * bit-for-bit. Everything is a narrow scan → project / partial-agg
+  * pipeline: no shuffle except the final small group-bys.
+  */
+object TextAnalysis {
+
+  /** Marker vocabulary for the n-gram-frequency language heuristic. The
+    * testdata vocabulary is shared across languages with per-language
+    * frequency bias, so markers are the empirically most-biased words.
+    */
+  val markers: Seq[(String, String)] = Seq(
+    "de" -> "customer", "de" -> "join", "de" -> "column",
+    "en" -> "hash", "en" -> "order", "en" -> "table",
+    "es" -> "slow", "es" -> "agg", "es" -> "vector",
+    "fr" -> "scan", "fr" -> "data", "fr" -> "query",
+    "zh" -> "small", "zh" -> "row", "zh" -> "value",
+  )
+
+  private def markerDf(spark: SparkSession): DataFrame = {
+    val rows = markers.map { case (l, w) => Row(l, w) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("m_lang", StringType, nullable = false),
+        StructField("m_word", StringType, nullable = false))))
+  }
+
+  /** SQL VALUES list for the oracle, kept in lock-step with [[markers]]. */
+  private def markerValues: String =
+    markers.map { case (l, w) => s"('$l','$w')" }.mkString(", ")
+
+  // ---------- language identification (marker-frequency heuristic) ----------
+  def qTextLangid(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tokens = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("w"))
+    val scores = tokens
+      .join(broadcast(markerDf(spark)), col("w") === col("m_word"))
+      .groupBy(col("doc_id"), col("m_lang"))
+      .agg(count(lit(1)).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("m_lang").asc)
+    val best = scores
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("m_lang").as("pred_lang"), col("score"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(best, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("pred_lang"), lit("unknown")).as("pred_lang"),
+        coalesce(col("score"), lit(0L)).as("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  def qTextLangidOracle: String =
+    s"""WITH m(m_lang, m_word) AS (VALUES $markerValues),
+      tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) w
+        FROM documents),
+      sc AS (SELECT doc_id, m_lang, count(*) score FROM tok
+        JOIN m ON w = m_word GROUP BY doc_id, m_lang),
+      best AS (SELECT doc_id, m_lang, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY score DESC, m_lang ASC) rn FROM sc) t WHERE rn = 1)
+      SELECT d.doc_id, d.lang,
+        coalesce(best.m_lang, 'unknown') AS pred_lang,
+        coalesce(best.score, 0) AS score
+      FROM documents d LEFT JOIN best ON d.doc_id = best.doc_id
+      ORDER BY d.doc_id"""
+
+  // ---------- quality scoring ----------
+  def qTextQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("punct_ratio",
+        round((length(col("text")) -
+          length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double") /
+          length(col("text")), 6))
+      .withColumn("stop_ratio",
+        round(size(filter(split(col("text"), " "),
+          t => t.isin("the", "a", "of", "and", "to"))).cast("double") /
+          col("n_tokens"), 6))
+      .withColumn("avg_token_len",
+        round((length(regexp_replace(col("text"), " ", ""))).cast("double") /
+          col("n_tokens"), 6))
+      .withColumn("quality_score",
+        round(least(col("n_tokens").cast("double"), lit(200.0)) / 200.0 *
+          (lit(1.0) - col("punct_ratio")), 6))
+      .select(col("doc_id"), col("n_tokens"), col("n_chars"), col("punct_ratio"),
+        col("stop_ratio"), col("avg_token_len"), col("quality_score"))
+      .orderBy(col("doc_id"))
+
+  val qTextQualityOracle: String =
+    """SELECT doc_id,
+      len(string_split(text, ' ')) AS n_tokens,
+      length(text) AS n_chars,
+      round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+        * 1.0 / length(text), 6) AS punct_ratio,
+      round(len(list_filter(string_split(text, ' '),
+        w -> w IN ('the','a','of','and','to')))
+        * 1.0 / len(string_split(text, ' ')), 6) AS stop_ratio,
+      round(length(replace(text, ' ', ''))
+        * 1.0 / len(string_split(text, ' ')), 6) AS avg_token_len,
+      round(least(len(string_split(text, ' ')) * 1.0, 200.0) / 200.0 *
+        (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+          * 1.0 / length(text)), 6) AS quality_score
+      FROM documents ORDER BY doc_id"""
+
+  // ---------- token counting (whitespace + BPE-ish regex) ----------
+  def qTextTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("ws_tokens", size(split(col("text"), " ")))
+      .withColumn("bpe_tokens",
+        size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0))))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("total_ws_tokens"),
+        sum(col("bpe_tokens")).as("total_bpe_tokens"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+      .orderBy(col("source"))
+
+  val qTextTokensOracle: String =
+    """SELECT source, count(*) AS n_docs,
+      sum(len(string_split(text, ' ')))::BIGINT AS total_ws_tokens,
+      sum(len(regexp_extract_all(text, '\w+|[^\w\s]')))::BIGINT AS total_bpe_tokens,
+      round(avg(n_chars), 4) AS avg_chars
+      FROM documents GROUP BY source ORDER BY source"""
+
+  // ---------- document fingerprinting ----------
+  /** Two fingerprints: portable md5, and a polynomial rolling hash
+    * implemented as a native codegen'd Catalyst expression
+    * ([[graft.functions.RollingHash]]), oracle-checked against a DuckDB
+    * `list_reduce` fold over the same code points.
+    */
+  def qTextFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("md5_fp"),
+        RollingHash.rollingHash(col("text")).as("roll_fp"))
+      .orderBy(col("doc_id"))
+
+  val qTextFingerprintOracle: String =
+    """SELECT doc_id, md5(text) AS md5_fp,
+      list_reduce(list_transform(string_split(text, ''), c -> ascii(c)::BIGINT),
+        (h, c) -> (h * 31 + c) % 1000000007) AS roll_fp
+      FROM documents ORDER BY doc_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_langid" -> (qTextLangid _),
+    "q_text_quality" -> (qTextQuality _),
+    "q_text_tokens" -> (qTextTokens _),
+    "q_text_fingerprint" -> (qTextFingerprint _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_text_langid" -> qTextLangidOracle,
+    "q_text_quality" -> qTextQualityOracle,
+    "q_text_tokens" -> qTextTokensOracle,
+    "q_text_fingerprint" -> qTextFingerprintOracle,
+  )
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestSession}
+
+/** Smoke + targeted behavior for the query surface at sf0.001. The full
+  * value-level correctness gate is the DuckDB oracle (tools/check_oracle.py
+  * locally, the driver's CORRECTNESS_r{N} in CI).
+  */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // queries that may legitimately return zero rows at tiny scale
+  private val mayBeEmpty = Set("q_embed_neardup")
+
+  test("every registered query executes and has rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, dir)
+      val n = df.count()
+      assert(n >= 0, name)
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+      assert(df.columns.nonEmpty, name)
+    }
+  }
+
+  test("every oracle key refers to a registered query") {
+    val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"oracles without queries: $unknown")
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("minhash and simhash find the identical verified near-dup pair set") {
+    val mh = Dedup.qDedupMinhash(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sh = Dedup.qDedupSimhash(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mh.nonEmpty)
+    assert(mh.toSet == sh.toSet)
+  }
+
+  test("ann lsh candidates agree with brute force on shared pairs and " +
+    "achieve top-1 recall at sf0.001") {
+    val brute = Similarity.qAnnTopk(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getInt(3), r.getDouble(4)))).toMap
+    val lsh = Similarity.qAnnLsh(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3)))
+    assert(lsh.nonEmpty)
+    // cosine values agree wherever both computed the pair
+    lsh.foreach { case (pair, cos) =>
+      brute.get(pair).foreach { case (_, bcos) => assert(cos == bcos, pair) }
+    }
+    // recall of the true top-1 neighbor across anchors
+    val top1 = brute.collect { case ((a, b), (1, _)) => a -> b }.toMap
+    val lshPairs = lsh.map(_._1).toSet
+    val hit = top1.count { case (a, b) => lshPairs.contains((a, b)) }
+    val recall = hit.toDouble / top1.size
+    assert(recall >= 0.3, s"top-1 recall $recall too low (${hit}/${top1.size})")
+  }
+
+  test("rolling hash expression matches a reference Scala fold and codegen runs") {
+    import org.apache.spark.sql.functions._
+    val df = Tables.documents(spark, dir).limit(50)
+      .select(col("text"), graft.functions.RollingHash.rollingHash(col("text")).as("h"))
+    df.collect().foreach { r =>
+      val expected = graft.functions.RollingHash.hash(r.getString(0))
+      assert(r.getLong(1) == expected)
+    }
+  }
+
+  test("multimodal extractMeta plumbing: stub decode over binary payloads") {
+    import org.apache.spark.sql.functions._
+    val src = Tables.documents(spark, dir).limit(20)
+      .select(col("doc_id").as("id"), encode(col("text"), "UTF-8").as("payload"))
+    val out = Multimodal.extractMeta(src)
+    assert(out.columns.toSeq ==
+      Seq("id", "byte_len", "width", "height", "format", "frames"))
+    val rows = out.collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val len = r.getLong(1)
+      assert(len > 0)
+      assert(r.getSeq[Long](5).length == 4)
+      assert(r.getSeq[Long](5)(1) == len / 4)
+    }
+  }
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Event-time streaming semantics beyond the reference's processing-time
+  * pacing: watermarks with append-mode window closing, and arbitrary
+  * stateful processing with mapGroupsWithState.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("watermark + append mode emits only closed windows, drops late data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window($"ts", "10 minutes"), $"k")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp($"window.start").as("ws"), $"k", $"n")
+
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName("wm_append")
+      .start()
+    try {
+      // batch 1: events in the 10:00 and 10:10 windows
+      input.addData((ts(1), "a"), (ts(4), "a"), (ts(12), "b"))
+      q.processAllAvailable()
+      // nothing closed yet: max event 10:12, watermark 10:07 < 10:10
+      assert(spark.table("wm_append").count() == 0)
+
+      // batch 2: advance watermark past the 10:00 window's end
+      input.addData((ts(21), "c"))
+      q.processAllAvailable()
+      // watermark now 10:16 → the [10:00,10:10) window is closed and emitted
+      val closed = spark.table("wm_append").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(closed == Set((unixTs("10:00"), "a", 2L)))
+
+      // batch 3: a LATE event for the already-closed 10:00 window → dropped
+      input.addData((ts(2), "a"))
+      // and one advancing further, closing the 10:10 window
+      input.addData((ts(35), "d"))
+      q.processAllAvailable()
+      val all = spark.table("wm_append").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(all == Set(
+        (unixTs("10:00"), "a", 2L),
+        (unixTs("10:10"), "b", 1L),
+        (unixTs("10:20"), "c", 1L))) // late (10:02,"a") never re-opened its window
+    } finally q.stop()
+  }
+
+  private def unixTs(hm: String): Long =
+    Timestamp.valueOf(s"2024-01-01 $hm:00").getTime / 1000
+
+  test("mapGroupsWithState: running per-key counts across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+
+    def update(key: String, values: Iterator[(String, Int)],
+        state: GroupState[Long]): (String, Long) = {
+      val sum = state.getOption.getOrElse(0L) + values.map(_._2.toLong).sum
+      state.update(sum)
+      key -> sum
+    }
+
+    val counted = input.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+      .toDF("k", "total")
+
+    val q = counted.writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .queryName("mgws")
+      .start()
+    try {
+      input.addData(("x", 1), ("x", 2), ("y", 10))
+      q.processAllAvailable()
+      input.addData(("x", 4), ("y", 5))
+      q.processAllAvailable()
+      val rows = spark.table("mgws").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      // update mode emits one row per key per batch; the LAST per key is the
+      // running total
+      val latest = rows.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      assert(latest == Map("x" -> 7L, "y" -> 15L))
+    } finally q.stop()
+  }
+}
