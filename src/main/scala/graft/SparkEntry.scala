@@ -20,9 +20,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Dedup.queries ++ Similarity.queries ++
-      TextAnalysis.queries ++ EventOps.queries ++ Multimodal.queries
+      TextAnalysis.queries ++ EventOps.queries ++ Multimodal.queries ++
+      graft.cdc.CdcColumns.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      TextAnalysis.oracles ++ EventOps.oracles ++ Multimodal.oracles
+      TextAnalysis.oracles ++ EventOps.oracles ++ Multimodal.oracles ++
+      graft.cdc.CdcColumns.oracles
 }

@@ -1,0 +1,153 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CdcExpressions
+import graft.ops.Tables
+
+/** The CDC flatten/coerce surface as declarative Columns — for CDC
+  * envelopes that arrive as DataFrames (JSON/parquet/Kafka sources) rather
+  * than through the Avro reader. Mirrors the reference's coercion semantics
+  * (SURVEY.md §2.3) with Catalyst built-ins wherever they match and custom
+  * expressions where they don't:
+  *
+  *  - `toBoolLenient`: the reference's token table + numeric tail
+  *    (`_to_bool`, main.py:26-37). Spark's boolean cast accepts a narrower
+  *    token set, so this is spelled out as a CASE.
+  *  - `toLongLenient`: ANSI try_cast (null on garbage, '+' handled).
+  *  - `avroDecimal` / `avroDecimalBytes`: HALF_EVEN DECIMAL(38,9)
+  *    normalization (custom expressions — Spark casts round HALF_UP).
+  *  - `flattenEnvelope`: source_metadata struct coercion + payload.*
+  *    promotion, dropping all other envelope fields (main.py:55-108).
+  *
+  * All narrow projections: no shuffle is ever introduced by this surface.
+  */
+object CdcColumns {
+
+  private val TrueTokens = Seq("true", "t", "1", "yes", "y")
+  private val FalseTokens = Seq("false", "f", "0", "no", "n")
+
+  private def intLike(s: Column): Column = s.rlike("^[+-]?[0-9]+$")
+
+  def toBoolLenient(c: Column): Column = {
+    val s = lower(trim(c.cast("string")))
+    when(c.isNull, lit(null).cast("boolean"))
+      .when(s.isin(TrueTokens: _*), lit(true))
+      .when(s.isin(FalseTokens: _*), lit(false))
+      .when(intLike(s), s.cast("long") =!= 0L)
+      .otherwise(lit(null).cast("boolean"))
+  }
+
+  def toLongLenient(c: Column): Column = {
+    val s = trim(c.cast("string"))
+    when(intLike(s), s.cast("long")).otherwise(lit(null).cast("long"))
+  }
+
+  def toListOfStr(c: Column): Column =
+    when(c.isNull, lit(null).cast("array<string>"))
+      .otherwise(transform(c, x => x.cast("string")))
+
+  /** Flatten a CDC envelope DataFrame: `source_metadata` struct coerced
+    * field-by-field, `payload.*` promoted to top level, everything else
+    * dropped.
+    */
+  def flattenEnvelope(df: DataFrame): DataFrame = {
+    val sm = col("source_metadata")
+    val coerced = struct(
+      sm.getField("schema").cast("string").as("schema"),
+      sm.getField("table").cast("string").as("table"),
+      toBoolLenient(sm.getField("is_deleted")).as("is_deleted"),
+      sm.getField("change_type").cast("string").as("change_type"),
+      toLongLenient(sm.getField("tx_id")).as("tx_id"),
+      sm.getField("lsn").cast("string").as("lsn"),
+      toListOfStr(sm.getField("primary_keys")).as("primary_keys"),
+    ).as("source_metadata")
+    df.select(coerced +: df.select(col("payload.*")).columns.toSeq
+      .map(n => col(s"payload.$n")): _*)
+  }
+
+  // ---------- oracle-checked queries over testdata ----------
+
+  /** Build a CDC envelope from `orders`, flatten it through the Column
+    * surface, and emit the coerced fields — exercising the token-table
+    * bool coercion (including the numeric tail and the unparseable→null
+    * case), lenient long parse ('+'-prefixed), and list-of-string
+    * conversion against an independent SQL reimplementation.
+    */
+  def qCdcFlattenImpl(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val env = o.select(
+      struct(
+        lit("public").as("schema"),
+        lit("orders").as("table"),
+        element_at(
+          array(lit("true"), lit("F"), lit("yes"), lit("0"), lit("7"), lit("junk")),
+          (col("o_orderkey") % 6 + 1).cast("int")).as("is_deleted"),
+        col("o_orderstatus").as("change_type"),
+        concat(lit("+"), col("o_orderkey").cast("string")).as("tx_id"),
+        lit(null).cast("string").as("lsn"),
+        array(col("o_custkey")).as("primary_keys"),
+      ).as("source_metadata"),
+      struct(
+        col("o_orderkey").as("id"),
+        col("o_totalprice").as("amount"),
+        col("o_orderpriority").as("priority"),
+      ).as("payload"),
+      col("o_orderdate").as("uuid_like_envelope_noise"))
+    flattenEnvelope(env)
+      .select(
+        col("source_metadata.is_deleted").as("is_deleted"),
+        col("source_metadata.tx_id").as("tx_id"),
+        col("source_metadata.primary_keys").getItem(0).as("pk0"),
+        col("id"),
+        round(col("amount"), 2).as("amount"),
+        col("priority"))
+      .orderBy(col("id"))
+  }
+
+  val qCdcFlattenOracle: String =
+    """SELECT
+      CASE (o_orderkey % 6)
+        WHEN 0 THEN true       -- 'true'
+        WHEN 1 THEN false      -- 'F'
+        WHEN 2 THEN true       -- 'yes'
+        WHEN 3 THEN false      -- '0'
+        WHEN 4 THEN true       -- '7' → bool(int) → nonzero
+        ELSE NULL              -- 'junk' → unparseable → null
+      END AS is_deleted,
+      o_orderkey AS tx_id,
+      o_custkey::VARCHAR AS pk0,
+      o_orderkey AS id,
+      round(o_totalprice, 2) AS amount,
+      o_orderpriority AS priority
+      FROM orders ORDER BY id"""
+
+  /** HALF_EVEN DECIMAL(38,9) normalization of derived doubles (the
+    * reference's forced BigQuery-NUMERIC envelope, F6 numeric branch).
+    */
+  def qCdcDecimal(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.select(
+      col("o_orderkey"),
+      CdcExpressions.avroDecimal(col("o_totalprice") / lit(7.0)).as("price_norm"),
+      CdcExpressions.avroDecimal(col("o_totalprice")).as("price_exact"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val qCdcDecimalOracle: String =
+    """SELECT o_orderkey,
+      CAST(o_totalprice / 7.0 AS DECIMAL(38,9)) AS price_norm,
+      CAST(o_totalprice AS DECIMAL(38,9)) AS price_exact
+      FROM orders ORDER BY o_orderkey"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_flatten" -> (qCdcFlattenImpl _),
+    "q_cdc_decimal" -> (qCdcDecimal _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_cdc_flatten" -> qCdcFlattenOracle,
+    "q_cdc_decimal" -> qCdcDecimalOracle,
+  )
+}
