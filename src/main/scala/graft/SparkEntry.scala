@@ -21,7 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Dedup.queries ++ Similarity.queries ++
       TextAnalysis.queries ++ EventOps.queries ++ Multimodal.queries ++
-      graft.cdc.CdcColumns.queries
+      graft.cdc.CdcColumns.queries ++ graft.convert.ConvertQueries.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Dedup.oracles ++ Similarity.oracles ++

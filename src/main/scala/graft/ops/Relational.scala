@@ -394,6 +394,31 @@ object Relational {
       coalesce(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 0) AS R
       FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""
 
+  // ---------- statistical aggregates ----------
+  def qStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+        round(stddev_samp($"l_extendedprice"), 4).as("sd_price"),
+        round(var_samp($"l_discount"), 6).as("var_disc"),
+        round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qty_price"))
+      .orderBy($"l_returnflag")
+
+  /** Spark `percentile` and DuckDB `quantile_cont` share the (n-1)p linear
+    * interpolation definition; moment aggregates are rounded to absorb
+    * summation-order ulp differences.
+    */
+  val qStatsOracle: String =
+    """SELECT l_returnflag,
+      round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+      round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+      round(stddev_samp(l_extendedprice), 4) AS sd_price,
+      round(var_samp(l_discount), 6) AS var_disc,
+      round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   // ---------- SQL surface (spark.sql over registered views) ----------
   def qSqlSurface(spark: SparkSession, dir: String): DataFrame = {
     Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
@@ -438,6 +463,7 @@ object Relational {
     "q_date_funcs" -> (qDateFuncs _),
     "q_having" -> (qHaving _),
     "q_pivot" -> (qPivot _),
+    "q_stats" -> (qStats _),
     "q_sql_surface" -> (qSqlSurface _),
   )
 
@@ -463,6 +489,7 @@ object Relational {
     "q_date_funcs" -> qDateFuncsOracle,
     "q_having" -> qHavingOracle,
     "q_pivot" -> qPivotOracle,
+    "q_stats" -> qStatsOracle,
     "q_sql_surface" -> qSqlSurfaceOracle,
   )
 }

@@ -141,14 +141,74 @@ object Similarity {
       .orderBy(col("a_id"), col("rnk"))
   }
 
+  // ---------- IVF-bucketed ANN (coarse quantizer + probed rerank) ----------
+  private val IvfLists = 16
+  private val IvfProbes = 4
+
+  /** Fixed seeded coarse centroids (unit-normalized gaussians). */
+  private[ops] val centroids: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(13)
+    Array.fill(IvfLists) {
+      val v = Array.fill(Dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+  }
+
+  /** IVF: assign every vector to its nearest coarse centroid (one narrow
+    * pass), probe the anchor's top-`IvfProbes` lists, exact-rerank inside
+    * the probed lists only. The inverted-list assignment is the shuffle
+    * key — at scale each list is a co-located partition and a query touches
+    * `IvfProbes/IvfLists` of the corpus.
+    */
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val cents = centroids.map(c => array(c.map(lit): _*))
+    val e = withVec(Tables.embeddings(spark, dir))
+
+    // scores against all centroids; best = list assignment
+    def centroidScores(v: Column): Column = array(cents.map(c => dot(v, c)): _*)
+    val scored = e.withColumn("cscores", centroidScores(col("vd")))
+    val assigned = scored.withColumn("list_id",
+      expr("array_position(cscores, array_max(cscores))").cast("int") - 1)
+
+    val corpus = assigned.select(col("vec_id").as("b_id"), col("vd").as("b_vd"),
+      col("nrm").as("b_nrm"), col("list_id"))
+
+    // anchors probe their top-IvfProbes lists
+    val anchors = assigned.filter(col("vec_id") % 100 === 0)
+      .withColumn("probe_lists",
+        expr(s"""slice(array_sort(
+            transform(sequence(0, size(cscores) - 1),
+              i -> struct(cscores[i] AS s, i AS idx)),
+            (l, r) -> CASE WHEN l.s > r.s THEN -1
+                           WHEN l.s < r.s THEN 1 ELSE 0 END),
+          1, $IvfProbes)"""))
+      .select(col("vec_id").as("a_id"), col("vd").as("a_vd"),
+        col("nrm").as("a_nrm"),
+        explode(expr("transform(probe_lists, p -> CAST(p.idx AS INT))")).as("list_id"))
+
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("cosine").desc, col("b_id").asc)
+    anchors
+      .join(corpus, Seq("list_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("cosine",
+        round(dot(col("a_vd"), col("b_vd")) / (col("a_nrm") * col("b_nrm")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("a_id"), col("b_id"), col("rnk"), col("cosine"))
+      .orderBy(col("a_id"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_ann_topk" -> (qAnnTopk _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_ivf" -> (qAnnIvf _),
   )
 
-  /** q_ann_lsh is approximate — no SQL oracle; recall vs the brute-force
-    * baseline is asserted in SimilaritySpec.
+  /** q_ann_lsh and q_ann_ivf are approximate — no SQL oracle; recall vs
+    * the brute-force baseline is asserted in OpsSpec.
     */
   val oracles: Map[String, String] = Map(
     "q_embed_neardup" -> qEmbedNeardupOracle,

@@ -1,0 +1,221 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.file.DataFileStream
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.avro._
+
+/** DataSource V2 reader for CDC Avro container files, exposed as
+  * `spark.read.format("cdc-avro").load(pathOrGlob)`.
+  *
+  * The scan yields the REFERENCE's flattened shape directly: the fixed
+  * `source_metadata` struct plus typed `payload.*` columns (schema derived
+  * with [[AvroSchemaConverter]]'s exact union rules from the first file's
+  * writer schema), plus an `_input_path` provenance column.
+  *
+  * Spark-native properties the reference lacks:
+  *  - one input partition per file → embarrassingly parallel scan;
+  *  - REAL column pruning ([[SupportsPushDownRequiredColumns]]): unneeded
+  *    payload fields are never converted (the reference materializes every
+  *    file fully, twice);
+  *  - streaming per-record iteration — no whole-file materialization.
+  *
+  * Files whose writer schema differs from the inferred one are still read:
+  * fields are matched by name, extras dropped, missing ones null — the
+  * per-schema-group orchestration (and the all-string fallback path) lives
+  * in [[graft.convert.AvroToParquetJob]], which remains the faithful
+  * conversion entry point.
+  */
+class AvroCdcDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "cdc-avro"
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val raw = Option(options.get("path")).toSeq ++
+      Option(options.get("paths")).toSeq.flatMap(_.split(","))
+    raw.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def resolvePaths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    paths(options).flatMap { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(conf)
+      val matches = fs.globStatus(hp)
+      if (matches == null) Seq.empty
+      else matches.filter(_.isFile).map(_.getPath.toString)
+    }.sorted
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val files = resolvePaths(options)
+    require(files.nonEmpty, s"cdc-avro: no files match ${paths(options)}")
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val p = new Path(files.head)
+    val in = new DataFileStream[GenericRecord](
+      p.getFileSystem(conf).open(p), new GenericDatumReader[GenericRecord]())
+    val schemaJson = try in.getSchema.toString finally in.close()
+    AvroCdcDataSource.sparkSchema(AvroSchemaConverter.deriveFlatSchema(schemaJson))
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    new AvroCdcTable(resolvePaths(options), schema)
+  }
+}
+
+object AvroCdcDataSource {
+  val InputPathCol = "_input_path"
+
+  private[sources] def asNullable(dt: org.apache.spark.sql.types.DataType):
+      org.apache.spark.sql.types.DataType = dt match {
+    case s: StructType =>
+      StructType(s.fields.map(f => f.copy(dataType = asNullable(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = asNullable(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(valueType = asNullable(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
+  def sparkSchema(flat: AvroSchemaConverter.FlatSchema): StructType = {
+    val relaxed = asNullable(flat.toSpark).asInstanceOf[StructType]
+    StructType(relaxed.fields :+
+      StructField(InputPathCol, org.apache.spark.sql.types.StringType, nullable = false))
+  }
+}
+
+class AvroCdcTable(files: Seq[String], tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"cdc-avro(${files.size} files)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new AvroCdcScanBuilder(files, tableSchema)
+}
+
+class AvroCdcScanBuilder(files: Seq[String], fullSchema: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // preserve our column order; accept any subset
+    val keep = requiredSchema.fieldNames.toSet
+    required = StructType(fullSchema.fields.filter(f => keep.contains(f.name)))
+  }
+
+  override def build(): Scan = new AvroCdcScan(files, required)
+}
+
+class AvroCdcScan(files: Seq[String], required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"cdc-avro scan, ${files.size} files, columns=[${required.fieldNames.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(f => AvroCdcInputPartition(f): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    AvroCdcReaderFactory(required, conf)
+  }
+}
+
+case class AvroCdcInputPartition(path: String) extends InputPartition
+
+case class AvroCdcReaderFactory(
+    required: StructType,
+    conf: SerializableConfiguration) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new AvroCdcPartitionReader(
+      partition.asInstanceOf[AvroCdcInputPartition].path, required, conf)
+}
+
+/** Streams one Avro container file as flattened InternalRows, converting
+  * ONLY the columns the scan requires.
+  */
+class AvroCdcPartitionReader(
+    path: String,
+    required: StructType,
+    conf: SerializableConfiguration) extends PartitionReader[InternalRow] {
+
+  private val hPath = new Path(path)
+  private val stream = new DataFileStream[GenericRecord](
+    hPath.getFileSystem(conf.value).open(hPath), new GenericDatumReader[GenericRecord]())
+
+  // per-file flat schema from ITS writer schema (name-matched to `required`)
+  private val fileFlat = AvroSchemaConverter.deriveFlatSchema(stream.getSchema.toString)
+  private val fieldByName = fileFlat.payloadFields.map(f => f.name -> f).toMap
+
+  private val serializer: ExpressionEncoder.Serializer[Row] = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(required))
+    enc.createSerializer()
+  }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (!stream.hasNext) return false
+    val record = stream.next()
+    val payload = record.getSchema.getField("payload") match {
+      case null => null
+      case _ => record.get("payload") match {
+        case r: GenericRecord => r
+        case _ => null
+      }
+    }
+    val values: Seq[Any] = required.fields.toSeq.map { f =>
+      f.name match {
+        case AvroCdcDataSource.InputPathCol => path
+        case "source_metadata" =>
+          val sm = record.getSchema.getField("source_metadata") match {
+            case null => null
+            case _ => record.get("source_metadata") match {
+              case r: GenericRecord => r
+              case _ => null
+            }
+          }
+          AvroValueConverter.convertSourceMetadata(sm)
+        case name =>
+          fieldByName.get(name) match {
+            case Some(tf) =>
+              val v =
+                if (payload == null || payload.getSchema.getField(name) == null) null
+                else payload.get(name)
+              AvroValueConverter.convert(v, tf.tpe, ConvertMode.Standard)
+            case None => null // column absent in this file's schema
+          }
+      }
+    }
+    current = serializer(Row.fromSeq(values)).copy()
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = stream.close()
+}

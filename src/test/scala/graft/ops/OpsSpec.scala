@@ -15,6 +15,17 @@ class OpsSpec extends AnyFunSuite {
   // queries that may legitimately return zero rows at tiny scale
   private val mayBeEmpty = Set("q_embed_neardup")
 
+  test("ann ivf: probed rerank reaches good top-1 agreement with brute force") {
+    val brute = Similarity.qAnnTopk(spark, dir).collect()
+      .collect { case r if r.getInt(3) == 1 => r.getLong(0) -> r.getLong(1) }.toMap
+    val ivf = Similarity.qAnnIvf(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(ivf.nonEmpty)
+    val hit = brute.count { case (a, b) => ivf.contains((a, b)) }
+    val recall = hit.toDouble / brute.size
+    assert(recall >= 0.5, s"ivf top-1 recall $recall ($hit/${brute.size})")
+  }
+
   test("every registered query executes and has rows at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, dir)
