@@ -215,11 +215,45 @@ object Dedup {
         (len(g1) + len(b.g) - len(list_intersect(g1, b.g))) >= 0.5
       ORDER BY d1, d2"""
 
+  // ---------- dedup keep-list (what a pipeline actually consumes) ----------
+  /** Survivor selection: drop every document that has a smaller-id
+    * near-duplicate (the planted duplicate groups are mutual near-dups, so
+    * keep-smallest-per-pair equals keep-one-per-cluster). Emits per-lang
+    * survivor counts — the materialized form a training-data pipeline
+    * feeds downstream.
+    */
+  def qDedupKeeplist(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val drops = qDedupMinhash(spark, dir).select(col("d2").as("doc_id")).distinct()
+    docs.join(drops, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val qDedupKeeplistOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) < 3
+          THEN []::VARCHAR[]
+          ELSE [ws[i]||' '||ws[i+1]||' '||ws[i+2] for i in range(1, len(ws)-1)]
+        END) AS shingles FROM t),
+      ex AS (SELECT doc_id, unnest(shingles) s FROM sh),
+      inter AS (SELECT a.doc_id d1, b.doc_id d2, count(*) i FROM ex a
+        JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      card AS (SELECT doc_id, len(shingles) n FROM sh),
+      drops AS (SELECT DISTINCT d2 AS doc_id FROM inter
+        JOIN card ca ON ca.doc_id = d1 JOIN card cb ON cb.doc_id = d2
+        WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8)
+      SELECT lang, count(*) AS n_kept, sum(n_chars)::BIGINT AS kept_chars
+      FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+      GROUP BY lang ORDER BY lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_ngram" -> (qDedupNgram _),
+    "q_dedup_keeplist" -> (qDedupKeeplist _),
   )
 
   /** q_dedup_simhash is deliberately absent: see its scaladoc — its
@@ -231,5 +265,6 @@ object Dedup {
     "q_dedup_exact" -> qDedupExactOracle,
     "q_dedup_minhash" -> exactPairOracle,
     "q_dedup_ngram" -> qDedupNgramOracle,
+    "q_dedup_keeplist" -> qDedupKeeplistOracle,
   )
 }

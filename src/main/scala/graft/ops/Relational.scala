@@ -419,6 +419,49 @@ object Relational {
       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  // ---------- custom aggregate (typed Aggregator via udaf) ----------
+  def qGeomMean(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .groupBy($"p_brand")
+      .agg(round(graft.functions.GeomMean.geomMean($"p_retailprice"), 4)
+        .as("gm_price"))
+      .orderBy($"p_brand")
+
+  val qGeomMeanOracle: String =
+    """SELECT p_brand, round(exp(avg(ln(p_retailprice))), 4) AS gm_price
+      FROM part WHERE p_retailprice > 0 GROUP BY p_brand ORDER BY p_brand"""
+
+  // ---------- range (non-equi) join ----------
+  /** For each signup event: activity by the same user within the following
+    * hour. A time-band non-equi join — the pattern behind sessionized
+    * attribution at scale (band condition keeps the join from degenerating
+    * to a cross product; Spark plans it as a broadcast/BNLJ with the band
+    * predicate, and at cluster scale the user_id equi-key carries the
+    * shuffle).
+    */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val signups = e.filter($"event_type" === "signup")
+      .select($"user_id", $"event_id".as("signup_id"), $"ts".as("signup_ts"))
+    val acts = e.select($"user_id", $"ts".as("act_ts"), $"event_type")
+    signups.join(acts,
+        Seq("user_id"))
+      .filter($"act_ts" > $"signup_ts" &&
+        $"act_ts" <= $"signup_ts" + expr("INTERVAL 1 HOUR"))
+      .groupBy($"signup_id", $"user_id")
+      .agg(count(lit(1)).as("n_acts"),
+        countDistinct($"event_type").as("n_types"))
+      .orderBy($"signup_id")
+  }
+
+  val qRangeJoinOracle: String =
+    """SELECT s.event_id AS signup_id, s.user_id,
+      count(*) AS n_acts, count(DISTINCT a.event_type) AS n_types
+      FROM events s JOIN events a ON s.user_id = a.user_id
+        AND a.ts > s.ts AND a.ts <= s.ts + INTERVAL 1 HOUR
+      WHERE s.event_type = 'signup'
+      GROUP BY signup_id, s.user_id ORDER BY signup_id"""
+
   // ---------- SQL surface (spark.sql over registered views) ----------
   def qSqlSurface(spark: SparkSession, dir: String): DataFrame = {
     Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
@@ -464,6 +507,8 @@ object Relational {
     "q_having" -> (qHaving _),
     "q_pivot" -> (qPivot _),
     "q_stats" -> (qStats _),
+    "q_geom_mean" -> (qGeomMean _),
+    "q_range_join" -> (qRangeJoin _),
     "q_sql_surface" -> (qSqlSurface _),
   )
 
@@ -490,6 +535,8 @@ object Relational {
     "q_having" -> qHavingOracle,
     "q_pivot" -> qPivotOracle,
     "q_stats" -> qStatsOracle,
+    "q_geom_mean" -> qGeomMeanOracle,
+    "q_range_join" -> qRangeJoinOracle,
     "q_sql_surface" -> qSqlSurfaceOracle,
   )
 }
