@@ -462,6 +462,35 @@ object Relational {
       WHERE s.event_type = 'signup'
       GROUP BY signup_id, s.user_id ORDER BY signup_id"""
 
+  // ---------- salted join (skew-mitigation pattern, result-identical) ----------
+  /** Key-salting demo: the build side is replicated `Salt` ways and the
+    * probe side's key is salted with a deterministic hash, spreading a hot
+    * key over `Salt` reducers. Result is identical to the plain join (the
+    * oracle is the plain join) — this query exists to keep the technique
+    * exercised and verified; at 100 TB it is the fallback when AQE's
+    * skew-join splitting can't help (e.g. skewed build side of a
+    * shuffle-hash join).
+    */
+  def qSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val salt = 4
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("salt", pmod(xxhash64($"l_linenumber"), lit(salt)).cast("int"))
+    val ord = Tables.orders(spark, dir)
+      .withColumn("salt", explode(array((0 until salt).map(lit): _*)))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
+      .groupBy($"o_orderpriority")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val qSaltedJoinOracle: String =
+    """SELECT o_orderpriority,
+      round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      count(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   // ---------- SQL surface (spark.sql over registered views) ----------
   def qSqlSurface(spark: SparkSession, dir: String): DataFrame = {
     Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
@@ -509,6 +538,7 @@ object Relational {
     "q_stats" -> (qStats _),
     "q_geom_mean" -> (qGeomMean _),
     "q_range_join" -> (qRangeJoin _),
+    "q_salted_join" -> (qSaltedJoin _),
     "q_sql_surface" -> (qSqlSurface _),
   )
 
@@ -537,6 +567,7 @@ object Relational {
     "q_stats" -> qStatsOracle,
     "q_geom_mean" -> qGeomMeanOracle,
     "q_range_join" -> qRangeJoinOracle,
+    "q_salted_join" -> qSaltedJoinOracle,
     "q_sql_surface" -> qSqlSurfaceOracle,
   )
 }

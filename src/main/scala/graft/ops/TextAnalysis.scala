@@ -159,11 +159,50 @@ object TextAnalysis {
         (h, c) -> (h * 31 + c) % 1000000007) AS roll_fp
       FROM documents ORDER BY doc_id"""
 
+  // ---------- TF-IDF top terms per document ----------
+  /** Classic tf-idf over whitespace tokens: tf = in-doc occurrences,
+    * idf = ln(N / df) with df = number of docs containing the term.
+    * Top-3 terms per doc, ties broken lexically. Two shuffles (doc-term
+    * aggregation, term df) — both on high-cardinality keys, partial-agg
+    * friendly.
+    */
+  def qTextTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count() // deterministic scalar; small metadata count
+    val terms = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(df, "term")
+      .withColumn("score",
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  val qTextTfidfOracle: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) tf FROM t GROUP BY doc_id, term),
+      idf AS (SELECT term, count(DISTINCT doc_id) df FROM tf GROUP BY term),
+      n AS (SELECT count(*) n FROM documents),
+      scored AS (SELECT doc_id, term,
+        round(tf * ln(n.n * 1.0 / df), 6) AS score FROM tf JOIN idf USING (term), n)
+      SELECT doc_id, rnk, term, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY score DESC, term ASC) rnk FROM scored) x
+      WHERE rnk <= 3 ORDER BY doc_id, rnk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_text_tfidf" -> (qTextTfidf _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -171,5 +210,6 @@ object TextAnalysis {
     "q_text_quality" -> qTextQualityOracle,
     "q_text_tokens" -> qTextTokensOracle,
     "q_text_fingerprint" -> qTextFingerprintOracle,
+    "q_text_tfidf" -> qTextTfidfOracle,
   )
 }

@@ -81,7 +81,7 @@ class AvroCdcDataSource extends TableProvider with DataSourceRegister {
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    new AvroCdcTable(resolvePaths(options), schema)
+    new AvroCdcTable(paths(options), resolvePaths(options), schema)
   }
 }
 
@@ -106,18 +106,18 @@ object AvroCdcDataSource {
   }
 }
 
-class AvroCdcTable(files: Seq[String], tableSchema: StructType)
+class AvroCdcTable(globs: Seq[String], files: Seq[String], tableSchema: StructType)
     extends Table with SupportsRead {
   override def name(): String = s"cdc-avro(${files.size} files)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AvroCdcScanBuilder(files, tableSchema)
+    new AvroCdcScanBuilder(globs, files, tableSchema)
 }
 
-class AvroCdcScanBuilder(files: Seq[String], fullSchema: StructType)
+class AvroCdcScanBuilder(globs: Seq[String], files: Seq[String], fullSchema: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
 
@@ -127,10 +127,11 @@ class AvroCdcScanBuilder(files: Seq[String], fullSchema: StructType)
     required = StructType(fullSchema.fields.filter(f => keep.contains(f.name)))
   }
 
-  override def build(): Scan = new AvroCdcScan(files, required)
+  override def build(): Scan = new AvroCdcScan(globs, files, required)
 }
 
-class AvroCdcScan(files: Seq[String], required: StructType) extends Scan with Batch {
+class AvroCdcScan(globs: Seq[String], files: Seq[String], required: StructType)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -139,11 +140,15 @@ class AvroCdcScan(files: Seq[String], required: StructType) extends Scan with Ba
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => AvroCdcInputPartition(f): InputPartition).toArray
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val conf = new SerializableConfiguration(
-      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
-    AvroCdcReaderFactory(required, conf)
-  }
+  private def serializableConf = new SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    AvroCdcReaderFactory(required, serializableConf)
+
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new AvroCdcMicroBatchStream(globs, required, serializableConf)
 }
 
 case class AvroCdcInputPartition(path: String) extends InputPartition

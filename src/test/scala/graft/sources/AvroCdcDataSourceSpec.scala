@@ -49,6 +49,53 @@ class AvroCdcDataSourceSpec extends AnyFunSuite {
       Seq("alice", "bob", "carol"))
   }
 
+  test("cdc-avro DSv2 streaming: new files become micro-batches; checkpoint " +
+    "survives restart without reprocessing") {
+    val in = writeFixture()
+    val ckpt = Files.createTempDirectory("graft-ckpt").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("graft-stream-out").toFile.getAbsolutePath
+
+    // parquet sink: supports checkpoint recovery (memory sink does not)
+    def startQuery() =
+      spark.readStream.format("cdc-avro").load(s"$in/avro/*/*.avro")
+        .selectExpr("id", "name", "_input_path")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .format("parquet")
+        .outputMode("append")
+        .start()
+
+    def outIds(): Set[Long] =
+      spark.read.parquet(out).collect().map(_.getAs[Long]("id")).toSet
+
+    val q1 = startQuery()
+    try {
+      q1.processAllAvailable()
+      assert(outIds() == Set(1L, 2L, 3L)) // a.avro + b.avro
+
+      // a new file appears mid-stream → exactly its rows arrive
+      AvroFixtures.writeAvro(s"$in/avro/users/c.avro", AvroFixtures.BasicEnvelope, Seq(
+        Map("uuid" -> "u4", "read_timestamp" -> 0L,
+          "source_metadata" -> AvroFixtures.sm("users", txId = 8L),
+          "payload" -> Map("id" -> 4L, "name" -> "dave"))))
+      q1.processAllAvailable()
+      assert(outIds() == Set(1L, 2L, 3L, 4L))
+    } finally q1.stop()
+
+    // restart from the same checkpoint: nothing reprocessed, new files flow
+    AvroFixtures.writeAvro(s"$in/avro/users/d.avro", AvroFixtures.BasicEnvelope, Seq(
+      Map("uuid" -> "u5", "read_timestamp" -> 0L,
+        "source_metadata" -> AvroFixtures.sm("users", txId = 9L),
+        "payload" -> Map("id" -> 5L, "name" -> "erin"))))
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      assert(outIds() == Set(1L, 2L, 3L, 4L, 5L)) // 1-4 appear exactly once
+      assert(spark.read.parquet(out).count() == 5)
+    } finally q2.stop()
+  }
+
   test("cdc-avro DSv2: SQL over the source via a view") {
     val in = writeFixture()
     spark.read.format("cdc-avro").load(s"$in/avro/*/*.avro")
