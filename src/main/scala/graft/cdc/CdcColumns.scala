@@ -141,13 +141,42 @@ object CdcColumns {
       CAST(o_totalprice AS DECIMAL(38,9)) AS price_exact
       FROM orders ORDER BY o_orderkey"""
 
+  /** Canonical (sorted-keys, compact) JSON stringification of complex
+    * values — F1 on the declarative surface, vs an oracle that constructs
+    * the same strings by hand.
+    */
+  def qCdcStringify(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CanonicalJsonExpr.canonicalJson
+    val l = Tables.lineitem(spark, dir).filter(col("l_linenumber") === 1)
+    l.select(
+      col("l_orderkey"),
+      canonicalJson(map(
+        lit("qty"), col("l_quantity").cast("long"),
+        lit("line"), col("l_linenumber").cast("long"))).as("map_json"),
+      canonicalJson(array(col("l_partkey"), col("l_suppkey"))).as("arr_json"),
+      canonicalJson(struct(
+        col("l_returnflag").as("rf"),
+        col("l_partkey").as("pk"))).as("struct_json"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  val qCdcStringifyOracle: String =
+    """SELECT l_orderkey,
+      '{"line":' || l_linenumber || ',"qty":' || CAST(l_quantity AS BIGINT) || '}'
+        AS map_json,
+      '[' || l_partkey || ',' || l_suppkey || ']' AS arr_json,
+      '{"pk":' || l_partkey || ',"rf":"' || l_returnflag || '"}' AS struct_json
+      FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_flatten" -> (qCdcFlattenImpl _),
     "q_cdc_decimal" -> (qCdcDecimal _),
+    "q_cdc_stringify" -> (qCdcStringify _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_cdc_flatten" -> qCdcFlattenOracle,
     "q_cdc_decimal" -> qCdcDecimalOracle,
+    "q_cdc_stringify" -> qCdcStringifyOracle,
   )
 }
