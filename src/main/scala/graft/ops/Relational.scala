@@ -491,6 +491,24 @@ object Relational {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  // ---------- approximate distinct (sketch surface; rows-only check) ----------
+  /** HLL++ approx distinct next to the exact answer with its realized
+    * relative error — the sketch surface a 100 TB pipeline uses when exact
+    * distinct is too expensive. Sketch estimates are engine-specific, so
+    * this query carries no DuckDB oracle (rows-only check); the exact
+    * column doubles as an internal consistency anchor.
+    */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_orderkey").as("exact_orders"),
+        approx_count_distinct($"l_orderkey").as("approx_orders"))
+      .withColumn("rel_err",
+        round(abs($"approx_orders" - $"exact_orders") /
+          $"exact_orders".cast("double"), 4))
+      .orderBy($"l_returnflag")
+
   // ---------- SQL surface (spark.sql over registered views) ----------
   def qSqlSurface(spark: SparkSession, dir: String): DataFrame = {
     Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
@@ -539,6 +557,7 @@ object Relational {
     "q_geom_mean" -> (qGeomMean _),
     "q_range_join" -> (qRangeJoin _),
     "q_salted_join" -> (qSaltedJoin _),
+    "q_approx_distinct" -> (qApproxDistinct _),
     "q_sql_surface" -> (qSqlSurface _),
   )
 
