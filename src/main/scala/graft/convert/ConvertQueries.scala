@@ -46,8 +46,66 @@ object ConvertQueries {
       .orderBy(col("tbl"))
   }
 
+  /** ReferenceExact mode through the gate: a payload with complex/binary
+    * columns routes the whole file through the all-string fallback
+    * (reference main.py:524-567); the output proves the fallback schema
+    * (typed source_metadata + all-string payload) and post-conversion
+    * stringification survive a full write/read cycle.
+    */
+  def qCdcConvertExact(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-convx").toFile.getAbsolutePath
+    val schemaJson =
+      """{"type":"record","name":"cdc_event","fields":[
+        {"name":"source_metadata","type":{"type":"record","name":"sm","fields":[
+          {"name":"schema","type":"string"},{"name":"table","type":"string"},
+          {"name":"is_deleted","type":"boolean"},{"name":"change_type","type":"string"},
+          {"name":"tx_id","type":["null","long"]},{"name":"lsn","type":["null","string"]},
+          {"name":"primary_keys","type":{"type":"array","items":"string"}}]}},
+        {"name":"payload","type":["null",{"type":"record","name":"p","fields":[
+          {"name":"id","type":"long"},
+          {"name":"tags","type":{"type":"array","items":"string"}},
+          {"name":"attrs","type":{"type":"map","values":"long"}}]}]}
+      ]}"""
+    // deterministic file with complex payload → fallback in exact mode
+    val writer = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord]())
+    val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+    val f = new java.io.File(s"$tmp/landing/avro/exact/part-0.avro")
+    f.getParentFile.mkdirs()
+    writer.create(schema, f)
+    val smSchema = schema.getField("source_metadata").schema()
+    val pSchema = schema.getField("payload").schema().getTypes.get(1)
+    (1 to 1000).foreach { i =>
+      val sm = new org.apache.avro.generic.GenericData.Record(smSchema)
+      sm.put("schema", "public"); sm.put("table", "exact")
+      sm.put("is_deleted", Boolean.box(i % 2 == 0)); sm.put("change_type", "UPDATE")
+      sm.put("tx_id", Long.box(i.toLong)); sm.put("lsn", null)
+      sm.put("primary_keys", java.util.Arrays.asList("id"))
+      val p = new org.apache.avro.generic.GenericData.Record(pSchema)
+      p.put("id", Long.box(i.toLong))
+      p.put("tags", java.util.Arrays.asList(s"t${i % 3}", "x"))
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      m.put("k", Long.box(i.toLong))
+      p.put("attrs", m)
+      val rec = new org.apache.avro.generic.GenericData.Record(schema)
+      rec.put("source_metadata", sm); rec.put("payload", p)
+      writer.append(rec)
+    }
+    writer.close()
+
+    AvroToParquetJob.runOnce(spark, s"$tmp/landing/avro/*/*.avro",
+      s"$tmp/out", ConvertMode.ReferenceExact, ingestionDate = Some("2024-06-01"))
+    // fallback output: payload columns are all strings (canonical JSON)
+    spark.read.parquet(s"$tmp/out")
+      .groupBy(col("tags"))
+      .agg(count(lit(1)).as("n"), max(col("attrs")).as("max_attrs"),
+        max(col("id")).as("max_id_str"))
+      .orderBy(col("tags"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_convert_roundtrip" -> (qCdcConvertRoundtrip _),
+    "q_cdc_convert_exact" -> (qCdcConvertExact _),
     "q_cdc_dsv2_scan" -> (qCdcDsv2Scan _),
   )
 }

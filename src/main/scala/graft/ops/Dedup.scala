@@ -180,24 +180,62 @@ object Dedup {
   }
 
   // ---------- character n-gram Jaccard (exact, anchor-sampled) ----------
+  /** Fixed anchor set (docs 0-49, not a % rate): anchor count stays
+    * constant as the corpus scales, so cost grows linearly, not
+    * quadratically.
+    *
+    * Implemented as `mapPartitions` over the corpus with the anchors'
+    * gram arrays in a broadcast variable — the guide's last-resort rung,
+    * taken on measurement: the declarative broadcast-join formulation
+    * materializes both ~1 KB gram arrays into every joined row
+    * (250k pairs × 2 KB of UnsafeRow copying dominated the query at 8-17 s
+    * on sf0.1), while the whole pairwise computation is ~4 s
+    * single-threaded. Here each corpus document's grams are materialized
+    * once and merge-intersected against all 50 broadcast anchors in-place:
+    * narrow, allocation-light, same exact output as the oracle.
+    */
   def qDedupNgram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.unsafe.types.UTF8String
     val g = Tables.documents(spark, dir)
       .select(col("doc_id"), charGrams(col("text")).as("g"))
-    // fixed anchor set (not a % rate): anchor count stays constant as the
-    // corpus scales, so cost grows linearly with corpus size, not
-    // quadratically; docs 0-49 include several planted near-dup sources
-    val anchors = g.filter(col("doc_id") < 50)
-      .select(col("doc_id").as("d1"), col("g").as("g1"))
-    val others = g.select(col("doc_id").as("d2"), col("g").as("g2"))
-    // size-ratio prefilter: J >= 0.5 requires |g2| within [|g1|/2, 2|g1|]
-    // — necessary condition checked before the expensive intersection
-    broadcast(anchors)
-      .join(others, col("d1") =!= col("d2") &&
-        size(col("g2")) * 2 >= size(col("g1")) &&
-        size(col("g2")) <= size(col("g1")) * 2)
-      .withColumn("jaccard", round(jaccard(col("g1"), col("g2")), 6))
+
+    val anchorArr: Array[(Long, Array[String])] = g.filter(col("doc_id") < 50)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toArray)
+    val bc = spark.sparkContext.broadcast(anchorArr)
+
+    import spark.implicits._
+    // the documents table is one small parquet file → one input partition;
+    // spread the corpus across the cluster before the per-doc work (tiny
+    // shuffle, restores full parallelism)
+    val spread = g.repartition(spark.sparkContext.defaultParallelism)
+    val pairs = spread.as[(Long, Seq[String])].mapPartitions { it =>
+      val anchors = bc.value.map { case (id, gs) =>
+        id -> gs.map(UTF8String.fromString) // sorted already (TextFeatures)
+      }
+      it.flatMap { case (d2, grams) =>
+        val bg = grams.iterator.map(UTF8String.fromString).toArray
+        anchors.iterator.flatMap { case (d1, ag) =>
+          // size-ratio prefilter: J >= 0.5 needs |b| within [|a|/2, 2|a|]
+          if (d1 == d2 || bg.length * 2 < ag.length || bg.length > ag.length * 2) None
+          else {
+            var i = 0; var j = 0; var inter = 0
+            while (i < ag.length && j < bg.length) {
+              val c = ag(i).compareTo(bg(j))
+              if (c == 0) { inter += 1; i += 1; j += 1 }
+              else if (c < 0) i += 1
+              else j += 1
+            }
+            val jac = inter.toDouble / (ag.length + bg.length - inter)
+            if (jac >= 0.5) Some((d1, d2, jac)) else None
+          }
+        }
+      }
+    }.toDF("d1", "d2", "jac")
+
+    pairs
+      .select(col("d1"), col("d2"), round(col("jac"), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      .select(col("d1"), col("d2"), col("jaccard"))
       .orderBy(col("d1"), col("d2"))
   }
 

@@ -1,0 +1,99 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+import graft.functions.ArrayJaccardExpr
+
+/** Catalyst optimizer rule: a filter `round(jaccard(a,b), s) >= t` (or
+  * `jaccard(a,b) >= t`) with t > 0 implies the cheap necessary condition
+  * `size(b) >= t/(2-t)·size(a) && size(a) >= t/(2-t)·size(b)` — Jaccard ≥ t
+  * forces |∩| ≥ t·|∪| ≥ t·max(|a|,|b|), and |∩| ≤ min(|a|,|b|), so
+  * min/max ≥ t/(2-t) … conservatively we inject the weaker-but-safe bound
+  * min ≥ t/2·max (i.e. sizes within a factor 2/t of each other), which the
+  * exact Jaccard filter then refines. The injected predicate is evaluated
+  * BEFORE the expensive set intersection, pruning most candidate pairs —
+  * the optimization we previously hand-wrote into the n-gram query, now
+  * applied automatically to ANY Jaccard threshold filter.
+  *
+  * Registered via [[GraftExtensions]] (`SparkSessionExtensions` — the
+  * standard extension-point rung (c) of the custom-operator ladder).
+  */
+object JaccardPrefilterRule extends Rule[LogicalPlan] {
+
+  /** marker so the rule does not re-fire on its own output */
+  private val Tag = org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("graft.jaccardPrefilter")
+
+  private def bound(t: Double): Double = t / 2.0 // safe: min/max >= t/(2-t) >= t/2
+
+  private def prefilter(j: ArrayJaccardExpr, t: Double): Expression = {
+    val sa = Size(j.left)
+    val sb = Size(j.right)
+    val f = Literal(bound(t))
+    And(
+      GreaterThanOrEqual(
+        Cast(sb, org.apache.spark.sql.types.DoubleType),
+        Multiply(f, Cast(sa, org.apache.spark.sql.types.DoubleType))),
+      GreaterThanOrEqual(
+        Cast(sa, org.apache.spark.sql.types.DoubleType),
+        Multiply(f, Cast(sb, org.apache.spark.sql.types.DoubleType))))
+  }
+
+  /** extract (jaccardExpr, threshold) from `jac >= t` shapes, including a
+    * wrapping round(..., s)
+    */
+  private def matchThreshold(cond: Expression): Option[(ArrayJaccardExpr, Double)] =
+    cond match {
+      case GreaterThanOrEqual(j: ArrayJaccardExpr, Literal(t: Double, _)) if t > 0 =>
+        Some((j, t))
+      case GreaterThanOrEqual(Round(j: ArrayJaccardExpr, _, _), Literal(t: Double, _)) if t > 0 =>
+        Some((j, t))
+      case _ => None
+    }
+
+  private def augment(cond: Expression): Option[Expression] = {
+    val extra = splitConjunctivePredicates(cond).flatMap(matchThreshold)
+    if (extra.isEmpty) None
+    else Some(And(extra.map { case (j, t) => prefilter(j, t) }.reduce(And(_, _)), cond))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, child) if f.getTagValue(Tag).isEmpty =>
+      augment(cond) match {
+        case None => f
+        case Some(c) =>
+          val out = Filter(c, child)
+          out.setTagValue(Tag, true)
+          out
+      }
+    // the optimizer routinely folds such filters into join conditions —
+    // match them there too (And short-circuits, so the cheap size bounds
+    // run before the set intersection per candidate pair)
+    case j: Join if j.condition.isDefined && j.getTagValue(Tag).isEmpty =>
+      augment(j.condition.get) match {
+        case None => j
+        case Some(c) =>
+          val out = j.copy(condition = Some(c))
+          out.setTagValue(Tag, true)
+          out
+      }
+  }
+
+  private def splitConjunctivePredicates(condition: Expression): Seq[Expression] =
+    condition match {
+      case And(l, r) => splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
+      case other => Seq(other)
+    }
+}
+
+/** Session extensions: install with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => JaccardPrefilterRule)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.ArrayJaccard
+
+/** The Jaccard-prefilter optimizer rule, observed on a session built with
+  * `withExtensions(new GraftExtensions)`: the optimized plan of a
+  * `jaccard(a,b) >= t` filter contains injected size() bounds, and results
+  * are unchanged (the prefilter is a necessary condition of the
+  * threshold).
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  // The suites share one JVM-wide session (getOrCreate ignores
+  // withExtensions on an existing session), so install the rule through
+  // the public per-session hook — the same Rule object Verify/Bench get
+  // via `withExtensions(new GraftExtensions)`.
+  private lazy val spark: SparkSession = {
+    val s = graft.SparkTestSession.spark
+    if (!s.experimental.extraOptimizations.contains(JaccardPrefilterRule)) {
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ JaccardPrefilterRule
+    }
+    s
+  }
+
+  test("jaccard threshold filters get size-ratio prefilters injected; " +
+    "results unchanged") {
+    import spark.implicits._
+    // file-backed input: literal relations would be folded away by
+    // ConvertToLocalRelation before the plan is observable
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ext").toFile.getAbsolutePath
+    Seq(
+      (1L, Seq("a", "b", "c"), Seq("a", "b", "c", "d")),   // j = 0.75
+      (2L, Seq("a", "b"), Seq("c", "d")),                  // j = 0
+      (3L, Seq("a"), Seq("a", "b", "c", "d", "e", "f", "g", "h", "i")), // sizes 1 vs 9
+      (4L, Seq("a", "b", "c", "d"), Seq("a", "b", "c", "d")), // j = 1
+    ).toDF("id", "x", "y").write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+      // sorted inputs (ArrayJaccard contract)
+      .select($"id", array_sort($"x").as("x"), array_sort($"y").as("y"))
+
+    val filtered = df
+      .withColumn("j", round(ArrayJaccard.arrayJaccard($"x", $"y"), 6))
+      .filter($"j" >= 0.5)
+
+    val optimized = filtered.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("size("), s"prefilter not injected:\n$optimized")
+
+    val ids = filtered.collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 4L)) // exact answer: the prefilter pruned nothing it shouldn't
+
+    // control: a strict > filter (not matched by the rule) yields the same
+    // rows without any injected size() predicates
+    val control = df
+      .withColumn("j", round(ArrayJaccard.arrayJaccard($"x", $"y"), 6))
+      .filter($"j" > 0.499999)
+    assert(!control.queryExecution.optimizedPlan.toString.contains("size("))
+    assert(control.collect().map(_.getLong(0)).toSet == ids)
+  }
+
+  test("rule leaves non-jaccard filters untouched") {
+    import spark.implicits._
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v").filter($"k" > 1)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("graft"))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+}
