@@ -197,12 +197,101 @@ object TextAnalysis {
           ORDER BY score DESC, term ASC) rnk FROM scored) x
       WHERE rnk <= 3 ORDER BY doc_id, rnk"""
 
+  // ---------- document chunking (token windows with overlap) ----------
+  /** Fixed-size token chunks with overlap — the unit a training pipeline
+    * actually feeds downstream (chunk size 50, stride 40). Emits one row
+    * per chunk with its token count and a portable md5 fingerprint.
+    * Narrow: per-doc array ops + explode, no shuffle before the output
+    * ordering.
+    */
+  def qTextChunks(spark: SparkSession, dir: String): DataFrame = {
+    val chunkSize = 50
+    val stride = 40
+    Tables.documents(spark, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n", size(col("ws")))
+      // chunk starts: 0, stride, 2*stride, ... while start < n
+      .withColumn("starts",
+        expr(s"sequence(0, greatest(0, CAST(ceil((n - 1) / $stride.0) AS INT) * $stride), $stride)"))
+      .withColumn("starts", expr("filter(starts, s -> s < n)"))
+      .select(col("doc_id"), col("ws"), col("n"),
+        posexplode(col("starts")).as(Seq("chunk_idx", "start")))
+      .withColumn("chunk_tokens", expr(s"slice(ws, start + 1, $chunkSize)"))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        size(col("chunk_tokens")).as("chunk_len"),
+        md5(concat_ws(" ", col("chunk_tokens"))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val qTextChunksOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') ws,
+        len(string_split(text, ' ')) n FROM documents),
+      c AS (SELECT doc_id, ws, n,
+        unnest([s for s in range(0, n, 40)]) AS start,
+        generate_subscripts([s for s in range(0, n, 40)], 1) - 1 AS chunk_idx
+        FROM d)
+      SELECT doc_id, chunk_idx,
+        len(ws[start + 1 : start + 50]) AS chunk_len,
+        md5(array_to_string(ws[start + 1 : start + 50], ' ')) AS chunk_md5
+      FROM c ORDER BY doc_id, chunk_idx"""
+
+  // ---------- the capstone: a full curation pipeline in one query ----------
+  /** What a training-data pipeline runs end-to-end: quality gate →
+    * near-dup removal (keep smallest of each verified pair) → corpus
+    * stats per language. Composes the quality metrics, the MinHash+LSH
+    * verified pair set, and survivor selection; the oracle rebuilds the
+    * identical pipeline in SQL.
+    */
+  def qPipelineCurate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("punct_ratio",
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double") /
+          length(col("text")))
+    val quality = docs.filter(col("n_tokens") >= 30 && col("punct_ratio") <= 0.05)
+    val drops = Dedup.qDedupMinhash(spark, dir)
+      .select(col("d2").as("doc_id")).distinct()
+    quality.join(drops, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val qPipelineCurateOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) < 3
+          THEN []::VARCHAR[]
+          ELSE [ws[i]||' '||ws[i+1]||' '||ws[i+2] for i in range(1, len(ws)-1)]
+        END) AS shingles FROM t),
+      ex AS (SELECT doc_id, unnest(shingles) s FROM sh),
+      inter AS (SELECT a.doc_id d1, b.doc_id d2, count(*) i FROM ex a
+        JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      card AS (SELECT doc_id, len(shingles) n FROM sh),
+      drops AS (SELECT DISTINCT d2 AS doc_id FROM inter
+        JOIN card ca ON ca.doc_id = d1 JOIN card cb ON cb.doc_id = d2
+        WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8),
+      q AS (SELECT * FROM documents
+        WHERE len(string_split(text, ' ')) >= 30
+          AND (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+            * 1.0 / length(text) <= 0.05)
+      SELECT lang, count(*) AS n_docs,
+        sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
+        round(avg(n_chars), 4) AS avg_chars
+      FROM q WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+      GROUP BY lang ORDER BY lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_text_tfidf" -> (qTextTfidf _),
+    "q_text_chunks" -> (qTextChunks _),
+    "q_pipeline_curate" -> (qPipelineCurate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -211,5 +300,7 @@ object TextAnalysis {
     "q_text_tokens" -> qTextTokensOracle,
     "q_text_fingerprint" -> qTextFingerprintOracle,
     "q_text_tfidf" -> qTextTfidfOracle,
+    "q_text_chunks" -> qTextChunksOracle,
+    "q_pipeline_curate" -> qPipelineCurateOracle,
   )
 }
