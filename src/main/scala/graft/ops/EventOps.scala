@@ -158,12 +158,78 @@ object EventOps {
     spark.table(name).orderBy(col("ws"), col("event_type"))
   }
 
+  // ---------- time-series gap filling ----------
+  /** Dense hourly series per event_type: hours with no events appear with
+    * n=0 (generate the full hour spine × type dimension, left-join the
+    * actual counts). The spine is generated from the data's own min/max —
+    * no driver-side collect; `sequence` + explode keeps it declarative.
+    */
+  def qEventsGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(unix_timestamp(date_trunc("hour", col("ts"))).as("hr"),
+        col("event_type"))
+    val counts = e.groupBy(col("hr"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = e.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+    val hours = bounds.select(
+      explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hr"))
+    val types = e.select(col("event_type")).distinct()
+    hours.crossJoin(broadcast(types))
+      .join(counts, Seq("hr", "event_type"), "left_outer")
+      .select(col("hr"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("hr"), col("event_type"))
+  }
+
+  val qEventsGapfillOracle: String =
+    """WITH e AS (SELECT epoch(date_trunc('hour', ts))::BIGINT hr, event_type
+        FROM events),
+      counts AS (SELECT hr, event_type, count(*) n FROM e GROUP BY hr, event_type),
+      bounds AS (SELECT min(hr) lo, max(hr) hi FROM e),
+      hours AS (SELECT unnest(range(lo, hi + 1, 3600)) hr FROM bounds),
+      types AS (SELECT DISTINCT event_type FROM e)
+      SELECT h.hr, t.event_type, coalesce(c.n, 0) AS n
+      FROM hours h CROSS JOIN types t
+      LEFT JOIN counts c ON c.hr = h.hr AND c.event_type = t.event_type
+      ORDER BY h.hr, t.event_type"""
+
+  // ---------- cumulative distinct users per day ----------
+  /** Growth analytics without collect_set blowup: reduce each user to
+    * their FIRST-seen day (cheap groupBy), then a running sum over days —
+    * the cumulative-distinct pattern that scales where
+    * `count(distinct) OVER (ORDER BY day)` cannot.
+    */
+  def qEventsCumulativeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val firstSeen = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+    val perDay = firstSeen.groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .orderBy(col("day"))
+  }
+
+  val qEventsCumulativeUsersOracle: String =
+    """WITH fs AS (SELECT user_id, min(ts::DATE) first_day FROM events
+        GROUP BY user_id),
+      pd AS (SELECT first_day AS day, count(*) new_users FROM fs GROUP BY 1)
+      SELECT day, new_users,
+        sum(new_users) OVER (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_users
+      FROM pd ORDER BY day"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_tumbling" -> (qEventsTumbling _),
     "q_events_sliding" -> (qEventsSliding _),
     "q_events_session" -> (qEventsSession _),
     "q_events_asof" -> (qEventsAsof _),
     "q_stream_tumbling" -> (qStreamTumbling _),
+    "q_events_gapfill" -> (qEventsGapfill _),
+    "q_events_cum_users" -> (qEventsCumulativeUsers _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -172,5 +238,7 @@ object EventOps {
     "q_events_session" -> qEventsSessionOracle,
     "q_events_asof" -> qEventsAsofOracle,
     "q_stream_tumbling" -> qEventsTumblingOracle,
+    "q_events_gapfill" -> qEventsGapfillOracle,
+    "q_events_cum_users" -> qEventsCumulativeUsersOracle,
   )
 }
