@@ -64,24 +64,45 @@ class AvroCdcDataSource extends TableProvider with DataSourceRegister {
     }.sorted
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val files = resolvePaths(options)
-    require(files.nonEmpty, s"cdc-avro: no files match ${paths(options)}")
+  private def readWriterSchema(file: String): String = {
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
-    val p = new Path(files.head)
+    val p = new Path(file)
     val in = new DataFileStream[GenericRecord](
       p.getFileSystem(conf).open(p), new GenericDatumReader[GenericRecord]())
-    val schemaJson = try in.getSchema.toString finally in.close()
-    AvroCdcDataSource.sparkSchema(AvroSchemaConverter.deriveFlatSchema(schemaJson))
+    try in.getSchema.toString finally in.close()
   }
+
+  /** The flat schema the scan exposes. Default: the first file's (cheap —
+    * one header read). With `mergeSchema=true`: header-read every file,
+    * derive each flat schema, and union the payload columns by name —
+    * conflicting types collapse to string (the reference's universal
+    * fallback type), giving one well-typed view over heterogeneous CDC
+    * file generations. Readers coerce per-file values to the merged
+    * column types.
+    */
+  private[sources] def flatSchemaFor(options: CaseInsensitiveStringMap): AvroSchemaConverter.FlatSchema = {
+    val files = resolvePaths(options)
+    require(files.nonEmpty, s"cdc-avro: no files match ${paths(options)}")
+    if (!options.getBoolean("mergeSchema", false)) {
+      AvroSchemaConverter.deriveFlatSchema(readWriterSchema(files.head))
+    } else {
+      val flats = files.map(f =>
+        AvroSchemaConverter.deriveFlatSchema(readWriterSchema(f)))
+      AvroCdcDataSource.mergeFlatSchemas(flats)
+    }
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    AvroCdcDataSource.sparkSchema(flatSchemaFor(options))
 
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    new AvroCdcTable(paths(options), resolvePaths(options), schema)
+    new AvroCdcTable(paths(options), resolvePaths(options), schema,
+      flatSchemaFor(options))
   }
 }
 
@@ -104,9 +125,33 @@ object AvroCdcDataSource {
     StructType(relaxed.fields :+
       StructField(InputPathCol, org.apache.spark.sql.types.StringType, nullable = false))
   }
+
+  /** Union of payload columns by name, first-seen order; a name whose type
+    * differs across file generations becomes string.
+    */
+  def mergeFlatSchemas(flats: Seq[AvroSchemaConverter.FlatSchema]): AvroSchemaConverter.FlatSchema = {
+    import graft.avro.AvroSparkType._
+    val order = scala.collection.mutable.LinkedHashMap[String, TField]()
+    flats.foreach { f =>
+      f.payloadFields.foreach { tf =>
+        order.get(tf.name) match {
+          case None => order(tf.name) = tf
+          case Some(prev) if prev.tpe == tf.tpe =>
+            if (tf.nullable && !prev.nullable)
+              order(tf.name) = prev.copy(nullable = true)
+          case Some(prev) if prev.tpe != TString =>
+            order(tf.name) = TField(tf.name, TString, nullable = true)
+          case _ => ()
+        }
+      }
+    }
+    AvroSchemaConverter.FlatSchema(order.values.toSeq)
+  }
 }
 
-class AvroCdcTable(globs: Seq[String], files: Seq[String], tableSchema: StructType)
+class AvroCdcTable(
+    globs: Seq[String], files: Seq[String], tableSchema: StructType,
+    tableFlat: AvroSchemaConverter.FlatSchema)
     extends Table with SupportsRead {
   override def name(): String = s"cdc-avro(${files.size} files)"
   override def schema(): StructType = tableSchema
@@ -114,10 +159,12 @@ class AvroCdcTable(globs: Seq[String], files: Seq[String], tableSchema: StructTy
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AvroCdcScanBuilder(globs, files, tableSchema)
+    new AvroCdcScanBuilder(globs, files, tableSchema, tableFlat)
 }
 
-class AvroCdcScanBuilder(globs: Seq[String], files: Seq[String], fullSchema: StructType)
+class AvroCdcScanBuilder(
+    globs: Seq[String], files: Seq[String], fullSchema: StructType,
+    tableFlat: AvroSchemaConverter.FlatSchema)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
 
@@ -127,10 +174,12 @@ class AvroCdcScanBuilder(globs: Seq[String], files: Seq[String], fullSchema: Str
     required = StructType(fullSchema.fields.filter(f => keep.contains(f.name)))
   }
 
-  override def build(): Scan = new AvroCdcScan(globs, files, required)
+  override def build(): Scan = new AvroCdcScan(globs, files, required, tableFlat)
 }
 
-class AvroCdcScan(globs: Seq[String], files: Seq[String], required: StructType)
+class AvroCdcScan(
+    globs: Seq[String], files: Seq[String], required: StructType,
+    tableFlat: AvroSchemaConverter.FlatSchema)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -144,29 +193,34 @@ class AvroCdcScan(globs: Seq[String], files: Seq[String], required: StructType)
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    AvroCdcReaderFactory(required, serializableConf)
+    AvroCdcReaderFactory(required, tableFlat, serializableConf)
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new AvroCdcMicroBatchStream(globs, required, serializableConf)
+    new AvroCdcMicroBatchStream(globs, required, tableFlat, serializableConf)
 }
 
 case class AvroCdcInputPartition(path: String) extends InputPartition
 
 case class AvroCdcReaderFactory(
     required: StructType,
+    tableFlat: AvroSchemaConverter.FlatSchema,
     conf: SerializableConfiguration) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new AvroCdcPartitionReader(
-      partition.asInstanceOf[AvroCdcInputPartition].path, required, conf)
+      partition.asInstanceOf[AvroCdcInputPartition].path, required, tableFlat, conf)
 }
 
 /** Streams one Avro container file as flattened InternalRows, converting
-  * ONLY the columns the scan requires.
+  * ONLY the columns the scan requires. Values are coerced to the TABLE's
+  * merged column types: a column whose per-file type matches converts
+  * natively; a column merged to string (type conflict across file
+  * generations) is stringified; anything else incompatible yields null.
   */
 class AvroCdcPartitionReader(
     path: String,
     required: StructType,
+    tableFlat: AvroSchemaConverter.FlatSchema,
     conf: SerializableConfiguration) extends PartitionReader[InternalRow] {
 
   private val hPath = new Path(path)
@@ -175,7 +229,20 @@ class AvroCdcPartitionReader(
 
   // per-file flat schema from ITS writer schema (name-matched to `required`)
   private val fileFlat = AvroSchemaConverter.deriveFlatSchema(stream.getSchema.toString)
-  private val fieldByName = fileFlat.payloadFields.map(f => f.name -> f).toMap
+  private val tableByName = tableFlat.payloadFields.map(f => f.name -> f).toMap
+  private val fieldByName = fileFlat.payloadFields.map { f =>
+    // type to convert WITH: the file's own (unit-aware) type when it
+    // matches the table column; TString when the table merged to string;
+    // None (→ null) on any other mismatch
+    val target = tableByName.get(f.name) match {
+      case Some(t) if t.tpe == f.tpe => Some(f.tpe)
+      case Some(t) if t.tpe == graft.avro.AvroSparkType.TString =>
+        Some(graft.avro.AvroSparkType.TString)
+      case Some(_) => None
+      case None => Some(f.tpe) // single-schema mode: table == file
+    }
+    f.name -> (f, target)
+  }.toMap
 
   private val serializer: ExpressionEncoder.Serializer[Row] = {
     val enc = ExpressionEncoder(RowEncoder.encoderFor(required))
@@ -208,11 +275,12 @@ class AvroCdcPartitionReader(
           AvroValueConverter.convertSourceMetadata(sm)
         case name =>
           fieldByName.get(name) match {
-            case Some(tf) =>
+            case Some((_, Some(targetType))) =>
               val v =
                 if (payload == null || payload.getSchema.getField(name) == null) null
                 else payload.get(name)
-              AvroValueConverter.convert(v, tf.tpe, ConvertMode.Standard)
+              AvroValueConverter.convert(v, targetType, ConvertMode.Standard)
+            case Some((_, None)) => null // type conflict, not merged to string
             case None => null // column absent in this file's schema
           }
       }

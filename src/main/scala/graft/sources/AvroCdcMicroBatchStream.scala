@@ -39,6 +39,7 @@ object AvroCdcOffset {
 class AvroCdcMicroBatchStream(
     globs: Seq[String],
     required: StructType,
+    tableFlat: graft.avro.AvroSchemaConverter.FlatSchema,
     conf: SerializableConfiguration) extends MicroBatchStream {
 
   private def discover(): Seq[String] =
@@ -65,7 +66,7 @@ class AvroCdcMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    AvroCdcReaderFactory(required, conf)
+    AvroCdcReaderFactory(required, tableFlat, conf)
 
   override def commit(end: Offset): Unit = () // offsets live in the checkpoint
 

@@ -96,6 +96,51 @@ class AvroCdcDataSourceSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("cdc-avro DSv2 mergeSchema: heterogeneous file generations union " +
+    "their payload columns; type conflicts collapse to string") {
+    val in = Files.createTempDirectory("graft-merge").toFile.getAbsolutePath
+    // generation 1: id long, name string, qty int
+    val gen1 =
+      """{"type":"record","name":"e","fields":[
+        {"name":"source_metadata","type":{"type":"record","name":"sm","fields":[
+          {"name":"schema","type":"string"},{"name":"table","type":"string"},
+          {"name":"is_deleted","type":"boolean"},{"name":"change_type","type":"string"},
+          {"name":"tx_id","type":["null","long"]},{"name":"lsn","type":["null","string"]},
+          {"name":"primary_keys","type":{"type":"array","items":"string"}}]}},
+        {"name":"payload","type":["null",{"type":"record","name":"p1","fields":[
+          {"name":"id","type":"long"},
+          {"name":"name","type":["null","string"]},
+          {"name":"qty","type":["null","int"]}]}]}
+      ]}"""
+    // generation 2: id long, qty became a STRING, new column city
+    val gen2 = gen1
+      .replace("\"name\":\"p1\"", "\"name\":\"p2\"")
+      .replace("""{"name":"qty","type":["null","int"]}""",
+        """{"name":"qty","type":["null","string"]},
+           {"name":"city","type":["null","string"]}""")
+      .replace("""{"name":"name","type":["null","string"]},""", "")
+
+    AvroFixtures.writeAvro(s"$in/avro/g/one.avro", gen1, Seq(
+      Map("source_metadata" -> AvroFixtures.sm("g"),
+        "payload" -> Map("id" -> 1L, "name" -> "n1", "qty" -> 7))))
+    AvroFixtures.writeAvro(s"$in/avro/g/two.avro", gen2, Seq(
+      Map("source_metadata" -> AvroFixtures.sm("g"),
+        "payload" -> Map("id" -> 2L, "qty" -> "9ish", "city" -> "paris"))))
+
+    val df = spark.read.format("cdc-avro")
+      .option("mergeSchema", "true")
+      .load(s"$in/avro/*/*.avro")
+    // merged columns: id, name, qty(→string), city
+    assert(df.schema("qty").dataType == org.apache.spark.sql.types.StringType)
+    assert(df.columns.contains("city") && df.columns.contains("name"))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getAs[String]("qty") == "7")      // int stringified
+    assert(rows(0).isNullAt(rows(0).fieldIndex("city"))) // absent in gen1
+    assert(rows(1).getAs[String]("qty") == "9ish")
+    assert(rows(1).getAs[String]("city") == "paris")
+    assert(rows(1).isNullAt(rows(1).fieldIndex("name")))
+  }
+
   test("cdc-avro DSv2: SQL over the source via a view") {
     val in = writeFixture()
     spark.read.format("cdc-avro").load(s"$in/avro/*/*.avro")
