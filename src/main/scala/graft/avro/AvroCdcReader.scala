@@ -60,25 +60,34 @@ object AvroCdcReader {
     math.max(1, math.min(n, spark.sparkContext.defaultParallelism * 4))
 
   /** Distributed header-only read: writer schema JSON + Avro canonical-form
-    * fingerprint per file.
+    * fingerprint per file. A file whose header cannot be read (corrupt,
+    * truncated, not Avro) is isolated as a failure instead of killing the
+    * batch — the reference's per-file DoFn failure semantics.
     */
-  def schemaFingerprints(spark: SparkSession, paths: Seq[String]): Seq[FileSchema] = {
-    if (paths.isEmpty) return Seq.empty
+  def schemaFingerprints(
+      spark: SparkSession,
+      paths: Seq[String]): (Seq[FileSchema], Seq[(String, String)]) = {
+    if (paths.isEmpty) return (Seq.empty, Seq.empty)
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
-    spark.sparkContext
+    val results = spark.sparkContext
       .parallelize(paths, slices(paths.size, spark))
       .map { p =>
-        val stream = openStream(p, conf.value)
         try {
-          val schema = stream.getSchema
-          FileSchema(
-            p,
-            org.apache.avro.SchemaNormalization.parsingFingerprint64(schema),
-            schema.toString)
-        } finally stream.close()
+          val stream = openStream(p, conf.value)
+          try {
+            val schema = stream.getSchema
+            Right(FileSchema(
+              p,
+              org.apache.avro.SchemaNormalization.parsingFingerprint64(schema),
+              schema.toString)): Either[(String, String), FileSchema]
+          } finally stream.close()
+        } catch {
+          case e: Exception => Left(p -> e.toString)
+        }
       }
       .collect()
       .toSeq
+    (results.collect { case Right(f) => f }, results.collect { case Left(e) => e })
   }
 
   private def openStream(path: String, conf: Configuration): DataFileStream[GenericRecord] = {

@@ -68,15 +68,12 @@ object AvroToParquetJob {
     if (paths.isEmpty) return ConvertReport(0, Nil, Nil, Nil)
 
     val date = ingestionDate.getOrElse(LocalDate.now(ZoneOffset.UTC).toString)
-    val groups = AvroCdcReader
-      .schemaFingerprints(spark, paths)
-      .groupBy(_.fingerprint)
-      .values
-      .toSeq
+    val (schemas, unreadable) = AvroCdcReader.schemaFingerprints(spark, paths)
+    val groups = schemas.groupBy(_.fingerprint).values.toSeq
 
     var converted = Vector.empty[String]
     var fellBack = Vector.empty[String]
-    var failed = Vector.empty[String]
+    var failed = Vector.empty[String] ++ unreadable.map(_._1)
 
     groups.foreach { group =>
       val flat = AvroSchemaConverter.deriveFlatSchema(group.head.schemaJson)

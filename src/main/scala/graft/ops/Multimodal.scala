@@ -109,11 +109,50 @@ object Multimodal {
         AS frames
       FROM documents ORDER BY doc_id"""
 
+  /** Frame sampling: one row per sampled "frame" (fixed-offset byte
+    * window of the payload), the exploded shape a video pipeline feeds to
+    * per-frame feature extraction. Real plumbing (binary slicing,
+    * explode, per-frame fingerprints); the decode itself remains the
+    * deterministic stub.
+    */
+  def qMultimodalFrames(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("byte_len", length(col("payload")).cast("long"))
+      .select(col("doc_id"), col("payload"), col("byte_len"),
+        posexplode(transform(sequence(lit(0L), lit(3L)),
+          i => i * (col("byte_len") / lit(4L)).cast("long")))
+          .as(Seq("frame_idx", "offset")))
+      .withColumn("frame",
+        substring(col("payload"), (col("offset") + 1).cast("int"), lit(16)))
+      .select(col("doc_id"), col("frame_idx"), col("offset"),
+        length(col("frame")).cast("long").as("frame_bytes"),
+        md5(col("frame")).as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  /** DuckDB's substring does not operate on BLOBs; the docs are ASCII so
+    * byte offsets equal character offsets and the oracle slices the text —
+    * byte-identical to Spark's binary slice.
+    */
+  val qMultimodalFramesOracle: String =
+    """WITH d AS (SELECT doc_id, text,
+        octet_length(encode(text))::BIGINT byte_len FROM documents),
+      f AS (SELECT doc_id, text, byte_len,
+        unnest(range(0, 4)) frame_idx,
+        unnest([i * (byte_len // 4) for i in range(0, 4)]) AS off
+        FROM d)
+      SELECT doc_id, frame_idx::INT AS frame_idx, off AS offset,
+        octet_length(encode(substr(text, (off + 1)::INT, 16)))::BIGINT AS frame_bytes,
+        md5(substr(text, (off + 1)::INT, 16)) AS frame_md5
+      FROM f ORDER BY doc_id, frame_idx"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_multimodal_frames" -> (qMultimodalFrames _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_multimodal_meta" -> qMultimodalMetaOracle,
+    "q_multimodal_frames" -> qMultimodalFramesOracle,
   )
 }

@@ -215,6 +215,33 @@ class AvroToParquetJobSpec extends AnyFunSuite {
     assert(reports.size == 1 && reports.head.discovered == 0)
   }
 
+  test("corrupt input file: isolated as failed, healthy files still convert") {
+    val in = tmpDir("graft-in-corrupt")
+    val out = tmpDir("graft-out-corrupt")
+    // a healthy file and a garbage .avro
+    AvroFixtures.writeAvro(s"$in/avro/t/good.avro", AvroFixtures.BasicEnvelope, Seq(
+      Map("uuid" -> "u", "read_timestamp" -> 0L,
+        "source_metadata" -> AvroFixtures.sm("t"),
+        "payload" -> Map("id" -> 1L, "name" -> "ok"))))
+    val junk = new File(s"$in/avro/t/corrupt.avro")
+    java.nio.file.Files.write(junk.toPath,
+      Array.fill(256)(scala.util.Random.nextInt(256).toByte))
+
+    // discovery-time schema read of the corrupt file throws inside the
+    // distributed fingerprint pass — the job must surface it, not die
+    val rep = try {
+      AvroToParquetJob.runOnce(spark, s"$in/avro/*/*.avro", out,
+        ConvertMode.Standard, ingestionDate = Some("2024-06-01"))
+    } catch {
+      case e: Throwable =>
+        fail(s"corrupt file killed the whole batch: ${e.getMessage.take(200)}")
+    }
+    assert(rep.converted.exists(_.endsWith("good.avro")))
+    assert(rep.failed.exists(_.endsWith("corrupt.avro")))
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("id") == 1L)
+  }
+
   test("union-typed payload fields follow reference union rules end-to-end") {
     // A2-style: u1 first-branch-non-null → string; u2 3-way → long
     val unionSchema =
