@@ -84,11 +84,20 @@ class AvroCdcDataSource extends TableProvider with DataSourceRegister {
   private[sources] def flatSchemaFor(options: CaseInsensitiveStringMap): AvroSchemaConverter.FlatSchema = {
     val files = resolvePaths(options)
     require(files.nonEmpty, s"cdc-avro: no files match ${paths(options)}")
+    // a corrupt file must not block schema inference: skip unreadable
+    // headers (the scan isolates them again at read time)
+    def tryRead(f: String): Option[String] =
+      try Some(readWriterSchema(f)) catch { case _: Exception => None }
     if (!options.getBoolean("mergeSchema", false)) {
-      AvroSchemaConverter.deriveFlatSchema(readWriterSchema(files.head))
+      val schemaJson = files.view.flatMap(tryRead(_)).headOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"cdc-avro: no readable Avro file among ${files.size} matches"))
+      AvroSchemaConverter.deriveFlatSchema(schemaJson)
     } else {
-      val flats = files.map(f =>
-        AvroSchemaConverter.deriveFlatSchema(readWriterSchema(f)))
+      val flats = files.flatMap(tryRead(_))
+        .map(AvroSchemaConverter.deriveFlatSchema(_))
+      require(flats.nonEmpty,
+        s"cdc-avro: no readable Avro file among ${files.size} matches")
       AvroCdcDataSource.mergeFlatSchemas(flats)
     }
   }
@@ -159,12 +168,13 @@ class AvroCdcTable(
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AvroCdcScanBuilder(globs, files, tableSchema, tableFlat)
+    new AvroCdcScanBuilder(globs, files, tableSchema, tableFlat,
+      options.getBoolean("ignoreCorruptFiles", false))
 }
 
 class AvroCdcScanBuilder(
     globs: Seq[String], files: Seq[String], fullSchema: StructType,
-    tableFlat: AvroSchemaConverter.FlatSchema)
+    tableFlat: AvroSchemaConverter.FlatSchema, ignoreCorrupt: Boolean)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
 
@@ -174,12 +184,13 @@ class AvroCdcScanBuilder(
     required = StructType(fullSchema.fields.filter(f => keep.contains(f.name)))
   }
 
-  override def build(): Scan = new AvroCdcScan(globs, files, required, tableFlat)
+  override def build(): Scan =
+    new AvroCdcScan(globs, files, required, tableFlat, ignoreCorrupt)
 }
 
 class AvroCdcScan(
     globs: Seq[String], files: Seq[String], required: StructType,
-    tableFlat: AvroSchemaConverter.FlatSchema)
+    tableFlat: AvroSchemaConverter.FlatSchema, ignoreCorrupt: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -193,11 +204,12 @@ class AvroCdcScan(
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    AvroCdcReaderFactory(required, tableFlat, serializableConf)
+    AvroCdcReaderFactory(required, tableFlat, serializableConf, ignoreCorrupt)
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new AvroCdcMicroBatchStream(globs, required, tableFlat, serializableConf)
+    new AvroCdcMicroBatchStream(globs, required, tableFlat, serializableConf,
+      ignoreCorrupt)
 }
 
 case class AvroCdcInputPartition(path: String) extends InputPartition
@@ -205,10 +217,26 @@ case class AvroCdcInputPartition(path: String) extends InputPartition
 case class AvroCdcReaderFactory(
     required: StructType,
     tableFlat: AvroSchemaConverter.FlatSchema,
-    conf: SerializableConfiguration) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new AvroCdcPartitionReader(
-      partition.asInstanceOf[AvroCdcInputPartition].path, required, tableFlat, conf)
+    conf: SerializableConfiguration,
+    ignoreCorrupt: Boolean = false) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val path = partition.asInstanceOf[AvroCdcInputPartition].path
+    if (!ignoreCorrupt)
+      new AvroCdcPartitionReader(path, required, tableFlat, conf)
+    else
+      try new AvroCdcPartitionReader(path, required, tableFlat, conf)
+      catch {
+        case _: Exception => new EmptyPartitionReader
+      }
+  }
+}
+
+/** ignoreCorruptFiles=true: an unreadable file contributes zero rows. */
+class EmptyPartitionReader extends PartitionReader[InternalRow] {
+  override def next(): Boolean = false
+  override def get(): InternalRow =
+    throw new IllegalStateException("empty reader")
+  override def close(): Unit = ()
 }
 
 /** Streams one Avro container file as flattened InternalRows, converting

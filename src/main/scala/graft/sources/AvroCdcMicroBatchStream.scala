@@ -40,7 +40,8 @@ class AvroCdcMicroBatchStream(
     globs: Seq[String],
     required: StructType,
     tableFlat: graft.avro.AvroSchemaConverter.FlatSchema,
-    conf: SerializableConfiguration) extends MicroBatchStream {
+    conf: SerializableConfiguration,
+    ignoreCorrupt: Boolean = false) extends MicroBatchStream {
 
   private def discover(): Seq[String] =
     globs.flatMap { g =>
@@ -66,7 +67,7 @@ class AvroCdcMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    AvroCdcReaderFactory(required, tableFlat, conf)
+    AvroCdcReaderFactory(required, tableFlat, conf, ignoreCorrupt)
 
   override def commit(end: Offset): Unit = () // offsets live in the checkpoint
 

@@ -141,6 +141,24 @@ class AvroCdcDataSourceSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(rows(1).fieldIndex("name")))
   }
 
+  test("cdc-avro DSv2: corrupt files skipped at inference; " +
+    "ignoreCorruptFiles=true reads past them") {
+    val in = writeFixture()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$in/avro/users/junk.avro"),
+      Array.tabulate(100)(i => (i * 13 % 256).toByte))
+
+    // inference skips the junk header; strict read then fails on the data
+    val strict = spark.read.format("cdc-avro").load(s"$in/avro/*/*.avro")
+    intercept[Exception] { strict.count() }
+
+    val lenient = spark.read.format("cdc-avro")
+      .option("ignoreCorruptFiles", "true")
+      .load(s"$in/avro/*/*.avro")
+    assert(lenient.orderBy("id").collect().map(_.getAs[Long]("id")).toSeq ==
+      Seq(1L, 2L, 3L))
+  }
+
   test("cdc-avro DSv2: SQL over the source via a view") {
     val in = writeFixture()
     spark.read.format("cdc-avro").load(s"$in/avro/*/*.avro")
