@@ -491,6 +491,84 @@ object Relational {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  // ---------- heap-based top-k per key (TypedImperativeAggregate) ----------
+  /** Top-3 orders per customer WITHOUT a window sort: the bounded-heap
+    * aggregate ([[graft.functions.TopKByScore]]) keeps k entries per group
+    * through partial aggregation, so the shuffle carries O(groups × k)
+    * instead of every row. Same answer as the row_number window
+    * formulation — which is exactly what the oracle runs.
+    */
+  def qTopkAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("price", round($"o_totalprice", 2))
+    o.groupBy($"o_custkey")
+      .agg(graft.functions.TopKByScore.topKByScore($"price", $"o_orderkey", 3).as("top"))
+      .select($"o_custkey", posexplode($"top").as(Seq("i", "e")))
+      .select($"o_custkey", ($"i" + 1).cast("int").as("rnk"),
+        $"e.id".as("o_orderkey"), $"e.score".as("price"))
+      .orderBy($"o_custkey", $"rnk")
+  }
+
+  val qTopkAggOracle: String =
+    """SELECT o_custkey, rnk, o_orderkey, price FROM (
+      SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+        row_number() OVER (PARTITION BY o_custkey
+          ORDER BY round(o_totalprice, 2) DESC, o_orderkey ASC)::INT AS rnk
+      FROM orders) t WHERE rnk <= 3
+      ORDER BY o_custkey, rnk"""
+
+  // ---------- typed Dataset[T] surface ----------
+  /** The case-class-typed API (`Dataset[Order]`, `groupByKey`, typed
+    * `mapGroups`) over the same data: compile-time field checks where the
+    * row shape is static. Output identical to the untyped formulation the
+    * oracle runs. mapGroups is deliberate here (not agg): it demonstrates
+    * arbitrary per-group JVM logic — min/max/total in one pass.
+    */
+  def qTypedDataset(spark: SparkSession, dir: String): DataFrame = {
+    // col(), not this object's $-interpolator: spark.implicits._ brings its
+    // own StringContext $ and the two would be ambiguous
+    import spark.implicits.{newProductEncoder, rddToDatasetHolder}
+    val ds = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+      .as[(Long, Double, String)](
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.STRING))
+    implicit val longEnc = org.apache.spark.sql.Encoders.scalaLong
+    implicit val outEnc =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong)
+    ds.groupByKey(_._1)
+      .mapGroups { (cust, rows) =>
+        var n = 0L
+        var total = 0.0
+        var maxP = Double.MinValue
+        var urgent = 0L
+        rows.foreach { case (_, price, prio) =>
+          n += 1; total += price
+          if (price > maxP) maxP = price
+          if (prio == "1-URGENT") urgent += 1
+        }
+        (cust, n, BigDecimal(total).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(maxP).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble, urgent)
+      }
+      .toDF("o_custkey", "n_orders", "total_spent", "max_price", "n_urgent")
+      .orderBy(col("o_custkey"))
+  }
+
+  val qTypedDatasetOracle: String =
+    """SELECT o_custkey, count(*) AS n_orders,
+      round(sum(o_totalprice), 2) AS total_spent,
+      round(max(o_totalprice), 2) AS max_price,
+      sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT
+        AS n_urgent
+      FROM orders GROUP BY o_custkey ORDER BY o_custkey"""
+
   // ---------- approximate distinct (sketch surface; rows-only check) ----------
   /** HLL++ approx distinct next to the exact answer with its realized
     * relative error — the sketch surface a 100 TB pipeline uses when exact
@@ -557,6 +635,8 @@ object Relational {
     "q_geom_mean" -> (qGeomMean _),
     "q_range_join" -> (qRangeJoin _),
     "q_salted_join" -> (qSaltedJoin _),
+    "q_topk_agg" -> (qTopkAgg _),
+    "q_typed_dataset" -> (qTypedDataset _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_sql_surface" -> (qSqlSurface _),
   )
@@ -587,6 +667,8 @@ object Relational {
     "q_geom_mean" -> qGeomMeanOracle,
     "q_range_join" -> qRangeJoinOracle,
     "q_salted_join" -> qSaltedJoinOracle,
+    "q_topk_agg" -> qTopkAggOracle,
+    "q_typed_dataset" -> qTypedDatasetOracle,
     "q_sql_surface" -> qSqlSurfaceOracle,
   )
 }
