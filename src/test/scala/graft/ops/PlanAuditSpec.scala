@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Plan-regression guard: the scale properties PLANS.md documents,
+  * asserted on the actual physical plans so a refactor cannot silently
+  * turn a broadcast into a shuffle or un-prune a scan.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("q05: every dimension join is broadcast; fact scan is pruned") {
+    val p = plan("q05_local_supplier")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) == 5, p)
+    assert(!p.contains("SortMergeJoin"), "fact side must not shuffle for dims")
+    val scanLine = p.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("lineitem")).get
+    assert(scanLine.contains(
+      "ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint," +
+        "l_extendedprice:double,l_discount:double>"),
+      s"lineitem scan must read exactly 4 columns: $scanLine")
+  }
+
+  test("q01: partial aggregation before the exchange") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum"), p)
+    val partialIdx = p.indexOf("partial_sum")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    // plans print top-down: the exchange appears before (above) the
+    // partial aggregate that feeds it
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx, p)
+  }
+
+  test("q_topk_agg: heap aggregate runs in partial mode") {
+    val p = plan("q_topk_agg")
+    assert(p.contains("partial_topkbyscore"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("minhash: no cartesian/nested-loop joins anywhere") {
+    val p = plan("q_dedup_minhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_join_broadcast: dimension broadcast survives, fact not shuffled " +
+    "before the aggregation") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // only exchanges allowed: the dimension broadcast itself, the
+    // aggregation key, and the final ordering
+    val exchanges = p.linesIterator.filter(_.contains("Exchange ")).toSeq
+    assert(exchanges.forall(l =>
+      l.contains("BroadcastExchange") || l.contains("p_brand") ||
+        l.contains("rangepartitioning")), exchanges.mkString("\n"))
+  }
+
+  test("q_text_fingerprint: custom expressions stay inside the scan stage " +
+    "(single narrow plan, no exchange before projection)") {
+    val p = plan("q_text_fingerprint")
+    assert(p.contains("rollinghash"), p)
+    val projIdx = p.indexOf("rollinghash")
+    val exIdx = p.indexOf("Exchange ")
+    // the only exchange is the final global sort, printed above the project
+    assert(exIdx < projIdx, p)
+  }
+}
