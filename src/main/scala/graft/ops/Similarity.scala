@@ -141,32 +141,61 @@ object Similarity {
       .orderBy(col("a_id"), col("rnk"))
   }
 
-  // ---------- IVF-bucketed ANN (coarse quantizer + probed rerank) ----------
+  // ---------- IVF-bucketed ANN (trained coarse quantizer + probed rerank) ----------
   private val IvfLists = 16
   private val IvfProbes = 4
+  private val IvfIters = 2
 
-  /** Fixed seeded coarse centroids (unit-normalized gaussians). */
-  private[ops] val centroids: Array[Array[Double]] = {
-    val rnd = new scala.util.Random(13)
-    Array.fill(IvfLists) {
-      val v = Array.fill(Dim)(rnd.nextGaussian())
-      val n = math.sqrt(v.map(x => x * x).sum)
-      v.map(_ / n)
+  /** Lloyd-trained coarse centroids: deterministic init (the first
+    * `IvfLists` vectors by id), then `IvfIters` assign/update rounds
+    * computed as DataFrame aggregations. Only the MODEL (16×64 doubles)
+    * ever reaches the driver — at 100 TB you train on a sample the same
+    * way; the corpus-side passes stay distributed.
+    */
+  private[ops] def trainCentroids(e: org.apache.spark.sql.DataFrame): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = e.filter(col("vec_id") < IvfLists)
+      .orderBy(col("vec_id"))
+      .collect()
+      .map(_.getAs[Seq[Double]]("vd").toArray)
+
+    (1 to IvfIters).foreach { _ =>
+      // argmin ||v - c||² = argmax (v·c − ||c||²/2) since ||v|| is constant per v
+      val scoreCols = cents.map { c =>
+        val half = c.map(x => x * x).sum / 2.0
+        dot(col("vd"), array(c.map(lit): _*)) - lit(half)
+      }
+      val assigned = e.withColumn("cs", array(scoreCols: _*))
+        .withColumn("list_id",
+          expr("array_position(cs, array_max(cs))").cast("int") - 1)
+      val sums = assigned
+        .select(col("list_id"), posexplode(col("vd")).as(Seq("i", "x")))
+        .groupBy(col("list_id"), col("i"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      cents = next // empty clusters keep their previous centroid
     }
+    cents
   }
 
-  /** IVF: assign every vector to its nearest coarse centroid (one narrow
+  /** IVF: assign every vector to its nearest trained centroid (one narrow
     * pass), probe the anchor's top-`IvfProbes` lists, exact-rerank inside
     * the probed lists only. The inverted-list assignment is the shuffle
     * key — at scale each list is a co-located partition and a query touches
     * `IvfProbes/IvfLists` of the corpus.
     */
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val cents = centroids.map(c => array(c.map(lit): _*))
     val e = withVec(Tables.embeddings(spark, dir))
+    val centroids = trainCentroids(e)
+    val cents = centroids.map(c => array(c.map(lit): _*))
+    val halves = centroids.map(c => c.map(x => x * x).sum / 2.0)
 
-    // scores against all centroids; best = list assignment
-    def centroidScores(v: Column): Column = array(cents.map(c => dot(v, c)): _*)
+    // euclidean-equivalent scores against all centroids; best = assignment
+    def centroidScores(v: Column): Column =
+      array(cents.zip(halves).map { case (c, h) => dot(v, c) - lit(h) }: _*)
     val scored = e.withColumn("cscores", centroidScores(col("vd")))
     val assigned = scored.withColumn("list_id",
       expr("array_position(cscores, array_max(cscores))").cast("int") - 1)
