@@ -284,6 +284,34 @@ object TextAnalysis {
       FROM q WHERE doc_id NOT IN (SELECT doc_id FROM drops)
       GROUP BY lang ORDER BY lang"""
 
+  // ---------- shingle table function (custom Generator / UDTF) ----------
+  /** The generator surface: one output row per (doc, shingle position)
+    * straight from the text via [[graft.functions.ShingleGenerator]] — no
+    * intermediate array per document. Aggregated to per-doc shingle stats
+    * so the output stays compact; the oracle rebuilds the same rows from
+    * the list-comprehension shingling.
+    */
+  def qShingleGenerator(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.ShingleGenerator.shingleRows(col("text"), 3).as(Seq("pos", "shingle")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        min(col("shingle")).as("first_shingle"),
+        max(length(col("shingle"))).as("max_len"))
+      .orderBy(col("doc_id"))
+
+  val qShingleGeneratorOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) < 3
+          THEN []::VARCHAR[]
+          ELSE [ws[i]||' '||ws[i+1]||' '||ws[i+2] for i in range(1, len(ws)-1)]
+        END)) AS shingle FROM t)
+      SELECT doc_id, count(*) AS n_shingles,
+        min(shingle) AS first_shingle,
+        max(length(shingle))::INT AS max_len
+      FROM sh GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
@@ -292,6 +320,7 @@ object TextAnalysis {
     "q_text_tfidf" -> (qTextTfidf _),
     "q_text_chunks" -> (qTextChunks _),
     "q_pipeline_curate" -> (qPipelineCurate _),
+    "q_shingle_generator" -> (qShingleGenerator _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -302,5 +331,6 @@ object TextAnalysis {
     "q_text_tfidf" -> qTextTfidfOracle,
     "q_text_chunks" -> qTextChunksOracle,
     "q_pipeline_curate" -> qPipelineCurateOracle,
+    "q_shingle_generator" -> qShingleGeneratorOracle,
   )
 }
