@@ -24,9 +24,17 @@ import AvroSparkType._
 object Coercions {
 
   /** Lenient bool (reference main.py:26-37): token table, then the
-    * `bool(int(s))` tail — any string parsing as a nonzero integer is true;
-    * unparseable → null.
+    * `bool(int(s))` tail — any string parsing as a nonzero INTEGER is true;
+    * unparseable → null. Python's `int(s)` rejects '1.0', '2.', '1e3'
+    * (ValueError → None in the reference), so the tail is gated on an
+    * integer regex — the same `^[+-]?[0-9]+$` the declarative
+    * `CdcColumns.toBoolLenient` uses, keeping the Avro reader path and the
+    * Column path in agreement. (Known narrow divergence, on BOTH paths:
+    * Python int() also accepts digit-group underscores like '1_0'; we
+    * return null for those.)
     */
+  private val IntegerRe = "^[+-]?[0-9]+$".r
+
   def toBoolLenient(x: Any): java.lang.Boolean = x match {
     case null => null
     case b: java.lang.Boolean => b
@@ -34,9 +42,9 @@ object Coercions {
       val s = scalarString(other).trim.toLowerCase
       if (Set("true", "t", "1", "yes", "y").contains(s)) java.lang.Boolean.TRUE
       else if (Set("false", "f", "0", "no", "n").contains(s)) java.lang.Boolean.FALSE
-      else
-        try java.lang.Boolean.valueOf(new JBigDecimal(s).toBigIntegerExact.signum() != 0)
-        catch { case _: Exception => null }
+      else if (IntegerRe.matches(s))
+        java.lang.Boolean.valueOf(new BigInteger(s).signum() != 0)
+      else null
   }
 
   /** Strict-ish int (reference main.py:39-46): numerics truncate, strings
@@ -74,6 +82,14 @@ object Coercions {
   val SourceScale = 30
   val TargetScale = 9
 
+  /** Python's default decimal context is prec=28, so the reference's
+    * `quantize(1e-9)` raises InvalidOperation whenever the result needs
+    * more than 28 total digits — i.e. ≥ 20 integer digits. Values in
+    * [1e19, 1e29) therefore fail in the reference long before they'd
+    * overflow DECIMAL(38,9); we mirror that envelope exactly.
+    */
+  val MaxIntegerDigits = 19
+
   def decimalFromBytes(bytes: Array[Byte]): JBigDecimal =
     try {
       if (bytes.length == 0) DecimalZero // int.from_bytes(b"") == 0
@@ -81,7 +97,7 @@ object Coercions {
         val unscaled = new BigInteger(bytes) // big-endian signed
         val d = new JBigDecimal(unscaled, SourceScale)
           .setScale(TargetScale, RoundingMode.HALF_EVEN)
-        if (d.precision - d.scale > 38 - 9) DecimalZero // would overflow Decimal(38,9)
+        if (d.precision - d.scale > MaxIntegerDigits) DecimalZero // quantize would raise in the reference
         else d
       }
     } catch { case _: Exception => DecimalZero }
@@ -101,8 +117,9 @@ object Coercions {
       case other => throw HardConversionError(s"decimal target got ${other.getClass}")
     }
     val q = d.setScale(TargetScale, RoundingMode.HALF_EVEN)
-    if (q.precision - q.scale > 38 - 9)
-      throw HardConversionError(s"decimal overflow: $q does not fit DECIMAL(38,9)")
+    if (q.precision - q.scale > MaxIntegerDigits)
+      throw HardConversionError(
+        s"decimal overflow: $q exceeds the reference's prec-28 quantize envelope")
     q
   }
 

@@ -128,17 +128,23 @@ object CdcColumns {
     */
   def qCdcDecimal(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
+    // Compared as strings: the driver's pandas compare renders Spark's
+    // parquet DECIMAL(38,9) as decimal.Decimal ("14257.340000000") but
+    // DuckDB's .df() downcasts DECIMAL to float64 ("14257.34") — value-equal,
+    // hash-unequal. VARCHAR keeps the full 9-dp kernel output comparable.
     o.select(
       col("o_orderkey"),
-      CdcExpressions.avroDecimal(col("o_totalprice") / lit(7.0)).as("price_norm"),
-      CdcExpressions.avroDecimal(col("o_totalprice")).as("price_exact"))
+      CdcExpressions.avroDecimal(col("o_totalprice") / lit(7.0))
+        .cast("string").as("price_norm"),
+      CdcExpressions.avroDecimal(col("o_totalprice"))
+        .cast("string").as("price_exact"))
       .orderBy(col("o_orderkey"))
   }
 
   val qCdcDecimalOracle: String =
     """SELECT o_orderkey,
-      CAST(o_totalprice / 7.0 AS DECIMAL(38,9)) AS price_norm,
-      CAST(o_totalprice AS DECIMAL(38,9)) AS price_exact
+      CAST(CAST(o_totalprice / 7.0 AS DECIMAL(38,9)) AS VARCHAR) AS price_norm,
+      CAST(CAST(o_totalprice AS DECIMAL(38,9)) AS VARCHAR) AS price_exact
       FROM orders ORDER BY o_orderkey"""
 
   /** Canonical (sorted-keys, compact) JSON stringification of complex

@@ -22,9 +22,10 @@ import graft.avro._
   *  - all-string fallback on conversion failure       → ReferenceExact probe
   *    + fallback group (main.py:524-567)
   *  - partitioned sink `<prefix>/<folder>/ingestion_date=YYYY-MM-DD/`
-  *    with Snappy compression                          → `partitionBy` write
-  *    (main.py:570-577); Spark's commit protocol adds task-level atomicity
-  *    the reference lacks.
+  *    with Snappy compression — the folder as a PLAIN path segment,
+  *    byte-identical to the reference's layout (main.py:570-577) — via one
+  *    `partitionBy("ingestion_date")` write per folder; Spark's commit
+  *    protocol adds task-level atomicity the reference lacks.
   *
   * Scale posture: the whole plan is narrow (no shuffle); per-file tasks
   * fan out across executors; parquet writing is Spark's vectorized path.
@@ -38,12 +39,13 @@ object AvroToParquetJob {
       failed: Seq[String])
 
   /** Extract the partition folder from the source path: regex group after
-    * `/avro/`, else "unknown" (reference main.py:570-571).
+    * `/avro/`, else "unknown" (reference main.py:570-571). Driver-side —
+    * the folder is per-FILE metadata, known before any task runs.
     */
-  def folderColumn(pathCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    coalesce(
-      nullif(regexp_extract(pathCol, "/avro/([^/]+)/", 1), lit("")),
-      lit("unknown"))
+  def folderOf(path: String): String = {
+    val m = "/avro/([^/]+)/".r.findFirstMatchIn(path)
+    m.map(_.group(1)).filter(_.nonEmpty).getOrElse("unknown")
+  }
 
   def discover(spark: SparkSession, inputPattern: String): Seq[String] = {
     val pat = new Path(inputPattern)
@@ -75,33 +77,43 @@ object AvroToParquetJob {
     var fellBack = Vector.empty[String]
     var failed = Vector.empty[String] ++ unreadable.map(_._1)
 
+    // One write per (writer schema, folder): the reference's layout is
+    // <prefix>/<folder>/ingestion_date=YYYY-MM-DD/ with the folder as a
+    // PLAIN path segment (main.py:574), not a Hive `folder=` key. Folder
+    // is derived from the file path driver-side, so splitting a schema
+    // group by folder costs no extra scan — each file is still read once,
+    // in its own task, and the plan stays shuffle-free.
     groups.foreach { group =>
       val flat = AvroSchemaConverter.deriveFlatSchema(group.head.schemaJson)
-      val groupPaths = group.map(_.path)
 
-      mode match {
-        case ConvertMode.Standard =>
-          val acc = spark.sparkContext.collectionAccumulator[String]("graft.failedFiles")
-          val df = AvroCdcReader.readGroup(spark, groupPaths, flat, mode, acc)
-          write(df, outputPrefix, date)
-          import scala.jdk.CollectionConverters._
-          val bad = acc.value.asScala.map(_.split('\t').head).toSet
-          failed ++= bad
-          converted ++= groupPaths.filterNot(bad.contains)
+      group.groupBy(s => folderOf(s.path)).foreach { case (folder, sub) =>
+        val groupPaths = sub.map(_.path)
+        mode match {
+          case ConvertMode.Standard =>
+            val acc = spark.sparkContext.collectionAccumulator[String]("graft.failedFiles")
+            val df = AvroCdcReader.readGroup(spark, groupPaths, flat, mode, acc)
+            write(df, outputPrefix, folder, date)
+            import scala.jdk.CollectionConverters._
+            val bad = acc.value.asScala.map(_.split('\t').head).toSet
+            failed ++= bad
+            converted ++= groupPaths.filterNot(bad.contains)
 
-        case ConvertMode.ReferenceExact =>
-          val statuses = AvroCdcReader.probe(spark, groupPaths, flat)
-          val ok = statuses.collect { case AvroCdcReader.FileOk(p) => p }
-          val fb = statuses.collect { case AvroCdcReader.FileNeedsFallback(p, _) => p }
-          val bad = statuses.collect { case AvroCdcReader.FileFailed(p, _) => p }
-          val acc = spark.sparkContext.collectionAccumulator[String]("graft.failedFiles")
-          if (ok.nonEmpty)
-            write(AvroCdcReader.readGroup(spark, ok, flat, mode, acc), outputPrefix, date)
-          if (fb.nonEmpty)
-            write(AvroCdcReader.readGroupFallback(spark, fb, flat, acc), outputPrefix, date)
-          converted ++= ok
-          fellBack ++= fb
-          failed ++= bad
+          case ConvertMode.ReferenceExact =>
+            val statuses = AvroCdcReader.probe(spark, groupPaths, flat)
+            val ok = statuses.collect { case AvroCdcReader.FileOk(p) => p }
+            val fb = statuses.collect { case AvroCdcReader.FileNeedsFallback(p, _) => p }
+            val bad = statuses.collect { case AvroCdcReader.FileFailed(p, _) => p }
+            val acc = spark.sparkContext.collectionAccumulator[String]("graft.failedFiles")
+            if (ok.nonEmpty)
+              write(AvroCdcReader.readGroup(spark, ok, flat, mode, acc),
+                outputPrefix, folder, date)
+            if (fb.nonEmpty)
+              write(AvroCdcReader.readGroupFallback(spark, fb, flat, acc),
+                outputPrefix, folder, date)
+            converted ++= ok
+            fellBack ++= fb
+            failed ++= bad
+        }
       }
     }
 
@@ -112,15 +124,16 @@ object AvroToParquetJob {
     ConvertReport(paths.size, converted, fellBack, failed)
   }
 
-  private def write(df: DataFrame, outputPrefix: String, ingestionDate: String): Unit = {
-    df.withColumn("folder", folderColumn(col(AvroCdcReader.InputPathCol)))
-      .withColumn("ingestion_date", lit(ingestionDate))
+  private def write(
+      df: DataFrame, outputPrefix: String, folder: String,
+      ingestionDate: String): Unit = {
+    df.withColumn("ingestion_date", lit(ingestionDate))
       .drop(AvroCdcReader.InputPathCol)
       .write
       .mode("append")
-      .partitionBy("folder", "ingestion_date")
+      .partitionBy("ingestion_date")
       .option("compression", "snappy")
-      .parquet(outputPrefix)
+      .parquet(s"$outputPrefix/$folder")
   }
 
   /** Continuous mode: poll the glob every `intervalSeconds`, convert newly

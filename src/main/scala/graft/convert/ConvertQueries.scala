@@ -29,7 +29,11 @@ object ConvertQueries {
     val tmp = fixture()
     AvroToParquetJob.runOnce(spark, s"$tmp/landing/avro/*/*.avro",
       s"$tmp/out", ConvertMode.Standard, ingestionDate = Some("2024-06-01"))
-    spark.read.parquet(s"$tmp/out")
+    // reference layout: <out>/<folder>/ingestion_date=… — the folder is a
+    // plain path segment, so read per folder and tag
+    Seq("orders", "users").map { f =>
+      spark.read.parquet(s"$tmp/out/$f").withColumn("folder", lit(f))
+    }.reduce(_.unionByName(_))
       .groupBy(col("folder"), col("source_metadata.change_type").as("change_type"))
       .agg(count(lit(1)).as("n"), sum(col("qty")).as("total_qty"),
         max(col("price")).as("max_price"))

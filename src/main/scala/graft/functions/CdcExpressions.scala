@@ -64,7 +64,9 @@ object AvroDecimalNumeric {
       case other                => new JBigDecimal(other.toString)
     }
     val q = jbd.setScale(9, java.math.RoundingMode.HALF_EVEN)
-    if (q.precision - q.scale > 29) null else Decimal(q, 38, 9)
+    // same prec-28 quantize envelope as Coercions.decimalFromNumber
+    if (q.precision - q.scale > Coercions.MaxIntegerDigits) null
+    else Decimal(q, 38, 9)
   }
 }
 

@@ -91,8 +91,11 @@ object Multimodal {
         when(col("byte_len") % 3 === 0, "img")
           .when(col("byte_len") % 3 === 1, "audio")
           .otherwise("video"))
+      // CSV-serialized, not ARRAY<LONG>: the driver's pandas compare
+      // lexsorts every output column and numpy arrays are unhashable there.
       .withColumn("frames",
-        transform(sequence(lit(0L), lit(3L)), i => i * (col("byte_len") / lit(4L)).cast("long")))
+        array_join(transform(sequence(lit(0L), lit(3L)),
+          i => i * (col("byte_len") / lit(4L)).cast("long")), ","))
       .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
         col("format"), col("frames"))
       .orderBy(col("doc_id"))
@@ -105,8 +108,9 @@ object Multimodal {
       CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'img'
            WHEN octet_length(encode(text)) % 3 = 1 THEN 'audio'
            ELSE 'video' END AS format,
-      [i * (octet_length(encode(text))::BIGINT // 4) for i in range(0, 4)]
-        AS frames
+      array_to_string(
+        [i * (octet_length(encode(text))::BIGINT // 4) for i in range(0, 4)],
+        ',') AS frames
       FROM documents ORDER BY doc_id"""
 
   /** Frame sampling: one row per sampled "frame" (fixed-offset byte

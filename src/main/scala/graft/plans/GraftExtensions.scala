@@ -23,9 +23,6 @@ import graft.functions.ArrayJaccardExpr
   */
 object JaccardPrefilterRule extends Rule[LogicalPlan] {
 
-  /** marker so the rule does not re-fire on its own output */
-  private val Tag = org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("graft.jaccardPrefilter")
-
   private def bound(t: Double): Double = t / 2.0 // safe: min/max >= t/(2-t) >= t/2
 
   private def prefilter(j: ArrayJaccardExpr, t: Double): Expression = {
@@ -53,31 +50,43 @@ object JaccardPrefilterRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** STRUCTURAL re-fire guard (a TreeNodeTag would be lost whenever another
+    * fixpoint-batch rule rebuilds the Filter/Join node — e.g. predicate
+    * pushdown constructs new Filters — and the rule would then stack
+    * duplicate size bounds each iteration): a jaccard conjunct is only
+    * augmented if no OTHER conjunct already references `size()` of its
+    * operands. Idempotent by construction, so the batch reaches fixpoint.
+    */
+  private def hasSizeBound(conjuncts: Seq[Expression], j: ArrayJaccardExpr): Boolean = {
+    val sl = Size(j.left)
+    val sr = Size(j.right)
+    conjuncts.exists { c =>
+      matchThreshold(c).isEmpty &&
+        c.exists { case s: Size => s.semanticEquals(sl) || s.semanticEquals(sr); case _ => false }
+    }
+  }
+
   private def augment(cond: Expression): Option[Expression] = {
-    val extra = splitConjunctivePredicates(cond).flatMap(matchThreshold)
+    val conjuncts = splitConjunctivePredicates(cond)
+    val extra = conjuncts.flatMap(matchThreshold)
+      .filterNot { case (j, _) => hasSizeBound(conjuncts, j) }
     if (extra.isEmpty) None
     else Some(And(extra.map { case (j, t) => prefilter(j, t) }.reduce(And(_, _)), cond))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case f @ Filter(cond, child) if f.getTagValue(Tag).isEmpty =>
+    case f @ Filter(cond, child) =>
       augment(cond) match {
         case None => f
-        case Some(c) =>
-          val out = Filter(c, child)
-          out.setTagValue(Tag, true)
-          out
+        case Some(c) => Filter(c, child)
       }
     // the optimizer routinely folds such filters into join conditions —
     // match them there too (And short-circuits, so the cheap size bounds
     // run before the set intersection per candidate pair)
-    case j: Join if j.condition.isDefined && j.getTagValue(Tag).isEmpty =>
+    case j: Join if j.condition.isDefined =>
       augment(j.condition.get) match {
         case None => j
-        case Some(c) =>
-          val out = j.copy(condition = Some(c))
-          out.setTagValue(Tag, true)
-          out
+        case Some(c) => j.copy(condition = Some(c))
       }
   }
 

@@ -118,6 +118,9 @@ class AvroCdcDataSource extends TableProvider with DataSourceRegister {
 object AvroCdcDataSource {
   val InputPathCol = "_input_path"
 
+  private[sources] val log =
+    org.slf4j.LoggerFactory.getLogger(classOf[AvroCdcDataSource])
+
   private[sources] def asNullable(dt: org.apache.spark.sql.types.DataType):
       org.apache.spark.sql.types.DataType = dt match {
     case s: StructType =>
@@ -224,7 +227,8 @@ case class AvroCdcReaderFactory(
     if (!ignoreCorrupt)
       new AvroCdcPartitionReader(path, required, tableFlat, conf)
     else
-      try new AvroCdcPartitionReader(path, required, tableFlat, conf)
+      try new AvroCdcPartitionReader(path, required, tableFlat, conf,
+        ignoreCorrupt = true)
       catch {
         case _: Exception => new EmptyPartitionReader
       }
@@ -249,7 +253,8 @@ class AvroCdcPartitionReader(
     path: String,
     required: StructType,
     tableFlat: AvroSchemaConverter.FlatSchema,
-    conf: SerializableConfiguration) extends PartitionReader[InternalRow] {
+    conf: SerializableConfiguration,
+    ignoreCorrupt: Boolean = false) extends PartitionReader[InternalRow] {
 
   private val hPath = new Path(path)
   private val stream = new DataFileStream[GenericRecord](
@@ -279,7 +284,23 @@ class AvroCdcPartitionReader(
 
   private var current: InternalRow = _
 
-  override def next(): Boolean = {
+  /** A header that parses does not guarantee clean data blocks: with
+    * ignoreCorruptFiles set, a decode failure mid-file treats the REST of
+    * the file as exhausted (rows already emitted stand), mirroring Spark's
+    * own ignoreCorruptFiles semantics for its built-in file sources.
+    */
+  override def next(): Boolean =
+    if (!ignoreCorrupt) nextUnsafe()
+    else
+      try nextUnsafe()
+      catch {
+        case e: Exception =>
+          AvroCdcDataSource.log.warn(
+            s"cdc-avro: corrupt data block in $path, skipping rest of file: $e")
+          false
+      }
+
+  private def nextUnsafe(): Boolean = {
     if (!stream.hasNext) return false
     val record = stream.next()
     val payload = record.getSchema.getField("payload") match {

@@ -26,6 +26,16 @@ class CoercionsSpec extends AnyFunSuite {
     assert(Coercions.toBoolLenient("2.5") == null) // python int("2.5") raises
     assert(Coercions.toBoolLenient(null) == null)
     assert(Coercions.toBoolLenient(java.lang.Boolean.TRUE) == java.lang.Boolean.TRUE)
+    // python int() rejects float-ish and scientific strings → None, and the
+    // tail must agree with CdcColumns.toBoolLenient's ^[+-]?[0-9]+$ gate
+    assert(Coercions.toBoolLenient("1.0") == null)
+    assert(Coercions.toBoolLenient("2.") == null)
+    assert(Coercions.toBoolLenient("1e3") == null)
+    assert(Coercions.toBoolLenient("+7") == java.lang.Boolean.TRUE)
+    assert(Coercions.toBoolLenient("-0") == java.lang.Boolean.FALSE)
+    assert(Coercions.toBoolLenient("00") == java.lang.Boolean.FALSE)
+    // beyond Long range: python ints are unbounded
+    assert(Coercions.toBoolLenient("10000000000000000000000") == java.lang.Boolean.TRUE)
   }
 
   // ---- _to_int (main.py:39-46) ----

@@ -46,12 +46,13 @@ class AvroToParquetJobSpec extends AnyFunSuite {
       ingestionDate = Some("2024-06-01"))
     assert(report.discovered == 1 && report.converted.size == 1 && report.failed.isEmpty)
 
-    // partition layout: <prefix>/folder=users/ingestion_date=2024-06-01/
-    assert(new File(s"$out/folder=users/ingestion_date=2024-06-01").isDirectory)
+    // reference layout: <prefix>/users/ingestion_date=2024-06-01/
+    // (folder is a plain path segment, main.py:574 — not a Hive key)
+    assert(new File(s"$out/users/ingestion_date=2024-06-01").isDirectory)
 
-    val df = spark.read.parquet(out)
+    val df = spark.read.parquet(s"$out/users")
     assert(df.columns.sorted.toSeq ==
-      Seq("active", "created_at", "folder", "id", "ingestion_date", "name",
+      Seq("active", "created_at", "id", "ingestion_date", "name",
         "price", "qty", "source_metadata", "updated_on"))
     val rows = df.orderBy(org.apache.spark.sql.functions.col("id").asc_nulls_last).collect()
     assert(rows.length == 3)
@@ -77,7 +78,7 @@ class AvroToParquetJobSpec extends AnyFunSuite {
     assert(sm3.getLong(sm3.fieldIndex("tx_id")) == 79L)
   }
 
-  test("A5 folder layout: path without /avro/<x>/ goes to folder=unknown") {
+  test("A5 folder layout: path without /avro/<x>/ goes to the unknown folder") {
     val in = tmpDir("graft-in2")
     val out = tmpDir("graft-out2")
     AvroFixtures.writeAvro(s"$in/stray.avro", AvroFixtures.BasicEnvelope, Seq(
@@ -86,7 +87,7 @@ class AvroToParquetJobSpec extends AnyFunSuite {
         "payload" -> Map("id" -> 1L))))
     AvroToParquetJob.runOnce(spark, s"$in/*.avro", out, ConvertMode.Standard,
       ingestionDate = Some("2024-06-01"))
-    assert(new File(s"$out/folder=unknown/ingestion_date=2024-06-01").isDirectory)
+    assert(new File(s"$out/unknown/ingestion_date=2024-06-01").isDirectory)
   }
 
   private val complexEnvelope =
@@ -192,7 +193,7 @@ class AvroToParquetJobSpec extends AnyFunSuite {
     val rep1 = AvroToParquetJob.runOnce(spark, s"$in/avro/*/*.avro", out,
       ConvertMode.Standard, Some(ledger), ingestionDate = Some("2024-06-01"))
     assert(rep1.discovered == 2 && rep1.converted.size == 2)
-    assert(new File(s"$out/folder=a").isDirectory && new File(s"$out/folder=b").isDirectory)
+    assert(new File(s"$out/a").isDirectory && new File(s"$out/b").isDirectory)
 
     // second run: nothing new
     val rep2 = AvroToParquetJob.runOnce(spark, s"$in/avro/*/*.avro", out,

@@ -62,6 +62,28 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(control.collect().map(_.getLong(0)).toSet == ids)
   }
 
+  test("structural guard: re-applying the rule injects no duplicate size bounds") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ext2").toFile.getAbsolutePath
+    Seq((1L, Seq("a", "b"), Seq("a", "c"))).toDF("id", "x", "y")
+      .write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+      .filter(ArrayJaccard.arrayJaccard($"x", $"y") >= 0.5)
+    val once = JaccardPrefilterRule(df.queryExecution.analyzed)
+    val twice = JaccardPrefilterRule(once)
+    def sizeCount(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int = {
+      var n = 0
+      p.foreach(_.expressions.foreach(_.foreach {
+        case _: org.apache.spark.sql.catalyst.expressions.Size => n += 1
+        case _ => ()
+      }))
+      n
+    }
+    // two bounds × two size() operands each
+    assert(sizeCount(once) == 4, once.toString)
+    assert(sizeCount(twice) == 4, s"rule re-fired on its own output:\n$twice")
+  }
+
   test("rule leaves non-jaccard filters untouched") {
     import spark.implicits._
     val df = Seq((1, "a"), (2, "b")).toDF("k", "v").filter($"k" > 1)
