@@ -158,6 +158,124 @@ object EventOps {
     spark.table(name).orderBy(col("ws"), col("event_type"))
   }
 
+  // ---------- Structured Streaming: custom sessionization state ----------
+
+  /** One event as seen by the stateful operator (ts kept as BOTH the
+    * TimestampType watermark column and exact micros).
+    */
+  final case class SessEvent(user_id: Long, ts: java.sql.Timestamp,
+      ts_us: Long, value: Double)
+
+  /** Open session carried in [[org.apache.spark.sql.streaming.GroupState]]. */
+  final case class SessState(start_us: Long, last_us: Long, n: Long, total: Double)
+
+  final case class SessOut(user_id: Long, session_start: Long,
+      session_end: Long, n: Long, total: Double)
+
+  private val SessionGapUs = 600000000L // 10 minutes
+
+  /** flatMapGroupsWithState kernel: merge the batch's events (sorted by
+    * event time) into the open session; emit a closed session whenever a
+    * gap ≥ 10 min appears; on event-time timeout (watermark passed
+    * last+gap) emit the final open session. Exactly Spark's
+    * `session_window` semantics (end = last event + gap), but through the
+    * CUSTOM state surface.
+    */
+  private def sessionFn(
+      uid: Long,
+      events: Iterator[SessEvent],
+      state: org.apache.spark.sql.streaming.GroupState[SessState]): Iterator[SessOut] = {
+    def out(s: SessState) =
+      SessOut(uid, s.start_us, s.last_us + SessionGapUs, s.n, s.total)
+    if (state.hasTimedOut) {
+      val closed = out(state.get)
+      state.remove()
+      return Iterator.single(closed)
+    }
+    val sorted = events.toArray.sortBy(_.ts_us)
+    var open = state.getOption
+    val closed = scala.collection.mutable.ArrayBuffer.empty[SessOut]
+    sorted.foreach { e =>
+      open match {
+        case Some(s) if e.ts_us - s.last_us < SessionGapUs =>
+          open = Some(SessState(s.start_us, e.ts_us, s.n + 1, s.total + e.value))
+        case Some(s) =>
+          closed += out(s)
+          open = Some(SessState(e.ts_us, e.ts_us, 1L, e.value))
+        case None =>
+          open = Some(SessState(e.ts_us, e.ts_us, 1L, e.value))
+      }
+    }
+    open.foreach { s =>
+      state.update(s)
+      // fire once the watermark passes session end (+1s slack for the
+      // micros→millis truncation)
+      state.setTimeoutTimestamp(s.last_us / 1000L + SessionGapUs / 1000L + 1000L)
+    }
+    closed.iterator
+  }
+
+  /** The batch sessionization (q_events_session, same oracle) executed as a
+    * REAL stateful streaming query: file source → watermark →
+    * `flatMapGroupsWithState` (append mode, event-time timeout) → memory
+    * sink, driven to completion with AvailableNow.
+    *
+    * Final-session flush: an event-time timeout only fires in a batch
+    * AFTER the watermark passes it, so the input directory gets two
+    * far-future sentinel files (filtered from the output) —
+    * sentinel #1's batch advances the watermark past every real session's
+    * end, sentinel #2's batch gives the engine a trigger in which those
+    * timeouts fire. `maxFilesPerTrigger=1` forces the three batches. This
+    * is the production pattern for draining session state at end-of-stream,
+    * exercised end-to-end.
+    */
+  def qStreamSession(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-sess")
+      .toFile.getAbsolutePath
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+    ev.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+    val maxTsMs = ev.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    Seq(1, 2).foreach { i =>
+      Seq((-i.toLong, new java.sql.Timestamp(maxTsMs + i * 86400000L), 0.0))
+        .toDF("user_id", "ts", "value")
+        .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+      Thread.sleep(5) // distinct mtimes → deterministic file order
+    }
+
+    val sessions = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$tmp/in")
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(sessionFn)
+
+    val name = "graft_stream_session"
+    val q = sessions.toDF().writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    spark.table(name)
+      .filter(col("user_id") >= 0) // drop watermark sentinels
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n"), round(col("total"), 2).as("total"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   // ---------- time-series gap filling ----------
   /** Dense hourly series per event_type: hours with no events appear with
     * n=0 (generate the full hour spine × type dimension, left-join the
@@ -228,6 +346,7 @@ object EventOps {
     "q_events_session" -> (qEventsSession _),
     "q_events_asof" -> (qEventsAsof _),
     "q_stream_tumbling" -> (qStreamTumbling _),
+    "q_stream_session" -> (qStreamSession _),
     "q_events_gapfill" -> (qEventsGapfill _),
     "q_events_cum_users" -> (qEventsCumulativeUsers _),
   )
@@ -238,6 +357,7 @@ object EventOps {
     "q_events_session" -> qEventsSessionOracle,
     "q_events_asof" -> qEventsAsofOracle,
     "q_stream_tumbling" -> qEventsTumblingOracle,
+    "q_stream_session" -> qEventsSessionOracle,
     "q_events_gapfill" -> qEventsGapfillOracle,
     "q_events_cum_users" -> qEventsCumulativeUsersOracle,
   )

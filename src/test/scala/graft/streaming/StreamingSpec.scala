@@ -101,4 +101,18 @@ class StreamingSpec extends AnyFunSuite {
       assert(latest == Map("x" -> 7L, "y" -> 15L))
     } finally q.stop()
   }
+
+  test("flatMapGroupsWithState sessionization equals batch session_window " +
+    "(event-time timeout drains the final sessions)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").isFile)
+    val streamed = graft.ops.EventOps.qStreamSession(spark, dir).collect()
+    val batch = graft.ops.EventOps.qEventsSession(spark, dir).collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getLong(0) == b.getLong(0) && s.getLong(1) == b.getLong(1) &&
+        s.getLong(2) == b.getLong(2) && s.getLong(3) == b.getLong(3),
+        s"streamed $s != batch $b")
+    }
+  }
 }
