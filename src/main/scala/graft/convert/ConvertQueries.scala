@@ -107,9 +107,28 @@ object ConvertQueries {
       .orderBy(col("tags"))
   }
 
+  /** Landing-zone catalog path: folders surfaced as SQL tables via
+    * [[graft.sources.AvroCdcCatalog]], queried with plain multi-table SQL.
+    */
+  def qCdcCatalog(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = fixture()
+    val cat = "cdc_gate"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.AvroCdcCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", s"$tmp/landing")
+    spark.sql(
+      s"""SELECT 'orders' AS tbl, count(*) AS n,
+            sum(qty) AS total_qty FROM $cat.orders
+          UNION ALL
+          SELECT 'users' AS tbl, count(*) AS n,
+            sum(qty) AS total_qty FROM $cat.users
+          ORDER BY tbl""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_convert_roundtrip" -> (qCdcConvertRoundtrip _),
     "q_cdc_convert_exact" -> (qCdcConvertExact _),
     "q_cdc_dsv2_scan" -> (qCdcDsv2Scan _),
+    "q_cdc_catalog" -> (qCdcCatalog _),
   )
 }

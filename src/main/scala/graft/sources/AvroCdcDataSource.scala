@@ -82,8 +82,16 @@ class AvroCdcDataSource extends TableProvider with DataSourceRegister {
     * column types.
     */
   private[sources] def flatSchemaFor(options: CaseInsensitiveStringMap): AvroSchemaConverter.FlatSchema = {
+    // explicit writer schema: no file access at all — REQUIRED for a
+    // streaming cold start where the glob matches zero files yet (the
+    // reference's MatchContinuously starts on an empty landing zone too)
+    Option(options.get("avroSchema")).map(_.trim).filter(_.nonEmpty).foreach {
+      json => return AvroSchemaConverter.deriveFlatSchema(json)
+    }
     val files = resolvePaths(options)
-    require(files.nonEmpty, s"cdc-avro: no files match ${paths(options)}")
+    require(files.nonEmpty,
+      s"cdc-avro: no files match ${paths(options)} " +
+        "(pass the 'avroSchema' option to start on an empty directory)")
     // a corrupt file must not block schema inference: skip unreadable
     // headers (the scan isolates them again at read time)
     def tryRead(f: String): Option[String] =
@@ -163,7 +171,8 @@ object AvroCdcDataSource {
 
 class AvroCdcTable(
     globs: Seq[String], files: Seq[String], tableSchema: StructType,
-    tableFlat: AvroSchemaConverter.FlatSchema)
+    tableFlat: AvroSchemaConverter.FlatSchema,
+    defaultIgnoreCorrupt: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"cdc-avro(${files.size} files)"
   override def schema(): StructType = tableSchema
@@ -172,7 +181,7 @@ class AvroCdcTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroCdcScanBuilder(globs, files, tableSchema, tableFlat,
-      options.getBoolean("ignoreCorruptFiles", false))
+      options.getBoolean("ignoreCorruptFiles", defaultIgnoreCorrupt))
 }
 
 class AvroCdcScanBuilder(

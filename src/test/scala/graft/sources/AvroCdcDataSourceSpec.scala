@@ -159,6 +159,44 @@ class AvroCdcDataSourceSpec extends AnyFunSuite {
       Seq(1L, 2L, 3L))
   }
 
+  test("cdc-avro DSv2 cold start: avroSchema option streams from an EMPTY " +
+    "directory; files appearing later flow through") {
+    val in = Files.createTempDirectory("graft-cold").toFile.getAbsolutePath
+    new java.io.File(s"$in/avro/users").mkdirs()
+    val ckpt = Files.createTempDirectory("graft-cold-ckpt").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("graft-cold-out").toFile.getAbsolutePath
+
+    // zero files on disk: inference would fail, the explicit writer schema
+    // must carry the stream
+    val q = spark.readStream.format("cdc-avro")
+      .option("avroSchema", AvroFixtures.BasicEnvelope)
+      .load(s"$in/avro/*/*.avro")
+      .selectExpr("id", "name")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .option("path", out)
+      .format("parquet")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable() // empty batch, no failure
+      AvroFixtures.writeAvro(s"$in/avro/users/late.avro", AvroFixtures.BasicEnvelope, Seq(
+        Map("uuid" -> "u1", "read_timestamp" -> 0L,
+          "source_metadata" -> AvroFixtures.sm("users", txId = 1L),
+          "payload" -> Map("id" -> 42L, "name" -> "late"))))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(out).collect()
+      assert(rows.map(_.getAs[Long]("id")).toSeq == Seq(42L))
+    } finally q.stop()
+
+    // batch path: same option works with zero matches too
+    val empty2 = Files.createTempDirectory("graft-cold2").toFile.getAbsolutePath
+    val df = spark.read.format("cdc-avro")
+      .option("avroSchema", AvroFixtures.BasicEnvelope)
+      .load(s"$empty2/avro/*/*.avro")
+    assert(df.count() == 0 && df.columns.contains("source_metadata"))
+  }
+
   test("cdc-avro DSv2: SQL over the source via a view") {
     val in = writeFixture()
     spark.read.format("cdc-avro").load(s"$in/avro/*/*.avro")
