@@ -30,8 +30,14 @@ object Similarity {
       .withColumn("nrm",
         sqrt(aggregate(col("vd"), lit(0.0), (acc, x) => acc + x * x)))
 
+  /** Sequential-fold dot product — a codegen kernel with the same
+    * left-to-right double accumulation as the declarative
+    * `aggregate(zip_with(...))` spelling (and DuckDB's inner product), so
+    * rounded outputs stay oracle-identical; see
+    * [[graft.functions.VecOps]] for why the kernel form wins.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VecOps.arrayDot(a, b)
 
   // ---------- brute-force cosine near-duplicates over anchors ----------
   def qEmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
@@ -158,23 +164,23 @@ object Similarity {
       .collect()
       .map(_.getAs[Seq[Double]]("vd").toArray)
 
+    val dim = cents.head.length
     (1 to IvfIters).foreach { _ =>
-      // argmin ||v - c||² = argmax (v·c − ||c||²/2) since ||v|| is constant per v
-      val scoreCols = cents.map { c =>
-        val half = c.map(x => x * x).sum / 2.0
-        dot(col("vd"), array(c.map(lit): _*)) - lit(half)
-      }
-      val assigned = e.withColumn("cs", array(scoreCols: _*))
+      // argmin ||v - c||² = argmax (v·c − ||c||²/2) since ||v|| is constant
+      // per v; one kernel computes all k scores per row (VecOps scaladoc)
+      val assigned = e.withColumn("cs",
+          graft.functions.VecOps.centroidScoresCol(col("vd"), cents))
         .withColumn("list_id",
           expr("array_position(cs, array_max(cs))").cast("int") - 1)
-      val sums = assigned
-        .select(col("list_id"), posexplode(col("vd")).as(Seq("i", "x")))
-        .groupBy(col("list_id"), col("i"))
-        .agg(avg(col("x")).as("m"))
+      // centroid update: ONE (sum[dim], count) buffer per list per
+      // partition crosses the shuffle — not n×dim exploded rows
+      val means = assigned
+        .groupBy(col("list_id"))
+        .agg(graft.functions.VecOps.vecAvgCol(col("vd"), dim).as("m"))
         .collect()
       val next = cents.map(_.clone())
-      sums.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      means.foreach { r =>
+        next(r.getInt(0)) = r.getAs[Seq[Double]]("m").toArray
       }
       cents = next // empty clusters keep their previous centroid
     }
@@ -190,13 +196,10 @@ object Similarity {
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = withVec(Tables.embeddings(spark, dir))
     val centroids = trainCentroids(e)
-    val cents = centroids.map(c => array(c.map(lit): _*))
-    val halves = centroids.map(c => c.map(x => x * x).sum / 2.0)
 
     // euclidean-equivalent scores against all centroids; best = assignment
-    def centroidScores(v: Column): Column =
-      array(cents.zip(halves).map { case (c, h) => dot(v, c) - lit(h) }: _*)
-    val scored = e.withColumn("cscores", centroidScores(col("vd")))
+    val scored = e.withColumn("cscores",
+      graft.functions.VecOps.centroidScoresCol(col("vd"), centroids))
     val assigned = scored.withColumn("list_id",
       expr("array_position(cscores, array_max(cscores))").cast("int") - 1)
 
