@@ -156,17 +156,27 @@ object Dedup {
     val sigs = docs.select(col("doc_id"),
       graft.functions.Sketches.simhash64(col("sh")).as("simhash"))
 
-    // byte-blocking: pairs sharing any of the 8 bytes become candidates
-    // (guarantees recall for hamming <= 7; the empirical max over true
-    // near-dup pairs is asserted in OpsSpec to keep this bound honest)
+    // byte-blocking with Manku-style single-bit MULTIPROBE: the probe side
+    // emits each byte plus its 8 one-bit flips, the build side stays exact,
+    // so any pair whose CLOSEST byte differs by <= 1 bit collides — by
+    // pigeonhole that guarantees recall for hamming <= 15 (vs <= 7 for
+    // exact byte match), which covers the planted near-dup pairs that land
+    // at hamming 10-11 on this corpus (asserted in OpsSpec). Probe factor
+    // is a constant 9x on one join side; the verify stage keeps precision
+    // exact.
     val byteCols = (0 until 8).map { k =>
       shiftright(col("simhash"), 8 * k).bitwiseAND(lit(255L))
     }
     val blocked = sigs.select(
       col("doc_id"), col("simhash"),
       posexplode(array(byteCols: _*)).as(Seq("byte_idx", "byte_val")))
+    val probed = blocked.select(
+      col("doc_id"), col("simhash"), col("byte_idx"),
+      explode(array(col("byte_val") +:
+        (0 until 8).map(b => col("byte_val").bitwiseXOR(lit(1L << b))): _*))
+        .as("byte_val"))
 
-    val x = blocked.as("x")
+    val x = probed.as("x")
     val y = blocked.as("y")
     val cand = x.join(y,
         col("x.byte_idx") === col("y.byte_idx") &&
@@ -294,14 +304,16 @@ object Dedup {
     "q_dedup_keeplist" -> (qDedupKeeplist _),
   )
 
-  /** q_dedup_simhash is deliberately absent: see its scaladoc — its
-    * blocking guarantee (hamming ≤ 7) sits below the planted pairs'
-    * distances, so it gets the rows-only check plus OpsSpec's
-    * precision/recall assertions instead of an exact-set oracle.
+  /** q_dedup_simhash earns the exact-set oracle as of the single-bit
+    * multiprobe: the blocking guarantee is now hamming ≤ 15, comfortably
+    * above the planted pairs' 10-11, and the verify stage makes precision
+    * exact — so the emitted set equals the exact jaccard-threshold pair
+    * set on this corpus (OpsSpec asserts set equality vs minhash too).
     */
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactOracle,
     "q_dedup_minhash" -> exactPairOracle,
+    "q_dedup_simhash" -> exactPairOracle,
     "q_dedup_ngram" -> qDedupNgramOracle,
     "q_dedup_keeplist" -> qDedupKeeplistOracle,
   )

@@ -52,9 +52,9 @@ class OpsSpec extends AnyFunSuite {
     val sh = Dedup.qDedupSimhash(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(mh.nonEmpty && sh.nonEmpty)
-    assert(sh.subsetOf(mh), s"simhash emitted non-exact pairs: ${sh -- mh}")
-    val recall = sh.size.toDouble / mh.size
-    assert(recall >= 0.85, s"simhash recall $recall (${sh.size}/${mh.size})")
+    // multiprobe blocking (hamming ≤ 15 guarantee) + exact verify: the
+    // simhash pair set now EQUALS the exact near-dup set on this corpus
+    assert(sh == mh, s"simhash != exact: missing=${mh -- sh} extra=${sh -- mh}")
   }
 
   test("ann lsh candidates agree with brute force on shared pairs and " +
