@@ -1,6 +1,7 @@
 package graft.cdc
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CdcExpressions
@@ -174,15 +175,57 @@ object CdcColumns {
       '{"pk":' || l_partkey || ',"rf":"' || l_returnflag || '"}' AS struct_json
       FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey"""
 
+  /** CDC apply / compaction — the canonical CONSUMER of the converted
+    * landing zone: collapse a change stream to latest-state-per-key
+    * (highest tx_id wins; a terminal DELETE removes the key). A
+    * deterministic multi-version stream is synthesized from `lineitem`
+    * (l_orderkey = key, l_linenumber = tx sequence).
+    *
+    * Scale posture: one shuffle on the primary key (exactly the shuffle
+    * any MERGE does), map-side nothing wasted — `row_number` over the
+    * per-key tx ordering, keep rn=1. At 100 TB the same plan compacts
+    * per-day partitions independently.
+    */
+  def qCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val events = l.select(
+      col("l_orderkey").as("id"),
+      col("l_linenumber").cast("long").as("tx_id"),
+      ((col("l_orderkey") + col("l_linenumber")) % 7 === 0).as("is_deleted"),
+      col("l_quantity").cast("long").as("qty"),
+      round(col("l_extendedprice"), 2).as("amount"))
+    // (id, tx_id) is NOT unique in the synthesized stream; the tie-break
+    // covers every emitted column so the surviving row is value-determined
+    // (is_deleted is a function of (id, tx_id), so ties agree on it)
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("tx_id").desc, col("qty").desc, col("amount").desc)
+    events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && !col("is_deleted"))
+      .select(col("id"), col("tx_id").as("last_tx"), col("qty"), col("amount"))
+      .orderBy(col("id"))
+  }
+
+  val qCdcApplyOracle: String =
+    """WITH e AS (SELECT l_orderkey AS id, l_linenumber::BIGINT AS tx_id,
+        (l_orderkey + l_linenumber) % 7 = 0 AS is_deleted,
+        l_quantity::BIGINT AS qty, round(l_extendedprice, 2) AS amount
+        FROM lineitem),
+      r AS (SELECT *, row_number() OVER (PARTITION BY id
+        ORDER BY tx_id DESC, qty DESC, amount DESC) AS rn FROM e)
+      SELECT id, tx_id AS last_tx, qty, amount FROM r
+      WHERE rn = 1 AND NOT is_deleted ORDER BY id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_flatten" -> (qCdcFlattenImpl _),
     "q_cdc_decimal" -> (qCdcDecimal _),
     "q_cdc_stringify" -> (qCdcStringify _),
+    "q_cdc_apply" -> (qCdcApply _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_cdc_flatten" -> qCdcFlattenOracle,
     "q_cdc_decimal" -> qCdcDecimalOracle,
     "q_cdc_stringify" -> qCdcStringifyOracle,
+    "q_cdc_apply" -> qCdcApplyOracle,
   )
 }
