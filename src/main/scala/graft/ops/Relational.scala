@@ -609,6 +609,57 @@ object Relational {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
   }
 
+  // ---------- grouping sets (arbitrary set list beyond rollup/cube) ----------
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_returnflag"),
+          Seq($"l_linestatus"), Seq.empty),
+        $"l_returnflag", $"l_linestatus")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        round(sum($"l_extendedprice"), 2).as("sum_price"))
+      .orderBy($"gid", $"l_returnflag".asc_nulls_first,
+        $"l_linestatus".asc_nulls_first)
+
+  /** grouping_id(): both engines use the SQL-standard bit vector
+    * (1 = column aggregated away), so gid values compare directly.
+    */
+  val qGroupingSetsOracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+      count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        (l_returnflag), (l_linestatus), ())
+      ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+
+  // ---------- RANGE-frame window (value-based frame, not row-based) ----------
+  /** Frame contents depend only on the ORDER value, so peers (equal
+    * quantity) share results; the output is the DISTINCT per-(flag,
+    * quantity) frame aggregate — deterministic without a unique row key.
+    * Quantities are integral doubles, so the in-frame sums are exact and
+    * need no rounding.
+    */
+  def qWindowRange(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
+      .rangeBetween(-5, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .withColumn("range_n", count(lit(1)).over(w))
+      .withColumn("range_qty", sum($"l_quantity").over(w))
+      .select($"l_returnflag", $"l_quantity", $"range_n", $"range_qty")
+      .distinct()
+      .orderBy($"l_returnflag", $"l_quantity")
+  }
+
+  val qWindowRangeOracle: String =
+    """SELECT DISTINCT l_returnflag, l_quantity,
+      count(*) OVER w AS range_n,
+      sum(l_quantity) OVER w AS range_qty
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity
+        RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+      ORDER BY l_returnflag, l_quantity"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_topk_orders" -> (q02TopkOrders _),
@@ -639,6 +690,8 @@ object Relational {
     "q_typed_dataset" -> (qTypedDataset _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_sql_surface" -> (qSqlSurface _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_window_range" -> (qWindowRange _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -670,5 +723,7 @@ object Relational {
     "q_topk_agg" -> qTopkAggOracle,
     "q_typed_dataset" -> qTypedDatasetOracle,
     "q_sql_surface" -> qSqlSurfaceOracle,
+    "q_grouping_sets" -> qGroupingSetsOracle,
+    "q_window_range" -> qWindowRangeOracle,
   )
 }
