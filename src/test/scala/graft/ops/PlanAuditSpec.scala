@@ -70,4 +70,38 @@ class PlanAuditSpec extends AnyFunSuite {
     // the only exchange is the final global sort, printed above the project
     assert(exIdx < projIdx, p)
   }
+
+  test("q_cdc_apply: exactly one hash exchange (the MERGE key), pruned scan") {
+    val p = plan("q_cdc_apply")
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1, s"expected one key shuffle:\n$p")
+    val scanLine = p.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("lineitem")).get
+    assert(scanLine.contains("l_orderkey") && !scanLine.contains("l_comment"),
+      s"lineitem scan must be pruned: $scanLine")
+  }
+
+  test("q_grouping_sets: one Expand feeding one partial aggregation") {
+    val p = plan("q_grouping_sets")
+    assert(p.linesIterator.count(_.trim.startsWith("+- Expand")) +
+      p.linesIterator.count(_.trim.startsWith("Expand")) >= 1, p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("catalog scan: column pruning reaches the cdc-avro table") {
+    val root = java.nio.file.Files.createTempDirectory("graft-audit-cat")
+      .toFile.getAbsolutePath
+    graft.avro.AvroFixtures.writeAvro(s"$root/avro/t/a.avro",
+      graft.avro.AvroFixtures.BasicEnvelope, Seq(
+        Map("uuid" -> "u", "read_timestamp" -> 0L,
+          "source_metadata" -> graft.avro.AvroFixtures.sm("t"),
+          "payload" -> Map("id" -> 1L, "name" -> "n", "qty" -> 2))))
+    spark.conf.set("spark.sql.catalog.cdc_audit",
+      classOf[graft.sources.AvroCdcCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cdc_audit.root", root)
+    val p = spark.sql("SELECT id FROM cdc_audit.t")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("columns=[id]"), s"scan must prune to id: $p")
+  }
 }
