@@ -260,13 +260,21 @@ object EventOps {
         GroupStateTimeout.EventTimeTimeout())(sessionFn)
 
     val name = "graft_stream_session"
-    val q = sessions.toDF().writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // stateful shuffle partitions are baked into the (fresh) checkpoint:
+    // each partition carries a state store per micro-batch, and 3 batches
+    // x 32 stores is pure overhead at this state size — 8 halves the
+    // query's wall-clock; a real deployment sizes this to state volume
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      sessions.toDF().writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     try q.awaitTermination()
     finally q.stop()
     spark.table(name)
