@@ -158,6 +158,47 @@ object EventOps {
     spark.table(name).orderBy(col("ws"), col("event_type"))
   }
 
+  // ---------- Structured Streaming: watermarked dedup ----------
+  /** At-least-once ingestion made exactly-once: the input directory holds
+    * the events file TWICE (every row duplicated, the classic redelivery
+    * shape); `dropDuplicatesWithinWatermark` on the event key collapses
+    * the duplicates with BOUNDED state (keys evict once the watermark
+    * passes), and the downstream tumbling aggregation then matches the
+    * batch oracle exactly — proving the dedup removed precisely the
+    * redelivered rows.
+    */
+  def qStreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
+      .toFile.getAbsolutePath
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    ev.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+    ev.coalesce(1).write.mode("append").parquet(s"$tmp/in") // redelivery
+
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$tmp/in")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"),
+        col("n"), col("total"))
+
+    val name = "graft_stream_dedup"
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    spark.table(name).orderBy(col("ws"), col("event_type"))
+  }
+
   // ---------- Structured Streaming: custom sessionization state ----------
 
   /** One event as seen by the stateful operator (ts kept as BOTH the
@@ -355,6 +396,7 @@ object EventOps {
     "q_events_asof" -> (qEventsAsof _),
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_session" -> (qStreamSession _),
+    "q_stream_dedup" -> (qStreamDedup _),
     "q_events_gapfill" -> (qEventsGapfill _),
     "q_events_cum_users" -> (qEventsCumulativeUsers _),
   )
@@ -366,6 +408,7 @@ object EventOps {
     "q_events_asof" -> qEventsAsofOracle,
     "q_stream_tumbling" -> qEventsTumblingOracle,
     "q_stream_session" -> qEventsSessionOracle,
+    "q_stream_dedup" -> qEventsTumblingOracle,
     "q_events_gapfill" -> qEventsGapfillOracle,
     "q_events_cum_users" -> qEventsCumulativeUsersOracle,
   )
