@@ -609,6 +609,48 @@ object Relational {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
   }
 
+  // ---------- SQL surface of the graft kernel library ----------
+  /** Every custom kernel is registered as a SQL function by
+    * [[graft.plans.GraftExtensions]]; this query exercises them from PURE
+    * SQL (no Scala Column API) against a DuckDB reimplementation of the
+    * same semantics — proving the library is fully reachable for
+    * SQL-only/JDBC consumers.
+    */
+  def qSqlKernels(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("docs_sqlk")
+    spark.sql("""
+      SELECT doc_id,
+        size(word_shingles(text, 3)) AS n_shingles,
+        size(char_grams(text, 5)) AS n_grams,
+        rolling_hash(text) AS roll_fp,
+        round(array_jaccard(word_shingles(text, 3),
+                            word_shingles(lower(text), 3)), 6) AS case_jac
+      FROM docs_sqlk
+      WHERE size(split(text, ' ', -1)) >= 3
+      ORDER BY doc_id""")
+  }
+
+  val qSqlKernelsOracle: String =
+    """WITH d AS (SELECT doc_id, text, string_split(text, ' ') ws
+        FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      sh AS (SELECT doc_id, text,
+        list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2]
+          for i in range(1, len(ws)-1)]) s1,
+        list_distinct([lws[i]||' '||lws[i+1]||' '||lws[i+2]
+          for i in range(1, len(lws)-1)]) s2
+        FROM (SELECT doc_id, text, ws, string_split(lower(text), ' ') lws FROM d)),
+      j AS (SELECT doc_id, text, len(s1) n_shingles,
+        len(list_filter(s1, x -> list_contains(s2, x))) i,
+        len(s1) + len(s2) AS ab FROM sh)
+      SELECT doc_id, n_shingles,
+        len(list_distinct(CASE WHEN len(text) < 5 THEN []::VARCHAR[]
+          ELSE [substr(text, i, 5) for i in range(1, len(text) - 3)] END))
+          AS n_grams,
+        list_reduce(list_transform(string_split(text, ''), c -> ascii(c)::BIGINT),
+          (h, c) -> (h * 31 + c) % 1000000007) AS roll_fp,
+        round(i * 1.0 / (ab - i), 6) AS case_jac
+      FROM j ORDER BY doc_id"""
+
   // ---------- grouping sets (arbitrary set list beyond rollup/cube) ----------
   def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -692,6 +734,7 @@ object Relational {
     "q_sql_surface" -> (qSqlSurface _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_window_range" -> (qWindowRange _),
+    "q_sql_kernels" -> (qSqlKernels _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -725,5 +768,6 @@ object Relational {
     "q_sql_surface" -> qSqlSurfaceOracle,
     "q_grouping_sets" -> qGroupingSetsOracle,
     "q_window_range" -> qWindowRangeOracle,
+    "q_sql_kernels" -> qSqlKernelsOracle,
   )
 }

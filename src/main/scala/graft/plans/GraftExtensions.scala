@@ -100,9 +100,78 @@ object JaccardPrefilterRule extends Rule[LogicalPlan] {
 /** Session extensions: install with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  *
+  * Besides the optimizer rule, every graft kernel is registered as a SQL
+  * function, so the whole library is reachable from plain SQL (and thus
+  * JDBC/thrift users, views, and the `sql()` surface):
+  *
+  * {{{
+  * SELECT doc_id FROM docs
+  * WHERE array_jaccard(word_shingles(a, 3), word_shingles(b, 3)) >= 0.8
+  * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: n must be an integer literal, got $other")
+  }
+
+  private def register(
+      e: SparkSessionExtensions, name: String, usage: String,
+      arity: Int)(builder: Seq[Expression] => Expression): Unit = {
+    e.injectFunction((
+      FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions", name, usage),
+      (args: Seq[Expression]) => {
+        require(args.length == arity, s"$name expects $arity argument(s)")
+        builder(args)
+      }))
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => JaccardPrefilterRule)
+
+    register(e, "array_jaccard",
+      "jaccard similarity of two SORTED string arrays", 2) {
+      a => ArrayJaccardExpr(a(0), a(1))
+    }
+    register(e, "word_shingles",
+      "sorted distinct n-word shingles of a string", 2) {
+      a => graft.functions.WordShinglesExpr(a(0), intArg(a(1), "word_shingles"))
+    }
+    register(e, "char_grams",
+      "sorted distinct character n-grams of a string", 2) {
+      a => graft.functions.CharGramsExpr(a(0), intArg(a(1), "char_grams"))
+    }
+    register(e, "simhash64", "64-bit simhash of a string array", 1) {
+      a => graft.functions.SimHash64Expr(a(0))
+    }
+    register(e, "rolling_hash", "polynomial rolling hash of a string", 1) {
+      a => graft.functions.RollingHash(a(0))
+    }
+    register(e, "canonical_json",
+      "canonical sorted-keys compact JSON of any value", 1) {
+      a => graft.functions.CanonicalJsonExpr(a(0))
+    }
+    register(e, "avro_decimal",
+      "numeric to DECIMAL(38,9), HALF_EVEN, null on overflow", 1) {
+      a => graft.functions.AvroDecimalNumeric(a(0))
+    }
+    register(e, "avro_decimal_bytes",
+      "scale-30 unscaled bytes to DECIMAL(38,9), zero on error", 1) {
+      a => graft.functions.AvroDecimalBytes(a(0))
+    }
+    register(e, "array_dot",
+      "sequential-fold dot product of two double arrays", 2) {
+      a => graft.functions.ArrayDot(a(0), a(1))
+    }
+    register(e, "shingle_tvf",
+      "generator: one row per n-word shingle", 2) {
+      a => graft.functions.ShingleGenerator(a(0), intArg(a(1), "shingle_tvf"))
+    }
   }
 }
