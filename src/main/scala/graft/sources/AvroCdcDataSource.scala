@@ -187,8 +187,12 @@ class AvroCdcTable(
 class AvroCdcScanBuilder(
     globs: Seq[String], files: Seq[String], fullSchema: StructType,
     tableFlat: AvroSchemaConverter.FlatSchema, ignoreCorrupt: Boolean)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = fullSchema
+  private var prunedFiles: Seq[String] = files
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var limit: Int = -1
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve our column order; accept any subset
@@ -196,14 +200,53 @@ class AvroCdcScanBuilder(
     required = StructType(fullSchema.fields.filter(f => keep.contains(f.name)))
   }
 
+  /** FILE pruning: predicates on the `_input_path` provenance column are
+    * evaluated against the file list at PLANNING time — whole files are
+    * skipped, the scan never opens them (the DSv2 analogue of partition
+    * pruning; at a 100 TB landing zone this is the difference between
+    * reading one folder and reading everything). All other filters are
+    * left to Spark (rows must be decoded to evaluate them anyway).
+    */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter]):
+      Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    val Col = AvroCdcDataSource.InputPathCol
+    def prune(f: Filter): Option[String => Boolean] = f match {
+      case EqualTo(Col, v: String) => Some(_ == v)
+      case StringStartsWith(Col, v: String) => Some(_.startsWith(v))
+      case StringEndsWith(Col, v: String) => Some(_.endsWith(v))
+      case StringContains(Col, v: String) => Some(_.contains(v))
+      case In(Col, vs) =>
+        val set = vs.collect { case s: String => s }.toSet
+        Some(set.contains)
+      case _ => None
+    }
+    val (handled, rest) = filters.partition(f => prune(f).isDefined)
+    handled.foreach(f => prunedFiles = prunedFiles.filter(prune(f).get))
+    pushed = handled
+    rest // residual filters Spark must still evaluate
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
+  /** Per-partition row cap: a global LIMIT n needs at most n rows from
+    * each file, so each reader stops decoding after n rows.
+    */
+  override def pushLimit(n: Int): Boolean = {
+    limit = n
+    false // partial: Spark still applies the global limit
+  }
+
   override def build(): Scan =
-    new AvroCdcScan(globs, files, required, tableFlat, ignoreCorrupt)
+    new AvroCdcScan(globs, prunedFiles, required, tableFlat, ignoreCorrupt, limit)
 }
 
 class AvroCdcScan(
     globs: Seq[String], files: Seq[String], required: StructType,
-    tableFlat: AvroSchemaConverter.FlatSchema, ignoreCorrupt: Boolean = false)
-    extends Scan with Batch {
+    tableFlat: AvroSchemaConverter.FlatSchema, ignoreCorrupt: Boolean = false,
+    limit: Int = -1)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -212,11 +255,30 @@ class AvroCdcScan(
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => AvroCdcInputPartition(f): InputPartition).toArray
 
+  /** Compressed on-disk bytes as the size estimate: lets Spark's join
+    * planning auto-broadcast small CDC tables (e.g. catalog dimension
+    * folders) instead of shuffling both sides.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private lazy val totalBytes: Long = {
+      val conf = org.apache.spark.sql.SparkSession.active
+        .sparkContext.hadoopConfiguration
+      files.map { f =>
+        val p = new Path(f)
+        try p.getFileSystem(conf).getFileStatus(p).getLen
+        catch { case _: Exception => 0L }
+      }.sum
+    }
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(totalBytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
+
   private def serializableConf = new SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    AvroCdcReaderFactory(required, tableFlat, serializableConf, ignoreCorrupt)
+    AvroCdcReaderFactory(required, tableFlat, serializableConf, ignoreCorrupt, limit)
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -230,14 +292,15 @@ case class AvroCdcReaderFactory(
     required: StructType,
     tableFlat: AvroSchemaConverter.FlatSchema,
     conf: SerializableConfiguration,
-    ignoreCorrupt: Boolean = false) extends PartitionReaderFactory {
+    ignoreCorrupt: Boolean = false,
+    limit: Int = -1) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[AvroCdcInputPartition].path
     if (!ignoreCorrupt)
-      new AvroCdcPartitionReader(path, required, tableFlat, conf)
+      new AvroCdcPartitionReader(path, required, tableFlat, conf, limit = limit)
     else
       try new AvroCdcPartitionReader(path, required, tableFlat, conf,
-        ignoreCorrupt = true)
+        ignoreCorrupt = true, limit = limit)
       catch {
         case _: Exception => new EmptyPartitionReader
       }
@@ -263,7 +326,10 @@ class AvroCdcPartitionReader(
     required: StructType,
     tableFlat: AvroSchemaConverter.FlatSchema,
     conf: SerializableConfiguration,
-    ignoreCorrupt: Boolean = false) extends PartitionReader[InternalRow] {
+    ignoreCorrupt: Boolean = false,
+    limit: Int = -1) extends PartitionReader[InternalRow] {
+
+  private var emitted = 0L
 
   private val hPath = new Path(path)
   private val stream = new DataFileStream[GenericRecord](
@@ -310,7 +376,9 @@ class AvroCdcPartitionReader(
       }
 
   private def nextUnsafe(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false // pushed-down LIMIT
     if (!stream.hasNext) return false
+    emitted += 1
     val record = stream.next()
     val payload = record.getSchema.getField("payload") match {
       case null => null

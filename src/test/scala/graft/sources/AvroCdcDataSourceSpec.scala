@@ -197,6 +197,33 @@ class AvroCdcDataSourceSpec extends AnyFunSuite {
     assert(df.count() == 0 && df.columns.contains("source_metadata"))
   }
 
+  test("cdc-avro DSv2: _input_path filters prune FILES at planning; " +
+    "LIMIT caps per-partition decoding; stats enable broadcast") {
+    import org.apache.spark.sql.functions.col
+    val in = writeFixture() // users/a.avro (2 rows) + users/b.avro (1 row)
+    val df = spark.read.format("cdc-avro").load(s"$in/avro/*/*.avro")
+
+    // file pruning: only a.avro's partition survives the planning
+    val pruned = df.filter(col(AvroCdcDataSource.InputPathCol).endsWith("a.avro"))
+    assert(pruned.rdd.getNumPartitions == 1, "expected one surviving file")
+    assert(pruned.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L))
+    // non-path filters stay residual and still evaluate correctly
+    val residual = df.filter(
+      col(AvroCdcDataSource.InputPathCol).endsWith("a.avro") && col("id") === 2L)
+    assert(residual.select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+
+    // pushed limit: global limit still exact
+    assert(df.limit(2).count() == 2)
+
+    // statistics: on-disk size is reported, so the planner can broadcast
+    val scan = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }.head
+    val size = scan.computeStats().sizeInBytes
+    assert(size > 0 && size < 1000000, s"unexpected size estimate $size")
+  }
+
   test("cdc-avro DSv2: SQL over the source via a view") {
     val in = writeFixture()
     spark.read.format("cdc-avro").load(s"$in/avro/*/*.avro")
