@@ -76,6 +76,23 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"top-1 recall $recall too low (${hit}/${top1.size})")
   }
 
+  test("ann ivf: cosines agree with brute force on shared pairs; " +
+    "probed rerank achieves top-1 recall") {
+    val brute = Similarity.qAnnTopk(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getInt(3), r.getDouble(4)))).toMap
+    val ivf = Similarity.qAnnIvf(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3)))
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (pair, cos) =>
+      brute.get(pair).foreach { case (_, bcos) => assert(cos == bcos, pair) }
+    }
+    val top1 = brute.collect { case ((a, b), (1, _)) => a -> b }.toMap
+    val ivfPairs = ivf.map(_._1).toSet
+    val hit = top1.count { case (a, b) => ivfPairs.contains((a, b)) }
+    val recall = hit.toDouble / top1.size
+    assert(recall >= 0.5, s"ivf top-1 recall $recall too low ($hit/${top1.size})")
+  }
+
   test("rolling hash expression matches a reference Scala fold and codegen runs") {
     import org.apache.spark.sql.functions._
     val df = Tables.documents(spark, dir).limit(50)
