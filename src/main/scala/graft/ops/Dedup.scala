@@ -87,10 +87,18 @@ object Dedup {
       WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
       ORDER BY d1, d2"""
 
+  /** `filter(size(sh) > 0)` would be pushed below the projection and
+    * re-evaluate the shingle kernel per row in BOTH the Filter and the
+    * Project (codegen subexpression elimination does not cross that
+    * operator boundary — verified in PLANS.md). `wordShingles` is empty
+    * exactly when the space-split word count is < 3, so filter on that
+    * cheap equivalent instead; `split(_, " ", -1)` keeps trailing empties,
+    * matching the kernel's splitter.
+    */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ", -1)) >= 3)
       .select(col("doc_id"), wordShingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
 
   private def verifyPairs(cand: DataFrame, docs: DataFrame): DataFrame = {
     val d1 = docs.select(col("doc_id").as("d1"), col("sh").as("sh1"))
