@@ -158,6 +158,56 @@ object EventOps {
     spark.table(name).orderBy(col("ws"), col("event_type"))
   }
 
+  // ---------- funnel: ordered multi-step conversion ----------
+  /** Classic 3-step funnel (view → click → purchase, strictly ordered per
+    * user): each stage keeps users whose stage event happens AFTER their
+    * previous stage's first event. Three narrow join+agg passes, all
+    * shuffling only on user_id; output is the per-stage user count and
+    * mean stage-to-stage lag.
+    */
+  def qEventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tu"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tu")).as("t1"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("tu") > col("t1"))
+      .groupBy(col("user_id")).agg(max(col("t1")).as("t1"), min(col("tu")).as("t2"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("tu") > col("t2"))
+      .groupBy(col("user_id")).agg(max(col("t2")).as("t2"), min(col("tu")).as("t3"))
+
+    val s1 = v.agg(count(lit(1)).as("users"))
+      .select(lit("1_view").as("stage"), col("users"),
+        lit(null).cast("double").as("avg_lag_us"))
+    val s2 = c.agg(count(lit(1)).as("users"),
+        round(avg(col("t2") - col("t1")), 2).as("avg_lag_us"))
+      .select(lit("2_click").as("stage"), col("users"), col("avg_lag_us"))
+    val s3 = p.agg(count(lit(1)).as("users"),
+        round(avg(col("t3") - col("t2")), 2).as("avg_lag_us"))
+      .select(lit("3_purchase").as("stage"), col("users"), col("avg_lag_us"))
+    s1.unionByName(s2).unionByName(s3).orderBy(col("stage"))
+  }
+
+  val qEventsFunnelOracle: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) tu FROM events),
+      v AS (SELECT user_id, min(tu) t1 FROM e WHERE event_type = 'view'
+        GROUP BY user_id),
+      c AS (SELECT e.user_id, max(v.t1) AS t1, min(e.tu) AS t2
+        FROM e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.tu > v.t1 GROUP BY e.user_id),
+      p AS (SELECT e.user_id, max(c.t2) AS t2, min(e.tu) AS t3
+        FROM e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.tu > c.t2 GROUP BY e.user_id)
+      SELECT * FROM (
+        SELECT '1_view' AS stage, count(*)::BIGINT AS users,
+          NULL::DOUBLE AS avg_lag_us FROM v
+        UNION ALL SELECT '2_click', count(*)::BIGINT,
+          round(avg(t2 - t1), 2) FROM c
+        UNION ALL SELECT '3_purchase', count(*)::BIGINT,
+          round(avg(t3 - t2), 2) FROM p)
+      ORDER BY stage"""
+
   // ---------- Structured Streaming: watermarked dedup ----------
   /** At-least-once ingestion made exactly-once: the input directory holds
     * the events file TWICE (every row duplicated, the classic redelivery
@@ -397,6 +447,7 @@ object EventOps {
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_session" -> (qStreamSession _),
     "q_stream_dedup" -> (qStreamDedup _),
+    "q_events_funnel" -> (qEventsFunnel _),
     "q_events_gapfill" -> (qEventsGapfill _),
     "q_events_cum_users" -> (qEventsCumulativeUsers _),
   )
@@ -409,6 +460,7 @@ object EventOps {
     "q_stream_tumbling" -> qEventsTumblingOracle,
     "q_stream_session" -> qEventsSessionOracle,
     "q_stream_dedup" -> qEventsTumblingOracle,
+    "q_events_funnel" -> qEventsFunnelOracle,
     "q_events_gapfill" -> qEventsGapfillOracle,
     "q_events_cum_users" -> qEventsCumulativeUsersOracle,
   )
