@@ -175,16 +175,34 @@ object CdcColumns {
       '{"pk":' || l_partkey || ',"rf":"' || l_returnflag || '"}' AS struct_json
       FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey"""
 
-  /** CDC apply / compaction — the canonical CONSUMER of the converted
-    * landing zone: collapse a change stream to latest-state-per-key
-    * (highest tx_id wins; a terminal DELETE removes the key). A
-    * deterministic multi-version stream is synthesized from `lineitem`
-    * (l_orderkey = key, l_linenumber = tx sequence).
+  /** MERGE-style CDC apply: collapse a change stream to
+    * latest-state-per-key — highest tx wins, a terminal DELETE removes the
+    * key. The library call a consumer of the converted landing zone runs.
     *
-    * Scale posture: one shuffle on the primary key (exactly the shuffle
-    * any MERGE does), map-side nothing wasted — `row_number` over the
-    * per-key tx ordering, keep rn=1. At 100 TB the same plan compacts
-    * per-day partitions independently.
+    * `orderCols` must make the per-key ordering TOTAL over whatever
+    * distinguishes surviving rows (pass extra value columns when (key, tx)
+    * can repeat), or the winner is nondeterministic.
+    *
+    * Scale posture: one shuffle on the key (exactly the shuffle any MERGE
+    * does); Spark plans a map-side WindowGroupLimit (partial top-1 per
+    * key) before the exchange, so only one candidate row per key per
+    * partition crosses the wire. At 100 TB the same plan compacts per-day
+    * partitions independently.
+    */
+  def applyChanges(
+      changes: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[Column],
+      deleteCol: Column): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(_.desc): _*)
+    changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !deleteCol)
+      .drop("__rn")
+  }
+
+  /** [[applyChanges]] over a deterministic multi-version stream
+    * synthesized from `lineitem` (l_orderkey = key, l_linenumber = tx).
     */
   def qCdcApply(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
@@ -197,10 +215,8 @@ object CdcColumns {
     // (id, tx_id) is NOT unique in the synthesized stream; the tie-break
     // covers every emitted column so the surviving row is value-determined
     // (is_deleted is a function of (id, tx_id), so ties agree on it)
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("tx_id").desc, col("qty").desc, col("amount").desc)
-    events.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && !col("is_deleted"))
+    applyChanges(events, Seq("id"),
+      Seq(col("tx_id"), col("qty"), col("amount")), col("is_deleted"))
       .select(col("id"), col("tx_id").as("last_tx"), col("qty"), col("amount"))
       .orderBy(col("id"))
   }
