@@ -158,6 +158,41 @@ object EventOps {
     spark.table(name).orderBy(col("ws"), col("event_type"))
   }
 
+  // ---------- JSON functions over the props column ----------
+  /** Semi-structured payload surface: `props` is a JSON string; parse it
+    * BOTH ways Spark offers — path extraction (`get_json_object`, no
+    * schema needed) and typed parsing (`from_json` with an explicit
+    * schema) — assert they agree row-wise, and aggregate the extracted
+    * field. Everything stays codegen'd scan-side; one shuffle for the
+    * group-by.
+    */
+  def qJsonFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("k_path",
+        get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k_typed",
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k"))
+    e.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k_path")).as("sum_k"),
+        min(col("k_path")).as("min_k"),
+        max(col("k_path")).as("max_k"),
+        sum(when(col("k_path") === col("k_typed"), 1L).otherwise(0L))
+          .as("paths_agree"))
+      .orderBy(col("event_type"))
+  }
+
+  val qJsonFuncsOracle: String =
+    """SELECT event_type, count(*) AS n,
+      sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+      min(json_extract(props, '$.k')::BIGINT) AS min_k,
+      max(json_extract(props, '$.k')::BIGINT) AS max_k,
+      count(*)::BIGINT AS paths_agree
+      FROM events GROUP BY event_type ORDER BY event_type"""
+
   // ---------- funnel: ordered multi-step conversion ----------
   /** Classic 3-step funnel (view → click → purchase, strictly ordered per
     * user): each stage keeps users whose stage event happens AFTER their
@@ -448,6 +483,7 @@ object EventOps {
     "q_stream_session" -> (qStreamSession _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_events_funnel" -> (qEventsFunnel _),
+    "q_json_funcs" -> (qJsonFuncs _),
     "q_events_gapfill" -> (qEventsGapfill _),
     "q_events_cum_users" -> (qEventsCumulativeUsers _),
   )
@@ -461,6 +497,7 @@ object EventOps {
     "q_stream_session" -> qEventsSessionOracle,
     "q_stream_dedup" -> qEventsTumblingOracle,
     "q_events_funnel" -> qEventsFunnelOracle,
+    "q_json_funcs" -> qJsonFuncsOracle,
     "q_events_gapfill" -> qEventsGapfillOracle,
     "q_events_cum_users" -> qEventsCumulativeUsersOracle,
   )
