@@ -683,13 +683,19 @@ object Relational {
     * need no rounding.
     */
   def qWindowRange(spark: SparkSession, dir: String): DataFrame = {
+    // pre-aggregate to one weighted row per (flag, quantity) BEFORE the
+    // window: the RANGE frame depends only on the order value, so the
+    // window runs over ~50 rows per flag (with counts as weights) instead
+    // of sorting the full fact table inside each partition — same result,
+    // and the expensive sort shrinks by the dedup factor (~4000x here)
+    val g = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag", $"l_quantity")
+      .agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
       .rangeBetween(-5, Window.currentRow)
-    Tables.lineitem(spark, dir)
-      .withColumn("range_n", count(lit(1)).over(w))
-      .withColumn("range_qty", sum($"l_quantity").over(w))
+    g.withColumn("range_n", sum($"cnt").over(w))
+      .withColumn("range_qty", sum($"l_quantity" * $"cnt").over(w))
       .select($"l_returnflag", $"l_quantity", $"range_n", $"range_qty")
-      .distinct()
       .orderBy($"l_returnflag", $"l_quantity")
   }
 
