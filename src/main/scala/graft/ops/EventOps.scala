@@ -272,13 +272,20 @@ object EventOps {
         col("n"), col("total"))
 
     val name = "graft_stream_dedup"
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // same stateful-shuffle sizing rationale as qStreamSession: the fresh
+    // checkpoint bakes in the partition count; 8 stores beat 32 for this
+    // state volume
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     try q.awaitTermination()
     finally q.stop()
     spark.table(name).orderBy(col("ws"), col("event_type"))
