@@ -150,13 +150,50 @@ object Multimodal {
         md5(substr(text, (off + 1)::INT, 16)) AS frame_md5
       FROM f ORDER BY doc_id, frame_idx"""
 
+  /** Resize + feature-extract plumbing: the stub "resize" takes a fixed
+    * grid of 16 stride samples over the payload bytes (a real decoder
+    * would bilinear-sample pixels — identical Spark shape: binary in,
+    * fixed-length vector out), and the "feature" is the mean sample value
+    * (a 1-d brightness). Output is CSV-serialized for the gate compare.
+    */
+  def qMultimodalResize(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("byte_len", length(col("payload")).cast("long"))
+      .filter(col("byte_len") >= 16)
+      .withColumn("samples",
+        transform(sequence(lit(0L), lit(15L)),
+          i => ascii(substring(col("text"),
+            ((i * col("byte_len")) / lit(16L)).cast("int") + 1, lit(1))).cast("long")))
+      .select(
+        col("doc_id"),
+        array_join(col("samples"), ",").as("resized"),
+        round(aggregate(col("samples"), lit(0.0), (a, x) => a + x) / lit(16.0), 4)
+          .as("brightness"))
+      .orderBy(col("doc_id"))
+
+  /** Docs are ASCII, so byte offsets equal character offsets in the
+    * oracle's text slicing (same convention as the frames oracle).
+    */
+  val qMultimodalResizeOracle: String =
+    """WITH d AS (SELECT doc_id, text, octet_length(encode(text))::BIGINT n
+        FROM documents WHERE octet_length(encode(text)) >= 16),
+      s AS (SELECT doc_id,
+        [ascii(substr(text, ((i * n) // 16)::INT + 1, 1))::BIGINT
+          for i in range(0, 16)] AS samples FROM d)
+      SELECT doc_id, array_to_string(samples, ',') AS resized,
+        round(list_sum(samples) / 16.0, 4) AS brightness
+      FROM s ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
+    "q_multimodal_resize" -> (qMultimodalResize _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_multimodal_meta" -> qMultimodalMetaOracle,
     "q_multimodal_frames" -> qMultimodalFramesOracle,
+    "q_multimodal_resize" -> qMultimodalResizeOracle,
   )
 }
