@@ -618,8 +618,12 @@ object Relational {
     */
   def qSqlKernels(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir).createOrReplaceTempView("docs_sqlk")
-    spark.sql("""
-      SELECT doc_id,
+    // REPARTITION hint: documents is a single parquet file (one input
+    // partition) and this query is per-doc kernel-heavy — without the
+    // hint it runs single-core
+    spark.sql(s"""
+      SELECT /*+ REPARTITION(${spark.sparkContext.defaultParallelism}) */
+        doc_id,
         size(word_shingles(text, 3)) AS n_shingles,
         size(char_grams(text, 5)) AS n_grams,
         rolling_hash(text) AS roll_fp,
