@@ -102,6 +102,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("RocksDB state backend: stateful dedup+window agg matches the " +
+    "default provider exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // same stateful pipeline both times: watermarked dropDuplicates on the
+    // event key (redelivered input) feeding a windowed count
+    def run(queryName: String): Set[(Long, String, Long)] = {
+      val input = MemoryStream[(Long, Timestamp, String)]
+      val agg = input.toDF().toDF("id", "ts", "k")
+        .withWatermark("ts", "5 minutes")
+        .dropDuplicatesWithinWatermark("id")
+        .groupBy(window($"ts", "10 minutes"), $"k")
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp($"window.start").as("ws"), $"k", $"n")
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try {
+        input.addData((1L, ts(1), "a"), (2L, ts(4), "a"), (1L, ts(1), "a"))
+        q.processAllAvailable()
+        input.addData((3L, ts(12), "b"), (2L, ts(4), "a"), (4L, ts(14), "b"))
+        q.processAllAvailable()
+        spark.table(queryName).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      } finally q.stop()
+    }
+
+    val default = run("sb_default")
+    val rocks = graft.streaming.StateBackend.withRocksDB(spark)(run("sb_rocks"))
+    assert(rocks == default)
+    assert(rocks == Set((unixTs("10:00"), "a", 2L), (unixTs("10:10"), "b", 2L)))
+    // conf restored after the block
+    assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .contains(graft.streaming.StateBackend.RocksDBProvider))
+  }
+
   test("flatMapGroupsWithState sessionization equals batch session_window " +
     "(event-time timeout drains the final sessions)") {
     val dir = "/root/testdata/sf0.001"
