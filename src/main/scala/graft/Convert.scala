@@ -24,6 +24,16 @@ import graft.convert.AvroToParquetJob
   *                              continuous loop is the default, like the
   *                              reference's streaming pipeline)
   *   --max_iterations <n>       stop after n polls (testing)
+  *
+  * Catalog mode (no conversion — query the landing zone in place):
+  *   --catalog <landing_root>   register `<root>/avro/<folder>` dirs as
+  *                              SQL tables under catalog `cdc` via
+  *                              [[graft.sources.AvroCdcCatalog]]
+  *   --sql "<statement>"        run one SQL statement against it and
+  *                              print the result as JSON lines; without
+  *                              --sql, list the discovered tables.
+  *                              `--input_pattern`/`--output_prefix` are
+  *                              not required in this mode.
   */
 object Convert {
 
@@ -44,6 +54,7 @@ object Convert {
 
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args)
+    if (opts.contains("catalog")) { runCatalogMode(opts); return }
     val input = opts.getOrElse("input_pattern",
       { System.err.println("[convert] --input_pattern is required"); sys.exit(2) })
     val output = opts.getOrElse("output_prefix",
@@ -79,6 +90,30 @@ object Convert {
         val maxIter = opts.get("max_iterations").map(_.toInt).getOrElse(Int.MaxValue)
         AvroToParquetJob.runContinuous(spark, input, output, ledger, interval,
           mode, maxIter).foreach(report)
+      }
+    } finally spark.stop()
+  }
+
+  /** `--catalog <root> [--sql "<stmt>"]`: landing-zone-as-database. */
+  private def runCatalogMode(opts: Map[String, String]): Unit = {
+    val root = opts("catalog")
+    val spark = SparkSession.builder()
+      .appName("graft-cdc-catalog")
+      .config("spark.master", sys.props.getOrElse("spark.master", "local[*]"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.catalog.cdc",
+        classOf[graft.sources.AvroCdcCatalog].getName)
+      .config("spark.sql.catalog.cdc.root", root)
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      opts.get("sql") match {
+        case Some(stmt) =>
+          spark.sql(stmt).toJSON.collect().foreach(println)
+        case None =>
+          spark.sql("SHOW TABLES IN cdc").collect()
+            .foreach(r => println(s"cdc.${r.getString(1)}"))
       }
     } finally spark.stop()
   }
