@@ -312,6 +312,72 @@ object TextAnalysis {
         max(length(shingle))::INT AS max_len
       FROM sh GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---------- deterministic hash sampling ----------
+  /** Reproducible stratified subsampling — the curation primitive behind
+    * "train on 10% of the corpus": a document is in the sample iff the
+    * first two hex chars of `md5(doc_id)` fall below 0x1a (26/256 ≈
+    * 10.2%). Content-independent, seed-free, stable across engines and
+    * runs, and embarrassingly parallel: the filter is evaluated
+    * scan-side with zero shuffle — at 100 TB the sample never
+    * materializes the rejected 90%. The per-language report (the only
+    * shuffle) verifies the exact selected set via count + char sum.
+    */
+  def qSampleHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("sampled",
+        substring(md5(col("doc_id").cast("string")), 1, 2) < "1a")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("sampled"), col("n_chars"))).as("chars_sampled"))
+      .orderBy(col("lang"))
+
+  val qSampleHashOracle: String =
+    """SELECT lang, count(*) AS n_total,
+      sum(CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < '1a'
+          THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+      sum(CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < '1a'
+          THEN n_chars END)::BIGINT AS chars_sampled
+      FROM documents GROUP BY lang ORDER BY lang"""
+
+  // ---------- benchmark decontamination ----------
+  /** Fixed phrase list standing in for a benchmark eval set (the real
+    * pipeline would load it from the eval suite's test split).
+    */
+  val contaminationPhrases: Seq[String] = Seq(
+    "key agg row scan", "order data column", "slow filter value",
+    "hash table join", "window spark batch")
+
+  /** Eval-set decontamination: drop every document containing any
+    * benchmark phrase verbatim. The phrase list is tiny and the match is
+    * non-equi (`instr > 0`), so the right plan is a broadcast
+    * nested-loop LEFT ANTI join — each scan task probes the in-memory
+    * phrase list, no shuffle of the corpus; output is the per-language
+    * clean-set report.
+    */
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val phrases = spark.createDataFrame(
+      spark.sparkContext.parallelize(contaminationPhrases.map(Row(_)), 1),
+      StructType(Seq(StructField("phrase", StringType, nullable = false))))
+    Tables.documents(spark, dir)
+      .join(broadcast(phrases), instr(col("text"), col("phrase")) > 0,
+        "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_clean"), sum(col("n_chars")).as("chars_clean"))
+      .orderBy(col("lang"))
+  }
+
+  private def phrasesValuesSql: String =
+    contaminationPhrases.map(p => s"('$p')").mkString(", ")
+
+  def qDecontaminateOracle: String =
+    s"""SELECT lang, count(*) AS n_clean, sum(n_chars)::BIGINT AS chars_clean
+      FROM documents d
+      WHERE NOT EXISTS (SELECT 1 FROM (VALUES $phrasesValuesSql) p(phrase)
+        WHERE contains(d.text, p.phrase))
+      GROUP BY lang ORDER BY lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
@@ -321,6 +387,8 @@ object TextAnalysis {
     "q_text_chunks" -> (qTextChunks _),
     "q_pipeline_curate" -> (qPipelineCurate _),
     "q_shingle_generator" -> (qShingleGenerator _),
+    "q_sample_hash" -> (qSampleHash _),
+    "q_decontaminate" -> (qDecontaminate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -332,5 +400,7 @@ object TextAnalysis {
     "q_text_chunks" -> qTextChunksOracle,
     "q_pipeline_curate" -> qPipelineCurateOracle,
     "q_shingle_generator" -> qShingleGeneratorOracle,
+    "q_sample_hash" -> qSampleHashOracle,
+    "q_decontaminate" -> qDecontaminateOracle,
   )
 }

@@ -89,6 +89,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
   }
 
+  test("q_sample_hash: the sample filter costs no shuffle (only the " +
+    "report agg exchanges) and the scan is pruned") {
+    val p = plan("q_sample_hash")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange ")).toSeq
+    assert(exchanges.forall(l =>
+      l.contains("lang") || l.contains("rangepartitioning")),
+      s"only the lang agg + output sort may exchange: $exchanges")
+    val scan = p.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("documents")).get
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint,lang:string," +
+      "n_chars:bigint>"), s"sampling must not read text: $scan")
+  }
+
+  test("q_decontaminate: phrase probe is a broadcast nested-loop anti " +
+    "join — the corpus never shuffles for the match") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("catalog scan: column pruning reaches the cdc-avro table") {
     val root = java.nio.file.Files.createTempDirectory("graft-audit-cat")
       .toFile.getAbsolutePath
