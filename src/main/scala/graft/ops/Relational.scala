@@ -712,6 +712,100 @@ object Relational {
         RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
       ORDER BY l_returnflag, l_quantity"""
 
+  // ---------- exact percentiles ----------
+  /** Exact interpolated percentiles per group (`percentile`, the
+    * sort-based exact kernel — Spark buffers each group's values, so this
+    * is the small-group-count shape; for high-cardinality groups at
+    * 100 TB the one-line swap is `approx_percentile`, the t-digest
+    * sketch, same call surface). DuckDB's `quantile_cont` implements the
+    * same linear interpolation, so the oracle is exact at 2 dp.
+    */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val qPercentilesOracle: String =
+    """SELECT l_returnflag,
+      round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+      round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+      round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+      round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+      count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  // ---------- distribution window functions ----------
+  /** percent_rank / cume_dist / ntile over a total per-partition order
+    * (tie-broken by key, so every function is deterministic), folded to a
+    * per-decile summary. One shuffle on the window partition key; the
+    * decile report reuses the same partitioning.
+    */
+  def qWindowDist(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.table(spark, dir, "customer")
+      .select(col("c_mktsegment"), col("c_acctbal"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        ntile(10).over(w).as("decile"))
+      .groupBy(col("c_mktsegment"), col("decile"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("pr")), 6).as("min_pr"),
+        round(max(col("cd")), 6).as("max_cd"),
+        round(min(col("c_acctbal")), 2).as("lo_bal"),
+        round(max(col("c_acctbal")), 2).as("hi_bal"))
+      .orderBy(col("c_mktsegment"), col("decile"))
+  }
+
+  val qWindowDistOracle: String =
+    """WITH t AS (SELECT c_mktsegment, c_acctbal,
+        percent_rank() OVER w AS pr, cume_dist() OVER w AS cd,
+        ntile(10) OVER w AS decile
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey))
+      SELECT c_mktsegment, decile, count(*) AS n,
+        round(min(pr), 6) AS min_pr, round(max(cd), 6) AS max_cd,
+        round(min(c_acctbal), 2) AS lo_bal, round(max(c_acctbal), 2) AS hi_bal
+      FROM t GROUP BY c_mktsegment, decile ORDER BY c_mktsegment, decile"""
+
+  // ---------- correlated EXISTS / NOT EXISTS ----------
+  /** Correlated existential subqueries: customers with at least one
+    * urgent order and no large finished order. Catalyst decorrelates
+    * both into joins (semi + anti) on `o_custkey` — no per-row subquery
+    * execution, one shuffle per probe side.
+    */
+  def qExistsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.table(spark, dir, "customer").createOrReplaceTempView("cust_ex")
+    Tables.table(spark, dir, "orders").createOrReplaceTempView("ord_ex")
+    spark.sql("""
+      SELECT c_mktsegment, count(*) AS n_cust
+      FROM cust_ex c
+      WHERE EXISTS (SELECT 1 FROM ord_ex o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+        AND NOT EXISTS (SELECT 1 FROM ord_ex o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderstatus = 'F' AND o.o_totalprice > 200000)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  }
+
+  val qExistsSubqueryOracle: String =
+    """SELECT c_mktsegment, count(*) AS n_cust
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+        AND NOT EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderstatus = 'F' AND o.o_totalprice > 200000)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_topk_orders" -> (q02TopkOrders _),
@@ -745,6 +839,9 @@ object Relational {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_window_range" -> (qWindowRange _),
     "q_sql_kernels" -> (qSqlKernels _),
+    "q_percentiles" -> (qPercentiles _),
+    "q_window_dist" -> (qWindowDist _),
+    "q_exists_subquery" -> (qExistsSubquery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -779,5 +876,8 @@ object Relational {
     "q_grouping_sets" -> qGroupingSetsOracle,
     "q_window_range" -> qWindowRangeOracle,
     "q_sql_kernels" -> qSqlKernelsOracle,
+    "q_percentiles" -> qPercentilesOracle,
+    "q_window_dist" -> qWindowDistOracle,
+    "q_exists_subquery" -> qExistsSubqueryOracle,
   )
 }

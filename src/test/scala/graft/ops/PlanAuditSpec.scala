@@ -109,6 +109,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q_exists_subquery: EXISTS/NOT EXISTS decorrelate to semi + anti " +
+    "joins with pushed filters") {
+    val p = plan("q_exists_subquery")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderpriority), " +
+      "EqualTo(o_orderpriority,1-URGENT)]"), p)
+  }
+
   test("catalog scan: column pruning reaches the cdc-avro table") {
     val root = java.nio.file.Files.createTempDirectory("graft-audit-cat")
       .toFile.getAbsolutePath
