@@ -108,11 +108,17 @@ object Dedup {
       .withColumn("jaccard", round(jaccard(col("sh1"), col("sh2")), 6))
       .filter(col("jaccard") >= Threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
-      .orderBy(col("d1"), col("d2"))
   }
 
   // ---------- MinHash + LSH ----------
-  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    minhashPairs(spark, dir).orderBy(col("d1"), col("d2"))
+
+  /** Verified near-duplicate pairs (J ≥ [[Threshold]]) via MinHash
+    * banding — unordered, the reusable building block for downstream
+    * graph work ([[qDedupClusters]]).
+    */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingled(spark, dir)
     // whole signature in one pass per doc (graft.functions.Sketches):
     // a narrow projection — no explode, no shuffle until the band join
@@ -139,6 +145,87 @@ object Dedup {
 
     verifyPairs(cand, docs)
   }
+
+  // ---------- connected components over the near-dup graph ----------
+  /** Dedup CLUSTERS: collapse the verified near-duplicate pair set into
+    * connected components (the keep-one-per-cluster step every dedup
+    * pipeline ends with), via distributed min-label propagation — each
+    * round, every node adopts the smallest label among itself and its
+    * neighbors, iterated to fixpoint. No driver-side union-find: each
+    * round is one join + one aggregation on the edge list, the GraphX /
+    * connected-components-in-MapReduce pattern, so it scales to
+    * billion-edge graphs. Rounds needed = component diameter — near-dup
+    * clusters are shallow (pairs/triples here, rarely > tens at web
+    * scale); for adversarially long chains the large-star/small-star
+    * variant (Kiveris et al.) halves diameter per round — not needed at
+    * this graph shape.
+    *
+    * The fixpoint (min reachable id per node) is unique, so the DuckDB
+    * oracle reproduces it exactly with a recursive transitive-closure
+    * CTE over the same exact pair set that backs the MinHash oracle.
+    */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir).select(col("d1"), col("d2"))
+      .persist()
+    val edges = pairs
+      .union(pairs.select(col("d2"), col("d1")))
+      .toDF("src", "dst")
+      .persist()
+
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint() // truncate lineage before the iterative joins
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("label"))
+      val next = labels.union(prop)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $rounds rounds")
+    pairs.unpersist(); edges.unpersist()
+
+    labels
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        array_join(transform(sort_array(collect_list(col("id"))),
+          _.cast("string")), ",").as("members"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** Transitive closure over [[exactPairOracle]]'s pair set; `cluster_id`
+    * = min reachable doc_id, identical to the propagation fixpoint.
+    */
+  val qDedupClustersOracle: String =
+    """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') ws
+        FROM documents),
+      sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) < 3
+          THEN []::VARCHAR[]
+          ELSE [ws[i]||' '||ws[i+1]||' '||ws[i+2] for i in range(1, len(ws)-1)]
+        END) AS shingles FROM t),
+      ex AS (SELECT doc_id, unnest(shingles) s FROM sh),
+      inter AS (SELECT a.doc_id d1, b.doc_id d2, count(*) i FROM ex a
+        JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      card AS (SELECT doc_id, len(shingles) n FROM sh),
+      pairs AS (SELECT d1, d2 FROM inter
+        JOIN card ca ON ca.doc_id = d1 JOIN card cb ON cb.doc_id = d2
+        WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8),
+      edges AS (SELECT d1 AS s, d2 AS t FROM pairs
+        UNION ALL SELECT d2, d1 FROM pairs),
+      walk AS (SELECT s AS id, t AS reach FROM edges
+        UNION
+        SELECT w.id, e.t FROM walk w JOIN edges e ON w.reach = e.s),
+      labels AS (SELECT id, least(id, min(reach)) AS cluster_id
+        FROM walk GROUP BY id)
+      SELECT cluster_id, count(*) AS n_members,
+        string_agg(id, ',' ORDER BY id) AS members
+      FROM labels GROUP BY cluster_id ORDER BY cluster_id"""
 
   // ---------- SimHash ----------
   /** SimHash over the SHINGLE set, not raw tokens: this corpus shares one
@@ -194,7 +281,7 @@ object Dedup {
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
 
-    verifyPairs(cand, docs)
+    verifyPairs(cand, docs).orderBy(col("d1"), col("d2"))
   }
 
   // ---------- character n-gram Jaccard (exact, anchor-sampled) ----------
@@ -310,6 +397,7 @@ object Dedup {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_keeplist" -> (qDedupKeeplist _),
+    "q_dedup_clusters" -> (qDedupClusters _),
   )
 
   /** q_dedup_simhash earns the exact-set oracle as of the single-bit
@@ -324,5 +412,6 @@ object Dedup {
     "q_dedup_simhash" -> exactPairOracle,
     "q_dedup_ngram" -> qDedupNgramOracle,
     "q_dedup_keeplist" -> qDedupKeeplistOracle,
+    "q_dedup_clusters" -> qDedupClustersOracle,
   )
 }
