@@ -160,6 +160,51 @@ object AvroToParquetJob {
     reports
   }
 
+  /** Structured Streaming mode: the same conversion as [[runContinuous]]
+    * driven by Spark's own micro-batch engine instead of the poll loop —
+    * `readStream.format("cdc-avro")` discovers newly appeared files per
+    * batch with offsets in the CHECKPOINT (restart-safe exactly-once
+    * discovery, no [[FileLedger]] needed), and `foreachBatch` reproduces
+    * the reference's `<prefix>/<folder>/ingestion_date=…/` layout.
+    *
+    * Trade-off vs [[runOnce]]: the flattened schema is derived once at
+    * stream START (name-merged across the files present then, like the
+    * landing-zone catalog); a mid-stream writer-schema evolution needs a
+    * stream restart, where the poll loop re-derives per batch. Caller
+    * stops the query (`processAllAvailable()`/`awaitTermination`).
+    */
+  def runStreaming(
+      spark: SparkSession,
+      inputPattern: String,
+      outputPrefix: String,
+      checkpointDir: String,
+      ingestionDate: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val pathCol = graft.sources.AvroCdcDataSource.InputPathCol
+    val folderCol = when(
+      regexp_extract(col(pathCol), "/avro/([^/]+)/", 1) === "", "unknown")
+      .otherwise(regexp_extract(col(pathCol), "/avro/([^/]+)/", 1))
+    spark.readStream.format("cdc-avro").load(inputPattern)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val tagged = batch.withColumn("__folder", folderCol).persist()
+          try {
+            val date = ingestionDate.getOrElse(
+              LocalDate.now(ZoneOffset.UTC).toString)
+            val folders = tagged.select(col("__folder")).distinct()
+              .collect().map(_.getString(0))
+            folders.foreach { folder =>
+              write(tagged.filter(col("__folder") === folder)
+                .drop("__folder", pathCol), outputPrefix, folder, date)
+            }
+          } finally { tagged.unpersist(); () }
+        }
+      }
+      .start()
+  }
+
   /** `30m` / `1h` / `2d` → seconds (reference main.py:242-246). */
   def parseDurationToSeconds(text: String): Int = {
     val m = "(?i)\\s*(\\d+)\\s*([smhd])\\s*".r

@@ -278,4 +278,45 @@ class AvroToParquetJobSpec extends AnyFunSuite {
     assert(rows(1).getAs[Long]("u2") == 99L)
     assert(rows(2).isNullAt(rows(2).fieldIndex("u2")))
   }
+
+  test("runStreaming: checkpointed incremental conversion with the " +
+    "reference layout, restart-safe without a ledger") {
+    val in = tmpDir("graft-in8")
+    val out = tmpDir("graft-out8")
+    val ckpt = tmpDir("graft-ck8")
+    def rec(table: String, id: Long) = Map(
+      "uuid" -> s"u$id", "read_timestamp" -> 0L,
+      "source_metadata" -> AvroFixtures.sm(table, txId = id),
+      "payload" -> Map("id" -> id, "name" -> s"n$id"))
+    AvroFixtures.writeAvro(s"$in/avro/users/a.avro",
+      AvroFixtures.BasicEnvelope, Seq(rec("users", 1L), rec("users", 2L)))
+    AvroFixtures.writeAvro(s"$in/avro/orders/b.avro",
+      AvroFixtures.BasicEnvelope, Seq(rec("orders", 10L)))
+
+    def idsUnder(folder: String): Set[Long] =
+      spark.read
+        .parquet(s"$out/$folder/ingestion_date=2024-06-01")
+        .collect().map(_.getAs[Long]("id")).toSet
+
+    val q1 = AvroToParquetJob.runStreaming(spark, s"$in/avro/*/*.avro", out,
+      ckpt, ingestionDate = Some("2024-06-01"))
+    try {
+      q1.processAllAvailable()
+      // reference layout: plain <folder> segment + hive ingestion_date
+      assert(idsUnder("users") == Set(1L, 2L))
+      assert(idsUnder("orders") == Set(10L))
+    } finally q1.stop()
+
+    // restart from the same checkpoint: old files are NOT reconverted,
+    // a newly appeared file is
+    AvroFixtures.writeAvro(s"$in/avro/users/c.avro",
+      AvroFixtures.BasicEnvelope, Seq(rec("users", 3L)))
+    val q2 = AvroToParquetJob.runStreaming(spark, s"$in/avro/*/*.avro", out,
+      ckpt, ingestionDate = Some("2024-06-01"))
+    try {
+      q2.processAllAvailable()
+      assert(idsUnder("users") == Set(1L, 2L, 3L)) // no duplicates of 1,2
+      assert(idsUnder("orders") == Set(10L))
+    } finally q2.stop()
+  }
 }
