@@ -279,6 +279,38 @@ class AvroToParquetJobSpec extends AnyFunSuite {
     assert(rows(2).isNullAt(rows(2).fieldIndex("u2")))
   }
 
+  test("compaction: many one-per-input parquet files bin-pack into few, " +
+    "same rows, reference layout preserved") {
+    val in = tmpDir("graft-in9")
+    val out = tmpDir("graft-out9")
+    // 6 input avro files → 6 output parquet files (the reference's
+    // one-file-per-file shape)
+    (0 until 6).foreach { i =>
+      AvroFixtures.writeAvro(s"$in/avro/users/f$i.avro",
+        AvroFixtures.BasicEnvelope, Seq(
+          Map("uuid" -> s"u$i", "read_timestamp" -> 0L,
+            "source_metadata" -> AvroFixtures.sm("users", txId = i.toLong),
+            "payload" -> Map("id" -> i.toLong, "name" -> s"n$i"))))
+    }
+    AvroToParquetJob.runOnce(spark, s"$in/avro/*/*.avro", out,
+      ConvertMode.Standard, ingestionDate = Some("2024-06-01"))
+    val dir = new java.io.File(s"$out/users/ingestion_date=2024-06-01")
+    def parquets() = dir.listFiles.count(_.getName.endsWith(".parquet"))
+    assert(parquets() >= 6)
+    val before = spark.read.parquet(dir.getAbsolutePath)
+      .orderBy("id").collect().map(_.toString).toSeq
+
+    val reports = Compaction.compactAll(spark, out, targetBytes = Long.MaxValue)
+    assert(reports.size == 1 && reports.head.filesBefore >= 6 &&
+      reports.head.filesAfter == 1 && reports.head.rows == 6)
+    assert(parquets() == 1)
+    val after = spark.read.parquet(dir.getAbsolutePath)
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(after == before)
+    // idempotent: already compacted → no-op
+    assert(Compaction.compactAll(spark, out, targetBytes = Long.MaxValue).isEmpty)
+  }
+
   test("runStreaming: checkpointed incremental conversion with the " +
     "reference layout, restart-safe without a ledger") {
     val in = tmpDir("graft-in8")
