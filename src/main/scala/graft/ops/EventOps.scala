@@ -481,6 +481,44 @@ object EventOps {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_users
       FROM pd ORDER BY day"""
 
+  // ---------- cohort retention ----------
+  /** Classic N-day retention: users cohorted by first-event day, retained
+    * at day offsets 1/7/14. Two user-keyed shuffles (first-event agg +
+    * join back — the join reuses the agg's partitioning) and one small
+    * cohort-day agg; the distinct-per-offset counts are conditional
+    * aggregates over one pass, not one join per offset.
+    */
+  def qEventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val first = act.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+    act.join(first, "user_id")
+      .groupBy(col("d0").cast("string").as("cohort_day"))
+      .agg(
+        countDistinct(col("user_id")).as("cohort_n"),
+        countDistinct(when(datediff(col("d"), col("d0")) === 1,
+          col("user_id"))).as("ret_d1"),
+        countDistinct(when(datediff(col("d"), col("d0")) === 7,
+          col("user_id"))).as("ret_d7"),
+        countDistinct(when(datediff(col("d"), col("d0")) === 14,
+          col("user_id"))).as("ret_d14"))
+      .orderBy(col("cohort_day"))
+  }
+
+  val qEventsRetentionOracle: String =
+    """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) d FROM events),
+      f AS (SELECT user_id, min(d) d0 FROM act GROUP BY user_id)
+      SELECT d0::VARCHAR AS cohort_day,
+        count(DISTINCT act.user_id) AS cohort_n,
+        count(DISTINCT CASE WHEN datediff('day', d0, d) = 1
+          THEN act.user_id END) AS ret_d1,
+        count(DISTINCT CASE WHEN datediff('day', d0, d) = 7
+          THEN act.user_id END) AS ret_d7,
+        count(DISTINCT CASE WHEN datediff('day', d0, d) = 14
+          THEN act.user_id END) AS ret_d14
+      FROM act JOIN f ON act.user_id = f.user_id
+      GROUP BY d0 ORDER BY cohort_day"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_tumbling" -> (qEventsTumbling _),
     "q_events_sliding" -> (qEventsSliding _),
@@ -493,6 +531,7 @@ object EventOps {
     "q_json_funcs" -> (qJsonFuncs _),
     "q_events_gapfill" -> (qEventsGapfill _),
     "q_events_cum_users" -> (qEventsCumulativeUsers _),
+    "q_events_retention" -> (qEventsRetention _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -507,5 +546,6 @@ object EventOps {
     "q_json_funcs" -> qJsonFuncsOracle,
     "q_events_gapfill" -> qEventsGapfillOracle,
     "q_events_cum_users" -> qEventsCumulativeUsersOracle,
+    "q_events_retention" -> qEventsRetentionOracle,
   )
 }
