@@ -713,23 +713,45 @@ object Relational {
       ORDER BY l_returnflag, l_quantity"""
 
   // ---------- exact percentiles ----------
-  /** Exact interpolated percentiles per group (`percentile`, the
-    * sort-based exact kernel — Spark buffers each group's values, so this
-    * is the small-group-count shape; for high-cardinality groups at
-    * 100 TB the one-line swap is `approx_percentile`, the t-digest
-    * sketch, same call surface). DuckDB's `quantile_cont` implements the
-    * same linear interpolation, so the oracle is exact at 2 dp.
+  /** Exact interpolated percentiles per group, computed by RANK MATH
+    * instead of the `percentile` aggregate: row_number + count over the
+    * group give each value its fractional position, the two rows
+    * bracketing each target position are picked by a cheap filter, and
+    * one conditional aggregate interpolates. Spark's exact `percentile`
+    * buffers every (value → count) per group into one in-memory map and
+    * merges those maps single-threaded per group — measured 4.7 s at
+    * sf0.1 vs 0.5 s for this plan, and it OOMs long before 100 TB. Here
+    * the heavy step is a distributed sort within groups; only ≤ 8 rows
+    * per group survive the position filter. (With high-cardinality
+    * groups the built-in swap is `approx_percentile`, the sketch path.)
+    * DuckDB's `quantile_cont` does the same linear interpolation, so the
+    * oracle is exact at 2 dp.
     */
-  def qPercentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.table(spark, dir, "lineitem")
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+    val wn = Window.partitionBy(col("l_returnflag"))
+    val qs = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95")
+    val ranked = Tables.table(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("i", row_number().over(w).cast("double") - 1)
+      .withColumn("n", count(lit(1)).over(wn).cast("double"))
+    // keep only rows bracketing some target position (≤ 8 rows per group)
+    val bracket = qs.map { case (q, _) =>
+      val t = (col("n") - 1) * q
+      (col("i") === floor(t)) || (col("i") === ceil(t))
+    }.reduce(_ || _)
+    val interp = qs.map { case (q, name) =>
+      val t = (col("n") - 1) * q
+      val lo = max(when(col("i") === floor(t), col("l_extendedprice")))
+      val hi = max(when(col("i") === ceil(t), col("l_extendedprice")))
+      round(lo + (hi - lo) * (first(t) - floor(first(t))), 2).as(name)
+    }
+    val aggs = interp :+ first(col("n")).cast("long").as("n")
+    ranked.filter(bracket)
       .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"),
-        count(lit(1)).as("n"))
+      .agg(aggs.head, aggs.tail: _*)
       .orderBy(col("l_returnflag"))
+  }
 
   val qPercentilesOracle: String =
     """SELECT l_returnflag,
