@@ -117,6 +117,56 @@ class PlanAuditSpec extends AnyFunSuite {
       "EqualTo(o_orderpriority,1-URGENT)]"), p)
   }
 
+  test("runtime bloom filter: a selective dim filter injects might_contain " +
+    "into the fact scan of a shuffle join") {
+    import org.apache.spark.sql.functions.col
+    val keep = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k =>
+      k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val p = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+        .queryExecution.executedPlan.toString
+      // the fact side is pre-filtered by a bloom built from the filtered
+      // dim — rows that cannot join never enter the exchange (the big
+      // lever on a 100 TB shuffle join)
+      assert(p.contains("might_contain"), p)
+      assert(p.contains("bloom_filter_agg"), p)
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("date-partitioned layout: a date filter becomes PartitionFilters — " +
+    "non-matching partitions are pruned before any IO") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    val out = java.nio.file.Files.createTempDirectory("graft-audit-part")
+      .toFile.getAbsolutePath
+    graft.ops.Tables.events(spark, dir)
+      .withColumn("d", to_date(col("ts")))
+      .write.partitionBy("d").parquet(s"$out/events_by_day")
+    val p = spark.read.parquet(s"$out/events_by_day")
+      .filter(col("d") === "2024-01-05")
+      .groupBy(col("event_type")).count()
+      .queryExecution.executedPlan.toString
+    val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(scan.contains("PartitionFilters: [isnotnull(d#") &&
+      scan.contains("= 2024-01-05)"),
+      s"date filter must prune partitions, not rows: $scan")
+    assert(!scan.contains("PushedFilters: [IsNotNull(d)"),
+      "d must be a partition column, not a data column")
+  }
+
   test("catalog scan: column pruning reaches the cdc-avro table") {
     val root = java.nio.file.Files.createTempDirectory("graft-audit-cat")
       .toFile.getAbsolutePath
