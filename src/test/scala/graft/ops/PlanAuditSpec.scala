@@ -167,6 +167,54 @@ class PlanAuditSpec extends AnyFunSuite {
       "d must be a partition column, not a data column")
   }
 
+  test("AQE skew join: a white-hot key is split at runtime " +
+    "(AQEShuffleRead skewed) — the automatic fallback when manual " +
+    "salting (q_salted_join) isn't applied") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val keys = Seq(
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.shuffle.partitions")
+    val keep = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // scaled-down trigger sizes so the skew is visible at test volume;
+      // in production the defaults (256MB / factor 5) do the same job
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      // enough reducers that the hot partition towers over the MEDIAN —
+      // at 4 partitions the uniform tail inflates the median past the
+      // factor (measured); production partition counts don't have this
+      // small-denominator artifact
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      import spark.implicits._
+      val fact = spark.range(500000L).select(lit(0L).as("k"), $"id".as("v"))
+        .union(spark.range(500000L)
+          .select(($"id" % 1000L + 1L).as("k"), $"id".as("v")))
+      val dim = spark.range(1001L).select($"id".as("k"), ($"id" * 2).as("w"))
+      val j = fact.join(dim, "k")
+        .groupBy(lit(1).as("g")).agg(count(lit(1)).as("n"), sum($"w").as("s"))
+      val row = j.collect().head
+      // correctness unaffected by the split
+      assert(row.getAs[Long]("n") == 1000000L)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin(skew=true)"), p)
+      assert(p.contains("AQEShuffleRead skewed"), p)
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("catalog scan: column pruning reaches the cdc-avro table") {
     val root = java.nio.file.Files.createTempDirectory("graft-audit-cat")
       .toFile.getAbsolutePath
