@@ -110,6 +110,43 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"ivf top-1 recall $recall too low ($hit/${top1.size})")
   }
 
+  test("sketch surface: count-min, bloom filter, and approx_percentile " +
+    "estimates stay within their error bounds") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val e = graft.ops.Tables.events(spark, dir)
+
+    // exact frequencies to judge against
+    val exact = e.groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+
+    // count-min sketch: overestimates only, by at most eps*n (w.h.p.)
+    val eps = 0.01
+    val cms = e.stat.countMinSketch("event_type", eps = eps,
+      confidence = 0.99, seed = 42)
+    exact.foreach { case (k, c) =>
+      val est = cms.estimateCount(k)
+      assert(est >= c && est <= c + (eps * n).toLong + 1,
+        s"cms($k)=$est outside [$c, ${c + (eps * n).toLong}]")
+    }
+
+    // bloom filter: no false negatives; fpp honored on absent keys
+    val bloom = e.stat.bloomFilter("event_id", expectedNumItems = 20000,
+      fpp = 0.01)
+    val ids = e.select(col("event_id")).collect().map(_.getLong(0))
+    assert(ids.forall(bloom.mightContain(_)), "bloom false negative")
+    val absent = (1000000L until 1010000L).count(bloom.mightContain(_))
+    assert(absent <= 300, s"bloom fpp too high: $absent/10000 false positives")
+
+    // approx_percentile within the documented rank error vs the exact value
+    val Array(approxP50, exactP50) = e.select(
+      expr("approx_percentile(value, 0.5, 1000)"),
+      expr("percentile(value, 0.5)")).collect().head
+      .toSeq.map(_.toString.toDouble).toArray
+    assert(math.abs(approxP50 - exactP50) / math.max(exactP50.abs, 1e-9) < 0.05,
+      s"approx p50 $approxP50 vs exact $exactP50")
+  }
+
   test("rolling hash expression matches a reference Scala fold and codegen runs") {
     import org.apache.spark.sql.functions._
     val df = Tables.documents(spark, dir).limit(50)
