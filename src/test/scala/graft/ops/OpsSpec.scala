@@ -147,6 +147,53 @@ class OpsSpec extends AnyFunSuite {
       s"approx p50 $approxP50 vs exact $exactP50")
   }
 
+  test("z-order layout: row-group stats prune the scan on BOTH clustered " +
+    "dimensions; a plain sort only prunes its own") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{col, to_date}
+    val sf01 = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$sf01/events.parquet").isFile)
+    val ev = graft.ops.Tables.events(spark, sf01)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+    val total = ev.count()
+    val base = java.nio.file.Files.createTempDirectory("graft-zorder")
+      .toFile.getAbsolutePath
+
+    graft.ops.Layout.zorderWrite(ev, "user_id", "d", s"$base/z", numFiles = 16)
+    ev.repartitionByRange(16, col("user_id"))
+      .sortWithinPartitions(col("user_id"))
+      .write.parquet(s"$base/sorted")
+
+    def scanned(df: DataFrame): Long = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head.metrics("numOutputRows").value
+    }
+
+    val zUser = scanned(spark.read.parquet(s"$base/z")
+      .filter(col("user_id") === 7))
+    val zDay = scanned(spark.read.parquet(s"$base/z")
+      .filter(col("d") === "2024-01-05"))
+    val sUser = scanned(spark.read.parquet(s"$base/sorted")
+      .filter(col("user_id") === 7))
+    val sDay = scanned(spark.read.parquet(s"$base/sorted")
+      .filter(col("d") === "2024-01-05"))
+
+    // z-order: both dimensions skip most row groups
+    assert(zUser < total * 2 / 5, s"z user scan $zUser of $total")
+    assert(zDay < total * 2 / 5, s"z day scan $zDay of $total")
+    // single sort: its own column prunes hard, the other reads ~everything
+    assert(sUser < total / 5, s"sorted user scan $sUser of $total")
+    assert(sDay > total * 9 / 10,
+      s"sorted layout should NOT prune the day dimension: $sDay of $total")
+  }
+
   test("rolling hash expression matches a reference Scala fold and codegen runs") {
     import org.apache.spark.sql.functions._
     val df = Tables.documents(spark, dir).limit(50)
