@@ -378,6 +378,41 @@ object TextAnalysis {
         WHERE contains(d.text, p.phrase))
       GROUP BY lang ORDER BY lang"""
 
+  // ---------- sequence packing (token-budget batching) ----------
+  /** Training-batch construction: pack documents (in stable doc_id order
+    * per language) into batches of ≤ 2048 tokens by greedy cumulative
+    * fill — `batch = floor(tokens_before_this_doc / budget)`. One
+    * window-cumsum per language partition, no iteration, deterministic;
+    * at 100 TB the same plan packs per (language, shard) so partitions
+    * stay independent. The per-batch report is the oracle surface.
+    */
+  def qPackBatches(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2048
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("tokens", size(split(col("text"), " ", -1)).cast("long"))
+      .withColumn("before",
+        coalesce(sum(col("tokens")).over(w) - col("tokens"), lit(0L)))
+      .withColumn("batch_id", floor(col("before") / budget))
+      .groupBy(col("lang"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("batch_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("batch_id"))
+  }
+
+  val qPackBatchesOracle: String =
+    """WITH t AS (SELECT lang, doc_id,
+        len(string_split(text, ' '))::BIGINT AS tokens FROM documents),
+      c AS (SELECT lang, doc_id, tokens,
+        coalesce(sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+          - tokens, 0) AS before FROM t)
+      SELECT lang, (before // 2048)::BIGINT AS batch_id,
+        count(*) AS n_docs, sum(tokens)::BIGINT AS batch_tokens,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM c GROUP BY lang, batch_id ORDER BY lang, batch_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
@@ -389,6 +424,7 @@ object TextAnalysis {
     "q_shingle_generator" -> (qShingleGenerator _),
     "q_sample_hash" -> (qSampleHash _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_pack_batches" -> (qPackBatches _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -402,5 +438,6 @@ object TextAnalysis {
     "q_shingle_generator" -> qShingleGeneratorOracle,
     "q_sample_hash" -> qSampleHashOracle,
     "q_decontaminate" -> qDecontaminateOracle,
+    "q_pack_batches" -> qPackBatchesOracle,
   )
 }
