@@ -21,6 +21,15 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Median of `n` timed passes: a single pass is hostage to VM load
+    * (±40% swings measured on identical plans between rounds); the median
+    * discards one-off stalls in either direction without averaging them in.
+    */
+  private def medianOf(n: Int)(f: => Unit): Double = {
+    val ts = Array.fill(n)(timeIt(f)).sorted
+    ts(n / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -66,10 +75,12 @@ object Bench {
       }
     }
 
+    val Passes = 3
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val sec = try {
-        timeIt(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+        medianOf(Passes)(
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save())
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -78,14 +89,17 @@ object Bench {
       results(name) = sec
     }
 
-    // conversion throughput: the reference's own workload
+    // conversion throughput: the reference's own workload (each pass gets
+    // its own output dir so every run does the full write)
     results("cdc_convert") = try {
       val tmp = java.nio.file.Files.createTempDirectory("graft-bench-cdc")
       val in = tmp.resolve("landing/avro/bench/part-0.avro").toString
       BenchData.writeCdcAvro(in, rows = 200000)
-      timeIt {
+      var pass = 0
+      medianOf(Passes) {
+        pass += 1
         graft.convert.AvroToParquetJob.runOnce(
-          spark, s"$tmp/landing/avro/*/*.avro", tmp.resolve("out").toString)
+          spark, s"$tmp/landing/avro/*/*.avro", tmp.resolve(s"out$pass").toString)
         ()
       }
     } catch {
@@ -98,7 +112,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"median_of_$Passes%d","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -179,13 +179,21 @@ object Dedup {
     var rounds = 0
     while (changed > 0 && rounds < 20) {
       val prop = edges.join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("label"))
-      val next = labels.union(prop)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .select(edges("src").as("id"), col("label"),
+          lit(null).cast("long").as("old"))
+      // carry each node's previous label through the same aggregation
+      // (min skips the nulls on propagated rows; every id has exactly one
+      // labels row, so min(old) IS the previous label) — the convergence
+      // check then reads the checkpointed result instead of re-joining
+      // against the previous labels, halving the shuffle work per round.
+      val next = labels
+        .select(col("id"), col("label"), col("label").as("old"))
+        .union(prop)
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"), min(col("old")).as("old"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select(col("id"), col("label"))
       rounds += 1
     }
     require(changed == 0, s"label propagation did not converge in $rounds rounds")
@@ -234,16 +242,23 @@ object Dedup {
     * shingle sets are near-disjoint for non-dups, pushing them to ~32 bits
     * apart while true near-dups stay in low double digits.
     *
-    * Recall envelope (why this query has NO exact-set oracle, unlike
-    * MinHash): byte-blocking guarantees candidates only up to hamming 7 —
-    * the standard simhash operating range. Here the planted near-dups at
-    * J ≈ 0.8-0.9 reach hamming 10-11 (bit-flip rate p ≈ 0.17), and
-    * guaranteed blocking at that p needs blocks of < 1/p ≈ 6 bits, whose
-    * buckets are so coarse the candidate join degenerates to quadratic.
-    * That is precisely the regime MinHash banding handles with selective
-    * buckets — so MinHash carries the oracle-exact contract and SimHash is
-    * validated for precision (verification makes every emitted pair exact)
-    * plus empirically-asserted recall in OpsSpec.
+    * Blocking: 16-bit WORDS with a symmetric single-bit multiprobe — each
+    * side emits, per word position, the word plus its 16 one-bit flips
+    * (17 keys/word, 68 rows/doc). Two probes compose, so any pair whose
+    * closest word differs by ≤ 2 bits collides; by pigeonhole that
+    * guarantees recall up to total hamming 11 (4 words × ≥3 flips each
+    * needs ≥ 12 to evade). Measured on this corpus (HammingProbe): true
+    * J ≥ 0.8 pairs top out at hamming 11 with max min-word-hamming 2 at
+    * both sf0.01 and sf0.1 — inside the guarantee, so the verified output
+    * still equals the exact pair set and keeps [[exactPairOracle]].
+    *
+    * Why words, not bytes: recall-equivalent byte blocking (8×256 = 2048
+    * keys) has bucket occupancy n/256 — candidate pairs grow quadratically
+    * with corpus size, a scale-killer at 100×. Word keys give 4×65536 =
+    * 262144 buckets (128× the cardinality) at a comparable row factor
+    * (68 vs 72 probe rows/doc), cutting sf0.1 candidates ~16× and moving
+    * the quadratic knee 128× further out. The precision side is unchanged:
+    * a cheap `bit_count ≤ 16` cut, then exact-Jaccard verification.
     */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingled(spark, dir)
@@ -251,31 +266,23 @@ object Dedup {
     val sigs = docs.select(col("doc_id"),
       graft.functions.Sketches.simhash64(col("sh")).as("simhash"))
 
-    // byte-blocking with Manku-style single-bit MULTIPROBE: the probe side
-    // emits each byte plus its 8 one-bit flips, the build side stays exact,
-    // so any pair whose CLOSEST byte differs by <= 1 bit collides — by
-    // pigeonhole that guarantees recall for hamming <= 15 (vs <= 7 for
-    // exact byte match), which covers the planted near-dup pairs that land
-    // at hamming 10-11 on this corpus (asserted in OpsSpec). Probe factor
-    // is a constant 9x on one join side; the verify stage keeps precision
-    // exact.
-    val byteCols = (0 until 8).map { k =>
-      shiftright(col("simhash"), 8 * k).bitwiseAND(lit(255L))
+    val wordCols = (0 until 4).map { k =>
+      shiftright(col("simhash"), 16 * k).bitwiseAND(lit(65535L))
     }
     val blocked = sigs.select(
       col("doc_id"), col("simhash"),
-      posexplode(array(byteCols: _*)).as(Seq("byte_idx", "byte_val")))
+      posexplode(array(wordCols: _*)).as(Seq("word_idx", "word_val")))
     val probed = blocked.select(
-      col("doc_id"), col("simhash"), col("byte_idx"),
-      explode(array(col("byte_val") +:
-        (0 until 8).map(b => col("byte_val").bitwiseXOR(lit(1L << b))): _*))
-        .as("byte_val"))
+      col("doc_id"), col("simhash"), col("word_idx"),
+      explode(array(col("word_val") +:
+        (0 until 16).map(b => col("word_val").bitwiseXOR(lit(1L << b))): _*))
+        .as("word_val"))
 
     val x = probed.as("x")
-    val y = blocked.as("y")
+    val y = probed.as("y")
     val cand = x.join(y,
-        col("x.byte_idx") === col("y.byte_idx") &&
-        col("x.byte_val") === col("y.byte_val") &&
+        col("x.word_idx") === col("y.word_idx") &&
+        col("x.word_val") === col("y.word_val") &&
         col("x.doc_id") < col("y.doc_id"))
       .filter(expr("bit_count(x.simhash ^ y.simhash)") <= 16)
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
@@ -400,11 +407,12 @@ object Dedup {
     "q_dedup_clusters" -> (qDedupClusters _),
   )
 
-  /** q_dedup_simhash earns the exact-set oracle as of the single-bit
-    * multiprobe: the blocking guarantee is now hamming ≤ 15, comfortably
-    * above the planted pairs' 10-11, and the verify stage makes precision
-    * exact — so the emitted set equals the exact jaccard-threshold pair
-    * set on this corpus (OpsSpec asserts set equality vs minhash too).
+  /** q_dedup_simhash keeps the exact-set oracle under word blocking: the
+    * symmetric multiprobe guarantees recall to hamming 11, which covers
+    * the measured true-pair maximum (11, with min-word-hamming ≤ 2 at
+    * both gate SFs), and the verify stage makes precision exact — so the
+    * emitted set equals the exact jaccard-threshold pair set on this
+    * corpus (OpsSpec asserts set equality vs minhash too).
     */
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactOracle,

@@ -24,6 +24,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Fixed anchor count for every query-side sample: a CONSTANT, not a
+    * corpus fraction (`vec_id % k` would grow the anchor set linearly
+    * with n, making anchors × corpus O(n²/k) — 10 000× the work at 100×
+    * the data). With K fixed, every variant is O(K·n): the corpus side
+    * streams once and the anchor side stays a broadcast constant no
+    * matter how large the table gets.
+    */
+  private val Anchors = 50
+
   /** embedding (float array) → double array + L2 norm. */
   private def withVec(df: DataFrame): DataFrame =
     df.withColumn("vd", transform(col("embedding"), x => x.cast("double")))
@@ -42,7 +51,7 @@ object Similarity {
   // ---------- brute-force cosine near-duplicates over anchors ----------
   def qEmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
     val e = withVec(Tables.embeddings(spark, dir))
-    val anchors = e.filter(col("vec_id") % 25 === 0)
+    val anchors = e.filter(col("vec_id") < Anchors)
       .select(col("vec_id").as("a_id"), col("vd").as("a_vd"), col("nrm").as("a_nrm"))
     val corpus = e.select(col("vec_id").as("b_id"), col("vd").as("b_vd"),
       col("nrm").as("b_nrm"))
@@ -60,14 +69,14 @@ object Similarity {
       SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         round(list_cosine_similarity(a.v, b.v), 6) AS cosine
       FROM e a JOIN e b ON a.vec_id < b.vec_id
-      WHERE a.vec_id % 25 = 0
+      WHERE a.vec_id < 50
         AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
       ORDER BY a_id, b_id"""
 
   // ---------- brute-force top-k ANN baseline ----------
   def qAnnTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = withVec(Tables.embeddings(spark, dir))
-    val anchors = e.filter(col("vec_id") % 100 === 0)
+    val anchors = e.filter(col("vec_id") < Anchors)
       .select(col("vec_id").as("a_id"), col("vd").as("a_vd"), col("nrm").as("a_nrm"))
     val corpus = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
       col("vd").as("b_vd"), col("nrm").as("b_nrm"))
@@ -90,7 +99,7 @@ object Similarity {
         SELECT a.vec_id AS a_id, b.vec_id AS b_id, b.label AS b_label,
           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
         FROM e a JOIN e b ON a.vec_id <> b.vec_id
-        WHERE a.vec_id % 100 = 0)
+        WHERE a.vec_id < 50)
       SELECT a_id, b_id, b_label, rnk, cosine FROM (
         SELECT *, row_number() OVER (PARTITION BY a_id
           ORDER BY cosine DESC, b_id ASC) AS rnk FROM scored) t
@@ -125,7 +134,7 @@ object Similarity {
       col("vec_id"), col("vd"), col("nrm"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
 
-    val anchors = banded.filter(col("vec_id") % 100 === 0)
+    val anchors = banded.filter(col("vec_id") < Anchors)
       .select(col("vec_id").as("a_id"), col("vd").as("a_vd"),
         col("nrm").as("a_nrm"), col("band_idx"), col("band_val"))
     val cand = anchors
@@ -207,7 +216,7 @@ object Similarity {
       col("nrm").as("b_nrm"), col("list_id"))
 
     // anchors probe their top-IvfProbes lists
-    val anchors = assigned.filter(col("vec_id") % 100 === 0)
+    val anchors = assigned.filter(col("vec_id") < Anchors)
       .withColumn("probe_lists",
         expr(s"""slice(array_sort(
             transform(sequence(0, size(cscores) - 1),
@@ -250,7 +259,7 @@ object Similarity {
         aggregate(col("vd"), lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0)
       .withColumn("q",
         transform(col("vd"), x => round(x / col("scale")).cast("double")))
-    val anchors = e.filter(col("vec_id") % 100 === 0)
+    val anchors = e.filter(col("vec_id") < Anchors)
       .select(col("vec_id").as("a_id"), col("vd").as("a_vd"),
         col("nrm").as("a_nrm"), col("q").as("a_q"), col("scale").as("a_s"))
     val corpus = e.select(col("vec_id").as("b_id"), col("vd").as("b_vd"),

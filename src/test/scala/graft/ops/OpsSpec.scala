@@ -52,9 +52,28 @@ class OpsSpec extends AnyFunSuite {
     val sh = Dedup.qDedupSimhash(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(mh.nonEmpty && sh.nonEmpty)
-    // multiprobe blocking (hamming ≤ 15 guarantee) + exact verify: the
-    // simhash pair set now EQUALS the exact near-dup set on this corpus
+    // 16-bit-word symmetric multiprobe (hamming ≤ 11 guarantee) + exact
+    // verify: the simhash pair set EQUALS the exact near-dup set here
     assert(sh == mh, s"simhash != exact: missing=${mh -- sh} extra=${sh -- mh}")
+    // envelope guard: every true pair must stay inside the blocking
+    // guarantee (min word-hamming ≤ 2 over the four 16-bit words) — if
+    // the corpus ever drifts past it, this fails before the oracle does
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ", -1)) >= 3)
+      .select(col("doc_id"), Dedup.wordShingles(col("text")).as("sh"))
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.Sketches.simhash64(col("sh")).as("simhash"))
+    val maxMinWordH = Dedup.qDedupMinhash(spark, dir)
+      .select(col("d1"), col("d2"))
+      .join(sigs.select(col("doc_id").as("d1"), col("simhash").as("s1")), "d1")
+      .join(sigs.select(col("doc_id").as("d2"), col("simhash").as("s2")), "d2")
+      .withColumn("min_word_h", least((0 until 4).map { w =>
+        expr(s"bit_count((shiftright(s1, ${16 * w}) ^ shiftright(s2, ${16 * w})) & 65535)")
+      }: _*))
+      .agg(max(col("min_word_h"))).collect()(0).getInt(0)
+    assert(maxMinWordH <= 2,
+      s"true pair outside blocking envelope: min word-hamming $maxMinWordH > 2")
   }
 
   test("ann lsh candidates agree with brute force on shared pairs and " +
