@@ -26,5 +26,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       TextAnalysis.oracles ++ EventOps.oracles ++ Multimodal.oracles ++
-      graft.cdc.CdcColumns.oracles
+      graft.cdc.CdcColumns.oracles ++ graft.convert.ConvertQueries.oracles
 }

@@ -9,11 +9,40 @@ import graft.avro.ConvertMode
 
 /** Conversion-path queries for the driver gate. These synthesize their own
   * deterministic CDC Avro input (the conversion workload has no testdata
-  * parquet equivalent), so they carry no DuckDB oracle — the driver records
-  * the rows-only check; value-level assertions live in
+  * parquet equivalent); the conversion queries write their parquet under a
+  * FIXED path so the DuckDB oracle can independently re-read the written
+  * bytes and re-run the aggregation (`read_parquet` over the job's own
+  * output) — a real cross-engine check on the parquet the job produces,
+  * not a rows-only count. Only the catalog query (whose oracle would
+  * duplicate the DSv2 one) stays rows-only; value-level assertions live in
   * `AvroToParquetJobSpec` / `AvroCdcDataSourceSpec`.
   */
 object ConvertQueries {
+
+  /** Fixture root shared with the oracle SQL — a fixed location (not a
+    * random temp dir) because the DuckDB side must name the same path in
+    * static SQL. Each query wipes and regenerates its own subdirectory,
+    * so repeated gate runs always compare freshly written output.
+    */
+  private val OracleRoot = "/tmp/graft_oracle_fixture"
+
+  private def freshDir(name: String): String = {
+    val dir = new java.io.File(s"$OracleRoot/$name")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) { val c = f.listFiles(); if (c != null) c.foreach(rm) }
+      f.delete(): Unit
+    }
+    rm(dir)
+    dir.mkdirs()
+    dir.getAbsolutePath
+  }
+
+  private def cdcFixture(name: String): String = {
+    val dir = freshDir(name)
+    graft.BenchData.writeCdcAvro(s"$dir/landing/avro/orders/part-0.avro", rows = 5000)
+    graft.BenchData.writeCdcAvro(s"$dir/landing/avro/users/part-0.avro", rows = 3000)
+    dir
+  }
 
   private def fixture(): String = {
     val dir = Files.createTempDirectory("graft-convq").toFile.getAbsolutePath
@@ -23,10 +52,12 @@ object ConvertQueries {
   }
 
   /** Full job: Avro → flattened partitioned parquet → read back, aggregate
-    * per folder/change_type.
+    * per folder/change_type. The oracle re-reads the WRITTEN parquet with
+    * DuckDB and re-aggregates — decimal casts to VARCHAR on both sides
+    * (pandas reads Spark decimals as objects, DuckDB downcasts to float).
     */
   def qCdcConvertRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = fixture()
+    val tmp = cdcFixture("roundtrip")
     AvroToParquetJob.runOnce(spark, s"$tmp/landing/avro/*/*.avro",
       s"$tmp/out", ConvertMode.Standard, ingestionDate = Some("2024-06-01"))
     // reference layout: <out>/<folder>/ingestion_date=… — the folder is a
@@ -36,19 +67,45 @@ object ConvertQueries {
     }.reduce(_.unionByName(_))
       .groupBy(col("folder"), col("source_metadata.change_type").as("change_type"))
       .agg(count(lit(1)).as("n"), sum(col("qty")).as("total_qty"),
-        max(col("price")).as("max_price"))
+        max(col("price")).cast("string").as("max_price"))
       .orderBy(col("folder"), col("change_type"))
   }
 
-  /** DSv2 scan path: `format("cdc-avro")` with pruning + SQL aggregation. */
+  val qCdcConvertRoundtripOracle: String =
+    s"""WITH w AS (
+        SELECT 'orders' AS folder, * FROM
+          read_parquet('$OracleRoot/roundtrip/out/orders/ingestion_date=*/*.parquet')
+        UNION ALL
+        SELECT 'users' AS folder, * FROM
+          read_parquet('$OracleRoot/roundtrip/out/users/ingestion_date=*/*.parquet'))
+      SELECT folder, source_metadata['change_type'] AS change_type,
+        count(*) AS n, sum(qty)::BIGINT AS total_qty,
+        max(price)::VARCHAR AS max_price
+      FROM w GROUP BY folder, change_type ORDER BY folder, change_type"""
+
+  /** DSv2 scan path: `format("cdc-avro")` with pruning + SQL aggregation.
+    * The oracle cross-checks the DSv2 Avro READ path against the
+    * conversion WRITE path: the same fixture is also converted to parquet
+    * and DuckDB re-runs the aggregation over those written bytes — two
+    * independent decoders of the same data must agree.
+    */
   def qCdcDsv2Scan(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = fixture()
+    val tmp = cdcFixture("dsv2")
+    AvroToParquetJob.runOnce(spark, s"$tmp/landing/avro/*/*.avro",
+      s"$tmp/out", ConvertMode.Standard, ingestionDate = Some("2024-06-01"))
     spark.read.format("cdc-avro").load(s"$tmp/landing/avro/*/*.avro")
       .filter(!col("source_metadata.is_deleted"))
       .groupBy(col("source_metadata.table").as("tbl"))
-      .agg(count(lit(1)).as("n"), avg(col("qty")).as("avg_qty"))
+      .agg(count(lit(1)).as("n"), round(avg(col("qty")), 6).as("avg_qty"))
       .orderBy(col("tbl"))
   }
+
+  val qCdcDsv2ScanOracle: String =
+    s"""SELECT source_metadata['table'] AS tbl, count(*) AS n,
+        round(avg(qty), 6) AS avg_qty
+      FROM read_parquet('$OracleRoot/dsv2/out/*/ingestion_date=*/*.parquet')
+      WHERE NOT source_metadata['is_deleted']
+      GROUP BY tbl ORDER BY tbl"""
 
   /** ReferenceExact mode through the gate: a payload with complex/binary
     * columns routes the whole file through the all-string fallback
@@ -57,7 +114,7 @@ object ConvertQueries {
     * stringification survive a full write/read cycle.
     */
   def qCdcConvertExact(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft-convx").toFile.getAbsolutePath
+    val tmp = freshDir("exact")
     val schemaJson =
       """{"type":"record","name":"cdc_event","fields":[
         {"name":"source_metadata","type":{"type":"record","name":"sm","fields":[
@@ -99,13 +156,21 @@ object ConvertQueries {
 
     AvroToParquetJob.runOnce(spark, s"$tmp/landing/avro/*/*.avro",
       s"$tmp/out", ConvertMode.ReferenceExact, ingestionDate = Some("2024-06-01"))
-    // fallback output: payload columns are all strings (canonical JSON)
+    // fallback output: payload columns are all strings (canonical JSON);
+    // the oracle re-reads the written parquet (string max = binary order
+    // in both engines)
     spark.read.parquet(s"$tmp/out")
       .groupBy(col("tags"))
       .agg(count(lit(1)).as("n"), max(col("attrs")).as("max_attrs"),
         max(col("id")).as("max_id_str"))
       .orderBy(col("tags"))
   }
+
+  val qCdcConvertExactOracle: String =
+    s"""SELECT tags, count(*) AS n, max(attrs) AS max_attrs,
+        max(id) AS max_id_str
+      FROM read_parquet('$OracleRoot/exact/out/*/ingestion_date=*/*.parquet')
+      GROUP BY tags ORDER BY tags"""
 
   /** Landing-zone catalog path: folders surfaced as SQL tables via
     * [[graft.sources.AvroCdcCatalog]], queried with plain multi-table SQL.
@@ -130,5 +195,15 @@ object ConvertQueries {
     "q_cdc_convert_exact" -> (qCdcConvertExact _),
     "q_cdc_dsv2_scan" -> (qCdcDsv2Scan _),
     "q_cdc_catalog" -> (qCdcCatalog _),
+  )
+
+  /** q_cdc_catalog stays rows-only: its oracle would be byte-identical to
+    * the DSv2 one (same fixture, same engine-side read path under the
+    * catalog) — the catalog surface is covered by AvroCdcCatalogSpec.
+    */
+  val oracles: Map[String, String] = Map(
+    "q_cdc_convert_roundtrip" -> qCdcConvertRoundtripOracle,
+    "q_cdc_convert_exact" -> qCdcConvertExactOracle,
+    "q_cdc_dsv2_scan" -> qCdcDsv2ScanOracle,
   )
 }

@@ -27,16 +27,51 @@ object Layout {
         (shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
     }.reduce(_ + _)
 
-  /** Rank-normalize a column to [0, 2^bits) fixed-point via a global
-    * percent_rank — makes the interleave robust to skewed value
-    * distributions (raw values would starve one dimension of bits).
-    * One sort-shuffle; at 100 TB swap in an approx-quantile histogram
-    * lookup for the same effect without the global sort.
+  /** Rank resolution: 1024 quantile buckets per dimension — far finer
+    * than row-group granularity (the pruning unit), at a sketch size the
+    * driver holds trivially.
     */
-  def rankBucket(c: Column, bits: Int = 16): Column = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(c)
-    least(floor(percent_rank().over(w) * (1L << bits)),
-      lit((1L << bits) - 1)).cast("long")
+  private val ResBits = 10
+
+  /** Monotone double image of an orderable column, so one quantile/bucket
+    * path serves numerics, dates, and timestamps (rank is preserved under
+    * any strictly monotone map).
+    */
+  private def rankable(df: DataFrame, colName: String): Column =
+    df.schema(colName).dataType match {
+      case org.apache.spark.sql.types.DateType =>
+        unix_date(col(colName)).cast("double")
+      case org.apache.spark.sql.types.TimestampType =>
+        unix_micros(col(colName)).cast("double")
+      case _: org.apache.spark.sql.types.NumericType =>
+        col(colName).cast("double")
+      case t => throw new IllegalArgumentException(
+        s"z-order: unsupported column type $t for $colName")
+    }
+
+  /** Rank-normalize a column to [0, 2^bits) fixed-point — makes the
+    * interleave robust to skewed value distributions (raw values would
+    * starve one dimension of bits).
+    *
+    * Scale path: ONE distributed approx-quantile pass (Greenwald-Khanna
+    * sketch, merged per-partition — no sort, no shuffle) computes 2^10−1
+    * boundary values on the driver; each row then maps to its bucket by
+    * binary search against that array riding in codegen as a reference
+    * object ([[graft.functions.Bucketize]]). The previous spelling — a
+    * no-partition `Window.orderBy` percent_rank — pushed the ENTIRE
+    * dataset through a single sort task, the one place this operator
+    * broke at 100×. Bucket indices are scaled up to the 2^bits z-domain
+    * so [[zValue]]'s interleave contract is unchanged.
+    */
+  def rankBucket(df: DataFrame, colName: String, bits: Int = 16): Column = {
+    val resBits = math.min(bits, ResBits)
+    val nb = 1 << resBits
+    val probs = (1 until nb).map(_.toDouble / nb).toArray
+    val proj = df.select(rankable(df, colName).as("__rk"))
+    val bounds = proj.stat.approxQuantile("__rk", probs, 1.0 / (4 * nb))
+    val bucket = graft.functions.Bucketize
+      .bucketOfCol(rankable(df, colName), bounds)
+    (bucket * lit(1L << (bits - resBits))).cast("long")
   }
 
   /** Z-order `df` by two columns into `numFiles` files at `path`.
@@ -47,7 +82,7 @@ object Layout {
   def zorderWrite(
       df: DataFrame, colA: String, colB: String,
       path: String, numFiles: Int, bits: Int = 16): Unit = {
-    val z = zValue(rankBucket(col(colA), bits), rankBucket(col(colB), bits),
+    val z = zValue(rankBucket(df, colA, bits), rankBucket(df, colB, bits),
       bits)
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))

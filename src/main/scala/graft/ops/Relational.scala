@@ -576,16 +576,30 @@ object Relational {
     * this query carries no DuckDB oracle (rows-only check); the exact
     * column doubles as an internal consistency anchor.
     */
+  /** approx_count_distinct's HLL++ estimate is engine-specific, so the
+    * hash-matched surface emits the exact count plus a `within_bound`
+    * flag: the estimate (rsd 0.02) must land within 10% of truth — a
+    * 5-sigma envelope, deterministic for a given dataset since HLL
+    * sketches carry no runtime randomness. The oracle computes the same
+    * exact columns with `true`, giving this query a full value-level
+    * gate instead of the old rows-only check.
+    */
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy($"l_returnflag")
       .agg(
         countDistinct($"l_orderkey").as("exact_orders"),
-        approx_count_distinct($"l_orderkey").as("approx_orders"))
-      .withColumn("rel_err",
-        round(abs($"approx_orders" - $"exact_orders") /
-          $"exact_orders".cast("double"), 4))
+        approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"))
+      .withColumn("within_bound",
+        abs($"approx_orders" - $"exact_orders") /
+          $"exact_orders".cast("double") <= 0.1)
+      .select($"l_returnflag", $"exact_orders", $"within_bound")
       .orderBy($"l_returnflag")
+
+  val qApproxDistinctOracle: String =
+    """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
+      true AS within_bound
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
   // ---------- SQL surface (spark.sql over registered views) ----------
   def qSqlSurface(spark: SparkSession, dir: String): DataFrame = {
@@ -867,6 +881,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_approx_distinct" -> qApproxDistinctOracle,
     "q01_pricing_summary" -> q01Oracle,
     "q02_topk_orders" -> q02Oracle,
     "q03_shipping_priority" -> q03Oracle,

@@ -213,6 +213,23 @@ class OpsSpec extends AnyFunSuite {
       s"sorted layout should NOT prune the day dimension: $sDay of $total")
   }
 
+  test("rankBucket: distributed quantile lookup — no Window in the plan, " +
+    "monotone in the source column, full bucket range") {
+    import org.apache.spark.sql.functions.col
+    val ev = graft.ops.Tables.events(spark, dir).select(col("value"))
+    val b = ev.withColumn("b", graft.ops.Layout.rankBucket(ev, "value"))
+    // the old percent_rank spelling put ALL rows through one Window sort
+    // task; the quantile+binary-search path must plan no Window at all
+    assert(!b.queryExecution.executedPlan.toString.contains("Window"),
+      "rankBucket plan contains a Window operator")
+    val rows = b.orderBy(col("value")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(rows.sliding(2).forall { case Array(lo, hi) => lo._2 <= hi._2 },
+      "bucket not monotone in value")
+    val distinct = rows.map(_._2).distinct.length
+    assert(distinct > 100, s"only $distinct distinct buckets")
+  }
+
   test("rolling hash expression matches a reference Scala fold and codegen runs") {
     import org.apache.spark.sql.functions._
     val df = Tables.documents(spark, dir).limit(50)
