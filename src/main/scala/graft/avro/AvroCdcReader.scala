@@ -51,9 +51,24 @@ object AvroCdcReader {
 
   final case class FileSchema(path: String, fingerprint: Long, schemaJson: String)
 
+  /** Per-column failure forensics (reference main.py:529-540: on
+    * Arrow-build failure the reference probes every column individually
+    * and logs the offender's name, declared type, sample, and error).
+    * `sampleValue` is the datum that actually broke the conversion —
+    * strictly more actionable than the reference's first-non-null sample.
+    */
+  final case class ColumnFailure(
+      column: String,
+      declaredType: String,
+      sampleValue: String,
+      error: String) extends Serializable
+
   sealed trait FileStatus { def path: String }
   final case class FileOk(path: String) extends FileStatus
-  final case class FileNeedsFallback(path: String, reason: String) extends FileStatus
+  final case class FileNeedsFallback(
+      path: String,
+      reason: String,
+      columns: Seq[ColumnFailure] = Nil) extends FileStatus
   final case class FileFailed(path: String, reason: String) extends FileStatus
 
   private def slices(n: Int, spark: SparkSession): Int =
@@ -105,9 +120,48 @@ object AvroCdcReader {
     } finally stream.close()
   }
 
+  private def payloadOf(r: GenericRecord): GenericRecord =
+    r.getSchema.getField("payload") match {
+      case null => null
+      case _ => r.get("payload") match {
+        case p: GenericRecord => p
+        case _ => null
+      }
+    }
+
+  /** Column-level probe over an already-read file (the reference's
+    * per-column `pa.array` retry, main.py:529-540): convert each payload
+    * field independently across all records and report every field that
+    * fails, with the breaking datum and error. Only runs on files already
+    * classified as needing fallback, so its cost is bounded by the
+    * failure rate, not the corpus size.
+    */
+  private[avro] def probeColumns(
+      records: scala.collection.Seq[GenericRecord],
+      flat: AvroSchemaConverter.FlatSchema): Seq[ColumnFailure] =
+    flat.payloadFields.flatMap { f =>
+      var failure: Option[ColumnFailure] = None
+      val it = records.iterator
+      while (failure.isEmpty && it.hasNext) {
+        val p = payloadOf(it.next())
+        val v =
+          if (p == null || p.getSchema.getField(f.name) == null) null
+          else p.get(f.name)
+        try { AvroValueConverter.convert(v, f.tpe, ConvertMode.ReferenceExact); () }
+        catch {
+          case e: Exception =>
+            failure = Some(ColumnFailure(
+              f.name, f.tpe.toString, String.valueOf(v).take(200), e.toString))
+        }
+      }
+      failure
+    }.toSeq
+
   /** Probe pass for ReferenceExact mode: classify each file as cleanly
     * typed / needs all-string fallback / hard-failed. Mirrors the
-    * reference's Arrow-build try (main.py:524-527) at file granularity.
+    * reference's Arrow-build try (main.py:524-527) at file granularity,
+    * and on failure identifies the offending column(s) via
+    * [[probeColumns]].
     */
   def probe(
       spark: SparkSession,
@@ -129,8 +183,9 @@ object AvroCdcReader {
             // reference re-raises, main.py:565-567) — probe it too
             try {
               val (records, _) = readAll(p, conf.value)
+              val cols = probeColumns(records, flatB.value)
               records.foreach(r => AvroValueConverter.flattenFallback(r, flatB.value))
-              FileNeedsFallback(p, e.msg): FileStatus
+              FileNeedsFallback(p, e.msg, cols): FileStatus
             } catch {
               case e2: Exception => FileFailed(p, e2.toString): FileStatus
             }

@@ -36,7 +36,11 @@ object AvroToParquetJob {
       discovered: Int,
       converted: Seq[String],
       fallback: Seq[String],
-      failed: Seq[String])
+      failed: Seq[String],
+      /** path → offending columns, for every fallback file (ReferenceExact
+        * probe forensics — reference main.py:529-540).
+        */
+      columnFailures: Map[String, Seq[AvroCdcReader.ColumnFailure]] = Map.empty)
 
   /** Extract the partition folder from the source path: regex group after
     * `/avro/`, else "unknown" (reference main.py:570-571). Driver-side —
@@ -55,13 +59,22 @@ object AvroToParquetJob {
     else matches.filter(_.isFile).map(_.getPath.toString).sorted.toSeq
   }
 
+  /** `audit`: optional structured-log sink (the reference's runtime
+    * schema/type audit surface, main.py:496-511): when set, each schema
+    * group logs its canonical Avro schema, the derived flat schema, and a
+    * line per decimal / unexpected-float field; fallback files log one
+    * line per offending column. A function rather than a logger so tests
+    * (and callers with their own log pipelines) capture lines directly;
+    * pass `Some(log.info(_))` for plain logging.
+    */
   def runOnce(
       spark: SparkSession,
       inputPattern: String,
       outputPrefix: String,
       mode: ConvertMode = ConvertMode.Standard,
       ledgerDir: Option[String] = None,
-      ingestionDate: Option[String] = None): ConvertReport = {
+      ingestionDate: Option[String] = None,
+      audit: Option[String => Unit] = None): ConvertReport = {
 
     val ledger = ledgerDir.map(d => new FileLedger(d, spark.sparkContext.hadoopConfiguration))
     val all = discover(spark, inputPattern)
@@ -76,6 +89,7 @@ object AvroToParquetJob {
     var converted = Vector.empty[String]
     var fellBack = Vector.empty[String]
     var failed = Vector.empty[String] ++ unreadable.map(_._1)
+    var colFailures = Map.empty[String, Seq[AvroCdcReader.ColumnFailure]]
 
     // One write per (writer schema, folder): the reference's layout is
     // <prefix>/<folder>/ingestion_date=YYYY-MM-DD/ with the folder as a
@@ -85,6 +99,28 @@ object AvroToParquetJob {
     // in its own task, and the plan stays shuffle-free.
     groups.foreach { group =>
       val flat = AvroSchemaConverter.deriveFlatSchema(group.head.schemaJson)
+
+      // runtime schema/type audit (reference main.py:496-511): canonical
+      // writer schema + derived flat schema once per schema GROUP (the
+      // reference logs per file, but files in a group are byte-identical
+      // in schema — example_file preserves the provenance pointer)
+      audit.foreach { log =>
+        val parsed = new org.apache.avro.Schema.Parser().parse(group.head.schemaJson)
+        log(s"[AVRO-SCHEMA] example_file=${group.head.path} " +
+          s"fingerprint=${group.head.fingerprint} " +
+          s"schema=${org.apache.avro.SchemaNormalization.toParsingForm(parsed)}")
+        log(s"[FLAT-SCHEMA] example_file=${group.head.path} " +
+          s"fields=${flat.payloadFields.map(f => s"${f.name}:${f.tpe}").mkString(",")}")
+        flat.payloadFields.foreach { f =>
+          f.tpe match {
+            case graft.avro.AvroSparkType.TDecimal =>
+              log(s"[DECIMAL-FIELD] field=${f.name} type=decimal(38,9)")
+            case graft.avro.AvroSparkType.TDouble | graft.avro.AvroSparkType.TFloat =>
+              log(s"[FLOAT-FIELD] field=${f.name} (unexpected float)")
+            case _ => ()
+          }
+        }
+      }
 
       group.groupBy(s => folderOf(s.path)).foreach { case (folder, sub) =>
         val groupPaths = sub.map(_.path)
@@ -101,8 +137,18 @@ object AvroToParquetJob {
           case ConvertMode.ReferenceExact =>
             val statuses = AvroCdcReader.probe(spark, groupPaths, flat)
             val ok = statuses.collect { case AvroCdcReader.FileOk(p) => p }
-            val fb = statuses.collect { case AvroCdcReader.FileNeedsFallback(p, _) => p }
+            val fbs = statuses.collect { case f: AvroCdcReader.FileNeedsFallback => f }
+            val fb = fbs.map(_.path)
             val bad = statuses.collect { case AvroCdcReader.FileFailed(p, _) => p }
+            fbs.foreach { f =>
+              colFailures += f.path -> f.columns
+              audit.foreach { log =>
+                f.columns.foreach { c =>
+                  log(s"[COLUMN-FAILURE] file=${f.path} column=${c.column} " +
+                    s"type=${c.declaredType} sample=${c.sampleValue} error=${c.error}")
+                }
+              }
+            }
             val acc = spark.sparkContext.collectionAccumulator[String]("graft.failedFiles")
             if (ok.nonEmpty)
               write(AvroCdcReader.readGroup(spark, ok, flat, mode, acc),
@@ -121,7 +167,7 @@ object AvroToParquetJob {
     // matching MatchContinuously's has_deduplication (a failed file is not
     // retried by the reference either; its DoFn failure is terminal)
     ledger.foreach(_.add(paths))
-    ConvertReport(paths.size, converted, fellBack, failed)
+    ConvertReport(paths.size, converted, fellBack, failed, colFailures)
   }
 
   private def write(

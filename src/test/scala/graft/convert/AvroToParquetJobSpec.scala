@@ -148,6 +148,50 @@ class AvroToParquetJobSpec extends AnyFunSuite {
     assert(sm.getString(sm.fieldIndex("table")) == "t1")
   }
 
+  test("fallback forensics: every offending column is named in the report " +
+    "with type/sample/error, and the audit log carries the lines") {
+    val in = tmpDir("graft-in4f")
+    val out = tmpDir("graft-out4f")
+    AvroFixtures.writeAvro(s"$in/avro/t1/f.avro", complexEnvelope, Seq(
+      Map("source_metadata" -> AvroFixtures.sm("t1"),
+        "payload" -> Map(
+          "id" -> 7L,
+          "tags" -> Seq("x", "y"),
+          "attrs" -> Map("k" -> 1L),
+          "blob" -> "bb".getBytes("UTF-8")))))
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    val rep = AvroToParquetJob.runOnce(spark, s"$in/avro/*/*.avro", out,
+      ConvertMode.ReferenceExact, ingestionDate = Some("2024-06-01"),
+      audit = Some(lines += _))
+    assert(rep.fallback.size == 1)
+    val failures = rep.columnFailures(rep.fallback.head)
+    // the three complex/binary columns are identified individually — not
+    // just "file needs fallback" (reference main.py:529-540 parity)
+    assert(failures.map(_.column).toSet == Set("tags", "attrs", "blob"),
+      s"got ${failures.map(_.column)}")
+    val tagsF = failures.find(_.column == "tags").get
+    assert(tagsF.declaredType.nonEmpty && tagsF.error.nonEmpty &&
+      tagsF.sampleValue.nonEmpty)
+    assert(lines.exists(_.startsWith("[AVRO-SCHEMA]")))
+    assert(lines.exists(_.startsWith("[FLAT-SCHEMA]")))
+    val colLines = lines.filter(_.startsWith("[COLUMN-FAILURE]"))
+    assert(colLines.size == 3 && colLines.forall(_.contains("file=")))
+  }
+
+  test("schema audit log: decimal fields are called out per schema group") {
+    val in = tmpDir("graft-in-audit")
+    val out = tmpDir("graft-out-audit")
+    graft.BenchData.writeCdcAvro(s"$in/avro/b/part-0.avro", rows = 10)
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    AvroToParquetJob.runOnce(spark, s"$in/avro/*/*.avro", out,
+      ConvertMode.Standard, ingestionDate = Some("2024-06-01"),
+      audit = Some(lines += _))
+    assert(lines.exists(l =>
+      l.startsWith("[DECIMAL-FIELD]") && l.contains("field=price")))
+    assert(lines.exists(l =>
+      l.startsWith("[AVRO-SCHEMA]") && l.contains("fingerprint=")))
+  }
+
   test("hard failure: garbage tx_id fails the file in both modes, others convert") {
     val in = tmpDir("graft-in5")
     val out = tmpDir("graft-out5")
