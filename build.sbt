@@ -10,6 +10,13 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share one SparkSession and several assert PLAN SHAPES inside
+// temporary SQL-conf windows (skew forcing, broadcast thresholds, AQE
+// advisories). Parallel suites would race those windows — a z-order
+// write overlapping the skew test's 32KB advisory partition size
+// produces nondeterministic layouts. Serial execution makes every
+// plan/layout assertion deterministic.
+Test / parallelExecution := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -74,20 +74,35 @@ object Layout {
     (bucket * lit(1L << (bits - resBits))).cast("long")
   }
 
-  /** Z-order `df` by two columns into `numFiles` files at `path`.
-    * Range-repartition on the z-value keeps files disjoint in z-space
-    * (each file = one tight z-range = tight min/max on BOTH source
-    * columns); the within-partition sort tightens row groups further.
+  /** Z-order `df` by two columns into `numFiles` z-range buckets at
+    * `path`. Files stay disjoint in z-space (each bucket = one tight
+    * z-range = tight min/max on BOTH source columns); the within-bucket
+    * sort tightens row groups further.
+    *
+    * Bucket boundaries come from a SECOND approx-quantile pass over the
+    * z-value, not `repartitionByRange`: range partitioning draws its
+    * boundaries from an RDD-id-seeded random sample, so the produced
+    * layout drifts from run to run (and at 100 TB the sampling pass is
+    * an extra scan you'd replace with a histogram anyway). The quantile
+    * boundaries are deterministic for a given dataset; `partitionBy` on
+    * the bucket id then guarantees every physical file holds exactly one
+    * z-range even when the shuffle hashes two bucket ids into one task.
     */
   def zorderWrite(
       df: DataFrame, colA: String, colB: String,
       path: String, numFiles: Int, bits: Int = 16): Unit = {
     val z = zValue(rankBucket(df, colA, bits), rankBucket(df, colB, bits),
       bits)
-    df.withColumn("__z", z)
-      .repartitionByRange(numFiles, col("__z"))
+    val withZ = df.withColumn("__z", z)
+    val probs = (1 until numFiles).map(_.toDouble / numFiles).toArray
+    val zBounds = withZ.select(col("__z").cast("double").as("__z"))
+      .stat.approxQuantile("__z", probs, 1.0 / (8 * numFiles))
+    withZ
+      .withColumn("__zfile", graft.functions.Bucketize
+        .bucketOfCol(col("__z").cast("double"), zBounds).cast("int"))
+      .repartition(numFiles, col("__zfile"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").partitionBy("__zfile").parquet(path)
   }
 }

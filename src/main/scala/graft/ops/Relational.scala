@@ -585,10 +585,16 @@ object Relational {
     * gate instead of the old rows-only check.
     */
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    // both aggregates run over the pre-deduplicated (flag, orderkey) set:
+    // HLL sketches are duplicate-insensitive, so the estimate is
+    // IDENTICAL to approx_count_distinct over the raw rows, and the
+    // two-level aggregate (partial-combinable both levels) replaces the
+    // Expand plan that countDistinct-next-to-another-agg forces
     Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag", $"l_orderkey").agg(lit(1))
       .groupBy($"l_returnflag")
       .agg(
-        countDistinct($"l_orderkey").as("exact_orders"),
+        count(lit(1)).as("exact_orders"),
         approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"))
       .withColumn("within_bound",
         abs($"approx_orders" - $"exact_orders") /

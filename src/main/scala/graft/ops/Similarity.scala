@@ -285,12 +285,98 @@ object Similarity {
       .orderBy(col("a_id"), col("rnk"))
   }
 
+  // ---------- product-quantized ANN (ADC scoring; completes the FAISS family) ----------
+  private val PqM = 8 // sub-spaces of Dim/PqM = 8 dims each
+  private val PqK = 16 // centroids per sub-space → 4-bit codes
+  private val PqIters = 2
+
+  /** Training-sample size: a FIXED count, like the anchor sets — codebook
+    * quality saturates long before the corpus does (FAISS trains PQ on
+    * 10-100k samples regardless of index size), so training cost stays
+    * constant as the corpus grows.
+    */
+  private val PqTrainSample = 1000
+
+  /** Lloyd-trained product codebook: deterministic init (sub-vectors of
+    * the first `PqK` vectors by id), then `PqIters` assign/update rounds
+    * over a fixed-size training sample — ALL sub-spaces trained in one
+    * distributed aggregation per round (encode → posexplode codes →
+    * groupBy (sub-space, code) → [[VecOps]] mean). Only the
+    * `PqM × PqK × 8`-double codebook reaches the driver.
+    */
+  private[ops] def trainPqCodebook(
+      e: org.apache.spark.sql.DataFrame): Array[Array[Array[Double]]] = {
+    val subDim = Dim / PqM
+    val sample = e.filter(col("vec_id") < PqTrainSample)
+    val init = e.filter(col("vec_id") < PqK).orderBy(col("vec_id"))
+      .collect()
+      .map(_.getAs[Seq[Double]]("vd").toArray)
+    var book = Array.tabulate(PqM)(m =>
+      init.map(_.slice(m * subDim, (m + 1) * subDim)))
+    (1 to PqIters).foreach { _ =>
+      val means = sample
+        .withColumn("codes", graft.functions.PqOps.encodeCol(col("vd"), book))
+        .select(col("vd"), posexplode(col("codes")).as(Seq("m", "code")))
+        .withColumn("sub", expr(s"slice(vd, m * $subDim + 1, $subDim)"))
+        .groupBy(col("m"), col("code"))
+        .agg(graft.functions.VecOps.vecAvgCol(col("sub"), subDim).as("mean"))
+        .collect()
+      val next = book.map(_.map(_.clone()))
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getAs[Seq[Double]]("mean").toArray
+      }
+      book = next // empty cells keep their previous centroid
+    }
+    book
+  }
+
+  /** PQ + ADC + exact refine (the FAISS `PQ8,Refine` layout): corpus
+    * vectors compress to 8 codes of 4 bits — 4 bytes against 256 bytes of
+    * float64, the difference between an in-memory index and a spilling
+    * one at 100 TB. Each anchor precomputes its `M × K` dot-product
+    * lookup table ONCE ([[graft.functions.PqOps.lut]]); scoring a corpus
+    * vector is then 8 table reads (no float math per pair), a top-30 cut
+    * on the ADC score, and an exact float re-rank of just those
+    * candidates. Approximate → no SQL oracle; recall vs `q_ann_topk` is
+    * asserted in OpsSpec.
+    */
+  def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = withVec(Tables.embeddings(spark, dir))
+    val book = trainPqCodebook(e)
+    val corpus = e.select(col("vec_id").as("b_id"), col("vd").as("b_vd"),
+      col("nrm").as("b_nrm"),
+      graft.functions.PqOps.encodeCol(col("vd"), book).as("b_codes"))
+    val anchors = e.filter(col("vec_id") < Anchors)
+      .select(col("vec_id").as("a_id"), col("vd").as("a_vd"),
+        col("nrm").as("a_nrm"),
+        graft.functions.PqOps.lutCol(col("vd"), book).as("a_lut"))
+    val approx = broadcast(anchors)
+      .join(corpus, col("a_id") =!= col("b_id"))
+      .withColumn("qscore",
+        graft.functions.PqOps.adcCol(col("a_lut"), col("b_codes"), PqK)
+          / (col("a_nrm") * col("b_nrm")))
+    val wq = Window.partitionBy(col("a_id"))
+      .orderBy(col("qscore").desc, col("b_id").asc)
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("cosine").desc, col("b_id").asc)
+    approx
+      .withColumn("qrnk", row_number().over(wq))
+      .filter(col("qrnk") <= 30) // candidate cut on the compressed score
+      .withColumn("cosine", // exact refine on the float vectors
+        round(dot(col("a_vd"), col("b_vd")) / (col("a_nrm") * col("b_nrm")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("a_id"), col("b_id"), col("rnk"), col("cosine"))
+      .orderBy(col("a_id"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_ann_topk" -> (qAnnTopk _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_quantized" -> (qAnnQuantized _),
+    "q_ann_pq" -> (qAnnPq _),
   )
 
   /** q_ann_lsh and q_ann_ivf are approximate — no SQL oracle; recall vs

@@ -112,6 +112,24 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"sq8 top-10 recall $recall too low ($hit/${brute.size})")
   }
 
+  test("ann pq: ADC cut + exact refine — emitted cosines exact, usable " +
+    "top-10 recall from 4-byte codes") {
+    val brute = Similarity.qAnnTopk(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getInt(3), r.getDouble(4)))).toMap
+    val pq = Similarity.qAnnPq(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3)))
+    assert(pq.nonEmpty)
+    // refine step computes EXACT cosines — emitted values must equal brute
+    pq.foreach { case (pair, cos) =>
+      brute.get(pair).foreach { case (_, bcos) => assert(cos == bcos, pair) }
+    }
+    // PQ at 8×4-bit codes is the lossiest family member: demand useful,
+    // not near-perfect, recall from the 64x-compressed candidate cut
+    val hit = brute.keys.count(pq.map(_._1).toSet)
+    val recall = hit.toDouble / brute.size
+    assert(recall >= 0.5, s"pq top-10 recall $recall too low ($hit/${brute.size})")
+  }
+
   test("ann ivf: cosines agree with brute force on shared pairs; " +
     "probed rerank achieves top-1 recall") {
     val brute = Similarity.qAnnTopk(spark, dir).collect()
