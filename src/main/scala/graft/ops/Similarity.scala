@@ -163,11 +163,14 @@ object Similarity {
 
   /** Lloyd-trained coarse centroids: deterministic init (the first
     * `IvfLists` vectors by id), then `IvfIters` assign/update rounds
-    * computed as DataFrame aggregations. Only the MODEL (16×64 doubles)
-    * ever reaches the driver — at 100 TB you train on a sample the same
-    * way; the corpus-side passes stay distributed.
+    * computed as DataFrame aggregations over a FIXED-size training
+    * sample (like the anchor sets: codebook quality saturates long
+    * before the corpus does, so training cost stays constant as the
+    * corpus grows). Only the MODEL (16×64 doubles) ever reaches the
+    * driver; the corpus-side assignment pass stays distributed.
     */
   private[ops] def trainCentroids(e: org.apache.spark.sql.DataFrame): Array[Array[Double]] = {
+    val sample = e.filter(col("vec_id") < PqTrainSample)
     var cents: Array[Array[Double]] = e.filter(col("vec_id") < IvfLists)
       .orderBy(col("vec_id"))
       .collect()
@@ -177,7 +180,7 @@ object Similarity {
     (1 to IvfIters).foreach { _ =>
       // argmin ||v - c||² = argmax (v·c − ||c||²/2) since ||v|| is constant
       // per v; one kernel computes all k scores per row (VecOps scaladoc)
-      val assigned = e.withColumn("cs",
+      val assigned = sample.withColumn("cs",
           graft.functions.VecOps.centroidScoresCol(col("vd"), cents))
         .withColumn("list_id",
           expr("array_position(cs, array_max(cs))").cast("int") - 1)

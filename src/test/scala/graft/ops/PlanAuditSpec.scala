@@ -49,6 +49,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("simhash: candidate join keys are 16-bit words, not bytes " +
+    "(262144 bucket keys — the r2 byte blocking degenerated at scale)") {
+    val p = plan("q_dedup_simhash")
+    assert(p.contains("& 65535"), "blocking must extract 16-bit words")
+    assert(!p.contains("& 255)"),
+      "byte-granularity blocking reappeared — occupancy n/256 is quadratic")
+  }
+
+  test("similarity: anchor predicates are fixed-count pushed filters, " +
+    "never a corpus-fraction modulo") {
+    Seq("q_embed_neardup", "q_ann_topk", "q_ann_lsh", "q_ann_quantized",
+      "q_ann_pq").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("LessThan(vec_id,50)") || p.contains("vec_id#"),
+        s"$q: anchor filter missing")
+      assert(!p.contains("%"), s"$q: modulo anchor rule reappeared — " +
+        "anchors must not scale with the corpus")
+    }
+  }
+
   test("q_join_broadcast: dimension broadcast survives, fact not shuffled " +
     "before the aggregation") {
     val p = plan("q_join_broadcast")
