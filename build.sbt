@@ -18,6 +18,11 @@ Test / fork := true
 // plan/layout assertion deterministic.
 Test / parallelExecution := false
 run / fork := true
+// The bench/verify driver parses the LAST ~2000 chars of sbt output for a
+// bare JSON line; sbt's default LoggedOutput prefixes forked stdout with
+// "[info] ", which breaks json.loads on the line. Pipe the forked JVM's
+// stdout straight through instead.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
