@@ -40,6 +40,13 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // 80+ queries × several generated classes each far exceeds the
+      // default 100-entry whole-stage-codegen cache: by the time a query's
+      // timed pass runs, its warmed classes have been evicted and every
+      // pass pays a fresh Janino compile (measured: the ANN queries run
+      // 3-10× slower inside the full bench than in isolation, identical
+      // plans). Static conf — must be set before the session exists.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

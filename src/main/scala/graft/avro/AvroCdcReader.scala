@@ -179,6 +179,14 @@ object AvroCdcReader {
     * reference's Arrow-build try (main.py:524-527) at file granularity,
     * and on failure identifies the offending column(s) via
     * [[probeColumns]].
+    *
+    * Driver-memory posture: the collect is one small status per file —
+    * required driver-side because the statuses PARTITION the batch into
+    * the three path lists that seed the next jobs (`readGroup` /
+    * `readGroupFallback` / failure report), and the paths were
+    * driver-resident from the discovery glob already. Column forensics
+    * ride only on fallback files, so the per-element size is bounded by
+    * the failure rate, not the corpus.
     */
   def probe(
       spark: SparkSession,
