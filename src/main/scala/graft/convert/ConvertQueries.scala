@@ -1,7 +1,5 @@
 package graft.convert
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -13,8 +11,7 @@ import graft.avro.ConvertMode
   * FIXED path so the DuckDB oracle can independently re-read the written
   * bytes and re-run the aggregation (`read_parquet` over the job's own
   * output) — a real cross-engine check on the parquet the job produces,
-  * not a rows-only count. Only the catalog query (whose oracle would
-  * duplicate the DSv2 one) stays rows-only; value-level assertions live in
+  * not a rows-only count. Value-level assertions live in
   * `AvroToParquetJobSpec` / `AvroCdcDataSourceSpec`.
   */
 object ConvertQueries {
@@ -39,13 +36,6 @@ object ConvertQueries {
 
   private def cdcFixture(name: String): String = {
     val dir = freshDir(name)
-    graft.BenchData.writeCdcAvro(s"$dir/landing/avro/orders/part-0.avro", rows = 5000)
-    graft.BenchData.writeCdcAvro(s"$dir/landing/avro/users/part-0.avro", rows = 3000)
-    dir
-  }
-
-  private def fixture(): String = {
-    val dir = Files.createTempDirectory("graft-convq").toFile.getAbsolutePath
     graft.BenchData.writeCdcAvro(s"$dir/landing/avro/orders/part-0.avro", rows = 5000)
     graft.BenchData.writeCdcAvro(s"$dir/landing/avro/users/part-0.avro", rows = 3000)
     dir
@@ -174,9 +164,15 @@ object ConvertQueries {
 
   /** Landing-zone catalog path: folders surfaced as SQL tables via
     * [[graft.sources.AvroCdcCatalog]], queried with plain multi-table SQL.
+    * The same fixture is also CONVERTED to parquet so the oracle can
+    * re-run the aggregation over the written bytes with DuckDB — the
+    * catalog's Avro read path and the conversion write path are two
+    * independent decoders of the same data and must agree.
     */
   def qCdcCatalog(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = fixture()
+    val tmp = cdcFixture("catalog")
+    AvroToParquetJob.runOnce(spark, s"$tmp/landing/avro/*/*.avro",
+      s"$tmp/out", ConvertMode.Standard, ingestionDate = Some("2024-06-01"))
     val cat = "cdc_gate"
     spark.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.sources.AvroCdcCatalog].getName)
@@ -197,13 +193,20 @@ object ConvertQueries {
     "q_cdc_catalog" -> (qCdcCatalog _),
   )
 
-  /** q_cdc_catalog stays rows-only: its oracle would be byte-identical to
-    * the DSv2 one (same fixture, same engine-side read path under the
-    * catalog) — the catalog surface is covered by AvroCdcCatalogSpec.
-    */
+  val qCdcCatalogOracle: String =
+    s"""WITH w AS (
+        SELECT 'orders' AS tbl, * FROM
+          read_parquet('$OracleRoot/catalog/out/orders/ingestion_date=*/*.parquet')
+        UNION ALL
+        SELECT 'users' AS tbl, * FROM
+          read_parquet('$OracleRoot/catalog/out/users/ingestion_date=*/*.parquet'))
+      SELECT tbl, count(*) AS n, sum(qty)::BIGINT AS total_qty
+      FROM w GROUP BY tbl ORDER BY tbl"""
+
   val oracles: Map[String, String] = Map(
     "q_cdc_convert_roundtrip" -> qCdcConvertRoundtripOracle,
     "q_cdc_convert_exact" -> qCdcConvertExactOracle,
     "q_cdc_dsv2_scan" -> qCdcDsv2ScanOracle,
+    "q_cdc_catalog" -> qCdcCatalogOracle,
   )
 }

@@ -413,6 +413,49 @@ object TextAnalysis {
         min(doc_id) AS first_doc, max(doc_id) AS last_doc
       FROM c GROUP BY lang, batch_id ORDER BY lang, batch_id"""
 
+  // ---------- denylist redaction (PII-scrub shape) ----------
+  /** Denylist scrubbing, the shape of a PII pass over training text:
+    * word-boundary regexp rewrite of the deny terms to a fixed tag, plus
+    * the per-document audit numbers a compliance pipeline wants (how many
+    * hits, how much of the doc was redacted). Pure scan-side projection —
+    * codegen'd regexp + a token-level count, no shuffle except the final
+    * order; at 100 TB this runs at read throughput. The deny list is a
+    * literal here; a real pipeline broadcasts it into the same pattern.
+    */
+  private val denyTerms = Seq("customer", "key", "value")
+
+  def qTextRedact(spark: SparkSession, dir: String): DataFrame = {
+    val pattern = denyTerms.mkString("\\b(", "|", ")\\b")
+    Tables.documents(spark, dir)
+      .withColumn("n_redacted",
+        size(filter(split(col("text"), " ", -1),
+          t => t.isin(denyTerms.map(x => x: Any): _*))).cast("long"))
+      .withColumn("redacted", regexp_replace(col("text"), pattern, "[X]"))
+      .withColumn("red_ratio",
+        round(col("n_redacted").cast("double") /
+          size(split(col("text"), " ", -1)), 6))
+      .select(col("doc_id"), col("n_redacted"), col("red_ratio"),
+        substring(col("redacted"), 1, 80).as("redacted_head"))
+      .filter(col("n_redacted") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB regexp_replace needs the 'g' flag to match Spark's
+    * replace-all semantics; both engines use word-boundary `\b`.
+    */
+  val qTextRedactOracle: String = {
+    val pattern = denyTerms.mkString("\\b(", "|", ")\\b")
+    val inList = denyTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, text,
+        len(list_filter(string_split(text, ' '),
+          w -> w IN ($inList)))::BIGINT AS n_redacted FROM documents)
+      SELECT doc_id, n_redacted,
+        round(n_redacted / len(string_split(text, ' ')), 6) AS red_ratio,
+        substring(regexp_replace(text, '$pattern', '[X]', 'g'), 1, 80)
+          AS redacted_head
+      FROM t WHERE n_redacted > 0 ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
@@ -425,6 +468,7 @@ object TextAnalysis {
     "q_sample_hash" -> (qSampleHash _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_pack_batches" -> (qPackBatches _),
+    "q_text_redact" -> (qTextRedact _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -439,5 +483,6 @@ object TextAnalysis {
     "q_sample_hash" -> qSampleHashOracle,
     "q_decontaminate" -> qDecontaminateOracle,
     "q_pack_batches" -> qPackBatchesOracle,
+    "q_text_redact" -> qTextRedactOracle,
   )
 }
