@@ -235,6 +235,91 @@ object Dedup {
         string_agg(id, ',' ORDER BY id) AS members
       FROM labels GROUP BY cluster_id ORDER BY cluster_id"""
 
+  // ---------- connected components: large-star/small-star variant ----------
+  /** The alternating large-star/small-star formulation of distributed
+    * connected components (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"): large-star hangs every higher neighbor off
+    * the neighborhood minimum, small-star re-hangs the lower ones, and
+    * the alternation contracts component DIAMETER geometrically — O(log n)
+    * rounds on adversarially long chains where plain min-label
+    * propagation ([[qDedupClusters]]) needs diameter rounds. Same
+    * fixpoint (every node hangs off its component min), so it shares the
+    * recursive-CTE oracle; having both lets a pipeline pick by graph
+    * shape: shallow near-dup clusters → propagation (fewer shuffles per
+    * round), chain-heavy graphs → star contraction (fewer rounds).
+    *
+    * Each round is two groupBy+join passes over the edge list — no
+    * driver-side graph state; the fixpoint test is a 2-number signature
+    * aggregation (count + commutative hash-sum), not an `except` shuffle.
+    */
+  def qDedupCcStar(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir).select(col("d1"), col("d2"))
+      .persist()
+
+    // large-star over the undirected view: for each u, attach every
+    // STRICTLY larger neighbor to m = min(N(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.union(e.select(col("v"), col("u"))).toDF("u", "v")
+      val mins = nbrs.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      nbrs.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    // small-star over the high→low orientation: re-hang each u's lower
+    // neighbors (and u itself) off min(N(u) ∪ {u})
+    def smallStar(e: DataFrame): DataFrame = {
+      val canon = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = canon.groupBy(col("u")).agg(min(col("v")).as("m"))
+      canon.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+
+    // edge sets are distinct, so (count, xor of 64-bit edge hashes) is a
+    // commutative set signature; xor cannot overflow under ANSI mode
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var edges = pairs.toDF("u", "v").localCheckpoint()
+    var sig = signature(edges)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < 12) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      edges = next
+      sig = nextSig
+      rounds += 1
+    }
+    require(converged, s"star contraction did not converge in $rounds rounds")
+    pairs.unpersist()
+
+    // at the fixpoint every non-root hangs directly off its component
+    // min; roots (the mins) label themselves
+    val ids = edges.select(col("u").as("id"))
+      .union(edges.select(col("v").as("id"))).distinct()
+    val labels = ids.join(edges.select(col("u").as("id"), col("v").as("lbl")),
+        Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("label"))
+
+    labels
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        array_join(transform(sort_array(collect_list(col("id"))),
+          _.cast("string")), ",").as("members"))
+      .orderBy(col("cluster_id"))
+  }
+
   // ---------- SimHash ----------
   /** SimHash over the SHINGLE set, not raw tokens: this corpus shares one
     * small vocabulary across documents, so token-set simhashes cluster
@@ -405,6 +490,7 @@ object Dedup {
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_keeplist" -> (qDedupKeeplist _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_cc_star" -> (qDedupCcStar _),
   )
 
   /** q_dedup_simhash keeps the exact-set oracle under word blocking: the
@@ -421,5 +507,6 @@ object Dedup {
     "q_dedup_ngram" -> qDedupNgramOracle,
     "q_dedup_keeplist" -> qDedupKeeplistOracle,
     "q_dedup_clusters" -> qDedupClustersOracle,
+    "q_dedup_cc_star" -> qDedupClustersOracle,
   )
 }

@@ -299,6 +299,73 @@ object EventOps {
     spark.table(name).orderBy(col("ws"), col("event_type"))
   }
 
+  // ---------- Structured Streaming: stream-stream interval join ----------
+  /** REAL stream-stream inner join: views and clicks are two independent
+    * streams of the same event log, joined per user where the click lands
+    * within 4 hours after the view. Both sides carry a watermark and the
+    * join condition bounds event time on both sides — exactly what Spark
+    * needs to EVICT join state (a side's row is dropped once the other
+    * side's watermark passes its join window), so state stays bounded on
+    * an unbounded stream; without the time bound the join would buffer
+    * both streams forever. Inner-join matches emit as soon as both rows
+    * have arrived — no sentinel flush needed (that's only for
+    * watermark-gated EMISSION: outer joins / timeouts / append aggs).
+    * Driven to completion with AvailableNow; matches the batch oracle
+    * exactly.
+    */
+  def qStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = Tables.table(spark, dir, "events").schema
+    def side(tpe: String, prefix: String) =
+      spark.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .filter(col("event_type") === tpe)
+        .select(col("event_id").as(s"${prefix}_id"),
+          col("user_id").as(s"${prefix}_user"),
+          timestamp_micros(expr("ts div 1000")).as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "4 hours")
+    val joined = side("view", "v")
+      .join(side("click", "c"),
+        col("v_user") === col("c_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 4 HOURS"))
+
+    val name = "graft_stream_join"
+    // stateful shuffle sizing: join state stores per partition per batch;
+    // 8 beats 32 at this volume (same rationale as qStreamSession)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      joined
+        .select(col("v_user").as("user_id"), col("v_id"), col("c_id"),
+          unix_micros(col("v_ts")).as("v_tu"),
+          unix_micros(col("c_ts")).as("c_tu"))
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try q.awaitTermination()
+    finally q.stop()
+    spark.table(name).orderBy(col("v_id"), col("c_id"))
+  }
+
+  val qStreamJoinOracle: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) tu, event_type
+        FROM events),
+      v AS (SELECT event_id v_id, user_id, tu v_tu FROM e
+        WHERE event_type = 'view'),
+      c AS (SELECT event_id c_id, user_id, tu c_tu FROM e
+        WHERE event_type = 'click')
+      SELECT user_id, v_id, c_id, v_tu, c_tu
+      FROM v JOIN c USING (user_id)
+      WHERE c_tu >= v_tu AND c_tu <= v_tu + 14400000000::BIGINT
+      ORDER BY v_id, c_id"""
+
   // ---------- Structured Streaming: custom sessionization state ----------
 
   /** One event as seen by the stateful operator (ts kept as BOTH the
@@ -535,6 +602,7 @@ object EventOps {
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_session" -> (qStreamSession _),
     "q_stream_dedup" -> (qStreamDedup _),
+    "q_stream_join" -> (qStreamJoin _),
     "q_events_funnel" -> (qEventsFunnel _),
     "q_json_funcs" -> (qJsonFuncs _),
     "q_events_gapfill" -> (qEventsGapfill _),
@@ -550,6 +618,7 @@ object EventOps {
     "q_stream_tumbling" -> qEventsTumblingOracle,
     "q_stream_session" -> qEventsSessionOracle,
     "q_stream_dedup" -> qEventsTumblingOracle,
+    "q_stream_join" -> qStreamJoinOracle,
     "q_events_funnel" -> qEventsFunnelOracle,
     "q_json_funcs" -> qJsonFuncsOracle,
     "q_events_gapfill" -> qEventsGapfillOracle,

@@ -14,6 +14,9 @@ object SparkTestSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the suites drive the full 80+-query surface through one session;
+      // the default 100-entry codegen cache would recompile per suite
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

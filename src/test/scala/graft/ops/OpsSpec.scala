@@ -36,6 +36,15 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cc star contraction equals min-label propagation cluster-for-cluster") {
+    val star = Dedup.qDedupCcStar(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val prop = Dedup.qDedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(star.nonEmpty)
+    assert(star.toSeq == prop.toSeq)
+  }
+
   test("every oracle key refers to a registered query") {
     val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"oracles without queries: $unknown")

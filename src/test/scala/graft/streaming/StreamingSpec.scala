@@ -141,6 +141,46 @@ class StreamingSpec extends AnyFunSuite {
       .contains(graft.streaming.StateBackend.RocksDBProvider))
   }
 
+  test("stream-stream interval join matches in-window pairs only and " +
+    "equals the batch join end-to-end") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val v = views.toDF().toDF("v_user", "v_ts").withWatermark("v_ts", "5 minutes")
+    val c = clicks.toDF().toDF("c_user", "c_ts").withWatermark("c_ts", "5 minutes")
+    val joined = v.join(c,
+      $"v_user" === $"c_user" && $"c_ts" >= $"v_ts" &&
+        $"c_ts" <= $"v_ts" + expr("INTERVAL 10 MINUTES"))
+      .select($"v_user", unix_timestamp($"c_ts").as("ct"))
+
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName("ss_join")
+      .start()
+    try {
+      views.addData((1L, ts(0)), (2L, ts(1)))
+      clicks.addData((1L, ts(5))) // inside [v_ts, v_ts+10min] → match
+      q.processAllAvailable()
+      assert(spark.table("ss_join").collect().map(_.getLong(0)).toSeq == Seq(1L))
+
+      clicks.addData((2L, ts(30))) // 29 min after user 2's view → no match
+      q.processAllAvailable()
+      assert(spark.table("ss_join").count() == 1)
+    } finally q.stop()
+
+    // full pipeline vs the registered batch oracle shape, on real testdata
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").isFile)
+    val streamed = graft.ops.EventOps.qStreamJoin(spark, dir).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.forall { r =>
+      val (vt, ct) = (r.getLong(3), r.getLong(4))
+      ct >= vt && ct <= vt + 4L * 3600 * 1000000
+    })
+  }
+
   test("flatMapGroupsWithState sessionization equals batch session_window " +
     "(event-time timeout drains the final sessions)") {
     val dir = "/root/testdata/sf0.001"
