@@ -492,6 +492,40 @@ object EventOps {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  // ---------- volume anomaly detection (z-score per type/hour) ----------
+  /** Operational anomaly surface over the event stream: hourly volume per
+    * event type, flagged where the hour's count deviates from that type's
+    * own mean by more than 2 sample standard deviations. Two narrow
+    * aggregations (hour×type counts, then per-type moments broadcast
+    * back) — the z-score join is against a #types-sized table, so the
+    * whole thing is scan + two small shuffles at any corpus size.
+    */
+  def qEventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(unix_timestamp(date_trunc("hour", col("ts"))).as("hr"),
+        col("event_type"))
+      .groupBy(col("hr"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(avg(col("n")).as("mu"), stddev_samp(col("n")).as("sd"))
+    hourly.join(broadcast(stats), "event_type")
+      .withColumn("z", round((col("n") - col("mu")) / col("sd"), 6))
+      .filter(abs(col("z")) > 2.0)
+      .select(col("event_type"), col("hr"), col("n"), col("z"))
+      .orderBy(col("event_type"), col("hr"))
+  }
+
+  val qEventsAnomalyOracle: String =
+    """WITH hourly AS (SELECT epoch(date_trunc('hour', ts))::BIGINT hr,
+        event_type, count(*) n FROM events GROUP BY hr, event_type),
+      stats AS (SELECT event_type, avg(n) mu, stddev_samp(n) sd
+        FROM hourly GROUP BY event_type)
+      SELECT h.event_type, h.hr, h.n::BIGINT AS n,
+        round((h.n - s.mu) / s.sd, 6) AS z
+      FROM hourly h JOIN stats s USING (event_type)
+      WHERE abs(round((h.n - s.mu) / s.sd, 6)) > 2.0
+      ORDER BY h.event_type, h.hr"""
+
   // ---------- time-series gap filling ----------
   /** Dense hourly series per event_type: hours with no events appear with
     * n=0 (generate the full hour spine × type dimension, left-join the
@@ -608,6 +642,7 @@ object EventOps {
     "q_events_gapfill" -> (qEventsGapfill _),
     "q_events_cum_users" -> (qEventsCumulativeUsers _),
     "q_events_retention" -> (qEventsRetention _),
+    "q_events_anomaly" -> (qEventsAnomaly _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -624,5 +659,6 @@ object EventOps {
     "q_events_gapfill" -> qEventsGapfillOracle,
     "q_events_cum_users" -> qEventsCumulativeUsersOracle,
     "q_events_retention" -> qEventsRetentionOracle,
+    "q_events_anomaly" -> qEventsAnomalyOracle,
   )
 }

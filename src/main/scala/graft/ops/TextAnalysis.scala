@@ -456,6 +456,39 @@ object TextAnalysis {
       FROM t WHERE n_redacted > 0 ORDER BY doc_id"""
   }
 
+  // ---------- unigram-LM surprisal (quality scoring by language model) ----------
+  /** Corpus-level unigram language model scored back over every document:
+    * the standard cheap LM-quality filter (docs with high average
+    * surprisal are off-distribution — boilerplate, noise, wrong
+    * language). Two narrow aggregations: vocabulary counts (vocab-sized,
+    * broadcast back), then a per-doc mean of `-ln p(w)`. The vocabulary
+    * table is tiny relative to the corpus at any scale, so the score join
+    * is a broadcast — the corpus streams once, no wide shuffle.
+    */
+  def qTextSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("w"))
+    val counts = tok.groupBy(col("w"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("tot"))
+    tok.join(broadcast(counts), "w")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("cnt") / col("tot"))), 6).as("nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextSurprisalOracle: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) w
+        FROM documents),
+      c AS (SELECT w, count(*)::DOUBLE cnt FROM tok GROUP BY w),
+      t AS (SELECT sum(cnt) tot FROM c)
+      SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        round(avg(-ln(cnt / tot)), 6) AS nll
+      FROM tok JOIN c USING (w) CROSS JOIN t
+      GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
@@ -469,6 +502,7 @@ object TextAnalysis {
     "q_decontaminate" -> (qDecontaminate _),
     "q_pack_batches" -> (qPackBatches _),
     "q_text_redact" -> (qTextRedact _),
+    "q_text_surprisal" -> (qTextSurprisal _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -484,5 +518,6 @@ object TextAnalysis {
     "q_decontaminate" -> qDecontaminateOracle,
     "q_pack_batches" -> qPackBatchesOracle,
     "q_text_redact" -> qTextRedactOracle,
+    "q_text_surprisal" -> qTextSurprisalOracle,
   )
 }
