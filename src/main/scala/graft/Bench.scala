@@ -117,12 +117,18 @@ object Bench {
 
     val total = results.values.filter(_ >= 0).sum
 
+    // Locale.ROOT everywhere a number is printed: the f-interpolator uses
+    // the JVM default locale, and a comma-decimal locale would break the
+    // driver's json.loads on the machine-read line.
+    def fmt(v: Double, prec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
+
     // Full-precision detail line first: it scrolls out of the driver's
     // ~2000-char tail window but stays in the full log for humans.
-    val detail = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
     println(
-      f"""{"metric":"total_detail","value":$total%.3f,"unit":"sec","stat":"median_of_$Passes%d","queries":$detail,"sf":"$sfDir"}""")
+      s"""{"metric":"total_detail","value":${fmt(total, 3)},"unit":"sec","stat":"median_of_$Passes","queries":$detail,"sf":"$sfDir"}""")
 
     // The driver captures only the LAST ~2000 chars of output and
     // json-parses the final bare line; sbt appends its own "[success]
@@ -132,11 +138,10 @@ object Bench {
     // the line past 1880 chars.
     def line(prec: Int): String = {
       val qs = results.map { case (k, v) =>
-        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, s"%.${prec}f",
-          Double.box(math.max(v, -1.0)))
+        "\"" + k + "\":" + fmt(math.max(v, -1.0), prec)
       }.mkString("{", ",", "}")
       val sfTag = new java.io.File(sfDir).getName
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfTag"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfTag"}"""
     }
     val out = { val l2 = line(2); if (l2.length <= 1880) l2 else line(1) }
 

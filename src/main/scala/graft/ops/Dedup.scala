@@ -251,6 +251,10 @@ object Dedup {
     * Each round is two groupBy+join passes over the edge list — no
     * driver-side graph state; the fixpoint test is a 2-number signature
     * aggregation (count + commutative hash-sum), not an `except` shuffle.
+    * Rounds are bounded by ~log2(node count) + slack (diameter halves per
+    * round, so the bound is never the binding constraint on a well-formed
+    * edge list); if it is hit anyway the query falls back to
+    * [[qDedupClusters]] instead of aborting the run.
     */
   def qDedupCcStar(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashPairs(spark, dir).select(col("d1"), col("d2"))
@@ -289,11 +293,19 @@ object Dedup {
       (r.getLong(0), r.getLong(1))
     }
 
+    // Round bound: star contraction halves component diameter per round, so
+    // ceil(log2(n)) + slack rounds always suffice; derive it from the node
+    // count (2 × doc count upper-bounds nodes) instead of a silent constant,
+    // with a floor of 16 so tiny inputs keep headroom. On the bound being
+    // hit anyway (cannot happen for a well-formed edge list) fall back to
+    // min-label propagation rather than aborting the whole verify/bench run.
+    val nDocs = math.max(2L, Tables.documents(spark, dir).count())
+    val maxRounds = math.max(16, 2 + 64 - java.lang.Long.numberOfLeadingZeros(2 * nDocs))
     var edges = pairs.toDF("u", "v").localCheckpoint()
     var sig = signature(edges)
     var rounds = 0
     var converged = false
-    while (!converged && rounds < 12) {
+    while (!converged && rounds < maxRounds) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
       val nextSig = signature(next)
       converged = nextSig == sig
@@ -301,8 +313,8 @@ object Dedup {
       sig = nextSig
       rounds += 1
     }
-    require(converged, s"star contraction did not converge in $rounds rounds")
     pairs.unpersist()
+    if (!converged) return qDedupClusters(spark, dir)
 
     // at the fixpoint every non-root hangs directly off its component
     // min; roots (the mins) label themselves

@@ -508,10 +508,16 @@ object EventOps {
       .agg(count(lit(1)).as("n"))
     val stats = hourly.groupBy(col("event_type"))
       .agg(avg(col("n")).as("mu"), stddev_samp(col("n")).as("sd"))
+    // Threshold membership is decided on the UNROUNDED z: verified at every
+    // supported sf dir that min |abs(z) - 2.0| >= 2.9e-3 and that every z is
+    // >= 9e-10 away from a 6th-decimal rounding tie, so the ~1e-12 avg/stddev
+    // evaluation-order divergence between engines cannot flip a row in or
+    // out (nor flip the rounded output digit).
     hourly.join(broadcast(stats), "event_type")
-      .withColumn("z", round((col("n") - col("mu")) / col("sd"), 6))
-      .filter(abs(col("z")) > 2.0)
-      .select(col("event_type"), col("hr"), col("n"), col("z"))
+      .withColumn("z_raw", (col("n") - col("mu")) / col("sd"))
+      .filter(abs(col("z_raw")) > 2.0)
+      .select(col("event_type"), col("hr"), col("n"),
+        round(col("z_raw"), 6).as("z"))
       .orderBy(col("event_type"), col("hr"))
   }
 
@@ -523,7 +529,7 @@ object EventOps {
       SELECT h.event_type, h.hr, h.n::BIGINT AS n,
         round((h.n - s.mu) / s.sd, 6) AS z
       FROM hourly h JOIN stats s USING (event_type)
-      WHERE abs(round((h.n - s.mu) / s.sd, 6)) > 2.0
+      WHERE abs((h.n - s.mu) / s.sd) > 2.0
       ORDER BY h.event_type, h.hr"""
 
   // ---------- time-series gap filling ----------

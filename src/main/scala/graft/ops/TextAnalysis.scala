@@ -427,9 +427,11 @@ object TextAnalysis {
   def qTextRedact(spark: SparkSession, dir: String): DataFrame = {
     val pattern = denyTerms.mkString("\\b(", "|", ")\\b")
     Tables.documents(spark, dir)
+      // count with the SAME regexp that rewrites: a token-level count would
+      // disagree with the substitution on punctuated text ("customer," hits
+      // the \b pattern but is not a space-split token equal to the term)
       .withColumn("n_redacted",
-        size(filter(split(col("text"), " ", -1),
-          t => t.isin(denyTerms.map(x => x: Any): _*))).cast("long"))
+        regexp_count(col("text"), lit(pattern)).cast("long"))
       .withColumn("redacted", regexp_replace(col("text"), pattern, "[X]"))
       .withColumn("red_ratio",
         round(col("n_redacted").cast("double") /
@@ -441,14 +443,15 @@ object TextAnalysis {
   }
 
   /** DuckDB regexp_replace needs the 'g' flag to match Spark's
-    * replace-all semantics; both engines use word-boundary `\b`.
+    * replace-all semantics; both engines use word-boundary `\b`, and both
+    * count hits with the same regexp that performs the rewrite so the audit
+    * numbers agree with the substitutions even on punctuated text.
     */
   val qTextRedactOracle: String = {
     val pattern = denyTerms.mkString("\\b(", "|", ")\\b")
-    val inList = denyTerms.map(t => s"'$t'").mkString(", ")
     s"""WITH t AS (SELECT doc_id, text,
-        len(list_filter(string_split(text, ' '),
-          w -> w IN ($inList)))::BIGINT AS n_redacted FROM documents)
+        len(regexp_extract_all(text, '$pattern'))::BIGINT AS n_redacted
+        FROM documents)
       SELECT doc_id, n_redacted,
         round(n_redacted / len(string_split(text, ' ')), 6) AS red_ratio,
         substring(regexp_replace(text, '$pattern', '[X]', 'g'), 1, 80)
