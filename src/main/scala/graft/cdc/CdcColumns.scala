@@ -231,11 +231,52 @@ object CdcColumns {
       SELECT id, tx_id AS last_tx, qty, amount FROM r
       WHERE rn = 1 AND NOT is_deleted ORDER BY id"""
 
+  /** SCD Type-2 history build from the same synthesized change stream as
+    * [[qCdcApply]]: every version of every key survives, stamped with its
+    * validity interval (`tx_id` … `valid_to_tx`) and an `is_current` flag
+    * (open interval AND not a delete). One window over the key — the same
+    * single shuffle the latest-row merge pays, so the full-history variant
+    * costs no more than the snapshot variant at any scale. The (tx_id,
+    * qty, amount) ordering covers every emitted column, so version
+    * assignment is value-deterministic even where (id, tx_id) repeats.
+    */
+  def qCdcScd2(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val events = l.select(
+      col("l_orderkey").as("id"),
+      col("l_linenumber").cast("long").as("tx_id"),
+      ((col("l_orderkey") + col("l_linenumber")) % 7 === 0).as("is_deleted"),
+      col("l_quantity").cast("long").as("qty"),
+      round(col("l_extendedprice"), 2).as("amount"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("tx_id"), col("qty"), col("amount"))
+    events
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to_tx", lead(col("tx_id"), 1).over(w))
+      .withColumn("is_current", col("valid_to_tx").isNull && !col("is_deleted"))
+      .select(col("id"), col("version"), col("tx_id"), col("qty"), col("amount"),
+        col("is_deleted"), col("valid_to_tx"), col("is_current"))
+      .orderBy(col("id"), col("version"))
+  }
+
+  val qCdcScd2Oracle: String =
+    """WITH e AS (SELECT l_orderkey AS id, l_linenumber::BIGINT AS tx_id,
+        (l_orderkey + l_linenumber) % 7 = 0 AS is_deleted,
+        l_quantity::BIGINT AS qty, round(l_extendedprice, 2) AS amount
+        FROM lineitem)
+      SELECT id, (row_number() OVER w)::INT AS version, tx_id, qty, amount,
+        is_deleted,
+        lead(tx_id, 1) OVER w AS valid_to_tx,
+        (lead(tx_id, 1) OVER w IS NULL AND NOT is_deleted) AS is_current
+      FROM e WINDOW w AS (PARTITION BY id ORDER BY tx_id, qty, amount)
+      ORDER BY id, version"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_flatten" -> (qCdcFlattenImpl _),
     "q_cdc_decimal" -> (qCdcDecimal _),
     "q_cdc_stringify" -> (qCdcStringify _),
     "q_cdc_apply" -> (qCdcApply _),
+    "q_cdc_scd2" -> (qCdcScd2 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -243,5 +284,6 @@ object CdcColumns {
     "q_cdc_decimal" -> qCdcDecimalOracle,
     "q_cdc_stringify" -> qCdcStringifyOracle,
     "q_cdc_apply" -> qCdcApplyOracle,
+    "q_cdc_scd2" -> qCdcScd2Oracle,
   )
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
@@ -495,6 +496,56 @@ object Dedup {
       FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)
       GROUP BY lang ORDER BY lang"""
 
+  // ---------- sub-document (paragraph/chunk) exact dedup ----------
+  /** Chunk-level exact dedup — the "remove repeated paragraphs across the
+    * corpus" pass (boilerplate headers, licence blocks, navigation text
+    * repeat across pages long before whole documents do). Documents are
+    * cut into fixed 10-word chunks; the FIRST occurrence of each distinct
+    * chunk (by (doc_id, chunk_idx)) survives, later copies are dropped;
+    * the report is each document's survival stats. The keep-first pick is
+    * a row_number over the chunk hash: partitions are hash-cardinality
+    * many and a handful of rows each, so the single shuffle is perfectly
+    * spread at any corpus size (contrast a global sort — none here).
+    */
+  def qDedupParagraph(spark: SparkSession, dir: String): DataFrame = {
+    val width = 10
+    val chunks = Tables.documents(spark, dir)
+      .withColumn("ws", split(col("text"), " ", -1))
+      .withColumn("n", size(col("ws")))
+      .withColumn("starts",
+        expr(s"filter(sequence(0, greatest(0, n - 1), $width), s -> s < n)"))
+      .select(col("doc_id"),
+        posexplode(col("starts")).as(Seq("chunk_idx", "start")), col("ws"))
+      .select(col("doc_id"), col("chunk_idx"),
+        md5(concat_ws(" ", expr(s"slice(ws, start + 1, $width)"))).as("m"))
+    val w = Window.partitionBy(col("m")).orderBy(col("doc_id"), col("chunk_idx"))
+    chunks.withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("kept_ratio",
+        round(col("n_kept").cast("double") / col("n_chunks"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDedupParagraphOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') ws,
+        len(string_split(text, ' ')) n FROM documents),
+      c AS (SELECT doc_id, ws,
+        unnest([s for s in range(0, n, 10)]) AS start,
+        generate_subscripts([s for s in range(0, n, 10)], 1) - 1 AS chunk_idx
+        FROM d),
+      h AS (SELECT doc_id, chunk_idx,
+        md5(array_to_string(ws[start + 1 : start + 10], ' ')) m FROM c),
+      r AS (SELECT doc_id,
+        row_number() OVER (PARTITION BY m ORDER BY doc_id, chunk_idx) rn
+        FROM h)
+      SELECT doc_id, count(*) AS n_chunks,
+        sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        round(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+          AS kept_ratio
+      FROM r GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -503,6 +554,7 @@ object Dedup {
     "q_dedup_keeplist" -> (qDedupKeeplist _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_cc_star" -> (qDedupCcStar _),
+    "q_dedup_paragraph" -> (qDedupParagraph _),
   )
 
   /** q_dedup_simhash keeps the exact-set oracle under word blocking: the
@@ -520,5 +572,6 @@ object Dedup {
     "q_dedup_keeplist" -> qDedupKeeplistOracle,
     "q_dedup_clusters" -> qDedupClustersOracle,
     "q_dedup_cc_star" -> qDedupClustersOracle,
+    "q_dedup_paragraph" -> qDedupParagraphOracle,
   )
 }

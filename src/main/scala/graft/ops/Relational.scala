@@ -110,6 +110,30 @@ object Relational {
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY n_name ORDER BY n_name"""
 
+  // ---------- q06: pure scan + filter + agg (full pushdown showcase) ----------
+  /** TPC-H Q6 shape: a single selective scan with every predicate pushed
+    * to the parquet reader (shipdate band, discount band, quantity cap)
+    * and a two-column ReadSchema — the query whose plan proves the
+    * scan-side machinery (PushedFilters + column pruning) is working.
+    * At 100 TB the date band additionally prunes partitions when the
+    * table is date-partitioned; no shuffle at all (partial + final agg
+    * over a single global group).
+    */
+  def q06ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+        $"l_discount".between(0.02, 0.04) && $"l_quantity" < 24)
+      .agg(round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val q06Oracle: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      count(*) AS n_items
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24"""
+
   // ---------- broadcast dimension join ----------
   def qJoinBroadcast(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -231,6 +255,39 @@ object Relational {
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       ORDER BY o_custkey, o_orderkey"""
+
+  // ---------- window: first_value / last_value / nth_value ----------
+  /** Whole-partition value picks: each customer's first, last, and second
+    * order key in date order, via the unbounded-both-ends frame. One
+    * shuffle on the partition key; the row_number filter keeps exactly
+    * one row per customer, so the output is partition-sized, not
+    * row-sized.
+    */
+  def qWindowFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val wFull = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("first_key", first($"o_orderkey").over(wFull))
+      .withColumn("last_key", last($"o_orderkey").over(wFull))
+      .withColumn("second_key", nth_value($"o_orderkey", 2).over(wFull))
+      .filter($"rn" === 1)
+      .select($"o_custkey", $"first_key", $"last_key", $"second_key")
+      .orderBy($"o_custkey")
+  }
+
+  val qWindowFirstLastOracle: String =
+    """SELECT o_custkey, first_key, last_key, second_key FROM (
+      SELECT o_custkey,
+        row_number() OVER w1 AS rn,
+        first_value(o_orderkey) OVER w AS first_key,
+        last_value(o_orderkey) OVER w AS last_key,
+        nth_value(o_orderkey, 2) OVER w AS second_key
+      FROM orders
+      WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ) t WHERE rn = 1 ORDER BY o_custkey"""
 
   // ---------- rollup / cube ----------
   def qRollup(spark: SparkSession, dir: String): DataFrame =
@@ -853,6 +910,8 @@ object Relational {
     "q02_topk_orders" -> (q02TopkOrders _),
     "q03_shipping_priority" -> (q03ShippingPriority _),
     "q05_local_supplier" -> (q05LocalSupplier _),
+    "q06_forecast_revenue" -> (q06ForecastRevenue _),
+    "q_window_firstlast" -> (qWindowFirstLast _),
     "q_join_broadcast" -> (qJoinBroadcast _),
     "q_semi_join" -> (qSemiJoin _),
     "q_anti_join" -> (qAntiJoin _),
@@ -892,6 +951,8 @@ object Relational {
     "q02_topk_orders" -> q02Oracle,
     "q03_shipping_priority" -> q03Oracle,
     "q05_local_supplier" -> q05Oracle,
+    "q06_forecast_revenue" -> q06Oracle,
+    "q_window_firstlast" -> qWindowFirstLastOracle,
     "q_join_broadcast" -> qJoinBroadcastOracle,
     "q_semi_join" -> qSemiJoinOracle,
     "q_anti_join" -> qAntiJoinOracle,

@@ -492,6 +492,114 @@ object TextAnalysis {
       FROM tok JOIN c USING (w) CROSS JOIN t
       GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---------- repetition signals (Gopher-style quality rules) ----------
+  /** The repetition family of quality filters (Rae et al. 2021, "Scaling
+    * Language Models" §A1.1): most-frequent-word ratio, distinct-word
+    * ratio, and duplicate-bigram fraction. Highly repetitive documents
+    * (boilerplate, keyword stuffing, degenerate generations) score high
+    * on top_ratio/dup_bigram_ratio and low on distinct_ratio. The
+    * distinct/bigram metrics are scan-side array lambdas; the top-word
+    * pick is one (doc_id, word) count + a per-doc struct-min — both
+    * shuffles are keyed on doc_id, so the plan scales linearly with the
+    * corpus.
+    */
+  def qTextRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("ws", split(col("text"), " ", -1))
+      .withColumn("n", size(col("ws")))
+    val arrayMetrics = docs.select(col("doc_id"), col("n"),
+      round(size(array_distinct(col("ws"))).cast("double") / col("n"), 6)
+        .as("distinct_ratio"),
+      round(when(col("n") > 1,
+        lit(1.0) - size(array_distinct(expr(
+          """transform(sequence(1, size(ws) - 1),
+             i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))""")))
+          .cast("double") / (col("n") - 1)).otherwise(0.0), 6)
+        .as("dup_bigram_ratio"))
+    // arg-min by (-count, word): the most frequent word, ties to the
+    // lexicographically smallest — deterministic without a window sort
+    val top = docs.select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("cnt")).as("neg_cnt"), col("w").as("w"))).as("m"))
+      .select(col("doc_id"), col("m.w").as("top_word"),
+        (-col("m.neg_cnt")).as("top_cnt"))
+    arrayMetrics.join(top, Seq("doc_id"))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("top_word"),
+        round(col("top_cnt").cast("double") / col("n"), 6).as("top_ratio"),
+        col("distinct_ratio"), col("dup_bigram_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextRepetitionOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      base AS (SELECT doc_id, len(ws) n,
+        round(len(list_distinct(ws))::DOUBLE / len(ws), 6) AS distinct_ratio,
+        round(CASE WHEN len(ws) > 1 THEN 1.0 -
+          len(list_distinct([ws[i] || ' ' || ws[i+1]
+            for i in range(1, len(ws))]))::DOUBLE / (len(ws) - 1)
+          ELSE 0.0 END, 6) AS dup_bigram_ratio
+        FROM d),
+      tok AS (SELECT doc_id, unnest(ws) w FROM d),
+      c AS (SELECT doc_id, w, count(*) cnt FROM tok GROUP BY doc_id, w),
+      t AS (SELECT doc_id, w AS top_word, cnt AS top_cnt,
+        row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, w ASC) rn
+        FROM c)
+      SELECT b.doc_id, b.n AS n_tokens, t.top_word,
+        round(t.top_cnt::DOUBLE / b.n, 6) AS top_ratio,
+        b.distinct_ratio, b.dup_bigram_ratio
+      FROM base b JOIN t ON b.doc_id = t.doc_id AND t.rn = 1
+      ORDER BY b.doc_id"""
+
+  // ---------- stratified hash sampling (per-language rates) ----------
+  /** Mixture re-balancing: each language keeps a different deterministic
+    * fraction of its documents — the primitive behind "up-sample
+    * under-represented languages / down-sample the head" in training-data
+    * mixtures. Membership is `md5(doc_id) < per-language threshold`, so
+    * the sample is reproducible, content-independent, and evaluated
+    * scan-side with zero shuffle (rates ride in a literal map; 'g0' sorts
+    * above every hex pair = keep-all). The per-language report verifies
+    * the exact selected set.
+    */
+  val stratThresholds: Seq[(String, String)] = Seq(
+    "de" -> "40", // 0x40/256 = 25%
+    "en" -> "cc", // 0xcc/256 ≈ 80%
+    "es" -> "1a", // 0x1a/256 ≈ 10%
+    "fr" -> "80", // 0x80/256 = 50%
+    "zh" -> "g0") // > 'ff' → 100%
+
+  def qSampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val thrMap = map(stratThresholds.flatMap {
+      case (l, t) => Seq(lit(l), lit(t)) }: _*)
+    Tables.documents(spark, dir)
+      .withColumn("sampled",
+        substring(md5(col("doc_id").cast("string")), 1, 2) <
+          element_at(thrMap, col("lang")))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("sampled"), col("n_chars"))).as("chars_sampled"))
+      .withColumn("realized_rate",
+        round(col("n_sampled").cast("double") / col("n_total"), 6))
+      .orderBy(col("lang"))
+  }
+
+  val qSampleStratifiedOracle: String = {
+    val cases = stratThresholds.map {
+      case (l, t) => s"WHEN '$l' THEN '$t'" }.mkString(" ")
+    s"""WITH t AS (SELECT lang, n_chars,
+        substr(md5(doc_id::VARCHAR), 1, 2) <
+          CASE lang $cases END AS sampled
+        FROM documents)
+      SELECT lang, count(*) AS n_total,
+        sum(CASE WHEN sampled THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+        sum(CASE WHEN sampled THEN n_chars END)::BIGINT AS chars_sampled,
+        round(sum(CASE WHEN sampled THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+          AS realized_rate
+      FROM t GROUP BY lang ORDER BY lang"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
@@ -506,6 +614,8 @@ object TextAnalysis {
     "q_pack_batches" -> (qPackBatches _),
     "q_text_redact" -> (qTextRedact _),
     "q_text_surprisal" -> (qTextSurprisal _),
+    "q_text_repetition" -> (qTextRepetition _),
+    "q_sample_stratified" -> (qSampleStratified _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -522,5 +632,7 @@ object TextAnalysis {
     "q_pack_batches" -> qPackBatchesOracle,
     "q_text_redact" -> qTextRedactOracle,
     "q_text_surprisal" -> qTextSurprisalOracle,
+    "q_text_repetition" -> qTextRepetitionOracle,
+    "q_sample_stratified" -> qSampleStratifiedOracle,
   )
 }

@@ -45,6 +45,63 @@ class OpsSpec extends AnyFunSuite {
     assert(star.toSeq == prop.toSeq)
   }
 
+  test("scd2: versions are contiguous, intervals chain, exactly one open " +
+    "interval per key") {
+    val rows = graft.cdc.CdcColumns.qCdcScd2(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        if (r.isNullAt(6)) None else Some(r.getLong(6))))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (id, vs) =>
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to vs.length).toSeq,
+        s"id $id: versions not contiguous")
+      // each interval's valid_to is the next version's tx (chained history)
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, Some(to)), (_, _, nextTx, _)) =>
+          assert(to == nextTx, s"id $id: interval chain broken")
+        case _ =>
+      }
+      assert(sorted.count(_._4.isEmpty) == 1,
+        s"id $id: exactly one open (current) interval expected")
+    }
+  }
+
+  test("paragraph dedup: kept instances equal distinct chunk count, " +
+    "ratios bounded") {
+    import org.apache.spark.sql.functions._
+    val out = Dedup.qDedupParagraph(spark, dir).collect()
+    assert(out.nonEmpty)
+    val kept = out.map(_.getLong(2)).sum
+    val distinctChunks = Tables.documents(spark, dir)
+      .withColumn("ws", split(col("text"), " ", -1))
+      .withColumn("n", size(col("ws")))
+      .withColumn("starts",
+        expr("filter(sequence(0, greatest(0, n - 1), 10), s -> s < n)"))
+      .select(posexplode(col("starts")).as(Seq("i", "start")), col("ws"))
+      .select(md5(concat_ws(" ", expr("slice(ws, start + 1, 10)"))).as("m"))
+      .distinct().count()
+    assert(kept == distinctChunks,
+      s"kept $kept != distinct chunks $distinctChunks")
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // n_kept <= n_chunks
+      // 0.0 is legitimate: a document that is a full copy of an earlier
+      // one keeps no chunks at all
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("stratified sampling: realized rates track the per-language " +
+    "thresholds (zh keeps everything)") {
+    val rows = TextAnalysis.qSampleStratified(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set("de", "en", "es", "fr", "zh"))
+    val (zhTotal, zhSampled) = rows("zh")
+    assert(zhSampled == zhTotal, "zh threshold 'g0' must keep all docs")
+    // binomial sanity at small n: es(10%) keeps fewer than en(80%)
+    def rate(l: String) = { val (t, s) = rows(l); s.toDouble / t }
+    assert(rate("es") < rate("en"))
+  }
+
   test("every oracle key refers to a registered query") {
     val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"oracles without queries: $unknown")

@@ -137,6 +137,50 @@ class PlanAuditSpec extends AnyFunSuite {
       "EqualTo(o_orderpriority,1-URGENT)]"), p)
   }
 
+  test("q06: every predicate is pushed to the parquet scan and the " +
+    "ReadSchema carries only the four referenced columns") {
+    // formatted explain — the one-line plan truncates PushedFilters
+    val p = graft.SparkEntry.queries("q06_forecast_revenue")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+      "GreaterThanOrEqual(l_discount,0.02)", "LessThanOrEqual(l_discount,0.04)",
+      "LessThan(l_quantity,24.0)").foreach { f =>
+      assert(p.contains(f), s"predicate $f not pushed: $p")
+    }
+    assert(p.contains("ReadSchema: struct<l_quantity:double," +
+      "l_extendedprice:double,l_discount:double,l_shipdate:timestamp_ntz>"),
+      s"scan must read exactly 4 columns: $p")
+  }
+
+  test("q_array_funcs: lambda kernels run scan-side — the only exchange " +
+    "is the output ordering") {
+    val p = plan("q_array_funcs")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange ")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"array lambdas must not shuffle: $exchanges")
+  }
+
+  test("q_dedup_paragraph: keep-first runs as a chunk-hash window (high-" +
+    "cardinality partitions), never a single-partition sort") {
+    val p = plan("q_dedup_paragraph")
+    assert(!p.contains("SinglePartition"),
+      s"global single-partition stage found:\n$p")
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.exists(_.contains("m#")),
+      s"expected a shuffle keyed on the chunk hash: $hashEx")
+  }
+
+  test("q_cdc_scd2: full-history build pays exactly one key shuffle — " +
+    "same cost shape as the latest-row merge") {
+    val p = plan("q_cdc_scd2")
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1, s"expected one key shuffle:\n$p")
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("runtime bloom filter: a selective dim filter injects might_contain " +
     "into the fact scan of a shuffle join") {
     import org.apache.spark.sql.functions.col
