@@ -77,13 +77,56 @@ object ArrayOps {
         unnest(embedding) AS v FROM embeddings) t
       GROUP BY pos ORDER BY pos"""
 
+  // ---------- MapType surface (construction + lambda ops over maps) ----------
+  /** The map-typed column family: `map_from_entries` built per group,
+    * then interrogated with `map_keys`, `element_at`, `map_filter`,
+    * `transform_values`, and a fold over `map_values` — the shape of a
+    * per-entity feature bag. The map stays distributed (one per group,
+    * built by the same single aggregation shuffle a plain group-by pays);
+    * emitted columns are scalars, and the oracle validates the identical
+    * semantics relationally (DuckDB needs no map type to agree on the
+    * answers — which is the point: the map is an ENCODING, not extra
+    * information).
+    */
+  def qMapFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("p_brand"))
+      .agg(map_from_entries(collect_list(struct(col("p_size"), col("cnt"))))
+        .as("m"))
+      .select(col("p_brand"),
+        expr("cardinality(m)").as("n_sizes"),
+        expr("element_at(m, 10)").as("cnt_size10"),
+        expr("""array_join(transform(array_sort(map_keys(m)),
+            x -> cast(x as string)), ',')""").as("sizes_csv"),
+        expr("aggregate(map_values(m), 0L, (a, v) -> a + v)").as("n_parts"),
+        expr("cardinality(map_filter(m, (k, v) -> v >= 3))").as("n_common"),
+        expr("""aggregate(map_values(transform_values(m, (k, v) -> v * 2L)),
+            0L, (a, v) -> a + v)""").as("n_doubled"))
+      .orderBy(col("p_brand"))
+
+  val qMapFuncsOracle: String =
+    """WITH g AS (SELECT p_brand, p_size, count(*) AS cnt FROM part
+        GROUP BY p_brand, p_size)
+      SELECT p_brand,
+        count(*)::INT AS n_sizes,
+        max(CASE WHEN p_size = 10 THEN cnt END) AS cnt_size10,
+        string_agg(p_size::VARCHAR, ',' ORDER BY p_size) AS sizes_csv,
+        sum(cnt)::BIGINT AS n_parts,
+        count(CASE WHEN cnt >= 3 THEN 1 END)::INT AS n_common,
+        (2 * sum(cnt))::BIGINT AS n_doubled
+      FROM g GROUP BY p_brand ORDER BY p_brand"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_array_funcs" -> (qArrayFuncs _),
     "q_unnest_ordinal" -> (qUnnestOrdinal _),
+    "q_map_funcs" -> (qMapFuncs _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_array_funcs" -> qArrayFuncsOracle,
     "q_unnest_ordinal" -> qUnnestOrdinalOracle,
+    "q_map_funcs" -> qMapFuncsOracle,
   )
 }

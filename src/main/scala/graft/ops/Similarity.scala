@@ -373,6 +373,50 @@ object Similarity {
       .orderBy(col("a_id"), col("rnk"))
   }
 
+  // ---------- filtered (predicate-constrained) vector search ----------
+  /** Filtered vector search — "nearest neighbors among vectors matching a
+    * metadata predicate", the operation vector stores call pre-filtered
+    * ANN. Here the predicate is label equality with the anchor, which
+    * turns the candidate join into a broadcast HASH join on the label
+    * (not a nested loop): the filter prunes candidates BEFORE any
+    * distance is computed — at 100 TB the selective predicate cuts the
+    * scored set by the label cardinality, and the equi-key would carry a
+    * shuffle join if the anchor side ever outgrew broadcast. Exact
+    * within the filtered set, so fully oracle-checked.
+    */
+  def qAnnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val e = withVec(Tables.embeddings(spark, dir))
+    val anchors = e.filter(col("vec_id") < Anchors)
+      .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+        col("vd").as("a_vd"), col("nrm").as("a_nrm"))
+    val corpus = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+      col("vd").as("b_vd"), col("nrm").as("b_nrm"))
+    val scored = broadcast(anchors)
+      .join(corpus,
+        col("a_label") === col("b_label") && col("a_id") =!= col("b_id"))
+      .withColumn("cosine",
+        round(dot(col("a_vd"), col("b_vd")) / (col("a_nrm") * col("b_nrm")), 6))
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("cosine").desc, col("b_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("a_id"), col("a_label"), col("b_id"), col("rnk"), col("cosine"))
+      .orderBy(col("a_id"), col("rnk"))
+  }
+
+  val qAnnFilteredOracle: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+      scored AS (
+        SELECT a.vec_id AS a_id, a.label AS a_label, b.vec_id AS b_id,
+          round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 50)
+      SELECT a_id, a_label, b_id, rnk, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY a_id
+          ORDER BY cosine DESC, b_id ASC) AS rnk FROM scored) t
+      WHERE rnk <= 5 ORDER BY a_id, rnk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_ann_topk" -> (qAnnTopk _),
@@ -380,6 +424,7 @@ object Similarity {
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_quantized" -> (qAnnQuantized _),
     "q_ann_pq" -> (qAnnPq _),
+    "q_ann_filtered" -> (qAnnFiltered _),
   )
 
   /** q_ann_lsh and q_ann_ivf are approximate — no SQL oracle; recall vs
@@ -388,5 +433,6 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "q_embed_neardup" -> qEmbedNeardupOracle,
     "q_ann_topk" -> qAnnTopkOracle,
+    "q_ann_filtered" -> qAnnFilteredOracle,
   )
 }

@@ -600,6 +600,45 @@ object TextAnalysis {
       FROM t GROUP BY lang ORDER BY lang"""
   }
 
+  // ---------- weighted sampling (Efraimidis–Spirakis A-ES keys) ----------
+  /** Deterministic weighted sampling without replacement: each document
+    * draws the A-ES key `u^(1/w)` (Efraimidis & Spirakis 2006) with
+    * weight `w = n_chars` and a reproducible uniform `u` derived from
+    * `rolling_hash(md5(doc_id))` — the top-k keys per language ARE a
+    * weighted sample without replacement (longer documents
+    * proportionally likelier). This is the "sample 1M docs
+    * length-weighted" curation primitive. Keys are computed scan-side;
+    * the only work beyond the scan is the per-language top-k window —
+    * at scale the same plan runs with the heap top-k aggregate instead
+    * of row_number to keep the shuffle O(groups × k).
+    */
+  def qSampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val M = 1000000007L // rolling-hash modulus: u is uniform over [0, M)
+    val u = (RollingHash.rollingHash(md5(col("doc_id").cast("string")))
+      .cast("double") + lit(0.5)) / lit(M.toDouble)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("sel_key").desc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .withColumn("sel_key", pow(u, lit(1.0) / col("n_chars").cast("double")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("lang"), col("rnk"), col("doc_id"), col("n_chars"),
+        round(col("sel_key"), 6).as("sel_key"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  val qSampleWeightedOracle: String =
+    """WITH t AS (SELECT lang, doc_id, n_chars,
+        pow((list_reduce(list_transform(string_split(md5(doc_id::VARCHAR), ''),
+              c -> ascii(c)::BIGINT),
+            (h, c) -> (h * 31 + c) % 1000000007)::DOUBLE + 0.5)
+          / 1000000007.0, 1.0 / n_chars::DOUBLE) AS sel_key
+        FROM documents),
+      r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        ORDER BY sel_key DESC, doc_id ASC)::INT AS rnk FROM t)
+      SELECT lang, rnk, doc_id, n_chars, round(sel_key, 6) AS sel_key
+      FROM r WHERE rnk <= 10 ORDER BY lang, rnk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
@@ -616,6 +655,7 @@ object TextAnalysis {
     "q_text_surprisal" -> (qTextSurprisal _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_sample_stratified" -> (qSampleStratified _),
+    "q_sample_weighted" -> (qSampleWeighted _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -634,5 +674,6 @@ object TextAnalysis {
     "q_text_surprisal" -> qTextSurprisalOracle,
     "q_text_repetition" -> qTextRepetitionOracle,
     "q_sample_stratified" -> qSampleStratifiedOracle,
+    "q_sample_weighted" -> qSampleWeightedOracle,
   )
 }

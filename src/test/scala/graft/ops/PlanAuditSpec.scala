@@ -181,6 +181,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("q_ann_filtered: the metadata predicate turns the candidate join " +
+    "into a broadcast HASH join on the label — no nested loop") {
+    val p = plan("q_ann_filtered")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"filtered search must hash-partition candidates by the predicate:\n$p")
+  }
+
   test("runtime bloom filter: a selective dim filter injects might_contain " +
     "into the fact scan of a shuffle join") {
     import org.apache.spark.sql.functions.col
