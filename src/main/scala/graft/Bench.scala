@@ -21,14 +21,16 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Median of `n` timed passes: a single pass is hostage to VM load
-    * (±40% swings measured on identical plans between rounds); the median
-    * discards one-off stalls in either direction without averaging them in.
+  /** All `n` timed passes, sorted ascending. The median (ts(n/2)) is the
+    * headline number — a single pass is hostage to VM load (±40% swings
+    * measured on identical plans between rounds) and the median discards
+    * one-off stalls in either direction without averaging them in. The
+    * min/max are kept so the artifact itself shows the per-query spread:
+    * a "regression" whose min matches last round's median is VM noise,
+    * decidable from BENCH_r{N}.json alone without a re-run.
     */
-  private def medianOf(n: Int)(f: => Unit): Double = {
-    val ts = Array.fill(n)(timeIt(f)).sorted
-    ts(n / 2)
-  }
+  private def passesOf(n: Int)(f: => Unit): Array[Double] =
+    Array.fill(n)(timeIt(f)).sorted
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -83,17 +85,18 @@ object Bench {
     }
 
     val Passes = 3
-    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // name -> sorted pass times (empty array marks a failed query)
+    val results = scala.collection.mutable.LinkedHashMap[String, Array[Double]]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val sec = try {
-        medianOf(Passes)(
+      val ts = try {
+        passesOf(Passes)(
           fn(spark, sfDir).write.format("noop").mode("overwrite").save())
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
+          Array.empty[Double]
       }
-      results(name) = sec
+      results(name) = ts
     }
 
     // conversion throughput: the reference's own workload (each pass gets
@@ -103,7 +106,7 @@ object Bench {
       val in = tmp.resolve("landing/avro/bench/part-0.avro").toString
       BenchData.writeCdcAvro(in, rows = 200000)
       var pass = 0
-      medianOf(Passes) {
+      passesOf(Passes) {
         pass += 1
         graft.convert.AvroToParquetJob.runOnce(
           spark, s"$tmp/landing/avro/*/*.avro", tmp.resolve(s"out$pass").toString)
@@ -112,10 +115,11 @@ object Bench {
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] cdc_convert failed: ${e.getMessage}")
-        -1.0
+        Array.empty[Double]
     }
 
-    val total = results.values.filter(_ >= 0).sum
+    def median(ts: Array[Double]): Double = if (ts.isEmpty) -1.0 else ts(ts.length / 2)
+    val total = results.values.filter(_.nonEmpty).map(median).sum
 
     // Locale.ROOT everywhere a number is printed: the f-interpolator uses
     // the JVM default locale, and a comma-decimal locale would break the
@@ -124,26 +128,31 @@ object Bench {
       String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
 
     // Full-precision detail line first: it scrolls out of the driver's
-    // ~2000-char tail window but stays in the full log for humans.
-    val detail = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
-      .mkString("{", ",", "}")
+    // ~2000-char tail window but stays in the full log for humans. Each
+    // query reports [min, median, max] of its passes so VM-load noise is
+    // decidable from the artifact alone (a delta whose min matches the
+    // prior round's median is noise, not a regression).
+    val detail = results.map { case (k, ts) =>
+      val cells =
+        if (ts.isEmpty) "[-1.000,-1.000,-1.000]"
+        else s"[${fmt(ts.head, 3)},${fmt(median(ts), 3)},${fmt(ts.last, 3)}]"
+      "\"" + k + "\":" + cells
+    }.mkString("{", ",", "}")
     println(
       s"""{"metric":"total_detail","value":${fmt(total, 3)},"unit":"sec","stat":"median_of_$Passes","queries":$detail,"sf":"$sfDir"}""")
 
     // The driver captures only the LAST ~2000 chars of output and
     // json-parses the final bare line; sbt appends its own "[success]
-    // Total time…" (~75 chars) after us. Keep the machine-read line
-    // comfortably under that budget: 2-decimal per-query values, short
-    // sf tag, and degrade to 1 decimal if the query count ever pushes
-    // the line past 1880 chars.
-    def line(prec: Int): String = {
-      val qs = results.map { case (k, v) =>
-        "\"" + k + "\":" + fmt(math.max(v, -1.0), prec)
-      }.mkString("{", ",", "}")
-      val sfTag = new java.io.File(sfDir).getName
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfTag"}"""
-    }
-    val out = { val l2 = line(2); if (l2.length <= 1880) l2 else line(1) }
+    // Total time…" (~75 chars) after us. A per-query map here overflowed
+    // that window at 98 entries even at 1-decimal precision (BENCH_r05
+    // recorded "parsed": null), so the machine-read line is now
+    // COUNT-INDEPENDENT: total + query count + sf only, ~130 chars
+    // regardless of how many queries register. Per-query numbers live in
+    // the total_detail line above.
+    val sfTag = new java.io.File(sfDir).getName
+    val nOk = results.values.count(_.nonEmpty)
+    val out =
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","stat":"median_of_$Passes","queries":{},"queries_ok":$nOk,"queries_total":${results.size},"sf":"$sfTag"}"""
 
     spark.sparkContext.setLogLevel("ERROR") // quiet stop(): nothing may print after the JSON line
     spark.stop()
