@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
   * `BINARY` columns with typed metadata, and run decode / feature-extract /
   * frame-sample as partition-wise batch transforms.
   *
-  * The actual media codecs are NOT in this container, so the decoder is a
-  * deterministic STUB ([[StubDecoder]]) behind a narrow interface — the
-  * Spark-side plumbing (schema, batching, partition-wise execution, typed
-  * output) is real and tested. Swapping in a real decoder is a one-class
-  * change.
+  * Image metadata is GENUINELY parsed from the payload bytes: PNG IHDR,
+  * JPEG SOF marker walk, GIF logical screen descriptor — see
+  * [[graft.functions.ImageHeader]] (codegen expressions, so the parse stays
+  * inside whole-stage codegen). Pixel-level decode (full JPEG entropy
+  * decode, video frame extraction) would need codecs this container lacks;
+  * where those appear ([[qMultimodalFrames]]'s per-frame payload windows,
+  * [[qMultimodalResize]]'s sample grid) the byte plumbing is real and the
+  * pixel interpretation is the documented deterministic placeholder.
   *
   * Scale posture: decode runs inside `mapPartitions` (one JVM-side batch
   * per partition, no per-row UDF serialization), the binary column is
@@ -20,11 +23,14 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** Typed metadata extracted from a binary payload. */
+  /** Typed metadata extracted from a binary payload. Width/height/format
+    * are None/"unknown" when the payload is not a parseable image — a
+    * pipeline filters those rows rather than failing the job.
+    */
   final case class MediaMeta(
       byteLen: Long,
-      width: Int,
-      height: Int,
+      width: Option[Int],
+      height: Option[Int],
       format: String,
       frames: Seq[Long])
 
@@ -33,20 +39,21 @@ object Multimodal {
     def decode(bytes: Array[Byte]): MediaMeta
   }
 
-  /** Deterministic fake decode: "header" = first two bytes as width/height,
-    * "format" from the length mod; "frames" = 4 sample offsets. A real
-    * implementation would parse JPEG/PNG/WAV headers here.
+  /** Header decode: real container parsing (PNG/JPEG/GIF via
+    * [[graft.functions.ImageHeader]]); "frames" = 4 fixed sample offsets
+    * into the payload (frame EXTRACTION needs codecs — the offsets are the
+    * real seek plan a frame sampler would use).
     */
-  object StubDecoder extends Decoder {
+  object HeaderDecoder extends Decoder {
     def decode(bytes: Array[Byte]): MediaMeta = {
       val len = bytes.length.toLong
-      val w = if (bytes.length > 0) bytes(0) & 0xff else 0
-      val h = if (bytes.length > 1) bytes(1) & 0xff else 0
-      val fmt = (len % 3) match {
-        case 0 => "img"; case 1 => "audio"; case _ => "video"
-      }
+      val f = graft.functions.ImageHeader.format(bytes)
+      val w = graft.functions.ImageHeader.width(bytes)
+      val h = graft.functions.ImageHeader.height(bytes)
       val frames = (0L until 4L).map(i => i * (len / 4))
-      MediaMeta(len, w, h, fmt, frames)
+      MediaMeta(len,
+        Option(w).map(_.intValue), Option(h).map(_.intValue),
+        if (f == null) "unknown" else f.toString, frames)
     }
   }
 
@@ -62,7 +69,7 @@ object Multimodal {
     * `payload` column; output is (id, byte_len, width, height, format,
     * frames) with the binary column dropped (pruned before any shuffle).
     */
-  def extractMeta(df: DataFrame, decoder: Decoder = StubDecoder): DataFrame = {
+  def extractMeta(df: DataFrame, decoder: Decoder = HeaderDecoder): DataFrame = {
     val spark = df.sparkSession
     val inSchema = df.select(col("id"), col("payload")).schema
     val outSchema = StructType(StructField("id", inSchema("id").dataType) +:
@@ -70,47 +77,83 @@ object Multimodal {
     val rdd = df.select(col("id"), col("payload")).rdd.mapPartitions { it =>
       it.map { r =>
         val m = decoder.decode(r.getAs[Array[Byte]]("payload"))
-        Row(r.get(0), m.byteLen, m.width, m.height, m.format, m.frames)
+        Row(r.get(0), m.byteLen, m.width.map(Int.box).orNull,
+          m.height.map(Int.box).orNull, m.format, m.frames)
       }
     }
     spark.createDataFrame(rdd, outSchema)
   }
 
-  /** Oracle-checkable declarative variant of the stub decode over the
-    * documents table (binary = UTF-8 bytes of the text): identical
-    * arithmetic to [[StubDecoder]] for ASCII payloads, expressed in
-    * engine-portable SQL functions.
+  /** Real header decode, oracle-checked end to end: each document becomes a
+    * binary payload carrying a GENUINE image container header — PNG
+    * signature + IHDR chunk, JPEG SOI + APP0 + COM + SOF0 segment chain, or
+    * GIF logical screen descriptor — with dimensions derived from `doc_id`,
+    * followed by the text bytes as body. [[graft.functions.ImageHeader]]
+    * then parses format/width/height back OUT of the raw bytes (big-endian
+    * u32 for PNG, a marker walk past APP0/COM to SOF0's big-endian u16s for
+    * JPEG, little-endian u16s for GIF).
+    *
+    * The DuckDB oracle recomputes the expected dimensions from the same
+    * doc_id formulas and the expected byte length from the container's
+    * header size — so any parser defect (wrong offset, wrong endianness, a
+    * marker walk that derails on the COM segment) breaks the hash match.
+    * The JPEG payload deliberately puts APP0 and COM segments BEFORE the
+    * SOF0 frame header: a parser that reads fixed offsets instead of
+    * walking segments fails it.
     */
-  def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .withColumn("payload", encode(col("text"), "UTF-8"))
-      .withColumn("byte_len", length(col("payload")).cast("long"))
-      .withColumn("width", ascii(substring(col("text"), 1, 1)))
-      .withColumn("height", ascii(substring(col("text"), 2, 1)))
-      .withColumn("format",
-        when(col("byte_len") % 3 === 0, "img")
-          .when(col("byte_len") % 3 === 1, "audio")
-          .otherwise("video"))
-      // CSV-serialized, not ARRAY<LONG>: the driver's pandas compare
-      // lexsorts every output column and numpy arrays are unhashable there.
-      .withColumn("frames",
-        array_join(transform(sequence(lit(0L), lit(3L)),
-          i => i * (col("byte_len") / lit(4L)).cast("long")), ","))
-      .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
-        col("format"), col("frames"))
+  def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    val be16 = (c: Column) => lpad(hex(c.cast("long")), 4, "0")
+    val be32 = (c: Column) => lpad(hex(c.cast("long")), 8, "0")
+    val le16 = (c: Column) =>
+      concat(substring(be16(c), 3, 2), substring(be16(c), 1, 2))
+
+    val d = Tables.documents(spark, dir)
+      .withColumn("w", (lit(16) + pmod(col("doc_id"), lit(2000))).cast("int"))
+      .withColumn("h", (lit(16) + pmod(col("doc_id") * 7, lit(2000))).cast("int"))
+      .withColumn("kind", pmod(col("doc_id"), lit(3)))
+
+    // PNG: sig(8) + IHDR len(4) + "IHDR"(4) + w(4) + h(4) + bitdepth/color/
+    //      compression/filter/interlace(5) = 29 header bytes
+    val pngHex = concat(
+      lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+      be32(col("w")), be32(col("h")), lit("0806000000"))
+    // JPEG: SOI(2) + APP0(2+16) + COM(2+6) + SOF0(2+17) = 47 header bytes,
+    //       then body, then EOI(2) → 49 + body
+    val jpegHex = concat(
+      lit("FFD8" +
+        "FFE0" + "0010" + "4A46494600010100000100010000" + // APP0 "JFIF"
+        "FFFE" + "0006" + "67726674" + // COM "grft" — forces a segment walk
+        "FFC0" + "0011" + "08"), // SOF0, len 17, precision 8
+      be16(col("h")), be16(col("w")),
+      lit("03" + "011100" + "021101" + "031101")) // 3 components
+    // GIF: "GIF89a"(6) + w(2 LE) + h(2 LE) + flags/bg/aspect(3) = 13 bytes
+    val gifHex = concat(
+      lit("474946383961"), le16(col("w")), le16(col("h")), lit("F70000"))
+
+    val body = encode(col("text"), "UTF-8")
+    val payload = when(col("kind") === 0, concat(unhex(pngHex), body))
+      .when(col("kind") === 1,
+        concat(unhex(jpegHex), body, unhex(lit("FFD9"))))
+      .otherwise(concat(unhex(gifHex), body))
+
+    import graft.functions.ImageHeaderOps._
+    d.withColumn("payload", payload)
+      .select(
+        col("doc_id"),
+        imageFormat(col("payload")).as("format"),
+        imageWidth(col("payload")).as("width"),
+        imageHeight(col("payload")).as("height"),
+        length(col("payload")).cast("long").as("byte_len"))
       .orderBy(col("doc_id"))
+  }
 
   val qMultimodalMetaOracle: String =
     """SELECT doc_id,
-      octet_length(encode(text))::BIGINT AS byte_len,
-      ascii(substr(text, 1, 1)) AS width,
-      ascii(substr(text, 2, 1)) AS height,
-      CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'img'
-           WHEN octet_length(encode(text)) % 3 = 1 THEN 'audio'
-           ELSE 'video' END AS format,
-      array_to_string(
-        [i * (octet_length(encode(text))::BIGINT // 4) for i in range(0, 4)],
-        ',') AS frames
+      CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+      (16 + doc_id % 2000)::INT AS width,
+      (16 + (doc_id * 7) % 2000)::INT AS height,
+      (octet_length(encode(text)) +
+        CASE doc_id % 3 WHEN 0 THEN 29 WHEN 1 THEN 49 ELSE 13 END)::BIGINT AS byte_len
       FROM documents ORDER BY doc_id"""
 
   /** Frame sampling: one row per sampled "frame" (fixed-offset byte

@@ -324,7 +324,7 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
-  test("multimodal extractMeta plumbing: stub decode over binary payloads") {
+  test("multimodal extractMeta plumbing: header decode over binary payloads") {
     import org.apache.spark.sql.functions._
     val src = Tables.documents(spark, dir).limit(20)
       .select(col("doc_id").as("id"), encode(col("text"), "UTF-8").as("payload"))
@@ -336,8 +336,41 @@ class OpsSpec extends AnyFunSuite {
     rows.foreach { r =>
       val len = r.getLong(1)
       assert(len > 0)
+      assert(r.getString(4) == "unknown") // text bytes are not an image
+      assert(r.isNullAt(2) && r.isNullAt(3))
       assert(r.getSeq[Long](5).length == 4)
       assert(r.getSeq[Long](5)(1) == len / 4)
     }
+  }
+
+  private def hexBytes(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("image header parse: PNG IHDR, JPEG SOF walk, GIF LE16, corrupt → null") {
+    import graft.functions.ImageHeader
+    // PNG 640×480: big-endian u32 at offsets 16/20
+    val png = hexBytes(
+      "89504E470D0A1A0A 0000000D 49484452 00000280 000001E0 0806000000")
+    assert(ImageHeader.format(png).toString == "png")
+    assert(ImageHeader.width(png) == 640 && ImageHeader.height(png) == 480)
+    // JPEG 320×200 with APP0 + COM before SOF0 — fixed-offset readers fail
+    val jpeg = hexBytes(
+      "FFD8 FFE00010 4A46494600010100000100010000 FFFE0006 67726674" +
+        " FFC00011 08 00C8 0140 03 011100 021101 031101 FFD9")
+    assert(ImageHeader.format(jpeg).toString == "jpeg")
+    assert(ImageHeader.width(jpeg) == 320 && ImageHeader.height(jpeg) == 200)
+    // progressive JPEG (SOF2) is also a frame header
+    val jpeg2 = hexBytes("FFD8 FFC20011 08 0010 0020 03 011100 021101 031101")
+    assert(ImageHeader.width(jpeg2) == 32 && ImageHeader.height(jpeg2) == 16)
+    // GIF 100×50: LITTLE-endian u16 at offsets 6/8
+    val gif = hexBytes("474946383961 6400 3200 F70000")
+    assert(ImageHeader.format(gif).toString == "gif")
+    assert(ImageHeader.width(gif) == 100 && ImageHeader.height(gif) == 50)
+    // corrupt/truncated inputs parse to null, never throw
+    assert(ImageHeader.format("not an image".getBytes) == null)
+    assert(ImageHeader.width(png.take(18)) == null) // truncated mid-IHDR
+    assert(ImageHeader.width(hexBytes("FFD8 FFD9")) == null) // EOI before SOF
+    assert(ImageHeader.width(hexBytes("FFD8 FFE00000")) == null) // bad seg len
+    assert(ImageHeader.width(Array.empty[Byte]) == null)
   }
 }
