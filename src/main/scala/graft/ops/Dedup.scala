@@ -294,16 +294,18 @@ object Dedup {
       (r.getLong(0), r.getLong(1))
     }
 
-    // Round bound: star contraction halves component diameter per round, so
-    // ceil(log2(n)) + slack rounds always suffice; derive it from the node
-    // count (2 × doc count upper-bounds nodes) instead of a silent constant,
-    // with a floor of 16 so tiny inputs keep headroom. On the bound being
-    // hit anyway (cannot happen for a well-formed edge list) fall back to
-    // min-label propagation rather than aborting the whole verify/bench run.
-    val nDocs = math.max(2L, Tables.documents(spark, dir).count())
-    val maxRounds = math.max(16, 2 + 64 - java.lang.Long.numberOfLeadingZeros(2 * nDocs))
     var edges = pairs.toDF("u", "v").localCheckpoint()
     var sig = signature(edges)
+    // Round bound: star contraction halves component diameter per round, so
+    // ceil(log2(nodes)) + slack rounds always suffice. Nodes ≤ 2 × edges,
+    // and the initial signature already computed the edge count — deriving
+    // the bound from it costs nothing, where a documents.count() here would
+    // add a full table scan to every benchmarked invocation. Floor of 16 so
+    // tiny inputs keep headroom. On the bound being hit anyway (cannot
+    // happen for a well-formed edge list) fall back to min-label
+    // propagation rather than aborting the whole verify/bench run.
+    val nNodes = math.max(2L, 2L * sig._1)
+    val maxRounds = math.max(16, 2 + 64 - java.lang.Long.numberOfLeadingZeros(nNodes))
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
@@ -315,7 +317,16 @@ object Dedup {
       rounds += 1
     }
     pairs.unpersist()
-    if (!converged) return qDedupClusters(spark, dir)
+    if (!converged) {
+      // release the final checkpoint's cached blocks before abandoning it,
+      // and say so: a bench run that silently swapped algorithms is not
+      // comparable to a normal star-contraction run
+      edges.unpersist()
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"q_dedup_cc_star: no fixpoint within $maxRounds rounds — " +
+          "falling back to min-label propagation (qDedupClusters)")
+      return qDedupClusters(spark, dir)
+    }
 
     // at the fixpoint every non-root hangs directly off its component
     // min; roots (the mins) label themselves

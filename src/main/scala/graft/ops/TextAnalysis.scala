@@ -616,27 +616,34 @@ object TextAnalysis {
     val M = 1000000007L // rolling-hash modulus: u is uniform over [0, M)
     val u = (RollingHash.rollingHash(md5(col("doc_id").cast("string")))
       .cast("double") + lit(0.5)) / lit(M.toDouble)
+    // Rank on the ROUNDED key: Java Math.pow and DuckDB's libm may differ
+    // in the last ULP, and a full-precision ordering would let that ULP
+    // decide a rank near a tie. At 6 dp the engines' pow results agree
+    // (both round the same underlying value), rounding-induced ties are
+    // broken by doc_id identically on both sides, and the emitted sel_key
+    // is the ranking key itself — no hidden full-precision ordering.
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("sel_key").desc, col("doc_id").asc)
     Tables.documents(spark, dir)
-      .withColumn("sel_key", pow(u, lit(1.0) / col("n_chars").cast("double")))
+      .withColumn("sel_key",
+        round(pow(u, lit(1.0) / col("n_chars").cast("double")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 10)
       .select(col("lang"), col("rnk"), col("doc_id"), col("n_chars"),
-        round(col("sel_key"), 6).as("sel_key"))
+        col("sel_key"))
       .orderBy(col("lang"), col("rnk"))
   }
 
   val qSampleWeightedOracle: String =
     """WITH t AS (SELECT lang, doc_id, n_chars,
-        pow((list_reduce(list_transform(string_split(md5(doc_id::VARCHAR), ''),
+        round(pow((list_reduce(list_transform(string_split(md5(doc_id::VARCHAR), ''),
               c -> ascii(c)::BIGINT),
             (h, c) -> (h * 31 + c) % 1000000007)::DOUBLE + 0.5)
-          / 1000000007.0, 1.0 / n_chars::DOUBLE) AS sel_key
+          / 1000000007.0, 1.0 / n_chars::DOUBLE), 6) AS sel_key
         FROM documents),
       r AS (SELECT *, row_number() OVER (PARTITION BY lang
         ORDER BY sel_key DESC, doc_id ASC)::INT AS rnk FROM t)
-      SELECT lang, rnk, doc_id, n_chars, round(sel_key, 6) AS sel_key
+      SELECT lang, rnk, doc_id, n_chars, sel_key
       FROM r WHERE rnk <= 10 ORDER BY lang, rnk"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
