@@ -197,9 +197,13 @@ object AvroToParquetJob {
       maxIterations: Int = Int.MaxValue,
       shouldStop: () => Boolean = () => false): Seq[ConvertReport] = {
     var reports = Vector.empty[ConvertReport]
+    val ledger = new FileLedger(ledgerDir, spark.sparkContext.hadoopConfiguration)
     var i = 0
     while (i < maxIterations && !shouldStop()) {
       reports :+= runOnce(spark, inputPattern, outputPrefix, mode, Some(ledgerDir))
+      // fold accumulated per-poll batch files back into one past 64: a
+      // year of 30s polls is ~1M ledger files otherwise (see FileLedger)
+      ledger.compact()
       i += 1
       if (i < maxIterations && !shouldStop()) Thread.sleep(intervalSeconds * 1000L)
     }

@@ -134,6 +134,76 @@ object Relational {
       WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24"""
 
+  // ---------- q04: correlated EXISTS with a date window ----------
+  /** TPC-H Q4 shape: priority distribution of orders in a date window that
+    * have at least one late line item. The correlated EXISTS becomes a
+    * LEFT SEMI join — Spark dedups order keys inside the join instead of
+    * materializing the multiplied order×lineitem rows, and the EXISTS
+    * predicate (shipped > 60 days after the order date, this schema's
+    * stand-in for Q4's `l_commitdate < l_receiptdate`) rides the join
+    * condition. At scale both sides shuffle once on orderkey; the date
+    * window prunes the orders scan before the shuffle, and the aggregate
+    * is 5 groups — the semi join is the whole query.
+    */
+  def q04OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1996-07-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+    o.join(l,
+        o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAY"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q04Oracle: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      FROM orders o
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1996-07-01'
+        AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  // ---------- q12: fact-to-fact join + CASE aggregate ----------
+  /** TPC-H Q12 shape: line items in a ship-date year joined to their
+    * orders, classified into high/low priority CASE counts per class
+    * column (this schema has no `l_shipmode`; `l_returnflag` plays the
+    * class role). The join is fact-to-fact — orders is NOT broadcast at
+    * 100 TB — so the right plan is a single shuffle on orderkey with the
+    * date filter pushed to the lineitem scan and orders pruned to
+    * (orderkey, priority) before the exchange; the CASE aggregation is
+    * map-side partial over 3 groups.
+    */
+  def q12PriorityClass(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+    val o = Tables.orders(spark, dir).select($"o_orderkey", $"o_orderpriority")
+    val high = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy($"l_returnflag")
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q12Oracle: String =
+    """SELECT l_returnflag,
+      sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+      sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   // ---------- broadcast dimension join ----------
   def qJoinBroadcast(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -909,8 +979,10 @@ object Relational {
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_topk_orders" -> (q02TopkOrders _),
     "q03_shipping_priority" -> (q03ShippingPriority _),
+    "q04_order_priority" -> (q04OrderPriority _),
     "q05_local_supplier" -> (q05LocalSupplier _),
     "q06_forecast_revenue" -> (q06ForecastRevenue _),
+    "q12_priority_class" -> (q12PriorityClass _),
     "q_window_firstlast" -> (qWindowFirstLast _),
     "q_join_broadcast" -> (qJoinBroadcast _),
     "q_semi_join" -> (qSemiJoin _),
@@ -950,8 +1022,10 @@ object Relational {
     "q01_pricing_summary" -> q01Oracle,
     "q02_topk_orders" -> q02Oracle,
     "q03_shipping_priority" -> q03Oracle,
+    "q04_order_priority" -> q04Oracle,
     "q05_local_supplier" -> q05Oracle,
     "q06_forecast_revenue" -> q06Oracle,
+    "q12_priority_class" -> q12Oracle,
     "q_window_firstlast" -> qWindowFirstLastOracle,
     "q_join_broadcast" -> qJoinBroadcastOracle,
     "q_semi_join" -> qSemiJoinOracle,

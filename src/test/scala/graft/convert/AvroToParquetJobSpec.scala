@@ -260,6 +260,34 @@ class AvroToParquetJobSpec extends AnyFunSuite {
     assert(reports.size == 1 && reports.head.discovered == 0)
   }
 
+  test("ledger compaction: batch files fold into one, seen set unchanged, " +
+    "below-threshold and empty ledgers untouched") {
+    val dir = tmpDir("graft-ledger-compact")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ledger = new FileLedger(dir, conf)
+
+    // empty ledger: nothing to do
+    assert(ledger.compact(4) == 0)
+
+    (1 to 6).foreach(i => ledger.add(Seq(s"/data/f$i.avro", s"/data/g$i.avro")))
+    val before = ledger.seen()
+    assert(before.size == 12)
+    assert(new File(dir).listFiles().count(_.getName.startsWith("batch-")) == 6)
+
+    // below threshold: untouched
+    assert(ledger.compact(8) == 0)
+    assert(new File(dir).listFiles().count(_.getName.startsWith("batch-")) == 6)
+
+    // above threshold: 6 files fold into 1, same seen set
+    assert(ledger.compact(4) == 6)
+    assert(new File(dir).listFiles().count(_.getName.startsWith("batch-")) == 1)
+    assert(ledger.seen() == before)
+
+    // appends keep working after compaction
+    ledger.add(Seq("/data/h.avro"))
+    assert(ledger.seen() == before + "/data/h.avro")
+  }
+
   test("corrupt input file: isolated as failed, healthy files still convert") {
     val in = tmpDir("graft-in-corrupt")
     val out = tmpDir("graft-out-corrupt")
