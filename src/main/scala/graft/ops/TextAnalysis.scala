@@ -378,6 +378,70 @@ object TextAnalysis {
         WHERE contains(d.text, p.phrase))
       GROUP BY lang ORDER BY lang"""
 
+  // ---------- n-gram overlap decontamination (bucketed equi-join) ----------
+  /** Benchmark decontamination the way large-scale pipelines actually run
+    * it (the "13-gram overlap" method of GPT-3's appendix / PaLM): a
+    * document is contaminated if it shares ANY word n-gram with the eval
+    * set — here a deterministic held-out sample (`doc_id % 97 = 0`)
+    * standing in for the benchmark corpus. Unlike [[qDecontaminate]]'s
+    * phrase scan (a broadcast nested loop over a small denylist — right
+    * for dozens of phrases, wrong for millions of benchmark n-grams),
+    * this EXPLODES both sides to n-gram keys and equi-joins: the shuffle
+    * buckets on the n-gram, so at 100 TB the work is one hash-partitioned
+    * pass with no per-phrase rescans. The benchmark side is distinct-ed
+    * (and broadcast when it fits); the corpus side semi-joins then
+    * dedups doc ids before the per-language rollup. In production the
+    * join key would be `xxhash64(ngram)` to cut shuffle width — string
+    * keys kept here so the DuckDB oracle joins on identical values.
+    * n = 4 (not the production 8-13) because the synthetic corpus'
+    * shared small vocabulary makes 4 the size where overlaps actually
+    * occur — 8 at both gate SFs, exercising the hit path, not just the
+    * empty join (measured; 8-grams collide zero times here).
+    */
+  def qDecontaminateNgram(spark: SparkSession, dir: String): DataFrame = {
+    val n = 4
+    val grams = expr(
+      s"transform(sequence(0, size(ws) - $n), i -> array_join(slice(ws, i + 1, $n), ' '))")
+    val docs = Tables.documents(spark, dir)
+      .withColumn("ws", split(col("text"), " "))
+    val bench = docs.filter(col("doc_id") % 97 === 0 && size(col("ws")) >= n)
+      .select(explode(grams).as("ngram"))
+      .distinct()
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val contaminated = corpus.filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(grams).as("ngram"))
+      .join(bench, Seq("ngram"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("hit", lit(1L))
+    corpus.join(contaminated, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_clean"))
+      .orderBy(col("lang"))
+  }
+
+  val qDecontaminateNgramOracle: String =
+    """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+        FROM documents),
+      g AS (SELECT doc_id, lang,
+          [array_to_string(ws[i:i+3], ' ')
+            for i in range(1, greatest(len(ws) - 2, 1))] AS ngrams
+        FROM d),
+      bench AS (SELECT DISTINCT unnest(ngrams) AS ngram FROM g
+        WHERE doc_id % 97 = 0),
+      corpus AS (SELECT doc_id, lang FROM d WHERE doc_id % 97 <> 0),
+      cont AS (SELECT DISTINCT doc_id FROM (
+          SELECT doc_id, unnest(ngrams) AS ngram FROM g WHERE doc_id % 97 <> 0) x
+        WHERE ngram IN (SELECT ngram FROM bench))
+      SELECT lang, count(*) AS n_docs,
+        sum(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+          AS n_contaminated,
+        sum(CASE WHEN cont.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_clean
+      FROM corpus LEFT JOIN cont USING (doc_id)
+      GROUP BY lang ORDER BY lang"""
+
   // ---------- sequence packing (token-budget batching) ----------
   /** Training-batch construction: pack documents (in stable doc_id order
     * per language) into batches of ≤ 2048 tokens by greedy cumulative
@@ -657,6 +721,7 @@ object TextAnalysis {
     "q_shingle_generator" -> (qShingleGenerator _),
     "q_sample_hash" -> (qSampleHash _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_decontaminate_ngram" -> (qDecontaminateNgram _),
     "q_pack_batches" -> (qPackBatches _),
     "q_text_redact" -> (qTextRedact _),
     "q_text_surprisal" -> (qTextSurprisal _),
@@ -676,6 +741,7 @@ object TextAnalysis {
     "q_shingle_generator" -> qShingleGeneratorOracle,
     "q_sample_hash" -> qSampleHashOracle,
     "q_decontaminate" -> qDecontaminateOracle,
+    "q_decontaminate_ngram" -> qDecontaminateNgramOracle,
     "q_pack_batches" -> qPackBatchesOracle,
     "q_text_redact" -> qTextRedactOracle,
     "q_text_surprisal" -> qTextSurprisalOracle,
