@@ -154,3 +154,114 @@ object ImageHeaderOps {
   def imageHeight(c: Column): Column =
     ColumnBridge.column(ImageHeaderAttr(ColumnBridge.expression(c), "height"))
 }
+
+/** WAV (RIFF) container header parsing — the audio leg of the multimodal
+  * family. Spec: `RIFF <u32le size> WAVE`, then a CHUNK WALK (`<4-byte
+  * id> <u32le size> <payload>`, word-aligned): the `fmt ` chunk carries
+  * PCM format/channels/sample-rate/bits, the `data` chunk's size gives
+  * the sample count. The walk matters — WAV files legally carry LIST/
+  * fact/cue chunks before `data`, so fixed offsets are wrong the same
+  * way fixed JPEG offsets are.
+  *
+  * All little-endian, per the RIFF spec. Truncated/non-WAV bytes parse
+  * to null.
+  */
+object WavHeader {
+
+  private def u16le(b: Array[Byte], i: Int): Int =
+    ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+
+  private def u32le(b: Array[Byte], i: Int): Long =
+    ((b(i + 3) & 0xffL) << 24) | ((b(i + 2) & 0xffL) << 16) |
+      ((b(i + 1) & 0xffL) << 8) | (b(i) & 0xffL)
+
+  private def tag(b: Array[Byte], i: Int): String =
+    new String(Array(b(i), b(i + 1), b(i + 2), b(i + 3)),
+      java.nio.charset.StandardCharsets.US_ASCII)
+
+  private def isWav(b: Array[Byte]): Boolean =
+    b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE"
+
+  /** (channels, sampleRate, bitsPerSample, blockAlign, dataSize) or null. */
+  private def parse(b: Array[Byte]): Array[Long] = {
+    if (!isWav(b)) return null
+    var channels = -1L; var rate = -1L; var bits = -1L; var block = -1L
+    var dataSize = -1L
+    var i = 12
+    while (i + 8 <= b.length && (channels < 0 || dataSize < 0)) {
+      val id = tag(b, i)
+      val size = u32le(b, i + 4)
+      if (id == "fmt " && size >= 16 && i + 8 + 16 <= b.length) {
+        channels = u16le(b, i + 10).toLong
+        rate = u32le(b, i + 12)
+        block = u16le(b, i + 20).toLong
+        bits = u16le(b, i + 22).toLong
+      } else if (id == "data") {
+        dataSize = size
+      }
+      if (size > Int.MaxValue - 9) return null // corrupt size field
+      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    if (channels <= 0 || rate <= 0 || block <= 0 || dataSize < 0) null
+    else Array(channels, rate, bits, block, dataSize)
+  }
+
+  def channels(b: Array[Byte]): Integer =
+    { val p = parse(b); if (p == null) null else Int.box(p(0).toInt) }
+
+  def sampleRate(b: Array[Byte]): Integer =
+    { val p = parse(b); if (p == null) null else Int.box(p(1).toInt) }
+
+  /** Milliseconds of audio: `data_size / block_align` samples over the
+    * sample rate, integer arithmetic throughout (oracle-reproducible).
+    */
+  def durationMs(b: Array[Byte]): java.lang.Long = {
+    val p = parse(b)
+    if (p == null) null
+    else java.lang.Long.valueOf(p(4) / p(3) * 1000L / p(1))
+  }
+}
+
+/** WAV attribute as a codegen expression: `attr` ∈ channels|sample_rate|duration_ms. */
+case class WavHeaderAttr(child: Expression, attr: String) extends UnaryExpression {
+  require(Set("channels", "sample_rate", "duration_ms")(attr),
+    s"unknown wav attr $attr")
+
+  override def dataType: DataType =
+    if (attr == "duration_ms") LongType else IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = s"wav_$attr"
+
+  override def nullSafeEval(input: Any): Any = attr match {
+    case "channels"    => WavHeader.channels(input.asInstanceOf[Array[Byte]])
+    case "sample_rate" => WavHeader.sampleRate(input.asInstanceOf[Array[Byte]])
+    case "duration_ms" => WavHeader.durationMs(input.asInstanceOf[Array[Byte]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    attr match {
+      case "duration_ms" =>
+        nullSafeCodeGen(ctx, ev, c =>
+          s"""java.lang.Long d = graft.functions.WavHeader.durationMs($c);
+             if (d == null) { ${ev.isNull} = true; }
+             else { ${ev.value} = d.longValue(); }""")
+      case a =>
+        val m = if (a == "channels") "channels" else "sampleRate"
+        nullSafeCodeGen(ctx, ev, c =>
+          s"""java.lang.Integer v = graft.functions.WavHeader.$m($c);
+             if (v == null) { ${ev.isNull} = true; }
+             else { ${ev.value} = v.intValue(); }""")
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): WavHeaderAttr =
+    copy(child = newChild)
+}
+
+object WavHeaderOps {
+  def wavChannels(c: Column): Column =
+    ColumnBridge.column(WavHeaderAttr(ColumnBridge.expression(c), "channels"))
+  def wavSampleRate(c: Column): Column =
+    ColumnBridge.column(WavHeaderAttr(ColumnBridge.expression(c), "sample_rate"))
+  def wavDurationMs(c: Column): Column =
+    ColumnBridge.column(WavHeaderAttr(ColumnBridge.expression(c), "duration_ms"))
+}

@@ -156,6 +156,72 @@ object Multimodal {
         CASE doc_id % 3 WHEN 0 THEN 29 WHEN 1 THEN 49 ELSE 13 END)::BIGINT AS byte_len
       FROM documents ORDER BY doc_id"""
 
+  /** Audio leg of the family, decoded for real: each document becomes a
+    * spec-valid WAV container — `RIFF` size `WAVE`, a `fmt ` chunk with
+    * PCM/channels/rate/block-align (all little-endian, derived from
+    * doc_id), a `data` chunk whose payload is the text bytes truncated to
+    * a whole number of sample frames — and
+    * [[graft.functions.WavHeader]] walks the chunks to parse
+    * channels / sample rate / duration back OUT of the raw bytes
+    * (duration = data bytes ÷ block align ÷ rate, integer arithmetic).
+    * The DuckDB oracle recomputes the expected values from the same
+    * formulas, so endianness slips, wrong chunk offsets, or a walk that
+    * assumes fixed layout all break the hash.
+    */
+  def qMultimodalAudio(spark: SparkSession, dir: String): DataFrame = {
+    val be16 = (c: Column) => lpad(hex(c.cast("long")), 4, "0")
+    val be32 = (c: Column) => lpad(hex(c.cast("long")), 8, "0")
+    val le16 = (c: Column) =>
+      concat(substring(be16(c), 3, 2), substring(be16(c), 1, 2))
+    val le32 = (c: Column) =>
+      concat(substring(be32(c), 7, 2), substring(be32(c), 5, 2),
+        substring(be32(c), 3, 2), substring(be32(c), 1, 2))
+
+    val d = Tables.documents(spark, dir)
+      .withColumn("body", encode(col("text"), "UTF-8"))
+      .withColumn("ch", (lit(1) + pmod(col("doc_id"), lit(2))).cast("int"))
+      .withColumn("rate",
+        when(pmod(col("doc_id"), lit(3)) === 0, 8000)
+          .when(pmod(col("doc_id"), lit(3)) === 1, 16000)
+          .otherwise(44100))
+      .withColumn("block", col("ch") * lit(2)) // 16-bit PCM frames
+      .withColumn("data_size",
+        floor(length(col("body")) / col("block")).cast("long") * col("block"))
+
+    val hdr = concat(
+      lit("52494646"), le32(col("data_size") + 36), // "RIFF" <size>
+      lit("57415645" + "666D7420"), le32(lit(16)), // "WAVE" "fmt " 16
+      le16(lit(1)), le16(col("ch")), le32(col("rate")), // PCM, channels, rate
+      le32(col("rate") * col("block")), le16(col("block")), le16(lit(16)),
+      lit("64617461"), le32(col("data_size"))) // "data" <size>
+
+    import graft.functions.WavHeaderOps._
+    d.withColumn("payload",
+        concat(unhex(hdr), expr("substring(body, 1, data_size)")))
+      .select(
+        col("doc_id"),
+        wavChannels(col("payload")).as("channels"),
+        wavSampleRate(col("payload")).as("sample_rate"),
+        wavDurationMs(col("payload")).as("duration_ms"),
+        length(col("payload")).cast("long").as("byte_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qMultimodalAudioOracle: String =
+    """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS blen
+        FROM documents),
+      p AS (SELECT doc_id,
+        (1 + doc_id % 2)::INT AS channels,
+        (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+          ELSE 44100 END)::INT AS sample_rate,
+        (1 + doc_id % 2) * 2 AS block,
+        (blen // ((1 + doc_id % 2) * 2)) * ((1 + doc_id % 2) * 2) AS data_size
+        FROM d)
+      SELECT doc_id, channels, sample_rate,
+        (data_size // block * 1000 // sample_rate)::BIGINT AS duration_ms,
+        (44 + data_size)::BIGINT AS byte_len
+      FROM p ORDER BY doc_id"""
+
   /** Frame sampling: one row per sampled "frame" (fixed-offset byte
     * window of the payload), the exploded shape a video pipeline feeds to
     * per-frame feature extraction. Real plumbing (binary slicing,
@@ -230,12 +296,14 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_multimodal_audio" -> (qMultimodalAudio _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_resize" -> (qMultimodalResize _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_multimodal_meta" -> qMultimodalMetaOracle,
+    "q_multimodal_audio" -> qMultimodalAudioOracle,
     "q_multimodal_frames" -> qMultimodalFramesOracle,
     "q_multimodal_resize" -> qMultimodalResizeOracle,
   )

@@ -373,4 +373,30 @@ class OpsSpec extends AnyFunSuite {
     assert(ImageHeader.width(hexBytes("FFD8 FFE00000")) == null) // bad seg len
     assert(ImageHeader.width(Array.empty[Byte]) == null)
   }
+
+  test("wav header parse: chunk walk past LIST, LE fields, duration math") {
+    import graft.functions.WavHeader
+    // stereo 16-bit 8000 Hz, a LIST chunk BEFORE data (fixed offsets fail),
+    // data = 16 bytes = 4 frames at block align 4 → 0 ms (4/8000 s)
+    val wav = hexBytes(
+      "52494646 3C000000 57415645" + // RIFF <size> WAVE
+        " 4C495354 04000000 AABBCCDD" + // LIST chunk the walk must skip
+        " 666D7420 10000000 0100 0200 401F0000 007D0000 0400 1000" +
+        " 64617461 10000000 " + "00" * 16)
+    assert(WavHeader.channels(wav) == 2)
+    assert(WavHeader.sampleRate(wav) == 8000)
+    assert(WavHeader.durationMs(wav) == 0L)
+    // 8000 frames of mono 16-bit at 16 kHz = 500 ms
+    val longWav = hexBytes(
+      "52494646 00000000 57415645" +
+        " 666D7420 10000000 0100 0100 803E0000 007D0000 0200 1000" +
+        " 64617461 803E0000") // declared size 16000; payload absent is fine
+    assert(WavHeader.channels(longWav) == 1)
+    assert(WavHeader.sampleRate(longWav) == 16000)
+    assert(WavHeader.durationMs(longWav) == 500L)
+    // corrupt inputs parse to null, never throw
+    assert(WavHeader.channels("RIFFxxxxNOPE".getBytes) == null)
+    assert(WavHeader.channels(hexBytes("52494646 00000000 57415645")) == null)
+    assert(WavHeader.durationMs(Array.empty[Byte]) == null)
+  }
 }
