@@ -147,6 +147,21 @@ object Dedup {
     verifyPairs(cand, docs)
   }
 
+  /** Release the MEMORY_AND_DISK blocks behind a `localCheckpoint`'d frame
+    * (or any frame derived from one). `Dataset.unpersist` only consults
+    * the CacheManager, which does not track localCheckpoint storage — so
+    * in an iterative algorithm every round's abandoned checkpoint would
+    * otherwise sit in executor memory until the ContextCleaner happens to
+    * GC the RDD reference. At 100 TB that is rounds × edge-set of dead
+    * blocks competing with the live working set.
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   // ---------- connected components over the near-dup graph ----------
   /** Dedup CLUSTERS: collapse the verified near-duplicate pair set into
     * connected components (the keep-one-per-cluster step every dedup
@@ -194,6 +209,9 @@ object Dedup {
         .agg(min(col("label")).as("label"), min(col("old")).as("old"))
         .localCheckpoint()
       changed = next.filter(col("label") =!= col("old")).count()
+      // next is materialized (count above): the previous round's
+      // checkpoint blocks are dead — release rather than accumulate
+      releaseCheckpoint(labels)
       labels = next.select(col("id"), col("label"))
       rounds += 1
     }
@@ -312,6 +330,10 @@ object Dedup {
       val next = smallStar(largeStar(edges)).localCheckpoint()
       val nextSig = signature(next)
       converged = nextSig == sig
+      // next is checkpointed, so the previous round's blocks are dead the
+      // moment it materializes — release them instead of letting every
+      // round's edge set pile up in storage until the query ends
+      releaseCheckpoint(edges)
       edges = next
       sig = nextSig
       rounds += 1
@@ -321,7 +343,7 @@ object Dedup {
       // release the final checkpoint's cached blocks before abandoning it,
       // and say so: a bench run that silently swapped algorithms is not
       // comparable to a normal star-contraction run
-      edges.unpersist()
+      releaseCheckpoint(edges)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"q_dedup_cc_star: no fixpoint within $maxRounds rounds — " +
           "falling back to min-label propagation (qDedupClusters)")
