@@ -257,6 +257,147 @@ case class WavHeaderAttr(child: Expression, attr: String) extends UnaryExpressio
     copy(child = newChild)
 }
 
+/** MP4 / ISO BMFF container parsing — the video leg of the multimodal
+  * family. Spec (ISO/IEC 14496-12): the file is a sequence of BOXES —
+  * `u32be size` (including the 8-byte header) + 4-char type, with
+  * `size == 1` meaning a 64-bit size follows and `size == 0` meaning
+  * "to end of file". `ftyp` carries the brand; `moov` is a pure
+  * container whose CHILD WALK yields `mvhd` (movie header), a FullBox
+  * whose version selects 32- vs 64-bit timestamps: timescale and
+  * duration sit after version/flags + 2 timestamps. Duration in ms =
+  * `duration * 1000 / timescale`, integer arithmetic.
+  *
+  * Both walks are real — a `free`/`skip` box before `moov`, or a `trak`
+  * before `mvhd`, are legal and skipped; fixed offsets are as wrong here
+  * as for JPEG segments and RIFF chunks. All big-endian. Truncated or
+  * non-BMFF bytes parse to null.
+  */
+object Mp4Header {
+
+  private def u32be(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  private def u64be(b: Array[Byte], i: Int): Long =
+    (u32be(b, i) << 32) | u32be(b, i + 4)
+
+  private def tag(b: Array[Byte], i: Int): String =
+    new String(Array(b(i), b(i + 1), b(i + 2), b(i + 3)),
+      java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Walks boxes in [from, to) for `boxType`; returns payload offset and
+    * box end, or null. Handles largesize (size==1) and to-eof (size==0).
+    */
+  private def findBox(
+      b: Array[Byte], from: Int, to: Int, boxType: String): Array[Int] = {
+    var i = from
+    while (i + 8 <= to) {
+      val size0 = u32be(b, i)
+      var hdr = 8
+      var size = size0
+      if (size0 == 1) {
+        if (i + 16 > to) return null
+        size = u64be(b, i + 8); hdr = 16
+      } else if (size0 == 0) {
+        size = (to - i).toLong
+      }
+      if (size < hdr || size > to - i) return null // corrupt size
+      if (tag(b, i + 4) == boxType) return Array(i + hdr, i + size.toInt)
+      i += size.toInt
+    }
+    null
+  }
+
+  private def isBmff(b: Array[Byte]): Boolean =
+    b.length >= 12 && tag(b, 4) == "ftyp"
+
+  /** Major brand from the ftyp box, e.g. "isom", "mp42". */
+  def brand(b: Array[Byte]): UTF8String = {
+    if (b == null || !isBmff(b)) return null
+    val f = findBox(b, 0, b.length, "ftyp")
+    if (f == null || f(0) + 4 > b.length) null
+    else UTF8String.fromString(tag(b, f(0)))
+  }
+
+  /** (timescale, durationMs) from moov/mvhd, or null. */
+  private def mvhd(b: Array[Byte]): Array[Long] = {
+    if (b == null || !isBmff(b)) return null
+    val moov = findBox(b, 0, b.length, "moov")
+    if (moov == null) return null
+    val m = findBox(b, moov(0), moov(1), "mvhd")
+    if (m == null) return null
+    val p = m(0)
+    if (p + 4 > b.length) return null
+    val version = b(p) & 0xff
+    if (version == 0) {
+      if (p + 20 > b.length) return null
+      val ts = u32be(b, p + 12); val dur = u32be(b, p + 16)
+      if (ts <= 0) null else Array(ts, dur * 1000L / ts)
+    } else if (version == 1) {
+      if (p + 32 > b.length) return null
+      val ts = u32be(b, p + 20); val dur = u64be(b, p + 24)
+      if (ts <= 0) null else Array(ts, dur * 1000L / ts)
+    } else null
+  }
+
+  def timescale(b: Array[Byte]): Integer =
+    { val m = mvhd(b); if (m == null) null else Int.box(m(0).toInt) }
+
+  def durationMs(b: Array[Byte]): java.lang.Long =
+    { val m = mvhd(b); if (m == null) null else java.lang.Long.valueOf(m(1)) }
+}
+
+/** MP4 attribute as a codegen expression: `attr` ∈ brand|timescale|duration_ms. */
+case class Mp4HeaderAttr(child: Expression, attr: String) extends UnaryExpression {
+  require(Set("brand", "timescale", "duration_ms")(attr),
+    s"unknown mp4 attr $attr")
+
+  override def dataType: DataType = attr match {
+    case "brand"       => StringType
+    case "timescale"   => IntegerType
+    case "duration_ms" => LongType
+  }
+  override def nullable: Boolean = true
+  override def prettyName: String = s"mp4_$attr"
+
+  override def nullSafeEval(input: Any): Any = attr match {
+    case "brand"       => Mp4Header.brand(input.asInstanceOf[Array[Byte]])
+    case "timescale"   => Mp4Header.timescale(input.asInstanceOf[Array[Byte]])
+    case "duration_ms" => Mp4Header.durationMs(input.asInstanceOf[Array[Byte]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    attr match {
+      case "brand" =>
+        nullSafeCodeGen(ctx, ev, c =>
+          s"""org.apache.spark.unsafe.types.UTF8String s =
+               graft.functions.Mp4Header.brand($c);
+             if (s == null) { ${ev.isNull} = true; } else { ${ev.value} = s; }""")
+      case "timescale" =>
+        nullSafeCodeGen(ctx, ev, c =>
+          s"""java.lang.Integer v = graft.functions.Mp4Header.timescale($c);
+             if (v == null) { ${ev.isNull} = true; }
+             else { ${ev.value} = v.intValue(); }""")
+      case "duration_ms" =>
+        nullSafeCodeGen(ctx, ev, c =>
+          s"""java.lang.Long d = graft.functions.Mp4Header.durationMs($c);
+             if (d == null) { ${ev.isNull} = true; }
+             else { ${ev.value} = d.longValue(); }""")
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): Mp4HeaderAttr =
+    copy(child = newChild)
+}
+
+object Mp4HeaderOps {
+  def mp4Brand(c: Column): Column =
+    ColumnBridge.column(Mp4HeaderAttr(ColumnBridge.expression(c), "brand"))
+  def mp4Timescale(c: Column): Column =
+    ColumnBridge.column(Mp4HeaderAttr(ColumnBridge.expression(c), "timescale"))
+  def mp4DurationMs(c: Column): Column =
+    ColumnBridge.column(Mp4HeaderAttr(ColumnBridge.expression(c), "duration_ms"))
+}
+
 object WavHeaderOps {
   def wavChannels(c: Column): Column =
     ColumnBridge.column(WavHeaderAttr(ColumnBridge.expression(c), "channels"))

@@ -222,6 +222,62 @@ object Multimodal {
         (44 + data_size)::BIGINT AS byte_len
       FROM p ORDER BY doc_id"""
 
+  /** Video leg, decoded for real: each document becomes a spec-valid
+    * ISO BMFF (MP4) file — `ftyp` with brand `isom`, a `moov` container
+    * holding a `free` box and then the `mvhd` movie header (version 0:
+    * timescale and duration as big-endian u32 after the version/flags and
+    * two timestamps), and an `mdat` box carrying the text bytes — and
+    * [[graft.functions.Mp4Header]] walks the box tree (top-level to
+    * `moov`, then moov's children past the `free` box to `mvhd`) to parse
+    * brand / timescale / duration back OUT of the raw bytes. The `free`
+    * box before `mvhd` is deliberate: a parser that assumes mvhd sits at
+    * a fixed offset inside moov fails the oracle, same as the JPEG COM
+    * segment and the WAV LIST chunk.
+    */
+  def qMultimodalVideo(spark: SparkSession, dir: String): DataFrame = {
+    val be32 = (c: Column) => lpad(hex(c.cast("long")), 8, "0")
+
+    val d = Tables.documents(spark, dir)
+      .withColumn("body", encode(col("text"), "UTF-8"))
+      .withColumn("ts",
+        when(pmod(col("doc_id"), lit(2)) === 0, 600).otherwise(90000))
+      .withColumn("dur", col("n_chars") * lit(100L)) // timescale units
+
+    // mvhd v0 payload: ver/flags, ctime, mtime, timescale, duration, rate,
+    // volume+reserved, unity matrix, 6 predefined u32s, next_track_id
+    val mvhdHex = concat(
+      lit("0000006C" + "6D766864" + "00000000" + "00000000" + "00000000"),
+      be32(col("ts")), be32(col("dur")),
+      lit("00010000" + "01000000" + "0000000000000000" +
+        "000100000000000000000000" + "000000000001000000000000" +
+        "000000000000000040000000" + "0" * 48 + "FFFFFFFF"))
+    val hdr = concat(
+      lit("00000014" + "66747970" + "69736F6D" + "00000200" + "69736F6D"), // ftyp
+      lit("00000084" + "6D6F6F76"), // moov (132 bytes: free + mvhd)
+      lit("00000010" + "66726565" + "4752414654523036"), // free box to walk past
+      mvhdHex,
+      be32(length(col("body")) + 8), lit("6D646174")) // mdat
+
+    import graft.functions.Mp4HeaderOps._
+    d.withColumn("payload", concat(unhex(hdr), col("body")))
+      .select(
+        col("doc_id"),
+        mp4Brand(col("payload")).as("brand"),
+        mp4Timescale(col("payload")).as("timescale"),
+        mp4DurationMs(col("payload")).as("duration_ms"),
+        length(col("payload")).cast("long").as("byte_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** ftyp(20) + moov(132) + mdat header(8) = 160 bytes before the body. */
+  val qMultimodalVideoOracle: String =
+    """SELECT doc_id, 'isom' AS brand,
+      (CASE WHEN doc_id % 2 = 0 THEN 600 ELSE 90000 END)::INT AS timescale,
+      (n_chars * 100 * 1000 //
+        CASE WHEN doc_id % 2 = 0 THEN 600 ELSE 90000 END)::BIGINT AS duration_ms,
+      (160 + octet_length(encode(text)))::BIGINT AS byte_len
+      FROM documents ORDER BY doc_id"""
+
   /** Frame sampling: one row per sampled "frame" (fixed-offset byte
     * window of the payload), the exploded shape a video pipeline feeds to
     * per-frame feature extraction. Real plumbing (binary slicing,
@@ -297,6 +353,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_audio" -> (qMultimodalAudio _),
+    "q_multimodal_video" -> (qMultimodalVideo _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_resize" -> (qMultimodalResize _),
   )
@@ -304,6 +361,7 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "q_multimodal_meta" -> qMultimodalMetaOracle,
     "q_multimodal_audio" -> qMultimodalAudioOracle,
+    "q_multimodal_video" -> qMultimodalVideoOracle,
     "q_multimodal_frames" -> qMultimodalFramesOracle,
     "q_multimodal_resize" -> qMultimodalResizeOracle,
   )

@@ -399,4 +399,34 @@ class OpsSpec extends AnyFunSuite {
     assert(WavHeader.channels(hexBytes("52494646 00000000 57415645")) == null)
     assert(WavHeader.durationMs(Array.empty[Byte]) == null)
   }
+
+  test("mp4 header parse: nested box walk, v0/v1 mvhd, corrupt → null") {
+    import graft.functions.Mp4Header
+    def box(tp: String, payloadHex: String): String = {
+      val size = 8 + payloadHex.replaceAll("\\s", "").length / 2
+      f"$size%08X" + tp.getBytes.map(b => f"$b%02X").mkString + payloadHex
+    }
+    val ftyp = box("ftyp", "69736F6D 00000200 69736F6D")
+    // v0 mvhd: timescale 600, duration 60000 units → 100000 ms
+    val mvhd0 = box("mvhd",
+      "00000000 00000000 00000000 00000258 0000EA60" +
+        " 00010000 01000000 0000000000000000" + "00" * 64 + "FFFFFFFF")
+    // the walk must skip a free box at top level AND a trak-ish box in moov
+    val moov = box("moov", box("free", "AABBCCDD") + mvhd0)
+    val mp4 = hexBytes(ftyp + box("free", "11223344") + moov)
+    assert(Mp4Header.brand(mp4).toString == "isom")
+    assert(Mp4Header.timescale(mp4) == 600)
+    assert(Mp4Header.durationMs(mp4) == 100000L)
+    // v1 mvhd: 64-bit timestamps/duration — timescale 90000, dur 45000 → 500 ms
+    val mvhd1 = box("mvhd",
+      "01000000" + "00" * 16 + " 00015F90 000000000000AFC8" +
+        " 00010000 01000000 0000000000000000" + "00" * 64 + "FFFFFFFF")
+    val mp4v1 = hexBytes(ftyp + box("moov", mvhd1))
+    assert(Mp4Header.timescale(mp4v1) == 90000)
+    assert(Mp4Header.durationMs(mp4v1) == 500L)
+    // corrupt: no ftyp, truncated moov, zero timescale
+    assert(Mp4Header.brand("not a video at all".getBytes) == null)
+    assert(Mp4Header.timescale(hexBytes(ftyp)) == null)
+    assert(Mp4Header.durationMs(hexBytes(ftyp + "00000030 6D6F6F76")) == null)
+  }
 }
