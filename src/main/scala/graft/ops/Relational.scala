@@ -204,6 +204,45 @@ object Relational {
         AND l_shipdate < TIMESTAMP '1997-01-01'
       GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  // ---------- q14: conditional ratio aggregate over a part join ----------
+  /** TPC-H Q14 shape: the share of revenue from promo parts in one ship
+    * month — a conditional-sum / total-sum ratio over lineitem⋈part.
+    * Both sums come out of ONE aggregate pass (the CASE rides the same
+    * partial aggregation; no second join or self-join for the
+    * denominator), and the ratio is derived from the ROUNDED sums so the
+    * two engines divide hash-identical inputs instead of racing summation
+    * order in the 4th decimal. part is broadcast by size at test scale
+    * but grows with the corpus — the query forces neither join strategy,
+    * so AQE's size decision stands at 100 TB.
+    */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1996-03-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+    val p = Tables.part(spark, dir).select($"p_partkey", $"p_type")
+    val rev = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .agg(
+        round(sum(when($"p_type" === "PROMO", rev).otherwise(0.0)), 2)
+          .as("promo_revenue"),
+        round(sum(rev), 2).as("total_revenue"))
+      .select($"promo_revenue", $"total_revenue",
+        round($"promo_revenue" * 100.0 / $"total_revenue", 4).as("promo_pct"))
+  }
+
+  val q14Oracle: String =
+    """WITH t AS (SELECT
+        round(sum(CASE WHEN p_type = 'PROMO'
+          THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2)
+          AS promo_revenue,
+        round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01')
+      SELECT promo_revenue, total_revenue,
+        round(promo_revenue * 100.0 / total_revenue, 4) AS promo_pct
+      FROM t"""
+
   // ---------- broadcast dimension join ----------
   def qJoinBroadcast(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -983,6 +1022,7 @@ object Relational {
     "q05_local_supplier" -> (q05LocalSupplier _),
     "q06_forecast_revenue" -> (q06ForecastRevenue _),
     "q12_priority_class" -> (q12PriorityClass _),
+    "q14_promo_revenue" -> (q14PromoRevenue _),
     "q_window_firstlast" -> (qWindowFirstLast _),
     "q_join_broadcast" -> (qJoinBroadcast _),
     "q_semi_join" -> (qSemiJoin _),
@@ -1026,6 +1066,7 @@ object Relational {
     "q05_local_supplier" -> q05Oracle,
     "q06_forecast_revenue" -> q06Oracle,
     "q12_priority_class" -> q12Oracle,
+    "q14_promo_revenue" -> q14Oracle,
     "q_window_firstlast" -> qWindowFirstLastOracle,
     "q_join_broadcast" -> qJoinBroadcastOracle,
     "q_semi_join" -> qSemiJoinOracle,
