@@ -373,6 +373,60 @@ object Similarity {
       .orderBy(col("a_id"), col("rnk"))
   }
 
+  // ---------- truncated-dimension (Matryoshka-style) retrieval ----------
+  /** Prefix-dimension retrieval the way Matryoshka-representation indexes
+    * run it: rank by cosine over the FIRST 16 of 64 dimensions — 4× less
+    * score compute and index memory — then report the full-dimension
+    * cosine of the selected candidates (the refine step's input). Unlike
+    * the SQ8/PQ variants this is EXACT by definition (the truncated space
+    * IS the index, not an approximation of full-dim ranking), so the
+    * whole output hash-matches a DuckDB oracle computing the same sliced
+    * cosines. Same O(K·n) anchor shape as [[qAnnTopk]]; at 100 TB the
+    * prefix scores stream over a 4×-narrower column.
+    */
+  private val MrlDims = 16
+
+  def qAnnMrl(spark: SparkSession, dir: String): DataFrame = {
+    val e = withVec(Tables.embeddings(spark, dir))
+      .withColumn("vd16", expr(s"slice(vd, 1, $MrlDims)"))
+      .withColumn("nrm16",
+        sqrt(aggregate(col("vd16"), lit(0.0), (acc, x) => acc + x * x)))
+    val anchors = e.filter(col("vec_id") < Anchors)
+      .select(col("vec_id").as("a_id"), col("vd").as("a_vd"),
+        col("nrm").as("a_nrm"), col("vd16").as("a_vd16"),
+        col("nrm16").as("a_nrm16"))
+    val corpus = e.select(col("vec_id").as("b_id"), col("vd").as("b_vd"),
+      col("nrm").as("b_nrm"), col("vd16").as("b_vd16"),
+      col("nrm16").as("b_nrm16"))
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("cosine16").desc, col("b_id").asc)
+    broadcast(anchors)
+      .join(corpus, col("a_id") =!= col("b_id"))
+      .withColumn("cosine16",
+        round(dot(col("a_vd16"), col("b_vd16")) / (col("a_nrm16") * col("b_nrm16")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .withColumn("cosine_full", // refine: full-dim score of the selected
+        round(dot(col("a_vd"), col("b_vd")) / (col("a_nrm") * col("b_nrm")), 6))
+      .select(col("a_id"), col("b_id"), col("rnk"), col("cosine16"),
+        col("cosine_full"))
+      .orderBy(col("a_id"), col("rnk"))
+  }
+
+  val qAnnMrlOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v,
+        (embedding::DOUBLE[])[1:$MrlDims] v16 FROM embeddings),
+      scored AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          round(list_cosine_similarity(a.v16, b.v16), 6) AS cosine16,
+          round(list_cosine_similarity(a.v, b.v), 6) AS cosine_full
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < $Anchors)
+      SELECT a_id, b_id, rnk, cosine16, cosine_full FROM (
+        SELECT *, row_number() OVER (PARTITION BY a_id
+          ORDER BY cosine16 DESC, b_id ASC) AS rnk FROM scored) t
+      WHERE rnk <= 10 ORDER BY a_id, rnk"""
+
   // ---------- filtered (predicate-constrained) vector search ----------
   /** Filtered vector search — "nearest neighbors among vectors matching a
     * metadata predicate", the operation vector stores call pre-filtered
@@ -489,6 +543,7 @@ object Similarity {
     "q_ann_quantized" -> (certifyRecall("sq8", 0.9, 0.90, qAnnQuantized) _),
     "q_ann_pq" -> (certifyRecall("pq", 0.1, 0.25, qAnnPq) _),
     "q_ann_filtered" -> (qAnnFiltered _),
+    "q_ann_mrl" -> (qAnnMrl _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -499,5 +554,6 @@ object Similarity {
     "q_ann_quantized" -> certifyOracle("sq8", 0.9, 0.90),
     "q_ann_pq" -> certifyOracle("pq", 0.1, 0.25),
     "q_ann_filtered" -> qAnnFilteredOracle,
+    "q_ann_mrl" -> qAnnMrlOracle,
   )
 }

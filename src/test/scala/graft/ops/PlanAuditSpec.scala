@@ -288,6 +288,62 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q04: EXISTS is a semi join (no row multiplication), both scans " +
+    "pruned and the date window pushed") {
+    val p = plan("q04_order_priority")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("Expand"), p)
+    val ordersScan = p.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("orders")).get
+    assert(ordersScan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date window must reach the orders scan: $ordersScan")
+    val liScan = p.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("lineitem")).get
+    assert(liScan.contains("ReadSchema: struct<l_orderkey:bigint,l_shipdate"),
+      s"lineitem must read exactly orderkey+shipdate: $liScan")
+  }
+
+  test("q14: single aggregate pass (CASE rides the partial agg, no " +
+    "second join for the denominator)") {
+    val p = plan("q14_promo_revenue")
+    assert(p.linesIterator.count(l =>
+      l.contains("HashAggregate") && l.contains("partial_sum")) == 1, p)
+    assert(p.linesIterator.count(_.contains("Join")) == 1, p)
+  }
+
+  test("q_decontaminate_ngram: candidate generation is an equi join on " +
+    "the n-gram key, never a nested loop") {
+    val p = plan("q_decontaminate_ngram")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("multimodal decode queries: header parse stays scan-side — no " +
+    "shuffle before the final sort") {
+    Seq("q_multimodal_meta", "q_multimodal_audio", "q_multimodal_video")
+      .foreach { q =>
+        val p = plan(q)
+        assert(p.linesIterator.count(_.contains("Exchange")) == 1,
+          s"$q must only exchange for the output sort: $p")
+        assert(!p.contains("Join"), s"$q must be a pure scan-side pipeline: $p")
+      }
+  }
+
+  test("ann self-certification: approx and exact sides join on bucketed " +
+    "keys only (no cartesian), one row out") {
+    val p = plan("q_ann_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    val df = graft.SparkEntry.queries("q_ann_lsh")(spark, dir)
+    val rows = df.collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    // the certification contract itself: all anchors above floor, mean
+    // above spec — the same row the DuckDB oracle hash-matches
+    assert(r.getAs[Long]("n_anchors") == 50)
+    assert(r.getAs[Long]("n_ge_floor") == 50)
+    assert(r.getAs[Long]("mean_ge_spec") == 1L)
+  }
+
   test("catalog scan: column pruning reaches the cdc-avro table") {
     val root = java.nio.file.Files.createTempDirectory("graft-audit-cat")
       .toFile.getAbsolutePath
