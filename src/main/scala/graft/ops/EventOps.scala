@@ -158,6 +158,48 @@ object EventOps {
     spark.table(name).orderBy(col("ws"), col("event_type"))
   }
 
+  // ---------- Structured Streaming: stream-static enrichment join ----------
+  /** The remaining streaming join shape after [[qStreamJoin]]
+    * (stream-stream): a STREAM-STATIC inner join — the streaming fact
+    * enriched against a batch dimension. Semantically stateless: the
+    * static side is (re)planned per micro-batch and broadcast, the stream
+    * side never waits, and no watermark or join state is kept — which is
+    * exactly why this is the recommended enrichment pattern at 100 TB
+    * (the dimension rides the broadcast, the stream stays append-only).
+    * Batch-equivalent by construction, so the oracle is the plain SQL
+    * join.
+    */
+  def qStreamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = Tables.table(spark, dir, "events").schema
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+
+    val name = "graft_stream_static_join"
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    spark.table(name).orderBy(col("segment"))
+  }
+
+  val qStreamStaticJoinOracle: String =
+    """SELECT c_mktsegment AS segment, count(*) AS n,
+      round(sum(value), 2) AS total
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY c_mktsegment ORDER BY segment"""
+
   // ---------- JSON functions over the props column ----------
   /** Semi-structured payload surface: `props` is a JSON string; parse it
     * BOTH ways Spark offers — path extraction (`get_json_object`, no
@@ -643,6 +685,7 @@ object EventOps {
     "q_stream_session" -> (qStreamSession _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_join" -> (qStreamJoin _),
+    "q_stream_static_join" -> (qStreamStaticJoin _),
     "q_events_funnel" -> (qEventsFunnel _),
     "q_json_funcs" -> (qJsonFuncs _),
     "q_events_gapfill" -> (qEventsGapfill _),
@@ -660,6 +703,7 @@ object EventOps {
     "q_stream_session" -> qEventsSessionOracle,
     "q_stream_dedup" -> qEventsTumblingOracle,
     "q_stream_join" -> qStreamJoinOracle,
+    "q_stream_static_join" -> qStreamStaticJoinOracle,
     "q_events_funnel" -> qEventsFunnelOracle,
     "q_json_funcs" -> qJsonFuncsOracle,
     "q_events_gapfill" -> qEventsGapfillOracle,
