@@ -930,7 +930,15 @@ object Relational {
       val t = (col("n") - 1) * q
       val lo = max(when(col("i") === floor(t), col("l_extendedprice")))
       val hi = max(when(col("i") === ceil(t), col("l_extendedprice")))
-      round(lo + (hi - lo) * (first(t) - floor(first(t))), 2).as(name)
+      // round-to-cents as round(v*100)/100 — NOT round(v, 2): Spark rounds
+      // the double's DECIMAL string (BigDecimal.valueOf) while DuckDB
+      // rounds the scaled BINARY (std::round(v*100)/100), and an
+      // interpolated v of ...2449999995 whose v*100 is exactly ...24.5
+      // flips a cent between the two. Scaling explicitly makes both
+      // engines round the identical scaled double, which they treat the
+      // same way in every case (half-away at exact .5, down below it).
+      (round((lo + (hi - lo) * (first(t) - floor(first(t)))) * 100, 0) / 100)
+        .as(name)
     }
     val aggs = interp :+ first(col("n")).cast("long").as("n")
     ranked.filter(bracket)
@@ -939,14 +947,38 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
-  val qPercentilesOracle: String =
-    """SELECT l_returnflag,
-      round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-      round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-      round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
-      round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
-      count(*) AS n
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+  /** The oracle mirrors the rank-math interpolation TERM FOR TERM
+    * (`lo + (hi - lo) * (t - floor(t))`, `t = (n-1)·q`, all double)
+    * rather than calling DuckDB's `quantile_cont`: the two formulas are
+    * algebraically equal but not FP-equal (quantile_cont interpolates in
+    * its own operation order), and at sf0.001 a p50 landed exactly on a
+    * half-cent rounding boundary — one ULP flipped the 2-dp output.
+    * Identical formula + identical order = bit-identical doubles.
+    */
+  val qPercentilesOracle: String = {
+    val qs = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95")
+    val aggs = qs.map { case (q, name) =>
+      s"""max(CASE WHEN i = floor((n - 1) * $q) THEN l_extendedprice END) AS lo_$name,
+        max(CASE WHEN i = ceil((n - 1) * $q) THEN l_extendedprice END) AS hi_$name,
+        max((n - 1) * $q - floor((n - 1) * $q)) AS f_$name"""
+    }.mkString(",\n        ")
+    val outs = qs.map { case (_, name) =>
+      s"round((lo_$name + (hi_$name - lo_$name) * f_$name) * 100) / 100 AS $name"
+    }.mkString(",\n        ")
+    s"""WITH r AS (SELECT l_returnflag, l_extendedprice,
+        (row_number() OVER (PARTITION BY l_returnflag
+           ORDER BY l_extendedprice) - 1)::DOUBLE AS i,
+        (count(*) OVER (PARTITION BY l_returnflag))::DOUBLE AS n
+        FROM lineitem),
+      g AS (SELECT l_returnflag,
+        $aggs,
+        max(n)::BIGINT AS n_rows
+        FROM r GROUP BY l_returnflag)
+      SELECT l_returnflag,
+        $outs,
+        n_rows AS n
+      FROM g ORDER BY l_returnflag"""
+  }
 
   // ---------- distribution window functions ----------
   /** percent_rank / cume_dist / ntile over a total per-partition order
