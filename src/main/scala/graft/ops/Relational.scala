@@ -327,8 +327,14 @@ object Relational {
       ORDER BY o_custkey, rnk, o_orderkey"""
 
   def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    // l_quantity closes the ordering: (orderkey, linenumber) is NOT a key
+    // in this testdata (true duplicates, up to 6 deep), and two tied rows
+    // with DIFFERENT quantities make the running sum order-dependent —
+    // flaky across engines and across runs (observed once at sf0.1).
+    // With quantity as the last tiebreak, any remaining ties contribute
+    // identical values, so every prefix sum is order-invariant.
     val w = Window.partitionBy($"l_suppkey")
-      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_quantity")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(spark, dir)
       .withColumn("run_qty", sum($"l_quantity").over(w))
@@ -339,7 +345,7 @@ object Relational {
   val qWindowRunningOracle: String =
     """SELECT l_suppkey, l_orderkey, l_linenumber,
       sum(l_quantity) OVER (PARTITION BY l_suppkey
-        ORDER BY l_shipdate, l_orderkey, l_linenumber
+        ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_qty
       FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber"""
 

@@ -400,6 +400,68 @@ class OpsSpec extends AnyFunSuite {
     assert(WavHeader.durationMs(Array.empty[Byte]) == null)
   }
 
+  test("png codec: encode/decode round-trip, CRC verification, " +
+    "Average and Paeth filter reconstruction") {
+    import graft.functions.PngCodec
+    // round-trip: decoded pixels equal the formula, through real
+    // deflate + Sub/Up filters + CRCs
+    val png = PngCodec.encodeGray(5, 4, 42L)
+    val (w, h, pix) = PngCodec.decodeGray(png)
+    assert(w == 5 && h == 4)
+    for (y <- 0 until 4; x <- 0 until 5)
+      assert((pix(y * 5 + x) & 0xff) == PngCodec.px(x, y, 42L), s"($x,$y)")
+    val expectedMean = (for (y <- 0 until 4; x <- 0 until 5)
+      yield PngCodec.px(x, y, 42L)).sum.toDouble / 20
+    assert(math.abs(PngCodec.brightness(png) - expectedMean) < 1e-12)
+    assert(PngCodec.resizeCsv(png) != null)
+
+    // corrupt one IDAT byte: CRC check must reject, not mis-decode
+    val corrupt = png.clone()
+    corrupt(45) = (corrupt(45) ^ 0x55).toByte
+    assert(PngCodec.decodeGray(corrupt) == null)
+    // truncated stream
+    assert(PngCodec.decodeGray(png.take(40)) == null)
+    assert(PngCodec.decodeGray("nope".getBytes) == null)
+
+    // a PNG using Average(3) and Paeth(4) filters — our encoder never
+    // emits them, so craft one: pixels 2x3, row0 f=0, row1 f=3, row2 f=4
+    val pxs = Array(Array(10, 200), Array(60, 140), Array(90, 250))
+    val raw = new java.io.ByteArrayOutputStream()
+    raw.write(0); raw.write(10); raw.write(200) // row 0: None
+    // row 1: Average — enc = cur - (left + up) / 2
+    raw.write(3); raw.write(60 - (0 + 10) / 2)
+    raw.write((140 - (60 + 200) / 2) & 0xff)
+    // row 2: Paeth — enc = cur - paeth(left, up, upleft)
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    raw.write(4); raw.write((90 - paeth(0, 60, 0)) & 0xff)
+    raw.write((250 - paeth(90, 140, 60)) & 0xff)
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw.toByteArray); defl.finish()
+    val zbuf = new Array[Byte](256)
+    val z = new java.io.ByteArrayOutputStream()
+    while (!defl.finished()) z.write(zbuf, 0, defl.deflate(zbuf))
+    val out = new java.io.ByteArrayOutputStream()
+    Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).foreach(out.write)
+    def chunk(tp: String, data: Array[Byte]): Unit = {
+      def u32(v: Long): Unit = (24 to 0 by -8).foreach(s => out.write(((v >> s) & 0xff).toInt))
+      u32(data.length.toLong)
+      out.write(tp.getBytes, 0, 4); out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32(); crc.update(tp.getBytes); crc.update(data)
+      u32(crc.getValue)
+    }
+    val ihdr = new java.io.ByteArrayOutputStream()
+    Seq(0, 0, 0, 2, 0, 0, 0, 3, 8, 0, 0, 0, 0).foreach(ihdr.write) // 2x3 gray
+    chunk("IHDR", ihdr.toByteArray); chunk("IDAT", z.toByteArray)
+    chunk("IEND", Array.empty)
+    val (w2, h2, pix2) = PngCodec.decodeGray(out.toByteArray)
+    assert(w2 == 2 && h2 == 3)
+    assert(pix2.map(_ & 0xff).toSeq == pxs.flatten.toSeq)
+  }
+
   test("mp4 header parse: nested box walk, v0/v1 mvhd, corrupt → null") {
     import graft.functions.Mp4Header
     def box(tp: String, payloadHex: String): String = {
