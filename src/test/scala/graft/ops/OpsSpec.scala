@@ -462,6 +462,24 @@ class OpsSpec extends AnyFunSuite {
     assert(pix2.map(_ & 0xff).toSeq == pxs.flatten.toSeq)
   }
 
+  test("png codec: output decodes identically under the JDK's own ImageIO " +
+    "(independent reference decoder)") {
+    import graft.functions.PngCodec
+    // cross-validation against a decoder we did not write: javax.imageio
+    // ships with the JDK and has its own zlib/filter path — agreement on
+    // every pixel rules out a self-consistent-but-wrong codec
+    for (seed <- Seq(0L, 7L, 999L); (w, h) <- Seq((8, 8), (16, 9), (11, 16))) {
+      val png = PngCodec.encodeGray(w, h, seed)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img != null, s"ImageIO rejected our PNG (w=$w h=$h seed=$seed)")
+      assert(img.getWidth == w && img.getHeight == h)
+      val raster = img.getRaster
+      for (y <- 0 until h; x <- 0 until w)
+        assert(raster.getSample(x, y, 0) == PngCodec.px(x, y, seed),
+          s"pixel ($x,$y) w=$w h=$h seed=$seed")
+    }
+  }
+
   test("mp4 header parse: nested box walk, v0/v1 mvhd, corrupt → null") {
     import graft.functions.Mp4Header
     def box(tp: String, payloadHex: String): String = {
