@@ -243,6 +243,63 @@ object Relational {
         round(promo_revenue * 100.0 / total_revenue, 4) AS promo_pct
       FROM t"""
 
+  // ---------- q10: returned-item reporting (4-way join + group + top-k) ----------
+  /** TPC-H Q10 shape: revenue lost to returned items per customer in a
+    * quarter, top 20 customers. Both selective predicates are pushed to
+    * their scans (returnflag on lineitem, the date window on orders)
+    * BEFORE the fact-fact join; customer joins by size (broadcast at
+    * test scale, shuffle at corpus scale — unforced); nation is a true
+    * fixed-size dimension and is broadcast explicitly. The top-20 runs
+    * as TakeOrderedAndProject on the rounded revenue with custkey
+    * tiebreak, so the LIMIT boundary is deterministic on both engines.
+    */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1996-04-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir).filter($"l_returnflag" === "R")
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    // Revenue in EXACT decimal, not rounded double: a double sum is
+    // order-dependent in its last ULP, and at sf0.01 this query's top
+    // customer landed within an ULP of a cent boundary — Spark and DuckDB
+    // rounded opposite ways. Price and discount are 2-dp values stored as
+    // doubles, so casting each to DECIMAL recovers the exact operand and
+    // the sum becomes associative: identical on both engines regardless
+    // of aggregation order. Emitted as a string (the gate's decimal
+    // convention); ordering happens on the decimal value itself.
+    val revDec = sum($"l_extendedprice".cast("decimal(18,2)") *
+      (lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(18,2)")))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy($"c_custkey", $"c_name", $"n_name", $"c_acctbal")
+      .agg(revDec.as("rev_dec"))
+      .orderBy($"rev_dec".desc, $"c_custkey".asc)
+      .limit(20)
+      .select($"c_custkey", $"c_name", $"n_name",
+        round($"c_acctbal", 2).as("acctbal"),
+        // full scale-4 string, no rescale: Spark rounds HALF_UP on a
+        // decimal down-cast while DuckDB rounds half toward zero, and
+        // exact .xx50 sums are common when 2-dp prices meet 2-dp
+        // discounts — emitting the exact sum sidesteps the mode entirely
+        $"rev_dec".cast("string").as("revenue"))
+  }
+
+  val q10Oracle: String =
+    """SELECT c_custkey, c_name, n_name, round(c_acctbal, 2) AS acctbal,
+      sum(l_extendedprice::DECIMAL(18,2)
+        * (1 - l_discount::DECIMAL(18,2)))::VARCHAR AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1996-04-01'
+      GROUP BY c_custkey, c_name, n_name, c_acctbal
+      ORDER BY sum(l_extendedprice::DECIMAL(18,2)
+        * (1 - l_discount::DECIMAL(18,2))) DESC, c_custkey ASC LIMIT 20"""
+
   // ---------- broadcast dimension join ----------
   def qJoinBroadcast(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -1059,6 +1116,7 @@ object Relational {
     "q04_order_priority" -> (q04OrderPriority _),
     "q05_local_supplier" -> (q05LocalSupplier _),
     "q06_forecast_revenue" -> (q06ForecastRevenue _),
+    "q10_returned_items" -> (q10ReturnedItems _),
     "q12_priority_class" -> (q12PriorityClass _),
     "q14_promo_revenue" -> (q14PromoRevenue _),
     "q_window_firstlast" -> (qWindowFirstLast _),
@@ -1103,6 +1161,7 @@ object Relational {
     "q04_order_priority" -> q04Oracle,
     "q05_local_supplier" -> q05Oracle,
     "q06_forecast_revenue" -> q06Oracle,
+    "q10_returned_items" -> q10Oracle,
     "q12_priority_class" -> q12Oracle,
     "q14_promo_revenue" -> q14Oracle,
     "q_window_firstlast" -> qWindowFirstLastOracle,
