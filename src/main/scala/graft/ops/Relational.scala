@@ -877,7 +877,12 @@ object Relational {
         size(char_grams(text, 5)) AS n_grams,
         rolling_hash(text) AS roll_fp,
         round(array_jaccard(word_shingles(text, 3),
-                            word_shingles(lower(text), 3)), 6) AS case_jac
+                            word_shingles(lower(text), 3)), 6) AS case_jac,
+        image_width(png_encode_gray(CAST(8 + doc_id % 9 AS INT), 8, doc_id))
+          AS png_w,
+        round(png_brightness(
+          png_encode_gray(CAST(8 + doc_id % 9 AS INT), 8, doc_id)), 4)
+          AS png_bright
       FROM docs_sqlk
       WHERE size(split(text, ' ', -1)) >= 3
       ORDER BY doc_id""")
@@ -901,7 +906,11 @@ object Relational {
           AS n_grams,
         list_reduce(list_transform(string_split(text, ''), c -> ascii(c)::BIGINT),
           (h, c) -> (h * 31 + c) % 1000000007) AS roll_fp,
-        round(i * 1.0 / (ab - i), 6) AS case_jac
+        round(i * 1.0 / (ab - i), 6) AS case_jac,
+        (8 + doc_id % 9)::INT AS png_w,
+        round(list_sum(flatten([[ (7 * x + 13 * y + doc_id) % 256
+            for x in range(0, (8 + doc_id % 9)::INT)] for y in range(0, 8)]))
+          ::DOUBLE / ((8 + doc_id % 9) * 8), 4) AS png_bright
       FROM j ORDER BY doc_id"""
 
   // ---------- grouping sets (arbitrary set list beyond rollup/cube) ----------

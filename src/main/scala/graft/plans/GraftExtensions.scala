@@ -173,5 +173,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "generator: one row per n-word shingle", 2) {
       a => graft.functions.ShingleGenerator(a(0), intArg(a(1), "shingle_tvf"))
     }
+
+    // multimodal decode kernels — the media family is SQL-reachable too
+    Seq("format", "width", "height").foreach { attr =>
+      register(e, s"image_$attr",
+        s"$attr parsed from PNG/JPEG/GIF header bytes, null if not an image", 1) {
+        a => graft.functions.ImageHeaderAttr(a(0), attr)
+      }
+    }
+    Seq("channels", "sample_rate", "duration_ms").foreach { attr =>
+      register(e, s"wav_$attr",
+        s"$attr parsed from WAV RIFF chunks, null if not a WAV", 1) {
+        a => graft.functions.WavHeaderAttr(a(0), attr)
+      }
+    }
+    Seq("brand", "timescale", "duration_ms").foreach { attr =>
+      register(e, s"mp4_$attr",
+        s"$attr parsed from the MP4 box tree, null if not ISO BMFF", 1) {
+        a => graft.functions.Mp4HeaderAttr(a(0), attr)
+      }
+    }
+    register(e, "png_encode_gray",
+      "spec-valid grayscale PNG of the deterministic pixel pattern", 3) {
+      a => graft.functions.PngEncodeGray(a(0), a(1), a(2))
+    }
+    register(e, "png_brightness",
+      "mean gray of the DECODED pixels (zlib inflate + filter recon)", 1) {
+      a => graft.functions.PngDecodeStat(a(0), "brightness")
+    }
+    register(e, "png_resize4",
+      "nearest-neighbor 4x4 downsample of the decoded pixels, CSV", 1) {
+      a => graft.functions.PngDecodeStat(a(0), "resize4")
+    }
   }
 }
