@@ -345,17 +345,37 @@ object Mp4Header {
 
   def durationMs(b: Array[Byte]): java.lang.Long =
     { val m = mvhd(b); if (m == null) null else java.lang.Long.valueOf(m(1)) }
+
+  /** Byte offset of the `mdat` box PAYLOAD (where the media data starts),
+    * found by the box walk — the seek position a frame extractor hands to
+    * the demuxer. Null if the file has no mdat.
+    */
+  def mdatOffset(b: Array[Byte]): java.lang.Long = {
+    if (b == null || !isBmff(b)) return null
+    val m = findBox(b, 0, b.length, "mdat")
+    if (m == null) null else java.lang.Long.valueOf(m(0).toLong)
+  }
+
+  /** Size in bytes of the `mdat` payload, via the same walk. */
+  def mdatSize(b: Array[Byte]): java.lang.Long = {
+    if (b == null || !isBmff(b)) return null
+    val m = findBox(b, 0, b.length, "mdat")
+    if (m == null) null else java.lang.Long.valueOf((m(1) - m(0)).toLong)
+  }
 }
 
-/** MP4 attribute as a codegen expression: `attr` ∈ brand|timescale|duration_ms. */
+/** MP4 attribute as a codegen expression:
+  * `attr` ∈ brand|timescale|duration_ms|mdat_offset|mdat_size.
+  */
 case class Mp4HeaderAttr(child: Expression, attr: String) extends UnaryExpression {
-  require(Set("brand", "timescale", "duration_ms")(attr),
+  require(
+    Set("brand", "timescale", "duration_ms", "mdat_offset", "mdat_size")(attr),
     s"unknown mp4 attr $attr")
 
   override def dataType: DataType = attr match {
-    case "brand"       => StringType
-    case "timescale"   => IntegerType
-    case "duration_ms" => LongType
+    case "brand"     => StringType
+    case "timescale" => IntegerType
+    case _           => LongType
   }
   override def nullable: Boolean = true
   override def prettyName: String = s"mp4_$attr"
@@ -364,6 +384,8 @@ case class Mp4HeaderAttr(child: Expression, attr: String) extends UnaryExpressio
     case "brand"       => Mp4Header.brand(input.asInstanceOf[Array[Byte]])
     case "timescale"   => Mp4Header.timescale(input.asInstanceOf[Array[Byte]])
     case "duration_ms" => Mp4Header.durationMs(input.asInstanceOf[Array[Byte]])
+    case "mdat_offset" => Mp4Header.mdatOffset(input.asInstanceOf[Array[Byte]])
+    case "mdat_size"   => Mp4Header.mdatSize(input.asInstanceOf[Array[Byte]])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -378,9 +400,14 @@ case class Mp4HeaderAttr(child: Expression, attr: String) extends UnaryExpressio
           s"""java.lang.Integer v = graft.functions.Mp4Header.timescale($c);
              if (v == null) { ${ev.isNull} = true; }
              else { ${ev.value} = v.intValue(); }""")
-      case "duration_ms" =>
+      case longAttr =>
+        val m = longAttr match {
+          case "duration_ms" => "durationMs"
+          case "mdat_offset" => "mdatOffset"
+          case "mdat_size"   => "mdatSize"
+        }
         nullSafeCodeGen(ctx, ev, c =>
-          s"""java.lang.Long d = graft.functions.Mp4Header.durationMs($c);
+          s"""java.lang.Long d = graft.functions.Mp4Header.$m($c);
              if (d == null) { ${ev.isNull} = true; }
              else { ${ev.value} = d.longValue(); }""")
     }
@@ -396,6 +423,10 @@ object Mp4HeaderOps {
     ColumnBridge.column(Mp4HeaderAttr(ColumnBridge.expression(c), "timescale"))
   def mp4DurationMs(c: Column): Column =
     ColumnBridge.column(Mp4HeaderAttr(ColumnBridge.expression(c), "duration_ms"))
+  def mp4MdatOffset(c: Column): Column =
+    ColumnBridge.column(Mp4HeaderAttr(ColumnBridge.expression(c), "mdat_offset"))
+  def mp4MdatSize(c: Column): Column =
+    ColumnBridge.column(Mp4HeaderAttr(ColumnBridge.expression(c), "mdat_size"))
 }
 
 object WavHeaderOps {

@@ -237,15 +237,16 @@ object Multimodal {
     * a fixed offset inside moov fails the oracle, same as the JPEG COM
     * segment and the WAV LIST chunk.
     */
-  def qMultimodalVideo(spark: SparkSession, dir: String): DataFrame = {
+  /** Documents as spec-valid MP4 files (shared by the video and frames
+    * queries): ftyp, moov{free, mvhd v0}, mdat carrying the text bytes.
+    */
+  private def withMp4Payload(df: DataFrame): DataFrame = {
     val be32 = (c: Column) => lpad(hex(c.cast("long")), 8, "0")
-
-    val d = Tables.documents(spark, dir)
+    val d = df
       .withColumn("body", encode(col("text"), "UTF-8"))
       .withColumn("ts",
         when(pmod(col("doc_id"), lit(2)) === 0, 600).otherwise(90000))
       .withColumn("dur", col("n_chars") * lit(100L)) // timescale units
-
     // mvhd v0 payload: ver/flags, ctime, mtime, timescale, duration, rate,
     // volume+reserved, unity matrix, 6 predefined u32s, next_track_id
     val mvhdHex = concat(
@@ -260,9 +261,12 @@ object Multimodal {
       lit("00000010" + "66726565" + "4752414654523036"), // free box to walk past
       mvhdHex,
       be32(length(col("body")) + 8), lit("6D646174")) // mdat
-
-    import graft.functions.Mp4HeaderOps._
     d.withColumn("payload", concat(unhex(hdr), col("body")))
+  }
+
+  def qMultimodalVideo(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Mp4HeaderOps._
+    withMp4Payload(Tables.documents(spark, dir))
       .select(
         col("doc_id"),
         mp4Brand(col("payload")).as("brand"),
@@ -281,41 +285,51 @@ object Multimodal {
       (160 + octet_length(encode(text)))::BIGINT AS byte_len
       FROM documents ORDER BY doc_id"""
 
-  /** Frame sampling: one row per sampled "frame" (fixed-offset byte
-    * window of the payload), the exploded shape a video pipeline feeds to
-    * per-frame feature extraction. Real plumbing (binary slicing,
-    * explode, per-frame fingerprints); the decode itself remains the
-    * deterministic stub.
+  /** Frame sampling from a REAL container: each document is an MP4 (same
+    * construction as [[qMultimodalVideo]]), and the four frame windows
+    * are cut from the `mdat` payload at offsets derived from the PARSED
+    * `mdat` position and size ([[graft.functions.Mp4Header.mdatOffset]]
+    * — the box walk, not an assumed constant). The oracle knows the
+    * construction puts mdat data at byte 160, so a box walk that
+    * mis-locates mdat shifts every window and fails every md5. Frame
+    * CONTENT interpretation still needs video codecs; the seek plan and
+    * byte windows are what a real frame extractor hands the decoder.
     */
-  def qMultimodalFrames(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .withColumn("payload", encode(col("text"), "UTF-8"))
-      .withColumn("byte_len", length(col("payload")).cast("long"))
-      .select(col("doc_id"), col("payload"), col("byte_len"),
+  def qMultimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Mp4HeaderOps._
+    withMp4Payload(Tables.documents(spark, dir))
+      .withColumn("mo", mp4MdatOffset(col("payload")))
+      .withColumn("ms", mp4MdatSize(col("payload")))
+      .select(col("doc_id"), col("payload"), col("mo"), col("ms"),
         posexplode(transform(sequence(lit(0L), lit(3L)),
-          i => i * (col("byte_len") / lit(4L)).cast("long")))
+          i => col("mo") + i * (col("ms") / lit(4L)).cast("long")))
           .as(Seq("frame_idx", "offset")))
       .withColumn("frame",
-        substring(col("payload"), (col("offset") + 1).cast("int"), lit(16)))
+        expr("substring(payload, cast(offset + 1 AS INT), 16)"))
       .select(col("doc_id"), col("frame_idx"), col("offset"),
         length(col("frame")).cast("long").as("frame_bytes"),
         md5(col("frame")).as("frame_md5"))
       .orderBy(col("doc_id"), col("frame_idx"))
+  }
 
-  /** DuckDB's substring does not operate on BLOBs; the docs are ASCII so
-    * byte offsets equal character offsets and the oracle slices the text —
-    * byte-identical to Spark's binary slice.
+  /** The oracle derives offsets from the KNOWN construction (mdat data at
+    * byte 160, size = body length) — the Spark side must find the same
+    * numbers by walking the boxes. DuckDB's substring does not operate on
+    * BLOBs; the docs are ASCII so byte offsets equal character offsets
+    * and the oracle slices the text, byte-identical to Spark's binary
+    * slice of the mdat payload.
     */
   val qMultimodalFramesOracle: String =
     """WITH d AS (SELECT doc_id, text,
         octet_length(encode(text))::BIGINT byte_len FROM documents),
       f AS (SELECT doc_id, text, byte_len,
         unnest(range(0, 4)) frame_idx,
-        unnest([i * (byte_len // 4) for i in range(0, 4)]) AS off
+        unnest([160 + i * (byte_len // 4) for i in range(0, 4)]) AS off
         FROM d)
       SELECT doc_id, frame_idx::INT AS frame_idx, off AS offset,
-        octet_length(encode(substr(text, (off + 1)::INT, 16)))::BIGINT AS frame_bytes,
-        md5(substr(text, (off + 1)::INT, 16)) AS frame_md5
+        octet_length(encode(substr(text, (off - 160 + 1)::INT, 16)))::BIGINT
+          AS frame_bytes,
+        md5(substr(text, (off - 160 + 1)::INT, 16)) AS frame_md5
       FROM f ORDER BY doc_id, frame_idx"""
 
   /** REAL pixel decode end to end (no codecs needed — PNG's compression

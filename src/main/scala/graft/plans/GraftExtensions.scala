@@ -187,12 +187,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         a => graft.functions.WavHeaderAttr(a(0), attr)
       }
     }
-    Seq("brand", "timescale", "duration_ms").foreach { attr =>
-      register(e, s"mp4_$attr",
-        s"$attr parsed from the MP4 box tree, null if not ISO BMFF", 1) {
-        a => graft.functions.Mp4HeaderAttr(a(0), attr)
+    Seq("brand", "timescale", "duration_ms", "mdat_offset", "mdat_size")
+      .foreach { attr =>
+        register(e, s"mp4_$attr",
+          s"$attr parsed from the MP4 box tree, null if not ISO BMFF", 1) {
+          a => graft.functions.Mp4HeaderAttr(a(0), attr)
+        }
       }
-    }
     register(e, "png_encode_gray",
       "spec-valid grayscale PNG of the deterministic pixel pattern", 3) {
       a => graft.functions.PngEncodeGray(a(0), a(1), a(2))
