@@ -300,6 +300,93 @@ object Relational {
       ORDER BY sum(l_extendedprice::DECIMAL(18,2)
         * (1 - l_discount::DECIMAL(18,2))) DESC, c_custkey ASC LIMIT 20"""
 
+  // ---------- q13: customer order-count distribution (count of counts) ----------
+  /** TPC-H Q13 shape: the histogram of orders-per-customer — a LEFT OUTER
+    * join with an extra non-key condition (so customers with zero
+    * qualifying orders appear with count 0), a per-customer count, then a
+    * count-of-counts regroup. Two shuffles by necessity (custkey, then
+    * c_count); all-integer output, so the hash compare has no rounding
+    * surface at all. The outer join keys on custkey — at 100 TB both
+    * sides shuffle once and the second aggregate is tiny (distinct count
+    * values).
+    */
+  def q13CustomerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o,
+        c("c_custkey") === o("o_custkey") &&
+          o("o_orderpriority") =!= "1-URGENT", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  val q13Oracle: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey) t
+      GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""
+
+  // ---------- q07: nation-pair volume shipping ----------
+  /** TPC-H Q7 shape: bilateral trade volume between two nations per ship
+    * year — supplier nation and customer nation joined through
+    * lineitem→orders→customer, with the symmetric PAIR predicate
+    * `(n1, n2) ∈ {(A,B), (B,A)}` and a year extraction as the group key.
+    * Revenue uses the exact-decimal pattern ([[q10ReturnedItems]]): only
+    * 4 output rows, but each aggregates thousands of line items, so a
+    * cent boundary is one unlucky dataset away — exact decimal removes
+    * the class instead of betting on the data.
+    */
+  def q07VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(spark, dir)
+      .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation"))
+    val l = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val revDec = sum($"l_extendedprice".cast("decimal(18,2)") *
+      (lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(18,2)")))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n1), s("s_nationkey") === $"s_nk")
+      .join(broadcast(n2), c("c_nationkey") === $"c_nk")
+      .filter(
+        ($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
+          ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").as("l_year"))
+      .agg(revDec.cast("string").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  val q07Oracle: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      year(l_shipdate)::INT AS l_year,
+      sum(l_extendedprice::DECIMAL(18,2)
+        * (1 - l_discount::DECIMAL(18,2)))::VARCHAR AS revenue,
+      count(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      GROUP BY supp_nation, cust_nation, l_year
+      ORDER BY supp_nation, cust_nation, l_year"""
+
   // ---------- broadcast dimension join ----------
   def qJoinBroadcast(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -1125,7 +1212,9 @@ object Relational {
     "q04_order_priority" -> (q04OrderPriority _),
     "q05_local_supplier" -> (q05LocalSupplier _),
     "q06_forecast_revenue" -> (q06ForecastRevenue _),
+    "q07_volume_shipping" -> (q07VolumeShipping _),
     "q10_returned_items" -> (q10ReturnedItems _),
+    "q13_customer_distribution" -> (q13CustomerDistribution _),
     "q12_priority_class" -> (q12PriorityClass _),
     "q14_promo_revenue" -> (q14PromoRevenue _),
     "q_window_firstlast" -> (qWindowFirstLast _),
@@ -1170,7 +1259,9 @@ object Relational {
     "q04_order_priority" -> q04Oracle,
     "q05_local_supplier" -> q05Oracle,
     "q06_forecast_revenue" -> q06Oracle,
+    "q07_volume_shipping" -> q07Oracle,
     "q10_returned_items" -> q10Oracle,
+    "q13_customer_distribution" -> q13Oracle,
     "q12_priority_class" -> q12Oracle,
     "q14_promo_revenue" -> q14Oracle,
     "q_window_firstlast" -> qWindowFirstLastOracle,
