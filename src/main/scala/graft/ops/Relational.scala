@@ -360,8 +360,8 @@ object Relational {
       .join(broadcast(n1), s("s_nationkey") === $"s_nk")
       .join(broadcast(n2), c("c_nationkey") === $"c_nk")
       .filter(
-        ($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
-          ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
+        ($"supp_nation" === "NATION_18" && $"cust_nation" === "NATION_19") ||
+          ($"supp_nation" === "NATION_19" && $"cust_nation" === "NATION_18"))
       .groupBy($"supp_nation", $"cust_nation",
         year($"l_shipdate").as("l_year"))
       .agg(revDec.cast("string").as("revenue"),
@@ -382,8 +382,8 @@ object Relational {
       JOIN nation n2 ON c_nationkey = n2.n_nationkey
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate < TIMESTAMP '1998-01-01'
-        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+          OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
       GROUP BY supp_nation, cust_nation, l_year
       ORDER BY supp_nation, cust_nation, l_year"""
 
