@@ -378,6 +378,38 @@ object TextAnalysis {
         WHERE contains(d.text, p.phrase))
       GROUP BY lang ORDER BY lang"""
 
+  // ---------- per-source diversity cap (domain cap) ----------
+  /** The "domain cap" curation primitive (C4 / RefinedWeb style): no
+    * single source may contribute more than K documents to the corpus,
+    * and within a source the K kept are the best by a deterministic
+    * quality key (longest first, doc_id tiebreak). One window top-k per
+    * source — the shuffle keys on `source`, which is high-cardinality at
+    * web scale (domains), so partitions stay balanced; the same plan
+    * swaps to the [[graft.functions]] heap top-k aggregate when K×|src|
+    * output must avoid the sort entirely. Emits the kept rows (the
+    * keep-list a downstream sampler consumes) plus each row's in-source
+    * rank, all integers/strings — no rounding surface.
+    */
+  def qCurateDomainCap(spark: SparkSession, dir: String): DataFrame = {
+    val k = 30
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("rnk"), col("doc_id"), col("lang"),
+        col("n_chars"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  val qCurateDomainCapOracle: String =
+    """SELECT source, rnk, doc_id, lang, n_chars FROM (
+        SELECT source, doc_id, lang, n_chars,
+          row_number() OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id ASC)::INT AS rnk
+        FROM documents) t
+      WHERE rnk <= 30 ORDER BY source, rnk"""
+
   // ---------- n-gram overlap decontamination (bucketed equi-join) ----------
   /** Benchmark decontamination the way large-scale pipelines actually run
     * it (the "13-gram overlap" method of GPT-3's appendix / PaLM): a
@@ -718,6 +750,7 @@ object TextAnalysis {
     "q_text_tfidf" -> (qTextTfidf _),
     "q_text_chunks" -> (qTextChunks _),
     "q_pipeline_curate" -> (qPipelineCurate _),
+    "q_curate_domain_cap" -> (qCurateDomainCap _),
     "q_shingle_generator" -> (qShingleGenerator _),
     "q_sample_hash" -> (qSampleHash _),
     "q_decontaminate" -> (qDecontaminate _),
@@ -738,6 +771,7 @@ object TextAnalysis {
     "q_text_tfidf" -> qTextTfidfOracle,
     "q_text_chunks" -> qTextChunksOracle,
     "q_pipeline_curate" -> qPipelineCurateOracle,
+    "q_curate_domain_cap" -> qCurateDomainCapOracle,
     "q_shingle_generator" -> qShingleGeneratorOracle,
     "q_sample_hash" -> qSampleHashOracle,
     "q_decontaminate" -> qDecontaminateOracle,
