@@ -535,8 +535,59 @@ object Similarity {
         n AS n_ge_floor, 1::BIGINT AS mean_ge_spec
       FROM a"""
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): compare
+    * embeddings pairwise only WITHIN a cluster, drop every vector whose
+    * cosine to an earlier (lower-id) cluster member meets the threshold.
+    * Here the cluster id is the `label` column (the paper's k-means
+    * assignment precomputed); at 100 TB the cluster count grows with the
+    * corpus so per-cluster size stays bounded, making the within-cluster
+    * pair set O(Σᵢ sᵢ²) with small sᵢ — the whole point of clustering
+    * first. Plan: one shuffle on the cluster id for the self-join, a
+    * group-by on the victim id, then a broadcast-back join; no global
+    * pairwise work anywhere.
+    *
+    * τ = 0.43 is margin-audited: the closest pair cosine at sf0.001 /
+    * 0.01 / 0.1 sits 9.6e-4 from the threshold (and outputs are
+    * integers), so the double fold order cannot flip any decision.
+    */
+  def qDedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val tau = 0.43
+    val e = withVec(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("label"), col("vd"), col("nrm"))
+    val a = e.select(col("vec_id").as("a_id"), col("label").as("a_label"),
+      col("vd").as("a_vd"), col("nrm").as("a_nrm"))
+    val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+      col("vd").as("b_vd"), col("nrm").as("b_nrm"))
+    val dups = a.join(b, col("a_label") === col("b_label") &&
+        col("a_id") < col("b_id"))
+      .withColumn("cosine",
+        round(dot(col("a_vd"), col("b_vd")) / (col("a_nrm") * col("b_nrm")), 6))
+      .filter(col("cosine") >= tau)
+      .groupBy(col("b_id"))
+      .agg(count(lit(1)).as("n_dups"))
+    e.select(col("vec_id"), col("label"))
+      .join(dups, col("vec_id") === col("b_id"), "left_outer")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("n_dups").isNull.cast("int").as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  val qDedupSemanticOracle: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+      d AS (SELECT b.vec_id AS b_id, count(*)::BIGINT AS n_dups
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.43
+        GROUP BY b.vec_id)
+      SELECT e.vec_id, e.label,
+        coalesce(d.n_dups, 0)::BIGINT AS n_dups,
+        (d.b_id IS NULL)::INT AS keep
+      FROM e LEFT JOIN d ON e.vec_id = d.b_id
+      ORDER BY e.vec_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_neardup" -> (qEmbedNeardup _),
+    "q_dedup_semantic" -> (qDedupSemantic _),
     "q_ann_topk" -> (qAnnTopk _),
     "q_ann_lsh" -> (certifyRecall("lsh", 0.0, 0.30, qAnnLsh) _),
     "q_ann_ivf" -> (certifyRecall("ivf", 0.1, 0.50, qAnnIvf) _),
@@ -548,6 +599,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q_embed_neardup" -> qEmbedNeardupOracle,
+    "q_dedup_semantic" -> qDedupSemanticOracle,
     "q_ann_topk" -> qAnnTopkOracle,
     "q_ann_lsh" -> certifyOracle("lsh", 0.0, 0.30),
     "q_ann_ivf" -> certifyOracle("ivf", 0.1, 0.50),

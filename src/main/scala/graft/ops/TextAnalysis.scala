@@ -742,6 +742,127 @@ object TextAnalysis {
       SELECT lang, rnk, doc_id, n_chars, sel_key
       FROM r WHERE rnk <= 10 ORDER BY lang, rnk"""
 
+  /** Gopher-style quality rules (Rae et al. 2021, "Scaling Language
+    * Models", table A1) re-expressed over the documents table. Every
+    * threshold is evaluated as an INTEGER cross-multiplication — e.g.
+    * "mean word length in [3, 10]" becomes
+    * `3*n_words <= n_nospace_chars <= 10*n_words` — so the keep decision
+    * involves no floating point at all and the DuckDB oracle reproduces
+    * it bit-for-bit with no boundary audit needed. Flags are emitted as
+    * 0/1 INTs (one column per rule) so a user can see WHY a document was
+    * dropped, which is how production quality filters report.
+    *
+    * Plan shape: pure scan-side projection (split/array ops inside
+    * whole-stage codegen), no shuffle except the final presentation
+    * sort — at 100 TB this is a single narrow pass.
+    */
+  def qQualityGopher(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val stops = Seq("the", "a", "of", "and", "to")
+    Tables.documents(spark, dir)
+      .withColumn("n_words", size(words))
+      .withColumn("n_distinct", size(array_distinct(words)))
+      .withColumn("n_nospace", length(regexp_replace(col("text"), " ", "")))
+      .withColumn("n_alpha_words",
+        size(filter(words, w => w.rlike("[a-zA-Z]"))))
+      .withColumn("n_stop_kinds",
+        size(array_intersect(array_distinct(words),
+          array(stops.map(lit): _*))))
+      // word count in [30, 100000] (paper: [50, 100k]; lower bound tuned
+      // to this corpus's 30–80-word docs so the rule stays discriminative)
+      .withColumn("f_wordcount",
+        (col("n_words") >= 30 && col("n_words") <= 100000).cast("int"))
+      // mean word length in [3, 10] chars, integer cross-multiplied
+      .withColumn("f_meanlen",
+        (col("n_nospace") >= col("n_words") * 3 &&
+          col("n_nospace") <= col("n_words") * 10).cast("int"))
+      // >= 80% of words contain an alphabetic character
+      .withColumn("f_alpha",
+        (col("n_alpha_words") * 10 >= col("n_words") * 8).cast("int"))
+      // at least 2 distinct stopwords present
+      .withColumn("f_stop", (col("n_stop_kinds") >= 2).cast("int"))
+      // duplicate-word fraction <= 50%: (n_words - n_distinct)*2 <= n_words
+      .withColumn("f_dup",
+        ((col("n_words") - col("n_distinct")) * 2 <= col("n_words"))
+          .cast("int"))
+      .withColumn("keep",
+        (col("f_wordcount") === 1 && col("f_meanlen") === 1 &&
+          col("f_alpha") === 1 && col("f_stop") === 1 &&
+          col("f_dup") === 1).cast("int"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        col("f_wordcount"), col("f_meanlen"), col("f_alpha"),
+        col("f_stop"), col("f_dup"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qQualityGopherOracle: String =
+    """SELECT doc_id,
+      len(string_split(text, ' ')) AS n_words,
+      len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      (len(string_split(text, ' ')) BETWEEN 30 AND 100000)::INT AS f_wordcount,
+      (length(replace(text, ' ', '')) >= len(string_split(text, ' ')) * 3
+        AND length(replace(text, ' ', '')) <= len(string_split(text, ' ')) * 10)::INT AS f_meanlen,
+      (len(list_filter(string_split(text, ' '),
+          w -> regexp_matches(w, '[a-zA-Z]'))) * 10
+        >= len(string_split(text, ' ')) * 8)::INT AS f_alpha,
+      (len(list_intersect(list_distinct(string_split(text, ' ')),
+        ['the','a','of','and','to'])) >= 2)::INT AS f_stop,
+      ((len(string_split(text, ' ')) - len(list_distinct(string_split(text, ' ')))) * 2
+        <= len(string_split(text, ' ')))::INT AS f_dup,
+      ((len(string_split(text, ' ')) BETWEEN 30 AND 100000)
+        AND (length(replace(text, ' ', '')) >= len(string_split(text, ' ')) * 3
+          AND length(replace(text, ' ', '')) <= len(string_split(text, ' ')) * 10)
+        AND (len(list_filter(string_split(text, ' '),
+            w -> regexp_matches(w, '[a-zA-Z]'))) * 10
+          >= len(string_split(text, ' ')) * 8)
+        AND (len(list_intersect(list_distinct(string_split(text, ' ')),
+          ['the','a','of','and','to'])) >= 2)
+        AND ((len(string_split(text, ' ')) - len(list_distinct(string_split(text, ' ')))) * 2
+          <= len(string_split(text, ' '))))::INT AS keep
+      FROM documents ORDER BY doc_id"""
+
+  /** Temperature-scaled source mixture (multilingual-sampling style,
+    * Arivazhagan et al. 2019): per-source sampling weight
+    * `w_i = c_i^alpha / sum_j c_j^alpha` over whitespace-token counts,
+    * with alpha = 1/2 so the power is `sqrt` — IEEE-754 requires sqrt to
+    * be exactly rounded, so unlike `pow(x, 0.3)` the per-source values
+    * are bit-identical between the JVM and DuckDB's libm. The remaining
+    * cross-engine freedom is the 20-term denominator's summation order
+    * (≤ 1e-13 relative), audited to sit ≥ 1e-7 from every emitted 6-dp
+    * rounding boundary at all three SFs (see MixTemperatureSpec).
+    * Token allocation under a 1M-token budget is derived from the
+    * ROUNDED weight so both engines round the same quantity.
+    *
+    * Plan shape: one partial-agg pass over documents (20 groups), then a
+    * broadcast of the 20-row denominator — no wide shuffle at any scale.
+    */
+  def qMixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .withColumn("ws_tokens", size(split(col("text"), " ")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("n_tokens"))
+      .withColumn("s", sqrt(col("n_tokens").cast("double")))
+    val denom = perSource.agg(sum(col("s")).as("denom"))
+    perSource.crossJoin(broadcast(denom))
+      .withColumn("weight", round(col("s") / col("denom"), 6))
+      .withColumn("alloc_tokens",
+        round(col("weight") * lit(1000000.0), 0).cast("long"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("weight"), col("alloc_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val qMixTemperatureOracle: String =
+    """WITH t AS (SELECT source, count(*) AS n_docs,
+        sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        FROM documents GROUP BY source),
+      s AS (SELECT *, sqrt(n_tokens::DOUBLE) AS sq FROM t)
+      SELECT source, n_docs, n_tokens,
+        round(sq / (SELECT sum(sq) FROM s), 6) AS weight,
+        round(round(sq / (SELECT sum(sq) FROM s), 6) * 1000000.0, 0)::BIGINT
+          AS alloc_tokens
+      FROM s ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
@@ -761,6 +882,8 @@ object TextAnalysis {
     "q_text_repetition" -> (qTextRepetition _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_weighted" -> (qSampleWeighted _),
+    "q_quality_gopher" -> (qQualityGopher _),
+    "q_mix_temperature" -> (qMixTemperature _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -782,5 +905,7 @@ object TextAnalysis {
     "q_text_repetition" -> qTextRepetitionOracle,
     "q_sample_stratified" -> qSampleStratifiedOracle,
     "q_sample_weighted" -> qSampleWeightedOracle,
+    "q_quality_gopher" -> qQualityGopherOracle,
+    "q_mix_temperature" -> qMixTemperatureOracle,
   )
 }

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Behavior + floating-point boundary audits for the round-6 curation
+  * operators (Gopher quality rules, temperature mixture, SemDeDup).
+  *
+  * The value-level gate is the DuckDB oracle; these tests pin down the
+  * SEMANTICS (flags really are the rules they claim) and the determinism
+  * argument (every emitted rounded double sits far from its rounding
+  * boundary, every threshold compare far from the threshold) so an
+  * engine-vs-oracle pass can't be a coincidence of summation order.
+  */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dirs =
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+  test("gopher rules: flags recompute from the raw text, keep is their AND") {
+    val docs = Tables.documents(spark, dirs.head).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = TextAnalysis.qQualityGopher(spark, dirs.head).collect()
+    assert(out.length == docs.size)
+    val stops = Set("the", "a", "of", "and", "to")
+    out.foreach { r =>
+      val (id, nWords, nDistinct) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      val flags = (3 to 8).map(r.getInt)
+      assert(flags.forall(f => f == 0 || f == 1), s"doc $id: non-binary flag")
+      val words = docs(id).split(" ", -1)
+      assert(nWords == words.length, s"doc $id: word count")
+      assert(nDistinct == words.distinct.length, s"doc $id: distinct count")
+      val noSpace = words.map(_.length).sum
+      assert(flags(0) == (if (words.length >= 30 && words.length <= 100000) 1 else 0))
+      assert(flags(1) ==
+        (if (noSpace >= 3 * words.length && noSpace <= 10 * words.length) 1 else 0))
+      assert(flags(2) ==
+        (if (words.count(_.exists(_.isLetter)) * 10 >= words.length * 8) 1 else 0))
+      assert(flags(3) == (if (words.distinct.count(stops) >= 2) 1 else 0))
+      assert(flags(4) ==
+        (if ((words.length - words.distinct.length) * 2 <= words.length) 1 else 0))
+      assert(flags(5) == flags.take(5).product, s"doc $id: keep != AND(flags)")
+    }
+    // the rule set must be discriminative on this corpus, not vacuous
+    val kept = out.count(_.getInt(8) == 1)
+    assert(kept > 0 && kept < out.length,
+      s"gopher filter kept $kept/${out.length} — rules not discriminative")
+  }
+
+  test("mix temperature: weights near-normalized; every 6-dp rounding is " +
+    "boundary-safe at all SFs") {
+    dirs.foreach { dir =>
+      val rows = TextAnalysis.qMixTemperature(spark, dir).collect()
+      assert(rows.length > 1)
+      val weightSum = rows.map(_.getDouble(3)).sum
+      assert(math.abs(weightSum - 1.0) <= rows.length * 5e-7,
+        s"$dir: rounded weights sum to $weightSum")
+      // recompute unrounded weights and audit distance to the 6-dp grid
+      // boundary: the cross-engine freedom is the denominator's summation
+      // order (~1e-13 relative), so a margin of 1e-9 is 4 orders beyond it
+      val sqs = rows.map(r => math.sqrt(r.getLong(2).toDouble))
+      val denom = sqs.sum
+      sqs.zip(rows).foreach { case (sq, r) =>
+        val w = sq / denom
+        val frac = w * 1e6 - math.floor(w * 1e6)
+        val margin = math.abs(frac - 0.5)
+        assert(margin > 1e-3, // i.e. w is >1e-9 from a rounding boundary
+          s"$dir source ${r.getString(0)}: weight $w within 1e-9 of boundary")
+        assert(math.abs(r.getDouble(3) - w) < 5.000001e-7)
+        // alloc derives from the ROUNDED weight; never lands near .5
+        assert(r.getLong(4) == math.round(r.getDouble(3) * 1e6))
+      }
+    }
+  }
+
+  test("semdedup: keep/n_dups recompute from exact pairwise cosine; " +
+    "threshold margin >= 1e-4 at all SFs") {
+    val tau = 0.43
+    dirs.foreach { dir =>
+      val vecs = Tables.embeddings(spark, dir).collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+        .sortBy(_._1)
+      val byLabel = vecs.groupBy(_._3)
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      var minMargin = Double.MaxValue
+      val expected = scala.collection.mutable.Map[Long, Long]()
+      byLabel.values.foreach { members =>
+        for {
+          Array((ia, va, _), (ib, vb, _)) <- members.combinations(2)
+            .map(_.sortBy(_._1).toArray)
+        } {
+          val c = cos(va, vb)
+          minMargin = math.min(minMargin, math.abs(c - tau))
+          if (BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble >= tau) {
+            expected(ib) = expected.getOrElse(ib, 0L) + 1L
+          }
+          val _ = ia
+        }
+      }
+      assert(minMargin >= 1e-4,
+        s"$dir: a pair cosine sits $minMargin from tau — boundary-unsafe")
+      val out = Similarity.qDedupSemantic(spark, dir).collect()
+      assert(out.length == vecs.length)
+      out.foreach { r =>
+        val (id, nDups, keep) = (r.getLong(0), r.getLong(2), r.getInt(3))
+        assert(nDups == expected.getOrElse(id, 0L), s"$dir vec $id: n_dups")
+        assert(keep == (if (expected.contains(id)) 0 else 1), s"$dir vec $id")
+      }
+      // non-vacuous: some vectors dropped, most kept
+      val dropped = out.count(_.getInt(3) == 0)
+      assert(dropped > 0 && dropped < out.length / 2,
+        s"$dir: $dropped/${out.length} dropped")
+    }
+  }
+}
