@@ -1205,6 +1205,182 @@ object Relational {
                 AND o.o_orderstatus = 'F' AND o.o_totalprice > 200000)
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  // ---------- q17 shape: correlated scalar subqueries (small-qty revenue) ----
+  /** TPC-H Q17 re-shaped to this schema: revenue from lineitems whose
+    * quantity is below 20% of their part's average. The Spark side is
+    * deliberately written as SQL with TWO correlated scalar subqueries so
+    * Catalyst's decorrelation (`DecorrelateInnerQuery` → outer join on a
+    * per-part aggregate) is exercised: the plan has no nested loop, but
+    * Catalyst does NOT merge the two correlated aggregates, so lineitem
+    * is scanned three times — at 100 TB one writes the single joint
+    * aggregate + join form instead (the shape q18 demonstrates); this
+    * query exists to pin the subquery path's correctness.
+    * The 20%-of-average predicate is integer cross-multiplied
+    * (`5·qty·cnt < sum`): quantities are integral, so both engines compare
+    * exact BIGINTs and the decision is FP-free. Revenue is the exact
+    * DECIMAL sum emitted as a string (q10's convention).
+    */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("li17")
+    Tables.part(spark, dir).createOrReplaceTempView("pt17")
+    spark.sql("""
+      SELECT count(*) AS n_items,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING) AS revenue_sum
+      FROM li17 l JOIN pt17 p ON l.l_partkey = p.p_partkey
+      WHERE p.p_brand = 'Brand#3'
+        AND 5 * CAST(l.l_quantity AS BIGINT) *
+              (SELECT count(*) FROM li17 l2 WHERE l2.l_partkey = l.l_partkey)
+            < (SELECT CAST(sum(l2.l_quantity) AS BIGINT) FROM li17 l2
+               WHERE l2.l_partkey = l.l_partkey)""")
+  }
+
+  val q17Oracle: String =
+    """SELECT count(*) AS n_items,
+      sum(l_extendedprice::DECIMAL(18,2))::VARCHAR AS revenue_sum
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_brand = 'Brand#3'
+        AND 5 * l.l_quantity::BIGINT *
+              (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+            < (SELECT sum(l2.l_quantity)::BIGINT FROM lineitem l2
+               WHERE l2.l_partkey = l.l_partkey)"""
+
+  // ---------- q18 shape: large-volume orders (IN-subquery with HAVING) ----
+  /** TPC-H Q18: orders whose total quantity exceeds 150, with customer.
+    * The heavy side is one shuffle on `l_orderkey` with map-side partial
+    * sums; the HAVING filter reduces the key set to ~0.3% BEFORE the
+    * orders/customer joins, and the final top-100 is a
+    * TakeOrderedAndProject, not a global sort. Quantity sums are integral
+    * doubles → exact BIGINTs on both engines.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity").cast("long").as("sum_qty"))
+      .filter($"sum_qty" > 150)
+    big.join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"o_orderkey",
+        $"o_orderdate".as("orderdate"),
+        round($"o_totalprice", 2).as("totalprice"), $"sum_qty")
+      .orderBy($"totalprice".desc, $"o_orderkey".asc)
+      .limit(100)
+  }
+
+  val q18Oracle: String =
+    """SELECT c_custkey, c_name, o_orderkey, o_orderdate AS orderdate,
+      round(o_totalprice, 2) AS totalprice, sum_qty
+      FROM (SELECT l_orderkey, sum(l_quantity)::BIGINT AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(l_quantity)::BIGINT > 150) t
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      ORDER BY totalprice DESC, o_orderkey ASC LIMIT 100"""
+
+  // ---------- q19 shape: disjunctive join predicates ----------
+  /** TPC-H Q19: revenue under an OR of three brand/size/quantity windows.
+    * The interesting planner property: the join stays a plain equi-join on
+    * `p_partkey` (broadcast — part is a dimension) with the disjunction
+    * applied as a post-join filter, and the common `p_partkey` conjunct is
+    * NOT lost inside the OR. Revenue is decimal-exact (2-dp price × 2-dp
+    * discount factor → scale-4, associative on both engines).
+    */
+  def q19DisjunctivePredicates(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    val rev = sum($"l_extendedprice".cast("decimal(18,2)") *
+      (lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(18,2)")))
+    l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .filter(
+        ($"p_brand" === "Brand#12" && $"p_size".between(1, 15) &&
+          $"l_quantity".between(1, 11)) ||
+        ($"p_brand" === "Brand#23" && $"p_size".between(1, 25) &&
+          $"l_quantity".between(10, 20)) ||
+        ($"p_brand" === "Brand#3" && $"p_size".between(1, 35) &&
+          $"l_quantity".between(20, 30)))
+      .agg(count(lit(1)).as("n_items"), rev.cast("string").as("revenue"))
+  }
+
+  val q19Oracle: String =
+    """SELECT count(*) AS n_items,
+      sum(l_extendedprice::DECIMAL(18,2)
+        * (1 - l_discount::DECIMAL(18,2)))::VARCHAR AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)"""
+
+  // ---------- q15 shape: top supplier by revenue (max-equality on agg) ----
+  /** TPC-H Q15: supplier(s) achieving the maximum 3-month revenue. The
+    * revenue per supplier is an exact DECIMAL sum, so the `revenue =
+    * max(revenue)` equality is deterministic — with double sums the
+    * last-ULP summation order could pick a different supplier near a tie.
+    * The max is an unpartitioned window over the PER-SUPPLIER aggregate
+    * (supplier-count rows, dimension-scale): the separate
+    * `rev.agg(max)`-and-join-back spelling re-ran the whole lineitem
+    * scan + shuffle because Catalyst does not common the two aggregate
+    * subtrees — one fact scan beats avoiding a dimension-sized window.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(sum($"l_extendedprice".cast("decimal(18,2)") *
+        (lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(18,2)")))
+        .as("total_rev"))
+    rev.withColumn("max_rev", max($"total_rev").over(Window.partitionBy()))
+      .filter($"total_rev" === $"max_rev")
+      .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"total_rev".cast("string").as("total_revenue"))
+      .orderBy($"s_suppkey")
+  }
+
+  val q15Oracle: String =
+    """WITH rev AS (SELECT l_suppkey,
+        sum(l_extendedprice::DECIMAL(18,2)
+          * (1 - l_discount::DECIMAL(18,2))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_rev::VARCHAR AS total_revenue
+      FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      WHERE total_rev = (SELECT max(total_rev) FROM rev)
+      ORDER BY s_suppkey"""
+
+  // ---------- q22 shape: dormant positive-balance customers ----------
+  /** TPC-H Q22 reshaped (no phone column): positive-balance customers with
+    * no order in the final data year, grouped by nation. The NOT EXISTS is
+    * a left-anti join against the date-filtered orders (the filter reaches
+    * the orders scan before the join), and the per-nation balance total is
+    * decimal-exact so no rounded-sum boundary exists.
+    */
+  def q22DormantCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val recent = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("2001-01-01").cast("timestamp"))
+      .select($"o_custkey")
+    Tables.customer(spark, dir)
+      .filter($"c_acctbal" > 0)
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_cust"),
+        sum($"c_acctbal".cast("decimal(18,2)")).cast("string").as("total_bal"))
+      .orderBy($"c_nationkey")
+  }
+
+  val q22Oracle: String =
+    """SELECT c_nationkey, count(*) AS n_cust,
+      sum(c_acctbal::DECIMAL(18,2))::VARCHAR AS total_bal
+      FROM customer c
+      WHERE c_acctbal > 0
+        AND NOT EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+      GROUP BY c_nationkey ORDER BY c_nationkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_topk_orders" -> (q02TopkOrders _),
@@ -1217,6 +1393,11 @@ object Relational {
     "q13_customer_distribution" -> (q13CustomerDistribution _),
     "q12_priority_class" -> (q12PriorityClass _),
     "q14_promo_revenue" -> (q14PromoRevenue _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
+    "q18_large_orders" -> (q18LargeOrders _),
+    "q19_disjunctive_pred" -> (q19DisjunctivePredicates _),
+    "q22_dormant_customers" -> (q22DormantCustomers _),
     "q_window_firstlast" -> (qWindowFirstLast _),
     "q_join_broadcast" -> (qJoinBroadcast _),
     "q_semi_join" -> (qSemiJoin _),
@@ -1264,6 +1445,11 @@ object Relational {
     "q13_customer_distribution" -> q13Oracle,
     "q12_priority_class" -> q12Oracle,
     "q14_promo_revenue" -> q14Oracle,
+    "q15_top_supplier" -> q15Oracle,
+    "q17_small_qty_revenue" -> q17Oracle,
+    "q18_large_orders" -> q18Oracle,
+    "q19_disjunctive_pred" -> q19Oracle,
+    "q22_dormant_customers" -> q22Oracle,
     "q_window_firstlast" -> qWindowFirstLastOracle,
     "q_join_broadcast" -> qJoinBroadcastOracle,
     "q_semi_join" -> qSemiJoinOracle,

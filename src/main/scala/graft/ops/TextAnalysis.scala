@@ -829,12 +829,15 @@ object TextAnalysis {
     * are bit-identical between the JVM and DuckDB's libm. The remaining
     * cross-engine freedom is the 20-term denominator's summation order
     * (≤ 1e-13 relative), audited to sit ≥ 1e-7 from every emitted 6-dp
-    * rounding boundary at all three SFs (see MixTemperatureSpec).
+    * rounding boundary at all three SFs (see CurationSpec).
     * Token allocation under a 1M-token budget is derived from the
     * ROUNDED weight so both engines round the same quantity.
     *
-    * Plan shape: one partial-agg pass over documents (20 groups), then a
-    * broadcast of the 20-row denominator — no wide shuffle at any scale.
+    * Plan shape: ONE partial-agg pass over documents (20 groups); the
+    * denominator is an unpartitioned window over the already-aggregated
+    * 20-row result (source-count-sized, never fact-sized), so documents
+    * is scanned exactly once — the separate-aggregate spelling scanned
+    * it twice because Catalyst does not common the two subtrees.
     */
   def qMixTemperature(spark: SparkSession, dir: String): DataFrame = {
     val perSource = Tables.documents(spark, dir)
@@ -842,8 +845,9 @@ object TextAnalysis {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("n_tokens"))
       .withColumn("s", sqrt(col("n_tokens").cast("double")))
-    val denom = perSource.agg(sum(col("s")).as("denom"))
-    perSource.crossJoin(broadcast(denom))
+    perSource
+      .withColumn("denom",
+        sum(col("s")).over(Window.partitionBy()))
       .withColumn("weight", round(col("s") / col("denom"), 6))
       .withColumn("alloc_tokens",
         round(col("weight") * lit(1000000.0), 0).cast("long"))

@@ -344,6 +344,75 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(r.getAs[Long]("mean_ge_spec") == 1L)
   }
 
+  test("q17: correlated scalar subqueries decorrelate — no nested loop, " +
+    "brand filter pushed to the part scan") {
+    val p = plan("q17_small_qty_revenue")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    val partScan = p.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("part.parquet")).get
+    assert(partScan.contains("EqualTo(p_brand,Brand#3)"),
+      s"brand predicate must reach the part scan: $partScan")
+  }
+
+  test("q18: HAVING prunes before the joins; final order is a top-k, " +
+    "not a global sort") {
+    val p = plan("q18_large_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the quantity filter sits directly on the aggregate, above the joins
+    assert(p.contains("sum_qty") && p.contains("> 150"), p)
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning")) == 1,
+      s"only the l_orderkey aggregate may shuffle: $p")
+  }
+
+  test("q19: disjunctive predicate stays on an equi join; the quantity " +
+    "disjunction is pushed to the lineitem scan") {
+    val p = plan("q19_disjunctive_pred")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    val liScan = p.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("lineitem")).get
+    assert(liScan.contains("GreaterThanOrEqual(l_quantity,1.0)"),
+      s"quantity disjunction must reach the lineitem scan: $liScan")
+  }
+
+  test("q15 and q_mix_temperature: the global max/denominator is a window " +
+    "over the aggregate — the fact table is scanned exactly once") {
+    Seq("q15_top_supplier" -> "lineitem", "q_mix_temperature" -> "documents")
+      .foreach { case (q, fact) =>
+        val p = plan(q)
+        assert(p.linesIterator.count(l =>
+          l.contains("FileScan parquet") && l.contains(fact)) == 1,
+          s"$q must scan $fact once: $p")
+        assert(p.contains("Window"), s"$q: global agg must be a window: $p")
+      }
+  }
+
+  test("q22: NOT EXISTS is an anti join with the date filter pushed to " +
+    "the orders scan") {
+    val p = plan("q22_dormant_customers")
+    assert(p.contains("LeftAnti"), p)
+    val ordersScan = p.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("orders")).get
+    assert(ordersScan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date filter must reach the orders scan: $ordersScan")
+  }
+
+  test("q_dedup_semantic: candidate pairs come from an equi join on the " +
+    "cluster id — never a cartesian; gopher filter is scan-side") {
+    val p = plan("q_dedup_semantic")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("a_label") && p.contains("b_label"),
+      s"pair join must key on the cluster label: $p")
+    val g = plan("q_quality_gopher")
+    assert(g.linesIterator.count(_.contains("Exchange")) == 1,
+      s"gopher rules must be scan-side, one exchange for the sort: $g")
+    assert(!g.contains("Join"), g)
+  }
+
   test("catalog scan: column pruning reaches the cdc-avro table") {
     val root = java.nio.file.Files.createTempDirectory("graft-audit-cat")
       .toFile.getAbsolutePath
