@@ -543,8 +543,9 @@ object Similarity {
     * corpus so per-cluster size stays bounded, making the within-cluster
     * pair set O(Σᵢ sᵢ²) with small sᵢ — the whole point of clustering
     * first. Plan: one shuffle on the cluster id for the self-join, a
-    * group-by on the victim id, then a broadcast-back join; no global
-    * pairwise work anywhere.
+    * group-by on the victim id, then one key-shuffle left-outer join to
+    * attach the verdict (the dups side is corpus-proportional, so it is
+    * not broadcastable at scale); no global pairwise work anywhere.
     *
     * τ = 0.43 is margin-audited: the closest pair cosine at sf0.001 /
     * 0.01 / 0.1 sits 9.6e-4 from the threshold (and outputs are

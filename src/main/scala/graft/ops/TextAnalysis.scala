@@ -742,6 +742,55 @@ object TextAnalysis {
       SELECT lang, rnk, doc_id, n_chars, sel_key
       FROM r WHERE rnk <= 10 ORDER BY lang, rnk"""
 
+  /** Deterministic train/val/test split: the split of a document is a
+    * pure function of `md5(doc_id)` — two hex digits give 256 buckets,
+    * split 242/7/7 ≈ 94.5%/2.7%/2.7% — so membership is reproducible
+    * run-to-run, cluster-size-independent, and stable under re-ingestion
+    * (the properties a training pipeline actually needs from a split;
+    * `rand()`-based splits have none of them). Zero shuffle for the
+    * assignment; the per-split report is a 3-group aggregate. String
+    * compares on hex digits keep both engines byte-identical.
+    */
+  def qSplitTrainValTest(spark: SparkSession, dir: String): DataFrame = {
+    val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+    Tables.documents(spark, dir)
+      .withColumn("split",
+        when(h2 < "f2", "train").when(h2 < "f9", "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("split"))
+  }
+
+  val qSplitTrainValTestOracle: String =
+    """SELECT CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'f2' THEN 'train'
+             WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'f9' THEN 'val'
+             ELSE 'test' END AS split,
+      count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars,
+      count(DISTINCT source) AS n_sources
+      FROM documents GROUP BY 1 ORDER BY split"""
+
+  /** Deterministic corpus shuffle: training order as a seeded permutation,
+    * `order by md5(seed || doc_id)` — the standard way to randomize
+    * example order reproducibly at any scale (a total order on a hash is
+    * a uniform permutation; changing the seed literal reshuffles). At
+    * 100 TB this is exactly one range-partitioned sort, which is also how
+    * the shuffled dataset would be WRITTEN (sortWithinPartitions after a
+    * range exchange); emitting the first 50 pins the permutation prefix.
+    */
+  def qShuffleDeterministic(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("shuffle_key",
+        md5(concat(lit("epoch-0:"), col("doc_id").cast("string"))))
+      .select(col("doc_id"), col("source"), col("shuffle_key"))
+      .orderBy(col("shuffle_key"))
+      .limit(50)
+
+  val qShuffleDeterministicOracle: String =
+    """SELECT doc_id, source, md5('epoch-0:' || doc_id::VARCHAR) AS shuffle_key
+      FROM documents ORDER BY shuffle_key LIMIT 50"""
+
   /** Gopher-style quality rules (Rae et al. 2021, "Scaling Language
     * Models", table A1) re-expressed over the documents table. Every
     * threshold is evaluated as an INTEGER cross-multiplication — e.g.
@@ -888,6 +937,8 @@ object TextAnalysis {
     "q_sample_weighted" -> (qSampleWeighted _),
     "q_quality_gopher" -> (qQualityGopher _),
     "q_mix_temperature" -> (qMixTemperature _),
+    "q_split_train_val_test" -> (qSplitTrainValTest _),
+    "q_shuffle_deterministic" -> (qShuffleDeterministic _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -911,5 +962,7 @@ object TextAnalysis {
     "q_sample_weighted" -> qSampleWeightedOracle,
     "q_quality_gopher" -> qQualityGopherOracle,
     "q_mix_temperature" -> qMixTemperatureOracle,
+    "q_split_train_val_test" -> qSplitTrainValTestOracle,
+    "q_shuffle_deterministic" -> qShuffleDeterministicOracle,
   )
 }
