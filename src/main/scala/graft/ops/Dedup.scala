@@ -97,7 +97,10 @@ object Dedup {
     * matching the kernel's splitter.
     */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    shingleFrame(Tables.documents(spark, dir))
+
+  private def shingleFrame(docs: DataFrame): DataFrame =
+    docs
       .filter(size(split(col("text"), " ", -1)) >= 3)
       .select(col("doc_id"), wordShingles(col("text")).as("sh"))
 
@@ -119,22 +122,26 @@ object Dedup {
     * banding — unordered, the reusable building block for downstream
     * graph work ([[qDedupClusters]]).
     */
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = shingled(spark, dir)
-    // whole signature in one pass per doc (graft.functions.Sketches):
-    // a narrow projection — no explode, no shuffle until the band join
+  /** (doc_id, band_idx, band_h) rows for a shingled frame — the LSH key
+    * set. Whole signature in one pass per doc
+    * ([[graft.functions.Sketches]]): a narrow projection — no explode of
+    * the shingle set, no shuffle until a band join consumes the keys.
+    */
+  private def bandedKeys(docs: DataFrame): DataFrame = {
     val sig = docs.select(col("doc_id"),
       graft.functions.Sketches.minhashSig(col("sh"),
         hashCoeffs.map(_._1), hashCoeffs.map(_._2)).as("sig"))
-
     val bandCols = (0 until Bands).map { j =>
       xxhash64(lit(j), element_at(col("sig"), 2 * j + 1),
         element_at(col("sig"), 2 * j + 2))
     }
-    val banded = sig.select(
-      col("doc_id"),
+    sig.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_h")))
+  }
 
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(spark, dir)
+    val banded = bandedKeys(docs)
     val x = banded.as("x")
     val y = banded.as("y")
     val cand = x.join(y,
@@ -146,6 +153,109 @@ object Dedup {
 
     verifyPairs(cand, docs)
   }
+
+  // ---------- incremental near-dup (new batch vs persisted index) ----------
+
+  /** Persist the LSH index of a corpus: one row per (doc, band) carrying
+    * the band key AND the doc's shingle set. Carrying shingles makes a
+    * later match self-contained (candidate verification needs no second
+    * scan of the historical corpus); the cost is that the index is
+    * corpus-sized — the signatures-only alternative is smaller but must
+    * join candidates back to the document store by key to verify. Both
+    * are standard; this one optimizes for ingestion latency.
+    */
+  def writeSignatureIndex(docs: DataFrame, indexDir: String): Unit = {
+    val sh = shingleFrame(docs)
+    bandedKeys(sh).join(sh, "doc_id")
+      .write.mode("append").parquet(indexDir)
+  }
+
+  /** Match an ingestion batch against a persisted index and dedup the
+    * batch against itself, WITHOUT touching the historical corpus: the
+    * only work proportional to history is the band-key join against the
+    * index (shuffle on band keys, pairs only within buckets), which is
+    * exactly the work a full re-dedup would spend on the new rows anyway
+    * — the O(history²) part is never re-paid. Returns verified pairs
+    * (J ≥ [[Threshold]]) labeled `cross` (old↔new) or `intra`
+    * (new↔new), and appends the batch's own signatures so the index
+    * stays current for the next batch.
+    */
+  def matchAndUpdateIndex(spark: SparkSession, newDocs: DataFrame,
+      indexDir: String): DataFrame = {
+    val idx = spark.read.parquet(indexDir)
+    val out = incrementalFrom(
+      idx.select(col("doc_id"), col("band_idx"), col("band_h")),
+      idx.select(col("doc_id"), col("sh")).distinct(),
+      shingleFrame(newDocs))
+    writeSignatureIndex(newDocs, indexDir)
+    out
+  }
+
+  private def incrementalFrom(oldBanded: DataFrame, oldSh: DataFrame,
+      newSh: DataFrame): DataFrame = {
+    val newBanded = bandedKeys(newSh)
+    val o = oldBanded.as("o")
+    val n = newBanded.as("n")
+    val cross = o.join(n,
+        col("o.band_idx") === col("n.band_idx") &&
+        col("o.band_h") === col("n.band_h"))
+      .select(least(col("o.doc_id"), col("n.doc_id")).as("d1"),
+        greatest(col("o.doc_id"), col("n.doc_id")).as("d2"))
+    val n2 = newBanded.as("m")
+    val intra = n.join(n2,
+        col("n.band_idx") === col("m.band_idx") &&
+        col("n.band_h") === col("m.band_h") &&
+        col("n.doc_id") < col("m.doc_id"))
+      .select(col("n.doc_id").as("d1"), col("m.doc_id").as("d2"))
+    val cand = cross.union(intra).distinct()
+    val all = oldSh.union(newSh)
+    val d1 = all.select(col("doc_id").as("d1"), col("sh").as("sh1"))
+    val d2 = all.select(col("doc_id").as("d2"), col("sh").as("sh2"))
+    cand.join(d1, "d1").join(d2, "d2")
+      .withColumn("jaccard", round(jaccard(col("sh1"), col("sh2")), 6))
+      .filter(col("jaccard") >= Threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** Query form of the incremental path, oracled: the corpus is split
+    * deterministically (doc_id mod 10: 0-7 = historical index, 8-9 = the
+    * arriving batch — both sides correctly scale with the corpus; this is
+    * an index/batch split, not an anchor sample) and the result is every
+    * verified pair INVOLVING the new batch with its provenance label.
+    * Pairs entirely inside the history are absent by construction — the
+    * defining property of incremental dedup. Recall equals the full
+    * recompute's because band keys don't depend on which side a doc is on
+    * (DedupSpec asserts set equality against the filtered full pair set).
+    */
+  def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+    val oldSh = sh.filter(pmod(col("doc_id"), lit(10)) < 8)
+    val newSh = sh.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    incrementalFrom(bandedKeys(oldSh), oldSh, newSh)
+      .withColumn("kind",
+        when(pmod(col("d1"), lit(10)) >= 8 && pmod(col("d2"), lit(10)) >= 8,
+          "intra").otherwise("cross"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** [[exactPairOracle]] restricted to pairs touching the mod-10 batch. */
+  val qDedupIncrementalOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) < 3
+          THEN []::VARCHAR[]
+          ELSE [ws[i]||' '||ws[i+1]||' '||ws[i+2] for i in range(1, len(ws)-1)]
+        END) AS shingles FROM t),
+      ex AS (SELECT doc_id, unnest(shingles) s FROM sh),
+      inter AS (SELECT a.doc_id d1, b.doc_id d2, count(*) i FROM ex a
+        JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      card AS (SELECT doc_id, len(shingles) n FROM sh)
+      SELECT d1, d2, round(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard,
+        CASE WHEN d1 % 10 >= 8 AND d2 % 10 >= 8 THEN 'intra'
+             ELSE 'cross' END AS kind
+      FROM inter JOIN card ca ON ca.doc_id = d1 JOIN card cb ON cb.doc_id = d2
+      WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
+        AND (d1 % 10 >= 8 OR d2 % 10 >= 8)
+      ORDER BY d1, d2"""
 
   /** Release the MEMORY_AND_DISK blocks behind a `localCheckpoint`'d frame
     * (or any frame derived from one). `Dataset.unpersist` only consults
@@ -588,6 +698,7 @@ object Dedup {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_cc_star" -> (qDedupCcStar _),
     "q_dedup_paragraph" -> (qDedupParagraph _),
+    "q_dedup_incremental" -> (qDedupIncremental _),
   )
 
   /** q_dedup_simhash keeps the exact-set oracle under word blocking: the
@@ -606,5 +717,6 @@ object Dedup {
     "q_dedup_clusters" -> qDedupClustersOracle,
     "q_dedup_cc_star" -> qDedupClustersOracle,
     "q_dedup_paragraph" -> qDedupParagraphOracle,
+    "q_dedup_incremental" -> qDedupIncrementalOracle,
   )
 }

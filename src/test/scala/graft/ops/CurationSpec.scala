@@ -74,6 +74,54 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup: new-batch matching equals the full recompute " +
+    "restricted to pairs touching the batch") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val full = Dedup.qDedupMinhash(spark, dirs.head).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = full.filter { case (d1, d2, _) =>
+      d1 % 10 >= 8 || d2 % 10 >= 8
+    }
+    val got = Dedup.qDedupIncremental(spark, dirs.head).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got}, spurious=${got -- expected}")
+    // no pair entirely inside the history may appear
+    assert(got.forall { case (d1, d2, _) => d1 % 10 >= 8 || d2 % 10 >= 8 })
+    assert(got.nonEmpty)
+  }
+
+  test("signature index: build on batch 1, match batch 2 without " +
+    "re-scanning batch 1; index stays current for batch 3") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val docs = Tables.documents(spark, dirs.head)
+    val b1 = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val b2 = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+    val b3 = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+    val idx = java.nio.file.Files.createTempDirectory("graft-sigidx")
+      .resolve("index").toString
+    Dedup.writeSignatureIndex(b1, idx)
+    val m2 = Dedup.matchAndUpdateIndex(spark, b2, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val m3 = Dedup.matchAndUpdateIndex(spark, b3, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: the full pair set, attributed to the batch in which
+    // its LATER member arrives (1,2-pairs surface when batch 2 lands, …)
+    val full = Dedup.qDedupMinhash(spark, dirs.head).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def batchOf(id: Long) = id % 3
+    val exp2 = full.filter { case (a, b) =>
+      Set(batchOf(a), batchOf(b)).subsetOf(Set(0L, 1L)) &&
+        (batchOf(a) == 1 || batchOf(b) == 1)
+    }
+    val exp3 = full.filter { case (a, b) => batchOf(a) == 2 || batchOf(b) == 2 }
+    assert(m2 == exp2, s"missing=${exp2 -- m2}, spurious=${m2 -- exp2}")
+    assert(m3 == exp3, s"missing=${exp3 -- m3}, spurious=${m3 -- exp3}")
+    assert((m2 ++ m3 ++ full.filter { case (a, b) =>
+      batchOf(a) == 0 && batchOf(b) == 0 }) == full,
+      "batch-attributed pairs must reconstruct the full pair set")
+  }
+
   test("semdedup: keep/n_dups recompute from exact pairwise cosine; " +
     "threshold margin >= 1e-4 at all SFs") {
     val tau = 0.43
