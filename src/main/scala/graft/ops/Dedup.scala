@@ -182,13 +182,45 @@ object Dedup {
     */
   def matchAndUpdateIndex(spark: SparkSession, newDocs: DataFrame,
       indexDir: String): DataFrame = {
-    val idx = spark.read.parquet(indexDir)
-    val out = incrementalFrom(
-      idx.select(col("doc_id"), col("band_idx"), col("band_h")),
-      idx.select(col("doc_id"), col("sh")).distinct(),
-      shingleFrame(newDocs))
+    val newSh = shingleFrame(newDocs)
+    // cold start: an absent/empty index means the first batch only dedups
+    // against itself (limit(0) keeps the schemas without a special case)
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out =
+      if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))) {
+        val idx = spark.read.parquet(indexDir)
+        incrementalFrom(
+          idx.select(col("doc_id"), col("band_idx"), col("band_h")),
+          idx.select(col("doc_id"), col("sh")).distinct(), newSh)
+      } else {
+        incrementalFrom(bandedKeys(newSh).limit(0), newSh.limit(0), newSh)
+      }
     writeSignatureIndex(newDocs, indexDir)
     out
+  }
+
+  /** The ingestion loop on Structured Streaming: each micro-batch of
+    * arriving documents is matched against the index and the index is
+    * advanced — `foreachBatch` + the source's checkpoint give exactly-once
+    * batch processing, so a restart resumes with unprocessed files only.
+    * Verified pairs append to `pairsDir` tagged with their batch id.
+    */
+  def runStreamingDedup(spark: SparkSession, inputDir: String,
+      schema: org.apache.spark.sql.types.StructType, indexDir: String,
+      pairsDir: String, checkpointDir: String): Unit = {
+    val q = spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        matchAndUpdateIndex(spark, batch, indexDir)
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(pairsDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
   }
 
   private def incrementalFrom(oldBanded: DataFrame, oldSh: DataFrame,

@@ -122,6 +122,40 @@ class CurationSpec extends AnyFunSuite {
       "batch-attributed pairs must reconstruct the full pair set")
   }
 
+  test("streaming dedup loop: files arriving across two stream runs are " +
+    "matched incrementally; checkpoint skips processed files") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val docs = Tables.documents(spark, dirs.head)
+    val root = java.nio.file.Files.createTempDirectory("graft-sdd")
+    val (in, idx, pairs, chk) = (s"$root/in", s"$root/idx", s"$root/pairs",
+      s"$root/chk")
+    val schema = docs.schema
+
+    docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .repartition(1).write.parquet(s"$in/b0")
+    // file source watches a glob of the batch subdirs
+    Dedup.runStreamingDedup(spark, s"$in/*", schema, idx, pairs, chk)
+    val after1 = spark.read.parquet(pairs).count()
+
+    docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .repartition(1).write.parquet(s"$in/b1")
+    Dedup.runStreamingDedup(spark, s"$in/*", schema, idx, pairs, chk)
+
+    val got = spark.read.parquet(pairs)
+      .select(col("d1"), col("d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.qDedupMinhash(spark, dirs.head).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == full,
+      s"missing=${full -- got}, spurious=${got -- full}")
+    // the second run must have contributed the cross+odd-intra remainder,
+    // not reprocessed batch 0 (checkpoint dedups the file set)
+    assert(after1 < full.size || full.isEmpty)
+    val batches = spark.read.parquet(pairs)
+      .select(col("batch_id")).distinct().count()
+    assert(batches >= 2, "each stream run must process its own batch")
+  }
+
   test("semdedup: keep/n_dups recompute from exact pairwise cosine; " +
     "threshold margin >= 1e-4 at all SFs") {
     val tau = 0.43
