@@ -70,11 +70,62 @@ object Formats {
       GROUP BY c_mktsegment, o_orderstatus
       ORDER BY c_mktsegment, o_orderstatus"""
 
+  /** Malformed-input accounting: every seventh document's JSON line is
+    * deterministically truncated before write, then the file is read back
+    * in PERMISSIVE mode with an explicit `_corrupt_record` column — the
+    * posture an ingestion edge needs (a bad record must land in
+    * quarantine accounting, never kill the job, and FAILFAST would).
+    * Corrupt rows parse to all-null + the raw line, so bucketing on
+    * `coalesce(lang, '__corrupt')` yields per-language clean counts plus
+    * the quarantine size; the oracle recomputes both from the clean
+    * parquet and the corruption rule. The extra `doc_id` reference in the
+    * aggregate matters: Spark refuses queries that project ONLY the
+    * corrupt column from a raw JSON scan.
+    */
+  def qMalformedQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-malformed")
+    val txtDir = tmp.resolve("docs_jsonl").toString
+    Tables.documents(spark, dir)
+      .select(
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit("{\"doc_id\":"), col("doc_id").cast("string"),
+            lit(",\"lang\":\"")))
+        .otherwise(to_json(struct(col("doc_id"), col("lang"))))
+        .as("value"))
+      .write.mode("overwrite").text(txtDir)
+
+    val parsed = spark.read
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("_corrupt_record", StringType))))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(txtDir)
+    // partial-result parsing (Spark recovers doc_id from the truncated
+    // line) makes count(doc_id) include quarantined rows; count ids on
+    // CLEAN rows explicitly so the metric is parser-version-independent
+    parsed
+      .groupBy(coalesce(col("lang"), lit("__corrupt")).as("lang_bucket"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("_corrupt_record").isNull, col("doc_id")))
+          .as("n_parsed_ids"))
+      .orderBy(col("lang_bucket"))
+  }
+
+  val qMalformedQuarantineOracle: String =
+    """SELECT CASE WHEN doc_id % 7 = 0 THEN '__corrupt' ELSE lang END
+        AS lang_bucket,
+      count(*) AS n,
+      sum(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END)::BIGINT AS n_parsed_ids
+      FROM documents GROUP BY 1 ORDER BY lang_bucket"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_csv_json_roundtrip" -> (qCsvJsonRoundtrip _),
+    "q_malformed_quarantine" -> (qMalformedQuarantine _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_csv_json_roundtrip" -> qCsvJsonRoundtripOracle,
+    "q_malformed_quarantine" -> qMalformedQuarantineOracle,
   )
 }
