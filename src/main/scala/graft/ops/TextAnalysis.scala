@@ -791,6 +791,62 @@ object TextAnalysis {
     """SELECT doc_id, source, md5('epoch-0:' || doc_id::VARCHAR) AS shuffle_key
       FROM documents ORDER BY shuffle_key LIMIT 50"""
 
+  /** Heavy hitters via the [[graft.functions.MisraGriesAgg]] summary,
+    * SELF-CERTIFIED: the raw estimates depend on Spark's merge order, so
+    * the query emits the summary's deterministic GUARANTEES — every word
+    * with true frequency above N/(k+1) is present, no estimate overcounts,
+    * no undercount exceeds N/(k+1) — checked against the exact counts
+    * in-plan (integer cross-multiplications, no FP). The oracle recomputes
+    * N, the vocabulary size, and the guaranteed-key count exactly; the
+    * certification columns collapse to those constants exactly when the
+    * sketch honors its contract (the ANN self-certification discipline).
+    * The exact side is corpus-vocabulary-sized here; at 100 TB one keeps
+    * ONLY the sketch — the certification is the test harness, the
+    * operator is the aggregate.
+    */
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val K = 16
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+    val exact = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val mg = words
+      .agg(graft.functions.MisraGriesAgg.misraGries(col("w"), K).as("mg"))
+      .select(explode(col("mg")).as("e"))
+      .select(col("e.key").as("w"), col("e.est").as("est"))
+    val tot = exact.agg(sum(col("cnt")).as("n_words"),
+      count(lit(1)).as("n_distinct"))
+    exact.join(mg, Seq("w"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .withColumn("guaranteed", col("cnt") * (K + 1) > col("n_words"))
+      .withColumn("found", col("est").isNotNull)
+      .withColumn("violation",
+        (col("est").isNotNull &&
+          (col("est") > col("cnt") ||
+            (col("cnt") - col("est")) * (K + 1) > col("n_words"))) ||
+        (col("guaranteed") && !col("found")))
+      .agg(
+        first(lit("misra_gries")).as("algo"),
+        first(lit(K.toLong)).as("k"),
+        first(col("n_words")).as("n_words"),
+        first(col("n_distinct")).as("n_distinct"),
+        sum(when(col("guaranteed"), 1L).otherwise(0L)).as("n_guaranteed"),
+        sum(when(col("guaranteed") && col("found"), 1L).otherwise(0L))
+          .as("n_guaranteed_found"),
+        sum(when(col("violation"), 1L).otherwise(0L)).as("bound_violations"))
+  }
+
+  val qHeavyHittersOracle: String =
+    """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      e AS (SELECT w, count(*) AS cnt FROM w GROUP BY w),
+      t AS (SELECT sum(cnt)::BIGINT AS n_words, count(*)::BIGINT AS n_distinct
+        FROM e),
+      g AS (SELECT count(*)::BIGINT AS n_guaranteed FROM e, t
+        WHERE cnt * 17 > n_words)
+      SELECT 'misra_gries' AS algo, 16::BIGINT AS k, n_words, n_distinct,
+        n_guaranteed, n_guaranteed AS n_guaranteed_found,
+        0::BIGINT AS bound_violations
+      FROM t, g"""
+
   /** Gopher-style quality rules (Rae et al. 2021, "Scaling Language
     * Models", table A1) re-expressed over the documents table. Every
     * threshold is evaluated as an INTEGER cross-multiplication — e.g.
@@ -939,6 +995,7 @@ object TextAnalysis {
     "q_mix_temperature" -> (qMixTemperature _),
     "q_split_train_val_test" -> (qSplitTrainValTest _),
     "q_shuffle_deterministic" -> (qShuffleDeterministic _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -964,5 +1021,6 @@ object TextAnalysis {
     "q_mix_temperature" -> qMixTemperatureOracle,
     "q_split_train_val_test" -> qSplitTrainValTestOracle,
     "q_shuffle_deterministic" -> qShuffleDeterministicOracle,
+    "q_heavy_hitters" -> qHeavyHittersOracle,
   )
 }

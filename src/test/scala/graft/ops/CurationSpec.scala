@@ -156,6 +156,44 @@ class CurationSpec extends AnyFunSuite {
     assert(batches >= 2, "each stream run must process its own batch")
   }
 
+  test("misra-gries buffer: guarantees hold under adversarial merge " +
+    "orders and splits") {
+    import graft.functions.MgBuffer
+    val k = 4
+    // skewed stream: key i appears 2^(8-i) times, i in 0..8 → n = 511
+    val stream = (0 to 8).flatMap(i => Seq.fill(1 << (8 - i))(s"key$i"))
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size.toLong
+    val rnd = new scala.util.Random(7)
+    (0 until 20).foreach { trial =>
+      val shuffled = rnd.shuffle(stream)
+      // split into 1..8 partial buffers, merge in random order
+      val parts = shuffled.grouped(
+        math.max(1, shuffled.size / (1 + rnd.nextInt(8)))).toSeq
+      val bufs = parts.map { p =>
+        val b = new MgBuffer(k); p.foreach(b.add(_, 1L)); b
+      }
+      val merged = rnd.shuffle(bufs).reduce { (a, b) =>
+        b.counts.foreach { case (key, c) => a.addNoTrim(key, c) }
+        a.trim(); a
+      }
+      assert(merged.counts.size <= k, s"trial $trial: size bound broken")
+      merged.counts.foreach { case (key, est) =>
+        val t = exact(key)
+        assert(est <= t, s"trial $trial: $key overcounted ($est > $t)")
+        assert((t - est) * (k + 1) <= n,
+          s"trial $trial: $key undercount ${t - est} exceeds n/(k+1)")
+      }
+      // every key with true count > n/(k+1) must survive
+      exact.foreach { case (key, t) =>
+        if (t * (k + 1) > n) {
+          assert(merged.counts.contains(key),
+            s"trial $trial: guaranteed key $key missing")
+        }
+      }
+    }
+  }
+
   test("semdedup: keep/n_dups recompute from exact pairwise cosine; " +
     "threshold margin >= 1e-4 at all SFs") {
     val tau = 0.43
