@@ -119,13 +119,82 @@ object Formats {
       sum(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END)::BIGINT AS n_parsed_ids
       FROM documents GROUP BY 1 ORDER BY lang_bucket"""
 
+  /** ORC round-trip: same discipline as the CSV/JSON trip but through
+    * Spark's other first-class columnar sink. DuckDB cannot read ORC, so
+    * the oracle computes the identical aggregate from the source parquet —
+    * a pass proves the ORC write+read preserved every value the aggregate
+    * touches (keys, doubles, decimal operands).
+    */
+  def qOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-orc")
+    val orcDir = tmp.resolve("lineitem_orc").toString
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+        col("l_extendedprice"))
+      .write.mode("overwrite").orc(orcDir)
+    spark.read.orc(orcDir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("string")
+          .as("sum_price"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val qOrcRoundtripOracle: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      sum(l_quantity)::BIGINT AS sum_qty,
+      sum(l_extendedprice::DECIMAL(18,2))::VARCHAR AS sum_price
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-07-01'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""
+
+  /** `binaryFile` source: how a filesystem image corpus lands in Spark —
+    * one row per file with the raw bytes as a `binary` column, globbed
+    * and (at scale) partition-pruned by path. 24 spec-valid PNGs are
+    * generated from a deterministic formula, read back through the
+    * source, and their headers parsed by the [[graft.functions.ImageHeader]]
+    * kernels; the oracle knows only the generating formula, so a pass
+    * proves source plumbing AND header decode end-to-end.
+    */
+  def qBinarySource(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-binsrc")
+    (0 until 24).foreach { i =>
+      val bytes = graft.functions.PngCodec.encodeGray(
+        16 + i % 9, 16 + (i * 3) % 9, i.toLong)
+      java.nio.file.Files.write(tmp.resolve(f"img_$i%03d.png"), bytes)
+    }
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(tmp.toString)
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.png$", 1).cast("long")
+          .as("img_id"),
+        graft.functions.ImageHeaderOps.imageFormat(col("content")).as("fmt"),
+        graft.functions.ImageHeaderOps.imageWidth(col("content")).as("w"),
+        graft.functions.ImageHeaderOps.imageHeight(col("content")).as("h"))
+      .orderBy(col("img_id"))
+  }
+
+  val qBinarySourceOracle: String =
+    """SELECT i::BIGINT AS img_id, 'png' AS fmt,
+      (16 + i % 9)::INT AS w, (16 + (i * 3) % 9)::INT AS h
+      FROM range(24) t(i) ORDER BY img_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_csv_json_roundtrip" -> (qCsvJsonRoundtrip _),
     "q_malformed_quarantine" -> (qMalformedQuarantine _),
+    "q_orc_roundtrip" -> (qOrcRoundtrip _),
+    "q_binary_source" -> (qBinarySource _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_csv_json_roundtrip" -> qCsvJsonRoundtripOracle,
     "q_malformed_quarantine" -> qMalformedQuarantineOracle,
+    "q_orc_roundtrip" -> qOrcRoundtripOracle,
+    "q_binary_source" -> qBinarySourceOracle,
   )
 }
