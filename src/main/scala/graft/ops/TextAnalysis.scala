@@ -847,6 +847,68 @@ object TextAnalysis {
         0::BIGINT AS bound_violations
       FROM t, g"""
 
+  /** The whole curation pipeline as ONE composed plan — the point of an
+    * engine is that the stages fuse: Gopher keep-rules (scan-side integer
+    * flags) → exact text dedup (keep lowest doc_id per md5(text), one
+    * hash shuffle) → deterministic split assignment (pure hash function)
+    * → per-split/per-language token accounting (second shuffle, group
+    * keys only). Catalyst pipelines the filter, the dedup window, and the
+    * split projection into two exchanges total; nothing materializes
+    * between stages. The oracle replays the identical pipeline in SQL.
+    */
+  def qPipelineFull(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val stops = Seq("the", "a", "of", "and", "to")
+    val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val kept = Tables.documents(spark, dir)
+      .withColumn("n_words", size(words))
+      .withColumn("n_distinct", size(array_distinct(words)))
+      .withColumn("n_nospace", length(regexp_replace(col("text"), " ", "")))
+      .filter(col("n_words") >= 30 && col("n_words") <= 100000 &&
+        col("n_nospace") >= col("n_words") * 3 &&
+        col("n_nospace") <= col("n_words") * 10 &&
+        size(filter(words, w => w.rlike("[a-zA-Z]"))) * 10 >=
+          col("n_words") * 8 &&
+        size(array_intersect(array_distinct(words),
+          array(stops.map(lit): _*))) >= 2 &&
+        (col("n_words") - col("n_distinct")) * 2 <= col("n_words"))
+    val deduped = kept
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)))
+      .filter(col("rn") === 1)
+    deduped
+      .withColumn("split",
+        when(h2 < "f2", "train").when(h2 < "f9", "val").otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words").cast("long")).as("n_tokens"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  val qPipelineFullOracle: String =
+    """WITH g AS (SELECT doc_id, text, lang,
+        len(string_split(text, ' ')) AS n_words
+        FROM documents
+        WHERE len(string_split(text, ' ')) BETWEEN 30 AND 100000
+          AND length(replace(text, ' ', '')) >= len(string_split(text, ' ')) * 3
+          AND length(replace(text, ' ', '')) <= len(string_split(text, ' ')) * 10
+          AND len(list_filter(string_split(text, ' '),
+              w -> regexp_matches(w, '[a-zA-Z]'))) * 10
+            >= len(string_split(text, ' ')) * 8
+          AND len(list_intersect(list_distinct(string_split(text, ' ')),
+            ['the','a','of','and','to'])) >= 2
+          AND (len(string_split(text, ' '))
+            - len(list_distinct(string_split(text, ' ')))) * 2
+            <= len(string_split(text, ' '))),
+      d AS (SELECT *, row_number() OVER (PARTITION BY md5(text)
+          ORDER BY doc_id ASC) AS rn FROM g)
+      SELECT CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'f2' THEN 'train'
+             WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'f9' THEN 'val'
+             ELSE 'test' END AS split,
+        lang, count(*) AS n_docs, sum(n_words)::BIGINT AS n_tokens
+      FROM d WHERE rn = 1
+      GROUP BY 1, lang ORDER BY split, lang"""
+
   /** Gopher-style quality rules (Rae et al. 2021, "Scaling Language
     * Models", table A1) re-expressed over the documents table. Every
     * threshold is evaluated as an INTEGER cross-multiplication — e.g.
@@ -996,6 +1058,7 @@ object TextAnalysis {
     "q_split_train_val_test" -> (qSplitTrainValTest _),
     "q_shuffle_deterministic" -> (qShuffleDeterministic _),
     "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_pipeline_full" -> (qPipelineFull _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1022,5 +1085,6 @@ object TextAnalysis {
     "q_split_train_val_test" -> qSplitTrainValTestOracle,
     "q_shuffle_deterministic" -> qShuffleDeterministicOracle,
     "q_heavy_hitters" -> qHeavyHittersOracle,
+    "q_pipeline_full" -> qPipelineFullOracle,
   )
 }

@@ -413,6 +413,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!g.contains("Join"), g)
   }
 
+  test("q_pipeline_full: composed curation pipeline fuses — keep-first " +
+    "dedup runs map-side (WindowGroupLimit Partial), 2 hash exchanges") {
+    val p = plan("q_pipeline_full")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"rn=1 dedup must reduce map-side before the exchange: $p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
+      s"exactly dedup-key + agg-key exchanges expected: $p")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1, p)
+  }
+
   test("catalog scan: column pruning reaches the cdc-avro table") {
     val root = java.nio.file.Files.createTempDirectory("graft-audit-cat")
       .toFile.getAbsolutePath
