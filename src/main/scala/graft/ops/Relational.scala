@@ -1351,6 +1351,70 @@ object Relational {
       WHERE total_rev = (SELECT max(total_rev) FROM rev)
       ORDER BY s_suppkey"""
 
+  // ---------- q08 shape: national market share ----------
+  /** TPC-H Q8 reshaped: NATION_2's share of supplier revenue into ASIA
+    * customers, per order year. Both the share's numerator and
+    * denominator are exact DECIMAL sums carried through the aggregate
+    * (numerator = CASE-gated partial sum riding the same pass as the
+    * denominator — one aggregation, no second join); the final share is
+    * ONE double division of two engine-identical decimals, which IEEE
+    * rounds identically on both sides — so round(·,6) is deterministic
+    * with no summation-order audit needed. Dimension sides all broadcast;
+    * the fact shuffles once on the year.
+    */
+  def q08MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val nC = Tables.nation(spark, dir)
+      .select($"n_nationkey".as("cn_key"), $"n_regionkey".as("cn_region"))
+    val nS = Tables.nation(spark, dir)
+      .select($"n_nationkey".as("sn_key"), $"n_name".as("sn_name"))
+    val r = Tables.region(spark, dir).filter($"r_name" === "ASIA")
+    val vol = $"l_extendedprice".cast("decimal(18,2)") *
+      (lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(18,2)"))
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nC), $"c_nationkey" === $"cn_key")
+      .join(broadcast(r), $"cn_region" === $"r_regionkey")
+      .join(s, $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(nS), $"s_nationkey" === $"sn_key")
+      .groupBy(year($"o_orderdate").as("o_year"))
+      .agg(
+        sum(when($"sn_name" === "NATION_2", vol)
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("nation_vol"),
+        sum(vol).as("total_vol"))
+      .select($"o_year",
+        round($"nation_vol".cast("double") / $"total_vol".cast("double"), 6)
+          .as("mkt_share"),
+        $"nation_vol".cast("string").as("nation_vol"),
+        $"total_vol".cast("string").as("total_vol"))
+      .orderBy($"o_year")
+  }
+
+  val q08Oracle: String =
+    """SELECT year(o_orderdate)::INT AS o_year,
+      round((sum(CASE WHEN n2.n_name = 'NATION_2'
+            THEN l_extendedprice::DECIMAL(18,2)
+              * (1 - l_discount::DECIMAL(18,2))
+            ELSE 0::DECIMAL(18,2) END))::DOUBLE
+        / (sum(l_extendedprice::DECIMAL(18,2)
+            * (1 - l_discount::DECIMAL(18,2))))::DOUBLE, 6) AS mkt_share,
+      sum(CASE WHEN n2.n_name = 'NATION_2'
+          THEN l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))
+          ELSE 0::DECIMAL(18,2) END)::VARCHAR AS nation_vol,
+      sum(l_extendedprice::DECIMAL(18,2)
+          * (1 - l_discount::DECIMAL(18,2)))::VARCHAR AS total_vol
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      GROUP BY o_year ORDER BY o_year"""
+
   // ---------- q22 shape: dormant positive-balance customers ----------
   /** TPC-H Q22 reshaped (no phone column): positive-balance customers with
     * no order in the final data year, grouped by nation. The NOT EXISTS is
@@ -1393,6 +1457,7 @@ object Relational {
     "q13_customer_distribution" -> (q13CustomerDistribution _),
     "q12_priority_class" -> (q12PriorityClass _),
     "q14_promo_revenue" -> (q14PromoRevenue _),
+    "q08_market_share" -> (q08MarketShare _),
     "q15_top_supplier" -> (q15TopSupplier _),
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "q18_large_orders" -> (q18LargeOrders _),
@@ -1445,6 +1510,7 @@ object Relational {
     "q13_customer_distribution" -> q13Oracle,
     "q12_priority_class" -> q12Oracle,
     "q14_promo_revenue" -> q14Oracle,
+    "q08_market_share" -> q08Oracle,
     "q15_top_supplier" -> q15Oracle,
     "q17_small_qty_revenue" -> q17Oracle,
     "q18_large_orders" -> q18Oracle,
