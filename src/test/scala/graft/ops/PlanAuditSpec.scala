@@ -240,6 +240,57 @@ class PlanAuditSpec extends AnyFunSuite {
       "d must be a partition column, not a data column")
   }
 
+  test("dynamic partition pruning: a join against a FILTERED dim prunes " +
+    "the partitioned fact at runtime — the filter never names the fact") {
+    import org.apache.spark.sql.functions.{col, to_date, lit}
+    val out = java.nio.file.Files.createTempDirectory("graft-audit-dpp")
+      .toFile.getAbsolutePath
+    val ev = graft.ops.Tables.events(spark, dir)
+      .withColumn("d", to_date(col("ts")))
+    ev.write.partitionBy("d").parquet(s"$out/fact_by_day")
+    // dim: one row per day, filtered to a 2-day window; the fact filter
+    // can only arrive THROUGH the join (that is what DPP is)
+    // the dim filter must be a LIKELY-SELECTIVE predicate shape (equality/
+    // IN/LIKE) — a bare boolean column does not qualify for DPP insertion
+    val dim = ev.select(col("d")).distinct()
+      .withColumn("kind",
+        org.apache.spark.sql.functions.when(
+          col("d").isin("2024-01-05", "2024-01-06"), "hot").otherwise("cold"))
+    dim.write.parquet(s"$out/dim_days")
+    val keep = Seq(
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled",
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+      // at test scale the stats-based benefit estimate rounds to zero;
+      // the fallback ratio heuristic is the path a warehouse without
+      // fresh stats takes, so pin that one
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "50.0")
+      // DPP needs the dim side to look worth it; the fallback-broadcast
+      // path is the one a real star join takes
+      val fact = spark.read.parquet(s"$out/fact_by_day")
+      val hot = spark.read.parquet(s"$out/dim_days")
+        .filter(col("kind") === "hot")
+      val q = fact.join(hot, Seq("d")).groupBy(col("event_type"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruningexpression"),
+        s"fact scan must carry a runtime pruning predicate: $p")
+      // correctness: equals the statically-filtered computation
+      val expect = ev.filter(col("d").isin("2024-01-05", "2024-01-06"))
+        .groupBy(col("event_type")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expect)
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("AQE skew join: a white-hot key is split at runtime " +
     "(AQEShuffleRead skewed) — the automatic fallback when manual " +
     "salting (q_salted_join) isn't applied") {
