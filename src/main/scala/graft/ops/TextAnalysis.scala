@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -858,20 +858,10 @@ object TextAnalysis {
     */
   def qPipelineFull(spark: SparkSession, dir: String): DataFrame = {
     val words = split(col("text"), " ")
-    val stops = Seq("the", "a", "of", "and", "to")
     val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
     val kept = Tables.documents(spark, dir)
       .withColumn("n_words", size(words))
-      .withColumn("n_distinct", size(array_distinct(words)))
-      .withColumn("n_nospace", length(regexp_replace(col("text"), " ", "")))
-      .filter(col("n_words") >= 30 && col("n_words") <= 100000 &&
-        col("n_nospace") >= col("n_words") * 3 &&
-        col("n_nospace") <= col("n_words") * 10 &&
-        size(filter(words, w => w.rlike("[a-zA-Z]"))) * 10 >=
-          col("n_words") * 8 &&
-        size(array_intersect(array_distinct(words),
-          array(stops.map(lit): _*))) >= 2 &&
-        (col("n_words") - col("n_distinct")) * 2 <= col("n_words"))
+      .filter(gopherKeep(col("text")))
     val deduped = kept
       .withColumn("rn", row_number().over(
         Window.partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)))
@@ -908,6 +898,89 @@ object TextAnalysis {
         lang, count(*) AS n_docs, sum(n_words)::BIGINT AS n_tokens
       FROM d WHERE rn = 1
       GROUP BY 1, lang ORDER BY split, lang"""
+
+  /** The Gopher keep decision over a raw text column — every threshold an
+    * integer cross-multiplication (no FP anywhere), shared by the batch
+    * filter, the composed pipeline, and the streaming stage so the three
+    * cannot drift.
+    */
+  def gopherKeep(text: Column): Column = {
+    val words = split(text, " ")
+    val nWords = size(words)
+    val nDistinct = size(array_distinct(words))
+    val nNospace = length(regexp_replace(text, " ", ""))
+    val stops = Seq("the", "a", "of", "and", "to")
+    nWords >= 30 && nWords <= 100000 &&
+      nNospace >= nWords * 3 && nNospace <= nWords * 10 &&
+      size(filter(words, w => w.rlike("[a-zA-Z]"))) * 10 >= nWords * 8 &&
+      size(array_intersect(array_distinct(words),
+        array(stops.map(lit): _*))) >= 2 &&
+      (nWords - nDistinct) * 2 <= nWords
+  }
+
+  /** The quality filter as a STREAMING stage: documents arrive through
+    * the file source and the Gopher keep decision plus per-language
+    * accounting run as a streaming aggregate — the shape of a curation
+    * stage that reports while ingesting (complete-mode here so the
+    * memory-sink result is the batch-equivalent answer the oracle can
+    * hash; in production the same plan runs update-mode into a metrics
+    * sink). The keep rules are the scan-side integer predicates of
+    * [[qQualityGopher]] — stateless, so the only streaming state is the
+    * language-count aggregate.
+    */
+  def qStreamQuality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val rawSchema = Tables.documents(spark, dir).schema
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .withColumn("n_words", size(split(col("text"), " ")))
+      .withColumn("keep", gopherKeep(col("text")).cast("int"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        sum(when(col("keep") === 1, col("n_words").cast("long"))
+          .otherwise(0L)).as("kept_tokens"))
+    val name = "graft_stream_quality"
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    spark.table(name).orderBy(col("lang"))
+  }
+
+  val qStreamQualityOracle: String =
+    """SELECT lang, count(*) AS n_docs,
+      sum(CASE WHEN len(string_split(text, ' ')) BETWEEN 30 AND 100000
+        AND length(replace(text, ' ', '')) >= len(string_split(text, ' ')) * 3
+        AND length(replace(text, ' ', '')) <= len(string_split(text, ' ')) * 10
+        AND len(list_filter(string_split(text, ' '),
+            w -> regexp_matches(w, '[a-zA-Z]'))) * 10
+          >= len(string_split(text, ' ')) * 8
+        AND len(list_intersect(list_distinct(string_split(text, ' ')),
+          ['the','a','of','and','to'])) >= 2
+        AND (len(string_split(text, ' '))
+          - len(list_distinct(string_split(text, ' ')))) * 2
+          <= len(string_split(text, ' '))
+        THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+      sum(CASE WHEN len(string_split(text, ' ')) BETWEEN 30 AND 100000
+        AND length(replace(text, ' ', '')) >= len(string_split(text, ' ')) * 3
+        AND length(replace(text, ' ', '')) <= len(string_split(text, ' ')) * 10
+        AND len(list_filter(string_split(text, ' '),
+            w -> regexp_matches(w, '[a-zA-Z]'))) * 10
+          >= len(string_split(text, ' ')) * 8
+        AND len(list_intersect(list_distinct(string_split(text, ' ')),
+          ['the','a','of','and','to'])) >= 2
+        AND (len(string_split(text, ' '))
+          - len(list_distinct(string_split(text, ' ')))) * 2
+          <= len(string_split(text, ' '))
+        THEN len(string_split(text, ' ')) ELSE 0 END)::BIGINT AS kept_tokens
+      FROM documents GROUP BY lang ORDER BY lang"""
 
   /** Gopher-style quality rules (Rae et al. 2021, "Scaling Language
     * Models", table A1) re-expressed over the documents table. Every
@@ -1059,6 +1132,7 @@ object TextAnalysis {
     "q_shuffle_deterministic" -> (qShuffleDeterministic _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_pipeline_full" -> (qPipelineFull _),
+    "q_stream_quality" -> (qStreamQuality _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1086,5 +1160,6 @@ object TextAnalysis {
     "q_shuffle_deterministic" -> qShuffleDeterministicOracle,
     "q_heavy_hitters" -> qHeavyHittersOracle,
     "q_pipeline_full" -> qPipelineFullOracle,
+    "q_stream_quality" -> qStreamQualityOracle,
   )
 }
