@@ -164,10 +164,36 @@ object Dedup {
     * join candidates back to the document store by key to verify. Both
     * are standard; this one optimizes for ingestion latency.
     */
-  def writeSignatureIndex(docs: DataFrame, indexDir: String): Unit = {
-    val sh = shingleFrame(docs)
-    bandedKeys(sh).join(sh, "doc_id")
-      .write.mode("append").parquet(indexDir)
+  def writeSignatureIndex(docs: DataFrame, indexDir: String): Unit =
+    writeSignatures(shingleFrame(docs), indexDir, "append")
+
+  /** One signature write, shared so the shingle + minhash kernel never
+    * runs twice for the same batch (matching and indexing reuse the same
+    * shingled frame).
+    */
+  private def writeSignatures(sh: DataFrame, path: String,
+      mode: String): Unit =
+    bandedKeys(sh).join(sh, "doc_id").write.mode(mode).parquet(path)
+
+  /** Every parquet leaf file under `dir`, recursively — an EXPLICIT file
+    * list pinned before any concurrent append, so a match result computed
+    * lazily from it can never see index rows written after the listing
+    * (reading the directory would re-list at whatever moment the plan
+    * resolves, which is an ordering hazard).
+    */
+  private def listIndexFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) out += f.getPath.toString
+      }
+      out.toSeq
+    }
   }
 
   /** Match an ingestion batch against a persisted index and dedup the
@@ -176,35 +202,47 @@ object Dedup {
     * index (shuffle on band keys, pairs only within buckets), which is
     * exactly the work a full re-dedup would spend on the new rows anyway
     * — the O(history²) part is never re-paid. Returns verified pairs
-    * (J ≥ [[Threshold]]) labeled `cross` (old↔new) or `intra`
-    * (new↔new), and appends the batch's own signatures so the index
-    * stays current for the next batch.
+    * (J ≥ [[Threshold]]) — old↔new and new↔new, both directions of the
+    * batch's involvement — and appends the batch's own signatures so the
+    * index stays current for the next batch. The match is pinned to the
+    * index file list AS OF the call, so the lazy result never sees the
+    * update it precedes.
     */
   def matchAndUpdateIndex(spark: SparkSession, newDocs: DataFrame,
       indexDir: String): DataFrame = {
     val newSh = shingleFrame(newDocs)
-    // cold start: an absent/empty index means the first batch only dedups
-    // against itself (limit(0) keeps the schemas without a special case)
-    val p = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out =
-      if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))) {
-        val idx = spark.read.parquet(indexDir)
-        incrementalFrom(
-          idx.select(col("doc_id"), col("band_idx"), col("band_h")),
-          idx.select(col("doc_id"), col("sh")).distinct(), newSh)
-      } else {
-        incrementalFrom(bandedKeys(newSh).limit(0), newSh.limit(0), newSh)
-      }
-    writeSignatureIndex(newDocs, indexDir)
+    val out = matchAgainstIndex(spark, newSh, indexDir)
+    writeSignatures(newSh, indexDir, "append")
     out
+  }
+
+  /** Match a shingled batch against the index as of NOW: the historical
+    * side is an explicit pinned file list, so the returned (lazy) frame is
+    * immune to later appends — including the caller's own index update.
+    */
+  private def matchAgainstIndex(spark: SparkSession, newSh: DataFrame,
+      indexDir: String): DataFrame = {
+    val files = listIndexFiles(spark, indexDir)
+    if (files.nonEmpty) {
+      val idx = spark.read.parquet(files: _*)
+      incrementalFrom(
+        idx.select(col("doc_id"), col("band_idx"), col("band_h")),
+        idx.select(col("doc_id"), col("sh")).distinct(), newSh)
+    } else {
+      // cold start: the first batch only dedups against itself
+      // (limit(0) keeps the schemas without a special case)
+      incrementalFrom(bandedKeys(newSh).limit(0), newSh.limit(0), newSh)
+    }
   }
 
   /** The ingestion loop on Structured Streaming: each micro-batch of
     * arriving documents is matched against the index and the index is
-    * advanced — `foreachBatch` + the source's checkpoint give exactly-once
-    * batch processing, so a restart resumes with unprocessed files only.
-    * Verified pairs append to `pairsDir` tagged with their batch id.
+    * advanced. `foreachBatch` replays a batch if the job dies before its
+    * checkpoint commits, so BOTH sinks are keyed by the (stable) batch id
+    * and written with overwrite — a replay rewrites the same two
+    * directories instead of appending duplicates, which is what makes the
+    * cycle effectively exactly-once. Pairs are materialized BEFORE the
+    * index advances (the match must not see its own batch).
     */
   def runStreamingDedup(spark: SparkSession, inputDir: String,
       schema: org.apache.spark.sql.types.StructType, indexDir: String,
@@ -214,9 +252,10 @@ object Dedup {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        matchAndUpdateIndex(spark, batch, indexDir)
-          .withColumn("batch_id", lit(id))
-          .write.mode("append").parquet(pairsDir)
+        val newSh = shingleFrame(batch)
+        matchAgainstIndex(spark, newSh, indexDir)
+          .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$id")
+        writeSignatures(newSh, s"$indexDir/batch=$id", "overwrite")
         ()
       }
       .start()
@@ -240,13 +279,7 @@ object Dedup {
         col("n.doc_id") < col("m.doc_id"))
       .select(col("n.doc_id").as("d1"), col("m.doc_id").as("d2"))
     val cand = cross.union(intra).distinct()
-    val all = oldSh.union(newSh)
-    val d1 = all.select(col("doc_id").as("d1"), col("sh").as("sh1"))
-    val d2 = all.select(col("doc_id").as("d2"), col("sh").as("sh2"))
-    cand.join(d1, "d1").join(d2, "d2")
-      .withColumn("jaccard", round(jaccard(col("sh1"), col("sh2")), 6))
-      .filter(col("jaccard") >= Threshold)
-      .select(col("d1"), col("d2"), col("jaccard"))
+    verifyPairs(cand, oldSh.union(newSh))
   }
 
   /** Query form of the incremental path, oracled: the corpus is split

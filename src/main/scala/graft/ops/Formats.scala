@@ -21,6 +21,17 @@ import org.apache.spark.sql.types._
   */
 object Formats {
 
+  /** Fixed scratch root, one subdir per query, every write `overwrite`:
+    * repeated runs (bench passes, sweeps, plan dumps) rewrite the same
+    * paths instead of accumulating a fresh temp copy per invocation.
+    */
+  private def scratch(name: String): java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-scratch", name)
+    java.nio.file.Files.createDirectories(p)
+    p
+  }
+
   private val csvSchema = StructType(Seq(
     StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
     StructField("o_orderstatus", StringType),
@@ -36,7 +47,7 @@ object Formats {
     * round trip lost nothing.
     */
   def qCsvJsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-formats")
+    val tmp = scratch("formats")
     val csvDir = tmp.resolve("orders_csv").toString
     val jsonDir = tmp.resolve("customer_json").toString
 
@@ -83,7 +94,7 @@ object Formats {
     * corrupt column from a raw JSON scan.
     */
   def qMalformedQuarantine(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-malformed")
+    val tmp = scratch("malformed")
     val txtDir = tmp.resolve("docs_jsonl").toString
     Tables.documents(spark, dir)
       .select(
@@ -126,7 +137,7 @@ object Formats {
     * touches (keys, doubles, decimal operands).
     */
   def qOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-orc")
+    val tmp = scratch("orc")
     val orcDir = tmp.resolve("lineitem_orc").toString
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
@@ -162,7 +173,7 @@ object Formats {
     * proves source plumbing AND header decode end-to-end.
     */
   def qBinarySource(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-binsrc")
+    val tmp = scratch("binsrc")
     (0 until 24).foreach { i =>
       val bytes = graft.functions.PngCodec.encodeGray(
         16 + i % 9, 16 + (i * 3) % 9, i.toLong)

@@ -793,21 +793,34 @@ object TextAnalysis {
 
   /** Heavy hitters via the [[graft.functions.MisraGriesAgg]] summary,
     * SELF-CERTIFIED: the raw estimates depend on Spark's merge order, so
-    * the query emits the summary's deterministic GUARANTEES — every word
+    * the query emits the summary's deterministic GUARANTEES — every key
     * with true frequency above N/(k+1) is present, no estimate overcounts,
     * no undercount exceeds N/(k+1) — checked against the exact counts
     * in-plan (integer cross-multiplications, no FP). The oracle recomputes
-    * N, the vocabulary size, and the guaranteed-key count exactly; the
+    * N, the key-space size, and the guaranteed-key count exactly; the
     * certification columns collapse to those constants exactly when the
     * sketch honors its contract (the ANN self-certification discipline).
-    * The exact side is corpus-vocabulary-sized here; at 100 TB one keeps
-    * ONLY the sketch — the certification is the test harness, the
-    * operator is the aggregate.
+    *
+    * The key is DELIBERATELY skewed: stopwords collapse into one heavy
+    * key (~6.6% of N at every SF — above the N/17 ≈ 5.9% presence bar)
+    * while every other word shards 7 ways (204 keys ≫ k = 16, so the
+    * summary trims constantly). Raw words would certify nothing: the
+    * corpus vocabulary is 31 near-uniform words, every frequency sits
+    * under the bar, and an aggregate that lost every key would still
+    * pass. With this key the presence arm has exactly one guaranteed
+    * key to lose at all three SFs — a broken summary fails the hash.
+    * The exact side is key-space-sized here; at 100 TB one keeps ONLY
+    * the sketch — the certification is the harness, the operator is the
+    * aggregate.
     */
   def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val K = 16
+    val stops = Seq("the", "a", "of", "and", "to")
     val words = Tables.documents(spark, dir)
-      .select(explode(split(col("text"), " ")).as("w"))
+      .select(explode(split(col("text"), " ")).as("w"), col("doc_id"))
+      .select(when(col("w").isin(stops: _*), lit("stopword"))
+        .otherwise(concat(col("w"), lit("_"),
+          pmod(col("doc_id"), lit(7)).cast("string"))).as("w"))
     val exact = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
     val mg = words
       .agg(graft.functions.MisraGriesAgg.misraGries(col("w"), K).as("mg"))
@@ -836,7 +849,11 @@ object TextAnalysis {
   }
 
   val qHeavyHittersOracle: String =
-    """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    """WITH raw AS (SELECT unnest(string_split(text, ' ')) AS w, doc_id
+        FROM documents),
+      w AS (SELECT CASE WHEN w IN ('the','a','of','and','to')
+          THEN 'stopword'
+          ELSE w || '_' || (doc_id % 7)::VARCHAR END AS w FROM raw),
       e AS (SELECT w, count(*) AS cnt FROM w GROUP BY w),
       t AS (SELECT sum(cnt)::BIGINT AS n_words, count(*)::BIGINT AS n_distinct
         FROM e),

@@ -35,8 +35,11 @@ class CurationSpec extends AnyFunSuite {
       assert(flags(0) == (if (words.length >= 30 && words.length <= 100000) 1 else 0))
       assert(flags(1) ==
         (if (noSpace >= 3 * words.length && noSpace <= 10 * words.length) 1 else 0))
+      // ASCII letters only — the rule the engine AND oracle implement
+      // ([a-zA-Z]); Character.isLetter would diverge on non-Latin text
+      def asciiLetter(c: Char) = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
       assert(flags(2) ==
-        (if (words.count(_.exists(_.isLetter)) * 10 >= words.length * 8) 1 else 0))
+        (if (words.count(_.exists(asciiLetter)) * 10 >= words.length * 8) 1 else 0))
       assert(flags(3) == (if (words.distinct.count(stops) >= 2) 1 else 0))
       assert(flags(4) ==
         (if ((words.length - words.distinct.length) * 2 <= words.length) 1 else 0))
