@@ -916,6 +916,59 @@ object TextAnalysis {
       FROM d WHERE rn = 1
       GROUP BY 1, lang ORDER BY split, lang"""
 
+  /** Tokenizer-vocabulary coverage: the share of corpus tokens that a
+    * FIXED vocabulary covers, per language — the analysis run before
+    * committing to a tokenizer (high OOV → the tokenizer fragments that
+    * language). The vocabulary is an explicit broadcast literal; counts
+    * are integers and the OOV share is an emission-only 6-dp rounding of
+    * an exact rational, so nothing can diverge cross-engine.
+    */
+  def qVocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Seq("the", "a", "of", "and", "to", "table", "row", "scan",
+      "hash", "join", "order", "data", "query", "value", "column")
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("in_vocab", col("w").isin(vocab: _*).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("in_vocab")).as("n_covered"),
+        countDistinct(when(col("in_vocab") === 0, col("w"))).as("n_oov_types"),
+        round((count(lit(1)) - sum(col("in_vocab"))).cast("double") /
+          count(lit(1)), 6).as("oov_share"))
+      .orderBy(col("lang"))
+  }
+
+  val qVocabCoverageOracle: String =
+    """WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      t AS (SELECT lang, w, (w IN ('the','a','of','and','to','table','row',
+        'scan','hash','join','order','data','query','value','column'))
+        AS in_vocab FROM w)
+      SELECT lang, count(*) AS n_tokens,
+        sum(in_vocab::INT)::BIGINT AS n_covered,
+        count(DISTINCT CASE WHEN NOT in_vocab THEN w END) AS n_oov_types,
+        round((count(*) - sum(in_vocab::INT)) * 1.0 / count(*), 6)
+          AS oov_share
+      FROM t GROUP BY lang ORDER BY lang"""
+
+  /** Document-length histogram per source: fixed-width 100-char buckets —
+    * the length-distribution profile that drives truncation/packing
+    * decisions. Bucketing is integer division, so the histogram is exact
+    * on both engines; the output is (source, bucket) sparse cells.
+    */
+  def qLengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket", expr("n_chars div 100") * 100)
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("source"), col("bucket"))
+
+  val qLengthHistogramOracle: String =
+    """SELECT source, (n_chars // 100) * 100 AS bucket,
+      count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+      FROM documents GROUP BY source, bucket ORDER BY source, bucket"""
+
   /** The Gopher keep decision over a raw text column — every threshold an
     * integer cross-multiplication (no FP anywhere), shared by the batch
     * filter, the composed pipeline, and the streaming stage so the three
@@ -1150,6 +1203,8 @@ object TextAnalysis {
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_pipeline_full" -> (qPipelineFull _),
     "q_stream_quality" -> (qStreamQuality _),
+    "q_vocab_coverage" -> (qVocabCoverage _),
+    "q_length_histogram" -> (qLengthHistogram _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1178,5 +1233,7 @@ object TextAnalysis {
     "q_heavy_hitters" -> qHeavyHittersOracle,
     "q_pipeline_full" -> qPipelineFullOracle,
     "q_stream_quality" -> qStreamQualityOracle,
+    "q_vocab_coverage" -> qVocabCoverageOracle,
+    "q_length_histogram" -> qLengthHistogramOracle,
   )
 }
