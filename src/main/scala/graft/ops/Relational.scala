@@ -1058,33 +1058,89 @@ object Relational {
       ORDER BY l_returnflag, l_quantity"""
 
   // ---------- exact percentiles ----------
-  /** Exact interpolated percentiles per group, computed by RANK MATH
-    * instead of the `percentile` aggregate: row_number + count over the
-    * group give each value its fractional position, the two rows
-    * bracketing each target position are picked by a cheap filter, and
-    * one conditional aggregate interpolates. Spark's exact `percentile`
-    * buffers every (value → count) per group into one in-memory map and
-    * merges those maps single-threaded per group — measured 4.7 s at
-    * sf0.1 vs 0.5 s for this plan, and it OOMs long before 100 TB. Here
-    * the heavy step is a distributed sort within groups; only ≤ 8 rows
-    * per group survive the position filter. (With high-cardinality
-    * groups the built-in swap is `approx_percentile`, the sketch path.)
-    * DuckDB's `quantile_cont` does the same linear interpolation, so the
-    * oracle is exact at 2 dp.
+  /** Exact interpolated percentiles per group WITHOUT a per-group total
+    * order. The r6 spelling ranked every row with `row_number` over
+    * `Window.partitionBy(l_returnflag)` — with 3 distinct flags that is 3
+    * tasks each sorting n/3 rows, the suite's clearest single-task
+    * bottleneck at 100×. This plan finds the ≤ 2 bracketing ORDER
+    * STATISTICS per target rank by value-bucketed rank location instead,
+    * in exactly TWO fact scans and zero fact-wide sorts:
+    *
+    *  1. a monotone scan-side bucket id (`floor(512·ln v)` — needs no
+    *     min/max pre-pass) feeds a per-(group, bucket) count; running-sum
+    *     + total windows over that BUCKET AGGREGATE (≤ ~2400 rows per
+    *     group — dimension-scale, never the fact) locate which bucket
+    *     holds each target rank `floor/ceil((n-1)·q)`;
+    *  2. only rows in located buckets survive an inner broadcast join
+    *     (≤ 8 buckets per group, expected n/B rows each), get bucket-local
+    *     `row_number` (small sorted partitions, parallel across buckets),
+    *     and the rows whose global rank = bucket cum-count + local rank
+    *     is a target are picked;
+    *  3. one conditional aggregate interpolates — identical rank math and
+    *     FP order as before, so the oracle is unchanged.
+    *
+    * Equal values share a bucket, so bucket-local ranking reproduces
+    * global order statistics exactly regardless of tie order. Log-value
+    * buckets can skew (worst case: one bucket holds everything and
+    * degrades to the old per-group sort); at 100 TB seed equi-depth
+    * boundaries with `approx_quantile` instead — the refinement stays
+    * exact either way. Spark's exact `percentile` aggregate is still
+    * worse: it buffers every (value → count) per group into one in-memory
+    * map merged single-threaded per group (measured 4.7 s at sf0.1, OOMs
+    * long before 100 TB). DuckDB's `quantile_cont` does the same linear
+    * interpolation, so the oracle is exact at 2 dp.
     */
   def qPercentiles(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
-    val wn = Window.partitionBy(col("l_returnflag"))
     val qs = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95")
-    val ranked = Tables.table(spark, dir, "lineitem")
-      .select(col("l_returnflag"), col("l_extendedprice"))
-      .withColumn("i", row_number().over(w).cast("double") - 1)
-      .withColumn("n", count(lit(1)).over(wn).cast("double"))
-    // keep only rows bracketing some target position (≤ 8 rows per group)
-    val bracket = qs.map { case (q, _) =>
-      val t = (col("n") - 1) * q
-      (col("i") === floor(t)) || (col("i") === ceil(t))
-    }.reduce(_ || _)
+    // monotone scan-side bucket id — no min/max pre-pass needed: for
+    // positive values floor(512·ln v) is order-preserving with ~512
+    // buckets per e-fold (≈ 2400 over lineitem's price range); all values
+    // ≤ 1e-300 (incl. would-be-NaN inputs) collapse into the single lowest
+    // bucket, which stays monotone and is resolved by the in-bucket sort
+    val bucket = floor(log(greatest(col("l_extendedprice"), lit(1e-300))) * 512)
+    val base = Tables.table(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"), bucket.as("b"))
+
+    // pass 1: per-(group, bucket) counts; the running sum + group total are
+    // windows over the BUCKET AGGREGATE (≤ ~2400 rows per group —
+    // dimension-scale, never the fact)
+    val wb = Window.partitionBy(col("l_returnflag")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.partitionBy(col("l_returnflag"))
+    val cum = base.groupBy(col("l_returnflag"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_before", sum(col("cnt")).over(wb) - col("cnt"))
+      .withColumn("n", sum(col("cnt")).over(wg).cast("double"))
+
+    // explode each bucket row into the 8 target ranks floor/ceil((n-1)·q)
+    // and keep the (bucket, rank) pairs where the rank falls inside the
+    // bucket's [cum_before, cum_before+cnt) range — no self-join, the
+    // bucket aggregate is read once
+    val located = cum
+      .withColumn("rank", explode(array(qs.flatMap { case (q, _) =>
+        val t = (col("n") - 1) * q
+        Seq(floor(t).cast("long"), ceil(t).cast("long"))
+      }: _*)))
+      .filter(col("rank") >= col("cum_before") &&
+        col("rank") < col("cum_before") + col("cnt"))
+      .groupBy(col("l_returnflag"), col("b"), col("cum_before"), col("n"))
+      .agg(collect_set(col("rank")).as("ranks"))
+
+    // pass 2: the inner broadcast join keeps only rows in located buckets
+    // (≤ 8 buckets per group, expected n/B rows each); bucket-local
+    // row_number sorts those small partitions in parallel, and the row
+    // whose global rank (cum_before + local) is a target survives
+    val wl = Window.partitionBy(col("l_returnflag"), col("b"))
+      .orderBy(col("l_extendedprice"))
+    val picked = base
+      .join(broadcast(located), Seq("l_returnflag", "b"))
+      .withColumn("local", row_number().over(wl).cast("long") - 1)
+      .filter(array_contains(col("ranks"), col("cum_before") + col("local")))
+      .select(col("l_returnflag"),
+        (col("cum_before") + col("local")).cast("double").as("i"),
+        col("l_extendedprice"), col("n"))
+
+    // interpolate — identical FP expression (and order) as the oracle
     val interp = qs.map { case (q, name) =>
       val t = (col("n") - 1) * q
       val lo = max(when(col("i") === floor(t), col("l_extendedprice")))
@@ -1100,7 +1156,7 @@ object Relational {
         .as(name)
     }
     val aggs = interp :+ first(col("n")).cast("long").as("n")
-    ranked.filter(bracket)
+    picked
       .groupBy(col("l_returnflag"))
       .agg(aggs.head, aggs.tail: _*)
       .orderBy(col("l_returnflag"))

@@ -441,6 +441,21 @@ class PlanAuditSpec extends AnyFunSuite {
       }
   }
 
+  test("q_percentiles: no per-group total order — every window ordering " +
+    "by the value column must also partition by the bucket id") {
+    val p = plan("q_percentiles")
+    // the r6 scale-killer: row_number over partitionBy(l_returnflag)
+    // orderBy(l_extendedprice) sorts n/3 rows in one task; the bucketed
+    // plan only ever sorts (flag, bucket) partitions
+    assert(!("""windowspecdefinition\(l_returnflag#\d+, l_extendedprice""".r
+      .findFirstIn(p).isDefined),
+      s"per-group total-order window reappeared:\n$p")
+    assert(p.contains("windowspecdefinition"), p) // bucket windows remain
+    // two-pass structure: bucket-count pass + located-bucket refinement
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 2,
+      s"expected exactly 2 fact scans:\n$p")
+  }
+
   test("q22: NOT EXISTS is an anti join with the date filter pushed to " +
     "the orders scan") {
     val p = plan("q22_dormant_customers")
