@@ -1373,22 +1373,31 @@ object Relational {
     * revenue per supplier is an exact DECIMAL sum, so the `revenue =
     * max(revenue)` equality is deterministic — with double sums the
     * last-ULP summation order could pick a different supplier near a tie.
-    * The max is an unpartitioned window over the PER-SUPPLIER aggregate
-    * (supplier-count rows, dimension-scale): the separate
-    * `rev.agg(max)`-and-join-back spelling re-ran the whole lineitem
-    * scan + shuffle because Catalyst does not common the two aggregate
-    * subtrees — one fact scan beats avoiding a dimension-sized window.
+    * The global max is a separate `agg(max)` broadcast back as an equality
+    * join — NO unpartitioned window anywhere in the plan. The two uses of
+    * `rev` plan the same `Exchange hashpartitioning(l_suppkey)` subtree,
+    * which Spark's exchange reuse dedupes at execution (the plan carries a
+    * `ReusedExchange`, pinned by PlanAuditSpec): the fact is scanned,
+    * partially aggregated and shuffled ONCE, and the max side reads the
+    * reused shuffle output — same single-scan cost as the old window
+    * spelling without serializing the dimension-sized aggregate through
+    * one task.
     */
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    // the explicit isnotnull mirrors what the supplier join pushes into
+    // the join branch — WITHOUT it the two rev subtrees canonicalize
+    // differently (one has the pushed filter, the max side doesn't) and
+    // AQE cannot reuse the shuffle stage
     val rev = Tables.lineitem(spark, dir)
-      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+      .filter($"l_suppkey".isNotNull &&
+        $"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
         $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
       .groupBy($"l_suppkey")
       .agg(sum($"l_extendedprice".cast("decimal(18,2)") *
         (lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(18,2)")))
         .as("total_rev"))
-    rev.withColumn("max_rev", max($"total_rev").over(Window.partitionBy()))
-      .filter($"total_rev" === $"max_rev")
+    val maxRev = rev.agg(max($"total_rev").as("max_rev"))
+    rev.join(broadcast(maxRev), $"total_rev" === $"max_rev")
       .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
       .select($"s_suppkey", $"s_name", $"total_rev".cast("string").as("total_revenue"))
       .orderBy($"s_suppkey")
@@ -1399,7 +1408,8 @@ object Relational {
         sum(l_extendedprice::DECIMAL(18,2)
           * (1 - l_discount::DECIMAL(18,2))) AS total_rev
         FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        WHERE l_suppkey IS NOT NULL
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1996-04-01'
         GROUP BY l_suppkey)
       SELECT s_suppkey, s_name, total_rev::VARCHAR AS total_revenue

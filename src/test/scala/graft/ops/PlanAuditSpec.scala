@@ -429,16 +429,33 @@ class PlanAuditSpec extends AnyFunSuite {
       s"quantity disjunction must reach the lineitem scan: $liScan")
   }
 
-  test("q15 and q_mix_temperature: the global max/denominator is a window " +
-    "over the aggregate — the fact table is scanned exactly once") {
-    Seq("q15_top_supplier" -> "lineitem", "q_mix_temperature" -> "documents")
-      .foreach { case (q, fact) =>
-        val p = plan(q)
-        assert(p.linesIterator.count(l =>
-          l.contains("FileScan parquet") && l.contains(fact)) == 1,
-          s"$q must scan $fact once: $p")
-        assert(p.contains("Window"), s"$q: global agg must be a window: $p")
-      }
+  test("q_mix_temperature: the global denominator is a window over the " +
+    "aggregate — the fact table is scanned exactly once") {
+    val p = plan("q_mix_temperature")
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents")) == 1,
+      s"q_mix_temperature must scan documents once: $p")
+    assert(p.contains("Window"), s"global agg must be a window: $p")
+  }
+
+  test("q15: no unpartitioned window — the global max is agg + broadcast " +
+    "equality join, and exchange reuse keeps ONE fact shuffle at runtime") {
+    val df = graft.SparkEntry.queries("q15_top_supplier")(spark, dir)
+    assert(df.collect().nonEmpty) // materialize THIS queryExecution so AQE finalizes
+    // AQE final plan only (the toString also replays the pre-AQE initial
+    // plan, where the exchanges are still duplicated)
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Window"), s"global window reappeared:\n$p")
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"the per-supplier aggregate must be shuffled once and reused:\n$p")
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("l_suppkey") &&
+        !l.contains("Reused")) == 1,
+      s"expected exactly one live l_suppkey exchange:\n$p")
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem")) == 1,
+      s"lineitem must be scanned once:\n$p")
   }
 
   test("q_percentiles: no per-group total order — every window ordering " +
@@ -487,6 +504,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
       s"exactly dedup-key + agg-key exchanges expected: $p")
     assert(p.linesIterator.count(_.contains("FileScan")) == 1, p)
+  }
+
+  test("global-window allowlist: no registered query plans a partition-less " +
+    "WindowExec unless pinned here") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // queries whose FUNCTIONS run eagerly (streams driven to completion,
+    // avro/orc/csv fixture writes, persisted dedup index) — conversion
+    // paths with no window analytics; excluded so the sweep stays a pure
+    // planning pass
+    val eager = Set(
+      "q_stream_tumbling", "q_stream_session", "q_stream_dedup",
+      "q_stream_join", "q_stream_static_join", "q_stream_quality",
+      "q_cdc_convert_roundtrip", "q_cdc_convert_exact", "q_cdc_dsv2_scan",
+      "q_cdc_catalog", "q_csv_json_roundtrip", "q_orc_roundtrip",
+      "q_malformed_quarantine", "q_binary_source", "q_dedup_incremental")
+    // queries ALLOWED a partition-less window, each because the window
+    // input is a bounded post-aggregate (dimension-scale), never the fact:
+    //  - q_mix_temperature: denominator over per-lang aggregate (~#langs
+    //    rows; TextAnalysis.qMixTemperature scaladoc)
+    //  - q_events_cum_users: running sum over per-day new-user counts
+    //    (~#days rows; EventOps.qEventsCumulativeUsers scaladoc)
+    val allow = Set("q_mix_temperature", "q_events_cum_users")
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(eager)
+      .filter { name =>
+        val p = graft.SparkEntry.queries(name)(spark, dir)
+          .queryExecution.sparkPlan
+        p.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.nonEmpty
+      }
+    assert(offenders.toSet == allow,
+      s"partition-less WindowExec drift — found ${offenders.sorted}, " +
+        s"allowlist ${allow.toSeq.sorted}; either fix the plan or pin it " +
+        "here with a bounded-input rationale")
   }
 
   test("catalog scan: column pruning reaches the cdc-avro table") {
