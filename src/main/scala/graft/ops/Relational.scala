@@ -1417,6 +1417,75 @@ object Relational {
       WHERE total_rev = (SELECT max(total_rev) FROM rev)
       ORDER BY s_suppkey"""
 
+  // ---------- q21 shape: sole failing supplier (EXISTS + NOT EXISTS) ----
+  /** TPC-H Q21's join topology on the available columns: suppliers (from a
+    * nation subset) who returned items on COMPLETED multi-supplier orders
+    * where no OTHER supplier on the order also returned — the hardest
+    * decorrelation shape in the suite, a multi-way EXISTS + NOT EXISTS
+    * against the SAME fact table. Spelled directly as one left-semi and
+    * one left-anti self-join (no correlated subquery survives to the
+    * plan):
+    *
+    *   - all three lineitem legs join on `l_orderkey`, so the shuffles are
+    *     CO-PARTITIONED — at 100 TB the fact is hashed on the one key
+    *     three times and never re-keyed (the reference Q21 bottleneck);
+    *   - the nation→supplier filter broadcasts and prunes l1 rows ~5×
+    *     BEFORE the self-joins (dimension filter first, like q05);
+    *   - `orders(status='F')` joins on the same l_orderkey key;
+    *   - the final top-k is TakeOrderedAndProject over the per-supplier
+    *     aggregate (supplier-cardinality), never a global sort of facts.
+    *
+    * The (numwait DESC, s_name) order is total (names unique), so the
+    * LIMIT is deterministic.
+    */
+  def q21SoleFailingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Seq("NATION_1", "NATION_7", "NATION_13", "NATION_19",
+      "NATION_24")
+    val li = Tables.lineitem(spark, dir)
+    val l1 = li.filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_suppkey")
+    val l2 = li.select($"l_orderkey".as("l2_orderkey"),
+      $"l_suppkey".as("l2_suppkey"))
+    val l3 = li.filter($"l_returnflag" === "R")
+      .select($"l_orderkey".as("l3_orderkey"), $"l_suppkey".as("l3_suppkey"))
+    val o = Tables.orders(spark, dir)
+      .filter($"o_orderstatus" === "F").select($"o_orderkey")
+    val sn = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .filter($"n_name".isin(nations: _*))),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name")
+    l1.join(broadcast(sn), $"l_suppkey" === $"s_suppkey")
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .join(l2, $"l_orderkey" === $"l2_orderkey" &&
+        $"l_suppkey" =!= $"l2_suppkey", "left_semi")
+      .join(l3, $"l_orderkey" === $"l3_orderkey" &&
+        $"l_suppkey" =!= $"l3_suppkey", "left_anti")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), $"s_name")
+      .limit(10)
+  }
+
+  val q21Oracle: String =
+    """SELECT s_name, count(*) AS numwait
+      FROM lineitem l1
+      JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+      JOIN supplier ON s_suppkey = l1.l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+        AND n_name IN ('NATION_1','NATION_7','NATION_13','NATION_19','NATION_24')
+      WHERE l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R')
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 10"""
+
   // ---------- q08 shape: national market share ----------
   /** TPC-H Q8 reshaped: NATION_2's share of supplier revenue into ASIA
     * customers, per order year. Both the share's numerator and
@@ -1528,6 +1597,7 @@ object Relational {
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "q18_large_orders" -> (q18LargeOrders _),
     "q19_disjunctive_pred" -> (q19DisjunctivePredicates _),
+    "q21_sole_failing_supplier" -> (q21SoleFailingSupplier _),
     "q22_dormant_customers" -> (q22DormantCustomers _),
     "q_window_firstlast" -> (qWindowFirstLast _),
     "q_join_broadcast" -> (qJoinBroadcast _),
@@ -1581,6 +1651,7 @@ object Relational {
     "q17_small_qty_revenue" -> q17Oracle,
     "q18_large_orders" -> q18Oracle,
     "q19_disjunctive_pred" -> q19Oracle,
+    "q21_sole_failing_supplier" -> q21Oracle,
     "q22_dormant_customers" -> q22Oracle,
     "q_window_firstlast" -> qWindowFirstLastOracle,
     "q_join_broadcast" -> qJoinBroadcastOracle,

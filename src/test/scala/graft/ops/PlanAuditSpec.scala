@@ -473,6 +473,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected exactly 2 fact scans:\n$p")
   }
 
+  test("q21: multi-way EXISTS + NOT EXISTS decorrelates to one semi + one " +
+    "anti self-join, no correlated nested loop, top-k not a global sort") {
+    val p = plan("q21_sole_failing_supplier")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort: $p")
+    val ordersScan = p.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("orders")).get
+    assert(ordersScan.contains("EqualTo(o_orderstatus,F)"),
+      s"status filter must reach the orders scan: $ordersScan")
+    // every fact self-join leg keys on l_orderkey (co-partitioned at scale)
+    Seq("l2_orderkey", "l3_orderkey").foreach { k =>
+      assert(p.contains(k), s"self-join leg $k missing: $p")
+    }
+  }
+
   test("q22: NOT EXISTS is an anti join with the date filter pushed to " +
     "the orders scan") {
     val p = plan("q22_dormant_customers")
