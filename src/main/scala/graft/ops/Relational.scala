@@ -1417,6 +1417,165 @@ object Relational {
       WHERE total_rev = (SELECT max(total_rev) FROM rev)
       ORDER BY s_suppkey"""
 
+  // ---------- q02 shape: min-cost supplier per part ----------
+  /** TPC-H Q2's shape without a partsupp table: the part↔supplier bridge
+    * is derived from lineitem (cheapest observed sale price per pair —
+    * exact DECIMAL min, so the min-equality is deterministic). The
+    * correlated scalar subquery `cost = (SELECT min(cost) ... WHERE
+    * partkey = outer.partkey)` decorrelates to a min window PARTITIONED BY
+    * the part key over the pair aggregate — partkey cardinality grows with
+    * the catalog, so the window partitions stay small at any scale (this
+    * is the high-cardinality-safe sibling of the q15 global max, which
+    * needs the agg+broadcast spelling instead). The selective part filter
+    * broadcasts and prunes the fact scan BEFORE the aggregation.
+    */
+  def q02MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val pSel = Tables.part(spark, dir)
+      .filter($"p_size" <= 5 && $"p_type" === "SMALL")
+      .select($"p_partkey", $"p_name")
+    val offers = Tables.lineitem(spark, dir)
+      .join(broadcast(pSel), $"l_partkey" === $"p_partkey")
+      .groupBy($"l_partkey", $"p_name", $"l_suppkey")
+      .agg(min($"l_extendedprice".cast("decimal(18,2)")).as("cost"))
+    val wMin = Window.partitionBy($"l_partkey")
+    offers
+      .withColumn("min_cost", min($"cost").over(wMin))
+      .filter($"cost" === $"min_cost")
+      .join(broadcast(Tables.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
+      .select($"l_partkey".as("p_partkey"), $"p_name", $"s_name", $"n_name",
+        $"cost".cast("string").as("cost"))
+      .orderBy($"p_partkey", $"s_name")
+  }
+
+  val q02MinCostOracle: String =
+    """WITH offers AS (SELECT l_partkey, p_name, l_suppkey,
+        min(l_extendedprice::DECIMAL(18,2)) AS cost
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_size <= 5 AND p_type = 'SMALL'
+        GROUP BY 1, 2, 3),
+      m AS (SELECT *, min(cost) OVER (PARTITION BY l_partkey) AS min_cost
+        FROM offers)
+      SELECT l_partkey AS p_partkey, p_name, s_name, n_name,
+        cost::VARCHAR AS cost
+      FROM m
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE cost = min_cost
+      ORDER BY p_partkey, s_name"""
+
+  // ---------- q11 shape: parts above a global value fraction ----------
+  /** TPC-H Q11's shape: per-part traded value, kept where it exceeds a
+    * fraction of the GLOBAL total — the scalar-subquery-over-aggregate
+    * pattern. The global total is a second-level aggregate of the same
+    * per-part aggregate, broadcast back through a 1-row cross join (never
+    * an unpartitioned window); both branches plan the identical
+    * per-partkey exchange, which AQE's exchange reuse dedupes — one fact
+    * scan, one fact shuffle. All sums are exact DECIMAL and the threshold
+    * multiply is DECIMAL×DECIMAL, so the strict > keep-set is
+    * deterministic on both engines.
+    */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.lineitem(spark, dir)
+      .filter($"l_partkey".isNotNull)
+      .groupBy($"l_partkey")
+      .agg(sum($"l_extendedprice".cast("decimal(18,2)")).as("value"))
+    val total = vals.agg(
+      (sum($"value") * lit(0.0008).cast("decimal(8,6)")).as("threshold"))
+    vals.crossJoin(broadcast(total))
+      .filter($"value" > $"threshold")
+      .select($"l_partkey", $"value".cast("string").as("value"))
+      .orderBy(desc("value"), $"l_partkey")
+  }
+
+  val q11Oracle: String =
+    """WITH vals AS (SELECT l_partkey,
+        sum(l_extendedprice::DECIMAL(18,2)) AS value
+        FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1)
+      SELECT l_partkey, value::VARCHAR AS value
+      FROM vals
+      WHERE value > (SELECT sum(value) FROM vals) * 0.0008::DECIMAL(8,6)
+      ORDER BY value DESC, l_partkey"""
+
+  // ---------- q16 shape: supplier diversity minus excluded suppliers ----
+  /** TPC-H Q16's shape: distinct supplier count per part attribute,
+    * excluding suppliers from a NOT IN subquery. The bridge is the
+    * DISTINCT (part, supplier) pair set from lineitem (map-side
+    * pre-aggregated); the NOT IN decorrelates to a broadcast LEFT ANTI
+    * join (keys are non-null, so NOT IN ≡ NOT EXISTS); the distinct count
+    * shuffles once on the attribute key. Part attributes ride the
+    * broadcast dimension join.
+    */
+  def q16SupplierDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = Seq(1, 5, 9, 14, 19, 23, 36, 45)
+    val pairs = Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_suppkey").distinct()
+    val excl = Tables.supplier(spark, dir)
+      .filter($"s_name".like("%1%")).select($"s_suppkey")
+    val p = Tables.part(spark, dir)
+      .filter($"p_type" =!= "ECONOMY" && $"p_size".isin(sizes: _*))
+    pairs
+      .join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .join(broadcast(excl), $"l_suppkey" === $"s_suppkey", "left_anti")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), $"p_brand", $"p_type", $"p_size")
+  }
+
+  val q16Oracle: String =
+    """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      SELECT p_brand, p_type, p_size,
+        count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM pairs JOIN part ON p_partkey = l_partkey
+      WHERE p_type <> 'ECONOMY' AND p_size IN (1,5,9,14,19,23,36,45)
+        AND NOT EXISTS (SELECT 1 FROM supplier
+          WHERE s_suppkey = l_suppkey AND s_name LIKE '%1%')
+      GROUP BY 1, 2, 3
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+  // ---------- q20 shape: excess-share suppliers (nested IN chain) ------
+  /** TPC-H Q20's shape: suppliers who shipped MORE THAN HALF of some
+    * filtered part's 1996 volume — a two-level nested IN chain,
+    * decorrelated to two LEFT SEMI joins. The part-name IN prunes the
+    * fact BEFORE aggregation (broadcast semi); the per-part total is a
+    * sum window partitioned by the high-cardinality part key over the
+    * pair aggregate (no second shuffle of the same data); the final
+    * supplier IN is a semi join against the qualifying-supplier set.
+    * Quantities are integral doubles, so the sums and the ·0.5 threshold
+    * are exact and the strict > is deterministic.
+    */
+  def q20ExcessShareSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val selParts = Tables.part(spark, dir)
+      .filter($"p_name".like("red%")).select($"p_partkey")
+    val perPair = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(selParts), $"l_partkey" === $"p_partkey", "left_semi")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(sum($"l_quantity").as("q"))
+    val qualified = perPair
+      .withColumn("total_q", sum($"q").over(Window.partitionBy($"l_partkey")))
+      .filter($"q" > $"total_q" * 0.5)
+      .select($"l_suppkey")
+    Tables.supplier(spark, dir)
+      .join(qualified, $"s_suppkey" === $"l_suppkey", "left_semi")
+      .select($"s_suppkey", $"s_name")
+      .orderBy($"s_suppkey")
+  }
+
+  val q20Oracle: String =
+    """WITH ps AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS q,
+        sum(sum(l_quantity)) OVER (PARTITION BY l_partkey) AS total_q
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_partkey IN (SELECT p_partkey FROM part
+            WHERE p_name LIKE 'red%')
+        GROUP BY l_partkey, l_suppkey)
+      SELECT s_suppkey, s_name FROM supplier
+      WHERE s_suppkey IN (SELECT l_suppkey FROM ps WHERE q > 0.5 * total_q)
+      ORDER BY s_suppkey"""
+
   // ---------- q21 shape: sole failing supplier (EXISTS + NOT EXISTS) ----
   /** TPC-H Q21's join topology on the available columns: suppliers (from a
     * nation subset) who returned items on COMPLETED multi-supplier orders
@@ -1597,6 +1756,10 @@ object Relational {
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "q18_large_orders" -> (q18LargeOrders _),
     "q19_disjunctive_pred" -> (q19DisjunctivePredicates _),
+    "q02_min_cost_supplier" -> (q02MinCostSupplier _),
+    "q11_important_parts" -> (q11ImportantParts _),
+    "q16_supplier_diversity" -> (q16SupplierDiversity _),
+    "q20_excess_share_supplier" -> (q20ExcessShareSupplier _),
     "q21_sole_failing_supplier" -> (q21SoleFailingSupplier _),
     "q22_dormant_customers" -> (q22DormantCustomers _),
     "q_window_firstlast" -> (qWindowFirstLast _),
@@ -1651,6 +1814,10 @@ object Relational {
     "q17_small_qty_revenue" -> q17Oracle,
     "q18_large_orders" -> q18Oracle,
     "q19_disjunctive_pred" -> q19Oracle,
+    "q02_min_cost_supplier" -> q02MinCostOracle,
+    "q11_important_parts" -> q11Oracle,
+    "q16_supplier_diversity" -> q16Oracle,
+    "q20_excess_share_supplier" -> q20Oracle,
     "q21_sole_failing_supplier" -> q21Oracle,
     "q22_dormant_customers" -> q22Oracle,
     "q_window_firstlast" -> qWindowFirstLastOracle,

@@ -473,6 +473,51 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected exactly 2 fact scans:\n$p")
   }
 
+  test("q02: correlated min decorrelates to a partkey-partitioned window; " +
+    "the part filter prunes the fact before aggregation") {
+    val p = plan("q02_min_cost_supplier")
+    assert(p.contains("windowspecdefinition(l_partkey"),
+      s"min must be a partkey window: $p")
+    assert(!p.contains("CartesianProduct"), p)
+    val partScan = p.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("part.parquet")).get
+    assert(partScan.contains("LessThanOrEqual(p_size,5)") &&
+      partScan.contains("EqualTo(p_type,SMALL)"),
+      s"part filters must be pushed: $partScan")
+  }
+
+  test("q11: the global threshold is a 1-row broadcast over the SAME " +
+    "per-part aggregate — exchange reuse keeps one fact shuffle at runtime") {
+    val df = graft.SparkEntry.queries("q11_important_parts")(spark, dir)
+    assert(df.collect().nonEmpty)
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"per-part aggregate must be shuffled once and reused:\n$p")
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem")) == 1,
+      s"lineitem must be scanned once:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q16: NOT IN is a broadcast anti join over the distinct pair set") {
+    val p = plan("q16_supplier_diversity")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q20: the nested IN chain is two semi joins; the per-part total is " +
+    "a partkey-partitioned window over the pair aggregate") {
+    val p = plan("q20_excess_share_supplier")
+    assert(p.linesIterator.count(_.contains("LeftSemi")) == 2, p)
+    assert(p.contains("windowspecdefinition(l_partkey"), p)
+    val liScan = p.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("lineitem")).get
+    assert(liScan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"date window must reach the lineitem scan: $liScan")
+  }
+
   test("q21: multi-way EXISTS + NOT EXISTS decorrelates to one semi + one " +
     "anti self-join, no correlated nested loop, top-k not a global sort") {
     val p = plan("q21_sole_failing_supplier")
