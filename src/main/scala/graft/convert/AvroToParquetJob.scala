@@ -218,23 +218,34 @@ object AvroToParquetJob {
     * the reference's `<prefix>/<folder>/ingestion_date=…/` layout.
     *
     * Trade-off vs [[runOnce]]: the flattened schema is derived once at
-    * stream START (name-merged across the files present then, like the
-    * landing-zone catalog); a mid-stream writer-schema evolution needs a
-    * stream restart, where the poll loop re-derives per batch. Caller
-    * stops the query (`processAllAvailable()`/`awaitTermination`).
+    * stream START; a mid-stream writer-schema evolution needs a stream
+    * restart, where the poll loop re-derives per batch. Caller stops the
+    * query (`processAllAvailable()`/`awaitTermination`).
+    *
+    * Schema-drift policy (pinned by StreamingSpec): a file whose payload
+    * grows a NEW column mid-stream still converts — its known columns
+    * land typed, the new column is silently ABSENT (the reader projects
+    * to the pinned schema; the typed sink's schema never changes
+    * mid-stream, so downstream readers cannot be corrupted). A RESTART
+    * with `readerOptions = Map("mergeSchema" -> "true")` re-derives the
+    * schema name-merged across all landing-zone generations: the new
+    * column appears, old-generation files read null for it. Type
+    * CONFLICTS across generations merge to string (the catalog rule,
+    * `AvroCdcDataSource.mergeFlatSchemas`).
     */
   def runStreaming(
       spark: SparkSession,
       inputPattern: String,
       outputPrefix: String,
       checkpointDir: String,
-      ingestionDate: Option[String] = None)
+      ingestionDate: Option[String] = None,
+      readerOptions: Map[String, String] = Map.empty)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val pathCol = graft.sources.AvroCdcDataSource.InputPathCol
     val folderCol = when(
       regexp_extract(col(pathCol), "/avro/([^/]+)/", 1) === "", "unknown")
       .otherwise(regexp_extract(col(pathCol), "/avro/([^/]+)/", 1))
-    spark.readStream.format("cdc-avro").load(inputPattern)
+    spark.readStream.format("cdc-avro").options(readerOptions).load(inputPattern)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>

@@ -181,6 +181,70 @@ class StreamingSpec extends AnyFunSuite {
     })
   }
 
+  test("mid-stream schema drift: a NEW payload column arriving after " +
+    "stream start is projected away (typed sink never corrupted); a " +
+    "mergeSchema restart picks it up with nulls for old generations") {
+    import graft.avro.AvroFixtures
+    def envelope(withExtra: Boolean): String = {
+      val extra =
+        if (withExtra) """,{"name":"extra","type":["null","string"]}""" else ""
+      s"""{"type":"record","name":"cdc_event","fields":[
+        {"name":"uuid","type":"string"},
+        {"name":"read_timestamp","type":{"type":"long","logicalType":"timestamp-millis"}},
+        {"name":"source_metadata","type":{"type":"record","name":"sm","fields":[
+          {"name":"schema","type":"string"},{"name":"table","type":"string"},
+          {"name":"is_deleted","type":"boolean"},{"name":"change_type","type":"string"},
+          {"name":"tx_id","type":["null","long"]},{"name":"lsn","type":["null","string"]},
+          {"name":"primary_keys","type":{"type":"array","items":"string"}}]}},
+        {"name":"payload","type":["null",{"type":"record","name":"p","fields":[
+          {"name":"id","type":"long"},
+          {"name":"name","type":["null","string"]}$extra]}]}
+      ]}"""
+    }
+    def row(id: Long, name: String, extra: Option[String]): Map[String, Any] =
+      Map("uuid" -> s"u$id", "read_timestamp" -> 0L,
+        "source_metadata" -> AvroFixtures.sm("t"),
+        "payload" -> (Map("id" -> id, "name" -> name) ++
+          extra.map("extra" -> _)))
+
+    val root = java.nio.file.Files.createTempDirectory("graft-drift")
+      .toFile.getAbsolutePath
+    val glob = s"$root/landing/avro/*/*.avro"
+    AvroFixtures.writeAvro(s"$root/landing/avro/t/a.avro",
+      envelope(withExtra = false), Seq(row(1L, "one", None)))
+
+    // phase 1: stream starts on generation A, generation B (new `extra`
+    // column) arrives MID-STREAM
+    val q1 = graft.convert.AvroToParquetJob.runStreaming(spark, glob,
+      s"$root/out1", s"$root/ckpt1", ingestionDate = Some("2024-01-01"))
+    try {
+      q1.processAllAvailable()
+      AvroFixtures.writeAvro(s"$root/landing/avro/t/b.avro",
+        envelope(withExtra = true), Seq(row(2L, "two", Some("X"))))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val out1 = spark.read.parquet(s"$root/out1/t")
+    assert(!out1.columns.contains("extra"),
+      "pinned schema must project the drifted column away, not widen the sink")
+    assert(out1.select("id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "one"), (2L, "two")),
+      "the drifted file's KNOWN columns must still convert")
+
+    // phase 2: restart with mergeSchema — the landing zone's generations
+    // name-merge, the new column appears, old files read null
+    val q2 = graft.convert.AvroToParquetJob.runStreaming(spark, glob,
+      s"$root/out2", s"$root/ckpt2", ingestionDate = Some("2024-01-01"),
+      readerOptions = Map("mergeSchema" -> "true"))
+    try q2.processAllAvailable()
+    finally q2.stop()
+    val out2 = spark.read.parquet(s"$root/out2/t")
+    assert(out2.columns.contains("extra"))
+    assert(out2.select("id", "extra").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet ==
+      Set((1L, None), (2L, Some("X"))))
+  }
+
   test("flatMapGroupsWithState sessionization equals batch session_window " +
     "(event-time timeout drains the final sessions)") {
     val dir = "/root/testdata/sf0.001"
