@@ -30,19 +30,41 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * the [[AvroToParquetJob.runStreaming]] path already scales further (its
   * checkpoint log is read incrementally), so the ledger deliberately stays
   * simple rather than re-implementing a partitioned state store.
+  *
+  * 100×-file-count story — HASH-PREFIX SHARDS: `shards = N` routes each
+  * path to `shard-NN/` by a stable hash (`String.hashCode` is specified by
+  * the JLS, so routing survives JVM restarts and mixed fleets). Every
+  * shard is an independent mini-ledger with its own batch files and its
+  * own [[compact]] cycle, which caps BOTH costs that grow with file count:
+  * the per-poll membership read can load one shard at a time
+  * ([[seenShard]] — peak driver memory divides by N), and compaction
+  * rewrites 1/N of the history instead of the whole set. The layout is
+  * append-only per shard, so the crash-safety argument below is unchanged.
+  * `shards = 1` (default) keeps the original flat layout byte-for-byte.
   */
-final class FileLedger(dir: String, conf: Configuration) {
+final class FileLedger(dir: String, conf: Configuration, shards: Int = 1) {
+  require(shards >= 1, s"shards must be >= 1, got $shards")
   private val dirPath = new Path(dir)
   private val fs: FileSystem = dirPath.getFileSystem(conf)
 
-  private def batchFiles(): Array[org.apache.hadoop.fs.FileStatus] =
-    if (!fs.exists(dirPath)) Array.empty
-    else fs.listStatus(dirPath).filter(st =>
-      st.isFile && st.getPath.getName.startsWith("batch-"))
+  /** Stable path→shard routing (JLS-specified String.hashCode). */
+  private[convert] def shardOf(path: String): Int =
+    if (shards == 1) 0 else (path.hashCode & Int.MaxValue) % shards
 
-  def seen(): Set[String] = {
+  private def shardDir(i: Int): Path =
+    if (shards == 1) dirPath else new Path(dirPath, f"shard-$i%02d")
+
+  private def batchFiles(i: Int): Array[org.apache.hadoop.fs.FileStatus] = {
+    val d = shardDir(i)
+    if (!fs.exists(d)) Array.empty
+    else fs.listStatus(d).filter(st =>
+      st.isFile && st.getPath.getName.startsWith("batch-"))
+  }
+
+  /** All processed paths in shard `i` (one shard's worth of driver heap). */
+  def seenShard(i: Int): Set[String] = {
     val out = mutable.Set.empty[String]
-    batchFiles().foreach { st =>
+    batchFiles(i).foreach { st =>
       val in = fs.open(st.getPath)
       try Source.fromInputStream(in, "UTF-8").getLines().foreach { l =>
         if (l.nonEmpty) out += l
@@ -51,24 +73,33 @@ final class FileLedger(dir: String, conf: Configuration) {
     out.toSet
   }
 
+  /** Union of all shards — the flat-ledger read semantics. */
+  def seen(): Set[String] =
+    (0 until shards).iterator.map(seenShard).foldLeft(Set.empty[String])(_ ++ _)
+
   def add(paths: Seq[String]): Unit = {
     if (paths.isEmpty) return
-    if (!fs.exists(dirPath)) fs.mkdirs(dirPath)
-    writeBatch(paths)
+    paths.groupBy(shardOf).foreach { case (i, shardPaths) =>
+      val d = shardDir(i)
+      if (!fs.exists(d)) fs.mkdirs(d)
+      writeBatch(d, shardPaths)
+    }
   }
 
-  private def writeBatch(paths: Seq[String]): Path = {
-    val f = new Path(dirPath, s"batch-${UUID.randomUUID().toString}.txt")
+  private def writeBatch(d: Path, paths: Seq[String]): Path = {
+    val f = new Path(d, s"batch-${UUID.randomUUID().toString}.txt")
     val out = fs.create(f, false)
     try out.write(paths.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     f
   }
 
-  /** Folds the accumulated batch files into one when their count exceeds
-    * `maxBatchFiles`, so a long-running continuous job's ledger reads stay
-    * one file-open, not one per historical poll (a year of 30s polls is
-    * ~1M batch files — 1M namenode opens per cycle before compaction).
+  /** Folds each shard's accumulated batch files into one when their count
+    * exceeds `maxBatchFiles`, so a long-running continuous job's ledger
+    * reads stay one file-open per shard, not one per historical poll (a
+    * year of 30s polls is ~1M batch files — 1M namenode opens per cycle
+    * before compaction). Shards compact INDEPENDENTLY: each rewrite
+    * touches 1/N of the history.
     *
     * Crash-safe by ordering alone: the merged file is written FIRST, then
     * the inputs are deleted. A crash in between leaves duplicate entries,
@@ -76,15 +107,21 @@ final class FileLedger(dir: String, conf: Configuration) {
     * the merged write leaves the ledger untouched. Single-writer (the
     * polling driver), same as the reference's centralized matcher.
     *
-    * Returns the number of batch files merged, 0 if below the threshold.
+    * Returns the total number of batch files merged across shards, 0 if
+    * every shard is below the threshold.
     */
-  def compact(maxBatchFiles: Int = 64): Int = {
-    val files = batchFiles()
-    if (files.length <= maxBatchFiles) return 0
-    val all = seen()
-    if (all.isEmpty) return 0
-    writeBatch(all.toSeq.sorted)
-    files.foreach(st => fs.delete(st.getPath, false))
-    files.length
-  }
+  def compact(maxBatchFiles: Int = 64): Int =
+    (0 until shards).map { i =>
+      val files = batchFiles(i)
+      if (files.length <= maxBatchFiles) 0
+      else {
+        val all = seenShard(i)
+        if (all.isEmpty) 0
+        else {
+          writeBatch(shardDir(i), all.toSeq.sorted)
+          files.foreach(st => fs.delete(st.getPath, false))
+          files.length
+        }
+      }
+    }.sum
 }

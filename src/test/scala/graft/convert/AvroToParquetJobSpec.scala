@@ -288,6 +288,47 @@ class AvroToParquetJobSpec extends AnyFunSuite {
     assert(ledger.seen() == before + "/data/h.avro")
   }
 
+  test("sharded ledger: hash-prefix shards route stably, seen() unions, " +
+    "each shard compacts independently (the 100x-file-count layout)") {
+    val dir = tmpDir("graft-ledger-shards")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ledger = new FileLedger(dir, conf, shards = 2)
+
+    val paths = (1 to 20).map(i => s"/data/f$i.avro")
+    ledger.add(paths)
+    // routing is stable and total: both shard dirs exist, union is exact
+    val shardDirs = new File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted
+    assert(shardDirs.toSeq == Seq("shard-00", "shard-01"))
+    assert(ledger.seen() == paths.toSet)
+    val bySeen = (0 until 2).map(ledger.seenShard)
+    assert(bySeen.forall(_.nonEmpty), "both shards must receive paths")
+    assert(bySeen(0) ++ bySeen(1) == paths.toSet)
+    assert(bySeen(0).intersect(bySeen(1)).isEmpty)
+    // routing agrees with a fresh instance (restart survives)
+    val reopened = new FileLedger(dir, conf, shards = 2)
+    assert(paths.forall(p => reopened.shardOf(p) == ledger.shardOf(p)))
+    assert(reopened.seen() == paths.toSet)
+
+    // grow one shard past the threshold: only that shard folds
+    val hot = (21 to 40).map(i => s"/data/h$i.avro")
+      .filter(p => ledger.shardOf(p) == 0)
+    hot.foreach(p => ledger.add(Seq(p))) // one batch file per add
+    val before = ledger.seen()
+    val s0files = new File(s"$dir/shard-00").listFiles()
+      .count(_.getName.startsWith("batch-"))
+    val s1files = new File(s"$dir/shard-01").listFiles()
+      .count(_.getName.startsWith("batch-"))
+    assert(s0files > 4 && s1files <= 4)
+    assert(ledger.compact(4) == s0files)
+    assert(new File(s"$dir/shard-00").listFiles()
+      .count(_.getName.startsWith("batch-")) == 1)
+    assert(new File(s"$dir/shard-01").listFiles()
+      .count(_.getName.startsWith("batch-")) == s1files,
+      "the below-threshold shard must be untouched")
+    assert(ledger.seen() == before)
+  }
+
   test("corrupt input file: isolated as failed, healthy files still convert") {
     val in = tmpDir("graft-in-corrupt")
     val out = tmpDir("graft-out-corrupt")
