@@ -186,6 +186,14 @@ object AvroToParquetJob {
     * appeared files, forever (or `maxIterations` for tests). Graceful-stop
     * semantics (the reference control plane's `drain`,
     * run_dataflow.py:121-143): finish the in-flight batch, then return.
+    *
+    * Discovery at 100× file count: `globStatus` is one driver-side listing
+    * per poll — at millions of landing-zone files, split the deployment by
+    * prefix (one `runContinuous` per source-folder glob, each with its own
+    * ledger dir), which bounds BOTH the listing and the ledger per worker;
+    * [[FileLedger]]'s `shards` parameter additionally caps per-worker seen-
+    * set memory and compaction cost. The [[runStreaming]] path scales
+    * further still (incremental checkpoint log, no full listing diff).
     */
   def runContinuous(
       spark: SparkSession,
