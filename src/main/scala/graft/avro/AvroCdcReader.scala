@@ -137,6 +137,68 @@ object AvroCdcReader {
     } finally stream.close()
   }
 
+  /** One byte range of one container file; `[start, end)` owns every data
+    * block whose preceding sync marker lies in the range (the Avro header
+    * ends with a sync marker, so a split starting at 0 owns the first
+    * block — the standard Hadoop Avro split contract).
+    */
+  final case class FileSplit(path: String, start: Long, end: Long, length: Long)
+
+  /** Plan byte-range splits for a group of container files, Spark's own
+    * file-source sizing formula: split = min(maxPartitionBytes,
+    * max(openCostInBytes, totalBytes / defaultParallelism)) — a handful of
+    * giant containers still fans out across the cluster, a million small
+    * files cost one split each. Lengths come from one driver-side
+    * `getFileStatus` per file (the discovery glob already returned them;
+    * carrying the FileStatus through the schema-group pipeline instead is
+    * the production refinement).
+    */
+  private[avro] def planSplits(
+      spark: SparkSession,
+      paths: Seq[String],
+      conf: Configuration,
+      maxSplitBytesOverride: Option[Long] = None): Seq[FileSplit] = {
+    def bytesConf(key: String, default: Long): Long =
+      spark.conf.getOption(key)
+        .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+        .getOrElse(default)
+    val lengths = paths.map { p =>
+      val hp = new Path(p)
+      p -> hp.getFileSystem(conf).getFileStatus(hp).getLen
+    }
+    val maxSplit = maxSplitBytesOverride.getOrElse {
+      val maxPartition = bytesConf("spark.sql.files.maxPartitionBytes", 128L << 20)
+      val openCost = bytesConf("spark.sql.files.openCostInBytes", 4L << 20)
+      val perCore = lengths.map(_._2).sum /
+        math.max(1, spark.sparkContext.defaultParallelism)
+      math.min(maxPartition, math.max(openCost, perCore))
+    }
+    lengths.flatMap { case (p, len) =>
+      if (len <= maxSplit) Seq(FileSplit(p, 0L, len, len))
+      else (0L until len by maxSplit).map(s =>
+        FileSplit(p, s, math.min(s + maxSplit, len), len))
+    }
+  }
+
+  /** Read the data blocks owned by one split: seek to the first sync
+    * marker at/after `start`, decode until a block begins at/after `end`
+    * (`DataFileReader.sync`/`pastSync` — block boundaries never straddle
+    * ownership, so ranges partition the file's records exactly).
+    */
+  private[avro] def readRange(split: FileSplit, conf: Configuration): ArrayBuffer[GenericRecord] = {
+    if (split.start == 0L && split.end == split.length)
+      return readAll(split.path, conf)._1
+    val in = new org.apache.avro.mapred.FsInput(new Path(split.path), conf)
+    val reader = new org.apache.avro.file.DataFileReader[GenericRecord](
+      in, new GenericDatumReader[GenericRecord]())
+    try {
+      reader.sync(split.start)
+      val buf = new ArrayBuffer[GenericRecord]()
+      while (reader.hasNext && !reader.pastSync(split.end)) buf += reader.next()
+      buf
+    } finally reader.close()
+  }
+
   private def payloadOf(r: GenericRecord): GenericRecord =
     r.getSchema.getField("payload") match {
       case null => null
@@ -247,6 +309,15 @@ object AvroCdcReader {
   /** Typed read of one schema group. Per-file hard failures are isolated:
     * the file contributes no rows and its path lands in `failedAcc`.
     */
+  /** Typed conversion of one schema group, parallelized over BYTE-RANGE
+    * splits (not just files): a handful of multi-GB containers fans out
+    * across the cluster instead of pinning one core per file. A file at
+    * or below the split size keeps the whole-file atomic failure
+    * semantics (all rows or none + a failedAcc entry); a SPLIT file that
+    * corrupts mid-block drops the corrupt range's rows only — the path is
+    * still reported failed, and header-level corruption is caught one
+    * stage earlier by [[schemaFingerprints]] regardless.
+    */
   def readGroup(
       spark: SparkSession,
       paths: Seq[String],
@@ -255,25 +326,27 @@ object AvroCdcReader {
       failedAcc: CollectionAccumulator[String]): DataFrame = {
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val flatB = spark.sparkContext.broadcast(flat)
+    val splits = planSplits(spark, paths, spark.sparkContext.hadoopConfiguration)
     val rows = spark.sparkContext
-      .parallelize(paths, slices(paths.size, spark))
-      .flatMap { p =>
+      .parallelize(splits, slices(splits.size, spark))
+      .flatMap { s =>
         try {
-          val (records, _) = readAll(p, conf.value)
-          records.map { r =>
+          readRange(s, conf.value).map { r =>
             val base = AvroValueConverter.flatten(r, flatB.value, mode)
-            Row.fromSeq(base.toSeq :+ p)
+            Row.fromSeq(base.toSeq :+ s.path)
           }
         } catch {
           case e: Exception =>
-            failedAcc.add(s"$p\t${e.toString}")
+            failedAcc.add(s"${s.path}\t${e.toString}")
             Seq.empty[Row]
         }
       }
     spark.createDataFrame(rows, sparkSchemaWithPath(flat))
   }
 
-  /** All-string fallback read of files that defeated the typed schema. */
+  /** All-string fallback read of files that defeated the typed schema
+    * (same byte-range split fan-out as [[readGroup]]).
+    */
   def readGroupFallback(
       spark: SparkSession,
       paths: Seq[String],
@@ -282,18 +355,18 @@ object AvroCdcReader {
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val flatB = spark.sparkContext.broadcast(flat)
     val fallbackFlat = AvroSchemaConverter.fallbackSchema(flat)
+    val splits = planSplits(spark, paths, spark.sparkContext.hadoopConfiguration)
     val rows = spark.sparkContext
-      .parallelize(paths, slices(paths.size, spark))
-      .flatMap { p =>
+      .parallelize(splits, slices(splits.size, spark))
+      .flatMap { s =>
         try {
-          val (records, _) = readAll(p, conf.value)
-          records.map { r =>
+          readRange(s, conf.value).map { r =>
             val base = AvroValueConverter.flattenFallback(r, flatB.value)
-            Row.fromSeq(base.toSeq :+ p)
+            Row.fromSeq(base.toSeq :+ s.path)
           }
         } catch {
           case e: Exception =>
-            failedAcc.add(s"$p\t${e.toString}")
+            failedAcc.add(s"${s.path}\t${e.toString}")
             Seq.empty[Row]
         }
       }
