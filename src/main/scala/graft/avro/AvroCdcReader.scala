@@ -153,7 +153,7 @@ object AvroCdcReader {
     * carrying the FileStatus through the schema-group pipeline instead is
     * the production refinement).
     */
-  private[avro] def planSplits(
+  private[graft] def planSplits(
       spark: SparkSession,
       paths: Seq[String],
       conf: Configuration,
@@ -185,7 +185,7 @@ object AvroCdcReader {
     * (`DataFileReader.sync`/`pastSync` — block boundaries never straddle
     * ownership, so ranges partition the file's records exactly).
     */
-  private[avro] def readRange(split: FileSplit, conf: Configuration): ArrayBuffer[GenericRecord] = {
+  private[graft] def readRange(split: FileSplit, conf: Configuration): ArrayBuffer[GenericRecord] = {
     if (split.start == 0L && split.end == split.length)
       return readAll(split.path, conf)._1
     val in = new org.apache.avro.mapred.FsInput(new Path(split.path), conf)

@@ -252,8 +252,18 @@ class AvroCdcScan(
   override def description(): String =
     s"cdc-avro scan, ${files.size} files, columns=[${required.fieldNames.mkString(",")}]"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    files.map(f => AvroCdcInputPartition(f): InputPartition).toArray
+  /** One partition per BYTE RANGE, not per file (same sync-marker split
+    * contract and sizing formula as the conversion path,
+    * [[graft.avro.AvroCdcReader.planSplits]]): a few giant containers fan
+    * out across the cluster; small files stay one partition each.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.avro.AvroCdcReader
+      .planSplits(spark, files, spark.sparkContext.hadoopConfiguration)
+      .map(s => AvroCdcInputPartition(s.path, s.start, s.end): InputPartition)
+      .toArray
+  }
 
   /** Compressed on-disk bytes as the size estimate: lets Spark's join
     * planning auto-broadcast small CDC tables (e.g. catalog dimension
@@ -286,7 +296,11 @@ class AvroCdcScan(
       ignoreCorrupt)
 }
 
-case class AvroCdcInputPartition(path: String) extends InputPartition
+/** `end < 0` means "the whole file" (the micro-batch stream plans per-file
+  * partitions; the batch scan plans sync-marker byte ranges).
+  */
+case class AvroCdcInputPartition(path: String, start: Long = 0L, end: Long = -1L)
+    extends InputPartition
 
 case class AvroCdcReaderFactory(
     required: StructType,
@@ -295,12 +309,13 @@ case class AvroCdcReaderFactory(
     ignoreCorrupt: Boolean = false,
     limit: Int = -1) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val path = partition.asInstanceOf[AvroCdcInputPartition].path
+    val p = partition.asInstanceOf[AvroCdcInputPartition]
     if (!ignoreCorrupt)
-      new AvroCdcPartitionReader(path, required, tableFlat, conf, limit = limit)
+      new AvroCdcPartitionReader(p.path, required, tableFlat, conf,
+        limit = limit, start = p.start, end = p.end)
     else
-      try new AvroCdcPartitionReader(path, required, tableFlat, conf,
-        ignoreCorrupt = true, limit = limit)
+      try new AvroCdcPartitionReader(p.path, required, tableFlat, conf,
+        ignoreCorrupt = true, limit = limit, start = p.start, end = p.end)
       catch {
         case _: Exception => new EmptyPartitionReader
       }
@@ -327,13 +342,24 @@ class AvroCdcPartitionReader(
     tableFlat: AvroSchemaConverter.FlatSchema,
     conf: SerializableConfiguration,
     ignoreCorrupt: Boolean = false,
-    limit: Int = -1) extends PartitionReader[InternalRow] {
+    limit: Int = -1,
+    start: Long = 0L,
+    end: Long = -1L) extends PartitionReader[InternalRow] {
 
   private var emitted = 0L
 
   private val hPath = new Path(path)
-  private val stream = new DataFileStream[GenericRecord](
-    hPath.getFileSystem(conf.value).open(hPath), new GenericDatumReader[GenericRecord]())
+  // seekable reader so a byte-range partition can sync to its first owned
+  // block; `sync(0)` lands on the header's trailing sync marker, i.e. the
+  // first block, so a whole-file read goes through the same path
+  private val stream = new org.apache.avro.file.DataFileReader[GenericRecord](
+    new org.apache.avro.mapred.FsInput(hPath, conf.value),
+    new GenericDatumReader[GenericRecord]())
+  stream.sync(start)
+  // whole-file sentinel stays clear of Long.MaxValue: DataFileReader
+  // .pastSync computes `position + SYNC_SIZE`, which overflows negative at
+  // MaxValue and would mark every block past-sync immediately
+  private val endPos: Long = if (end < 0) Long.MaxValue - 1024L else end
 
   // per-file flat schema from ITS writer schema (name-matched to `required`)
   private val fileFlat = AvroSchemaConverter.deriveFlatSchema(stream.getSchema.toString)
@@ -377,7 +403,7 @@ class AvroCdcPartitionReader(
 
   private def nextUnsafe(): Boolean = {
     if (limit >= 0 && emitted >= limit) return false // pushed-down LIMIT
-    if (!stream.hasNext) return false
+    if (!stream.hasNext || stream.pastSync(endPos)) return false
     emitted += 1
     val record = stream.next()
     val payload = record.getSchema.getField("payload") match {
