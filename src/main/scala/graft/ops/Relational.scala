@@ -1576,6 +1576,54 @@ object Relational {
       WHERE s_suppkey IN (SELECT l_suppkey FROM ps WHERE q > 0.5 * total_q)
       ORDER BY s_suppkey"""
 
+  // ---------- q09 shape: product-type profit by nation and year ----------
+  /** TPC-H Q9's shape (the last classic shape in the suite): profit per
+    * supplier nation per order year over name-filtered parts, with the
+    * cost side derived from `p_retailprice` (no partsupp in this schema).
+    * Both profit terms are exact DECIMAL products carried through one
+    * aggregation pass — revenue at scale 4, cost at scale 6, difference
+    * at scale 6 in BOTH engines (Spark's precision-capped multiply and
+    * DuckDB's width-capped multiply land on the same scale here, so the
+    * VARCHAR render is identical). The selective part filter broadcasts
+    * and prunes the fact first; lineitem⋈orders is the one fact-fact join
+    * (co-keyed on orderkey); the group-by shuffles once on
+    * (nation, year).
+    */
+  def q09ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir).select($"o_orderkey", $"o_orderdate")
+    val p = Tables.part(spark, dir)
+      .filter($"p_name".like("%bolt%"))
+      .select($"p_partkey", $"p_retailprice")
+    val s = Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey")
+    val n = Tables.nation(spark, dir).select($"n_nationkey", $"n_name")
+    val profitTerm =
+      $"l_extendedprice".cast("decimal(18,2)") *
+        (lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(18,2)")) -
+      $"p_retailprice".cast("decimal(18,2)") *
+        $"l_quantity".cast("decimal(18,2)") * lit("0.06").cast("decimal(3,2)")
+    l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(s), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("nation"), year($"o_orderdate").as("o_year"))
+      .agg(sum(profitTerm).cast("string").as("profit"))
+      .orderBy($"nation", desc("o_year"))
+  }
+
+  val q09Oracle: String =
+    """SELECT n_name AS nation, EXTRACT(year FROM o_orderdate)::INT AS o_year,
+      sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))
+        - p_retailprice::DECIMAL(18,2) * l_quantity::DECIMAL(18,2)
+          * 0.06::DECIMAL(3,2))::VARCHAR AS profit
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN part ON p_partkey = l_partkey AND p_name LIKE '%bolt%'
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      GROUP BY 1, 2
+      ORDER BY nation, o_year DESC"""
+
   // ---------- q21 shape: sole failing supplier (EXISTS + NOT EXISTS) ----
   /** TPC-H Q21's join topology on the available columns: suppliers (from a
     * nation subset) who returned items on COMPLETED multi-supplier orders
@@ -1757,6 +1805,7 @@ object Relational {
     "q18_large_orders" -> (q18LargeOrders _),
     "q19_disjunctive_pred" -> (q19DisjunctivePredicates _),
     "q02_min_cost_supplier" -> (q02MinCostSupplier _),
+    "q09_product_profit" -> (q09ProductProfit _),
     "q11_important_parts" -> (q11ImportantParts _),
     "q16_supplier_diversity" -> (q16SupplierDiversity _),
     "q20_excess_share_supplier" -> (q20ExcessShareSupplier _),
@@ -1815,6 +1864,7 @@ object Relational {
     "q18_large_orders" -> q18Oracle,
     "q19_disjunctive_pred" -> q19Oracle,
     "q02_min_cost_supplier" -> q02MinCostOracle,
+    "q09_product_profit" -> q09Oracle,
     "q11_important_parts" -> q11Oracle,
     "q16_supplier_diversity" -> q16Oracle,
     "q20_excess_share_supplier" -> q20Oracle,

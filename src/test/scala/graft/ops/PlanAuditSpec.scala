@@ -500,6 +500,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("q09: part filter prunes the fact via broadcast; one fact-fact join " +
+    "on orderkey; single aggregation pass") {
+    val p = plan("q09_product_profit")
+    assert(!p.contains("CartesianProduct"), p)
+    val partScan = p.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("part.parquet")).get
+    assert(partScan.contains("StringContains(p_name,bolt)"),
+      s"part name filter must be pushed: $partScan")
+    assert(p.linesIterator.count(l =>
+      l.contains("HashAggregate") && l.contains("partial_sum")) == 1,
+      s"one aggregation pass expected: $p")
+  }
+
   test("q16: NOT IN is a broadcast anti join over the distinct pair set") {
     val p = plan("q16_supplier_diversity")
     assert(p.contains("LeftAnti"), p)
