@@ -754,6 +754,123 @@ object Dedup {
           AS kept_ratio
       FROM r GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---------- bloom-filter membership pre-filter ----------
+
+  /** Bloom parameters: m bits (power of two, multiple of 64) and k probe
+    * positions per item, derived by engine-portable double hashing from
+    * the md5 hex digest (`h1` = hex[1..8], `h2` = 2·hex[9..16]+1, slot_i
+    * = (h1 + i·h2) mod m — Kirsch–Mitzenmacher). Both engines compute
+    * the identical positions, so the bitmap — and every probe verdict —
+    * is deterministic and fully oracled, unlike a library bloom whose
+    * internal hash is engine-private.
+    */
+  private val BloomBitsM = 1 << 17
+  private val BloomK = 5
+
+  /** k bit positions of one item (`ARRAY<BIGINT>`). */
+  private def bloomPositions(item: Column): Column = {
+    val h = md5(item)
+    val h1 = conv(substring(h, 1, 8), 16, 10).cast("long")
+    val h2 = conv(substring(h, 9, 8), 16, 10).cast("long") * 2 + 1
+    transform(sequence(lit(0), lit(BloomK - 1)),
+      i => (h1 + i * h2) % BloomBitsM)
+  }
+
+  /** Bloom-filter ingestion gate at paragraph granularity: build the
+    * bitmap over the even-doc half's 10-token chunks in one OR-reduction
+    * pass ([[graft.functions.BloomBitsAgg]]), broadcast the 16 KB word
+    * array, and probe the odd-doc half's chunks scan-side (built-in
+    * array/bit functions, codegen — no second shuffle). This is the
+    * standard "has this paragraph possibly been ingested already?" gate
+    * that spares the exact dedup join from touching definite
+    * non-members: at 100 TB the probe side drops (1 − fp_rate) of its
+    * novel rows before any shuffle, and the filter itself costs one
+    * m/8-byte-per-task reduction.
+    *
+    * The report certifies the structural guarantees against in-plan
+    * exact membership (a chunk-text equality join): `n_fn` (member
+    * chunk missed by the filter) must be 0 by construction, and `n_fp`
+    * is the exact false-positive count — deterministic here because the
+    * hash slots are (md5-derived Kirsch–Mitzenmacher double hashing),
+    * so the DuckDB oracle reproduces the whole row bit-for-bit.
+    */
+  def qDedupBloom(spark: SparkSession, dir: String): DataFrame = {
+    val width = 10
+    val chunks = Tables.documents(spark, dir)
+      .withColumn("ws", split(col("text"), " ", -1))
+      .withColumn("n", size(col("ws")))
+      .withColumn("starts",
+        expr(s"filter(sequence(0, greatest(0, n - 1), $width), s -> s < n)"))
+      .select(col("doc_id"), explode(col("starts")).as("start"), col("ws"))
+      .select(col("doc_id"),
+        concat_ws(" ", expr(s"slice(ws, start + 1, $width)")).as("chunk"))
+    val members = chunks.filter(col("doc_id") % 2 === 0)
+    val bitmapDf = members
+      .agg(graft.functions.BloomBitsAgg
+          .bloomBits(bloomPositions(col("chunk")), BloomBitsM).as("bitmap"),
+        count(lit(1)).as("n_member_chunks"))
+    val memberSet = members.select(col("chunk").as("mchunk")).distinct()
+    chunks.filter(col("doc_id") % 2 === 1)
+      .crossJoin(broadcast(bitmapDf))
+      .withColumn("pos", bloomPositions(col("chunk")))
+      .withColumn("hit", expr(
+        "forall(pos, p -> (bitmap[CAST(p DIV 64 AS INT)] " +
+          "& shiftleft(1L, CAST(p % 64 AS INT))) != 0)"))
+      .join(memberSet, col("chunk") === col("mchunk"), "left_outer")
+      .withColumn("is_member", col("mchunk").isNotNull)
+      .groupBy(col("n_member_chunks"))
+      .agg(
+        count(lit(1)).as("n_probes"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"),
+        sum(when(col("is_member"), 1L).otherwise(0L)).as("n_true_members"),
+        sum(when(col("hit") && !col("is_member"), 1L).otherwise(0L))
+          .as("n_fp"),
+        sum(when(col("is_member") && !col("hit"), 1L).otherwise(0L))
+          .as("n_fn"))
+      .select(col("n_member_chunks"), col("n_probes"), col("n_hits"),
+        col("n_true_members"), col("n_fp"), col("n_fn"))
+  }
+
+  /** The oracle rebuilds the same filter relationally: the bitmap is the
+    * DISTINCT member slot set, and "all k bits set" is "count of matched
+    * slots = k". Identical semantics to the bitmap — a slot join is just
+    * the uncompressed spelling of the OR-reduction.
+    */
+  val qDedupBloomOracle: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') ws,
+        len(string_split(text, ' ')) n FROM documents),
+      c AS (SELECT doc_id, chunk_idx,
+        array_to_string(ws[start + 1 : start + 10], ' ') AS chunk
+        FROM (SELECT doc_id, ws,
+          unnest([s for s in range(0, n, 10)]) AS start,
+          generate_subscripts([s for s in range(0, n, 10)], 1) AS chunk_idx
+          FROM d)),
+      pos AS (SELECT doc_id, chunk_idx, chunk, i,
+        ((('0x' || substr(md5(chunk), 1, 8))::BIGINT
+          + i * (('0x' || substr(md5(chunk), 9, 8))::BIGINT * 2 + 1))
+          % $BloomBitsM) AS slot
+        FROM c, range(0, $BloomK) r(i)),
+      mslots AS (SELECT DISTINCT slot FROM pos WHERE doc_id % 2 = 0),
+      mchunks AS (SELECT DISTINCT chunk FROM c WHERE doc_id % 2 = 0),
+      probe AS (SELECT p.doc_id, p.chunk_idx, p.chunk,
+          count(ms.slot) = $BloomK AS hit
+        FROM pos p LEFT JOIN mslots ms ON p.slot = ms.slot
+        WHERE p.doc_id % 2 = 1 GROUP BY p.doc_id, p.chunk_idx, p.chunk),
+      verdict AS (SELECT pr.hit,
+          mc.chunk IS NOT NULL AS is_member
+        FROM probe pr LEFT JOIN mchunks mc ON pr.chunk = mc.chunk)
+      SELECT
+        (SELECT count(*) FROM c WHERE doc_id % 2 = 0) AS n_member_chunks,
+        count(*) AS n_probes,
+        sum(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+        sum(CASE WHEN is_member THEN 1 ELSE 0 END)::BIGINT
+          AS n_true_members,
+        sum(CASE WHEN hit AND NOT is_member THEN 1 ELSE 0 END)::BIGINT
+          AS n_fp,
+        sum(CASE WHEN is_member AND NOT hit THEN 1 ELSE 0 END)::BIGINT
+          AS n_fn
+      FROM verdict"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -764,6 +881,7 @@ object Dedup {
     "q_dedup_cc_star" -> (qDedupCcStar _),
     "q_dedup_paragraph" -> (qDedupParagraph _),
     "q_dedup_incremental" -> (qDedupIncremental _),
+    "q_dedup_bloom" -> (qDedupBloom _),
   )
 
   /** q_dedup_simhash keeps the exact-set oracle under word blocking: the
@@ -783,5 +901,6 @@ object Dedup {
     "q_dedup_cc_star" -> qDedupClustersOracle,
     "q_dedup_paragraph" -> qDedupParagraphOracle,
     "q_dedup_incremental" -> qDedupIncrementalOracle,
+    "q_dedup_bloom" -> qDedupBloomOracle,
   )
 }

@@ -1177,6 +1177,73 @@ object TextAnalysis {
           AS alloc_tokens
       FROM s ORDER BY source"""
 
+  // ---------- BM25 retrieval scoring ----------
+  /** Okapi BM25 (k1 = 1.2, b = 0.75) over the whitespace token stream for
+    * a fixed query-term set — the retrieval primitive a training pipeline
+    * uses for relevance filtering and hard-negative mining. idf is the
+    * standard ln(1 + (N - df + 0.5)/(df + 0.5)) form; length
+    * normalization uses the corpus mean token count computed in-plan (a
+    * one-row aggregate cross-broadcast — no driver action).
+    *
+    * Per-term contributions are rounded to 6 dp and summed in
+    * DECIMAL(18,6), so the per-document score is associative and
+    * engine-identical regardless of which order the ≤|terms| addends
+    * combine in (the q10 lesson: a double sum is order-dependent in its
+    * last ULP). Top-15 by score, doc_id tiebreak, score emitted as the
+    * exact decimal string.
+    *
+    * Scale shape: the term filter rides the token scan so only
+    * query-term postings (O(|terms| · match rate)) ever shuffle; doc
+    * lengths are a keyed count off the same scan; df and corpus stats
+    * are broadcast one-row/tiny aggregates. No all-corpus shuffle other
+    * than the per-doc length count.
+    */
+  def qTextBm25(spark: SparkSession, dir: String): DataFrame = {
+    val qterms = Seq("hash", "query", "table", "vector", "scan")
+    val k1 = 1.2
+    val b = 0.75
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(sum(col("dl")).as("sum_dl"), count(lit(1)).as("n_docs"))
+    val tf = toks.filter(col("w").isInCollection(qterms))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl") * lit(1.0) / col("n_docs")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = idf * (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
+    tf.join(broadcast(dft), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("c", round(contrib, 6).cast("decimal(18,6)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("s"), count(lit(1)).as("n_terms"))
+      .orderBy(col("s").desc, col("doc_id").asc)
+      .limit(15)
+      .select(col("doc_id"), col("n_terms"),
+        col("s").cast("string").as("score"))
+  }
+
+  val qTextBm25Oracle: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) w
+        FROM documents),
+      dl AS (SELECT doc_id, count(*) dl FROM toks GROUP BY doc_id),
+      stats AS (SELECT sum(dl) sum_dl, count(*) n_docs FROM dl),
+      tf AS (SELECT doc_id, w, count(*) tf FROM toks
+        WHERE w IN ('hash', 'query', 'table', 'vector', 'scan')
+        GROUP BY doc_id, w),
+      dft AS (SELECT w, count(*) df FROM tf GROUP BY w),
+      c AS (SELECT tf.doc_id,
+        round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+          * (tf * 2.2)
+          / (tf + 1.2 * (0.25 + 0.75 * dl / (sum_dl * 1.0 / n_docs))),
+          6)::DECIMAL(18,6) AS c
+        FROM tf JOIN dft USING (w) JOIN dl USING (doc_id), stats)
+      SELECT doc_id, count(*) n_terms, sum(c)::VARCHAR score FROM c
+      GROUP BY doc_id ORDER BY sum(c) DESC, doc_id ASC LIMIT 15"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
@@ -1205,6 +1272,7 @@ object TextAnalysis {
     "q_stream_quality" -> (qStreamQuality _),
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_length_histogram" -> (qLengthHistogram _),
+    "q_text_bm25" -> (qTextBm25 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1235,5 +1303,6 @@ object TextAnalysis {
     "q_stream_quality" -> qStreamQualityOracle,
     "q_vocab_coverage" -> qVocabCoverageOracle,
     "q_length_histogram" -> qLengthHistogramOracle,
+    "q_text_bm25" -> qTextBm25Oracle,
   )
 }

@@ -509,4 +509,76 @@ class OpsSpec extends AnyFunSuite {
     assert(Mp4Header.timescale(hexBytes(ftyp)) == null)
     assert(Mp4Header.durationMs(hexBytes(ftyp + "00000030 6D6F6F76")) == null)
   }
+
+  test("bloom bits aggregate: bitmap is partitioning-invariant, no false " +
+    "negatives ever, and a deliberately tiny m forces false positives") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.BloomBitsAgg.bloomBits
+    val m = 256 // tiny on purpose: 500 members must saturate bits
+    def positions(c: org.apache.spark.sql.Column) = {
+      val h = md5(c)
+      val h1 = conv(substring(h, 1, 8), 16, 10).cast("long")
+      val h2 = conv(substring(h, 9, 8), 16, 10).cast("long") * 2 + 1
+      transform(sequence(lit(0), lit(4)), i => (h1 + i * h2) % m)
+    }
+    val items = spark.range(0, 500)
+      .select(concat(lit("member-"), col("id")).as("s"))
+    def bitmapOf(parts: Int): Array[Long] =
+      items.repartition(parts)
+        .agg(bloomBits(positions(col("s")), m).as("b"))
+        .collect()(0).getSeq[Long](0).toArray
+    // OR-reduction is associative+commutative → identical under any split
+    assert(bitmapOf(1).sameElements(bitmapOf(7)))
+    assert(bitmapOf(7).sameElements(bitmapOf(32)))
+
+    val bitmap = bitmapOf(4)
+    def probe(df: org.apache.spark.sql.DataFrame): Long =
+      df.withColumn("bitmap", typedLit(bitmap.toSeq))
+        .withColumn("pos", positions(col("s")))
+        .filter(expr("forall(pos, p -> (bitmap[CAST(p DIV 64 AS INT)] " +
+          "& shiftleft(1L, CAST(p % 64 AS INT))) != 0)"))
+        .count()
+    // every member must hit (the bloom contract: zero false negatives)
+    assert(probe(items) == 500L)
+    // at 500*5 insertions into 256 bits nearly every bit is set, so
+    // non-members must collide — the spec would catch a broken OR too
+    val strangers = spark.range(0, 500)
+      .select(concat(lit("stranger-"), col("id")).as("s"))
+    val fp = probe(strangers)
+    assert(fp > 0, "tiny-m bloom produced no false positives — OR broken?")
+  }
+
+  test("bm25: scores agree with a local reference computation") {
+    val rows = TextAnalysis.qTextBm25(spark, dir).collect()
+    assert(rows.length == 15)
+    // local reference: recompute BM25 from raw text with plain Scala
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val qterms = Seq("hash", "query", "table", "vector", "scan")
+    val n = docs.size
+    val dl = docs.map { case (id, ws) => id -> ws.length }
+    val avgdl = dl.values.sum.toDouble / n
+    val tf = docs.map { case (id, ws) =>
+      id -> ws.filter(qterms.contains).groupBy(identity)
+        .map { case (w, g) => w -> g.length }
+    }
+    val dfT = qterms.map(t => t -> tf.count(_._2.contains(t))).toMap
+    def score(id: Long): BigDecimal =
+      tf(id).map { case (t, f) =>
+        val idf = math.log(1.0 + (n - dfT(t) + 0.5) / (dfT(t) + 0.5))
+        val c = idf * (f * 2.2) /
+          (f + 1.2 * (0.25 + 0.75 * dl(id) / avgdl))
+        BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(BigDecimal(r.getString(2)) == score(id),
+        s"doc $id: engine ${r.getString(2)} vs local ${score(id)}")
+    }
+    // and the emitted 15 are the global top by that local score
+    val localTop = docs.keys.toSeq
+      .sortBy(id => (-score(id), id)).take(15)
+    assert(rows.map(_.getLong(0)).toSeq == localTop)
+  }
 }

@@ -614,6 +614,30 @@ class PlanAuditSpec extends AnyFunSuite {
         "here with a bounded-input rationale")
   }
 
+  test("q_dedup_bloom: one OR-reduction pass builds the bitmap, the probe " +
+    "rides the scan — no shuffle of probe rows before the final aggregate") {
+    val p = plan("q_dedup_bloom")
+    // the bitmap (1 row) and member chunk set reach the probe side as
+    // broadcasts; the probe chunks themselves never sort-merge
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    // the bloom aggregate runs partial (map-side OR) before its exchange
+    assert(p.contains("partial_bloombitsagg"), p)
+  }
+
+  test("q_text_bm25: df and corpus stats are broadcast; only query-term " +
+    "postings and per-doc lengths shuffle") {
+    val p = plan("q_text_bm25")
+    val smj = p.linesIterator.count(_.contains("SortMergeJoin"))
+    // dl join may sort-merge (both sides doc-keyed aggregates); df and
+    // the 1-row stats must NOT
+    assert(smj <= 1, s"expected at most the tf⋈dl join to sort-merge:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastExchange")) >= 2, p)
+    // the query-term filter rides the token scan, before any exchange
+    assert(p.contains("hash#") || p.contains("query"), p)
+  }
+
   test("catalog scan: column pruning reaches the cdc-avro table") {
     val root = java.nio.file.Files.createTempDirectory("graft-audit-cat")
       .toFile.getAbsolutePath
