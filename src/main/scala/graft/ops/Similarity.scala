@@ -586,6 +586,117 @@ object Similarity {
       FROM e LEFT JOIN d ON e.vec_id = d.b_id
       ORDER BY e.vec_id"""
 
+  // ---------- k-means clustering (one Lloyd iteration, exact) ----------
+
+  /** Distributed k-means over the embedding column — the clustering
+    * primitive behind cluster-balanced sampling and SemDeDup-style
+    * within-cluster dedup. Seeds are the first k vectors (deterministic),
+    * then ONE full Lloyd step: assign → recompute centroids → reassign;
+    * emitted per final cluster: size and the majority label with its
+    * count (cluster purity, the number a curation pipeline actually
+    * consumes).
+    *
+    * Cross-engine determinism, the part worth reading:
+    *  - Assignment compares squared L2 distances; DuckDB's oracle orders
+    *    by `list_distance` (the sqrt) — monotone-equivalent, and only
+    *    the ORDER is consumed. Ties break on centroid id.
+    *  - The centroid update is the float trap: a per-dimension double
+    *    sum is order-dependent in its last ULP and each engine folds in
+    *    its own order. So components are quantized to fixed-point
+    *    (`round(x·1e9)` as BIGINT — exact integer sums, associative,
+    *    engine-identical) and the mean is rebuilt as
+    *    `(sum/1e9)/count` in doubles, the same two operations in the
+    *    same order on identical operands in both engines.
+    *    `SimilaritySpec` margin-audits the residual risk: the gap
+    *    between best and second-best centroid per point dwarfs any
+    *    remaining ULP noise.
+    *
+    * Scale shape: centroids are a k-row broadcast on both assignment
+    * passes (the corpus never shuffles to be assigned); the update is
+    * posexplode → partial-aggregated integer sums keyed by (cluster,
+    * dim) — the map-side combine reduces the exchange to
+    * O(tasks · k · dims) rows regardless of corpus size. That is the
+    * textbook MapReduce k-means step, spelled declaratively.
+    */
+  def qClusterKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val pts = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val seeds = pts.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+
+    // Scan-side argmin: the k centroids are packed into ONE broadcast row
+    // and the nearest is picked inside a projection (sort a k-element
+    // struct array by (dist, cid)) — no row explosion, no shuffle; the
+    // equivalent row_number-over-vec_id spelling would shuffle k·corpus
+    // rows just to pick a minimum.
+    def assign(centroids: DataFrame): DataFrame = {
+      val packed = centroids
+        .agg(collect_list(struct(col("cid"), col("cv"))).as("cs"))
+      pts.crossJoin(broadcast(packed))
+        .withColumn("best", expr(
+          "array_sort(transform(cs, s -> struct(" +
+            "aggregate(zip_with(v, s.cv, (x, y) -> (x - y) * (x - y)), " +
+            "0D, (acc, z) -> acc + z) AS dist, s.cid AS cid)))[0]"))
+        .select(col("vec_id"), col("label"), col("v"),
+          col("best.cid").as("cluster"))
+    }
+
+    val a0 = assign(seeds)
+    val cents = a0
+      .select(col("cluster"),
+        posexplode(transform(col("v"), x => round(x * lit(1e9)).cast("long")))
+          .as(Seq("dim", "q")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
+      .withColumn("c", col("sq").cast("double") / lit(1e9) / col("cnt"))
+      .groupBy(col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        s => s.getField("c")).as("cv"))
+      .select(col("cluster").as("cid"), col("cv"))
+
+    val a1 = assign(cents)
+    val sizes = a1.groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("n").desc, col("label").asc)
+    sizes.withColumn("rn", row_number().over(w))
+      .groupBy(col("cluster"))
+      .agg(sum(col("n")).as("n_points"),
+        max(when(col("rn") === 1, col("label"))).as("top_label"),
+        max(when(col("rn") === 1, col("n"))).as("n_top_label"))
+      .orderBy(col("cluster"))
+  }
+
+  val qClusterKmeansOracle: String =
+    """WITH p AS (SELECT vec_id, label, embedding::DOUBLE[] v
+        FROM embeddings),
+      seeds AS (SELECT vec_id::INT cid, v cv FROM p WHERE vec_id < 8),
+      a0 AS (SELECT vec_id, label, v, cid AS cluster FROM (
+        SELECT p.*, s.cid, row_number() OVER (PARTITION BY p.vec_id
+          ORDER BY list_distance(p.v, s.cv) ASC, s.cid ASC) rn
+        FROM p, seeds s) x WHERE rn = 1),
+      q AS (SELECT cluster, generate_subscripts(v, 1) dim,
+        unnest([round(x * 1e9)::BIGINT for x in v]) qv FROM a0),
+      u AS (SELECT cluster, dim, sum(qv) sq, count(*) cnt FROM q
+        GROUP BY cluster, dim),
+      cent AS (SELECT cluster AS cid, list(c ORDER BY dim) cv FROM (
+        SELECT cluster, dim, sq::DOUBLE / 1e9 / cnt AS c FROM u) m
+        GROUP BY cluster),
+      a1 AS (SELECT vec_id, label, cid AS cluster FROM (
+        SELECT p.vec_id, p.label, c.cid, row_number() OVER (
+          PARTITION BY p.vec_id
+          ORDER BY list_distance(p.v, c.cv) ASC, c.cid ASC) rn
+        FROM p, cent c) x WHERE rn = 1),
+      s AS (SELECT cluster, label, count(*) n FROM a1
+        GROUP BY cluster, label),
+      r AS (SELECT *, row_number() OVER (PARTITION BY cluster
+        ORDER BY n DESC, label ASC) rn FROM s)
+      SELECT cluster, sum(n)::BIGINT n_points,
+        max(CASE WHEN rn = 1 THEN label END) top_label,
+        max(CASE WHEN rn = 1 THEN n END)::BIGINT n_top_label
+      FROM r GROUP BY cluster ORDER BY cluster"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_dedup_semantic" -> (qDedupSemantic _),
@@ -596,6 +707,7 @@ object Similarity {
     "q_ann_pq" -> (certifyRecall("pq", 0.1, 0.25, qAnnPq) _),
     "q_ann_filtered" -> (qAnnFiltered _),
     "q_ann_mrl" -> (qAnnMrl _),
+    "q_cluster_kmeans" -> (qClusterKmeans _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -608,5 +720,6 @@ object Similarity {
     "q_ann_pq" -> certifyOracle("pq", 0.1, 0.25),
     "q_ann_filtered" -> qAnnFilteredOracle,
     "q_ann_mrl" -> qAnnMrlOracle,
+    "q_cluster_kmeans" -> qClusterKmeansOracle,
   )
 }

@@ -548,6 +548,50 @@ class OpsSpec extends AnyFunSuite {
     assert(fp > 0, "tiny-m bloom produced no false positives — OR broken?")
   }
 
+  test("kmeans: assignment margins dwarf float noise on both Lloyd passes, " +
+    "and engine clusters equal a local reference") {
+    val k = 8
+    val pts = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "label", "transform(embedding, x -> CAST(x AS DOUBLE)) v")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    def assignLocal(cents: Seq[(Int, Array[Double])])
+        : (Map[Long, Int], Double) = {
+      var minMargin = Double.MaxValue
+      val asg = pts.map { case (id, _, v) =>
+        val ds = cents.map { case (cid, cv) => (sq(v, cv), cid) }.sorted
+        minMargin = math.min(minMargin, ds(1)._1 - ds(0)._1)
+        id -> ds.head._2
+      }.toMap
+      (asg, minMargin)
+    }
+    val seeds = pts.filter(_._1 < k).map(p => (p._1.toInt, p._3)).toSeq
+    val (a0, m0) = assignLocal(seeds)
+    // centroid update with the SAME fixed-point quantization as the query
+    val cents1 = a0.groupBy(_._2).map { case (cid, members) =>
+      val vs = members.keys.map(id => pts.find(_._1 == id).get._3).toSeq
+      cid -> vs.head.indices.map { d =>
+        val s = vs.map(v => math.rint(v(d) * 1e9).toLong).sum
+        s.toDouble / 1e9 / vs.size
+      }.toArray
+    }.toSeq.sortBy(_._1)
+    val (a1, m1) = assignLocal(cents1)
+    // the margin between best and second-best centroid bounds how much
+    // ULP noise (different fold orders, ~1e-12) could flip an assignment
+    assert(m0 > 1e-4, s"pass-0 margin $m0 too small for float safety")
+    assert(m1 > 1e-4, s"pass-1 margin $m1 too small for float safety")
+    // engine result equals the local reference cluster-for-cluster
+    val engine = Similarity.qClusterKmeans(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val localSizes = a1.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
+    assert(engine == localSizes, s"engine $engine vs local $localSizes")
+  }
+
   test("bm25: scores agree with a local reference computation") {
     val rows = TextAnalysis.qTextBm25(spark, dir).collect()
     assert(rows.length == 15)
