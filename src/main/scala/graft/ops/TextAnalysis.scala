@@ -1244,6 +1244,50 @@ object TextAnalysis {
       SELECT doc_id, count(*) n_terms, sum(c)::VARCHAR score FROM c
       GROUP BY doc_id ORDER BY sum(c) DESC, doc_id ASC LIMIT 15"""
 
+  // ---------- BPE merge-candidate pair counts ----------
+  /** The statistic a BPE tokenizer trainer consumes each merge round:
+    * adjacent symbol-pair frequencies within words, here at the
+    * character level (round 0 of training, before any merges). Words
+    * are maximal `[a-z]+` runs of the lowercased text; every word of
+    * length ≥ 2 contributes its `len-1` adjacent character bigrams.
+    * Emitted: top-20 pairs by total occurrences (the merge-priority
+    * queue head), with the distinct-word support count alongside —
+    * ties broken on the pair string so the cut is total-ordered.
+    *
+    * Scale shape: both explodes (words, then bigrams) are scan-side —
+    * no shuffle moves the exploded rows, because the hash aggregate's
+    * map-side combine collapses them to O(tasks · |alphabet|²) partial
+    * rows before the exchange. The distinct-word support adds one
+    * expand pass shuffling (pair, word) combinations — bounded by
+    * vocabulary size, not corpus size. All integer counts; nothing
+    * float-dependent crosses engines.
+    */
+  def qBpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) >= 2)
+    words
+      .select(col("w"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("w")).as("n_words"))
+      .orderBy(col("n_occurrences").desc, col("pair").asc)
+      .limit(20)
+  }
+
+  val qBpePairsOracle: String =
+    """WITH words AS (SELECT unnest(list_filter(
+        string_split_regex(lower(text), '[^a-z]+'), x -> length(x) >= 2)) w
+        FROM documents),
+      pr AS (SELECT w, unnest([substring(w, i, 2) for i in
+        range(1, length(w))]) pair FROM words)
+      SELECT pair, count(*)::BIGINT n_occurrences,
+        count(DISTINCT w)::BIGINT n_words
+      FROM pr GROUP BY pair
+      ORDER BY n_occurrences DESC, pair ASC LIMIT 20"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
@@ -1273,6 +1317,7 @@ object TextAnalysis {
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_length_histogram" -> (qLengthHistogram _),
     "q_text_bm25" -> (qTextBm25 _),
+    "q_bpe_pairs" -> (qBpePairs _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1304,5 +1349,6 @@ object TextAnalysis {
     "q_vocab_coverage" -> qVocabCoverageOracle,
     "q_length_histogram" -> qLengthHistogramOracle,
     "q_text_bm25" -> qTextBm25Oracle,
+    "q_bpe_pairs" -> qBpePairsOracle,
   )
 }

@@ -625,4 +625,24 @@ class OpsSpec extends AnyFunSuite {
       .sortBy(id => (-score(id), id)).take(15)
     assert(rows.map(_.getLong(0)).toSeq == localTop)
   }
+
+  test("bpe pairs: top-20 equals a local reference count") {
+    val rows = TextAnalysis.qBpePairs(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 20)
+    val words = Tables.documents(spark, dir).select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split("[^a-z]+"))
+      .filter(_.length >= 2)
+    val occ = collection.mutable.Map.empty[String, Long]
+    val sup = collection.mutable.Map.empty[String, collection.mutable.Set[String]]
+    words.foreach { w =>
+      w.sliding(2).foreach { p =>
+        occ(p) = occ.getOrElse(p, 0L) + 1
+        sup.getOrElseUpdate(p, collection.mutable.Set.empty) += w
+      }
+    }
+    val localTop = occ.toSeq.map { case (p, n) => (p, n, sup(p).size.toLong) }
+      .sortBy { case (p, n, _) => (-n, p) }.take(20)
+    assert(rows.toSeq == localTop, s"engine ${rows.toSeq} vs local $localTop")
+  }
 }
