@@ -653,4 +653,37 @@ class PlanAuditSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(p.contains("columns=[id]"), s"scan must prune to id: $p")
   }
+
+  test("q_cluster_kmeans: centroids broadcast to the corpus (assignment " +
+    "never shuffles points) and the update combines map-side") {
+    val p = plan("q_cluster_kmeans")
+    // both Lloyd assignments join the corpus against a ONE-ROW packed
+    // centroid aggregate — broadcast, never a repartition of the points
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "assignment must not shuffle the corpus against centroids")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // the centroid update partial-aggregates the exploded (cluster, dim)
+    // integer sums before its exchange — the map-side combine that keeps
+    // the shuffle O(tasks * k * dims)
+    assert(p.contains("partial_sum"), p)
+    val exIdx = p.indexOf("Exchange hashpartitioning")
+    assert(exIdx >= 0 && p.indexOf("partial_sum", exIdx) > 0,
+      "centroid-update exchange must be fed by a partial aggregate")
+  }
+
+  test("q_bpe_pairs: explodes stay scan-side (partial agg feeds the only " +
+    "hash exchange) and the top-20 is a top-k, not a global sort") {
+    val p = plan("q_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be a top-k operator: $p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    // distinct-word support is the Expand two-phase distinct; the only
+    // hash exchanges key on the pair (alphabet-bounded), never on the
+    // exploded token stream
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.nonEmpty && hashEx.forall(_.contains("pair")),
+      hashEx.mkString("\n"))
+  }
 }
