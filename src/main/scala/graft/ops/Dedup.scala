@@ -871,6 +871,55 @@ object Dedup {
           AS n_fn
       FROM verdict"""
 
+  // ---------- containment near-dup (asymmetric inclusion) ----------
+  /** Shingle-containment detection: C(a, b) = |sh(a) ∩ sh(b)| / |sh(a)|
+    * against a fixed 50-doc anchor set. Containment is the asymmetric
+    * complement to Jaccard — a short document quoted inside a much longer
+    * one scores near 1.0 on containment while its Jaccard dilutes below
+    * any dedup threshold, so this is the detector for partial-inclusion
+    * duplicates (boilerplate wrapping, quotation, concatenated corpora).
+    *
+    * Scale shape: the 50 anchors' exploded shingles are a broadcast;
+    * the corpus side explodes scan-side and probes that broadcast with a
+    * hash join — the corpus never shuffles to find its matches, and only
+    * (anchor, doc) pairs sharing ≥ 1 shingle reach the pair aggregation
+    * (partial-combined, keyed on the pair). Threshold compares are
+    * integer-ratio IEEE divisions — identical operands both engines;
+    * OpsSpec margin-audits the corpus (nearest non-match ≥ 0.35 below
+    * the 0.5 cut at every SF).
+    */
+  def qDedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+    val anchors = sh.filter(col("doc_id") < 50)
+      .select(col("doc_id").as("d1"), size(col("sh")).as("na"),
+        explode(col("sh")).as("s"))
+    val corpus = sh.select(col("doc_id").as("d2"), explode(col("sh")).as("s"))
+    corpus.join(broadcast(anchors), Seq("s"))
+      .filter(col("d1") =!= col("d2"))
+      .groupBy(col("d1"), col("d2"), col("na"))
+      .agg(count(lit(1)).as("i"))
+      .filter(col("i") * lit(1.0) / col("na") >= 0.5)
+      .select(col("d1"), col("d2"),
+        round(col("i") * lit(1.0) / col("na"), 6).as("containment"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val qDedupContainmentOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) < 3
+          THEN []::VARCHAR[]
+          ELSE [ws[i]||' '||ws[i+1]||' '||ws[i+2] for i in range(1, len(ws)-1)]
+        END) AS shingles FROM t),
+      a AS (SELECT doc_id, unnest(shingles) s FROM sh WHERE doc_id < 50),
+      b AS (SELECT doc_id, unnest(shingles) s FROM sh),
+      inter AS (SELECT a.doc_id d1, b.doc_id d2, count(*) i FROM a
+        JOIN b ON a.s = b.s AND a.doc_id <> b.doc_id GROUP BY 1, 2),
+      card AS (SELECT doc_id, len(shingles) n FROM sh)
+      SELECT d1, d2, round(i * 1.0 / c.n, 6) AS containment
+      FROM inter JOIN card c ON c.doc_id = d1
+      WHERE i * 1.0 / c.n >= 0.5
+      ORDER BY d1, d2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -882,6 +931,7 @@ object Dedup {
     "q_dedup_paragraph" -> (qDedupParagraph _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_bloom" -> (qDedupBloom _),
+    "q_dedup_containment" -> (qDedupContainment _),
   )
 
   /** q_dedup_simhash keeps the exact-set oracle under word blocking: the
@@ -902,5 +952,6 @@ object Dedup {
     "q_dedup_paragraph" -> qDedupParagraphOracle,
     "q_dedup_incremental" -> qDedupIncrementalOracle,
     "q_dedup_bloom" -> qDedupBloomOracle,
+    "q_dedup_containment" -> qDedupContainmentOracle,
   )
 }

@@ -592,6 +592,35 @@ class OpsSpec extends AnyFunSuite {
     assert(engine == localSizes, s"engine $engine vs local $localSizes")
   }
 
+  test("containment: pairs equal a local reference and the 0.5 cut has " +
+    "margin against every non-matching pair") {
+    val rows = Dedup.qDedupContainment(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val shing = docs.map { case (id, ws) =>
+      id -> (if (ws.length < 3) Set.empty[String]
+             else ws.sliding(3).map(_.mkString(" ")).toSet)
+    }.toMap
+    val anchors = shing.filter { case (id, s) => id < 50 && s.nonEmpty }
+    var minGapBelow = Double.MaxValue
+    val overlapping = for {
+      (a, sa) <- anchors.toSeq
+      (b, sb) <- shing.toSeq if a != b && sb.nonEmpty
+      i = (sa & sb).size if i > 0
+    } yield (a, b, i.toDouble / sa.size)
+    overlapping.filter(_._3 < 0.5)
+      .foreach(t => minGapBelow = math.min(minGapBelow, 0.5 - t._3))
+    val local = overlapping.filter(_._3 >= 0.5)
+      .map { case (a, b, c) => (a, b,
+        BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy(t => (t._1, t._2))
+    assert(rows.toSeq == local, s"engine ${rows.toSeq} vs local $local")
+    assert(rows.nonEmpty, "corpus must exercise the detector")
+    assert(minGapBelow >= 0.2,
+      s"nearest non-match only $minGapBelow below the 0.5 cut")
+  }
+
   test("bm25: scores agree with a local reference computation") {
     val rows = TextAnalysis.qTextBm25(spark, dir).collect()
     assert(rows.length == 15)

@@ -672,6 +672,19 @@ class PlanAuditSpec extends AnyFunSuite {
       "centroid-update exchange must be fed by a partial aggregate")
   }
 
+  test("q_dedup_containment: anchor shingles broadcast — the corpus probes " +
+    "them without shuffling, and only matched pairs reach the aggregation") {
+    val p = plan("q_dedup_containment")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "corpus must not shuffle to meet the anchors")
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.nonEmpty && hashEx.forall(l =>
+      l.contains("d1") && l.contains("d2")),
+      s"only the pair aggregation may hash-exchange:\n${hashEx.mkString("\n")}")
+  }
+
   test("q_bpe_pairs: explodes stay scan-side (partial agg feeds the only " +
     "hash exchange) and the top-20 is a top-k, not a global sort") {
     val p = plan("q_bpe_pairs")
