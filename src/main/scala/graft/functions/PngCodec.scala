@@ -220,6 +220,39 @@ object PngCodec {
     }
     UTF8String.fromString(sb.toString)
   }
+
+  /** Average-hash (aHash) of the DECODED pixels: nearest-neighbor
+    * downsample to 8×8 (`(floor(cx·w/8), floor(cy·h/8))`, row-major),
+    * then bit_i = 1 iff sample_i is at or above the 8×8 mean. The mean
+    * compare is integer-exact (`64·sample >= sum`), so no float crosses
+    * the engine boundary; emitted as 16 lowercase hex chars, MSB = the
+    * top-left sample. Null if undecodable.
+    */
+  def aHashHex(b: Array[Byte]): UTF8String = {
+    val d = decodeGray(b)
+    if (d == null) return null
+    val (w, h, p) = d
+    val s = new Array[Int](64)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        s(cy * 8 + cx) = p((cy * h / 8) * w + (cx * w / 8)) & 0xff
+        cx += 1
+      }
+      cy += 1
+    }
+    var sum = 0L
+    var i = 0
+    while (i < 64) { sum += s(i); i += 1 }
+    var bits = 0L
+    i = 0
+    while (i < 64) {
+      if (64L * s(i) >= sum) bits |= (1L << (63 - i))
+      i += 1
+    }
+    UTF8String.fromString(f"$bits%016x")
+  }
 }
 
 /** Deterministic grayscale PNG encode as a codegen expression. */
@@ -243,9 +276,11 @@ case class PngEncodeGray(wExpr: Expression, hExpr: Expression, seedExpr: Express
     copy(wExpr = f, hExpr = sec, seedExpr = t)
 }
 
-/** Decoded-pixel statistic as a codegen expression: attr ∈ brightness|resize4. */
+/** Decoded-pixel statistic as a codegen expression:
+  * attr ∈ brightness|resize4|ahash.
+  */
 case class PngDecodeStat(child: Expression, attr: String) extends UnaryExpression {
-  require(Set("brightness", "resize4")(attr), s"unknown png stat $attr")
+  require(Set("brightness", "resize4", "ahash")(attr), s"unknown png stat $attr")
 
   override def dataType: DataType =
     if (attr == "brightness") DoubleType else StringType
@@ -255,6 +290,7 @@ case class PngDecodeStat(child: Expression, attr: String) extends UnaryExpressio
   override def nullSafeEval(input: Any): Any = attr match {
     case "brightness" => PngCodec.brightness(input.asInstanceOf[Array[Byte]])
     case "resize4"    => PngCodec.resizeCsv(input.asInstanceOf[Array[Byte]])
+    case "ahash"      => PngCodec.aHashHex(input.asInstanceOf[Array[Byte]])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -268,6 +304,11 @@ case class PngDecodeStat(child: Expression, attr: String) extends UnaryExpressio
         nullSafeCodeGen(ctx, ev, c =>
           s"""org.apache.spark.unsafe.types.UTF8String v =
                graft.functions.PngCodec.resizeCsv($c);
+             if (v == null) { ${ev.isNull} = true; } else { ${ev.value} = v; }""")
+      case "ahash" =>
+        nullSafeCodeGen(ctx, ev, c =>
+          s"""org.apache.spark.unsafe.types.UTF8String v =
+               graft.functions.PngCodec.aHashHex($c);
              if (v == null) { ${ev.isNull} = true; } else { ${ev.value} = v; }""")
     }
 
@@ -283,4 +324,6 @@ object PngOps {
     ColumnBridge.column(PngDecodeStat(ColumnBridge.expression(c), "brightness"))
   def pngResize4(c: Column): Column =
     ColumnBridge.column(PngDecodeStat(ColumnBridge.expression(c), "resize4"))
+  def pngAHash(c: Column): Column =
+    ColumnBridge.column(PngDecodeStat(ColumnBridge.expression(c), "ahash"))
 }

@@ -381,12 +381,67 @@ object Multimodal {
           for i in range(0, 16)], ',') AS resized
       FROM p ORDER BY doc_id"""
 
+  /** Image near-dup grouping by average-hash: encode a deterministic
+    * grayscale PNG per document (two sizes, twelve wrap-scaled seeds),
+    * REALLY decode it (chunk walk, CRC verify, inflate, filter
+    * reconstruction), downsample to 8×8 and hash the mean-threshold bit
+    * pattern ([[graft.functions.PngCodec.aHashHex]]) — the standard
+    * perceptual-dedup primitive for image corpora. Groups report size
+    * and the kept (minimum) doc_id. aHash is shift-invariant by
+    * construction (adding a constant moves every sample and the mean
+    * together), so seeds are wrap-scaled (`·23`) to create genuinely
+    * distinct contents; colliding groups are the perceptually-identical
+    * ones, which is the point of the hash.
+    *
+    * The oracle recomputes the hash from the pixel FORMULA — it never
+    * sees the compressed bytes — so any defect in the decode path or the
+    * sampling/threshold math diverges every row. The mean compare is
+    * integer-exact (`64·sample >= sum`): no float crosses engines.
+    *
+    * Scale shape: encode + decode + hash are one scan-side codegen'd
+    * projection; the only exchange is the group-by on the 64-bit hash
+    * key (bounded by distinct contents, not corpus size).
+    */
+  def qImageDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PngOps._
+    Tables.documents(spark, dir)
+      .withColumn("w", (lit(8) + pmod(col("doc_id"), lit(2)) * lit(8)).cast("int"))
+      .withColumn("png", pngEncodeGray(col("w"), lit(8),
+        pmod(col("doc_id"), lit(12)) * lit(23)))
+      .select(pngAHash(col("png")).as("ahash"), col("doc_id"))
+      .groupBy(col("ahash"))
+      .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("keep_id"))
+      .orderBy(col("ahash"))
+  }
+
+  /** Expected aHash from the formula `(7·sx + 13·sy + seed) % 256` at the
+    * 8×8 nearest-neighbor sample grid (h = 8 so sy = cy); hex via two
+    * 32-bit halves to stay inside signed BIGINT.
+    */
+  val qImageDedupOracle: String =
+    """WITH d AS (SELECT doc_id, (8 + (doc_id % 2) * 8)::INT w,
+        ((doc_id % 12) * 23)::BIGINT seed FROM documents),
+      samp AS (SELECT doc_id, (cy * 8 + cx)::INT i,
+          (7 * ((cx * w) // 8) + 13 * cy + seed) % 256 p
+        FROM d, range(0, 8) tx(cx), range(0, 8) ty(cy)),
+      tot AS (SELECT doc_id, sum(p) s FROM samp GROUP BY doc_id),
+      hash AS (SELECT samp.doc_id,
+          printf('%08x%08x',
+            sum(CASE WHEN i < 32 AND 64 * p >= s
+              THEN (1::BIGINT << (31 - i)) ELSE 0 END)::BIGINT,
+            sum(CASE WHEN i >= 32 AND 64 * p >= s
+              THEN (1::BIGINT << (63 - i)) ELSE 0 END)::BIGINT) ahash
+        FROM samp JOIN tot USING (doc_id) GROUP BY samp.doc_id)
+      SELECT ahash, count(*)::BIGINT n_images, min(doc_id) keep_id
+      FROM hash GROUP BY ahash ORDER BY ahash"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_audio" -> (qMultimodalAudio _),
     "q_multimodal_video" -> (qMultimodalVideo _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_resize" -> (qMultimodalResize _),
+    "q_image_dedup" -> (qImageDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -395,5 +450,6 @@ object Multimodal {
     "q_multimodal_video" -> qMultimodalVideoOracle,
     "q_multimodal_frames" -> qMultimodalFramesOracle,
     "q_multimodal_resize" -> qMultimodalResizeOracle,
+    "q_image_dedup" -> qImageDedupOracle,
   )
 }

@@ -206,5 +206,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "nearest-neighbor 4x4 downsample of the decoded pixels, CSV", 1) {
       a => graft.functions.PngDecodeStat(a(0), "resize4")
     }
+    register(e, "png_ahash",
+      "64-bit average-hash of the decoded pixels (8x8 downsample), hex", 1) {
+      a => graft.functions.PngDecodeStat(a(0), "ahash")
+    }
   }
 }

@@ -592,6 +592,31 @@ class OpsSpec extends AnyFunSuite {
     assert(engine == localSizes, s"engine $engine vs local $localSizes")
   }
 
+  test("png ahash: downsampled mean-threshold bits match a local reference, " +
+    "shift-invariant without wraps, null on garbage") {
+    import graft.functions.PngCodec
+    def ref(w: Int, h: Int, seed: Long): String = {
+      val s = for (cy <- 0 until 8; cx <- 0 until 8)
+        yield PngCodec.px(cx * w / 8, cy * h / 8, seed)
+      val sum = s.map(_.toLong).sum
+      var bits = 0L
+      for (i <- 0 until 64) if (64L * s(i) >= sum) bits |= 1L << (63 - i)
+      f"$bits%016x"
+    }
+    for ((w, h, seed) <- Seq((8, 8, 0L), (16, 8, 23L), (12, 10, 115L),
+      (9, 17, 200L)))
+      assert(PngCodec.aHashHex(PngCodec.encodeGray(w, h, seed)).toString
+        == ref(w, h, seed), s"($w,$h,$seed)")
+    // aHash is shift-invariant while no sample wraps mod 256: +1 on the
+    // seed moves every sample and the mean together, bits unchanged
+    assert(PngCodec.aHashHex(PngCodec.encodeGray(8, 8, 1L)).toString ==
+      PngCodec.aHashHex(PngCodec.encodeGray(8, 8, 2L)).toString)
+    // and the query's wrap-scaled seeds produce distinct contents
+    assert(PngCodec.aHashHex(PngCodec.encodeGray(8, 8, 0L)).toString !=
+      PngCodec.aHashHex(PngCodec.encodeGray(8, 8, 9L * 23)).toString)
+    assert(PngCodec.aHashHex("not a png".getBytes) == null)
+  }
+
   test("containment: pairs equal a local reference and the 0.5 cut has " +
     "margin against every non-matching pair") {
     val rows = Dedup.qDedupContainment(spark, dir).collect()

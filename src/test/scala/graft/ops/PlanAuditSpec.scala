@@ -685,6 +685,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"only the pair aggregation may hash-exchange:\n${hashEx.mkString("\n")}")
   }
 
+  test("q_image_dedup: encode+decode+hash are one scan-side projection — " +
+    "the only exchange keys on the hash") {
+    val p = plan("q_image_dedup")
+    assert(p.contains("png_ahash"), p)
+    val exIdx = p.indexOf("Exchange hashpartitioning")
+    assert(exIdx >= 0 && p.indexOf("png_ahash", exIdx) > 0,
+      "codec work must happen below the hash-key exchange")
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.forall(_.contains("ahash")), hashEx.mkString("\n"))
+  }
+
   test("q_bpe_pairs: explodes stay scan-side (partial agg feeds the only " +
     "hash exchange) and the top-20 is a top-k, not a global sort") {
     val p = plan("q_bpe_pairs")
