@@ -1195,6 +1195,65 @@ object Relational {
       FROM g ORDER BY l_returnflag"""
   }
 
+  // ---------- mergeable histogram quantiles ----------
+  /** Approximate quantiles with a GUARANTEED resolution bound via a
+    * fixed-grid histogram — the sketch you actually run at 100 TB for
+    * monitoring and data-quality gates, where `q_percentiles`' exact
+    * order statistics are overkill. State is one integer count per
+    * occupied bin (O(range/step), here ≤ ~1800), merges are plain
+    * integer sums — associative and commutative, so the result is
+    * deterministic under ANY executor/merge order. That determinism is
+    * the design point: GK and t-digest sketches give tighter bounds but
+    * their outputs depend on merge order, which this engine's hash-exact
+    * oracle contract (and any reproducible pipeline) refuses.
+    *
+    * Bin = floor(value / 64): a power-of-two step, so the division is
+    * EXACT in IEEE doubles and the bin id is engine-identical for
+    * identical inputs. Emitted per (group, quantile): the bracketing
+    * [lo, hi) value bounds, hi - lo = 64 the certified worst-case error.
+    * `OpsSpec` asserts the exact percentile falls inside every emitted
+    * bracket.
+    *
+    * Scale shape: the fact pays ONE shuffle, keyed (group, bin), with
+    * map-side combine; the cumulative/total windows run over the bucket
+    * AGGREGATE (dimension-scale, partitioned by group — never a global
+    * window); quantile selection is a filter + min over those same rows.
+    */
+  def qQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val bins = Tables.table(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") / lit(64.0)).cast("long").as("bin"))
+      .groupBy(col("l_returnflag"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val wb = Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.partitionBy(col("l_returnflag"))
+    bins
+      .withColumn("cum", sum(col("cnt")).over(wb))
+      .withColumn("total", sum(col("cnt")).over(wg))
+      .withColumn("quantile",
+        explode(array(lit(0.5), lit(0.9), lit(0.99))))
+      .filter(col("cum") >= ceil(col("quantile") * col("total")))
+      .groupBy(col("l_returnflag"), col("quantile"))
+      .agg(min(col("bin")).as("qbin"))
+      .select(col("l_returnflag"), col("quantile"),
+        (col("qbin") * 64).as("lo"), ((col("qbin") + 1) * 64).as("hi"))
+      .orderBy(col("l_returnflag"), col("quantile"))
+  }
+
+  val qQuantileSketchOracle: String =
+    """WITH b AS (SELECT l_returnflag,
+        floor(l_extendedprice / 64)::BIGINT bin, count(*) cnt
+        FROM lineitem GROUP BY 1, 2),
+      c AS (SELECT l_returnflag, bin,
+          sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) cum,
+          sum(cnt) OVER (PARTITION BY l_returnflag) total FROM b),
+      q AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) quantile),
+      sel AS (SELECT l_returnflag, quantile, min(bin) qbin
+        FROM c, q WHERE cum >= ceil(quantile * total) GROUP BY 1, 2)
+      SELECT l_returnflag, quantile, qbin * 64 lo, (qbin + 1) * 64 hi
+      FROM sel ORDER BY l_returnflag, quantile"""
+
   // ---------- distribution window functions ----------
   /** percent_rank / cume_dist / ntile over a total per-partition order
     * (tie-broken by key, so every function is deterministic), folded to a
@@ -1841,6 +1900,7 @@ object Relational {
     "q_window_range" -> (qWindowRange _),
     "q_sql_kernels" -> (qSqlKernels _),
     "q_percentiles" -> (qPercentiles _),
+    "q_quantile_sketch" -> (qQuantileSketch _),
     "q_window_dist" -> (qWindowDist _),
     "q_exists_subquery" -> (qExistsSubquery _),
   )
@@ -1899,6 +1959,7 @@ object Relational {
     "q_window_range" -> qWindowRangeOracle,
     "q_sql_kernels" -> qSqlKernelsOracle,
     "q_percentiles" -> qPercentilesOracle,
+    "q_quantile_sketch" -> qQuantileSketchOracle,
     "q_window_dist" -> qWindowDistOracle,
     "q_exists_subquery" -> qExistsSubqueryOracle,
   )

@@ -592,6 +592,25 @@ class OpsSpec extends AnyFunSuite {
     assert(engine == localSizes, s"engine $engine vs local $localSizes")
   }
 
+  test("quantile sketch: every [lo, hi) bracket contains the exact " +
+    "quantile and hi - lo is the certified 64 resolution") {
+    val rows = Relational.qQuantileSketch(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 9) // 3 flags x 3 quantiles
+    val byFlag = Tables.table(spark, dir, "lineitem")
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (f, vs) => f -> vs.map(_._2).sorted }
+    rows.foreach { case (flag, q, lo, hi) =>
+      assert(hi - lo == 64, s"$flag/$q: bracket width ${hi - lo}")
+      val vs = byFlag(flag)
+      // the value at rank ceil(q*n) (1-based, "at least q fraction <=")
+      val exact = vs(math.ceil(q * vs.length).toLong.toInt - 1)
+      assert(exact >= lo && exact < hi,
+        s"$flag/$q: exact $exact outside [$lo, $hi)")
+    }
+  }
+
   test("png ahash: downsampled mean-threshold bits match a local reference, " +
     "shift-invariant without wraps, null on garbage") {
     import graft.functions.PngCodec

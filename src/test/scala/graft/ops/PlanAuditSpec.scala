@@ -685,6 +685,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"only the pair aggregation may hash-exchange:\n${hashEx.mkString("\n")}")
   }
 
+  test("q_quantile_sketch: the fact pays one combine-fed shuffle on " +
+    "(group, bin); all windows partition by the group") {
+    val p = plan("q_quantile_sketch")
+    assert(p.contains("partial_count"), p)
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.count(_.contains("bin")) == 1,
+      s"exactly one fact shuffle keyed on the bin:\n${hashEx.mkString("\n")}")
+    assert(hashEx.forall(_.contains("l_returnflag")), hashEx.mkString("\n"))
+  }
+
   test("q_image_dedup: encode+decode+hash are one scan-side projection — " +
     "the only exchange keys on the hash") {
     val p = plan("q_image_dedup")
