@@ -427,6 +427,77 @@ object Similarity {
           ORDER BY cosine16 DESC, b_id ASC) AS rnk FROM scored) t
       WHERE rnk <= 10 ORDER BY a_id, rnk"""
 
+  // ---------- two-stage retrieval: coarse shortlist + exact rerank ----------
+  private val RerankC = 50
+
+  /** The production serving pattern for vector retrieval at scale:
+    * stage 1 scores a CHEAP representation (here the 16-dim Matryoshka
+    * prefix; at 100 TB, PQ codes resident in memory) and keeps a
+    * C-candidate shortlist; stage 2 computes the exact full-dimension
+    * cosine ONLY for those C rows per query — the IO-heavy full vectors
+    * are touched C/corpus of the time. C is the recall-vs-IO knob
+    * (C = 50 ≫ k = 10 recovers most of the coarse stage's ranking
+    * error; `SimilaritySpec`-style assertions in OpsSpec pin rerank
+    * recall ≥ the prefix-only selection's).
+    *
+    * Unlike IVF/PQ (whose trained models DuckDB cannot re-run, hence
+    * their self-certifying recall rows), BOTH stages here are
+    * deterministic closed-form expressions, so the full reranked
+    * neighbor lists are hash-exact oracled.
+    *
+    * Scale shape: one broadcast of the fixed anchor set; both
+    * row_numbers partition by anchor id (high-cardinality at real query
+    * volumes); the full-dim dot product sits AFTER the shortlist filter
+    * so only C rows per anchor pay it.
+    */
+  def qAnnRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = withVec(Tables.embeddings(spark, dir))
+      .withColumn("vd16", expr(s"slice(vd, 1, $MrlDims)"))
+      .withColumn("nrm16",
+        sqrt(aggregate(col("vd16"), lit(0.0), (acc, x) => acc + x * x)))
+    val anchors = e.filter(col("vec_id") < Anchors)
+      .select(col("vec_id").as("a_id"), col("vd").as("a_vd"),
+        col("nrm").as("a_nrm"), col("vd16").as("a_vd16"),
+        col("nrm16").as("a_nrm16"))
+    val corpus = e.select(col("vec_id").as("b_id"), col("vd").as("b_vd"),
+      col("nrm").as("b_nrm"), col("vd16").as("b_vd16"),
+      col("nrm16").as("b_nrm16"))
+    val w1 = Window.partitionBy(col("a_id"))
+      .orderBy(col("cosine16").desc, col("b_id").asc)
+    val w2 = Window.partitionBy(col("a_id"))
+      .orderBy(col("cosine_full").desc, col("b_id").asc)
+    broadcast(anchors)
+      .join(corpus, col("a_id") =!= col("b_id"))
+      .withColumn("cosine16",
+        round(dot(col("a_vd16"), col("b_vd16")) / (col("a_nrm16") * col("b_nrm16")), 6))
+      .withColumn("crnk", row_number().over(w1))
+      .filter(col("crnk") <= RerankC)
+      .withColumn("cosine_full",
+        round(dot(col("a_vd"), col("b_vd")) / (col("a_nrm") * col("b_nrm")), 6))
+      .withColumn("rnk", row_number().over(w2))
+      .filter(col("rnk") <= 10)
+      .select(col("a_id"), col("b_id"), col("rnk"), col("cosine_full"),
+        col("crnk"))
+      .orderBy(col("a_id"), col("rnk"))
+  }
+
+  val qAnnRerankOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v,
+        (embedding::DOUBLE[])[1:$MrlDims] v16 FROM embeddings),
+      c AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          round(list_cosine_similarity(a.v16, b.v16), 6) AS cosine16,
+          round(list_cosine_similarity(a.v, b.v), 6) AS cosine_full
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < $Anchors),
+      short AS (SELECT a_id, b_id, cosine_full, crnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY a_id
+          ORDER BY cosine16 DESC, b_id ASC) AS crnk FROM c) t
+        WHERE crnk <= $RerankC),
+      rr AS (SELECT *, row_number() OVER (PARTITION BY a_id
+          ORDER BY cosine_full DESC, b_id ASC) AS rnk FROM short)
+      SELECT a_id, b_id, rnk, cosine_full, crnk FROM rr
+      WHERE rnk <= 10 ORDER BY a_id, rnk"""
+
   // ---------- filtered (predicate-constrained) vector search ----------
   /** Filtered vector search — "nearest neighbors among vectors matching a
     * metadata predicate", the operation vector stores call pre-filtered
@@ -707,6 +778,7 @@ object Similarity {
     "q_ann_pq" -> (certifyRecall("pq", 0.1, 0.25, qAnnPq) _),
     "q_ann_filtered" -> (qAnnFiltered _),
     "q_ann_mrl" -> (qAnnMrl _),
+    "q_ann_rerank" -> (qAnnRerank _),
     "q_cluster_kmeans" -> (qClusterKmeans _),
   )
 
@@ -720,6 +792,7 @@ object Similarity {
     "q_ann_pq" -> certifyOracle("pq", 0.1, 0.25),
     "q_ann_filtered" -> qAnnFilteredOracle,
     "q_ann_mrl" -> qAnnMrlOracle,
+    "q_ann_rerank" -> qAnnRerankOracle,
     "q_cluster_kmeans" -> qClusterKmeansOracle,
   )
 }

@@ -592,6 +592,41 @@ class OpsSpec extends AnyFunSuite {
     assert(engine == localSizes, s"engine $engine vs local $localSizes")
   }
 
+  test("ann rerank: two-stage results equal a local reference and rerank " +
+    "recall@10 is at least the prefix-only selection's") {
+    val engine = Similarity.qAnnRerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val vecs = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double], d: Int): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < d) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(dp / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val anchors = vecs.keys.filter(_ < 50).toSeq.sorted
+    var rerankHits = 0; var prefixHits = 0
+    val local = anchors.flatMap { a =>
+      val av = vecs(a)
+      val others = (vecs - a).toSeq
+      val byPrefix = others
+        .map { case (b, bv) => (b, cos(av, bv, 16)) }
+        .sortBy { case (b, c) => (-c, b) }
+      val short = byPrefix.take(50)
+      val rerank = short.map { case (b, _) => (b, cos(av, vecs(b), av.length)) }
+        .sortBy { case (b, c) => (-c, b) }.take(10)
+      val exact = others.map { case (b, bv) => (b, cos(av, bv, av.length)) }
+        .sortBy { case (b, c) => (-c, b) }.take(10).map(_._1).toSet
+      rerankHits += rerank.map(_._1).count(exact)
+      prefixHits += byPrefix.take(10).map(_._1).count(exact)
+      rerank.zipWithIndex.map { case ((b, _), i) => (a, b, i + 1) }
+    }
+    assert(engine.toSeq == local, "engine reranked lists differ from local")
+    assert(rerankHits >= prefixHits,
+      s"rerank recall $rerankHits < prefix-only $prefixHits (of ${anchors.size * 10})")
+  }
+
   test("quantile sketch: every [lo, hi) bracket contains the exact " +
     "quantile and hi - lo is the certified 64 resolution") {
     val rows = Relational.qQuantileSketch(spark, dir).collect()

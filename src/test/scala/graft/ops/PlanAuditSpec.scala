@@ -685,6 +685,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"only the pair aggregation may hash-exchange:\n${hashEx.mkString("\n")}")
   }
 
+  test("q_ann_rerank: anchors broadcast; the shortlist rank-filter runs " +
+    "map-side so only C candidates per anchor pay the full-dim dot") {
+    val p = plan("q_ann_rerank")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the row_number <= C shortlist cut plans as a WindowGroupLimit,
+    // whose Partial mode drops non-candidates before the exchange
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q_quantile_sketch: the fact pays one combine-fed shuffle on " +
     "(group, bin); all windows partition by the group") {
     val p = plan("q_quantile_sketch")
