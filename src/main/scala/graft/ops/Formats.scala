@@ -195,11 +195,62 @@ object Formats {
       (16 + i % 9)::INT AS w, (16 + (i * 3) % 9)::INT AS h
       FROM range(24) t(i) ORDER BY img_id"""
 
+  // ---------- dataset snapshot diff ----------
+  /** Version-to-version corpus diff — the accounting a data-release
+    * pipeline runs between dataset snapshots before publishing: rows
+    * added, removed, changed (same key, different content hash), and
+    * unchanged. The two versions are deterministic derivations of the
+    * documents table (v1 drops `doc_id % 19 = 7` — "added later"; v2
+    * drops `doc_id % 17 = 3` — "removed"; v2 rewrites content where
+    * `doc_id % 13 = 5` — "changed", via a byte-level suffix so no
+    * locale-dependent casing crosses engines).
+    *
+    * Scale shape: each side projects to (key, md5) BEFORE the join —
+    * the full text never shuffles, only 16-byte hashes; the FULL OUTER
+    * join is one equi-shuffle on the key (bucketed co-location would
+    * remove even that at 100 TB); classification is a scan-side CASE
+    * and the report aggregate is 4 groups.
+    */
+  def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val v1 = docs.filter(col("doc_id") % 19 =!= 7)
+      .select(col("doc_id"), md5(col("text")).as("h1"))
+    val v2 = docs.filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 13 === 5, concat(col("text"), lit("!")))
+          .otherwise(col("text"))).as("h2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h2").isNull, "removed")
+          .when(col("h1").isNull, "added")
+          .when(col("h1") =!= col("h2"), "changed")
+          .otherwise("unchanged"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("status"))
+  }
+
+  val qSnapshotDiffOracle: String =
+    """WITH v1 AS (SELECT doc_id, md5(text) h1 FROM documents
+        WHERE doc_id % 19 <> 7),
+      v2 AS (SELECT doc_id,
+          md5(CASE WHEN doc_id % 13 = 5 THEN text || '!' ELSE text END) h2
+        FROM documents WHERE doc_id % 17 <> 3),
+      j AS (SELECT coalesce(v1.doc_id, v2.doc_id) doc_id, h1, h2
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+      SELECT CASE WHEN h2 IS NULL THEN 'removed'
+          WHEN h1 IS NULL THEN 'added'
+          WHEN h1 <> h2 THEN 'changed' ELSE 'unchanged' END status,
+        count(*) n, min(doc_id) min_doc, max(doc_id) max_doc
+      FROM j GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_csv_json_roundtrip" -> (qCsvJsonRoundtrip _),
     "q_malformed_quarantine" -> (qMalformedQuarantine _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "q_binary_source" -> (qBinarySource _),
+    "q_snapshot_diff" -> (qSnapshotDiff _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -207,5 +258,6 @@ object Formats {
     "q_malformed_quarantine" -> qMalformedQuarantineOracle,
     "q_orc_roundtrip" -> qOrcRoundtripOracle,
     "q_binary_source" -> qBinarySourceOracle,
+    "q_snapshot_diff" -> qSnapshotDiffOracle,
   )
 }

@@ -592,6 +592,24 @@ class OpsSpec extends AnyFunSuite {
     assert(engine == localSizes, s"engine $engine vs local $localSizes")
   }
 
+  test("snapshot diff: status partition is exhaustive, disjoint, and " +
+    "consistent with the version derivations") {
+    val rows = Formats.qSnapshotDiff(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows.keySet == Set("added", "removed", "changed", "unchanged"))
+    val ids = Tables.documents(spark, dir).select("doc_id").collect()
+      .map(_.getLong(0))
+    val inV1 = ids.filter(_ % 19 != 7).toSet
+    val inV2 = ids.filter(_ % 17 != 3).toSet
+    assert(rows("added")._1 == (inV2 -- inV1).size)
+    assert(rows("removed")._1 == (inV1 -- inV2).size)
+    assert(rows("changed")._1 == (inV1 & inV2).count(_ % 13 == 5))
+    assert(rows("unchanged")._1 == (inV1 & inV2).count(_ % 13 != 5))
+    // the four classes partition the union exactly
+    assert(rows.values.map(_._1).sum == (inV1 | inV2).size)
+  }
+
   test("ann rerank: two-stage results equal a local reference and rerank " +
     "recall@10 is at least the prefix-only selection's") {
     val engine = Similarity.qAnnRerank(spark, dir).collect()
