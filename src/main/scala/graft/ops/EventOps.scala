@@ -697,6 +697,47 @@ object EventOps {
       FROM act JOIN f ON act.user_id = f.user_id
       GROUP BY d0 ORDER BY cohort_day"""
 
+  // ---------- event-path transition mining ----------
+  /** Behavioral path analysis: the most common event-type transitions
+    * across user sessions — the statistic behind funnel discovery and
+    * next-action modeling. Per user, events order by (ts, event_id) —
+    * the id tie-break makes the sequence total even under equal
+    * timestamps — and `lead` pairs each event with its successor; the
+    * global report counts transitions and their distinct-user support,
+    * top-15 with a full lexical tiebreak so the cut is total-ordered.
+    *
+    * Scale shape: one shuffle on user_id for the sequence window
+    * (high-cardinality partitions), then a combine-fed aggregate on the
+    * (from, to) pair — bounded by |event types|², not event volume; the
+    * top-15 is a TakeOrderedAndProject, never a global sort.
+    */
+  def qEventsPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .select(col("event_type").as("from_type"),
+        col("next_type").as("to_type"), col("user_id"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_transitions").desc, col("from_type"), col("to_type"))
+      .limit(15)
+  }
+
+  val qEventsPathsOracle: String =
+    """WITH s AS (SELECT user_id, event_type,
+        lead(event_type) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) next_type
+      FROM events)
+      SELECT event_type from_type, next_type to_type,
+        count(*) n_transitions, count(DISTINCT user_id) n_users
+      FROM s WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+      ORDER BY n_transitions DESC, from_type, to_type LIMIT 15"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_tumbling" -> (qEventsTumbling _),
     "q_events_sliding" -> (qEventsSliding _),
@@ -713,6 +754,7 @@ object EventOps {
     "q_events_cum_users" -> (qEventsCumulativeUsers _),
     "q_events_retention" -> (qEventsRetention _),
     "q_events_anomaly" -> (qEventsAnomaly _),
+    "q_events_paths" -> (qEventsPaths _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -731,5 +773,6 @@ object EventOps {
     "q_events_cum_users" -> qEventsCumulativeUsersOracle,
     "q_events_retention" -> qEventsRetentionOracle,
     "q_events_anomaly" -> qEventsAnomalyOracle,
+    "q_events_paths" -> qEventsPathsOracle,
   )
 }

@@ -592,6 +592,25 @@ class OpsSpec extends AnyFunSuite {
     assert(engine == localSizes, s"engine $engine vs local $localSizes")
   }
 
+  test("event paths: top transitions equal a local reference recompute") {
+    val rows = EventOps.qEventsPaths(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 15)
+    val evs = Tables.events(spark, dir)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS tsm", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val trans = evs.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      es.sortBy(e => (e._3, e._4)).sliding(2).collect {
+        case Array(a, b) => (a._2, b._2, u)
+      }
+    }
+    val localTop = trans.groupBy(t => (t._1, t._2)).map { case ((f, t2), g) =>
+      (f, t2, g.size.toLong, g.map(_._3).distinct.size.toLong)
+    }.toSeq.sortBy { case (f, t2, n, _) => (-n, f, t2) }.take(15)
+    assert(rows.toSeq == localTop, s"engine ${rows.toSeq} vs local $localTop")
+  }
+
   test("snapshot diff: status partition is exhaustive, disjoint, and " +
     "consistent with the version derivations") {
     val rows = Formats.qSnapshotDiff(spark, dir).collect()
