@@ -920,6 +920,52 @@ object Dedup {
       WHERE i * 1.0 / c.n >= 0.5
       ORDER BY d1, d2"""
 
+  // ---------- corpus novelty scoring ----------
+  /** Per-document novelty: the fraction of a document's shingles whose
+    * FIRST occurrence (by doc_id order) is in that document — the
+    * incremental-diversity measure a curation pipeline tracks to decide
+    * whether newly ingested data still adds information or is
+    * recombining what the corpus already holds. Novelty 1.0 = all-new
+    * content; near 0 = assembled entirely from earlier documents
+    * (catches template/boilerplate growth that no pairwise dedup
+    * threshold flags).
+    *
+    * Scale shape: first-occurrence is a min-aggregate keyed on the
+    * shingle, then one equi-join back on the same key — both exchanges
+    * hash on the high-cardinality shingle, partial-agg combined; the
+    * per-doc report is a doc-keyed aggregate. The global semantics
+    * (min over ALL docs) inherently needs the shingle-keyed shuffle;
+    * integer counts + one exact IEEE division keep it engine-identical.
+    */
+  def qTextNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingled(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val fo = ex.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+    ex.join(fo, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1).otherwise(0))
+          .as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel") * lit(1.0) / col("n_shingles"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextNoveltyOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) < 3
+          THEN []::VARCHAR[]
+          ELSE [ws[i]||' '||ws[i+1]||' '||ws[i+2] for i in range(1, len(ws)-1)]
+        END) AS shingles FROM t),
+      ex AS (SELECT doc_id, unnest(shingles) s FROM sh),
+      fo AS (SELECT s, min(doc_id) first_doc FROM ex GROUP BY s),
+      pd AS (SELECT e.doc_id, count(*) n,
+          sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) novel
+        FROM ex e JOIN fo f ON e.s = f.s GROUP BY e.doc_id)
+      SELECT doc_id, n AS n_shingles, novel::BIGINT AS n_novel,
+        round(novel * 1.0 / n, 6) AS novelty
+      FROM pd ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -932,6 +978,7 @@ object Dedup {
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_bloom" -> (qDedupBloom _),
     "q_dedup_containment" -> (qDedupContainment _),
+    "q_text_novelty" -> (qTextNovelty _),
   )
 
   /** q_dedup_simhash keeps the exact-set oracle under word blocking: the
@@ -953,5 +1000,6 @@ object Dedup {
     "q_dedup_incremental" -> qDedupIncrementalOracle,
     "q_dedup_bloom" -> qDedupBloomOracle,
     "q_dedup_containment" -> qDedupContainmentOracle,
+    "q_text_novelty" -> qTextNoveltyOracle,
   )
 }

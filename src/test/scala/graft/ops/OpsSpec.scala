@@ -592,6 +592,27 @@ class OpsSpec extends AnyFunSuite {
     assert(engine == localSizes, s"engine $engine vs local $localSizes")
   }
 
+  test("novelty: per-doc first-occurrence fractions equal a local " +
+    "reference, and the earliest doc is fully novel") {
+    val rows = Dedup.qTextNovelty(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+      .filter(_._2.length >= 3)
+      .map { case (id, ws) => id -> ws.sliding(3).map(_.mkString(" ")).toSet }
+      .sortBy(_._1)
+    val firstDoc = collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (id, sh) =>
+      sh.foreach(s => if (!firstDoc.contains(s)) firstDoc(s) = id)
+    }
+    val local = docs.map { case (id, sh) =>
+      (id, sh.size.toLong, sh.count(s => firstDoc(s) == id).toLong)
+    }
+    assert(rows.toSeq == local.toSeq, "novelty counts differ from local")
+    // the lowest doc_id can only contain first occurrences
+    assert(rows.head._2 == rows.head._3)
+  }
+
   test("event paths: top transitions equal a local reference recompute") {
     val rows = EventOps.qEventsPaths(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
