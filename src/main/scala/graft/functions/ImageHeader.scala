@@ -206,6 +206,48 @@ object WavHeader {
     else Array(channels, rate, bits, block, dataSize)
   }
 
+  /** Locate the 16-bit PCM payload and fold it: (n_samples, sum of
+    * squares, peak |sample|). The walk is the same chunk scan as
+    * [[parse]] but keeps the data OFFSET; samples are signed 16-bit
+    * little-endian. All-integer folds — exact, associative,
+    * engine-reproducible. Null unless a 16-bit PCM data chunk is found.
+    */
+  private def pcmStats(b: Array[Byte]): Array[Long] = {
+    if (!isWav(b)) return null
+    var bits = -1L; var off = -1; var len = -1
+    var i = 12
+    while (i + 8 <= b.length && (bits < 0 || off < 0)) {
+      val id = tag(b, i)
+      val size = u32le(b, i + 4)
+      if (id == "fmt " && size >= 16 && i + 24 <= b.length)
+        bits = u16le(b, i + 22).toLong
+      else if (id == "data") { off = i + 8; len = size.toInt }
+      if (size > Int.MaxValue - 9) return null
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (bits != 16 || off < 0 || len < 0 || off + len > b.length) return null
+    val n = len / 2
+    var ss = 0L; var peak = 0L; var k = 0
+    while (k < n) {
+      val v = (((b(off + 2 * k + 1)) << 8) | (b(off + 2 * k) & 0xff))
+        .toShort.toLong
+      ss += v * v
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      k += 1
+    }
+    Array(n.toLong, ss, peak)
+  }
+
+  def pcmSamples(b: Array[Byte]): java.lang.Long =
+    { val p = pcmStats(b); if (p == null) null else java.lang.Long.valueOf(p(0)) }
+
+  def pcmSumSq(b: Array[Byte]): java.lang.Long =
+    { val p = pcmStats(b); if (p == null) null else java.lang.Long.valueOf(p(1)) }
+
+  def pcmPeak(b: Array[Byte]): Integer =
+    { val p = pcmStats(b); if (p == null) null else Int.box(p(2).toInt) }
+
   def channels(b: Array[Byte]): Integer =
     { val p = parse(b); if (p == null) null else Int.box(p(0).toInt) }
 
@@ -222,13 +264,26 @@ object WavHeader {
   }
 }
 
-/** WAV attribute as a codegen expression: `attr` ∈ channels|sample_rate|duration_ms. */
+/** WAV attribute as a codegen expression:
+  * `attr` ∈ channels|sample_rate|duration_ms|pcm_samples|pcm_sum_sq|pcm_peak.
+  */
 case class WavHeaderAttr(child: Expression, attr: String) extends UnaryExpression {
-  require(Set("channels", "sample_rate", "duration_ms")(attr),
+  require(Set("channels", "sample_rate", "duration_ms",
+    "pcm_samples", "pcm_sum_sq", "pcm_peak")(attr),
     s"unknown wav attr $attr")
 
+  private val longAttrs = Set("duration_ms", "pcm_samples", "pcm_sum_sq")
+  private val method = attr match {
+    case "channels"    => "channels"
+    case "sample_rate" => "sampleRate"
+    case "duration_ms" => "durationMs"
+    case "pcm_samples" => "pcmSamples"
+    case "pcm_sum_sq"  => "pcmSumSq"
+    case "pcm_peak"    => "pcmPeak"
+  }
+
   override def dataType: DataType =
-    if (attr == "duration_ms") LongType else IntegerType
+    if (longAttrs(attr)) LongType else IntegerType
   override def nullable: Boolean = true
   override def prettyName: String = s"wav_$attr"
 
@@ -236,22 +291,22 @@ case class WavHeaderAttr(child: Expression, attr: String) extends UnaryExpressio
     case "channels"    => WavHeader.channels(input.asInstanceOf[Array[Byte]])
     case "sample_rate" => WavHeader.sampleRate(input.asInstanceOf[Array[Byte]])
     case "duration_ms" => WavHeader.durationMs(input.asInstanceOf[Array[Byte]])
+    case "pcm_samples" => WavHeader.pcmSamples(input.asInstanceOf[Array[Byte]])
+    case "pcm_sum_sq"  => WavHeader.pcmSumSq(input.asInstanceOf[Array[Byte]])
+    case "pcm_peak"    => WavHeader.pcmPeak(input.asInstanceOf[Array[Byte]])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    attr match {
-      case "duration_ms" =>
-        nullSafeCodeGen(ctx, ev, c =>
-          s"""java.lang.Long d = graft.functions.WavHeader.durationMs($c);
-             if (d == null) { ${ev.isNull} = true; }
-             else { ${ev.value} = d.longValue(); }""")
-      case a =>
-        val m = if (a == "channels") "channels" else "sampleRate"
-        nullSafeCodeGen(ctx, ev, c =>
-          s"""java.lang.Integer v = graft.functions.WavHeader.$m($c);
-             if (v == null) { ${ev.isNull} = true; }
-             else { ${ev.value} = v.intValue(); }""")
-    }
+    if (longAttrs(attr))
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""java.lang.Long d = graft.functions.WavHeader.$method($c);
+           if (d == null) { ${ev.isNull} = true; }
+           else { ${ev.value} = d.longValue(); }""")
+    else
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""java.lang.Integer v = graft.functions.WavHeader.$method($c);
+           if (v == null) { ${ev.isNull} = true; }
+           else { ${ev.value} = v.intValue(); }""")
 
   override protected def withNewChildInternal(newChild: Expression): WavHeaderAttr =
     copy(child = newChild)
@@ -436,4 +491,10 @@ object WavHeaderOps {
     ColumnBridge.column(WavHeaderAttr(ColumnBridge.expression(c), "sample_rate"))
   def wavDurationMs(c: Column): Column =
     ColumnBridge.column(WavHeaderAttr(ColumnBridge.expression(c), "duration_ms"))
+  def wavPcmSamples(c: Column): Column =
+    ColumnBridge.column(WavHeaderAttr(ColumnBridge.expression(c), "pcm_samples"))
+  def wavPcmSumSq(c: Column): Column =
+    ColumnBridge.column(WavHeaderAttr(ColumnBridge.expression(c), "pcm_sum_sq"))
+  def wavPcmPeak(c: Column): Column =
+    ColumnBridge.column(WavHeaderAttr(ColumnBridge.expression(c), "pcm_peak"))
 }

@@ -171,7 +171,11 @@ object Multimodal {
     * formulas, so endianness slips, wrong chunk offsets, or a walk that
     * assumes fixed layout all break the hash.
     */
-  def qMultimodalAudio(spark: SparkSession, dir: String): DataFrame = {
+  /** Documents as spec-valid 16-bit PCM WAV files (shared by the audio
+    * metadata and PCM-decode queries): RIFF/fmt/data chunks, the text
+    * bytes as the sample payload truncated to whole frames.
+    */
+  private def withWavPayload(df: DataFrame): DataFrame = {
     val be16 = (c: Column) => lpad(hex(c.cast("long")), 4, "0")
     val be32 = (c: Column) => lpad(hex(c.cast("long")), 8, "0")
     val le16 = (c: Column) =>
@@ -180,7 +184,7 @@ object Multimodal {
       concat(substring(be32(c), 7, 2), substring(be32(c), 5, 2),
         substring(be32(c), 3, 2), substring(be32(c), 1, 2))
 
-    val d = Tables.documents(spark, dir)
+    val d = df
       .withColumn("body", encode(col("text"), "UTF-8"))
       .withColumn("ch", (lit(1) + pmod(col("doc_id"), lit(2))).cast("int"))
       .withColumn("rate",
@@ -198,9 +202,13 @@ object Multimodal {
       le32(col("rate") * col("block")), le16(col("block")), le16(lit(16)),
       lit("64617461"), le32(col("data_size"))) // "data" <size>
 
-    import graft.functions.WavHeaderOps._
     d.withColumn("payload",
-        concat(unhex(hdr), expr("substring(body, 1, data_size)")))
+      concat(unhex(hdr), expr("substring(body, 1, data_size)")))
+  }
+
+  def qMultimodalAudio(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.WavHeaderOps._
+    withWavPayload(Tables.documents(spark, dir))
       .select(
         col("doc_id"),
         wavChannels(col("payload")).as("channels"),
@@ -381,6 +389,55 @@ object Multimodal {
           for i in range(0, 16)], ',') AS resized
       FROM p ORDER BY doc_id"""
 
+  /** Audio decoded for REAL: the RIFF chunk walk locates the data chunk
+    * and the kernel folds the actual signed 16-bit little-endian PCM
+    * samples — sample count, sum of squares, peak amplitude — all
+    * integer-exact. Loudness (RMS) derives in-plan as
+    * `floor(sqrt(sum_sq / n) · 1000)`: floor of an identical IEEE
+    * double is engine-identical ALWAYS, so no rounding-boundary
+    * argument is needed. The DuckDB oracle reconstructs the samples
+    * from the SOURCE text (pure-ASCII bytes → byte pairs) without ever
+    * seeing the WAV container — a defect anywhere in the chunk walk,
+    * frame truncation, or sign handling diverges every row.
+    *
+    * Scale shape: container build + decode + fold are one scan-side
+    * projection; the only exchange is the final output ordering.
+    */
+  def qAudioPcm(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.WavHeaderOps._
+    withWavPayload(Tables.documents(spark, dir))
+      .select(
+        col("doc_id"),
+        wavPcmSamples(col("payload")).as("n_samples"),
+        wavPcmSumSq(col("payload")).as("sum_sq"),
+        wavPcmPeak(col("payload")).as("peak"))
+      .withColumn("rms_x1000",
+        floor(sqrt(col("sum_sq").cast("double") / col("n_samples")) * 1000)
+          .cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Samples reconstructed from the pure-ASCII text: byte j is the code
+    * point of character j+1; sample k = b(2k) + 256·b(2k+1) (both bytes
+    * < 128, so all samples are positive and sign handling is exercised
+    * only as a no-op — the kernel still decodes signed).
+    */
+  val qAudioPcmOracle: String =
+    """WITH d AS (SELECT doc_id, text,
+        octet_length(encode(text)) blen, (1 + doc_id % 2) * 2 block
+        FROM documents),
+      p AS (SELECT doc_id, text, (blen // block) * block AS ds FROM d),
+      s AS (SELECT doc_id, text, unnest(range(0, ds // 2)) k FROM p),
+      v AS (SELECT doc_id,
+          ascii(substr(text, (2 * k)::INT + 1, 1))
+            + 256 * ascii(substr(text, (2 * k + 1)::INT + 1, 1)) AS smp
+        FROM s)
+      SELECT doc_id, count(*) n_samples,
+        sum(smp::BIGINT * smp)::BIGINT sum_sq, max(smp)::INT peak,
+        floor(sqrt(sum(smp::BIGINT * smp)::DOUBLE / count(*)) * 1000)::BIGINT
+          AS rms_x1000
+      FROM v GROUP BY doc_id ORDER BY doc_id"""
+
   /** Image near-dup grouping by average-hash: encode a deterministic
     * grayscale PNG per document (two sizes, twelve wrap-scaled seeds),
     * REALLY decode it (chunk walk, CRC verify, inflate, filter
@@ -442,6 +499,7 @@ object Multimodal {
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_resize" -> (qMultimodalResize _),
     "q_image_dedup" -> (qImageDedup _),
+    "q_audio_pcm" -> (qAudioPcm _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -451,5 +509,6 @@ object Multimodal {
     "q_multimodal_frames" -> qMultimodalFramesOracle,
     "q_multimodal_resize" -> qMultimodalResizeOracle,
     "q_image_dedup" -> qImageDedupOracle,
+    "q_audio_pcm" -> qAudioPcmOracle,
   )
 }

@@ -181,7 +181,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         a => graft.functions.ImageHeaderAttr(a(0), attr)
       }
     }
-    Seq("channels", "sample_rate", "duration_ms").foreach { attr =>
+    Seq("channels", "sample_rate", "duration_ms",
+      "pcm_samples", "pcm_sum_sq", "pcm_peak").foreach { attr =>
       register(e, s"wav_$attr",
         s"$attr parsed from WAV RIFF chunks, null if not a WAV", 1) {
         a => graft.functions.WavHeaderAttr(a(0), attr)

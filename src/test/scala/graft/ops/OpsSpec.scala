@@ -592,6 +592,32 @@ class OpsSpec extends AnyFunSuite {
     assert(engine == localSizes, s"engine $engine vs local $localSizes")
   }
 
+  test("wav pcm decode: signed 16-bit samples fold to exact integer " +
+    "stats, including negatives; null off the 16-bit path") {
+    import graft.functions.WavHeader
+    def wav(samples: Seq[Short], bits: Int = 16): Array[Byte] = {
+      val bb = java.nio.ByteBuffer
+        .allocate(44 + samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + samples.length * 2)
+      bb.put("WAVE".getBytes); bb.put("fmt ".getBytes); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1); bb.putInt(8000); bb.putInt(16000)
+      bb.putShort(2); bb.putShort(bits.toShort)
+      bb.put("data".getBytes); bb.putInt(samples.length * 2)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    val s = Seq[Short](1000, -2, -32768, 32767, 0)
+    val b = wav(s)
+    assert(WavHeader.pcmSamples(b) == 5L)
+    assert(WavHeader.pcmSumSq(b) ==
+      s.map(v => v.toLong * v).sum)
+    assert(WavHeader.pcmPeak(b) == 32768)
+    assert(WavHeader.pcmSamples(wav(s, bits = 8)) == null, "8-bit must null")
+    assert(WavHeader.pcmSumSq("RIFFxxxxWAVE".getBytes) == null)
+    assert(WavHeader.pcmPeak(Array.empty[Byte]) == null)
+  }
+
   test("novelty: per-doc first-occurrence fractions equal a local " +
     "reference, and the earliest doc is fully novel") {
     val rows = Dedup.qTextNovelty(spark, dir).collect()
