@@ -492,6 +492,96 @@ object Multimodal {
       SELECT ahash, count(*)::BIGINT n_images, min(doc_id) keep_id
       FROM hash GROUP BY ahash ORDER BY ahash"""
 
+  /** Hamming-ball image near-dup detection over the aHash: perceptual
+    * hashes within a small bit distance are variants of the same image
+    * (re-encode, slight crop, brightness ramp), and grouping them is the
+    * step after [[qImageDedup]]'s exact-hash grouping in every image
+    * pipeline. Candidate generation is banded, not all-pairs: the 64-bit
+    * hash splits into four 16-bit words and only hash pairs sharing at
+    * least one word are compared exactly (`bit_count(xor) <= 8`). By
+    * pigeonhole, any pair within hamming distance 3 MUST share a word, so
+    * the band pass is exhaustive there; beyond that it is the standard
+    * multiprobe trade (documented, mirrored exactly by the oracle).
+    *
+    * Determinism: the metric is integer bit counting — no float crosses
+    * engines anywhere. The signed 64-bit key is rebuilt from the two hex
+    * halves; band extraction masks after the shift, so arithmetic-vs-
+    * logical shift semantics cannot differ across engines.
+    *
+    * Scale shape: banding and pairing run over the DISTINCT-hash
+    * aggregate (bounded by distinct image contents, not corpus size);
+    * the corpus-sized work is one scan-side hash projection plus the
+    * group-by exchange on the hash key, exactly as [[qImageDedup]].
+    */
+  def qImageNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PngOps._
+    val groups = Tables.documents(spark, dir)
+      .withColumn("w", (lit(8) + pmod(col("doc_id"), lit(2)) * lit(8)).cast("int"))
+      .withColumn("png", pngEncodeGray(col("w"), lit(8),
+        pmod(col("doc_id"), lit(12)) * lit(23)))
+      .select(pngAHash(col("png")).as("hex"), col("doc_id"))
+      .withColumn("h",
+        shiftleft(conv(substring(col("hex"), 1, 8), 16, 10).cast("long"), 32)
+          .bitwiseOR(conv(substring(col("hex"), 9, 8), 16, 10).cast("long")))
+      .groupBy(col("h"), col("hex"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep"))
+    val bands = groups.select(col("h"), col("hex"), col("n"), col("keep"),
+      posexplode(array((0 to 3).map(k =>
+        shiftright(col("h"), 16 * k).bitwiseAND(lit(65535L))): _*))
+        .as(Seq("k", "band")))
+    val a = bands.toDF("ha", "hex_a", "na", "ka", "k", "band")
+    val b = bands.toDF("hb", "hex_b", "nb", "kb", "k", "band")
+    a.join(b, Seq("k", "band")).where(col("ha") < col("hb"))
+      .groupBy(col("ha"), col("hb"), col("hex_a"), col("hex_b"),
+        col("na"), col("nb"), col("ka"), col("kb"))
+      .agg(count(lit(1)).as("shared_bands"))
+      .where(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 8)
+      .select(col("hex_a").as("hash_a"), col("hex_b").as("hash_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"),
+        col("shared_bands"),
+        (col("na") + col("nb")).as("n_images"),
+        least(col("ka"), col("kb")).as("keep_id"))
+      .orderBy(col("hash_a"), col("hash_b"))
+  }
+
+  /** Same hash formula as [[qImageDedupOracle]]; the signed 64-bit key is
+    * rebuilt arithmetically (DuckDB BIGINT overflow is an error, not a
+    * wrap, so the high half is sign-folded before scaling) and bands mask
+    * AFTER the shift so shift semantics cannot matter.
+    */
+  val qImageNeardupOracle: String =
+    """WITH d AS (SELECT doc_id, (8 + (doc_id % 2) * 8)::INT w,
+        ((doc_id % 12) * 23)::BIGINT seed FROM documents),
+      samp AS (SELECT doc_id, (cy * 8 + cx)::INT i,
+          (7 * ((cx * w) // 8) + 13 * cy + seed) % 256 p
+        FROM d, range(0, 8) tx(cx), range(0, 8) ty(cy)),
+      tot AS (SELECT doc_id, sum(p) s FROM samp GROUP BY doc_id),
+      hash AS (SELECT samp.doc_id,
+          sum(CASE WHEN i < 32 AND 64 * p >= s
+            THEN (1::BIGINT << (31 - i)) ELSE 0 END)::BIGINT hi,
+          sum(CASE WHEN i >= 32 AND 64 * p >= s
+            THEN (1::BIGINT << (63 - i)) ELSE 0 END)::BIGINT lo
+        FROM samp JOIN tot USING (doc_id) GROUP BY samp.doc_id),
+      hv AS (SELECT doc_id, printf('%08x%08x', hi, lo) hex,
+          (hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+            * 4294967296 + lo AS h
+        FROM hash),
+      grp AS (SELECT h, hex, count(*) n, min(doc_id) keep
+        FROM hv GROUP BY h, hex),
+      bands AS (SELECT h, hex, n, keep, k, (h >> (16 * k)::INT) & 65535 band
+        FROM grp, range(0, 4) t(k)),
+      cand AS (SELECT a.h ha, b.h hb, a.hex hex_a, b.hex hex_b,
+          a.n na, b.n nb, a.keep ka, b.keep kb,
+          count(*)::BIGINT shared_bands
+        FROM bands a JOIN bands b ON a.k = b.k AND a.band = b.band
+          AND a.h < b.h
+        GROUP BY a.h, b.h, a.hex, b.hex, a.n, b.n, a.keep, b.keep)
+      SELECT hex_a AS hash_a, hex_b AS hash_b,
+        bit_count(xor(ha, hb))::INT AS hamming, shared_bands,
+        na + nb AS n_images, least(ka, kb) AS keep_id
+      FROM cand WHERE bit_count(xor(ha, hb)) <= 8
+      ORDER BY hash_a, hash_b"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_audio" -> (qMultimodalAudio _),
@@ -499,6 +589,7 @@ object Multimodal {
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_resize" -> (qMultimodalResize _),
     "q_image_dedup" -> (qImageDedup _),
+    "q_image_neardup" -> (qImageNeardup _),
     "q_audio_pcm" -> (qAudioPcm _),
   )
 
@@ -509,6 +600,7 @@ object Multimodal {
     "q_multimodal_frames" -> qMultimodalFramesOracle,
     "q_multimodal_resize" -> qMultimodalResizeOracle,
     "q_image_dedup" -> qImageDedupOracle,
+    "q_image_neardup" -> qImageNeardupOracle,
     "q_audio_pcm" -> qAudioPcmOracle,
   )
 }

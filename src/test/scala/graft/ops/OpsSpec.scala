@@ -755,6 +755,49 @@ class OpsSpec extends AnyFunSuite {
     assert(PngCodec.aHashHex("not a png".getBytes) == null)
   }
 
+  test("image neardup: banded hamming pairs equal a local codec reference; " +
+    "the integer cut has slack and pigeonhole covers distance <= 3") {
+    import graft.functions.PngCodec
+    val rows = Multimodal.qImageNeardup(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    val docs = Tables.documents(spark, dir).select("doc_id").collect()
+      .map(_.getLong(0))
+    // recompute hashes through the codec (encode + real decode), never
+    // through the engine
+    val distinct = docs.map { id =>
+      val w = (8 + (id % 2) * 8).toInt
+      java.lang.Long.parseUnsignedLong(
+        PngCodec.aHashHex(PngCodec.encodeGray(w, 8, (id % 12) * 23)).toString, 16)
+    }.distinct.sorted
+    def bands(h: Long) = (0 to 3).map(k => (k, (h >> (16 * k)) & 0xFFFFL))
+    val sharing = for {
+      a <- distinct; b <- distinct if a < b // signed, as in the engine
+      shared = bands(a).intersect(bands(b)).size if shared > 0
+    } yield (a, b, java.lang.Long.bitCount(a ^ b), shared.toLong)
+    val local = sharing.collect { case (a, b, d, s) if d <= 8 =>
+      (f"$a%016x", f"$b%016x", d, s)
+    }
+    assert(rows.sortBy(r => (r._1, r._2)).toSeq ==
+      local.sortBy(r => (r._1, r._2)).toSeq,
+      s"engine ${rows.toSeq} vs local ${local.toSeq}")
+    assert(rows.nonEmpty, "corpus must exercise the detector")
+    // the metric is integer bit counting, but assert the corpus is not
+    // sitting on the boundary either: nearest band-sharing pair above
+    // the cut is >= 2 bits away
+    sharing.filter(_._3 > 8).foreach { case (a, b, d, _) =>
+      assert(d >= 10, f"pair $a%016x/$b%016x at distance $d hugs the cut")
+    }
+    // pigeonhole: ANY 64-bit pair within hamming distance 3 must share
+    // one of the four 16-bit bands — the exhaustiveness guarantee
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 500) {
+      val x = rnd.nextLong()
+      var y = x
+      (0 until 3).foreach(_ => y ^= 1L << rnd.nextInt(64))
+      assert(bands(x).intersect(bands(y)).nonEmpty, f"$x%016x vs $y%016x")
+    }
+  }
+
   test("containment: pairs equal a local reference and the 0.5 cut has " +
     "margin against every non-matching pair") {
     val rows = Dedup.qDedupContainment(spark, dir).collect()

@@ -718,6 +718,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(hashEx.forall(_.contains("ahash")), hashEx.mkString("\n"))
   }
 
+  test("q_image_neardup: codec work stays below the hash-key exchange; " +
+    "pairing runs over the distinct-hash aggregate, never all corpus pairs") {
+    val p = plan("q_image_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("png_ahash"), p)
+    // the corpus-sized exchange keys on the 64-bit hash; the band
+    // self-join happens above that aggregate (distinct-content scale)
+    val exIdx = p.indexOf("Exchange hashpartitioning")
+    assert(exIdx >= 0 && p.indexOf("png_ahash", exIdx) > 0,
+      "codec projection must sit below the first exchange")
+    assert(p.contains("& 65535"), "banding must extract 16-bit words")
+  }
+
   test("q_bpe_pairs: explodes stay scan-side (partial agg feeds the only " +
     "hash exchange) and the top-20 is a top-k, not a global sort") {
     val p = plan("q_bpe_pairs")
