@@ -1288,6 +1288,80 @@ object TextAnalysis {
       FROM pr GROUP BY pair
       ORDER BY n_occurrences DESC, pair ASC LIMIT 20"""
 
+  // ---------- winnowing fingerprint selection (MOSS) ----------
+  /** Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): from the stream of
+    * character 5-gram hashes, select the minimum of every 4-hash window
+    * (rightmost on ties) — the guarantee is that any shared substring of
+    * length >= k + w - 1 = 8 contributes at least one IDENTICAL selected
+    * fingerprint to both documents, which is what makes the selected set
+    * (not the full gram set) sufficient for plagiarism/overlap detection
+    * at a fraction of the index size.
+    *
+    * Everything is integer: the gram hash is an exact base-131 polynomial
+    * over the code points (max < 131^4 * 128 * 1.01, well inside BIGINT —
+    * no modulus, so no overflow-semantics question either), and the
+    * rightmost-min rule is encoded by packing `(hash, position)` into one
+    * key = `h * 2^20 + (2^20 - 1 - i)` so a plain windowed `min` resolves
+    * value-then-rightmost in a single pass (documented position bound:
+    * documents up to 2^20 chars).
+    *
+    * Scale shape: gram explode and hashing are scan-side; the windowed
+    * min partitions by `doc_id` — the ONLY exchange, since the dedup and
+    * per-doc rollup that follow group on supersets of `doc_id` and reuse
+    * the same partitioning (pinned in PlanAuditSpec).
+    */
+  def qTextWinnow(spark: SparkSession, dir: String): DataFrame = {
+    def a(off: Int): Column =
+      ascii(col("text").substr(col("i") + lit(off + 1), lit(1))).cast("long")
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .where(col("n") >= 5)
+      .select(col("doc_id"), col("text"), col("n"),
+        explode(sequence(lit(0), col("n") - 5)).as("i"))
+      .withColumn("h",
+        (((a(0) * 131 + a(1)) * 131 + a(2)) * 131 + a(3)) * 131 + a(4))
+      .withColumn("key", col("h") * 1048576L + (lit(1048575L) - col("i")))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.currentRow, 3)
+    grams
+      .withColumn("wkey", min(col("key")).over(win))
+      .where(col("i") <= col("n") - 8) // complete windows only
+      .select(col("doc_id"), col("n"),
+        expr("wkey DIV 1048576").as("fp"), // integer div: wkey > 2^53
+        (lit(1048575L) - pmod(col("wkey"), lit(1048576L))).as("pos"))
+      .groupBy(col("doc_id"), col("fp"), col("pos")) // selected set
+      .agg(max(col("n")).as("n"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("n")) - 4).cast("long").as("n_grams"),
+        count(lit(1)).as("n_fingerprints"),
+        sum(col("fp")).as("fp_sum"),
+        min(col("fp")).as("fp_min"),
+        max(col("fp")).as("fp_max"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextWinnowOracle: String =
+    """WITH d AS (SELECT doc_id, text, length(text) n FROM documents
+        WHERE length(text) >= 5),
+      pos AS (SELECT doc_id, text, n, unnest(range(0, n - 4)) i FROM d),
+      g AS (SELECT doc_id, n, i,
+          ((((ascii(substr(text, i::INT + 1, 1))::BIGINT * 131
+            + ascii(substr(text, i::INT + 2, 1))) * 131
+            + ascii(substr(text, i::INT + 3, 1))) * 131
+            + ascii(substr(text, i::INT + 4, 1))) * 131
+            + ascii(substr(text, i::INT + 5, 1))) h
+        FROM pos),
+      k AS (SELECT doc_id, n, i, h * 1048576 + (1048575 - i) AS key FROM g),
+      m AS (SELECT doc_id, n, i, min(key) OVER (PARTITION BY doc_id
+          ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) wkey
+        FROM k),
+      sel AS (SELECT DISTINCT doc_id, n, wkey // 1048576 AS fp,
+          1048575 - (wkey % 1048576) AS pos
+        FROM m WHERE i <= n - 8)
+      SELECT doc_id, max(n) - 4 AS n_grams, count(*)::BIGINT n_fingerprints,
+        sum(fp)::BIGINT fp_sum, min(fp) fp_min, max(fp) fp_max
+      FROM sel GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
@@ -1318,6 +1392,7 @@ object TextAnalysis {
     "q_length_histogram" -> (qLengthHistogram _),
     "q_text_bm25" -> (qTextBm25 _),
     "q_bpe_pairs" -> (qBpePairs _),
+    "q_text_winnow" -> (qTextWinnow _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1350,5 +1425,6 @@ object TextAnalysis {
     "q_length_histogram" -> qLengthHistogramOracle,
     "q_text_bm25" -> qTextBm25Oracle,
     "q_bpe_pairs" -> qBpePairsOracle,
+    "q_text_winnow" -> qTextWinnowOracle,
   )
 }

@@ -798,6 +798,37 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing: per-doc selections equal a local reference and a shared " +
+    "substring of length >= k + w - 1 yields a shared fingerprint") {
+    def winnow(text: String): Seq[(Long, Int)] = {
+      val n = text.length
+      if (n < 8) return Seq.empty
+      val h = (0 to n - 5).map { i =>
+        text.substring(i, i + 5).foldLeft(0L)((acc, c) => acc * 131 + c)
+      }
+      val sel = scala.collection.mutable.LinkedHashSet[(Long, Int)]()
+      for (s <- 0 to h.length - 4)
+        sel += (s until s + 4).map(j => (h(j), j)).minBy(t => (t._1, -t._2))
+      sel.toSeq
+    }
+    val rows = TextAnalysis.qTextWinnow(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val local = Tables.documents(spark, dir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .map { case (id, t) =>
+        val fps = winnow(t).map(_._1)
+        (id, (t.length - 4).toLong, fps.size.toLong, fps.sum, fps.min, fps.max)
+      }.sortBy(_._1)
+    assert(rows.toSeq == local.toSeq)
+    // the SIGMOD'03 guarantee: substrings of length >= 8 shared between
+    // two documents always contribute at least one common fingerprint
+    val shared = "quick brown fox jumps"
+    val fa = winnow(s"the $shared over it").map(_._1).toSet
+    val fb = winnow(s"xx $shared zz").map(_._1).toSet
+    assert((fa & fb).nonEmpty, "winnowing guarantee violated")
+  }
+
   test("containment: pairs equal a local reference and the 0.5 cut has " +
     "margin against every non-matching pair") {
     val rows = Dedup.qDedupContainment(spark, dir).collect()

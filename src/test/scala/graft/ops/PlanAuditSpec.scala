@@ -731,6 +731,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("& 65535"), "banding must extract 16-bit words")
   }
 
+  test("q_text_winnow: gram explode is scan-side and doc_id is the only " +
+    "exchange — dedup and rollup reuse the window's partitioning") {
+    val p = plan("q_text_winnow")
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.length == 1,
+      s"selection + rollup must reuse the doc_id shuffle:\n${hashEx.mkString("\n")}")
+    assert(hashEx.head.contains("doc_id"), hashEx.head)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_bpe_pairs: explodes stay scan-side (partial agg feeds the only " +
     "hash exchange) and the top-20 is a top-k, not a global sort") {
     val p = plan("q_bpe_pairs")
