@@ -330,7 +330,7 @@ object Dedup {
     * GC the RDD reference. At 100 TB that is rounds × edge-set of dead
     * blocks competing with the live working set.
     */
-  private def releaseCheckpoint(df: DataFrame): Unit =
+  private[ops] def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)

@@ -738,6 +738,107 @@ object EventOps {
       GROUP BY 1, 2
       ORDER BY n_transitions DESC, from_type, to_type LIMIT 15"""
 
+  // ---------- PageRank over the event-type transition graph ----------
+  /** Importance ranking of event types by the stationary-walk intuition:
+    * three unrolled PageRank iterations (damping 0.85) over the directed
+    * transition graph that [[qEventsPaths]] mines. The graph is bounded
+    * by |event types|² regardless of event volume, so the iteration
+    * joins are dimension-scale; the corpus pays only the user-keyed
+    * sequence window and the combine-fed pair aggregate.
+    *
+    * Fixed-point determinism, overflow-safe at ANY corpus size: edge
+    * weights first quantize to parts-per-million transition
+    * probabilities (`(w * 1e6) DIV out` — the only place the raw counts
+    * enter), so every later product is bounded by SCALE·1e6 = 1e18 < 2^63
+    * no matter how many transitions the corpus holds. All divisions are
+    * integer DIV on positive values (truncate == floor, so Spark DIV and
+    * DuckDB `//` agree term for term). Dangling types contribute nothing
+    * (standard simplification, mirrored in the oracle).
+    */
+  def qEventsPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    // persist the |types|²-row edge aggregate: every downstream branch
+    // (out-weights, node set, three iteration joins) re-reads this tiny
+    // cache instead of re-running the corpus scan + user_id window — the
+    // one corpus pass happens exactly once (see PlanAuditSpec)
+    val edges = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("w"))
+      .persist()
+    // checkpoint the (tiny) per-iteration state so the plan tree stays
+    // bounded — without it each step embeds the previous one TWICE
+    // (contribution side + base side), doubling the physical plan per
+    // iteration; with it every round reads |types| rows from the last
+    // round's materialized RDD and the final plan touches no file scan
+    val out = edges.groupBy(col("from_type"))
+      .agg(sum(col("w")).as("out")).localCheckpoint()
+    val probs = edges.join(out, "from_type")
+      .select(col("from_type"), col("to_type"),
+        expr("(w * 1000000) DIV out").as("p6")).localCheckpoint()
+    val nodes = edges.select(col("from_type").as("t"))
+      .union(edges.select(col("to_type").as("t"))).distinct()
+    val n1 = nodes.agg(count(lit(1)).as("n"))
+    def step(cur: DataFrame): DataFrame = {
+      val contribs = probs.join(cur, probs("from_type") === cur("t"))
+        .select(col("to_type").as("t"),
+          expr("(r * p6) DIV 1000000").as("c"))
+        .groupBy(col("t")).agg(sum(col("c")).as("s"))
+      cur.select(col("t"), col("n")).join(contribs, Seq("t"), "left")
+        .select(col("t"), col("n"),
+          expr("((1000000000000 DIV n) * 15) DIV 100" +
+            " + (85 * coalesce(s, 0)) DIV 100").as("r"))
+    }
+    var cur = nodes.crossJoin(broadcast(n1))
+      .select(col("t"), col("n"), expr("1000000000000 DIV n").as("r"))
+      .localCheckpoint()
+    for (_ <- 0 until 3) {
+      val next = step(cur).localCheckpoint()
+      Dedup.releaseCheckpoint(cur)
+      cur = next
+    }
+    edges.unpersist(blocking = false) // all survivors read checkpoints
+    cur.join(out, cur("t") === out("from_type"), "left")
+      .select(col("t").as("event_type"), col("r").as("rank_e12"),
+        coalesce(col("out"), lit(0L)).as("out_transitions"))
+      .orderBy(col("rank_e12").desc, col("event_type"))
+  }
+
+  val qEventsPagerankOracle: String =
+    """WITH s AS (SELECT user_id, event_type ft, lead(event_type)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id) tt FROM events),
+      e AS (SELECT ft, tt, count(*)::BIGINT w FROM s
+        WHERE tt IS NOT NULL GROUP BY ft, tt),
+      o AS (SELECT ft, sum(w)::BIGINT outw FROM e GROUP BY ft),
+      p AS (SELECT e.ft, e.tt, (e.w * 1000000) // o.outw p6
+        FROM e JOIN o USING (ft)),
+      nodes AS (SELECT DISTINCT ft t FROM e UNION SELECT DISTINCT tt FROM e),
+      nn AS (SELECT count(*) n FROM nodes),
+      r0 AS (SELECT t, nn.n, 1000000000000 // nn.n r FROM nodes, nn),
+      c1 AS (SELECT p.tt t, sum((r0.r * p.p6) // 1000000)::BIGINT s
+        FROM p JOIN r0 ON p.ft = r0.t GROUP BY p.tt),
+      r1 AS (SELECT r0.t, r0.n, ((1000000000000 // r0.n) * 15) // 100
+          + (85 * coalesce(c1.s, 0)) // 100 r
+        FROM r0 LEFT JOIN c1 ON r0.t = c1.t),
+      c2 AS (SELECT p.tt t, sum((r1.r * p.p6) // 1000000)::BIGINT s
+        FROM p JOIN r1 ON p.ft = r1.t GROUP BY p.tt),
+      r2 AS (SELECT r1.t, r1.n, ((1000000000000 // r1.n) * 15) // 100
+          + (85 * coalesce(c2.s, 0)) // 100 r
+        FROM r1 LEFT JOIN c2 ON r1.t = c2.t),
+      c3 AS (SELECT p.tt t, sum((r2.r * p.p6) // 1000000)::BIGINT s
+        FROM p JOIN r2 ON p.ft = r2.t GROUP BY p.tt),
+      r3 AS (SELECT r2.t, r2.n, ((1000000000000 // r2.n) * 15) // 100
+          + (85 * coalesce(c3.s, 0)) // 100 r
+        FROM r2 LEFT JOIN c3 ON r2.t = c3.t)
+      SELECT r3.t AS event_type, r3.r AS rank_e12,
+        coalesce(o.outw, 0) AS out_transitions
+      FROM r3 LEFT JOIN o ON r3.t = o.ft
+      ORDER BY rank_e12 DESC, event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_tumbling" -> (qEventsTumbling _),
     "q_events_sliding" -> (qEventsSliding _),
@@ -755,6 +856,7 @@ object EventOps {
     "q_events_retention" -> (qEventsRetention _),
     "q_events_anomaly" -> (qEventsAnomaly _),
     "q_events_paths" -> (qEventsPaths _),
+    "q_events_pagerank" -> (qEventsPagerank _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -774,5 +876,6 @@ object EventOps {
     "q_events_retention" -> qEventsRetentionOracle,
     "q_events_anomaly" -> qEventsAnomalyOracle,
     "q_events_paths" -> qEventsPathsOracle,
+    "q_events_pagerank" -> qEventsPagerankOracle,
   )
 }

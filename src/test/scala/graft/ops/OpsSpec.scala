@@ -798,6 +798,40 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank: three fixed-point iterations over the transition graph " +
+    "match a local reference and conserve mass within truncation loss") {
+    val rows = EventOps.qEventsPagerank(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val edges = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val s = es.sortBy(e => (e._3, e._4)).map(_._2)
+      s.zip(s.tail)
+    }.groupBy(identity).map { case (e, xs) => e -> xs.size.toLong }
+    val out = edges.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+    val p6 = edges.map { case ((f, t), w) => (f, t) -> (w * 1000000L) / out(f) }
+    val nodes = (edges.keys.map(_._1) ++ edges.keys.map(_._2)).toSeq.distinct
+    val n = nodes.size
+    var r = nodes.map(_ -> 1000000000000L / n).toMap
+    for (_ <- 0 until 3) {
+      val s = p6.toSeq.map { case ((f, t), p) => t -> (r(f) * p) / 1000000L }
+        .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
+      r = nodes.map(v => v ->
+        ((1000000000000L / n) * 15 / 100 + 85 * s.getOrElse(v, 0L) / 100)).toMap
+    }
+    val local = nodes.map(v => (v, r(v), out.getOrElse(v, 0L)))
+      .sortBy(t => (-t._2, t._1))
+    assert(rows.toSeq == local, s"engine ${rows.toSeq} vs local $local")
+    // damped fixed-point mass: each iteration loses at most ~outdeg ppm
+    // to p6 quantization (outdeg <= |V|), so after 3 iterations the rank
+    // sum sits within 15·|V| ppm of SCALE
+    val mass = rows.map(_._2).sum
+    assert(mass <= 1000000000000L && mass > 999900000000L, mass.toString)
+  }
+
   test("winnowing: per-doc selections equal a local reference and a shared " +
     "substring of length >= k + w - 1 yields a shared fingerprint") {
     def winnow(text: String): Seq[(Long, Int)] = {

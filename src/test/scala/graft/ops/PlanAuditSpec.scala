@@ -731,6 +731,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("& 65535"), "banding must extract 16-bit words")
   }
 
+  test("q_events_pagerank: the corpus pays one user_id shuffle; iteration " +
+    "joins run over the bounded type graph") {
+    val p = plan("q_events_pagerank")
+    // the corpus pass ran exactly once while the persisted edge
+    // aggregate materialized; the returned plan reads only checkpointed
+    // |types|-row state — no file scan, no corpus shuffle can remain
+    assert(!p.contains("FileScan"),
+      s"final plan must touch only checkpointed dimension state: $p")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_text_winnow: gram explode is scan-side and doc_id is the only " +
     "exchange — dedup and rollup reuse the window's partitioning") {
     val p = plan("q_text_winnow")
