@@ -768,6 +768,54 @@ object Similarity {
         max(CASE WHEN rn = 1 THEN n END)::BIGINT n_top_label
       FROM r GROUP BY cluster ORDER BY cluster"""
 
+  // ---------- exact covariance structure over embedding dimensions ----------
+
+  /** Distributed exact covariance accumulation over the first 8 embedding
+    * dimensions — the Gram-matrix pass behind PCA/whitening decisions on
+    * an embedding corpus (is a cheap dimensionality cut safe? are dims
+    * correlated?). Emits, per dimension pair (i <= j), the exact integer
+    * sufficient statistics (n, Σqᵢ, Σqⱼ, Σqᵢqⱼ) and the covariance
+    * numerator n·Σqᵢqⱼ − Σqᵢ·Σqⱼ (= n²·cov, scaled 1e6).
+    *
+    * Determinism: components quantize to fixed-point
+    * (`round(x·1e3)` BIGINT — the [[qClusterKmeans]] idiom at a coarser
+    * grid) so every sum is an associative integer fold, engine-identical
+    * under any partitioning. Grid choice is the overflow budget: products
+    * are bounded by 2.9e5, so Σqᵢqⱼ stays inside BIGINT past 3e13 rows;
+    * the derived numerator products are safe past ~5e9 rows (beyond that
+    * a deployment reports Σqᵢqⱼ/n − μᵢμⱼ in doubles instead — the
+    * sufficient statistics themselves never overflow first).
+    *
+    * Scale shape: the 36 pair terms are built scan-side per row (nested
+    * `transform`, no join, no second read of the corpus) and feed ONE
+    * combine-fed exchange keyed on the 36 (di, dj) pairs —
+    * O(tasks · 36) rows regardless of corpus size.
+    */
+  def qEmbedCovariance(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(expr("transform(slice(embedding, 1, 8), " +
+        "x -> cast(round(cast(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
+      .select(explode(expr("flatten(transform(sequence(0, 7), " +
+        "i -> transform(sequence(i, 7), " +
+        "j -> struct(i AS di, j AS dj, q[i] AS qi, q[j] AS qj))))")).as("p"))
+      .select(col("p.di"), col("p.dj"), col("p.qi"), col("p.qj"))
+      .groupBy(col("di"), col("dj"))
+      .agg(count(lit(1)).as("n"), sum(col("qi")).as("s_i"),
+        sum(col("qj")).as("s_j"), sum(expr("qi * qj")).as("s_ij"))
+      .withColumn("cov_num_e6", expr("n * s_ij - s_i * s_j"))
+      .orderBy(col("di"), col("dj"))
+
+  val qEmbedCovarianceOracle: String =
+    """WITH q AS (SELECT [round(x * 1000)::BIGINT
+          FOR x IN embedding[1:8]::DOUBLE[]] q FROM embeddings),
+      p AS (SELECT i::INT i, j::INT j, q[i::INT + 1] qi, q[j::INT + 1] qj
+        FROM q, range(0, 8) ti(i), range(0, 8) tj(j) WHERE j >= i)
+      SELECT i AS di, j AS dj, count(*)::BIGINT n, sum(qi)::BIGINT s_i,
+        sum(qj)::BIGINT s_j, sum(qi * qj)::BIGINT s_ij,
+        count(*)::BIGINT * sum(qi * qj)::BIGINT
+          - sum(qi)::BIGINT * sum(qj)::BIGINT AS cov_num_e6
+      FROM p GROUP BY i, j ORDER BY di, dj"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_dedup_semantic" -> (qDedupSemantic _),
@@ -780,6 +828,7 @@ object Similarity {
     "q_ann_mrl" -> (qAnnMrl _),
     "q_ann_rerank" -> (qAnnRerank _),
     "q_cluster_kmeans" -> (qClusterKmeans _),
+    "q_embed_covariance" -> (qEmbedCovariance _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -794,5 +843,6 @@ object Similarity {
     "q_ann_mrl" -> qAnnMrlOracle,
     "q_ann_rerank" -> qAnnRerankOracle,
     "q_cluster_kmeans" -> qClusterKmeansOracle,
+    "q_embed_covariance" -> qEmbedCovarianceOracle,
   )
 }

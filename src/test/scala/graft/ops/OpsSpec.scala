@@ -798,6 +798,28 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("embed covariance: sufficient statistics equal a local reference; " +
+    "diagonal numerators are Cauchy-Schwarz nonnegative") {
+    val rows = Similarity.qEmbedCovariance(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val vecs = Tables.embeddings(spark, dir).select("embedding").collect()
+      .map(_.getSeq[Float](0).take(8).map(x =>
+        math.round(x.toDouble * 1000)).toArray)
+    val local = (for (i <- 0 until 8; j <- i until 8) yield {
+      val (si, sj, sij) = vecs.foldLeft((0L, 0L, 0L)) { case ((a, b, c), v) =>
+        (a + v(i), b + v(j), c + v(i) * v(j))
+      }
+      val n = vecs.length.toLong
+      (i, j, n, si, sj, sij, n * sij - si * sj)
+    }).toSeq
+    assert(rows.toSeq == local, s"engine ${rows.take(3).toSeq}... vs local")
+    // n·Σq² − (Σq)² >= 0 for every diagonal entry
+    rows.filter(r => r._1 == r._2).foreach(r =>
+      assert(r._7 >= 0, s"negative variance numerator at dim ${r._1}"))
+    assert(rows.length == 36)
+  }
+
   test("pagerank: three fixed-point iterations over the transition graph " +
     "match a local reference and conserve mass within truncation loss") {
     val rows = EventOps.qEventsPagerank(spark, dir).collect()

@@ -731,6 +731,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("& 65535"), "banding must extract 16-bit words")
   }
 
+  test("q_embed_covariance: pair terms are scan-side; one combine-fed " +
+    "exchange on the 36 dimension pairs; no join anywhere") {
+    val p = plan("q_embed_covariance")
+    assert(p.contains("partial_sum"), p)
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.length == 1 && hashEx.head.contains("di") &&
+      hashEx.head.contains("dj"), hashEx.mkString("\n"))
+    assert(!p.contains("Join"), s"no join belongs in this plan: $p")
+  }
+
   test("q_events_pagerank: the corpus pays one user_id shuffle; iteration " +
     "joins run over the bounded type graph") {
     val p = plan("q_events_pagerank")
