@@ -920,6 +920,80 @@ object Dedup {
       WHERE i * 1.0 / c.n >= 0.5
       ORDER BY d1, d2"""
 
+  // ---------- prefix-filtered exact similarity join (PPJoin-style) ----------
+  /** EXACT all-pairs Jaccard join at threshold 0.5 — no anchors, no
+    * sketches: every document pair with J >= 0.5 is returned, found via
+    * prefix filtering (Chaudhuri/Ganti/Kaushik ICDE'06, the PPJoin
+    * family). Tokens order globally rarest-first (df asc, token asc);
+    * a pair at J >= t MUST share a token among each side's first
+    * `|T| - ceil(t·|T|) + 1` tokens in that order, so joining only on
+    * prefix tokens is complete — and because the ORACLE does the naive
+    * full token join, the hash-exact match IS the completeness proof of
+    * the prefix pass, at every SF.
+    *
+    * Determinism: the keep decision is the integer cross-multiplication
+    * `3·|a∩b| >= |a|+|b|` (exactly J >= 0.5 rearranged) — no float
+    * crosses a threshold; the reported Jaccard is one IEEE division on
+    * identical integer operands. The canonical token order is made
+    * collection-order-independent by `array_sort(collect_list(struct))`
+    * (the [[graft.ops.Similarity.qClusterKmeans]] idiom).
+    *
+    * Scale shape: df counting and the candidate join shuffle on the
+    * token key; prefix explosion is ~|T|/2 per doc (vs |T| for the full
+    * join) and, crucially, prefix tokens are the RAREST — the quadratic
+    * bucket-occupancy term the full token join pays on frequent tokens
+    * never materializes. Candidates dedup via a pair-keyed combine-fed
+    * aggregate before the O(|T|) exact intersect; the size filter
+    * (|a| <= 2|b|, from J >= 0.5) prunes inside the join condition.
+    */
+  def qDedupPpjoin(spark: SparkSession, dir: String): DataFrame = {
+    val toks = shingled(spark, dir)
+      .select(col("doc_id"), size(col("sh")).as("sz"),
+        explode(col("sh")).as("s"))
+    val df = toks.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val ordered = toks.join(df, "s")
+      .groupBy(col("doc_id"))
+      .agg(max(col("sz")).as("sz"),
+        transform(array_sort(collect_list(struct(col("df"), col("s")))),
+          x => x.getField("s")).as("toks"))
+    val pre = ordered.select(col("doc_id"), col("sz"), col("toks"),
+      explode(expr("slice(toks, 1, sz DIV 2 + 1)")).as("p"))
+    val a = pre.toDF("d1", "sz1", "t1", "p")
+    val b = pre.toDF("d2", "sz2", "t2", "p")
+    a.join(b, Seq("p"))
+      .where(col("d1") < col("d2") &&
+        col("sz1") <= col("sz2") * 2 && col("sz2") <= col("sz1") * 2)
+      .groupBy(col("d1"), col("d2"))
+      // every carried value is functionally determined by the pair key,
+      // so first() is deterministic here
+      .agg(first(col("t1")).as("t1"), first(col("t2")).as("t2"),
+        first(col("sz1")).as("sz1"), first(col("sz2")).as("sz2"))
+      .withColumn("inter", size(array_intersect(col("t1"), col("t2"))))
+      .where(expr("3 * inter >= sz1 + sz2"))
+      .select(col("d1"), col("d2"),
+        round(col("inter") * lit(1.0) /
+          (col("sz1") + col("sz2") - col("inter")), 6).as("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Naive full token join — deliberately prefix-free: agreement with the
+    * engine proves the prefix pass dropped nothing.
+    */
+  val qDedupPpjoinOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) < 3
+          THEN []::VARCHAR[]
+          ELSE [ws[i]||' '||ws[i+1]||' '||ws[i+2] for i in range(1, len(ws)-1)]
+        END) AS shingles FROM t),
+      ft AS (SELECT doc_id, len(shingles) sz, unnest(shingles) s FROM sh
+        WHERE len(shingles) > 0),
+      inter AS (SELECT a.doc_id d1, b.doc_id d2, max(a.sz) s1, max(b.sz) s2,
+          count(*) i
+        FROM ft a JOIN ft b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT d1, d2, round(i * 1.0 / (s1 + s2 - i), 6) AS jaccard
+      FROM inter WHERE 3 * i >= s1 + s2 ORDER BY d1, d2"""
+
   // ---------- corpus novelty scoring ----------
   /** Per-document novelty: the fraction of a document's shingles whose
     * FIRST occurrence (by doc_id order) is in that document — the
@@ -979,6 +1053,7 @@ object Dedup {
     "q_dedup_bloom" -> (qDedupBloom _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_text_novelty" -> (qTextNovelty _),
+    "q_dedup_ppjoin" -> (qDedupPpjoin _),
   )
 
   /** q_dedup_simhash keeps the exact-set oracle under word blocking: the
@@ -1001,5 +1076,6 @@ object Dedup {
     "q_dedup_bloom" -> qDedupBloomOracle,
     "q_dedup_containment" -> qDedupContainmentOracle,
     "q_text_novelty" -> qTextNoveltyOracle,
+    "q_dedup_ppjoin" -> qDedupPpjoinOracle,
   )
 }

@@ -798,6 +798,38 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ppjoin: exact all-pairs J >= 0.5 equals a local reference and the " +
+    "prefix-filter theorem holds pair by pair on the corpus") {
+    val rows = Dedup.qDedupPpjoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+      .filter(_._2.length >= 3)
+    val shing = docs.map { case (id, ws) =>
+      id -> ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val local = (for {
+      (a, sa) <- shing; (b, sb) <- shing if a < b
+      i = (sa & sb).size if 3 * i >= sa.size + sb.size
+    } yield (a, b, BigDecimal(i.toDouble / (sa.size + sb.size - i))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .sortBy(t => (t._1, t._2))
+    assert(rows.toSeq == local.toSeq, s"engine ${rows.length} vs local ${local.length}")
+    assert(rows.nonEmpty, "corpus must exercise the join")
+    // instantiate the prefix theorem on every matching pair: with tokens
+    // ordered rarest-first, both prefixes of length |T| - ceil(|T|/2) + 1
+    // contain at least one common token
+    val dfMap = shing.flatMap(_._2).groupBy(identity).map { case (s, xs) => s -> xs.size }
+    val ordered = shing.toMap.map { case (id, s) =>
+      id -> s.toSeq.sortBy(t => (dfMap(t), t))
+    }
+    rows.foreach { case (a, b, _) =>
+      val pa = ordered(a).take(ordered(a).size / 2 + 1).toSet
+      val pb = ordered(b).take(ordered(b).size / 2 + 1).toSet
+      assert((pa & pb).nonEmpty, s"prefixes of pair ($a,$b) share no token")
+    }
+  }
+
   test("embed covariance: sufficient statistics equal a local reference; " +
     "diagonal numerators are Cauchy-Schwarz nonnegative") {
     val rows = Similarity.qEmbedCovariance(spark, dir).collect()

@@ -731,6 +731,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("& 65535"), "banding must extract 16-bit words")
   }
 
+  test("q_dedup_ppjoin: candidate generation joins on the token key — " +
+    "no cartesian, no nested loop; pair dedup is combine-fed") {
+    val p = plan("q_dedup_ppjoin")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the candidate join is an equi-join on the prefix token (hash or
+    // sort-merge depending on stats — never a product)
+    assert(p.linesIterator.exists(l =>
+      (l.contains("HashJoin") || l.contains("SortMergeJoin")) &&
+        l.contains("[p#")),
+      s"candidate join must key on the prefix token: $p")
+    // df counting shuffles on the token; the pair dedup then reuses the
+    // join output's partitioning (no extra pair exchange appears)
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.exists(_.contains("s#")),
+      s"df aggregate must shuffle on the token key:\n${hashEx.mkString("\n")}")
+    assert(p.contains("partial_count"), p)
+  }
+
   test("q_embed_covariance: pair terms are scan-side; one combine-fed " +
     "exchange on the 36 dimension pairs; no join anywhere") {
     val p = plan("q_embed_covariance")
