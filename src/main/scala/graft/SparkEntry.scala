@@ -20,12 +20,14 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Dedup.queries ++ Similarity.queries ++
+      GraphOps.queries ++
       TextAnalysis.queries ++ EventOps.queries ++ Multimodal.queries ++
       ArrayOps.queries ++ Formats.queries ++
       graft.cdc.CdcColumns.queries ++ graft.convert.ConvertQueries.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+      GraphOps.oracles ++
       TextAnalysis.oracles ++ EventOps.oracles ++ Multimodal.oracles ++
       ArrayOps.oracles ++ Formats.oracles ++
       graft.cdc.CdcColumns.oracles ++ graft.convert.ConvertQueries.oracles

@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over graphs derived from the TPC-H-ish
+  * tables. Complements the fixed-point iteration family (PageRank in
+  * [[EventOps]], label propagation / star contraction in [[Dedup]]) with
+  * one-shot structural queries.
+  *
+  * All outputs are integers (or one final rounded division on identical
+  * integer operands), so Spark and DuckDB agree bit-for-bit.
+  */
+object GraphOps {
+
+  // ---------- exact triangle census (degree-ordered wedge join) ----------
+  /** Per-node triangle counts and local clustering coefficients on the
+    * part co-purchase graph (parts are adjacent iff some order contains
+    * both), top 20 nodes by triangle participation.
+    *
+    * Exact, via the classic degree-ordered orientation (Chiba–Nishizeki /
+    * MapReduce "node-iterator++"): every undirected edge is directed from
+    * its (degree, id)-smaller endpoint to the larger, so each triangle is
+    * generated exactly once — as a wedge at its smallest vertex joined
+    * against the closing oriented edge. Out-degrees under this orientation
+    * are O(√m), which bounds the wedge shuffle at O(m^{3/2}) regardless of
+    * skew — the frequent-part hub that would make the naive
+    * wedge-at-every-vertex plan quadratic gets out-degree ~√m, not ~m.
+    * The oracle deliberately enumerates triangles the naive id-ordered
+    * way, so the hash-exact match proves the orientation loses nothing.
+    *
+    * Scale shape: the graph is restricted to small parts (p_size <= 10)
+    * by a broadcast dimension join BEFORE the quadratic pair step, so the
+    * edge count shrinks with the square of the filter's selectivity — the
+    * same pre-join pruning a user would apply to census one product
+    * segment. Co-purchase edges shuffle on the order key, then
+    * dedup on the (pa, pb) pair key; degrees and the two wedge-side joins
+    * are all equi-joins on node keys; the final top-20 is a TakeOrdered,
+    * not a global sort. No cartesian anywhere. Local cc is one IEEE
+    * division of exact integers, rounded at the very end. The edge list
+    * and the oriented edges are localCheckpoint'd (graph-sized, not
+    * corpus-sized): the corpus scan and the quadratic pair step each run
+    * exactly once, and the five downstream consumers read the
+    * materialized graph — the same persist-the-edge-list discipline any
+    * iterative/multi-pass graph analytics job uses at 100 TB.
+    */
+  def qGraphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val small = Tables.part(spark, dir)
+      .where(col("p_size") <= 10)
+      .select(col("p_partkey").as("p"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .join(broadcast(small), "p")
+      .select(col("o"), col("p"))
+      .distinct()
+    // checkpoint the (graph-sized, not corpus-sized) edge list: every
+    // downstream branch — degrees, both wedge sides, the closing edge —
+    // re-reads this materialization instead of re-running the corpus
+    // scan + order self-join; the one corpus pass happens exactly once
+    // (the [[EventOps.qEventsPagerank]] idiom)
+    val e = li.toDF("o", "pa")
+      .join(li.toDF("o", "pb"), "o")
+      .where(col("pa") < col("pb"))
+      .select(col("pa"), col("pb"))
+      .distinct()
+      .localCheckpoint()
+    val deg = e.select(explode(array(col("pa"), col("pb"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orient each edge from the (degree, id)-smaller endpoint to the
+    // larger; carry the destination's (degree, id) rank for wedge ordering
+    val oriented = e
+      .join(deg.toDF("pa", "da"), "pa")
+      .join(deg.toDF("pb", "db"), "pb")
+      .select(
+        when(struct(col("da"), col("pa")) < struct(col("db"), col("pb")),
+          struct(col("pa").as("src"), col("pb").as("dst"),
+            struct(col("db").as("d"), col("pb").as("n")).as("rank")))
+          .otherwise(
+            struct(col("pb").as("src"), col("pa").as("dst"),
+              struct(col("da").as("d"), col("pa").as("n")).as("rank")))
+          .as("edge"))
+      .select(col("edge.src").as("src"), col("edge.dst").as("dst"),
+        col("edge.rank").as("rank"))
+      .localCheckpoint()
+    // wedges at the orientation-minimal vertex; the closing edge between
+    // the two out-neighbors is oriented rank-smaller → rank-larger, so a
+    // single equi-join on (v, w) closes the triangle
+    val tri = oriented.toDF("u", "v", "rv")
+      .join(oriented.toDF("u", "w", "rw"), "u")
+      .where(col("rv") < col("rw"))
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"))
+      .select(col("u"), col("v"), col("w"))
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("t"))
+      .join(deg, "n")
+      .select(col("n").as("part"), col("d").as("degree"),
+        col("t").as("triangles"),
+        round(lit(2.0) * col("t") / (col("d") * (col("d") - 1)), 6)
+          .as("local_cc"))
+      .orderBy(col("triangles").desc, col("part"))
+      .limit(20)
+  }
+
+  /** Naive id-ordered triangle enumeration — deliberately unoriented:
+    * agreement with the engine proves the degree orientation is lossless.
+    */
+  val qGraphTrianglesOracle: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 10)),
+      e AS (SELECT DISTINCT a.p pa, b.p pb FROM li a
+        JOIN li b ON a.o = b.o AND a.p < b.p),
+      deg AS (SELECT n, count(*) d FROM
+        (SELECT pa n FROM e UNION ALL SELECT pb n FROM e) GROUP BY n),
+      tr AS (SELECT e1.pa a, e1.pb b, e2.pb c
+        FROM e e1
+        JOIN e e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
+        JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb),
+      nt AS (SELECT n, count(*) t FROM
+        (SELECT a n FROM tr UNION ALL SELECT b n FROM tr
+         UNION ALL SELECT c n FROM tr) GROUP BY n)
+      SELECT nt.n AS part, d AS degree, t AS triangles,
+        round(2.0::DOUBLE * t / (d * (d - 1)), 6) AS local_cc
+      FROM nt JOIN deg ON deg.n = nt.n
+      ORDER BY triangles DESC, part LIMIT 20"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_triangles" -> (qGraphTriangles _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_graph_triangles" -> qGraphTrianglesOracle,
+  )
+}

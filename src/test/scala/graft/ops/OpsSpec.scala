@@ -999,4 +999,48 @@ class OpsSpec extends AnyFunSuite {
       .sortBy { case (p, n, _) => (-n, p) }.take(20)
     assert(rows.toSeq == localTop, s"engine ${rows.toSeq} vs local $localTop")
   }
+
+  test("graph triangles: census equals a local reference; degree " +
+    "orientation bounds every out-degree by sqrt(2m)") {
+    val rows = GraphOps.qGraphTriangles(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty, "graph must contain triangles")
+    val small = Tables.part(spark, dir).where("p_size <= 10")
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(t => small(t._2)).distinct
+    val edges = li.groupBy(_._1).values.flatMap { ps =>
+      val s = ps.map(_._2).distinct.sorted
+      for (i <- s.indices; j <- i + 1 until s.size) yield (s(i), s(j))
+    }.toSet
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val triCount = collection.mutable.Map.empty[Long, Long]
+    edges.foreach { case (a, b) =>
+      (adj(a) & adj(b)).filter(_ > b).foreach { c =>
+        Seq(a, b, c).foreach(n => triCount(n) = triCount.getOrElse(n, 0L) + 1)
+      }
+    }
+    val localTop = triCount.toSeq.map { case (n, t) =>
+      val d = deg(n)
+      (n, d, t, BigDecimal(2.0 * t / (d * (d - 1)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (n, _, t, _) => (-t, n) }.take(20)
+    assert(rows.toSeq == localTop, s"engine ${rows.toSeq} vs local $localTop")
+    // the scale invariant behind the wedge bound: orienting each edge
+    // toward the (degree, id)-larger endpoint caps out-degree at sqrt(2m)
+    val m = edges.size.toLong
+    val rank = deg.map { case (n, d) => n -> ((d, n)) }
+    val outDeg = edges.toSeq
+      .map { case (a, b) =>
+        if (Ordering[(Long, Long)].lt(rank(a), rank(b))) a else b
+      }
+      .groupBy(identity).values.map(_.size)
+    assert(outDeg.max <= math.sqrt(2.0 * m) + 1,
+      s"out-degree ${outDeg.max} exceeds sqrt(2m) for m=$m")
+  }
 }

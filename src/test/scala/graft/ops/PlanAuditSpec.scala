@@ -800,4 +800,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(hashEx.nonEmpty && hashEx.forall(_.contains("pair")),
       hashEx.mkString("\n"))
   }
+
+  test("q_graph_triangles: wedge and closing joins are equi-joins over " +
+    "the checkpointed edge list; top-20 is a top-k; no cartesian") {
+    val p = plan("q_graph_triangles")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject(limit=20"),
+      s"top-20 must be a top-k operator: $p")
+    // the corpus scan + quadratic pair step ran once, eagerly, into the
+    // localCheckpoint — the executed plan reads only the materialized
+    // graph (ExistingRDD), never a file
+    assert(!p.contains("FileScan"),
+      s"final plan must read the checkpointed graph, not the corpus: $p")
+    assert(p.contains("Scan ExistingRDD"), p)
+    // wedge join keys on the pivot node; the triangle-closing join keys
+    // on the (v, w) endpoint pair — both real equi-joins
+    val joins = p.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("HashJoin")).toSeq
+    assert(joins.exists(l => l.contains("[u#") && l.contains("(rv#")),
+      s"wedge join must key on the pivot with the rank-order condition:\n$p")
+    assert(joins.exists(l => l.contains("[v#") && l.contains("w#")),
+      s"closing join must key on the endpoint pair:\n$p")
+    assert(p.contains("partial_count"), p)
+  }
 }
