@@ -355,7 +355,20 @@ object Dedup {
     * oracle reproduces it exactly with a recursive transitive-closure
     * CTE over the same exact pair set that backs the MinHash oracle.
     */
-  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
+    ccLabels(spark, dir)
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        array_join(transform(sort_array(collect_list(col("id"))),
+          _.cast("string")), ",").as("members"))
+      .orderBy(col("cluster_id"))
+
+  /** Min-label-propagation fixpoint over the verified MinHash pair set:
+    * one (id, label) row per document that appears in at least one
+    * near-dup pair; label = min doc_id reachable in its component.
+    * Returned checkpointed (lineage truncated, blocks live).
+    */
+  private def ccLabels(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashPairs(spark, dir).select(col("d1"), col("d2"))
       .persist()
     val edges = pairs
@@ -392,13 +405,7 @@ object Dedup {
     }
     require(changed == 0, s"label propagation did not converge in $rounds rounds")
     pairs.unpersist(); edges.unpersist()
-
     labels
-      .groupBy(col("label").as("cluster_id"))
-      .agg(count(lit(1)).as("n_members"),
-        array_join(transform(sort_array(collect_list(col("id"))),
-          _.cast("string")), ",").as("members"))
-      .orderBy(col("cluster_id"))
   }
 
   /** Transitive closure over [[exactPairOracle]]'s pair set; `cluster_id`
@@ -428,6 +435,77 @@ object Dedup {
       SELECT cluster_id, count(*) AS n_members,
         string_agg(id, ',' ORDER BY id) AS members
       FROM labels GROUP BY cluster_id ORDER BY cluster_id"""
+
+  // ---------- canonical representative per near-dup cluster ----------
+  /** The keep/drop DECISION a dedup pipeline ends with: per connected
+    * component of the verified near-dup graph, keep the highest-quality
+    * member (longest document, ties to the smallest doc_id) and list the
+    * dropped ones. The argmax is a single `min` over the packed struct
+    * (-n_chars, doc_id) — Spark's struct ordering is lexicographic, so
+    * one combine-fed aggregate replaces the rank-1 window a naive
+    * implementation would shuffle for, and the decision is pure integer
+    * comparison (no float tie anywhere).
+    *
+    * Scale shape: the component labels come from the shared
+    * min-label-propagation fixpoint (one checkpointed (id, label) row per
+    * paired doc — graph-sized); the quality join touches only those rows,
+    * then one groupBy on the cluster key. Clusters are near-dup families
+    * (tiny fan-in), so no skew; the dropped-members list is bounded by
+    * cluster size, not corpus size.
+    */
+  def qDedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val labels = ccLabels(spark, dir)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+    labels.join(docs, labels("id") === docs("doc_id"))
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((col("n_chars") * -1).as("nc"),
+          col("doc_id").as("kid"))).as("k"),
+        sort_array(collect_list(col("doc_id"))).as("ms"))
+      .select(col("cluster_id"), col("n_members"),
+        col("k.kid").as("keep_id"), (col("k.nc") * -1).as("keep_chars"),
+        array_join(transform(filter(col("ms"), m => m =!= col("k.kid")),
+          _.cast("string")), ",").as("dropped"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** Same transitive closure as [[qDedupClustersOracle]]; the keep rule is
+    * re-expressed as the rank-1 window DuckDB optimizes best.
+    */
+  val qDedupCanonicalOracle: String =
+    """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') ws
+        FROM documents),
+      sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) < 3
+          THEN []::VARCHAR[]
+          ELSE [ws[i]||' '||ws[i+1]||' '||ws[i+2] for i in range(1, len(ws)-1)]
+        END) AS shingles FROM t),
+      ex AS (SELECT doc_id, unnest(shingles) s FROM sh),
+      inter AS (SELECT a.doc_id d1, b.doc_id d2, count(*) i FROM ex a
+        JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      card AS (SELECT doc_id, len(shingles) n FROM sh),
+      pairs AS (SELECT d1, d2 FROM inter
+        JOIN card ca ON ca.doc_id = d1 JOIN card cb ON cb.doc_id = d2
+        WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8),
+      edges AS (SELECT d1 AS s, d2 AS t FROM pairs
+        UNION ALL SELECT d2, d1 FROM pairs),
+      walk AS (SELECT s AS id, t AS reach FROM edges
+        UNION
+        SELECT w.id, e.t FROM walk w JOIN edges e ON w.reach = e.s),
+      labels AS (SELECT id, least(id, min(reach)) AS cluster_id
+        FROM walk GROUP BY id),
+      j AS (SELECT l.cluster_id, l.id, d.n_chars FROM labels l
+        JOIN documents d ON d.doc_id = l.id),
+      r AS (SELECT cluster_id, id, n_chars, row_number()
+          OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, id) rn
+        FROM j),
+      g AS (SELECT cluster_id, count(*) AS n_members,
+          string_agg(CASE WHEN rn > 1 THEN id END, ',' ORDER BY id) AS dropped
+        FROM r GROUP BY cluster_id),
+      k AS (SELECT cluster_id, id keep_id, n_chars keep_chars
+        FROM r WHERE rn = 1)
+      SELECT g.cluster_id, n_members, keep_id, keep_chars, dropped
+      FROM g JOIN k ON g.cluster_id = k.cluster_id ORDER BY g.cluster_id"""
 
   // ---------- connected components: large-star/small-star variant ----------
   /** The alternating large-star/small-star formulation of distributed
@@ -1054,6 +1132,7 @@ object Dedup {
     "q_dedup_containment" -> (qDedupContainment _),
     "q_text_novelty" -> (qTextNovelty _),
     "q_dedup_ppjoin" -> (qDedupPpjoin _),
+    "q_dedup_canonical" -> (qDedupCanonical _),
   )
 
   /** q_dedup_simhash keeps the exact-set oracle under word blocking: the
@@ -1077,5 +1156,6 @@ object Dedup {
     "q_dedup_containment" -> qDedupContainmentOracle,
     "q_text_novelty" -> qTextNoveltyOracle,
     "q_dedup_ppjoin" -> qDedupPpjoinOracle,
+    "q_dedup_canonical" -> qDedupCanonicalOracle,
   )
 }

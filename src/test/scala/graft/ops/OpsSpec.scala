@@ -45,6 +45,41 @@ class OpsSpec extends AnyFunSuite {
     assert(star.toSeq == prop.toSeq)
   }
 
+  test("canonical per cluster: keep rule is (max n_chars, min id) over a " +
+    "local union-find of the exact pair set") {
+    val rows = Dedup.qDedupCanonical(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val shing = docs.map { case (id, t, _) => id -> t.split(" ", -1) }
+      .filter(_._2.length >= 3)
+      .map { case (id, ws) => id -> ws.sliding(3).map(_.mkString(" ")).toSet }
+    val pairs = for {
+      (a, sa) <- shing; (b, sb) <- shing if a < b
+      i = (sa & sb).size if i * 1.0 / (sa.size + sb.size - i) >= 0.8
+    } yield (a, b)
+    val parent = collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nchars = docs.map(d => d._1 -> d._3).toMap
+    val local = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .groupBy(find).map { case (cid, ms) =>
+        val keep = ms.minBy(id => (-nchars(id), id))
+        (cid, ms.length.toLong, keep, nchars(keep),
+          ms.sorted.filter(_ != keep).mkString(","))
+      }.toSeq.sortBy(_._1)
+    assert(rows.toSeq == local, s"engine ${rows.toSeq} vs local $local")
+  }
+
   test("scd2: versions are contiguous, intervals chain, exactly one open " +
     "interval per key") {
     val rows = graft.cdc.CdcColumns.qCdcScd2(spark, dir).collect()

@@ -824,4 +824,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"closing join must key on the endpoint pair:\n$p")
     assert(p.contains("partial_count"), p)
   }
+
+  test("q_dedup_canonical: the keep decision is one combine-fed aggregate " +
+    "on the cluster key — no rank window; quality scan is pruned") {
+    val p = plan("q_dedup_canonical")
+    assert(!p.contains("Window"),
+      s"argmax must be the packed-struct min aggregate, not a rank window: $p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_min") || p.contains("partial_count"), p)
+    // the quality join reads only (doc_id, n_chars) from the corpus
+    val scanLine = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("documents")).toSeq
+    assert(scanLine.nonEmpty &&
+      scanLine.forall(_.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>")),
+      s"documents scan must prune to the two quality columns:\n${scanLine.mkString("\n")}")
+  }
 }
