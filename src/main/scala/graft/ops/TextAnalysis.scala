@@ -864,6 +864,82 @@ object TextAnalysis {
         0::BIGINT AS bound_violations
       FROM t, g"""
 
+  // ---------- per-group heavy hitters ----------
+  /** [[qHeavyHitters]]'s certification harness, per GROUP: one
+    * Misra-Gries summary per language, each certified against that
+    * group's exact counts — the per-domain / per-language top-token
+    * question a curation pipeline actually asks ("what dominates the
+    * French crawl?"), where a single global sketch would let one group's
+    * hitters drown every other group's.
+    *
+    * Scale shape: the sketch is a mergeable TypedImperativeAggregate, so
+    * the per-group state is map-side partial-merged — the shuffle carries
+    * |groups| × k entries, never the token stream; with G groups the
+    * whole answer is G·k cells no matter how many tokens flow through.
+    * The exact side exists only to certify (at 100 TB one keeps only the
+    * sketch); the per-group totals join is group-cardinality-sized and
+    * broadcast. Same deliberately skewed key as the global query: every
+    * language has EXACTLY one guaranteed-presence key at k = 16 (the
+    * collapsed stopword, ~6.6% of each group's mass vs the N/17 bar) and
+    * ~200 distinct keys ≫ k, so each group's summary trims constantly
+    * and a summary that lost its guaranteed key fails the hash.
+    */
+  def qHeavyHittersGrouped(spark: SparkSession, dir: String): DataFrame = {
+    val K = 16
+    val stops = Seq("the", "a", "of", "and", "to")
+    val words = Tables.documents(spark, dir)
+      .select(col("lang"),
+        explode(split(col("text"), " ")).as("w"), col("doc_id"))
+      .select(col("lang"),
+        when(col("w").isin(stops: _*), lit("stopword"))
+          .otherwise(concat(col("w"), lit("_"),
+            pmod(col("doc_id"), lit(7)).cast("string"))).as("w"))
+    val exact = words.groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val mg = words.groupBy(col("lang"))
+      .agg(graft.functions.MisraGriesAgg.misraGries(col("w"), K).as("mg"))
+      .select(col("lang"), explode(col("mg")).as("e"))
+      .select(col("lang"), col("e.key").as("w"), col("e.est").as("est"))
+    val tot = exact.groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("n_words"), count(lit(1)).as("n_distinct"))
+    exact.join(mg, Seq("lang", "w"), "left_outer")
+      .join(broadcast(tot), "lang")
+      .withColumn("guaranteed", col("cnt") * (K + 1) > col("n_words"))
+      .withColumn("found", col("est").isNotNull)
+      .withColumn("violation",
+        (col("est").isNotNull &&
+          (col("est") > col("cnt") ||
+            (col("cnt") - col("est")) * (K + 1) > col("n_words"))) ||
+        (col("guaranteed") && !col("found")))
+      .groupBy(col("lang"))
+      .agg(
+        first(lit(K.toLong)).as("k"),
+        first(col("n_words")).as("n_words"),
+        first(col("n_distinct")).as("n_distinct"),
+        sum(when(col("guaranteed"), 1L).otherwise(0L)).as("n_guaranteed"),
+        sum(when(col("guaranteed") && col("found"), 1L).otherwise(0L))
+          .as("n_guaranteed_found"),
+        sum(when(col("violation"), 1L).otherwise(0L)).as("bound_violations"))
+      .orderBy(col("lang"))
+  }
+
+  val qHeavyHittersGroupedOracle: String =
+    """WITH raw AS (SELECT lang, unnest(string_split(text, ' ')) AS w, doc_id
+        FROM documents),
+      w AS (SELECT lang, CASE WHEN w IN ('the','a','of','and','to')
+          THEN 'stopword'
+          ELSE w || '_' || (doc_id % 7)::VARCHAR END AS w FROM raw),
+      e AS (SELECT lang, w, count(*) AS cnt FROM w GROUP BY lang, w),
+      t AS (SELECT lang, sum(cnt)::BIGINT AS n_words,
+          count(*)::BIGINT AS n_distinct FROM e GROUP BY lang),
+      g AS (SELECT e.lang, count(*)::BIGINT AS n_guaranteed
+        FROM e JOIN t ON t.lang = e.lang
+        WHERE cnt * 17 > n_words GROUP BY e.lang)
+      SELECT t.lang, 16::BIGINT AS k, n_words, n_distinct,
+        n_guaranteed, n_guaranteed AS n_guaranteed_found,
+        0::BIGINT AS bound_violations
+      FROM t JOIN g ON g.lang = t.lang ORDER BY t.lang"""
+
   /** The whole curation pipeline as ONE composed plan — the point of an
     * engine is that the stages fuse: Gopher keep-rules (scan-side integer
     * flags) → exact text dedup (keep lowest doc_id per md5(text), one
@@ -1386,6 +1462,7 @@ object TextAnalysis {
     "q_split_train_val_test" -> (qSplitTrainValTest _),
     "q_shuffle_deterministic" -> (qShuffleDeterministic _),
     "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_heavy_hitters_grouped" -> (qHeavyHittersGrouped _),
     "q_pipeline_full" -> (qPipelineFull _),
     "q_stream_quality" -> (qStreamQuality _),
     "q_vocab_coverage" -> (qVocabCoverage _),
@@ -1419,6 +1496,7 @@ object TextAnalysis {
     "q_split_train_val_test" -> qSplitTrainValTestOracle,
     "q_shuffle_deterministic" -> qShuffleDeterministicOracle,
     "q_heavy_hitters" -> qHeavyHittersOracle,
+    "q_heavy_hitters_grouped" -> qHeavyHittersGroupedOracle,
     "q_pipeline_full" -> qPipelineFullOracle,
     "q_stream_quality" -> qStreamQualityOracle,
     "q_vocab_coverage" -> qVocabCoverageOracle,

@@ -80,6 +80,38 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.toSeq == local, s"engine ${rows.toSeq} vs local $local")
   }
 
+  test("grouped heavy hitters: every language certifies its sketch — " +
+    "one guaranteed key, found, zero bound violations; exact totals " +
+    "match a local recount") {
+    val rows = TextAnalysis.qHeavyHittersGrouped(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val docs = Tables.documents(spark, dir)
+      .select("lang", "text", "doc_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == docs.map(_._1).distinct.sorted.toSeq)
+    rows.foreach { case (lang, k, _, nd, g, gf, v) =>
+      assert(k == 16, lang)
+      assert(nd > k, s"$lang: sketch must actually trim (nd=$nd)")
+      assert(g == 1, s"$lang: exactly one guaranteed key expected, got $g")
+      assert(gf == g, s"$lang: guaranteed key lost by the summary")
+      assert(v == 0, s"$lang: $v bound violations")
+    }
+    val stops = Set("the", "a", "of", "and", "to")
+    val local = docs.flatMap { case (lang, text, id) =>
+      text.split(" ", -1).map { w =>
+        lang -> (if (stops(w)) "stopword" else s"${w}_${id % 7}")
+      }
+    }
+    val nw = local.groupBy(_._1).map { case (l, xs) => l -> xs.length.toLong }
+    val ndl = local.distinct.groupBy(_._1)
+      .map { case (l, xs) => l -> xs.length.toLong }
+    rows.foreach { case (lang, _, n, nd, _, _, _) =>
+      assert(n == nw(lang), s"$lang: n_words $n vs local ${nw(lang)}")
+      assert(nd == ndl(lang), s"$lang: n_distinct $nd vs local ${ndl(lang)}")
+    }
+  }
+
   test("scd2: versions are contiguous, intervals chain, exactly one open " +
     "interval per key") {
     val rows = graft.cdc.CdcColumns.qCdcScd2(spark, dir).collect()

@@ -840,4 +840,18 @@ class PlanAuditSpec extends AnyFunSuite {
       scanLine.forall(_.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>")),
       s"documents scan must prune to the two quality columns:\n${scanLine.mkString("\n")}")
   }
+
+  test("q_heavy_hitters_grouped: sketch is map-side partial-merged and " +
+    "shuffles only on the group key; certification joins broadcast") {
+    val p = plan("q_heavy_hitters_grouped")
+    assert(p.contains("partial_misragriesagg"),
+      s"sketch must partial-merge map-side: $p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("ObjectHashAggregate(keys=[lang") &&
+        l.contains("partial_misragriesagg")),
+      s"sketch partial aggregate must key on the group only: $p")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) == 2,
+      s"both certification joins must broadcast (group-sized sides): $p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
