@@ -244,6 +244,72 @@ object Similarity {
       .orderBy(col("a_id"), col("rnk"))
   }
 
+  // ---------- IVF + SQ8 + exact refine (the full compressed-index hybrid) ----------
+  /** The three-stage layout a production vector index actually runs
+    * (FAISS `IVF16,SQ8,Refine`): a trained coarse quantizer routes each
+    * query to its `IvfProbes` nearest inverted lists, the in-list scan
+    * scores INT8-quantized codes (4× less memory traffic than floats —
+    * at 100 TB the difference between an in-memory index and one that
+    * spills), and only the top-30 compressed candidates per anchor pay
+    * the exact full-precision dot product. Composes [[qAnnIvf]]'s
+    * routing with [[qAnnQuantized]]'s compressed scoring — each stage
+    * cuts the work the next stage sees: probes cut the corpus by
+    * `IvfProbes/IvfLists`, the int8 cut leaves 30 rows/anchor, the
+    * refine touches only those.
+    *
+    * Approximate (probing can miss a list, the int8 cut can drop a true
+    * neighbor), so the registered query is the self-certifying recall row
+    * vs the in-plan exact top-k, like the other trained-model indexes.
+    */
+  def qAnnIvfSq8(spark: SparkSession, dir: String): DataFrame = {
+    val e = withVec(Tables.embeddings(spark, dir))
+    val centroids = trainCentroids(e)
+    val assigned = e
+      .withColumn("cscores",
+        graft.functions.VecOps.centroidScoresCol(col("vd"), centroids))
+      .withColumn("list_id",
+        expr("array_position(cscores, array_max(cscores))").cast("int") - 1)
+      .withColumn("scale",
+        aggregate(col("vd"), lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0)
+      .withColumn("q",
+        transform(col("vd"), x => round(x / col("scale")).cast("double")))
+
+    val corpus = assigned.select(col("vec_id").as("b_id"),
+      col("vd").as("b_vd"), col("nrm").as("b_nrm"),
+      col("q").as("b_q"), col("scale").as("b_s"), col("list_id"))
+    val anchors = assigned.filter(col("vec_id") < Anchors)
+      .withColumn("probe_lists",
+        expr(s"""slice(array_sort(
+            transform(sequence(0, size(cscores) - 1),
+              i -> struct(cscores[i] AS s, i AS idx)),
+            (l, r) -> CASE WHEN l.s > r.s THEN -1
+                           WHEN l.s < r.s THEN 1 ELSE 0 END),
+          1, $IvfProbes)"""))
+      .select(col("vec_id").as("a_id"), col("vd").as("a_vd"),
+        col("nrm").as("a_nrm"), col("q").as("a_q"), col("scale").as("a_s"),
+        explode(expr("transform(probe_lists, p -> CAST(p.idx AS INT))"))
+          .as("list_id"))
+
+    val wq = Window.partitionBy(col("a_id"))
+      .orderBy(col("qscore").desc, col("b_id").asc)
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("cosine").desc, col("b_id").asc)
+    anchors
+      .join(corpus, Seq("list_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("qscore", // compressed in-list scoring
+        dot(col("a_q"), col("b_q")) * col("a_s") * col("b_s")
+          / (col("a_nrm") * col("b_nrm")))
+      .withColumn("qrnk", row_number().over(wq))
+      .filter(col("qrnk") <= 30)
+      .withColumn("cosine", // exact refine on the float vectors
+        round(dot(col("a_vd"), col("b_vd")) / (col("a_nrm") * col("b_nrm")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("a_id"), col("b_id"), col("rnk"), col("cosine"))
+      .orderBy(col("a_id"), col("rnk"))
+  }
+
   // ---------- int8 scalar-quantized ANN (compressed-index scale path) ----------
   /** Per-vector symmetric int8 quantization: `scale = max|x| / 127`,
     * `q[i] = round(x[i] / scale)` — a 4× memory cut vs float32 (8× vs
@@ -824,6 +890,7 @@ object Similarity {
     "q_ann_ivf" -> (certifyRecall("ivf", 0.1, 0.50, qAnnIvf) _),
     "q_ann_quantized" -> (certifyRecall("sq8", 0.9, 0.90, qAnnQuantized) _),
     "q_ann_pq" -> (certifyRecall("pq", 0.1, 0.25, qAnnPq) _),
+    "q_ann_ivf_sq8" -> (certifyRecall("ivf_sq8", 0.1, 0.55, qAnnIvfSq8) _),
     "q_ann_filtered" -> (qAnnFiltered _),
     "q_ann_mrl" -> (qAnnMrl _),
     "q_ann_rerank" -> (qAnnRerank _),
@@ -839,6 +906,7 @@ object Similarity {
     "q_ann_ivf" -> certifyOracle("ivf", 0.1, 0.50),
     "q_ann_quantized" -> certifyOracle("sq8", 0.9, 0.90),
     "q_ann_pq" -> certifyOracle("pq", 0.1, 0.25),
+    "q_ann_ivf_sq8" -> certifyOracle("ivf_sq8", 0.1, 0.55),
     "q_ann_filtered" -> qAnnFilteredOracle,
     "q_ann_mrl" -> qAnnMrlOracle,
     "q_ann_rerank" -> qAnnRerankOracle,

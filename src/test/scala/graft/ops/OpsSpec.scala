@@ -26,6 +26,32 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"ivf top-1 recall $recall ($hit/${brute.size})")
   }
 
+  test("ann ivf+sq8 hybrid: neighbor lists are well-formed and the " +
+    "refine stage finds the brute-force top-1 in most probed lists") {
+    val rows = Similarity.qAnnIvfSq8(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (a, rs) =>
+      val sorted = rs.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1 to rs.length).toSeq,
+        s"anchor $a: ranks not contiguous")
+      // exact-refined cosines are non-increasing down the list, ties by id
+      sorted.sliding(2).foreach {
+        case Array((_, b1, _, c1), (_, b2, _, c2)) =>
+          assert(c1 > c2 || (c1 == c2 && b1 < b2),
+            s"anchor $a: refine order broken at $b1/$b2")
+        case _ =>
+      }
+    }
+    val brute = Similarity.qAnnTopk(spark, dir).collect()
+      .collect { case r if r.getInt(3) == 1 => r.getLong(0) -> r.getLong(1) }
+      .toMap
+    val hybrid = rows.map(r => ((r._1, r._2), r._3)).toMap
+    val hit = brute.count { case (a, b) => hybrid.contains((a, b)) }
+    val recall = hit.toDouble / brute.size
+    assert(recall >= 0.5, s"hybrid top-1 recall $recall ($hit/${brute.size})")
+  }
+
   test("every registered query executes and has rows at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, dir)

@@ -841,6 +841,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"documents scan must prune to the two quality columns:\n${scanLine.mkString("\n")}")
   }
 
+  test("q_ann_ivf_sq8: candidates join on the inverted-list key; the " +
+    "compressed cut is a WindowGroupLimit before the exact refine") {
+    val p = graft.ops.Similarity.qAnnIvfSq8(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"in-list scan must be an equi-join on list_id: $p")
+    assert(p.linesIterator.exists(l =>
+      (l.contains("HashJoin") || l.contains("SortMergeJoin")) &&
+        l.contains("list_id")), p)
+    // both rank cuts (int8 shortlist, exact top-10) plan as group limits
+    // that drop rows before their exchanges
+    assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2, p)
+    assert(!p.contains("%"), "modulo anchor rule reappeared")
+  }
+
   test("q_heavy_hitters_grouped: sketch is map-side partial-merged and " +
     "shuffles only on the group key; certification joins broadcast") {
     val p = plan("q_heavy_hitters_grouped")
