@@ -864,6 +864,71 @@ object TextAnalysis {
         0::BIGINT AS bound_violations
       FROM t, g"""
 
+  // ---------- cross-document boilerplate removal ----------
+  /** CCNet/RefinedWeb-style boilerplate stripping at paragraph
+    * granularity: any 10-token chunk that occurs in ≥ 2 DISTINCT
+    * documents is boilerplate (headers, footers, navigation, license
+    * blurbs — text whose presence in many docs means it carries no
+    * document-specific signal), and is removed from EVERY document —
+    * unlike [[graft.ops.Dedup.qDedupParagraph]], which keeps the first
+    * instance. The cleaned text is reconstructed in original chunk
+    * order via `sort_array(collect_list(struct(idx, chunk)))`, so the
+    * output is the actual training-ready document, not just counts.
+    *
+    * Scale shape: chunk document-frequency is one combine-fed
+    * count-distinct shuffle on the chunk key; the boilerplate set is
+    * then BROADCAST to tag chunks scan-side (boilerplate is by
+    * definition a tiny distinct set — the df threshold caps it at
+    * |corpus|/2 chunks, in practice orders of magnitude less; were it
+    * ever to outgrow broadcast, the same plan runs with a shuffle
+    * join). Reassembly shuffles once on doc_id; per-doc state is
+    * chunk-list-sized. `collect_list(when(...))` skips the removed
+    * chunks' nulls, so kept chunks never leave the aggregate buffer.
+    */
+  def qTextBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val width = 10
+    val chunks = Tables.documents(spark, dir)
+      .withColumn("ws", split(col("text"), " ", -1))
+      .withColumn("n", size(col("ws")))
+      .withColumn("starts",
+        expr(s"filter(sequence(0, greatest(0, n - 1), $width), s -> s < n)"))
+      .select(col("doc_id"),
+        posexplode(col("starts")).as(Seq("chunk_idx", "start")), col("ws"))
+      .select(col("doc_id"), col("chunk_idx"),
+        concat_ws(" ", expr(s"slice(ws, start + 1, $width)")).as("chunk"))
+    val boiler = chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("docs"))
+      .filter(col("docs") >= 2)
+      .select(col("chunk"), lit(1).as("b"))
+    chunks.join(broadcast(boiler), Seq("chunk"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("b").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(
+          sort_array(collect_list(when(col("b").isNull,
+            struct(col("chunk_idx"), col("chunk"))))),
+          x => x.getField("chunk")), " ").as("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextBoilerplateOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') ws,
+        len(string_split(text, ' ')) n FROM documents),
+      c AS (SELECT doc_id, ws,
+        unnest([s for s in range(0, n, 10)]) AS start,
+        generate_subscripts([s for s in range(0, n, 10)], 1) - 1 AS chunk_idx
+        FROM d),
+      ch AS (SELECT doc_id, chunk_idx,
+        array_to_string(ws[start + 1 : start + 10], ' ') chunk FROM c),
+      b AS (SELECT chunk FROM ch GROUP BY chunk
+        HAVING count(DISTINCT doc_id) >= 2)
+      SELECT doc_id, count(*) AS n_chunks,
+        sum(CASE WHEN chunk IN (SELECT chunk FROM b) THEN 1 ELSE 0 END)::BIGINT
+          AS n_removed,
+        coalesce(string_agg(CASE WHEN chunk NOT IN (SELECT chunk FROM b)
+          THEN chunk END, ' ' ORDER BY chunk_idx), '') AS cleaned
+      FROM ch GROUP BY doc_id ORDER BY doc_id"""
+
   // ---------- per-group heavy hitters ----------
   /** [[qHeavyHitters]]'s certification harness, per GROUP: one
     * Misra-Gries summary per language, each certified against that
@@ -1463,6 +1528,7 @@ object TextAnalysis {
     "q_shuffle_deterministic" -> (qShuffleDeterministic _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_heavy_hitters_grouped" -> (qHeavyHittersGrouped _),
+    "q_text_boilerplate" -> (qTextBoilerplate _),
     "q_pipeline_full" -> (qPipelineFull _),
     "q_stream_quality" -> (qStreamQuality _),
     "q_vocab_coverage" -> (qVocabCoverage _),
@@ -1497,6 +1563,7 @@ object TextAnalysis {
     "q_shuffle_deterministic" -> qShuffleDeterministicOracle,
     "q_heavy_hitters" -> qHeavyHittersOracle,
     "q_heavy_hitters_grouped" -> qHeavyHittersGroupedOracle,
+    "q_text_boilerplate" -> qTextBoilerplateOracle,
     "q_pipeline_full" -> qPipelineFullOracle,
     "q_stream_quality" -> qStreamQualityOracle,
     "q_vocab_coverage" -> qVocabCoverageOracle,

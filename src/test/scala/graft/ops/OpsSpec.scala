@@ -138,6 +138,34 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("boilerplate removal: df-thresholded chunks equal a local " +
+    "reference; untouched documents reconstruct to their original text") {
+    val rows = TextAnalysis.qTextBoilerplate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(rows.length == docs.length)
+    val chunked = docs.map { case (id, t) =>
+      id -> t.split(" ", -1).grouped(10).map(_.mkString(" ")).toSeq
+    }
+    val dfc = chunked.flatMap { case (id, cs) => cs.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.length }
+    val boiler = dfc.filter(_._2 >= 2).keySet
+    val byId = docs.toMap
+    var removedSomewhere = false
+    rows.foreach { case (id, nc, nr, cleaned) =>
+      val cs = chunked.toMap.apply(id)
+      assert(nc == cs.length, s"doc $id chunk count")
+      val kept = cs.filterNot(boiler)
+      assert(nr == (cs.length - kept.length).toLong, s"doc $id removed count")
+      assert(cleaned == kept.mkString(" "), s"doc $id reconstruction")
+      if (nr > 0) removedSomewhere = true
+      if (nr == 0) assert(cleaned == byId(id),
+        s"doc $id: untouched doc must reconstruct verbatim")
+    }
+    assert(removedSomewhere, "corpus must exercise the removal path")
+  }
+
   test("scd2: versions are contiguous, intervals chain, exactly one open " +
     "interval per key") {
     val rows = graft.cdc.CdcColumns.qCdcScd2(spark, dir).collect()

@@ -857,6 +857,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("%"), "modulo anchor rule reappeared")
   }
 
+  test("q_text_boilerplate: the boilerplate set broadcasts to a " +
+    "scan-side tag join; reassembly shuffles once on doc_id") {
+    val p = plan("q_text_boilerplate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the tag join must broadcast the boilerplate set: $p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p)
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.exists(_.contains("doc_id")),
+      s"reassembly must key on doc_id:\n${hashEx.mkString("\n")}")
+  }
+
   test("q_heavy_hitters_grouped: sketch is map-side partial-merged and " +
     "shuffles only on the group key; certification joins broadcast") {
     val p = plan("q_heavy_hitters_grouped")
