@@ -864,6 +864,161 @@ object TextAnalysis {
         0::BIGINT AS bound_violations
       FROM t, g"""
 
+  // ---------- per-group quantile normalization of a quality score ----------
+  /** Quantile-normalize a quality signal WITHIN each language before
+    * applying one global threshold — the standard fix for "domain A's
+    * scores run hot, domain B's run cold, a single cutoff keeps all of A
+    * and none of B" in curation mixes. Each doc gets its within-group
+    * rank position as a FIXED-POINT millionth (`(rn-1)·1e6 DIV (n-1)`),
+    * a decile from the same integer division, and the keep decision
+    * `pr6 ≥ 700000` (top 30 % of every group, by construction) — every
+    * value on the row is an integer, so there is no float anywhere to
+    * disagree across engines ([[graft.ops.Dedup]] fixed-point
+    * discipline).
+    *
+    * Scale shape: one shuffle on the group key for the two windows
+    * (row_number + group count share the same partitioning); no joins.
+    * Group cardinality (languages/domains) is what gets partitioned —
+    * at 100 TB with few groups one would salt the rank computation
+    * (two-pass: per-partition ranks + offsets); at realistic domain
+    * cardinalities the lang key shards fine.
+    */
+  def qQualityNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    val wn = Window.partitionBy(col("lang"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nl", count(lit(1)).over(wn))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("rn").cast("long").as("rnk"),
+        expr("CAST((rn - 1) AS BIGINT) * 1000000 DIV (nl - 1)").as("pr6"),
+        least(lit(9L), expr("CAST((rn - 1) AS BIGINT) * 10 DIV (nl - 1)"))
+          .as("decile"),
+        when(expr("CAST((rn - 1) AS BIGINT) * 1000000 DIV (nl - 1)")
+          >= 700000, 1L).otherwise(0L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qQualityNormalizeOracle: String =
+    """WITH r AS (SELECT doc_id, lang, n_chars,
+        row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) rn,
+        count(*) OVER (PARTITION BY lang) nl
+      FROM documents)
+      SELECT doc_id, lang, n_chars, rn::BIGINT AS rnk,
+        (rn - 1)::BIGINT * 1000000 // (nl - 1) AS pr6,
+        least(9, (rn - 1)::BIGINT * 10 // (nl - 1))::BIGINT AS decile,
+        (CASE WHEN (rn - 1)::BIGINT * 1000000 // (nl - 1) >= 700000
+          THEN 1 ELSE 0 END)::BIGINT AS keep
+      FROM r ORDER BY doc_id"""
+
+  // ---------- inverted-index (posting-list) construction ----------
+  /** The index-build half of the retrieval stack ([[qTextBm25]] is the
+    * query half): token → (document frequency, collection frequency,
+    * posting-list head) — what a search engine's segment writer emits.
+    * Per-token/doc term frequencies aggregate on the (token, doc) key,
+    * then postings group on the token key with the list sorted by
+    * doc_id; the emitted `postings_head` is the first 20 entries (the
+    * preview a segment inspector shows) while df/cf stay exact over the
+    * FULL list — the full postings never need to exist in one place,
+    * which is the point: at 100 TB each token's postings stay sharded
+    * across the token-keyed partitions, exactly how a distributed index
+    * (e.g. per-segment Lucene shards) lays them out.
+    *
+    * Scale shape: two combine-fed shuffles — (token, doc_id) for tf,
+    * token for the postings — both on semantic keys; the head slice
+    * bounds per-token output state at 20 entries regardless of how hot
+    * the token is (the 'the'-posting skew never reaches the output).
+    */
+  def qTextPostings(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("w"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        array_join(transform(
+          slice(array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+            1, 20),
+          x => concat(x.getField("doc_id").cast("string"), lit(":"),
+            x.getField("tf").cast("string"))), " ").as("postings_head"))
+      .select(col("w").as("token"), col("df"), col("cf"),
+        col("postings_head"))
+      .orderBy(col("token"))
+  }
+
+  val qTextPostingsOracle: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) w
+        FROM documents),
+      tf AS (SELECT w, doc_id, count(*) tf FROM t GROUP BY w, doc_id),
+      r AS (SELECT w, doc_id, tf,
+        row_number() OVER (PARTITION BY w ORDER BY doc_id) rn FROM tf),
+      g AS (SELECT w, count(*) df, sum(tf)::BIGINT cf FROM tf GROUP BY w),
+      p AS (SELECT w, string_agg(doc_id || ':' || tf, ' ' ORDER BY doc_id)
+          AS postings_head
+        FROM r WHERE rn <= 20 GROUP BY w)
+      SELECT g.w AS token, df, cf, postings_head
+      FROM g JOIN p ON g.w = p.w ORDER BY token"""
+
+  // ---------- collocation mining (adjacent-bigram PMI) ----------
+  /** Pointwise mutual information over adjacent token bigrams — the
+    * classic collocation miner (Church & Hanks 1990): which word pairs
+    * co-occur far above chance. `pmi = ln(c_ab·N_u² / (N_p·c_a·c_b))`
+    * with every operand an EXACT integer aggregate (bigram count,
+    * unigram counts, corpus totals); the numerator and denominator are
+    * each one exact BIGINT product, so both engines feed the identical
+    * double quotient into one `ln` + round — the [[qTextTfidf]] /
+    * surprisal determinism discipline.
+    *
+    * Scale shape: bigrams explode scan-side (zip_with of two slices —
+    * no self-join for adjacency); one combine-fed shuffle on the pair
+    * key; the unigram side is vocabulary-sized and broadcast twice; the
+    * two corpus totals cross in as a broadcast single row. Top-30 is a
+    * TakeOrdered. The c_ab ≥ 5 support floor is the standard guard
+    * against PMI's low-count explosion.
+    */
+  def qTextPmi(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(split(col("text"), " ", -1).as("ws"))
+    val uni = d.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val pairs = d.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        """zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),
+           (a, b) -> struct(a AS w1, b AS w2))""")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+    val tot = uni.agg(sum(col("c")).as("nu"))
+      .crossJoin(pairs.agg(sum(col("cab")).as("np")))
+    pairs
+      .join(broadcast(uni.toDF("w1", "ca")), "w1")
+      .join(broadcast(uni.toDF("w2", "cb")), "w2")
+      .crossJoin(broadcast(tot))
+      .filter(col("cab") >= 5)
+      .select(col("w1"), col("w2"), col("cab"),
+        round(log((col("cab") * col("nu") * col("nu")).cast("double") /
+          (col("np") * col("ca") * col("cb")).cast("double")), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(30)
+  }
+
+  val qTextPmiOracle: String =
+    """WITH d AS (SELECT string_split(text, ' ') ws FROM documents),
+      pr AS (SELECT unnest([ws[i] for i in range(1, len(ws))]) w1,
+        unnest([ws[i + 1] for i in range(1, len(ws))]) w2 FROM d),
+      uc AS (SELECT w, count(*) c FROM
+        (SELECT unnest(ws) w FROM d) GROUP BY w),
+      pc AS (SELECT w1, w2, count(*) cab FROM pr GROUP BY w1, w2),
+      tot AS (SELECT (SELECT sum(c) FROM uc)::BIGINT nu,
+        (SELECT sum(cab) FROM pc)::BIGINT np)
+      SELECT w1, w2, cab,
+        round(ln((cab * nu * nu)::DOUBLE / (np * ca.c * cb.c)::DOUBLE), 6)
+          AS pmi
+      FROM pc JOIN uc ca ON ca.w = pc.w1 JOIN uc cb ON cb.w = pc.w2
+        CROSS JOIN tot
+      WHERE cab >= 5 ORDER BY pmi DESC, w1, w2 LIMIT 30"""
+
   // ---------- cross-document boilerplate removal ----------
   /** CCNet/RefinedWeb-style boilerplate stripping at paragraph
     * granularity: any 10-token chunk that occurs in ≥ 2 DISTINCT
@@ -1529,6 +1684,9 @@ object TextAnalysis {
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_heavy_hitters_grouped" -> (qHeavyHittersGrouped _),
     "q_text_boilerplate" -> (qTextBoilerplate _),
+    "q_text_postings" -> (qTextPostings _),
+    "q_text_pmi" -> (qTextPmi _),
+    "q_quality_normalize" -> (qQualityNormalize _),
     "q_pipeline_full" -> (qPipelineFull _),
     "q_stream_quality" -> (qStreamQuality _),
     "q_vocab_coverage" -> (qVocabCoverage _),
@@ -1564,6 +1722,9 @@ object TextAnalysis {
     "q_heavy_hitters" -> qHeavyHittersOracle,
     "q_heavy_hitters_grouped" -> qHeavyHittersGroupedOracle,
     "q_text_boilerplate" -> qTextBoilerplateOracle,
+    "q_text_postings" -> qTextPostingsOracle,
+    "q_text_pmi" -> qTextPmiOracle,
+    "q_quality_normalize" -> qQualityNormalizeOracle,
     "q_pipeline_full" -> qPipelineFullOracle,
     "q_stream_quality" -> qStreamQualityOracle,
     "q_vocab_coverage" -> qVocabCoverageOracle,

@@ -166,6 +166,87 @@ class OpsSpec extends AnyFunSuite {
     assert(removedSomewhere, "corpus must exercise the removal path")
   }
 
+  test("postings: df/cf and head-20 posting lists equal a local inverted " +
+    "index") {
+    val rows = TextAnalysis.qTextPostings(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val tf = collection.mutable.Map.empty[(String, Long), Long]
+    docs.foreach { case (id, t) =>
+      t.split(" ", -1).foreach(w => tf((w, id)) = tf.getOrElse((w, id), 0L) + 1)
+    }
+    val local = tf.toSeq.groupBy(_._1._1).map { case (w, xs) =>
+      val posts = xs.map { case ((_, id), c) => (id, c) }.sortBy(_._1)
+      (w, xs.length.toLong, xs.map(_._2).sum,
+        posts.take(20).map { case (id, c) => s"$id:$c" }.mkString(" "))
+    }.toSeq.sortBy(_._1)
+    assert(rows.toSeq == local, s"engine ${rows.length} vs local ${local.length}")
+    assert(rows.exists(_._2 > 20), "some token must overflow the head slice")
+  }
+
+  test("pmi: top-30 collocations equal a local reference; every emitted " +
+    "pmi sits safely off its 6-dp rounding boundary") {
+    val rows = TextAnalysis.qTextPmi(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 30)
+    val texts = Tables.documents(spark, dir).select("text").collect()
+      .map(_.getString(0).split(" ", -1))
+    val uni = collection.mutable.Map.empty[String, Long]
+    val bi = collection.mutable.Map.empty[(String, String), Long]
+    texts.foreach { ws =>
+      ws.foreach(w => uni(w) = uni.getOrElse(w, 0L) + 1)
+      ws.sliding(2).filter(_.length == 2).foreach { p =>
+        bi((p(0), p(1))) = bi.getOrElse((p(0), p(1)), 0L) + 1
+      }
+    }
+    val nu = uni.values.sum
+    val np = bi.values.sum
+    def rawPmi(w1: String, w2: String, cab: Long): Double =
+      math.log((cab * nu * nu).toDouble / (np * uni(w1) * uni(w2)).toDouble)
+    val local = bi.toSeq.filter(_._2 >= 5).map { case ((a, b), c) =>
+      (a, b, c, BigDecimal(rawPmi(a, b, c))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (a, b, _, p) => (-p, a, b) }.take(30)
+    assert(rows.toSeq == local, s"engine ${rows.toSeq} vs local $local")
+    // margin audit: no raw pmi is within 1e-9 of a x.xxxxxx5 boundary,
+    // so JVM-vs-libm ln ULP differences cannot flip any rounding
+    bi.toSeq.filter(_._2 >= 5).foreach { case ((a, b), c) =>
+      val x = rawPmi(a, b, c) * 1e6
+      val frac = math.abs(x - math.floor(x) - 0.5)
+      assert(frac > 1e-9, s"pair ($a,$b): pmi $x too close to a boundary")
+    }
+  }
+
+  test("quality normalize: fixed-point group ranks are pure integers and " +
+    "each language keeps its top ~30%") {
+    val rows = TextAnalysis.qQualityNormalize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.length == docs.length)
+    val byLang = docs.groupBy(_._2)
+    val local = byLang.toSeq.flatMap { case (lang, ds) =>
+      val ordered = ds.sortBy(d => (d._3, d._1)).zipWithIndex
+      val nl = ds.length.toLong
+      ordered.map { case ((id, _, nc), i) =>
+        val pr6 = i.toLong * 1000000 / (nl - 1)
+        (id, lang, nc, i.toLong + 1, pr6,
+          math.min(9L, i.toLong * 10 / (nl - 1)),
+          if (pr6 >= 700000) 1L else 0L)
+      }
+    }.toSeq.sortBy(_._1)
+    assert(rows.toSeq == local)
+    byLang.keys.foreach { lang =>
+      val grp = rows.filter(_._2 == lang)
+      val frac = grp.count(_._7 == 1).toDouble / grp.length
+      assert(math.abs(frac - 0.3) < 0.02,
+        s"$lang keeps $frac — normalization must equalize keep rates")
+    }
+  }
+
   test("scd2: versions are contiguous, intervals chain, exactly one open " +
     "interval per key") {
     val rows = graft.cdc.CdcColumns.qCdcScd2(spark, dir).collect()

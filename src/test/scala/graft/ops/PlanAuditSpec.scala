@@ -857,6 +857,43 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("%"), "modulo anchor rule reappeared")
   }
 
+  test("q_text_postings: two combine-fed shuffles — (token, doc) then " +
+    "token; the posting list is a partial collect; no join") {
+    val p = plan("q_text_postings")
+    assert(!p.contains("Join"), s"index build must be pure aggregation: $p")
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.length == 2, s"exactly two shuffles:\n${hashEx.mkString("\n")}")
+    assert(p.contains("partial_collect_list"),
+      s"posting list must combine map-side: $p")
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q_text_pmi: bigrams explode scan-side (no adjacency self-join); " +
+    "unigram sides broadcast; top-30 is a top-k") {
+    val p = plan("q_text_pmi")
+    assert(p.contains("TakeOrderedAndProject(limit=30"), p)
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) == 2,
+      s"both unigram joins must broadcast: $p")
+    assert(!p.contains("SortMergeJoin"), p)
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.exists(l => l.contains("w1#") && l.contains("w2#")),
+      s"pair counts must key on the bigram:\n${hashEx.mkString("\n")}")
+  }
+
+  test("q_quality_normalize: both windows share ONE group-key shuffle; " +
+    "no join anywhere") {
+    val p = plan("q_quality_normalize")
+    assert(!p.contains("Join"), p)
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.length == 1 && hashEx.head.contains("lang"),
+      s"rank + count must reuse one lang shuffle:\n${hashEx.mkString("\n")}")
+    assert(p.linesIterator.count(_.trim.startsWith("+- Window")) +
+      p.linesIterator.count(_.trim.startsWith(":- Window")) >= 1, p)
+  }
+
   test("q_text_boilerplate: the boilerplate set broadcasts to a " +
     "scan-side tag join; reassembly shuffles once on doc_id") {
     val p = plan("q_text_boilerplate")
