@@ -124,11 +124,127 @@ object GraphOps {
       FROM nt JOIN deg ON deg.n = nt.n
       ORDER BY triangles DESC, part LIMIT 20"""
 
+  // ---------- k-core decomposition (iterative peeling) ----------
+  private val CoreK = 15
+  private val CorePeelRounds = 16
+
+  /** The 15-core of the part co-purchase graph: the maximal subgraph in
+    * which every node has degree ≥ 15 — the standard "dense cohesive
+    * region" extractor (and the workhorse behind graph-based spam/
+    * community detection). Computed by distributed peeling: each round
+    * drops every node whose degree in the CURRENT induced subgraph is
+    * < k, until a fixpoint; each round is one join (edges ⋉ surviving
+    * nodes, both ends) + one degree aggregation — no driver-side graph,
+    * only the surviving-node set iterates, localCheckpoint'd per round
+    * with the previous round's blocks released
+    * ([[Dedup.releaseCheckpoint]] discipline).
+    *
+    * The fixpoint is unique (the k-core is well-defined), so the oracle
+    * reproduces it exactly by unrolling the same peel a fixed
+    * `CorePeelRounds` times in SQL — the engine `require`s convergence
+    * in strictly fewer rounds (and the spec asserts it), so both sides
+    * provably sit AT the fixpoint, not on the way to it.
+    *
+    * Output: surviving nodes with their core degree, plus each node's
+    * original degree — the "was 40-connected, 12 survived the core"
+    * signal an analyst reads.
+    */
+  def qGraphKcore(spark: SparkSession, dir: String): DataFrame = {
+    val small = Tables.part(spark, dir)
+      .where(col("p_size") <= 10)
+      .select(col("p_partkey").as("p"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .join(broadcast(small), "p")
+      .select(col("o"), col("p"))
+      .distinct()
+    val e = li.toDF("o", "pa")
+      .join(li.toDF("o", "pb"), "o")
+      .where(col("pa") < col("pb"))
+      .select(col("pa"), col("pb"))
+      .distinct()
+      .localCheckpoint()
+    val deg0 = e.select(explode(array(col("pa"), col("pb"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg0"))
+
+    var alive = deg0.filter(col("deg0") >= CoreK)
+      .select(col("n")).localCheckpoint()
+    var aliveCount = alive.count()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < CorePeelRounds) {
+      val induced = e
+        .join(alive.toDF("pa"), "pa")
+        .join(alive.toDF("pb"), "pb")
+      val next = induced
+        .select(explode(array(col("pa"), col("pb"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= CoreK)
+        .select(col("n"))
+        .localCheckpoint()
+      val nextCount = next.count()
+      converged = nextCount == aliveCount
+      Dedup.releaseCheckpoint(alive)
+      alive = next
+      aliveCount = nextCount
+      rounds += 1
+    }
+    require(converged, s"k-core peeling did not converge in $rounds rounds")
+    require(rounds < CorePeelRounds,
+      s"oracle unrolls $CorePeelRounds rounds; engine needed $rounds")
+    e.join(alive.toDF("pa"), "pa").join(alive.toDF("pb"), "pb")
+      .select(explode(array(col("pa"), col("pb"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("core_deg"))
+      .join(deg0, "n")
+      .select(col("n").as("part"), col("core_deg"), col("deg0"))
+      .orderBy(col("part"))
+  }
+
+  /** The same peel unrolled `CorePeelRounds` times; the engine proves
+    * convergence strictly earlier, so round `CorePeelRounds` IS the
+    * fixpoint on both sides.
+    */
+  val qGraphKcoreOracle: String = {
+    val base = """WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey p
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 10)),
+      e AS MATERIALIZED (SELECT DISTINCT a.p pa, b.p pb FROM li a
+        JOIN li b ON a.o = b.o AND a.p < b.p),
+      deg0 AS MATERIALIZED (SELECT n, count(*) deg0 FROM
+        (SELECT pa n FROM e UNION ALL SELECT pb n FROM e) GROUP BY n),
+      alive0 AS MATERIALIZED (SELECT n FROM deg0 WHERE deg0 >= 15)"""
+    val rounds = (1 to CorePeelRounds).map { i =>
+      s"""alive$i AS MATERIALIZED (SELECT n FROM (
+           SELECT x.n, count(*) d FROM
+             (SELECT e.pa n, e.pb m FROM e
+                JOIN alive${i - 1} a ON a.n = e.pa
+                JOIN alive${i - 1} b ON b.n = e.pb
+              UNION ALL
+              SELECT e.pb, e.pa FROM e
+                JOIN alive${i - 1} a ON a.n = e.pa
+                JOIN alive${i - 1} b ON b.n = e.pb) x
+           GROUP BY x.n) t WHERE d >= 15)"""
+    }.mkString(",\n      ", ",\n      ", "")
+    val last = s"alive$CorePeelRounds"
+    base + rounds + s""",
+      core AS (SELECT x.n, count(*) core_deg FROM
+          (SELECT e.pa n FROM e
+             JOIN $last a ON a.n = e.pa JOIN $last b ON b.n = e.pb
+           UNION ALL
+           SELECT e.pb FROM e
+             JOIN $last a ON a.n = e.pa JOIN $last b ON b.n = e.pb) x
+        GROUP BY x.n)
+      SELECT core.n AS part, core_deg, deg0
+      FROM core JOIN deg0 ON deg0.n = core.n ORDER BY part"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_triangles" -> (qGraphTriangles _),
+    "q_graph_kcore" -> (qGraphKcore _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_graph_triangles" -> qGraphTrianglesOracle,
+    "q_graph_kcore" -> qGraphKcoreOracle,
   )
 }

@@ -247,6 +247,41 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("k-core: engine fixpoint equals a local peel; peeling removed a " +
+    "real fringe and every survivor meets the degree bar") {
+    val rows = GraphOps.qGraphKcore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val small = Tables.part(spark, dir).where("p_size <= 10")
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(t => small(t._2)).distinct
+    val adj = collection.mutable.Map.empty[Long, collection.mutable.Set[Long]]
+    li.groupBy(_._1).values.foreach { ps =>
+      val s = ps.map(_._2).distinct
+      for (a <- s; b <- s if a != b)
+        adj.getOrElseUpdate(a, collection.mutable.Set.empty) += b
+    }
+    var alive = adj.keySet.toSet
+    var changed = true
+    while (changed) {
+      val next = alive.filter(n => (adj(n) & alive).size >= 15)
+      changed = next != alive
+      alive = next
+    }
+    val local = alive.toSeq.map { n =>
+      (n, (adj(n) & alive).size.toLong, adj(n).size.toLong)
+    }.sortBy(_._1)
+    assert(rows.toSeq == local, s"engine ${rows.length} vs local ${local.length}")
+    assert(rows.length < adj.size, "peeling must remove a real fringe")
+    rows.foreach { case (n, cd, d0) =>
+      assert(cd >= 15, s"survivor $n below the core bar")
+      assert(d0 >= cd, s"node $n core degree exceeds original")
+    }
+  }
+
   test("scd2: versions are contiguous, intervals chain, exactly one open " +
     "interval per key") {
     val rows = graft.cdc.CdcColumns.qCdcScd2(spark, dir).collect()

@@ -825,6 +825,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q_graph_kcore: the converged plan reads only checkpointed graph " +
+    "state; induced-degree joins key on the node") {
+    val p = plan("q_graph_kcore")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("FileScan"),
+      s"final plan must read the checkpointed graph, not the corpus: $p")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.linesIterator.exists(l =>
+      (l.contains("HashJoin") || l.contains("SortMergeJoin")) &&
+        (l.contains("pa#") || l.contains("pb#"))),
+      s"survivor joins must key on the edge endpoints: $p")
+    assert(p.contains("partial_count"), p)
+  }
+
   test("q_dedup_canonical: the keep decision is one combine-fed aggregate " +
     "on the cluster key — no rank window; quality scan is pruned") {
     val p = plan("q_dedup_canonical")
