@@ -80,6 +80,57 @@ object EventOps {
         count(*) AS n, round(sum(value), 2) AS total
       FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
 
+  // ---------- first-touch conversion attribution ----------
+  /** Marketing-style first-touch attribution: every `purchase` is
+    * credited to the event type that OPENED its session (10-minute gap
+    * sessions, the [[qEventsSession]] convention) — "which entry channel
+    * leads to conversions". The session-opener type rides forward via
+    * `last(when(brk = 1, event_type), ignoreNulls)` over the same
+    * user-ordered running frame that computes the session breaks — the
+    * LOCF trick from the as-of join — so the per-event session id never
+    * needs to exist and the WHOLE computation (breaks, opener carry,
+    * conversion filter) runs in ONE user_id shuffle; a naive
+    * sessionize-then-join re-shuffles on (user, session). Aggregates
+    * are conversion counts, distinct converting users, and 2-dp rounded
+    * revenue (the [[qEventsTumbling]] float discipline).
+    */
+  def qEventsAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("eu"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("eu"))
+      .withColumn("brk",
+        when(lag(col("eu"), 1).over(w).isNull ||
+          col("eu") - lag(col("eu"), 1).over(w) >= 600000000L, 1)
+          .otherwise(0))
+      .withColumn("first_touch",
+        last(when(col("brk") === 1, col("event_type")), ignoreNulls = true)
+          .over(run))
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("first_touch"))
+      .agg(count(lit(1)).as("n_conversions"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 2).as("revenue"))
+      .orderBy(col("first_touch"))
+  }
+
+  val qEventsAttributionOracle: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, value,
+        epoch_us(ts) eu FROM events),
+      m AS (SELECT *, CASE WHEN lag(eu) OVER w IS NULL
+          OR eu - lag(eu) OVER w >= 600000000 THEN 1 ELSE 0 END AS brk
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY eu, event_id)),
+      f AS (SELECT *, last_value(CASE WHEN brk = 1 THEN event_type END
+          IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY eu, event_id
+          ROWS UNBOUNDED PRECEDING) AS first_touch FROM m)
+      SELECT first_touch, count(*) AS n_conversions,
+        count(DISTINCT user_id) AS n_users,
+        round(sum(value), 2) AS revenue
+      FROM f WHERE event_type = 'purchase'
+      GROUP BY first_touch ORDER BY first_touch"""
+
   // ---------- as-of join (click → latest prior view, per user) ----------
   /** As-of join composed from built-ins: tag both streams, sort-merge once
     * per user, and carry the latest view with `last(..., ignoreNulls)` over
@@ -857,6 +908,7 @@ object EventOps {
     "q_events_anomaly" -> (qEventsAnomaly _),
     "q_events_paths" -> (qEventsPaths _),
     "q_events_pagerank" -> (qEventsPagerank _),
+    "q_events_attribution" -> (qEventsAttribution _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -877,5 +929,6 @@ object EventOps {
     "q_events_anomaly" -> qEventsAnomalyOracle,
     "q_events_paths" -> qEventsPathsOracle,
     "q_events_pagerank" -> qEventsPagerankOracle,
+    "q_events_attribution" -> qEventsAttributionOracle,
   )
 }

@@ -282,6 +282,39 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("attribution: first-touch credits equal a local sessionization " +
+    "and every purchase is attributed") {
+    val rows = EventOps.qEventsAttribution(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, dir)
+      .selectExpr("user_id", "event_id", "event_type", "value",
+        "unix_micros(ts) as eu").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        r.getLong(4)))
+    val credits = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._5, e._2))
+      var opener = ""
+      var prev = Long.MinValue
+      sorted.flatMap { case (_, _, tpe, v, eu) =>
+        if (prev == Long.MinValue || eu - prev >= 600000000L) opener = tpe
+        prev = eu
+        if (tpe == "purchase") Some(opener -> v) else None
+      }
+    }
+    val local = credits.groupBy(_._1).map { case (ft, xs) =>
+      ft -> (xs.length.toLong, xs.map(_._2).sum)
+    }
+    assert(rows.map(_._1).toSeq == local.keys.toSeq.sorted)
+    rows.foreach { case (ft, n, nu, rev) =>
+      assert(n == local(ft)._1, s"$ft: conversions $n vs ${local(ft)._1}")
+      assert(nu >= 1 && nu <= n, s"$ft: user count out of range")
+      assert(math.abs(rev - local(ft)._2) < 1e-6, s"$ft: revenue drift")
+    }
+    assert(rows.map(_._2).sum == ev.count(_._3 == "purchase"),
+      "every purchase must be attributed exactly once")
+  }
+
   test("scd2: versions are contiguous, intervals chain, exactly one open " +
     "interval per key") {
     val rows = graft.cdc.CdcColumns.qCdcScd2(spark, dir).collect()

@@ -825,6 +825,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q_events_attribution: breaks, opener carry, and conversion filter " +
+    "share ONE user shuffle — no session-id re-shuffle, no join") {
+    val p = plan("q_events_attribution")
+    assert(!p.contains("Join"), p)
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.count(l => l.contains("user_id") && !l.contains("first_touch")) == 1,
+      s"windows must share one user_id shuffle:\n${hashEx.mkString("\n")}")
+    assert(!hashEx.exists(_.contains("sid")),
+      "a session-id exchange means the LOCF fusion broke")
+    assert(p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("user_id")), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("q_graph_kcore: the converged plan reads only checkpointed graph " +
     "state; induced-degree joins key on the node") {
     val p = plan("q_graph_kcore")
