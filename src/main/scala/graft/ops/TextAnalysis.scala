@@ -864,6 +864,71 @@ object TextAnalysis {
         0::BIGINT AS bound_violations
       FROM t, g"""
 
+  // ---------- vocabulary growth (Heaps-law curve) ----------
+  /** Heaps-law curve for the corpus: cumulative 3-gram type count vs
+    * cumulative token count at ten corpus checkpoints — the "is this
+    * corpus still yielding new vocabulary?" diagnostic that decides
+    * whether crawling more of a source is worth it. Checkpoint = decile
+    * of doc_id (`doc_id·10 DIV n_docs` — pure integer arithmetic on the
+    * dense id space, NO global row-number sort), a type's first
+    * appearance is `min(decile)` per shingle (decile is monotone in
+    * doc_id, so min-of-decile ≡ decile-of-min-doc), and the running
+    * totals are windows over the TEN decile rows (decile-cardinality
+    * state, not corpus-cardinality — the one "global" window here is 10
+    * rows by construction). Type/token ratio is a fixed-point millionth
+    * (integer DIV), so the whole output is integers.
+    *
+    * Scale shape: one combine-fed shuffle on the shingle key for first
+    * occurrences, one on the decile key for token mass; the doc-count
+    * single row broadcasts into the scan.
+    */
+  def qVocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("nd"))
+    val sh = Tables.documents(spark, dir)
+      .withColumn("ws", split(col("text"), " ", -1))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 2),
+           i -> concat(ws[i - 1], ' ', ws[i], ' ', ws[i + 1]))""")).as("s"))
+      .crossJoin(broadcast(nd))
+      .withColumn("dec", expr("doc_id * 10 DIV nd"))
+    val tokMass = sh.groupBy(col("dec")).agg(count(lit(1)).as("c"))
+    val newTypes = sh.groupBy(col("s")).agg(min(col("dec")).as("fd"))
+      .groupBy(col("fd")).agg(count(lit(1)).as("nv"))
+    val w = Window.orderBy(col("dec"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokMass.join(newTypes.toDF("dec", "nv"), Seq("dec"), "left_outer")
+      .na.fill(0L, Seq("nv"))
+      .withColumn("cum_tokens", sum(col("c")).over(w))
+      .withColumn("cum_types", sum(col("nv")).over(w))
+      .select((col("dec") + 1).as("decile"), col("cum_tokens"),
+        col("cum_types"),
+        expr("cum_types * 1000000 DIV cum_tokens").as("ttr6"))
+      .orderBy(col("decile"))
+  }
+
+  val qVocabGrowthOracle: String =
+    """WITH nd AS (SELECT count(*) n FROM documents),
+      t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT doc_id,
+        unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]
+          for i in range(1, len(ws) - 1)]) s
+        FROM t WHERE len(ws) >= 3),
+      d AS (SELECT doc_id * 10 // n AS dec, s FROM sh, nd),
+      tok AS (SELECT dec, count(*) c FROM d GROUP BY dec),
+      fst AS (SELECT s, min(dec) fd FROM d GROUP BY s),
+      nt AS (SELECT fd AS dec, count(*) nv FROM fst GROUP BY fd),
+      j AS (SELECT tok.dec, c, coalesce(nv, 0) nv
+        FROM tok LEFT JOIN nt ON nt.dec = tok.dec),
+      cum AS (SELECT dec,
+        sum(c) OVER (ORDER BY dec ROWS UNBOUNDED PRECEDING)::BIGINT
+          AS cum_tokens,
+        sum(nv) OVER (ORDER BY dec ROWS UNBOUNDED PRECEDING)::BIGINT
+          AS cum_types FROM j)
+      SELECT dec + 1 AS decile, cum_tokens, cum_types,
+        cum_types * 1000000 // cum_tokens AS ttr6
+      FROM cum ORDER BY decile"""
+
   // ---------- per-group quantile normalization of a quality score ----------
   /** Quantile-normalize a quality signal WITHIN each language before
     * applying one global threshold — the standard fix for "domain A's
@@ -1687,6 +1752,7 @@ object TextAnalysis {
     "q_text_postings" -> (qTextPostings _),
     "q_text_pmi" -> (qTextPmi _),
     "q_quality_normalize" -> (qQualityNormalize _),
+    "q_vocab_growth" -> (qVocabGrowth _),
     "q_pipeline_full" -> (qPipelineFull _),
     "q_stream_quality" -> (qStreamQuality _),
     "q_vocab_coverage" -> (qVocabCoverage _),
@@ -1725,6 +1791,7 @@ object TextAnalysis {
     "q_text_postings" -> qTextPostingsOracle,
     "q_text_pmi" -> qTextPmiOracle,
     "q_quality_normalize" -> qQualityNormalizeOracle,
+    "q_vocab_growth" -> qVocabGrowthOracle,
     "q_pipeline_full" -> qPipelineFullOracle,
     "q_stream_quality" -> qStreamQualityOracle,
     "q_vocab_coverage" -> qVocabCoverageOracle,

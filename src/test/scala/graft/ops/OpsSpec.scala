@@ -315,6 +315,33 @@ class OpsSpec extends AnyFunSuite {
       "every purchase must be attributed exactly once")
   }
 
+  test("vocab growth: the Heaps curve equals a local recompute, is " +
+    "monotone, and keeps yielding new types past the first decile") {
+    val rows = TextAnalysis.qVocabGrowth(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 10)
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val nd = docs.length
+    val shingles = docs.filter(_._2.length >= 3).flatMap { case (id, ws) =>
+      ws.sliding(3).map(g => (id * 10 / nd, g.mkString(" ")))
+    }
+    val tokByDec = shingles.groupBy(_._1).map { case (d, xs) => d -> xs.length.toLong }
+    val firstDec = shingles.groupBy(_._2).map { case (_, xs) => xs.map(_._1).min }
+    val nvByDec = firstDec.groupBy(identity).map { case (d, xs) => d -> xs.size.toLong }
+    var (ct, cy) = (0L, 0L)
+    val local = (0L to 9L).map { d =>
+      ct += tokByDec.getOrElse(d, 0L); cy += nvByDec.getOrElse(d, 0L)
+      (d + 1, ct, cy, cy * 1000000 / ct)
+    }
+    assert(rows.toSeq == local, s"engine ${rows.toSeq} vs local $local")
+    // monotone cumulative, and the corpus still yields new types late
+    assert(rows.last._3 > rows.head._3,
+      "no vocabulary growth after decile 1 — curve is degenerate")
+    assert(rows.map(_._4).sliding(2).forall(p => p(0) >= p(1)),
+      "type/token ratio must be non-increasing (Heaps sublinearity)")
+  }
+
   test("scd2: versions are contiguous, intervals chain, exactly one open " +
     "interval per key") {
     val rows = graft.cdc.CdcColumns.qCdcScd2(spark, dir).collect()

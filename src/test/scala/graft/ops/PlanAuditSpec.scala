@@ -825,6 +825,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q_vocab_growth: no global row-number over the corpus — deciles " +
+    "come from integer id arithmetic; shuffles key on shingle and decile") {
+    val p = plan("q_vocab_growth")
+    assert(!p.contains("row_number"),
+      s"decile must be id arithmetic, not a global rank: $p")
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.exists(_.contains("s#")) && hashEx.exists(_.contains("dec#")),
+      s"first-occurrence and token-mass shuffles:\n${hashEx.mkString("\n")}")
+    // the only single-partition stages are decile-cardinality (10 rows)
+    // and the doc-count row
+    assert(p.contains("partial_count"), p)
+  }
+
   test("q_events_attribution: breaks, opener carry, and conversion filter " +
     "share ONE user shuffle — no session-id re-shuffle, no join") {
     val p = plan("q_events_attribution")
