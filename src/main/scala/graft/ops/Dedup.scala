@@ -1020,8 +1020,12 @@ object Dedup {
     * token key; prefix explosion is ~|T|/2 per doc (vs |T| for the full
     * join) and, crucially, prefix tokens are the RAREST — the quadratic
     * bucket-occupancy term the full token join pays on frequent tokens
-    * never materializes. Candidates dedup via a pair-keyed combine-fed
-    * aggregate before the O(|T|) exact intersect; the size filter
+    * never materializes. The candidate join carries ONLY (doc_id, size,
+    * prefix-token) — the token arrays do NOT ride the exploded shuffle
+    * (that would duplicate each doc's array once per prefix token, ~|T|/2
+    * bytes-amplification; measured 5× slower). Distinct pairs then fetch
+    * each side's array exactly once from the checkpointed tokenized
+    * corpus before the O(|T|) exact intersect; the size filter
     * (|a| <= 2|b|, from J >= 0.5) prunes inside the join condition.
     */
   def qDedupPpjoin(spark: SparkSession, dir: String): DataFrame = {
@@ -1029,23 +1033,29 @@ object Dedup {
       .select(col("doc_id"), size(col("sh")).as("sz"),
         explode(col("sh")).as("s"))
     val df = toks.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // the tokenized corpus in canonical rarest-first order — materialized
+    // once (linear, doc-sized rows); consumed by the prefix explode and
+    // by both array-fetch joins
     val ordered = toks.join(df, "s")
       .groupBy(col("doc_id"))
       .agg(max(col("sz")).as("sz"),
         transform(array_sort(collect_list(struct(col("df"), col("s")))),
           x => x.getField("s")).as("toks"))
-    val pre = ordered.select(col("doc_id"), col("sz"), col("toks"),
+      .localCheckpoint()
+    // slim prefix rows: no arrays cross this shuffle
+    val pre = ordered.select(col("doc_id"), col("sz"),
       explode(expr("slice(toks, 1, sz DIV 2 + 1)")).as("p"))
-    val a = pre.toDF("d1", "sz1", "t1", "p")
-    val b = pre.toDF("d2", "sz2", "t2", "p")
-    a.join(b, Seq("p"))
+    val cand = pre.toDF("d1", "sz1", "p")
+      .join(pre.toDF("d2", "sz2", "p"), Seq("p"))
       .where(col("d1") < col("d2") &&
         col("sz1") <= col("sz2") * 2 && col("sz2") <= col("sz1") * 2)
-      .groupBy(col("d1"), col("d2"))
-      // every carried value is functionally determined by the pair key,
-      // so first() is deterministic here
-      .agg(first(col("t1")).as("t1"), first(col("t2")).as("t2"),
-        first(col("sz1")).as("sz1"), first(col("sz2")).as("sz2"))
+      .select(col("d1"), col("d2"))
+      .distinct()
+    cand
+      .join(ordered.select(col("doc_id").as("d1"), col("toks").as("t1"),
+        col("sz").as("sz1")), "d1")
+      .join(ordered.select(col("doc_id").as("d2"), col("toks").as("t2"),
+        col("sz").as("sz2")), "d2")
       .withColumn("inter", size(array_intersect(col("t1"), col("t2"))))
       .where(expr("3 * inter >= sz1 + sz2"))
       .select(col("d1"), col("d2"),

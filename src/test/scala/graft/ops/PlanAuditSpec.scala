@@ -742,13 +742,26 @@ class PlanAuditSpec extends AnyFunSuite {
       (l.contains("HashJoin") || l.contains("SortMergeJoin")) &&
         l.contains("[p#")),
       s"candidate join must key on the prefix token: $p")
-    // df counting shuffles on the token; the pair dedup then reuses the
-    // join output's partitioning (no extra pair exchange appears)
+    // the tokenized corpus is checkpointed (df count + canonical order ran
+    // once, eagerly); the final plan reads only the materialization
+    assert(!p.contains("FileScan") && p.contains("Scan ExistingRDD"),
+      s"final plan must read the checkpointed tokenized corpus: $p")
+    // no token ARRAY rides the exploded prefix shuffle: the join inputs
+    // carry only (doc, size, prefix); pairs dedup on the pair key, then
+    // the arrays are fetched once per side by doc-keyed joins
     val hashEx = p.linesIterator
       .filter(_.contains("Exchange hashpartitioning")).toSeq
-    assert(hashEx.exists(_.contains("s#")),
-      s"df aggregate must shuffle on the token key:\n${hashEx.mkString("\n")}")
-    assert(p.contains("partial_count"), p)
+    assert(hashEx.exists(l => l.contains("d1#") && l.contains("d2#")),
+      s"pair dedup must key on the pair:\n${hashEx.mkString("\n")}")
+    assert(!hashEx.exists(_.contains("toks")),
+      s"token arrays must not cross a shuffle:\n${hashEx.mkString("\n")}")
+    assert(p.linesIterator.exists(l =>
+      (l.contains("HashJoin") || l.contains("SortMergeJoin")) &&
+        l.contains("[d1#")) &&
+      p.linesIterator.exists(l =>
+        (l.contains("HashJoin") || l.contains("SortMergeJoin")) &&
+          l.contains("[d2#")),
+      s"array fetches must be doc-keyed equi-joins: $p")
   }
 
   test("q_embed_covariance: pair terms are scan-side; one combine-fed " +
