@@ -131,6 +131,77 @@ object EventOps {
       FROM f WHERE event_type = 'purchase'
       GROUP BY first_touch ORDER BY first_touch"""
 
+  // ---------- session engagement / bounce-rate metrics ----------
+  /** Per-entry-channel session quality: for sessions grouped by their
+    * OPENING event type ([[qEventsAttribution]]'s LOCF opener carry,
+    * same one user_id shuffle for breaks + carry + session ids), report
+    * session count, bounce count (single-event sessions), bounce rate,
+    * mean session length and mean dwell time — the engagement dashboard
+    * behind "which entry channel produces sticky sessions". Every
+    * output is an integer: rates and means are fixed-point millionths /
+    * exact integer µs divisions of exact counts, so no float crosses an
+    * engine boundary.
+    *
+    * Scale shape: windows on user_id (one shuffle), session aggregation
+    * on (user_id, sid) (second shuffle, session-cardinality), final
+    * rollup on the opener type (channel-cardinality). Nothing global,
+    * nothing driver-side.
+    */
+  def qEventsEngagement(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("eu"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("eu"))
+      .withColumn("brk",
+        when(lag(col("eu"), 1).over(w).isNull ||
+          col("eu") - lag(col("eu"), 1).over(w) >= 600000000L, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(run))
+      .withColumn("opener",
+        last(when(col("brk") === 1, col("event_type")), ignoreNulls = true)
+          .over(run))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(max(col("opener")).as("opener"), count(lit(1)).as("len"),
+        (max(col("eu")) - min(col("eu"))).as("dwell_us"))
+      .groupBy(col("opener"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("len") === 1, 1L).otherwise(0L)).as("n_bounces"),
+        sum(col("len")).as("n_events"),
+        sum(col("dwell_us")).as("dwell_sum_us"))
+      .select(col("opener"), col("n_sessions"), col("n_bounces"),
+        expr("n_bounces * 1000000 DIV n_sessions").as("bounce6"),
+        expr("n_events * 1000000 DIV n_sessions").as("mean_len6"),
+        expr("dwell_sum_us DIV n_sessions").as("mean_dwell_us"))
+      .orderBy(col("opener"))
+  }
+
+  val qEventsEngagementOracle: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+        epoch_us(ts) eu FROM events),
+      m AS (SELECT *, CASE WHEN lag(eu) OVER w IS NULL
+          OR eu - lag(eu) OVER w >= 600000000 THEN 1 ELSE 0 END AS brk
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY eu, event_id)),
+      s AS (SELECT *,
+        sum(brk) OVER (PARTITION BY user_id ORDER BY eu, event_id
+          ROWS UNBOUNDED PRECEDING) AS sid,
+        last_value(CASE WHEN brk = 1 THEN event_type END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY eu, event_id
+          ROWS UNBOUNDED PRECEDING) AS opener FROM m),
+      ses AS (SELECT user_id, sid, max(opener) opener, count(*) len,
+          max(eu) - min(eu) dwell_us
+        FROM s GROUP BY user_id, sid),
+      g AS (SELECT opener, count(*) n_sessions,
+          sum(CASE WHEN len = 1 THEN 1 ELSE 0 END)::BIGINT n_bounces,
+          sum(len)::BIGINT n_events, sum(dwell_us)::BIGINT dwell_sum_us
+        FROM ses GROUP BY opener)
+      SELECT opener, n_sessions, n_bounces,
+        n_bounces * 1000000 // n_sessions AS bounce6,
+        n_events * 1000000 // n_sessions AS mean_len6,
+        dwell_sum_us // n_sessions AS mean_dwell_us
+      FROM g ORDER BY opener"""
+
   // ---------- as-of join (click → latest prior view, per user) ----------
   /** As-of join composed from built-ins: tag both streams, sort-merge once
     * per user, and carry the latest view with `last(..., ignoreNulls)` over
@@ -909,6 +980,7 @@ object EventOps {
     "q_events_paths" -> (qEventsPaths _),
     "q_events_pagerank" -> (qEventsPagerank _),
     "q_events_attribution" -> (qEventsAttribution _),
+    "q_events_engagement" -> (qEventsEngagement _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -930,5 +1002,6 @@ object EventOps {
     "q_events_paths" -> qEventsPathsOracle,
     "q_events_pagerank" -> qEventsPagerankOracle,
     "q_events_attribution" -> qEventsAttributionOracle,
+    "q_events_engagement" -> qEventsEngagementOracle,
   )
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed graph analytics over graphs derived from the TPC-H-ish
@@ -238,13 +239,79 @@ object GraphOps {
       FROM core JOIN deg0 ON deg0.n = core.n ORDER BY part"""
   }
 
+  // ---------- market-basket association mining ----------
+  /** Top-5 "customers who bought X also bought Y" recommendations per
+    * small part, ranked by lift — the classic association-rule miner
+    * over order baskets. Confidence and lift are FIXED-POINT millionths
+    * (`cab·1e6 DIV ca`, `cab·N·1e6 DIV (ca·cb)`): every operand is an
+    * exact basket count, so the ranking key is a pure integer and no
+    * float ordering can disagree across engines anywhere in the query.
+    *
+    * Scale shape: basket pairs shuffle on the order key (same
+    * co-purchase machinery as the census, directional this time);
+    * support counts are part-cardinality-sized and broadcast; the
+    * basket total crosses in as one broadcast row; the per-part top-5
+    * is a rank-window cut on integer keys. The p_size pre-filter prunes
+    * the quadratic step by its selectivity squared.
+    */
+  def qMarketBasket(spark: SparkSession, dir: String): DataFrame = {
+    val small = Tables.part(spark, dir)
+      .where(col("p_size") <= 10)
+      .select(col("p_partkey").as("p"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .join(broadcast(small), "p")
+      .select(col("o"), col("p"))
+      .distinct()
+      .localCheckpoint()
+    val n = li.agg(countDistinct(col("o")).as("n"))
+    val cnt = li.groupBy(col("p")).agg(count(lit(1)).as("c"))
+    val pairs = li.toDF("o", "pa")
+      .join(li.toDF("o", "pb"), "o")
+      .where(col("pa") =!= col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("cab"))
+    val w = Window.partitionBy(col("pa"))
+      .orderBy(col("lift6").desc, col("cab").desc, col("pb"))
+    pairs
+      .join(broadcast(cnt.toDF("pa", "ca")), "pa")
+      .join(broadcast(cnt.toDF("pb", "cb")), "pb")
+      .crossJoin(broadcast(n))
+      .select(col("pa"), col("pb"), col("cab"),
+        expr("cab * 1000000 DIV ca").as("conf6"),
+        expr("cab * n * 1000000 DIV (ca * cb)").as("lift6"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("pa").as("part"), col("pb").as("rec"), col("cab"),
+        col("conf6"), col("lift6"), col("rnk"))
+      .orderBy(col("part"), col("rnk"))
+  }
+
+  val qMarketBasketOracle: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 10)),
+      n AS (SELECT count(DISTINCT o) n FROM li),
+      cnt AS (SELECT p, count(*) c FROM li GROUP BY p),
+      pairs AS (SELECT a.p pa, b.p pb, count(*) cab FROM li a
+        JOIN li b ON a.o = b.o AND a.p <> b.p GROUP BY a.p, b.p),
+      scored AS (SELECT pa, pb, cab,
+          cab * 1000000 // ca.c AS conf6,
+          cab * n.n * 1000000 // (ca.c * cb.c) AS lift6
+        FROM pairs JOIN cnt ca ON ca.p = pairs.pa
+        JOIN cnt cb ON cb.p = pairs.pb CROSS JOIN n),
+      r AS (SELECT *, row_number() OVER (PARTITION BY pa
+          ORDER BY lift6 DESC, cab DESC, pb) rnk FROM scored)
+      SELECT pa AS part, pb AS rec, cab, conf6, lift6, rnk::BIGINT AS rnk
+      FROM r WHERE rnk <= 5 ORDER BY part, rnk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_triangles" -> (qGraphTriangles _),
     "q_graph_kcore" -> (qGraphKcore _),
+    "q_market_basket" -> (qMarketBasket _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_graph_triangles" -> qGraphTrianglesOracle,
     "q_graph_kcore" -> qGraphKcoreOracle,
+    "q_market_basket" -> qMarketBasketOracle,
   )
 }

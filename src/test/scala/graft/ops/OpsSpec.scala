@@ -342,6 +342,75 @@ class OpsSpec extends AnyFunSuite {
       "type/token ratio must be non-increasing (Heaps sublinearity)")
   }
 
+  test("market basket: top-5 recommendations per part equal a local " +
+    "association miner on pure integer keys") {
+    val rows = GraphOps.qMarketBasket(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5)))
+    assert(rows.nonEmpty)
+    val small = Tables.part(spark, dir).where("p_size <= 10")
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(t => small(t._2)).distinct
+    val n = li.map(_._1).distinct.length.toLong
+    val cnt = li.groupBy(_._2).map { case (p, xs) => p -> xs.length.toLong }
+    val pairs = li.groupBy(_._1).values.toSeq.flatMap { ps =>
+      val s = ps.map(_._2).distinct.toSeq
+      for (a <- s; b <- s if a != b) yield (a, b)
+    }.groupBy(identity).map { case ((a, b), xs) => (a, b, xs.size.toLong) }
+    val local = pairs.groupBy(_._1).toSeq.flatMap { case (pa, xs) =>
+      xs.toSeq.map { case (_, pb, cab) =>
+        (pa, pb, cab, cab * 1000000 / cnt(pa),
+          cab * n * 1000000 / (cnt(pa) * cnt(pb)))
+      }.sortBy { case (_, pb, cab, _, l6) => (-l6, -cab, pb) }
+        .take(5).zipWithIndex
+        .map { case ((a, b, c, cf, l6), i) => (a, b, c, cf, l6, i + 1) }
+    }.sortBy(t => (t._1, t._6))
+    assert(rows.toSeq == local, s"engine ${rows.length} vs local ${local.length}")
+  }
+
+  test("engagement: per-channel session metrics equal a local " +
+    "sessionization; all rates are exact integers in range") {
+    val rows = EventOps.qEventsEngagement(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, dir)
+      .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) as eu")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val sessions = ev.groupBy(_._1).values.toSeq.flatMap { es =>
+      val sorted = es.sortBy(e => (e._4, e._2))
+      val buf = collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      var opener = ""; var len = 0L; var start = 0L; var last = 0L
+      var prev = Long.MinValue
+      sorted.foreach { case (_, _, tpe, eu) =>
+        if (prev == Long.MinValue || eu - prev >= 600000000L) {
+          if (len > 0) buf += ((opener, len, last - start))
+          opener = tpe; len = 0; start = eu
+        }
+        len += 1; last = eu; prev = eu
+      }
+      if (len > 0) buf += ((opener, len, last - start))
+      buf
+    }
+    val local = sessions.groupBy(_._1).toSeq.map { case (op, ss) =>
+      val ns = ss.length.toLong
+      val nb = ss.count(_._2 == 1).toLong
+      val nev = ss.map(_._2).sum
+      val dw = ss.map(_._3).sum
+      (op, ns, nb, nb * 1000000 / ns, nev * 1000000 / ns, dw / ns)
+    }.sortBy(_._1)
+    assert(rows.toSeq == local, s"engine ${rows.toSeq} vs local $local")
+    rows.foreach { case (op, ns, nb, b6, _, _) =>
+      assert(nb <= ns && b6 >= 0 && b6 <= 1000000, s"$op rates out of range")
+    }
+    assert(rows.map(_._2).sum == sessions.length,
+      "session totals must cover every session exactly once")
+  }
+
   test("scd2: versions are contiguous, intervals chain, exactly one open " +
     "interval per key") {
     val rows = graft.cdc.CdcColumns.qCdcScd2(spark, dir).collect()

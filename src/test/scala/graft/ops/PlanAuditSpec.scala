@@ -852,6 +852,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q_market_basket: support sides broadcast; the top-5 cut runs " +
+    "map-side (partial WindowGroupLimit) before the part exchange") {
+    val p = plan("q_market_basket")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) == 2,
+      s"both support joins must broadcast: $p")
+    assert(p.contains("WindowGroupLimit") && p.contains(", Partial"),
+      s"rank cut must drop rows before the exchange: $p")
+    assert(!p.contains("FileScan") && p.contains("Scan ExistingRDD"),
+      s"final plan must read the checkpointed basket list: $p")
+  }
+
+  test("q_events_engagement: sessions aggregate WITHOUT a (user, sid) " +
+    "re-shuffle — only the user and opener exchanges exist") {
+    val p = plan("q_events_engagement")
+    assert(!p.contains("Join"), p)
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.length == 2, s"user + opener only:\n${hashEx.mkString("\n")}")
+    assert(hashEx.exists(l => l.contains("user_id") && !l.contains("sid")), p)
+    assert(hashEx.exists(_.contains("opener")), p)
+    assert(p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("user_id")), p)
+  }
+
   test("q_events_attribution: breaks, opener carry, and conversion filter " +
     "share ONE user shuffle — no session-id re-shuffle, no join") {
     val p = plan("q_events_attribution")
