@@ -882,8 +882,85 @@ object Similarity {
           - sum(qi)::BIGINT * sum(qj)::BIGINT AS cov_num_e6
       FROM p GROUP BY i, j ORDER BY di, dj"""
 
+  // ---------- nearest-centroid classification eval ----------
+  /** Embedding-quality eval: classify every vector by its nearest label
+    * centroid and report per-label accuracy — the "do my embeddings
+    * separate my labels?" diagnostic run before spending on a trained
+    * probe. EVERYTHING up to the final argmax is exact integer
+    * arithmetic in the [[qEmbedCovariance]] fixed-point discipline:
+    * vectors quantize to `round(x·1000)` longs, label centroids are the
+    * integer per-dimension SUMS (numerator) with the member count as
+    * denominator, and each (vector, label) score is an integer dot
+    * product — the only float operation is the final `score/den`
+    * comparison of exact rationals, identical operands on both engines
+    * (and the spec margin-audits the best-vs-second gap). Dot-product
+    * similarity comparison (not euclidean) keeps the score linear in
+    * the centroid, which is what makes the integer-sums form possible.
+    *
+    * Scale shape: centroid sums are one combine-fed shuffle on
+    * (label, dim) then a label-cardinality reshape; the 10-row centroid
+    * table BROADCASTS into a scan-side score explode (10 scores per
+    * vector, rank-1 cut map-side via WindowGroupLimit on vec_id);
+    * accuracy rolls up on the true label. The corpus is read twice
+    * (centroids, classification) — at 100 TB the centroid pass is the
+    * cheap one (narrow integer arrays).
+    */
+  def qEmbedCentroidEval(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(round(cast(x AS DOUBLE) * 1000) AS BIGINT))")
+          .as("q"))
+    val cent = q
+      .select(col("label"), posexplode(col("q")).as(Seq("i", "v")))
+      .groupBy(col("label"), col("i")).agg(sum(col("v")).as("s"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("s")))),
+        x => x.getField("s")).as("c"))
+      .join(q.groupBy(col("label")).agg(count(lit(1)).as("den")), "label")
+      .select(col("label").as("clabel"), col("c"), col("den"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("r").desc, col("clabel"))
+    q.crossJoin(broadcast(cent))
+      .withColumn("sc",
+        expr("aggregate(zip_with(q, c, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+      .withColumn("r", col("sc").cast("double") / col("den"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("clabel") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("label"), col("n"), col("n_correct"),
+        expr("n_correct * 1000000 DIV n").as("acc6"))
+      .orderBy(col("label"))
+  }
+
+  val qEmbedCentroidEvalOracle: String =
+    """WITH q AS (SELECT vec_id, label,
+        [round(x * 1000)::BIGINT FOR x IN embedding::DOUBLE[]] q
+        FROM embeddings),
+      cs AS (SELECT label, i, sum(q[i::INT]) s
+        FROM q, range(1, 65) t(i) GROUP BY label, i),
+      cent AS (SELECT cs.label clabel, list(s ORDER BY i) c
+        FROM cs GROUP BY cs.label),
+      den AS (SELECT label clabel, count(*) den FROM q GROUP BY label),
+      sc AS (SELECT vec_id, q.label, cent.clabel, den.den,
+          (SELECT sum(q.q[i::INT] * cent.c[i::INT])
+           FROM range(1, 65) t(i)) sc
+        FROM q, cent JOIN den ON den.clabel = cent.clabel),
+      pred AS (SELECT vec_id, label, clabel FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY sc::DOUBLE / den DESC, clabel) rn FROM sc) t
+        WHERE rn = 1)
+      SELECT label, count(*) AS n,
+        sum(CASE WHEN clabel = label THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+        sum(CASE WHEN clabel = label THEN 1 ELSE 0 END)::BIGINT
+          * 1000000 // count(*) AS acc6
+      FROM pred GROUP BY label ORDER BY label"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_neardup" -> (qEmbedNeardup _),
+    "q_embed_centroid_eval" -> (qEmbedCentroidEval _),
     "q_dedup_semantic" -> (qDedupSemantic _),
     "q_ann_topk" -> (qAnnTopk _),
     "q_ann_lsh" -> (certifyRecall("lsh", 0.0, 0.30, qAnnLsh) _),
@@ -900,6 +977,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q_embed_neardup" -> qEmbedNeardupOracle,
+    "q_embed_centroid_eval" -> qEmbedCentroidEvalOracle,
     "q_dedup_semantic" -> qDedupSemanticOracle,
     "q_ann_topk" -> qAnnTopkOracle,
     "q_ann_lsh" -> certifyOracle("lsh", 0.0, 0.30),

@@ -411,6 +411,39 @@ class OpsSpec extends AnyFunSuite {
       "session totals must cover every session exactly once")
   }
 
+  test("centroid eval: per-label accuracy equals a local integer " +
+    "recompute; every argmax margin dwarfs double-division noise") {
+    val rows = Similarity.qEmbedCentroidEval(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (0 to 9))
+    val vecs = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "label",
+        "transform(embedding, x -> cast(round(cast(x AS DOUBLE) * 1000) AS BIGINT)) q")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toArray))
+    val byLabel = vecs.groupBy(_._2)
+    val cent = byLabel.map { case (l, vs) =>
+      l -> ((0 until 64).map(i => vs.map(_._3(i)).sum).toArray, vs.length.toLong)
+    }
+    var minGap = Double.MaxValue
+    val preds = vecs.map { case (id, l, q) =>
+      val scored = cent.toSeq.map { case (cl, (c, den)) =>
+        val s = (0 until 64).map(i => q(i) * c(i)).sum
+        (s.toDouble / den, cl)
+      }.sortBy { case (r, cl) => (-r, cl) }
+      minGap = math.min(minGap, scored(0)._1 - scored(1)._1)
+      (id, l, scored.head._2)
+    }
+    val local = preds.groupBy(_._2).toSeq.map { case (l, xs) =>
+      val nc = xs.count(p => p._3 == p._2).toLong
+      (l, xs.length.toLong, nc, nc * 1000000 / xs.length)
+    }.sortBy(_._1)
+    assert(rows.toSeq == local, s"engine ${rows.toSeq} vs local $local")
+    // double division on exact rationals carries ~ulp error (~1e-9 at
+    // these magnitudes); the argmax is safe iff gaps dwarf that
+    assert(minGap > 1e-4, s"argmax margin $minGap too small for float safety")
+  }
+
   test("scd2: versions are contiguous, intervals chain, exactly one open " +
     "interval per key") {
     val rows = graft.cdc.CdcColumns.qCdcScd2(spark, dir).collect()

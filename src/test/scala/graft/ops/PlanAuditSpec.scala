@@ -989,6 +989,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"reassembly must key on doc_id:\n${hashEx.mkString("\n")}")
   }
 
+  test("q_embed_centroid_eval: the 10-row centroid table broadcasts into " +
+    "a scan-side score; the rank-1 cut runs map-side") {
+    val p = plan("q_embed_centroid_eval")
+    assert(!p.contains("CartesianProduct"),
+      s"score join must be the broadcast of the centroid table: $p")
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
+    assert(p.contains("WindowGroupLimit"),
+      s"rank-1 cut must drop rows before the vec_id exchange: $p")
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.exists(l => l.contains("label") && l.contains("i#")),
+      s"centroid sums must shuffle on (label, dim):\n${hashEx.mkString("\n")}")
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("q_heavy_hitters_grouped: sketch is map-side partial-merged and " +
     "shuffles only on the group key; certification joins broadcast") {
     val p = plan("q_heavy_hitters_grouped")
