@@ -405,6 +405,62 @@ object Relational {
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY p_brand ORDER BY p_brand"""
 
+  // ---------- bucketed co-located join (exchange-free fact-fact) ----------
+  /** The bucketing discipline for REPEATED fact-to-fact joins: both
+    * sides are written once as bucketed tables (8 buckets on the join
+    * key, bucket-sorted), after which every join on that key reads
+    * co-located buckets and the join plans with NO Exchange on either
+    * side — the shuffle is paid once at layout time, not per query.
+    * At 100 TB this is the difference between re-shuffling two
+    * multi-TB facts on every analytical run and a pure merge of
+    * pre-partitioned files; it is also the batch analogue of the
+    * DSv2 source's partitioned layout. The PlanAudit pins the contract:
+    * zero `Exchange hashpartitioning` below the join.
+    *
+    * The aggregation itself is the priority-mix revenue rollup, oracled
+    * against DuckDB joining the ORIGINAL parquet — proving the bucketed
+    * round-trip byte-preserves the data.
+    */
+  def qJoinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val B = 8
+    // the managed-table LOCATION outlives the in-memory catalog: a fresh
+    // session doesn't know the table, so overwrite can't reclaim it —
+    // drop both the entry and the directory before (re)laying out
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("graft_bucketed_lineitem", "graft_bucketed_orders").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      fs.delete(new org.apache.hadoop.fs.Path(wh, t), true)
+    }
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_quantity", $"l_extendedprice", $"l_discount")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(B, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_bucketed_lineitem")
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderpriority")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(B, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_bucketed_orders")
+    spark.table("graft_bucketed_orders")
+      .join(spark.table("graft_bucketed_lineitem"),
+        $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum($"l_quantity").as("sum_qty"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+          .as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val qJoinBucketedOracle: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      sum(l_quantity) AS sum_qty,
+      round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   // ---------- semi / anti joins ----------
   def qSemiJoin(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
@@ -1872,6 +1928,7 @@ object Relational {
     "q22_dormant_customers" -> (q22DormantCustomers _),
     "q_window_firstlast" -> (qWindowFirstLast _),
     "q_join_broadcast" -> (qJoinBroadcast _),
+    "q_join_bucketed" -> (qJoinBucketed _),
     "q_semi_join" -> (qSemiJoin _),
     "q_anti_join" -> (qAntiJoin _),
     "q_outer_join_agg" -> (qOuterJoinAgg _),
@@ -1932,6 +1989,7 @@ object Relational {
     "q22_dormant_customers" -> q22Oracle,
     "q_window_firstlast" -> qWindowFirstLastOracle,
     "q_join_broadcast" -> qJoinBroadcastOracle,
+    "q_join_bucketed" -> qJoinBucketedOracle,
     "q_semi_join" -> qSemiJoinOracle,
     "q_anti_join" -> qAntiJoinOracle,
     "q_outer_join_agg" -> qOuterJoinAggOracle,

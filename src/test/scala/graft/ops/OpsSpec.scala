@@ -444,6 +444,29 @@ class OpsSpec extends AnyFunSuite {
     assert(minGap > 1e-4, s"argmax margin $minGap too small for float safety")
   }
 
+  test("bucketed join: rollup equals the unbucketed join of the source " +
+    "tables — the bucketed layout byte-preserves the data") {
+    val bucketed = Relational.qJoinBucketed(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val plain = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        org.apache.spark.sql.functions.expr("o_orderkey = l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_items"),
+        org.apache.spark.sql.functions.sum("l_quantity").as("sum_qty"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.expr(
+            "sum(l_extendedprice * (1.0 - l_discount))"), 2).as("revenue"))
+      .orderBy("o_orderpriority")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(bucketed.nonEmpty)
+    assert(bucketed.toSeq == plain.toSeq,
+      s"bucketed ${bucketed.toSeq} vs plain ${plain.toSeq}")
+  }
+
   test("scd2: versions are contiguous, intervals chain, exactly one open " +
     "interval per key") {
     val rows = graft.cdc.CdcColumns.qCdcScd2(spark, dir).collect()

@@ -852,6 +852,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q_join_bucketed: the fact-fact join reads co-located buckets — " +
+    "zero exchanges on the join key; only the rollup shuffles") {
+    // pin the at-scale regime: with two large facts neither side
+    // broadcasts, and the bucketed layout must carry the join alone
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p = try plan("q_join_bucketed")
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert(p.linesIterator.exists(l =>
+      l.contains("FileScan") && l.contains("Bucketed: true")),
+      s"both sides must scan bucketed layouts: $p")
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(!hashEx.exists(_.contains("orderkey")),
+      s"bucketed join must not re-shuffle the join key:\n${hashEx.mkString("\n")}")
+    assert(hashEx.forall(_.contains("o_orderpriority")),
+      s"only the rollup exchange may exist:\n${hashEx.mkString("\n")}")
+    assert(p.contains("SortMergeJoin"), p)
+  }
+
   test("q_market_basket: support sides broadcast; the top-5 cut runs " +
     "map-side (partial WindowGroupLimit) before the part exchange") {
     val p = plan("q_market_basket")
