@@ -600,7 +600,11 @@ class PlanAuditSpec extends AnyFunSuite {
     //    rows; TextAnalysis.qMixTemperature scaladoc)
     //  - q_events_cum_users: running sum over per-day new-user counts
     //    (~#days rows; EventOps.qEventsCumulativeUsers scaladoc)
-    val allow = Set("q_mix_temperature", "q_events_cum_users")
+    //  - q_vocab_growth: running totals over the TEN decile rows
+    //    (decile-cardinality by construction; TextAnalysis.qVocabGrowth
+    //    scaladoc)
+    val allow = Set("q_mix_temperature", "q_events_cum_users",
+      "q_vocab_growth")
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(eager)
       .filter { name =>
