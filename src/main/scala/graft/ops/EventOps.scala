@@ -202,6 +202,49 @@ object EventOps {
         dwell_sum_us // n_sessions AS mean_dwell_us
       FROM g ORDER BY opener"""
 
+  // ---------- longest purchase streak (gaps-and-islands on days) ----------
+  /** Longest run of CONSECUTIVE calendar days with a purchase, per user
+    * (top 20 by streak) — the retention/habit metric behind "N-day
+    * streak" product features. Classic gaps-and-islands on integer day
+    * numbers: within a user, `day − row_number()` is constant exactly
+    * along a consecutive run, so one groupBy on that island key yields
+    * run lengths with no self-join and no iteration. All arithmetic is
+    * integer (days since epoch); one user shuffle carries the window,
+    * the island and user rollups reuse its partitioning, and the top-20
+    * is a TakeOrdered.
+    */
+  def qEventsStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("dd"))
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).as("dd"))
+      .distinct()
+      .withColumn("isl", col("dd") - row_number().over(w))
+      .groupBy(col("user_id"), col("isl"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("user_id"))
+      .agg(max(col("run")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("run")).as("active_days"))
+      .orderBy(col("longest_streak").desc, col("user_id"))
+      .limit(20)
+  }
+
+  val qEventsStreaksOracle: String =
+    """WITH d AS (SELECT DISTINCT user_id,
+        (ts::DATE - DATE '1970-01-01') dd FROM events
+        WHERE event_type = 'purchase'),
+      i AS (SELECT user_id, dd,
+        dd - row_number() OVER (PARTITION BY user_id ORDER BY dd) isl
+        FROM d),
+      runs AS (SELECT user_id, isl, count(*) run FROM i
+        GROUP BY user_id, isl)
+      SELECT user_id, max(run) AS longest_streak,
+        count(*) AS n_streaks, sum(run)::BIGINT AS active_days
+      FROM runs GROUP BY user_id
+      ORDER BY longest_streak DESC, user_id LIMIT 20"""
+
   // ---------- as-of join (click → latest prior view, per user) ----------
   /** As-of join composed from built-ins: tag both streams, sort-merge once
     * per user, and carry the latest view with `last(..., ignoreNulls)` over
@@ -981,6 +1024,7 @@ object EventOps {
     "q_events_pagerank" -> (qEventsPagerank _),
     "q_events_attribution" -> (qEventsAttribution _),
     "q_events_engagement" -> (qEventsEngagement _),
+    "q_events_streaks" -> (qEventsStreaks _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1003,5 +1047,6 @@ object EventOps {
     "q_events_pagerank" -> qEventsPagerankOracle,
     "q_events_attribution" -> qEventsAttributionOracle,
     "q_events_engagement" -> qEventsEngagementOracle,
+    "q_events_streaks" -> qEventsStreaksOracle,
   )
 }

@@ -467,6 +467,26 @@ class OpsSpec extends AnyFunSuite {
       s"bucketed ${bucketed.toSeq} vs plain ${plain.toSeq}")
   }
 
+  test("streaks: longest consecutive-day runs equal a local " +
+    "gaps-and-islands and real multi-day streaks exist") {
+    val rows = EventOps.qEventsStreaks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val days = Tables.events(spark, dir)
+      .filter("event_type = 'purchase'")
+      .selectExpr("user_id", "datediff(to_date(ts), '1970-01-01') dd")
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val local = days.groupBy(_._1).map { case (u, ds) =>
+      val sorted = ds.map(_._2).sorted
+      val runs = sorted.zipWithIndex.groupBy { case (d, i) => d - i }
+        .values.map(_.length.toLong).toSeq
+      (u, runs.max, runs.size.toLong, runs.sum)
+    }.toSeq.sortBy(t => (-t._2, t._1)).take(20)
+    assert(rows.toSeq == local, s"engine ${rows.toSeq} vs local $local")
+    assert(rows.head._2 > 1, "corpus must contain a multi-day streak")
+  }
+
   test("scd2: versions are contiguous, intervals chain, exactly one open " +
     "interval per key") {
     val rows = graft.cdc.CdcColumns.qCdcScd2(spark, dir).collect()

@@ -901,6 +901,17 @@ class PlanAuditSpec extends AnyFunSuite {
       .forall(_.contains("user_id")), p)
   }
 
+  test("q_events_streaks: gaps-and-islands needs no self-join; rollups " +
+    "reuse the user shuffle; top-20 is a top-k") {
+    val p = plan("q_events_streaks")
+    assert(!p.contains("Join"), s"islands must come from the window: $p")
+    assert(p.contains("TakeOrderedAndProject(limit=20"), p)
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.length <= 2 && hashEx.forall(_.contains("user_id")),
+      s"distinct + window only; rollups reuse:\n${hashEx.mkString("\n")}")
+  }
+
   test("q_events_attribution: breaks, opener carry, and conversion filter " +
     "share ONE user shuffle — no session-id re-shuffle, no join") {
     val p = plan("q_events_attribution")
