@@ -1587,6 +1587,104 @@ object TextAnalysis {
         col("s").cast("string").as("score"))
   }
 
+  // ---------- hybrid retrieval: reciprocal-rank fusion ----------
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of the BM25 lexical
+    * ranking and an embedding cosine ranking — THE standard hybrid
+    * retrieval combiner (every vector DB's `hybrid` mode). Each source
+    * contributes `1/(60 + rank)`; a document missing from one top-15
+    * contributes 0 from that side. The fused score is computed as an
+    * EXACT RATIONAL collapsed to a fixed-point millionth —
+    * `(n1·d2 + n2·d1)·1e6 DIV (d1·d2)` on integer ranks — so the final
+    * ordering is pure integer comparison; the only floats live INSIDE
+    * the two source rankers, each already rounding-disciplined
+    * ([[qTextBm25]]'s decimal summation, the ANN family's rounded
+    * cosine). The vector side ranks the embedded subset (vec_id aligns
+    * with doc_id), querying by doc 0's embedding.
+    *
+    * Scale shape: both source rankings end in TakeOrdered top-15s; the
+    * only partition-less windows rank those FIFTEEN-row lists (pinned in
+    * the global-window allowlist with that bound); the fusion is a
+    * 15×15 full-outer join on doc_id. Everything upstream is the
+    * sources' own scale-safe plans.
+    */
+  def qTextRrf(spark: SparkSession, dir: String): DataFrame = {
+    val wBm = Window.orderBy(col("s").desc, col("doc_id"))
+    val bm = qTextBm25(spark, dir)
+      .select(col("doc_id"), col("score").cast("decimal(18,6)").as("s"))
+      .withColumn("r1", row_number().over(wBm))
+      .select(col("doc_id"), col("r1"))
+    val e = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> cast(x AS DOUBLE)) vd")
+      .withColumn("nrm",
+        sqrt(aggregate(col("vd"), lit(0.0), (a, x) => a + x * x)))
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("vd").as("q_vd"), col("nrm").as("q_nrm"))
+    val wEm = Window.orderBy(col("cos").desc, col("doc_id"))
+    val em = e.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("cos", round(
+        expr("aggregate(zip_with(vd, q_vd, (a, b) -> a * b), 0D, (acc, x) -> acc + x)")
+          / (col("nrm") * col("q_nrm")), 6))
+      .select(col("vec_id").as("doc_id"), col("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(15)
+      .withColumn("r2", row_number().over(wEm))
+      .select(col("doc_id"), col("r2"))
+    bm.join(em, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("r1"), lit(0)).as("r_bm25"),
+        coalesce(col("r2"), lit(0)).as("r_emb"),
+        expr("""CAST(((CASE WHEN r1 IS NULL THEN 0 ELSE 1 END)
+                 * (CASE WHEN r2 IS NULL THEN 1 ELSE 60 + r2 END)
+               + (CASE WHEN r2 IS NULL THEN 0 ELSE 1 END)
+                 * (CASE WHEN r1 IS NULL THEN 1 ELSE 60 + r1 END)) AS BIGINT)
+              * 1000000
+              DIV ((CASE WHEN r1 IS NULL THEN 1 ELSE 60 + r1 END)
+                 * (CASE WHEN r2 IS NULL THEN 1 ELSE 60 + r2 END))""")
+          .as("rrf6"))
+      .orderBy(col("rrf6").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val qTextRrfOracle: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) w
+        FROM documents),
+      dl AS (SELECT doc_id, count(*) dl FROM toks GROUP BY doc_id),
+      stats AS (SELECT sum(dl) sum_dl, count(*) n_docs FROM dl),
+      tf AS (SELECT doc_id, w, count(*) tf FROM toks
+        WHERE w IN ('hash', 'query', 'table', 'vector', 'scan')
+        GROUP BY doc_id, w),
+      dft AS (SELECT w, count(*) df FROM tf GROUP BY w),
+      c AS (SELECT tf.doc_id,
+        round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+          * (tf * 2.2)
+          / (tf + 1.2 * (0.25 + 0.75 * dl / (sum_dl * 1.0 / n_docs))),
+          6)::DECIMAL(18,6) AS c
+        FROM tf JOIN dft USING (w) JOIN dl USING (doc_id), stats),
+      bmtop AS (SELECT doc_id, sum(c) s FROM c GROUP BY doc_id
+        ORDER BY s DESC, doc_id LIMIT 15),
+      bm AS (SELECT doc_id,
+        row_number() OVER (ORDER BY s DESC, doc_id) r1 FROM bmtop),
+      ev AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      qv AS (SELECT v FROM ev WHERE vec_id = 0),
+      emtop AS (SELECT vec_id doc_id,
+          round(list_cosine_similarity(ev.v, qv.v), 6) cos
+        FROM ev, qv WHERE vec_id <> 0
+        ORDER BY cos DESC, doc_id LIMIT 15),
+      em AS (SELECT doc_id,
+        row_number() OVER (ORDER BY cos DESC, doc_id) r2 FROM emtop),
+      fused AS (SELECT coalesce(bm.doc_id, em.doc_id) doc_id,
+          coalesce(r1, 0) r_bm25, coalesce(r2, 0) r_emb,
+          ((CASE WHEN r1 IS NULL THEN 0 ELSE 1 END)
+             * (CASE WHEN r2 IS NULL THEN 1 ELSE 60 + r2 END)
+           + (CASE WHEN r2 IS NULL THEN 0 ELSE 1 END)
+             * (CASE WHEN r1 IS NULL THEN 1 ELSE 60 + r1 END)) * 1000000
+          // ((CASE WHEN r1 IS NULL THEN 1 ELSE 60 + r1 END)
+             * (CASE WHEN r2 IS NULL THEN 1 ELSE 60 + r2 END)) AS rrf6
+        FROM bm FULL OUTER JOIN em ON bm.doc_id = em.doc_id)
+      SELECT doc_id, r_bm25, r_emb, rrf6 FROM fused
+      ORDER BY rrf6 DESC, doc_id LIMIT 10"""
+
   val qTextBm25Oracle: String =
     """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) w
         FROM documents),
@@ -1753,6 +1851,7 @@ object TextAnalysis {
     "q_text_pmi" -> (qTextPmi _),
     "q_quality_normalize" -> (qQualityNormalize _),
     "q_vocab_growth" -> (qVocabGrowth _),
+    "q_text_rrf" -> (qTextRrf _),
     "q_pipeline_full" -> (qPipelineFull _),
     "q_stream_quality" -> (qStreamQuality _),
     "q_vocab_coverage" -> (qVocabCoverage _),
@@ -1792,6 +1891,7 @@ object TextAnalysis {
     "q_text_pmi" -> qTextPmiOracle,
     "q_quality_normalize" -> qQualityNormalizeOracle,
     "q_vocab_growth" -> qVocabGrowthOracle,
+    "q_text_rrf" -> qTextRrfOracle,
     "q_pipeline_full" -> qPipelineFullOracle,
     "q_stream_quality" -> qStreamQualityOracle,
     "q_vocab_coverage" -> qVocabCoverageOracle,

@@ -487,6 +487,41 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.head._2 > 1, "corpus must contain a multi-day streak")
   }
 
+  test("rrf: the fusion recomputes exactly from the two source rankings " +
+    "and every fused doc comes from a source top-15") {
+    val rows = TextAnalysis.qTextRrf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(rows.length == 10)
+    val bmRank = TextAnalysis.qTextBm25(spark, dir).collect()
+      .map(_.getLong(0)).zipWithIndex.map { case (d, i) => d -> (i + 1) }.toMap
+    val vecs = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS DOUBLE)) v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val q = vecs.find(_._1 == 0).get._2
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val emRank = vecs.filter(_._1 != 0)
+      .map { case (id, v) => (id, cos(v, q)) }
+      .sortBy { case (id, c) => (-c, id) }.take(15)
+      .zipWithIndex.map { case ((d, _), i) => d -> (i + 1) }.toMap
+    def rrf6(d: Long): Long = {
+      val (n1, d1) = bmRank.get(d).map(r => (1L, 60L + r)).getOrElse((0L, 1L))
+      val (n2, d2) = emRank.get(d).map(r => (1L, 60L + r)).getOrElse((0L, 1L))
+      (n1 * d2 + n2 * d1) * 1000000 / (d1 * d2)
+    }
+    val expected = (bmRank.keySet ++ emRank.keySet).toSeq
+      .map(d => (d, bmRank.getOrElse(d, 0), emRank.getOrElse(d, 0), rrf6(d)))
+      .sortBy { case (d, _, _, s) => (-s, d) }.take(10)
+    assert(rows.toSeq == expected, s"engine ${rows.toSeq} vs local $expected")
+    rows.foreach { case (d, r1, r2, _) =>
+      assert(r1 > 0 || r2 > 0, s"doc $d in neither source top-15")
+    }
+  }
+
   test("scd2: versions are contiguous, intervals chain, exactly one open " +
     "interval per key") {
     val rows = graft.cdc.CdcColumns.qCdcScd2(spark, dir).collect()

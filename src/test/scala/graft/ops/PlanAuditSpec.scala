@@ -603,8 +603,10 @@ class PlanAuditSpec extends AnyFunSuite {
     //  - q_vocab_growth: running totals over the TEN decile rows
     //    (decile-cardinality by construction; TextAnalysis.qVocabGrowth
     //    scaladoc)
+    //  - q_text_rrf: rank windows over the two FIFTEEN-row top-k lists
+    //    (TakeOrdered bounds them; TextAnalysis.qTextRrf scaladoc)
     val allow = Set("q_mix_temperature", "q_events_cum_users",
-      "q_vocab_growth")
+      "q_vocab_growth", "q_text_rrf")
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(eager)
       .filter { name =>
@@ -1009,6 +1011,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"rank + count must reuse one lang shuffle:\n${hashEx.mkString("\n")}")
     assert(p.linesIterator.count(_.trim.startsWith("+- Window")) +
       p.linesIterator.count(_.trim.startsWith(":- Window")) >= 1, p)
+  }
+
+  test("q_text_rrf: both sources end in top-k cuts before fusion; the " +
+    "fused output is a TakeOrdered top-10 on the integer score") {
+    val p = plan("q_text_rrf")
+    assert(p.contains("TakeOrderedAndProject(limit=10"), p)
+    assert(p.contains("FullOuter"),
+      s"fusion must keep docs present in only one source: $p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the two rank windows run over TakeOrdered-bounded 15-row inputs
+    assert(p.linesIterator.count(_.contains("TakeOrderedAndProject")) >= 2, p)
   }
 
   test("q_text_boilerplate: the boilerplate set broadcasts to a " +
