@@ -202,6 +202,44 @@ object EventOps {
         dwell_sum_us // n_sessions AS mean_dwell_us
       FROM g ORDER BY opener"""
 
+  // ---------- date-partitioned layout + partition-pruned scan ----------
+  /** The layout half of scan efficiency: events re-written
+    * date-partitioned (`partitionBy(dt)` — the reference's own output
+    * layout, folder/ingestion_date, applied to the events fact), then a
+    * one-week dashboard query reads it back. The week predicate resolves
+    * against partition METADATA — the PlanAudit pins a non-empty
+    * `PartitionFilters` on the scan and that `dt` never appears as a
+    * data filter — so a 100 TB table answers a 7-day question by
+    * touching 7 directories, not by scanning a year. The oracle runs the
+    * same aggregate on the ORIGINAL parquet, so the hash match also
+    * proves the partitioned round-trip preserves every row of the week.
+    */
+  def qPartitionedLayout(spark: SparkSession, dir: String): DataFrame = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val path = s"$wh/graft_events_by_day"
+    Tables.events(spark, dir)
+      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("dt").parquet(path)
+    spark.read.parquet(path)
+      .filter(col("dt") >= "2024-01-08" && col("dt") <= "2024-01-14")
+      .groupBy(col("dt"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 2).as("total"))
+      .orderBy(col("dt"))
+  }
+
+  /** `dt` is a DATE on both sides: partition-column type inference reads
+    * the yyyy-MM-dd directory values back as dates.
+    */
+  val qPartitionedLayoutOracle: String =
+    """SELECT ts::DATE AS dt, count(*) AS n,
+      count(DISTINCT user_id) AS n_users, round(sum(value), 2) AS total
+      FROM events
+      WHERE ts::DATE >= DATE '2024-01-08' AND ts::DATE <= DATE '2024-01-14'
+      GROUP BY dt ORDER BY dt"""
+
   // ---------- longest purchase streak (gaps-and-islands on days) ----------
   /** Longest run of CONSECUTIVE calendar days with a purchase, per user
     * (top 20 by streak) — the retention/habit metric behind "N-day
@@ -1025,6 +1063,7 @@ object EventOps {
     "q_events_attribution" -> (qEventsAttribution _),
     "q_events_engagement" -> (qEventsEngagement _),
     "q_events_streaks" -> (qEventsStreaks _),
+    "q_partitioned_layout" -> (qPartitionedLayout _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1048,5 +1087,6 @@ object EventOps {
     "q_events_attribution" -> qEventsAttributionOracle,
     "q_events_engagement" -> qEventsEngagementOracle,
     "q_events_streaks" -> qEventsStreaksOracle,
+    "q_partitioned_layout" -> qPartitionedLayoutOracle,
   )
 }

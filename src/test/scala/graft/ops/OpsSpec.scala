@@ -522,6 +522,29 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned layout: the pruned week equals a direct recompute " +
+    "on the original events — the layout round-trip loses nothing") {
+    val rows = EventOps.qPartitionedLayout(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.length == 7, s"one row per day of the week: ${rows.toSeq}")
+    assert(rows.map(_._1).toSeq ==
+      (8 to 14).map(d => f"2024-01-$d%02d"))
+    val plain = Tables.events(spark, dir)
+      .selectExpr("date_format(ts, 'yyyy-MM-dd') dt", "user_id", "value")
+      .where("dt >= '2024-01-08' and dt <= '2024-01-14'")
+      .groupBy("dt")
+      .agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.countDistinct("user_id").as("n_users"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.sum("value"), 2).as("total"))
+      .orderBy("dt").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == plain.toSeq)
+  }
+
   test("scd2: versions are contiguous, intervals chain, exactly one open " +
     "interval per key") {
     val rows = graft.cdc.CdcColumns.qCdcScd2(spark, dir).collect()

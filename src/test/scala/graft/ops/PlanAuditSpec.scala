@@ -903,6 +903,21 @@ class PlanAuditSpec extends AnyFunSuite {
       .forall(_.contains("user_id")), p)
   }
 
+  test("q_partitioned_layout: the week predicate resolves against " +
+    "partition metadata — PartitionFilters on the scan, dt never a " +
+    "data filter") {
+    val p = plan("q_partitioned_layout")
+    val scan = p.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scan.exists(l => l.contains("PartitionFilters: [") &&
+      l.contains("2024-01-08")),
+      s"week bounds must be partition filters:\n${scan.mkString("\n")}")
+    assert(scan.forall(l =>
+      !l.contains("PushedFilters: [IsNotNull(dt") &&
+        !l.contains("DataFilters: [isnotnull(dt")),
+      s"dt must never reach the data filters:\n${scan.mkString("\n")}")
+    assert(!p.contains("Join"), p)
+  }
+
   test("q_events_streaks: gaps-and-islands needs no self-join; rollups " +
     "reuse the user shuffle; top-20 is a top-k") {
     val p = plan("q_events_streaks")
