@@ -343,7 +343,7 @@ object EventOps {
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", Tables.normalizedTs(rawSchema("ts").dataType))
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
       .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"),
@@ -581,7 +581,7 @@ object EventOps {
         .filter(col("event_type") === tpe)
         .select(col("event_id").as(s"${prefix}_id"),
           col("user_id").as(s"${prefix}_user"),
-          timestamp_micros(expr("ts div 1000")).as(s"${prefix}_ts"))
+          Tables.normalizedTs(rawSchema("ts").dataType).as(s"${prefix}_ts"))
         .withWatermark(s"${prefix}_ts", "4 hours")
     val joined = side("view", "v")
       .join(side("click", "c"),

@@ -25,10 +25,27 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** events with `ts` as a proper TIMESTAMP (µs, truncated from ns). */
+  /** events with `ts` as a proper TIMESTAMP (µs precision) under either
+    * generator vintage: older test sets write raw int64 NANOSECONDS
+    * (surfaced as long via `nanosAsLong`, truncated to µs — the same
+    * truncation DuckDB's reader applies natively, keeping the oracle
+    * honest), newer sets write a native µs timestamp that only needs its
+    * type aligned (NTZ → session-TZ timestamp; the session is pinned UTC
+    * everywhere, so the instants are identical).
+    */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = table(spark, dir, "events")
+    df.withColumn("ts", normalizedTs(df.schema("ts").dataType))
+  }
+
+  /** The `ts`-normalizing column for a given physical type — shared with
+    * the streaming readers, whose source schema comes from the same file.
+    */
+  private[graft] def normalizedTs(t: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = t match {
+    case org.apache.spark.sql.types.LongType =>
+      timestamp_micros(expr("ts div 1000"))
+    case _ => col("ts").cast(org.apache.spark.sql.types.TimestampType)
   }
 }
