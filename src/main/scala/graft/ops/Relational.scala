@@ -1902,7 +1902,123 @@ object Relational {
                 AND o.o_orderdate >= TIMESTAMP '2001-01-01')
       GROUP BY c_nationkey ORDER BY c_nationkey"""
 
+  // ---------- bloom-reduced shuffle join (runtime-filter shape) ----------
+  /** Bloom parameters for the join runtime filter: 2^20 bits = 128 KB of
+    * broadcast for ~40× fewer bits set than slots even at sf1 build-side
+    * cardinality, k = 5 probes (md5-derived Kirsch–Mitzenmacher double
+    * hashing, identical to the dedup-gate family — engine-portable, so
+    * the filter itself is deterministic and oracle-reproducible).
+    */
+  private val JoinBloomM = 1 << 20
+  private val JoinBloomK = 5
+
+  private def joinBloomPositions(item: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val h = md5(item.cast("string"))
+    val h1 = conv(substring(h, 1, 8), 16, 10).cast("long")
+    val h2 = conv(substring(h, 9, 8), 16, 10).cast("long") * 2 + 1
+    transform(sequence(lit(0), lit(JoinBloomK - 1)),
+      i => (h1 + i * h2) % JoinBloomM)
+  }
+
+  /** Fact-fact join behind a deterministic bloom RUNTIME FILTER: the
+    * build side's join keys are OR-reduced into one m-bit bitmap in a
+    * single distributed pass ([[graft.functions.BloomBitsAgg]] —
+    * map-side partial bitmaps, the exchange carries O(tasks · m/8)
+    * bytes regardless of input size), the 128 KB word array broadcasts,
+    * and the probe runs SCAN-SIDE on the fact so non-matching rows die
+    * before the join exchange. This is the reduction for the case
+    * broadcast-join can't cover at 100 TB: a build side too big to ship
+    * as ROWS whose bloom is still tiny. The real join still runs
+    * (pinned shuffle-hash, not broadcast — that is the scenario being
+    * modeled), so bloom false positives only waste shuffle bytes and
+    * the result stays exact: the oracle is the plain SQL join with no
+    * bloom anywhere.
+    *
+    * PlanAudit pins the contract: the bitmap probe (`forall` over bit
+    * tests) sits BELOW the fact-side exchange, and the join is a
+    * ShuffledHashJoin.
+    */
+  def qJoinBloom(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey", $"o_orderdate")
+    val bitmap = urgent.agg(graft.functions.BloomBitsAgg
+      .bloomBits(joinBloomPositions($"o_orderkey"), JoinBloomM)
+      .as("bitmap"))
+    val probed = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      .crossJoin(broadcast(bitmap))
+      .withColumn("pos", joinBloomPositions($"l_orderkey"))
+      .filter(expr("forall(pos, p -> (bitmap[CAST(p DIV 64 AS INT)] " +
+        "& shiftleft(1L, CAST(p % 64 AS INT))) != 0)"))
+      .drop("pos", "bitmap")
+    probed.hint("shuffle_hash")
+      .join(urgent, $"l_orderkey" === $"o_orderkey")
+      .groupBy(year($"o_orderdate").as("yr"), month($"o_orderdate").as("mo"))
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"yr", $"mo")
+  }
+
+  val qJoinBloomOracle: String =
+    """SELECT year(o_orderdate)::INT AS yr, month(o_orderdate)::INT AS mo,
+      round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      count(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY yr, mo ORDER BY yr, mo"""
+
+  // ---------- incremental materialized-view maintenance ----------
+  /** The refresh path of a 100 TB materialized view: history lives as
+    * COMPACT partial-aggregate state — one row per (year, month,
+    * priority) carrying only ALGEBRAIC measures (a count and an exact
+    * DECIMAL sum) — and a refresh touches ONLY the delta rows
+    * (`o_orderdate >= cutoff`, pushed into the scan) plus that state.
+    * The merge is re-aggregation of the union: counts and decimal sums
+    * are associative and exact, so merged state ≡ full recompute
+    * bit-for-bit — which is exactly what the oracle checks by
+    * recomputing the view from the whole base table. The query first
+    * builds the state file (the "previous refresh" output, written
+    * once), then returns the merge plan, which scans orders.parquet
+    * exactly ONCE — the delta side, date filter pushed down; history
+    * never touches the fact again (PlanAudit-pinned). DECIMAL, not
+    * DOUBLE, is load-bearing: float partials would make the merged sum
+    * order-dependent and the view would drift from the recompute.
+    */
+  def qMatviewMerge(spark: SparkSession, dir: String): DataFrame = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val state = s"$wh/graft_mv_orders_state"
+    val cutoff = lit("2001-01-01").cast("timestamp")
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(year($"o_orderdate").as("yr"),
+          month($"o_orderdate").as("mo"), $"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"o_totalprice".cast("decimal(18,2)")).as("sum_total"))
+    partial(Tables.orders(spark, dir).filter($"o_orderdate" < cutoff))
+      .write.mode("overwrite").parquet(state)
+    val delta = partial(
+      Tables.orders(spark, dir).filter($"o_orderdate" >= cutoff))
+    spark.read.parquet(state).unionByName(delta)
+      .groupBy($"yr", $"mo", $"o_orderpriority")
+      .agg(sum($"n_orders").as("n_orders"),
+        sum($"sum_total").as("sum_total"))
+      .select($"yr", $"mo", $"o_orderpriority", $"n_orders",
+        $"sum_total".cast("string").as("sum_total"))
+      .orderBy($"yr", $"mo", $"o_orderpriority")
+  }
+
+  val qMatviewMergeOracle: String =
+    """SELECT year(o_orderdate)::INT AS yr, month(o_orderdate)::INT AS mo,
+      o_orderpriority, count(*) AS n_orders,
+      (sum(o_totalprice::DECIMAL(18,2)))::VARCHAR AS sum_total
+      FROM orders
+      GROUP BY yr, mo, o_orderpriority ORDER BY yr, mo, o_orderpriority"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_bloom" -> (qJoinBloom _),
+    "q_matview_merge" -> (qMatviewMerge _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_topk_orders" -> (q02TopkOrders _),
     "q03_shipping_priority" -> (q03ShippingPriority _),
@@ -1963,6 +2079,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_join_bloom" -> qJoinBloomOracle,
+    "q_matview_merge" -> qMatviewMergeOracle,
     "q_approx_distinct" -> qApproxDistinctOracle,
     "q01_pricing_summary" -> q01Oracle,
     "q02_topk_orders" -> q02Oracle,
