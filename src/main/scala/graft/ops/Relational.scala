@@ -1905,20 +1905,29 @@ object Relational {
   // ---------- bloom-reduced shuffle join (runtime-filter shape) ----------
   /** Bloom parameters for the join runtime filter: 2^20 bits = 128 KB of
     * broadcast for ~40× fewer bits set than slots even at sf1 build-side
-    * cardinality, k = 5 probes (md5-derived Kirsch–Mitzenmacher double
-    * hashing, identical to the dedup-gate family — engine-portable, so
-    * the filter itself is deterministic and oracle-reproducible).
+    * cardinality, k = 5 probes. Hashing is `xxhash64` double hashing
+    * (h1, then an odd-forced reseeded h2, Kirsch–Mitzenmacher slots) —
+    * NOT the md5/`conv` chain the dedup-gate family uses: that chain
+    * exists so a SQL oracle can reproduce the filter bit-for-bit, which
+    * this query never needs (the bloom is semantically transparent — the
+    * oracle is the plain join), and `conv` routes through BigInteger at
+    * ~8 µs/row, which at fact-table row counts would cost more than the
+    * shuffle it saves. xxhash64 is codegen'd and long-native; the filter
+    * stays fully deterministic.
     */
   private val JoinBloomM = 1 << 20
   private val JoinBloomK = 5
 
   private def joinBloomPositions(item: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
-    val h = md5(item.cast("string"))
-    val h1 = conv(substring(h, 1, 8), 16, 10).cast("long")
-    val h2 = conv(substring(h, 9, 8), 16, 10).cast("long") * 2 + 1
+    // both hashes reduced into [0, m) BEFORE the affine combination so the
+    // k-step arithmetic stays far from Long range (ANSI overflow-safe);
+    // h2 forced odd → coprime with the power-of-two m, all slots reachable
+    val h1 = pmod(xxhash64(item), lit(JoinBloomM.toLong))
+    val h2 = pmod(xxhash64(item, lit(0x9e3779b9L)),
+      lit(JoinBloomM.toLong / 2)) * 2 + 1
     transform(sequence(lit(0), lit(JoinBloomK - 1)),
-      i => (h1 + i * h2) % JoinBloomM)
+      i => pmod(h1 + i * h2, lit(JoinBloomM.toLong)))
   }
 
   /** Fact-fact join behind a deterministic bloom RUNTIME FILTER: the

@@ -1760,44 +1760,29 @@ object TextAnalysis {
     * over the code points (max < 131^4 * 128 * 1.01, well inside BIGINT —
     * no modulus, so no overflow-semantics question either), and the
     * rightmost-min rule is encoded by packing `(hash, position)` into one
-    * key = `h * 2^20 + (2^20 - 1 - i)` so a plain windowed `min` resolves
+    * key = `h * 2^20 + (2^20 - 1 - i)` so a plain `min` resolves
     * value-then-rightmost in a single pass (documented position bound:
     * documents up to 2^20 chars).
     *
-    * Scale shape: gram explode and hashing are scan-side; the windowed
-    * min partitions by `doc_id` — the ONLY exchange, since the dedup and
-    * per-doc rollup that follow group on supersets of `doc_id` and reuse
-    * the same partitioning (pinned in PlanAuditSpec).
+    * Scale shape: selection is per-document SEQUENTIAL work, so the
+    * whole pipeline — gram hashing, w-window min, distinct-selection
+    * rollup — runs as ONE scan-side codegen kernel
+    * ([[graft.functions.WinnowStats]], O(n·w) per document, each code
+    * point read once) with ZERO exchanges before the output sort. The
+    * declarative spelling this replaces exploded to a gram row per
+    * character and paid an O(n²)-CPU `substr` chain plus a doc-keyed
+    * window shuffle; the DuckDB oracle still runs that declarative
+    * form, so the hash match is the kernel's exactness proof.
     */
-  def qTextWinnow(spark: SparkSession, dir: String): DataFrame = {
-    def a(off: Int): Column =
-      ascii(col("text").substr(col("i") + lit(off + 1), lit(1))).cast("long")
-    val grams = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
-      .where(col("n") >= 5)
-      .select(col("doc_id"), col("text"), col("n"),
-        explode(sequence(lit(0), col("n") - 5)).as("i"))
-      .withColumn("h",
-        (((a(0) * 131 + a(1)) * 131 + a(2)) * 131 + a(3)) * 131 + a(4))
-      .withColumn("key", col("h") * 1048576L + (lit(1048575L) - col("i")))
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-      .rowsBetween(Window.currentRow, 3)
-    grams
-      .withColumn("wkey", min(col("key")).over(win))
-      .where(col("i") <= col("n") - 8) // complete windows only
-      .select(col("doc_id"), col("n"),
-        expr("wkey DIV 1048576").as("fp"), // integer div: wkey > 2^53
-        (lit(1048575L) - pmod(col("wkey"), lit(1048576L))).as("pos"))
-      .groupBy(col("doc_id"), col("fp"), col("pos")) // selected set
-      .agg(max(col("n")).as("n"))
-      .groupBy(col("doc_id"))
-      .agg((max(col("n")) - 4).cast("long").as("n_grams"),
-        count(lit(1)).as("n_fingerprints"),
-        sum(col("fp")).as("fp_sum"),
-        min(col("fp")).as("fp_min"),
-        max(col("fp")).as("fp_max"))
+  def qTextWinnow(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .where(length(col("text")) >= 8) // shortest text with a complete window
+      .select(col("doc_id"),
+        graft.functions.WinnowStats.winnowStats(col("text")).as("w"))
+      .where(col("w").isNotNull)
+      .select(col("doc_id"), col("w.n_grams"), col("w.n_fingerprints"),
+        col("w.fp_sum"), col("w.fp_min"), col("w.fp_max"))
       .orderBy(col("doc_id"))
-  }
 
   val qTextWinnowOracle: String =
     """WITH d AS (SELECT doc_id, text, length(text) n FROM documents

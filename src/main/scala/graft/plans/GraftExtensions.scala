@@ -153,6 +153,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(e, "rolling_hash", "polynomial rolling hash of a string", 1) {
       a => graft.functions.RollingHash(a(0))
     }
+    register(e, "winnow_stats",
+      "winnowing fingerprint statistics (k=5, w=4) of a string", 1) {
+      a => graft.functions.WinnowStats(a(0))
+    }
     register(e, "canonical_json",
       "canonical sorted-keys compact JSON of any value", 1) {
       a => graft.functions.CanonicalJsonExpr(a(0))

@@ -794,15 +794,16 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q_text_winnow: gram explode is scan-side and doc_id is the only " +
-    "exchange — dedup and rollup reuse the window's partitioning") {
+  test("q_text_winnow: the whole selection runs as one scan-side kernel — " +
+    "zero hash exchanges, no window, no explode") {
     val p = plan("q_text_winnow")
-    val hashEx = p.linesIterator
-      .filter(_.contains("Exchange hashpartitioning")).toSeq
-    assert(hashEx.length == 1,
-      s"selection + rollup must reuse the doc_id shuffle:\n${hashEx.mkString("\n")}")
-    assert(hashEx.head.contains("doc_id"), hashEx.head)
-    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"winnowing is per-doc sequential — nothing may shuffle: $p")
+    assert(p.contains("winnowstats") || p.contains("WinnowStats") ||
+      p.toLowerCase.contains("winnow"),
+      s"kernel must appear in the scan-side project: $p")
+    assert(!p.contains("WindowExec") && !p.contains("Generate"),
+      s"no window sort or gram explode may remain: $p")
   }
 
   test("q_bpe_pairs: explodes stay scan-side (partial agg feeds the only " +
@@ -1079,5 +1080,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) == 2,
       s"both certification joins must broadcast (group-sized sides): $p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_join_bloom: bitmap probe filters the fact BELOW its exchange; " +
+    "the key join stays a shuffle join (the modeled too-big-to-broadcast " +
+    "case)") {
+    val p = plan("q_join_bloom")
+    assert(p.contains("ShuffledHashJoin"),
+      s"key join must be shuffle-hash (pinned by hint): $p")
+    val exIdx = p.indexOf("Exchange hashpartitioning(l_orderkey")
+    assert(exIdx >= 0, s"fact side must shuffle on the join key: $p")
+    val probeIdx = p.indexOf("forall")
+    // plans print top-down: the probe filter must sit INSIDE (after) the
+    // fact-side exchange subtree, i.e. rows die before shuffling
+    assert(probeIdx > exIdx,
+      s"bloom probe must run scan-side, below the fact exchange: $p")
+    // the bitmap rides a single-row broadcast; no other nested-loop join
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_matview_merge: refresh scans the fact ONCE (delta only, date " +
+    "filter pushed); history comes from compact state") {
+    val p = plan("q_matview_merge")
+    val orderScans = p.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("orders.parquet")).toSeq
+    assert(orderScans.size == 1,
+      s"exactly one fact scan (the delta side), got ${orderScans.size}:\n$p")
+    assert(orderScans.head.contains("GreaterThanOrEqual(o_orderdate"),
+      s"delta date filter must be pushed into the fact scan: ${orderScans.head}")
+    assert(p.contains("graft_mv_orders_state"),
+      s"history side must read the materialized state file: $p")
+    assert(p.contains("partial_sum"), "merge must partial-aggregate map-side")
   }
 }
