@@ -814,6 +814,60 @@ class OpsSpec extends AnyFunSuite {
     assert(distinct > 100, s"only $distinct distinct buckets")
   }
 
+  test("winnow kernel: equals a declarative reference on real docs and " +
+    "handles short strings, ties, and non-BMP code points") {
+    import org.apache.spark.sql.functions._
+    // declarative reference: the spelled-out hash → pack → window-min →
+    // distinct → rollup pipeline the kernel replaces (and the oracle runs)
+    def ref(s: String): Option[(Long, Long, Long, Long, Long)] = {
+      val cps = s.codePoints().toArray
+      val n = cps.length
+      if (n < 8) return None
+      val keys = (0 to n - 5).map { i =>
+        val h = ((((cps(i).toLong * 131 + cps(i + 1)) * 131 + cps(i + 2)) * 131
+          + cps(i + 3)) * 131 + cps(i + 4))
+        h * 1048576L + (1048575L - i)
+      }
+      val sel = (0 to n - 8).map(i => keys.slice(i, i + 4).min).distinct
+      val fps = sel.map(_ / 1048576L)
+      Some(((n - 4).toLong, fps.length.toLong, fps.sum, fps.min, fps.max))
+    }
+    val cases = Seq(
+      "", "abc", "1234567", // below the k+w-1 = 8 floor -> null
+      "12345678", // exactly one complete window
+      "aaaaaaaaaaaa", // all grams tie: rightmost-min discipline
+      "ab" * 20, // periodic text: heavy fingerprint dedup
+      "héllo wörld — ünïcode tëst", // non-ASCII BMP
+      "a😀b😁cdefg😂hij" // non-BMP (emoji)
+    )
+    import spark.implicits._
+    val out = cases.toDF("text")
+      .select(col("text"),
+        graft.functions.WinnowStats.winnowStats(col("text")).as("w"))
+      .collect()
+    out.foreach { r =>
+      val expected = ref(r.getString(0))
+      if (expected.isEmpty) assert(r.isNullAt(1),
+        s"'${r.getString(0)}' must yield null (no complete window)")
+      else {
+        val w = r.getStruct(1)
+        assert((w.getLong(0), w.getLong(1), w.getLong(2), w.getLong(3),
+          w.getLong(4)) == expected.get, s"mismatch on '${r.getString(0)}'")
+      }
+    }
+    // and on a real corpus slice, against the same reference
+    Tables.documents(spark, dir).limit(100)
+      .select(col("text"),
+        graft.functions.WinnowStats.winnowStats(col("text")).as("w"))
+      .where(col("w").isNotNull)
+      .collect().foreach { r =>
+        val e = ref(r.getString(0)).get
+        val w = r.getStruct(1)
+        assert((w.getLong(0), w.getLong(1), w.getLong(2), w.getLong(3),
+          w.getLong(4)) == e)
+      }
+  }
+
   test("rolling hash expression matches a reference Scala fold and codegen runs") {
     import org.apache.spark.sql.functions._
     val df = Tables.documents(spark, dir).limit(50)
