@@ -21,6 +21,33 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object EventOps {
 
+  /** Start an AvailableNow stream with (a) the stateful shuffle sized to
+    * state volume (8 state stores beat 32 at suite volumes — a real
+    * deployment sizes this the same way) and (b) the no-data
+    * finalization micro-batch DISABLED. The callers either run
+    * complete-mode aggregations (every data batch re-emits full state)
+    * or an inner stream-stream join (matches emit in data batches), so
+    * the trailing empty batch exists only to advance the watermark for
+    * emission gating none of them uses — measured 0.45–0.8 s of pure
+    * fixed cost per query. NOT used by [[qStreamSession]]: its
+    * `flatMapGroupsWithState` timeouts FIRE in watermark-advancing
+    * batches, so that query keeps the default.
+    */
+  private[ops] def startTrimmedStream[T](spark: SparkSession,
+      parts: Option[String])(start: => T): T = {
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNd = spark.conf.get(ndKey, "true")
+    try {
+      parts.foreach(spark.conf.set("spark.sql.shuffle.partitions", _))
+      spark.conf.set(ndKey, "false")
+      start
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set(ndKey, prevNd)
+    }
+  }
+
   // ---------- tumbling window ----------
   def qEventsTumbling(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -350,19 +377,14 @@ object EventOps {
         col("n"), col("total"))
 
     val name = "graft_stream_tumbling"
-    // complete-mode agg keeps one state store per shuffle partition per
-    // batch; 8 beats 32 at this state volume (same sizing rationale as
-    // qStreamSession — a real deployment sizes this to state volume)
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = startTrimmedStream(spark, Some("8")) {
       stream.writeStream
         .outputMode("complete")
         .format("memory")
         .queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     try q.awaitTermination()
     finally q.stop()
     spark.table(name).orderBy(col("ws"), col("event_type"))
@@ -393,17 +415,14 @@ object EventOps {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
 
     val name = "graft_stream_static_join"
-    // same stateful-shuffle sizing as qStreamTumbling: 8 state stores, not 32
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = startTrimmedStream(spark, Some("8")) {
       stream.writeStream
         .outputMode("complete")
         .format("memory")
         .queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     try q.awaitTermination()
     finally q.stop()
     spark.table(name).orderBy(col("segment"))
@@ -537,12 +556,10 @@ object EventOps {
         col("n"), col("total"))
 
     val name = "graft_stream_dedup"
-    // same stateful-shuffle sizing rationale as qStreamSession: the fresh
-    // checkpoint bakes in the partition count; 8 stores beat 32 for this
-    // state volume
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // the fresh checkpoint bakes in the partition count (see
+    // startTrimmedStream); dedup-state EVICTION needs no trailing batch —
+    // only emission gating would, and complete mode re-emits every batch
+    val q = startTrimmedStream(spark, Some("8")) {
       stream.writeStream
         .outputMode("complete")
         .format("memory")
@@ -550,7 +567,7 @@ object EventOps {
         .option("checkpointLocation", s"$tmp/ckpt")
         .trigger(Trigger.AvailableNow())
         .start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     try q.awaitTermination()
     finally q.stop()
     spark.table(name).orderBy(col("ws"), col("event_type"))
@@ -590,11 +607,9 @@ object EventOps {
           col("c_ts") <= col("v_ts") + expr("INTERVAL 4 HOURS"))
 
     val name = "graft_stream_join"
-    // stateful shuffle sizing: join state stores per partition per batch;
-    // 8 beats 32 at this volume (same rationale as qStreamSession)
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // inner-join matches emit in the data batches themselves; the
+    // trailing no-data batch would only evict state we're about to drop
+    val q = startTrimmedStream(spark, Some("8")) {
       joined
         .select(col("v_user").as("user_id"), col("v_id"), col("c_id"),
           unix_micros(col("v_ts")).as("v_tu"),
@@ -605,7 +620,7 @@ object EventOps {
         .queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     try q.awaitTermination()
     finally q.stop()
     spark.table(name).orderBy(col("v_id"), col("c_id"))

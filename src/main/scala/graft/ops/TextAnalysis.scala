@@ -1374,12 +1374,16 @@ object TextAnalysis {
         sum(when(col("keep") === 1, col("n_words").cast("long"))
           .otherwise(0L)).as("kept_tokens"))
     val name = "graft_stream_quality"
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // complete-mode, no watermark: the trailing no-data micro-batch is
+    // pure fixed cost here (see EventOps.startTrimmedStream)
+    val q = EventOps.startTrimmedStream(spark, parts = None) {
+      stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     try q.awaitTermination()
     finally q.stop()
     spark.table(name).orderBy(col("lang"))
