@@ -368,7 +368,25 @@ object Dedup {
     * near-dup pair; label = min doc_id reachable in its component.
     * Returned checkpointed (lineage truncated, blocks live).
     */
-  private def ccLabels(spark: SparkSession, dir: String): DataFrame = {
+  /** Label table computed once per (session, corpus) and reused by both
+    * consumers (the cluster rollup `q_dedup_clusters` and the canonical
+    * keep-rule `q_dedup_canonical`) — the 100 TB shape: connected-
+    * component labels are a persisted per-snapshot artifact derived
+    * once, not recomputed by every downstream query. The cached frame is
+    * a localCheckpoint (label-table-sized: one (id, label) row per
+    * clustered doc). `q_dedup_cc_star` deliberately does NOT share it:
+    * it computes the same components by a different algorithm (star
+    * contraction) as cross-validation.
+    */
+  private val ccLabelsCache =
+    new java.util.concurrent.ConcurrentHashMap[(Integer, String), DataFrame]()
+
+  private def ccLabels(spark: SparkSession, dir: String): DataFrame =
+    ccLabelsCache.computeIfAbsent(
+      (Integer.valueOf(System.identityHashCode(spark)), dir),
+      _ => ccLabelsCompute(spark, dir))
+
+  private def ccLabelsCompute(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashPairs(spark, dir).select(col("d1"), col("d2"))
       .persist()
     val edges = pairs
