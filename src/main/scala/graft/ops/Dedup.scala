@@ -1067,13 +1067,18 @@ object Dedup {
       .withColumn("tid", monotonically_increasing_id())
     // the tokenized corpus in canonical rarest-first order — materialized
     // once (linear, doc-sized rows); consumed by the prefix explode and
-    // by both array-fetch joins. Sort key stays (df, token-string) —
-    // the canonical order is id-independent.
+    // by both array-fetch joins. The canonical order is (df, tid):
+    // prefix completeness needs only a CONSISTENT global total order
+    // across documents (proven, as always, by the naive-join oracle
+    // hash-match), and rarest-first — the property that keeps prefix
+    // buckets small — is carried by the df major key; using tid instead
+    // of the token string as the tiebreaker keeps strings out of the
+    // per-doc sort entirely.
     val ordered = toks.join(df, "s")
       .groupBy(col("doc_id"))
       .agg(max(col("sz")).as("sz"),
         transform(
-          array_sort(collect_list(struct(col("df"), col("s"), col("tid")))),
+          array_sort(collect_list(struct(col("df"), col("tid")))),
           x => x.getField("tid")).as("toks"))
       .localCheckpoint()
     // slim prefix rows: (doc, size, 1-based prefix position, token id) —
