@@ -1971,13 +1971,22 @@ object Relational {
     val bitmap = urgent.agg(graft.functions.BloomBitsAgg
       .bloomBits(joinBloomPositions($"o_orderkey"), JoinBloomM)
       .as("bitmap"))
+    // probe inlined as k scalar conjuncts (no per-row position array):
+    // h1/h2 are computed once into columns, each slot is an affine form,
+    // and the whole test stays in one codegen stage with short-circuit
+    // evaluation on the first clear bit
+    val slotTests = (0 until JoinBloomK).map { i =>
+      expr(s"(bitmap[CAST(pmod(bh1 + $i * bh2, ${JoinBloomM}L) DIV 64 AS INT)]" +
+        s" & shiftleft(1L, CAST(pmod(bh1 + $i * bh2, ${JoinBloomM}L) % 64 AS INT))) != 0")
+    }.reduce(_ && _)
     val probed = Tables.lineitem(spark, dir)
       .select($"l_orderkey", $"l_extendedprice", $"l_discount")
       .crossJoin(broadcast(bitmap))
-      .withColumn("pos", joinBloomPositions($"l_orderkey"))
-      .filter(expr("forall(pos, p -> (bitmap[CAST(p DIV 64 AS INT)] " +
-        "& shiftleft(1L, CAST(p % 64 AS INT))) != 0)"))
-      .drop("pos", "bitmap")
+      .withColumn("bh1", pmod(xxhash64($"l_orderkey"), lit(JoinBloomM.toLong)))
+      .withColumn("bh2", pmod(xxhash64($"l_orderkey", lit(0x9e3779b9L)),
+        lit(JoinBloomM.toLong / 2)) * 2 + 1)
+      .filter(slotTests)
+      .drop("bh1", "bh2", "bitmap")
     probed.hint("shuffle_hash")
       .join(urgent, $"l_orderkey" === $"o_orderkey")
       .groupBy(year($"o_orderdate").as("yr"), month($"o_orderdate").as("mo"))

@@ -1090,7 +1090,9 @@ class PlanAuditSpec extends AnyFunSuite {
       s"key join must be shuffle-hash (pinned by hint): $p")
     val exIdx = p.indexOf("Exchange hashpartitioning(l_orderkey")
     assert(exIdx >= 0, s"fact side must shuffle on the join key: $p")
-    val probeIdx = p.indexOf("forall")
+    // the probe's bit test (shiftleft over the broadcast bitmap) is unique
+    // to the filter — the build side OR-reduces positions without it
+    val probeIdx = p.indexOf("shiftleft")
     // plans print top-down: the probe filter must sit INSIDE (after) the
     // fact-side exchange subtree, i.e. rows die before shuffling
     assert(probeIdx > exIdx,
