@@ -1987,18 +1987,31 @@ object Relational {
         lit(JoinBloomM.toLong / 2)) * 2 + 1)
       .filter(slotTests)
       .drop("bh1", "bh2", "bitmap")
-    probed.hint("shuffle_hash")
-      .join(urgent, $"l_orderkey" === $"o_orderkey")
+    // Revenue as an EXACT decimal sum, not round(sum(double), 2): the
+    // sf0.01 group (1999, 5) sums to 7634437.805000002 — exactly on a
+    // half-cent boundary, where double fold ORDER decides the rounded
+    // cent and Spark vs DuckDB flip (r8's only red row). Price and
+    // discount are 2-dp values stored as doubles; casting each operand
+    // to DECIMAL recovers them exactly and makes the sum associative —
+    // identical on both engines regardless of aggregation order. Same
+    // treatment as q10 (SURVEY §12); emitted as string per the gate's
+    // decimal convention.
+    // hash table builds on the URGENT side (the hint goes there): even
+    // after the bloom, matching lineitems are ~4x the urgent-order rows,
+    // so building on the probe side would inflate build memory for nothing
+    probed.join(urgent.hint("shuffle_hash"), $"l_orderkey" === $"o_orderkey")
       .groupBy(year($"o_orderdate").as("yr"), month($"o_orderdate").as("mo"))
-      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
-          .as("revenue"),
+      .agg(sum($"l_extendedprice".cast("decimal(18,2)") *
+          (lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(18,2)")))
+          .cast("string").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy($"yr", $"mo")
   }
 
   val qJoinBloomOracle: String =
     """SELECT year(o_orderdate)::INT AS yr, month(o_orderdate)::INT AS mo,
-      round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      sum(l_extendedprice::DECIMAL(18,2)
+        * (1 - l_discount::DECIMAL(18,2)))::VARCHAR AS revenue,
       count(*) AS n_items
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE o_orderpriority = '1-URGENT'
