@@ -141,6 +141,17 @@ object Bench {
     println(
       s"""{"metric":"total_detail","value":${fmt(total, 3)},"unit":"sec","stat":"median_of_$Passes","queries":$detail,"sf":"$sfDir"}""")
 
+    // Compact top-15 (name:median, most expensive first) printed LAST
+    // before the machine line: the driver keeps only the final few KB of
+    // output, and in r8 the full detail line scrolled out of that window —
+    // leaving regressions undiagnosable from BENCH_r{N}.json alone. ~400
+    // chars, so it survives the tail cut alongside the machine line.
+    val top15 = results.toSeq.filter(_._2.nonEmpty)
+      .sortBy { case (_, ts) => -median(ts) }.take(15)
+      .map { case (k, ts) => "\"" + k + "\":" + fmt(median(ts), 2) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"top15_median","queries":$top15}""")
+
     // The driver captures only the LAST ~2000 chars of output and
     // json-parses the final bare line; sbt appends its own "[success]
     // Total time…" (~75 chars) after us. A per-query map here overflowed

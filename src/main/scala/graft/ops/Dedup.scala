@@ -1186,7 +1186,74 @@ object Dedup {
         round(novel * 1.0 / n, 6) AS novelty
       FROM pd ORDER BY doc_id"""
 
+  // ---------- URL-canonical dedup ----------
+  /** The first dedup a web corpus runs: group documents by the CANONICAL
+    * form of their URL ([[graft.functions.UrlCanonicalExpr]] — case,
+    * default ports, fragments, tracking params, trailing slashes), keep
+    * the lowest doc_id per canonical key. Linear, a single exact hash
+    * `groupBy` on the scan-side kernel output — no pairwise work at all,
+    * which is exactly why it runs FIRST at 100 TB: it removes recrawl
+    * duplicates for the cost of one shuffle before any
+    * shingle/minhash/embedding pass sees the corpus.
+    *
+    * The documents table carries no URL column, so each doc's URL is
+    * DERIVED deterministically from (doc_id, source) with adversarial
+    * variation on every canonicalization axis — uppercase scheme/host,
+    * default and non-default ports, trailing slash, fragments, tracking
+    * params in varying positions, sometimes no surviving param. The
+    * oracle never parses: it reconstructs the canonical form analytically
+    * from the same columns, so the hash match proves the kernel undoes
+    * every injected variation exactly.
+    */
+  def qDedupUrl(spark: SparkSession, dir: String): DataFrame = {
+    val messy = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "source", urlParamsSql)
+      .selectExpr("doc_id",
+      """concat(
+           CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'https' END, '://',
+           CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END,
+           CASE WHEN doc_id % 2 = 0 THEN '.Example.COM' ELSE '.example.com' END,
+           CASE WHEN doc_id % 17 = 0 THEN ':8443'
+                WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END,
+           '/docs/', CAST(doc_id % 50 AS STRING),
+           CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+           CASE WHEN qs = '' THEN '' ELSE concat('?', qs) END,
+           CASE WHEN doc_id % 3 = 1 THEN '#sec' ELSE '' END) AS url""")
+    messy.createOrReplaceTempView("graft_url_messy")
+    spark.sql(
+      """SELECT url_canonical(url) AS canonical_url,
+           count(*) AS n_dups, min(doc_id) AS keeper
+         FROM graft_url_messy
+         GROUP BY canonical_url ORDER BY canonical_url""")
+  }
+
+  private val urlParamsSql =
+    """array_join(filter(array(
+         CASE WHEN doc_id % 7 = 0 THEN 'utm_campaign=c' END,
+         CASE WHEN doc_id % 13 != 0
+              THEN concat('id=', CAST(doc_id % 25 AS STRING)) END,
+         CASE WHEN doc_id % 2 = 0 THEN 'utm_source=feed' END,
+         CASE WHEN doc_id % 11 = 0
+              THEN concat('fbclid=F', CAST(doc_id AS STRING)) END),
+       x -> x IS NOT NULL), '&') AS qs"""
+
+  /** Analytic canonical reconstruction — no parsing anywhere: only the
+    * non-default port and the one non-tracking param survive.
+    */
+  val qDedupUrlOracle: String =
+    """WITH c AS (SELECT doc_id,
+        'https://' || lower(source) || '.example.com' ||
+        (CASE WHEN doc_id % 17 = 0 THEN ':8443' ELSE '' END) ||
+        '/docs/' || (doc_id % 50) ||
+        (CASE WHEN doc_id % 13 <> 0 THEN '?id=' || (doc_id % 25)
+              ELSE '' END) AS canon
+      FROM documents)
+      SELECT canon AS canonical_url, count(*) AS n_dups,
+        min(doc_id) AS keeper
+      FROM c GROUP BY canon ORDER BY canonical_url"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_url" -> (qDedupUrl _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -1211,6 +1278,7 @@ object Dedup {
     * corpus (OpsSpec asserts set equality vs minhash too).
     */
   val oracles: Map[String, String] = Map(
+    "q_dedup_url" -> qDedupUrlOracle,
     "q_dedup_exact" -> qDedupExactOracle,
     "q_dedup_minhash" -> exactPairOracle,
     "q_dedup_simhash" -> exactPairOracle,

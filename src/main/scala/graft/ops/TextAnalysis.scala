@@ -509,6 +509,73 @@ object TextAnalysis {
         min(doc_id) AS first_doc, max(doc_id) AS last_doc
       FROM c GROUP BY lang, batch_id ORDER BY lang, batch_id"""
 
+  // ---------- greedy sequence packing (context-window bin-pack) ----------
+  /** The last step between curated documents and a training batch: pack
+    * whole tokenized documents into fixed [[PackWindow]]-token context
+    * windows, greedy NEXT-FIT in doc_id order — a new window opens when
+    * the next document doesn't fit (a document longer than the window
+    * gets a window of its own; documents are never split — the spanning
+    * variant is [[qPackBatches]]). Next-fit (state = current window only)
+    * rather than first-fit (state = every open window) because it is the
+    * ONLINE packer: one sequential pass, O(1) state, the same decision a
+    * streaming ingest makes.
+    *
+    * Scale shape: packing is inherently sequential WITHIN a stream, so
+    * the unit of parallelism is the group — here `source`, at corpus
+    * scale (source, shard). One hash exchange on the group key, then
+    * [[org.apache.spark.sql.KeyValueGroupedDataset.flatMapSortedGroups]]
+    * runs the O(1)-state fold per group with the sort given to the
+    * SHUFFLE (no separate per-group sort pass) — the idiomatic Spark
+    * operator for per-group sequential logic that aggregates can't
+    * express. Emits one row per document: its window (`seq_id`, per
+    * group) and offset within it.
+    */
+  private val PackWindow = 512L
+
+  def qPackSequences(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("doc_id")) { (src, docs) =>
+        var seq = 0L
+        var fill = 0L
+        docs.map { case (_, id, n) =>
+          if (fill > 0 && fill + n > PackWindow) { seq += 1; fill = 0 }
+          val off = fill
+          fill += n
+          (src, id, n, seq, off)
+        }
+      }
+      .toDF("source", "doc_id", "n_tok", "seq_id", "off")
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** The oracle replays the identical fold as a recursive CTE stepping
+    * one document per iteration within each source (rn joins rn+1).
+    */
+  val qPackSequencesOracle: String =
+    """WITH RECURSIVE t AS (SELECT source, doc_id,
+        len(string_split(text, ' '))::BIGINT AS n_tok,
+        row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents),
+      pack AS (
+        SELECT source, doc_id, n_tok, rn,
+          0::BIGINT AS seq_id, n_tok AS fill, 0::BIGINT AS off
+        FROM t WHERE rn = 1
+        UNION ALL
+        SELECT t.source, t.doc_id, t.n_tok, t.rn,
+          CASE WHEN p.fill + t.n_tok <= 512 THEN p.seq_id
+               ELSE p.seq_id + 1 END,
+          CASE WHEN p.fill + t.n_tok <= 512 THEN p.fill + t.n_tok
+               ELSE t.n_tok END,
+          CASE WHEN p.fill + t.n_tok <= 512 THEN p.fill ELSE 0::BIGINT END
+        FROM t JOIN pack p ON t.source = p.source AND t.rn = p.rn + 1)
+      SELECT source, doc_id, n_tok, seq_id, off
+      FROM pack ORDER BY source, doc_id"""
+
   // ---------- denylist redaction (PII-scrub shape) ----------
   /** Denylist scrubbing, the shape of a PII pass over training text:
     * word-boundary regexp rewrite of the deny terms to a fixed tag, plus
@@ -1824,6 +1891,7 @@ object TextAnalysis {
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontaminate_ngram" -> (qDecontaminateNgram _),
     "q_pack_batches" -> (qPackBatches _),
+    "q_pack_sequences" -> (qPackSequences _),
     "q_text_redact" -> (qTextRedact _),
     "q_text_surprisal" -> (qTextSurprisal _),
     "q_text_repetition" -> (qTextRepetition _),
@@ -1864,6 +1932,7 @@ object TextAnalysis {
     "q_decontaminate" -> qDecontaminateOracle,
     "q_decontaminate_ngram" -> qDecontaminateNgramOracle,
     "q_pack_batches" -> qPackBatchesOracle,
+    "q_pack_sequences" -> qPackSequencesOracle,
     "q_text_redact" -> qTextRedactOracle,
     "q_text_surprisal" -> qTextSurprisalOracle,
     "q_text_repetition" -> qTextRepetitionOracle,

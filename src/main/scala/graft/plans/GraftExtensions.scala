@@ -157,6 +157,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "winnowing fingerprint statistics (k=5, w=4) of a string", 1) {
       a => graft.functions.WinnowStats(a(0))
     }
+    register(e, "url_canonical",
+      "canonical dedup key of a URL (case, ports, tracking params, " +
+        "slashes, fragments)", 1) {
+      a => graft.functions.UrlCanonicalExpr(a(0))
+    }
     register(e, "canonical_json",
       "canonical sorted-keys compact JSON of any value", 1) {
       a => graft.functions.CanonicalJsonExpr(a(0))

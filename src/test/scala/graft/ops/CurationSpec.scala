@@ -18,6 +18,40 @@ class CurationSpec extends AnyFunSuite {
   private val dirs =
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
+  test("pack_sequences invariants: windows never exceed 512 tokens " +
+    "except a lone oversize doc; offsets are contiguous; next-fit is " +
+    "greedy (each window break was forced)") {
+    val rows = TextAnalysis.qPackSequences(spark, dirs(1))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r._1, r._4)).foreach { case ((src, seq), docs) =>
+      val fill = docs.map(_._3).sum
+      assert(fill <= 512 || docs.length == 1,
+        s"($src,$seq) holds $fill tokens across ${docs.length} docs")
+      // offsets are the exclusive prefix sums in doc_id order
+      val sorted = docs.sortBy(_._2)
+      var expect = 0L
+      sorted.foreach { d =>
+        assert(d._5 == expect, s"offset gap at doc ${d._2} in ($src,$seq)")
+        expect += d._3
+      }
+    }
+    // greedy: the first doc of window k+1 would NOT have fit in window k
+    rows.groupBy(_._1).foreach { case (src, ds) =>
+      val bySeq = ds.groupBy(_._4).toSeq.sortBy(_._1)
+      bySeq.sliding(2).foreach {
+        case Seq((_, prev), (_, next)) =>
+          val prevFill = prev.map(_._3).sum
+          val firstNext = next.minBy(_._2)._3
+          assert(prevFill + firstNext > 512,
+            s"$src: window break was not forced (${prevFill} + ${firstNext})")
+        case _ => ()
+      }
+    }
+  }
+
   test("gopher rules: flags recompute from the raw text, keep is their AND") {
     val docs = Tables.documents(spark, dirs.head).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

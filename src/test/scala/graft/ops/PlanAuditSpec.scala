@@ -1102,6 +1102,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_dedup_url: canonicalization runs scan-side (kernel below the " +
+    "only hash exchange); no join anywhere; scan pruned to 2 columns") {
+    val p = plan("q_dedup_url")
+    val exIdx = p.indexOf("Exchange hashpartitioning")
+    val kIdx = p.indexOf("urlcanonicalexpr")
+    assert(exIdx >= 0 && kIdx > exIdx,
+      s"url_canonical must evaluate below the aggregate exchange: $p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+    assert(!p.contains("Join"), s"linear dedup must not join: $p")
+    assert(p.contains("partial_count"), "map-side combine required")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      s"documents scan must prune to (doc_id, source): $p")
+  }
+
+  test("q_pack_sequences: ONE hash exchange (the group key), the doc_id " +
+    "sort rides the shuffle, and the text scan prunes to 3 columns") {
+    val p = plan("q_pack_sequences")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"packing is one group-key shuffle: $p")
+    assert(p.contains("MapGroups"), p)
+    // the per-group doc_id order is a LOCAL sort (global=false) feeding
+    // MapGroups — not a second global exchange
+    assert(p.linesIterator.exists(l => l.contains("Sort [") &&
+      l.contains("doc_id") && l.contains("], false, 0")),
+      s"group sort must be local under the exchange: $p")
+    assert(p.contains(
+      "ReadSchema: struct<doc_id:bigint,text:string,source:string>"), p)
+  }
+
   test("q_matview_merge: refresh scans the fact ONCE (delta only, date " +
     "filter pushed); history comes from compact state") {
     val p = plan("q_matview_merge")
