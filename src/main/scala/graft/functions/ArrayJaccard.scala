@@ -57,4 +57,50 @@ object ArrayJaccard {
   def arrayJaccard(a: Column, b: Column): Column =
     ColumnBridge.column(
       ArrayJaccardExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** REQUIRES both arrays sorted ascending with distinct elements. */
+  def overlapLong(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+}
+
+/** Count of common elements of two ASC-SORTED distinct BIGINT arrays in
+  * one merge walk — [[ArrayJaccardExpr]]'s counting sibling for hashed
+  * token ids. Replaces `size(array_intersect(a,b))`, whose per-row
+  * hash-set build dominates a 100k+-pair verification loop; the merge
+  * walk allocates nothing.
+  */
+case class SortedOverlapCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ArrayJaccard.overlapLong(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ArrayJaccard.overlapLong($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedOverlapCountExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedOverlapCount {
+  def sortedOverlap(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedOverlapCountExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -3,7 +3,7 @@ package graft.functions
 import scala.collection.mutable
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -84,8 +84,59 @@ object TextFeatures {
     toSortedArray(seen)
   }
 
+  /** See [[WordShingleHashesExpr]]. Seed-chained XXH64 over in-place word
+    * hashes; sort + unique on a primitive long[].
+    */
+  def wordShingleHashes(text: UTF8String, n: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val len = text.numBytes()
+    // word boundaries: split on 0x20, keeping empty words (split semantics)
+    var nWords = 1
+    var i = 0
+    while (i < len) {
+      if (text.getByte(i) == 0x20) nWords += 1
+      i += 1
+    }
+    if (nWords < n) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+    val wh = new Array[Long](nWords)
+    var w = 0
+    var start = 0
+    i = 0
+    while (i <= len) {
+      if (i == len || text.getByte(i) == 0x20) {
+        wh(w) = XXH64.hashUnsafeBytes(base, off + start, i - start, 42L)
+        w += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    val g = nWords - n + 1
+    val hs = new Array[Long](g)
+    var j = 0
+    while (j < g) {
+      var h = wh(j)
+      var k = 1
+      while (k < n) { h = XXH64.hashLong(wh(j + k), h); k += 1 }
+      hs(j) = h
+      j += 1
+    }
+    java.util.Arrays.sort(hs)
+    var uniq = 0
+    j = 0
+    while (j < g) {
+      if (j == 0 || hs(j) != hs(j - 1)) { hs(uniq) = hs(j); uniq += 1 }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(hs, uniq))
+  }
+
   def wordShinglesCol(c: Column, n: Int): Column =
     ColumnBridge.column(WordShinglesExpr(ColumnBridge.expression(c), n))
+
+  def wordShingleHashesCol(c: Column, n: Int): Column =
+    ColumnBridge.column(WordShingleHashesExpr(ColumnBridge.expression(c), n))
 
   def charGramsCol(c: Column, n: Int): Column =
     ColumnBridge.column(CharGramsExpr(ColumnBridge.expression(c), n))
@@ -108,5 +159,32 @@ case class CharGramsExpr(child: Expression, n: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextFeatures.charGrams($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): CharGramsExpr =
+    copy(child = newChild)
+}
+
+/** Distinct n-word shingles of a string as ASC-SORTED 64-bit hash ids —
+  * the fused form of `xxhash64(explode(word_shingles(text, n)))` for
+  * consumers that only need an injective token id (set intersection,
+  * prefix joins, df counts are all invariant under the bijection).
+  *
+  * Allocation discipline is the point: words are hashed IN PLACE from
+  * the UTF8 byte array (a 0x20 space byte never occurs inside a UTF-8
+  * multi-byte sequence, so byte scanning is codepoint-safe), each
+  * shingle id is an XXH64 seed-chain over its word hashes (no shingle
+  * string is ever built), and dedup is sort-plus-unique on a primitive
+  * long[] emitted as UnsafeArrayData — no hash set, no boxing. Replaced
+  * a string-array kernel + per-row explode-and-hash that was the most
+  * expensive leaf of the ppjoin build phase.
+  */
+case class WordShingleHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextFeatures.wordShingleHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextFeatures.wordShingleHashes($c, $n)")
+  override protected def withNewChildInternal(
+      newChild: Expression): WordShingleHashesExpr =
     copy(child = newChild)
 }

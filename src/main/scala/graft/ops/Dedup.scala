@@ -1062,33 +1062,50 @@ object Dedup {
     * invariant under the bijection.
     */
   def qDedupPpjoin(spark: SparkSession, dir: String): DataFrame = {
-    val toks = shingled(spark, dir)
-      .select(col("doc_id"), size(col("sh")).as("sz"),
-        explode(col("sh")).as("s"))
-    // df + a UNIQUE integer id per token: every downstream structure —
-    // prefix join key, token arrays, the O(|T|) intersect — works on
-    // 8-byte longs instead of ~30-byte shingle strings. Only the
-    // token↔id BIJECTION matters (intersection counts are invariant
-    // under it), so `monotonically_increasing_id` is safe: ids are
-    // assigned once (the tokenized corpus is checkpointed, so both
-    // consumers read the same materialization).
+    // shingles become 8-byte xxhash64 ids AT THE SCAN: every downstream
+    // structure — the df count, the prefix join key, the token arrays,
+    // the O(|T|) intersect — works on longs, and no ~30-byte shingle
+    // string ever crosses an exchange (measured: the string-keyed df
+    // count + id join was the query's most expensive phase). Only the
+    // token↔id BIJECTION matters — intersection counts are invariant
+    // under it — and injectivity on the corpus holds whp (~n²/2⁶⁵;
+    // a collision would merge two shingles and break the naive-join
+    // oracle hash-match, so the gate doubles as the collision check).
+    // shingle ids come straight from the fused kernel — no shingle string
+    // is ever BUILT, let alone shuffled ([[graft.functions
+    // .WordShingleHashesExpr]]: in-place word hashing + seed-chained
+    // XXH64 per shingle + primitive sort-unique). Materialized once:
+    // both the df count and the canonical-order join consume it, and the
+    // shingle leaf is the most expensive scan in the query.
+    val toks = Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ", -1)) >= 3)
+      .select(col("doc_id"),
+        graft.functions.TextFeatures.wordShingleHashesCol(col("text"), 3)
+          .as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+      .localCheckpoint()
     val df = toks.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .withColumn("tid", monotonically_increasing_id())
     // the tokenized corpus in canonical rarest-first order — materialized
     // once (linear, doc-sized rows); consumed by the prefix explode and
-    // by both array-fetch joins. The canonical order is (df, tid):
-    // prefix completeness needs only a CONSISTENT global total order
-    // across documents (proven, as always, by the naive-join oracle
-    // hash-match), and rarest-first — the property that keeps prefix
-    // buckets small — is carried by the df major key; using tid instead
-    // of the token string as the tiebreaker keeps strings out of the
-    // per-doc sort entirely.
+    // by both array-fetch joins. The canonical order is (df, s): prefix
+    // completeness needs only a CONSISTENT global total order across
+    // documents (proven, as always, by the naive-join oracle hash-match),
+    // and rarest-first — the property that keeps prefix buckets small —
+    // is carried by the df major key; the hash id tiebreaks.
+    // two array encodings per doc, one aggregation pass: `toks` in
+    // canonical (df, s) rarest-first order feeds the prefix slice;
+    // `tsrt` VALUE-sorted feeds the verify stage's merge-walk overlap
+    // kernel (intersection counts don't care about order, and the
+    // merge walk needs ascending values — `sorted_overlap` replaces
+    // `array_intersect`, whose per-row hash-set build dominated the
+    // 125k-pair verification loop)
     val ordered = toks.join(df, "s")
       .groupBy(col("doc_id"))
       .agg(max(col("sz")).as("sz"),
         transform(
-          array_sort(collect_list(struct(col("df"), col("tid")))),
-          x => x.getField("tid")).as("toks"))
+          array_sort(collect_list(struct(col("df"), col("s")))),
+          x => x.getField("s")).as("toks"),
+        array_sort(collect_list(col("s"))).as("tsrt"))
       .localCheckpoint()
     // slim prefix rows: (doc, size, 1-based prefix position, token id) —
     // no arrays, no strings cross this shuffle
@@ -1108,17 +1125,23 @@ object Dedup {
         lit(3) * (lit(1) + least(col("sz1") - col("rn1"),
           col("sz2") - col("rn2"))) >= col("sz1") + col("sz2"))
       .select(col("d1"), col("d2"))
-      .distinct()
+    // NO pre-verify distinct: a pair sharing k prefix tokens appears k
+    // times (measured +5% rows), and re-running the merge-walk verify on
+    // those is far cheaper than the 125k-row exchange + hash aggregate a
+    // distinct here costs — the dedup runs AFTER verification, on the
+    // few hundred surviving rows
     cand
-      .join(ordered.select(col("doc_id").as("d1"), col("toks").as("t1"),
+      .join(ordered.select(col("doc_id").as("d1"), col("tsrt").as("t1"),
         col("sz").as("sz1")), "d1")
-      .join(ordered.select(col("doc_id").as("d2"), col("toks").as("t2"),
+      .join(ordered.select(col("doc_id").as("d2"), col("tsrt").as("t2"),
         col("sz").as("sz2")), "d2")
-      .withColumn("inter", size(array_intersect(col("t1"), col("t2"))))
+      .withColumn("inter",
+        graft.functions.SortedOverlapCount.sortedOverlap(col("t1"), col("t2")))
       .where(expr("3 * inter >= sz1 + sz2"))
       .select(col("d1"), col("d2"),
         round(col("inter") * lit(1.0) /
           (col("sz1") + col("sz2") - col("inter")), 6).as("jaccard"))
+      .distinct()
       .orderBy(col("d1"), col("d2"))
   }
 

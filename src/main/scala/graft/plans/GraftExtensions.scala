@@ -157,6 +157,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "winnowing fingerprint statistics (k=5, w=4) of a string", 1) {
       a => graft.functions.WinnowStats(a(0))
     }
+    register(e, "word_shingle_hashes",
+      "sorted distinct 64-bit hash ids of n-word shingles", 2) {
+      a => graft.functions.WordShingleHashesExpr(
+        a(0), intArg(a(1), "word_shingle_hashes"))
+    }
+    register(e, "sorted_overlap",
+      "count of common elements of two ASC-sorted distinct bigint arrays", 2) {
+      a => graft.functions.SortedOverlapCountExpr(a(0), a(1))
+    }
     register(e, "url_canonical",
       "canonical dedup key of a URL (case, ports, tracking params, " +
         "slashes, fragments)", 1) {
