@@ -378,13 +378,9 @@ object Dedup {
     * it computes the same components by a different algorithm (star
     * contraction) as cross-validation.
     */
-  private val ccLabelsCache =
-    new java.util.concurrent.ConcurrentHashMap[(Integer, String), DataFrame]()
-
   private def ccLabels(spark: SparkSession, dir: String): DataFrame =
-    ccLabelsCache.computeIfAbsent(
-      (Integer.valueOf(System.identityHashCode(spark)), dir),
-      _ => ccLabelsCompute(spark, dir))
+    SessionFixtures.cachedFrame("cc_labels", spark, dir)(
+      ccLabelsCompute(spark, dir))
 
   private def ccLabelsCompute(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashPairs(spark, dir).select(col("d1"), col("d2"))

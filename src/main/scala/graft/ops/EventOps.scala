@@ -246,20 +246,16 @@ object EventOps {
     * cost is paid at write time, and repeated calls measure the
     * partition-pruned READ the layout exists for.
     */
-  private val partitionedLayoutFor =
-    new java.util.concurrent.ConcurrentHashMap[Integer, String]()
-
   def qPartitionedLayout(spark: SparkSession, dir: String): DataFrame = {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
       .stripPrefix("file:")
     val path = s"$wh/graft_events_by_day"
-    val sess = Integer.valueOf(System.identityHashCode(spark))
-    if (partitionedLayoutFor.get(sess) != dir ||
+    if (SessionFixtures.stale("events_by_day", spark, dir) ||
         !new java.io.File(path, "_SUCCESS").isFile) {
       Tables.events(spark, dir)
         .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
         .write.mode("overwrite").partitionBy("dt").parquet(path)
-      partitionedLayoutFor.put(sess, dir)
+      SessionFixtures.mark("events_by_day", spark, dir)
     }
     spark.read.parquet(path)
       .filter(col("dt") >= "2024-01-08" && col("dt") <= "2024-01-14")
@@ -549,10 +545,12 @@ object EventOps {
     // the dedup, not the fixture write; the checkpoint stays per-run
     val fixture = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft-stream-dedup-in-${dir.hashCode.toHexString}")
-    if (!new java.io.File(fixture, "_DOUBLED").isFile) {
+    if (SessionFixtures.stale("stream_dedup_doubled", spark, dir) ||
+        !new java.io.File(fixture, "_DOUBLED").isFile) {
       ev.coalesce(1).write.mode("overwrite").parquet(s"$fixture/in")
       ev.coalesce(1).write.mode("append").parquet(s"$fixture/in") // redelivery
       new java.io.File(fixture, "_DOUBLED").createNewFile()
+      SessionFixtures.mark("stream_dedup_doubled", spark, dir)
     }
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
       .toFile.getAbsolutePath // fresh checkpoint per run

@@ -428,15 +428,11 @@ object Relational {
     * passes) reads co-located buckets. A fresh session re-lays-out (the
     * in-memory catalog died with the old one).
     */
-  private val bucketedLayoutFor =
-    new java.util.concurrent.ConcurrentHashMap[Integer, String]()
-
   def qJoinBucketed(spark: SparkSession, dir: String): DataFrame = {
     val B = 8
-    val sess = Integer.valueOf(System.identityHashCode(spark))
     val haveCatalog = spark.catalog.tableExists("graft_bucketed_lineitem") &&
       spark.catalog.tableExists("graft_bucketed_orders")
-    if (bucketedLayoutFor.get(sess) != dir || !haveCatalog) {
+    if (SessionFixtures.stale("bucketed_layout", spark, dir) || !haveCatalog) {
       // the managed-table LOCATION outlives the in-memory catalog: a fresh
       // session doesn't know the table, so overwrite can't reclaim it —
       // drop both the entry and the directory before (re)laying out
@@ -457,7 +453,7 @@ object Relational {
         .write.mode("overwrite").format("parquet")
         .bucketBy(B, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable("graft_bucketed_orders")
-      bucketedLayoutFor.put(sess, dir)
+      SessionFixtures.mark("bucketed_layout", spark, dir)
     }
     spark.table("graft_bucketed_orders")
       .join(spark.table("graft_bucketed_lineitem"),
@@ -2040,9 +2036,6 @@ object Relational {
     * calls time the REFRESH (state read + delta scan + merge), which is
     * the operation this query exists to demonstrate.
     */
-  private val mvStateFor =
-    new java.util.concurrent.ConcurrentHashMap[Integer, String]()
-
   def qMatviewMerge(spark: SparkSession, dir: String): DataFrame = {
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     val state = s"$wh/graft_mv_orders_state"
@@ -2052,12 +2045,11 @@ object Relational {
           month($"o_orderdate").as("mo"), $"o_orderpriority")
         .agg(count(lit(1)).as("n_orders"),
           sum($"o_totalprice".cast("decimal(18,2)")).as("sum_total"))
-    val sess = Integer.valueOf(System.identityHashCode(spark))
-    if (mvStateFor.get(sess) != dir ||
+    if (SessionFixtures.stale("mv_orders_state", spark, dir) ||
         !new java.io.File(state, "_SUCCESS").isFile) {
       partial(Tables.orders(spark, dir).filter($"o_orderdate" < cutoff))
         .write.mode("overwrite").parquet(state)
-      mvStateFor.put(sess, dir)
+      SessionFixtures.mark("mv_orders_state", spark, dir)
     }
     val delta = partial(
       Tables.orders(spark, dir).filter($"o_orderdate" >= cutoff))

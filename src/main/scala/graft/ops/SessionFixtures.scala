@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Build-once-per-session fixtures (bucketed/partitioned layouts,
+  * materialized-view state, cached label frames, index state).
+  *
+  * Keying contract — each fixture is valid for exactly one
+  * (session, source dir, source CONTENT) triple:
+  *  - the session part is a UUID assigned per session OBJECT in a
+  *    weak-keyed identity map (the previous `System.identityHashCode`
+  *    was a hash, not an identity — two live sessions in one JVM could
+  *    collide — and strong keys would pin dead sessions);
+  *  - the content part is a cheap (name, mtime, length) fingerprint of
+  *    the dir's parquet files, so the driver regenerating `/root/
+  *    testdata` IN PLACE mid-session invalidates every derived fixture
+  *    instead of silently serving stale artifacts (the scenario
+  *    TestdataContractSpec exists for).
+  *
+  * Storage is ONE slot per fixture name: a new key replaces the old
+  * entry, so dead sessions' DataFrames are not pinned and the maps
+  * cannot grow without bound. Two sessions alternating over the same
+  * fixture name rebuild on each switch — correct, just unshared, and
+  * not a pattern the mains or suites use.
+  */
+private[graft] object SessionFixtures {
+
+  private val marks =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val frames =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
+
+  // identity comes from the session OBJECT (SparkSession uses reference
+  // equality), not a hash of it; weak keys let dead sessions evict
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+
+  private def sessionKey(spark: SparkSession): String =
+    sessionIds.computeIfAbsent(spark,
+      _ => java.util.UUID.randomUUID().toString)
+
+  /** (name, mtime, length) of the dir's parquet entries; one level of
+    * recursion for directory-shaped tables.
+    */
+  private def dirFingerprint(dir: String): String = {
+    def stat(f: java.io.File): String =
+      s"${f.getName}:${f.lastModified}:${f.length}"
+    val entries = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    entries.map { e =>
+      if (e.isDirectory)
+        Option(e.listFiles()).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName).map(stat).mkString(s"${e.getName}[", ",", "]")
+      else stat(e)
+    }.mkString(",")
+  }
+
+  def key(spark: SparkSession, dir: String): String =
+    sessionKey(spark) + "|" + dir + "|" + dirFingerprint(dir)
+
+  /** True when the named fixture was not built for this exact
+    * (session, dir, content) key. Callers may OR in their own staleness
+    * signals (missing _SUCCESS, dropped catalog table) and must call
+    * [[mark]] after rebuilding.
+    */
+  def stale(name: String, spark: SparkSession, dir: String): Boolean =
+    marks.get(name) != key(spark, dir)
+
+  def mark(name: String, spark: SparkSession, dir: String): Unit =
+    marks.put(name, key(spark, dir))
+
+  /** Single-slot DataFrame cache: recomputes when the key changes and
+    * drops the previous frame.
+    */
+  def cachedFrame(name: String, spark: SparkSession, dir: String)(
+      compute: => DataFrame): DataFrame = {
+    val k = key(spark, dir)
+    val cur = frames.get(name)
+    if (cur != null && cur._1 == k) cur._2
+    else {
+      val df = compute
+      frames.put(name, (k, df))
+      df
+    }
+  }
+}

@@ -958,7 +958,76 @@ object Similarity {
           * 1000000 // count(*) AS acc6
       FROM pred GROUP BY label ORDER BY label"""
 
+  // ---------- IVF index incremental refresh (no retraining) ----------
+  /** The [[graft.ops.Relational.qMatviewMerge]] discipline applied to the
+    * vector index: the IVF assignment table for the HISTORY corpus lives
+    * as persisted state, and a new batch is folded in by assigning ONLY
+    * the delta to the EXISTING centroids and unioning the list tables —
+    * no retraining, no history re-scan. At 100 TB this is the difference
+    * between an index refresh that touches the delta and one that
+    * re-embeds-and-re-clusters the corpus; FAISS calls the same operation
+    * `add` on a trained index.
+    *
+    * The registered row is the in-plan identity proof: the merged index
+    * is full-outer-joined against a from-scratch rebuild (every vector
+    * assigned with the same frozen centroids) and must agree row-for-row
+    * — assignment is a deterministic function of (vector, centroids), so
+    * `n_mismatch` is 0 iff the merge lost, duplicated, or misrouted
+    * nothing. The oracle pins the corpus counts (history = vec_id % 5
+    * != 0, delta = the rest) and the zero/one contract columns.
+    * Centroids are trained on HISTORY only — the delta must not leak
+    * into training, or the "existing centroids" premise is broken.
+    */
+  def qAnnRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val e = withVec(Tables.embeddings(spark, dir))
+    val hist = e.filter(col("vec_id") % 5 =!= 0)
+    val delta = e.filter(col("vec_id") % 5 === 0)
+    val cents = trainCentroids(hist)
+    def assign(df: DataFrame): DataFrame = df
+      .withColumn("cs",
+        graft.functions.VecOps.centroidScoresCol(col("vd"), cents))
+      .withColumn("list_id",
+        expr("array_position(cs, array_max(cs))").cast("int") - 1)
+      .select(col("vec_id"), col("list_id"))
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val state = s"$wh/graft_ann_ivf_state"
+    if (SessionFixtures.stale("ann_ivf_state", spark, dir) ||
+        !new java.io.File(state, "_SUCCESS").isFile) {
+      assign(hist).write.mode("overwrite").parquet(state)
+      SessionFixtures.mark("ann_ivf_state", spark, dir)
+    }
+    val merged = spark.read.parquet(state).toDF("vec_id", "ml")
+      .unionByName(assign(delta).toDF("vec_id", "ml"))
+    val rebuild = assign(e).toDF("vec_id", "rl")
+    merged.join(rebuild, Seq("vec_id"), "full_outer")
+      .agg(
+        count(lit(1)).cast("long").as("n_total"),
+        sum(when(col("vec_id") % 5 =!= 0, 1L).otherwise(0L))
+          .cast("long").as("n_hist"),
+        sum(when(col("vec_id") % 5 === 0, 1L).otherwise(0L))
+          .cast("long").as("n_delta"),
+        sum(when(col("ml").isNull || col("rl").isNull ||
+          col("ml") =!= col("rl"), 1L).otherwise(0L))
+          .cast("long").as("n_mismatch"))
+      .select(lit("ivf_refresh").as("algo"), col("n_total"), col("n_hist"),
+        col("n_delta"), col("n_mismatch"),
+        when(col("n_mismatch") === 0, 1L).otherwise(0L)
+          .cast("long").as("merged_eq_rebuild"))
+  }
+
+  /** Corpus counts from the table, contract columns as constants —
+    * `::BIGINT` per the [[certifyOracle]] HUGEINT note.
+    */
+  val qAnnRefreshOracle: String =
+    """WITH c AS (SELECT count(*)::BIGINT AS n,
+        sum(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS nd
+      FROM embeddings)
+      SELECT 'ivf_refresh' AS algo, n AS n_total, (n - nd)::BIGINT AS n_hist,
+        nd AS n_delta, 0::BIGINT AS n_mismatch, 1::BIGINT AS merged_eq_rebuild
+      FROM c"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_refresh" -> (qAnnRefresh _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_embed_centroid_eval" -> (qEmbedCentroidEval _),
     "q_dedup_semantic" -> (qDedupSemantic _),
@@ -976,6 +1045,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ann_refresh" -> qAnnRefreshOracle,
     "q_embed_neardup" -> qEmbedNeardupOracle,
     "q_embed_centroid_eval" -> qEmbedCentroidEvalOracle,
     "q_dedup_semantic" -> qDedupSemanticOracle,

@@ -802,7 +802,10 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("winnowstats") || p.contains("WinnowStats") ||
       p.toLowerCase.contains("winnow"),
       s"kernel must appear in the scan-side project: $p")
-    assert(!p.contains("WindowExec") && !p.contains("Generate"),
+    // executedPlan.toString strips the Exec suffix ("Window ", not
+    // "WindowExec") — matching the printed form so a reintroduced window
+    // can actually trip this
+    assert(!p.contains("Window ") && !p.contains("Generate"),
       s"no window sort or gram explode may remain: $p")
   }
 
@@ -1129,6 +1132,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"group sort must be local under the exchange: $p")
     assert(p.contains(
       "ReadSchema: struct<doc_id:bigint,text:string,source:string>"), p)
+  }
+
+  test("q_ann_refresh: history rides the persisted index state — the " +
+    "merge path scans embeddings once (the delta); the second scan is " +
+    "the in-plan rebuild used as the identity proof") {
+    val p = plan("q_ann_refresh")
+    assert(p.contains("graft_ann_ivf_state"),
+      s"history must come from the persisted list table: $p")
+    val embScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("embeddings.parquet"))
+    assert(embScans == 2,
+      s"exactly delta + rebuild scans expected, got $embScans:\n$p")
+    assert(p.contains("% 5) = 0"),
+      s"the merge-side scan must be delta-filtered: $p")
   }
 
   test("q_matview_merge: refresh scans the fact ONCE (delta only, date " +
