@@ -132,11 +132,57 @@ object TextFeatures {
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(hs, uniq))
   }
 
+  /** EVERY overlapping n-word window of the text as a 64-bit hash id, in
+    * position order — [[wordShingleHashes]] without the distinct/sort:
+    * occurrence COUNTS matter here (a window is a duplicate iff its
+    * content occurs anywhere else, including elsewhere in the same
+    * document), so nothing may collapse.
+    */
+  def wordWindowHashes(text: UTF8String, n: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val len = text.numBytes()
+    var nWords = 1
+    var i = 0
+    while (i < len) {
+      if (text.getByte(i) == 0x20) nWords += 1
+      i += 1
+    }
+    if (nWords < n) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+    val wh = new Array[Long](nWords)
+    var w = 0
+    var start = 0
+    i = 0
+    while (i <= len) {
+      if (i == len || text.getByte(i) == 0x20) {
+        wh(w) = XXH64.hashUnsafeBytes(base, off + start, i - start, 42L)
+        w += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    val g = nWords - n + 1
+    val hs = new Array[Long](g)
+    var j = 0
+    while (j < g) {
+      var h = wh(j)
+      var k = 1
+      while (k < n) { h = XXH64.hashLong(wh(j + k), h); k += 1 }
+      hs(j) = h
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(hs)
+  }
+
   def wordShinglesCol(c: Column, n: Int): Column =
     ColumnBridge.column(WordShinglesExpr(ColumnBridge.expression(c), n))
 
   def wordShingleHashesCol(c: Column, n: Int): Column =
     ColumnBridge.column(WordShingleHashesExpr(ColumnBridge.expression(c), n))
+
+  def wordWindowHashesCol(c: Column, n: Int): Column =
+    ColumnBridge.column(WordWindowHashesExpr(ColumnBridge.expression(c), n))
 
   def charGramsCol(c: Column, n: Int): Column =
     ColumnBridge.column(CharGramsExpr(ColumnBridge.expression(c), n))
@@ -176,6 +222,22 @@ case class CharGramsExpr(child: Expression, n: Int) extends UnaryExpression {
   * a string-array kernel + per-row explode-and-hash that was the most
   * expensive leaf of the ppjoin build phase.
   */
+/** [[TextFeatures.wordWindowHashes]] as an expression: every overlapping
+  * n-word window hash in position order (duplicates preserved).
+  */
+case class WordWindowHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextFeatures.wordWindowHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextFeatures.wordWindowHashes($c, $n)")
+  override protected def withNewChildInternal(
+      newChild: Expression): WordWindowHashesExpr =
+    copy(child = newChild)
+}
+
 case class WordShingleHashesExpr(child: Expression, n: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

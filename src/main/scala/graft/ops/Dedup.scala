@@ -1177,8 +1177,18 @@ object Dedup {
     * integer counts + one exact IEEE division keep it engine-identical.
     */
   def qTextNovelty(spark: SparkSession, dir: String): DataFrame = {
-    val ex = shingled(spark, dir)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
+    // shingles ride as 64-bit hash ids ([[graft.functions
+    // .WordShingleHashesExpr]]): first-occurrence and the per-doc novel
+    // count are invariant under any injective token mapping, so the
+    // string-shingled oracle still hash-matches while both
+    // shingle-keyed exchanges carry longs instead of ~30-byte strings
+    // (same argument and kernel as q_dedup_ppjoin; injectivity is
+    // corpus-wide whp and gate-checked by the oracle itself)
+    val ex = Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ", -1)) >= 3)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFeatures
+          .wordShingleHashesCol(col("text"), 3)).as("s"))
     val fo = ex.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
     ex.join(fo, "s")
       .groupBy(col("doc_id"))
@@ -1203,6 +1213,60 @@ object Dedup {
         FROM ex e JOIN fo f ON e.s = f.s GROUP BY e.doc_id)
       SELECT doc_id, n AS n_shingles, novel::BIGINT AS n_novel,
         round(novel * 1.0 / n, 6) AS novelty
+      FROM pd ORDER BY doc_id"""
+
+  // ---------- span-level exact substring duplication ----------
+  /** The span-level measurement behind exact-substring dedup (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better" —
+    * the suffix-array ExactSubstr pass): a document's window is a
+    * duplicate iff its exact [[SubstrK]]-word content occurs ANYWHERE
+    * else in the corpus (another document OR another position of the
+    * same document). Pairwise-dedup thresholds never see these — two
+    * documents can each be unique at J < 0.5 while sharing a verbatim
+    * 10-word span — and the per-doc `dup_ratio` is the curation signal
+    * (cut or rewrite docs above a duplication budget).
+    *
+    * Spark shape instead of a suffix array: EVERY overlapping window
+    * rides as a 64-bit hash from one scan-side kernel pass
+    * ([[graft.functions.WordWindowHashesExpr]] — position order,
+    * duplicates preserved), occurrence counts are one hash aggregate on
+    * the window key, and the per-doc rollup joins back on the same key —
+    * two long-keyed combine-fed exchanges total, the exact shape the
+    * novelty query proved at scale. Counts are invariant under the
+    * injective window↔hash mapping, so the string-windowed DuckDB oracle
+    * hash-matches (and doubles as the collision check).
+    */
+  private val SubstrK = 10
+
+  def qDedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val w = Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ", -1)) >= SubstrK)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFeatures
+          .wordWindowHashesCol(col("text"), SubstrK)).as("h"))
+    val occ = w.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+    w.join(occ, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("cnt") > 1, 1).otherwise(0)).as("n_dup_windows"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_windows") * lit(1.0) / col("n_windows"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDedupSubstringOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      win AS (SELECT doc_id, unnest(CASE WHEN len(ws) < 10
+          THEN []::VARCHAR[]
+          ELSE [array_to_string(ws[i:i+9], ' ')
+                for i in range(1, len(ws) - 8)] END) AS s
+        FROM t),
+      occ AS (SELECT s, count(*) AS cnt FROM win GROUP BY s),
+      pd AS (SELECT w.doc_id, count(*) AS n,
+          sum(CASE WHEN o.cnt > 1 THEN 1 ELSE 0 END) AS nd
+        FROM win w JOIN occ o ON w.s = o.s GROUP BY w.doc_id)
+      SELECT doc_id, n AS n_windows, nd::BIGINT AS n_dup_windows,
+        round(nd * 1.0 / n, 6) AS dup_ratio
       FROM pd ORDER BY doc_id"""
 
   // ---------- URL-canonical dedup ----------
@@ -1273,6 +1337,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_url" -> (qDedupUrl _),
+    "q_dedup_substring" -> (qDedupSubstring _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -1298,6 +1363,7 @@ object Dedup {
     */
   val oracles: Map[String, String] = Map(
     "q_dedup_url" -> qDedupUrlOracle,
+    "q_dedup_substring" -> qDedupSubstringOracle,
     "q_dedup_exact" -> qDedupExactOracle,
     "q_dedup_minhash" -> exactPairOracle,
     "q_dedup_simhash" -> exactPairOracle,

@@ -509,6 +509,55 @@ object TextAnalysis {
         min(doc_id) AS first_doc, max(doc_id) AS last_doc
       FROM c GROUP BY lang, batch_id ORDER BY lang, batch_id"""
 
+  // ---------- epoch-aware mixture materialization ----------
+  /** Upsampling a weighted mixture into ACTUAL training epochs — the step
+    * after [[qMixTemperature]] computes weights: a source with weight w
+    * contributes floor(w) full passes over its documents plus one
+    * fractional pass holding a deterministic hash-selected
+    * (w − floor(w)) share. Every repetition is materialized (one row per
+    * (doc, epoch)) because that is what a data loader consumes; the
+    * fractional membership is a fixed LCG on doc_id — reproducible on
+    * both engines, no RNG, so a rerun yields the byte-identical mixture
+    * (the reproducibility property a training run needs).
+    *
+    * Scale shape: the explode factor is Σ wᵢ (the mixture's true token
+    * multiplier — materialization is the product, not overhead), the
+    * epoch sequence is generated scan-side, and the per-(source, epoch)
+    * rollup is one combine-fed exchange.
+    */
+  def qMixEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
+      .withColumn("w",
+        when(col("source").isin("src0", "src1", "src2"), 2.5)
+          .when(col("source").isin("src3", "src4"), 1.5)
+          .otherwise(1.0))
+      .withColumn("n_ep", floor(col("w")).cast("int") +
+        ((col("doc_id") * lit(2654435761L)) % 1000000L <
+          (col("w") - floor(col("w"))) * 1000000.0).cast("int"))
+    d.select(col("source"), col("n_tok"),
+        explode(sequence(lit(0), col("n_ep") - 1)).as("epoch"))
+      .groupBy(col("source"), col("epoch"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("source"), col("epoch"))
+  }
+
+  val qMixEpochsOracle: String =
+    """WITH d AS (SELECT doc_id, source,
+        len(string_split(text, ' '))::BIGINT AS n_tok,
+        CASE WHEN source IN ('src0', 'src1', 'src2') THEN 2.5
+             WHEN source IN ('src3', 'src4') THEN 1.5 ELSE 1.0 END AS w
+      FROM documents),
+      e AS (SELECT source, n_tok, floor(w)::INT +
+          (CASE WHEN (doc_id * 2654435761) % 1000000
+                     < (w - floor(w)) * 1000000 THEN 1 ELSE 0 END) AS n_ep
+        FROM d),
+      x AS (SELECT source, n_tok, unnest(range(0, n_ep)) AS epoch FROM e)
+      SELECT source, epoch::INT AS epoch, count(*) AS n_docs,
+        sum(n_tok)::BIGINT AS n_tokens
+      FROM x GROUP BY source, epoch ORDER BY source, epoch"""
+
   // ---------- greedy sequence packing (context-window bin-pack) ----------
   /** The last step between curated documents and a training batch: pack
     * whole tokenized documents into fixed [[PackWindow]]-token context
@@ -1892,6 +1941,7 @@ object TextAnalysis {
     "q_decontaminate_ngram" -> (qDecontaminateNgram _),
     "q_pack_batches" -> (qPackBatches _),
     "q_pack_sequences" -> (qPackSequences _),
+    "q_mix_epochs" -> (qMixEpochs _),
     "q_text_redact" -> (qTextRedact _),
     "q_text_surprisal" -> (qTextSurprisal _),
     "q_text_repetition" -> (qTextRepetition _),
@@ -1933,6 +1983,7 @@ object TextAnalysis {
     "q_decontaminate_ngram" -> qDecontaminateNgramOracle,
     "q_pack_batches" -> qPackBatchesOracle,
     "q_pack_sequences" -> qPackSequencesOracle,
+    "q_mix_epochs" -> qMixEpochsOracle,
     "q_text_redact" -> qTextRedactOracle,
     "q_text_surprisal" -> qTextSurprisalOracle,
     "q_text_repetition" -> qTextRepetitionOracle,

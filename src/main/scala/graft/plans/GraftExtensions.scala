@@ -162,6 +162,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       a => graft.functions.WordShingleHashesExpr(
         a(0), intArg(a(1), "word_shingle_hashes"))
     }
+    register(e, "word_window_hashes",
+      "hash id of every overlapping n-word window, in position order", 2) {
+      a => graft.functions.WordWindowHashesExpr(
+        a(0), intArg(a(1), "word_window_hashes"))
+    }
     register(e, "sorted_overlap",
       "count of common elements of two ASC-sorted distinct bigint arrays", 2) {
       a => graft.functions.SortedOverlapCountExpr(a(0), a(1))

@@ -1148,6 +1148,31 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the merge-side scan must be delta-filtered: $p")
   }
 
+  test("q_dedup_substring: window hashes are generated scan-side (kernel " +
+    "below every exchange); both exchanges are long-keyed and combine-fed") {
+    val p = plan("q_dedup_substring")
+    val kIdx = p.indexOf("wordwindowhashes")
+    val exIdx = p.indexOf("Exchange hashpartitioning")
+    assert(kIdx > exIdx && exIdx >= 0,
+      s"window kernel must evaluate below the exchanges: $p")
+    assert(p.contains("partial_count"), "occurrence count must map-combine")
+    assert(!p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"documents scan must prune to (doc_id, text): $p")
+  }
+
+  test("q_mix_epochs: the epoch explode stays scan-side below the single " +
+    "combine-fed rollup exchange") {
+    val p = plan("q_mix_epochs")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"one rollup exchange expected: $p")
+    val gen = p.indexOf("Generate explode")
+    val ex = p.indexOf("Exchange hashpartitioning")
+    assert(gen > ex && ex >= 0, s"explode must run below the exchange: $p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
   test("q_matview_merge: refresh scans the fact ONCE (delta only, date " +
     "filter pushed); history comes from compact state") {
     val p = plan("q_matview_merge")
