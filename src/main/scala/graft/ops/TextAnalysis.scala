@@ -581,6 +581,22 @@ object TextAnalysis {
     */
   private val PackWindow = 512L
 
+  /** The per-group next-fit fold, extracted so the spec can drive it on
+    * inputs the testdata lacks (oversize docs, exact-fit boundaries).
+    * Input docs must already be in doc_id order.
+    */
+  private[ops] def packGroup(src: String, docs: Iterator[(String, Long, Long)],
+      window: Long = PackWindow): Iterator[(String, Long, Long, Long, Long)] = {
+    var seq = 0L
+    var fill = 0L
+    docs.map { case (_, id, n) =>
+      if (fill > 0 && fill + n > window) { seq += 1; fill = 0 }
+      val off = fill
+      fill += n
+      (src, id, n, seq, off)
+    }
+  }
+
   def qPackSequences(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -588,16 +604,7 @@ object TextAnalysis {
         size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
       .as[(String, Long, Long)]
       .groupByKey(_._1)
-      .flatMapSortedGroups(col("doc_id")) { (src, docs) =>
-        var seq = 0L
-        var fill = 0L
-        docs.map { case (_, id, n) =>
-          if (fill > 0 && fill + n > PackWindow) { seq += 1; fill = 0 }
-          val off = fill
-          fill += n
-          (src, id, n, seq, off)
-        }
-      }
+      .flatMapSortedGroups(col("doc_id"))(packGroup(_, _))
       .toDF("source", "doc_id", "n_tok", "seq_id", "off")
       .orderBy(col("source"), col("doc_id"))
   }

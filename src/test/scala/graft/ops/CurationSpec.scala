@@ -52,6 +52,27 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("packGroup edge cases the corpus lacks: oversize docs get a " +
+    "window alone (and close it), exact fits stay, zero-fill reopen") {
+    def pack(lens: Long*): Seq[(Long, Long, Long)] =
+      TextAnalysis.packGroup("s",
+        lens.zipWithIndex.map { case (n, i) => ("s", i.toLong, n) }.iterator,
+        window = 10L)
+        .map(r => (r._3, r._4, r._5)).toSeq // (n_tok, seq_id, off)
+    // oversize doc mid-stream: forces a new window, sits alone
+    // (overflowing), and the NEXT doc opens yet another window
+    assert(pack(4L, 25L, 3L) ===
+      Seq((4L, 0L, 0L), (25L, 1L, 0L), (3L, 2L, 0L)))
+    // oversize doc FIRST: occupies window 0 alone
+    assert(pack(25L, 3L) === Seq((25L, 0L, 0L), (3L, 1L, 0L)))
+    // exact fit closes flush: 4+6 = 10 stays, the next doc breaks
+    assert(pack(4L, 6L, 1L) ===
+      Seq((4L, 0L, 0L), (6L, 0L, 4L), (1L, 1L, 0L)))
+    // greedy: a small doc after a near-full window still fits
+    assert(pack(9L, 1L, 1L) ===
+      Seq((9L, 0L, 0L), (1L, 0L, 9L), (1L, 1L, 0L)))
+  }
+
   test("gopher rules: flags recompute from the raw text, keep is their AND") {
     val docs = Tables.documents(spark, dirs.head).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
