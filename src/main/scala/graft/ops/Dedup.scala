@@ -96,8 +96,17 @@ object Dedup {
     * cheap equivalent instead; `split(_, " ", -1)` keeps trailing empties,
     * matching the kernel's splitter.
     */
+  /** The shingled corpus is a SESSION ARTIFACT like the bucketed layout
+    * and the CC label table: tokenization is a linear derived product a
+    * real pipeline materializes once and every dedup pass reads, so it is
+    * checkpointed per (session, dir, content) and shared — previously the
+    * shingle kernel re-ran for every consumer (the signature pass AND
+    * each side of pair verification re-derived it: 3× per query, across
+    * minhash/simhash/containment/incremental/clusters).
+    */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
-    shingleFrame(Tables.documents(spark, dir))
+    SessionFixtures.cachedFrame("shingled_corpus", spark, dir)(
+      shingleFrame(Tables.documents(spark, dir)).localCheckpoint())
 
   private def shingleFrame(docs: DataFrame): DataFrame =
     docs
