@@ -175,6 +175,36 @@ object TextFeatures {
     UnsafeArrayData.fromPrimitiveArray(hs)
   }
 
+  /** Distinct character n-grams as ASC-SORTED 64-bit hash ids — the
+    * [[wordShingleHashes]] treatment for [[charGrams]]: same char-based
+    * (UTF-16 unit) segmentation as the string kernel so distinct-set
+    * cardinalities agree, gram ids from an XXH64 chain over the chars,
+    * sort-unique on a primitive long[].
+    */
+  def charGramHashes(text: UTF8String, n: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val s = text.toString
+    if (s.length < n) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+    val g = s.length - n + 1
+    val hs = new Array[Long](g)
+    var i = 0
+    while (i < g) {
+      var h = XXH64.hashLong(s.charAt(i).toLong, 42L)
+      var k = 1
+      while (k < n) { h = XXH64.hashLong(s.charAt(i + k).toLong, h); k += 1 }
+      hs(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var uniq = 0
+    i = 0
+    while (i < g) {
+      if (i == 0 || hs(i) != hs(i - 1)) { hs(uniq) = hs(i); uniq += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(hs, uniq))
+  }
+
   def wordShinglesCol(c: Column, n: Int): Column =
     ColumnBridge.column(WordShinglesExpr(ColumnBridge.expression(c), n))
 
@@ -183,6 +213,9 @@ object TextFeatures {
 
   def wordWindowHashesCol(c: Column, n: Int): Column =
     ColumnBridge.column(WordWindowHashesExpr(ColumnBridge.expression(c), n))
+
+  def charGramHashesCol(c: Column, n: Int): Column =
+    ColumnBridge.column(CharGramHashesExpr(ColumnBridge.expression(c), n))
 
   def charGramsCol(c: Column, n: Int): Column =
     ColumnBridge.column(CharGramsExpr(ColumnBridge.expression(c), n))
@@ -235,6 +268,20 @@ case class WordWindowHashesExpr(child: Expression, n: Int)
       s"graft.functions.TextFeatures.wordWindowHashes($c, $n)")
   override protected def withNewChildInternal(
       newChild: Expression): WordWindowHashesExpr =
+    copy(child = newChild)
+}
+
+/** [[TextFeatures.charGramHashes]] as an expression. */
+case class CharGramHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextFeatures.charGramHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextFeatures.charGramHashes($c, $n)")
+  override protected def withNewChildInternal(
+      newChild: Expression): CharGramHashesExpr =
     copy(child = newChild)
 }
 

@@ -714,13 +714,19 @@ object Dedup {
     * narrow, allocation-light, same exact output as the oracle.
     */
   def qDedupNgram(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.unsafe.types.UTF8String
+    // grams ride as 64-bit hash ids (char_gram_hashes — same char
+    // segmentation as the string kernel, so the distinct-set sizes and
+    // intersection counts the Jaccard needs are invariant and the
+    // string-grammed oracle still hash-matches): the per-pair merge walk
+    // compares longs instead of UTF8Strings and the anchor broadcast
+    // shrinks ~4×
     val g = Tables.documents(spark, dir)
-      .select(col("doc_id"), charGrams(col("text")).as("g"))
+      .select(col("doc_id"),
+        graft.functions.TextFeatures.charGramHashesCol(col("text"), 5).as("g"))
 
-    val anchorArr: Array[(Long, Array[String])] = g.filter(col("doc_id") < 50)
+    val anchorArr: Array[(Long, Array[Long])] = g.filter(col("doc_id") < 50)
       .collect()
-      .map(r => r.getLong(0) -> r.getSeq[String](1).toArray)
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
     val bc = spark.sparkContext.broadcast(anchorArr)
 
     import spark.implicits._
@@ -728,19 +734,17 @@ object Dedup {
     // spread the corpus across the cluster before the per-doc work (tiny
     // shuffle, restores full parallelism)
     val spread = g.repartition(spark.sparkContext.defaultParallelism)
-    val pairs = spread.as[(Long, Seq[String])].mapPartitions { it =>
-      val anchors = bc.value.map { case (id, gs) =>
-        id -> gs.map(UTF8String.fromString) // sorted already (TextFeatures)
-      }
+    val pairs = spread.as[(Long, Seq[Long])].mapPartitions { it =>
+      val anchors = bc.value
       it.flatMap { case (d2, grams) =>
-        val bg = grams.iterator.map(UTF8String.fromString).toArray
+        val bg = grams.toArray
         anchors.iterator.flatMap { case (d1, ag) =>
           // size-ratio prefilter: J >= 0.5 needs |b| within [|a|/2, 2|a|]
           if (d1 == d2 || bg.length * 2 < ag.length || bg.length > ag.length * 2) None
           else {
             var i = 0; var j = 0; var inter = 0
             while (i < ag.length && j < bg.length) {
-              val c = ag(i).compareTo(bg(j))
+              val c = java.lang.Long.compare(ag(i), bg(j))
               if (c == 0) { inter += 1; i += 1; j += 1 }
               else if (c < 0) i += 1
               else j += 1

@@ -167,6 +167,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       a => graft.functions.WordWindowHashesExpr(
         a(0), intArg(a(1), "word_window_hashes"))
     }
+    register(e, "char_gram_hashes",
+      "sorted distinct 64-bit hash ids of character n-grams", 2) {
+      a => graft.functions.CharGramHashesExpr(
+        a(0), intArg(a(1), "char_gram_hashes"))
+    }
     register(e, "sorted_overlap",
       "count of common elements of two ASC-sorted distinct bigint arrays", 2) {
       a => graft.functions.SortedOverlapCountExpr(a(0), a(1))

@@ -75,6 +75,21 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("char_gram_hashes ≡ distinct char-gram strings under hashing: " +
+    "same cardinality, sorted-distinct (random text)") {
+    forAll(text) { s =>
+      for (n <- Seq(3, 5)) {
+        val a = TextFeatures.charGramHashes(UTF8String.fromString(s), n)
+        val h = (0 until a.numElements()).map(a.getLong)
+        val strGrams =
+          if (s.length < n) Seq.empty
+          else (0 to s.length - n).map(i => s.substring(i, i + n))
+        assert(h.size == strGrams.distinct.size, s"[$s] n=$n")
+        assert(h == h.distinct.sorted, s"[$s] n=$n")
+      }
+    }
+  }
+
   private val urlGen: Gen[String] = for {
     scheme <- Gen.oneOf("http", "https", "HTTPS", "HtTp")
     host <- Gen.oneOf("a.com", "A.Com", "WWW.Example.COM", "x-y.z.io")
