@@ -1068,6 +1068,110 @@ object EventOps {
       FROM r3 LEFT JOIN o ON r3.t = o.ft
       ORDER BY rank_e12 DESC, event_type"""
 
+  // ---------- distribution drift between two snapshots (PSI) ----------
+  /** Population Stability Index of the `value` distribution between the
+    * first half of the month (reference window) and the second (current
+    * window) — the monitoring query a training-data pipeline runs on
+    * every refresh to catch upstream distribution shift before it
+    * poisons a mixture. Fixed bin edges (width 20, clamped to 10 bins),
+    * not quantiles: fixed edges make the two windows directly
+    * comparable and keep the query a single scan + 10-group combine-fed
+    * aggregate — a quantile-based binning would need a global sort or
+    * sketch per window first. Laplace (+1) smoothing keeps empty bins
+    * finite.
+    *
+    * Determinism discipline (SURVEY §12): both windows' counts and
+    * totals stay BIGINT; each bin's PSI contribution is formed as ONE
+    * double division of two exact integer products followed by ONE `ln`
+    * of another exact-integer ratio, then `round(..., 6)` — the same
+    * fixed-op-order shape as [[TextAnalysis.qTextTfidf]], identical on
+    * both engines regardless of aggregation order.
+    *
+    * Scale shape: one corpus scan feeding a 10-group partial aggregate;
+    * the totals are RE-AGGREGATED FROM THOSE 10 ROWS (never a second
+    * scan — ReuseExchange collapses the shared subtree) and cross in as
+    * a broadcast single row.
+    */
+  def qStatsDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2024-01-16").cast("timestamp")
+    val binned = Tables.events(spark, dir)
+      .withColumn("bin", least(floor(col("value") / 20).cast("int"), lit(9)))
+      .groupBy(col("bin"))
+      .agg(
+        sum(when(col("ts") < cutoff, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("ts") >= cutoff, 1L).otherwise(0L)).as("n_cur"))
+    val totals = binned.agg(
+      sum(col("n_ref")).as("tot_ref"), sum(col("n_cur")).as("tot_cur"))
+    // p = (n_ref+1)/(tot_ref+10), q = (n_cur+1)/(tot_cur+10);
+    // psi_bin = (p - q) * ln(p / q), all regrouped into integer products
+    binned.crossJoin(broadcast(totals))
+      .withColumn("num", (col("n_ref") + 1) * (col("tot_cur") + 10))
+      .withColumn("den", (col("n_cur") + 1) * (col("tot_ref") + 10))
+      .withColumn("psi", round(
+        (col("num") - col("den")).cast("double") /
+          ((col("tot_ref") + 10) * (col("tot_cur") + 10)).cast("double") *
+          log(col("num").cast("double") / col("den").cast("double")), 6))
+      .select(col("bin"), col("n_ref"), col("n_cur"), col("psi"))
+      .orderBy(col("bin"))
+  }
+
+  val qStatsDriftOracle: String =
+    """WITH b AS (SELECT least(floor(value / 20)::INT, 9) AS bin,
+        sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)::BIGINT n_ref,
+        sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)::BIGINT n_cur
+        FROM events GROUP BY 1),
+      t AS (SELECT sum(n_ref)::BIGINT tot_ref, sum(n_cur)::BIGINT tot_cur FROM b)
+      SELECT bin, n_ref, n_cur,
+        round(((n_ref + 1) * (tot_cur + 10) - (n_cur + 1) * (tot_ref + 10))
+            / (((tot_ref + 10) * (tot_cur + 10))::DOUBLE)
+          * ln(((n_ref + 1) * (tot_cur + 10))::DOUBLE
+            / ((n_cur + 1) * (tot_ref + 10))), 6) AS psi
+      FROM b, t ORDER BY bin"""
+
+  // ---------- shuffle-key skew diagnostic ----------
+  /** Key-skew profiler for candidate shuffle keys — the query you run
+    * BEFORE picking a join/groupBy key at 100 TB, where one hot key
+    * turns into one straggler task. Profiles every candidate in a
+    * SINGLE corpus pass: each row explodes into (key_name, key_value)
+    * pairs scan-side, then two combine-fed aggregates produce per-key
+    * counts and the per-candidate summary. All metrics are integer
+    * (scaled ×100 where fractional) so the result is exact:
+    * `skew_x100` = max/avg ratio, and `salt` = ceil(max_cnt / avg_cnt)
+    * is the salting factor that would level the hottest key to the
+    * average — the direct input to the salted-join pattern
+    * ([[Relational]] `q_salted_join`).
+    */
+  def qSkewDiagnose(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(explode(map(
+        lit("user_id"), col("user_id").cast("string"),
+        lit("event_type"), col("event_type"))).as(Seq("key_name", "key_val")))
+      .groupBy(col("key_name"), col("key_val"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("key_name"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_cnt"))
+      .select(col("key_name"), col("n_keys"), col("n_rows"), col("max_cnt"),
+        expr("n_rows * 100 DIV n_keys").as("avg_cnt_x100"),
+        expr("max_cnt * 100 * n_keys DIV n_rows").as("skew_x100"),
+        expr("(max_cnt * n_keys + n_rows - 1) DIV n_rows").as("salt"))
+      .orderBy(col("key_name"))
+
+  val qSkewDiagnoseOracle: String =
+    """WITH kv AS (
+        SELECT 'user_id' AS key_name, user_id::VARCHAR AS key_val FROM events
+        UNION ALL
+        SELECT 'event_type', event_type FROM events),
+      c AS (SELECT key_name, key_val, count(*)::BIGINT cnt
+        FROM kv GROUP BY 1, 2),
+      s AS (SELECT key_name, count(*)::BIGINT n_keys, sum(cnt)::BIGINT n_rows,
+        max(cnt)::BIGINT max_cnt FROM c GROUP BY 1)
+      SELECT key_name, n_keys, n_rows, max_cnt,
+        n_rows * 100 // n_keys AS avg_cnt_x100,
+        max_cnt * 100 * n_keys // n_rows AS skew_x100,
+        (max_cnt * n_keys + n_rows - 1) // n_rows AS salt
+      FROM s ORDER BY key_name"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_tumbling" -> (qEventsTumbling _),
     "q_events_sliding" -> (qEventsSliding _),
@@ -1090,6 +1194,8 @@ object EventOps {
     "q_events_engagement" -> (qEventsEngagement _),
     "q_events_streaks" -> (qEventsStreaks _),
     "q_partitioned_layout" -> (qPartitionedLayout _),
+    "q_stats_drift" -> (qStatsDrift _),
+    "q_skew_diagnose" -> (qSkewDiagnose _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1114,5 +1220,7 @@ object EventOps {
     "q_events_engagement" -> qEventsEngagementOracle,
     "q_events_streaks" -> qEventsStreaksOracle,
     "q_partitioned_layout" -> qPartitionedLayoutOracle,
+    "q_stats_drift" -> qStatsDriftOracle,
+    "q_skew_diagnose" -> qSkewDiagnoseOracle,
   )
 }

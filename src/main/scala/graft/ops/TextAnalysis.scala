@@ -1933,6 +1933,147 @@ object TextAnalysis {
         sum(fp)::BIGINT fp_sum, min(fp) fp_min, max(fp) fp_max
       FROM sel GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---------- hashed linear quality classifier ----------
+  /** fastText-style linear classifier scoring via the hashing trick: each
+    * token hashes into one of 4096 feature buckets (md5-derived so the
+    * oracle reproduces it bit-for-bit — [[qSampleHash]] discipline) and
+    * each bucket carries a fixed integer weight in [-50, 50]; a
+    * document's raw score is the BIGINT sum of its tokens' weights —
+    * associative and exact, so no fold-order hazard. The normalized
+    * margin is emitted ×10⁴ via INTEGER division (both engines truncate
+    * toward zero) and the keep decision compares the integer raw score
+    * to zero — the whole result is exact; no double ever reaches the
+    * output. (A sigmoid-probability form was tried first and REJECTED
+    * by the boundary audit: on this very corpus one document's
+    * `round(1/(1+exp(...)), 6)` landed within 2e-16 of a rounding
+    * boundary — it hash-matched DuckDB only because both libm `exp`s
+    * agreed to the last ulp that day. The audit exists to refuse that
+    * bet; a real pipeline thresholds on the monotone margin anyway.)
+    *
+    * This is the scoring pass of every learned quality filter (fastText
+    * langid, DCLM-style classifiers): the model needs NO vocabulary
+    * broadcast — the hashing trick makes the feature map a pure
+    * function — so the query is a single scan with zero exchanges
+    * before the output sort. Weights here are a deterministic function
+    * of the bucket id (a real model would broadcast a 4096-float
+    * array; the PLAN is identical).
+    */
+  def qQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    Tables.documents(spark, dir)
+      .withColumn("n_words", size(words))
+      .withColumn("raw_score", aggregate(
+        transform(words, w =>
+          pmod(conv(substring(md5(w), 1, 6), 16, 10).cast("long"),
+            lit(4096L)) % 101 - 50),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("margin_e4",
+        expr("raw_score * 10000 DIV (n_words * 50)"))
+      .select(col("doc_id"), col("n_words"), col("raw_score"),
+        col("margin_e4"),
+        (col("raw_score") > 0).cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qQualityClassifierOracle: String =
+    """WITH s AS (SELECT doc_id,
+        len(string_split(text, ' ')) AS n_words,
+        list_sum(list_transform(string_split(text, ' '), w ->
+          ('0x' || substr(md5(w), 1, 6))::BIGINT % 4096 % 101 - 50
+        ))::BIGINT AS raw_score
+      FROM documents)
+      SELECT doc_id, n_words, raw_score,
+        raw_score * 10000 // (n_words * 50) AS margin_e4,
+        (raw_score > 0)::INT AS keep
+      FROM s ORDER BY doc_id"""
+
+  // ---------- curation funnel report ----------
+  /** Stage-by-stage curation funnel — the observability report every
+    * production corpus build ships with: how many documents each
+    * cumulative filter stage admits, so a regression in one stage's
+    * drop rate is visible before training. Five stages, each the cheap
+    * form of an operator this library implements in full elsewhere:
+    * language allowlist ([[qTextLangid]]), length window, repetition
+    * filter (distinct-word ratio, [[qQualityGopher]]'s last clause),
+    * head-prefix exact dedup (md5 of the first 8 words — the
+    * [[graft.ops.Dedup]] family's cheapest key), and benchmark
+    * decontamination ([[qDecontaminate]]'s phrase list).
+    *
+    * Shape: per-doc stage flags are scan-side; the dedup stage's
+    * keep-lowest-doc_id rule is a `min() OVER (PARTITION BY prefix
+    * hash)` — hash-partitioned, the one exchange, and exactly the
+    * shuffle an exact dedup pays; the funnel itself is a single-row
+    * conditional aggregate exploded into one row per stage. Drop
+    * percentages are ×100 integer (exact).
+    */
+  def qCurateFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val d = Tables.documents(spark, dir)
+      .withColumn("n_words", size(words))
+      .withColumn("n_distinct", size(array_distinct(words)))
+      .withColumn("p1", col("lang").isin("en", "de", "fr", "es"))
+      .withColumn("p2", col("n_words").between(20, 80))
+      .withColumn("p3", col("n_distinct") * 2 > col("n_words"))
+      .withColumn("h8", md5(concat_ws(" ", slice(words, 1, 8))))
+      .withColumn("p5", !contaminationPhrases
+        .map(p => col("text").contains(p)).reduce(_ || _))
+    val w = Window.partitionBy(col("h8"))
+    val flagged = d
+      .withColumn("mn", min(when(col("p1") && col("p2") && col("p3"),
+        col("doc_id"))).over(w))
+      .withColumn("s1", col("p1"))
+      .withColumn("s2", col("p1") && col("p2"))
+      .withColumn("s3", col("p1") && col("p2") && col("p3"))
+      .withColumn("s4", col("s3") && col("doc_id") === col("mn"))
+      .withColumn("s5", col("s4") && col("p5"))
+    def cnt(c: String) = sum(when(col(c), 1L).otherwise(0L)).as(c)
+    val agg = flagged.agg(count(lit(1)).as("s0"),
+      cnt("s1"), cnt("s2"), cnt("s3"), cnt("s4"), cnt("s5"))
+    val stages = Seq("lang_allowlist", "length_window", "repetition",
+      "exact_dedup", "decontaminate")
+    agg.select(explode(array(stages.zipWithIndex.map { case (nm, i) =>
+        struct(lit(i + 1).as("stage_no"), lit(nm).as("stage"),
+          col(s"s$i").as("n_in"), col(s"s${i + 1}").as("n_out"))
+      }: _*)).as("st"))
+      .select(col("st.stage_no").as("stage_no"), col("st.stage").as("stage"),
+        col("st.n_in").as("n_in"), col("st.n_out").as("n_out"),
+        expr("(st.n_in - st.n_out) * 100 DIV st.n_in").as("drop_pct_x100"))
+      .orderBy(col("stage_no"))
+  }
+
+  val qCurateFunnelOracle: String =
+    """WITH d AS (SELECT doc_id, text, lang,
+        string_split(text, ' ') ws FROM documents),
+      f AS (SELECT doc_id,
+        lang IN ('en','de','fr','es') p1,
+        len(ws) BETWEEN 20 AND 80 p2,
+        len(list_distinct(ws)) * 2 > len(ws) p3,
+        md5(array_to_string(ws[1:8], ' ')) h8,
+        NOT (text LIKE '%key agg row scan%' OR text LIKE '%order data column%'
+          OR text LIKE '%slow filter value%' OR text LIKE '%hash table join%'
+          OR text LIKE '%window spark batch%') p5
+      FROM d),
+      g AS (SELECT *, min(CASE WHEN p1 AND p2 AND p3 THEN doc_id END)
+          OVER (PARTITION BY h8) mn FROM f),
+      a AS (SELECT count(*)::BIGINT s0,
+        sum(CASE WHEN p1 THEN 1 ELSE 0 END)::BIGINT s1,
+        sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END)::BIGINT s2,
+        sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END)::BIGINT s3,
+        sum(CASE WHEN p1 AND p2 AND p3 AND doc_id = mn
+          THEN 1 ELSE 0 END)::BIGINT s4,
+        sum(CASE WHEN p1 AND p2 AND p3 AND doc_id = mn AND p5
+          THEN 1 ELSE 0 END)::BIGINT s5
+      FROM g),
+      st AS (
+        SELECT 1 stage_no, 'lang_allowlist' stage, s0 n_in, s1 n_out FROM a
+        UNION ALL SELECT 2, 'length_window', s1, s2 FROM a
+        UNION ALL SELECT 3, 'repetition', s2, s3 FROM a
+        UNION ALL SELECT 4, 'exact_dedup', s3, s4 FROM a
+        UNION ALL SELECT 5, 'decontaminate', s4, s5 FROM a)
+      SELECT stage_no, stage, n_in, n_out,
+        (n_in - n_out) * 100 // n_in AS drop_pct_x100
+      FROM st ORDER BY stage_no"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
@@ -1955,6 +2096,8 @@ object TextAnalysis {
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_weighted" -> (qSampleWeighted _),
     "q_quality_gopher" -> (qQualityGopher _),
+    "q_quality_classifier" -> (qQualityClassifier _),
+    "q_curate_funnel" -> (qCurateFunnel _),
     "q_mix_temperature" -> (qMixTemperature _),
     "q_split_train_val_test" -> (qSplitTrainValTest _),
     "q_shuffle_deterministic" -> (qShuffleDeterministic _),
@@ -1997,6 +2140,8 @@ object TextAnalysis {
     "q_sample_stratified" -> qSampleStratifiedOracle,
     "q_sample_weighted" -> qSampleWeightedOracle,
     "q_quality_gopher" -> qQualityGopherOracle,
+    "q_quality_classifier" -> qQualityClassifierOracle,
+    "q_curate_funnel" -> qCurateFunnelOracle,
     "q_mix_temperature" -> qMixTemperatureOracle,
     "q_split_train_val_test" -> qSplitTrainValTestOracle,
     "q_shuffle_deterministic" -> qShuffleDeterministicOracle,

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Semantics + rounding-boundary audits for the round-9 monitoring and
+  * curation operators: PSI drift, shuffle-key skew diagnostic, hashed
+  * linear quality classifier, and the curation funnel report.
+  *
+  * The value-level gate is the DuckDB oracle; these pin the invariants
+  * that make an oracle pass meaningful (PSI non-negativity, funnel
+  * monotonicity, classifier recompute) and the determinism argument
+  * (every emitted rounded double sits far from its rounding boundary).
+  */
+class DriftSkewFunnelSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf001 = "/root/testdata/sf0.01"
+  private val dirs =
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+  test("stats_drift: bins partition the corpus, every PSI contribution " +
+    "is non-negative and finite, and rounded values are boundary-safe") {
+    for (dir <- dirs) {
+      val rows = EventOps.qStatsDrift(spark, dir).collect()
+      assert(rows.nonEmpty && rows.length <= 10, s"$dir: ${rows.length} bins")
+      val total = Tables.events(spark, dir).count()
+      assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == total,
+        s"$dir: bin counts do not partition the $total events")
+      rows.foreach { r =>
+        val psi = r.getDouble(3)
+        // (p-q) and ln(p/q) always share a sign, so each term is >= 0
+        assert(psi >= 0.0 && !psi.isNaN && !psi.isInfinite,
+          s"$dir bin ${r.getInt(0)}: psi $psi")
+        // rounding-boundary distance of the pre-rounded value at 6 dp
+        val scaled = psi * 1e6
+        assert(math.abs(scaled - math.rint(scaled)) < 0.499,
+          s"$dir bin ${r.getInt(0)}: psi $psi sits on a rounding boundary")
+      }
+    }
+  }
+
+  test("skew_diagnose: profiles both candidate keys in one pass with " +
+    "exact integer metrics") {
+    val rows = EventOps.qSkewDiagnose(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.map(_._1).toSeq == Seq("event_type", "user_id"))
+    val total = Tables.events(spark, sf001).count()
+    rows.foreach { case (name, nKeys, nRows, maxCnt, avgX100, skewX100, salt) =>
+      assert(nRows == total, s"$name: profiled $nRows of $total rows")
+      assert(maxCnt * 100 >= avgX100, s"$name: max below average")
+      assert(avgX100 == nRows * 100 / nKeys)
+      assert(skewX100 == maxCnt * 100 * nKeys / nRows)
+      assert(salt == (maxCnt * nKeys + nRows - 1) / nRows && salt >= 1)
+    }
+  }
+
+  test("quality_classifier: raw score recomputes from md5 hashing " +
+    "per-token; margin is exact truncating integer division; keep is " +
+    "the integer sign") {
+    val rows = TextAnalysis.qQualityClassifier(spark, sf001).collect()
+    val docs = Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.size)
+    def weight(w: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 6), 16) % 4096 % 101 - 50
+    }
+    var signs = Set.empty[Boolean]
+    rows.foreach { r =>
+      val (id, nWords, raw, margin, keep) = (r.getLong(0), r.getInt(1),
+        r.getLong(2), r.getLong(3), r.getInt(4))
+      val toks = docs(id).split(" ", -1)
+      assert(toks.length == nWords)
+      assert(toks.map(weight).sum == raw, s"doc $id: raw score mismatch")
+      // Spark DIV and DuckDB // both truncate toward zero, like Java /
+      assert(margin == raw * 10000 / (nWords * 50L),
+        s"doc $id: margin mismatch")
+      assert(keep == (if (raw > 0) 1 else 0))
+      signs += raw > 0
+    }
+    // the classifier separates: both classes occur on this corpus
+    assert(signs == Set(true, false))
+  }
+
+  test("curate_funnel: stages chain (n_out becomes the next n_in), " +
+    "counts are monotone, and the head stages really drop documents") {
+    for (dir <- dirs) {
+      val rows = TextAnalysis.qCurateFunnel(spark, dir).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+      assert(rows.map(_._1).toSeq == (1 to 5))
+      assert(rows.head._3 == Tables.documents(spark, dir).count())
+      rows.foreach { case (no, stage, nIn, nOut, dropX100) =>
+        assert(nOut <= nIn, s"$dir $stage: grew")
+        assert(dropX100 == (nIn - nOut) * 100 / nIn)
+      }
+      rows.sliding(2).foreach {
+        case Array((_, _, _, prevOut, _), (_, stage, nIn, _, _)) =>
+          assert(nIn == prevOut, s"$dir: chain broken at $stage")
+        case _ => ()
+      }
+      // the allowlist and length window are never vacuous on this corpus
+      assert(rows(0)._4 < rows(0)._3, s"$dir: lang stage dropped nothing")
+      assert(rows(1)._4 < rows(1)._3, s"$dir: length stage dropped nothing")
+    }
+  }
+}
