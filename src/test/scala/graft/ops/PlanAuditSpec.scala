@@ -500,6 +500,49 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("q_stats_drift: the totals side reuses the binned aggregate's " +
+    "exchange — one events scan at runtime, no global window") {
+    val df = graft.SparkEntry.queries("q_stats_drift")(spark, dir)
+    assert(df.collect().nonEmpty)
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"binned aggregate must be shuffled once and reused:\n$p")
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("events")) == 1,
+      s"events must be scanned once:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q_skew_diagnose: candidate keys profiled in ONE events pass — " +
+    "scan-side explode below the per-key exchange, two combine-fed aggs") {
+    val p = plan("q_skew_diagnose")
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("events")) == 1,
+      s"events must be scanned once:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
+      s"expected the per-key and per-candidate exchanges only:\n$p")
+    assert(p.contains("Generate explode"), s"key fan-out must be scan-side:\n$p")
+  }
+
+  test("q_quality_classifier: pure scan-side scoring — zero hash " +
+    "exchanges before the output ordering") {
+    val p = plan("q_quality_classifier")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"classifier scoring must not shuffle:\n$p")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p)
+  }
+
+  test("q_curate_funnel: one hash exchange (the dedup window's prefix-" +
+    "hash partition); the window is never global") {
+    val p = plan("q_curate_funnel")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"only the h8 window exchange is allowed:\n$p")
+    assert(p.contains("windowspecdefinition(h8"),
+      s"dedup keep-rule must partition by the prefix hash:\n$p")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p)
+  }
+
   test("q09: part filter prunes the fact via broadcast; one fact-fact join " +
     "on orderkey; single aggregation pass") {
     val p = plan("q09_product_profit")
