@@ -132,13 +132,21 @@ object GraphOps {
   /** The 15-core of the part co-purchase graph: the maximal subgraph in
     * which every node has degree ≥ 15 — the standard "dense cohesive
     * region" extractor (and the workhorse behind graph-based spam/
-    * community detection). Computed by distributed peeling: each round
-    * drops every node whose degree in the CURRENT induced subgraph is
-    * < k, until a fixpoint; each round is one join (edges ⋉ surviving
-    * nodes, both ends) + one degree aggregation — no driver-side graph,
-    * only the surviving-node set iterates, localCheckpoint'd per round
-    * with the previous round's blocks released
-    * ([[Dedup.releaseCheckpoint]] discipline).
+    * community detection). Computed by distributed peeling: drop every
+    * node whose degree in the CURRENT induced subgraph is < k, until a
+    * fixpoint — no driver-side graph, only the surviving-node set
+    * iterates, localCheckpoint'd with the previous round's blocks
+    * released ([[Dedup.releaseCheckpoint]] discipline).
+    *
+    * Round structure was MEASURED, not assumed: composing two peels per
+    * materialized round (legal — the k-core is the unique maximal
+    * fixpoint and peeling is monotone shrinking, so peel²'s fixpoint is
+    * peel's) was tried and made things WORSE (2.1 s → 3.2 s at sf0.1):
+    * each peel re-joins the full checkpointed edge list, so doubling
+    * plan depth per round doubles the real join work per action while
+    * saving only ~0.1 s of action latency. The per-round cost here is
+    * edge-join data flow, not driver round-trips; single peel per
+    * checkpoint is the right shape.
     *
     * The fixpoint is unique (the k-core is well-defined), so the oracle
     * reproduces it exactly by unrolling the same peel a fixed
@@ -168,21 +176,21 @@ object GraphOps {
     val deg0 = e.select(explode(array(col("pa"), col("pb"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("deg0"))
 
+    def peel(s: DataFrame): DataFrame = e
+      .join(s.toDF("pa"), "pa")
+      .join(s.toDF("pb"), "pb")
+      .select(explode(array(col("pa"), col("pb"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .filter(col("d") >= CoreK)
+      .select(col("n"))
+
     var alive = deg0.filter(col("deg0") >= CoreK)
       .select(col("n")).localCheckpoint()
     var aliveCount = alive.count()
-    var rounds = 0
+    var rounds = 0 // counted in SINGLE peels, to match the oracle's unroll
     var converged = false
     while (!converged && rounds < CorePeelRounds) {
-      val induced = e
-        .join(alive.toDF("pa"), "pa")
-        .join(alive.toDF("pb"), "pb")
-      val next = induced
-        .select(explode(array(col("pa"), col("pb"))).as("n"))
-        .groupBy(col("n")).agg(count(lit(1)).as("d"))
-        .filter(col("d") >= CoreK)
-        .select(col("n"))
-        .localCheckpoint()
+      val next = peel(alive).localCheckpoint()
       val nextCount = next.count()
       converged = nextCount == aliveCount
       Dedup.releaseCheckpoint(alive)

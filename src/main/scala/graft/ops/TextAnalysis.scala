@@ -1987,6 +1987,109 @@ object TextAnalysis {
         (raw_score > 0)::INT AS keep
       FROM s ORDER BY doc_id"""
 
+  // ---------- BPE merge training (iterative) ----------
+  /** Distributed byte-pair-encoding TRAINING — the merge-learning loop
+    * behind every BPE/SentencePiece tokenizer, run the way production
+    * trainers actually run it: the corpus is touched ONCE to build the
+    * (word, freq) table, and all iteration happens on that aggregate,
+    * whose size is the VOCABULARY (Heaps-law sublinear in corpus size),
+    * not the corpus. Each of the [[BpeMerges]] rounds: (1) per-word
+    * adjacent symbol pairs explode scan-side weighted by word frequency
+    * and reduce in one vocabulary-sized combine-fed exchange; (2) the
+    * argmax pair (count desc, then lexicographic — fully deterministic)
+    * comes to the driver as ONE row (fixed-size model state, the
+    * [[graft.ops.Similarity]] kmeans/PQ discipline); (3) the merge is
+    * applied to every word's symbol array with a greedy left-to-right
+    * `aggregate` fold (non-overlapping, the standard BPE application
+    * order), and the tiny vocab state is localCheckpoint'd so plans
+    * stay bounded across rounds ([[graft.ops.Dedup.releaseCheckpoint]]
+    * discipline).
+    *
+    * Emits the learned merge table (step, pa, pb, weighted count) — the
+    * tokenizer model itself. The oracle replays all rounds exactly:
+    * per-round CTEs unrolled ([[graft.ops.GraphOps]] k-core style) with
+    * the same fold via `list_reduce` and the same tie-break, so a hash
+    * match proves the full iterative trajectory, not just the last
+    * state. Complements [[qBpePairs]] (single-round pair statistics).
+    */
+  val BpeMerges = 8
+
+  def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab0 = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(split(col("w"), "").as("syms"), col("freq"))
+      .localCheckpoint()
+
+    var vocab = vocab0
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (step <- 1 to BpeMerges) {
+      val best = vocab
+        // slice-based adjacency (NOT sequence(1, n-1): Spark's sequence
+        // DESCENDS when start > stop, so 1-symbol words would index out
+        // of bounds instead of yielding zero pairs)
+        .select(col("freq"), explode(expr(
+          "zip_with(slice(syms, 1, size(syms) - 1), " +
+            "slice(syms, 2, size(syms) - 1), " +
+            "(a, b) -> struct(a AS pa, b AS pb))")).as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pa"), col("pb"))
+        .limit(1).collect()
+      require(best.nonEmpty, s"bpe_train: no pairs left at step $step")
+      val (pa, pb, cnt) =
+        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      // symbols come from corpus tokens: require them SQL-literal-safe
+      // rather than escaping silently (the corpus alphabet is alnum)
+      require(!pa.contains("'") && !pb.contains("'"),
+        s"bpe_train: symbol needs escaping: '$pa' '$pb'")
+      merges += ((step, pa, pb, cnt))
+      val next = vocab.select(expr(
+        s"""aggregate(syms, CAST(array() AS array<string>),
+            (acc, s) -> CASE WHEN size(acc) > 0
+                AND element_at(acc, -1) = '$pa' AND s = '$pb'
+              THEN concat(slice(acc, 1, size(acc) - 1),
+                array(element_at(acc, -1) || s))
+              ELSE concat(acc, array(s)) END)""").as("syms"),
+        col("freq")).localCheckpoint()
+      if (vocab ne vocab0) graft.ops.Dedup.releaseCheckpoint(vocab)
+      vocab = next
+    }
+    if (vocab ne vocab0) graft.ops.Dedup.releaseCheckpoint(vocab)
+    graft.ops.Dedup.releaseCheckpoint(vocab0)
+    merges.result().toDF("step", "pa", "pb", "cnt")
+      .orderBy(col("step"))
+  }
+
+  val qBpeTrainOracle: String = {
+    val rounds = (1 to BpeMerges).map { i =>
+      s"""p$i AS (SELECT pr.pa, pr.pb, sum(freq)::BIGINT cnt
+           FROM (SELECT freq, unnest(list_transform(
+               range(1, len(syms)), j ->
+                 {'pa': syms[j], 'pb': syms[j + 1]})) pr
+             FROM v${i - 1}) GROUP BY pr.pa, pr.pb),
+         b$i AS (SELECT $i::INT AS step, pa, pb, cnt FROM p$i
+           ORDER BY cnt DESC, pa, pb LIMIT 1),
+         v$i AS MATERIALIZED (SELECT list_reduce(
+             list_transform(syms, s -> [s]),
+             (acc, x) -> CASE WHEN acc[-1] = b$i.pa AND x[1] = b$i.pb
+               THEN acc[1:len(acc)-1] || [acc[-1] || x[1]]
+               ELSE acc || x END) AS syms, freq
+           FROM v${i - 1}, b$i)"""
+    }.mkString(",\n      ")
+    s"""WITH v0 AS MATERIALIZED (
+        SELECT list_transform(range(1, length(w) + 1), i -> w[i]) AS syms,
+          count(*)::BIGINT freq
+        FROM (SELECT unnest(string_split(text, ' ')) w FROM documents)
+        WHERE length(w) > 0 GROUP BY w),
+      $rounds
+      ${(1 to BpeMerges).map(i => s"SELECT * FROM b$i")
+        .mkString("", " UNION ALL ", "")}
+      ORDER BY step"""
+  }
+
   // ---------- curation funnel report ----------
   /** Stage-by-stage curation funnel — the observability report every
     * production corpus build ships with: how many documents each
@@ -2098,6 +2201,7 @@ object TextAnalysis {
     "q_quality_gopher" -> (qQualityGopher _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_curate_funnel" -> (qCurateFunnel _),
+    "q_bpe_train" -> (qBpeTrain _),
     "q_mix_temperature" -> (qMixTemperature _),
     "q_split_train_val_test" -> (qSplitTrainValTest _),
     "q_shuffle_deterministic" -> (qShuffleDeterministic _),
@@ -2142,6 +2246,7 @@ object TextAnalysis {
     "q_quality_gopher" -> qQualityGopherOracle,
     "q_quality_classifier" -> qQualityClassifierOracle,
     "q_curate_funnel" -> qCurateFunnelOracle,
+    "q_bpe_train" -> qBpeTrainOracle,
     "q_mix_temperature" -> qMixTemperatureOracle,
     "q_split_train_val_test" -> qSplitTrainValTestOracle,
     "q_shuffle_deterministic" -> qShuffleDeterministicOracle,

@@ -86,6 +86,45 @@ class DriftSkewFunnelSpec extends AnyFunSuite {
     assert(signs == Set(true, false))
   }
 
+  test("bpe_train: the merge table equals a local replay of the whole " +
+    "greedy trajectory, and the chosen pair count never increases") {
+    val rows = TextAnalysis.qBpeTrain(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.length == TextAnalysis.BpeMerges)
+    // local replay: word freqs -> greedy argmax merge loop
+    var vocab: Map[Vector[String], Long] = Tables.documents(spark, sf001)
+      .selectExpr("explode(split(text, ' ')) AS w").collect()
+      .map(_.getString(0)).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) =>
+        w.split("").toVector -> ws.length.toLong
+      }
+    def applyMerge(syms: Vector[String], pa: String, pb: String) =
+      syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == pa && s == pb)
+          acc.init :+ (acc.last + s)
+        else acc :+ s
+      }
+    val local = (1 to TextAnalysis.BpeMerges).map { step =>
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).filter(_.length == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+        }
+      }
+      val ((pa, pb), cnt) = counts.toSeq
+        .minBy { case ((a, b), c) => (-c, a, b) }
+      vocab = vocab.groupBy { case (syms, _) => applyMerge(syms, pa, pb) }
+        .map { case (s, m) => s -> m.values.sum }
+      (step, pa, pb, cnt)
+    }
+    assert(rows.toSeq == local, s"engine ${rows.toSeq} vs local $local")
+    rows.map(_._4).sliding(2).foreach {
+      case Array(prev, next) => assert(next <= prev,
+        "greedy argmax counts must be non-increasing")
+      case _ => ()
+    }
+  }
+
   test("curate_funnel: stages chain (n_out becomes the next n_in), " +
     "counts are monotone, and the head stages really drop documents") {
     for (dir <- dirs) {
