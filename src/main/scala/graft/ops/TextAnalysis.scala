@@ -2014,13 +2014,27 @@ object TextAnalysis {
     */
   val BpeMerges = 8
 
-  def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** The learned model: merge table + final per-word symbol state (word
+    * retained so application can join on it).
+    */
+  private[ops] final case class BpeModel(
+      merges: Seq[(Int, String, String, Long)], vocab: DataFrame)
+
+  /** [[qBpeEncode]]'s model cache: SINGLE slot keyed like every session
+    * fixture (session object + dir + content fingerprint), the evicted
+    * model's checkpoint released so stale sessions/data never pin
+    * blocks. [[qBpeTrain]] does NOT read it: training IS that query's
+    * measured work, while for encoding the model is an input artifact
+    * (the `q_ann_refresh` index-state discipline).
+    */
+  private var bpeModelSlot: (String, BpeModel) = null
+
+  private[ops] def bpeTrainState(spark: SparkSession, dir: String): BpeModel = {
     val vocab0 = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(split(col("w"), "").as("syms"), col("freq"))
+      .select(col("w"), split(col("w"), "").as("syms"), col("freq"))
       .localCheckpoint()
 
     var vocab = vocab0
@@ -2046,7 +2060,7 @@ object TextAnalysis {
       require(!pa.contains("'") && !pb.contains("'"),
         s"bpe_train: symbol needs escaping: '$pa' '$pb'")
       merges += ((step, pa, pb, cnt))
-      val next = vocab.select(expr(
+      val next = vocab.select(col("w"), expr(
         s"""aggregate(syms, CAST(array() AS array<string>),
             (acc, s) -> CASE WHEN size(acc) > 0
                 AND element_at(acc, -1) = '$pa' AND s = '$pb'
@@ -2057,13 +2071,66 @@ object TextAnalysis {
       if (vocab ne vocab0) graft.ops.Dedup.releaseCheckpoint(vocab)
       vocab = next
     }
-    if (vocab ne vocab0) graft.ops.Dedup.releaseCheckpoint(vocab)
     graft.ops.Dedup.releaseCheckpoint(vocab0)
-    merges.result().toDF("step", "pa", "pb", "cnt")
-      .orderBy(col("step"))
+    BpeModel(merges.result(), vocab) // final state stays checkpointed
   }
 
-  val qBpeTrainOracle: String = {
+  def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val model = bpeTrainState(spark, dir)
+    graft.ops.Dedup.releaseCheckpoint(model.vocab)
+    model.merges.toDF("step", "pa", "pb", "cnt").orderBy(col("step"))
+  }
+
+  // ---------- BPE application (encode with the learned model) ----------
+  /** Tokenization with the trained BPE model, done the way it scales:
+    * the merge loop's FINAL per-word symbol state is the tokenizer —
+    * each vocabulary word already carries its token count — so encoding
+    * the corpus is a scan-side explode of words, a BROADCAST join
+    * against the vocabulary-sized model table, and one per-doc
+    * combine-fed aggregate. No per-occurrence merge replay: the fold
+    * runs once per DISTINCT word at training time, not once per corpus
+    * token (on 100 TB the ratio between those is the whole game).
+    * Emits per-doc char/token counts and the ×100 integer compression
+    * ratio — the "tokens per document" accounting a training pipeline
+    * feeds its batch planner ([[qPackSequences]]).
+    *
+    * The model is a session fixture (built once per (session, dir,
+    * content), the index-state discipline of `q_ann_refresh`): this
+    * query times APPLICATION; [[qBpeTrain]] times training.
+    */
+  def qBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val k = SessionFixtures.key(spark, dir)
+    val model = synchronized {
+      if (bpeModelSlot != null && bpeModelSlot._1 == k) bpeModelSlot._2
+      else {
+        if (bpeModelSlot != null)
+          graft.ops.Dedup.releaseCheckpoint(bpeModelSlot._2.vocab)
+        val m = bpeTrainState(spark, dir)
+        bpeModelSlot = (k, m)
+        m
+      }
+    }
+    val tok = model.vocab
+      .select(col("w"), size(col("syms")).as("n_tok"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(tok), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).as("n_chars"),
+        sum(col("n_tok")).as("n_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_tokens"),
+        expr("n_chars * 100 DIV n_tokens").as("ratio_x100"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The shared unrolled replay (v0..vN, p_i, b_i) both BPE oracles
+    * build on; the word column rides through so the final state can be
+    * joined back to the corpus.
+    */
+  private def bpeOracleCtes: String = {
     val rounds = (1 to BpeMerges).map { i =>
       s"""p$i AS (SELECT pr.pa, pr.pb, sum(freq)::BIGINT cnt
            FROM (SELECT freq, unnest(list_transform(
@@ -2072,7 +2139,7 @@ object TextAnalysis {
              FROM v${i - 1}) GROUP BY pr.pa, pr.pb),
          b$i AS (SELECT $i::INT AS step, pa, pb, cnt FROM p$i
            ORDER BY cnt DESC, pa, pb LIMIT 1),
-         v$i AS MATERIALIZED (SELECT list_reduce(
+         v$i AS MATERIALIZED (SELECT w, list_reduce(
              list_transform(syms, s -> [s]),
              (acc, x) -> CASE WHEN acc[-1] = b$i.pa AND x[1] = b$i.pb
                THEN acc[1:len(acc)-1] || [acc[-1] || x[1]]
@@ -2080,15 +2147,29 @@ object TextAnalysis {
            FROM v${i - 1}, b$i)"""
     }.mkString(",\n      ")
     s"""WITH v0 AS MATERIALIZED (
-        SELECT list_transform(range(1, length(w) + 1), i -> w[i]) AS syms,
+        SELECT w, list_transform(range(1, length(w) + 1), i -> w[i]) AS syms,
           count(*)::BIGINT freq
         FROM (SELECT unnest(string_split(text, ' ')) w FROM documents)
         WHERE length(w) > 0 GROUP BY w),
-      $rounds
+      $rounds"""
+  }
+
+  val qBpeTrainOracle: String =
+    s"""$bpeOracleCtes
       ${(1 to BpeMerges).map(i => s"SELECT * FROM b$i")
         .mkString("", " UNION ALL ", "")}
       ORDER BY step"""
-  }
+
+  val qBpeEncodeOracle: String =
+    s"""$bpeOracleCtes,
+      tok AS (SELECT w, len(syms)::BIGINT n_tok FROM v$BpeMerges),
+      d AS (SELECT doc_id, unnest(string_split(text, ' ')) w
+        FROM documents)
+      SELECT doc_id, count(*)::BIGINT n_words,
+        sum(length(w))::BIGINT n_chars, sum(n_tok)::BIGINT n_tokens,
+        sum(length(w)) * 100 // sum(n_tok) AS ratio_x100
+      FROM d JOIN tok USING (w)
+      GROUP BY doc_id ORDER BY doc_id"""
 
   // ---------- curation funnel report ----------
   /** Stage-by-stage curation funnel — the observability report every
@@ -2202,6 +2283,7 @@ object TextAnalysis {
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_curate_funnel" -> (qCurateFunnel _),
     "q_bpe_train" -> (qBpeTrain _),
+    "q_bpe_encode" -> (qBpeEncode _),
     "q_mix_temperature" -> (qMixTemperature _),
     "q_split_train_val_test" -> (qSplitTrainValTest _),
     "q_shuffle_deterministic" -> (qShuffleDeterministic _),
@@ -2247,6 +2329,7 @@ object TextAnalysis {
     "q_quality_classifier" -> qQualityClassifierOracle,
     "q_curate_funnel" -> qCurateFunnelOracle,
     "q_bpe_train" -> qBpeTrainOracle,
+    "q_bpe_encode" -> qBpeEncodeOracle,
     "q_mix_temperature" -> qMixTemperatureOracle,
     "q_split_train_val_test" -> qSplitTrainValTestOracle,
     "q_shuffle_deterministic" -> qShuffleDeterministicOracle,

@@ -125,6 +125,50 @@ class DriftSkewFunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe_encode: per-doc token counts equal the local model applied " +
+    "to every word; merging always compresses") {
+    val rows = TextAnalysis.qBpeEncode(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // local model: replay training to the final per-word token count
+    var vocab: Map[Vector[String], Long] = Tables.documents(spark, sf001)
+      .selectExpr("explode(split(text, ' ')) AS w").collect()
+      .map(_.getString(0)).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) =>
+        w.split("").toVector -> ws.length.toLong
+      }
+    def applyMerge(syms: Vector[String], pa: String, pb: String) =
+      syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == pa && s == pb)
+          acc.init :+ (acc.last + s)
+        else acc :+ s
+      }
+    (1 to TextAnalysis.BpeMerges).foreach { _ =>
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).filter(_.length == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+        }
+      }
+      val ((pa, pb), _) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      vocab = vocab.groupBy { case (syms, _) => applyMerge(syms, pa, pb) }
+        .map { case (s, m) => s -> m.values.sum }
+    }
+    val tok = vocab.keys.map(syms => syms.mkString -> syms.length.toLong).toMap
+    val docs = Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.size)
+    rows.foreach { case (id, nWords, nChars, nTokens, ratio) =>
+      val ws = docs(id).split(" ", -1).filter(_.nonEmpty)
+      assert(nWords == ws.length)
+      assert(nChars == ws.map(_.length.toLong).sum)
+      assert(nTokens == ws.map(tok).sum, s"doc $id token count")
+      assert(nTokens <= nChars && nTokens >= nWords)
+      assert(ratio == nChars * 100 / nTokens && ratio >= 100)
+    }
+  }
+
   test("curate_funnel: stages chain (n_out becomes the next n_in), " +
     "counts are monotone, and the head stages really drop documents") {
     for (dir <- dirs) {
