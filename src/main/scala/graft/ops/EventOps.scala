@@ -1092,14 +1092,25 @@ object EventOps {
     * scan — ReuseExchange collapses the shared subtree) and cross in as
     * a broadcast single row.
     */
-  def qStatsDrift(spark: SparkSession, dir: String): DataFrame = {
-    val cutoff = lit("2024-01-16").cast("timestamp")
-    val binned = Tables.events(spark, dir)
-      .withColumn("bin", least(floor(col("value") / 20).cast("int"), lit(9)))
+  private val DriftCutoff = "2024-01-16"
+
+  /** The conditional per-bin counting shared by the batch and streaming
+    * drift monitors.
+    */
+  private def driftBinAgg(ev: DataFrame): DataFrame =
+    ev.withColumn("bin", least(floor(col("value") / 20).cast("int"), lit(9)))
       .groupBy(col("bin"))
       .agg(
-        sum(when(col("ts") < cutoff, 1L).otherwise(0L)).as("n_ref"),
-        sum(when(col("ts") >= cutoff, 1L).otherwise(0L)).as("n_cur"))
+        sum(when(col("ts") < lit(DriftCutoff).cast("timestamp"), 1L)
+          .otherwise(0L)).as("n_ref"),
+        sum(when(col("ts") >= lit(DriftCutoff).cast("timestamp"), 1L)
+          .otherwise(0L)).as("n_cur"))
+
+  /** PSI arithmetic over the (≤10-row) binned aggregate — totals
+    * re-aggregated from those rows and crossed in as a broadcast single
+    * row, never a second corpus scan.
+    */
+  private def driftFinish(binned: DataFrame): DataFrame = {
     val totals = binned.agg(
       sum(col("n_ref")).as("tot_ref"), sum(col("n_cur")).as("tot_cur"))
     // p = (n_ref+1)/(tot_ref+10), q = (n_cur+1)/(tot_cur+10);
@@ -1113,6 +1124,40 @@ object EventOps {
           log(col("num").cast("double") / col("den").cast("double")), 6))
       .select(col("bin"), col("n_ref"), col("n_cur"), col("psi"))
       .orderBy(col("bin"))
+  }
+
+  def qStatsDrift(spark: SparkSession, dir: String): DataFrame =
+    driftFinish(driftBinAgg(Tables.events(spark, dir)))
+
+  // ---------- Structured Streaming: the drift monitor on ingest ----------
+  /** The same PSI monitor run where a production pipeline actually runs
+    * it: ON THE INGEST STREAM — per-bin conditional counts accumulate in
+    * a complete-mode streaming aggregate (10 groups of state, constant
+    * regardless of corpus size), and the PSI arithmetic is a batch
+    * post-pass over the 10-row sink table. Shares [[qStatsDrift]]'s
+    * oracle verbatim — the gate proves stream and batch agree
+    * bit-for-bit, the [[qStreamTumbling]] discipline.
+    */
+  def qStreamDrift(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = Tables.table(spark, dir, "events").schema
+    val stream = driftBinAgg(spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", Tables.normalizedTs(rawSchema("ts").dataType)))
+    val name = "graft_stream_drift"
+    val q = startTrimmedStream(spark, Some("8")) {
+      stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    try q.awaitTermination()
+    finally q.stop()
+    driftFinish(spark.table(name))
   }
 
   val qStatsDriftOracle: String =
@@ -1195,6 +1240,7 @@ object EventOps {
     "q_events_streaks" -> (qEventsStreaks _),
     "q_partitioned_layout" -> (qPartitionedLayout _),
     "q_stats_drift" -> (qStatsDrift _),
+    "q_stream_drift" -> (qStreamDrift _),
     "q_skew_diagnose" -> (qSkewDiagnose _),
   )
 
@@ -1221,6 +1267,7 @@ object EventOps {
     "q_events_streaks" -> qEventsStreaksOracle,
     "q_partitioned_layout" -> qPartitionedLayoutOracle,
     "q_stats_drift" -> qStatsDriftOracle,
+    "q_stream_drift" -> qStatsDriftOracle,
     "q_skew_diagnose" -> qSkewDiagnoseOracle,
   )
 }
