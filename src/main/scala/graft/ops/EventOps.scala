@@ -1173,6 +1173,55 @@ object EventOps {
             / ((n_cur + 1) * (tot_ref + 10))), 6) AS psi
       FROM b, t ORDER BY bin"""
 
+  // ---------- trailing moving-average forecast ----------
+  /** Per-channel daily revenue forecasting with a trailing 7-day moving
+    * average — the capacity-planning time series every ingestion
+    * pipeline keeps, and the simplest member of the forecasting family
+    * (a seasonal or Holt variant is the same plan with more window
+    * columns). Everything is EXACT integer cents: the 2-dp `value`
+    * doubles recover exactly via `round(value*100)` (each is within
+    * 1e-10 of an integer, never near a rounding boundary), daily sums
+    * are BIGINT, and the forecast is the truncating integer division of
+    * the trailing window sum — identical on both engines, no float
+    * fold anywhere.
+    *
+    * Scale shape: one combine-fed (type, day) aggregate, then the
+    * window rides the SAME key's sort within event_type partitions —
+    * day-cardinality data, no second corpus pass, no global window
+    * (partitioned by channel, the PlanAudit rule).
+    */
+  def qEventsForecast(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("hist_sum", sum(col("cents")).over(w))
+      .withColumn("hist_n", count(col("cents")).over(w))
+      .filter(col("hist_n") === 7)
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        col("cents").as("actual_cents"),
+        expr("hist_sum DIV 7").as("forecast_cents"),
+        expr("abs(cents - hist_sum DIV 7)").as("abs_err_cents"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val qEventsForecastOracle: String =
+    """WITH d AS (SELECT event_type, ts::DATE AS day,
+        sum(round(value * 100)::BIGINT)::BIGINT AS cents
+        FROM events GROUP BY 1, 2),
+      m AS (SELECT *,
+        sum(cents) OVER (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS hist_sum,
+        count(cents) OVER (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS hist_n
+        FROM d)
+      SELECT event_type, day::VARCHAR AS day, cents AS actual_cents,
+        hist_sum // 7 AS forecast_cents,
+        abs(cents - hist_sum // 7) AS abs_err_cents
+      FROM m WHERE hist_n = 7 ORDER BY event_type, day"""
+
   // ---------- shuffle-key skew diagnostic ----------
   /** Key-skew profiler for candidate shuffle keys — the query you run
     * BEFORE picking a join/groupBy key at 100 TB, where one hot key
@@ -1242,6 +1291,7 @@ object EventOps {
     "q_stats_drift" -> (qStatsDrift _),
     "q_stream_drift" -> (qStreamDrift _),
     "q_skew_diagnose" -> (qSkewDiagnose _),
+    "q_events_forecast" -> (qEventsForecast _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1269,5 +1319,6 @@ object EventOps {
     "q_stats_drift" -> qStatsDriftOracle,
     "q_stream_drift" -> qStatsDriftOracle,
     "q_skew_diagnose" -> qSkewDiagnoseOracle,
+    "q_events_forecast" -> qEventsForecastOracle,
   )
 }

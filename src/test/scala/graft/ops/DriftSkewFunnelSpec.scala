@@ -169,6 +169,27 @@ class DriftSkewFunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("events_forecast: trailing-MA forecast equals a local integer " +
+    "replay; only full-history days are emitted") {
+    val rows = EventOps.qEventsForecast(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, sf001)
+      .selectExpr("event_type", "CAST(to_date(ts) AS STRING) AS day",
+        "CAST(round(value * 100) AS BIGINT) AS cents").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2)).map { case (k, v) => k -> v.map(_._3).sum }
+    val local = daily.keys.groupBy(_._1).toSeq.flatMap { case (tpe, keys) =>
+      val days = keys.map(_._2).toSeq.sorted
+      days.zipWithIndex.collect { case (d, i) if i >= 7 =>
+        val hist = days.slice(i - 7, i).map(x => daily((tpe, x))).sum
+        (tpe, d, daily((tpe, d)), hist / 7, math.abs(daily((tpe, d)) - hist / 7))
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(rows.toSeq == local, s"engine ${rows.length} vs local ${local.length}")
+  }
+
   test("curate_funnel: stages chain (n_out becomes the next n_in), " +
     "counts are monotone, and the head stages really drop documents") {
     for (dir <- dirs) {
