@@ -125,6 +125,87 @@ object GraphOps {
       FROM nt JOIN deg ON deg.n = nt.n
       ORDER BY triangles DESC, part LIMIT 20"""
 
+  // ---------- community detection: synchronous label propagation ----------
+  private val LabelPropRounds = 3
+
+  /** Community detection on the part co-purchase graph by SYNCHRONOUS
+    * label propagation (Raghavan et al. 2007): every node starts as its
+    * own label and each round adopts the most frequent label among its
+    * neighbors, ties broken toward the SMALLEST label. Exactly
+    * [[LabelPropRounds]] rounds, not convergence: synchronous LPA can
+    * oscillate on bipartite-ish structure, so production runs bound the
+    * rounds — and a FIXED count is also what makes the trajectory
+    * reproducible enough to oracle (the DuckDB side unrolls the same
+    * three rounds; the deterministic (count desc, label asc) argmax
+    * makes every intermediate state identical on both engines, so the
+    * hash match proves the full trajectory like `q_bpe_train`).
+    *
+    * Scale shape: same pre-pruned, checkpointed edge list as
+    * [[qGraphTriangles]]/[[qGraphKcore]] (one corpus pass); per round
+    * ONE join of the bidirectional neighbor list against the
+    * node-sized label table, a combine-fed (node, label) count, and a
+    * node-partitioned argmax window — never global. Labels checkpoint
+    * per round, previous blocks released.
+    */
+  def qGraphLabelprop(spark: SparkSession, dir: String): DataFrame = {
+    val small = Tables.part(spark, dir)
+      .where(col("p_size") <= 10)
+      .select(col("p_partkey").as("p"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .join(broadcast(small), "p")
+      .select(col("o"), col("p"))
+      .distinct()
+    val e = li.toDF("o", "pa")
+      .join(li.toDF("o", "pb"), "o")
+      .where(col("pa") < col("pb"))
+      .select(col("pa"), col("pb"))
+      .distinct()
+    val nbrs = e.union(e.select(col("pb"), col("pa"))).toDF("u", "v")
+      .localCheckpoint()
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("c").desc, col("lbl").asc)
+    def round(l: DataFrame): DataFrame = nbrs
+      .join(l.toDF("v", "lbl"), "v")
+      .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("u").as("n"), col("lbl"))
+    var labels = nbrs.select(col("u").as("n")).distinct()
+      .select(col("n"), col("n").as("lbl")).localCheckpoint()
+    for (_ <- 1 to LabelPropRounds) {
+      val next = round(labels).localCheckpoint()
+      Dedup.releaseCheckpoint(labels)
+      labels = next
+    }
+    val out = labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("community"))
+    Dedup.releaseCheckpoint(nbrs)
+    out
+  }
+
+  val qGraphLabelpropOracle: String = {
+    val rounds = (1 to LabelPropRounds).map { i =>
+      s"""v$i AS (SELECT nb.u, l.lbl, count(*) c
+           FROM nb JOIN l${i - 1} l ON l.n = nb.v GROUP BY nb.u, l.lbl),
+         l$i AS MATERIALIZED (SELECT u AS n, lbl FROM (
+           SELECT u, lbl, row_number() OVER (
+             PARTITION BY u ORDER BY c DESC, lbl) rn FROM v$i)
+           WHERE rn = 1)"""
+    }.mkString(",\n      ")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 10)),
+      e AS MATERIALIZED (SELECT DISTINCT a.p pa, b.p pb FROM li a
+        JOIN li b ON a.o = b.o AND a.p < b.p),
+      nb AS MATERIALIZED (SELECT pa u, pb v FROM e
+        UNION ALL SELECT pb, pa FROM e),
+      l0 AS (SELECT DISTINCT u AS n, u AS lbl FROM nb),
+      $rounds
+      SELECT lbl AS community, count(*)::BIGINT n_members
+      FROM l$LabelPropRounds GROUP BY lbl ORDER BY community"""
+  }
+
   // ---------- k-core decomposition (iterative peeling) ----------
   private val CoreK = 15
   private val CorePeelRounds = 16
@@ -314,12 +395,14 @@ object GraphOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_triangles" -> (qGraphTriangles _),
     "q_graph_kcore" -> (qGraphKcore _),
+    "q_graph_labelprop" -> (qGraphLabelprop _),
     "q_market_basket" -> (qMarketBasket _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_graph_triangles" -> qGraphTrianglesOracle,
     "q_graph_kcore" -> qGraphKcoreOracle,
+    "q_graph_labelprop" -> qGraphLabelpropOracle,
     "q_market_basket" -> qMarketBasketOracle,
   )
 }

@@ -190,6 +190,38 @@ class DriftSkewFunnelSpec extends AnyFunSuite {
     assert(rows.toSeq == local, s"engine ${rows.length} vs local ${local.length}")
   }
 
+  test("graph_labelprop: 3-round synchronous LPA equals a local replay " +
+    "with the same min-label tie-break; community sizes partition nodes") {
+    val rows = GraphOps.qGraphLabelprop(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    // rebuild the co-purchase graph locally
+    val small = Tables.part(spark, sf001).where("p_size <= 10")
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val li = Tables.lineitem(spark, sf001)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(t => small(t._2)).distinct.toSeq
+    val edges = li.groupBy(_._1).values.toSeq.flatMap { ps =>
+      val s = ps.map(_._2).distinct.sorted
+      for (a <- s; b <- s if a < b) yield (a, b)
+    }.toSet
+    val nbrs = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2) }
+    var labels: Map[Long, Long] = nbrs.keys.map(n => n -> n).toMap
+    (1 to 3).foreach { _ =>
+      labels = nbrs.map { case (n, vs) =>
+        val counts = vs.map(labels).groupBy(identity)
+          .map { case (l, o) => l -> o.size }
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val local = labels.values.groupBy(identity)
+      .map { case (l, m) => (l, m.size.toLong) }.toSeq.sorted
+    assert(rows.toSeq == local)
+    assert(rows.map(_._2).sum == nbrs.size, "communities must partition nodes")
+  }
+
   test("curate_funnel: stages chain (n_out becomes the next n_in), " +
     "counts are monotone, and the head stages really drop documents") {
     for (dir <- dirs) {
