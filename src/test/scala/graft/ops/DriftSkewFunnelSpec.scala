@@ -222,6 +222,49 @@ class DriftSkewFunnelSpec extends AnyFunSuite {
     assert(rows.map(_._2).sum == nbrs.size, "communities must partition nodes")
   }
 
+  test("embed_whiten: certification flags are 1 with real margin — the " +
+    "local whitened covariance sits orders under the 1e-3 tolerance, " +
+    "and UNwhitened data would fail it") {
+    for (dir <- dirs) {
+      val row = Similarity.qEmbedWhiten(spark, dir).collect().head
+      assert(row.getString(0) == "zca_cholesky" && row.getInt(1) == 8)
+      assert(row.getInt(3) == 1 && row.getInt(4) == 1,
+        s"$dir: certification flags must hold: $row")
+      // local replay: quantize, fit covariance, Cholesky-whiten, measure
+      val xs = Tables.embeddings(spark, dir)
+        .selectExpr("transform(slice(embedding, 1, 8), " +
+          "x -> cast(round(cast(x AS DOUBLE) * 1000) AS BIGINT))")
+        .collect().map(_.getSeq[Long](0).toArray.map(_ / 1000.0))
+      val n = xs.length.toDouble
+      val mean = (0 until 8).map(d => xs.map(_(d)).sum / n).toArray
+      def cov(data: Array[Array[Double]], m: Array[Double]) =
+        Array.tabulate(8, 8)((i, j) =>
+          data.map(v => (v(i) - m(i)) * (v(j) - m(j))).sum / n)
+      val c = cov(xs, mean)
+      val l = Array.ofDim[Double](8, 8)
+      for (i <- 0 until 8; j <- 0 to i) {
+        val s = c(i)(j) - (0 until j).map(k => l(i)(k) * l(j)(k)).sum
+        if (i == j) l(i)(i) = math.sqrt(s + 1e-9) else l(i)(j) = s / l(j)(j)
+      }
+      val w = Array.ofDim[Double](8, 8)
+      for (i <- 0 until 8) {
+        w(i)(i) = 1.0 / l(i)(i)
+        for (j <- 0 until i)
+          w(i)(j) = -(j until i).map(k => l(i)(k) * w(k)(j)).sum / l(i)(i)
+      }
+      val ys = xs.map(v => Array.tabulate(8)(i =>
+        (0 until 8).map(j => w(i)(j) * (v(j) - mean(j))).sum))
+      val cy = cov(ys, new Array[Double](8))
+      val devW = (for (i <- 0 until 8; j <- 0 until 8)
+        yield math.abs(cy(i)(j) - (if (i == j) 1.0 else 0.0))).max
+      assert(devW < 1e-5, s"$dir: whitened dev $devW has no margin")
+      // the tolerance separates: raw (unwhitened) covariance fails it
+      val devRaw = (for (i <- 0 until 8; j <- 0 until 8)
+        yield math.abs(c(i)(j) - (if (i == j) 1.0 else 0.0))).max
+      assert(devRaw > 1e-3, s"$dir: raw dev $devRaw would pass — vacuous")
+    }
+  }
+
   test("curate_funnel: stages chain (n_out becomes the next n_in), " +
     "counts are monotone, and the head stages really drop documents") {
     for (dir <- dirs) {
