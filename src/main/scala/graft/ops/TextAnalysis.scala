@@ -2171,6 +2171,61 @@ object TextAnalysis {
       FROM d JOIN tok USING (w)
       GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---------- dataset profiling report (dataset card) ----------
+  /** One-pass multi-column profiling — the automated "dataset card"
+    * (Deequ-style) every corpus release ships: per column, row count,
+    * null count, exact distinct count, and the modal value with its
+    * frequency. ALL profiled columns ride ONE corpus scan: each row
+    * explodes scan-side into (column, value) pairs — the
+    * [[EventOps.qSkewDiagnose]] fan-out — so profiling k columns costs
+    * one scan + two combine-fed exchanges, not k scans. The modal value
+    * is a deterministic (count desc, value asc) argmax via a
+    * column-partitioned window over the (column, value) aggregate —
+    * value-cardinality data, never the corpus. Low-cardinality derived
+    * columns (the length decile) profile identically to physical ones.
+    */
+  def qStatsProfile(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("len_bucket",
+        concat(lit("b"), least(floor(col("n_chars") / 100), lit(9))))
+    val pairs = d.select(explode(map(
+      lit("lang"), col("lang"),
+      lit("source"), col("source"),
+      lit("len_bucket"), col("len_bucket"))).as(Seq("column", "value")))
+    val counts = pairs
+      .groupBy(col("column"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("column"))
+      .orderBy(col("cnt").desc, col("value").asc)
+    counts
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("column"))
+      .agg(sum(col("cnt")).as("n_rows"),
+        sum(when(col("value").isNull, col("cnt")).otherwise(0L)).as("n_nulls"),
+        count(when(col("value").isNotNull, 1)).as("n_distinct"),
+        max(when(col("rn") === 1, col("value"))).as("top_value"),
+        max(when(col("rn") === 1, col("cnt"))).as("top_count"))
+      .orderBy(col("column"))
+  }
+
+  val qStatsProfileOracle: String =
+    """WITH d AS (SELECT lang, source,
+        'b' || least(floor(n_chars / 100)::INT, 9)::VARCHAR AS len_bucket
+        FROM documents),
+      kv AS (SELECT 'lang' AS col, lang AS value FROM d
+        UNION ALL SELECT 'source', source FROM d
+        UNION ALL SELECT 'len_bucket', len_bucket FROM d),
+      c AS (SELECT col, value, count(*)::BIGINT cnt
+        FROM kv GROUP BY col, value),
+      r AS (SELECT *, row_number() OVER (PARTITION BY col
+          ORDER BY cnt DESC, value ASC) rn FROM c)
+      SELECT col AS "column", sum(cnt)::BIGINT n_rows,
+        sum(CASE WHEN value IS NULL THEN cnt ELSE 0 END)::BIGINT n_nulls,
+        count(CASE WHEN value IS NOT NULL THEN 1 END)::BIGINT n_distinct,
+        max(CASE WHEN rn = 1 THEN value END) top_value,
+        max(CASE WHEN rn = 1 THEN cnt END) top_count
+      FROM r GROUP BY col ORDER BY "column""""
+
   // ---------- curation funnel report ----------
   /** Stage-by-stage curation funnel — the observability report every
     * production corpus build ships with: how many documents each
@@ -2284,6 +2339,7 @@ object TextAnalysis {
     "q_curate_funnel" -> (qCurateFunnel _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_encode" -> (qBpeEncode _),
+    "q_stats_profile" -> (qStatsProfile _),
     "q_mix_temperature" -> (qMixTemperature _),
     "q_split_train_val_test" -> (qSplitTrainValTest _),
     "q_shuffle_deterministic" -> (qShuffleDeterministic _),
@@ -2330,6 +2386,7 @@ object TextAnalysis {
     "q_curate_funnel" -> qCurateFunnelOracle,
     "q_bpe_train" -> qBpeTrainOracle,
     "q_bpe_encode" -> qBpeEncodeOracle,
+    "q_stats_profile" -> qStatsProfileOracle,
     "q_mix_temperature" -> qMixTemperatureOracle,
     "q_split_train_val_test" -> qSplitTrainValTestOracle,
     "q_shuffle_deterministic" -> qShuffleDeterministicOracle,

@@ -265,6 +265,29 @@ class DriftSkewFunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("stats_profile: every column's stats recompute from a local " +
+    "profile of the same corpus") {
+    val rows = TextAnalysis.qStatsProfile(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5)))
+    val docs = Tables.documents(spark, sf001)
+      .selectExpr("lang", "source",
+        "concat('b', least(floor(n_chars / 100), 9))").collect()
+      .map(r => Map("lang" -> r.getString(0), "source" -> r.getString(1),
+        "len_bucket" -> r.getString(2)))
+    assert(rows.map(_._1).toSeq == Seq("lang", "len_bucket", "source"))
+    rows.foreach { case (colName, nRows, nNulls, nDistinct, topV, topC) =>
+      val vals = docs.map(_(colName))
+      assert(nRows == vals.length && nNulls == vals.count(_ == null))
+      val byV = vals.filter(_ != null).groupBy(identity)
+        .map { case (v, o) => v -> o.length }
+      assert(nDistinct == byV.size)
+      val (expTopV, expTopC) = byV.toSeq.minBy { case (v, c) => (-c, v) }
+      assert(topV == expTopV && topC == expTopC,
+        s"$colName: top ($topV, $topC) vs local ($expTopV, $expTopC)")
+    }
+  }
+
   test("curate_funnel: stages chain (n_out becomes the next n_in), " +
     "counts are monotone, and the head stages really drop documents") {
     for (dir <- dirs) {
