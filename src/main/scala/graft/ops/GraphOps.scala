@@ -143,9 +143,10 @@ object GraphOps {
     * Scale shape: same pre-pruned, checkpointed edge list as
     * [[qGraphTriangles]]/[[qGraphKcore]] (one corpus pass); per round
     * ONE join of the bidirectional neighbor list against the
-    * node-sized label table, a combine-fed (node, label) count, and a
-    * node-partitioned argmax window — never global. Labels checkpoint
-    * per round, previous blocks released.
+    * node-sized label table, a combine-fed (node, label) count, and
+    * the argmax as a SECOND combine-fed aggregate (max over
+    * (count, -label) structs — no per-node sort, no window). Labels
+    * checkpoint per round, previous blocks released.
     */
   def qGraphLabelprop(spark: SparkSession, dir: String): DataFrame = {
     val small = Tables.part(spark, dir)
@@ -163,14 +164,16 @@ object GraphOps {
       .distinct()
     val nbrs = e.union(e.select(col("pb"), col("pa"))).toDF("u", "v")
       .localCheckpoint()
-    val w = Window.partitionBy(col("u"))
-      .orderBy(col("c").desc, col("lbl").asc)
+    // argmax (count desc, label asc) as max(struct(c, -lbl)) — a second
+    // COMBINE-FED aggregate instead of a row_number window: no per-node
+    // sort, map-side partials on both exchanges (labels are nonnegative
+    // part keys, so -lbl cannot overflow)
     def round(l: DataFrame): DataFrame = nbrs
       .join(l.toDF("v", "lbl"), "v")
       .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("u").as("n"), col("lbl"))
+      .groupBy(col("u"))
+      .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))
+      .select(col("u").as("n"), (-col("m.neg")).as("lbl"))
     var labels = nbrs.select(col("u").as("n")).distinct()
       .select(col("n"), col("n").as("lbl")).localCheckpoint()
     for (_ <- 1 to LabelPropRounds) {
