@@ -1213,7 +1213,7 @@ object EventOps {
         FROM events GROUP BY 1, 2),
       m AS (SELECT *,
         sum(cents) OVER (PARTITION BY event_type ORDER BY day
-          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS hist_sum,
+          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)::BIGINT AS hist_sum,
         count(cents) OVER (PARTITION BY event_type ORDER BY day
           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS hist_n
         FROM d)

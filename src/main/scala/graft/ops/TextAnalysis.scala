@@ -2167,7 +2167,8 @@ object TextAnalysis {
         FROM documents)
       SELECT doc_id, count(*)::BIGINT n_words,
         sum(length(w))::BIGINT n_chars, sum(n_tok)::BIGINT n_tokens,
-        sum(length(w)) * 100 // sum(n_tok) AS ratio_x100
+        (sum(length(w))::BIGINT * 100 // sum(n_tok)::BIGINT)::BIGINT
+          AS ratio_x100
       FROM d JOIN tok USING (w)
       GROUP BY doc_id ORDER BY doc_id"""
 
