@@ -602,9 +602,13 @@ class OpsSpec extends AnyFunSuite {
     assert(rate("es") < rate("en"))
   }
 
-  test("every oracle key refers to a registered query") {
+  test("queries and oracles are in lockstep (same key set, both ways)") {
     val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"oracles without queries: $unknown")
+    // a query WITHOUT an oracle silently downgrades the driver gate to a
+    // rows-only check — every registered query must carry its oracle
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled.isEmpty, s"queries without oracles: $unoracled")
   }
 
   test("flagship entry returns rows") {
