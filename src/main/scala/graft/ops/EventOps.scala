@@ -1173,6 +1173,81 @@ object EventOps {
             / ((n_cur + 1) * (tot_ref + 10))), 6) AS psi
       FROM b, t ORDER BY bin"""
 
+  // ---------- complex event pattern matching (MATCH_RECOGNIZE shape) ----------
+  /** CEP-style sequence-pattern matching Spark has no primitive for
+    * (SQL's MATCH_RECOGNIZE): count, per user, completed
+    * `view → click → purchase` journeys where each step follows the
+    * previous within 24 hours (sized to this corpus's per-user event
+    * density) and an intervening `error` aborts the
+    * journey. One combine-fed collect per user (per-user event lists
+    * are bounded — the sessionization scale argument), an in-struct
+    * `array_sort` for the (ts, event_id) order, and ONE deterministic
+    * left-to-right `aggregate` fold running the 3-state machine in
+    * exact integer micros — the [[TextAnalysis.qBpeTrain]] fold
+    * discipline, so DuckDB replays it with `list_reduce` (sentinel
+    * prepended: DuckDB's reduce consumes the first element as init) and
+    * every intermediate state is identical on both engines.
+    */
+  def qEventsPattern(spark: SparkSession, dir: String): DataFrame = {
+    val W = 86400000000L // 24 h in µs (matched to this corpus's per-user event density)
+    Tables.events(spark, dir)
+      .select(col("user_id"), struct(unix_micros(col("ts")).as("ts"),
+        col("event_id").as("id"), col("event_type").as("tp")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(col("e"))).as("evs"))
+      .withColumn("m", expr(
+        s"""aggregate(evs,
+            named_struct('vt', CAST(-1 AS BIGINT), 'ct', CAST(-1 AS BIGINT),
+              'm', CAST(0 AS BIGINT)),
+            (a, x) -> CASE
+              WHEN x.tp = 'view' THEN named_struct(
+                'vt', x.ts, 'ct', CAST(-1 AS BIGINT), 'm', a.m)
+              WHEN x.tp = 'click' AND a.vt >= 0 AND x.ts - a.vt <= ${W}L
+                THEN named_struct('vt', a.vt, 'ct', x.ts, 'm', a.m)
+              WHEN x.tp = 'purchase' AND a.ct >= 0 AND x.ts - a.ct <= ${W}L
+                THEN named_struct('vt', CAST(-1 AS BIGINT),
+                  'ct', CAST(-1 AS BIGINT), 'm', a.m + 1)
+              WHEN x.tp = 'error' THEN named_struct(
+                'vt', CAST(-1 AS BIGINT), 'ct', CAST(-1 AS BIGINT), 'm', a.m)
+              ELSE a END).m"""))
+      .filter(col("m") > 0)
+      .select(col("user_id"), col("m").as("n_journeys"))
+      .orderBy(col("user_id"))
+  }
+
+  /** State rides as a uniform BIGINT LIST `[vt, ct, m, ts, code]`, NOT a
+    * struct: DuckDB 1.0.0's `list_reduce` silently mis-folds
+    * STRUCT-typed elements over multi-row input (per-user results leak
+    * across rows — found when this oracle's struct form disagreed with
+    * both the engine and a hand replay on users it got right when
+    * filtered to one row; three plan-shape variants all mis-folded,
+    * while LIST-typed elements — the `q_bpe_train` oracle's shape —
+    * fold correctly and stably). Event types encode as integers
+    * (view=1, click=2, purchase=3, error=4).
+    */
+  val qEventsPatternOracle: String =
+    """WITH u AS (SELECT user_id,
+        list([-1::BIGINT, -1::BIGINT, 0::BIGINT, epoch_us(ts),
+          CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+            WHEN 'purchase' THEN 3 WHEN 'error' THEN 4
+            ELSE 0 END::BIGINT]
+          ORDER BY epoch_us(ts), event_id) AS evs
+        FROM events GROUP BY user_id),
+      f AS (SELECT user_id, list_reduce(
+        list_prepend([-1::BIGINT, -1::BIGINT, 0::BIGINT, -1::BIGINT,
+            0::BIGINT], evs),
+        (a, x) -> CASE
+          WHEN x[5] = 1 THEN [x[4], -1::BIGINT, a[3], x[4], x[5]]
+          WHEN x[5] = 2 AND a[1] >= 0 AND x[4] - a[1] <= 86400000000
+            THEN [a[1], x[4], a[3], x[4], x[5]]
+          WHEN x[5] = 3 AND a[2] >= 0 AND x[4] - a[2] <= 86400000000
+            THEN [-1::BIGINT, -1::BIGINT, a[3] + 1, x[4], x[5]]
+          WHEN x[5] = 4 THEN [-1::BIGINT, -1::BIGINT, a[3], x[4], x[5]]
+          ELSE [a[1], a[2], a[3], x[4], x[5]] END) AS st
+      FROM u)
+      SELECT user_id, st[3] AS n_journeys FROM f
+      WHERE st[3] > 0 ORDER BY user_id"""
+
   // ---------- trailing moving-average forecast ----------
   /** Per-channel daily revenue forecasting with a trailing 7-day moving
     * average — the capacity-planning time series every ingestion
@@ -1292,6 +1367,7 @@ object EventOps {
     "q_stream_drift" -> (qStreamDrift _),
     "q_skew_diagnose" -> (qSkewDiagnose _),
     "q_events_forecast" -> (qEventsForecast _),
+    "q_events_pattern" -> (qEventsPattern _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1320,5 +1396,6 @@ object EventOps {
     "q_stream_drift" -> qStatsDriftOracle,
     "q_skew_diagnose" -> qSkewDiagnoseOracle,
     "q_events_forecast" -> qEventsForecastOracle,
+    "q_events_pattern" -> qEventsPatternOracle,
   )
 }

@@ -288,6 +288,33 @@ class DriftSkewFunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("events_pattern: journey counts equal a local replay of the " +
+    "view→click→purchase state machine with error resets") {
+    val rows = EventOps.qEventsPattern(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ev = Tables.events(spark, sf001)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id",
+        "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val W = 86400000000L
+    val local = ev.groupBy(_._1).flatMap { case (uid, es) =>
+      var (vt, ct, m) = (-1L, -1L, 0L)
+      es.sortBy(e => (e._2, e._3)).foreach { case (_, ts, _, tp) =>
+        tp match {
+          case "view" => vt = ts; ct = -1L
+          case "click" if vt >= 0 && ts - vt <= W => ct = ts
+          case "purchase" if ct >= 0 && ts - ct <= W =>
+            m += 1; vt = -1L; ct = -1L
+          case "error" => vt = -1L; ct = -1L
+          case _ => ()
+        }
+      }
+      if (m > 0) Some(uid -> m) else None
+    }
+    assert(rows == local, s"engine $rows vs local $local")
+    assert(rows.nonEmpty, "pattern must match on this corpus")
+  }
+
   test("curate_funnel: stages chain (n_out becomes the next n_in), " +
     "counts are monotone, and the head stages really drop documents") {
     for (dir <- dirs) {
