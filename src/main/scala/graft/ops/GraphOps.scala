@@ -395,10 +395,89 @@ object GraphOps {
       SELECT pa AS part, pb AS rec, cab, conf6, lift6, rnk::BIGINT AS rnk
       FROM r WHERE rnk <= 5 ORDER BY part, rnk"""
 
+  // ---------- link prediction (common neighbors / Jaccard / Adamic–Adar) ----------
+  /** Link prediction on the part co-purchase graph: for every
+    * NON-adjacent pair with at least one shared neighbor, the three
+    * classic topological scores — common-neighbor count, Jaccard
+    * overlap of neighborhoods, and Adamic–Adar (Liben-Nowell & Kleinberg
+    * 2003: neighbors weighted `1/ln(degree)`, so promiscuous hubs count
+    * less). Top 30 candidate edges by common-neighbor count.
+    *
+    * Everything that ORDERS or COMPARES is exact integer arithmetic:
+    * Jaccard is fixed-point millionths (`cn·1e6 DIV (du+dv−cn)`), and
+    * Adamic–Adar quantizes PER TERM — each center contributes
+    * `round(1e6/ln(d))` as a BIGINT, so the aggregate is an associative
+    * integer sum with no fold-order hazard (for every reachable degree
+    * 2..[[LinkpredCenterCap]] the quantized weight sits ≥1.6e-3 from a
+    * rounding boundary — spec-checked — so both engines quantize each
+    * term identically, then agree exactly).
+    *
+    * Scale shape: candidate generation is wedge enumeration at each
+    * CENTER, which is inherently Ω(output) — there is no orientation
+    * trick here because the pair count IS the answer (contrast
+    * [[qGraphTriangles]], where orientation dedups a closed structure).
+    * The standard production mitigation is the hub cap: centers above
+    * degree [[LinkpredCenterCap]] are excluded from wedge generation,
+    * bounding the shuffle at O(n·cap²) while changing the SEMANTICS
+    * honestly (scores count low-degree witnesses only — exactly the
+    * Adamic–Adar intuition, which already discounts hubs toward zero;
+    * the oracle applies the identical cap). Degrees for the Jaccard
+    * denominator stay UNcapped. One wedge exchange keyed on the pair,
+    * an anti-join against the edge list, two dimension-scale degree
+    * joins; edge list is the shared checkpointed fixture.
+    */
+  private val LinkpredCenterCap = 64
+
+  def qGraphLinkpred(spark: SparkSession, dir: String): DataFrame = {
+    val e = coPurchaseEdges(spark, dir)
+    val adj = e.select(col("pa").as("w"), col("pb").as("n"))
+      .unionByName(e.select(col("pb").as("w"), col("pa").as("n")))
+    val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("d"))
+    // centers need >= 2 neighbors to form a wedge, so ln(d) >= ln 2 and
+    // the per-term quantized Adamic–Adar weight is always finite
+    val centered = adj
+      .join(broadcast(deg.where(col("d") <= LinkpredCenterCap)), "w")
+      .select(col("w"), col("n"),
+        expr("CAST(round(1000000 / ln(d)) AS BIGINT)").as("aw"))
+    val wedges = centered.select(col("w"), col("n").as("u"), col("aw"))
+      .join(centered.select(col("w"), col("n").as("v")), Seq("w"))
+      .where(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cn"), sum(col("aw")).as("aa6"))
+    val cand = wedges.join(e,
+      col("u") === col("pa") && col("v") === col("pb"), "left_anti")
+    cand.join(broadcast(deg.toDF("u", "du")), "u")
+      .join(broadcast(deg.toDF("v", "dv")), "v")
+      .select(col("u").as("pu"), col("v").as("pv"), col("cn"), col("aa6"),
+        expr("cn * 1000000 DIV (du + dv - cn)").as("jacc_e6"))
+      .orderBy(col("cn").desc, col("pu"), col("pv"))
+      .limit(30)
+  }
+
+  val qGraphLinkpredOracle: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 10)),
+      e AS (SELECT DISTINCT a.p pa, b.p pb FROM li a
+        JOIN li b ON a.o = b.o AND a.p < b.p),
+      adj AS (SELECT pa w, pb n FROM e UNION ALL SELECT pb w, pa n FROM e),
+      deg AS (SELECT w, count(*) d FROM adj GROUP BY w),
+      cadj AS (SELECT a.w, a.n, round(1000000 / ln(d))::BIGINT aw
+          FROM adj a JOIN deg USING (w) WHERE d <= 64),
+      wed AS (SELECT a.n u, b.n v, count(*) cn, sum(a.aw)::BIGINT aa6
+          FROM cadj a JOIN cadj b ON a.w = b.w AND a.n < b.n
+          GROUP BY 1, 2),
+      cand AS (SELECT * FROM wed WHERE NOT EXISTS
+          (SELECT 1 FROM e WHERE e.pa = wed.u AND e.pb = wed.v))
+      SELECT u AS pu, v AS pv, cn, aa6,
+        cn * 1000000 // (du.d + dv.d - cn) AS jacc_e6
+      FROM cand JOIN deg du ON du.w = cand.u JOIN deg dv ON dv.w = cand.v
+      ORDER BY cn DESC, pu, pv LIMIT 30"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_triangles" -> (qGraphTriangles _),
     "q_graph_kcore" -> (qGraphKcore _),
     "q_graph_labelprop" -> (qGraphLabelprop _),
+    "q_graph_linkpred" -> (qGraphLinkpred _),
     "q_market_basket" -> (qMarketBasket _),
   )
 
@@ -406,6 +485,7 @@ object GraphOps {
     "q_graph_triangles" -> qGraphTrianglesOracle,
     "q_graph_kcore" -> qGraphKcoreOracle,
     "q_graph_labelprop" -> qGraphLabelpropOracle,
+    "q_graph_linkpred" -> qGraphLinkpredOracle,
     "q_market_basket" -> qMarketBasketOracle,
   )
 }

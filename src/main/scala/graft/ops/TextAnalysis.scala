@@ -2314,6 +2314,187 @@ object TextAnalysis {
         (n_in - n_out) * 100 // n_in AS drop_pct_x100
       FROM st ORDER BY stage_no"""
 
+  // ---------- bigram-LM perplexity (conditional language model) ----------
+  /** Per-document mean negative log-likelihood under an add-one-smoothed
+    * BIGRAM language model trained on the corpus itself — the
+    * conditional complement of [[qTextSurprisal]]'s unigram model and
+    * the cheap stand-in for the KenLM-style perplexity filters
+    * (CCNet/RedPajama) that gate web corpora: documents whose word
+    * TRANSITIONS are off-distribution (shuffled text, keyword stuffing,
+    * wrong language) score high even when their unigrams look fine.
+    * `P(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V)` where `c(w1·)` counts w1 as
+    * a bigram CONTEXT (so the denominator marginalizes exactly) and V
+    * is the corpus vocabulary.
+    *
+    * Scale shape: bigrams explode scan-side from one `zip_with` of two
+    * array slices (no window, no self-join); the bigram-count table is
+    * Heaps-law sublinear in corpus size but NOT dimension-tiny, so the
+    * score join shuffles keyed on the bigram — combine-fed on both
+    * sides; the context-count and vocabulary tables ARE
+    * vocabulary-scale and broadcast. Corpus is touched twice (train,
+    * score) — the honest minimum for self-trained scoring.
+    */
+  def qTextPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
+    val big = d.select(col("doc_id"), explode(expr(
+      """zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),
+         (a, b) -> struct(a AS w1, b AS w2))""")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c2 = big.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("double").as("c2"))
+    val c1 = big.groupBy(col("w1"))
+      .agg(count(lit(1)).cast("double").as("c1"))
+    val v = d.select(explode(col("ws")).as("w"))
+      .agg(countDistinct(col("w")).cast("double").as("v"))
+    big.join(c2, Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log((col("c2") + 1) / (col("c1") + col("v")))), 6)
+          .as("nll2"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextPerplexityOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      pos AS (SELECT doc_id, ws, unnest(range(1, len(ws))) i FROM d),
+      big AS (SELECT doc_id, ws[i::INT] w1, ws[(i + 1)::INT] w2 FROM pos),
+      c2 AS (SELECT w1, w2, count(*)::DOUBLE c2 FROM big GROUP BY 1, 2),
+      c1 AS (SELECT w1, count(*)::DOUBLE c1 FROM big GROUP BY 1),
+      v AS (SELECT count(DISTINCT w)::DOUBLE v FROM
+        (SELECT unnest(ws) w FROM d))
+      SELECT doc_id, count(*)::BIGINT n_bigrams,
+        round(avg(-ln((c2 + 1) / (c1 + v))), 6) AS nll2
+      FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+      GROUP BY doc_id ORDER BY doc_id"""
+
+  // ---------- DSIR importance weighting (targeted data selection) ----------
+  /** Data Selection via Importance Resampling (Xie et al. 2023): score
+    * every document by how much more likely its hashed-unigram features
+    * are under a TARGET distribution (here the `lang = 'en'` slice —
+    * standing in for "looks like Wikipedia") than under the raw-corpus
+    * distribution. Each token hashes into one of [[DsirBuckets]]
+    * buckets via the md5 chain (the [[qSampleHash]] discipline, so the
+    * oracle reproduces the feature map bit-for-bit); bucket
+    * distributions are add-one smoothed; a document's log importance
+    * weight is the sum over its tokens of ONE `ln` of the exact rational
+    * ratio `((c_t[b]+1)·(T_r+B)) / ((c_r[b]+1)·(T_t+B))` — both engines
+    * evaluate the identical expression on identical integers, so the
+    * only doubles are the final ln's.
+    *
+    * Scale shape: the feature map is a pure function (hashing trick —
+    * no vocabulary broadcast, the [[qQualityClassifier]] argument); both
+    * bucket-count tables are FIXED [[DsirBuckets]]-row aggregates that
+    * broadcast back, so the corpus pays two combine-fed scans and zero
+    * wide shuffles. This is the exact access pattern of production DSIR
+    * at 100 TB: train tiny bucketed n-gram models once, then stream the
+    * corpus through a stateless scorer.
+    */
+  private val DsirBuckets = 256
+
+  def qCurateDsir(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long"),
+      lit(DsirBuckets.toLong)).as("b")
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ", -1)).as("w"))
+      .select(col("doc_id"), col("lang"), bucket)
+    val raw = tok.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgt = tok.where(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    // complete 256-bucket model: buckets unseen in the target slice
+    // still carry their add-one mass (left join, zero-fill)
+    val model = raw.join(tgt, Seq("b"), "left_outer")
+      .select(col("b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+    val totals = model.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    tok.join(broadcast(model), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(log(((col("ct") + 1) * (col("tr") + DsirBuckets)) /
+          ((col("cr") + 1) * (col("tt") + DsirBuckets)))), 6).as("logw"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qCurateDsirOracle: String =
+    s"""WITH tok AS (SELECT doc_id, lang,
+        ('0x' || substr(md5(w), 1, 6))::BIGINT % $DsirBuckets AS b
+        FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) w
+              FROM documents)),
+      raw AS (SELECT b, count(*) cr FROM tok GROUP BY b),
+      tgt AS (SELECT b, count(*) ct FROM tok WHERE lang = 'en' GROUP BY b),
+      model AS (SELECT raw.b, cr, coalesce(ct, 0) ct
+        FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+      tot AS (SELECT sum(cr)::BIGINT tr, sum(ct)::BIGINT tt FROM model)
+      SELECT doc_id, count(*)::BIGINT n_tokens,
+        round(sum(ln(((ct + 1) * (tr + $DsirBuckets))::DOUBLE /
+          ((cr + 1) * (tt + $DsirBuckets)))), 6) AS logw
+      FROM tok JOIN model USING (b) CROSS JOIN tot
+      GROUP BY doc_id ORDER BY doc_id"""
+
+  // ---------- mutual information feature audit ----------
+  /** Mutual information between hashed token features and the document
+    * language label — the feature-selection / leakage-audit pass run
+    * before training any quality or language classifier: buckets with
+    * outsized `MI(bucket; label)` are the discriminative features (or,
+    * against a should-be-independent label like train/test split, the
+    * leaks). Tokens hash into [[MiBuckets]] buckets (md5 chain again);
+    * per (bucket, label) cell the contribution is
+    * `p(b,l) · ln(p(b,l)/(p(b)p(l)))`, evaluated as one `ln` of the
+    * exact integer rational `(c_bl·N)/(c_b·c_l)` scaled by exact
+    * `c_bl/N` — summed per bucket and reported with the bucket's token
+    * count. Output is the full fixed-size bucket table ordered by id —
+    * no double ordering anywhere.
+    *
+    * Scale shape: one scan-side hash, ONE combine-fed (bucket, label)
+    * aggregate whose state is at most [[MiBuckets]]·|labels| cells, and
+    * arithmetic on the resulting dimension-scale table; marginals come
+    * from re-aggregating the CELL table (never the corpus), and N
+    * crosses as one broadcast row.
+    */
+  private val MiBuckets = 64
+
+  def qStatsMutualinfo(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long"),
+      lit(MiBuckets.toLong)).as("b")
+    val cells = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ", -1)).as("w"))
+      .select(col("lang"), bucket)
+      .groupBy(col("b"), col("lang")).agg(count(lit(1)).as("cbl"))
+      .localCheckpoint()
+    val cb = cells.groupBy(col("b")).agg(sum(col("cbl")).as("cb"))
+    val cl = cells.groupBy(col("lang")).agg(sum(col("cbl")).as("cl"))
+    val n = cells.agg(sum(col("cbl")).as("n"))
+    cells.join(broadcast(cb), Seq("b"))
+      .join(broadcast(cl), Seq("lang"))
+      .crossJoin(broadcast(n))
+      .groupBy(col("b"))
+      .agg(sum(col("cbl")).as("n_tokens"),
+        round(sum((col("cbl") / col("n")) *
+          log((col("cbl") * col("n")) / (col("cb") * col("cl")))), 9)
+          .as("mi9"))
+      .orderBy(col("b"))
+  }
+
+  val qStatsMutualinfoOracle: String =
+    s"""WITH tok AS (SELECT lang,
+        ('0x' || substr(md5(w), 1, 6))::BIGINT % $MiBuckets AS b
+        FROM (SELECT lang, unnest(string_split(text, ' ')) w
+              FROM documents)),
+      cells AS (SELECT b, lang, count(*) cbl FROM tok GROUP BY 1, 2),
+      cb AS (SELECT b, sum(cbl)::BIGINT cb FROM cells GROUP BY b),
+      cl AS (SELECT lang, sum(cbl)::BIGINT cl FROM cells GROUP BY lang),
+      n AS (SELECT sum(cbl)::BIGINT n FROM cells)
+      SELECT b, sum(cbl)::BIGINT n_tokens,
+        round(sum((cbl::DOUBLE / n) *
+          ln((cbl * n)::DOUBLE / (cb * cl))), 9) AS mi9
+      FROM cells JOIN cb USING (b) JOIN cl USING (lang) CROSS JOIN n
+      GROUP BY b ORDER BY b"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
@@ -2359,6 +2540,9 @@ object TextAnalysis {
     "q_text_bm25" -> (qTextBm25 _),
     "q_bpe_pairs" -> (qBpePairs _),
     "q_text_winnow" -> (qTextWinnow _),
+    "q_text_perplexity" -> (qTextPerplexity _),
+    "q_curate_dsir" -> (qCurateDsir _),
+    "q_stats_mutualinfo" -> (qStatsMutualinfo _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2406,5 +2590,8 @@ object TextAnalysis {
     "q_text_bm25" -> qTextBm25Oracle,
     "q_bpe_pairs" -> qBpePairsOracle,
     "q_text_winnow" -> qTextWinnowOracle,
+    "q_text_perplexity" -> qTextPerplexityOracle,
+    "q_curate_dsir" -> qCurateDsirOracle,
+    "q_stats_mutualinfo" -> qStatsMutualinfoOracle,
   )
 }
