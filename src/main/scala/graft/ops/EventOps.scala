@@ -1341,6 +1341,86 @@ object EventOps {
         (max_cnt * n_keys + n_rows - 1) // n_rows AS salt
       FROM s ORDER BY key_name"""
 
+  // ---------- survival analysis (inter-event gap life table) ----------
+  /** Kaplan–Meier-style LIFE TABLE over inter-event gaps — the
+    * renewal-process survival analysis behind "when has a user really
+    * gone quiet?" thresholds (the principled way to choose a session
+    * timeout or a churn horizon, instead of guessing 30 minutes): each
+    * COMPLETED gap between a user's consecutive events is an event
+    * subject with duration `floor(gap hours)`; the OPEN gap from each
+    * user's last event to the corpus horizon is CENSORED at its current
+    * length (the defining distinction of survival statistics — we know
+    * that gap exceeds its observed value, not where it ends, and
+    * counting it as a failure would bias the hazard up). Per
+    * gap-duration hour: the at-risk count, completed and censored
+    * counts, and the discrete hazard in fixed-point millionths — every
+    * emitted value an exact integer, so the full curve hash-matches
+    * across engines (survival S(t) is the running product of
+    * `1 − hazard`, recoverable exactly from these rows; emitting the
+    * hazard table avoids any cross-engine float cumulative product).
+    *
+    * Scale shape: one user-partitioned `lead` window over the corpus
+    * (the [[qEventsPaths]] sequence discipline — keyed shuffle, no
+    * global sort), a one-row horizon broadcast for the censored tail,
+    * then all remaining work on the per-duration aggregate, whose size
+    * is bounded by the corpus TIME SPAN in hours, not the corpus. The
+    * at-risk reverse running sum is a partition-less window over that
+    * span-bounded table — pinned in the global-window allowlist with
+    * the [[qEventsCumulativeUsers]] rationale. Both engines floor
+    * timestamps to whole seconds before differencing (`unix_timestamp`
+    * / `date_diff('second')`), so bucket assignment is integer-exact.
+    */
+  def qEventsSurvival(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = ev
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .crossJoin(broadcast(ev.agg(max(col("ts")).as("tend"))))
+      .select(
+        when(col("next_ts").isNotNull,
+          expr("(unix_timestamp(next_ts) - unix_timestamp(ts)) DIV 3600"))
+          .otherwise(
+            expr("(unix_timestamp(tend) - unix_timestamp(ts)) DIV 3600"))
+          .as("t"),
+        col("next_ts").isNotNull.cast("long").as("completed"))
+    val byHour = gaps.groupBy(col("t"))
+      .agg(sum(col("completed")).as("n_completed"),
+        sum(lit(1L) - col("completed")).as("n_censored"))
+    // at-risk set: every gap that reaches duration t — a reverse running
+    // sum over the span-bounded life table
+    val wr = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byHour
+      .withColumn("n_risk",
+        sum(col("n_completed") + col("n_censored")).over(wr))
+      .select(col("t"), col("n_risk"), col("n_completed"), col("n_censored"),
+        expr("n_completed * 1000000 DIV n_risk").as("hazard_e6"))
+      .orderBy(col("t"))
+  }
+
+  val qEventsSurvivalOracle: String =
+    """WITH hz AS (SELECT max(ts) tend FROM events),
+      g AS (SELECT ts, lead(ts) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) next_ts FROM events),
+      gaps AS (SELECT
+          CASE WHEN next_ts IS NOT NULL
+            THEN date_diff('second', ts, next_ts) // 3600
+            ELSE date_diff('second', ts, tend) // 3600 END AS t,
+          (next_ts IS NOT NULL)::BIGINT completed
+        FROM g CROSS JOIN hz),
+      byhour AS (SELECT t, sum(completed)::BIGINT n_completed,
+          sum(1 - completed)::BIGINT n_censored
+        FROM gaps GROUP BY t),
+      lt AS (SELECT t, n_completed, n_censored,
+          sum(n_completed + n_censored) OVER (ORDER BY t DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT n_risk
+        FROM byhour)
+      SELECT t, n_risk, n_completed, n_censored,
+        n_completed * 1000000 // n_risk AS hazard_e6
+      FROM lt ORDER BY t"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_tumbling" -> (qEventsTumbling _),
     "q_events_sliding" -> (qEventsSliding _),
@@ -1368,6 +1448,7 @@ object EventOps {
     "q_skew_diagnose" -> (qSkewDiagnose _),
     "q_events_forecast" -> (qEventsForecast _),
     "q_events_pattern" -> (qEventsPattern _),
+    "q_events_survival" -> (qEventsSurvival _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1397,5 +1478,6 @@ object EventOps {
     "q_skew_diagnose" -> qSkewDiagnoseOracle,
     "q_events_forecast" -> qEventsForecastOracle,
     "q_events_pattern" -> qEventsPatternOracle,
+    "q_events_survival" -> qEventsSurvivalOracle,
   )
 }

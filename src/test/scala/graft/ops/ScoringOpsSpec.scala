@@ -187,4 +187,98 @@ class ScoringOpsSpec extends AnyFunSuite {
       assert(mi >= -1e-9, s"bucket $bk MI contribution $mi negative")
     }
   }
+
+  test("survival: gap life table equals a local replay and satisfies " +
+    "the at-risk / exhaustiveness invariants") {
+    val rows = EventOps.qEventsSurvival(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
+        r.getLong(2)))
+    val tend = ev.map(_._2).max
+    // every event contributes exactly one subject: a completed gap to
+    // the next event, or the censored open gap to the horizon
+    val subjects = ev.groupBy(_._1).values.flatMap { es =>
+      val ts = es.sortBy(e => (e._2, e._3)).map(_._2)
+      val completed = ts.dropRight(1).zip(ts.drop(1))
+        .map { case (a, b) => ((b - a) / 3600, true) }
+      completed :+ (((tend - ts.last) / 3600, false))
+    }.toSeq
+    val byHour = subjects.groupBy(_._1).map { case (t, gs) =>
+      (t, gs.count(_._2).toLong, gs.count(!_._2).toLong)
+    }.toSeq.sortBy(_._1)
+    val local = byHour.reverse
+      .scanLeft((0L, 0L, 0L, 0L)) { case ((_, risk, _, _), (t, d, c)) =>
+        (t, risk + d + c, d, c) }
+      .drop(1).reverse
+      .map { case (t, risk, d, c) => (t, risk, d, c, d * 1000000L / risk) }
+    assert(rows.toSeq == local, s"engine ${rows.toSeq} vs local $local")
+    // invariants: risk set shrinks with t, subjects partition exactly
+    // (one per event), censored count equals the user count at the tail
+    rows.sliding(2).foreach {
+      case Array((t1, r1, _, _, _), (t2, r2, _, _, _)) =>
+        assert(t1 < t2 && r1 > r2, s"risk set must shrink: $t1/$r1 -> $t2/$r2")
+      case _ =>
+    }
+    assert(rows.map(r => r._3 + r._4).sum == ev.length,
+      "every event contributes exactly one subject")
+    assert(rows.map(_._4).sum == ev.map(_._1).distinct.length,
+      "exactly one censored open gap per user")
+    assert(rows.head._2 == ev.length, "hour-0 risk set is every subject")
+    rows.foreach { case (t, _, _, _, h) =>
+      assert(h >= 0 && h <= 1000000L, s"t=$t hazard $h out of range")
+    }
+  }
+
+  test("pca: certification flags hold; the Jacobi eigenpair checks out " +
+    "against an independent covariance build, non-vacuously") {
+    val row = Similarity.qEmbedPca(spark, dir).collect()
+    assert(row.length == 1)
+    val r = row.head
+    assert(r.getString(0) == "pca_jacobi" && r.getInt(1) == 8)
+    assert(r.getInt(3) == 1, "eigen_ok: residual/maximality must hold")
+    assert(r.getInt(4) == 1, "lambda_ok: projection variance must match")
+    // independent covariance build from the raw vectors (NOT pcaFit)
+    val embs = Tables.embeddings(spark, dir).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    assert(r.getLong(2) == embs.length)
+    val d = 8
+    val q = embs.map(e => e.take(d).map(x => math.round(x * 1000).toDouble))
+    val n = q.length.toDouble
+    val mean = (0 until d).map(i => q.map(_(i)).sum / n / 1000.0).toArray
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      val sij = q.map(e => e(i) * e(j)).sum
+      (sij / n - (q.map(_(i)).sum / n) * (q.map(_(j)).sum / n)) / 1e6
+    }
+    // the solver on the independent matrix: residual at solver precision,
+    // eigenvalue maximal, sign pinned
+    val (lambda, v) = Similarity.jacobiTopEig(cov)
+    val cv = cov.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+    val res = math.sqrt(cv.zip(v)
+      .map { case (a, b) => (a - lambda * b) * (a - lambda * b) }.sum) / lambda
+    assert(res < 1e-8, s"Jacobi residual $res")
+    assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-12)
+    (0 until d).foreach(i => assert(lambda >= cov(i)(i) - 1e-12,
+      s"lambda $lambda below diagonal variance ${cov(i)(i)}"))
+    val mIdx = v.indices.maxBy(i => math.abs(v(i)))
+    assert(v(mIdx) > 0, "sign must be pinned deterministically")
+    // the distributed certificate, replayed locally
+    def projVar(dirV: Array[Double]): Double = {
+      val ps = embs.map { e =>
+        math.round(dirV.indices.map(i => dirV(i) * (e(i) - mean(i))).sum
+          * 1000).toDouble
+      }
+      val (s, ss) = (ps.sum, ps.map(p => p * p).sum)
+      (ss / n - (s / n) * (s / n)) / 1e6
+    }
+    assert(math.abs(projVar(v) - lambda) < lambda * 1e-3,
+      "top-eigenvector projection variance must equal lambda")
+    // non-vacuity: a non-eigen direction's variance misses lambda
+    val start = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    assert(math.abs(projVar(start) - lambda) > lambda * 1e-3,
+      "certificate would be vacuous: start direction also passes")
+  }
 }
