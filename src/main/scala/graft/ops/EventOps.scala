@@ -1421,6 +1421,104 @@ object EventOps {
         n_completed * 1000000 // n_risk AS hazard_e6
       FROM lt ORDER BY t"""
 
+  // ---------- recursive CTE: exact Kaplan–Meier survival curve ----------
+  /** The Kaplan–Meier SURVIVAL CURVE S(t) computed with `WITH RECURSIVE`
+    * (Spark 4's recursive CTE / `UnionLoop` — exercised here from pure
+    * SQL, proving the surface for JDBC consumers): S(t) is an inherently
+    * SEQUENTIAL product Π(1 − dᵢ/nᵢ), which a recursive CTE evaluates in
+    * a deterministic order, so both engines can carry it in FIXED-POINT
+    * (e9) integers with truncating division at each step — bit-identical
+    * across engines, no float cumulative product anywhere (the
+    * cross-engine hazard [[qEventsSurvival]] deliberately stops at the
+    * hazard table for exactly this reason; recursion is what makes the
+    * curve itself exact). The recursion also derives each step's at-risk
+    * set from the previous row (`n − d − c`), replacing
+    * [[qEventsSurvival]]'s reverse-cumsum window.
+    *
+    * Subjects are the same inter-event gaps, TOP-CODED at hour
+    * [[KmMaxHour]] (the standard terminal bucket of a published life
+    * table) so the spine is contiguous and the recursion depth is a
+    * CONSTANT 48 — independent of corpus span, safely inside Spark's
+    * default 100-level recursion budget at any scale. Overflow budget:
+    * each step multiplies s_e9 (≤1e9) by the at-risk count, so BIGINT
+    * holds past ~9e9 subjects; beyond that a deployment drops to e6
+    * fixed-point. Scale shape: corpus work is the same user-partitioned
+    * `lead` + combine-fed hour aggregate as [[qEventsSurvival]]; the
+    * recursion runs on the constant 48-row spine.
+    */
+  private val KmMaxHour = 47
+
+  def qSqlRecursive(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("graft_events_rec")
+    spark.sql(s"""
+      WITH RECURSIVE
+      hz AS (SELECT max(ts) tend FROM graft_events_rec),
+      g AS (SELECT ts, lead(ts) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) next_ts FROM graft_events_rec),
+      gaps AS (SELECT
+          least(CASE WHEN next_ts IS NOT NULL
+            THEN (unix_timestamp(next_ts) - unix_timestamp(ts)) DIV 3600
+            ELSE (unix_timestamp(tend) - unix_timestamp(ts)) DIV 3600 END,
+            CAST($KmMaxHour AS BIGINT)) AS t,
+          CASE WHEN next_ts IS NOT NULL THEN CAST(1 AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS completed
+        FROM g CROSS JOIN hz),
+      byhour AS (SELECT t, sum(completed) d, sum(1 - completed) c
+        FROM gaps GROUP BY t),
+      spine AS (SELECT explode(sequence(CAST(0 AS BIGINT),
+        CAST($KmMaxHour AS BIGINT))) AS t),
+      lt AS (SELECT s.t, coalesce(d, CAST(0 AS BIGINT)) d,
+          coalesce(c, CAST(0 AS BIGINT)) c
+        FROM spine s LEFT JOIN byhour b ON s.t = b.t),
+      n0 AS (SELECT count(*) n FROM gaps),
+      r (t, n_risk, n_completed, n_censored, s_e9) AS (
+        SELECT lt.t, n0.n, lt.d, lt.c,
+          ((n0.n - lt.d) * CAST(1000000000 AS BIGINT)) DIV n0.n
+        FROM lt CROSS JOIN n0 WHERE lt.t = 0
+        UNION ALL
+        SELECT lt.t, r.n_risk - r.n_completed - r.n_censored, lt.d, lt.c,
+          (r.s_e9 * (r.n_risk - r.n_completed - r.n_censored - lt.d))
+            DIV (r.n_risk - r.n_completed - r.n_censored)
+        FROM r JOIN lt ON lt.t = r.t + 1
+        WHERE r.n_risk - r.n_completed - r.n_censored > 0
+      )
+      SELECT t, n_risk, n_completed, n_censored, s_e9
+      FROM r ORDER BY t""")
+  }
+
+  val qSqlRecursiveOracle: String =
+    s"""WITH RECURSIVE
+      hz AS (SELECT max(ts) tend FROM events),
+      g AS (SELECT ts, lead(ts) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) next_ts FROM events),
+      gaps AS (SELECT
+          least(CASE WHEN next_ts IS NOT NULL
+            THEN date_diff('second', ts, next_ts) // 3600
+            ELSE date_diff('second', ts, tend) // 3600 END,
+            $KmMaxHour) AS t,
+          (next_ts IS NOT NULL)::BIGINT completed
+        FROM g CROSS JOIN hz),
+      byhour AS (SELECT t, sum(completed)::BIGINT d,
+          sum(1 - completed)::BIGINT c
+        FROM gaps GROUP BY t),
+      spine AS (SELECT unnest(range(0, $KmMaxHour + 1))::BIGINT AS t),
+      lt AS (SELECT s.t, coalesce(d, 0) d, coalesce(c, 0) c
+        FROM spine s LEFT JOIN byhour b ON s.t = b.t),
+      n0 AS (SELECT count(*)::BIGINT n FROM gaps),
+      r (t, n_risk, n_completed, n_censored, s_e9) AS (
+        SELECT lt.t, n0.n, lt.d, lt.c,
+          ((n0.n - lt.d) * 1000000000) // n0.n
+        FROM lt CROSS JOIN n0 WHERE lt.t = 0
+        UNION ALL
+        SELECT lt.t, r.n_risk - r.n_completed - r.n_censored, lt.d, lt.c,
+          (r.s_e9 * (r.n_risk - r.n_completed - r.n_censored - lt.d))
+            // (r.n_risk - r.n_completed - r.n_censored)
+        FROM r JOIN lt ON lt.t = r.t + 1
+        WHERE r.n_risk - r.n_completed - r.n_censored > 0
+      )
+      SELECT t, n_risk, n_completed, n_censored, s_e9
+      FROM r ORDER BY t"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_tumbling" -> (qEventsTumbling _),
     "q_events_sliding" -> (qEventsSliding _),
@@ -1449,6 +1547,7 @@ object EventOps {
     "q_events_forecast" -> (qEventsForecast _),
     "q_events_pattern" -> (qEventsPattern _),
     "q_events_survival" -> (qEventsSurvival _),
+    "q_sql_recursive" -> (qSqlRecursive _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1479,5 +1578,6 @@ object EventOps {
     "q_events_forecast" -> qEventsForecastOracle,
     "q_events_pattern" -> qEventsPatternOracle,
     "q_events_survival" -> qEventsSurvivalOracle,
+    "q_sql_recursive" -> qSqlRecursiveOracle,
   )
 }

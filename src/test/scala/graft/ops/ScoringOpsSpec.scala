@@ -233,6 +233,48 @@ class ScoringOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sql recursive: the fixed-point Kaplan-Meier curve equals a " +
+    "local sequential replay and is monotone non-increasing") {
+    val rows = EventOps.qSqlRecursive(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty && rows.head._1 == 0L)
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
+        r.getLong(2)))
+    val tend = ev.map(_._2).max
+    val subjects = ev.groupBy(_._1).values.flatMap { es =>
+      val ts = es.sortBy(e => (e._2, e._3)).map(_._2)
+      val completed = ts.dropRight(1).zip(ts.drop(1))
+        .map { case (a, b) => (math.min((b - a) / 3600, 47L), true) }
+      completed :+ ((math.min((tend - ts.last) / 3600, 47L), false))
+    }.toSeq
+    val byHour = subjects.groupBy(_._1).map { case (t, gs) =>
+      t -> (gs.count(_._2).toLong, gs.count(!_._2).toLong)
+    }
+    // sequential fixed-point replay, truncating at every step like both
+    // engines' integer division
+    var risk = subjects.size.toLong
+    var s = 0L
+    val local = (0L to 47L).iterator.takeWhile(_ => risk > 0).map { t =>
+      val (d, c) = byHour.getOrElse(t, (0L, 0L))
+      s = if (t == 0) (risk - d) * 1000000000L / risk
+          else s * (risk - d) / risk
+      val row = (t, risk, d, c, s)
+      risk = risk - d - c
+      row
+    }.toSeq
+    assert(rows.toSeq == local, s"engine ${rows.take(3).toSeq}... vs " +
+      s"local ${local.take(3)}...")
+    rows.sliding(2).foreach {
+      case Array((_, _, _, _, s1), (_, _, _, _, s2)) =>
+        assert(s2 <= s1, "survival must be non-increasing")
+      case _ =>
+    }
+    assert(rows.last._5 >= 0 && rows.head._5 <= 1000000000L)
+  }
+
   test("pca: certification flags hold; the Jacobi eigenpair checks out " +
     "against an independent covariance build, non-vacuously") {
     val row = Similarity.qEmbedPca(spark, dir).collect()
