@@ -1519,6 +1519,57 @@ object EventOps {
       SELECT t, n_risk, n_completed, n_censored, s_e9
       FROM r ORDER BY t"""
 
+  // ---------- VARIANT semi-structured surface (Spark 4) ----------
+  /** Spark 4's VARIANT type driven end-to-end: nested JSON is built
+    * in-flight from real columns (`to_json(named_struct(...))`), parsed
+    * to a variant (`parse_json`), and read back with typed-path
+    * extraction (`variant_get` with `$.meta.k` / array-index paths) plus
+    * `schema_of_variant` — the open-schema ingestion pattern VARIANT
+    * exists for (no `from_json` schema declared anywhere on the read
+    * side). The oracle recomputes the same aggregates from the RAW
+    * columns, so a hash match proves the construct→parse→extract
+    * round-trip is the identity on every row, typed casts included;
+    * the pinned schema string additionally locks variant's inferred
+    * physical types. All aggregated measures are exact integers
+    * (values to cents via `round(value*100)` — the [[qEventsForecast]]
+    * discipline).
+    *
+    * Scale shape: entirely scan-side per-row kernels (JSON build,
+    * variant parse, path extraction are all codegen'd expressions) into
+    * one combine-fed aggregate keyed on the extracted type — zero
+    * extra exchanges over the plain aggregation of the raw columns.
+    */
+  def qVariantJson(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("vj", expr(
+        """parse_json(to_json(named_struct(
+             'meta', named_struct(
+               'type', event_type,
+               'k', CAST(get_json_object(props, '$.k') AS BIGINT)),
+             'cents', array(CAST(round(value * 100) AS BIGINT),
+                            CAST(round(value * 100) * 2 AS BIGINT)))))"""))
+    ev.select(
+        expr("variant_get(vj, '$.meta.type', 'string')").as("vtype"),
+        expr("variant_get(vj, '$.meta.k', 'long')").as("k"),
+        expr("variant_get(vj, '$.cents[0]', 'long')").as("c0"),
+        expr("variant_get(vj, '$.cents[1]', 'long')").as("c1"),
+        expr("schema_of_variant(vj)").as("vschema"))
+      .groupBy(col("vtype"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        sum(col("c0")).as("sum_cents"), max(col("c1")).as("max_double_cents"),
+        max(col("vschema")).as("vschema"))
+      .orderBy(col("vtype"))
+  }
+
+  val qVariantJsonOracle: String =
+    """SELECT event_type AS vtype, count(*) AS n,
+      sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+      sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents,
+      max(round(value * 100)::BIGINT * 2) AS max_double_cents,
+      'OBJECT<cents: ARRAY<BIGINT>, meta: OBJECT<k: BIGINT, type: STRING>>'
+        AS vschema
+      FROM events GROUP BY event_type ORDER BY vtype"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_tumbling" -> (qEventsTumbling _),
     "q_events_sliding" -> (qEventsSliding _),
@@ -1548,6 +1599,7 @@ object EventOps {
     "q_events_pattern" -> (qEventsPattern _),
     "q_events_survival" -> (qEventsSurvival _),
     "q_sql_recursive" -> (qSqlRecursive _),
+    "q_variant_json" -> (qVariantJson _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1579,5 +1631,6 @@ object EventOps {
     "q_events_pattern" -> qEventsPatternOracle,
     "q_events_survival" -> qEventsSurvivalOracle,
     "q_sql_recursive" -> qSqlRecursiveOracle,
+    "q_variant_json" -> qVariantJsonOracle,
   )
 }

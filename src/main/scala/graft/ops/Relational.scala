@@ -681,6 +681,88 @@ object Relational {
       count(DISTINCT l_partkey) AS n_parts
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  // ---------- exact-moment correlation matrix ----------
+  /** Pearson correlation across the lineitem numeric measures from ONE
+    * corpus scan — the dataset-card correlation panel ("is discount
+    * independent of quantity?") computed the only way two engines can
+    * agree on it bit-for-bit: every sufficient statistic is an EXACT
+    * integer (measures quantize to their natural grids — whole units,
+    * whole dollars, basis points — chosen so Σq² stays inside BIGINT
+    * past sf100), the cross products that exceed 63 bits go through
+    * DECIMAL(38,0)/HUGEINT arithmetic (still exact), and doubles appear
+    * only in the LAST expression — division and square root of
+    * identical exact operands, both correctly rounded IEEE on both
+    * engines, so `round(corr, 6)` matches by construction rather than
+    * by luck (the r6 cent-boundary lesson applied to second moments).
+    *
+    * Scale shape: the 10 moment cells build scan-side (nested
+    * `transform` — the [[graft.ops.Similarity]] covariance kernel on
+    * the FACT table) and reduce in one combine-fed exchange of
+    * O(tasks · 10) rows; the correlation finish joins the 4-row
+    * diagonal back by broadcast. Corr is scale-invariant, so the
+    * quantization grids cost nothing but the documented overflow
+    * budget.
+    */
+  def qStatsCorr(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(spark, dir)
+      .select(expr(
+        """array(CAST(round(l_quantity) AS BIGINT),
+                 CAST(round(l_extendedprice) AS BIGINT),
+                 CAST(round(l_discount * 100) AS BIGINT),
+                 CAST(round(l_tax * 100) AS BIGINT))""").as("q"))
+      .select(explode(expr(
+        "flatten(transform(sequence(0, 3), i -> transform(sequence(i, 3), " +
+          "j -> struct(i AS di, j AS dj, q[i] AS qi, q[j] AS qj))))")).as("p"))
+      .groupBy(col("p.di").as("di"), col("p.dj").as("dj"))
+      .agg(count(lit(1)).as("n"), sum(col("p.qi")).as("s_i"),
+        sum(col("p.qj")).as("s_j"), sum(expr("p.qi * p.qj")).as("s_ij"))
+    val diag = cells.filter(col("di") === col("dj"))
+      .select(col("di").as("d"), col("s_i").as("sd"), col("s_ij").as("sdd"))
+    val names = "array('quantity', 'price_usd', 'discount', 'tax')"
+    cells.filter(col("di") < col("dj"))
+      .join(broadcast(diag.toDF("di", "s1", "s11")), "di")
+      .join(broadcast(diag.toDF("dj", "s2", "s22")), "dj")
+      .select(
+        expr(s"element_at($names, di + 1)").as("col_i"),
+        expr(s"element_at($names, dj + 1)").as("col_j"),
+        col("n"),
+        round(
+          expr("""CAST(CAST(n AS DECIMAL(38,0)) * s_ij
+                    - CAST(s_i AS DECIMAL(38,0)) * s_j AS DOUBLE)""") /
+          (sqrt(expr("""CAST(CAST(n AS DECIMAL(38,0)) * s11
+                    - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)""")) *
+           sqrt(expr("""CAST(CAST(n AS DECIMAL(38,0)) * s22
+                    - CAST(s2 AS DECIMAL(38,0)) * s2 AS DOUBLE)"""))),
+          6).as("corr6"))
+      .orderBy(col("col_i"), col("col_j"))
+  }
+
+  val qStatsCorrOracle: String =
+    """WITH q AS (SELECT round(l_quantity)::BIGINT q0,
+        round(l_extendedprice)::BIGINT q1,
+        round(l_discount * 100)::BIGINT q2,
+        round(l_tax * 100)::BIGINT q3 FROM lineitem),
+      u AS (SELECT i::INT i, j::INT j,
+          CASE i WHEN 0 THEN q0 WHEN 1 THEN q1 WHEN 2 THEN q2 ELSE q3 END qi,
+          CASE j WHEN 0 THEN q0 WHEN 1 THEN q1 WHEN 2 THEN q2 ELSE q3 END qj
+        FROM q, range(0, 4) ti(i), range(0, 4) tj(j) WHERE j >= i),
+      cells AS (SELECT i, j, count(*)::BIGINT n, sum(qi)::BIGINT s_i,
+          sum(qj)::BIGINT s_j, sum(qi * qj)::BIGINT s_ij
+        FROM u GROUP BY i, j),
+      diag AS (SELECT i d, s_i sd, s_ij sdd FROM cells WHERE i = j),
+      nm AS (SELECT unnest(range(0, 4))::INT ix,
+        unnest(['quantity', 'price_usd', 'discount', 'tax']) nam)
+      SELECT n1.nam AS col_i, n2.nam AS col_j, c.n,
+        round((c.n::HUGEINT * c.s_ij - c.s_i::HUGEINT * c.s_j)::DOUBLE /
+          (sqrt((c.n::HUGEINT * d1.sdd - d1.sd::HUGEINT * d1.sd)::DOUBLE) *
+           sqrt((c.n::HUGEINT * d2.sdd - d2.sd::HUGEINT * d2.sd)::DOUBLE)),
+          6) AS corr6
+      FROM cells c
+      JOIN diag d1 ON d1.d = c.i JOIN diag d2 ON d2.d = c.j
+      JOIN nm n1 ON n1.ix = c.i JOIN nm n2 ON n2.ix = c.j
+      WHERE c.i < c.j
+      ORDER BY col_i, col_j"""
+
   // ---------- scalar subquery ----------
   def qScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
@@ -2108,6 +2190,7 @@ object Relational {
     "q_cube" -> (qCube _),
     "q_set_ops" -> (qSetOps _),
     "q_distinct_agg" -> (qDistinctAgg _),
+    "q_stats_corr" -> (qStatsCorr _),
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_case_when" -> (qCaseWhen _),
     "q_string_funcs" -> (qStringFuncs _),
@@ -2171,6 +2254,7 @@ object Relational {
     "q_cube" -> qCubeOracle,
     "q_set_ops" -> qSetOpsOracle,
     "q_distinct_agg" -> qDistinctAggOracle,
+    "q_stats_corr" -> qStatsCorrOracle,
     "q_scalar_subquery" -> qScalarSubqueryOracle,
     "q_case_when" -> qCaseWhenOracle,
     "q_string_funcs" -> qStringFuncsOracle,

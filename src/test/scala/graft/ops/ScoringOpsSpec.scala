@@ -275,6 +275,59 @@ class ScoringOpsSpec extends AnyFunSuite {
     assert(rows.last._5 >= 0 && rows.head._5 <= 1000000000L)
   }
 
+  test("variant: construct -> parse_json -> variant_get round-trip is " +
+    "the identity against a raw-column recompute") {
+    val rows = EventOps.qVariantJson(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, dir)
+      .selectExpr("event_type",
+        "CAST(get_json_object(props, '$.k') AS BIGINT) AS k",
+        "CAST(round(value * 100) AS BIGINT) AS cents").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val local = ev.groupBy(_._1).map { case (t, es) =>
+      (t, es.length.toLong, es.map(_._2).sum, es.map(_._3).sum,
+        es.map(_._3 * 2).max,
+        "OBJECT<cents: ARRAY<BIGINT>, meta: OBJECT<k: BIGINT, type: STRING>>")
+    }.toSeq.sortBy(_._1)
+    assert(rows.toSeq == local, s"engine ${rows.head} vs local ${local.head}")
+  }
+
+  test("stats corr: correlations equal a local exact-moment recompute " +
+    "and are valid (|r| <= 1)") {
+    val rows = Relational.qStatsCorr(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.length == 6)
+    val li = Tables.lineitem(spark, dir)
+      .selectExpr("round(l_quantity) AS a", "round(l_extendedprice) AS b",
+        "round(l_discount * 100) AS c", "round(l_tax * 100) AS d")
+      .collect()
+      .map(r => Array(r.getDouble(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)).map(_.toLong))
+    val names = Array("quantity", "price_usd", "discount", "tax")
+    val n = li.length.toLong
+    def corr(i: Int, j: Int): Double = {
+      val si = li.map(_(i)).sum; val sj = li.map(_(j)).sum
+      val sij = li.map(e => e(i) * e(j)).sum
+      val sii = li.map(e => e(i) * e(i)).sum
+      val sjj = li.map(e => e(j) * e(j)).sum
+      val num = (BigInt(n) * sij - BigInt(si) * sj).toDouble
+      num / (math.sqrt((BigInt(n) * sii - BigInt(si) * si).toDouble) *
+        math.sqrt((BigInt(n) * sjj - BigInt(sj) * sj).toDouble))
+    }
+    val local = (for (i <- 0 until 4; j <- i + 1 until 4)
+      yield (names(i), names(j), n, round6(corr(i, j))))
+      .sortBy(t => (t._1, t._2))
+    assert(rows.length == local.length)
+    rows.toSeq.zip(local).foreach { case ((a1, b1, n1, c1), (a2, b2, n2, c2)) =>
+      assert(a1 == a2 && b1 == b2 && n1 == n2, s"cell mismatch $a1/$b1")
+      assert(math.abs(c1 - c2) <= 1e-9, s"$a1/$b1: corr $c1 vs $c2")
+      assert(math.abs(c1) <= 1.0, s"$a1/$b1: invalid correlation $c1")
+    }
+  }
+
   test("pca: certification flags hold; the Jacobi eigenpair checks out " +
     "against an independent covariance build, non-vacuously") {
     val row = Similarity.qEmbedPca(spark, dir).collect()
