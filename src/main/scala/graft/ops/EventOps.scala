@@ -1570,6 +1570,83 @@ object EventOps {
         AS vschema
       FROM events GROUP BY event_type ORDER BY vtype"""
 
+  // ---------- A/B experiment readout (two-proportion z-test) ----------
+  /** The experiment-analysis readout run on every product event stream:
+    * users split into variants by a deterministic hash rule (here
+    * `user_id % 2` — the assignment IS the experiment design), and each
+    * funnel event type gets a two-proportion z-statistic for "did the
+    * treatment move this conversion?" — the pooled-variance form
+    * `z = (p̂₁−p̂₂) / √(p̂(1−p̂)(1/n₁+1/n₂))`. Every input to the
+    * formula is an exact integer (user counts, per-variant converter
+    * counts from a conditional distinct aggregate), and the statistic
+    * itself is a fixed chain of IEEE divisions and one square root on
+    * those identical integers — both engines round each step
+    * identically, so `round(z, 6)` hash-matches by construction (the
+    * [[graft.ops.Relational.qStatsCorr]] finishing discipline). No
+    * significance flag is emitted: thresholding a statistic at 1.96
+    * would put a knife-edge boolean in the gate; the consumer applies
+    * their own α.
+    *
+    * Scale shape: one (user, type)-keyed distinct pass then a
+    * per-variant conditional aggregate — two combine-fed exchanges
+    * whose output is |types| × 2 rows; the z arithmetic runs on that
+    * dimension-scale table.
+    */
+  def qEventsAbtest(spark: SparkSession, dir: String): DataFrame = {
+    // exposure unit = active USER-DAY (user-level "did they ever X" is
+    // degenerate on this corpus: over 30 days every user fires every
+    // type at least once, p̂ = 1 and the pooled variance is zero)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), (col("user_id") % 2).as("variant"),
+        to_date(col("ts")).as("day"), col("event_type"))
+    val exposure = ev.select(col("variant"), col("user_id"), col("day"))
+      .distinct()
+      .groupBy(col("variant")).agg(count(lit(1)).as("n_ud"))
+    val conv = ev.distinct()
+      .groupBy(col("event_type"), col("variant"))
+      .agg(count(lit(1)).as("n_conv"))
+    conv
+      .join(broadcast(exposure), Seq("variant"))
+      .groupBy(col("event_type"))
+      .agg(
+        max(when(col("variant") === 0, col("n_ud"))).as("n0"),
+        max(when(col("variant") === 1, col("n_ud"))).as("n1"),
+        max(when(col("variant") === 0, col("n_conv"))).as("x0"),
+        max(when(col("variant") === 1, col("n_conv"))).as("x1"))
+      .select(col("event_type"), col("n0"), col("n1"), col("x0"), col("x1"),
+        // guarded: z is undefined when the pooled rate is 0 or 1
+        when(col("x0") + col("x1") > 0 &&
+             col("x0") + col("x1") < col("n0") + col("n1"),
+          round(
+            (col("x0") / col("n0") - col("x1") / col("n1")) /
+            sqrt(((col("x0") + col("x1")) / (col("n0") + col("n1"))) *
+              (lit(1.0) - (col("x0") + col("x1")) / (col("n0") + col("n1"))) *
+              (lit(1.0) / col("n0") + lit(1.0) / col("n1"))),
+            6)).as("z6"))
+      .orderBy(col("event_type"))
+  }
+
+  val qEventsAbtestOracle: String =
+    """WITH ev AS (SELECT DISTINCT user_id, user_id % 2 AS variant,
+        ts::DATE AS dte, event_type FROM events),
+      exposure AS (SELECT variant, count(*)::BIGINT n_ud
+        FROM (SELECT DISTINCT variant, user_id, dte FROM ev) GROUP BY 1),
+      conv AS (SELECT event_type, variant, count(*)::BIGINT n_conv
+        FROM ev GROUP BY 1, 2),
+      w AS (SELECT event_type,
+          max(CASE WHEN variant = 0 THEN n_ud END) n0,
+          max(CASE WHEN variant = 1 THEN n_ud END) n1,
+          max(CASE WHEN variant = 0 THEN n_conv END) x0,
+          max(CASE WHEN variant = 1 THEN n_conv END) x1
+        FROM conv JOIN exposure USING (variant) GROUP BY event_type)
+      SELECT event_type, n0, n1, x0, x1,
+        CASE WHEN x0 + x1 > 0 AND x0 + x1 < n0 + n1 THEN
+          round((x0 / n0::DOUBLE - x1 / n1::DOUBLE) /
+            sqrt(((x0 + x1) / (n0 + n1)::DOUBLE) *
+              (1.0 - (x0 + x1) / (n0 + n1)::DOUBLE) *
+              (1.0 / n0 + 1.0 / n1)), 6) END AS z6
+      FROM w ORDER BY event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_tumbling" -> (qEventsTumbling _),
     "q_events_sliding" -> (qEventsSliding _),
@@ -1600,6 +1677,7 @@ object EventOps {
     "q_events_survival" -> (qEventsSurvival _),
     "q_sql_recursive" -> (qSqlRecursive _),
     "q_variant_json" -> (qVariantJson _),
+    "q_events_abtest" -> (qEventsAbtest _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1632,5 +1710,6 @@ object EventOps {
     "q_events_survival" -> qEventsSurvivalOracle,
     "q_sql_recursive" -> qSqlRecursiveOracle,
     "q_variant_json" -> qVariantJsonOracle,
+    "q_events_abtest" -> qEventsAbtestOracle,
   )
 }

@@ -2495,6 +2495,69 @@ object TextAnalysis {
       FROM cells JOIN cb USING (b) JOIN cl USING (lang) CROSS JOIN n
       GROUP BY b ORDER BY b"""
 
+  // ---------- curation under a per-source token budget ----------
+  /** The final act of corpus curation: spend a fixed TOKEN budget per
+    * source on the highest-quality documents — greedy by classifier
+    * margin, the standard "fill the mixture" step between scoring and
+    * training (per-source budgets are how mixtures are actually
+    * specified: "N tokens of web, M of code"). Quality is the
+    * [[qQualityClassifier]] integer raw score (associative BIGINT sum,
+    * no float anywhere); selection keeps documents in (score desc,
+    * doc_id) order while the RUNNING token count stays within
+    * [[TokenBudgetPerSource]] — the classic greedy knapsack
+    * approximation, deterministic by construction.
+    *
+    * Scale shape: scoring is scan-side; the only ordering is a window
+    * PARTITIONED BY SOURCE (the mixture dimension — bounded
+    * parallelism is per-source, which is exactly how production budget
+    * fills shard); the report is one combine-fed aggregate per source.
+    * No global sort, no driver loop.
+    */
+  private val TokenBudgetPerSource = 1000L
+
+  def qCurateTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ", -1)
+    val scored = Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(words).cast("long"))
+      .withColumn("score", aggregate(
+        transform(words, w =>
+          pmod(conv(substring(md5(w), 1, 6), 16, 10).cast("long"),
+            lit(4096L)) % 101 - 50),
+        lit(0L), (acc, x) => acc + x))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("kept", (col("cum_tokens") <= TokenBudgetPerSource)
+        .cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_selected"),
+        sum(col("kept") * col("n_tokens")).as("tokens_selected"),
+        min(when(col("kept") === 1, col("score"))).as("cutoff_score"))
+      .orderBy(col("source"))
+  }
+
+  val qCurateTokenBudgetOracle: String =
+    s"""WITH s AS (SELECT doc_id, source,
+        len(string_split(text, ' '))::BIGINT n_tokens,
+        list_sum(list_transform(string_split(text, ' '), w ->
+          ('0x' || substr(md5(w), 1, 6))::BIGINT % 4096 % 101 - 50
+        ))::BIGINT AS score
+      FROM documents),
+      r AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+          ORDER BY score DESC, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum_tokens
+        FROM s),
+      k AS (SELECT *, (cum_tokens <= $TokenBudgetPerSource)::BIGINT kept
+        FROM r)
+      SELECT source, count(*)::BIGINT n_docs,
+        sum(kept)::BIGINT n_selected,
+        sum(kept * n_tokens)::BIGINT tokens_selected,
+        min(CASE WHEN kept = 1 THEN score END) cutoff_score
+      FROM k GROUP BY source ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
@@ -2543,6 +2606,7 @@ object TextAnalysis {
     "q_text_perplexity" -> (qTextPerplexity _),
     "q_curate_dsir" -> (qCurateDsir _),
     "q_stats_mutualinfo" -> (qStatsMutualinfo _),
+    "q_curate_token_budget" -> (qCurateTokenBudget _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2593,5 +2657,6 @@ object TextAnalysis {
     "q_text_perplexity" -> qTextPerplexityOracle,
     "q_curate_dsir" -> qCurateDsirOracle,
     "q_stats_mutualinfo" -> qStatsMutualinfoOracle,
+    "q_curate_token_budget" -> qCurateTokenBudgetOracle,
   )
 }

@@ -328,6 +328,69 @@ class ScoringOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("token budget: greedy per-source fill equals a local replay and " +
+    "never exceeds the budget") {
+    val rows = TextAnalysis.qCurateTokenBudget(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "source", "text").collect()
+      .map { r =>
+        val ws = r.getString(2).split(" ", -1)
+        val score = ws.map { w =>
+          java.lang.Long.parseLong(md5hex(w).substring(0, 6), 16) %
+            4096 % 101 - 50
+        }.sum
+        (r.getLong(0), r.getString(1), ws.length.toLong, score)
+      }
+    val local = docs.groupBy(_._2).map { case (src, ds) =>
+      val ordered = ds.sortBy(d => (-d._4, d._1))
+      var cum = 0L
+      val kept = ordered.takeWhile { d => cum += d._3; cum <= 1000L }
+      (src, ds.length.toLong, kept.length.toLong, kept.map(_._3).sum,
+        if (kept.isEmpty) None else Some(kept.map(_._4).min))
+    }.toSeq.sortBy(_._1)
+    assert(rows.toSeq == local, s"engine ${rows.head} vs local ${local.head}")
+    rows.foreach { case (src, _, _, toks, _) =>
+      assert(toks <= 1000L, s"$src exceeded the token budget: $toks")
+    }
+  }
+
+  test("abtest: per-type z statistics equal a local recompute on " +
+    "user-day exposure units") {
+    val rows = EventOps.qEventsAbtest(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, dir)
+      .selectExpr("user_id", "user_id % 2 AS v", "to_date(ts) AS d",
+        "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDate(2), r.getString(3)))
+    val exposure = ev.map(e => (e._2, e._1, e._3)).distinct
+      .groupBy(_._1).map { case (v, s) => v -> s.size.toLong }
+    val conv = ev.map(e => (e._4, e._2, e._1, e._3)).distinct
+      .groupBy(t => (t._1, t._2)).map { case (k, s) => k -> s.size.toLong }
+    val local = ev.map(_._4).distinct.sorted.map { t =>
+      val (n0, n1) = (exposure(0L), exposure(1L))
+      val (x0, x1) = (conv((t, 0L)), conv((t, 1L)))
+      val p = (x0 + x1).toDouble / (n0 + n1)
+      val z = (x0.toDouble / n0 - x1.toDouble / n1) /
+        math.sqrt(p * (1.0 - p) * (1.0 / n0 + 1.0 / n1))
+      (t, n0, n1, x0, x1, round6(z))
+    }
+    assert(rows.length == local.length)
+    rows.toSeq.zip(local).foreach { case ((t1, a, b, c, d, z1),
+        (t2, a2, b2, c2, d2, z2)) =>
+      assert(t1 == t2 && a == a2 && b == b2 && c == c2 && d == d2)
+      assert(math.abs(z1 - z2) <= 1e-9, s"$t1: z $z1 vs $z2")
+    }
+    // the variant split covers every user exactly once
+    assert(ev.map(_._1).distinct.length ==
+      ev.filter(_._2 == 0L).map(_._1).distinct.length +
+      ev.filter(_._2 == 1L).map(_._1).distinct.length)
+  }
+
   test("pca: certification flags hold; the Jacobi eigenpair checks out " +
     "against an independent covariance build, non-vacuously") {
     val row = Similarity.qEmbedPca(spark, dir).collect()
