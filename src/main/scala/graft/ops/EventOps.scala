@@ -1435,51 +1435,78 @@ object EventOps {
     * set from the previous row (`n − d − c`), replacing
     * [[qEventsSurvival]]'s reverse-cumsum window.
     *
-    * Subjects are the same inter-event gaps, TOP-CODED at hour
-    * [[KmMaxHour]] (the standard terminal bucket of a published life
-    * table) so the spine is contiguous and the recursion depth is a
-    * CONSTANT 48 — independent of corpus span, safely inside Spark's
-    * default 100-level recursion budget at any scale. Overflow budget:
-    * each step multiplies s_e9 (≤1e9) by the at-risk count, so BIGINT
-    * holds past ~9e9 subjects; beyond that a deployment drops to e6
-    * fixed-point. Scale shape: corpus work is the same user-partitioned
-    * `lead` + combine-fed hour aggregate as [[qEventsSurvival]]; the
-    * recursion runs on the constant 48-row spine.
+    * Subjects are the same inter-event gaps in FOUR-HOUR buckets,
+    * TOP-CODED at bucket [[KmMaxBucket]] (the standard terminal bucket
+    * of a published life table) so the spine is contiguous and the
+    * recursion depth is a CONSTANT 12 — independent of corpus span,
+    * safely inside Spark's default 100-level recursion budget at any
+    * scale. Depth is the COST dimension of UnionLoop: each level runs
+    * as its own Spark job (~150-200 ms floor even over a 1-row cached
+    * table), so the bucket width is chosen to keep the loop at 12
+    * levels; hour-granular hazards stay available from
+    * [[qEventsSurvival]]. Overflow budget: each step multiplies s_e9
+    * (≤1e9) by the at-risk count, so BIGINT holds past ~9e9 subjects;
+    * beyond that a deployment drops to e6 fixed-point. Scale shape:
+    * corpus work is the same user-partitioned `lead` + combine-fed
+    * bucket aggregate as [[qEventsSurvival]]; the recursion runs on
+    * the constant 12-row single-partition spine.
     */
-  private val KmMaxHour = 47
+  private val KmMaxBucket = 11
+  private val KmBucketSecs = 14400L
 
   def qSqlRecursive(spark: SparkSession, dir: String): DataFrame = {
-    Tables.events(spark, dir).createOrReplaceTempView("graft_events_rec")
-    spark.sql(s"""
+    // The corpus pipeline runs ONCE, batch-side, and materializes the
+    // 12-row life table before any recursion: Spark's UnionLoop
+    // re-executes every relation the recursive term references at EACH
+    // level, so putting the scan+window behind the recursion multiplies
+    // the corpus work by the depth (measured 26 s at sf0.1 — the
+    // recursion must iterate over a checkpointed dimension table, the
+    // same discipline as every iterative fixture in this repo; the
+    // remaining cost is the per-level job floor, bounded by the
+    // constant depth).
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = ev
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .crossJoin(broadcast(ev.agg(max(col("ts")).as("tend"))))
+      .select(
+        least(
+          when(col("next_ts").isNotNull,
+            expr(s"(unix_timestamp(next_ts) - unix_timestamp(ts))" +
+              s" DIV $KmBucketSecs"))
+            .otherwise(
+              expr(s"(unix_timestamp(tend) - unix_timestamp(ts))" +
+                s" DIV $KmBucketSecs")),
+          lit(KmMaxBucket.toLong)).as("t"),
+        col("next_ts").isNotNull.cast("long").as("completed"))
+    val byBucket = gaps.groupBy(col("t"))
+      .agg(sum(col("completed")).as("d"),
+        sum(lit(1L) - col("completed")).as("c"))
+    // the 12-row life table collects to the driver and re-enters as a
+    // LocalRelation (fixed-size model state, the kmeans/BPE discipline):
+    // every UnionLoop level then iterates over a LocalTableScan instead
+    // of scheduling cluster tasks against cached blocks
+    val ltRows = byBucket.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    import spark.implicits._
+    (0L to KmMaxBucket.toLong).map { t =>
+      val (d, c) = ltRows.getOrElse(t, (0L, 0L))
+      (t, d, c)
+    }.toDF("t", "d", "c").createOrReplaceTempView("graft_km_lt")
+    spark.sql("""
       WITH RECURSIVE
-      hz AS (SELECT max(ts) tend FROM graft_events_rec),
-      g AS (SELECT ts, lead(ts) OVER (PARTITION BY user_id
-          ORDER BY ts, event_id) next_ts FROM graft_events_rec),
-      gaps AS (SELECT
-          least(CASE WHEN next_ts IS NOT NULL
-            THEN (unix_timestamp(next_ts) - unix_timestamp(ts)) DIV 3600
-            ELSE (unix_timestamp(tend) - unix_timestamp(ts)) DIV 3600 END,
-            CAST($KmMaxHour AS BIGINT)) AS t,
-          CASE WHEN next_ts IS NOT NULL THEN CAST(1 AS BIGINT)
-            ELSE CAST(0 AS BIGINT) END AS completed
-        FROM g CROSS JOIN hz),
-      byhour AS (SELECT t, sum(completed) d, sum(1 - completed) c
-        FROM gaps GROUP BY t),
-      spine AS (SELECT explode(sequence(CAST(0 AS BIGINT),
-        CAST($KmMaxHour AS BIGINT))) AS t),
-      lt AS (SELECT s.t, coalesce(d, CAST(0 AS BIGINT)) d,
-          coalesce(c, CAST(0 AS BIGINT)) c
-        FROM spine s LEFT JOIN byhour b ON s.t = b.t),
-      n0 AS (SELECT count(*) n FROM gaps),
+      n0 AS (SELECT sum(d + c) AS n FROM graft_km_lt),
       r (t, n_risk, n_completed, n_censored, s_e9) AS (
         SELECT lt.t, n0.n, lt.d, lt.c,
           ((n0.n - lt.d) * CAST(1000000000 AS BIGINT)) DIV n0.n
-        FROM lt CROSS JOIN n0 WHERE lt.t = 0
+        FROM graft_km_lt lt CROSS JOIN n0 WHERE lt.t = 0
         UNION ALL
         SELECT lt.t, r.n_risk - r.n_completed - r.n_censored, lt.d, lt.c,
           (r.s_e9 * (r.n_risk - r.n_completed - r.n_censored - lt.d))
             DIV (r.n_risk - r.n_completed - r.n_censored)
-        FROM r JOIN lt ON lt.t = r.t + 1
+        FROM r JOIN graft_km_lt lt ON lt.t = r.t + 1
         WHERE r.n_risk - r.n_completed - r.n_censored > 0
       )
       SELECT t, n_risk, n_completed, n_censored, s_e9
@@ -1493,15 +1520,15 @@ object EventOps {
           ORDER BY ts, event_id) next_ts FROM events),
       gaps AS (SELECT
           least(CASE WHEN next_ts IS NOT NULL
-            THEN date_diff('second', ts, next_ts) // 3600
-            ELSE date_diff('second', ts, tend) // 3600 END,
-            $KmMaxHour) AS t,
+            THEN date_diff('second', ts, next_ts) // $KmBucketSecs
+            ELSE date_diff('second', ts, tend) // $KmBucketSecs END,
+            $KmMaxBucket) AS t,
           (next_ts IS NOT NULL)::BIGINT completed
         FROM g CROSS JOIN hz),
       byhour AS (SELECT t, sum(completed)::BIGINT d,
           sum(1 - completed)::BIGINT c
         FROM gaps GROUP BY t),
-      spine AS (SELECT unnest(range(0, $KmMaxHour + 1))::BIGINT AS t),
+      spine AS (SELECT unnest(range(0, $KmMaxBucket + 1))::BIGINT AS t),
       lt AS (SELECT s.t, coalesce(d, 0) d, coalesce(c, 0) c
         FROM spine s LEFT JOIN byhour b ON s.t = b.t),
       n0 AS (SELECT count(*)::BIGINT n FROM gaps),

@@ -695,44 +695,49 @@ object Relational {
     * engines, so `round(corr, 6)` matches by construction rather than
     * by luck (the r6 cent-boundary lesson applied to second moments).
     *
-    * Scale shape: the 10 moment cells build scan-side (nested
-    * `transform` — the [[graft.ops.Similarity]] covariance kernel on
-    * the FACT table) and reduce in one combine-fed exchange of
-    * O(tasks · 10) rows; the correlation finish joins the 4-row
-    * diagonal back by broadcast. Corr is scale-invariant, so the
-    * quantization grids cost nothing but the documented overflow
-    * budget.
+    * Scale shape: all 14 moment sums (4 firsts + 10 seconds) fuse into
+    * ONE scan-side aggregate — a single combine-fed exchange carrying
+    * one partial row per task, the cheapest possible plan for a moment
+    * matrix on a fact table (the [[graft.ops.Similarity]] covariance
+    * kernel explodes pair cells instead, fine at 36 cells on the
+    * embedding table; on the fact table the explode shuffled 10× the
+    * rows and measured 5× slower). The 6-row correlation panel unfolds
+    * from the aggregate row with a one-row explode. Corr is
+    * scale-invariant, so the quantization grids cost nothing but the
+    * documented overflow budget.
     */
   def qStatsCorr(spark: SparkSession, dir: String): DataFrame = {
-    val cells = Tables.lineitem(spark, dir)
+    // all 14 moment sums fuse into ONE scan-side aggregate row (no row
+    // explosion: an earlier explode-10-cells form shuffled 10x the fact
+    // rows and measured 3.7 s vs ~0.7 s at sf0.1); the 6-row output
+    // panel then unfolds from that single row with a trivial explode
+    val dims = Seq("quantity", "price_usd", "discount", "tax")
+    val moments = Tables.lineitem(spark, dir)
       .select(expr(
         """array(CAST(round(l_quantity) AS BIGINT),
                  CAST(round(l_extendedprice) AS BIGINT),
                  CAST(round(l_discount * 100) AS BIGINT),
                  CAST(round(l_tax * 100) AS BIGINT))""").as("q"))
-      .select(explode(expr(
-        "flatten(transform(sequence(0, 3), i -> transform(sequence(i, 3), " +
-          "j -> struct(i AS di, j AS dj, q[i] AS qi, q[j] AS qj))))")).as("p"))
-      .groupBy(col("p.di").as("di"), col("p.dj").as("dj"))
-      .agg(count(lit(1)).as("n"), sum(col("p.qi")).as("s_i"),
-        sum(col("p.qj")).as("s_j"), sum(expr("p.qi * p.qj")).as("s_ij"))
-    val diag = cells.filter(col("di") === col("dj"))
-      .select(col("di").as("d"), col("s_i").as("sd"), col("s_ij").as("sdd"))
-    val names = "array('quantity', 'price_usd', 'discount', 'tax')"
-    cells.filter(col("di") < col("dj"))
-      .join(broadcast(diag.toDF("di", "s1", "s11")), "di")
-      .join(broadcast(diag.toDF("dj", "s2", "s22")), "dj")
+      .agg(count(lit(1)).as("n"),
+        (for (i <- 0 until 4) yield
+          sum(expr(s"q[$i]")).as(s"s$i")) ++
+        (for (i <- 0 until 4; j <- i until 4) yield
+          sum(expr(s"q[$i] * q[$j]")).as(s"p$i$j")): _*)
+    val cells = (for (i <- 0 until 4; j <- i + 1 until 4) yield
+      s"""struct('${dims(i)}' AS col_i, '${dims(j)}' AS col_j,
+           s$i AS si, s$j AS sj, p$i$j AS sij,
+           p$i$i AS sii, p$j$j AS sjj)""").mkString("array(", ", ", ")")
+    moments
+      .select(col("n"), explode(expr(cells)).as("c"))
       .select(
-        expr(s"element_at($names, di + 1)").as("col_i"),
-        expr(s"element_at($names, dj + 1)").as("col_j"),
-        col("n"),
+        col("c.col_i").as("col_i"), col("c.col_j").as("col_j"), col("n"),
         round(
-          expr("""CAST(CAST(n AS DECIMAL(38,0)) * s_ij
-                    - CAST(s_i AS DECIMAL(38,0)) * s_j AS DOUBLE)""") /
-          (sqrt(expr("""CAST(CAST(n AS DECIMAL(38,0)) * s11
-                    - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)""")) *
-           sqrt(expr("""CAST(CAST(n AS DECIMAL(38,0)) * s22
-                    - CAST(s2 AS DECIMAL(38,0)) * s2 AS DOUBLE)"""))),
+          expr("""CAST(CAST(n AS DECIMAL(38,0)) * c.sij
+                    - CAST(c.si AS DECIMAL(38,0)) * c.sj AS DOUBLE)""") /
+          (sqrt(expr("""CAST(CAST(n AS DECIMAL(38,0)) * c.sii
+                    - CAST(c.si AS DECIMAL(38,0)) * c.si AS DOUBLE)""")) *
+           sqrt(expr("""CAST(CAST(n AS DECIMAL(38,0)) * c.sjj
+                    - CAST(c.sj AS DECIMAL(38,0)) * c.sj AS DOUBLE)"""))),
           6).as("corr6"))
       .orderBy(col("col_i"), col("col_j"))
   }

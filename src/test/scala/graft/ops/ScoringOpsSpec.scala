@@ -247,8 +247,8 @@ class ScoringOpsSpec extends AnyFunSuite {
     val subjects = ev.groupBy(_._1).values.flatMap { es =>
       val ts = es.sortBy(e => (e._2, e._3)).map(_._2)
       val completed = ts.dropRight(1).zip(ts.drop(1))
-        .map { case (a, b) => (math.min((b - a) / 3600, 47L), true) }
-      completed :+ ((math.min((tend - ts.last) / 3600, 47L), false))
+        .map { case (a, b) => (math.min((b - a) / 14400, 11L), true) }
+      completed :+ ((math.min((tend - ts.last) / 14400, 11L), false))
     }.toSeq
     val byHour = subjects.groupBy(_._1).map { case (t, gs) =>
       t -> (gs.count(_._2).toLong, gs.count(!_._2).toLong)
@@ -257,7 +257,7 @@ class ScoringOpsSpec extends AnyFunSuite {
     // engines' integer division
     var risk = subjects.size.toLong
     var s = 0L
-    val local = (0L to 47L).iterator.takeWhile(_ => risk > 0).map { t =>
+    val local = (0L to 11L).iterator.takeWhile(_ => risk > 0).map { t =>
       val (d, c) = byHour.getOrElse(t, (0L, 0L))
       s = if (t == 0) (risk - d) * 1000000000L / risk
           else s * (risk - d) / risk
