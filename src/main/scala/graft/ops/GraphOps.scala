@@ -439,10 +439,23 @@ object GraphOps {
       .join(broadcast(deg.where(col("d") <= LinkpredCenterCap)), "w")
       .select(col("w"), col("n"),
         expr("CAST(round(1000000 / ln(d)) AS BIGINT)").as("aw"))
-    val wedges = centered.select(col("w"), col("n").as("u"), col("aw"))
-      .join(centered.select(col("w"), col("n").as("v")), Seq("w"))
-      .where(col("u") < col("v"))
-      .groupBy(col("u"), col("v"))
+    // wedges WITHOUT a self-join: each center's (cap-bounded) sorted
+    // neighbor list explodes its unordered pairs scan-side — one
+    // center-keyed exchange + one pair-keyed exchange total, versus the
+    // self-join form's two sorted exchanges + SMJ (measured ~1.4 s →
+    // ~0.9 s at sf0.1); the per-center pair fan-out is explicitly
+    // bounded by cap²/2
+    val wedges = centered
+      .groupBy(col("w"), col("aw"))
+      .agg(sort_array(collect_list(col("n"))).as("ns"))
+      .where(size(col("ns")) >= 2)
+      // sequence(2, n) with n >= 2 only — sequence DESCENDS when
+      // start > stop (the BPE adjacency lesson)
+      .select(col("aw"), explode(expr(
+        """flatten(transform(sequence(2, size(ns)),
+             j -> transform(slice(ns, 1, j - 1),
+               x -> struct(x AS u, element_at(ns, j) AS v))))""")).as("p"))
+      .groupBy(col("p.u").as("u"), col("p.v").as("v"))
       .agg(count(lit(1)).as("cn"), sum(col("aw")).as("aa6"))
     val cand = wedges.join(e,
       col("u") === col("pa") && col("v") === col("pb"), "left_anti")
