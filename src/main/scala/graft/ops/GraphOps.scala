@@ -486,11 +486,81 @@ object GraphOps {
       FROM cand JOIN deg du ON du.w = cand.u JOIN deg dv ON dv.w = cand.v
       ORDER BY cn DESC, pu, pv LIMIT 30"""
 
+  // ---------- BFS: bounded shortest-hop distances ----------
+  /** Breadth-first shortest-hop distances from a deterministic source
+    * (the minimum part id) — the reachability/radius probe of the graph
+    * family, [[BfsRounds]] synchronous frontier expansions unrolled
+    * (bounded rounds = bounded cost AND an oracle-replayable
+    * trajectory, the [[qGraphLabelprop]] discipline). Each round joins
+    * the CURRENT frontier (nodes first reached last round) against the
+    * checkpointed edge list in both directions and min-folds
+    * discoveries; per-level output aggregates to (count, min, max,
+    * sum) so the result is dimension-sized while still hashing every
+    * reached node's identity.
+    *
+    * Scale shape: per round one frontier-keyed join against the edge
+    * fixture and one node-keyed min-aggregate; frontier and distance
+    * tables are node-scale. The DuckDB oracle walks the same graph
+    * with a recursive CTE under set semantics (`UNION` dedups (node,
+    * dist) states, so cycles terminate) and takes min(dist) per node —
+    * an independent algorithm whose agreement proves the unrolled
+    * rounds lose nothing within the bound.
+    */
+  private val BfsRounds = 4
+
+  def qGraphBfs(spark: SparkSession, dir: String): DataFrame = {
+    val e = coPurchaseEdges(spark, dir)
+    val src = e.agg(least(min(col("pa")), min(col("pb"))).as("p"))
+      .collect().head.getLong(0)
+    import spark.implicits._
+    var dist = Seq((src, 0L)).toDF("node", "dist")
+    var frontier = dist
+    for (round <- 1 to BfsRounds) {
+      val neighbors = frontier.join(e, col("node") === col("pa"))
+        .select(col("pb").as("node"))
+        .unionByName(frontier.join(e, col("node") === col("pb"))
+          .select(col("pa").as("node")))
+        .distinct()
+      val discovered = neighbors
+        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), lit(round.toLong).as("dist"))
+        .localCheckpoint()
+      // dist stays a flat union of checkpointed level tables — no
+      // re-checkpoint needed, lineage depth is the constant round count
+      dist = dist.unionByName(discovered)
+      frontier = discovered
+    }
+    dist.groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"),
+        max(col("node")).as("max_node"), sum(col("node")).as("sum_nodes"))
+      .orderBy(col("dist"))
+  }
+
+  val qGraphBfsOracle: String =
+    """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey o, l_partkey p
+        FROM lineitem WHERE l_partkey IN
+          (SELECT p_partkey FROM part WHERE p_size <= 10)),
+      e AS (SELECT DISTINCT a.p pa, b.p pb FROM li a
+        JOIN li b ON a.o = b.o AND a.p < b.p),
+      src AS (SELECT least(min(pa), min(pb)) s FROM e),
+      walk (node, dist) AS (
+        SELECT s, 0::BIGINT FROM src
+        UNION
+        SELECT CASE WHEN w.node = e.pa THEN e.pb ELSE e.pa END,
+          w.dist + 1
+        FROM walk w JOIN e ON w.node IN (e.pa, e.pb)
+        WHERE w.dist < 4),
+      d AS (SELECT node, min(dist) dist FROM walk GROUP BY node)
+      SELECT dist, count(*)::BIGINT n_nodes, min(node) min_node,
+        max(node) max_node, sum(node)::BIGINT sum_nodes
+      FROM d GROUP BY dist ORDER BY dist"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_triangles" -> (qGraphTriangles _),
     "q_graph_kcore" -> (qGraphKcore _),
     "q_graph_labelprop" -> (qGraphLabelprop _),
     "q_graph_linkpred" -> (qGraphLinkpred _),
+    "q_graph_bfs" -> (qGraphBfs _),
     "q_market_basket" -> (qMarketBasket _),
   )
 
@@ -499,6 +569,7 @@ object GraphOps {
     "q_graph_kcore" -> qGraphKcoreOracle,
     "q_graph_labelprop" -> qGraphLabelpropOracle,
     "q_graph_linkpred" -> qGraphLinkpredOracle,
+    "q_graph_bfs" -> qGraphBfsOracle,
     "q_market_basket" -> qMarketBasketOracle,
   )
 }

@@ -1095,6 +1095,113 @@ object Relational {
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  // ---------- pipe-syntax SQL (Spark 4 |> operators) ----------
+  /** Spark 4's PIPE SQL syntax (SPARK-49555) driven end-to-end: the
+    * linear `FROM … |> WHERE … |> AGGREGATE … |> ORDER BY` form that
+    * reads in execution order — proving the modern surface compiles to
+    * the same plan a JDBC consumer would get from classic SQL (the
+    * oracle IS that classic form, so the hash match certifies semantic
+    * equivalence, with the revenue decimal-exact per the q10
+    * discipline). Planwise this is an ordinary filter → partial/final
+    * aggregate → sort; the syntax is the feature under test.
+    */
+  def qSqlPipe(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders_pipe")
+    spark.sql(
+      """FROM graft_orders_pipe
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING)
+               AS total_price
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority""")
+  }
+
+  val qSqlPipeOracle: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      sum(o_totalprice::DECIMAL(18,2))::VARCHAR AS total_price
+      FROM orders WHERE o_orderstatus = 'O'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  // ---------- LATERAL correlated subquery (top-N per group via join) ----------
+  /** The LATERAL top-N-per-group idiom: for every nation, its two
+    * highest-balance customers via a correlated `LATERAL (… ORDER BY …
+    * LIMIT 2)` subquery — the SQL surface users reach for before they
+    * learn window functions, and a real decorrelation workout for
+    * Catalyst (the correlated limit must become a per-key rank, not a
+    * per-row re-scan). Balances compare as DECIMAL(18,2) so the top-2
+    * cut is exact; ties break on the customer key.
+    *
+    * Scale shape: Catalyst decorrelates to a partitioned rank over the
+    * customer side — one nation-keyed exchange, no per-nation re-scan
+    * of the fact; the 25-row nation dimension broadcasts.
+    */
+  def qLateralJoin(spark: SparkSession, dir: String): DataFrame = {
+    Tables.nation(spark, dir).createOrReplaceTempView("graft_nation_lat")
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_customer_lat")
+    spark.sql(
+      """SELECT n.n_name, c.c_custkey,
+           CAST(c.bal AS STRING) AS acctbal
+         FROM graft_nation_lat n
+         JOIN LATERAL (
+           SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+           FROM graft_customer_lat
+           WHERE c_nationkey = n.n_nationkey
+           ORDER BY bal DESC, c_custkey
+           LIMIT 2) c
+         ORDER BY n.n_name, c.bal DESC, c.c_custkey""")
+  }
+
+  val qLateralJoinOracle: String =
+    """SELECT n.n_name, c.c_custkey, c.bal::VARCHAR AS acctbal
+      FROM nation n
+      JOIN LATERAL (
+        SELECT c_custkey, c_acctbal::DECIMAL(18,2) AS bal
+        FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY bal DESC, c_custkey
+        LIMIT 2) c ON true
+      ORDER BY n.n_name, c.bal DESC, c.c_custkey"""
+
+  // ---------- UNPIVOT (wide → long reshape) ----------
+  /** The UNPIVOT clause (Spark 3.4+ SQL surface): the four lineitem
+    * measures reshape wide → long and aggregate per measure — the melt
+    * step of every profiling/reporting pipeline, complementing
+    * [[qPivot]]'s long → wide. Measures quantize to exact e2 integers
+    * AFTER the reshape so the sums are associative BIGINTs.
+    *
+    * Scale shape: UNPIVOT is a scan-side Expand (4 output rows per
+    * input row, no exchange); the aggregate is one combine-fed
+    * 4-group exchange. The fan-out is the reshape's semantics — the
+    * plan adds nothing on top.
+    */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_li_unpivot")
+    spark.sql(
+      """SELECT m, count(*) AS n,
+           sum(CAST(round(v * 100) AS BIGINT)) AS sum_e2,
+           min(CAST(round(v * 100) AS BIGINT)) AS min_e2,
+           max(CAST(round(v * 100) AS BIGINT)) AS max_e2
+         FROM (
+           SELECT l_quantity AS quantity, l_extendedprice AS price,
+                  l_discount AS discount, l_tax AS tax
+           FROM graft_li_unpivot)
+         UNPIVOT (v FOR m IN (quantity, price, discount, tax))
+         GROUP BY m ORDER BY m""")
+  }
+
+  val qUnpivotOracle: String =
+    """WITH long AS (
+        SELECT 'quantity' AS m, l_quantity AS v FROM lineitem
+        UNION ALL SELECT 'price', l_extendedprice FROM lineitem
+        UNION ALL SELECT 'discount', l_discount FROM lineitem
+        UNION ALL SELECT 'tax', l_tax FROM lineitem)
+      SELECT m, count(*) AS n,
+        sum(round(v * 100)::BIGINT)::BIGINT AS sum_e2,
+        min(round(v * 100)::BIGINT) AS min_e2,
+        max(round(v * 100)::BIGINT) AS max_e2
+      FROM long GROUP BY m ORDER BY m"""
+
   import org.apache.spark.sql.SparkSession
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
@@ -2196,6 +2303,9 @@ object Relational {
     "q_set_ops" -> (qSetOps _),
     "q_distinct_agg" -> (qDistinctAgg _),
     "q_stats_corr" -> (qStatsCorr _),
+    "q_sql_pipe" -> (qSqlPipe _),
+    "q_lateral_join" -> (qLateralJoin _),
+    "q_unpivot" -> (qUnpivot _),
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_case_when" -> (qCaseWhen _),
     "q_string_funcs" -> (qStringFuncs _),
@@ -2260,6 +2370,9 @@ object Relational {
     "q_set_ops" -> qSetOpsOracle,
     "q_distinct_agg" -> qDistinctAggOracle,
     "q_stats_corr" -> qStatsCorrOracle,
+    "q_sql_pipe" -> qSqlPipeOracle,
+    "q_lateral_join" -> qLateralJoinOracle,
+    "q_unpivot" -> qUnpivotOracle,
     "q_scalar_subquery" -> qScalarSubqueryOracle,
     "q_case_when" -> qCaseWhenOracle,
     "q_string_funcs" -> qStringFuncsOracle,

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Local-reference replays for the SQL-surface family (pipe syntax,
+  * LATERAL, UNPIVOT) and bounded BFS. The value-level gate is the
+  * DuckDB oracle; these replays prove the engine against in-JVM
+  * recomputes so a Spark-side semantic drift (not just a cross-engine
+  * one) would also be caught.
+  */
+class SurfaceOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("pipe syntax: |> pipeline equals a local recompute of the " +
+    "classic aggregate") {
+    val rows = Relational.qSqlPipe(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    val orders = Tables.orders(spark, dir)
+      .select("o_orderstatus", "o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .filter(_._1 == "O")
+    val local = orders.groupBy(_._2).map { case (pri, os) =>
+      val total = os.map(o => BigDecimal(o._3)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+      (pri, os.length.toLong, total.toString)
+    }.toSeq.sortBy(_._1)
+    assert(rows.toSeq == local, s"engine ${rows.head} vs local ${local.head}")
+  }
+
+  test("lateral: per-nation top-2 balances equal a local recompute") {
+    val rows = Relational.qLateralJoin(spark, dir).collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue, r.getString(2)))
+    assert(rows.nonEmpty)
+    val nations = Tables.nation(spark, dir)
+      .select("n_nationkey", "n_name").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getString(1)))
+    val custs = Tables.customer(spark, dir)
+      .select("c_custkey", "c_nationkey", "c_acctbal").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP)))
+    val local = nations.sortBy(_._2).flatMap { case (nk, name) =>
+      custs.filter(_._2 == nk)
+        .sortBy(c => (-c._3, c._1))
+        .take(2)
+        .map(c => (name, c._1, c._3.toString))
+    }
+    assert(rows.toSeq == local.toSeq,
+      s"engine ${rows.take(3).toSeq} vs local ${local.take(3).toSeq}")
+    // each nation contributes at most 2 rows
+    rows.groupBy(_._1).foreach { case (n, rs) =>
+      assert(rs.length <= 2, s"nation $n has ${rs.length} rows")
+    }
+  }
+
+  test("unpivot: per-measure stats equal a local melt") {
+    val rows = Relational.qUnpivot(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.length == 4)
+    val li = Tables.lineitem(spark, dir)
+      .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .collect()
+    val measures = Seq(
+      "discount" -> li.map(r => math.round(r.getDouble(2) * 100)),
+      "price" -> li.map(r => math.round(r.getDouble(1) * 100)),
+      "quantity" -> li.map(r => math.round(r.getDouble(0) * 100)),
+      "tax" -> li.map(r => math.round(r.getDouble(3) * 100)))
+    val local = measures.map { case (m, vs) =>
+      (m, vs.length.toLong, vs.sum, vs.min, vs.max)
+    }
+    assert(rows.toSeq == local, s"engine ${rows.toSeq} vs local $local")
+  }
+
+  test("bfs: per-level aggregates equal a local frontier walk and " +
+    "levels partition the reached set") {
+    val rows = GraphOps.qGraphBfs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty && rows.head._1 == 0L)
+    val small = Tables.part(spark, dir).where("p_size <= 10")
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(t => small(t._2)).distinct
+    val edges = li.groupBy(_._1).values.flatMap { ps =>
+      val s = ps.map(_._2).distinct.sorted
+      for (i <- s.indices; j <- i + 1 until s.size) yield (s(i), s(j))
+    }.toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val src = edges.flatMap(e => Seq(e._1, e._2)).min
+    var distMap = Map(src -> 0L)
+    var frontier = Set(src)
+    for (round <- 1 to 4) {
+      val next = frontier.flatMap(adj.getOrElse(_, Set.empty))
+        .diff(distMap.keySet)
+      distMap ++= next.map(_ -> round.toLong)
+      frontier = next
+    }
+    val local = distMap.toSeq.groupBy(_._2).map { case (d, ns) =>
+      val ids = ns.map(_._1)
+      (d, ids.length.toLong, ids.min, ids.max, ids.sum)
+    }.toSeq.sortBy(_._1)
+    assert(rows.toSeq == local, s"engine ${rows.toSeq} vs local $local")
+    // levels partition: total reached equals the union of level counts
+    assert(rows.map(_._2).sum == distMap.size)
+  }
+}
