@@ -2558,6 +2558,128 @@ object TextAnalysis {
         min(CASE WHEN kept = 1 THEN score END) cutoff_score
       FROM k GROUP BY source ORDER BY source"""
 
+  // ---------- classifier evaluation: confusion matrix + P/R/F1 ----------
+  /** The evaluation pass every production classifier ships with: the
+    * [[qTextLangid]] heuristic scored against the corpus's TRUE `lang`
+    * labels — per class, support / true positives / false
+    * positives+negatives and precision/recall/F1 in fixed-point
+    * millionths (integer DIV on exact confusion counts, so the whole
+    * scorecard hash-matches; a class the model never predicts gets
+    * NULL precision via a lazy guard rather than a divide-by-zero).
+    * This is the missing half of deploying [[qQualityClassifier]]-style
+    * filters: the filter is only as good as an eval harness can prove.
+    *
+    * Scale shape: the prediction pipeline is [[qTextLangid]]'s
+    * (broadcast marker join + doc-keyed rank); everything after is
+    * arithmetic on the |classes|² confusion cells.
+    */
+  def qLangidEval(spark: SparkSession, dir: String): DataFrame = {
+    val cells = qTextLangid(spark, dir)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val byTrue = cells.groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_docs"),
+        sum(when(col("pred_lang") === col("lang"), col("n"))
+          .otherwise(0L)).as("tp"))
+    val byPred = cells.groupBy(col("pred_lang"))
+      .agg(sum(col("n")).as("n_pred"))
+    byTrue
+      .join(byPred, col("lang") === col("pred_lang"), "left_outer")
+      .select(col("lang"), col("n_docs"), col("tp"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+      .select(col("lang"), col("n_docs"), col("tp"),
+        (col("n_pred") - col("tp")).as("fp"),
+        (col("n_docs") - col("tp")).as("fn"),
+        when(col("n_pred") > 0,
+          expr("tp * 1000000 DIV n_pred")).as("precision_e6"),
+        expr("tp * 1000000 DIV n_docs").as("recall_e6"),
+        when(col("n_pred") + col("n_docs") > 0,
+          expr("2 * tp * 1000000 DIV (n_pred + n_docs)")).as("f1_e6"))
+      .orderBy(col("lang"))
+  }
+
+  val qLangidEvalOracle: String =
+    s"""WITH m(m_lang, m_word) AS (VALUES $markerValues),
+      tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) w
+        FROM documents),
+      sc AS (SELECT doc_id, m_lang, count(*) score FROM tok
+        JOIN m ON w = m_word GROUP BY doc_id, m_lang),
+      best AS (SELECT doc_id, m_lang, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY score DESC, m_lang ASC) rn FROM sc) t WHERE rn = 1),
+      pred AS (SELECT d.lang, coalesce(best.m_lang, 'unknown') pred_lang
+        FROM documents d LEFT JOIN best ON d.doc_id = best.doc_id),
+      cells AS (SELECT lang, pred_lang, count(*)::BIGINT n
+        FROM pred GROUP BY 1, 2),
+      bt AS (SELECT lang, sum(n)::BIGINT n_docs,
+          sum(CASE WHEN pred_lang = lang THEN n ELSE 0 END)::BIGINT tp
+        FROM cells GROUP BY lang),
+      bp AS (SELECT pred_lang, sum(n)::BIGINT n_pred
+        FROM cells GROUP BY pred_lang)
+      SELECT lang, n_docs, tp,
+        coalesce(n_pred, 0) - tp AS fp,
+        n_docs - tp AS fn,
+        CASE WHEN coalesce(n_pred, 0) > 0
+          THEN tp * 1000000 // n_pred END AS precision_e6,
+        tp * 1000000 // n_docs AS recall_e6,
+        CASE WHEN coalesce(n_pred, 0) + n_docs > 0
+          THEN 2 * tp * 1000000 // (coalesce(n_pred, 0) + n_docs)
+          END AS f1_e6
+      FROM bt LEFT JOIN bp ON lang = pred_lang
+      ORDER BY lang"""
+
+  // ---------- classifier calibration (reliability table) ----------
+  /** Reliability diagram for the hashed linear classifier: documents
+    * bucket by normalized margin into ten fixed bins and each bin
+    * reports its observed `lang = 'en'` rate — does a higher score
+    * actually mean more English? The classifier's weights are
+    * hash-derived (not trained), so this is the HARNESS being proven:
+    * every value is an exact integer (bin index by integer floor
+    * division with clamping, rates in fixed-point millionths), and the
+    * same table built on a trained model drops in unchanged. One
+    * scan-side score pass + one ten-group combine-fed aggregate.
+    */
+  def qQualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ", -1)
+    Tables.documents(spark, dir)
+      .withColumn("n_words", size(words))
+      .withColumn("raw_score", aggregate(
+        transform(words, w =>
+          pmod(conv(substring(md5(w), 1, 6), 16, 10).cast("long"),
+            lit(4096L)) % 101 - 50),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("margin_e4", expr("raw_score * 10000 DIV (n_words * 50)"))
+      .withColumn("bin",
+        expr("greatest(0L, least(9L, (margin_e4 + 10000) DIV 2000))"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(col("margin_e4")).as("sum_margin_e4"))
+      .select(col("bin"), col("n_docs"), col("n_en"),
+        expr("n_en * 1000000 DIV n_docs").as("en_rate_e6"),
+        expr("sum_margin_e4 DIV n_docs").as("avg_margin_e4"))
+      .orderBy(col("bin"))
+  }
+
+  val qQualityCalibrationOracle: String =
+    """WITH s AS (SELECT lang,
+        len(string_split(text, ' '))::BIGINT AS n_words,
+        list_sum(list_transform(string_split(text, ' '), w ->
+          ('0x' || substr(md5(w), 1, 6))::BIGINT % 4096 % 101 - 50
+        ))::BIGINT AS raw_score
+      FROM documents),
+      b AS (SELECT lang,
+        greatest(0, least(9,
+          (raw_score * 10000 // (n_words * 50) + 10000) // 2000)) AS bin,
+        raw_score * 10000 // (n_words * 50) AS margin_e4
+      FROM s)
+      SELECT bin, count(*)::BIGINT n_docs,
+        sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT n_en,
+        sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT
+          * 1000000 // count(*) AS en_rate_e6,
+        sum(margin_e4)::BIGINT // count(*) AS avg_margin_e4
+      FROM b GROUP BY bin ORDER BY bin"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
@@ -2607,6 +2729,8 @@ object TextAnalysis {
     "q_curate_dsir" -> (qCurateDsir _),
     "q_stats_mutualinfo" -> (qStatsMutualinfo _),
     "q_curate_token_budget" -> (qCurateTokenBudget _),
+    "q_langid_eval" -> (qLangidEval _),
+    "q_quality_calibration" -> (qQualityCalibration _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2658,5 +2782,7 @@ object TextAnalysis {
     "q_curate_dsir" -> qCurateDsirOracle,
     "q_stats_mutualinfo" -> qStatsMutualinfoOracle,
     "q_curate_token_budget" -> qCurateTokenBudgetOracle,
+    "q_langid_eval" -> qLangidEvalOracle,
+    "q_quality_calibration" -> qQualityCalibrationOracle,
   )
 }

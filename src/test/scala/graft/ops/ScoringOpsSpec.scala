@@ -391,6 +391,64 @@ class ScoringOpsSpec extends AnyFunSuite {
       ev.filter(_._2 == 1L).map(_._1).distinct.length)
   }
 
+  test("langid eval: scorecard equals a confusion recompute from the " +
+    "prediction table and satisfies the count identities") {
+    val rows = TextAnalysis.qLangidEval(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        r.getLong(6),
+        if (r.isNullAt(7)) None else Some(r.getLong(7))))
+    assert(rows.nonEmpty)
+    val pred = TextAnalysis.qTextLangid(spark, dir)
+      .select("lang", "pred_lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val local = pred.map(_._1).distinct.sorted.map { l =>
+      val nDocs = pred.count(_._1 == l).toLong
+      val tp = pred.count(p => p._1 == l && p._2 == l).toLong
+      val nPred = pred.count(_._2 == l).toLong
+      (l, nDocs, tp, nPred - tp, nDocs - tp,
+        if (nPred > 0) Some(tp * 1000000L / nPred) else None,
+        tp * 1000000L / nDocs,
+        if (nPred + nDocs > 0) Some(2 * tp * 1000000L / (nPred + nDocs))
+        else None)
+    }
+    assert(rows.toSeq == local.toSeq)
+    assert(rows.map(_._2).sum == pred.length, "supports cover the corpus")
+    rows.foreach { case (l, nDocs, tp, _, fn, _, _, _) =>
+      assert(tp + fn == nDocs, s"$l: tp + fn must equal support")
+    }
+  }
+
+  test("calibration: reliability bins equal a local recompute and the " +
+    "bins partition the corpus") {
+    val rows = TextAnalysis.qQualityCalibration(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, dir)
+      .select("lang", "text").collect()
+      .map { r =>
+        val ws = r.getString(1).split(" ", -1)
+        val score = ws.map { w =>
+          java.lang.Long.parseLong(md5hex(w).substring(0, 6), 16) %
+            4096 % 101 - 50
+        }.sum
+        val margin = score * 10000L / (ws.length * 50L)
+        val bin = math.max(0L, math.min(9L, (margin + 10000) / 2000))
+        (r.getString(0), bin, margin)
+      }
+    val local = docs.groupBy(_._2).map { case (bin, ds) =>
+      val nEn = ds.count(_._1 == "en").toLong
+      val sumM = ds.map(_._3).sum
+      (bin, ds.length.toLong, nEn, nEn * 1000000L / ds.length,
+        // integer DIV truncates toward zero in both engines
+        sumM / ds.length)
+    }.toSeq.sortBy(_._1)
+    assert(rows.toSeq == local)
+    assert(rows.map(_._2).sum == docs.length, "bins partition the corpus")
+  }
+
   test("pca: certification flags hold; the Jacobi eigenpair checks out " +
     "against an independent covariance build, non-vacuously") {
     val row = Similarity.qEmbedPca(spark, dir).collect()
