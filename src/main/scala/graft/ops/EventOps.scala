@@ -1619,19 +1619,13 @@ object EventOps {
     * whose output is |types| × 2 rows; the z arithmetic runs on that
     * dimension-scale table.
     */
-  def qEventsAbtest(spark: SparkSession, dir: String): DataFrame = {
-    // exposure unit = active USER-DAY (user-level "did they ever X" is
-    // degenerate on this corpus: over 30 days every user fires every
-    // type at least once, p̂ = 1 and the pooled variance is zero)
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"), (col("user_id") % 2).as("variant"),
-        to_date(col("ts")).as("day"), col("event_type"))
-    val exposure = ev.select(col("variant"), col("user_id"), col("day"))
-      .distinct()
-      .groupBy(col("variant")).agg(count(lit(1)).as("n_ud"))
-    val conv = ev.distinct()
-      .groupBy(col("event_type"), col("variant"))
-      .agg(count(lit(1)).as("n_conv"))
+  /** Shared finishing arithmetic of the batch and streaming A/B
+    * readouts: exposure = user-day counts per variant, conv = per-type
+    * converter counts — the z chain on exact integers is what both
+    * paths must agree on (and the shared oracle then proves).
+    */
+  private def abtestFinish(exposure: DataFrame, conv: DataFrame)
+      : DataFrame =
     conv
       .join(broadcast(exposure), Seq("variant"))
       .groupBy(col("event_type"))
@@ -1651,6 +1645,67 @@ object EventOps {
               (lit(1.0) / col("n0") + lit(1.0) / col("n1"))),
             6)).as("z6"))
       .orderBy(col("event_type"))
+
+  def qEventsAbtest(spark: SparkSession, dir: String): DataFrame = {
+    // exposure unit = active USER-DAY (user-level "did they ever X" is
+    // degenerate on this corpus: over 30 days every user fires every
+    // type at least once, p̂ = 1 and the pooled variance is zero)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), (col("user_id") % 2).as("variant"),
+        to_date(col("ts")).as("dte"), col("event_type"))
+    val exposure = ev.select(col("variant"), col("user_id"), col("dte"))
+      .distinct()
+      .groupBy(col("variant")).agg(count(lit(1)).as("n_ud"))
+    val conv = ev.distinct()
+      .groupBy(col("event_type"), col("variant"))
+      .agg(count(lit(1)).as("n_conv"))
+    abtestFinish(exposure, conv)
+  }
+
+  /** The A/B readout run ON the ingest stream (the [[qStreamDrift]]
+    * discipline): ONE stateful complete-mode aggregate accumulates each
+    * user-day's type set (`collect_set` keyed on (variant, user, day) —
+    * state is user-day-scale, the sessionization state class, not
+    * constant like drift's bins; documented honestly), the memory sink
+    * holds that panel, and the z arithmetic runs as a batch post-pass
+    * over it. Shares [[qEventsAbtestOracle]] VERBATIM, so the gate
+    * proves stream ≡ batch bit-for-bit — the `q_stream_tumbling`
+    * discipline applied to experiment analytics.
+    */
+  def qStreamAbtest(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = Tables.table(spark, dir, "events").schema
+    val panel = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", Tables.normalizedTs(rawSchema("ts").dataType))
+      .select(col("user_id"), (col("user_id") % 2).as("variant"),
+        to_date(col("ts")).as("dte"), col("event_type"))
+      .groupBy(col("variant"), col("user_id"), col("dte"))
+      .agg(collect_set(col("event_type")).as("types"))
+    val name = "graft_stream_abtest"
+    val q = startTrimmedStream(spark, Some("8")) {
+      panel.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    try q.awaitTermination()
+    finally q.stop()
+    val t = spark.table(name)
+    // both finishing branches read the memory sink; re-wrapping one side
+    // mints fresh attribute ids (MemoryPlan exposes the SAME attrs to
+    // every reader, and joining two such subplans trips Catalyst's
+    // conflicting-reference check)
+    val t2 = spark.createDataFrame(t.rdd, t.schema)
+    val exposure = t2.groupBy(col("variant")).agg(count(lit(1)).as("n_ud"))
+    val conv = t.select(col("variant"), explode(col("types")).as("event_type"))
+      .groupBy(col("event_type"), col("variant"))
+      .agg(count(lit(1)).as("n_conv"))
+    abtestFinish(exposure, conv)
   }
 
   val qEventsAbtestOracle: String =
@@ -1705,6 +1760,7 @@ object EventOps {
     "q_sql_recursive" -> (qSqlRecursive _),
     "q_variant_json" -> (qVariantJson _),
     "q_events_abtest" -> (qEventsAbtest _),
+    "q_stream_abtest" -> (qStreamAbtest _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1738,5 +1794,6 @@ object EventOps {
     "q_sql_recursive" -> qSqlRecursiveOracle,
     "q_variant_json" -> qVariantJsonOracle,
     "q_events_abtest" -> qEventsAbtestOracle,
+    "q_stream_abtest" -> qEventsAbtestOracle,
   )
 }

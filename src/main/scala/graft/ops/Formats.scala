@@ -211,6 +211,63 @@ object Formats {
     * remove even that at 100 TB); classification is a scan-side CASE
     * and the report aggregate is 4 groups.
     */
+  /** Small-file compaction — the table-maintenance pass every streaming
+    * ingest eventually owes: a fragmented landing (64 tiny parquet
+    * files here, the per-micro-batch writer pattern) is rewritten into
+    * size-targeted files, and the rewrite is CERTIFIED, not assumed:
+    * the emitted row carries (a) content aggregates incl. an
+    * md5-derived integer checksum that the oracle recomputes from the
+    * ORIGINAL table — round-trip fidelity proven cross-engine like the
+    * conversion queries — and (b) the before/after file counts, where
+    * the after-count must equal the size-derived target
+    * (`ceil(bytes / 128 MB)`, min 1) for `compacted_ok` to hold.
+    *
+    * Scale shape: compaction IS a controlled repartition-write — one
+    * shuffle-free `coalesce` here since the target is below the input
+    * parallelism (a real deployment picks coalesce vs repartition by
+    * whether files also need re-clustering); file listing is
+    * metadata-scale driver work, exactly what a table format's manifest
+    * provides at 100 TB.
+    */
+  def qCompactFiles(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = scratch("compact")
+    val frag = tmp.resolve("fragmented").toString
+    val comp = tmp.resolve("compacted").toString
+    Tables.documents(spark, dir)
+      .repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    def parquetFiles(p: String): Seq[java.nio.file.Path] = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(p))
+      try s.iterator().asScala.toVector
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    val fragFiles = parquetFiles(frag)
+    val bytes = fragFiles.map(java.nio.file.Files.size).sum
+    val target = math.max(1L,
+      (bytes + (128L << 20) - 1) / (128L << 20)).toInt
+    spark.read.parquet(frag)
+      .coalesce(target)
+      .write.mode("overwrite").parquet(comp)
+    val nOut = parquetFiles(comp).length
+    spark.read.parquet(comp)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long"))
+          .as("checksum"))
+      .select(col("n_docs"), col("sum_chars"), col("checksum"),
+        lit(fragFiles.length).as("n_files_in"),
+        lit(if (nOut == target && nOut < fragFiles.length) 1 else 0)
+          .as("compacted_ok"))
+  }
+
+  val qCompactFilesOracle: String =
+    """SELECT count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+      sum(('0x' || substr(md5(text), 1, 12))::BIGINT)::BIGINT AS checksum,
+      64 AS n_files_in, 1 AS compacted_ok
+      FROM documents"""
+
   def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val v1 = docs.filter(col("doc_id") % 19 =!= 7)
@@ -251,6 +308,7 @@ object Formats {
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "q_binary_source" -> (qBinarySource _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_compact_files" -> (qCompactFiles _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -259,5 +317,6 @@ object Formats {
     "q_orc_roundtrip" -> qOrcRoundtripOracle,
     "q_binary_source" -> qBinarySourceOracle,
     "q_snapshot_diff" -> qSnapshotDiffOracle,
+    "q_compact_files" -> qCompactFilesOracle,
   )
 }

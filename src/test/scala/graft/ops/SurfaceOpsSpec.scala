@@ -76,6 +76,36 @@ class SurfaceOpsSpec extends AnyFunSuite {
     assert(rows.toSeq == local, s"engine ${rows.toSeq} vs local $local")
   }
 
+  test("stream abtest: the streaming panel reproduces the batch readout " +
+    "row for row") {
+    val batch = EventOps.qEventsAbtest(spark, dir).collect().map(_.toSeq)
+    val stream = EventOps.qStreamAbtest(spark, dir).collect().map(_.toSeq)
+    assert(batch.nonEmpty)
+    assert(stream.toSeq == batch.toSeq,
+      s"stream ${stream.take(2).toSeq} vs batch ${batch.take(2).toSeq}")
+  }
+
+  test("compact: the rewritten table matches the source checksum and " +
+    "actually reduced the file count") {
+    val row = Formats.qCompactFiles(spark, dir).collect()
+    assert(row.length == 1)
+    val r = row.head
+    assert(r.getInt(3) == 64, "fragmented landing must be 64 files")
+    assert(r.getInt(4) == 1, "compaction must hit the size-derived target")
+    val docs = Tables.documents(spark, dir)
+      .select("text", "n_chars").collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(r.getLong(0) == docs.length)
+    assert(r.getLong(1) == docs.map(_._2).sum)
+    val checksum = docs.map { case (t, _) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(6)
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16)
+    }.sum
+    assert(r.getLong(2) == checksum, "content checksum must survive")
+  }
+
   test("bfs: per-level aggregates equal a local frontier walk and " +
     "levels partition the reached set") {
     val rows = GraphOps.qGraphBfs(spark, dir).collect()
