@@ -582,6 +582,67 @@ object Multimodal {
       FROM cand WHERE bit_count(xor(ha, hb)) <= 8
       ORDER BY hash_a, hash_b"""
 
+  // ---------- WebDataset-style tar shard ingestion ----------
+  /** Sharded-corpus ingestion the way multimodal training data actually
+    * ships: samples packed into sequentially-readable USTAR TAR SHARDS
+    * (the WebDataset convention). Six deterministic shards are written
+    * with [[graft.functions.TarCodec.writeUstar]], land through the
+    * `binaryFile` source, and every member is recovered by the
+    * checksum-verified ustar walk
+    * ([[graft.functions.TarEntriesExpr]] — codegen'd, one pass over the
+    * shard bytes, corrupt headers truncate instead of failing). The
+    * oracle knows only the GENERATING formula (names, sizes, and exact
+    * payload byte-sums derived in SQL), so a pass proves writer, source
+    * plumbing, and parser end-to-end — the [[Formats.qBinarySource]]
+    * discipline applied to the shard container.
+    *
+    * Scale shape: shards are the parallelism unit (one task per shard —
+    * exactly how WebDataset readers shard work); the member explode is
+    * scan-side; one tiny per-shard aggregate. At 100 TB nothing
+    * changes: more shards, same plan.
+    */
+  def qMultimodalTar(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-scratch", "tarshard")
+    java.nio.file.Files.createDirectories(tmp)
+    (0 until 6).foreach { s =>
+      val members = (0 until 8).map { i =>
+        val nm = s"doc-$s-$i.txt"
+        nm -> ((nm + ";") * (i + 1)).getBytes("US-ASCII")
+      }
+      java.nio.file.Files.write(tmp.resolve(f"shard-$s%03d.tar"),
+        graft.functions.TarCodec.writeUstar(members))
+    }
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.tar").load(tmp.toString)
+      .select(
+        regexp_extract(col("path"), "shard-(\\d+)\\.tar", 1)
+          .cast("long").as("shard"),
+        explode(graft.functions.TarShardOps.tarEntries(col("content")))
+          .as("e"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("e.size")).as("sum_size"),
+        sum(col("e.byte_sum")).as("sum_bytes"),
+        countDistinct(col("e.name")).as("n_names"))
+      .orderBy(col("shard"))
+  }
+
+  val qMultimodalTarOracle: String =
+    """WITH shards AS (SELECT unnest(range(0, 6)) s),
+      members AS (SELECT s, unnest(range(0, 8)) i FROM shards),
+      m AS (SELECT s, i,
+          'doc-' || s || '-' || i || '.txt;' AS unit FROM members),
+      b AS (SELECT s, i, len(unit)::BIGINT unit_len,
+          list_sum([ascii(substring(unit, j::INT, 1))
+            for j in range(1, len(unit) + 1)])::BIGINT unit_sum
+        FROM m)
+      SELECT s AS shard, count(*)::BIGINT n_members,
+        sum((i + 1) * unit_len)::BIGINT sum_size,
+        sum((i + 1) * unit_sum)::BIGINT sum_bytes,
+        count(*)::BIGINT n_names
+      FROM b GROUP BY s ORDER BY shard"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_audio" -> (qMultimodalAudio _),
@@ -591,6 +652,7 @@ object Multimodal {
     "q_image_dedup" -> (qImageDedup _),
     "q_image_neardup" -> (qImageNeardup _),
     "q_audio_pcm" -> (qAudioPcm _),
+    "q_multimodal_tar" -> (qMultimodalTar _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -602,5 +664,6 @@ object Multimodal {
     "q_image_dedup" -> qImageDedupOracle,
     "q_image_neardup" -> qImageNeardupOracle,
     "q_audio_pcm" -> qAudioPcmOracle,
+    "q_multimodal_tar" -> qMultimodalTarOracle,
   )
 }

@@ -239,5 +239,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "64-bit average-hash of the decoded pixels (8x8 downsample), hex", 1) {
       a => graft.functions.PngDecodeStat(a(0), "ahash")
     }
+    register(e, "tar_entries",
+      "checksum-verified ustar members of a tar shard as " +
+        "array<struct<name, size, byte_sum>>", 1) {
+      a => graft.functions.TarEntriesExpr(a(0))
+    }
   }
 }

@@ -106,6 +106,40 @@ class SurfaceOpsSpec extends AnyFunSuite {
     assert(r.getLong(2) == checksum, "content checksum must survive")
   }
 
+  test("tar codec: roundtrip recovers every member exactly; a corrupt " +
+    "header truncates the walk; non-tar payloads parse to null") {
+    import graft.functions.TarCodec
+    val entries = Seq(
+      "a.txt" -> "hello".getBytes("US-ASCII"),
+      "dir/b.bin" -> Array.tabulate(700)(i => (i % 251).toByte),
+      "empty" -> Array.empty[Byte])
+    val tar = TarCodec.writeUstar(entries)
+    assert(tar.length % 512 == 0)
+    val parsed = TarCodec.entries(tar)
+    assert(parsed.map(_._1).toSeq == entries.map(_._1))
+    parsed.zip(entries).foreach { case ((n, sz, bs), (_, data)) =>
+      assert(sz == data.length.toLong, s"$n size")
+      assert(bs == data.map(b => (b & 0xff).toLong).sum, s"$n byte_sum")
+    }
+    // flip a byte inside the SECOND member's header (first member:
+    // 512 header + "hello" padded to 512) — its checksum no longer
+    // verifies, so the walk keeps only the first member
+    val corrupt = tar.clone()
+    corrupt(1024 + 130) = 'Z'.toByte
+    val p2 = TarCodec.entries(corrupt)
+    assert(p2.length == 1 && p2.head._1 == "a.txt",
+      "corrupt header must truncate, not fail or mis-parse")
+    // not a tar at all
+    assert(TarCodec.entries(
+      Array.fill(2048)("x".getBytes("US-ASCII").head)) == null)
+    // the SQL registration exposes the same kernel
+    import spark.implicits._
+    val viaSql = Seq(tar).toDF("content")
+      .selectExpr("size(tar_entries(content)) AS n")
+      .collect().head.getInt(0)
+    assert(viaSql == entries.length)
+  }
+
   test("bfs: per-level aggregates equal a local frontier walk and " +
     "levels partition the reached set") {
     val rows = GraphOps.qGraphBfs(spark, dir).collect()
