@@ -2680,6 +2680,62 @@ object TextAnalysis {
         sum(margin_e4)::BIGINT // count(*) AS avg_margin_e4
       FROM b GROUP BY bin ORDER BY bin"""
 
+  // ---------- held-out language-model evaluation (no leakage) ----------
+  /** The leakage-free complement of [[qTextSurprisal]] /
+    * [[qTextPerplexity]]: those score the corpus under a model trained
+    * on ITSELF (fine for outlier filtering, methodologically wrong for
+    * measuring a model). Here the corpus splits by the deterministic
+    * md5 rule ([[qSampleHash]] discipline — first two hex digits of
+    * `md5(doc_id)` below 0x20 ≈ 12.5% become the HELD-OUT set), a
+    * unigram model with add-one smoothing over `V+1` outcomes (the +1
+    * is the OOV slot) trains on the TRAIN slice only, and every
+    * held-out document reports its token count, OOV count, and mean
+    * NLL — the number a tokenizer/corpus ablation would actually
+    * compare. OOV handling is exact: an unseen word's count is 0, so
+    * the same `(c+1)/(T+V+1)` formula covers both cases via a
+    * null-coalesce.
+    *
+    * Scale shape: one combine-fed count pass over the train slice
+    * (vocabulary-sized result, broadcast back), one scan of the
+    * held-out slice through the broadcast score join — no wide
+    * shuffle anywhere; both slices come from the same scan-side hash
+    * predicate, no materialized split needed.
+    */
+  def qTextLmHeldout(spark: SparkSession, dir: String): DataFrame = {
+    val splitKey = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), (splitKey < "20").as("heldout"),
+        explode(split(col("text"), " ", -1)).as("w"))
+    val trainTok = tok.where(!col("heldout"))
+    val counts = trainTok.groupBy(col("w")).agg(count(lit(1)).as("ct"))
+    val denom = counts
+      .agg((sum(col("ct")) + count(lit(1)) + 1).cast("double").as("tv1"))
+    tok.where(col("heldout"))
+      .join(broadcast(counts), Seq("w"), "left_outer")
+      .crossJoin(broadcast(denom))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("ct").isNull.cast("long")).as("n_oov"),
+        round(avg(-log((coalesce(col("ct"), lit(0L)) + 1) / col("tv1"))), 6)
+          .as("nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextLmHeldoutOracle: String =
+    """WITH tok AS (SELECT doc_id,
+        substr(md5(doc_id::VARCHAR), 1, 2) < '20' AS heldout,
+        unnest(string_split(text, ' ')) w
+      FROM documents),
+      counts AS (SELECT w, count(*)::BIGINT ct FROM tok
+        WHERE NOT heldout GROUP BY w),
+      denom AS (SELECT (sum(ct) + count(*) + 1)::DOUBLE tv1 FROM counts)
+      SELECT doc_id, count(*)::BIGINT n_tokens,
+        sum(CASE WHEN ct IS NULL THEN 1 ELSE 0 END)::BIGINT n_oov,
+        round(avg(-ln((coalesce(ct, 0) + 1) / tv1)), 6) AS nll
+      FROM tok LEFT JOIN counts USING (w) CROSS JOIN denom
+      WHERE heldout
+      GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
@@ -2731,6 +2787,7 @@ object TextAnalysis {
     "q_curate_token_budget" -> (qCurateTokenBudget _),
     "q_langid_eval" -> (qLangidEval _),
     "q_quality_calibration" -> (qQualityCalibration _),
+    "q_text_lm_heldout" -> (qTextLmHeldout _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2784,5 +2841,6 @@ object TextAnalysis {
     "q_curate_token_budget" -> qCurateTokenBudgetOracle,
     "q_langid_eval" -> qLangidEvalOracle,
     "q_quality_calibration" -> qQualityCalibrationOracle,
+    "q_text_lm_heldout" -> qTextLmHeldoutOracle,
   )
 }

@@ -449,6 +449,35 @@ class ScoringOpsSpec extends AnyFunSuite {
     assert(rows.map(_._2).sum == docs.length, "bins partition the corpus")
   }
 
+  test("lm heldout: per-doc NLL on the held-out slice equals a local " +
+    "replay and no train doc leaks into the eval") {
+    val rows = TextAnalysis.qTextLmHeldout(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    def heldout(id: Long): Boolean =
+      md5hex(id.toString).substring(0, 2) < "20"
+    val trainTok = docs.filterNot(d => heldout(d._1)).flatMap(_._2)
+    val ct = trainTok.groupBy(identity).map { case (w, v) => w -> v.size }
+    val tv1 = (trainTok.length + ct.size + 1).toDouble
+    val local = docs.filter(d => heldout(d._1)).map { case (id, ws) =>
+      val nll = ws.map(w => -math.log((ct.getOrElse(w, 0) + 1) / tv1))
+      (id, ws.length.toLong, ws.count(!ct.contains(_)).toLong,
+        round6(nll.sum / nll.length))
+    }.sortBy(_._1)
+    assert(rows.length == local.length)
+    rows.toSeq.zip(local).foreach { case ((i1, n1, o1, x1), (i2, n2, o2, x2)) =>
+      assert(i1 == i2 && n1 == n2 && o1 == o2, s"row mismatch $i1/$i2")
+      assert(math.abs(x1 - x2) <= 2e-6, s"doc $i1: nll $x1 vs $x2")
+    }
+    // leakage guard: every emitted doc is in the held-out slice, and the
+    // split covers the corpus
+    rows.foreach { case (id, _, _, _) =>
+      assert(heldout(id), s"doc $id leaked from the train slice") }
+    assert(rows.length + docs.count(d => !heldout(d._1)) == docs.length)
+  }
+
   test("pca: certification flags hold; the Jacobi eigenpair checks out " +
     "against an independent covariance build, non-vacuously") {
     val row = Similarity.qEmbedPca(spark, dir).collect()
