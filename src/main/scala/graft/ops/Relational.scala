@@ -768,6 +768,49 @@ object Relational {
       WHERE c.i < c.j
       ORDER BY col_i, col_j"""
 
+  // ---------- skyline (Pareto frontier) ----------
+  /** The SKYLINE / Pareto-frontier preference query (Börzsönyi et al.
+    * 2001): parts not dominated on (larger size, higher retail price) —
+    * no other part is ≥ on both dimensions and > on one. Classic
+    * example of an operator SQL lacks a keyword for that still reduces
+    * to a scale-correct plan: the fact first collapses to ONE
+    * candidate per x-value (`max(price) per size` — dominated rows
+    * within a size can never be skyline, so this combine-fed aggregate
+    * is lossless), and the frontier test runs on that DOMAIN-bounded
+    * table (≤ |distinct sizes| rows) as a running-max window ordered
+    * by size descending: a candidate survives iff its price strictly
+    * exceeds every larger size's price. The window is partition-less
+    * but its input is bounded by the SIZE DOMAIN, not the corpus —
+    * pinned in the global-window allowlist with that rationale.
+    * Prices compare as DECIMAL(18,2), so dominance is exact.
+    */
+  def qSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val perSize = Tables.part(spark, dir)
+      .groupBy($"p_size")
+      .agg(max($"p_retailprice".cast("decimal(18,2)")).as("best_price"),
+        count(lit(1)).as("n_parts"))
+    perSize
+      .withColumn("max_above",
+        max($"best_price").over(Window.orderBy($"p_size".desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .filter($"max_above".isNull || $"best_price" > $"max_above")
+      .select($"p_size", $"best_price".cast("string").as("best_price"),
+        $"n_parts")
+      .orderBy($"p_size")
+  }
+
+  val qSkylineOracle: String =
+    """WITH ps AS (SELECT p_size,
+        max(p_retailprice::DECIMAL(18,2)) best_price,
+        count(*) n_parts
+      FROM part GROUP BY p_size),
+      sky AS (SELECT *, max(best_price) OVER (ORDER BY p_size DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) max_above
+        FROM ps)
+      SELECT p_size, best_price::VARCHAR AS best_price, n_parts
+      FROM sky WHERE max_above IS NULL OR best_price > max_above
+      ORDER BY p_size"""
+
   // ---------- scalar subquery ----------
   def qScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
@@ -2306,6 +2349,7 @@ object Relational {
     "q_sql_pipe" -> (qSqlPipe _),
     "q_lateral_join" -> (qLateralJoin _),
     "q_unpivot" -> (qUnpivot _),
+    "q_skyline" -> (qSkyline _),
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_case_when" -> (qCaseWhen _),
     "q_string_funcs" -> (qStringFuncs _),
@@ -2373,6 +2417,7 @@ object Relational {
     "q_sql_pipe" -> qSqlPipeOracle,
     "q_lateral_join" -> qLateralJoinOracle,
     "q_unpivot" -> qUnpivotOracle,
+    "q_skyline" -> qSkylineOracle,
     "q_scalar_subquery" -> qScalarSubqueryOracle,
     "q_case_when" -> qCaseWhenOracle,
     "q_string_funcs" -> qStringFuncsOracle,

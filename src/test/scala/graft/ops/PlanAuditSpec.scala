@@ -653,8 +653,11 @@ class PlanAuditSpec extends AnyFunSuite {
     //  - q_events_survival: at-risk reverse running sum over the
     //    per-lifetime life table (calendar-bounded, ~#days rows;
     //    EventOps.qEventsSurvival scaladoc)
+    //  - q_skyline: running-max frontier test over the per-size maxima
+    //    (bounded by the size DOMAIN, ~50 rows; Relational.qSkyline
+    //    scaladoc)
     val allow = Set("q_mix_temperature", "q_events_cum_users",
-      "q_vocab_growth", "q_text_rrf", "q_events_survival")
+      "q_vocab_growth", "q_text_rrf", "q_events_survival", "q_skyline")
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(eager)
       .filter { name =>

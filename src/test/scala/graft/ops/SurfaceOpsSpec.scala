@@ -140,6 +140,34 @@ class SurfaceOpsSpec extends AnyFunSuite {
     assert(viaSql == entries.length)
   }
 
+  test("skyline: the frontier equals a local brute-force dominance " +
+    "check over the per-size maxima") {
+    val rows = Relational.qSkyline(spark, dir).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val parts = Tables.part(spark, dir)
+      .select("p_size", "p_retailprice").collect()
+      .map(r => (r.getAs[Number](0).longValue,
+        BigDecimal(r.getDouble(1)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP)))
+    val perSize = parts.groupBy(_._1).map { case (s, ps) =>
+      (s, ps.map(_._2).max, ps.length.toLong) }.toSeq
+    // brute force: candidate dominated iff some other (size, price) is
+    // >= on both and > on one
+    val local = perSize.filterNot { case (s, p, _) =>
+      perSize.exists { case (s2, p2, _) =>
+        (s2 >= s && p2 >= p) && (s2 > s || p2 > p) }
+    }.sortBy(_._1).map { case (s, p, n) => (s, p.toString, n) }
+    assert(rows.toSeq == local, s"engine ${rows.toSeq} vs local $local")
+    // frontier shape: strictly decreasing price as size increases
+    rows.sliding(2).foreach {
+      case Array((s1, p1, _), (s2, p2, _)) =>
+        assert(s1 < s2 && BigDecimal(p1) > BigDecimal(p2),
+          "skyline must be strictly monotone")
+      case _ =>
+    }
+  }
+
   test("bfs: per-level aggregates equal a local frontier walk and " +
     "levels partition the reached set") {
     val rows = GraphOps.qGraphBfs(spark, dir).collect()
