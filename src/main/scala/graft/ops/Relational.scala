@@ -811,6 +811,45 @@ object Relational {
       FROM sky WHERE max_above IS NULL OR best_price > max_above
       ORDER BY p_size"""
 
+  // ---------- fuzzy entity matching (edit-distance on the dictionary) ----------
+  /** Entity-resolution by EDIT DISTANCE — the data-cleaning pass that
+    * catches what token/shingle dedup structurally cannot (typo-level
+    * variants: `"red bolt"` vs `"red bolts"`). The scale pattern is the
+    * whole point: fuzzy matching never runs on the corpus — the
+    * DISTINCT value dictionary collapses first (one combine-fed
+    * aggregate, cardinality = |vocabulary|, Heaps-sublinear), the
+    * quadratic `levenshtein` comparison runs on THAT dimension-scale
+    * table (a real deployment adds length/prefix blocking when the
+    * dictionary itself is large), and survivors would broadcast back
+    * as a rewrite map. Emits candidate merge pairs within distance
+    * [[FuzzyMaxDist]] with their corpus support counts — every value
+    * an exact integer (unit-cost Levenshtein is integer DP in both
+    * engines).
+    */
+  private val FuzzyMaxDist = 3
+
+  def qFuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .groupBy($"p_name").agg(count(lit(1)).as("n"))
+    names.toDF("a", "na")
+      .join(names.toDF("b", "nb"), $"a" < $"b")
+      .withColumn("dist", levenshtein($"a", $"b"))
+      .filter($"dist" <= FuzzyMaxDist)
+      .select($"a", $"b", $"dist", $"na", $"nb")
+      .orderBy($"dist", $"a", $"b")
+      .limit(30)
+  }
+
+  val qFuzzyMatchOracle: String =
+    s"""WITH names AS (SELECT p_name, count(*)::BIGINT n FROM part
+        GROUP BY p_name)
+      SELECT a.p_name AS a, b.p_name AS b,
+        levenshtein(a.p_name, b.p_name)::INT AS dist,
+        a.n AS na, b.n AS nb
+      FROM names a JOIN names b ON a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDist
+      ORDER BY dist, a, b LIMIT 30"""
+
   // ---------- scalar subquery ----------
   def qScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
@@ -2350,6 +2389,7 @@ object Relational {
     "q_lateral_join" -> (qLateralJoin _),
     "q_unpivot" -> (qUnpivot _),
     "q_skyline" -> (qSkyline _),
+    "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_case_when" -> (qCaseWhen _),
     "q_string_funcs" -> (qStringFuncs _),
@@ -2418,6 +2458,7 @@ object Relational {
     "q_lateral_join" -> qLateralJoinOracle,
     "q_unpivot" -> qUnpivotOracle,
     "q_skyline" -> qSkylineOracle,
+    "q_fuzzy_match" -> qFuzzyMatchOracle,
     "q_scalar_subquery" -> qScalarSubqueryOracle,
     "q_case_when" -> qCaseWhenOracle,
     "q_string_funcs" -> qStringFuncsOracle,

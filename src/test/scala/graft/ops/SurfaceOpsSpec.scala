@@ -168,6 +168,35 @@ class SurfaceOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzy match: candidate pairs equal a local edit-distance " +
+    "recompute over the distinct dictionary") {
+    val rows = Relational.qFuzzyMatch(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val counts = Tables.part(spark, dir).select("p_name").collect()
+      .map(_.getString(0)).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val dict = counts.keys.toSeq.sorted
+    val local = (for {
+      i <- dict.indices; j <- i + 1 until dict.length
+      d = lev(dict(i), dict(j)) if d <= 3
+    } yield (dict(i), dict(j), d, counts(dict(i)), counts(dict(j))))
+      .sortBy(t => (t._3, t._1, t._2)).take(30)
+    assert(rows.toSeq == local, s"engine ${rows.take(3).toSeq} vs " +
+      s"local ${local.take(3)}")
+    rows.foreach { case (a, b, d, _, _) =>
+      assert(d >= 1 && a < b, s"pair ($a,$b) dist $d malformed") }
+  }
+
   test("bfs: per-level aggregates equal a local frontier walk and " +
     "levels partition the reached set") {
     val rows = GraphOps.qGraphBfs(spark, dir).collect()
