@@ -120,6 +120,13 @@ object Bench {
 
     def median(ts: Array[Double]): Double = if (ts.isEmpty) -1.0 else ts(ts.length / 2)
     val total = results.values.filter(_.nonEmpty).map(median).sum
+    // Noise-robust companion statistic: the sum of per-query MINIMUM pass
+    // times. Concurrent driver-box load inflates medians near-uniformly
+    // but rarely hits all passes of a query, so total ≫ total_min marks a
+    // polluted run as decidable from BENCH_r{N}.json alone (the r9
+    // verdict needed two manual re-benches to prove 142 s was load, not a
+    // regression).
+    val totalMin = results.values.filter(_.nonEmpty).map(_.head).sum
 
     // Locale.ROOT everywhere a number is printed: the f-interpolator uses
     // the JVM default locale, and a comma-decimal locale would break the
@@ -163,7 +170,7 @@ object Bench {
     val sfTag = new java.io.File(sfDir).getName
     val nOk = results.values.count(_.nonEmpty)
     val out =
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","stat":"median_of_$Passes","queries":{},"queries_ok":$nOk,"queries_total":${results.size},"sf":"$sfTag"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"total_min":${fmt(totalMin, 2)},"unit":"sec","stat":"median_of_$Passes","queries":{},"queries_ok":$nOk,"queries_total":${results.size},"sf":"$sfTag"}"""
 
     spark.sparkContext.setLogLevel("ERROR") // quiet stop(): nothing may print after the JSON line
     spark.stop()

@@ -814,26 +814,68 @@ object Relational {
   // ---------- fuzzy entity matching (edit-distance on the dictionary) ----------
   /** Entity-resolution by EDIT DISTANCE — the data-cleaning pass that
     * catches what token/shingle dedup structurally cannot (typo-level
-    * variants: `"red bolt"` vs `"red bolts"`). The scale pattern is the
-    * whole point: fuzzy matching never runs on the corpus — the
-    * DISTINCT value dictionary collapses first (one combine-fed
-    * aggregate, cardinality = |vocabulary|, Heaps-sublinear), the
-    * quadratic `levenshtein` comparison runs on THAT dimension-scale
-    * table (a real deployment adds length/prefix blocking when the
-    * dictionary itself is large), and survivors would broadcast back
-    * as a rewrite map. Emits candidate merge pairs within distance
-    * [[FuzzyMaxDist]] with their corpus support counts — every value
-    * an exact integer (unit-cost Levenshtein is integer DP in both
-    * engines).
+    * variants: `"red bolt"` vs `"red bolts"`). Fuzzy matching never runs
+    * on the corpus — the DISTINCT value dictionary collapses first (one
+    * combine-fed aggregate, cardinality = |vocabulary|,
+    * Heaps-sublinear) — and the dictionary self-comparison is a BLOCKED
+    * equi-join, never a cartesian: at 10⁷–10⁸ dictionary entries an
+    * all-pairs `a < b` is 10¹⁴⁺ candidates, a scale-killer even though
+    * the verify step is cheap per pair.
+    *
+    * Blocking is PROVABLY COMPLETE for `ed ≤ τ =` [[FuzzyMaxDist]] via
+    * the q-gram prefix-filter lemma (Gravano et al. VLDB'01 bound +
+    * the PPJoin prefix principle already used in `Dedup.qDedupPpjoin`):
+    * each edit destroys at most q gram occurrences, so the DISTINCT
+    * 2-gram sets of two strings within distance τ differ by ≤ q·τ per
+    * side, i.e. share ≥ max(|Qa|,|Qb|) − q·τ grams — and by the prefix
+    * lemma any such pair shares a gram among each side's q·τ+1 = 7
+    * RAREST grams (global document-frequency order, rarest first, so
+    * the blocking buckets are the emptiest ones available). The only
+    * uncovered case — BOTH sides have ≤ q·τ distinct grams — meets in
+    * one sentinel bucket (bounded: near-empty on real text). Candidates
+    * additionally require |len(a) − len(b)| ≤ τ (length lower-bounds
+    * edit distance) before the integer-DP `levenshtein` verify. The
+    * oracle stays the naive all-pairs join, so the hash match doubles
+    * as an end-to-end completeness proof of the blocking at every SF.
     */
   private val FuzzyMaxDist = 3
+  private val FuzzyGramLen = 2
+  private val FuzzyPrefix = FuzzyGramLen * FuzzyMaxDist + 1 // q·τ+1 = 7
 
   def qFuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
     val names = Tables.part(spark, dir)
       .groupBy($"p_name").agg(count(lit(1)).as("n"))
-    names.toDF("a", "na")
-      .join(names.toDF("b", "nb"), $"a" < $"b")
-      .withColumn("dist", levenshtein($"a", $"b"))
+
+    // distinct 2-grams per dictionary entry (≤ len−1 of them)
+    val grams = names.select($"p_name", $"n",
+      explode(array_distinct(expr(
+        s"transform(sequence(1, greatest(length(p_name) - 1, 1)), " +
+          s"i -> substring(p_name, i, $FuzzyGramLen))"))).as("g"))
+
+    // global gram rarity (document frequency over the dictionary): the
+    // gram DOMAIN is ≤ alphabet², so this side always broadcasts
+    val gramDf = grams.groupBy($"g").agg(count(lit(1)).as("df"))
+    val ranked = grams.join(broadcast(gramDf), "g")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"p_name").orderBy($"df", $"g")))
+
+    val prefix = ranked.filter($"rk" <= FuzzyPrefix)
+      .select($"p_name", $"n", $"g")
+    // names whose distinct-gram set is ≤ q·τ fall outside the lemma's
+    // hypothesis when paired with EACH OTHER — route them through a
+    // sentinel bucket (mixed short/long pairs are still prefix-covered)
+    val short = ranked.groupBy($"p_name", $"n").agg(max($"rk").as("ng"))
+      .filter($"ng" <= FuzzyGramLen * FuzzyMaxDist)
+      .select($"p_name", $"n", lit(" ").as("g"))
+    val keyed = prefix.unionByName(short)
+
+    val cand = keyed.toDF("a", "na", "g")
+      .join(keyed.toDF("b", "nb", "gb"),
+        $"g" === $"gb" && $"a" < $"b" &&
+          abs(length($"a") - length($"b")) <= FuzzyMaxDist)
+      .select($"a", $"b", $"na", $"nb").distinct()
+
+    cand.withColumn("dist", levenshtein($"a", $"b"))
       .filter($"dist" <= FuzzyMaxDist)
       .select($"a", $"b", $"dist", $"na", $"nb")
       .orderBy($"dist", $"a", $"b")

@@ -49,6 +49,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("fuzzy match: dictionary self-compare is a blocked equi-join " +
+    "(the r9 a<b cartesian is quadratic in dictionary size)") {
+    val p = plan("q_fuzzy_match")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("simhash: candidate join keys are 16-bit words, not bytes " +
     "(262144 bucket keys — the r2 byte blocking degenerated at scale)") {
     val p = plan("q_dedup_simhash")
