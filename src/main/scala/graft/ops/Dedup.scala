@@ -1251,13 +1251,21 @@ object Dedup {
     */
   private val SubstrK = 10
 
-  def qDedupSubstring(spark: SparkSession, dir: String): DataFrame = {
-    val w = Tables.documents(spark, dir)
-      .filter(size(split(col("text"), " ", -1)) >= SubstrK)
+  /** Every overlapping [[SubstrK]]-word window of every (long-enough)
+    * document as a 64-bit hash — one scan-side kernel pass, position
+    * order, duplicates preserved. Shared by the full recompute, the
+    * persisted-index path, and the per-batch stats helper so all three
+    * hash the identical window stream.
+    */
+  private def windowFrame(docs: DataFrame): DataFrame =
+    docs.filter(size(split(col("text"), " ", -1)) >= SubstrK)
       .select(col("doc_id"),
         explode(graft.functions.TextFeatures
           .wordWindowHashesCol(col("text"), SubstrK)).as("h"))
-    val occ = w.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+
+  /** Per-doc duplication rollup given per-window-hash occurrence counts
+    * (`occ`: h → cnt over whatever corpus the caller defines). */
+  private def windowRollup(w: DataFrame, occ: DataFrame): DataFrame =
     w.join(occ, "h")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_windows"),
@@ -1265,6 +1273,17 @@ object Dedup {
       .withColumn("dup_ratio",
         round(col("n_dup_windows") * lit(1.0) / col("n_windows"), 6))
       .orderBy(col("doc_id"))
+
+  def qDedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val w = windowFrame(Tables.documents(spark, dir))
+    windowRollup(w, w.groupBy(col("h")).agg(count(lit(1)).as("cnt")))
+  }
+
+  /** [[qDedupSubstring]]'s rollup over an explicit document frame —
+    * the ground-truth side of the incremental-index spec. */
+  def substringStats(docs: DataFrame): DataFrame = {
+    val w = windowFrame(docs)
+    windowRollup(w, w.groupBy(col("h")).agg(count(lit(1)).as("cnt")))
   }
 
   val qDedupSubstringOracle: String =
@@ -1281,6 +1300,87 @@ object Dedup {
       SELECT doc_id, n AS n_windows, nd::BIGINT AS n_dup_windows,
         round(nd * 1.0 / n, 6) AS dup_ratio
       FROM pd ORDER BY doc_id"""
+
+  // ---------- cross-snapshot incremental substring dedup ----------
+  /** [[qDedupSubstring]] run INCREMENTALLY across corpus snapshots — the
+    * [[matchAndUpdateIndex]] discipline applied to window hashes. The
+    * persisted index is `(window hash → occurrence count)`: counts, never
+    * text, so it is content-free and windows-vocabulary-sized; and
+    * because counts are ADDITIVE the index advances by APPEND alone
+    * (readers sum per hash — no read-modify-write, no compaction needed
+    * for correctness). Additivity also makes the incremental result
+    * EXACT, not approximately-recalled like LSH banding: a batch window
+    * is duplicated iff history count + batch count > 1, identically to a
+    * full recount. Per batch the work is one scan-side kernel pass over
+    * the NEW docs, one count aggregate, and one hash-keyed join against
+    * the pinned index file list — proportional to the batch and its
+    * touched hash keys, never O(history); the full recount this replaces
+    * re-hashes the entire corpus every snapshot.
+    */
+  def writeWindowIndex(docs: DataFrame, indexDir: String): Unit =
+    windowFrame(docs).groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .write.mode("append").parquet(indexDir)
+
+  /** Duplication stats for an arriving batch against the index AS OF the
+    * call (pinned file list, same discipline as [[matchAgainstIndex]]),
+    * then advance the index with the batch's own counts. The returned
+    * frame is lazy but can never see the update it precedes.
+    */
+  def matchWindowsAgainstIndex(spark: SparkSession, newDocs: DataFrame,
+      indexDir: String): DataFrame = {
+    val w = windowFrame(newDocs)
+    val batchCnt = w.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+    val files = listIndexFiles(spark, indexDir)
+    val merged =
+      if (files.isEmpty) batchCnt
+      else {
+        val hist = spark.read.parquet(files: _*)
+          .groupBy(col("h")).agg(sum(col("cnt")).as("hist_cnt"))
+        batchCnt.join(hist, Seq("h"), "left_outer")
+          .select(col("h"),
+            (col("cnt") + coalesce(col("hist_cnt"), lit(0L))).as("cnt"))
+      }
+    val out = windowRollup(w, merged)
+    batchCnt.write.mode("append").parquet(indexDir)
+    out
+  }
+
+  /** Query form of the incremental window path, oracled: the corpus
+    * splits deterministically (doc_id mod 10: 0–7 the indexed history,
+    * 8–9 the arriving batch) and the output is the batch's per-doc
+    * duplication stats computed from history counts + batch counts. The
+    * oracle is the FULL recount restricted to batch docs, so the hash
+    * match is the in-plan proof that incremental ≡ recompute (the
+    * count-additivity argument, checked end-to-end at every SF).
+    */
+  def qDedupSubstringIncr(spark: SparkSession, dir: String): DataFrame = {
+    val all = windowFrame(Tables.documents(spark, dir))
+    val hist = all.filter(pmod(col("doc_id"), lit(10)) < 8)
+      .groupBy(col("h")).agg(count(lit(1)).as("hist_cnt"))
+    val batch = all.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    val merged = batch.groupBy(col("h")).agg(count(lit(1)).as("batch_cnt"))
+      .join(hist, Seq("h"), "left_outer")
+      .select(col("h"),
+        (col("batch_cnt") + coalesce(col("hist_cnt"), lit(0L))).as("cnt"))
+    windowRollup(batch, merged)
+  }
+
+  /** [[qDedupSubstringOracle]]'s full recount, output restricted to the
+    * mod-10 batch. */
+  val qDedupSubstringIncrOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      win AS (SELECT doc_id, unnest(CASE WHEN len(ws) < 10
+          THEN []::VARCHAR[]
+          ELSE [array_to_string(ws[i:i+9], ' ')
+                for i in range(1, len(ws) - 8)] END) AS s
+        FROM t),
+      occ AS (SELECT s, count(*) AS cnt FROM win GROUP BY s),
+      pd AS (SELECT w.doc_id, count(*) AS n,
+          sum(CASE WHEN o.cnt > 1 THEN 1 ELSE 0 END) AS nd
+        FROM win w JOIN occ o ON w.s = o.s GROUP BY w.doc_id)
+      SELECT doc_id, n AS n_windows, nd::BIGINT AS n_dup_windows,
+        round(nd * 1.0 / n, 6) AS dup_ratio
+      FROM pd WHERE doc_id % 10 >= 8 ORDER BY doc_id"""
 
   // ---------- URL-canonical dedup ----------
   /** The first dedup a web corpus runs: group documents by the CANONICAL
@@ -1351,6 +1451,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_url" -> (qDedupUrl _),
     "q_dedup_substring" -> (qDedupSubstring _),
+    "q_dedup_substring_incr" -> (qDedupSubstringIncr _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -1377,6 +1478,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "q_dedup_url" -> qDedupUrlOracle,
     "q_dedup_substring" -> qDedupSubstringOracle,
+    "q_dedup_substring_incr" -> qDedupSubstringIncrOracle,
     "q_dedup_exact" -> qDedupExactOracle,
     "q_dedup_minhash" -> exactPairOracle,
     "q_dedup_simhash" -> exactPairOracle,

@@ -723,6 +723,53 @@ object Similarity {
       FROM e LEFT JOIN d ON e.vec_id = d.b_id
       ORDER BY e.vec_id"""
 
+  // ---------- semantic decontamination (benchmark overlap by embedding) ----------
+  /** Semantic DECONTAMINATION — the embedding-space companion to the
+    * n-gram/phrase decontaminators (`q_decontaminate` /
+    * `q_decontaminate_ngram` in TextAnalysis): flag training items whose
+    * cosine against ANY held-out benchmark vector reaches τ, catching
+    * PARAPHRASED eval leakage that token overlap structurally cannot.
+    * The benchmark set is the fixed [[Anchors]]-vector prefix standing
+    * in for an eval suite — a constant-size broadcast, so the corpus
+    * streams once and total work is O(K·n) at any corpus size, the same
+    * anchor discipline as every trained-index query in this file. Emits
+    * the full per-item audit (hit count at τ, max benchmark cosine —
+    * the triage number a contamination report leads with, and the
+    * keep/drop verdict). τ = 0.43's decision margin is ≥ 1e-4 at all
+    * SFs (audited in CurationSpec), so cross-engine ULP noise cannot
+    * flip a verdict; the cosine itself is the sequential-fold [[dot]]
+    * kernel, bit-identical to DuckDB's fold.
+    */
+  def qDecontaminateSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val tau = 0.43
+    val e = withVec(Tables.embeddings(spark, dir))
+    val bench = e.filter(col("vec_id") < Anchors)
+      .select(col("vd").as("b_vd"), col("nrm").as("b_nrm"))
+    val corpus = e.filter(col("vec_id") >= Anchors)
+      .select(col("vec_id"), col("label"), col("vd"), col("nrm"))
+    corpus.crossJoin(broadcast(bench))
+      .withColumn("cos",
+        round(dot(col("vd"), col("b_vd")) / (col("nrm") * col("b_nrm")), 6))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(when(col("cos") >= tau, 1L).otherwise(0L)).as("n_hits"),
+        round(max(col("cos")), 6).as("max_cos"))
+      .withColumn("contaminated", (col("n_hits") > 0).cast("int"))
+      .orderBy(col("vec_id"))
+  }
+
+  val qDecontaminateSemanticOracle: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+      b AS (SELECT v AS bv FROM e WHERE vec_id < 50),
+      c AS (SELECT vec_id, label, v FROM e WHERE vec_id >= 50),
+      s AS (SELECT c.vec_id, c.label,
+          round(list_cosine_similarity(c.v, b.bv), 6) AS cs
+        FROM c CROSS JOIN b)
+      SELECT vec_id, label,
+        sum(CASE WHEN cs >= 0.43 THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+        round(max(cs), 6) AS max_cos,
+        (sum(CASE WHEN cs >= 0.43 THEN 1 ELSE 0 END) > 0)::INT AS contaminated
+      FROM s GROUP BY vec_id, label ORDER BY vec_id"""
+
   // ---------- k-means clustering (one Lloyd iteration, exact) ----------
 
   /** Distributed k-means over the embedding column — the clustering
@@ -1267,6 +1314,7 @@ object Similarity {
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_embed_centroid_eval" -> (qEmbedCentroidEval _),
     "q_dedup_semantic" -> (qDedupSemantic _),
+    "q_decontaminate_semantic" -> (qDecontaminateSemantic _),
     "q_ann_topk" -> (qAnnTopk _),
     "q_ann_lsh" -> (certifyRecall("lsh", 0.0, 0.30, qAnnLsh) _),
     "q_ann_ivf" -> (certifyRecall("ivf", 0.1, 0.50, qAnnIvf) _),
@@ -1287,6 +1335,7 @@ object Similarity {
     "q_embed_neardup" -> qEmbedNeardupOracle,
     "q_embed_centroid_eval" -> qEmbedCentroidEvalOracle,
     "q_dedup_semantic" -> qDedupSemanticOracle,
+    "q_decontaminate_semantic" -> qDecontaminateSemanticOracle,
     "q_ann_topk" -> qAnnTopkOracle,
     "q_ann_lsh" -> certifyOracle("lsh", 0.0, 0.30),
     "q_ann_ivf" -> certifyOracle("ivf", 0.1, 0.50),

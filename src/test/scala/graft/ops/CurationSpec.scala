@@ -180,6 +180,48 @@ class CurationSpec extends AnyFunSuite {
       "batch-attributed pairs must reconstruct the full pair set")
   }
 
+  test("window index: substring stats per snapshot equal the cumulative " +
+    "recount; index advances by append and stays content-free") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val docs = Tables.documents(spark, dirs.head)
+    val b1 = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val b2 = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+    val b3 = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+    val idx = java.nio.file.Files.createTempDirectory("graft-winidx")
+      .resolve("index").toString
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    Dedup.writeWindowIndex(b1, idx)
+    val m2 = rows(Dedup.matchWindowsAgainstIndex(spark, b2, idx))
+    val m3 = rows(Dedup.matchWindowsAgainstIndex(spark, b3, idx))
+    // ground truth: a FULL recount over the docs seen so far, restricted
+    // to the arriving batch — count additivity says they must be equal
+    val exp2 = rows(Dedup.substringStats(b1.union(b2))
+      .filter(pmod(col("doc_id"), lit(3)) === 1))
+    val exp3 = rows(Dedup.substringStats(docs)
+      .filter(pmod(col("doc_id"), lit(3)) === 2))
+    assert(m2 == exp2, s"missing=${exp2 -- m2}, spurious=${m2 -- exp2}")
+    assert(m3 == exp3, s"missing=${exp3 -- m3}, spurious=${m3 -- exp3}")
+    assert(m2.nonEmpty && m3.nonEmpty)
+    assert(m3.exists(_._3 > 0), "batch 3 must see cross-snapshot dups")
+    // the index is (h, cnt) only — content-free — and append-only:
+    // summed per hash it equals the full-corpus occurrence counts
+    val idxDf = spark.read.parquet(idx)
+    assert(idxDf.columns.toSet == Set("h", "cnt"), idxDf.columns.mkString(","))
+    val summed = idxDf.groupBy(col("h"))
+      .agg(org.apache.spark.sql.functions.sum(col("cnt")).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    import org.apache.spark.sql.functions.{explode, size, split, count}
+    val fullCnt = docs.filter(size(split(col("text"), " ", -1)) >= 10)
+      .select(explode(graft.functions.TextFeatures
+        .wordWindowHashesCol(col("text"), 10)).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(summed == fullCnt,
+      "appended index summed per hash must equal the full-corpus counts")
+  }
+
   test("streaming dedup loop: files arriving across two stream runs are " +
     "matched incrementally; checkpoint skips processed files") {
     import org.apache.spark.sql.functions.{col, pmod, lit}
@@ -297,6 +339,43 @@ class CurationSpec extends AnyFunSuite {
       val dropped = out.count(_.getInt(3) == 0)
       assert(dropped > 0 && dropped < out.length / 2,
         s"$dir: $dropped/${out.length} dropped")
+    }
+  }
+
+  test("semantic decontamination: hits/max_cos recompute from exact " +
+    "benchmark-vs-corpus cosine; threshold margin >= 1e-4 at all SFs") {
+    val tau = 0.43
+    dirs.foreach { dir =>
+      val vecs = Tables.embeddings(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+        .sortBy(_._1)
+      val (bench, corpus) = vecs.partition(_._1 < 50L)
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      var minMargin = Double.MaxValue
+      val expected = corpus.map { case (id, v) =>
+        val cs = bench.map(b => cos(b._2, v))
+        cs.foreach(c => minMargin = math.min(minMargin, math.abs(c - tau)))
+        id -> cs.count(_ >= tau).toLong
+      }.toMap
+      assert(minMargin >= 1e-4,
+        s"$dir: a benchmark cosine sits $minMargin from tau — boundary-unsafe")
+      val out = Similarity.qDecontaminateSemantic(spark, dir).collect()
+      assert(out.length == corpus.length)
+      out.foreach { r =>
+        val (id, nHits, flag) = (r.getLong(0), r.getLong(2), r.getInt(4))
+        assert(nHits == expected(id), s"$dir vec $id: n_hits")
+        assert(flag == (if (expected(id) > 0) 1 else 0), s"$dir vec $id")
+      }
+      // non-vacuous: some contamination found, but rare
+      val flagged = out.count(_.getInt(4) == 1)
+      assert(flagged > 0 && flagged < out.length / 10,
+        s"$dir: $flagged/${out.length} flagged")
     }
   }
 }
