@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -33,6 +33,18 @@ object EventOps {
     * `flatMapGroupsWithState` timeouts FIRE in watermark-advancing
     * batches, so that query keeps the default.
     */
+  /** Final presentation sort for a memory-sink result: the sink has
+    * already materialized the (bounded) result on the driver, so a
+    * single-partition `sortWithinPartitions` delivers the same total
+    * order as a global `orderBy` WITHOUT the range-partitioning
+    * sampling job + exchange a global sort plans over the MemoryPlan —
+    * measured 0.40 s → 0.04 s per streaming query on a 3.6k-row result
+    * table. Streaming-result-only: batch query outputs keep `orderBy`
+    * (their inputs are not driver-bounded).
+    */
+  private[ops] def sinkSorted(df: DataFrame, cols: Column*): DataFrame =
+    df.coalesce(1).sortWithinPartitions(cols: _*)
+
   private[ops] def startTrimmedStream[T](spark: SparkSession,
       parts: Option[String])(start: => T): T = {
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
@@ -396,7 +408,7 @@ object EventOps {
     }
     try q.awaitTermination()
     finally q.stop()
-    spark.table(name).orderBy(col("ws"), col("event_type"))
+    sinkSorted(spark.table(name), col("ws"), col("event_type"))
   }
 
   // ---------- Structured Streaming: stream-static enrichment join ----------
@@ -434,7 +446,7 @@ object EventOps {
     }
     try q.awaitTermination()
     finally q.stop()
-    spark.table(name).orderBy(col("segment"))
+    sinkSorted(spark.table(name), col("segment"))
   }
 
   val qStreamStaticJoinOracle: String =
@@ -581,7 +593,7 @@ object EventOps {
     }
     try q.awaitTermination()
     finally q.stop()
-    spark.table(name).orderBy(col("ws"), col("event_type"))
+    sinkSorted(spark.table(name), col("ws"), col("event_type"))
   }
 
   // ---------- Structured Streaming: stream-stream interval join ----------
@@ -634,7 +646,7 @@ object EventOps {
     }
     try q.awaitTermination()
     finally q.stop()
-    spark.table(name).orderBy(col("v_id"), col("c_id"))
+    sinkSorted(spark.table(name), col("v_id"), col("c_id"))
   }
 
   val qStreamJoinOracle: String =
@@ -712,13 +724,16 @@ object EventOps {
     * sink, driven to completion with AvailableNow.
     *
     * Final-session flush: an event-time timeout only fires in a batch
-    * AFTER the watermark passes it, so the input directory gets two
-    * far-future sentinel files (filtered from the output) —
-    * sentinel #1's batch advances the watermark past every real session's
-    * end, sentinel #2's batch gives the engine a trigger in which those
-    * timeouts fire. `maxFilesPerTrigger=1` forces the three batches. This
-    * is the production pattern for draining session state at end-of-stream,
-    * exercised end-to-end.
+    * AFTER the watermark passes it, so the input directory gets ONE
+    * far-future sentinel file (filtered from the output) whose batch
+    * advances the watermark past every real session's end; the engine's
+    * trailing NO-DATA micro-batch (the default this query deliberately
+    * keeps, unlike [[startTrimmedStream]] callers) is the trigger in
+    * which those timeouts fire. `maxFilesPerTrigger=1` forces the two
+    * data batches. This is the production pattern for draining session
+    * state at end-of-stream, exercised end-to-end — r9 used a second
+    * sentinel file as the firing trigger, which bought the same flush
+    * for one extra source batch.
     */
   def qStreamSession(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -731,16 +746,14 @@ object EventOps {
     // time the stateful query, not the fixture write (same pattern as
     // qStreamDedup); the checkpoint stays per-run
     val fixture = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-stream-sess-in-${dir.hashCode.toHexString}")
+      s"graft-stream-sess1-in-${dir.hashCode.toHexString}")
     if (!new java.io.File(fixture, "_READY").isFile) {
       ev.coalesce(1).write.mode("overwrite").parquet(s"$fixture/in")
       val maxTsMs = ev.agg(max(col("ts"))).head().getTimestamp(0).getTime
-      Seq(1, 2).foreach { i =>
-        Seq((-i.toLong, new java.sql.Timestamp(maxTsMs + i * 86400000L), 0.0))
-          .toDF("user_id", "ts", "value")
-          .coalesce(1).write.mode("append").parquet(s"$fixture/in")
-        Thread.sleep(5) // distinct mtimes → deterministic file order
-      }
+      Thread.sleep(5) // distinct mtimes → deterministic file order
+      Seq((-1L, new java.sql.Timestamp(maxTsMs + 86400000L), 0.0))
+        .toDF("user_id", "ts", "value")
+        .coalesce(1).write.mode("append").parquet(s"$fixture/in")
       new java.io.File(fixture, "_READY").createNewFile()
     }
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-sess")
@@ -777,11 +790,11 @@ object EventOps {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     try q.awaitTermination()
     finally q.stop()
-    spark.table(name)
-      .filter(col("user_id") >= 0) // drop watermark sentinels
+    sinkSorted(spark.table(name)
+      .filter(col("user_id") >= 0) // drop watermark sentinel
       .select(col("user_id"), col("session_start"), col("session_end"),
-        col("n"), round(col("total"), 2).as("total"))
-      .orderBy(col("user_id"), col("session_start"))
+        col("n"), round(col("total"), 2).as("total")),
+      col("user_id"), col("session_start"))
   }
 
   // ---------- volume anomaly detection (z-score per type/hour) ----------
@@ -1123,6 +1136,9 @@ object EventOps {
           ((col("tot_ref") + 10) * (col("tot_cur") + 10)).cast("double") *
           log(col("num").cast("double") / col("den").cast("double")), 6))
       .select(col("bin"), col("n_ref"), col("n_cur"), col("psi"))
+      // orderBy, NOT coalesce(1)+sort: a pre-sort coalesce(1) here would
+      // collapse the whole preceding agg stage into one task (measured
+      // +0.3-0.9 s on both the batch and stream variants)
       .orderBy(col("bin"))
   }
 

@@ -1597,7 +1597,7 @@ object TextAnalysis {
     }
     try q.awaitTermination()
     finally q.stop()
-    spark.table(name).orderBy(col("lang"))
+    EventOps.sinkSorted(spark.table(name), col("lang"))
   }
 
   val qStreamQualityOracle: String =
