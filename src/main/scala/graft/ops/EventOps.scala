@@ -661,6 +661,98 @@ object EventOps {
       WHERE c_tu >= v_tu AND c_tu <= v_tu + 14400000000::BIGINT
       ORDER BY v_id, c_id"""
 
+  // ---------- Structured Streaming: stream-stream LEFT OUTER join ----------
+  /** The OUTER stream-stream join — the join shape [[qStreamJoin]]'s
+    * inner variant cannot exercise, because it adds WATERMARK-GATED
+    * EMISSION: a view with no click in its window must eventually emit a
+    * null-padded row, and the engine may only do that once the click
+    * side's watermark proves no match can still arrive (v_ts + 4h <
+    * watermark). Same interval condition as the inner join, so state
+    * eviction stays bounded; the difference is the trailing emission
+    * discipline, which this query drives end-to-end the production way:
+    * a far-future sentinel event (type `wm_sentinel`, user −1, joins
+    * nothing) advances both watermarks past every view's match window,
+    * and the engine's trailing no-data micro-batch performs the final
+    * null-padded emission, exactly the [[qStreamSession]] end-of-stream
+    * drain. The oracle is the plain
+    * batch LEFT JOIN (`NULLS FIRST` pins DuckDB to Spark's
+    * ascending-null order).
+    */
+  def qStreamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-stream-ojoin-in-${dir.hashCode.toHexString}")
+    if (!new java.io.File(fixture, "_READY").isFile) {
+      ev.coalesce(1).write.mode("overwrite").parquet(s"$fixture/in")
+      val maxTsMs = ev.agg(max(col("ts"))).head().getTimestamp(0).getTime
+      Thread.sleep(5) // distinct mtimes → deterministic file order
+      import spark.implicits._
+      Seq((-1L, -1L, new java.sql.Timestamp(maxTsMs + 2 * 86400000L),
+        "wm_sentinel"))
+        .toDF("event_id", "user_id", "ts", "event_type")
+        .coalesce(1).write.mode("append").parquet(s"$fixture/in")
+      new java.io.File(fixture, "_READY").createNewFile()
+    }
+
+    def side(tpe: String, prefix: String) =
+      spark.readStream
+        .schema(ev.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(s"$fixture/in")
+        .withWatermark("ts", "4 hours")
+        // the sentinel passes BOTH side filters (Catalyst pushes the
+        // filter below the watermark collector, so filtering it out here
+        // would stop it advancing the watermark — measured: the last 4h
+        // of views never emitted their null rows). Its user_id −1 joins
+        // nothing; its one null-padded left row is dropped at the end.
+        .filter(col("event_type") === tpe ||
+          col("event_type") === "wm_sentinel")
+        .select(col("event_id").as(s"${prefix}_id"),
+          col("user_id").as(s"${prefix}_user"),
+          col("ts").as(s"${prefix}_ts"))
+    val joined = side("view", "v")
+      .join(side("click", "c"),
+        col("v_user") === col("c_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 4 HOURS"),
+        "left_outer")
+
+    val name = "graft_stream_ojoin"
+    // keeps the default no-data micro-batch: that batch IS the final
+    // null-padded emission trigger (see scaladoc)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      joined
+        .select(col("v_user").as("user_id"), col("v_id"), col("c_id"),
+          unix_micros(col("v_ts")).as("v_tu"),
+          unix_micros(col("c_ts")).as("c_tu"))
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try q.awaitTermination()
+    finally q.stop()
+    sinkSorted(spark.table(name).filter(col("user_id") >= 0),
+      col("v_id"), col("c_id"))
+  }
+
+  val qStreamOuterJoinOracle: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) tu, event_type
+        FROM events),
+      v AS (SELECT event_id v_id, user_id, tu v_tu FROM e
+        WHERE event_type = 'view'),
+      c AS (SELECT event_id c_id, user_id, tu c_tu FROM e
+        WHERE event_type = 'click')
+      SELECT v.user_id, v_id, c.c_id, v_tu, c.c_tu
+      FROM v LEFT JOIN c ON v.user_id = c.user_id
+        AND c.c_tu >= v.v_tu AND c.c_tu <= v.v_tu + 14400000000::BIGINT
+      ORDER BY v_id, c_id NULLS FIRST"""
+
   // ---------- Structured Streaming: custom sessionization state ----------
 
   /** One event as seen by the stateful operator (ts kept as BOTH the
@@ -1754,6 +1846,7 @@ object EventOps {
     "q_stream_session" -> (qStreamSession _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_join" -> (qStreamJoin _),
+    "q_stream_outer_join" -> (qStreamOuterJoin _),
     "q_stream_static_join" -> (qStreamStaticJoin _),
     "q_events_funnel" -> (qEventsFunnel _),
     "q_json_funcs" -> (qJsonFuncs _),
@@ -1788,6 +1881,7 @@ object EventOps {
     "q_stream_session" -> qEventsSessionOracle,
     "q_stream_dedup" -> qEventsTumblingOracle,
     "q_stream_join" -> qStreamJoinOracle,
+    "q_stream_outer_join" -> qStreamOuterJoinOracle,
     "q_stream_static_join" -> qStreamStaticJoinOracle,
     "q_events_funnel" -> qEventsFunnelOracle,
     "q_json_funcs" -> qJsonFuncsOracle,
