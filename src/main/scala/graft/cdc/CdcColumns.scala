@@ -193,11 +193,25 @@ object CdcColumns {
       changes: DataFrame,
       keyCols: Seq[String],
       orderCols: Seq[Column],
-      deleteCol: Column): DataFrame = {
+      deleteCol: Column): DataFrame =
+    latestPerKey(changes, keyCols, orderCols).filter(!deleteCol)
+
+  /** The argmax-per-key half of [[applyChanges]], KEEPING delete rows as
+    * tombstones. This is the incremental-merge building block: argmax is
+    * associative and commutative, so `latestPerKey(state ∪ batch) ≡
+    * latestPerKey(all changes)` — but only if deletes stay in the state
+    * as tombstones (dropping them mid-stream would let an older live row
+    * resurrect the key on the next merge). Filter `deleteCol` only at
+    * read time.
+    */
+  def latestPerKey(
+      changes: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(orderCols.map(_.desc): _*)
     changes.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && !deleteCol)
+      .filter(col("__rn") === 1)
       .drop("__rn")
   }
 
@@ -230,6 +244,76 @@ object CdcColumns {
         ORDER BY tx_id DESC, qty DESC, amount DESC) AS rn FROM e)
       SELECT id, tx_id AS last_tx, qty, amount FROM r
       WHERE rn = 1 AND NOT is_deleted ORDER BY id"""
+
+  /** [[qCdcApply]] run the way the REFERENCE runs (main.py:601-613 is a
+    * continuously-consuming pipeline, not a batch): the synthesized
+    * change stream arrives in three micro-batches (split on
+    * `l_linenumber`, so most keys receive versions in SEVERAL batches)
+    * and a materialized current-state table is advanced per batch with a
+    * `foreachBatch` MERGE — `latestPerKey(state ∪ batch)`, tombstones
+    * kept in state so later batches cannot resurrect deleted keys, each
+    * batch writing a NEW state version directory (the replay-idempotent
+    * pattern of [[graft.ops.Dedup.runStreamingDedup]]). The final state,
+    * tombstones filtered at read, hash-matches the UNCHANGED batch
+    * oracle — the stream ≡ batch proof, riding on argmax associativity.
+    *
+    * Scale posture: per batch one key shuffle over state ∪ batch with a
+    * map-side WindowGroupLimit — the same single-shuffle MERGE any table
+    * format's upsert runs continuously at 100 TB.
+    */
+  def qStreamCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val events = l.select(
+      col("l_orderkey").as("id"),
+      col("l_linenumber").cast("long").as("tx_id"),
+      ((col("l_orderkey") + col("l_linenumber")) % 7 === 0).as("is_deleted"),
+      col("l_quantity").cast("long").as("qty"),
+      round(col("l_extendedprice"), 2).as("amount"))
+    val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-stream-cdc-in-${dir.hashCode.toHexString}")
+    if (!new java.io.File(fixture, "_READY").isFile) {
+      // batches arrive in DESCENDING tx order on purpose: a key deleted
+      // at high tx sees its older live versions arrive in LATER batches —
+      // the resurrection hazard that tombstone-keeping exists for
+      Seq(col("tx_id") >= 5, col("tx_id") === 3 || col("tx_id") === 4,
+        col("tx_id") <= 2).foreach { p =>
+        events.filter(p).coalesce(1).write.mode("append")
+          .parquet(s"$fixture/in")
+        Thread.sleep(5) // distinct mtimes → deterministic file order
+      }
+      new java.io.File(fixture, "_READY").createNewFile()
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-cdc")
+      .toFile.getAbsolutePath
+
+    @volatile var statePath: Option[String] = None
+    val q = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$fixture/in")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val input = statePath match {
+          case Some(p) => spark.read.parquet(p).unionByName(batch)
+          case None => batch
+        }
+        latestPerKey(input, Seq("id"),
+          Seq(col("tx_id"), col("qty"), col("amount")))
+          .write.mode("overwrite").parquet(s"$tmp/state$id")
+        statePath = Some(s"$tmp/state$id")
+        ()
+      }
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    spark.read.parquet(statePath.get)
+      .filter(!col("is_deleted"))
+      .select(col("id"), col("tx_id").as("last_tx"), col("qty"), col("amount"))
+      .orderBy(col("id"))
+  }
 
   /** SCD Type-2 history build from the same synthesized change stream as
     * [[qCdcApply]]: every version of every key survives, stamped with its
@@ -276,6 +360,7 @@ object CdcColumns {
     "q_cdc_decimal" -> (qCdcDecimal _),
     "q_cdc_stringify" -> (qCdcStringify _),
     "q_cdc_apply" -> (qCdcApply _),
+    "q_stream_cdc_apply" -> (qStreamCdcApply _),
     "q_cdc_scd2" -> (qCdcScd2 _),
   )
 
@@ -284,6 +369,7 @@ object CdcColumns {
     "q_cdc_decimal" -> qCdcDecimalOracle,
     "q_cdc_stringify" -> qCdcStringifyOracle,
     "q_cdc_apply" -> qCdcApplyOracle,
+    "q_stream_cdc_apply" -> qCdcApplyOracle,
     "q_cdc_scd2" -> qCdcScd2Oracle,
   )
 }

@@ -770,6 +770,79 @@ object Similarity {
         (sum(CASE WHEN cs >= 0.43 THEN 1 ELSE 0 END) > 0)::INT AS contaminated
       FROM s GROUP BY vec_id, label ORDER BY vec_id"""
 
+  // ---------- greedy k-center diversity selection (Gonzalez) ----------
+  /** DIVERSITY SAMPLING by greedy k-center (Gonzalez 1985, the 2-approx
+    * farthest-point heuristic) — the coreset/curation primitive that
+    * picks a maximally-spread representative subset of an embedding
+    * corpus (seed prompts, eval panels, balanced fine-tune subsets).
+    * Deterministic: seed = vec_id 0, then k−1 rounds of "farthest point
+    * from the selected set" with ties broken on vec_id. Emits the
+    * selection trajectory — (step, chosen id, its distance to the prior
+    * set); that distance sequence is non-increasing and step i+1's value
+    * is exactly the k-center radius after i selections, so the output IS
+    * the coverage certificate.
+    *
+    * Scale shape: each round is ONE corpus scan computing `least` of ≤k
+    * scan-side distance expressions (`sqrt(aggregate(zip_with(...)))` —
+    * the same left-to-right fold as DuckDB's `list_distance`, so the
+    * rounded outputs and every argmax comparison see bit-identical
+    * doubles) finished by a `TakeOrderedAndProject(1)`; the per-round
+    * collect is ONE row (a fixed-size model, k-bounded — the sanctioned
+    * exception to the no-collect rule). Total O(k·n·dims), the same
+    * anchor discipline as the trained-index queries. The oracle replays
+    * the identical greedy recursion as a recursive CTE.
+    */
+  def qSampleKcenter(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val pts = withVec(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("label"), col("vd"))
+    def distTo(c: Array[Double]): Column =
+      sqrt(aggregate(
+        zip_with(col("vd"), typedlit(c), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x))
+    val first = pts.filter(col("vec_id") === 0).head()
+    var centers = Vector(first.getSeq[Double](2).toArray)
+    var ids = Vector(0L)
+    val rows = scala.collection.mutable.ArrayBuffer(
+      (1, 0L, first.getInt(1), 0.0))
+    while (rows.length < k) {
+      val minDist = centers.map(distTo).reduce(least(_, _))
+      val w = pts.filter(!col("vec_id").isInCollection(ids))
+        .withColumn("d", minDist)
+        .orderBy(col("d").desc, col("vec_id"))
+        .limit(1).head()
+      centers :+= w.getSeq[Double](2).toArray
+      ids :+= w.getLong(0)
+      rows += ((rows.length + 1, w.getLong(0), w.getInt(1), w.getDouble(3)))
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("step", "vec_id", "label", "dist")
+      .select(col("step"), col("vec_id"), col("label"),
+        round(col("dist"), 6).as("dist6"))
+      .orderBy(col("step"))
+  }
+
+  val qSampleKcenterOracle: String =
+    """WITH RECURSIVE e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        FROM embeddings),
+      sel AS (
+        SELECT 1 AS step, 0::BIGINT AS vec_id,
+          (SELECT label FROM e WHERE vec_id = 0) AS label,
+          0.0::DOUBLE AS dist, -- bare 0.0 unifies the union to DECIMAL(2,1)
+          [(SELECT v FROM e WHERE vec_id = 0)] AS centers,
+          [0::BIGINT] AS ids
+        UNION ALL
+        SELECT s.step + 1, w.vec_id, w.label, w.d,
+          list_append(s.centers, w.v), list_append(s.ids, w.vec_id)
+        FROM sel s, LATERAL (
+          SELECT c.vec_id, c.label, c.v,
+            list_min([list_distance(cv, c.v) FOR cv IN s.centers]) AS d
+          FROM e c WHERE NOT list_contains(s.ids, c.vec_id)
+          ORDER BY d DESC, c.vec_id LIMIT 1) w
+        WHERE s.step < 8)
+      SELECT step, vec_id, label, round(dist, 6) AS dist6
+      FROM sel ORDER BY step"""
+
   // ---------- k-means clustering (one Lloyd iteration, exact) ----------
 
   /** Distributed k-means over the embedding column — the clustering
@@ -1325,6 +1398,7 @@ object Similarity {
     "q_ann_mrl" -> (qAnnMrl _),
     "q_ann_rerank" -> (qAnnRerank _),
     "q_cluster_kmeans" -> (qClusterKmeans _),
+    "q_sample_kcenter" -> (qSampleKcenter _),
     "q_embed_covariance" -> (qEmbedCovariance _),
     "q_embed_whiten" -> (qEmbedWhiten _),
     "q_embed_pca" -> (qEmbedPca _),
@@ -1346,6 +1420,7 @@ object Similarity {
     "q_ann_mrl" -> qAnnMrlOracle,
     "q_ann_rerank" -> qAnnRerankOracle,
     "q_cluster_kmeans" -> qClusterKmeansOracle,
+    "q_sample_kcenter" -> qSampleKcenterOracle,
     "q_embed_covariance" -> qEmbedCovarianceOracle,
     "q_embed_whiten" -> qEmbedWhitenOracle,
     "q_embed_pca" -> qEmbedPcaOracle,

@@ -180,6 +180,42 @@ class CurationSpec extends AnyFunSuite {
       "batch-attributed pairs must reconstruct the full pair set")
   }
 
+  test("k-center: selection trajectory equals a local greedy replay; " +
+    "radius sequence is non-increasing") {
+    dirs.foreach { dir =>
+      val vecs = Tables.embeddings(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getInt(2),
+          r.getSeq[Float](1).map(_.toDouble).toArray))
+        .sortBy(_._1)
+      def dist(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+        math.sqrt(s)
+      }
+      val byId = vecs.map(v => v._1 -> v).toMap
+      var centers = Vector(byId(0L))
+      val expected = scala.collection.mutable.ArrayBuffer(
+        (1, 0L, byId(0L)._2, 0.0))
+      while (expected.length < 8) {
+        val cand = vecs.filter(v => !centers.exists(_._1 == v._1))
+          .map(v => (v, centers.map(c => dist(c._3, v._3)).min))
+        val w = cand.minBy { case (v, d) => (-d, v._1) }
+        centers :+= w._1
+        expected += ((expected.length + 1, w._1._1, w._1._2, w._2))
+      }
+      val got = Similarity.qSampleKcenter(spark, dir).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      val exp = expected.map { case (s, id, l, d) =>
+        (s, id, l, BigDecimal(d).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      assert(got.toSeq == exp.toSeq, s"$dir: $got vs $exp")
+      // Gonzalez invariant: the selection distances never increase
+      val ds = got.drop(1).map(_._4)
+      assert(ds.zip(ds.tail).forall { case (a, b) => b <= a }, ds.toSeq)
+    }
+  }
+
   test("window index: substring stats per snapshot equal the cumulative " +
     "recount; index advances by append and stays content-free") {
     import org.apache.spark.sql.functions.{col, pmod, lit}
