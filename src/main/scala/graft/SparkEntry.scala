@@ -22,13 +22,13 @@ object SparkEntry {
     Relational.queries ++ Dedup.queries ++ Similarity.queries ++
       GraphOps.queries ++
       TextAnalysis.queries ++ EventOps.queries ++ Multimodal.queries ++
-      ArrayOps.queries ++ Formats.queries ++
+      ArrayOps.queries ++ Formats.queries ++ Layout.queries ++
       graft.cdc.CdcColumns.queries ++ graft.convert.ConvertQueries.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       GraphOps.oracles ++
       TextAnalysis.oracles ++ EventOps.oracles ++ Multimodal.oracles ++
-      ArrayOps.oracles ++ Formats.oracles ++
+      ArrayOps.oracles ++ Formats.oracles ++ Layout.oracles ++
       graft.cdc.CdcColumns.oracles ++ graft.convert.ConvertQueries.oracles
 }

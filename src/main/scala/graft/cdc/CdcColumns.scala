@@ -287,26 +287,29 @@ object CdcColumns {
       .toFile.getAbsolutePath
 
     @volatile var statePath: Option[String] = None
+    // NOT narrowed to 8 shuffle partitions like the stateful streaming
+    // queries: the per-batch MERGE is a real 10^5-row key shuffle, not a
+    // state-store commit — narrowing it measured 0.7 s SLOWER
     val q = spark.readStream
-      .schema(events.schema)
-      .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", "*.parquet")
-      .parquet(s"$fixture/in")
-      .writeStream
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        val input = statePath match {
-          case Some(p) => spark.read.parquet(p).unionByName(batch)
-          case None => batch
+        .schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(s"$fixture/in")
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val input = statePath match {
+            case Some(p) => spark.read.parquet(p).unionByName(batch)
+            case None => batch
+          }
+          latestPerKey(input, Seq("id"),
+            Seq(col("tx_id"), col("qty"), col("amount")))
+            .write.mode("overwrite").parquet(s"$tmp/state$id")
+          statePath = Some(s"$tmp/state$id")
+          ()
         }
-        latestPerKey(input, Seq("id"),
-          Seq(col("tx_id"), col("qty"), col("amount")))
-          .write.mode("overwrite").parquet(s"$tmp/state$id")
-        statePath = Some(s"$tmp/state$id")
-        ()
-      }
-      .start()
+        .start()
     try q.awaitTermination()
     finally q.stop()
     spark.read.parquet(statePath.get)

@@ -88,6 +88,59 @@ object Layout {
     * the bucket id then guarantees every physical file holds exactly one
     * z-range even when the shuffle hashes two bucket ids into one task.
     */
+  /** The ORACLED demonstration of Morton locality ([[zorderWrite]]'s
+    * pruning argument, made hash-checkable): interleave two
+    * uniform-domain key columns at [[ZqBits]] bits, cut the z-range into
+    * [[ZqBuckets]] equal buckets (= the physical files [[zorderWrite]]
+    * would produce), and report each bucket's row count and min/max
+    * extent in BOTH source dimensions plus the extent-to-domain ratio.
+    * The ratios land near 1/8 in EACH dimension (64 buckets = top 3
+    * z-levels per axis): the two-dimensional tightness that makes a
+    * selective filter on EITHER column skip ~7/8 of a 100 TB table's
+    * row groups, which a single-column sort only achieves for its own
+    * column. Everything is integer bit arithmetic in both engines — the
+    * one operator family where cross-engine exactness is free — and the
+    * ratio is a final divide of exact integers.
+    */
+  private val ZqBits = 10
+  private val ZqBuckets = 64
+
+  def qLayoutZorder(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val dom = 1L << ZqBits
+    val l = Tables.lineitem(spark, dir).select(
+      (col("l_partkey") % dom).as("a"), (col("l_suppkey") % dom).as("b"))
+    l.withColumn("z", zValue(col("a"), col("b"), ZqBits))
+      .withColumn("bucket",
+        shiftright(col("z"), 2 * ZqBits - 6).cast("long")) // 2^6 buckets
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("a")).as("a_min"), max(col("a")).as("a_max"),
+        min(col("b")).as("b_min"), max(col("b")).as("b_max"))
+      .withColumn("a_extent",
+        round((col("a_max") - col("a_min") + 1).cast("double") / dom, 6))
+      .withColumn("b_extent",
+        round((col("b_max") - col("b_min") + 1).cast("double") / dom, 6))
+      .orderBy(col("bucket"))
+  }
+
+  val qLayoutZorderOracle: String = {
+    val terms = (0 until ZqBits).map { i =>
+      s"(((a >> $i) & 1)::BIGINT << ${2 * i}) + " +
+        s"(((b >> $i) & 1)::BIGINT << ${2 * i + 1})"
+    }.mkString(" + ")
+    s"""WITH k AS (SELECT l_partkey % ${1L << ZqBits} AS a,
+        l_suppkey % ${1L << ZqBits} AS b FROM lineitem),
+      z AS (SELECT a, b, ($terms) AS zv FROM k),
+      g AS (SELECT zv >> ${2 * ZqBits - 6} AS bucket, count(*) AS n,
+          min(a) a_min, max(a) a_max, min(b) b_min, max(b) b_max
+        FROM z GROUP BY 1)
+      SELECT bucket, n, a_min, a_max, b_min, b_max,
+        round((a_max - a_min + 1) / ${(1L << ZqBits)}.0, 6) AS a_extent,
+        round((b_max - b_min + 1) / ${(1L << ZqBits)}.0, 6) AS b_extent
+      FROM g ORDER BY bucket"""
+  }
+
   def zorderWrite(
       df: DataFrame, colA: String, colB: String,
       path: String, numFiles: Int, bits: Int = 16): Unit = {
@@ -105,4 +158,10 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").partitionBy("__zfile").parquet(path)
   }
+
+  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
+    Map("q_layout_zorder" -> (qLayoutZorder _))
+
+  val oracles: Map[String, String] =
+    Map("q_layout_zorder" -> qLayoutZorderOracle)
 }
