@@ -391,9 +391,14 @@ object Dedup {
     SessionFixtures.cachedFrame("cc_labels", spark, dir)(
       ccLabelsCompute(spark, dir))
 
-  private def ccLabelsCompute(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(spark, dir).select(col("d1"), col("d2"))
-      .persist()
+  private def ccLabelsCompute(spark: SparkSession, dir: String): DataFrame =
+    ccFixpoint(minhashPairs(spark, dir).select(col("d1"), col("d2")))
+
+  /** The min-label-propagation fixpoint over an arbitrary undirected
+    * pair set — extracted so the incremental variant can run it over
+    * star-contracted history + new-batch edges. */
+  private def ccFixpoint(pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn.persist()
     val edges = pairs
       .union(pairs.select(col("d2"), col("d1")))
       .toDF("src", "dst")
@@ -458,6 +463,75 @@ object Dedup {
       SELECT cluster_id, count(*) AS n_members,
         string_agg(id, ',' ORDER BY id) AS members
       FROM labels GROUP BY cluster_id ORDER BY cluster_id"""
+
+  // ---------- incremental connected components (snapshot + batch) ----------
+  /** INCREMENTAL cluster labeling — the companion to
+    * [[qDedupIncremental]] (which makes pair DISCOVERY incremental):
+    * here the LABELING is. The history's per-node labels are a persisted
+    * per-snapshot artifact (cached like [[ccLabels]]); when a batch
+    * arrives, the fixpoint reruns over the STAR-CONTRACTED history
+    * (one `label → id` edge per historical node — components collapse to
+    * stars, so the effective graph is label-table-sized and converges in
+    * O(1) rounds) unioned with only the pairs touching the batch. By the
+    * star-contraction argument the merged components equal a full
+    * recompute's — every node stays present, each history label is
+    * already the min of its part, and min is associative under merges —
+    * which the oracle PROVES: it is the full-graph transitive closure,
+    * filtered to clusters containing a batch doc (the rows an
+    * incremental run emits). At 100 TB this is the difference between
+    * re-running a 20-round fixpoint over the whole corpus per ingest and
+    * a few label-table-sized rounds per batch.
+    */
+  def qDedupCcIncr(spark: SparkSession, dir: String): DataFrame = {
+    def isB(c: Column): Column = pmod(c, lit(10)) >= 8
+    val pairs = minhashPairs(spark, dir).select(col("d1"), col("d2"))
+      .persist()
+    val histLabels = SessionFixtures.cachedFrame("cc_hist_labels", spark, dir)(
+      ccFixpoint(pairs.filter(!isB(col("d1")) && !isB(col("d2")))))
+    val star = histLabels.filter(col("id") =!= col("label"))
+      .select(col("label").as("d1"), col("id").as("d2"))
+    val merged = ccFixpoint(
+      star.union(pairs.filter(isB(col("d1")) || isB(col("d2")))))
+    val out = merged.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        array_join(transform(sort_array(collect_list(col("id"))),
+          _.cast("string")), ",").as("members"),
+        max(isB(col("id")).cast("int")).as("touched"))
+      .filter(col("touched") === 1)
+      .drop("touched")
+      .orderBy(col("cluster_id"))
+    pairs.unpersist() // merged is checkpointed; nothing re-reads the blocks
+    out
+  }
+
+  /** [[qDedupClustersOracle]]'s full-graph closure, filtered to clusters
+    * with a mod-10 batch member — the incremental ≡ full proof. */
+  val qDedupCcIncrOracle: String =
+    """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') ws
+        FROM documents),
+      sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) < 3
+          THEN []::VARCHAR[]
+          ELSE [ws[i]||' '||ws[i+1]||' '||ws[i+2] for i in range(1, len(ws)-1)]
+        END) AS shingles FROM t),
+      ex AS (SELECT doc_id, unnest(shingles) s FROM sh),
+      inter AS (SELECT a.doc_id d1, b.doc_id d2, count(*) i FROM ex a
+        JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      card AS (SELECT doc_id, len(shingles) n FROM sh),
+      pairs AS (SELECT d1, d2 FROM inter
+        JOIN card ca ON ca.doc_id = d1 JOIN card cb ON cb.doc_id = d2
+        WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8),
+      edges AS (SELECT d1 AS s, d2 AS t FROM pairs
+        UNION ALL SELECT d2, d1 FROM pairs),
+      walk AS (SELECT s AS id, t AS reach FROM edges
+        UNION
+        SELECT w.id, e.t FROM walk w JOIN edges e ON w.reach = e.s),
+      labels AS (SELECT id, least(id, min(reach)) AS cluster_id
+        FROM walk GROUP BY id)
+      SELECT cluster_id, count(*) AS n_members,
+        string_agg(id, ',' ORDER BY id) AS members
+      FROM labels GROUP BY cluster_id
+      HAVING max(CASE WHEN id % 10 >= 8 THEN 1 ELSE 0 END) = 1
+      ORDER BY cluster_id"""
 
   // ---------- canonical representative per near-dup cluster ----------
   /** The keep/drop DECISION a dedup pipeline ends with: per connected
@@ -1461,6 +1535,7 @@ object Dedup {
     "q_dedup_cc_star" -> (qDedupCcStar _),
     "q_dedup_paragraph" -> (qDedupParagraph _),
     "q_dedup_incremental" -> (qDedupIncremental _),
+    "q_dedup_cc_incr" -> (qDedupCcIncr _),
     "q_dedup_bloom" -> (qDedupBloom _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_text_novelty" -> (qTextNovelty _),
@@ -1488,6 +1563,7 @@ object Dedup {
     "q_dedup_cc_star" -> qDedupClustersOracle,
     "q_dedup_paragraph" -> qDedupParagraphOracle,
     "q_dedup_incremental" -> qDedupIncrementalOracle,
+    "q_dedup_cc_incr" -> qDedupCcIncrOracle,
     "q_dedup_bloom" -> qDedupBloomOracle,
     "q_dedup_containment" -> qDedupContainmentOracle,
     "q_text_novelty" -> qTextNoveltyOracle,
