@@ -105,6 +105,61 @@ object Similarity {
           ORDER BY cosine DESC, b_id ASC) AS rnk FROM scored) t
       WHERE rnk <= 10 ORDER BY a_id, rnk"""
 
+  // ---------- hard-negative mining for contrastive training ----------
+  /** HARD-NEGATIVE MINING — the contrastive-training data op: for each
+    * anchor, the top-k most-similar items of a DIFFERENT label (closest
+    * impostors). These are the pairs that carry the gradient signal in
+    * triplet/InfoNCE training; random negatives are trivially separable.
+    * Same O(K·n) anchor discipline and exact-cosine kernel as
+    * [[qAnnTopk]] — one broadcast, one scan, a per-anchor top-k window —
+    * plus the per-anchor MARGIN (nearest same-label cosine minus nearest
+    * impostor cosine, the number that tells a curator which anchors are
+    * confusable). Margin is a difference of two already-rounded
+    * bit-identical cosines, so it stays oracle-exact.
+    */
+  def qAnnNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = withVec(Tables.embeddings(spark, dir))
+    val anchors = e.filter(col("vec_id") < Anchors)
+      .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+        col("vd").as("a_vd"), col("nrm").as("a_nrm"))
+    val corpus = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+      col("vd").as("b_vd"), col("nrm").as("b_nrm"))
+    val scored = broadcast(anchors)
+      .join(corpus, col("a_id") =!= col("b_id"))
+      .withColumn("cosine",
+        round(dot(col("a_vd"), col("b_vd")) / (col("a_nrm") * col("b_nrm")), 6))
+    val w = Window.partitionBy(col("a_id"))
+    val negW = w.orderBy(col("cosine").desc, col("b_id").asc)
+    scored
+      .withColumn("best_pos", max(when(col("a_label") === col("b_label"),
+        col("cosine"))).over(w))
+      .filter(col("a_label") =!= col("b_label"))
+      .withColumn("rnk", row_number().over(negW))
+      .filter(col("rnk") <= 5)
+      .select(col("a_id"), col("rnk"), col("b_id").as("neg_id"),
+        col("b_label").as("neg_label"), col("cosine").as("neg_cos"),
+        round(col("best_pos") - col("cosine"), 6).as("margin"))
+      .orderBy(col("a_id"), col("rnk"))
+  }
+
+  val qAnnNegativesOracle: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+      scored AS (
+        SELECT a.vec_id AS a_id, a.label AS a_label, b.vec_id AS b_id,
+          b.label AS b_label,
+          round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < 50),
+      m AS (SELECT *, max(CASE WHEN a_label = b_label THEN cosine END)
+          OVER (PARTITION BY a_id) AS best_pos
+        FROM scored),
+      neg AS (SELECT *, row_number() OVER (PARTITION BY a_id
+          ORDER BY cosine DESC, b_id ASC) AS rnk
+        FROM m WHERE a_label <> b_label)
+      SELECT a_id, rnk, b_id AS neg_id, b_label AS neg_label,
+        cosine AS neg_cos, round(best_pos - cosine, 6) AS margin
+      FROM neg WHERE rnk <= 5 ORDER BY a_id, rnk"""
+
   // ---------- LSH-bucketed ANN (the scale path; spec-verified) ----------
   private val LshBits = 16
   private val LshBands = 4 // 4 bands × 4 bits
@@ -1389,6 +1444,7 @@ object Similarity {
     "q_dedup_semantic" -> (qDedupSemantic _),
     "q_decontaminate_semantic" -> (qDecontaminateSemantic _),
     "q_ann_topk" -> (qAnnTopk _),
+    "q_ann_negatives" -> (qAnnNegatives _),
     "q_ann_lsh" -> (certifyRecall("lsh", 0.0, 0.30, qAnnLsh) _),
     "q_ann_ivf" -> (certifyRecall("ivf", 0.1, 0.50, qAnnIvf) _),
     "q_ann_quantized" -> (certifyRecall("sq8", 0.9, 0.90, qAnnQuantized) _),
@@ -1411,6 +1467,7 @@ object Similarity {
     "q_dedup_semantic" -> qDedupSemanticOracle,
     "q_decontaminate_semantic" -> qDecontaminateSemanticOracle,
     "q_ann_topk" -> qAnnTopkOracle,
+    "q_ann_negatives" -> qAnnNegativesOracle,
     "q_ann_lsh" -> certifyOracle("lsh", 0.0, 0.30),
     "q_ann_ivf" -> certifyOracle("ivf", 0.1, 0.50),
     "q_ann_quantized" -> certifyOracle("sq8", 0.9, 0.90),

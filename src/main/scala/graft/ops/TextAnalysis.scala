@@ -766,6 +766,59 @@ object TextAnalysis {
       FROM c WHERE n_email + n_id + n_phone + n_ip > 0
       ORDER BY doc_id"""
 
+  // ---------- robust outlier filtering (median absolute deviation) ----------
+  /** ROBUST length-outlier detection per source: median + MAD (median
+    * absolute deviation), the estimator that mean/stddev screening
+    * (`q_text_quality`) cannot replace — one 10 MB page in a source of
+    * tweets drags a mean arbitrarily but moves the median not at all
+    * (50% breakdown point). A document is flagged when its deviation
+    * exceeds 3×MAD, the standard robust cut. Exactness: lengths are
+    * integers, so every median is an integer or an exact .5 half, every
+    * deviation an exact binary fraction, and the 3×MAD comparison is
+    * decided identically in both engines with no rounding anywhere
+    * before the final ratio.
+    *
+    * Scale note: `percentile` here is the EXACT median (what the oracle
+    * can check); it buffers each source's values per group, which is the
+    * 100 TB limit of this spelling — a production run swaps in the
+    * mergeable t-digest sketch (`q_quantile_sketch`) with identical
+    * plumbing, trading exactness for a bounded-memory combine.
+    */
+  def qQualityMad(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("source"), col("n_chars"))
+    val med = d.groupBy(col("source"))
+      .agg(expr("percentile(n_chars, 0.5)").as("med"))
+    val dev = d.join(broadcast(med), "source")
+      .withColumn("dev", abs(col("n_chars") - col("med")))
+    val mad = dev.groupBy(col("source"))
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "source")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumn("out_ratio",
+        round(col("n_outliers").cast("double") / col("n_docs"), 6))
+      .orderBy(col("source"))
+  }
+
+  val qQualityMadOracle: String =
+    """WITH med AS (SELECT source, median(n_chars) AS med FROM documents
+        GROUP BY source),
+      dev AS (SELECT d.source, abs(d.n_chars - m.med) AS dev, m.med
+        FROM documents d JOIN med m USING (source)),
+      mad AS (SELECT source, median(dev) AS mad FROM dev GROUP BY source)
+      SELECT d.source, count(*) AS n_docs,
+        any_value(d.med) AS med, any_value(ma.mad) AS mad,
+        sum(CASE WHEN d.dev > 3.0 * ma.mad THEN 1 ELSE 0 END)::BIGINT
+          AS n_outliers,
+        round(sum(CASE WHEN d.dev > 3.0 * ma.mad THEN 1 ELSE 0 END)
+          / count(*), 6) AS out_ratio
+      FROM dev d JOIN mad ma USING (source)
+      GROUP BY d.source ORDER BY d.source"""
+
   // ---------- unigram-LM surprisal (quality scoring by language model) ----------
   /** Corpus-level unigram language model scored back over every document:
     * the standard cheap LM-quality filter (docs with high average
@@ -2842,6 +2895,7 @@ object TextAnalysis {
     "q_mix_epochs" -> (qMixEpochs _),
     "q_text_redact" -> (qTextRedact _),
     "q_text_pii" -> (qTextPii _),
+    "q_quality_mad" -> (qQualityMad _),
     "q_text_surprisal" -> (qTextSurprisal _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_sample_stratified" -> (qSampleStratified _),
@@ -2897,6 +2951,7 @@ object TextAnalysis {
     "q_mix_epochs" -> qMixEpochsOracle,
     "q_text_redact" -> qTextRedactOracle,
     "q_text_pii" -> qTextPiiOracle,
+    "q_quality_mad" -> qQualityMadOracle,
     "q_text_surprisal" -> qTextSurprisalOracle,
     "q_text_repetition" -> qTextRepetitionOracle,
     "q_sample_stratified" -> qSampleStratifiedOracle,
