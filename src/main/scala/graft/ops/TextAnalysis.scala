@@ -2598,6 +2598,67 @@ object TextAnalysis {
     */
   private val MiBuckets = 64
 
+  // ---------- chi-square independence (lang × source contingency) ----------
+  /** Pearson χ² independence audit of the lang × source contingency
+    * table — the monitoring number that says whether a corpus's language
+    * mix is uniform across sources or some source skews (a routing bug,
+    * a crawl drift). Every cell of the FULL grid participates, including
+    * structural zeros (the classic chi-square mistake is grouping only
+    * observed combos): the grid is the cross of two domain-bounded
+    * dimension tables, so it is tiny at any corpus size. Exactness per
+    * the repo discipline: the per-cell statistic is regrouped as
+    * `(O·N − R·C)² / (N·R·C)` — integer numerator/denominator routed
+    * through DECIMAL(38,0) (no 63-bit overflow at any N), ONE double
+    * divide of identical exact operands per cell, then per-term
+    * quantization to 1e-9 BIGINT so the per-language sum is associative
+    * and engine-identical (the q_graph_linkpred lesson applied to a
+    * test statistic).
+    */
+  def qStatsChisq(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("lang"), col("source"))
+    val cells = d.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("o")).localCheckpoint()
+    val rowT = cells.groupBy(col("lang")).agg(sum(col("o")).as("r"))
+    val colT = cells.groupBy(col("source")).agg(sum(col("o")).as("c"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    val dec = "decimal(38,0)"
+    val grid = broadcast(rowT).crossJoin(broadcast(colT))
+      .join(cells, Seq("lang", "source"), "left_outer")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(n))
+    grid
+      .withColumn("num",
+        col("o").cast(dec) * col("n").cast(dec) -
+          col("r").cast(dec) * col("c").cast(dec))
+      .withColumn("t9", round(
+        (col("num") * col("num")).cast("double") /
+          (col("n").cast(dec) * col("r").cast(dec) * col("c").cast(dec))
+            .cast("double") * lit(1e9)).cast("long"))
+      .groupBy(col("lang"))
+      .agg(max(col("r")).as("n_docs"),
+        round(sum(col("t9")) / lit(1e9), 6).as("chisq_contrib6"))
+      .orderBy(col("lang"))
+  }
+
+  val qStatsChisqOracle: String =
+    """WITH cells AS (SELECT lang, source, count(*)::BIGINT o
+        FROM documents GROUP BY 1, 2),
+      rt AS (SELECT lang, sum(o)::BIGINT r FROM cells GROUP BY 1),
+      ct AS (SELECT source, sum(o)::BIGINT c FROM cells GROUP BY 1),
+      n AS (SELECT sum(o)::BIGINT n FROM cells),
+      grid AS (SELECT rt.lang, ct.source, rt.r, ct.c,
+          coalesce(cells.o, 0)::BIGINT AS o, n.n
+        FROM rt CROSS JOIN ct CROSS JOIN n
+        LEFT JOIN cells ON cells.lang = rt.lang AND cells.source = ct.source),
+      t AS (SELECT lang, r,
+          round(((o::HUGEINT * n - r::HUGEINT * c) *
+                 (o::HUGEINT * n - r::HUGEINT * c))::DOUBLE /
+            (n::HUGEINT * r * c)::DOUBLE * 1e9)::BIGINT AS t9
+        FROM grid)
+      SELECT lang, max(r) AS n_docs,
+        round(sum(t9)::BIGINT / 1e9, 6) AS chisq_contrib6
+      FROM t GROUP BY lang ORDER BY lang"""
+
   def qStatsMutualinfo(spark: SparkSession, dir: String): DataFrame = {
     val bucket = pmod(
       conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long"),
@@ -2927,6 +2988,7 @@ object TextAnalysis {
     "q_text_perplexity" -> (qTextPerplexity _),
     "q_curate_dsir" -> (qCurateDsir _),
     "q_stats_mutualinfo" -> (qStatsMutualinfo _),
+    "q_stats_chisq" -> (qStatsChisq _),
     "q_curate_token_budget" -> (qCurateTokenBudget _),
     "q_langid_eval" -> (qLangidEval _),
     "q_quality_calibration" -> (qQualityCalibration _),
@@ -2983,6 +3045,7 @@ object TextAnalysis {
     "q_text_perplexity" -> qTextPerplexityOracle,
     "q_curate_dsir" -> qCurateDsirOracle,
     "q_stats_mutualinfo" -> qStatsMutualinfoOracle,
+    "q_stats_chisq" -> qStatsChisqOracle,
     "q_curate_token_budget" -> qCurateTokenBudgetOracle,
     "q_langid_eval" -> qLangidEvalOracle,
     "q_quality_calibration" -> qQualityCalibrationOracle,
