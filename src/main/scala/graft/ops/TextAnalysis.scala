@@ -2598,6 +2598,79 @@ object TextAnalysis {
     */
   private val MiBuckets = 64
 
+  // ---------- inter-annotator agreement (Cohen's kappa) ----------
+  /** COHEN'S KAPPA — the label-QC number for human- or model-annotated
+    * training data: chance-corrected agreement between two annotators.
+    * Annotator A is the corpus `lang` label; annotator B is a
+    * deterministic noisy copy (an md5-parity ~20% of docs shift to the
+    * cyclically-next language — the dictionary and shift both derived
+    * in-plan, so the oracle replays them exactly). The whole statistic
+    * reduces to integers: with `agree` = matching docs, `rA_k`/`rB_k`
+    * the per-class marginals, κ = (N·agree − Σ_k rA_k·rB_k) /
+    * (N² − Σ_k rA_k·rB_k) — ONE double divide of identical exact
+    * operands at the very end, the repo's exactness discipline. Scale
+    * shape: one scan to label B (broadcast 5-row dictionary), one
+    * confusion-matrix aggregate (class² cells), marginal products on the
+    * domain-bounded dictionary.
+    */
+  def qLabelKappa(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val dict = d.select(col("lang")).distinct()
+      .withColumn("rk", row_number().over(Window.orderBy(col("lang"))))
+    val L = dict.count() // 5-row dictionary; fixed-size model
+    val noisy = d
+      .withColumn("flip", pmod(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+          .cast("long"), lit(5L)) === 0L)
+      .join(broadcast(dict), "lang")
+      .withColumn("b_rk",
+        when(col("flip"), pmod(col("rk").cast("long"), lit(L)) + 1L)
+          .otherwise(col("rk").cast("long")))
+      .join(broadcast(dict.select(col("lang").as("b_lang"),
+        col("rk").cast("long").as("b_rk"))), "b_rk")
+    val conf = noisy.groupBy(col("lang"), col("b_lang"))
+      .agg(count(lit(1)).as("n")).localCheckpoint()
+    val rA = conf.groupBy(col("lang")).agg(sum(col("n")).as("ra"))
+    val rB = conf.groupBy(col("b_lang")).agg(sum(col("n")).as("rb"))
+    val pe = rA.join(rB, col("lang") === col("b_lang"))
+      .agg(sum(col("ra") * col("rb")).as("spe"))
+    val tot = conf.agg(sum(col("n")).as("nn"),
+      sum(when(col("lang") === col("b_lang"), col("n")).otherwise(0L))
+        .as("agree"))
+    tot.crossJoin(broadcast(pe))
+      .select(col("nn").as("n"), col("agree"),
+        round(col("agree").cast("double") / col("nn"), 6).as("po6"),
+        round((col("nn") * col("agree") - col("spe")).cast("double") /
+          (col("nn") * col("nn") - col("spe")).cast("double"), 6)
+          .as("kappa6"))
+  }
+
+  val qLabelKappaOracle: String =
+    """WITH d AS (SELECT doc_id, lang FROM documents),
+      dict AS (SELECT lang, row_number() OVER (ORDER BY lang) AS rk
+        FROM (SELECT DISTINCT lang FROM d)),
+      l AS (SELECT count(*)::BIGINT nl FROM dict),
+      noisy AS (SELECT d.doc_id, d.lang,
+          CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 6))::BIGINT
+            % 5 = 0 THEN (dict.rk % l.nl) + 1 ELSE dict.rk END AS b_rk
+        FROM d JOIN dict USING (lang) CROSS JOIN l),
+      lab AS (SELECT n.lang, d2.lang AS b_lang FROM noisy n
+        JOIN dict d2 ON d2.rk = n.b_rk),
+      conf AS (SELECT lang, b_lang, count(*)::BIGINT n FROM lab
+        GROUP BY 1, 2),
+      ra AS (SELECT lang, sum(n)::BIGINT ra FROM conf GROUP BY 1),
+      rb AS (SELECT b_lang, sum(n)::BIGINT rb FROM conf GROUP BY 1),
+      pe AS (SELECT sum(ra * rb)::BIGINT spe FROM ra JOIN rb
+        ON ra.lang = rb.b_lang),
+      tot AS (SELECT sum(n)::BIGINT nn,
+          sum(CASE WHEN lang = b_lang THEN n ELSE 0 END)::BIGINT agree
+        FROM conf)
+      SELECT nn AS n, agree,
+        round(agree / nn::DOUBLE, 6) AS po6,
+        round((nn * agree - spe)::DOUBLE /
+          (nn::HUGEINT * nn - spe)::DOUBLE, 6) AS kappa6
+      FROM tot CROSS JOIN pe"""
+
   // ---------- chi-square independence (lang × source contingency) ----------
   /** Pearson χ² independence audit of the lang × source contingency
     * table — the monitoring number that says whether a corpus's language
@@ -2989,6 +3062,7 @@ object TextAnalysis {
     "q_curate_dsir" -> (qCurateDsir _),
     "q_stats_mutualinfo" -> (qStatsMutualinfo _),
     "q_stats_chisq" -> (qStatsChisq _),
+    "q_label_kappa" -> (qLabelKappa _),
     "q_curate_token_budget" -> (qCurateTokenBudget _),
     "q_langid_eval" -> (qLangidEval _),
     "q_quality_calibration" -> (qQualityCalibration _),
@@ -3046,6 +3120,7 @@ object TextAnalysis {
     "q_curate_dsir" -> qCurateDsirOracle,
     "q_stats_mutualinfo" -> qStatsMutualinfoOracle,
     "q_stats_chisq" -> qStatsChisqOracle,
+    "q_label_kappa" -> qLabelKappaOracle,
     "q_curate_token_budget" -> qCurateTokenBudgetOracle,
     "q_langid_eval" -> qLangidEvalOracle,
     "q_quality_calibration" -> qQualityCalibrationOracle,
