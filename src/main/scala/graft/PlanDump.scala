@@ -80,7 +80,12 @@ object PlanDump {
     "q_lateral_join", "q_unpivot", "q_graph_bfs",
     "q_langid_eval", "q_quality_calibration", "q_stream_abtest",
     "q_compact_files", "q_multimodal_tar", "q_text_lm_heldout",
-    "q_skyline", "q_fuzzy_match")
+    "q_skyline", "q_fuzzy_match",
+    // round 10: blocked fuzzy join, PII sweep, incremental dedup/CC,
+    // diversity selection, layout audit, negatives, robust stats
+    "q_text_pii", "q_decontaminate_semantic", "q_dedup_substring_incr",
+    "q_sample_kcenter", "q_layout_zorder", "q_dedup_cc_incr",
+    "q_ann_negatives", "q_quality_mad", "q_stats_chisq", "q_label_kappa")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
