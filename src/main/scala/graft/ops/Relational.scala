@@ -842,10 +842,13 @@ object Relational {
   private val FuzzyGramLen = 2
   private val FuzzyPrefix = FuzzyGramLen * FuzzyMaxDist + 1 // q·τ+1 = 7
 
-  def qFuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
-    val names = Tables.part(spark, dir)
-      .groupBy($"p_name").agg(count(lit(1)).as("n"))
-
+  /** The blocked edit-distance pipeline over an arbitrary `(p_name, n)`
+    * dictionary — extracted so the completeness property spec can drive
+    * it on adversarial dictionaries (planted ≤τ-edit variants, strings
+    * short enough to need the sentinel bucket). Returns every pair
+    * within [[FuzzyMaxDist]] with support counts, unordered.
+    */
+  private[ops] def fuzzyPairs(names: DataFrame): DataFrame = {
     // distinct 2-grams per dictionary entry (≤ len−1 of them)
     val grams = names.select($"p_name", $"n",
       explode(array_distinct(expr(
@@ -866,7 +869,7 @@ object Relational {
     // sentinel bucket (mixed short/long pairs are still prefix-covered)
     val short = ranked.groupBy($"p_name", $"n").agg(max($"rk").as("ng"))
       .filter($"ng" <= FuzzyGramLen * FuzzyMaxDist)
-      .select($"p_name", $"n", lit(" ").as("g"))
+      .select($"p_name", $"n", lit("\u0000").as("g"))
     val keyed = prefix.unionByName(short)
 
     val cand = keyed.toDF("a", "na", "g")
@@ -877,10 +880,14 @@ object Relational {
 
     cand.withColumn("dist", levenshtein($"a", $"b"))
       .filter($"dist" <= FuzzyMaxDist)
+  }
+
+  def qFuzzyMatch(spark: SparkSession, dir: String): DataFrame =
+    fuzzyPairs(Tables.part(spark, dir)
+      .groupBy($"p_name").agg(count(lit(1)).as("n")))
       .select($"a", $"b", $"dist", $"na", $"nb")
       .orderBy($"dist", $"a", $"b")
       .limit(30)
-  }
 
   val qFuzzyMatchOracle: String =
     s"""WITH names AS (SELECT p_name, count(*)::BIGINT n FROM part
