@@ -73,6 +73,99 @@ object ConvertQueries {
         max(price)::VARCHAR AS max_price
       FROM w GROUP BY folder, change_type ORDER BY folder, change_type"""
 
+  /** SCHEMA EVOLUTION through the converter — the reference's defining
+    * property exercised end-to-end: every Avro file carries its OWN
+    * writer schema (main.py:492-494 reads it per file), so a producer
+    * adding payload fields mid-stream just works — v1 files convert with
+    * the old column set, v2 files with the new, side by side in the same
+    * folder/partition. The query reads the converted output back with
+    * `mergeSchema` (v1 rows surface NULL for the added columns — the
+    * lake-native evolution contract) and aggregates across the boundary;
+    * the oracle re-reads the same written bytes with DuckDB's
+    * `union_by_name=true`, so two engines must agree on both the decode
+    * AND the evolution semantics. All aggregated values are exact
+    * (integer-valued doubles; counts).
+    */
+  def qCdcSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = freshDir("evolve")
+    writeEvolveAvro(s"$tmp/landing/avro/evolve/part-v1.avro", 2000, v2 = false)
+    writeEvolveAvro(s"$tmp/landing/avro/evolve/part-v2.avro", 1500, v2 = true)
+    AvroToParquetJob.runOnce(spark, s"$tmp/landing/avro/*/*.avro",
+      s"$tmp/out", ConvertMode.Standard, ingestionDate = Some("2024-06-01"))
+    spark.read.option("mergeSchema", "true").parquet(s"$tmp/out/evolve")
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qty")).as("total_qty"),
+        sum(col("score")).as("total_score"),
+        count(col("score")).as("n_scored"))
+      .orderBy(col("tag"))
+  }
+
+  val qCdcSchemaEvolutionOracle: String =
+    s"""SELECT tag, count(*) AS n, sum(qty)::BIGINT AS total_qty,
+        sum(score) AS total_score, count(score) AS n_scored
+      FROM read_parquet(
+        '$OracleRoot/evolve/out/evolve/ingestion_date=*/*.parquet',
+        union_by_name=true)
+      GROUP BY tag ORDER BY tag NULLS FIRST"""
+
+  /** Two payload vintages of one folder's CDC stream: v2 adds `score`
+    * and `tag`. Deterministic integer-valued payloads so every
+    * cross-engine aggregate is exact.
+    */
+  private def writeEvolveAvro(path: String, rows: Int, v2: Boolean): Unit = {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val extra = if (v2)
+      """,{"name":"score","type":["null","double"]},
+         {"name":"tag","type":["null","string"]}"""
+    else ""
+    val schemaJson =
+      s"""{"type":"record","name":"cdc_event","fields":[
+        {"name":"uuid","type":"string"},
+        {"name":"source_metadata","type":{"type":"record","name":"sm","fields":[
+          {"name":"schema","type":"string"},{"name":"table","type":"string"},
+          {"name":"is_deleted","type":"boolean"},{"name":"change_type","type":"string"},
+          {"name":"tx_id","type":["null","long"]},{"name":"lsn","type":["null","string"]},
+          {"name":"primary_keys","type":{"type":"array","items":"string"}}]}},
+        {"name":"payload","type":["null",{"type":"record","name":"p","fields":[
+          {"name":"id","type":"long"},
+          {"name":"qty","type":["null","int"]}$extra]}]}
+      ]}"""
+    val schema = new Schema.Parser().parse(schemaJson)
+    val smSchema = schema.getField("source_metadata").schema()
+    val pSchema = schema.getField("payload").schema().getTypes.get(1)
+    val f = new java.io.File(path)
+    f.getParentFile.mkdirs()
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.setCodec(org.apache.avro.file.CodecFactory.snappyCodec())
+    w.create(schema, f)
+    var i = 0
+    while (i < rows) {
+      val sm = new GenericData.Record(smSchema)
+      sm.put("schema", "public"); sm.put("table", "evolve")
+      sm.put("is_deleted", Boolean.box(false))
+      sm.put("change_type", "INSERT")
+      sm.put("tx_id", Long.box(i.toLong)); sm.put("lsn", s"0/${i.toHexString}")
+      sm.put("primary_keys", java.util.Arrays.asList("id"))
+      val p = new GenericData.Record(pSchema)
+      p.put("id", Long.box(i.toLong))
+      p.put("qty", Int.box(i % 100))
+      if (v2) {
+        p.put("score", Double.box((i % 1000).toDouble))
+        p.put("tag", s"t${i % 7}")
+      }
+      val rec = new GenericData.Record(schema)
+      rec.put("uuid", s"u$i")
+      rec.put("source_metadata", sm); rec.put("payload", p)
+      w.append(rec)
+      i += 1
+    }
+    w.close()
+  }
+
   /** DSv2 scan path: `format("cdc-avro")` with pruning + SQL aggregation.
     * The oracle cross-checks the DSv2 Avro READ path against the
     * conversion WRITE path: the same fixture is also converted to parquet
@@ -188,6 +281,7 @@ object ConvertQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_convert_roundtrip" -> (qCdcConvertRoundtrip _),
+    "q_cdc_schema_evolution" -> (qCdcSchemaEvolution _),
     "q_cdc_convert_exact" -> (qCdcConvertExact _),
     "q_cdc_dsv2_scan" -> (qCdcDsv2Scan _),
     "q_cdc_catalog" -> (qCdcCatalog _),
@@ -205,6 +299,7 @@ object ConvertQueries {
 
   val oracles: Map[String, String] = Map(
     "q_cdc_convert_roundtrip" -> qCdcConvertRoundtripOracle,
+    "q_cdc_schema_evolution" -> qCdcSchemaEvolutionOracle,
     "q_cdc_convert_exact" -> qCdcConvertExactOracle,
     "q_cdc_dsv2_scan" -> qCdcDsv2ScanOracle,
     "q_cdc_catalog" -> qCdcCatalogOracle,
