@@ -561,6 +561,40 @@ object Relational {
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_qty
       FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber"""
 
+  // ---------- DISTINCT aggregation over a moving window ----------
+  /** Rolling DISTINCT count — the SQL-surface gap users actually hit:
+    * Spark rejects `COUNT(DISTINCT …) OVER`, so the rolling type
+    * diversity of a user's last 10 events is spelled
+    * `size(array_distinct(collect_list(…) over w))` — the frame's values
+    * ride as an array and dedup in the projection, which is exactly how
+    * an engine would implement frame-distinct anyway (the frame is
+    * BOUNDED at 10 rows, so the per-row array is O(frame), not
+    * O(partition) — this spelling is only safe with bounded frames, a
+    * constraint the scaladoc is the right place to record). The oracle
+    * uses DuckDB's native windowed `count(DISTINCT)`, so the hash match
+    * certifies the emulation against an engine that implements the real
+    * thing. Rolled up to each user's PEAK diversity (one combine-fed
+    * aggregate on the same user key — no second shuffle: the window
+    * already partitioned by user).
+    */
+  def qWindowDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-9, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("rt", size(array_distinct(collect_list($"event_type").over(w))))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), max($"rt").as("peak_types"))
+      .orderBy($"user_id")
+  }
+
+  val qWindowDistinctOracle: String =
+    """WITH r AS (SELECT user_id, count(DISTINCT event_type) OVER
+        (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS rt
+      FROM events)
+      SELECT user_id, count(*) AS n_events, max(rt)::INT AS peak_types
+      FROM r GROUP BY user_id ORDER BY user_id"""
+
   def qWindowLag(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
     Tables.orders(spark, dir)
@@ -2429,6 +2463,7 @@ object Relational {
     "q_window_rank" -> (qWindowRank _),
     "q_window_running" -> (qWindowRunning _),
     "q_window_lag" -> (qWindowLag _),
+    "q_window_distinct" -> (qWindowDistinct _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_set_ops" -> (qSetOps _),
@@ -2498,6 +2533,7 @@ object Relational {
     "q_window_rank" -> qWindowRankOracle,
     "q_window_running" -> qWindowRunningOracle,
     "q_window_lag" -> qWindowLagOracle,
+    "q_window_distinct" -> qWindowDistinctOracle,
     "q_rollup" -> qRollupOracle,
     "q_cube" -> qCubeOracle,
     "q_set_ops" -> qSetOpsOracle,
