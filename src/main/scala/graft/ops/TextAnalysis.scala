@@ -1319,7 +1319,7 @@ object TextAnalysis {
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
     val tot = uni.agg(sum(col("c")).as("nu"))
-      .crossJoin(pairs.agg(sum(col("cab")).as("np")))
+      .crossJoin(broadcast(pairs.agg(sum(col("cab")).as("np"))))
     pairs
       .join(broadcast(uni.toDF("w1", "ca")), "w1")
       .join(broadcast(uni.toDF("w2", "cb")), "w2")

@@ -71,4 +71,20 @@ class CollectAuditSpec extends AnyFunSuite {
         assert(sites(sub).isEmpty, s"$sub: ${sites(sub)}")
       }
   }
+
+  test("every crossJoin carries an explicit broadcast side (1-row digests " +
+    "and domain-bounded dimension tables only)") {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".scala")) Seq(f) else Nil
+    val offenders = walk(root).flatMap { f =>
+      val src = new String(java.nio.file.Files.readAllBytes(f.toPath))
+      // a crossJoin whose argument is not an explicit broadcast(...) is
+      // one optimizer estimate away from a full cartesian at scale
+      src.split(java.util.regex.Pattern.quote(".crossJoin(")).drop(1)
+        .filterNot(_.startsWith("broadcast("))
+        .map(tail => s"${f.getName}: .crossJoin(${tail.take(40)}…")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }
