@@ -894,6 +894,43 @@ object EventOps {
       col("user_id"), col("session_start"))
   }
 
+  // ---------- in-flight pipeline metrics (observe / CollectMetrics) ----------
+  /** Spark's `Observation` surface — production data-quality counters
+    * collected as a SIDE-CHANNEL of a pipeline pass (`CollectMetricsExec`
+    * accumulates while rows flow to the real sink), which is how a 100 TB
+    * ingest job reports row counts / null rates / range violations
+    * WITHOUT a second scan. Here the observed pipeline is a noop-sink
+    * pass over the events table; the query returns the observation as a
+    * one-row frame and the oracle recomputes the same aggregates with a
+    * plain scan — proving the side-channel numbers equal the query the
+    * monitoring replaces. All values exact (counts + integer micros).
+    */
+  def qObserveMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val obs = org.apache.spark.sql.Observation()
+    Tables.events(spark, dir)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("value") > 90, 1L).otherwise(0L)).as("n_high"),
+        sum(col("user_id").isNull.cast("long")).as("n_null_user"),
+        min(unix_micros(col("ts"))).as("min_tu"),
+        max(unix_micros(col("ts"))).as("max_tu"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long], m("n_high").asInstanceOf[Long],
+      m("n_null_user").asInstanceOf[Long], m("min_tu").asInstanceOf[Long],
+      m("max_tu").asInstanceOf[Long]))
+      .toDF("n_rows", "n_high", "n_null_user", "min_tu", "max_tu")
+  }
+
+  val qObserveMetricsOracle: String =
+    """SELECT count(*) AS n_rows,
+      sum(CASE WHEN value > 90 THEN 1 ELSE 0 END)::BIGINT AS n_high,
+      sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT
+        AS n_null_user,
+      min(epoch_us(ts)) AS min_tu, max(epoch_us(ts)) AS max_tu
+      FROM events"""
+
   // ---------- volume anomaly detection (z-score per type/hour) ----------
   /** Operational anomaly surface over the event stream: hourly volume per
     * event type, flagged where the hour's count deviates from that type's
@@ -1859,6 +1896,7 @@ object EventOps {
     "q_events_cum_users" -> (qEventsCumulativeUsers _),
     "q_events_retention" -> (qEventsRetention _),
     "q_events_anomaly" -> (qEventsAnomaly _),
+    "q_observe_metrics" -> (qObserveMetrics _),
     "q_events_paths" -> (qEventsPaths _),
     "q_events_pagerank" -> (qEventsPagerank _),
     "q_events_attribution" -> (qEventsAttribution _),
@@ -1894,6 +1932,7 @@ object EventOps {
     "q_events_cum_users" -> qEventsCumulativeUsersOracle,
     "q_events_retention" -> qEventsRetentionOracle,
     "q_events_anomaly" -> qEventsAnomalyOracle,
+    "q_observe_metrics" -> qObserveMetricsOracle,
     "q_events_paths" -> qEventsPathsOracle,
     "q_events_pagerank" -> qEventsPagerankOracle,
     "q_events_attribution" -> qEventsAttributionOracle,

@@ -642,7 +642,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_stream_join", "q_stream_outer_join", "q_stream_static_join",
       "q_stream_quality", "q_stream_abtest", "q_stream_cdc_apply",
       "q_cdc_convert_roundtrip", "q_cdc_convert_exact", "q_cdc_dsv2_scan",
-      "q_cdc_schema_evolution",
+      "q_cdc_schema_evolution", "q_observe_metrics",
       "q_cdc_catalog", "q_csv_json_roundtrip", "q_orc_roundtrip",
       "q_malformed_quarantine", "q_binary_source", "q_dedup_incremental",
       "q_compact_files")
