@@ -1012,6 +1012,49 @@ object EventOps {
     * the cumulative-distinct pattern that scales where
     * `count(distinct) OVER (ORDER BY day)` cannot.
     */
+  // ---------- rolling active users (DAU / WAU / MAU) ----------
+  /** The product-analytics staple: per calendar day, the EXACT count of
+    * distinct users active that day (DAU), in the trailing 7 days (WAU),
+    * and in the trailing 30 days (MAU). Exact rolling distincts do NOT
+    * reduce to a window sum (users repeat across days), so the scale
+    * shape is: collapse the corpus once to the (day, user) DISTINCT
+    * table — corpus-compressed, the only full-data pass — then a
+    * RANGE join of the ~#days dimension against that table (≤ 30×
+    * fan-out, bounded by the window length) and one count-distinct per
+    * day. At 100 TB the fact scan happens once; everything after is
+    * sized by users × days. All integers.
+    */
+  def qEventsActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("dte"), col("user_id")).distinct()
+      .localCheckpoint() // shared by the three rolling windows
+    val days = du.select(col("dte").as("d")).distinct()
+    def rolling(win: Int, name: String): DataFrame =
+      broadcast(days)
+        .join(du, col("dte").between(date_sub(col("d"), win - 1), col("d")))
+        .groupBy(col("d"))
+        .agg(countDistinct(col("user_id")).as(name))
+    rolling(1, "dau")
+      .join(rolling(7, "wau"), "d")
+      .join(rolling(30, "mau"), "d")
+      .select(col("d").cast("string").as("dte"), col("dau"), col("wau"),
+        col("mau"))
+      .orderBy(col("dte"))
+  }
+
+  val qEventsActiveUsersOracle: String =
+    """WITH du AS (SELECT DISTINCT ts::DATE AS dte, user_id FROM events),
+      days AS (SELECT DISTINCT dte AS d FROM du),
+      r AS (SELECT d, win, count(DISTINCT user_id) AS n
+        FROM days CROSS JOIN (VALUES (1), (7), (30)) AS w(win)
+        JOIN du ON du.dte BETWEEN d - (win - 1) AND d
+        GROUP BY d, win)
+      SELECT d::VARCHAR AS dte,
+        max(CASE WHEN win = 1 THEN n END) AS dau,
+        max(CASE WHEN win = 7 THEN n END) AS wau,
+        max(CASE WHEN win = 30 THEN n END) AS mau
+      FROM r GROUP BY d ORDER BY dte"""
+
   def qEventsCumulativeUsers(spark: SparkSession, dir: String): DataFrame = {
     val firstSeen = Tables.events(spark, dir)
       .select(col("user_id"), to_date(col("ts")).as("day"))
@@ -1897,6 +1940,7 @@ object EventOps {
     "q_events_retention" -> (qEventsRetention _),
     "q_events_anomaly" -> (qEventsAnomaly _),
     "q_observe_metrics" -> (qObserveMetrics _),
+    "q_events_active_users" -> (qEventsActiveUsers _),
     "q_events_paths" -> (qEventsPaths _),
     "q_events_pagerank" -> (qEventsPagerank _),
     "q_events_attribution" -> (qEventsAttribution _),
@@ -1933,6 +1977,7 @@ object EventOps {
     "q_events_retention" -> qEventsRetentionOracle,
     "q_events_anomaly" -> qEventsAnomalyOracle,
     "q_observe_metrics" -> qObserveMetricsOracle,
+    "q_events_active_users" -> qEventsActiveUsersOracle,
     "q_events_paths" -> qEventsPathsOracle,
     "q_events_pagerank" -> qEventsPagerankOracle,
     "q_events_attribution" -> qEventsAttributionOracle,
