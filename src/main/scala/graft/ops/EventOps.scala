@@ -1922,7 +1922,60 @@ object EventOps {
               (1.0 / n0 + 1.0 / n1)), 6) END AS z6
       FROM w ORDER BY event_type"""
 
+  /** CUSUM mean-shift changepoint screen over the daily event-count
+    * series — the monitoring pass that flags WHEN ingest volume broke,
+    * not just that it did (the companion to [[qEventsAnomaly]]'s
+    * per-day z-screen: CUSUM integrates small sustained shifts that
+    * never trip a single-day threshold). The statistic is the classic
+    * max-|S_k| scan rewritten in cross-multiplied integers so both
+    * engines compare exact BIGINTs: for day k of n with cumulative
+    * count `prefix_k` and grand total T, the deviation of the prefix
+    * from its null expectation k·T/n is scaled by n to
+    * `|n·prefix_k − k·T|` — the argmax day is the maximum-likelihood
+    * single changepoint under a mean-shift model.
+    *
+    * Scale shape: the fact collapses to a per-day count first (ONE
+    * combine-fed aggregate; the series is calendar-bounded, ~#days
+    * rows), the running sum + row_number run on that domain-bounded
+    * series (partition-less windows pinned in the global allowlist with
+    * this rationale), and the (n, T) totals join back as a broadcast
+    * single row. Nothing downstream of the first aggregate ever sees
+    * corpus-scale data.
+    */
+  def qEventsChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("dte"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = daily.agg(count(lit(1)).as("n_days"),
+      sum(col("cnt")).as("total"))
+    val w = Window.orderBy(col("dte"))
+    daily
+      .withColumn("k", row_number().over(w))
+      .withColumn("prefix",
+        sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .crossJoin(broadcast(totals))
+      .withColumn("cusum",
+        abs(col("n_days") * col("prefix") - col("k") * col("total")))
+      .select(col("dte").cast("string").as("dte"), col("cnt"),
+        col("prefix"), col("cusum"))
+      .orderBy(col("cusum").desc, col("dte"))
+      .limit(5)
+  }
+
+  val qEventsChangepointOracle: String =
+    """WITH daily AS (SELECT ts::DATE dte, count(*)::BIGINT cnt
+        FROM events GROUP BY 1),
+      t AS (SELECT count(*)::BIGINT n_days, sum(cnt)::BIGINT total
+        FROM daily),
+      c AS (SELECT dte, cnt, row_number() OVER (ORDER BY dte) k,
+          sum(cnt) OVER (ORDER BY dte)::BIGINT prefix FROM daily)
+      SELECT dte::VARCHAR AS dte, cnt, prefix,
+        abs(n_days * prefix - k * total)::BIGINT AS cusum
+      FROM c, t ORDER BY cusum DESC, dte LIMIT 5"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_changepoint" -> (qEventsChangepoint _),
     "q_events_tumbling" -> (qEventsTumbling _),
     "q_events_sliding" -> (qEventsSliding _),
     "q_events_session" -> (qEventsSession _),
@@ -1960,6 +2013,7 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_events_changepoint" -> qEventsChangepointOracle,
     "q_events_tumbling" -> qEventsTumblingOracle,
     "q_events_sliding" -> qEventsSlidingOracle,
     "q_events_session" -> qEventsSessionOracle,

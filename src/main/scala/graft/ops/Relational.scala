@@ -2428,7 +2428,146 @@ object Relational {
       FROM orders
       GROUP BY yr, mo, o_orderpriority ORDER BY yr, mo, o_orderpriority"""
 
+  // ---------- RFM segmentation (histogram-exact median cutoffs) ----------
+  /** Recency/Frequency/Monetary customer segmentation — the classic
+    * marketing-analytics cut, built the way exact data-dependent
+    * cutoffs stay computable at corpus scale: a global `ntile(4)` needs
+    * a single-partition window over every customer (a scale-killer),
+    * so instead each metric is QUANTIZED to a bounded domain (recency
+    * in days, frequency in orders, monetary in whole thousands of
+    * dollars) and its exact lower median read off a VALUE HISTOGRAM —
+    * one combine-fed `groupBy(metric, value)` whose cardinality is the
+    * metric domain, not the customer count, then a running sum
+    * partitioned BY METRIC (3 partitions of domain-bounded series).
+    * The three cutoffs pivot to one broadcast row; segment labeling is
+    * a pure map. Integer end-to-end (cents, days, counts) ⇒ hash-exact.
+    *
+    * The lower median is `min{v : 2·cum(v) ≥ N}` — stated once and
+    * reimplemented verbatim in the oracle, so both engines share the
+    * definition rather than trusting two `median()` builtins to agree
+    * on interpolation.
+    */
+  def qRfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val anchor = o.agg(max(to_date($"o_orderdate")).as("anchor"))
+    val cust = o.groupBy($"o_custkey")
+      .agg(max(to_date($"o_orderdate")).as("last_order"),
+        count(lit(1)).as("freq"),
+        sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"))
+          .as("cents"))
+    val m = cust.crossJoin(broadcast(anchor))
+      .select($"o_custkey",
+        datediff($"anchor", $"last_order").cast("long").as("recency"),
+        $"freq", expr("cents div 100000").as("mon_k"), $"cents")
+    val stacked = m.select(explode(map(
+      lit("recency"), $"recency",
+      lit("freq"), $"freq",
+      lit("mon_k"), $"mon_k")).as(Seq("metric", "v")))
+    val hist = stacked.groupBy($"metric", $"v").agg(count(lit(1)).as("c"))
+    val tot = hist.groupBy($"metric").agg(sum($"c").as("n"))
+    val cut = hist
+      .withColumn("cum", sum($"c").over(
+        Window.partitionBy($"metric").orderBy($"v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(tot), "metric")
+      .filter($"cum" * 2 >= $"n")
+      .groupBy($"metric").agg(min($"v").as("med"))
+    val cuts = cut.groupBy()
+      .pivot("metric", Seq("recency", "freq", "mon_k")).agg(first($"med"))
+      .select($"recency".as("r_med"), $"freq".as("f_med"),
+        $"mon_k".as("m_med"))
+    m.crossJoin(broadcast(cuts))
+      .withColumn("seg", concat(
+        when($"recency" <= $"r_med", lit("R")).otherwise(lit("r")),
+        when($"freq" > $"f_med", lit("F")).otherwise(lit("f")),
+        when($"mon_k" > $"m_med", lit("M")).otherwise(lit("m"))))
+      .groupBy($"seg")
+      .agg(count(lit(1)).as("n_cust"), sum($"cents").as("total_cents"),
+        sum($"freq").as("n_orders"))
+      .orderBy($"seg")
+  }
+
+  val qRfmSegmentsOracle: String =
+    """WITH anchor AS (SELECT max(o_orderdate::DATE) a FROM orders),
+      cust AS (SELECT o_custkey, max(o_orderdate::DATE) last_order,
+          count(*)::BIGINT freq,
+          sum((o_totalprice::DECIMAL(18,2) * 100)::BIGINT)::BIGINT cents
+        FROM orders GROUP BY 1),
+      m AS (SELECT o_custkey,
+          date_diff('day', last_order, a)::BIGINT recency,
+          freq, cents // 100000 AS mon_k, cents FROM cust, anchor),
+      stacked AS (
+        SELECT 'recency' metric, recency v FROM m
+        UNION ALL SELECT 'freq', freq FROM m
+        UNION ALL SELECT 'mon_k', mon_k FROM m),
+      hist AS (SELECT metric, v, count(*)::BIGINT c FROM stacked
+        GROUP BY 1, 2),
+      cum AS (SELECT metric, v,
+          sum(c) OVER (PARTITION BY metric ORDER BY v) cum,
+          sum(c) OVER (PARTITION BY metric) n FROM hist),
+      cut AS (SELECT metric, min(v) med FROM cum WHERE cum * 2 >= n
+        GROUP BY 1),
+      cuts AS (SELECT
+        max(CASE WHEN metric = 'recency' THEN med END) r_med,
+        max(CASE WHEN metric = 'freq' THEN med END) f_med,
+        max(CASE WHEN metric = 'mon_k' THEN med END) m_med FROM cut)
+      SELECT (CASE WHEN recency <= r_med THEN 'R' ELSE 'r' END ||
+              CASE WHEN freq > f_med THEN 'F' ELSE 'f' END ||
+              CASE WHEN mon_k > m_med THEN 'M' ELSE 'm' END) AS seg,
+        count(*)::BIGINT n_cust, sum(cents)::BIGINT total_cents,
+        sum(freq)::BIGINT n_orders
+      FROM m, cuts GROUP BY seg ORDER BY seg"""
+
+  // ---------- rolling exact median over a bounded window frame ----------
+  /** Rolling 7-day EXACT median of daily revenue per order priority —
+    * the robust companion to a rolling mean (one outlier day skews a
+    * mean for a week; the median shrugs). Exactness without doubles:
+    * revenue is summed in integer cents per (priority, day) — ONE
+    * combine-fed aggregate collapsing the fact to a calendar-bounded
+    * series — and the median over each ≤7-row frame is read from the
+    * sorted frame list as `L[(n+1) div 2] + L[(n+2) div 2]` (twice the
+    * median; odd n doubles the middle, even n sums the two middles), so
+    * the output `med2` is a BIGINT both engines agree on bit-for-bit —
+    * no division, no `.5` rendering hazard.
+    *
+    * Scale shape: the window partitions by priority over the per-day
+    * aggregate — its input is domain-bounded (#priorities × #days), the
+    * frame is a constant 7 rows, and the corpus-scale fact never
+    * reaches the window. The year filter is applied before aggregation
+    * IDENTICALLY in both engines, so the frames align.
+    */
+  def qWindowMedian(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .filter(year($"o_orderdate") === 1995)
+      .groupBy($"o_orderpriority".as("prio"),
+        to_date($"o_orderdate").as("dte"))
+      .agg(sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"))
+        .as("cents"))
+    val w = Window.partitionBy($"prio").orderBy($"dte").rowsBetween(-6, 0)
+    daily
+      .withColumn("ls", sort_array(collect_list($"cents").over(w)))
+      .withColumn("n", size($"ls"))
+      .withColumn("med2",
+        element_at($"ls", expr("(n + 1) div 2").cast("int")) +
+          element_at($"ls", expr("(n + 2) div 2").cast("int")))
+      .select($"prio", $"dte".cast("string").as("dte"), $"cents", $"med2")
+      .orderBy($"prio", $"dte")
+  }
+
+  val qWindowMedianOracle: String =
+    """WITH daily AS (SELECT o_orderpriority prio, o_orderdate::DATE dte,
+        sum((o_totalprice::DECIMAL(18,2) * 100)::BIGINT)::BIGINT cents
+      FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1, 2),
+      r AS (SELECT prio, dte, cents,
+        list_sort(list(cents) OVER (PARTITION BY prio ORDER BY dte
+          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) ls FROM daily)
+      SELECT prio, dte::VARCHAR dte, cents,
+        (ls[(len(ls) + 1) // 2] + ls[(len(ls) + 2) // 2])::BIGINT AS med2
+      FROM r ORDER BY prio, dte"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rfm_segments" -> (qRfmSegments _),
+    "q_window_median" -> (qWindowMedian _),
     "q_join_bloom" -> (qJoinBloom _),
     "q_matview_merge" -> (qMatviewMerge _),
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -2498,6 +2637,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_rfm_segments" -> qRfmSegmentsOracle,
+    "q_window_median" -> qWindowMedianOracle,
     "q_join_bloom" -> qJoinBloomOracle,
     "q_matview_merge" -> qMatviewMergeOracle,
     "q_approx_distinct" -> qApproxDistinctOracle,

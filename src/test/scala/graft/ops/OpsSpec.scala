@@ -1601,4 +1601,75 @@ class OpsSpec extends AnyFunSuite {
     assert(outDeg.max <= math.sqrt(2.0 * m) + 1,
       s"out-degree ${outDeg.max} exceeds sqrt(2m) for m=$m")
   }
+
+  test("changepoint: top-5 CUSUM days equal a local integer reference") {
+    val daily = Tables.events(spark, dir)
+      .selectExpr("CAST(to_date(ts) AS STRING) AS dte").collect()
+      .map(_.getString(0)).groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+    val n = daily.size.toLong
+    val total = daily.map(_._2).sum
+    var prefix = 0L
+    val local = daily.zipWithIndex.map { case ((d, c), i) =>
+      prefix += c
+      (d, c, prefix, math.abs(n * prefix - (i + 1) * total))
+    }.sortBy { case (d, _, _, s) => (-s, d) }.take(5)
+    val rows = EventOps.qEventsChangepoint(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == local, s"engine ${rows.toSeq} vs local $local")
+  }
+
+  test("rfm: segments partition the customers and match a local reference " +
+    "built from the same lower-median definition") {
+    val perCust = Tables.orders(spark, dir)
+      .selectExpr("o_custkey", "CAST(o_orderdate AS DATE) AS d",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+      .groupBy(_._1)
+    val anchor = perCust.values.flatten.map(_._2).max
+    val m = perCust.map { case (k, rs) =>
+      val rec = java.time.temporal.ChronoUnit.DAYS.between(
+        rs.map(_._2).max, anchor)
+      val cents = rs.map(_._3).sum
+      (k, rec, rs.size.toLong, cents / 100000L, cents)
+    }.toSeq
+    def lowerMedian(vs: Seq[Long]): Long = {
+      val sorted = vs.sorted
+      val nn = sorted.size.toLong
+      // min v with 2*cum >= n over the value histogram == element at
+      // ceil(n/2) of the sorted multiset
+      sorted(((nn + 1) / 2 - 1).toInt)
+    }
+    val rMed = lowerMedian(m.map(_._2))
+    val fMed = lowerMedian(m.map(_._3))
+    val mMed = lowerMedian(m.map(_._4))
+    val local = m.groupBy { case (_, r, f, mk, _) =>
+      (if (r <= rMed) "R" else "r") + (if (f > fMed) "F" else "f") +
+        (if (mk > mMed) "M" else "m")
+    }.map { case (seg, rs) =>
+      (seg, rs.size.toLong, rs.map(_._5).sum, rs.map(_._3).sum)
+    }.toSeq.sortBy(_._1)
+    val rows = Relational.qRfmSegments(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == local, s"engine ${rows.toSeq} vs local $local")
+    assert(rows.map(_._2).sum == perCust.size.toLong)
+  }
+
+  test("rolling median: med2 equals a brute-force frame recompute and is " +
+    "robust where a rolling mean is not (bounded by frame min/max)") {
+    val rows = Relational.qWindowMedian(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val series = rs.sortBy(_._2)
+      series.indices.foreach { i =>
+        val frame = series.slice(math.max(0, i - 6), i + 1).map(_._3).sorted
+        val n = frame.size
+        val expect = frame((n + 1) / 2 - 1) + frame((n + 2) / 2 - 1)
+        assert(series(i)._4 == expect,
+          s"${series(i)}: med2 ${series(i)._4} != $expect")
+        assert(series(i)._4 >= 2 * frame.head && series(i)._4 <= 2 * frame.last)
+      }
+    }
+  }
 }

@@ -663,8 +663,12 @@ class PlanAuditSpec extends AnyFunSuite {
     //  - q_skyline: running-max frontier test over the per-size maxima
     //    (bounded by the size DOMAIN, ~50 rows; Relational.qSkyline
     //    scaladoc)
+    //  - q_events_changepoint: row_number + running sum over the per-day
+    //    count series (calendar-bounded, ~#days rows;
+    //    EventOps.qEventsChangepoint scaladoc)
     val allow = Set("q_mix_temperature", "q_events_cum_users",
-      "q_vocab_growth", "q_text_rrf", "q_events_survival", "q_skyline")
+      "q_vocab_growth", "q_text_rrf", "q_events_survival", "q_skyline",
+      "q_events_changepoint")
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(eager)
       .filter { name =>
