@@ -49,9 +49,35 @@ object Bench {
       // 3-10× slower inside the full bench than in isolation, identical
       // plans). Static conf — must be set before the session exists.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // Suite hygiene: a 233-query run in one 8g JVM accumulates state
+      // that inflates LATER queries (measured: q_stream_quality 1.45 s
+      // isolated vs 3.40 s in-suite, q_text_tfidf 1.0 vs 1.8 — late
+      // alphabet = late in the run). Three leaks, three caps:
+      //  - the app-status stores retain full per-execution plan graphs
+      //    and task rollups for a UI that is disabled — cap retention to
+      //    a handful (status tracking itself can't be turned off);
+      //  - shuffle files + broadcast blocks are only reclaimed when the
+      //    driver GCs the owning RDD references; the default periodic-GC
+      //    interval (30 min) never fires inside a ~12 min bench — every
+      //    query's shuffle output stays on /tmp to the end. 60 s keeps
+      //    the working set flat;
+      //  - localCheckpoint blocks pin executor memory until unpersisted
+      //    (swept between queries in the timed loop below).
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "50")
+      .config("spark.ui.retainedTasks", "500")
+      .config("spark.sql.ui.retainedExecutions", "10")
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // drop blocks a finished query left pinned (localCheckpoint / cache):
+    // they are dead weight once the query's passes are done, and in an 8g
+    // heap a few hundred queries' worth crowds out the live run
+    def sweepBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
 
     // warmup (not counted): JIT/classload + file-index/footer reads for
     // every table, so the first timed query doesn't absorb one-time costs
@@ -78,8 +104,10 @@ object Bench {
       if (cand.isDirectory) cand.getAbsolutePath else sfDir
     }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        sweepBlocks()
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
     }
@@ -96,6 +124,7 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           Array.empty[Double]
       }
+      sweepBlocks()
       results(name) = ts
     }
 

@@ -2565,7 +2565,82 @@ object Relational {
         (ls[(len(ls) + 1) // 2] + ls[(len(ls) + 2) // 2])::BIGINT AS med2
       FROM r ORDER BY prio, dte"""
 
+  // ---------- spatial distance join (grid-blocked, provably complete) ----------
+  /** All-pairs distance join on a 2-D integer grid — the spatial-blocking
+    * pattern (geohash/S2-cell style) reduced to its provable core. Points
+    * get deterministic integer coordinates derived from the key by two
+    * Lehmer-style scrambles (pure 64-bit arithmetic both engines
+    * reproduce bit-for-bit), and the radius-r self-join never goes
+    * quadratic: each point buckets to a ⌈cell = r⌉ grid square, ONE side
+    * expands to its 3×3 neighborhood, and the candidate join is an
+    * EQUI-join on the cell key. Completeness is the floor-function
+    * pigeonhole: |Δx| ≤ r = cell ⇒ the cell indices differ by at most 1
+    * (⌊(a+r)/r⌋ = ⌊a/r⌋+1), so every true pair meets in exactly one of
+    * the 9 probed cells — exactly once, so no distinct is needed. The
+    * oracle is the NAIVE all-pairs join, making the hash match an
+    * end-to-end completeness proof of the blocking (the PPJoin /
+    * fuzzy-match discipline applied to geometry). Distances stay
+    * squared integers (`dist2`), so the compare is exact.
+    *
+    * Scale shape: 9× fan-out on one side of a shuffle equi-join —
+    * linear in the corpus, never quadratic; per-cell density bounds the
+    * verify fan-in the way LSH band buckets do.
+    */
+  private[ops] def spatialPairs(pts: DataFrame, radius: Int): DataFrame = {
+    val cells = pts.select($"id", $"x", $"y",
+      expr(s"x div $radius").as("cx"), expr(s"y div $radius").as("cy"))
+    val probe = cells.select($"id".as("a"), $"x".as("ax"), $"y".as("ay"),
+      explode(expr("flatten(transform(sequence(-1, 1), dx -> " +
+        "transform(sequence(-1, 1), dy -> " +
+        "struct(cx + dx AS jx, cy + dy AS jy))))")).as("c"))
+      .select($"a", $"ax", $"ay", $"c.jx", $"c.jy")
+    probe
+      .join(cells.select($"id".as("b"), $"x".as("bx"), $"y".as("by_"),
+        $"cx", $"cy"),
+        $"jx" === $"cx" && $"jy" === $"cy" && $"a" < $"b")
+      .withColumn("dist2",
+        ($"ax" - $"bx") * ($"ax" - $"bx") +
+          ($"ay" - $"by_") * ($"ay" - $"by_"))
+      .filter($"dist2" <= radius * radius)
+  }
+
+  def qSpatialJoin(spark: SparkSession, dir: String): DataFrame = {
+    // quadratic (not affine) scramble: an affine map of the key makes
+    // every pair's distance a function of Δkey alone — the measured
+    // distance spectrum degenerated to two values. The k² term breaks
+    // the translation symmetry; k is reduced mod a prime first so k²·7
+    // stays far from the 64-bit edge at any conceivable key
+    val pts = Tables.customer(spark, dir)
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey".as("id"),
+        expr("((c_custkey % 65521) * (c_custkey % 65521) * 3 + " +
+          "(c_custkey % 65521) * 48271 + 11) % 1024").as("x"),
+        expr("((c_custkey % 65521) * (c_custkey % 65521) * 7 + " +
+          "(c_custkey % 65521) * 69621 + 5) % 1024").as("y"))
+    spatialPairs(pts, 16)
+      .groupBy(expr("dist2 div 64").as("qbin"))
+      .agg(count(lit(1)).as("n_pairs"), min($"dist2").as("min_d2"),
+        max($"dist2").as("max_d2"), sum($"dist2").as("sum_d2"))
+      .orderBy($"qbin")
+  }
+
+  val qSpatialJoinOracle: String =
+    """WITH pts AS (SELECT c_custkey id,
+        ((c_custkey % 65521) * (c_custkey % 65521) * 3 +
+          (c_custkey % 65521) * 48271 + 11) % 1024 x,
+        ((c_custkey % 65521) * (c_custkey % 65521) * 7 +
+          (c_custkey % 65521) * 69621 + 5) % 1024 y
+      FROM customer WHERE c_mktsegment = 'BUILDING'),
+      pairs AS (SELECT a.id a, b.id b,
+          (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+        FROM pts a JOIN pts b ON a.id < b.id)
+      SELECT dist2 // 64 AS qbin, count(*)::BIGINT n_pairs,
+        min(dist2)::BIGINT min_d2, max(dist2)::BIGINT max_d2,
+        sum(dist2)::BIGINT sum_d2
+      FROM pairs WHERE dist2 <= 256 GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_spatial_join" -> (qSpatialJoin _),
     "q_rfm_segments" -> (qRfmSegments _),
     "q_window_median" -> (qWindowMedian _),
     "q_join_bloom" -> (qJoinBloom _),
@@ -2637,6 +2712,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_spatial_join" -> qSpatialJoinOracle,
     "q_rfm_segments" -> qRfmSegmentsOracle,
     "q_window_median" -> qWindowMedianOracle,
     "q_join_bloom" -> qJoinBloomOracle,

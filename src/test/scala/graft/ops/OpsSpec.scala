@@ -13,7 +13,7 @@ class OpsSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   // queries that may legitimately return zero rows at tiny scale
-  private val mayBeEmpty = Set("q_embed_neardup")
+  private val mayBeEmpty = Set("q_embed_neardup", "q_spatial_join")
 
   test("ann ivf: probed rerank reaches good top-1 agreement with brute force") {
     val brute = Similarity.qAnnTopk(spark, dir).collect()
@@ -1600,6 +1600,28 @@ class OpsSpec extends AnyFunSuite {
       .groupBy(identity).values.map(_.size)
     assert(outDeg.max <= math.sqrt(2.0 * m) + 1,
       s"out-degree ${outDeg.max} exceeds sqrt(2m) for m=$m")
+  }
+
+  test("spatial grid blocking: complete on adversarial boundary points " +
+    "(every brute-force pair within r is found, none fabricated)") {
+    import spark.implicits._
+    val r = 16
+    // points straddling cell boundaries, corners, exact-radius pairs
+    val pts = Seq(
+      (1L, 15L, 15L), (2L, 16L, 16L), (3L, 31L, 0L), (4L, 0L, 0L),
+      (5L, 1023L, 1023L), (6L, 1008L, 1008L), (7L, 16L, 0L),
+      (8L, 0L, 16L), (9L, 47L, 47L), (10L, 48L, 48L), (11L, 32L, 32L),
+      (12L, 500L, 500L), (13L, 500L, 516L), (14L, 516L, 500L),
+      (15L, 484L, 500L), (16L, 500L, 484L))
+    val df = pts.toDF("id", "x", "y")
+    val got = Relational.spatialPairs(df, r).select("a", "b", "dist2")
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getLong(2)))
+      .toSet
+    val want = (for {
+      (a, ax, ay) <- pts; (b, bx, by) <- pts if a < b
+      d2 = (ax - bx) * (ax - bx) + (ay - by) * (ay - by) if d2 <= r * r
+    } yield (a, b, d2)).toSet
+    assert(got == want, s"got ${got.toSeq.sorted} want ${want.toSeq.sorted}")
   }
 
   test("changepoint: top-5 CUSUM days equal a local integer reference") {

@@ -682,6 +682,15 @@ class PlanAuditSpec extends AnyFunSuite {
         "here with a bounded-input rationale")
   }
 
+  test("q_spatial_join: radius join is an equi join on the grid cell — " +
+    "never a nested loop; the 9x fan-out stays on one side") {
+    val p = plan("q_spatial_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("jx") && p.contains("jy"),
+      s"candidate join must key on the probed cell: $p")
+  }
+
   test("q_dedup_bloom: one OR-reduction pass builds the bitmap, the probe " +
     "rides the scan — no shuffle of probe rows before the final aggregate") {
     val p = plan("q_dedup_bloom")
