@@ -72,12 +72,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // drop blocks a finished query left pinned (localCheckpoint / cache):
+    // drop blocks a finished query left behind (localCheckpoint / cache):
     // they are dead weight once the query's passes are done, and in an 8g
-    // heap a few hundred queries' worth crowds out the live run
-    def sweepBlocks(): Unit =
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+    // heap a few hundred queries' worth crowds out the live run. Shared
+    // session fixtures are EXEMPT — a localCheckpointed fixture is
+    // unrecomputable, so sweeping it fails every later query in its
+    // family (13 did, with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND, before the
+    // pin registry); plain persist()ed frames are recomputable and may
+    // be swept freely.
+    def sweepBlocks(): Unit = {
+      val pinned = graft.ops.SessionFixtures.pinnedRddIds
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => pinned(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
 
     // warmup (not counted): JIT/classload + file-index/footer reads for
     // every table, so the first timed query doesn't absorb one-time costs

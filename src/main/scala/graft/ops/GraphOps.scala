@@ -49,6 +49,7 @@ object GraphOps {
           .distinct()
           .localCheckpoint()
         edgeSlot = (k, e)
+        SessionFixtures.pin("graph_copurchase_edges", e)
         e
       }
     }

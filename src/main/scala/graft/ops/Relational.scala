@@ -2428,6 +2428,47 @@ object Relational {
       FROM orders
       GROUP BY yr, mo, o_orderpriority ORDER BY yr, mo, o_orderpriority"""
 
+  // ---------- HLL sketch mergeability (per-partition union ≡ global) ----------
+  /** The sketch-merge contract that makes distinct-counting feasible at
+    * 100 TB: per-day (= per-partition) HLL sketches unioned into one
+    * estimate, certified against both the single-pass global sketch and
+    * the exact count. The Datasketches HLL register state is
+    * order-insensitive (each register is a max over item hashes), but
+    * the ESTIMATORS differ — a directly-built sketch answers with the
+    * HIP estimator while a union must fall back to the composite
+    * estimator — so the merged and global estimates are certified equal
+    * within 2 % of the exact count rather than bit-equal, and both
+    * within 5 % of exact (lgK = 12 ⇒ σ ≈ 0.8 %, so these bounds hold
+    * with enormous margin; the self-certifying-boolean discipline of
+    * `q_approx_distinct`). The oracle contributes the exact count and
+    * `true` for both certificates.
+    *
+    * Scale shape: two combine-fed sketch aggregates over the fact (the
+    * per-day one is exactly the daily-rollup + monthly-merge pattern),
+    * one broadcast single-row join. No distinct-shuffle of raw ids
+    * anywhere — that is the point.
+    */
+  def qSketchMerge(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(spark, dir)
+      .select(to_date($"ts").as("dte"), $"user_id")
+    val merged = du
+      .groupBy($"dte").agg(hll_sketch_agg($"user_id").as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est_merged"))
+    du.agg(
+        hll_sketch_estimate(hll_sketch_agg($"user_id")).as("est_global"),
+        countDistinct($"user_id").as("exact_users"))
+      .crossJoin(broadcast(merged))
+      .select($"exact_users",
+        (abs($"est_merged" - $"est_global") <=
+          $"exact_users" * 2 / 100).as("merge_consistent"),
+        (abs($"est_global" - $"exact_users") <=
+          $"exact_users" * 5 / 100).as("within_bound"))
+  }
+
+  val qSketchMergeOracle: String =
+    """SELECT count(DISTINCT user_id) AS exact_users,
+      true AS merge_consistent, true AS within_bound FROM events"""
+
   // ---------- RFM segmentation (histogram-exact median cutoffs) ----------
   /** Recency/Frequency/Monetary customer segmentation — the classic
     * marketing-analytics cut, built the way exact data-dependent
@@ -2640,6 +2681,7 @@ object Relational {
       FROM pairs WHERE dist2 <= 256 GROUP BY 1 ORDER BY 1"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sketch_merge" -> (qSketchMerge _),
     "q_spatial_join" -> (qSpatialJoin _),
     "q_rfm_segments" -> (qRfmSegments _),
     "q_window_median" -> (qWindowMedian _),
@@ -2712,6 +2754,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sketch_merge" -> qSketchMergeOracle,
     "q_spatial_join" -> qSpatialJoinOracle,
     "q_rfm_segments" -> qRfmSegmentsOracle,
     "q_window_median" -> qWindowMedianOracle,

@@ -84,4 +84,28 @@ private[graft] object SessionFixtures {
       df
     }
   }
+
+  // objects that keep their own single-slot frames (GraphOps.edgeSlot,
+  // TextAnalysis.bpeModelSlot) register them here so sweeps can see them
+  private val pinnedFrames =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def pin(name: String, df: DataFrame): Unit =
+    pinnedFrames.put(name, df)
+
+  /** RDD ids backing live shared fixtures. A localCheckpointed frame is
+    * UNRECOMPUTABLE — unpersisting its blocks kills every later query
+    * that shares the fixture (measured: a blanket between-query unpersist
+    * sweep in `graft.Bench` failed 13 dedup/graph queries with
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). Sweeps must skip exactly these;
+    * everything else persistent is either per-query leakage (safe to
+    * drop) or plain `persist()` (recomputable by definition).
+    */
+  private[graft] def pinnedRddIds: Set[Int] = {
+    import scala.jdk.CollectionConverters._
+    (frames.values.asScala.map(_._2) ++ pinnedFrames.values.asScala)
+      .flatMap(df => df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      }).toSet
+  }
 }

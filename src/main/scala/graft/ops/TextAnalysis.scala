@@ -2249,6 +2249,7 @@ object TextAnalysis {
           graft.ops.Dedup.releaseCheckpoint(bpeModelSlot._2.vocab)
         val m = bpeTrainState(spark, dir)
         bpeModelSlot = (k, m)
+        SessionFixtures.pin("bpe_model_vocab", m.vocab)
         m
       }
     }

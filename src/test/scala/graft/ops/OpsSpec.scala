@@ -1602,6 +1602,16 @@ class OpsSpec extends AnyFunSuite {
       s"out-degree ${outDeg.max} exceeds sqrt(2m) for m=$m")
   }
 
+  test("sketch merge: per-day HLL union certifies against the global " +
+    "sketch and the exact distinct count") {
+    val r = Relational.qSketchMerge(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) > 0)
+    assert(row.getBoolean(1), s"merged vs global estimate drifted: $row")
+    assert(row.getBoolean(2), s"global estimate outside 5% of exact: $row")
+  }
+
   test("spatial grid blocking: complete on adversarial boundary points " +
     "(every brute-force pair within r is found, none fabricated)") {
     import spark.implicits._
