@@ -85,7 +85,11 @@ object PlanDump {
     // diversity selection, layout audit, negatives, robust stats
     "q_text_pii", "q_decontaminate_semantic", "q_dedup_substring_incr",
     "q_sample_kcenter", "q_layout_zorder", "q_dedup_cc_incr",
-    "q_ann_negatives", "q_quality_mad", "q_stats_chisq", "q_label_kappa")
+    "q_ann_negatives", "q_quality_mad", "q_stats_chisq", "q_label_kappa",
+    // round 10, second session: monitoring/segmentation/spatial/sketch
+    "q_events_changepoint", "q_rfm_segments", "q_window_median",
+    "q_spatial_join", "q_sketch_merge", "q_window_distinct",
+    "q_observe_metrics", "q_events_active_users")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
