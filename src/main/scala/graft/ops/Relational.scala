@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2428,6 +2428,147 @@ object Relational {
       FROM orders
       GROUP BY yr, mo, o_orderpriority ORDER BY yr, mo, o_orderpriority"""
 
+  // ---------- declarative constraint validation (DQ audit) ----------
+  /** Referential-integrity + domain + nullability constraints validated
+    * in one audit pass — the data-contract check that gates a pipeline
+    * promotion (dbt tests / Deequ's verification suite, re-expressed as
+    * plain combine-fed plans). Each FK check is a LEFT ANTI join counted
+    * (null-keyed rows are orphans by definition here: an FK with a NULL
+    * key cannot resolve, and anti-join semantics keep them — documented
+    * because NOT-IN style SQL would silently drop them); domain and
+    * nullability checks are scan-side predicates summed. Every check
+    * emits `(check_name, n_violations, n_checked)` so a clean run still
+    * proves it LOOKED (n_checked carries the evidence; a 0/0 row is a
+    * broken audit, not a clean table).
+    *
+    * Scale shape: anti joins shuffle on their key like any join (orders
+    * is NOT assumed broadcastable); predicate checks ride their scan and
+    * aggregate partially map-side. The seven one-row aggregates union
+    * into one result — dimension-bounded, no collect.
+    */
+  def qDqConstraints(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val p = Tables.part(spark, dir)
+    val s = Tables.supplier(spark, dir)
+
+    def fkCheck(name: String, fact: DataFrame, key: Column,
+        dim: DataFrame, dimKey: Column): DataFrame = {
+      val orphans = fact.select(key.as("k"))
+        .join(dim.select(dimKey.as("k")), Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      val checked = fact.agg(count(lit(1)).as("n_checked"))
+      orphans.crossJoin(broadcast(checked))
+        .select(lit(name).as("check_name"), $"n_violations", $"n_checked")
+    }
+
+    def predCheck(name: String, df: DataFrame, bad: Column): DataFrame =
+      df.agg(
+        sum(when(bad, 1L).otherwise(0L)).as("n_violations"),
+        count(lit(1)).as("n_checked"))
+        .select(lit(name).as("check_name"), $"n_violations", $"n_checked")
+
+    fkCheck("fk_lineitem_orders", li, $"l_orderkey", o, $"o_orderkey")
+      .unionByName(fkCheck("fk_orders_customer", o, $"o_custkey",
+        c, $"c_custkey"))
+      .unionByName(fkCheck("fk_lineitem_part", li, $"l_partkey",
+        p, $"p_partkey"))
+      .unionByName(fkCheck("fk_lineitem_supplier", li, $"l_suppkey",
+        s, $"s_suppkey"))
+      .unionByName(predCheck("dom_quantity_1_50", li,
+        $"l_quantity" < 1 || $"l_quantity" > 50))
+      .unionByName(predCheck("dom_discount_0_10", li,
+        $"l_discount" < 0 || $"l_discount" > 0.10))
+      .unionByName(predCheck("null_orderdate", o, $"o_orderdate".isNull))
+      .orderBy($"check_name")
+  }
+
+  val qDqConstraintsOracle: String =
+    """SELECT 'dom_discount_0_10' check_name,
+        sum(CASE WHEN l_discount < 0 OR l_discount > 0.10
+          THEN 1 ELSE 0 END)::BIGINT n_violations,
+        count(*)::BIGINT n_checked FROM lineitem
+      UNION ALL
+      SELECT 'dom_quantity_1_50',
+        sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+          THEN 1 ELSE 0 END)::BIGINT, count(*)::BIGINT FROM lineitem
+      UNION ALL
+      SELECT 'fk_lineitem_orders',
+        (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+          (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)
+          OR l_orderkey IS NULL)::BIGINT,
+        count(*)::BIGINT FROM lineitem
+      UNION ALL
+      SELECT 'fk_lineitem_part',
+        (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN
+          (SELECT p_partkey FROM part WHERE p_partkey IS NOT NULL)
+          OR l_partkey IS NULL)::BIGINT,
+        count(*)::BIGINT FROM lineitem
+      UNION ALL
+      SELECT 'fk_lineitem_supplier',
+        (SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_suppkey IS NOT NULL)
+          OR l_suppkey IS NULL)::BIGINT,
+        count(*)::BIGINT FROM lineitem
+      UNION ALL
+      SELECT 'fk_orders_customer',
+        (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+          (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+          OR o_custkey IS NULL)::BIGINT,
+        count(*)::BIGINT FROM orders
+      UNION ALL
+      SELECT 'null_orderdate',
+        sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        count(*)::BIGINT FROM orders
+      ORDER BY check_name"""
+
+  // ---------- k-anonymity audit (privacy risk before release) ----------
+  /** k-anonymity screen over a quasi-identifier tuple — the privacy
+    * audit run before releasing or sharing a derived dataset: customers
+    * whose (nation, market segment, account-balance band) combination
+    * is shared by fewer than k = 5 others are re-identifiable by
+    * linkage. Output is the per-segment risk readout (equivalence-class
+    * counts, risky classes, customers exposed, smallest class) — the
+    * numbers a release review actually reads. Balance bands are integer
+    * thousand-dollar FLOORS over cents — written as an explicit
+    * `floor()` in BOTH engines because the obvious shortcuts disagree
+    * on the negative balances TPC-H contains: DuckDB's `//` TRUNCATES
+    * integers toward zero (−199999//100000 = −1, floor says −2) and
+    * stays fractional on DECIMAL inputs (measured −2.5), while floor is
+    * floor everywhere.
+    *
+    * Scale shape: one combine-fed groupBy over the quasi-identifier
+    * domain (bounded: nations × segments × bands), then a groupBy over
+    * segments — both dimension-scale. No windows, no collects.
+    */
+  def qPrivacyKanon(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val qi = Tables.customer(spark, dir)
+      .select($"c_mktsegment".as("seg"), $"c_nationkey".as("nat"),
+        expr("CAST(floor(CAST(c_acctbal AS DECIMAL(18,2)) * 100 / 100000)" +
+          " AS BIGINT)").as("band"))
+    qi.groupBy($"seg", $"nat", $"band").agg(count(lit(1)).as("cls"))
+      .groupBy($"seg")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when($"cls" < k, 1L).otherwise(0L)).as("risky_classes"),
+        sum(when($"cls" < k, $"cls").otherwise(0L)).as("exposed_customers"),
+        min($"cls").as("min_class"), max($"cls").as("max_class"))
+      .orderBy($"seg")
+  }
+
+  val qPrivacyKanonOracle: String =
+    """WITH qi AS (SELECT c_mktsegment seg, c_nationkey nat,
+        floor((c_acctbal::DECIMAL(18,2) * 100) / 100000)::BIGINT band
+      FROM customer),
+      cls AS (SELECT seg, nat, band, count(*)::BIGINT cls FROM qi
+        GROUP BY 1, 2, 3)
+      SELECT seg, count(*)::BIGINT n_classes,
+        sum(CASE WHEN cls < 5 THEN 1 ELSE 0 END)::BIGINT risky_classes,
+        sum(CASE WHEN cls < 5 THEN cls ELSE 0 END)::BIGINT exposed_customers,
+        min(cls)::BIGINT min_class, max(cls)::BIGINT max_class
+      FROM cls GROUP BY seg ORDER BY seg"""
+
   // ---------- HLL sketch mergeability (per-partition union ≡ global) ----------
   /** The sketch-merge contract that makes distinct-counting feasible at
     * 100 TB: per-day (= per-partition) HLL sketches unioned into one
@@ -2681,6 +2822,8 @@ object Relational {
       FROM pairs WHERE dist2 <= 256 GROUP BY 1 ORDER BY 1"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_constraints" -> (qDqConstraints _),
+    "q_privacy_kanon" -> (qPrivacyKanon _),
     "q_sketch_merge" -> (qSketchMerge _),
     "q_spatial_join" -> (qSpatialJoin _),
     "q_rfm_segments" -> (qRfmSegments _),
@@ -2754,6 +2897,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dq_constraints" -> qDqConstraintsOracle,
+    "q_privacy_kanon" -> qPrivacyKanonOracle,
     "q_sketch_merge" -> qSketchMergeOracle,
     "q_spatial_join" -> qSpatialJoinOracle,
     "q_rfm_segments" -> qRfmSegmentsOracle,

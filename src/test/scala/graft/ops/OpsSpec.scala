@@ -1602,6 +1602,45 @@ class OpsSpec extends AnyFunSuite {
       s"out-degree ${outDeg.max} exceeds sqrt(2m) for m=$m")
   }
 
+  test("dq constraints: all seven checks report, clean TPC-H data has " +
+    "zero violations, and a planted orphan is caught") {
+    import spark.implicits._
+    val rows = Relational.qDqConstraints(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 7, rows.mkString(","))
+    rows.foreach { case (name, viol, checked) =>
+      assert(checked > 0, s"$name: empty audit (n_checked=0)")
+      assert(viol == 0L, s"$name: unexpected violations on clean data")
+    }
+    // the anti-join direction actually catches: an order key absent from
+    // orders must count as an orphan (null-keyed rows included)
+    val fact = Seq(Some(1L), Some(999999999L), None).toDF("k")
+    val dim = Seq(1L, 2L).toDF("k")
+    val orphans = fact.join(dim, Seq("k"), "left_anti").count()
+    assert(orphans == 2L)
+  }
+
+  test("k-anonymity: per-segment risk readout equals a local reference " +
+    "with floor-banded balances") {
+    val local = Tables.customer(spark, dir)
+      .selectExpr("c_mktsegment", "CAST(c_nationkey AS BIGINT) AS nat",
+        "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Math.floorDiv(r.getLong(2), 100000L)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .groupBy(_._1._1)
+      .map { case (seg, cls) =>
+        val sizes = cls.map(_._2)
+        (seg, sizes.size.toLong, sizes.count(_ < 5).toLong,
+          sizes.filter(_ < 5).sum, sizes.min, sizes.max)
+      }.toSeq.sortBy(_._1)
+    val rows = Relational.qPrivacyKanon(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.toSeq == local, s"engine ${rows.toSeq} vs local $local")
+  }
+
   test("sketch merge: per-day HLL union certifies against the global " +
     "sketch and the exact distinct count") {
     val r = Relational.qSketchMerge(spark, dir).collect()
