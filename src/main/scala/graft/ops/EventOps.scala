@@ -411,6 +411,85 @@ object EventOps {
     sinkSorted(spark.table(name), col("ws"), col("event_type"))
   }
 
+  // ---------- Structured Streaming: checkpoint crash-recovery ----------
+  /** CHECKPOINT RECOVERY driven end-to-end — the reliability contract a
+    * 1000-executor deployment actually depends on: a streaming
+    * aggregation ingests the first third of the corpus, the query STOPS
+    * (the planned stand-in for a crash: same shutdown path, same
+    * checkpoint state left behind), the remaining files land, and a NEW
+    * query restarts from the SAME checkpoint over the same source path.
+    * The restarted run must (a) recover the first file's contribution
+    * from the state store, not by re-reading it — the offset log marks
+    * it processed, so a reprocessing bug would double-count — and (b)
+    * resume the file-source listing where it stopped. Either failure
+    * breaks the hash against the batch oracle computed over ALL events;
+    * the aggregate is all-integer (counts + max of rounded cents — max
+    * is order-insensitive, so the split point cannot smuggle in
+    * last-ulp drift the way a double sum across restarts could).
+    *
+    * Per call the arrival sequence replays in a FRESH staging dir +
+    * checkpoint (file copies of a once-built split fixture), so every
+    * bench pass exercises the same crash/recover path — a fixture that
+    * mutated in place would degenerate to single-run after pass 1.
+    */
+  def qStreamRecovery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = Tables.table(spark, dir, "events")
+    val rawSchema = raw.schema
+    val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-stream-recov-${dir.hashCode.toHexString}")
+    if (!new java.io.File(fixture, "_READY").isFile) {
+      (0 to 2).foreach { i =>
+        raw.filter(col("event_id") % 3 === i).coalesce(1)
+          .write.mode("overwrite").parquet(s"$fixture/f$i")
+      }
+      new java.io.File(fixture, "_READY").createNewFile()
+    }
+    def partFile(i: Int): java.io.File =
+      new java.io.File(fixture, s"f$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-recov")
+    val in = tmp.resolve("in"); java.nio.file.Files.createDirectories(in)
+    def land(i: Int): Unit =
+      java.nio.file.Files.copy(partFile(i).toPath,
+        in.resolve(s"batch$i.parquet"))
+
+    val name = "graft_stream_recovery"
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(in.toString)
+        .withColumn("ts", Tables.normalizedTs(rawSchema("ts").dataType))
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(expr("CAST(round(value * 100) AS BIGINT)")).as("vmax2"))
+        .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"),
+          col("n"), col("vmax2"))
+      val q = startTrimmedStream(spark, Some("8")) {
+        stream.writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
+      try q.awaitTermination()
+      finally q.stop()
+    }
+    land(0); run() // first file, then the "crash" (checkpointed stop)
+    land(1); land(2)
+    run() // restart from the same checkpoint; state must carry file 0
+    sinkSorted(spark.table(name), col("ws"), col("event_type"))
+  }
+
+  val qStreamRecoveryOracle: String =
+    """SELECT epoch(date_trunc('hour', ts))::BIGINT AS ws, event_type,
+      count(*) AS n, max(round(value * 100)::BIGINT) AS vmax2
+      FROM events GROUP BY ws, event_type ORDER BY ws, event_type"""
+
   // ---------- Structured Streaming: stream-static enrichment join ----------
   /** The remaining streaming join shape after [[qStreamJoin]]
     * (stream-stream): a STREAM-STATIC inner join — the streaming fact
@@ -1981,6 +2060,7 @@ object EventOps {
     "q_events_session" -> (qEventsSession _),
     "q_events_asof" -> (qEventsAsof _),
     "q_stream_tumbling" -> (qStreamTumbling _),
+    "q_stream_recovery" -> (qStreamRecovery _),
     "q_stream_session" -> (qStreamSession _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_join" -> (qStreamJoin _),
@@ -2019,6 +2099,7 @@ object EventOps {
     "q_events_session" -> qEventsSessionOracle,
     "q_events_asof" -> qEventsAsofOracle,
     "q_stream_tumbling" -> qEventsTumblingOracle,
+    "q_stream_recovery" -> qStreamRecoveryOracle,
     "q_stream_session" -> qEventsSessionOracle,
     "q_stream_dedup" -> qEventsTumblingOracle,
     "q_stream_join" -> qStreamJoinOracle,

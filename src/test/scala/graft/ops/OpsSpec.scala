@@ -2,6 +2,8 @@ package graft.ops
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.functions._
+
 import graft.{SparkEntry, SparkTestSession}
 
 /** Smoke + targeted behavior for the query surface at sf0.001. The full
@@ -1600,6 +1602,22 @@ class OpsSpec extends AnyFunSuite {
       .groupBy(identity).values.map(_.size)
     assert(outDeg.max <= math.sqrt(2.0 * m) + 1,
       s"out-degree ${outDeg.max} exceeds sqrt(2m) for m=$m")
+  }
+
+  test("stream recovery: restarted query equals the batch aggregate — " +
+    "file 0's contribution survives the checkpointed stop") {
+    val got = EventOps.qStreamRecovery(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val want = Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max(expr("CAST(round(value * 100) AS BIGINT)")).as("vmax2"))
+      .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"),
+        col("n"), col("vmax2"))
+      .orderBy(col("ws"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty && got.toSeq == want.toSeq,
+      s"recovered stream diverged from batch (${got.length} vs ${want.length} rows)")
   }
 
   test("dq constraints: all seven checks report, clean TPC-H data has " +

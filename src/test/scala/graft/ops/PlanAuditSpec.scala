@@ -638,7 +638,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // paths with no window analytics; excluded so the sweep stays a pure
     // planning pass
     val eager = Set(
-      "q_stream_tumbling", "q_stream_session", "q_stream_dedup",
+      "q_stream_tumbling", "q_stream_recovery", "q_stream_session",
+      "q_stream_dedup",
       "q_stream_join", "q_stream_outer_join", "q_stream_static_join",
       "q_stream_quality", "q_stream_abtest", "q_stream_cdc_apply",
       "q_cdc_convert_roundtrip", "q_cdc_convert_exact", "q_cdc_dsv2_scan",
