@@ -121,19 +121,41 @@ object Bench {
     }
 
     val Passes = 3
-    // name -> sorted pass times (empty array marks a failed query)
-    val results = scala.collection.mutable.LinkedHashMap[String, Array[Double]]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val ts = try {
-        passesOf(Passes)(
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save())
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          Array.empty[Double]
+    // Passes are INTERLEAVED round-robin (3 full sweeps over the query
+    // list), not back-to-back per query: a transient load window on the
+    // driver box then inflates ONE pass of many queries — which the
+    // median discards — instead of ALL passes of the few queries that
+    // were running, which it cannot. (Measured failure mode this round:
+    // a mid-run load spike inflated an alphabetically contiguous band
+    // q_sa*–q_st* in every pass, 122.7 → 152.8 s total with no code
+    // change.) Per-query caches (codegen, file footers) stay warm across
+    // rounds, so steady-state per-pass times match the back-to-back
+    // design at idle.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // name -> pass times (empty marks a failed query)
+    val raw = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    ordered.foreach { case (name, _) => raw(name) = Nil }
+    val failed = scala.collection.mutable.Set[String]()
+    (1 to Passes).foreach { _ =>
+      ordered.foreach { case (name, fn) =>
+        if (!failed(name)) {
+          try {
+            val t = timeIt(
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+            raw(name) = t :: raw(name)
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              failed += name
+          }
+          sweepBlocks()
+        }
       }
-      sweepBlocks()
-      results(name) = ts
+    }
+    val results = scala.collection.mutable.LinkedHashMap[String, Array[Double]]()
+    raw.foreach { case (name, ts) =>
+      results(name) =
+        if (failed(name)) Array.empty[Double] else ts.toArray.sorted
     }
 
     // conversion throughput: the reference's own workload (each pass gets
