@@ -601,6 +601,66 @@ object Multimodal {
     * scan-side; one tiny per-shard aggregate. At 100 TB nothing
     * changes: more shards, same plan.
     */
+  // ---------- WebDataset shard EXPORT (distributed tar write + re-read) ----------
+  /** The WRITE side of the WebDataset contract — [[qMultimodalTar]]
+    * proves ingestion of externally-produced shards; this proves the
+    * engine can PRODUCE them: documents are assigned to shards, each
+    * shard's members are built into USTAR bytes ON THE EXECUTOR
+    * (`TarCodec.writeUstar` inside `mapGroups` — the shard is the
+    * parallelism unit, exactly how shard export runs at 100 TB, with
+    * the file landing on shared storage; local FS here), and the
+    * produced shards are then RE-READ through the checksum-verified tar
+    * walk and aggregated. The oracle computes the same per-shard stats
+    * DIRECTLY from the documents table, so a hash match proves
+    * build → write → binary-scan → parse is the identity on every
+    * member: a lost/duplicated member breaks n_members, any content
+    * drift breaks the octet-exact sum_size, a header fault throws in
+    * the verified walk.
+    *
+    * Member bytes are UTF-8 (`encode`), and the oracle measures
+    * `octet_length` — byte semantics agree on any text. Member order
+    * within a shard is pinned by doc_id so shard bytes are
+    * deterministic, not just their stats.
+    */
+  def qMultimodalShardWrite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-shard-export")
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id",
+        concat(lit("doc-"), $"doc_id", lit(".txt")).as("name"),
+        encode($"text", "UTF-8").as("content"),
+        ($"doc_id" % 8).as("shard"))
+      .as[(Long, String, Array[Byte], Long)]
+    val outPath = out.toString
+    docs.groupByKey(_._4)
+      .mapGroups { (s, it) =>
+        val members = it.toSeq.sortBy(_._1).map(r => r._2 -> r._3)
+        val bytes = graft.functions.TarCodec.writeUstar(members)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(outPath, f"shard-$s%03d.tar"), bytes)
+        s
+      }
+      .write.format("noop").mode("overwrite").save() // drive the export
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.tar").load(outPath)
+      .select(
+        regexp_extract(col("path"), "shard-(\\d+)\\.tar", 1)
+          .cast("long").as("shard"),
+        explode(graft.functions.TarShardOps.tarEntries(col("content")))
+          .as("e"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_members"), sum(col("e.size")).as("sum_size"),
+        countDistinct(col("e.name")).as("n_names"))
+      .orderBy(col("shard"))
+  }
+
+  val qMultimodalShardWriteOracle: String =
+    """SELECT doc_id % 8 AS shard, count(*) AS n_members,
+      sum(octet_length(encode(text)))::BIGINT AS sum_size,
+      count(DISTINCT 'doc-' || doc_id || '.txt')::BIGINT AS n_names
+      FROM documents GROUP BY 1 ORDER BY 1"""
+
   def qMultimodalTar(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft-scratch", "tarshard")
@@ -653,6 +713,7 @@ object Multimodal {
     "q_image_neardup" -> (qImageNeardup _),
     "q_audio_pcm" -> (qAudioPcm _),
     "q_multimodal_tar" -> (qMultimodalTar _),
+    "q_multimodal_shard_write" -> (qMultimodalShardWrite _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -665,5 +726,6 @@ object Multimodal {
     "q_image_neardup" -> qImageNeardupOracle,
     "q_audio_pcm" -> qAudioPcmOracle,
     "q_multimodal_tar" -> qMultimodalTarOracle,
+    "q_multimodal_shard_write" -> qMultimodalShardWriteOracle,
   )
 }

@@ -1604,6 +1604,38 @@ class OpsSpec extends AnyFunSuite {
       s"out-degree ${outDeg.max} exceeds sqrt(2m) for m=$m")
   }
 
+  test("shard export: stats equal the documents table and the produced " +
+    "shard bytes are deterministic across invocations") {
+    def runAndHash(): (Seq[(Long, Long, Long, Long)], Map[Long, String]) = {
+      val rows = Multimodal.qMultimodalShardWrite(spark, dir)
+      val stats = rows.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // recover the export dir from the scan the query returns
+      val files = rows.inputFiles.filter(_.endsWith(".tar"))
+      val hashes = files.map { f =>
+        val p = java.nio.file.Paths.get(new java.net.URI(f))
+        val shard = "shard-(\\d+)\\.tar".r.findFirstMatchIn(f).get.group(1).toLong
+        val md = java.security.MessageDigest.getInstance("MD5")
+        shard -> md.digest(java.nio.file.Files.readAllBytes(p))
+          .map("%02x".format(_)).mkString
+      }.toMap
+      (stats.toSeq.sortBy(_._1), hashes)
+    }
+    val (s1, h1) = runAndHash()
+    val (s2, h2) = runAndHash()
+    assert(s1.nonEmpty && s1 == s2)
+    assert(h1 == h2, "shard bytes differ across invocations")
+    val direct = Tables.documents(spark, dir)
+      .selectExpr("doc_id % 8 AS shard",
+        "CAST(octet_length(encode(text, 'UTF-8')) AS BIGINT) AS sz")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (s, rs) => (s, rs.size.toLong, rs.map(_._2).sum) }
+    s1.foreach { case (shard, n, size, names) =>
+      val (_, dn, dsz) = direct.find(_._1 == shard).get
+      assert(n == dn && size == dsz && names == dn, s"shard $shard drifted")
+    }
+  }
+
   test("stream recovery: restarted query equals the batch aggregate — " +
     "file 0's contribution survives the checkpointed stop") {
     val got = EventOps.qStreamRecovery(spark, dir).collect()

@@ -646,7 +646,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_cdc_schema_evolution", "q_observe_metrics",
       "q_cdc_catalog", "q_csv_json_roundtrip", "q_orc_roundtrip",
       "q_malformed_quarantine", "q_binary_source", "q_dedup_incremental",
-      "q_compact_files")
+      "q_compact_files", "q_multimodal_shard_write")
     // queries ALLOWED a partition-less window, each because the window
     // input is a bounded post-aggregate (dimension-scale), never the fact:
     //  - q_mix_temperature: denominator over per-lang aggregate (~#langs
