@@ -2821,7 +2821,140 @@ object Relational {
         sum(dist2)::BIGINT sum_d2
       FROM pairs WHERE dist2 <= 256 GROUP BY 1 ORDER BY 1"""
 
+  // ---------- differentially-private count/sum release ----------
+  /** Differentially-private release of the per-segment customer counts
+    * and (clipped) balance sums — the privacy-budgeted aggregate a data
+    * platform publishes when the raw counts themselves are sensitive.
+    * Standard Laplace mechanism, ε = 0.5 per statistic (sequential
+    * composition ⇒ ε_total = 1.0 for the pair): count sensitivity 1,
+    * sum sensitivity = the CLIP WIDTH — balances are clamped to
+    * [−1000, 10000] dollars (1,100,000 cents) before summing, the
+    * clipping step that BOUNDS a sum release's sensitivity (here the
+    * natural data range already sits inside the clamp, so clipping is
+    * numerically a no-op while still establishing the bound).
+    *
+    * Noise is the inverse-CDF Laplace draw from a DETERMINISTIC uniform
+    * seeded per (segment, statistic) by md5 — u = (h + 0.5)/10⁶ with
+    * h = md5 % 10⁶, so u is never exactly ½ and 1 − 2|u − ½| ≥ 10⁻⁶ keeps
+    * the log finite — which the oracle replays exactly (a production
+    * system would draw from a secure RNG; the derandomization is what
+    * makes the release hash-checkable, the same plant discipline as
+    * q_text_pii). Dollar sums go through DECIMAL(18,2)·100 integer cents
+    * (exact, associative); the ONLY doubles are the final noise adds,
+    * rounded to 1e-6.
+    *
+    * Scale shape: one combine-fed aggregate over the fact; the noise
+    * arithmetic runs on the 5-row segment table. Nothing else.
+    */
+  def qPrivacyDp(spark: SparkSession, dir: String): DataFrame = {
+    def lap(tag: String, scale: Double): Column = {
+      val h = pmod(
+        conv(substring(md5(concat($"seg", lit(":" + tag))), 1, 6), 16, 10)
+          .cast("long"), lit(1000000L))
+      val u = (h.cast("double") + lit(0.5)) / lit(1000000.0)
+      val c = u - lit(0.5)
+      -lit(scale) * signum(c) * log(lit(1.0) - lit(2.0) * abs(c))
+    }
+    Tables.customer(spark, dir)
+      .select($"c_mktsegment".as("seg"),
+        expr("CAST(least(greatest(CAST(c_acctbal AS DECIMAL(18,2)), " +
+          "-1000.00), 10000.00) * 100 AS BIGINT)").as("cents"))
+      .groupBy($"seg")
+      .agg(count(lit(1)).as("n_true"), sum($"cents").as("clip_cents"))
+      .select($"seg", $"n_true",
+        round($"n_true".cast("double") + lap("n", 2.0), 6).as("noisy_n6"),
+        $"clip_cents",
+        round($"clip_cents".cast("double") + lap("sum", 2200000.0), 6)
+          .as("noisy_cents6"),
+        lit(1.0).as("eps_total"))
+      .orderBy($"seg")
+  }
+
+  val qPrivacyDpOracle: String =
+    """WITH agg AS (SELECT c_mktsegment seg, count(*)::BIGINT n_true,
+        sum(CAST(least(greatest(c_acctbal::DECIMAL(18,2), -1000.00),
+          10000.00) * 100 AS BIGINT))::BIGINT clip_cents
+      FROM customer GROUP BY 1),
+      noise AS (SELECT seg, n_true, clip_cents,
+        (('0x' || substr(md5(seg || ':n'), 1, 6))::BIGINT % 1000000 + 0.5)
+          / 1000000.0 AS un,
+        (('0x' || substr(md5(seg || ':sum'), 1, 6))::BIGINT % 1000000 + 0.5)
+          / 1000000.0 AS us
+      FROM agg)
+      SELECT seg, n_true,
+        round(n_true + (-2.0 * sign(un - 0.5) *
+          ln(1.0 - 2.0 * abs(un - 0.5))), 6) AS noisy_n6,
+        clip_cents,
+        round(clip_cents + (-2200000.0 * sign(us - 0.5) *
+          ln(1.0 - 2.0 * abs(us - 0.5))), 6) AS noisy_cents6,
+        1.0::DOUBLE AS eps_total
+      FROM noise ORDER BY seg"""
+
+  // ---------- GDPR right-to-be-forgotten purge audit ----------
+  /** Right-to-be-forgotten propagation: given a forget-list of user ids
+    * (deterministic ~5 % md5-parity sample of customers — the plant
+    * discipline), run the purge as a LEFT ANTI join on every fact table
+    * that references users and report, per table, total rows, rows
+    * purged, rows kept, and the RESIDUAL count — forgotten ids still
+    * present after the purge, recomputed from the purged output itself
+    * (the audit is only evidence if it re-derives zero from the result,
+    * not from the construction). This is the governance counterpart of
+    * q_privacy_kanon/q_text_pii: deletion, not masking.
+    *
+    * Scale shape: the forget-list is broadcast (deletion requests are
+    * bounded — thousands, not billions); each fact pays one scan with a
+    * broadcast-hash anti probe plus one aggregate; no shuffle of fact
+    * rows at all. At 100 TB this is exactly the shape of a compaction
+    * pass with an anti-join predicate pushed into the rewrite.
+    */
+  def qGdprForget(spark: SparkSession, dir: String): DataFrame = {
+    val forget = Tables.customer(spark, dir)
+      .select($"c_custkey".as("fid"))
+      .filter(pmod(conv(substring(md5($"fid".cast("string")), 1, 6), 16, 10)
+        .cast("long"), lit(20L)) === 0L)
+    def audit(df: DataFrame, key: Column, tbl: String): DataFrame = {
+      val total = df.agg(count(lit(1)).as("n_rows"))
+      val kept = df.join(broadcast(forget), key === $"fid", "left_anti")
+      kept.join(broadcast(forget), key === $"fid", "left_outer")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(when($"fid".isNotNull, 1L).otherwise(0L)).as("n_residual"))
+        .crossJoin(broadcast(total))
+        .select(lit(tbl).as("tbl"), $"n_rows",
+          ($"n_rows" - $"n_kept").as("n_purged"), $"n_kept", $"n_residual")
+    }
+    audit(Tables.customer(spark, dir), $"c_custkey", "customer")
+      .unionByName(audit(Tables.orders(spark, dir), $"o_custkey", "orders"))
+      .unionByName(audit(Tables.events(spark, dir), $"user_id", "events"))
+      .orderBy($"tbl")
+  }
+
+  val qGdprForgetOracle: String =
+    """WITH forget AS (SELECT c_custkey fid FROM customer
+        WHERE ('0x' || substr(md5(c_custkey::VARCHAR), 1, 6))::BIGINT
+          % 20 = 0),
+      ck AS (SELECT c.c_custkey, f.fid FROM customer c
+        LEFT JOIN forget f ON c.c_custkey = f.fid),
+      ok AS (SELECT o.o_custkey, f.fid FROM orders o
+        LEFT JOIN forget f ON o.o_custkey = f.fid),
+      ek AS (SELECT e.user_id, f.fid FROM events e
+        LEFT JOIN forget f ON e.user_id = f.fid)
+      SELECT 'customer' AS tbl, count(*)::BIGINT n_rows,
+        sum(CASE WHEN fid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT n_purged,
+        sum(CASE WHEN fid IS NULL THEN 1 ELSE 0 END)::BIGINT n_kept,
+        0::BIGINT AS n_residual FROM ck
+      UNION ALL
+      SELECT 'events', count(*),
+        sum(CASE WHEN fid IS NOT NULL THEN 1 ELSE 0 END),
+        sum(CASE WHEN fid IS NULL THEN 1 ELSE 0 END), 0 FROM ek
+      UNION ALL
+      SELECT 'orders', count(*),
+        sum(CASE WHEN fid IS NOT NULL THEN 1 ELSE 0 END),
+        sum(CASE WHEN fid IS NULL THEN 1 ELSE 0 END), 0 FROM ok
+      ORDER BY tbl"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_privacy_dp" -> (qPrivacyDp _),
+    "q_gdpr_forget" -> (qGdprForget _),
     "q_dq_constraints" -> (qDqConstraints _),
     "q_privacy_kanon" -> (qPrivacyKanon _),
     "q_sketch_merge" -> (qSketchMerge _),
@@ -2897,6 +3030,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_privacy_dp" -> qPrivacyDpOracle,
+    "q_gdpr_forget" -> qGdprForgetOracle,
     "q_dq_constraints" -> qDqConstraintsOracle,
     "q_privacy_kanon" -> qPrivacyKanonOracle,
     "q_sketch_merge" -> qSketchMergeOracle,

@@ -1793,4 +1793,57 @@ class OpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("dp release: noise replays the seeded Laplace inverse-CDF exactly, " +
+    "stays within the tail bound, and the budget composes to 1.0") {
+    val rows = Relational.qPrivacyDp(spark, dir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (seg, nTrue, noisyN, cents, noisyC, eps) = (r.getString(0),
+        r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4),
+        r.getDouble(5))
+      def lap(tag: String, scale: Double): Double = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest((seg + ":" + tag).getBytes("UTF-8"))
+          .take(3).map("%02x".format(_)).mkString
+        val u = (java.lang.Long.parseLong(hex, 16) % 1000000L + 0.5) / 1e6
+        -scale * math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      }
+      // exact replay (modulo the final 1e-6 rounding both sides share)
+      assert(math.abs(noisyN - (nTrue + lap("n", 2.0))) < 1e-5,
+        s"$seg: count noise diverged from the seeded draw")
+      assert(math.abs(noisyC - (cents + lap("sum", 2200000.0))) < 1e-5,
+        s"$seg: sum noise diverged from the seeded draw")
+      // Laplace tail: |noise| <= scale * ln(1e6) given u's 1e-6 floor
+      assert(math.abs(noisyN - nTrue) <= 2.0 * math.log(1e6) + 1e-6)
+      assert(math.abs(noisyC - cents) <= 2200000.0 * math.log(1e6) + 1e-6)
+      // the release never publishes the raw statistic bit-for-bit
+      assert(noisyN != nTrue.toDouble && noisyC != cents.toDouble)
+      assert(eps == 1.0)
+    }
+  }
+
+  test("gdpr forget: purge counts reconcile per table, the residual " +
+    "re-derived from the purged output is zero, and the forget list is " +
+    "exactly the md5-parity customers") {
+    val rows = Relational.qGdprForget(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq("customer", "events", "orders"))
+    rows.foreach { case (tbl, n, purged, kept, residual) =>
+      assert(purged + kept == n, s"$tbl: purge does not partition the table")
+      assert(residual == 0L, s"$tbl: forgotten ids survived the purge")
+      assert(purged > 0L, s"$tbl: empty forget audit proves nothing")
+    }
+    // the customer row's purge count equals a local replay of the parity
+    val forgetLocal = Tables.customer(spark, dir).select(col("c_custkey"))
+      .collect().map(_.getLong(0)).filter { id =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .take(3).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex, 16) % 20L == 0L
+      }.toSet
+    assert(rows.head._3 == forgetLocal.size.toLong,
+      s"customer purge ${rows.head._3} != local forget ${forgetLocal.size}")
+  }
 }
