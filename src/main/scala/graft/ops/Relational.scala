@@ -2952,7 +2952,73 @@ object Relational {
         sum(CASE WHEN fid IS NULL THEN 1 ELSE 0 END), 0 FROM ok
       ORDER BY tbl"""
 
+  // ---------- entity resolution: fuzzy pairs → components → canon ----------
+  /** Full entity resolution over the name dictionary: the
+    * [[qFuzzyMatch]] edit-distance pair graph closed into CONNECTED
+    * COMPONENTS, each component collapsed to a canonical entity (min
+    * name) with its member count and total row coverage — the step that
+    * turns pairwise fuzzy matches into an actual dedup table
+    * (transitivity matters: "blue bolt" ~ "blue bolts" ~ "blue boltz"
+    * must land in ONE entity even when the ends differ by more than τ).
+    * Singleton names become their own entity, so the output is a total
+    * mapping of the dictionary.
+    *
+    * Scale shape: pairs come from the provably-complete q-gram blocking
+    * equi-join (never a cartesian — see [[fuzzyPairs]]); the min-label
+    * propagation fixpoint runs on the DICTIONARY graph (distinct names —
+    * vocabulary-scale, corpus-independent), with lineage truncated per
+    * round and rounds bounded by component diameter (edit-chains are
+    * short in practice; the loop asserts convergence). The corpus pays
+    * only the initial name aggregate. The oracle's recursive
+    * transitive closure over the naive pair join doubles as the
+    * end-to-end completeness proof of blocking + fixpoint.
+    */
+  def qEntityResolve(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .groupBy($"p_name").agg(count(lit(1)).as("n")).localCheckpoint()
+    val pairs = fuzzyPairs(names).select($"a", $"b")
+    val edges = pairs.union(pairs.select($"b", $"a")).toDF("src", "dst")
+      .localCheckpoint()
+    var labels = names.select($"p_name".as("node"), $"p_name".as("lab"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val prop = edges.join(labels, $"dst" === $"node")
+        .select($"src".as("node"), $"lab", lit(null).cast("string").as("old"))
+      val next = labels.select($"node", $"lab", $"lab".as("old"))
+        .union(prop)
+        .groupBy($"node").agg(min($"lab").as("lab"), min($"old").as("old"))
+        .localCheckpoint()
+      changed = next.filter($"lab" =!= $"old").count()
+      labels = next.select($"node", $"lab")
+      rounds += 1
+    }
+    require(changed == 0, s"entity fixpoint did not converge in $rounds rounds")
+    labels.join(names, $"node" === $"p_name")
+      .groupBy($"lab".as("canonical"))
+      .agg(countDistinct($"node").as("n_names"), sum($"n").as("total_rows"))
+      .orderBy($"canonical")
+  }
+
+  val qEntityResolveOracle: String =
+    """WITH RECURSIVE names AS (SELECT p_name, count(*)::BIGINT n FROM part
+        GROUP BY 1),
+      pairs AS (SELECT a.p_name a, b.p_name b FROM names a JOIN names b
+        ON a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 3),
+      edges AS (SELECT a src, b dst FROM pairs UNION SELECT b, a FROM pairs),
+      reach(node, lab) AS (
+        SELECT p_name, p_name FROM names
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+      labels AS (SELECT node, min(lab) lab FROM reach GROUP BY node)
+      SELECT l.lab AS canonical, count(*)::BIGINT n_names,
+        sum(nm.n)::BIGINT total_rows
+      FROM labels l JOIN names nm ON nm.p_name = l.node
+      GROUP BY 1 ORDER BY canonical"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_entity_resolve" -> (qEntityResolve _),
     "q_privacy_dp" -> (qPrivacyDp _),
     "q_gdpr_forget" -> (qGdprForget _),
     "q_dq_constraints" -> (qDqConstraints _),
@@ -3030,6 +3096,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_entity_resolve" -> qEntityResolveOracle,
     "q_privacy_dp" -> qPrivacyDpOracle,
     "q_gdpr_forget" -> qGdprForgetOracle,
     "q_dq_constraints" -> qDqConstraintsOracle,

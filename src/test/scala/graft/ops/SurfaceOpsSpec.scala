@@ -197,6 +197,45 @@ class SurfaceOpsSpec extends AnyFunSuite {
       assert(d >= 1 && a < b, s"pair ($a,$b) dist $d malformed") }
   }
 
+  test("entity resolution: components equal a local union-find closure " +
+    "of the naive edit-distance graph (transitivity across chains)") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val counts = Tables.part(spark, dir).select("p_name").collect()
+      .map(_.getString(0)).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val dict = counts.keys.toSeq.sorted
+    val parent = scala.collection.mutable.Map(dict.map(x => x -> x): _*)
+    def find(x: String): String =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    for (i <- dict.indices; j <- i + 1 until dict.length
+         if lev(dict(i), dict(j)) <= 3) {
+      val (ra, rb) = (find(dict(i)), find(dict(j)))
+      if (ra != rb) parent(if (ra < rb) rb else ra) = if (ra < rb) ra else rb
+    }
+    // canonical = min member (path-compress to the final root's min)
+    val byRoot = dict.groupBy(find)
+    val local = byRoot.values.map { members =>
+      (members.min, members.size.toLong, members.map(counts).sum)
+    }.toSeq.sortBy(_._1)
+    val rows = Relational.qEntityResolve(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == local, s"engine ${rows.take(4).toSeq} vs " +
+      s"local ${local.take(4)}")
+    // the resolution is a total mapping: entity coverage = dictionary
+    assert(rows.map(_._2).sum == dict.size.toLong)
+    assert(rows.map(_._3).sum == counts.values.sum)
+    // transitivity actually exercised: some component must be wider than
+    // any single pair radius (chained merges, ends > tau apart)
+    assert(rows.exists(_._2 > 2), "no multi-hop component in fixture")
+  }
+
   test("bfs: per-level aggregates equal a local frontier walk and " +
     "levels partition the reached set") {
     val rows = GraphOps.qGraphBfs(spark, dir).collect()
