@@ -2053,7 +2053,78 @@ object EventOps {
         abs(n_days * prefix - k * total)::BIGINT AS cusum
       FROM c, t ORDER BY cusum DESC, dte LIMIT 5"""
 
+  // ---------- two-sample Kolmogorov–Smirnov drift statistic ----------
+  /** Exact two-sample KS statistic between the purchase-value
+    * distribution and everything else — the distribution-drift test that
+    * complements q_stats_drift's PSI: D = max |F₁(x) − F₂(x)|, sensitive
+    * to ANY distributional difference, not just binned mass shifts.
+    * Values are first quantized to a BOUNDED bin domain (width 5, ≈100
+    * bins over the value range), which keeps the statistic exact FOR THE
+    * BINNED DISTRIBUTIONS while making the CDF table domain-scale; this
+    * is how a KS monitor actually runs at 100 TB — the alternative (a
+    * global sort of raw values) is a scale-killer.
+    *
+    * Exactness: D's maximization runs entirely on integers —
+    * |c₁·N₂ − c₂·N₁| with the cross products routed through
+    * DECIMAL(38,0) (no overflow at any corpus size) — and the single
+    * double divide by N₁·N₂ happens once, after the max. `ks_bin` is
+    * the SMALLEST bin attaining the max (total tie order). The
+    * partition-less CDF window runs over the ~100-row bin table, never
+    * the corpus (pinned in the global-window allowlist).
+    */
+  def qStatsKs(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cell = Tables.events(spark, dir)
+      .select(floor(col("value") / 5).cast("long").as("bin"),
+        (col("event_type") === "purchase").as("isa"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("isa"), 1L).otherwise(0L)).as("n2"))
+      .localCheckpoint() // ~100 rows, feeds totals + CDF + argmax
+    val tot = cell.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = cell
+      .withColumn("c1", sum(col("n1")).over(w))
+      .withColumn("c2", sum(col("n2")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("dnum",
+        abs(col("c1").cast(dec) * col("t2").cast(dec) -
+          col("c2").cast(dec) * col("t1").cast(dec)))
+      .localCheckpoint()
+    val mx = scored.agg(max(col("dnum")).as("mx"))
+    scored.crossJoin(broadcast(mx))
+      .agg(max(col("t1")).as("n1"), max(col("t2")).as("n2"),
+        max(col("dnum")).as("dn"),
+        min(when(col("dnum") === col("mx"), col("bin"))).as("ks_bin"))
+      .select(col("n1"), col("n2"), col("ks_bin"),
+        round(col("dn").cast("double") /
+          (col("n1").cast(dec) * col("n2").cast(dec)).cast("double"), 6)
+          .as("d6"))
+  }
+
+  val qStatsKsOracle: String =
+    """WITH b AS (SELECT floor(value / 5)::BIGINT bin,
+        event_type = 'purchase' isa FROM events),
+      cell AS (SELECT bin,
+          sum(CASE WHEN isa THEN 1 ELSE 0 END)::BIGINT n1,
+          sum(CASE WHEN NOT isa THEN 1 ELSE 0 END)::BIGINT n2
+        FROM b GROUP BY 1),
+      tot AS (SELECT sum(n1)::BIGINT t1, sum(n2)::BIGINT t2 FROM cell),
+      cum AS (SELECT bin,
+          sum(n1) OVER (ORDER BY bin)::BIGINT c1,
+          sum(n2) OVER (ORDER BY bin)::BIGINT c2 FROM cell),
+      sc AS (SELECT bin, abs(c1::HUGEINT * t2 - c2::HUGEINT * t1) dnum
+        FROM cum CROSS JOIN tot),
+      mx AS (SELECT max(dnum) mx FROM sc)
+      SELECT t1 AS n1, t2 AS n2,
+        (SELECT min(bin) FROM sc WHERE dnum = (SELECT mx FROM mx)) AS ks_bin,
+        round((SELECT mx FROM mx)::DOUBLE /
+          (t1::HUGEINT * t2)::DOUBLE, 6) AS d6
+      FROM tot"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_ks" -> (qStatsKs _),
     "q_events_changepoint" -> (qEventsChangepoint _),
     "q_events_tumbling" -> (qEventsTumbling _),
     "q_events_sliding" -> (qEventsSliding _),
@@ -2093,6 +2164,7 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stats_ks" -> qStatsKsOracle,
     "q_events_changepoint" -> qEventsChangepointOracle,
     "q_events_tumbling" -> qEventsTumblingOracle,
     "q_events_sliding" -> qEventsSlidingOracle,

@@ -1794,6 +1794,35 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ks drift: the binned two-sample statistic equals a local exact " +
+    "CDF recompute and sits in [0, 1]") {
+    val r = EventOps.qStatsKs(spark, dir).collect()
+    assert(r.length == 1)
+    val (n1, n2, ksBin, d6) =
+      (r.head.getLong(0), r.head.getLong(1), r.head.getLong(2),
+        r.head.getDouble(3))
+    val local = Tables.events(spark, dir)
+      .select(col("value"), col("event_type")).collect()
+      .map(row => (math.floor(row.getDouble(0) / 5).toLong,
+        row.getString(1) == "purchase"))
+    val bins = local.map(_._1).distinct.sorted
+    val t1 = local.count(_._2).toLong
+    val t2 = local.size - t1
+    var c1 = 0L; var c2 = 0L
+    var best = BigInt(0); var bestBin = Long.MaxValue
+    bins.foreach { b =>
+      c1 += local.count(x => x._1 == b && x._2)
+      c2 += local.count(x => x._1 == b && !x._2)
+      val dn = (BigInt(c1) * t2 - BigInt(c2) * t1).abs
+      if (dn > best) { best = dn; bestBin = b }
+    }
+    assert(n1 == t1 && n2 == t2)
+    assert(ksBin == bestBin, s"argmax bin $ksBin != local $bestBin")
+    val dLocal = math.rint(best.toDouble / (BigInt(t1) * t2).toDouble * 1e6) / 1e6
+    assert(math.abs(d6 - dLocal) < 1e-9, s"D $d6 != local $dLocal")
+    assert(d6 >= 0.0 && d6 <= 1.0)
+  }
+
   test("dp release: noise replays the seeded Laplace inverse-CDF exactly, " +
     "stays within the tail bound, and the budget composes to 1.0") {
     val rows = Relational.qPrivacyDp(spark, dir).collect()

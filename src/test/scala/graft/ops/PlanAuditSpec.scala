@@ -667,9 +667,11 @@ class PlanAuditSpec extends AnyFunSuite {
     //  - q_events_changepoint: row_number + running sum over the per-day
     //    count series (calendar-bounded, ~#days rows;
     //    EventOps.qEventsChangepoint scaladoc)
+    //  - q_stats_ks: CDF running sums over the ~100-row value-bin table
+    //    (bin domain bounded by range/width; EventOps.qStatsKs scaladoc)
     val allow = Set("q_mix_temperature", "q_events_cum_users",
       "q_vocab_growth", "q_text_rrf", "q_events_survival", "q_skyline",
-      "q_events_changepoint")
+      "q_events_changepoint", "q_stats_ks")
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(eager)
       .filter { name =>
