@@ -1437,7 +1437,115 @@ object Similarity {
         nd AS n_delta, 0::BIGINT AS n_mismatch, 1::BIGINT AS merged_eq_rebuild
       FROM c"""
 
+  // ---------- retrieval-quality evaluation (nDCG / MRR / AP) ----------
+  /** Ranking-quality readout for the retrieval stack: per anchor, the
+    * standard IR metrics at k = 10 — nDCG@10, MRR@10, AP@10 — with
+    * same-label items as the relevance ground truth. This is the eval
+    * harness a training-data pipeline runs over its retrieval index
+    * (embedding drift, index regressions) — the judge of the ANN family,
+    * itself oracle-checked.
+    *
+    * Exactness discipline: every metric is an ORDER-SENSITIVE sum of
+    * reciprocal-log or reciprocal-rank terms, so each term quantizes to
+    * 1e-9 BIGINT first (the q_stats_chisq lesson): dcg₉ = Σ
+    * round(10⁹/log₂(i+1)) over relevant positions, idcg₉ the same over
+    * the ideal prefix min(R, 10), AP's precision@i terms likewise. Each
+    * final metric is ONE divide of exact integers, rounded to 1e-6.
+    * R (total relevant per anchor) comes from a window over the scored
+    * partition BEFORE the top-k cut, so nDCG normalizes correctly even
+    * when the corpus holds fewer than 10 relevant items.
+    *
+    * Scale shape: identical to [[qAnnTopk]] — fixed anchor broadcast,
+    * one corpus scan, per-anchor windows; metric arithmetic runs on the
+    * 50×10 top-k table. The brute-force scoring is the EVAL baseline by
+    * construction (the eval must not inherit the index's blind spots).
+    */
+  def qEvalNdcg(spark: SparkSession, dir: String): DataFrame = {
+    val e = withVec(Tables.embeddings(spark, dir))
+    val anchors = e.filter(col("vec_id") < Anchors)
+      .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+        col("vd").as("a_vd"), col("nrm").as("a_nrm"))
+    val corpus = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+      col("vd").as("b_vd"), col("nrm").as("b_nrm"))
+    val scored = broadcast(anchors)
+      .join(corpus, col("a_id") =!= col("b_id"))
+      .withColumn("cosine",
+        round(dot(col("a_vd"), col("b_vd")) / (col("a_nrm") * col("b_nrm")), 6))
+      .withColumn("rel",
+        when(col("a_label") === col("b_label"), 1L).otherwise(0L))
+    val p = Window.partitionBy(col("a_id"))
+    val top = scored
+      .withColumn("total_rel", sum(col("rel")).over(p))
+      .withColumn("rnk", row_number().over(
+        p.orderBy(col("cosine").desc, col("b_id").asc)))
+      .filter(col("rnk") <= 10)
+      .withColumn("m10", least(col("total_rel"), lit(10L)))
+      .withColumn("cum_rel", sum(col("rel")).over(
+        p.orderBy(col("rnk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val g9 = round(lit(1e9) / log2(col("rnk") + 1)).cast("long")
+    top.groupBy(col("a_id"))
+      .agg(
+        max(col("total_rel")).as("total_rel"),
+        sum(col("rel")).as("n_rel10"),
+        sum(when(col("rel") === 1L, g9).otherwise(0L)).as("dcg9"),
+        sum(when(col("rnk") <= col("m10"), g9).otherwise(0L)).as("idcg9"),
+        min(when(col("rel") === 1L, col("rnk"))).as("first_rel"),
+        sum(when(col("rel") === 1L,
+          round(col("cum_rel").cast("double") / col("rnk") * 1e9)
+            .cast("long")).otherwise(0L)).as("ap9"),
+        max(col("m10")).as("m10"))
+      .select(col("a_id"), col("total_rel"), col("n_rel10"),
+        when(col("idcg9") === 0L, 0.0).otherwise(
+          round(col("dcg9").cast("double") / col("idcg9").cast("double"), 6))
+          .as("ndcg6"),
+        when(col("first_rel").isNull, 0.0).otherwise(
+          round(lit(1.0) / col("first_rel"), 6)).as("mrr6"),
+        when(col("m10") === 0L, 0.0).otherwise(
+          round(col("ap9").cast("double") /
+            (col("m10").cast("double") * 1e9), 6)).as("ap6"))
+      .orderBy(col("a_id"))
+  }
+
+  val qEvalNdcgOracle: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+      scored AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS rel,
+          round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < 50),
+      ranked AS (SELECT *,
+          sum(rel) OVER (PARTITION BY a_id)::BIGINT AS total_rel,
+          row_number() OVER (PARTITION BY a_id
+            ORDER BY cosine DESC, b_id ASC) AS rnk
+        FROM scored),
+      top AS (SELECT *, least(total_rel, 10) AS m10,
+          sum(rel) OVER (PARTITION BY a_id ORDER BY rnk
+            ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_rel
+        FROM ranked WHERE rnk <= 10),
+      agg AS (SELECT a_id, max(total_rel) total_rel,
+          sum(rel)::BIGINT n_rel10,
+          sum(CASE WHEN rel = 1
+            THEN round(1e9 / log2(rnk + 1))::BIGINT ELSE 0 END) dcg9,
+          sum(CASE WHEN rnk <= m10
+            THEN round(1e9 / log2(rnk + 1))::BIGINT ELSE 0 END) idcg9,
+          min(CASE WHEN rel = 1 THEN rnk END) first_rel,
+          sum(CASE WHEN rel = 1
+            THEN round(cum_rel::DOUBLE / rnk * 1e9)::BIGINT ELSE 0 END) ap9,
+          max(m10) m10
+        FROM top GROUP BY a_id)
+      SELECT a_id, total_rel, n_rel10,
+        CASE WHEN idcg9 = 0 THEN 0.0::DOUBLE
+          ELSE round(dcg9::DOUBLE / idcg9::DOUBLE, 6) END AS ndcg6,
+        CASE WHEN first_rel IS NULL THEN 0.0::DOUBLE
+          ELSE round(1.0 / first_rel, 6) END AS mrr6,
+        CASE WHEN m10 = 0 THEN 0.0::DOUBLE
+          ELSE round(ap9::DOUBLE / (m10::DOUBLE * 1e9), 6) END AS ap6
+      FROM agg ORDER BY a_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eval_ndcg" -> (qEvalNdcg _),
     "q_ann_refresh" -> (qAnnRefresh _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_embed_centroid_eval" -> (qEmbedCentroidEval _),
@@ -1461,6 +1569,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_eval_ndcg" -> qEvalNdcgOracle,
     "q_ann_refresh" -> qAnnRefreshOracle,
     "q_embed_neardup" -> qEmbedNeardupOracle,
     "q_embed_centroid_eval" -> qEmbedCentroidEvalOracle,

@@ -1794,6 +1794,51 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("retrieval eval: nDCG/MRR/AP rows equal a local brute-force " +
+    "ranking replay with quantized terms") {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      math.rint(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    val local = emb.filter(_._1 < 50).sortBy(_._1).map { case (aId, aLab, av) =>
+      val scored = emb.filter(_._1 != aId)
+        .map { case (bId, bLab, bv) => (bId, bLab == aLab, cos(av, bv)) }
+      val totalRel = scored.count(_._2).toLong
+      val top = scored.sortBy(t => (-t._3, t._1)).take(10)
+      val m10 = math.min(totalRel, 10L)
+      def g9(i: Int): Long = math.rint(1e9 / (math.log(i + 1) / math.log(2))).toLong
+      val dcg9 = top.zipWithIndex.collect { case ((_, true, _), i) => g9(i + 1) }.sum
+      val idcg9 = (1L to m10).map(i => g9(i.toInt)).sum
+      var cum = 0L
+      val ap9 = top.zipWithIndex.map { case ((_, rel, _), i) =>
+        if (rel) { cum += 1; math.rint(cum.toDouble / (i + 1) * 1e9).toLong }
+        else 0L }.sum
+      val firstRel = top.zipWithIndex.collectFirst {
+        case ((_, true, _), i) => i + 1 }
+      (aId, totalRel, top.count(_._2).toLong,
+        if (idcg9 == 0) 0.0 else math.rint(dcg9.toDouble / idcg9 * 1e6) / 1e6,
+        firstRel.map(r => math.rint(1e6 / r) / 1e6).getOrElse(0.0),
+        if (m10 == 0) 0.0 else math.rint(ap9 / (m10 * 1e9) * 1e6) / 1e6)
+    }
+    val rows = Similarity.qEvalNdcg(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.length == 50)
+    assert(rows.toSeq == local.toSeq,
+      s"first diff: ${rows.zip(local).find(p => p._1 != p._2)}")
+    rows.foreach { case (_, _, _, ndcg, mrr, ap) =>
+      assert(ndcg >= 0 && ndcg <= 1 && mrr >= 0 && mrr <= 1 &&
+        ap >= 0 && ap <= 1)
+    }
+  }
+
   test("ks drift: the binned two-sample statistic equals a local exact " +
     "CDF recompute and sits in [0, 1]") {
     val r = EventOps.qStatsKs(spark, dir).collect()
