@@ -3012,7 +3012,97 @@ object TextAnalysis {
       WHERE heldout
       GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---------- Zipf-law fit over the bigram frequency spectrum ----------
+  /** Zipf diagnostic of the corpus frequency spectrum: least-squares
+    * slope and R² of log(freq) against log(rank) over the TOP-100
+    * bigram types — the one-row readout that distinguishes natural
+    * language (slope ≈ −1, high R²) from template/boilerplate corpora
+    * (flat spectrum, low R²); a standard screen before training-data
+    * inclusion. Bigrams rather than unigrams because the regression
+    * needs a frequency SPECTRUM (the synthetic corpus has 31 unigram
+    * types but ~1k bigram types; natural corpora are unbounded either
+    * way).
+    *
+    * Exactness: regression inputs quantize per term — x₉ = round(10⁹·
+    * ln rank), y₉ = round(10⁹·ln freq) — then all five regression sums
+    * (Σx, Σy, Σxy, Σx², Σy²) run in DECIMAL(38,0) (cross products reach
+    * ~10²³, far past 2⁶³ but far under 10³⁸), and slope = A/B,
+    * R² = A²/(B·C) are computed from the exact integer moments with
+    * identical double ops in both engines (A = nΣxy−ΣxΣy etc.; A² as a
+    * DOUBLE product because squaring the exact integer would pass
+    * 10³⁸).
+    *
+    * Scale shape: bigram counting is one combine-fed aggregate
+    * (vocabulary², still Heaps-sublinear); the top-100 cut is a
+    * TakeOrderedAndProject, never a global sort; ranks and moments run
+    * on the 100-row result (partition-less window pinned in the
+    * allowlist with that bound).
+    */
+  def qTextZipf(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val top = Tables.documents(spark, dir)
+      .select(split(col("text"), " ", -1).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        """zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),
+           (a, b) -> concat(a, ' ', b))""")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("g")).limit(100)
+    val ranked = top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("g"))))
+      .withColumn("x9", round(log(col("rank")) * 1e9).cast("long").cast(dec))
+      .withColumn("y9", round(log(col("freq")) * 1e9).cast("long").cast(dec))
+    ranked
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x9")).as("sx"), sum(col("y9")).as("sy"),
+        sum(col("x9") * col("y9")).as("sxy"),
+        sum(col("x9") * col("x9")).as("sxx"),
+        sum(col("y9") * col("y9")).as("syy"),
+        max(when(col("rank") === 1, col("g"))).as("top_gram"),
+        max(when(col("rank") === 1, col("freq"))).as("top_freq"))
+      .withColumn("a", (col("n") * col("sxy") - col("sx") * col("sy"))
+        .cast("double"))
+      .withColumn("b", (col("n") * col("sxx") - col("sx") * col("sx"))
+        .cast("double"))
+      .withColumn("c", (col("n") * col("syy") - col("sy") * col("sy"))
+        .cast("double"))
+      .select(col("n").cast("long").as("n_terms"), col("top_gram"),
+        col("top_freq"),
+        round(col("a") / col("b"), 6).as("slope6"),
+        round(col("a") * col("a") / (col("b") * col("c")), 6).as("r2_6"))
+  }
+
+  val qTextZipfOracle: String =
+    """WITH d AS (SELECT string_split(text, ' ') ws FROM documents
+        WHERE len(string_split(text, ' ')) >= 2),
+      bg AS (SELECT unnest([ws[i] || ' ' || ws[i + 1]
+          for i in range(1, len(ws))]) g FROM d),
+      tf AS (SELECT g, count(*)::BIGINT freq FROM bg GROUP BY g),
+      top AS (SELECT g, freq FROM tf ORDER BY freq DESC, g LIMIT 100),
+      ranked AS (SELECT g, freq,
+          row_number() OVER (ORDER BY freq DESC, g) rank FROM top),
+      qq AS (SELECT g, freq, rank,
+          round(ln(rank) * 1e9)::BIGINT x9,
+          round(ln(freq) * 1e9)::BIGINT y9 FROM ranked),
+      s AS (SELECT count(*)::HUGEINT n,
+          sum(x9)::HUGEINT sx, sum(y9)::HUGEINT sy,
+          sum(x9::HUGEINT * y9)::HUGEINT sxy,
+          sum(x9::HUGEINT * x9)::HUGEINT sxx,
+          sum(y9::HUGEINT * y9)::HUGEINT syy,
+          max(CASE WHEN rank = 1 THEN g END) top_gram,
+          max(CASE WHEN rank = 1 THEN freq END) top_freq
+        FROM qq)
+      SELECT n::BIGINT n_terms, top_gram, top_freq,
+        round((n * sxy - sx * sy)::DOUBLE /
+          (n * sxx - sx * sx)::DOUBLE, 6) AS slope6,
+        round(((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE) /
+          ((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE), 6)
+          AS r2_6
+      FROM s"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_zipf" -> (qTextZipf _),
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_tokens" -> (qTextTokens _),
@@ -3071,6 +3161,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_text_zipf" -> qTextZipfOracle,
     "q_text_langid" -> qTextLangidOracle,
     "q_text_quality" -> qTextQualityOracle,
     "q_text_tokens" -> qTextTokensOracle,

@@ -1794,6 +1794,36 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("zipf fit: slope and R2 equal a local quantized regression over " +
+    "the top-100 bigrams") {
+    val grams = Tables.documents(spark, dir).select(col("text")).collect()
+      .map(_.getString(0).split(" ", -1)).filter(_.length >= 2)
+      .flatMap(ws => ws.sliding(2).map(p => p(0) + " " + p(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+    val top = grams.sortBy { case (g, f) => (-f, g) }.take(100)
+    val pts = top.zipWithIndex.map { case ((_, f), i) =>
+      (BigInt(math.rint(math.log(i + 1) * 1e9).toLong),
+        BigInt(math.rint(math.log(f.toDouble) * 1e9).toLong))
+    }
+    val n = BigInt(pts.size)
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val a = (n * sxy - sx * sy).toDouble
+    val b = (n * sxx - sx * sx).toDouble
+    val c = (n * syy - sy * sy).toDouble
+    val r = TextAnalysis.qTextZipf(spark, dir).collect().head
+    assert(r.getLong(0) == pts.size.toLong)
+    assert(r.getString(1) == top.head._1 && r.getLong(2) == top.head._2)
+    assert(math.abs(r.getDouble(3) - math.rint(a / b * 1e6) / 1e6) < 1e-9,
+      s"slope ${r.getDouble(3)} != local ${a / b}")
+    assert(math.abs(r.getDouble(4) - math.rint(a * a / (b * c) * 1e6) / 1e6)
+      < 1e-9, s"r2 ${r.getDouble(4)} != local ${a * a / (b * c)}")
+    assert(r.getDouble(3) < 0, "rank-frequency slope must be negative")
+    assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1)
+  }
+
   test("retrieval eval: nDCG/MRR/AP rows equal a local brute-force " +
     "ranking replay with quantized terms") {
     val emb = Tables.embeddings(spark, dir)

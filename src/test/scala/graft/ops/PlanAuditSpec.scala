@@ -669,9 +669,11 @@ class PlanAuditSpec extends AnyFunSuite {
     //    EventOps.qEventsChangepoint scaladoc)
     //  - q_stats_ks: CDF running sums over the ~100-row value-bin table
     //    (bin domain bounded by range/width; EventOps.qStatsKs scaladoc)
+    //  - q_text_zipf: rank window over the LIMIT-100 bigram cut
+    //    (TakeOrdered bounds it; TextAnalysis.qTextZipf scaladoc)
     val allow = Set("q_mix_temperature", "q_events_cum_users",
       "q_vocab_growth", "q_text_rrf", "q_events_survival", "q_skyline",
-      "q_events_changepoint", "q_stats_ks")
+      "q_events_changepoint", "q_stats_ks", "q_text_zipf")
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(eager)
       .filter { name =>
