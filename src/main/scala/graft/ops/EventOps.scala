@@ -2123,7 +2123,69 @@ object EventOps {
           (t1::HUGEINT * t2)::DOUBLE, 6) AS d6
       FROM tot"""
 
+  // ---------- cohort lifetime value (cumulative revenue by age) ----------
+  /** Cohort LTV curves — the monetary companion of [[qEventsRetention]]:
+    * users cohorted by first-seen day, purchase revenue accumulated by
+    * account AGE (days since first event), reported as the cohort × age
+    * grid with cumulative cents and per-user LTV. This is the curve
+    * growth analytics reads payback periods off, and the standard
+    * example of a metric that must be computed on the GRID, not the
+    * corpus: revenue collapses to (cohort, age) cells first (calendar² —
+    * bounded at any corpus size), and the cumulative window runs over
+    * cells partitioned by cohort.
+    *
+    * Exactness: revenue is integer cents end-to-end
+    * (`CAST(round(value*100) AS BIGINT)` — the 2-dp money contract,
+    * same as q_events_forecast); per-user LTV is an integer DIV on
+    * positives (truncate ≡ floor, Spark DIV ≡ DuckDB //). Scale shape:
+    * one user-keyed first-event aggregate, a join back that reuses its
+    * partitioning, one combine-fed grid aggregate, a grid-scale window.
+    */
+  def qEventsLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        col("event_type"), col("value"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+      .localCheckpoint() // reused by the cohort-size and revenue branches
+    val cohortN = first.groupBy(col("d0")).agg(
+      count(lit(1)).as("n_users"))
+    val cells = ev.filter(col("event_type") === "purchase")
+      .join(first, "user_id")
+      .groupBy(col("d0"), datediff(col("d"), col("d0")).as("age"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val w = Window.partitionBy(col("d0")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_cents", sum(col("cents")).over(w))
+      .join(broadcast(cohortN), "d0")
+      .select(col("d0").cast("string").as("cohort_day"),
+        col("age").cast("long").as("age"),
+        col("n_users"), col("cum_cents"),
+        expr("cum_cents DIV n_users").as("ltv_cents"))
+      .orderBy(col("cohort_day"), col("age"))
+  }
+
+  val qEventsLtvOracle: String =
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) d, event_type, value
+        FROM events),
+      f AS (SELECT user_id, min(d) d0 FROM ev GROUP BY user_id),
+      cn AS (SELECT d0, count(*)::BIGINT n_users FROM f GROUP BY d0),
+      cells AS (SELECT f.d0, datediff('day', f.d0, ev.d) AS age,
+          sum(CAST(round(value * 100) AS BIGINT))::BIGINT cents
+        FROM ev JOIN f ON ev.user_id = f.user_id
+        WHERE ev.event_type = 'purchase'
+        GROUP BY 1, 2),
+      cum AS (SELECT d0, age,
+          sum(cents) OVER (PARTITION BY d0 ORDER BY age
+            ROWS UNBOUNDED PRECEDING)::BIGINT cum_cents
+        FROM cells)
+      SELECT cum.d0::VARCHAR AS cohort_day, cum.age::BIGINT AS age,
+        cn.n_users, cum.cum_cents, cum.cum_cents // cn.n_users AS ltv_cents
+      FROM cum JOIN cn ON cum.d0 = cn.d0
+      ORDER BY cohort_day, age"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_ltv" -> (qEventsLtv _),
     "q_stats_ks" -> (qStatsKs _),
     "q_events_changepoint" -> (qEventsChangepoint _),
     "q_events_tumbling" -> (qEventsTumbling _),
@@ -2164,6 +2226,7 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_events_ltv" -> qEventsLtvOracle,
     "q_stats_ks" -> qStatsKsOracle,
     "q_events_changepoint" -> qEventsChangepointOracle,
     "q_events_tumbling" -> qEventsTumblingOracle,

@@ -1794,6 +1794,45 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cohort ltv: curves are monotone, close at the cohort's total " +
+    "purchase cents, and sizes agree with the retention cohorts") {
+    val rows = EventOps.qEventsLtv(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, age, n, cum, ltv) =>
+      assert(age >= 0 && n > 0 && cum >= 0)
+      assert(ltv == Math.floorDiv(cum, n))
+    }
+    rows.groupBy(_._1).foreach { case (cohort, rs) =>
+      val curve = rs.sortBy(_._2).map(_._4)
+      assert(curve.zip(curve.tail).forall { case (a, b) => a <= b },
+        s"$cohort: cumulative revenue decreased")
+    }
+    // cross-check cohort sizes against the retention query's cohorts
+    val retention = EventOps.qEventsRetention(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (cohort, rs) =>
+      assert(retention(cohort) == rs.head._3,
+        s"$cohort: ltv cohort size ${rs.head._3} != retention")
+    }
+    // terminal cumulative = straight total of that cohort's purchases
+    val totals = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .join(Tables.events(spark, dir)
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("d0")), "user_id")
+      .groupBy(col("d0").cast("string").as("cohort"))
+      .agg(sum(col("cents")).as("total")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (cohort, rs) =>
+      assert(rs.maxBy(_._2)._4 == totals(cohort),
+        s"$cohort: terminal LTV != total purchase cents")
+    }
+  }
+
   test("zipf fit: slope and R2 equal a local quantized regression over " +
     "the top-100 bigrams") {
     val grams = Tables.documents(spark, dir).select(col("text")).collect()
