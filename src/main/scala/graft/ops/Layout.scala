@@ -159,9 +159,107 @@ object Layout {
       .write.mode("overwrite").partitionBy("__zfile").parquet(path)
   }
 
+  // ---------- zone-map file skipping: sorted vs hashed layout ----------
+  /** The file-skipping audit that quantifies WHY layout matters at
+    * 100 TB: the same table, the same per-file min/max zone maps, the
+    * same one-year predicate — under two layouts. `sorted` assigns rows
+    * to [[SkipFiles]] files by shipdate range (what a sort-clustered
+    * write produces); `hashed` assigns them by key hash (what an
+    * unclustered ingest produces). A file is SKIPPABLE when its zone
+    * [min, max] misses the predicate window — exactly the decision
+    * parquet row-group stats + pushed filters make — so the readout
+    * (files skipped, rows scanned vs rows matched, scan ratio) is the
+    * I/O the predicate actually pays. On the sorted layout the scan
+    * ratio collapses toward the selectivity; on the hashed layout every
+    * zone spans the full domain and NOTHING skips — the 1:8 vs 8:8 scan
+    * difference IS the cluster-by recommendation, made hash-checkable.
+    *
+    * Everything is integer day arithmetic (file ids from integer
+    * scaling, zones as min/max days, one final ratio divide); the file
+    * model is the same logical-layout discipline as [[qLayoutZorder]]
+    * (the physical counterpart is [[zorderWrite]]; parquet writers keep
+    * these stats per row group automatically).
+    */
+  private val SkipFiles = 32L
+
+  def qLayoutSkipping(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    val li = Tables.lineitem(spark, dir)
+      .select(datediff(to_date(col("l_shipdate")), epoch).cast("long").as("d"),
+        col("l_orderkey"))
+    val span = li.agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+    val lo = datediff(to_date(lit("1996-01-01")), epoch).cast("long")
+    val hi = datediff(to_date(lit("1996-12-31")), epoch).cast("long")
+    val assigned = li.crossJoin(broadcast(span))
+      .withColumn("f_sorted",
+        expr(s"((d - dmin) * $SkipFiles) DIV (dmax - dmin + 1)"))
+      .withColumn("f_hashed", pmod(col("l_orderkey"), lit(SkipFiles)))
+      .withColumn("matched", (col("d") >= lo && col("d") <= hi))
+    def zones(fileCol: String, layout: String): DataFrame =
+      assigned.groupBy(col(fileCol).as("f"))
+        .agg(count(lit(1)).as("n"), min(col("d")).as("zmin"),
+          max(col("d")).as("zmax"),
+          sum(when(col("matched"), 1L).otherwise(0L)).as("m"))
+        .withColumn("skip", col("zmax") < lo || col("zmin") > hi)
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("skip"), 1L).otherwise(0L)).as("n_skipped"),
+          sum(col("n")).as("rows_total"),
+          sum(when(!col("skip"), col("n")).otherwise(0L)).as("rows_scanned"),
+          sum(col("m")).as("rows_matched"))
+        .select(lit(layout).as("layout"), col("n_files"), col("n_skipped"),
+          col("rows_total"), col("rows_scanned"), col("rows_matched"),
+          round(col("rows_scanned").cast("double") /
+            col("rows_total").cast("double"), 6).as("scan_ratio6"))
+    zones("f_sorted", "sorted").unionByName(zones("f_hashed", "hashed"))
+      .orderBy(col("layout").desc)
+  }
+
+  val qLayoutSkippingOracle: String =
+    s"""WITH li AS (SELECT datediff('day', DATE '1970-01-01',
+          l_shipdate::DATE)::BIGINT d, l_orderkey FROM lineitem),
+      span AS (SELECT min(d) dmin, max(d) dmax FROM li),
+      c AS (SELECT datediff('day', DATE '1970-01-01',
+          DATE '1996-01-01')::BIGINT lo,
+        datediff('day', DATE '1970-01-01', DATE '1996-12-31')::BIGINT hi),
+      a AS (SELECT d,
+          (d - dmin) * $SkipFiles // (dmax - dmin + 1) AS f_sorted,
+          l_orderkey % $SkipFiles AS f_hashed,
+          d >= lo AND d <= hi AS matched
+        FROM li CROSS JOIN span CROSS JOIN c),
+      zs AS (SELECT f_sorted f, count(*)::BIGINT n, min(d) zmin,
+          max(d) zmax, sum(CASE WHEN matched THEN 1 ELSE 0 END)::BIGINT m
+        FROM a GROUP BY 1),
+      zh AS (SELECT f_hashed f, count(*)::BIGINT n, min(d) zmin,
+          max(d) zmax, sum(CASE WHEN matched THEN 1 ELSE 0 END)::BIGINT m
+        FROM a GROUP BY 1),
+      rs AS (SELECT 'sorted' layout, count(*)::BIGINT n_files,
+          sum(CASE WHEN zmax < lo OR zmin > hi THEN 1 ELSE 0 END)::BIGINT
+            n_skipped,
+          sum(n)::BIGINT rows_total,
+          sum(CASE WHEN zmax < lo OR zmin > hi THEN 0 ELSE n END)::BIGINT
+            rows_scanned,
+          sum(m)::BIGINT rows_matched
+        FROM zs CROSS JOIN c),
+      rh AS (SELECT 'hashed' layout, count(*)::BIGINT n_files,
+          sum(CASE WHEN zmax < lo OR zmin > hi THEN 1 ELSE 0 END)::BIGINT
+            n_skipped,
+          sum(n)::BIGINT rows_total,
+          sum(CASE WHEN zmax < lo OR zmin > hi THEN 0 ELSE n END)::BIGINT
+            rows_scanned,
+          sum(m)::BIGINT rows_matched
+        FROM zh CROSS JOIN c)
+      SELECT layout, n_files, n_skipped, rows_total, rows_scanned,
+        rows_matched,
+        round(rows_scanned::DOUBLE / rows_total::DOUBLE, 6) AS scan_ratio6
+      FROM (SELECT * FROM rs UNION ALL SELECT * FROM rh)
+      ORDER BY layout DESC"""
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
-    Map("q_layout_zorder" -> (qLayoutZorder _))
+    Map("q_layout_zorder" -> (qLayoutZorder _),
+      "q_layout_skipping" -> (qLayoutSkipping _))
 
   val oracles: Map[String, String] =
-    Map("q_layout_zorder" -> qLayoutZorderOracle)
+    Map("q_layout_zorder" -> qLayoutZorderOracle,
+      "q_layout_skipping" -> qLayoutSkippingOracle)
 }

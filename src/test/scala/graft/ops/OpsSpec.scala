@@ -1794,6 +1794,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("layout skipping: sorted zones prune most files, hashed zones " +
+    "prune none, and no matched row is ever skipped") {
+    val rows = Layout.qLayoutSkipping(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.map(_._1).toSeq == Seq("sorted", "hashed"))
+    val Seq(sorted, hashed) = rows.toSeq
+    // both layouts hold the same table and agree on the true answer
+    assert(sorted._4 == hashed._4 && sorted._6 == hashed._6)
+    // skipping is sound: every matched row is inside a scanned file
+    rows.foreach { case (lay, nf, ns, total, scanned, matched, ratio) =>
+      assert(ns < nf && scanned >= matched && scanned <= total,
+        s"$lay: implausible zone accounting")
+      assert(math.abs(ratio - scanned.toDouble / total) < 1e-6)
+    }
+    // the point of the audit: clustering prunes, hashing cannot
+    assert(sorted._3 > 0, "sorted layout should skip files")
+    assert(hashed._3 == 0, "hashed zones span the domain — nothing skips")
+    assert(sorted._7 < hashed._7)
+  }
+
   test("cohort ltv: curves are monotone, close at the cohort's total " +
     "purchase cents, and sizes agree with the retention cohorts") {
     val rows = EventOps.qEventsLtv(spark, dir).collect()

@@ -667,13 +667,15 @@ class PlanAuditSpec extends AnyFunSuite {
     //  - q_events_changepoint: row_number + running sum over the per-day
     //    count series (calendar-bounded, ~#days rows;
     //    EventOps.qEventsChangepoint scaladoc)
-    //  - q_stats_ks: CDF running sums over the ~100-row value-bin table
-    //    (bin domain bounded by range/width; EventOps.qStatsKs scaladoc)
     //  - q_text_zipf: rank window over the LIMIT-100 bigram cut
     //    (TakeOrdered bounds it; TextAnalysis.qTextZipf scaladoc)
+    // q_stats_ks also runs a partition-less CDF window over its ~100-row
+    // bin table, but behind an eager localCheckpoint — the planned query
+    // no longer contains it, so it needs no pin (bound documented in
+    // EventOps.qStatsKs scaladoc).
     val allow = Set("q_mix_temperature", "q_events_cum_users",
       "q_vocab_growth", "q_text_rrf", "q_events_survival", "q_skyline",
-      "q_events_changepoint", "q_stats_ks", "q_text_zipf")
+      "q_events_changepoint", "q_text_zipf")
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(eager)
       .filter { name =>
