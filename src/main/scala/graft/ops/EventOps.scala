@@ -2184,7 +2184,121 @@ object EventOps {
       FROM cum JOIN cn ON cum.d0 = cn.d0
       ORDER BY cohort_day, age"""
 
+  // ---------- day-of-week seasonality decomposition ----------
+  /** Weekly-seasonality decomposition of the daily revenue series: each
+    * day's purchase cents against its DAY-OF-WEEK mean, with the
+    * residual — the additive decomposition (trend-free form) behind
+    * "is Tuesday actually down, or is that just Tuesdays?". The
+    * anomaly/forecast queries treat the series as i.i.d.; this one
+    * removes the weekly component first, which is what a production
+    * monitor alerts on.
+    *
+    * All integer: revenue is exact cents, the per-dow mean is an
+    * integer DIV over positives (floor ≡ truncate in both engines), the
+    * residual an integer subtract. Day-of-week is ISO (Mon=1 … Sun=7):
+    * Spark `weekday()+1` ≡ DuckDB `isodow()` — the 1-based/0-based and
+    * week-start trap between engines, dodged by pinning ISO numbering.
+    *
+    * Scale shape: one combine-fed daily aggregate; everything after
+    * runs on the calendar-bounded series (30 rows here, 3650 for a
+    * decade — never the corpus).
+    */
+  def qEventsSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("dte"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .localCheckpoint() // calendar-bounded; feeds both branches
+    val dow = daily
+      .groupBy((weekday(col("dte")) + 1).as("dow"))
+      .agg(sum(col("cents")).as("sc"), count(lit(1)).as("nd"))
+      .select(col("dow"), expr("sc DIV nd").as("dow_mean_cents"))
+    daily.withColumn("dow", (weekday(col("dte")) + 1))
+      .join(broadcast(dow), "dow")
+      .select(col("dte").cast("string").as("dte"),
+        col("dow").cast("long").as("dow"), col("cents"),
+        col("dow_mean_cents"),
+        (col("cents") - col("dow_mean_cents")).as("resid_cents"))
+      .orderBy(col("dte"))
+  }
+
+  val qEventsSeasonalityOracle: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) dte,
+        sum(CAST(round(value * 100) AS BIGINT))::BIGINT cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      dw AS (SELECT isodow(dte) dow, (sum(cents) // count(*))::BIGINT
+          dow_mean_cents
+        FROM daily GROUP BY 1)
+      SELECT daily.dte::VARCHAR dte, isodow(daily.dte)::BIGINT dow,
+        daily.cents, dw.dow_mean_cents,
+        daily.cents - dw.dow_mean_cents AS resid_cents
+      FROM daily JOIN dw ON isodow(daily.dte) = dw.dow
+      ORDER BY dte"""
+
+  // ---------- exact EWMA smoothing (per event type) ----------
+  /** Exponentially-weighted moving average of the per-type daily
+    * revenue series — the smoother ops dashboards overlay on noisy
+    * dailies (α = ¼, 7-day support). The floating recursion
+    * s_t = αx_t + (1−α)s_{t−1} is order-dependent and engine-fragile;
+    * instead the 7-term finite form runs on EXACT integers: weights
+    * α(1−α)^k share denominator 4⁷, so each term is cents·c_k with
+    * c_k = 3^k·4^(6−k) ∈ {4096 … 729}, the numerator/denominator are
+    * BIGINT sums of ≤ 7 such terms, and series heads renormalize by
+    * construction (only the lags that exist contribute to BOTH sums).
+    * ONE double divide at the end, rounded 1e-6.
+    *
+    * Scale shape: combine-fed (type, day) aggregate, then lag windows
+    * PARTITIONED BY TYPE over the calendar-bounded series — bounded
+    * parallelism is per-type, the mixture dimension, same as
+    * q_curate_token_budget.
+    */
+  def qWindowEwma(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("dte"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("dte"))
+    val coef = (0 to 6).map(k =>
+      math.pow(3, k).toLong * math.pow(4, 6 - k).toLong)
+    val terms = coef.zipWithIndex.map { case (c, k) =>
+      when(lag(col("cents"), k).over(w).isNotNull,
+        lag(col("cents"), k).over(w) * lit(c)).otherwise(lit(0L))
+    }
+    val dens = coef.zipWithIndex.map { case (c, k) =>
+      when(lag(col("cents"), k).over(w).isNotNull, lit(c)).otherwise(lit(0L))
+    }
+    daily
+      .withColumn("num", terms.reduce(_ + _))
+      .withColumn("den", dens.reduce(_ + _))
+      .select(col("event_type"), col("dte").cast("string").as("dte"),
+        col("cents"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("ewma6"))
+      .orderBy(col("event_type"), col("dte"))
+  }
+
+  val qWindowEwmaOracle: String = {
+    val coef = (0 to 6).map(k =>
+      math.pow(3, k).toLong * math.pow(4, 6 - k).toLong)
+    val num = coef.zipWithIndex.map { case (c, k) =>
+      s"coalesce(lag(cents, $k) OVER w * $c, 0)" }.mkString(" + ")
+    val den = coef.zipWithIndex.map { case (c, k) =>
+      s"CASE WHEN lag(cents, $k) OVER w IS NOT NULL THEN $c ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) dte,
+        sum(CAST(round(value * 100) AS BIGINT))::BIGINT cents
+      FROM events GROUP BY 1, 2),
+      sm AS (SELECT event_type, dte, cents,
+          ($num)::BIGINT num, ($den)::BIGINT den
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY dte))
+      SELECT event_type, dte::VARCHAR dte, cents,
+        round(num::DOUBLE / den::DOUBLE, 6) AS ewma6
+      FROM sm ORDER BY event_type, dte"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_seasonality" -> (qEventsSeasonality _),
+    "q_window_ewma" -> (qWindowEwma _),
     "q_events_ltv" -> (qEventsLtv _),
     "q_stats_ks" -> (qStatsKs _),
     "q_events_changepoint" -> (qEventsChangepoint _),
@@ -2226,6 +2340,8 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_events_seasonality" -> qEventsSeasonalityOracle,
+    "q_window_ewma" -> qWindowEwmaOracle,
     "q_events_ltv" -> qEventsLtvOracle,
     "q_stats_ks" -> qStatsKsOracle,
     "q_events_changepoint" -> qEventsChangepointOracle,

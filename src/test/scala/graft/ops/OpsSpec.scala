@@ -1794,6 +1794,55 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("seasonality: per-dow means floor-divide exactly and residuals " +
+    "carry only the division remainder per weekday") {
+    val rows = EventOps.qEventsSeasonality(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, dow, cents, mean, resid) =>
+      assert(dow >= 1 && dow <= 7)
+      assert(resid == cents - mean)
+    }
+    rows.groupBy(_._2).foreach { case (dow, rs) =>
+      val total = rs.map(_._3).sum
+      val mean = rs.head._4
+      assert(rs.forall(_._4 == mean), s"dow $dow: mean not constant")
+      assert(mean == Math.floorDiv(total, rs.size.toLong),
+        s"dow $dow: mean is not the exact floor average")
+      val residSum = rs.map(_._5).sum
+      assert(residSum >= 0 && residSum < rs.size.toLong,
+        s"dow $dow: residuals don't reduce to the division remainder")
+    }
+  }
+
+  test("ewma: the 7-term integer smoother replays locally, heads " +
+    "renormalize, and the smooth stays inside the window envelope") {
+    val rows = EventOps.qWindowEwma(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val coef = (0 to 6).map(k =>
+      math.pow(3, k).toLong * math.pow(4, 6 - k).toLong)
+    rows.groupBy(_._1).foreach { case (tpe, rs) =>
+      val series = rs.sortBy(_._2)
+      series.indices.foreach { i =>
+        val hist = (0 to 6).flatMap { k =>
+          if (i - k >= 0) Some((series(i - k)._3, coef(k))) else None }
+        val num = hist.map { case (x, c) => BigInt(x) * c }.sum
+        val den = hist.map(_._2).sum
+        val want = math.rint(num.toDouble / den.toDouble * 1e6) / 1e6
+        assert(math.abs(series(i)._4 - want) < 1e-9,
+          s"$tpe@${series(i)._2}: ewma ${series(i)._4} != $want")
+        val window = hist.map(_._1)
+        assert(series(i)._4 >= window.min - 1e-6 &&
+          series(i)._4 <= window.max + 1e-6)
+      }
+      // day 1 has no history: the smoother must equal the raw value
+      assert(series.head._4 == series.head._3.toDouble)
+    }
+  }
+
   test("layout skipping: sorted zones prune most files, hashed zones " +
     "prune none, and no matched row is ever skipped") {
     val rows = Layout.qLayoutSkipping(spark, dir).collect()
