@@ -1522,7 +1522,91 @@ object Dedup {
         min(doc_id) AS keeper
       FROM c GROUP BY canon ORDER BY canonical_url"""
 
+  // ---------- LSH banding calibration (analytic vs measured) ----------
+  /** Calibration audit of the MinHash-LSH banding parameters: per exact-
+    * Jaccard decile over the anchor pair set, the measured band-collision
+    * rate against the ANALYTIC S-curve p(s) = 1 − (1 − s^r)^b (r = 2,
+    * b = [[Bands]]) evaluated at the bucket's mean Jaccard. This is how
+    * banding parameters are actually TUNED before a 100 TB dedup run:
+    * the curve's low tail is the candidate-pair (shuffle-volume) budget,
+    * its high shoulder the recall guarantee — [[qDedupMinhash]]'s oracle
+    * match proves recall end-to-end; this query makes the EFFICIENCY
+    * side measurable, and pins that measurement to theory.
+    *
+    * Oracle discipline: exact pair Jaccards (count, 1e-6-quantized sum,
+    * analytic curve at the bucket mean) replay in SQL; the band-collision
+    * measurement depends on the engine's seeded hash family, so it
+    * enters the output ONLY through the certified boolean — measured
+    * within a binomial-noise margin (4σ + 0.05 curvature allowance) of
+    * analytic, buckets under 30 pairs exempt (noise dominates) — the
+    * self-certifying discipline of q_sketch_merge. Scale shape: fixed
+    * 50-anchor broadcast against the shingled corpus (O(K·n), the
+    * qEmbedNeardup pattern), band arrays carried as 16-element columns
+    * so the pair probe is one scan with zero extra shuffles.
+    */
+  def qDedupLshCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(spark, dir)
+    val sig = docs.select(col("doc_id"),
+      graft.functions.Sketches.minhashSig(col("sh"),
+        hashCoeffs.map(_._1), hashCoeffs.map(_._2)).as("sig"))
+    val bandArr = sig.select(col("doc_id"), array((0 until Bands).map { j =>
+      xxhash64(lit(j), element_at(col("sig"), 2 * j + 1),
+        element_at(col("sig"), 2 * j + 2))
+    }: _*).as("bands"))
+    val withB = docs.join(bandArr, "doc_id")
+    val a = withB.filter(col("doc_id") < 50)
+      .select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+        col("bands").as("a_b"))
+    val pairs = broadcast(a)
+      .join(withB.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+        col("bands").as("b_b")), col("a_id") < col("b_id"))
+      .withColumn("j6", round(jaccard(col("a_sh"), col("b_sh")), 6))
+      .withColumn("hit", exists(
+        zip_with(col("a_b"), col("b_b"), (x, y) => x === y), b => b))
+    pairs
+      .groupBy(floor(col("j6") * 10).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round(col("j6") * 1e6).cast("long")).as("sumj6"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_hit"))
+      .withColumn("mean_j",
+        col("sumj6").cast("double") / (col("n_pairs").cast("double") * 1e6))
+      .withColumn("analytic",
+        lit(1.0) - pow(lit(1.0) - pow(col("mean_j"), 2), Bands))
+      .withColumn("measured",
+        col("n_hit").cast("double") / col("n_pairs").cast("double"))
+      .select(col("bucket"), col("n_pairs"), col("sumj6"),
+        round(col("analytic"), 6).as("analytic6"),
+        (col("n_pairs") < 30 ||
+          abs(col("measured") - col("analytic")) <= lit(0.05) +
+            lit(4.0) * sqrt(col("analytic") * (lit(1.0) - col("analytic")) /
+              col("n_pairs").cast("double"))).as("calib_ok"))
+      .orderBy(col("bucket"))
+  }
+
+  val qDedupLshCalibrationOracle: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents
+        WHERE len(string_split(text, ' ')) >= 3),
+      sh AS (SELECT doc_id, list_distinct(
+          [ws[i]||' '||ws[i+1]||' '||ws[i+2] for i in range(1, len(ws)-1)])
+          shingles FROM t),
+      a AS (SELECT * FROM sh WHERE doc_id < 50),
+      pr AS (SELECT round(
+            len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+            (len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles))), 6) j6
+        FROM a JOIN sh b ON a.doc_id < b.doc_id),
+      bk AS (SELECT floor(j6 * 10)::BIGINT bucket,
+          round(j6 * 1e6)::BIGINT j6i FROM pr),
+      g AS (SELECT bucket, count(*)::BIGINT n_pairs,
+          sum(j6i)::BIGINT sumj6 FROM bk GROUP BY 1)
+      SELECT bucket, n_pairs, sumj6,
+        round(1.0 - pow(1.0 - pow(sumj6::DOUBLE / (n_pairs::DOUBLE * 1e6),
+          2), $Bands), 6) AS analytic6,
+        true AS calib_ok
+      FROM g ORDER BY bucket"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_lsh_calibration" -> (qDedupLshCalibration _),
     "q_dedup_url" -> (qDedupUrl _),
     "q_dedup_substring" -> (qDedupSubstring _),
     "q_dedup_substring_incr" -> (qDedupSubstringIncr _),
@@ -1551,6 +1635,7 @@ object Dedup {
     * corpus (OpsSpec asserts set equality vs minhash too).
     */
   val oracles: Map[String, String] = Map(
+    "q_dedup_lsh_calibration" -> qDedupLshCalibrationOracle,
     "q_dedup_url" -> qDedupUrlOracle,
     "q_dedup_substring" -> qDedupSubstringOracle,
     "q_dedup_substring_incr" -> qDedupSubstringIncrOracle,

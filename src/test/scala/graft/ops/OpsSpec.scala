@@ -1794,6 +1794,33 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("lsh calibration: pair accounting is complete, the analytic curve " +
+    "replays from the exact moments, and every bucket certifies") {
+    val rows = Dedup.qDedupLshCalibration(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    // total pairs = |{(a,b): a anchor, a < b}| over the shingled corpus
+    val ids = Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ", -1)) >= 3)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val wantPairs = ids.filter(_ < 50)
+      .map(a => ids.count(_ > a).toLong).sum
+    assert(rows.map(_._2).sum == wantPairs,
+      s"pair accounting ${rows.map(_._2).sum} != $wantPairs")
+    rows.foreach { case (bucket, n, sumj6, analytic6, ok) =>
+      assert(bucket >= 0 && bucket <= 10 && n > 0)
+      assert(ok, s"bucket $bucket failed its calibration certificate")
+      // mean jaccard sits inside its own decile
+      val mean = sumj6.toDouble / (n * 1e6)
+      assert(mean >= bucket / 10.0 - 1e-6 && mean < (bucket + 1) / 10.0 + 1e-6)
+      val want = math.rint(
+        (1.0 - math.pow(1.0 - math.pow(mean, 2), 16)) * 1e6) / 1e6
+      assert(math.abs(analytic6 - want) < 1e-9,
+        s"bucket $bucket: analytic $analytic6 != $want")
+    }
+  }
+
   test("seasonality: per-dow means floor-divide exactly and residuals " +
     "carry only the division remainder per weekday") {
     val rows = EventOps.qEventsSeasonality(spark, dir).collect()
