@@ -358,7 +358,57 @@ object CdcColumns {
       FROM e WINDOW w AS (PARTITION BY id ORDER BY tx_id, qty, amount)
       ORDER BY id, version"""
 
+  // ---------- time travel: point-in-time reads over SCD2 ----------
+  /** AS-OF reads over the [[qCdcScd2]] history — the time-travel query a
+    * versioned table serves ("what did the table say at tx 3?"): for each
+    * requested snapshot tx, the version whose validity interval covers
+    * it, delete-tombstones excluded (a key deleted by tx T is ABSENT
+    * from the T snapshot, not null-padded). Both snapshots come out of
+    * ONE history pass: each version row carries the exploded list of
+    * requested snapshots it is valid under (an array filter over the
+    * 2-element snapshot list — scan-side, no second key shuffle), which
+    * is how a table format serves N as-of reads off one manifest scan.
+    * Same key-window shuffle as the SCD2 build; everything else rides
+    * the scan.
+    */
+  def qCdcTimetravel(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val events = l.select(
+      col("l_orderkey").as("id"),
+      col("l_linenumber").cast("long").as("tx_id"),
+      ((col("l_orderkey") + col("l_linenumber")) % 7 === 0).as("is_deleted"),
+      col("l_quantity").cast("long").as("qty"),
+      round(col("l_extendedprice"), 2).as("amount"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("tx_id"), col("qty"), col("amount"))
+    events
+      .withColumn("valid_to_tx", lead(col("tx_id"), 1).over(w))
+      .withColumn("asof_tx", explode(filter(
+        array(lit(3L), lit(6L)),
+        t => col("tx_id") <= t &&
+          (col("valid_to_tx").isNull || col("valid_to_tx") > t) &&
+          !col("is_deleted"))))
+      .select(col("asof_tx"), col("id"), col("tx_id"), col("qty"),
+        col("amount"))
+      .orderBy(col("asof_tx"), col("id"))
+  }
+
+  val qCdcTimetravelOracle: String =
+    """WITH e AS (SELECT l_orderkey AS id, l_linenumber::BIGINT AS tx_id,
+        (l_orderkey + l_linenumber) % 7 = 0 AS is_deleted,
+        l_quantity::BIGINT AS qty, round(l_extendedprice, 2) AS amount
+        FROM lineitem),
+      h AS (SELECT *, lead(tx_id, 1) OVER (PARTITION BY id
+          ORDER BY tx_id, qty, amount) AS valid_to_tx FROM e),
+      s AS (SELECT 3::BIGINT t UNION ALL SELECT 6::BIGINT)
+      SELECT s.t AS asof_tx, id, tx_id, qty, amount
+      FROM h JOIN s ON h.tx_id <= s.t
+        AND (h.valid_to_tx IS NULL OR h.valid_to_tx > s.t)
+        AND NOT h.is_deleted
+      ORDER BY asof_tx, id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_timetravel" -> (qCdcTimetravel _),
     "q_cdc_flatten" -> (qCdcFlattenImpl _),
     "q_cdc_decimal" -> (qCdcDecimal _),
     "q_cdc_stringify" -> (qCdcStringify _),
@@ -368,6 +418,7 @@ object CdcColumns {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_cdc_timetravel" -> qCdcTimetravelOracle,
     "q_cdc_flatten" -> qCdcFlattenOracle,
     "q_cdc_decimal" -> qCdcDecimalOracle,
     "q_cdc_stringify" -> qCdcStringifyOracle,
