@@ -3101,7 +3101,107 @@ object TextAnalysis {
           AS r2_6
       FROM s"""
 
+  // ---------- corpus BLEU (clipped n-gram precision) ----------
+  /** Corpus-level BLEU-2 — the generation-quality metric, run the way an
+    * eval harness scores a model against references: candidate texts are
+    * a DETERMINISTIC degradation of each document (every (pos+doc_id)
+    * ≡ 0 mod 11 word substituted with 'unk', every ≡ 0 mod 7 position
+    * dropped — substitution dents unigram precision, deletion both
+    * creates unseen bigrams and triggers the brevity penalty), so the
+    * oracle replays the candidate and the hash match certifies the whole
+    * metric pipeline: clipped counts, the geometric mean, the BP curve.
+    *
+    * Exactness: the four precision components are EXACT INTEGER
+    * numerator/denominator pairs (clipped count sums — min of two
+    * integer counts — and candidate n-gram totals), emitted alongside
+    * the score; the BLEU combine is one closed-form double expression
+    * over those integers (exp(1−r/c)·√(p₁p₂)), identical operand-for-
+    * operand in both engines, rounded 1e-6.
+    *
+    * Scale shape: candidate derivation is scan-side lambda work; each
+    * n-gram order pays ONE (doc, gram)-keyed combine-fed aggregate with
+    * both sides tagged in the same pass (no join of two corpus-scale
+    * count tables — the clip happens inside the aggregate row); the
+    * final reduce is a one-row digest. This is the shape that scores a
+    * 100 TB eval set without any per-doc driver loop.
+    */
+  def qEvalBleu(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .withColumn("cand", expr(
+        """filter(
+             transform(ws, (w, i) ->
+               IF(pmod(i + 1 + doc_id, 11) = 0, 'unk', w)),
+             (w, i) -> pmod(i + 1 + doc_id, 7) != 0)"""))
+    def grams(c: String, n: Int): Column =
+      if (n == 1) col(c)
+      else expr(s"zip_with(slice($c, 1, size($c) - 1), " +
+        s"slice($c, 2, size($c) - 1), (a, b) -> concat(a, ' ', b))")
+    def clipped(n: Int): DataFrame =
+      base.select(col("doc_id"), explode(grams("cand", n)).as("g"),
+          lit(1L).as("c"), lit(0L).as("r"))
+        .unionByName(base.select(col("doc_id"), explode(grams("ws", n)).as("g"),
+          lit(0L).as("c"), lit(1L).as("r")))
+        .groupBy(col("doc_id"), col("g"))
+        .agg(sum(col("c")).as("nc"), sum(col("r")).as("nr"))
+        .agg(sum(least(col("nc"), col("nr"))).as("num"),
+          sum(col("nc")).as("den"))
+        .select(lit(n).as("n"), col("num"), col("den"))
+    val lens = base.agg(sum(size(col("cand"))).cast("long").as("c_len"),
+      sum(size(col("ws"))).cast("long").as("r_len"))
+    clipped(1).select(col("num").as("p1_num"), col("den").as("p1_den"))
+      .crossJoin(broadcast(clipped(2)
+        .select(col("num").as("p2_num"), col("den").as("p2_den"))))
+      .crossJoin(broadcast(lens))
+      .select(col("c_len"), col("r_len"),
+        col("p1_num"), col("p1_den"), col("p2_num"), col("p2_den"),
+        round(
+          when(col("c_len") < col("r_len"),
+            exp(lit(1.0) - col("r_len").cast("double") /
+              col("c_len").cast("double"))).otherwise(lit(1.0)) *
+          sqrt((col("p1_num").cast("double") / col("p1_den").cast("double")) *
+            (col("p2_num").cast("double") / col("p2_den").cast("double"))),
+          6).as("bleu6"))
+  }
+
+  val qEvalBleuOracle: String =
+    """WITH base AS (SELECT doc_id, string_split(text, ' ') ws
+        FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      nz AS (SELECT doc_id, ws,
+          [CASE WHEN (i + doc_id) % 11 = 0 THEN 'unk' ELSE ws[i] END
+            for i in range(1, len(ws) + 1)] rep FROM base),
+      cd AS (SELECT doc_id, ws,
+          [rep[i] for i in range(1, len(rep) + 1)
+            if (i + doc_id) % 7 != 0] cand FROM nz),
+      u AS (SELECT doc_id, g, sum(c)::BIGINT nc, sum(r)::BIGINT nr FROM (
+          SELECT doc_id, unnest(cand) g, 1 c, 0 r FROM cd
+          UNION ALL SELECT doc_id, unnest(ws) g, 0, 1 FROM cd)
+        GROUP BY 1, 2),
+      b AS (SELECT doc_id, g, sum(c)::BIGINT nc, sum(r)::BIGINT nr FROM (
+          SELECT doc_id, unnest([cand[i] || ' ' || cand[i + 1]
+            for i in range(1, len(cand))]) g, 1 c, 0 r FROM cd
+          UNION ALL
+          SELECT doc_id, unnest([ws[i] || ' ' || ws[i + 1]
+            for i in range(1, len(ws))]) g, 0, 1 FROM cd)
+        GROUP BY 1, 2),
+      p1 AS (SELECT sum(least(nc, nr))::BIGINT p1_num,
+          sum(nc)::BIGINT p1_den FROM u),
+      p2 AS (SELECT sum(least(nc, nr))::BIGINT p2_num,
+          sum(nc)::BIGINT p2_den FROM b),
+      l AS (SELECT sum(len(cand))::BIGINT c_len,
+          sum(len(ws))::BIGINT r_len FROM cd)
+      SELECT c_len, r_len, p1_num, p1_den, p2_num, p2_den,
+        round(
+          (CASE WHEN c_len < r_len
+            THEN exp(1.0 - r_len::DOUBLE / c_len::DOUBLE)
+            ELSE 1.0 END) *
+          sqrt((p1_num::DOUBLE / p1_den::DOUBLE) *
+            (p2_num::DOUBLE / p2_den::DOUBLE)), 6) AS bleu6
+      FROM l CROSS JOIN p1 CROSS JOIN p2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eval_bleu" -> (qEvalBleu _),
     "q_text_zipf" -> (qTextZipf _),
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
@@ -3161,6 +3261,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_eval_bleu" -> qEvalBleuOracle,
     "q_text_zipf" -> qTextZipfOracle,
     "q_text_langid" -> qTextLangidOracle,
     "q_text_quality" -> qTextQualityOracle,

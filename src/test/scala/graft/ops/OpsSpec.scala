@@ -1794,6 +1794,44 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bleu: corpus metric equals a local clipped-precision replay of " +
+    "the planted degradation") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+      .filter(_._2.length >= 2)
+    def cnt(xs: Seq[String]) =
+      xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def bigrams(xs: Seq[String]) =
+      if (xs.length < 2) Seq.empty[String]
+      else xs.sliding(2).map(p => p(0) + " " + p(1)).toSeq
+    var (p1n, p1d, p2n, p2d, cl, rl) = (0L, 0L, 0L, 0L, 0L, 0L)
+    docs.foreach { case (id, ws) =>
+      val rep = ws.zipWithIndex.map { case (w, i) =>
+        if ((i + 1 + id) % 11 == 0) "unk" else w }
+      val cand = rep.zipWithIndex.collect {
+        case (w, i) if (i + 1 + id) % 7 != 0 => w }
+      cl += cand.length; rl += ws.length
+      val (cu, ru) = (cnt(cand), cnt(ws))
+      p1n += cu.map { case (g, c) => math.min(c, ru.getOrElse(g, 0L)) }.sum
+      p1d += cand.length
+      val (cb, rb) = (cnt(bigrams(cand)), cnt(bigrams(ws)))
+      p2n += cb.map { case (g, c) => math.min(c, rb.getOrElse(g, 0L)) }.sum
+      p2d += cb.values.sum
+    }
+    val r = TextAnalysis.qEvalBleu(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((cl, rl, p1n, p1d, p2n, p2d)))
+    val bp = if (cl < rl) math.exp(1.0 - rl.toDouble / cl) else 1.0
+    val want = math.rint(bp * math.sqrt(
+      (p1n.toDouble / p1d) * (p2n.toDouble / p2d)) * 1e6) / 1e6
+    assert(math.abs(r.getDouble(6) - want) < 1e-9)
+    // the degradation must dent every component: substitutions (p1),
+    // deletion-created bigrams (p2 < p1), and length (BP < 1)
+    assert(p1n < p1d && p2n.toDouble / p2d < p1n.toDouble / p1d && cl < rl)
+    assert(r.getDouble(6) > 0 && r.getDouble(6) < 1)
+  }
+
   test("lsh calibration: pair accounting is complete, the analytic curve " +
     "replays from the exact moments, and every bucket certifies") {
     val rows = Dedup.qDedupLshCalibration(spark, dir).collect()
