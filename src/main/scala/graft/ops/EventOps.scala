@@ -2053,6 +2053,153 @@ object EventOps {
         abs(n_days * prefix - k * total)::BIGINT AS cusum
       FROM c, t ORDER BY cusum DESC, dte LIMIT 5"""
 
+  // ---------- one-way ANOVA (does the segment mean differ?) ----------
+  /** One-way ANOVA F-test of customer balance across market segments —
+    * the "does this dimension matter?" screen that complements
+    * q_stats_chisq (categorical×categorical) and q_stats_ks
+    * (distribution drift) with the classic continuous-by-group test.
+    * Emitted: group count, N, the F statistic and η² (variance
+    * explained).
+    *
+    * Exactness: balances are exact integer cents; each group contributes
+    * only (n_g, Σx, Σx²) — the mergeable moment triple, Σx² routed
+    * through DECIMAL(38,0) — and the between/within sums of squares
+    * reduce to T_g = round(S_g²/n_g) BIGINT terms whose 5-row sum is
+    * associative; F and η² are closed-form double expressions over those
+    * exact integers, rounded 1e-6. (The naive spelling — doubles summed
+    * per group — is order-dependent across engines; the moment-triple
+    * form is also the only thing that EXISTS at 100 TB: one combine-fed
+    * pass, constant-size state per group.)
+    */
+  def qStatsAnova(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val g = Tables.customer(spark, dir)
+      .select(col("c_mktsegment").as("seg"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("x"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("ng"), sum(col("x")).as("sg"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("qg"))
+      .withColumn("tg", round((col("sg").cast(dec) * col("sg").cast(dec))
+        .cast("double") / col("ng").cast("double")).cast("long"))
+    g.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+        sum(col("sg")).as("s"), sum(col("qg")).as("q"),
+        sum(col("tg")).as("sum_t"))
+      .withColumn("grand", round((col("s").cast(dec) * col("s").cast(dec))
+        .cast("double") / col("n").cast("double")).cast("long"))
+      .withColumn("ssb", (col("sum_t") - col("grand")).cast("double"))
+      .withColumn("ssw", col("q").cast("double") -
+        col("sum_t").cast("double"))
+      .select(col("k"), col("n"),
+        round((col("ssb") / (col("k") - 1).cast("double")) /
+          (col("ssw") / (col("n") - col("k")).cast("double")), 6).as("f6"),
+        round(col("ssb") / (col("ssb") + col("ssw")), 6).as("eta2_6"))
+  }
+
+  val qStatsAnovaOracle: String =
+    """WITH g AS (SELECT c_mktsegment seg, count(*)::BIGINT ng,
+        sum(CAST(c_acctbal::DECIMAL(18,2) * 100 AS BIGINT))::BIGINT sg,
+        sum(CAST(c_acctbal::DECIMAL(18,2) * 100 AS BIGINT)::HUGEINT *
+            CAST(c_acctbal::DECIMAL(18,2) * 100 AS BIGINT))::HUGEINT qg
+      FROM customer GROUP BY 1),
+      t AS (SELECT seg, ng, sg, qg,
+          round((sg::HUGEINT * sg)::DOUBLE / ng::DOUBLE)::BIGINT tg FROM g),
+      a AS (SELECT count(*)::BIGINT k, sum(ng)::BIGINT n,
+          sum(sg)::BIGINT s, sum(qg)::HUGEINT q, sum(tg)::BIGINT sum_t
+        FROM t),
+      b AS (SELECT k, n, sum_t, q,
+          round((s::HUGEINT * s)::DOUBLE / n::DOUBLE)::BIGINT grand
+        FROM a),
+      c AS (SELECT k, n, (sum_t - grand)::DOUBLE ssb,
+          q::DOUBLE - sum_t::DOUBLE ssw FROM b)
+      SELECT k, n,
+        round((ssb / (k - 1)::DOUBLE) / (ssw / (n - k)::DOUBLE), 6) AS f6,
+        round(ssb / (ssb + ssw), 6) AS eta2_6
+      FROM c"""
+
+  // ---------- Poisson bootstrap (distributed uncertainty estimate) ----------
+  /** Bootstrap standard error of the mean purchase value, computed the
+    * only way a bootstrap CAN run on distributed data: the POISSON
+    * bootstrap — instead of globally resampling n rows WITH replacement
+    * (which needs a shuffle per resample), each row independently
+    * contributes Poisson(1) copies to each of B = 32 resamples, so all
+    * 32 resampled means come out of ONE scan with a 32× flatMap. The
+    * Poisson draw is the inverse CDF of a per-(row, b) md5 uniform
+    * against FIXED cumulative thresholds (e⁻¹ terms as literals, capped
+    * at 7 — P(>7) < 10⁻⁵), the derandomization-for-oracle discipline of
+    * q_privacy_dp.
+    *
+    * Exactness: each resample's numerator/denominator are exact integer
+    * (weighted cents, weight sum); its mean quantizes to 1e-6 BIGINT;
+    * the across-resample variance uses the integer moment identity
+    * (B·Σm² − (Σm)²)/(B(B−1)) in DECIMAL(38,0) — no order-dependent
+    * double fold anywhere — and ONE sqrt at the end.
+    */
+  def qStatsBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val b = 32
+    // Poisson(1) cumulative thresholds P(X<=k), k=0..6
+    val cdf = Seq(0.367879441, 0.735758882, 0.919698603,
+      0.981011843, 0.996340153, 0.999405815, 0.999916758)
+    val rows = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        col("event_id"))
+      .withColumn("b", explode(sequence(lit(0), lit(b - 1))))
+    val u = (pmod(conv(substring(md5(concat(col("event_id"),
+      lit(":"), col("b"))), 1, 6), 16, 10).cast("long"),
+      lit(1000000L)).cast("double") + lit(0.5)) / lit(1000000.0)
+    val w = cdf.zipWithIndex.foldRight(lit(7): Column) {
+      case ((t, k), rest) => when(u < t, k).otherwise(rest)
+    }.cast("long")
+    val means = rows.withColumn("w", w)
+      .groupBy(col("b"))
+      .agg(sum(col("w") * col("cents")).as("num"), sum(col("w")).as("den"))
+      .withColumn("m6", round(col("num").cast("double") /
+        col("den").cast("double") * 1e6).cast("long"))
+    val point = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("s"))
+    means.agg(count(lit(1)).as("n_resamples"),
+        sum(col("m6").cast(dec)).as("sm"),
+        sum(col("m6").cast(dec) * col("m6").cast(dec)).as("sm2"))
+      .crossJoin(broadcast(point))
+      .select(col("n"), col("n_resamples"),
+        round(col("s").cast("double") / col("n").cast("double") / 100.0, 6)
+          .as("mean6"),
+        round(sqrt(greatest(
+          (col("n_resamples").cast(dec) * col("sm2") - col("sm") * col("sm"))
+            .cast("double") /
+            (col("n_resamples") * (col("n_resamples") - 1)).cast("double"),
+          lit(0.0))) / 1e6 / 100.0, 6).as("se6"))
+  }
+
+  val qStatsBootstrapOracle: String =
+    """WITH p AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) cents
+        FROM events WHERE event_type = 'purchase'),
+      r AS (SELECT cents, event_id, unnest(range(0, 32)) b FROM p),
+      d AS (SELECT cents, b,
+          (('0x' || substr(md5(event_id::VARCHAR || ':' || b::VARCHAR),
+            1, 6))::BIGINT % 1000000 + 0.5) / 1000000.0 AS u FROM r),
+      w AS (SELECT cents, b, (CASE
+          WHEN u < 0.367879441 THEN 0 WHEN u < 0.735758882 THEN 1
+          WHEN u < 0.919698603 THEN 2 WHEN u < 0.981011843 THEN 3
+          WHEN u < 0.996340153 THEN 4 WHEN u < 0.999405815 THEN 5
+          WHEN u < 0.999916758 THEN 6 ELSE 7 END)::BIGINT w FROM d),
+      m AS (SELECT b, round(sum(w * cents)::DOUBLE / sum(w)::DOUBLE
+          * 1e6)::BIGINT m6 FROM w GROUP BY b),
+      mm AS (SELECT count(*)::BIGINT n_resamples, sum(m6)::HUGEINT sm,
+          sum(m6::HUGEINT * m6)::HUGEINT sm2 FROM m),
+      pt AS (SELECT count(*)::BIGINT n, sum(cents)::BIGINT s FROM p)
+      SELECT n, n_resamples,
+        round(s::DOUBLE / n::DOUBLE / 100.0, 6) AS mean6,
+        round(sqrt(greatest(
+          (n_resamples::HUGEINT * sm2 - sm * sm)::DOUBLE /
+          (n_resamples * (n_resamples - 1))::DOUBLE, 0.0)) / 1e6 / 100.0, 6)
+          AS se6
+      FROM mm CROSS JOIN pt"""
+
   // ---------- two-sample Kolmogorov–Smirnov drift statistic ----------
   /** Exact two-sample KS statistic between the purchase-value
     * distribution and everything else — the distribution-drift test that
@@ -2297,6 +2444,8 @@ object EventOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_anova" -> (qStatsAnova _),
+    "q_stats_bootstrap" -> (qStatsBootstrap _),
     "q_events_seasonality" -> (qEventsSeasonality _),
     "q_window_ewma" -> (qWindowEwma _),
     "q_events_ltv" -> (qEventsLtv _),
@@ -2340,6 +2489,8 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stats_anova" -> qStatsAnovaOracle,
+    "q_stats_bootstrap" -> qStatsBootstrapOracle,
     "q_events_seasonality" -> qEventsSeasonalityOracle,
     "q_window_ewma" -> qWindowEwmaOracle,
     "q_events_ltv" -> qEventsLtvOracle,

@@ -3200,7 +3200,53 @@ object TextAnalysis {
             (p2_num::DOUBLE / p2_den::DOUBLE)), 6) AS bleu6
       FROM l CROSS JOIN p1 CROSS JOIN p2"""
 
+  // ---------- class-balanced downsampling ----------
+  /** Label-balanced downsampling — the class-rebalancing step before
+    * training a classifier on skewed labels: every language keeps
+    * exactly m = min(class size) documents, chosen by HASH RANK
+    * (md5(doc_id) order) so the sample is deterministic, uniform within
+    * class, and reproducible across runs/engines — the same
+    * hash-as-randomness discipline as q_sample_hash. The per-class
+    * readout pins the selection itself (sum of kept doc_ids), not just
+    * its size, so a different-but-same-sized sample cannot pass.
+    *
+    * Scale shape: one combine-fed class-count aggregate (broadcast m —
+    * one row), one rank window PARTITIONED BY CLASS (the mixture
+    * dimension), one final per-class aggregate. No global sort, no
+    * driver-side sampling state.
+    */
+  def qSampleBalanced(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("hk"))
+    val m = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("m"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("hk"), col("doc_id"))
+    d.withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(m))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(col("rk") <= col("m"), 1L).otherwise(0L)).as("n_after"),
+        sum(when(col("rk") <= col("m"), col("doc_id")).otherwise(0L))
+          .as("sel_sum"))
+      .orderBy(col("lang"))
+  }
+
+  val qSampleBalancedOracle: String =
+    """WITH d AS (SELECT doc_id, lang, md5(doc_id::VARCHAR) hk
+        FROM documents),
+      m AS (SELECT min(n)::BIGINT m FROM
+        (SELECT lang, count(*)::BIGINT n FROM d GROUP BY 1)),
+      r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+          ORDER BY hk, doc_id) rk FROM d)
+      SELECT lang, count(*)::BIGINT n_before,
+        sum(CASE WHEN rk <= m THEN 1 ELSE 0 END)::BIGINT n_after,
+        sum(CASE WHEN rk <= m THEN doc_id ELSE 0 END)::BIGINT sel_sum
+      FROM r CROSS JOIN m GROUP BY lang ORDER BY lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_balanced" -> (qSampleBalanced _),
     "q_eval_bleu" -> (qEvalBleu _),
     "q_text_zipf" -> (qTextZipf _),
     "q_text_langid" -> (qTextLangid _),
@@ -3261,6 +3307,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sample_balanced" -> qSampleBalancedOracle,
     "q_eval_bleu" -> qEvalBleuOracle,
     "q_text_zipf" -> qTextZipfOracle,
     "q_text_langid" -> qTextLangidOracle,

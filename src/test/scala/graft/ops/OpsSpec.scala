@@ -1794,6 +1794,95 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("anova: F and eta2 equal a local exact-moment replay") {
+    val xs = Tables.customer(spark, dir)
+      .selectExpr("c_mktsegment",
+        "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val groups = xs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val k = groups.size.toLong
+    val n = xs.length.toLong
+    val sumT = groups.values.map { g =>
+      val s = BigInt(g.sum)
+      math.rint((s * s).toDouble / g.size).toLong
+    }.sum
+    val s = BigInt(xs.map(_._2).sum)
+    val grand = math.rint((s * s).toDouble / n).toLong
+    val q = groups.values.flatten.map(x => BigInt(x) * x).sum
+    val ssb = (sumT - grand).toDouble
+    val ssw = q.toDouble - sumT.toDouble
+    val r = EventOps.qStatsAnova(spark, dir).collect().head
+    assert(r.getLong(0) == k && r.getLong(1) == n)
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(math.abs(r.getDouble(2) - math.rint(f * 1e6) / 1e6) < 1e-9)
+    val eta = ssb / (ssb + ssw)
+    assert(math.abs(r.getDouble(3) - math.rint(eta * 1e6) / 1e6) < 1e-9)
+    assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1)
+  }
+
+  test("balanced sampling: every class lands on the min class size and " +
+    "the kept set is exactly the hash-rank prefix") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def hk(id: Long): String = java.security.MessageDigest
+      .getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val byLang = docs.groupBy(_._2)
+    val m = byLang.values.map(_.size).min
+    val rows = TextAnalysis.qSampleBalanced(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == byLang.size)
+    rows.foreach { case (lang, before, after, selSum) =>
+      assert(before == byLang(lang).size.toLong)
+      assert(after == m.toLong, s"$lang: kept $after != min class $m")
+      val want = byLang(lang).map(_._1).sortBy(id => (hk(id), id))
+        .take(m).sum
+      assert(selSum == want, s"$lang: selection drifted from hash rank")
+    }
+  }
+
+  test("bootstrap: the Poisson-resampled SE replays locally and agrees " +
+    "with the analytic sd/sqrt(n) within sampling noise") {
+    val cents = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .selectExpr("event_id", "CAST(round(value * 100) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def u(id: Long, b: Int): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$b".getBytes("UTF-8"))
+        .take(3).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 1000000L + 0.5) / 1e6
+    }
+    val cdf = Seq(0.367879441, 0.735758882, 0.919698603, 0.981011843,
+      0.996340153, 0.999405815, 0.999916758)
+    val m6 = (0 until 32).map { b =>
+      var num = BigInt(0); var den = 0L
+      cents.foreach { case (id, c) =>
+        val w = cdf.indexWhere(u(id, b) < _) match {
+          case -1 => 7L; case k => k.toLong }
+        num += BigInt(w) * c; den += w
+      }
+      math.rint(num.toDouble / den * 1e6).toLong
+    }
+    val sm = m6.map(BigInt(_)).sum
+    val sm2 = m6.map(x => BigInt(x) * x).sum
+    val seWant = math.rint(math.sqrt(
+      (BigInt(32) * sm2 - sm * sm).toDouble / (32 * 31)) / 1e6 / 100.0
+      * 1e6) / 1e6
+    val r = EventOps.qStatsBootstrap(spark, dir).collect().head
+    assert(r.getLong(0) == cents.length.toLong && r.getLong(1) == 32L)
+    assert(math.abs(r.getDouble(3) - seWant) < 1e-9,
+      s"bootstrap SE ${r.getDouble(3)} != local $seWant")
+    // bootstrap must track the analytic SE of the mean
+    val mean = cents.map(_._2).sum.toDouble / cents.length
+    val sd = math.sqrt(cents.map(c =>
+      (c._2 - mean) * (c._2 - mean)).sum / (cents.length - 1))
+    val analytic = sd / math.sqrt(cents.length.toDouble) / 100.0
+    assert(r.getDouble(3) > analytic / 2 && r.getDouble(3) < analytic * 2,
+      s"bootstrap SE ${r.getDouble(3)} vs analytic $analytic")
+  }
+
   test("bleu: corpus metric equals a local clipped-precision replay of " +
     "the planted degradation") {
     val docs = Tables.documents(spark, dir)
