@@ -1553,14 +1553,25 @@ object Dedup {
       xxhash64(lit(j), element_at(col("sig"), 2 * j + 1),
         element_at(col("sig"), 2 * j + 2))
     }: _*).as("bands"))
-    val withB = docs.join(bandArr, "doc_id")
+    // pair probe uses the 64-bit shingle-hash kernel (merge-walk overlap
+    // on primitive longs — the r9 hot-path discipline; ≡ string Jaccard
+    // absent collisions, which the 3-SF oracle hash-match certifies)
+    val hashed = Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ", -1)) >= 3)
+      .select(col("doc_id"),
+        graft.functions.TextFeatures.wordShingleHashesCol(col("text"), 3)
+          .as("hs"))
+    val withB = hashed.join(bandArr, "doc_id")
     val a = withB.filter(col("doc_id") < 50)
-      .select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+      .select(col("doc_id").as("a_id"), col("hs").as("a_hs"),
         col("bands").as("a_b"))
+    val inter = graft.functions.SortedOverlapCount
+      .sortedOverlap(col("a_hs"), col("b_hs")).cast("double")
     val pairs = broadcast(a)
-      .join(withB.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+      .join(withB.select(col("doc_id").as("b_id"), col("hs").as("b_hs"),
         col("bands").as("b_b")), col("a_id") < col("b_id"))
-      .withColumn("j6", round(jaccard(col("a_sh"), col("b_sh")), 6))
+      .withColumn("j6", round(inter /
+        (size(col("a_hs")) + size(col("b_hs")) - inter), 6))
       .withColumn("hit", exists(
         zip_with(col("a_b"), col("b_b"), (x, y) => x === y), b => b))
     pairs

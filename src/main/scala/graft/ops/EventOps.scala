@@ -2053,6 +2053,88 @@ object EventOps {
         abs(n_days * prefix - k * total)::BIGINT AS cusum
       FROM c, t ORDER BY cusum DESC, dte LIMIT 5"""
 
+  // ---------- point-in-time feature join (leakage-free) ----------
+  /** The feature-store join that training-data correctness lives or
+    * dies on: label events enriched with a VERSIONED feature table as
+    * of each event's timestamp — never a later version (future
+    * leakage), never a stale overwrite (the "latest value" join that
+    * silently trains on the future). Features here are per-customer
+    * running order counts/cents versioned at synthesized update times
+    * planted INSIDE the event window (orders are mapped onto the
+    * 2024-01 calendar by a deterministic day/second formula the oracle
+    * replays), so every label row genuinely straddles feature versions.
+    *
+    * Shape: the union trick of [[qEventsAsof]] generalized to TWO
+    * tables — feature updates (tag 0) and label events (tag 1)
+    * interleave in ONE user-keyed window and `last(_, ignoreNulls)`
+    * carries the newest feature struct forward; ties (feature stamped
+    * at the label's exact microsecond) count as visible, matching the
+    * oracle's `<=`. ONE shuffle on the entity key, no range join, no
+    * per-label probe — the only PIT-join shape that survives 100 TB of
+    * labels against 10 TB of feature history.
+    */
+  def qJoinPit(spark: SparkSession, dir: String): DataFrame = {
+    val feat = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("user_id"),
+        // plant update times inside the events calendar: day from the
+        // order date, second-of-day from the key (oracle replays this)
+        timestamp_seconds(
+          lit(1704067200L) + // 2024-01-01 00:00:00 UTC
+            pmod(datediff(to_date(col("o_orderdate")),
+              to_date(lit("1970-01-01"))).cast("long"), lit(30L)) * 86400L +
+            pmod(col("o_orderkey"), lit(86400L))).as("fts"),
+        col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val wv = Window.partitionBy(col("user_id"))
+      .orderBy(col("fts"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val versions = feat
+      .withColumn("n_orders", count(lit(1)).over(wv))
+      .withColumn("sum_cents", sum(col("cents")).over(wv))
+      .select(col("user_id"), col("fts").as("ts"),
+        col("o_orderkey").as("id"), lit(0).as("tag"),
+        struct(col("n_orders"), col("sum_cents")).as("f"))
+    val labels = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("id"),
+        lit(1).as("tag"), lit(null).cast(
+          "struct<n_orders:bigint,sum_cents:bigint>").as("f"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("tag").asc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    versions.unionByName(labels)
+      .withColumn("pit", last(col("f"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("id").as("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        coalesce(col("pit.n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("pit.sum_cents"), lit(0L)).as("sum_cents"))
+      .orderBy(col("event_id"))
+  }
+
+  val qJoinPitOracle: String =
+    """WITH f0 AS (SELECT o_custkey user_id,
+        make_timestamp((1704067200
+          + (datediff('day', DATE '1970-01-01', o_orderdate::DATE) % 30)
+            * 86400 + o_orderkey % 86400) * 1000000) fts,
+        o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) cents
+      FROM orders),
+      v AS (SELECT user_id, fts, o_orderkey,
+          count(*) OVER w::BIGINT n_orders,
+          sum(cents) OVER w::BIGINT sum_cents
+        FROM f0 WINDOW w AS (PARTITION BY user_id
+          ORDER BY fts, o_orderkey ROWS UNBOUNDED PRECEDING)),
+      lb AS (SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase')
+      SELECT lb.event_id, lb.user_id, epoch_us(lb.ts) ts_us,
+        coalesce(pit.n_orders, 0) AS n_orders,
+        coalesce(pit.sum_cents, 0) AS sum_cents
+      FROM lb LEFT JOIN LATERAL (
+        SELECT v.n_orders, v.sum_cents FROM v
+        WHERE v.user_id = lb.user_id AND v.fts <= lb.ts
+        ORDER BY v.fts DESC, v.o_orderkey DESC LIMIT 1) pit ON true
+      ORDER BY event_id"""
+
   // ---------- one-way ANOVA (does the segment mean differ?) ----------
   /** One-way ANOVA F-test of customer balance across market segments —
     * the "does this dimension matter?" screen that complements
@@ -2446,6 +2528,7 @@ object EventOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stats_anova" -> (qStatsAnova _),
     "q_stats_bootstrap" -> (qStatsBootstrap _),
+    "q_join_pit" -> (qJoinPit _),
     "q_events_seasonality" -> (qEventsSeasonality _),
     "q_window_ewma" -> (qWindowEwma _),
     "q_events_ltv" -> (qEventsLtv _),
@@ -2491,6 +2574,7 @@ object EventOps {
   val oracles: Map[String, String] = Map(
     "q_stats_anova" -> qStatsAnovaOracle,
     "q_stats_bootstrap" -> qStatsBootstrapOracle,
+    "q_join_pit" -> qJoinPitOracle,
     "q_events_seasonality" -> qEventsSeasonalityOracle,
     "q_window_ewma" -> qWindowEwmaOracle,
     "q_events_ltv" -> qEventsLtvOracle,

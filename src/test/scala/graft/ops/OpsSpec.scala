@@ -1794,6 +1794,38 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pit join: every label row sees exactly the feature version " +
+    "valid at its timestamp — no future leakage, no staleness") {
+    val feats = Tables.orders(spark, dir).selectExpr("o_custkey",
+        "1704067200 + (datediff(to_date(o_orderdate), " +
+          "to_date('1970-01-01')) % 30) * 86400 + o_orderkey % 86400",
+        "o_orderkey", "CAST(round(o_totalprice * 100) AS BIGINT)")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byUser = feats.groupBy(_._1).view
+      .mapValues(_.sortBy(f => (f._2, f._3))).toMap
+    val rows = EventOps.qJoinPit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    var nonTrivial = 0
+    rows.foreach { case (_, user, tsUs, nOrders, sumCents) =>
+      val visible = byUser.getOrElse(user, Array.empty[(Long, Long, Long, Long)])
+        .takeWhile(_._2 * 1000000L <= tsUs)
+      assert(nOrders == visible.length.toLong,
+        s"user $user@$tsUs: n_orders $nOrders != ${visible.length}")
+      assert(sumCents == visible.map(_._4).sum,
+        s"user $user@$tsUs: cents leaked or went stale")
+      val total = byUser.getOrElse(user,
+        Array.empty[(Long, Long, Long, Long)]).length
+      if (nOrders > 0 && nOrders < total) nonTrivial += 1
+    }
+    // the plant must make the join non-degenerate: many labels straddle
+    // feature versions (neither zero history nor full history)
+    assert(nonTrivial > rows.length / 10,
+      s"only $nonTrivial/${rows.length} labels straddle feature versions")
+  }
+
   test("anova: F and eta2 equal a local exact-moment replay") {
     val xs = Tables.customer(spark, dir)
       .selectExpr("c_mktsegment",
