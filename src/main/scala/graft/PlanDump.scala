@@ -89,7 +89,13 @@ object PlanDump {
     // round 10, second session: monitoring/segmentation/spatial/sketch
     "q_events_changepoint", "q_rfm_segments", "q_window_median",
     "q_spatial_join", "q_sketch_merge", "q_window_distinct",
-    "q_observe_metrics", "q_events_active_users")
+    "q_observe_metrics", "q_events_active_users",
+    // round 10, third session: governance/eval/stats/layout/PIT
+    "q_privacy_dp", "q_gdpr_forget", "q_entity_resolve", "q_stats_ks",
+    "q_eval_ndcg", "q_text_zipf", "q_events_ltv", "q_layout_skipping",
+    "q_events_seasonality", "q_window_ewma", "q_dedup_lsh_calibration",
+    "q_cdc_timetravel", "q_eval_bleu", "q_stats_anova",
+    "q_sample_balanced", "q_stats_bootstrap", "q_join_pit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
