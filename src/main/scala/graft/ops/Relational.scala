@@ -2610,6 +2610,79 @@ object Relational {
     """SELECT count(DISTINCT user_id) AS exact_users,
       true AS merge_consistent, true AS within_bound FROM events"""
 
+  // ---------- Count-Min join-size estimation ----------
+  /** Join-cardinality estimation via Count-Min sketch inner product —
+    * the optimizer-side sketch that answers "how big is events ⋈ orders
+    * on the customer key?" WITHOUT running the join: each side collapses
+    * to a d×w = 4×512 counter grid (h_r(k) = md5-derived bucket), the
+    * per-row bucket-wise inner products upper-bound the true size
+    * Σ_k c₁(k)·c₂(k), and the minimum over rows is the estimate. The CM
+    * guarantee is one-sided — estimate ≥ exact ALWAYS (collisions only
+    * add) and exceeds it by ≤ ‖c₁‖₁‖c₂‖₁/w in expectation per row — and
+    * both sides of that sandwich are emitted as exact integers along
+    * with the true size, so the readout IS the proof.
+    *
+    * Scale shape: this is the whole point — the exact answer needs a
+    * key join of two count tables (a shuffle), while the sketch needs
+    * ONE combine-fed aggregate per side into 2048 cells and a
+    * cell-aligned broadcast join; at 100 TB the sketch path is the only
+    * one an optimizer can afford at plan time. Products route through
+    * DECIMAL(38,0); everything is integer end-to-end.
+    */
+  def qSketchJoinsize(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = 512L
+    val left = Tables.events(spark, dir)
+      .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("c"))
+    val right = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("c"))
+    def cm(df: DataFrame, out: String): DataFrame =
+      df.withColumn("r", explode(sequence(lit(0), lit(3))))
+        .withColumn("b", pmod(conv(substring(md5(concat(col("r"),
+          lit(":"), col("k"))), 1, 6), 16, 10).cast("long"), lit(w)))
+        .groupBy(col("r"), col("b")).agg(sum(col("c")).as(out))
+    val est = cm(left, "c1").join(cm(right, "c2"), Seq("r", "b"))
+      .groupBy(col("r"))
+      .agg(sum(col("c1").cast(dec) * col("c2").cast(dec)).as("ip"))
+      .agg(min(col("ip")).as("est"))
+    val exact = left.join(right, "k")
+      .agg(sum(left("c").cast(dec) * right("c").cast(dec)).as("exact"))
+    val tot = left.agg(sum(col("c")).as("n1"))
+      .crossJoin(broadcast(right.agg(sum(col("c")).as("n2"))))
+    tot.crossJoin(broadcast(exact)).crossJoin(broadcast(est))
+      .select(col("n1"), col("n2"),
+        col("exact").cast("long").as("exact_size"),
+        col("est").cast("long").as("est_size"),
+        (col("est") - col("exact")).cast("long").as("overcount"),
+        (col("est") >= col("exact") &&
+          (col("est") - col("exact")).cast("double") <=
+            lit(4.0) * col("n1").cast("double") * col("n2").cast("double")
+              / w).as("bound_ok"))
+  }
+
+  val qSketchJoinsizeOracle: String =
+    """WITH l AS (SELECT user_id k, count(*)::BIGINT c FROM events
+        GROUP BY 1),
+      r AS (SELECT o_custkey k, count(*)::BIGINT c FROM orders GROUP BY 1),
+      cml AS (SELECT rr r, ('0x' || substr(md5(rr::VARCHAR || ':' ||
+            k::VARCHAR), 1, 6))::BIGINT % 512 b, sum(c)::BIGINT c1
+        FROM l CROSS JOIN (SELECT unnest(range(0, 4)) rr) GROUP BY 1, 2),
+      cmr AS (SELECT rr r, ('0x' || substr(md5(rr::VARCHAR || ':' ||
+            k::VARCHAR), 1, 6))::BIGINT % 512 b, sum(c)::BIGINT c2
+        FROM r CROSS JOIN (SELECT unnest(range(0, 4)) rr) GROUP BY 1, 2),
+      ip AS (SELECT cml.r, sum(c1::HUGEINT * c2)::HUGEINT ip FROM cml
+        JOIN cmr ON cml.r = cmr.r AND cml.b = cmr.b GROUP BY 1),
+      est AS (SELECT min(ip) est FROM ip),
+      ex AS (SELECT sum(l.c::HUGEINT * r.c)::HUGEINT exact FROM l
+        JOIN r ON l.k = r.k),
+      t AS (SELECT (SELECT sum(c) FROM l)::BIGINT n1,
+        (SELECT sum(c) FROM r)::BIGINT n2)
+      SELECT n1, n2, exact::BIGINT exact_size, est::BIGINT est_size,
+        (est - exact)::BIGINT overcount,
+        (est >= exact AND (est - exact)::DOUBLE <=
+          4.0 * n1::DOUBLE * n2::DOUBLE / 512) AS bound_ok
+      FROM t CROSS JOIN ex CROSS JOIN est"""
+
   // ---------- RFM segmentation (histogram-exact median cutoffs) ----------
   /** Recency/Frequency/Monetary customer segmentation — the classic
     * marketing-analytics cut, built the way exact data-dependent
@@ -3019,6 +3092,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_entity_resolve" -> (qEntityResolve _),
+    "q_sketch_joinsize" -> (qSketchJoinsize _),
     "q_privacy_dp" -> (qPrivacyDp _),
     "q_gdpr_forget" -> (qGdprForget _),
     "q_dq_constraints" -> (qDqConstraints _),
@@ -3097,6 +3171,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q_entity_resolve" -> qEntityResolveOracle,
+    "q_sketch_joinsize" -> qSketchJoinsizeOracle,
     "q_privacy_dp" -> qPrivacyDpOracle,
     "q_gdpr_forget" -> qGdprForgetOracle,
     "q_dq_constraints" -> qDqConstraintsOracle,

@@ -1794,6 +1794,37 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cm join-size: the sketch estimate replays locally, never " +
+    "undercounts, and sits inside the inner-product error bound") {
+    val r = Relational.qSketchJoinsize(spark, dir).collect().head
+    val (n1, n2, exact, est, over, ok) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))
+    val lc = Tables.events(spark, dir).groupBy(col("user_id")).count()
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val rc = Tables.orders(spark, dir).groupBy(col("o_custkey")).count()
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(n1 == lc.values.sum && n2 == rc.values.sum)
+    val exactWant = lc.map { case (k, c) =>
+      BigInt(c) * BigInt(rc.getOrElse(k, 0L)) }.sum
+    assert(BigInt(exact) == exactWant)
+    def bucket(row: Int, k: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$row:$k".getBytes("UTF-8"))
+        .take(3).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 512L
+    }
+    val estWant = (0 until 4).map { row =>
+      val g1 = lc.groupBy { case (k, _) => bucket(row, k) }.view
+        .mapValues(_.values.sum).toMap
+      val g2 = rc.groupBy { case (k, _) => bucket(row, k) }.view
+        .mapValues(_.values.sum).toMap
+      g1.map { case (b, c) => BigInt(c) * BigInt(g2.getOrElse(b, 0L)) }.sum
+    }.min
+    assert(BigInt(est) == estWant, s"estimate $est != local $estWant")
+    assert(est >= exact && over == est - exact && ok,
+      s"CM one-sidedness or bound violated: exact=$exact est=$est")
+  }
+
   test("pit join: every label row sees exactly the feature version " +
     "valid at its timestamp — no future leakage, no staleness") {
     val feats = Tables.orders(spark, dir).selectExpr("o_custkey",
