@@ -174,7 +174,18 @@ object GraphOps {
     * (count, -label) structs — no per-node sort, no window). Labels
     * checkpoint per round, previous blocks released.
     */
-  def qGraphLabelprop(spark: SparkSession, dir: String): DataFrame = {
+  def qGraphLabelprop(spark: SparkSession, dir: String): DataFrame =
+    lpaLabels(spark, dir)
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("community"))
+
+  /** The LPA label table (node → community) after [[LabelPropRounds]]
+    * synchronous rounds — extracted so [[qGraphModularity]] can score
+    * the same partition the labelprop query reports. Returns a
+    * checkpointed frame (lineage truncated per round).
+    */
+  private def lpaLabels(spark: SparkSession, dir: String): DataFrame = {
     val e = coPurchaseEdges(spark, dir)
     val nbrs = e.union(e.select(col("pb"), col("pa"))).toDF("u", "v")
       .localCheckpoint()
@@ -195,11 +206,89 @@ object GraphOps {
       Dedup.releaseCheckpoint(labels)
       labels = next
     }
-    val out = labels.groupBy(col("lbl").as("community"))
-      .agg(count(lit(1)).as("n_members"))
-      .orderBy(col("community"))
     Dedup.releaseCheckpoint(nbrs)
-    out
+    labels
+  }
+
+  // ---------- modularity (community-quality score) ----------
+  /** NEWMAN MODULARITY of the labelprop partition — the eval that says
+    * whether the communities [[qGraphLabelprop]] reports are real
+    * structure or hash noise: Q = Σ_c [L_c/m − (d_c/2m)²], per-community
+    * contributions emitted so a single noisy community is visible. This
+    * is the graph family's analogue of q_eval_ndcg (score the output of
+    * the algorithm, as a query, with an oracle).
+    *
+    * Exactness: the contribution numerator is the INTEGER 4m·L_c − d_c²
+    * (routed through DECIMAL(38,0); Q_c = num/(4m²) with one double
+    * divide, rounded 1e-6). Scale shape: labels and degrees join
+    * edge-keyed (the same shuffles LPA itself pays); everything after is
+    * community-dimension arithmetic. */
+  def qGraphModularity(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e = coPurchaseEdges(spark, dir)
+    val labels = lpaLabels(spark, dir)
+    val m = e.agg(count(lit(1)).as("m"))
+    val deg = e.union(e.select(col("pb"), col("pa"))).toDF("u", "v")
+      .groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val intra = e
+      .join(labels.toDF("pa", "la"), "pa")
+      .join(labels.toDF("pb", "lb"), "pb")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community")).agg(count(lit(1)).as("intra_edges"))
+    labels.toDF("u", "community")
+      .join(deg, "u")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_members"), sum(col("d")).as("degree_sum"))
+      .join(intra, Seq("community"), "left_outer")
+      .withColumn("intra_edges", coalesce(col("intra_edges"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .withColumn("num",
+        lit(4).cast(dec) * col("m").cast(dec) * col("intra_edges").cast(dec) -
+          col("degree_sum").cast(dec) * col("degree_sum").cast(dec))
+      .select(col("community"), col("n_members"), col("intra_edges"),
+        col("degree_sum"),
+        // + 0.0 normalizes IEEE −0.0 (tiny negative contributions round
+        // to the signed zero in DuckDB but not Spark) to +0.0
+        (round(col("num").cast("double") /
+          (lit(4.0) * col("m").cast("double") * col("m").cast("double")), 6)
+          + lit(0.0)).as("q_contrib6"))
+      .orderBy(col("community"))
+  }
+
+  val qGraphModularityOracle: String = {
+    val rounds = (1 to LabelPropRounds).map { i =>
+      s"""v$i AS (SELECT nb.u, l.lbl, count(*) c
+           FROM nb JOIN l${i - 1} l ON l.n = nb.v GROUP BY nb.u, l.lbl),
+         l$i AS MATERIALIZED (SELECT u AS n, lbl FROM (
+           SELECT u, lbl, row_number() OVER (
+             PARTITION BY u ORDER BY c DESC, lbl) rn FROM v$i)
+           WHERE rn = 1)"""
+    }.mkString(",\n      ")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 10)),
+      e AS MATERIALIZED (SELECT DISTINCT a.p pa, b.p pb FROM li a
+        JOIN li b ON a.o = b.o AND a.p < b.p),
+      nb AS MATERIALIZED (SELECT pa u, pb v FROM e
+        UNION ALL SELECT pb, pa FROM e),
+      l0 AS (SELECT DISTINCT u AS n, u AS lbl FROM nb),
+      $rounds,
+      lab AS (SELECT n, lbl FROM l$LabelPropRounds),
+      mm AS (SELECT count(*)::BIGINT m FROM e),
+      deg AS (SELECT u, count(*)::BIGINT d FROM nb GROUP BY u),
+      intra AS (SELECT la.lbl community, count(*)::BIGINT intra_edges
+        FROM e JOIN lab la ON la.n = e.pa
+        JOIN lab lb ON lb.n = e.pb AND lb.lbl = la.lbl GROUP BY 1),
+      com AS (SELECT lab.lbl community, count(*)::BIGINT n_members,
+          sum(deg.d)::BIGINT degree_sum
+        FROM lab JOIN deg ON deg.u = lab.n GROUP BY 1)
+      SELECT com.community, com.n_members,
+        coalesce(intra.intra_edges, 0)::BIGINT intra_edges,
+        com.degree_sum,
+        round((4::HUGEINT * mm.m * coalesce(intra.intra_edges, 0)
+          - com.degree_sum::HUGEINT * com.degree_sum)::DOUBLE /
+          (4.0 * mm.m::DOUBLE * mm.m::DOUBLE), 6) + 0.0 AS q_contrib6
+      FROM com LEFT JOIN intra ON intra.community = com.community
+      CROSS JOIN mm ORDER BY com.community"""
   }
 
   val qGraphLabelpropOracle: String = {
@@ -560,6 +649,7 @@ object GraphOps {
     "q_graph_triangles" -> (qGraphTriangles _),
     "q_graph_kcore" -> (qGraphKcore _),
     "q_graph_labelprop" -> (qGraphLabelprop _),
+    "q_graph_modularity" -> (qGraphModularity _),
     "q_graph_linkpred" -> (qGraphLinkpred _),
     "q_graph_bfs" -> (qGraphBfs _),
     "q_market_basket" -> (qMarketBasket _),
@@ -569,6 +659,7 @@ object GraphOps {
     "q_graph_triangles" -> qGraphTrianglesOracle,
     "q_graph_kcore" -> qGraphKcoreOracle,
     "q_graph_labelprop" -> qGraphLabelpropOracle,
+    "q_graph_modularity" -> qGraphModularityOracle,
     "q_graph_linkpred" -> qGraphLinkpredOracle,
     "q_graph_bfs" -> qGraphBfsOracle,
     "q_market_basket" -> qMarketBasketOracle,

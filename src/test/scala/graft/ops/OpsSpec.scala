@@ -1794,6 +1794,45 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("modularity: contributions replay from a local synchronous LPA " +
+    "and the partition accounting closes (sum deg = 2m)") {
+    val edges = GraphOps.coPurchaseEdges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (edges ++ edges.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    var lbl = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lbl = nbrs.map { case (u, vs) =>
+        val votes = vs.groupBy(lbl).view.mapValues(_.size).toSeq
+        u -> votes.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val m = edges.length.toLong
+    val intra = edges.groupBy(e => lbl(e._1))
+      .view.mapValues(_.count(e => lbl(e._1) == lbl(e._2)).toLong).toMap
+    val rows = GraphOps.qGraphModularity(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._4).sum == 2 * m, "degree accounting broke")
+    assert(rows.map(_._3).sum <= m)
+    rows.foreach { case (c, nMembers, lc, dc, q6) =>
+      assert(nMembers == lbl.count(_._2 == c).toLong, s"community $c size")
+      assert(lc == intra.getOrElse(c, 0L), s"community $c intra edges")
+      val num = BigInt(4) * m * lc - BigInt(dc) * dc
+      val want = math.rint(num.toDouble / (4.0 * m * m) * 1e6) / 1e6 + 0.0
+      assert(math.abs(q6 - want) < 1e-9, s"community $c: q $q6 != $want")
+    }
+    // Q is bounded; at sf0.001 LPA collapses to ONE community, where
+    // Q = m/m − (2m/2m)² = 0 exactly — the degenerate-partition readout
+    // the score exists to expose (multi-community SFs go positive: the
+    // sf0.01/sf0.1 oracle rows carry structure, certified by the hash)
+    val q = rows.map(_._5).sum
+    assert(q >= -0.5 && q <= 1.0)
+    if (rows.length == 1) assert(math.abs(q) < 1e-9,
+      s"single community must score exactly 0, got $q")
+  }
+
   test("cm join-size: the sketch estimate replays locally, never " +
     "undercounts, and sits inside the inner-product error bound") {
     val r = Relational.qSketchJoinsize(spark, dir).collect().head
