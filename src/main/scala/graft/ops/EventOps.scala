@@ -2135,6 +2135,79 @@ object EventOps {
         ORDER BY v.fts DESC, v.o_orderkey DESC LIMIT 1) pit ON true
       ORDER BY event_id"""
 
+  // ---------- difference-in-differences (causal readout) ----------
+  /** Difference-in-differences over the purchase stream — the causal
+    * counterpart of q_events_abtest: treatment = md5-parity user split
+    * (the plant discipline), periods = first/second calendar half, and
+    * the DiD estimator (ΔT,post−pre) − (ΔC,post−pre) removes both the
+    * stable group difference and the common time trend — the standard
+    * readout when assignment wasn't randomized at event time. On
+    * hash-split synthetic data the true effect is zero, which is
+    * exactly what the readout certifies (parallel trends hold by
+    * construction).
+    *
+    * Exactness: all four cells reduce to (n, Σcents) exact-integer
+    * pairs; the estimator is one closed-form double expression over
+    * them, rounded 1e-6. Scale shape: ONE combine-fed pass over the
+    * fact with the cell id as the grouping key; the 4-cell pivot and
+    * estimator run on the dimension table.
+    */
+  def qEventsDid(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        (pmod(conv(substring(md5(col("user_id").cast("string")), 1, 6),
+          16, 10).cast("long"), lit(2L)) === 0L).as("treat"),
+        (dayofmonth(col("ts")) > 15).as("post"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("treat"), col("post"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    def cell(t: Boolean, p: Boolean, out: String): Column =
+      max(when(col("treat") === t && col("post") === p,
+        struct(col("n"), col("s")))).as(out)
+    cells
+      .agg(cell(true, false, "tpre"), cell(true, true, "tpost"),
+        cell(false, false, "cpre"), cell(false, true, "cpost"))
+      .select(
+        col("tpre.n").as("n_t_pre"), col("tpre.s").as("cents_t_pre"),
+        col("tpost.n").as("n_t_post"), col("tpost.s").as("cents_t_post"),
+        col("cpre.n").as("n_c_pre"), col("cpre.s").as("cents_c_pre"),
+        col("cpost.n").as("n_c_post"), col("cpost.s").as("cents_c_post"),
+        round(
+          (col("tpost.s").cast("double") / col("tpost.n").cast("double") -
+            col("tpre.s").cast("double") / col("tpre.n").cast("double")) -
+          (col("cpost.s").cast("double") / col("cpost.n").cast("double") -
+            col("cpre.s").cast("double") / col("cpre.n").cast("double")),
+          6).as("did_cents6"))
+  }
+
+  val qEventsDidOracle: String =
+    """WITH p AS (SELECT
+        ('0x' || substr(md5(user_id::VARCHAR), 1, 6))::BIGINT % 2 = 0
+          AS treat,
+        dayofmonth(ts) > 15 AS post,
+        CAST(round(value * 100) AS BIGINT) cents
+      FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT treat, post, count(*)::BIGINT n, sum(cents)::BIGINT s
+        FROM p GROUP BY 1, 2),
+      w AS (SELECT
+        max(CASE WHEN treat AND NOT post THEN n END) n_t_pre,
+        max(CASE WHEN treat AND NOT post THEN s END) cents_t_pre,
+        max(CASE WHEN treat AND post THEN n END) n_t_post,
+        max(CASE WHEN treat AND post THEN s END) cents_t_post,
+        max(CASE WHEN NOT treat AND NOT post THEN n END) n_c_pre,
+        max(CASE WHEN NOT treat AND NOT post THEN s END) cents_c_pre,
+        max(CASE WHEN NOT treat AND post THEN n END) n_c_post,
+        max(CASE WHEN NOT treat AND post THEN s END) cents_c_post
+      FROM c)
+      SELECT n_t_pre, cents_t_pre, n_t_post, cents_t_post,
+        n_c_pre, cents_c_pre, n_c_post, cents_c_post,
+        round((cents_t_post::DOUBLE / n_t_post
+            - cents_t_pre::DOUBLE / n_t_pre)
+          - (cents_c_post::DOUBLE / n_c_post
+            - cents_c_pre::DOUBLE / n_c_pre), 6) AS did_cents6
+      FROM w"""
+
   // ---------- one-way ANOVA (does the segment mean differ?) ----------
   /** One-way ANOVA F-test of customer balance across market segments —
     * the "does this dimension matter?" screen that complements
@@ -2529,6 +2602,7 @@ object EventOps {
     "q_stats_anova" -> (qStatsAnova _),
     "q_stats_bootstrap" -> (qStatsBootstrap _),
     "q_join_pit" -> (qJoinPit _),
+    "q_events_did" -> (qEventsDid _),
     "q_events_seasonality" -> (qEventsSeasonality _),
     "q_window_ewma" -> (qWindowEwma _),
     "q_events_ltv" -> (qEventsLtv _),
@@ -2575,6 +2649,7 @@ object EventOps {
     "q_stats_anova" -> qStatsAnovaOracle,
     "q_stats_bootstrap" -> qStatsBootstrapOracle,
     "q_join_pit" -> qJoinPitOracle,
+    "q_events_did" -> qEventsDidOracle,
     "q_events_seasonality" -> qEventsSeasonalityOracle,
     "q_window_ewma" -> qWindowEwmaOracle,
     "q_events_ltv" -> qEventsLtvOracle,

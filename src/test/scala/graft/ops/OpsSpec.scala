@@ -1985,6 +1985,49 @@ class OpsSpec extends AnyFunSuite {
       s"bootstrap SE ${r.getDouble(3)} vs analytic $analytic")
   }
 
+  test("did: four cells partition the purchases, the estimator replays " +
+    "locally, and the hash-split design reads near zero effect") {
+    val purchases = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .selectExpr("user_id", "dayofmonth(ts) AS dom",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    def treat(uid: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(uid.toString.getBytes("UTF-8"))
+        .take(3).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 2 == 0
+    }
+    val cells = purchases.groupBy(p => (treat(p._1), p._2 > 15))
+      .map { case (k, ps) => k -> (ps.length.toLong, ps.map(_._3).sum) }
+    assert(cells.size == 4, "all four DiD cells must be populated")
+    val r = EventOps.qEventsDid(spark, dir).collect().head
+    val (tpre, tpost) = (cells((true, false)), cells((true, true)))
+    val (cpre, cpost) = (cells((false, false)), cells((false, true)))
+    assert((r.getLong(0), r.getLong(1)) == tpre &&
+      (r.getLong(2), r.getLong(3)) == tpost &&
+      (r.getLong(4), r.getLong(5)) == cpre &&
+      (r.getLong(6), r.getLong(7)) == cpost)
+    // cells cover every purchase exactly once
+    assert(Seq(tpre, tpost, cpre, cpost).map(_._1).sum ==
+      purchases.length.toLong)
+    def m(c: (Long, Long)): Double = c._2.toDouble / c._1
+    val did = (m(tpost) - m(tpre)) - (m(cpost) - m(cpre))
+    assert(math.abs(r.getDouble(8) - math.rint(did * 1e6) / 1e6) < 1e-9)
+    // hash assignment is independent of value: the true effect is zero,
+    // so the readout must sit inside a generous noise band (cents)
+    val sd = {
+      val all = purchases.map(_._3.toDouble)
+      val mu = all.sum / all.length
+      math.sqrt(all.map(x => (x - mu) * (x - mu)).sum / (all.length - 1))
+    }
+    val se = sd * math.sqrt(Seq(tpre, tpost, cpre, cpost)
+      .map(c => 1.0 / c._1).sum)
+    assert(math.abs(r.getDouble(8)) < 5 * se,
+      s"DiD ${r.getDouble(8)} outside 5*SE=$se of the null design")
+  }
+
   test("bleu: corpus metric equals a local clipped-precision replay of " +
     "the planted degradation") {
     val docs = Tables.documents(spark, dir)
