@@ -2208,6 +2208,253 @@ object EventOps {
             - cents_c_pre::DOUBLE / n_c_pre), 6) AS did_cents6
       FROM w"""
 
+  // ---------- Markov transition structure of the event stream ----------
+  /** First-order Markov chain over per-user event-type sequences: the
+    * transition count matrix, row-stochastic probabilities, and the
+    * per-state transition entropy — the "how predictable is the next
+    * event" readout that sits under session-level sequence models and
+    * next-event recommenders.
+    *
+    * Exactness: transition counts are exact integers from a lag window
+    * ordered by (ts, event_id) — a total order, so the pair set is
+    * deterministic. Probabilities are emitted as floor-ppm integers
+    * (n·10⁶ div total). The entropy H(next|from) quantizes each
+    * −p·log₂p term to integer nano-units BEFORE summing (the χ²/nDCG
+    * discipline: the sum of BIGINTs is order-independent, and 1e-9
+    * absorbs engine-level log ulp differences).
+    *
+    * Scale shape: ONE fact-scale window partitioned by user_id (the
+    * same per-user shuffle every sequence operator here pays), then a
+    * 25-row (|types|²) aggregate; the row-total join broadcasts a
+    * |types|-row table. No global windows, no collects.
+    */
+  def qEventsMarkov(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("to_type"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("total"))
+    val terms = trans.join(broadcast(totals), "from_type")
+      .withColumn("p", col("n").cast("double") / col("total").cast("double"))
+      .withColumn("term_n9",
+        expr("CAST(round(-p * log2(p) * 1e9) AS BIGINT)"))
+    val entropy = terms.groupBy(col("from_type"))
+      .agg(sum(col("term_n9")).as("h_n9"))
+    terms.join(broadcast(entropy), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"), col("total"),
+        expr("n * 1000000L div total").as("p_ppm"),
+        col("h_n9").as("h_from_n9"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val qEventsMarkovOracle: String =
+    """WITH seq AS (SELECT event_type to_type,
+        lag(event_type) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) from_type
+      FROM events),
+      trans AS (SELECT from_type, to_type, count(*)::BIGINT n FROM seq
+        WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT from_type, sum(n)::BIGINT total FROM trans GROUP BY 1),
+      term AS (SELECT t.from_type, t.to_type, t.n, o.total,
+          CAST(round(-(t.n::DOUBLE / o.total) *
+            log2(t.n::DOUBLE / o.total) * 1e9) AS BIGINT) term_n9
+        FROM trans t JOIN tot o USING (from_type)),
+      ent AS (SELECT from_type, sum(term_n9)::BIGINT h_n9 FROM term
+        GROUP BY 1)
+      SELECT t.from_type, t.to_type, t.n, t.total,
+        t.n * 1000000 // t.total AS p_ppm, e.h_n9 AS h_from_n9
+      FROM term t JOIN ent e USING (from_type)
+      ORDER BY t.from_type, t.to_type"""
+
+  // ---------- Welch two-sample t-test ----------
+  /** Welch's unequal-variance two-sample t-test on purchase value
+    * between the md5-parity user split — the pairwise companion of
+    * [[qStatsAnova]] and the significance readout behind
+    * [[qEventsDid]]'s point estimate. Welch (not pooled Student) is
+    * the default at pipeline scale because group sizes and variances
+    * are never equal by design.
+    *
+    * Exactness: each group reduces to the exact moment triple
+    * (n, Σc, Σc²) in integer cents; the unbiased variance is formed as
+    * the EXACT integer numerator n·Σc² − (Σc)² in DECIMAL(38,0) (the
+    * Σc cross product would overflow BIGINT near 10 TB of cents)
+    * before one double division, so t and the Welch–Satterthwaite df
+    * are closed-form doubles over exact inputs — bit-identical across
+    * engines, rounded 1e-6.
+    *
+    * Scale shape: ONE combine-fed pass over the fact grouped by the
+    * 2-value split key; everything after runs on a 2-row table.
+    */
+  def qStatsTtest(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        (pmod(conv(substring(md5(col("user_id").cast("string")), 1, 6),
+          16, 10).cast("long"), lit(2L)) === 0L).as("treat"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy(col("treat"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("q"))
+      .withColumn("v", (col("n").cast("decimal(38,0)") *
+          col("q").cast("decimal(38,0)") -
+          col("s").cast("decimal(38,0)") * col("s").cast("decimal(38,0)"))
+        .cast("double") /
+        (col("n") * (col("n") - 1L)).cast("double"))
+    def side(t: Boolean, out: String): Column =
+      max(when(col("treat") === t,
+        struct(col("n"), col("s"), col("v")))).as(out)
+    g.agg(side(true, "a"), side(false, "b"))
+      .select(col("a.n").as("n_t"), col("b.n").as("n_c"),
+        col("a.s").as("cents_t"), col("b.s").as("cents_c"),
+        round(col("a.v"), 6).as("var_t6"), round(col("b.v"), 6).as("var_c6"),
+        round((col("a.s").cast("double") / col("a.n").cast("double") -
+            col("b.s").cast("double") / col("b.n").cast("double")) /
+          sqrt(col("a.v") / col("a.n").cast("double") +
+            col("b.v") / col("b.n").cast("double")), 6).as("t_welch6"),
+        round(
+          pow(col("a.v") / col("a.n").cast("double") +
+              col("b.v") / col("b.n").cast("double"), 2) /
+          (pow(col("a.v") / col("a.n").cast("double"), 2) /
+              (col("a.n").cast("double") - 1.0) +
+            pow(col("b.v") / col("b.n").cast("double"), 2) /
+              (col("b.n").cast("double") - 1.0)), 6).as("df_welch6"))
+  }
+
+  val qStatsTtestOracle: String =
+    """WITH p AS (SELECT
+        ('0x' || substr(md5(user_id::VARCHAR), 1, 6))::BIGINT % 2 = 0
+          AS treat,
+        CAST(round(value * 100) AS BIGINT) c
+      FROM events WHERE event_type = 'purchase'),
+      m AS (SELECT treat, count(*)::BIGINT n, sum(c)::BIGINT s,
+          sum(c * c)::BIGINT q FROM p GROUP BY 1),
+      v AS (SELECT treat, n, s,
+          (n::HUGEINT * q - s::HUGEINT * s)::DOUBLE
+            / (n * (n - 1))::DOUBLE AS v
+        FROM m),
+      w AS (SELECT
+          max(CASE WHEN treat THEN n END) n_t,
+          max(CASE WHEN NOT treat THEN n END) n_c,
+          max(CASE WHEN treat THEN s END) cents_t,
+          max(CASE WHEN NOT treat THEN s END) cents_c,
+          max(CASE WHEN treat THEN v END) v_t,
+          max(CASE WHEN NOT treat THEN v END) v_c
+        FROM v)
+      SELECT n_t, n_c, cents_t, cents_c,
+        round(v_t, 6) var_t6, round(v_c, 6) var_c6,
+        round((cents_t::DOUBLE / n_t - cents_c::DOUBLE / n_c)
+          / sqrt(v_t / n_t + v_c / n_c), 6) t_welch6,
+        round(pow(v_t / n_t + v_c / n_c, 2)
+          / (pow(v_t / n_t, 2) / (n_t - 1)
+            + pow(v_c / n_c, 2) / (n_c - 1)), 6) df_welch6
+      FROM w"""
+
+  // ---------- LTTB series downsampling (parallel variant) ----------
+  /** Largest-Triangle-Three-Buckets downsampling of the daily revenue
+    * series — the canonical "draw 10⁹ points on a 10³-pixel chart"
+    * reduction for monitoring dashboards. This is the PARALLEL variant:
+    * the classic LTTB anchors each triangle on the previously SELECTED
+    * point (a sequential dependence), which is replaced here by the
+    * left-bucket MEAN — every bucket then selects independently, which
+    * is the only formulation that distributes; the first/last points
+    * stay pinned per the original algorithm.
+    *
+    * Exactness: the triangle-area argmax is decided on the EXACT
+    * integer cross product scaled by nl²·nr (clearing the two bucket-
+    * mean denominators) in DECIMAL(38,0) — no doubles anywhere in the
+    * ordering, ties broken toward the earlier day.
+    *
+    * Scale shape: ONE combine-fed day aggregate over the fact; the
+    * bucket stats table (B = 8 rows) broadcasts to the day table for
+    * the neighbor means; the argmax is a groupBy over B buckets. No
+    * global windows — the day index is calendar arithmetic against a
+    * broadcast 1-row (min,count) aggregate, not a rank.
+    */
+  def qSeriesLttb(spark: SparkSession, dir: String): DataFrame = {
+    val B = 8
+    val days = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("y"))
+    val span = days.agg(min(col("d")).as("d0"),
+      count(lit(1)).as("nd"))
+    val pts = days.crossJoin(broadcast(span))
+      .select(col("d"), col("y"),
+        datediff(col("d"), col("d0")).cast("long").as("x"),
+        least(floor(datediff(col("d"), col("d0")) * B / col("nd")),
+          lit(B - 1L)).cast("long").as("b"))
+    val bk = pts.groupBy(col("b")).agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+    val dec = "decimal(38,0)"
+    val joined = pts
+      .join(broadcast(bk.select((col("b") + 1L).as("b"),
+        col("n").as("nl"), col("sx").as("sxl"), col("sy").as("syl"))),
+        Seq("b"), "left")
+      .join(broadcast(bk.select((col("b") - 1L).as("b"),
+        col("n").as("nr"), col("sx").as("sxr"), col("sy").as("syr"))),
+        Seq("b"), "left")
+      .withColumn("cross",
+        (col("sxl").cast(dec) * col("nr").cast(dec) -
+          col("sxr").cast(dec) * col("nl").cast(dec)) *
+          (col("y").cast(dec) * col("nl").cast(dec) -
+            col("syl").cast(dec)) -
+        (col("sxl").cast(dec) - col("x").cast(dec) * col("nl").cast(dec)) *
+          (col("syr").cast(dec) * col("nl").cast(dec) -
+            col("syl").cast(dec) * col("nr").cast(dec)))
+      .withColumn("area2", abs(col("cross")).cast(dec))
+    val keyed = joined.withColumn("key",
+      when(col("b") === 0L,
+        struct(lit(null).cast(dec).as("a"), (-col("x")).as("o"),
+          col("d").as("d"), col("y").as("y")))
+      .when(col("b") === (B - 1L),
+        struct(lit(null).cast(dec).as("a"), col("x").as("o"),
+          col("d").as("d"), col("y").as("y")))
+      .otherwise(struct(col("area2").as("a"), (-col("x")).as("o"),
+        col("d").as("d"), col("y").as("y"))))
+    keyed.groupBy(col("b")).agg(max(col("key")).as("k"))
+      .select(col("b").as("bucket"), col("k.d").as("sel_date"),
+        col("k.y").as("sel_cents"),
+        coalesce(col("k.a"), lit(0).cast(dec)).as("area2_scaled"))
+      .orderBy(col("bucket"))
+  }
+
+  val qSeriesLttbOracle: String =
+    """WITH days AS (SELECT ts::DATE d,
+        sum(CAST(round(value * 100) AS BIGINT))::BIGINT y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      span AS (SELECT min(d) d0, count(*)::BIGINT nd FROM days),
+      pts AS (SELECT d, y, datediff('day', d0, d)::BIGINT x,
+          least((datediff('day', d0, d) * 8) // nd, 7)::BIGINT b
+        FROM days, span),
+      bk AS (SELECT b, count(*)::BIGINT n, sum(x)::BIGINT sx,
+          sum(y)::BIGINT sy FROM pts GROUP BY 1),
+      j AS (SELECT p.*, l.n nl, l.sx sxl, l.sy syl,
+          r.n nr, r.sx sxr, r.sy syr
+        FROM pts p
+        LEFT JOIN bk l ON l.b = p.b - 1
+        LEFT JOIN bk r ON r.b = p.b + 1),
+      c AS (SELECT *,
+          abs((sxl::HUGEINT * nr - sxr::HUGEINT * nl)
+              * (y::HUGEINT * nl - syl)
+            - (sxl::HUGEINT - x::HUGEINT * nl)
+              * (syr::HUGEINT * nl - syl::HUGEINT * nr)) area2
+        FROM j),
+      sel AS (SELECT b, d, y, area2,
+          row_number() OVER (PARTITION BY b ORDER BY
+            CASE WHEN b = 0 THEN 0 WHEN b = 7 THEN 0 ELSE area2 END DESC,
+            CASE WHEN b = 7 THEN -x ELSE x END ASC) rn
+        FROM c)
+      SELECT b bucket, d sel_date, y sel_cents,
+        CASE WHEN b IN (0, 7) THEN 0 ELSE area2 END::DECIMAL(38,0)
+          AS area2_scaled
+      FROM sel WHERE rn = 1 ORDER BY bucket"""
+
   // ---------- one-way ANOVA (does the segment mean differ?) ----------
   /** One-way ANOVA F-test of customer balance across market segments —
     * the "does this dimension matter?" screen that complements
@@ -2601,6 +2848,9 @@ object EventOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stats_anova" -> (qStatsAnova _),
     "q_stats_bootstrap" -> (qStatsBootstrap _),
+    "q_events_markov" -> (qEventsMarkov _),
+    "q_stats_ttest" -> (qStatsTtest _),
+    "q_series_lttb" -> (qSeriesLttb _),
     "q_join_pit" -> (qJoinPit _),
     "q_events_did" -> (qEventsDid _),
     "q_events_seasonality" -> (qEventsSeasonality _),
@@ -2648,6 +2898,9 @@ object EventOps {
   val oracles: Map[String, String] = Map(
     "q_stats_anova" -> qStatsAnovaOracle,
     "q_stats_bootstrap" -> qStatsBootstrapOracle,
+    "q_events_markov" -> qEventsMarkovOracle,
+    "q_stats_ttest" -> qStatsTtestOracle,
+    "q_series_lttb" -> qSeriesLttbOracle,
     "q_join_pit" -> qJoinPitOracle,
     "q_events_did" -> qEventsDidOracle,
     "q_events_seasonality" -> qEventsSeasonalityOracle,

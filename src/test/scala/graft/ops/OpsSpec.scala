@@ -2358,4 +2358,114 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.head._3 == forgetLocal.size.toLong,
       s"customer purge ${rows.head._3} != local forget ${forgetLocal.size}")
   }
+
+  test("markov: transition counts replay locally, rows are stochastic " +
+    "(ppm floors sum within |types| of 1e6), and the per-state entropy " +
+    "equals the local quantized-term sum") {
+    val seq = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3)))
+    val localTrans = seq.groupBy(_._1).values.flatMap { es =>
+      val s = es.sortBy(e => (e._2.getTime, e._2.getNanos, e._3)).map(_._4)
+      s.zip(s.drop(1))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rows = EventOps.qEventsMarkov(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(r => (r._1, r._2) -> r._3).toMap == localTrans)
+    rows.groupBy(_._1).foreach { case (from, rs) =>
+      val total = rs.head._4
+      assert(rs.map(_._3).sum == total, s"$from: counts != total")
+      // floor-ppm probabilities lose < 1 ppm per row
+      val ppmSum = rs.map(_._5).sum
+      assert(ppmSum > 1000000L - rs.length && ppmSum <= 1000000L,
+        s"$from: ppm sum $ppmSum not stochastic")
+      val hLocal = rs.map { r =>
+        val p = r._3.toDouble / total
+        math.rint(-p * (math.log(p) / math.log(2)) * 1e9).toLong
+      }.sum
+      assert(rs.forall(_._6 == hLocal), s"$from: entropy != local $hLocal")
+      // H(next|from) bounded by log2 |types| for a 5-type alphabet
+      assert(hLocal >= 0L && hLocal <= math.rint(
+        math.log(5.0) / math.log(2) * 1e9).toLong + rs.length)
+    }
+  }
+
+  test("welch t: moments replay locally, the statistic matches the " +
+    "closed form, and the null hash-split design reads |t| small with " +
+    "df inside the Welch bounds") {
+    val cents = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .selectExpr("user_id", "CAST(round(value * 100) AS BIGINT) c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def treat(uid: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(uid.toString.getBytes("UTF-8"))
+        .take(3).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 2 == 0
+    }
+    val (a, b) = cents.partition(p => treat(p._1))
+    def mom(xs: Array[(Long, Long)]) = {
+      val n = xs.length.toLong
+      val s = xs.map(_._2).sum
+      val q = xs.map(x => BigInt(x._2) * x._2).sum
+      val v = (BigInt(n) * q - BigInt(s) * s).toDouble / (n * (n - 1)).toDouble
+      (n, s, v)
+    }
+    val ((nt, st, vt), (nc, sc, vc)) = (mom(a), mom(b))
+    val r = EventOps.qStatsTtest(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((nt, nc, st, sc)))
+    assert(r.getDouble(4) == math.rint(vt * 1e6) / 1e6 &&
+      r.getDouble(5) == math.rint(vc * 1e6) / 1e6)
+    val se2 = vt / nt + vc / nc
+    val t = (st.toDouble / nt - sc.toDouble / nc) / math.sqrt(se2)
+    assert(math.abs(r.getDouble(6) - math.rint(t * 1e6) / 1e6) < 1e-9)
+    val df = se2 * se2 / ((vt / nt) * (vt / nt) / (nt - 1) +
+      (vc / nc) * (vc / nc) / (nc - 1))
+    assert(math.abs(r.getDouble(7) - math.rint(df * 1e6) / 1e6) < 1e-9)
+    // hash assignment is independent of value ⇒ the true effect is zero
+    assert(math.abs(r.getDouble(6)) < 5.0,
+      s"null design |t|=${r.getDouble(6)} implausibly large")
+    // Welch df lies between min(n)-1 and the pooled n_t+n_c-2
+    assert(df >= math.min(nt, nc).toDouble - 1 && df <= (nt + nc - 2).toDouble)
+  }
+
+  test("lttb: endpoints pin the series extremes and each interior " +
+    "bucket selects the exact-integer max-area point among its members") {
+    val days = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("y"))
+      .collect().map(r => (r.getDate(0), r.getLong(1)))
+      .sortBy(_._1.getTime)
+    val d0 = days.head._1
+    def dayIdx(d: java.sql.Date): Long =
+      ((d.getTime - d0.getTime) / 86400000L)
+    val nd = days.length.toLong
+    val pts = days.map { case (d, y) =>
+      (d, y, dayIdx(d), math.min(dayIdx(d) * 8 / nd, 7L)) }
+    val bk = pts.groupBy(_._4).view.mapValues { xs =>
+      (xs.length.toLong, xs.map(_._3).sum, xs.map(_._2).sum) }.toMap
+    val rows = EventOps.qSeriesLttb(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDate(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == (0L to 7L))
+    assert(rows.head._2 == days.head._1 && rows.last._2 == days.last._1,
+      "first/last points must stay pinned")
+    rows.filter(r => r._1 > 0 && r._1 < 7).foreach { case (b, selD, selY) =>
+      val (nl, sxl, syl) = bk(b - 1)
+      val (nr, sxr, syr) = bk(b + 1)
+      def area2(x: Long, y: Long): BigInt =
+        ((BigInt(sxl) * nr - BigInt(sxr) * nl) * (BigInt(y) * nl - syl) -
+          (BigInt(sxl) - BigInt(x) * nl) * (BigInt(syr) * nl -
+            BigInt(syl) * nr)).abs
+      val best = pts.filter(_._4 == b)
+        .map(p => (area2(p._3, p._2), -p._3, p._1, p._2))
+        .maxBy(t => (t._1, t._2))
+      assert(best._3 == selD && best._4 == selY,
+        s"bucket $b: spark ($selD,$selY) != local argmax (${best._3},${best._4})")
+    }
+  }
 }
