@@ -3245,7 +3245,206 @@ object TextAnalysis {
         sum(CASE WHEN rk <= m THEN doc_id ELSE 0 END)::BIGINT sel_sum
       FROM r CROSS JOIN m GROUP BY lang ORDER BY lang"""
 
+  // ---------- ROC AUC (tie-aware Mann–Whitney) ----------
+  /** Ranking quality of the hashed linear classifier
+    * ([[qQualityClassifier]]) against the `lang = 'en'` label — the
+    * threshold-free companion of [[qQualityCalibration]]'s reliability
+    * table. AUC is computed as the tie-aware Mann–Whitney statistic:
+    * with documents grouped by score value s into (n_pos(s), n_neg(s))
+    * cells, 2·U = Σ_s n_pos(s)·(2·cneg_<(s) + n_neg(s)), where ties
+    * contribute the ½ each concordant orientation deserves — exact
+    * integers end-to-end, no per-pair work.
+    *
+    * Exactness: 2U and the denominator 2·n_pos·n_neg are formed in
+    * DECIMAL(38,0) (corpus² — a BIGINT would overflow past ~3·10⁹
+    * docs); auc_e6/gini2_e6 are integral floor divisions, identical in
+    * both engines.
+    *
+    * Scale shape: one scan-side score pass, one combine-fed aggregate
+    * to the score-value domain (margin_e4 ∈ [−10⁴, 10⁴] ⇒ ≤ 20001
+    * cells at ANY corpus size), then the cumulative window runs on the
+    * bounded cell table behind an eager localCheckpoint (the
+    * [[graft.ops.EventOps.qStatsKs]] discipline) and the final
+    * aggregate returns one row.
+    */
+  def qEvalAuc(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val words = split(col("text"), " ", -1)
+    val cell = Tables.documents(spark, dir)
+      .withColumn("n_words", size(words))
+      .withColumn("raw_score", aggregate(
+        transform(words, w =>
+          pmod(conv(substring(md5(w), 1, 6), 16, 10).cast("long"),
+            lit(4096L)) % 101 - 50),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("s", expr("raw_score * 10000 DIV (n_words * 50)"))
+      .groupBy(col("s"))
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("np"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("nn"))
+      .localCheckpoint() // ≤ 20001 rows, feeds cum + totals
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = cell
+      .withColumn("cn", sum(col("nn")).over(w) - col("nn"))
+      .withColumn("u2", col("np").cast(dec) *
+        (col("cn").cast(dec) * 2 + col("nn").cast(dec)))
+      .localCheckpoint() // window resolved; final agg sees a flat table
+    scored.agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("u2")).cast(dec).as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        expr("CAST(u2 * 1000000 DIV " +
+          "(CAST(n_pos AS DECIMAL(38,0)) * n_neg * 2) AS BIGINT)")
+          .as("auc_e6"),
+        expr("CAST(u2 * 1000000 DIV " +
+          "(CAST(n_pos AS DECIMAL(38,0)) * n_neg) - 1000000 AS BIGINT)")
+          .as("gini2_e6"))
+  }
+
+  val qEvalAucOracle: String =
+    """WITH s AS (SELECT lang,
+        len(string_split(text, ' '))::BIGINT AS n_words,
+        list_sum(list_transform(string_split(text, ' '), w ->
+          ('0x' || substr(md5(w), 1, 6))::BIGINT % 4096 % 101 - 50
+        ))::BIGINT AS raw_score
+      FROM documents),
+      cell AS (SELECT raw_score * 10000 // (n_words * 50) AS sc,
+          sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT np,
+          sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)::BIGINT nn
+        FROM s GROUP BY 1),
+      cum AS (SELECT sc, np, nn,
+          sum(nn) OVER (ORDER BY sc) - nn AS cn FROM cell),
+      u AS (SELECT sum(np)::HUGEINT n_pos, sum(nn)::HUGEINT n_neg,
+          sum(np::HUGEINT * (2 * cn::HUGEINT + nn))::HUGEINT u2
+        FROM cum)
+      SELECT n_pos::BIGINT n_pos, n_neg::BIGINT n_neg,
+        u2::DECIMAL(38,0) u2,
+        (u2 * 1000000 // (n_pos * n_neg * 2))::BIGINT auc_e6,
+        (u2 * 1000000 // (n_pos * n_neg) - 1000000)::BIGINT gini2_e6
+      FROM u"""
+
+  // ---------- isotonic calibration (PAV via the minimax identity) ----------
+  /** Isotonic regression of the observed `lang = 'en'` rate on the
+    * classifier margin bins — the calibration map a production scorer
+    * actually ships (monotone by construction, unlike the raw
+    * reliability table of [[qQualityCalibration]]). The sequential
+    * pool-adjacent-violators algorithm is replaced by its closed-form
+    * minimax identity — ŷ_i = max_{j≤i} min_{k≥i} wmean(y_j..y_k) —
+    * which is order-free and therefore distributes: after ONE fact-
+    * scale aggregate to the 10 margin bins, all candidate intervals
+    * (≤ 55) materialize from cumulative sums and the min/max resolve
+    * by ANTI-JOINS under EXACT fraction comparison (cross-multiplied
+    * in DECIMAL(38,0) — no float ordering anywhere), ties to the
+    * shortest interval.
+    *
+    * Output: per bin the raw and isotonic en-rates plus the fitted
+    * fraction (num, den) — exact integers; rates are floor-e6
+    * divisions (BIGINT-safe to ~10¹² docs; past that the e6 emit also
+    * moves to DECIMAL).
+    *
+    * Scale shape: one combine-fed 10-row aggregate from the corpus;
+    * everything after is constant-size (10 bins ⇒ 55 intervals).
+    */
+  def qCalibrateIsotonic(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val words = split(col("text"), " ", -1)
+    val bins = Tables.documents(spark, dir)
+      .withColumn("n_words", size(words))
+      .withColumn("raw_score", aggregate(
+        transform(words, w =>
+          pmod(conv(substring(md5(w), 1, 6), 16, 10).cast("long"),
+            lit(4096L)) % 101 - 50),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("margin_e4", expr("raw_score * 10000 DIV (n_words * 50)"))
+      .withColumn("bin",
+        expr("greatest(0L, least(9L, (margin_e4 + 10000) DIV 2000))"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+      .localCheckpoint() // ≤ 10 rows: the whole model state
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins
+      .withColumn("cd", sum(col("n_docs")).over(w))
+      .withColumn("ce", sum(col("n_en")).over(w))
+      .localCheckpoint()
+    // candidate intervals j..k with their weighted-mean fraction
+    val ends = cum.select(col("bin").as("k"), col("cd").as("cdk"),
+      col("ce").as("cek"))
+    val starts = cum.select((col("bin") + 1L).as("j"),
+        col("cd").as("cdj"), col("ce").as("cej"))
+      .unionByName(cum.sparkSession.range(1).select(lit(0L).as("j"),
+        lit(0L).as("cdj"), lit(0L).as("cej")))
+    val iv = ends.join(broadcast(starts), col("k") >= col("j"))
+      .select(col("j"), col("k"),
+        (col("cek") - col("cej")).cast(dec).as("num"),
+        (col("cdk") - col("cdj")).cast(dec).as("den"))
+    // m(i,j) = min over k ≥ i of the interval mean (tie: smallest k)
+    val cand = cum.select(col("bin").as("i"))
+      .join(broadcast(iv), col("j") <= col("i") && col("k") >= col("i"))
+    val mins = cand.alias("a").join(cand.alias("b"),
+        col("a.i") === col("b.i") && col("a.j") === col("b.j") &&
+          (col("b.num") * col("a.den") < col("a.num") * col("b.den") ||
+            (col("b.num") * col("a.den") === col("a.num") * col("b.den")
+              && col("b.k") < col("a.k"))),
+        "left_anti")
+    // iso(i) = max over j of m(i,j) (tie: smallest j)
+    val iso = mins.alias("a").join(mins.alias("b"),
+        col("a.i") === col("b.i") &&
+          (col("b.num") * col("a.den") > col("a.num") * col("b.den") ||
+            (col("b.num") * col("a.den") === col("a.num") * col("b.den")
+              && col("b.j") < col("a.j"))),
+        "left_anti")
+      .select(col("i").as("bin"), col("num").as("iso_num"),
+        col("den").as("iso_den"))
+    bins.join(broadcast(iso), "bin")
+      .select(col("bin"), col("n_docs"), col("n_en"),
+        expr("n_en * 1000000 DIV n_docs").as("raw_rate_e6"),
+        expr("CAST(iso_num AS BIGINT)").as("iso_num"),
+        expr("CAST(iso_den AS BIGINT)").as("iso_den"),
+        expr("CAST(iso_num * 1000000 DIV iso_den AS BIGINT)")
+          .as("iso_rate_e6"))
+      .orderBy(col("bin"))
+  }
+
+  val qCalibrateIsotonicOracle: String =
+    """WITH s AS (SELECT lang,
+        len(string_split(text, ' '))::BIGINT AS n_words,
+        list_sum(list_transform(string_split(text, ' '), w ->
+          ('0x' || substr(md5(w), 1, 6))::BIGINT % 4096 % 101 - 50
+        ))::BIGINT AS raw_score
+      FROM documents),
+      b AS (SELECT greatest(0, least(9,
+            (raw_score * 10000 // (n_words * 50) + 10000) // 2000)) AS bin,
+          (lang = 'en')::INT en FROM s),
+      bins AS (SELECT bin, count(*)::BIGINT n_docs,
+          sum(en)::BIGINT n_en FROM b GROUP BY 1),
+      cum AS (SELECT bin, sum(n_docs) OVER (ORDER BY bin)::BIGINT cd,
+          sum(n_en) OVER (ORDER BY bin)::BIGINT ce FROM bins),
+      iv AS (SELECT j.j, k.bin AS k,
+          (k.ce - j.cej)::HUGEINT num, (k.cd - j.cdj)::HUGEINT den
+        FROM cum k JOIN (
+          SELECT bin + 1 AS j, cd AS cdj, ce AS cej FROM cum
+          UNION ALL SELECT 0, 0, 0) j ON k.bin >= j.j),
+      cand AS (SELECT i.bin AS i, iv.* FROM cum i
+        JOIN iv ON iv.j <= i.bin AND iv.k >= i.bin),
+      mins AS (SELECT * FROM cand a WHERE NOT EXISTS (
+        SELECT 1 FROM cand b WHERE b.i = a.i AND b.j = a.j AND
+          (b.num * a.den < a.num * b.den OR
+            (b.num * a.den = a.num * b.den AND b.k < a.k)))),
+      iso AS (SELECT * FROM mins a WHERE NOT EXISTS (
+        SELECT 1 FROM mins b WHERE b.i = a.i AND
+          (b.num * a.den > a.num * b.den OR
+            (b.num * a.den = a.num * b.den AND b.j < a.j))))
+      SELECT bins.bin, bins.n_docs, bins.n_en,
+        bins.n_en * 1000000 // bins.n_docs AS raw_rate_e6,
+        iso.num::BIGINT iso_num, iso.den::BIGINT iso_den,
+        (iso.num * 1000000 // iso.den)::BIGINT iso_rate_e6
+      FROM bins JOIN iso ON iso.i = bins.bin
+      ORDER BY bins.bin"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eval_auc" -> (qEvalAuc _),
+    "q_calibrate_isotonic" -> (qCalibrateIsotonic _),
     "q_sample_balanced" -> (qSampleBalanced _),
     "q_eval_bleu" -> (qEvalBleu _),
     "q_text_zipf" -> (qTextZipf _),
@@ -3307,6 +3506,8 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_eval_auc" -> qEvalAucOracle,
+    "q_calibrate_isotonic" -> qCalibrateIsotonicOracle,
     "q_sample_balanced" -> qSampleBalancedOracle,
     "q_eval_bleu" -> qEvalBleuOracle,
     "q_text_zipf" -> qTextZipfOracle,

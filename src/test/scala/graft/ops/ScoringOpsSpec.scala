@@ -526,4 +526,93 @@ class ScoringOpsSpec extends AnyFunSuite {
     assert(math.abs(projVar(start) - lambda) > lambda * 1e-3,
       "certificate would be vacuous: start direction also passes")
   }
+
+  // margins + labels for the AUC/isotonic pair, replayed locally
+  private lazy val marginLabels: Array[(Long, Boolean)] =
+    Tables.documents(spark, dir).select("lang", "text").collect()
+      .map { r =>
+        val ws = r.getString(1).split(" ", -1)
+        val score = ws.map { w =>
+          java.lang.Long.parseLong(md5hex(w).substring(0, 6), 16) %
+            4096 % 101 - 50
+        }.sum
+        (score * 10000L / (ws.length * 50L), r.getString(0) == "en")
+      }
+
+  test("auc: the tie-aware statistic equals a brute-force pairwise " +
+    "count over every (pos, neg) pair") {
+    val pos = marginLabels.filter(_._2).map(_._1)
+    val neg = marginLabels.filterNot(_._2).map(_._1)
+    // O(n_pos * n_neg) ground truth: 2U = 2*concordant + ties
+    var u2 = BigInt(0)
+    pos.foreach { p =>
+      neg.foreach { n =>
+        if (p > n) u2 += 2 else if (p == n) u2 += 1
+      }
+    }
+    val r = TextAnalysis.qEvalAuc(spark, dir).collect().head
+    assert(r.getLong(0) == pos.length.toLong &&
+      r.getLong(1) == neg.length.toLong)
+    assert(BigInt(r.getDecimal(2).toBigInteger) == u2,
+      s"2U ${r.getDecimal(2)} != pairwise $u2")
+    val denom = BigInt(pos.length) * neg.length
+    assert(r.getLong(3) == (u2 * 1000000 / (denom * 2)).toLong)
+    assert(r.getLong(4) == (u2 * 1000000 / denom - 1000000).toLong)
+    // the hash-derived scorer must be non-degenerate on this corpus
+    assert(r.getLong(3) > 0L && r.getLong(3) < 1000000L)
+  }
+
+  test("isotonic: fitted rates equal a sequential PAV replay as exact " +
+    "fractions and are monotone non-decreasing in the margin bin") {
+    val bins = marginLabels
+      .map { case (m, en) => (math.max(0L, math.min(9L, (m + 10000) / 2000)),
+        en) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (b, xs) => (b, xs.length.toLong,
+        xs.count(_._2).toLong) }
+    // classic stack PAV over (weight=n_docs, value=n_en/n_docs)
+    case class Block(num: Long, den: Long)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Block]
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    bins.foreach { case (_, n, e) =>
+      stack += Block(e, n); sizes += 1
+      while (stack.length > 1 &&
+        // pool while previous block mean >= current block mean
+        BigInt(stack(stack.length - 2).num) * stack.last.den >=
+          BigInt(stack.last.num) * stack(stack.length - 2).den) {
+        val b = stack.remove(stack.length - 1)
+        val a = stack.remove(stack.length - 1)
+        stack += Block(a.num + b.num, a.den + b.den)
+        val s = sizes.remove(sizes.length - 1)
+        sizes(sizes.length - 1) += s
+      }
+    }
+    val fitted = stack.zip(sizes).flatMap { case (b, k) =>
+      Seq.fill(k)(b) }
+    val rows = TextAnalysis.qCalibrateIsotonic(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.map(r => (r._1, r._2, r._3)).toSeq == bins,
+      "bin table must match the local aggregate")
+    rows.zip(fitted).foreach { case (r, blk) =>
+      assert(BigInt(r._5) * blk.den == BigInt(blk.num) * r._6,
+        s"bin ${r._1}: minimax ${r._5}/${r._6} != PAV ${blk.num}/${blk.den}")
+      assert(r._7 == r._5 * 1000000L / r._6)
+    }
+    // monotone: each successive fraction is >= the previous one
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(BigInt(a._5) * b._6 <= BigInt(b._5) * a._6,
+          s"isotonic fit not monotone between bins ${a._1} and ${b._1}")
+      case _ =>
+    }
+    // non-vacuity: the raw rates on this corpus are NOT monotone, so
+    // the fit had to pool at least two bins
+    val rawMonotone = rows.sliding(2).forall {
+      case Array(a, b) => BigInt(a._3) * b._2 <= BigInt(b._3) * a._2
+      case _ => true
+    }
+    assert(!rawMonotone || stack.length < bins.length,
+      "corpus gives monotone raw rates AND no pooling: spec is vacuous")
+  }
 }
