@@ -2208,6 +2208,187 @@ object EventOps {
             - cents_c_pre::DOUBLE / n_c_pre), 6) AS did_cents6
       FROM w"""
 
+  // ---------- multiple linear regression (exact normal equations) ----------
+  /** Two-feature OLS of purchase cents on hour-of-day and a weekend
+    * indicator — "does time of day / weekend explain spend?", the
+    * regression readout under every trend-adjusted metric. The fit is
+    * the closed-form normal-equation solve: ONE combine-fed pass
+    * reduces the fact to the ten sufficient moments (n, Σx₁, Σx₂,
+    * Σx₁², Σx₁x₂, Σx₂², Σy, Σx₁y, Σx₂y, Σy²) — the only OLS that
+    * exists at 100 TB — and β comes from Cramer's rule on the 3×3
+    * Gram matrix.
+    *
+    * Exactness: every moment is an exact integer; the four 3×3
+    * determinants are formed in DECIMAL(38,0) (triple products reach
+    * ~10³⁰ at sf0.1 — BIGINT dies at ~10¹⁹; past ~10¹² rows even 38
+    * digits saturate and a production build would center features
+    * first, which this derivation notes rather than hides). β and R²
+    * are closed-form doubles over those exact integers — bit-identical
+    * across engines — rounded 1e-6. Weekend uses weekday()+1 ≡ DuckDB
+    * isodow (the [[qEventsSeasonality]] week-numbering lesson).
+    *
+    * Scale shape: one aggregate to a single moment row; everything
+    * after is constant-size arithmetic.
+    */
+  def qStatsLinreg(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(hour(col("ts")).cast("long").as("x1"),
+        (weekday(col("ts")) + 1 >= 6).cast("long").as("x2"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("y"))
+      .agg(count(lit(1)).as("n"), sum(col("x1")).as("s1"),
+        sum(col("x2")).as("s2"), sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("y")).as("sy"), sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"),
+        sum(col("y") * col("y")).as("syy"))
+    def det3(a: String, b: String, c: String, d: String, e: String,
+        f: String, g: String, h: String, i: String): String = {
+      def D(x: String) = s"CAST($x AS DECIMAL(38,0))"
+      s"(${D(a)}*(${D(e)}*${D(i)} - ${D(f)}*${D(h)}) - " +
+        s"${D(b)}*(${D(d)}*${D(i)} - ${D(f)}*${D(g)}) + " +
+        s"${D(c)}*(${D(d)}*${D(h)} - ${D(e)}*${D(g)}))"
+    }
+    val dd  = det3("n", "s1", "s2", "s1", "s11", "s12", "s2", "s12", "s22")
+    val d0  = det3("sy", "s1", "s2", "s1y", "s11", "s12", "s2y", "s12", "s22")
+    val d1  = det3("n", "sy", "s2", "s1", "s1y", "s12", "s2", "s2y", "s22")
+    val d2  = det3("n", "s1", "sy", "s1", "s11", "s1y", "s2", "s12", "s2y")
+    m.withColumn("det", expr(dd))
+      .withColumn("b0", expr(s"CAST($d0 AS DOUBLE) / CAST(det AS DOUBLE)"))
+      .withColumn("b1", expr(s"CAST($d1 AS DOUBLE) / CAST(det AS DOUBLE)"))
+      .withColumn("b2", expr(s"CAST($d2 AS DOUBLE) / CAST(det AS DOUBLE)"))
+      .withColumn("sse", expr("CAST(syy AS DOUBLE) - " +
+        "(b0 * CAST(sy AS DOUBLE) + b1 * CAST(s1y AS DOUBLE) + " +
+        "b2 * CAST(s2y AS DOUBLE))"))
+      .withColumn("sst", expr("CAST(syy AS DOUBLE) - " +
+        "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)"))
+      .select(col("n"), col("det").cast("double").as("det"),
+        round(col("b0") / 100.0, 6).as("intercept6"),
+        round(col("b1") / 100.0, 6).as("beta_hour6"),
+        round(col("b2") / 100.0, 6).as("beta_weekend6"),
+        round(lit(1.0) - col("sse") / col("sst"), 6).as("r2_6"))
+  }
+
+  val qStatsLinregOracle: String = {
+    def det3(a: String, b: String, c: String, d: String, e: String,
+        f: String, g: String, h: String, i: String): String =
+      s"($a::HUGEINT*($e::HUGEINT*$i - $f::HUGEINT*$h) - " +
+        s"$b::HUGEINT*($d::HUGEINT*$i - $f::HUGEINT*$g) + " +
+        s"$c::HUGEINT*($d::HUGEINT*$h - $e::HUGEINT*$g))"
+    val dd  = det3("n", "s1", "s2", "s1", "s11", "s12", "s2", "s12", "s22")
+    val d0  = det3("sy", "s1", "s2", "s1y", "s11", "s12", "s2y", "s12", "s22")
+    val d1  = det3("n", "sy", "s2", "s1", "s1y", "s12", "s2", "s2y", "s22")
+    val d2  = det3("n", "s1", "sy", "s1", "s11", "s1y", "s2", "s12", "s2y")
+    s"""WITH p AS (SELECT hour(ts)::BIGINT x1,
+        (isodow(ts) >= 6)::BIGINT x2,
+        CAST(round(value * 100) AS BIGINT) y
+      FROM events WHERE event_type = 'purchase'),
+      m AS (SELECT count(*)::BIGINT n, sum(x1)::BIGINT s1,
+          sum(x2)::BIGINT s2, sum(x1*x1)::BIGINT s11,
+          sum(x1*x2)::BIGINT s12, sum(x2*x2)::BIGINT s22,
+          sum(y)::BIGINT sy, sum(x1*y)::BIGINT s1y,
+          sum(x2*y)::BIGINT s2y, sum(y*y)::BIGINT syy FROM p),
+      d AS (SELECT *, $dd AS det, $d0 AS det0, $d1 AS det1, $d2 AS det2
+        FROM m),
+      s AS (SELECT *, det0::DOUBLE / det::DOUBLE b0,
+          det1::DOUBLE / det::DOUBLE b1, det2::DOUBLE / det::DOUBLE b2
+        FROM d),
+      f AS (SELECT *,
+          syy::DOUBLE - (b0 * sy::DOUBLE + b1 * s1y::DOUBLE +
+            b2 * s2y::DOUBLE) AS sse,
+          syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE AS sst
+        FROM s)
+      SELECT n, det::DOUBLE det,
+        round(b0 / 100.0, 6) intercept6,
+        round(b1 / 100.0, 6) beta_hour6,
+        round(b2 / 100.0, 6) beta_weekend6,
+        round(1.0 - sse / sst, 6) r2_6
+      FROM f"""
+  }
+
+  // ---------- max-concurrency sweep over session intervals ----------
+  /** Per-hour concurrent-session load — how many 10-minute-gap sessions
+    * ([[qEventsSession]]'s convention, half-open [start, last+timeout))
+    * are simultaneously open — the capacity-planning readout behind
+    * connection pools and rate limits. The classic sequential +1/−1
+    * sweep distributes as a two-level prefix sum: boundary events
+    * collapse to (hour, instant) cells carrying (arrivals, departures);
+    * per-hour nets cumulate GLOBALLY on the hour-bounded table (behind
+    * an eager localCheckpoint, the [[qStatsKs]] discipline) giving each
+    * hour's opening concurrency, and the within-hour running sum is a
+    * window PARTITIONED BY HOUR — the same opener-carry shape as
+    * [[qEventsGapfill]]'s LOCF.
+    *
+    * Departures apply BEFORE arrivals at an equal instant (half-open
+    * intervals: a session ending at t does not overlap one starting at
+    * t), so the peak candidate at a cell is the cumulative THROUGH the
+    * cell, and an hour's peak is max(opening value, best cell) — exact
+    * integers throughout, order-independent because cells aggregate
+    * per instant before any window runs.
+    *
+    * Scale shape: one user-keyed session aggregate, one combine-fed
+    * cell aggregate, hour-partitioned windows; at extreme volume the
+    * instant key coarsens to seconds to bound cells per hour (noted,
+    * not needed at test scale).
+    */
+  def qEventsConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val sess = Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("s"),
+        unix_micros(col("w.end")).as("e"))
+    val bounds = sess.select(col("s").as("t"), lit(1L).as("a"), lit(0L).as("d"))
+      .unionByName(sess.select(col("e").as("t"), lit(0L).as("a"),
+        lit(1L).as("d")))
+    val cells = bounds
+      .groupBy((col("t") / 3600000000L).cast("long").as("hr"), col("t"))
+      .agg(sum(col("a")).as("a"), sum(col("d")).as("d"))
+    val hourNet = cells.groupBy(col("hr"))
+      .agg(sum(col("a") - col("d")).as("net"), sum(col("a")).as("starts"),
+        sum(col("d")).as("ends"))
+      .localCheckpoint() // hour-bounded table feeds the global opener sum
+    val wHours = Window.orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val opens = hourNet
+      .withColumn("open", sum(col("net")).over(wHours) - col("net"))
+      .localCheckpoint()
+    val wIn = Window.partitionBy(col("hr")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val peaks = cells
+      .withColumn("run", sum(col("a") - col("d")).over(wIn))
+      .groupBy(col("hr")).agg(max(col("run")).as("best"))
+    opens.join(peaks, "hr")
+      .select(col("hr"), col("starts"), col("ends"), col("open"),
+        greatest(col("open"), col("open") + col("best")).as("peak"))
+      .orderBy(col("hr"))
+  }
+
+  val qEventsConcurrencyOracle: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) eu FROM events),
+      m AS (SELECT *, CASE WHEN lag(eu) OVER w IS NULL
+          OR eu - lag(eu) OVER w >= 600000000 THEN 1 ELSE 0 END AS brk
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY eu)),
+      g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY eu
+          ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+      sess AS (SELECT min(eu) s, max(eu) + 600000000 e
+        FROM g GROUP BY user_id, sid),
+      bounds AS (SELECT s AS t, 1::BIGINT a, 0::BIGINT d FROM sess
+        UNION ALL SELECT e, 0, 1 FROM sess),
+      cells AS (SELECT t // 3600000000 AS hr, t,
+          sum(a)::BIGINT a, sum(d)::BIGINT d
+        FROM bounds GROUP BY 1, 2),
+      hn AS (SELECT hr, sum(a - d)::BIGINT net, sum(a)::BIGINT starts,
+          sum(d)::BIGINT ends FROM cells GROUP BY 1),
+      op AS (SELECT hr, starts, ends,
+          (sum(net) OVER (ORDER BY hr) - net)::BIGINT AS open FROM hn),
+      run AS (SELECT hr, sum(a - d) OVER (PARTITION BY hr ORDER BY t
+          ROWS UNBOUNDED PRECEDING) AS run FROM cells),
+      pk AS (SELECT hr, max(run)::BIGINT best FROM run GROUP BY hr)
+      SELECT op.hr, op.starts, op.ends, op.open,
+        greatest(op.open, op.open + pk.best) AS peak
+      FROM op JOIN pk USING (hr) ORDER BY op.hr"""
+
   // ---------- Markov transition structure of the event stream ----------
   /** First-order Markov chain over per-user event-type sequences: the
     * transition count matrix, row-stochastic probabilities, and the
@@ -2849,6 +3030,8 @@ object EventOps {
     "q_stats_anova" -> (qStatsAnova _),
     "q_stats_bootstrap" -> (qStatsBootstrap _),
     "q_events_markov" -> (qEventsMarkov _),
+    "q_stats_linreg" -> (qStatsLinreg _),
+    "q_events_concurrency" -> (qEventsConcurrency _),
     "q_stats_ttest" -> (qStatsTtest _),
     "q_series_lttb" -> (qSeriesLttb _),
     "q_join_pit" -> (qJoinPit _),
@@ -2899,6 +3082,8 @@ object EventOps {
     "q_stats_anova" -> qStatsAnovaOracle,
     "q_stats_bootstrap" -> qStatsBootstrapOracle,
     "q_events_markov" -> qEventsMarkovOracle,
+    "q_stats_linreg" -> qStatsLinregOracle,
+    "q_events_concurrency" -> qEventsConcurrencyOracle,
     "q_stats_ttest" -> qStatsTtestOracle,
     "q_series_lttb" -> qSeriesLttbOracle,
     "q_join_pit" -> qJoinPitOracle,

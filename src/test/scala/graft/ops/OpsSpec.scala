@@ -2433,6 +2433,95 @@ class OpsSpec extends AnyFunSuite {
     assert(df >= math.min(nt, nc).toDouble - 1 && df <= (nt + nc - 2).toDouble)
   }
 
+  test("linreg: betas equal a BigInt-Cramer replay of the normal " +
+    "equations and R^2 lies in [0,1] with SSE <= SST") {
+    val rows = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .selectExpr("hour(ts) AS x1",
+        "CAST(weekday(ts) + 1 >= 6 AS INT) AS x2",
+        "CAST(round(value * 100) AS BIGINT) AS y")
+      .collect().map(r => (r.getInt(0).toLong, r.getInt(1).toLong,
+        r.getLong(2)))
+    val n = rows.length.toLong
+    def S(f: ((Long, Long, Long)) => Long): BigInt =
+      rows.map(x => BigInt(f(x))).sum
+    val (s1, s2, s11, s12, s22) = (S(_._1), S(_._2),
+      S(t => t._1 * t._1), S(t => t._1 * t._2), S(t => t._2 * t._2))
+    val (sy, s1y, s2y, syy) = (S(_._3), S(t => t._1 * t._3),
+      S(t => t._2 * t._3), S(t => t._3 * t._3))
+    def det3(m: Seq[BigInt]): BigInt =
+      m(0) * (m(4) * m(8) - m(5) * m(7)) -
+        m(1) * (m(3) * m(8) - m(5) * m(6)) +
+        m(2) * (m(3) * m(7) - m(4) * m(6))
+    val A = Seq(BigInt(n), s1, s2, s1, s11, s12, s2, s12, s22)
+    val d = det3(A)
+    val b0 = det3(Seq(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)).toDouble /
+      d.toDouble
+    val b1 = det3(Seq(BigInt(n), sy, s2, s1, s1y, s12, s2, s2y, s22))
+      .toDouble / d.toDouble
+    val b2 = det3(Seq(BigInt(n), s1, sy, s1, s11, s1y, s2, s12, s2y))
+      .toDouble / d.toDouble
+    val r = EventOps.qStatsLinreg(spark, dir).collect().head
+    assert(r.getLong(0) == n && r.getDouble(1) == d.toDouble)
+    assert(r.getDouble(2) == math.rint(b0 / 100.0 * 1e6) / 1e6 &&
+      r.getDouble(3) == math.rint(b1 / 100.0 * 1e6) / 1e6 &&
+      r.getDouble(4) == math.rint(b2 / 100.0 * 1e6) / 1e6)
+    val sse = syy.toDouble -
+      (b0 * sy.toDouble + b1 * s1y.toDouble + b2 * s2y.toDouble)
+    val sst = syy.toDouble - sy.toDouble * sy.toDouble / n
+    assert(r.getDouble(5) == math.rint((1.0 - sse / sst) * 1e6) / 1e6)
+    assert(sse >= 0 && sse <= sst && r.getDouble(5) >= 0 &&
+      r.getDouble(5) <= 1)
+    // normal equations hold at the solution (scaled residuals ~ 0)
+    val e1 = b0 * n + b1 * s1.toDouble + b2 * s2.toDouble - sy.toDouble
+    assert(math.abs(e1) < 1e-6 * math.abs(sy.toDouble),
+      s"normal equation residual $e1")
+  }
+
+  test("concurrency: per-hour open/peak equal a sequential global sweep " +
+    "with departures before arrivals, and every session closes") {
+    val events = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("eu"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sessions = events.groupBy(_._1).values.flatMap { es =>
+      val ts = es.map(_._2).sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var start = ts.head; var prev = ts.head
+      ts.drop(1).foreach { t =>
+        if (t - prev >= 600000000L) { out += ((start, prev + 600000000L))
+          start = t }
+        prev = t
+      }
+      out += ((start, prev + 600000000L))
+      out.toSeq
+    }.toSeq
+    // sequential sweep: at equal instants departures apply first
+    val bounds = (sessions.map(s => (s._1, 1)) ++
+      sessions.map(s => (s._2, -1))).sortBy(b => (b._1, b._2))
+    var v = 0L
+    val hourly = scala.collection.mutable.LinkedHashMap
+      .empty[Long, (Long, Long, Long, Long)] // starts, ends, open, peak
+    bounds.foreach { case (t, delta) =>
+      val hr = t / 3600000000L
+      val (st, en, op, pk) = hourly.getOrElseUpdate(hr, (0L, 0L, v, v))
+      v += delta
+      hourly(hr) = (st + (if (delta > 0) 1 else 0),
+        en + (if (delta < 0) 1 else 0), op, math.max(pk, v))
+    }
+    assert(v == 0L, "sweep must end with every session closed")
+    val rows = EventOps.qEventsConcurrency(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSeq == hourly.keys.toSeq.sorted)
+    rows.foreach { case (hr, got) =>
+      assert(got == hourly(hr), s"hour $hr: $got != local ${hourly(hr)}")
+    }
+    assert(rows.map(_._2._1).sum == sessions.length.toLong &&
+      rows.map(_._2._2).sum == sessions.length.toLong)
+    // non-vacuity: the corpus must actually overlap somewhere
+    assert(rows.map(_._2._4).max > 1L, "no concurrency: spec is vacuous")
+  }
+
   test("lttb: endpoints pin the series extremes and each interior " +
     "bucket selects the exact-integer max-area point among its members") {
     val days = Tables.events(spark, dir)
