@@ -1544,7 +1544,136 @@ object Similarity {
           ELSE round(ap9::DOUBLE / (m10::DOUBLE * 1e9), 6) END AS ap6
       FROM agg ORDER BY a_id"""
 
+  // ---------- MMR diversified retrieval ----------
+  /** Maximal Marginal Relevance re-ranking — the diversity-aware
+    * retrieval op RAG stacks run after ANN: from each anchor's top-10
+    * cosine candidates, greedily select 5 maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) with λ = 0.7, so near-
+    * duplicate hits stop crowding out coverage. First pick = highest
+    * relevance; ties break toward the smaller candidate id.
+    *
+    * Exactness: rel and candidate-pair sims are 1e-6-rounded cosines
+    * (the [[qAnnTopk]] kernel) lifted to exact integers (rel_e6), and
+    * the greedy objective runs ENTIRELY in integers:
+    * score_e7 = 7·rel_e6 − 3·ms_e6. This is not pedantry — scores of
+    * 1e-6-multiples are 1e-7-multiples, so exact HALF boundaries are
+    * common, and at a half Spark's round(double) (BigDecimal.valueOf
+    * → shortest decimal string → HALF_UP) disagrees with DuckDB's
+    * binary-value rounding: sf0.1 hit one (raw 0.2531015 → .253102 vs
+    * .253101). Integer scores cannot tie-break differently. The oracle
+    * replays the SAME trajectory with a per-anchor recursive CTE
+    * carrying the selected vectors (list-comprehension max — the
+    * depth-2 LATERAL trap from SURVEY §16 avoided), so the hash match
+    * proves all four greedy decisions per anchor, not just
+    * membership.
+    *
+    * Scale shape: candidate generation is the O(K·n) broadcast scan of
+    * [[qAnnTopk]]; everything after runs on K·10 rows (candidate
+    * lists) and K·90 rows (in-list pairs) behind eager localCheckpoints
+    * — four bounded rounds, each an equi-join + per-anchor window, the
+    * [[qSampleKcenter]] fixed-round discipline with NO driver-side
+    * state at all.
+    */
+  def qAnnMmr(spark: SparkSession, dir: String): DataFrame = {
+    val e = withVec(Tables.embeddings(spark, dir))
+    val anchors = e.filter(col("vec_id") < Anchors)
+      .select(col("vec_id").as("a_id"), col("vd").as("a_vd"),
+        col("nrm").as("a_nrm"))
+    val corpus = e.select(col("vec_id").as("b_id"), col("vd").as("b_vd"),
+      col("nrm").as("b_nrm"))
+    val wTop = Window.partitionBy(col("a_id"))
+      .orderBy(col("rel").desc, col("b_id").asc)
+    val cand = broadcast(anchors)
+      .join(corpus, col("a_id") =!= col("b_id"))
+      .withColumn("rel",
+        round(dot(col("a_vd"), col("b_vd")) / (col("a_nrm") * col("b_nrm")), 6))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= 10)
+      .withColumn("rel_e6", expr("CAST(round(rel * 1e6) AS BIGINT)"))
+      .select(col("a_id"), col("b_id"), col("rel"), col("rel_e6"),
+        col("b_vd"), col("b_nrm"))
+      .localCheckpoint() // Anchors×10 rows: the per-anchor shortlist
+    val pairs = cand.select(col("a_id"), col("b_id").as("c_id"),
+        col("b_vd").as("c_vd"), col("b_nrm").as("c_nrm"))
+      .join(cand.select(col("a_id"), col("b_id").as("s_id"),
+        col("b_vd").as("s_vd"), col("b_nrm").as("s_nrm")), Seq("a_id"))
+      .filter(col("c_id") =!= col("s_id"))
+      .withColumn("sim", round(dot(col("c_vd"), col("s_vd")) /
+        (col("c_nrm") * col("s_nrm")), 6))
+      .select(col("a_id"), col("c_id"), col("s_id"),
+        expr("CAST(round(sim * 1e6) AS BIGINT)").as("sim_e6"))
+      .localCheckpoint() // Anchors×90 rows: in-shortlist similarities
+    val slim = cand.select(col("a_id"), col("b_id"), col("rel"),
+      col("rel_e6"))
+    val wSel = Window.partitionBy(col("a_id"))
+      .orderBy(col("score").desc, col("b_id").asc)
+    var selected = slim.withColumn("score", col("rel_e6") * 10L)
+      .withColumn("rank", row_number().over(wSel))
+      .filter(col("rank") === 1)
+      .select(col("a_id"), col("b_id"), col("rank"), col("rel"),
+        col("score"))
+      .localCheckpoint()
+    for (r <- 2 to 5) {
+      val maxsim = pairs
+        .join(selected.select(col("a_id"), col("b_id").as("s_id")),
+          Seq("a_id", "s_id"))
+        .groupBy(col("a_id"), col("c_id"))
+        .agg(max(col("sim_e6")).as("ms_e6"))
+      val next = slim
+        .join(selected.select(col("a_id"), col("b_id")),
+          Seq("a_id", "b_id"), "left_anti")
+        .join(maxsim.select(col("a_id"), col("c_id").as("b_id"),
+          col("ms_e6")), Seq("a_id", "b_id"))
+        .withColumn("score", col("rel_e6") * 7L - col("ms_e6") * 3L)
+        .withColumn("rank", row_number().over(wSel) + lit(r - 1))
+        .filter(col("rank") === r)
+        .select(col("a_id"), col("b_id"), col("rank"), col("rel"),
+          col("score"))
+      selected = selected.unionByName(next).localCheckpoint()
+    }
+    selected.select(col("a_id"), col("b_id"), col("rank"),
+        col("rel"), col("score").as("mmr_e7"))
+      .orderBy(col("a_id"), col("rank"))
+  }
+
+  val qAnnMmrOracle: String =
+    """WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] v
+        FROM embeddings),
+      cand AS (SELECT *, CAST(round(rel * 1e6) AS BIGINT) AS rel_e6
+        FROM (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          round(list_cosine_similarity(a.v, b.v), 6) AS rel,
+          b.v AS bv,
+          row_number() OVER (PARTITION BY a.vec_id ORDER BY
+            round(list_cosine_similarity(a.v, b.v), 6) DESC,
+            b.vec_id ASC) AS rnk
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < 50) t WHERE rnk <= 10),
+      sel AS (
+        SELECT a_id, 1 AS rank, b_id, rel,
+          rel_e6 * 10 AS score,
+          [b_id] AS ids, [bv] AS vecs
+        FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+            ORDER BY rel DESC, b_id ASC) AS pick FROM cand) f
+        WHERE pick = 1
+        UNION ALL
+        SELECT s.a_id, s.rank + 1, w.b_id, w.rel, w.score,
+          list_append(s.ids, w.b_id), list_append(s.vecs, w.bv)
+        FROM sel s, LATERAL (
+          SELECT c.b_id, c.rel, c.bv,
+            c.rel_e6 * 7 - 3 * list_max([
+              CAST(round(round(list_cosine_similarity(sv, c.bv), 6)
+                * 1e6) AS BIGINT) FOR sv IN s.vecs
+            ]) AS score
+          FROM cand c
+          WHERE c.a_id = s.a_id AND NOT list_contains(s.ids, c.b_id)
+          ORDER BY score DESC, c.b_id ASC LIMIT 1) w
+        WHERE s.rank < 5)
+      SELECT a_id, b_id, rank, rel, score::BIGINT AS mmr_e7
+      FROM sel ORDER BY a_id, rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_mmr" -> (qAnnMmr _),
     "q_eval_ndcg" -> (qEvalNdcg _),
     "q_ann_refresh" -> (qAnnRefresh _),
     "q_embed_neardup" -> (qEmbedNeardup _),
@@ -1576,6 +1705,7 @@ object Similarity {
     "q_dedup_semantic" -> qDedupSemanticOracle,
     "q_decontaminate_semantic" -> qDecontaminateSemanticOracle,
     "q_ann_topk" -> qAnnTopkOracle,
+    "q_ann_mmr" -> qAnnMmrOracle,
     "q_ann_negatives" -> qAnnNegativesOracle,
     "q_ann_lsh" -> certifyOracle("lsh", 0.0, 0.30),
     "q_ann_ivf" -> certifyOracle("ivf", 0.1, 0.50),

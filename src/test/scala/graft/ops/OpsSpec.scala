@@ -2433,6 +2433,61 @@ class OpsSpec extends AnyFunSuite {
     assert(df >= math.min(nt, nc).toDouble - 1 && df <= (nt + nc - 2).toDouble)
   }
 
+  test("mmr: the greedy trajectory equals a local integer replay and " +
+    "diversity actually rewrites the pure-relevance ranking somewhere") {
+    val vecs = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS DOUBLE)) v")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val byId = vecs.toMap
+    def cos6(a: Array[Double], b: Array[Double]): Long = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      val c = BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.rint(c * 1e6).toLong
+    }
+    val anchors = vecs.map(_._1).filter(_ < 50L).sorted
+    val local = anchors.flatMap { a =>
+      val av = byId(a)
+      val top10 = vecs.filter(_._1 != a)
+        .map { case (b, bv) => (b, cos6(av, bv)) }
+        .sortBy { case (b, r) => (-r, b) }.take(10)
+      val sel = scala.collection.mutable.ArrayBuffer(top10.head)
+      var scores = scala.collection.mutable.ArrayBuffer(
+        top10.head._2 * 10L)
+      while (sel.length < 5) {
+        val rest = top10.filterNot(c => sel.exists(_._1 == c._1))
+        val best = rest.map { case (b, r) =>
+          val ms = sel.map(s => cos6(byId(b), byId(s._1))).max
+          (b, r, r * 7L - ms * 3L)
+        }.sortBy { case (b, _, sc) => (-sc, b) }.head
+        sel += ((best._1, best._2)); scores += best._3
+      }
+      sel.zip(scores).zipWithIndex.map { case (((b, r), sc), i) =>
+        (a, b, i + 1, r, sc) }
+    }
+    val rows = Similarity.qAnnMmr(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        math.rint(r.getDouble(3) * 1e6).toLong, r.getLong(4)))
+    assert(rows.length == local.length)
+    rows.zip(local).foreach { case (g, w) =>
+      assert((g._1, g._2, g._3, g._4, g._5) == w,
+        s"mmr row $g != local $w")
+    }
+    // non-vacuity: MMR must deviate from pure relevance for some anchor
+    val deviates = anchors.exists { a =>
+      val byRel = local.filter(_._1 == a).map(_._2)
+      val pure = vecs.filter(_._1 != a)
+        .map { case (b, bv) => (b, cos6(byId(a), bv)) }
+        .sortBy { case (b, r) => (-r, b) }.take(5).map(_._1)
+      byRel != pure
+    }
+    assert(deviates, "MMR == pure top-5 everywhere: diversity vacuous")
+  }
+
   test("linreg: betas equal a BigInt-Cramer replay of the normal " +
     "equations and R^2 lies in [0,1] with SSE <= SST") {
     val rows = Tables.events(spark, dir)
