@@ -2389,6 +2389,71 @@ object EventOps {
         greatest(op.open, op.open + pk.best) AS peak
       FROM op JOIN pk USING (hr) ORDER BY op.hr"""
 
+  // ---------- M4 series downsampling (min/max/first/last per pixel) ----------
+  /** M4 downsampling of the per-type purchase-value stream — the other
+    * canonical "draw a billion points on a small chart" reduction next
+    * to [[qSeriesLttb]]: each (event_type, pixel-bucket) emits first,
+    * last, min and max — the four points that make the rasterized line
+    * pixel-identical to the full series (Jugel et al., VLDB 2014).
+    *
+    * Exactness: values are integer cents; first/last resolve by the
+    * total order (ts, event_id) — computed as combine-fed min/max over
+    * packed (eu, event_id, cents) STRUCTS, never a window: struct
+    * comparison is lexicographic in both engines, so the partial
+    * aggregate is associative and the map-side combine does the work
+    * (the oracle spells the same selection with bucket-partitioned
+    * row_number windows — same answer, different physical shape, which
+    * is itself the point: the M4 aggregate IS order-free).
+    *
+    * Scale shape: one broadcast 1-row span aggregate, one combine-fed
+    * (type × 512)-cell aggregate. No windows, no shuffles beyond the
+    * two aggregates.
+    */
+  def qSeriesM4(spark: SparkSession, dir: String): DataFrame = {
+    val B = 512L
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase" || col("event_type") === "view")
+      .select(col("event_type"), expr("unix_micros(ts)").as("eu"),
+        col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    val span = ev.agg(min(col("eu")).as("lo"),
+      (max(col("eu")) + 1L).as("hi"))
+    ev.crossJoin(broadcast(span))
+      .withColumn("b", expr(s"((eu - lo) * $B) DIV (hi - lo)"))
+      .groupBy(col("event_type"), col("b"))
+      .agg(count(lit(1)).as("n"),
+        min(col("c")).as("min_cents"), max(col("c")).as("max_cents"),
+        min(struct(col("eu"), col("event_id"), col("c"))).as("f"),
+        max(struct(col("eu"), col("event_id"), col("c"))).as("l"))
+      .select(col("event_type"), col("b").as("bucket"), col("n"),
+        col("min_cents"), col("max_cents"),
+        col("f.eu").as("first_eu"), col("f.c").as("first_cents"),
+        col("l.eu").as("last_eu"), col("l.c").as("last_cents"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  val qSeriesM4Oracle: String =
+    """WITH ev AS (SELECT event_type, epoch_us(ts) eu, event_id,
+        CAST(round(value * 100) AS BIGINT) c
+      FROM events WHERE event_type IN ('purchase', 'view')),
+      span AS (SELECT min(eu) lo, max(eu) + 1 hi FROM ev),
+      pts AS (SELECT event_type,
+          ((eu - lo) * 512) // (hi - lo) AS b, eu, event_id, c
+        FROM ev, span),
+      rk AS (SELECT *,
+          row_number() OVER (PARTITION BY event_type, b
+            ORDER BY eu, event_id) rf,
+          row_number() OVER (PARTITION BY event_type, b
+            ORDER BY eu DESC, event_id DESC) rl
+        FROM pts)
+      SELECT event_type, b AS bucket, count(*)::BIGINT n,
+        min(c)::BIGINT min_cents, max(c)::BIGINT max_cents,
+        max(CASE WHEN rf = 1 THEN eu END)::BIGINT first_eu,
+        max(CASE WHEN rf = 1 THEN c END)::BIGINT first_cents,
+        max(CASE WHEN rl = 1 THEN eu END)::BIGINT last_eu,
+        max(CASE WHEN rl = 1 THEN c END)::BIGINT last_cents
+      FROM rk GROUP BY 1, 2 ORDER BY 1, 2"""
+
   // ---------- Markov transition structure of the event stream ----------
   /** First-order Markov chain over per-user event-type sequences: the
     * transition count matrix, row-stochastic probabilities, and the
@@ -3034,6 +3099,7 @@ object EventOps {
     "q_events_concurrency" -> (qEventsConcurrency _),
     "q_stats_ttest" -> (qStatsTtest _),
     "q_series_lttb" -> (qSeriesLttb _),
+    "q_series_m4" -> (qSeriesM4 _),
     "q_join_pit" -> (qJoinPit _),
     "q_events_did" -> (qEventsDid _),
     "q_events_seasonality" -> (qEventsSeasonality _),
@@ -3086,6 +3152,7 @@ object EventOps {
     "q_events_concurrency" -> qEventsConcurrencyOracle,
     "q_stats_ttest" -> qStatsTtestOracle,
     "q_series_lttb" -> qSeriesLttbOracle,
+    "q_series_m4" -> qSeriesM4Oracle,
     "q_join_pit" -> qJoinPitOracle,
     "q_events_did" -> qEventsDidOracle,
     "q_events_seasonality" -> qEventsSeasonalityOracle,

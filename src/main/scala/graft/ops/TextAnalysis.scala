@@ -3442,8 +3442,98 @@ object TextAnalysis {
       FROM bins JOIN iso ON iso.i = bins.bin
       ORDER BY bins.bin"""
 
+  // ---------- Spearman rank correlation (tie-aware, exact ranks) ----------
+  /** Spearman ρ between the classifier margin and document length —
+    * "is the quality score just a length proxy?", the rank-based
+    * dependence check that survives any monotone transform of either
+    * variable. Tie-aware: each value gets the AVERAGE rank of its tie
+    * group, computed WITHOUT a corpus-scale sort: both variables live
+    * on bounded domains (margin_e4 ∈ [−10⁴,10⁴]; length caps at the
+    * longest document), so cumulative counts over the per-value cell
+    * tables (eager-localCheckpoint'd, the [[qEvalAuc]] discipline)
+    * give rank2(v) = 2·cum_<(v) + n_v + 1 — DOUBLED average ranks, so
+    * the ½ stays integral — and broadcast-join back to the corpus
+    * scan. ρ is then Pearson on rank2 (affine-invariant, the factor 2
+    * cancels): five DECIMAL(38,0) moments in ONE combine-fed pass,
+    * numerator and the two variance legs exact, one double division,
+    * rounded 1e-6.
+    *
+    * Scale shape: two bounded-domain cell aggregates + two broadcast
+    * joins + one moment aggregate — no global sort ever touches the
+    * fact, which is the entire trick of distributed rank statistics.
+    */
+  def qEvalSpearman(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val words = split(col("text"), " ", -1)
+    val base = Tables.documents(spark, dir)
+      .withColumn("n_words", size(words).cast("long"))
+      .withColumn("raw_score", aggregate(
+        transform(words, w =>
+          pmod(conv(substring(md5(w), 1, 6), 16, 10).cast("long"),
+            lit(4096L)) % 101 - 50),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("m", expr("raw_score * 10000 DIV (n_words * 50)"))
+      .select(col("doc_id"), col("m"), col("n_words"))
+    def rank2Map(df: DataFrame, v: String): DataFrame = {
+      val cells = df.groupBy(col(v)).agg(count(lit(1)).as("nv"))
+        .localCheckpoint() // bounded value domain
+      val w = Window.orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.withColumn("cum", sum(col("nv")).over(w))
+        .select(col(v),
+          (lit(2L) * (col("cum") - col("nv")) + col("nv") + 1L)
+            .as(s"r_$v"))
+        .localCheckpoint()
+    }
+    val ranked = base
+      .join(broadcast(rank2Map(base, "m")), "m")
+      .join(broadcast(rank2Map(base, "n_words")), "n_words")
+    ranked.agg(count(lit(1)).as("n"),
+        sum(col("r_m").cast(dec)).as("sr"),
+        sum(col("r_n_words").cast(dec)).as("ss"),
+        sum((col("r_m") * col("r_m")).cast(dec)).as("srr"),
+        sum((col("r_n_words") * col("r_n_words")).cast(dec)).as("sss"),
+        sum((col("r_m") * col("r_n_words")).cast(dec)).as("srs"))
+      .select(col("n"),
+        (col("n").cast(dec) * col("srs") - col("sr") * col("ss"))
+          .cast("double").as("num"),
+        (col("n").cast(dec) * col("srr") - col("sr") * col("sr"))
+          .cast("double").as("varr"),
+        (col("n").cast(dec) * col("sss") - col("ss") * col("ss"))
+          .cast("double").as("vars"))
+      .select(col("n"),
+        round(col("num") / sqrt(col("varr") * col("vars")), 6)
+          .as("spearman6"))
+  }
+
+  val qEvalSpearmanOracle: String =
+    """WITH s AS (SELECT doc_id,
+        len(string_split(text, ' '))::BIGINT AS n_words,
+        list_sum(list_transform(string_split(text, ' '), w ->
+          ('0x' || substr(md5(w), 1, 6))::BIGINT % 4096 % 101 - 50
+        ))::BIGINT AS raw_score
+      FROM documents),
+      b AS (SELECT doc_id, raw_score * 10000 // (n_words * 50) AS m,
+        n_words FROM s),
+      cm AS (SELECT m, count(*)::BIGINT nv FROM b GROUP BY 1),
+      rm AS (SELECT m, 2 * (sum(nv) OVER (ORDER BY m) - nv) + nv + 1
+          AS r_m FROM cm),
+      cw AS (SELECT n_words, count(*)::BIGINT nv FROM b GROUP BY 1),
+      rw AS (SELECT n_words, 2 * (sum(nv) OVER (ORDER BY n_words) - nv)
+          + nv + 1 AS r_w FROM cw),
+      j AS (SELECT r_m::HUGEINT r, r_w::HUGEINT w FROM b
+        JOIN rm USING (m) JOIN rw USING (n_words)),
+      mm AS (SELECT count(*)::HUGEINT n, sum(r) sr, sum(w) ss,
+          sum(r * r) srr, sum(w * w) sss, sum(r * w) srs FROM j)
+      SELECT n::BIGINT n,
+        round((n * srs - sr * ss)::DOUBLE /
+          sqrt((n * srr - sr * sr)::DOUBLE * (n * sss - ss * ss)::DOUBLE),
+          6) AS spearman6
+      FROM mm"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_eval_auc" -> (qEvalAuc _),
+    "q_eval_spearman" -> (qEvalSpearman _),
     "q_calibrate_isotonic" -> (qCalibrateIsotonic _),
     "q_sample_balanced" -> (qSampleBalanced _),
     "q_eval_bleu" -> (qEvalBleu _),
@@ -3507,6 +3597,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "q_eval_auc" -> qEvalAucOracle,
+    "q_eval_spearman" -> qEvalSpearmanOracle,
     "q_calibrate_isotonic" -> qCalibrateIsotonicOracle,
     "q_sample_balanced" -> qSampleBalancedOracle,
     "q_eval_bleu" -> qEvalBleuOracle,

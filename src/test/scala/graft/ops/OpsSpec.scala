@@ -2433,6 +2433,79 @@ class OpsSpec extends AnyFunSuite {
     assert(df >= math.min(nt, nc).toDouble - 1 && df <= (nt + nc - 2).toDouble)
   }
 
+  test("m4: per-pixel first/last/min/max equal a local replay and " +
+    "the cells partition the filtered stream") {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("purchase", "view"))
+      .selectExpr("event_type", "unix_micros(ts) AS eu", "event_id",
+        "CAST(round(value * 100) AS BIGINT) AS c")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val lo = ev.map(_._2).min
+    val hi = ev.map(_._2).max + 1
+    val local = ev.groupBy(e => (e._1, (e._2 - lo) * 512 / (hi - lo)))
+      .map { case (k, es) =>
+        val sorted = es.sortBy(e => (e._2, e._3))
+        k -> (es.length.toLong, es.map(_._4).min, es.map(_._4).max,
+          sorted.head._2, sorted.head._4, sorted.last._2, sorted.last._4)
+      }
+    val rows = EventOps.qSeriesM4(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8)))
+    assert(rows.map(_._1).toSet == local.keySet)
+    rows.foreach { case (k, got) =>
+      assert(got == local(k), s"cell $k: $got != ${local(k)}") }
+    assert(rows.map(_._2._1).sum == ev.length.toLong,
+      "cells must partition the filtered stream")
+    // M4 envelope: first/last values lie inside [min, max] per cell
+    rows.foreach { case (k, (_, mn, mx, _, f, _, l)) =>
+      assert(f >= mn && f <= mx && l >= mn && l <= mx, s"envelope $k") }
+  }
+
+  test("spearman: rho equals a local sort-based tie-average replay " +
+    "and the score-length dependence is real on this corpus") {
+    val docs = Tables.documents(spark, dir).select(col("text")).collect()
+      .map { r =>
+        val ws = r.getString(0).split(" ", -1)
+        val score = ws.map { w =>
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(w.getBytes("UTF-8")).take(3)
+            .map("%02x".format(_)).mkString
+          java.lang.Long.parseLong(hex, 16) % 4096 % 101 - 50
+        }.sum
+        (score * 10000L / (ws.length * 50L), ws.length.toLong)
+      }
+    def ranks(xs: Array[Long]): Array[Double] = {
+      val sorted = xs.zipWithIndex.sortBy(_._1)
+      val out = new Array[Double](xs.length)
+      var i = 0
+      while (i < sorted.length) {
+        var j = i
+        while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+        val avg = (i + j + 1) / 2.0 // mean of ranks i+1 .. j
+        (i until j).foreach(k => out(sorted(k)._2) = avg)
+        i = j
+      }
+      out
+    }
+    val (rm, rw) = (ranks(docs.map(_._1)), ranks(docs.map(_._2)))
+    val n = docs.length
+    val (mr, mw) = (rm.sum / n, rw.sum / n)
+    val num = rm.zip(rw).map { case (a, b) => (a - mr) * (b - mw) }.sum
+    val den = math.sqrt(rm.map(a => (a - mr) * (a - mr)).sum *
+      rw.map(b => (b - mw) * (b - mw)).sum)
+    val want = num / den
+    val r = TextAnalysis.qEvalSpearman(spark, dir).collect().head
+    assert(r.getLong(0) == n.toLong)
+    assert(math.abs(r.getDouble(1) - want) < 1e-6,
+      s"spearman ${r.getDouble(1)} != local $want")
+    assert(math.abs(r.getDouble(1)) <= 1.0)
+    // ties exist in both variables, so the tie-average path is exercised
+    assert(docs.map(_._1).distinct.length < n &&
+      docs.map(_._2).distinct.length < n, "no ties: spec is vacuous")
+  }
+
   test("mmr: the greedy trajectory equals a local integer replay and " +
     "diversity actually rewrites the pure-relevance ranking somewhere") {
     val vecs = Tables.embeddings(spark, dir)
