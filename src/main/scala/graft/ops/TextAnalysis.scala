@@ -3012,6 +3012,113 @@ object TextAnalysis {
       WHERE heldout
       GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---------- Kneser–Ney smoothed bigram LM (held-out scored) ----------
+  /** Interpolated Kneser–Ney — the smoothing that actually ships in
+    * n-gram LMs — trained on the [[qSampleHash]] train slice and
+    * scored on the held-out slice, upgrading [[qTextLmHeldout]]'s
+    * add-one unigram model:
+    *
+    *   P(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁·)
+    *            + D·N₁₊(w₁·)/c(w₁·) · P_cont(w₂),
+    *
+    * with D = 0.75 (EXACTLY representable in binary64 — 3/4; a 0.7
+    * discount would re-open the rounding-boundary class of bugs) and a
+    * +1-smoothed continuation P_cont(w₂) = (N₁₊(·w₂)+1)/(N₁₊(··)+V+1)
+    * so unseen continuations stay finite (the OOV slot, as in
+    * lm_heldout). Unseen CONTEXT (c(w₁·) = 0) backs off to P_cont
+    * alone.
+    *
+    * Exactness: every model quantity is an exact integer count; P is
+    * the same left-to-right double expression in both engines, and
+    * each bigram's −ln P quantizes to integer nano-units BEFORE the
+    * per-doc sum (the [[qStatsChisq]] discipline), so document NLLs
+    * are order-independent BIGINTs.
+    *
+    * Scale shape: counting is three combine-fed aggregates (bigram-,
+    * context-, and continuation-typed — all Heaps-sublinear); scoring
+    * joins the held-out bigrams to the bigram table by equi-join
+    * (bigram-keyed SHUFFLE — at 100 TB that table outgrows any
+    * broadcast) and to the two unigram-scale tables by broadcast.
+    */
+  def qTextKneserNey(spark: SparkSession, dir: String): DataFrame = {
+    val splitKey = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val bi = Tables.documents(spark, dir)
+      .select(col("doc_id"), (splitKey < "20").as("heldout"),
+        split(col("text"), " ", -1).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("heldout"), explode(expr(
+        """zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),
+           (a, b) -> struct(a AS w1, b AS w2))""")).as("g"))
+      .select(col("doc_id"), col("heldout"), col("g.w1"), col("g.w2"))
+    val big = bi.where(!col("heldout"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val ctx = big.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+    val cont = big.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val tot = big.agg(count(lit(1)).as("ntot"),
+      countDistinct(col("w1")).as("v"))
+    bi.where(col("heldout"))
+      .join(big, Seq("w1", "w2"), "left_outer")
+      .join(broadcast(ctx), Seq("w1"), "left_outer")
+      .join(broadcast(cont), Seq("w2"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .withColumn("pcont",
+        (coalesce(col("n1b"), lit(0L)) + 1L).cast("double") /
+          (col("ntot") + col("v") + 1L).cast("double"))
+      .withColumn("p", when(col("c1").isNull, col("pcont"))
+        .otherwise(
+          greatest(coalesce(col("c12"), lit(0L)).cast("double") - 0.75,
+            lit(0.0)) / col("c1").cast("double") +
+          lit(0.75) * col("n1f").cast("double") / col("c1").cast("double")
+            * col("pcont")))
+      .withColumn("t9", expr("CAST(round(-ln(p) * 1e9) AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("c1").isNull.cast("long")).as("n_ctx_oov"),
+        sum(col("t9")).as("nll_n9"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_ctx_oov"),
+        col("nll_n9"),
+        round(col("nll_n9").cast("double") / 1e9 /
+          col("n_bigrams").cast("double"), 6).as("nll6"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextKneserNeyOracle: String =
+    """WITH d AS (SELECT doc_id,
+        substr(md5(doc_id::VARCHAR), 1, 2) < '20' AS heldout,
+        string_split(text, ' ') ws
+      FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      bi AS (SELECT doc_id, heldout,
+          unnest(ws[1:len(ws)-1]) w1, unnest(ws[2:len(ws)]) w2
+        FROM d),
+      big AS (SELECT w1, w2, count(*)::BIGINT c12 FROM bi
+        WHERE NOT heldout GROUP BY 1, 2),
+      ctx AS (SELECT w1, sum(c12)::BIGINT c1, count(*)::BIGINT n1f
+        FROM big GROUP BY 1),
+      cont AS (SELECT w2, count(*)::BIGINT n1b FROM big GROUP BY 1),
+      tot AS (SELECT count(*)::BIGINT ntot,
+          count(DISTINCT w1)::BIGINT v FROM big),
+      sc AS (SELECT bi.doc_id,
+          (coalesce(cont.n1b, 0) + 1)::DOUBLE /
+            (tot.ntot + tot.v + 1)::DOUBLE AS pcont,
+          ctx.c1, ctx.n1f, big.c12
+        FROM bi LEFT JOIN big USING (w1, w2)
+          LEFT JOIN ctx USING (w1) LEFT JOIN cont USING (w2)
+          CROSS JOIN tot
+        WHERE bi.heldout),
+      t AS (SELECT doc_id, c1,
+          CASE WHEN c1 IS NULL THEN pcont
+            ELSE greatest(coalesce(c12, 0)::DOUBLE - 0.75, 0.0)
+                / c1::DOUBLE +
+              0.75 * n1f::DOUBLE / c1::DOUBLE * pcont END AS p
+        FROM sc)
+      SELECT doc_id, count(*)::BIGINT n_bigrams,
+        sum(CASE WHEN c1 IS NULL THEN 1 ELSE 0 END)::BIGINT n_ctx_oov,
+        sum(CAST(round(-ln(p) * 1e9) AS BIGINT))::BIGINT nll_n9,
+        round(sum(CAST(round(-ln(p) * 1e9) AS BIGINT))::DOUBLE / 1e9
+          / count(*)::DOUBLE, 6) AS nll6
+      FROM t GROUP BY doc_id ORDER BY doc_id"""
+
   // ---------- Zipf-law fit over the bigram frequency spectrum ----------
   /** Zipf diagnostic of the corpus frequency spectrum: least-squares
     * slope and R² of log(freq) against log(rank) over the TOP-100
@@ -3593,6 +3700,7 @@ object TextAnalysis {
     "q_langid_eval" -> (qLangidEval _),
     "q_quality_calibration" -> (qQualityCalibration _),
     "q_text_lm_heldout" -> (qTextLmHeldout _),
+    "q_text_kneserney" -> (qTextKneserNey _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3657,5 +3765,6 @@ object TextAnalysis {
     "q_langid_eval" -> qLangidEvalOracle,
     "q_quality_calibration" -> qQualityCalibrationOracle,
     "q_text_lm_heldout" -> qTextLmHeldoutOracle,
+    "q_text_kneserney" -> qTextKneserNeyOracle,
   )
 }

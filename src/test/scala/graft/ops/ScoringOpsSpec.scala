@@ -527,6 +527,54 @@ class ScoringOpsSpec extends AnyFunSuite {
       "certificate would be vacuous: start direction also passes")
   }
 
+  test("kneser-ney: held-out doc NLLs equal a local replay of the full " +
+    "interpolated model and per-context mass is a proper distribution") {
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+      .filter(_._2.length >= 2)
+    def held(id: Long): Boolean = md5hex(id.toString).substring(0, 2) < "20"
+    val trainBi = docs.filterNot(d => held(d._1))
+      .flatMap { case (_, ws) => ws.zip(ws.drop(1)) }
+    val c12 = trainBi.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ctx = c12.toSeq.groupBy(_._1._1).view.mapValues { xs =>
+      (xs.map(_._2).sum, xs.size.toLong) }.toMap
+    val cont = c12.keys.toSeq.groupBy(_._2).view
+      .mapValues(_.size.toLong).toMap
+    val ntot = c12.size.toLong
+    val v = ctx.size.toLong
+    def pcont(w2: String): Double =
+      (cont.getOrElse(w2, 0L) + 1L).toDouble / (ntot + v + 1L).toDouble
+    def p(w1: String, w2: String): Double = ctx.get(w1) match {
+      case None => pcont(w2)
+      case Some((c1, n1f)) =>
+        math.max(c12.getOrElse((w1, w2), 0L).toDouble - 0.75, 0.0) /
+          c1.toDouble +
+          0.75 * n1f.toDouble / c1.toDouble * pcont(w2)
+    }
+    val local = docs.filter(d => held(d._1)).map { case (id, ws) =>
+      val bs = ws.zip(ws.drop(1))
+      val n9 = bs.map { case (a, b) =>
+        math.rint(-math.log(p(a, b)) * 1e9).toLong }.sum
+      (id, bs.length.toLong, bs.count(b => !ctx.contains(b._1)).toLong, n9)
+    }
+    val rows = TextAnalysis.qTextKneserNey(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == local.toSeq)
+    // proper-distribution check on the three heaviest contexts: the
+    // seen-bigram mass plus lambda times the FULL continuation mass
+    // (all w2 types + the OOV slot) must land at ~1
+    ctx.toSeq.sortBy(-_._2._1).take(3).foreach { case (w1, (c1, n1f)) =>
+      val seen = c12.collect { case ((a, b), c) if a == w1 =>
+        math.max(c.toDouble - 0.75, 0.0) / c1.toDouble }.sum
+      val lambda = 0.75 * n1f.toDouble / c1.toDouble
+      val contAll = (ntot + cont.size + 1).toDouble / (ntot + v + 1L)
+      val mass = seen + lambda * contAll
+      assert(mass > 0.97 && mass < 1.03,
+        s"context '$w1': probability mass $mass not ~1")
+    }
+  }
+
   // margins + labels for the AUC/isotonic pair, replayed locally
   private lazy val marginLabels: Array[(Long, Boolean)] =
     Tables.documents(spark, dir).select("lang", "text").collect()
