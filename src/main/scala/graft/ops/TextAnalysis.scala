@@ -3581,6 +3581,10 @@ object TextAnalysis {
         lit(0L), (acc, x) => acc + x))
       .withColumn("m", expr("raw_score * 10000 DIV (n_words * 50)"))
       .select(col("doc_id"), col("m"), col("n_words"))
+      // the md5-per-word scoring pass feeds three consumers (two cell
+      // aggregates + the rank join); persist the 3-column projection so
+      // it runs once — recomputable, so the bench sweep may drop it
+      .persist()
     def rank2Map(df: DataFrame, v: String): DataFrame = {
       val cells = df.groupBy(col(v)).agg(count(lit(1)).as("nv"))
         .localCheckpoint() // bounded value domain
