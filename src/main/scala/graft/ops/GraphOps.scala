@@ -645,7 +645,92 @@ object GraphOps {
         max(node) max_node, sum(node)::BIGINT sum_nodes
       FROM d GROUP BY dist ORDER BY dist"""
 
+  // ---------- community conductance (cut quality of the partition) ----------
+  /** Conductance of every labelprop community — the CUT-quality
+    * companion of [[qGraphModularity]]'s density score:
+    * φ(C) = cut(C) / min(vol(C), 2m − vol(C)). A community can score
+    * well on modularity yet leak badly at its boundary; conductance is
+    * the number bisection/partitioning literature actually optimizes.
+    *
+    * Entirely integer arithmetic: cut(C) = vol(C) − 2·intra(C) (the
+    * volume counts intra edges twice, boundary edges once), and the
+    * ratio emits as a floor-e6 integral division — no doubles, no
+    * rounding boundary, no ±0.0 normalization (the modularity lesson
+    * made unnecessary by construction). The whole-graph community
+    * (min = 0) emits NULL.
+    *
+    * Scale shape: reuses the shared edge/label fixtures and the same
+    * degree/intra aggregates as modularity — community-keyed combine-
+    * fed joins; the conductance table is community-cardinality.
+    */
+  def qGraphConductance(spark: SparkSession, dir: String): DataFrame = {
+    val e = coPurchaseEdges(spark, dir)
+    val labels = lpaLabels(spark, dir)
+    val m = e.agg(count(lit(1)).as("m"))
+    val deg = e.union(e.select(col("pb"), col("pa"))).toDF("u", "v")
+      .groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val intra = e
+      .join(labels.toDF("pa", "la"), "pa")
+      .join(labels.toDF("pb", "lb"), "pb")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community")).agg(count(lit(1)).as("intra_edges"))
+    labels.toDF("u", "community")
+      .join(deg, "u")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_members"), sum(col("d")).as("volume"))
+      .join(intra, Seq("community"), "left_outer")
+      .withColumn("intra_edges", coalesce(col("intra_edges"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .withColumn("cut_edges", col("volume") - lit(2L) * col("intra_edges"))
+      .withColumn("denom",
+        least(col("volume"), lit(2L) * col("m") - col("volume")))
+      .select(col("community"), col("n_members"), col("cut_edges"),
+        col("volume"),
+        when(col("denom") > 0L,
+          expr("cut_edges * 1000000 DIV denom")).as("conductance_e6"))
+      .orderBy(col("community"))
+  }
+
+  val qGraphConductanceOracle: String = {
+    val rounds = (1 to LabelPropRounds).map { i =>
+      s"""v$i AS (SELECT nb.u, l.lbl, count(*) c
+           FROM nb JOIN l${i - 1} l ON l.n = nb.v GROUP BY nb.u, l.lbl),
+         l$i AS MATERIALIZED (SELECT u AS n, lbl FROM (
+           SELECT u, lbl, row_number() OVER (
+             PARTITION BY u ORDER BY c DESC, lbl) rn FROM v$i)
+           WHERE rn = 1)"""
+    }.mkString(",\n      ")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 10)),
+      e AS MATERIALIZED (SELECT DISTINCT a.p pa, b.p pb FROM li a
+        JOIN li b ON a.o = b.o AND a.p < b.p),
+      nb AS MATERIALIZED (SELECT pa u, pb v FROM e
+        UNION ALL SELECT pb, pa FROM e),
+      l0 AS (SELECT DISTINCT u AS n, u AS lbl FROM nb),
+      $rounds,
+      lab AS (SELECT n, lbl FROM l$LabelPropRounds),
+      mm AS (SELECT count(*)::BIGINT m FROM e),
+      deg AS (SELECT u, count(*)::BIGINT d FROM nb GROUP BY u),
+      intra AS (SELECT la.lbl community, count(*)::BIGINT intra_edges
+        FROM e JOIN lab la ON la.n = e.pa
+        JOIN lab lb ON lb.n = e.pb AND lb.lbl = la.lbl GROUP BY 1),
+      com AS (SELECT lab.lbl community, count(*)::BIGINT n_members,
+          sum(deg.d)::BIGINT volume
+        FROM lab JOIN deg ON deg.u = lab.n GROUP BY 1),
+      f AS (SELECT com.community, com.n_members,
+          com.volume - 2 * coalesce(intra.intra_edges, 0) AS cut_edges,
+          com.volume,
+          least(com.volume, 2 * mm.m - com.volume) AS denom
+        FROM com LEFT JOIN intra ON intra.community = com.community
+        CROSS JOIN mm)
+      SELECT community, n_members, cut_edges, volume,
+        CASE WHEN denom > 0 THEN cut_edges * 1000000 // denom END
+          AS conductance_e6
+      FROM f ORDER BY community"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_conductance" -> (qGraphConductance _),
     "q_graph_triangles" -> (qGraphTriangles _),
     "q_graph_kcore" -> (qGraphKcore _),
     "q_graph_labelprop" -> (qGraphLabelprop _),
@@ -656,6 +741,7 @@ object GraphOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_graph_conductance" -> qGraphConductanceOracle,
     "q_graph_triangles" -> qGraphTrianglesOracle,
     "q_graph_kcore" -> qGraphKcoreOracle,
     "q_graph_labelprop" -> qGraphLabelpropOracle,

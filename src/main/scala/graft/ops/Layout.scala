@@ -255,11 +255,103 @@ object Layout {
       FROM (SELECT * FROM rs UNION ALL SELECT * FROM rh)
       ORDER BY layout DESC"""
 
+  // ---------- Hilbert-curve locality audit (the z-order upgrade) ----------
+  /** [[qLayoutZorder]]'s experiment re-run on the HILBERT curve — the
+    * space-filling order Delta/Iceberg reach for when Morton's quadrant
+    * jumps hurt: Hilbert is CONTINUOUS (consecutive cells are always
+    * grid-neighbors), so equal curve ranges give equal-or-tighter
+    * min/max boxes in both dimensions, with no pathological buckets
+    * straddling a quadrant seam.
+    *
+    * The classic sequential xy→d transform (per-bit rotate/reflect)
+    * unrolls into [[ZqBits]] pure integer rounds — generated from ONE
+    * Scala loop into BOTH engines (withColumn chain here, chained CTEs
+    * in the oracle), so the bit-twiddling cannot drift between them.
+    * Everything stays exact integer arithmetic; the extent ratios are
+    * one final divide.
+    *
+    * Scale shape: scan-side per-row integer math (wholly codegen) + one
+    * combine-fed 64-group aggregate — the cheapest possible audit of a
+    * layout decision that governs 100 TB of row-group pruning.
+    */
+  def qLayoutHilbert(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val dom = 1L << ZqBits
+    var df = Tables.lineitem(spark, dir).select(
+        (col("l_partkey") % dom).as("a"), (col("l_suppkey") % dom).as("b"))
+      .withColumn("x", col("a")).withColumn("y", col("b"))
+      .withColumn("h", lit(0L))
+    for (i <- 0 until ZqBits) {
+      val s = 1L << (ZqBits - 1 - i)
+      df = df
+        .withColumn("rx", when((col("x").bitwiseAND(s)) > 0L, 1L)
+          .otherwise(0L))
+        .withColumn("ry", when((col("y").bitwiseAND(s)) > 0L, 1L)
+          .otherwise(0L))
+        .withColumn("h",
+          col("h") + lit(s * s) * (lit(3L) * col("rx")).bitwiseXOR(col("ry")))
+        .withColumn("xr", when(col("ry") === 0L && col("rx") === 1L,
+          lit(s - 1) - col("x")).otherwise(col("x")))
+        .withColumn("yr", when(col("ry") === 0L && col("rx") === 1L,
+          lit(s - 1) - col("y")).otherwise(col("y")))
+        .withColumn("xn", when(col("ry") === 0L, col("yr"))
+          .otherwise(col("xr")))
+        .withColumn("yn", when(col("ry") === 0L, col("xr"))
+          .otherwise(col("yr")))
+        .withColumn("x", col("xn")).withColumn("y", col("yn"))
+        .drop("rx", "ry", "xr", "yr", "xn", "yn")
+    }
+    df.withColumn("bucket",
+        shiftright(col("h"), 2 * ZqBits - 6).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("a")).as("a_min"), max(col("a")).as("a_max"),
+        min(col("b")).as("b_min"), max(col("b")).as("b_max"))
+      .withColumn("a_extent",
+        round((col("a_max") - col("a_min") + 1).cast("double") / dom, 6))
+      .withColumn("b_extent",
+        round((col("b_max") - col("b_min") + 1).cast("double") / dom, 6))
+      .orderBy(col("bucket"))
+  }
+
+  val qLayoutHilbertOracle: String = {
+    val rounds = (0 until ZqBits).map { i =>
+      val s = 1L << (ZqBits - 1 - i)
+      s"""h${i + 1} AS (SELECT a, b,
+          CASE WHEN ry = 0 THEN yr ELSE xr END AS x,
+          CASE WHEN ry = 0 THEN xr ELSE yr END AS y,
+          d FROM (
+        SELECT a, b, x, y, rx, ry,
+          d + ${s * s} * xor(3 * rx, ry) AS d,
+          CASE WHEN ry = 0 AND rx = 1 THEN ${s - 1} - x ELSE x END AS xr,
+          CASE WHEN ry = 0 AND rx = 1 THEN ${s - 1} - y ELSE y END AS yr
+        FROM (SELECT *,
+            CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+            CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+          FROM h$i) t1) t2)"""
+    }.mkString(",\n      ")
+    s"""WITH h0 AS (SELECT l_partkey % ${1L << ZqBits} AS a,
+        l_suppkey % ${1L << ZqBits} AS b,
+        l_partkey % ${1L << ZqBits} AS x,
+        l_suppkey % ${1L << ZqBits} AS y, 0::BIGINT AS d
+      FROM lineitem),
+      $rounds,
+      g AS (SELECT d >> ${2 * ZqBits - 6} AS bucket, count(*) AS n,
+          min(a) a_min, max(a) a_max, min(b) b_min, max(b) b_max
+        FROM h$ZqBits GROUP BY 1)
+      SELECT bucket, n, a_min, a_max, b_min, b_max,
+        round((a_max - a_min + 1) / ${(1L << ZqBits)}.0, 6) AS a_extent,
+        round((b_max - b_min + 1) / ${(1L << ZqBits)}.0, 6) AS b_extent
+      FROM g ORDER BY bucket"""
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
     Map("q_layout_zorder" -> (qLayoutZorder _),
+      "q_layout_hilbert" -> (qLayoutHilbert _),
       "q_layout_skipping" -> (qLayoutSkipping _))
 
   val oracles: Map[String, String] =
     Map("q_layout_zorder" -> qLayoutZorderOracle,
+      "q_layout_hilbert" -> qLayoutHilbertOracle,
       "q_layout_skipping" -> qLayoutSkippingOracle)
 }

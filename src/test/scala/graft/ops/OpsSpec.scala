@@ -1833,6 +1833,96 @@ class OpsSpec extends AnyFunSuite {
       s"single community must score exactly 0, got $q")
   }
 
+  test("hilbert: bucket stats replay from a local xy2d transform, the " +
+    "curve is a continuous bijection, and locality beats random layout") {
+    def xy2d(bits: Int, x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = 1L << (bits - 1)
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    val bits = 10
+    val dom = 1L << bits
+    val keys = Tables.lineitem(spark, dir)
+      .selectExpr(s"l_partkey % $dom AS a", s"l_suppkey % $dom AS b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val local = keys.groupBy { case (a, b) =>
+        xy2d(bits, a, b) >> (2 * bits - 6) }
+      .map { case (bk, xs) => bk -> (xs.length.toLong,
+        xs.map(_._1).min, xs.map(_._1).max,
+        xs.map(_._2).min, xs.map(_._2).max) }
+    val rows = Layout.qLayoutHilbert(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSet == local.keySet)
+    rows.foreach { case (bk, got) => assert(got == local(bk), s"bucket $bk") }
+    // bijection + continuity on a full small grid: every d in [0, 4^5)
+    // hit exactly once and consecutive cells are grid neighbors
+    val grid = for (x <- 0L until 32L; y <- 0L until 32L)
+      yield (xy2d(5, x, y), (x, y))
+    assert(grid.map(_._1).toSet == (0L until 1024L).toSet, "not a bijection")
+    val byD = grid.sortBy(_._1).map(_._2)
+    byD.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve jumps between ($x1,$y1) and ($x2,$y2)")
+    }
+    // locality: mean per-bucket extent is far below the 1.0 a random
+    // (hash-scattered) layout would show in both dimensions
+    val rws = Layout.qLayoutHilbert(spark, dir).collect()
+    val aExt = rws.map(_.getDouble(6)).sum / rws.length
+    val bExt = rws.map(_.getDouble(7)).sum / rws.length
+    assert(aExt < 0.5 && bExt < 0.5,
+      s"hilbert extents a=$aExt b=$bExt not localized")
+  }
+
+  test("conductance: cut/volume replay from the same local LPA and " +
+    "the boundary accounting closes against modularity's intra edges") {
+    val edges = GraphOps.coPurchaseEdges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (edges ++ edges.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    var lbl = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lbl = nbrs.map { case (u, vs) =>
+        val votes = vs.groupBy(lbl).view.mapValues(_.size).toSeq
+        u -> votes.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val m = edges.length.toLong
+    val vol = lbl.groupBy(_._2).view
+      // .keys is a Set — map to degrees via Seq or equal degrees collapse
+      .mapValues(_.keys.toSeq.map(n => nbrs(n).size.toLong).sum).toMap
+    val intra = edges.groupBy(e => lbl(e._1))
+      .view.mapValues(_.count(e => lbl(e._1) == lbl(e._2)).toLong).toMap
+    val rows = GraphOps.qGraphConductance(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(rows.nonEmpty)
+    rows.foreach { case (c, nMembers, cut, volume, phi) =>
+      assert(nMembers == lbl.count(_._2 == c).toLong)
+      assert(volume == vol(c), s"community $c volume")
+      assert(cut == volume - 2 * intra.getOrElse(c, 0L), s"community $c cut")
+      val denom = math.min(volume, 2 * m - volume)
+      if (denom > 0)
+        assert(phi.contains(cut * 1000000L / denom), s"community $c phi")
+      else assert(phi.isEmpty, s"whole-graph community $c must emit NULL")
+      assert(cut >= 0 && (denom == 0 || phi.get <= 1000000L),
+        s"conductance outside [0,1]: $phi")
+    }
+    // every cut edge is counted from both sides: sum(cut) = 2 * inter
+    val inter = m - intra.values.sum
+    assert(rows.map(_._3).sum == 2 * inter, "global boundary accounting")
+  }
+
   test("cm join-size: the sketch estimate replays locally, never " +
     "undercounts, and sits inside the inner-product error bound") {
     val r = Relational.qSketchJoinsize(spark, dir).collect().head
