@@ -2389,6 +2389,70 @@ object EventOps {
         greatest(op.open, op.open + pk.best) AS peak
       FROM op JOIN pk USING (hr) ORDER BY op.hr"""
 
+  // ---------- index-of-dispersion test (is activity Poisson?) ----------
+  /** Overdispersion test of per-(user, day) event counts — the
+    * question behind every rate model and anomaly threshold: if daily
+    * activity were Poisson, the variance/mean ratio would sit at 1;
+    * real user activity is bursty (ratio ≫ 1), and capacity/anomaly
+    * models that assume Poisson under-alarm. The statistic is the
+    * classic index of dispersion D = (n−1)·s²/x̄, referred to
+    * χ²(n−1) ≈ Normal(n−1, 2(n−1)) at this n.
+    *
+    * Exactness: the (user, day) cell counts are exact integers from
+    * ONE combine-fed aggregate; s² and x̄ derive from the moment triple
+    * (n, Σx, Σx²) with the variance numerator n·Σx² − (Σx)² formed in
+    * DECIMAL(38,0) ([[qStatsTtest]] discipline); D and the normal
+    * z-score are closed-form doubles over exact integers, rounded
+    * 1e-6; the verdict emits as a BOOLEAN (z > 4 ⇒ overdispersed), the
+    * certified-readout shape.
+    *
+    * Scale shape: one (user, day) aggregate, one moment aggregate —
+    * nothing else. Conditioned on ACTIVE cells (zeros unobserved), as
+    * any log-derived activity table is; the scaladoc states it so the
+    * null model is honest.
+    */
+  def qStatsPoisson(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("q"))
+      .withColumn("varnum", col("n").cast(dec) * col("q").cast(dec) -
+        col("s").cast(dec) * col("s").cast(dec))
+      .withColumn("mean", col("s").cast("double") / col("n").cast("double"))
+      .withColumn("v", col("varnum").cast("double") /
+        (col("n").cast("double") * (col("n").cast("double") - 1.0)))
+      .withColumn("disp",
+        (col("n").cast("double") - 1.0) * col("v") / col("mean"))
+      .withColumn("z", (col("disp") - (col("n").cast("double") - 1.0)) /
+        sqrt(lit(2.0) * (col("n").cast("double") - 1.0)))
+      .select(col("n"), col("s").as("total_events"),
+        round(col("mean"), 6).as("mean6"), round(col("v"), 6).as("var6"),
+        round(col("v") / col("mean"), 6).as("vmr6"),
+        round(col("z"), 6).as("z6"),
+        (col("z") > 4.0).as("overdispersed"))
+  }
+
+  val qStatsPoissonOracle: String =
+    """WITH c AS (SELECT user_id, ts::DATE d, count(*)::BIGINT x
+        FROM events GROUP BY 1, 2),
+      m AS (SELECT count(*)::BIGINT n, sum(x)::BIGINT s,
+          sum(x * x)::BIGINT q FROM c),
+      f AS (SELECT n, s,
+          (n::HUGEINT * q - s::HUGEINT * s)::DOUBLE
+            / (n::DOUBLE * (n::DOUBLE - 1.0)) AS v,
+          s::DOUBLE / n::DOUBLE AS mean
+        FROM m),
+      g AS (SELECT *, (n::DOUBLE - 1.0) * v / mean AS disp FROM f),
+      h AS (SELECT *,
+          (disp - (n::DOUBLE - 1.0)) / sqrt(2.0 * (n::DOUBLE - 1.0)) AS z
+        FROM g)
+      SELECT n, s AS total_events, round(mean, 6) mean6, round(v, 6) var6,
+        round(v / mean, 6) vmr6, round(z, 6) z6,
+        z > 4.0 AS overdispersed
+      FROM h"""
+
   // ---------- M4 series downsampling (min/max/first/last per pixel) ----------
   /** M4 downsampling of the per-type purchase-value stream — the other
     * canonical "draw a billion points on a small chart" reduction next
@@ -3100,6 +3164,7 @@ object EventOps {
     "q_stats_ttest" -> (qStatsTtest _),
     "q_series_lttb" -> (qSeriesLttb _),
     "q_series_m4" -> (qSeriesM4 _),
+    "q_stats_poisson" -> (qStatsPoisson _),
     "q_join_pit" -> (qJoinPit _),
     "q_events_did" -> (qEventsDid _),
     "q_events_seasonality" -> (qEventsSeasonality _),
@@ -3153,6 +3218,7 @@ object EventOps {
     "q_stats_ttest" -> qStatsTtestOracle,
     "q_series_lttb" -> qSeriesLttbOracle,
     "q_series_m4" -> qSeriesM4Oracle,
+    "q_stats_poisson" -> qStatsPoissonOracle,
     "q_join_pit" -> qJoinPitOracle,
     "q_events_did" -> qEventsDidOracle,
     "q_events_seasonality" -> qEventsSeasonalityOracle,

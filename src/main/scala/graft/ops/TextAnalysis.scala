@@ -3012,6 +3012,74 @@ object TextAnalysis {
       WHERE heldout
       GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---------- Jensen–Shannon divergence between language slices ----------
+  /** JSD between the unigram distributions of the `en` slice and the
+    * rest of the corpus — the bounded, symmetric distribution distance
+    * drift monitors and mixture designers quote (PSI's principled
+    * sibling: defined even where one side has zero mass, bounded by
+    * ln 2). JSD(P‖Q) = ½KL(P‖M) + ½KL(Q‖M), M = (P+Q)/2.
+    *
+    * Exactness: per-word counts are exact integers from one vocab-
+    * scale combine-fed aggregate; each word's two KL terms
+    * p·ln(p/m) are doubles over the exact fractions (identical
+    * left-to-right expressions both engines) quantized to integer
+    * nano-units BEFORE summing (zero-mass words contribute a true 0 —
+    * coalesced, not NaN), so the sum is order-independent. The ln 2
+    * bound emits as a certified boolean.
+    *
+    * Scale shape: one vocabulary-sized aggregate, one 1-row reduce.
+    */
+  def qTextJsd(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .select((col("lang") === "en").as("en"),
+        explode(split(col("text"), " ", -1)).as("w"))
+      .groupBy(col("w"))
+      .agg(sum(when(col("en"), 1L).otherwise(0L)).as("cp"),
+        sum(when(!col("en"), 1L).otherwise(0L)).as("cq"))
+      .localCheckpoint() // vocabulary-sized
+    val tot = cells.agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"))
+    val terms = cells.crossJoin(broadcast(tot))
+      .withColumn("p", col("cp").cast("double") / col("np").cast("double"))
+      .withColumn("q", col("cq").cast("double") / col("nq").cast("double"))
+      .withColumn("m", (col("p") + col("q")) / 2.0)
+      .withColumn("tp", when(col("cp") > 0L,
+        col("p") * log(col("p") / col("m"))).otherwise(lit(0.0)))
+      .withColumn("tq", when(col("cq") > 0L,
+        col("q") * log(col("q") / col("m"))).otherwise(lit(0.0)))
+      .withColumn("t9", expr(
+        "CAST(round(tp * 5e8) AS BIGINT) + CAST(round(tq * 5e8) AS BIGINT)"))
+    terms.agg(count(lit(1)).as("vocab"), max(col("np")).as("n_en"),
+        max(col("nq")).as("n_rest"), sum(col("t9")).as("jsd_n9"))
+      .select(col("vocab"), col("n_en"), col("n_rest"), col("jsd_n9"),
+        round(col("jsd_n9").cast("double") / 1e9, 6).as("jsd6"),
+        (col("jsd_n9") <= 693147181L).as("within_ln2"))
+  }
+
+  val qTextJsdOracle: String =
+    """WITH tok AS (SELECT lang = 'en' AS en,
+        unnest(string_split(text, ' ')) w FROM documents),
+      cells AS (SELECT w,
+          sum(CASE WHEN en THEN 1 ELSE 0 END)::BIGINT cp,
+          sum(CASE WHEN NOT en THEN 1 ELSE 0 END)::BIGINT cq
+        FROM tok GROUP BY 1),
+      tot AS (SELECT sum(cp)::BIGINT np, sum(cq)::BIGINT nq FROM cells),
+      t AS (SELECT cp, cq,
+          cp::DOUBLE / np::DOUBLE AS p, cq::DOUBLE / nq::DOUBLE AS q
+        FROM cells CROSS JOIN tot),
+      u AS (SELECT cp, cq, p, q, (p + q) / 2.0 AS m FROM t),
+      v AS (SELECT
+          CASE WHEN cp > 0 THEN p * ln(p / m) ELSE 0.0 END AS tp,
+          CASE WHEN cq > 0 THEN q * ln(q / m) ELSE 0.0 END AS tq
+        FROM u),
+      s AS (SELECT count(*)::BIGINT vocab,
+          sum(CAST(round(tp * 5e8) AS BIGINT)
+            + CAST(round(tq * 5e8) AS BIGINT))::BIGINT jsd_n9
+        FROM v)
+      SELECT s.vocab, tot.np n_en, tot.nq n_rest, s.jsd_n9,
+        round(s.jsd_n9::DOUBLE / 1e9, 6) jsd6,
+        s.jsd_n9 <= 693147181 AS within_ln2
+      FROM s CROSS JOIN tot"""
+
   // ---------- Kneser–Ney smoothed bigram LM (held-out scored) ----------
   /** Interpolated Kneser–Ney — the smoothing that actually ships in
     * n-gram LMs — trained on the [[qSampleHash]] train slice and
@@ -3705,6 +3773,7 @@ object TextAnalysis {
     "q_quality_calibration" -> (qQualityCalibration _),
     "q_text_lm_heldout" -> (qTextLmHeldout _),
     "q_text_kneserney" -> (qTextKneserNey _),
+    "q_text_jsd" -> (qTextJsd _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3770,5 +3839,6 @@ object TextAnalysis {
     "q_quality_calibration" -> qQualityCalibrationOracle,
     "q_text_lm_heldout" -> qTextLmHeldoutOracle,
     "q_text_kneserney" -> qTextKneserNeyOracle,
+    "q_text_jsd" -> qTextJsdOracle,
   )
 }

@@ -1833,6 +1833,60 @@ class OpsSpec extends AnyFunSuite {
       s"single community must score exactly 0, got $q")
   }
 
+  test("poisson dispersion: moments replay locally and the verdict " +
+    "boolean is consistent with the z formula") {
+    val cells = Tables.events(spark, dir)
+      .selectExpr("user_id", "CAST(ts AS DATE) d").collect()
+      .map(r => (r.getLong(0), r.getDate(1)))
+      .groupBy(identity).values.map(_.length.toLong).toArray
+    val n = cells.length.toLong
+    val s = cells.sum
+    val q = cells.map(x => BigInt(x) * x).sum
+    val v = (BigInt(n) * q - BigInt(s) * s).toDouble / (n.toDouble * (n - 1.0))
+    val mean = s.toDouble / n
+    val disp = (n - 1.0) * v / mean
+    val z = (disp - (n - 1.0)) / math.sqrt(2.0 * (n - 1.0))
+    val r = EventOps.qStatsPoisson(spark, dir).collect().head
+    assert(r.getLong(0) == n && r.getLong(1) == s)
+    assert(r.getDouble(2) == math.rint(mean * 1e6) / 1e6 &&
+      r.getDouble(3) == math.rint(v * 1e6) / 1e6 &&
+      r.getDouble(4) == math.rint(v / mean * 1e6) / 1e6 &&
+      r.getDouble(5) == math.rint(z * 1e6) / 1e6)
+    assert(r.getBoolean(6) == (z > 4.0))
+    assert(mean >= 1.0, "active-cell conditioning: every cell has >= 1")
+  }
+
+  test("jsd: divergence replays locally, is symmetric, and sits in " +
+    "[0, ln 2] with real separation between the slices") {
+    val toks = Tables.documents(spark, dir).select("lang", "text").collect()
+      .flatMap(r => r.getString(1).split(" ", -1)
+        .map(w => (r.getString(0) == "en", w)))
+    val cells = toks.groupBy(_._2).view.mapValues { xs =>
+      (xs.count(_._1).toLong, xs.count(!_._1).toLong) }.toMap
+    val np = cells.values.map(_._1).sum
+    val nq = cells.values.map(_._2).sum
+    def jsdOf(swap: Boolean): Long = cells.values.map { case (a0, b0) =>
+      val (a, b) = if (swap) (b0, a0) else (a0, b0)
+      val (tp, tq) = (if (swap) (nq, np) else (np, nq)) match {
+        case (tP, tQ) =>
+          val p = a.toDouble / tP; val q = b.toDouble / tQ
+          val m = (p + q) / 2.0
+          (if (a > 0) p * math.log(p / m) else 0.0,
+            if (b > 0) q * math.log(q / m) else 0.0)
+      }
+      math.rint(tp * 5e8).toLong + math.rint(tq * 5e8).toLong
+    }.sum
+    val r = TextAnalysis.qTextJsd(spark, dir).collect().head
+    assert(r.getLong(0) == cells.size.toLong &&
+      r.getLong(1) == np && r.getLong(2) == nq)
+    assert(r.getLong(3) == jsdOf(swap = false),
+      s"jsd_n9 ${r.getLong(3)} != local ${jsdOf(swap = false)}")
+    assert(jsdOf(swap = true) == jsdOf(swap = false), "JSD must be symmetric")
+    assert(r.getLong(3) >= 0L && r.getBoolean(5) &&
+      r.getLong(3) <= 693147181L)
+    assert(r.getLong(3) > 1000L, "slices indistinguishable: spec vacuous")
+  }
+
   test("hilbert: bucket stats replay from a local xy2d transform, the " +
     "curve is a continuous bijection, and locality beats random layout") {
     def xy2d(bits: Int, x0: Long, y0: Long): Long = {
