@@ -95,7 +95,13 @@ object PlanDump {
     "q_eval_ndcg", "q_text_zipf", "q_events_ltv", "q_layout_skipping",
     "q_events_seasonality", "q_window_ewma", "q_dedup_lsh_calibration",
     "q_cdc_timetravel", "q_eval_bleu", "q_stats_anova",
-    "q_sample_balanced", "q_stats_bootstrap", "q_join_pit")
+    "q_sample_balanced", "q_stats_bootstrap", "q_join_pit",
+    // round 10, fifth session: series/rank/IR/layout/graph/LM additions
+    "q_events_markov", "q_stats_ttest", "q_series_lttb", "q_series_m4",
+    "q_eval_auc", "q_calibrate_isotonic", "q_eval_spearman",
+    "q_stats_linreg", "q_events_concurrency", "q_ann_mmr",
+    "q_text_kneserney", "q_graph_conductance", "q_layout_hilbert",
+    "q_stats_poisson", "q_text_jsd")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
