@@ -2344,6 +2344,9 @@ object EventOps {
     val cells = bounds
       .groupBy((col("t") / 3600000000L).cast("long").as("hr"), col("t"))
       .agg(sum(col("a")).as("a"), sum(col("d")).as("d"))
+      // two consumers (hour nets + within-hour peaks) — persist so the
+      // session_window aggregate upstream runs once, not twice
+      .persist()
     val hourNet = cells.groupBy(col("hr"))
       .agg(sum(col("a") - col("d")).as("net"), sum(col("a")).as("starts"),
         sum(col("d")).as("ends"))

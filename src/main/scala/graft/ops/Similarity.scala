@@ -1607,6 +1607,10 @@ object Similarity {
       col("rel_e6"))
     val wSel = Window.partitionBy(col("a_id"))
       .orderBy(col("score").desc, col("b_id").asc)
+    // NEGATIVE RESULT (do not retry): lazy persist() here instead of the
+    // eager localCheckpoint measured 1.24 → 3.3 s — the un-materialized
+    // union/anti-join/window tower compiles into one enormous final job
+    // whose stages dwarf the five small checkpoint jobs it saves
     var selected = slim.withColumn("score", col("rel_e6") * 10L)
       .withColumn("rank", row_number().over(wSel))
       .filter(col("rank") === 1)
