@@ -363,6 +363,94 @@ object EventOps {
       .orderBy(col("click_id"))
   }
 
+  // ---------- nearest-neighbor as-of join (bidirectional, tolerance) ----------
+  /** The NEAREST variant of [[qEventsAsof]] — each click matched to the
+    * closest view in EITHER direction within a ±2 h tolerance
+    * (|Δt| minimized; exact tie → the earlier view), the alignment
+    * sensor-fusion and feature pipelines need when "most recent" is
+    * the wrong prior. Same single user-keyed shuffle as the backward
+    * join: the union-tag LOCF carry runs TWICE over one sorted frame —
+    * forward (last view ≤ t; views sort BEFORE clicks at equal ts) and
+    * backward over the reversed order (first view ≥ t; clicks sort
+    * BEFORE views at equal ts, keeping the two candidate sets
+    * disjoint-or-equal at boundaries) — then one integer |Δ| compare
+    * picks the winner. No join against the views table at all.
+    *
+    * All decisions are integer micros; NULL when neither side lands
+    * inside the tolerance.
+    */
+  def qEventsAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val TolUs = 7200000000L // 2 hours
+    val e = Tables.events(spark, dir)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("tag"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("tag"))
+    val tagged = views.unionByName(clicks)
+      .withColumn("v_info",
+        when(col("tag") === 0,
+          struct(unix_micros(col("ts")).as("v_ts"),
+            col("event_id").as("v_id"))))
+    val wb = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("tag").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("tag").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("back", last(col("v_info"), ignoreNulls = true).over(wb))
+      .withColumn("fwd", last(col("v_info"), ignoreNulls = true).over(wf))
+      .filter(col("tag") === 1)
+      .withColumn("t", unix_micros(col("ts")))
+      .withColumn("db", when(col("back").isNotNull,
+        col("t") - col("back.v_ts")))
+      .withColumn("df", when(col("fwd").isNotNull,
+        col("fwd.v_ts") - col("t")))
+      .withColumn("back_ok", col("db").isNotNull && col("db") <= TolUs)
+      .withColumn("fwd_ok", col("df").isNotNull && col("df") <= TolUs)
+      .withColumn("use_back", col("back_ok") &&
+        (!col("fwd_ok") || col("db") <= col("df")))
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("t").as("click_ts"),
+        when(col("use_back"), col("back.v_id"))
+          .otherwise(when(col("fwd_ok"), col("fwd.v_id"))).as("view_id"),
+        when(col("use_back"), -col("db"))
+          .otherwise(when(col("fwd_ok"), col("df"))).as("delta_us"))
+      .orderBy(col("click_id"))
+  }
+
+  val qEventsAsofNearestOracle: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) tu, event_id, event_type
+        FROM events WHERE event_type IN ('view', 'click')),
+      tagged AS (SELECT user_id, tu, event_id,
+          CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS tag
+        FROM e),
+      m AS (SELECT *,
+          last_value(CASE WHEN tag = 0 THEN tu END IGNORE NULLS) OVER
+            (PARTITION BY user_id ORDER BY tu ASC, tag ASC, event_id ASC
+             ROWS UNBOUNDED PRECEDING) AS b_ts,
+          last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS) OVER
+            (PARTITION BY user_id ORDER BY tu ASC, tag ASC, event_id ASC
+             ROWS UNBOUNDED PRECEDING) AS b_id,
+          last_value(CASE WHEN tag = 0 THEN tu END IGNORE NULLS) OVER
+            (PARTITION BY user_id ORDER BY tu DESC, tag DESC, event_id DESC
+             ROWS UNBOUNDED PRECEDING) AS f_ts,
+          last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS) OVER
+            (PARTITION BY user_id ORDER BY tu DESC, tag DESC, event_id DESC
+             ROWS UNBOUNDED PRECEDING) AS f_id
+        FROM tagged),
+      c AS (SELECT user_id, tu, event_id,
+          tu - b_ts AS db, f_ts - tu AS df, b_id, f_id,
+          b_ts IS NOT NULL AND tu - b_ts <= 7200000000 AS back_ok,
+          f_ts IS NOT NULL AND f_ts - tu <= 7200000000 AS fwd_ok
+        FROM m WHERE tag = 1)
+      SELECT event_id AS click_id, user_id, tu AS click_ts,
+        CASE WHEN back_ok AND (NOT fwd_ok OR db <= df) THEN b_id
+          WHEN fwd_ok THEN f_id END AS view_id,
+        CASE WHEN back_ok AND (NOT fwd_ok OR db <= df) THEN -db
+          WHEN fwd_ok THEN df END AS delta_us
+      FROM c ORDER BY click_id"""
+
   val qEventsAsofOracle: String =
     """WITH v AS (SELECT user_id, epoch_us(ts) v_ts, event_id v_id
         FROM events WHERE event_type = 'view'),
@@ -3179,6 +3267,7 @@ object EventOps {
     "q_events_sliding" -> (qEventsSliding _),
     "q_events_session" -> (qEventsSession _),
     "q_events_asof" -> (qEventsAsof _),
+    "q_events_asof_nearest" -> (qEventsAsofNearest _),
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_recovery" -> (qStreamRecovery _),
     "q_stream_session" -> (qStreamSession _),
@@ -3233,6 +3322,7 @@ object EventOps {
     "q_events_sliding" -> qEventsSlidingOracle,
     "q_events_session" -> qEventsSessionOracle,
     "q_events_asof" -> qEventsAsofOracle,
+    "q_events_asof_nearest" -> qEventsAsofNearestOracle,
     "q_stream_tumbling" -> qEventsTumblingOracle,
     "q_stream_recovery" -> qStreamRecoveryOracle,
     "q_stream_session" -> qEventsSessionOracle,

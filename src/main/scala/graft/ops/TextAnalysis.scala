@@ -3012,6 +3012,46 @@ object TextAnalysis {
       WHERE heldout
       GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---------- word burstiness (Church–Gale cf/df) ----------
+  /** Burstiness of the top-50 collection-frequency words: cf/df — mean
+    * occurrences per CONTAINING document (Church & Gale: content words
+    * burst, function words spread; a Poisson word would sit at
+    * cf/df ≈ cf/N·e^… ≈ 1 for rare words), plus document coverage.
+    * The per-word readout IDF-style rankers and stopword inducers
+    * consume.
+    *
+    * Exactness: cf and df are exact integers from ONE combine-fed
+    * (word, doc) → word aggregate (count + count of distinct docs via
+    * pre-grouping, never count-distinct over the corpus); burst and
+    * coverage emit as floor-e6 integral divisions. Top-50 is a
+    * TakeOrdered (cf desc, word), never a global sort.
+    */
+  def qTextBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("nd"))
+    val wd = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("w"))
+      .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("c"))
+    wd.groupBy(col("w"))
+      .agg(sum(col("c")).as("cf"), count(lit(1)).as("df"))
+      .orderBy(col("cf").desc, col("w")).limit(50)
+      .crossJoin(broadcast(nDocs))
+      .select(col("w"), col("cf"), col("df"),
+        expr("cf * 1000000 DIV df").as("burst_e6"),
+        expr("df * 1000000 DIV nd").as("coverage_e6"))
+      .orderBy(col("cf").desc, col("w"))
+  }
+
+  val qTextBurstinessOracle: String =
+    """WITH nd AS (SELECT count(*)::BIGINT nd FROM documents),
+      wd AS (SELECT w, doc_id, count(*)::BIGINT c FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents)
+        GROUP BY 1, 2),
+      agg AS (SELECT w, sum(c)::BIGINT cf, count(*)::BIGINT df FROM wd
+        GROUP BY 1 ORDER BY cf DESC, w LIMIT 50)
+      SELECT w, cf, df, cf * 1000000 // df AS burst_e6,
+        df * 1000000 // nd.nd AS coverage_e6
+      FROM agg CROSS JOIN nd ORDER BY cf DESC, w"""
+
   // ---------- Jensen–Shannon divergence between language slices ----------
   /** JSD between the unigram distributions of the `en` slice and the
     * rest of the corpus — the bounded, symmetric distribution distance
@@ -3774,6 +3814,7 @@ object TextAnalysis {
     "q_text_lm_heldout" -> (qTextLmHeldout _),
     "q_text_kneserney" -> (qTextKneserNey _),
     "q_text_jsd" -> (qTextJsd _),
+    "q_text_burstiness" -> (qTextBurstiness _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3840,5 +3881,6 @@ object TextAnalysis {
     "q_text_lm_heldout" -> qTextLmHeldoutOracle,
     "q_text_kneserney" -> qTextKneserNeyOracle,
     "q_text_jsd" -> qTextJsdOracle,
+    "q_text_burstiness" -> qTextBurstinessOracle,
   )
 }

@@ -1833,6 +1833,99 @@ class OpsSpec extends AnyFunSuite {
       s"single community must score exactly 0, got $q")
   }
 
+  test("ldp: the randomized-response mechanism replays locally event " +
+    "by event and the debiased estimator tracks the true counts") {
+    val events = Tables.events(spark, dir)
+      .select("event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val types = events.map(_._2).distinct.sorted
+    def h(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(3)
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    val reported = events.map { case (id, t) =>
+      val rt = types.indexOf(t)
+      val hv = h(id)
+      if (hv * 7 < 3000000L) rt
+      else {
+        val j = ((hv * 7 - 3000000L) / 1000000L).toInt
+        if (j < rt) j else j + 1
+      }
+    }
+    val obs = reported.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = events.length.toLong
+    val trueCnt = events.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val rows = Relational.qPrivacyLdp(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == types.toSeq)
+    rows.foreach { case (t, nTrue, o, est2) =>
+      val rt = types.indexOf(t)
+      assert(nTrue == trueCnt(t) && o == obs.getOrElse(rt, 0L))
+      assert(est2 == 7L * o - n, s"$t: debias formula")
+      // unbiased estimator lands within 6 binomial SEs of the truth
+      val se2 = 7.0 * math.sqrt(n * (3.0 / 7) * (4.0 / 7))
+      assert(math.abs(est2 - 2.0 * nTrue) < 6 * se2,
+        s"$t: est2 $est2 vs 2*true ${2 * nTrue} (se2 $se2)")
+    }
+    // privacy: a single report must not reveal the type — every type
+    // is reported by events of every OTHER true type (mixing happened)
+    assert(reported.distinct.length == types.length)
+  }
+
+  test("asof nearest: every click matches a brute-force nearest view " +
+    "within tolerance, ties to the earlier view") {
+    val evs = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "click"))
+      .selectExpr("user_id", "unix_micros(ts) AS t", "event_id",
+        "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val tol = 7200000000L
+    val byUser = evs.groupBy(_._1)
+    val rows = EventOps.qEventsAsofNearest(spark, dir).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    val clicks = evs.filter(_._4 == "click")
+    assert(rows.length == clicks.length)
+    val got = rows.map(r => r._1 -> (r._2, r._3)).toMap
+    clicks.foreach { case (u, t, cid, _) =>
+      val views = byUser(u).filter(_._4 == "view")
+      val inTol = views.map(v => (math.abs(v._2 - t), v._2, v._3))
+        .filter(_._1 <= tol)
+      val want = if (inTol.isEmpty) (None, None)
+      else {
+        val best = inTol.minBy(x => (x._1, x._2))
+        (Some(best._3), Some(best._2 - t))
+      }
+      assert(got(cid) == want, s"click $cid: ${got(cid)} != $want")
+    }
+    // non-vacuity: both directions actually occur
+    assert(rows.exists(_._3.exists(_ < 0)) && rows.exists(_._3.exists(_ > 0)))
+  }
+
+  test("burstiness: cf/df replay locally and content words burst " +
+    "(every word has cf >= df, coverage <= 1)") {
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val nd = docs.length.toLong
+    val agg = docs.flatMap { case (id, ws) => ws.map(w => (w, id)) }
+      .groupBy(_._1).view.mapValues { xs =>
+        (xs.length.toLong, xs.map(_._2).distinct.length.toLong) }.toMap
+    val top = agg.toSeq.map { case (w, (cf, df)) => (w, cf, df) }
+      .sortBy(x => (-x._2, x._1)).take(50)
+    val rows = TextAnalysis.qTextBurstiness(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(x => (x._1, x._2, x._3)).toSeq == top)
+    rows.foreach { case (w, cf, df, burst, cov) =>
+      assert(burst == cf * 1000000L / df && cov == df * 1000000L / nd)
+      assert(burst >= 1000000L && cov <= 1000000L, s"$w invariants")
+    }
+  }
+
   test("poisson dispersion: moments replay locally and the verdict " +
     "boolean is consistent with the z formula") {
     val cells = Tables.events(spark, dir)
