@@ -925,6 +925,113 @@ object EventOps {
         AND c.c_tu >= v.v_tu AND c.c_tu <= v.v_tu + 14400000000::BIGINT
       ORDER BY v_id, c_id NULLS FIRST"""
 
+  // ---------- Structured Streaming: watermark late-data accounting ----------
+  /** WATERMARK LATE-DATA ACCOUNTING driven end-to-end — the dead-letter
+    * routing stage every production ingest runs: a per-batch watermark
+    * (max event time of PRIOR batches minus 1 h) splits each arriving
+    * micro-batch into on-time rows (merged into the day-aggregate
+    * state) and LATE rows (counted to the dead-letter ledger, never
+    * aggregated). The fixture arrives as two files — the on-time bulk,
+    * then the corpus's earliest two days — so the second batch is
+    * entirely late by construction and the final state must equal the
+    * batch aggregate of the on-time slice alone, with the late count
+    * reconciling exactly against the split formula (certified
+    * boolean).
+    *
+    * The router is EXPLICIT (foreachBatch, the [[graft.cdc.CdcColumns]]
+    * qStreamCdcApply discipline) rather than delegated to the engine —
+    * deliberately: measured on Spark 4.1.2, the built-in stateful
+    * aggregation AND dropDuplicates both ACCEPTED input rows far below
+    * the current watermark (72/72 late rows aggregated,
+    * numRowsDroppedByWatermark = 0, watermark confirmed advanced in
+    * the same progress line) — below-watermark input filtering is not
+    * a contract the engine honors here, only state EVICTION is. A
+    * pipeline that needs late-data routing must therefore own the
+    * predicate, which also makes the semantics exactly reproducible by
+    * the batch oracle.
+    *
+    * Scale shape: the router predicate is scan-side; the state merge
+    * is a day-bounded combine-fed aggregate per batch (same shape as
+    * the CDC merge); the watermark is one driver-held long.
+    */
+  def qStreamLateData(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("ts"), expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-stream-late-in-${dir.hashCode.toHexString}")
+    if (!new java.io.File(fixture, "_READY").isFile) {
+      val lo = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
+      val cut = lo + 2L * 86400000000L
+      ev.filter(unix_micros(col("ts")) >= cut).coalesce(1)
+        .write.mode("overwrite").parquet(s"$fixture/in")
+      Thread.sleep(5) // distinct mtimes → on-time file listed first
+      ev.filter(unix_micros(col("ts")) < cut).coalesce(1)
+        .write.mode("append").parquet(s"$fixture/in")
+      new java.io.File(fixture, "_READY").createNewFile()
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-late")
+      .toFile.getAbsolutePath
+    @volatile var wmUs = Long.MinValue // max event time of PRIOR batches
+    @volatile var nLate = 0L
+    @volatile var statePath: Option[String] = None
+    val q = spark.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(s"$fixture/in")
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val b = batch.withColumn("tu", unix_micros(col("ts")))
+            .localCheckpoint()
+          val wm = if (wmUs == Long.MinValue) Long.MinValue
+            else wmUs - 3600000000L
+          nLate += b.filter(col("tu") < wm).count()
+          val onTime = b.filter(col("tu") >= wm)
+            .groupBy(expr("tu - tu % 86400000000").as("ds"))
+            .agg(count(lit(1)).as("n"), sum(col("c")).as("cents"))
+          val merged = statePath match {
+            case Some(p) => spark.read.parquet(p).unionByName(onTime)
+              .groupBy(col("ds"))
+              .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+            case None => onTime
+          }
+          merged.write.mode("overwrite").parquet(s"$tmp/state$id")
+          statePath = Some(s"$tmp/state$id")
+          val mx = b.agg(max(col("tu"))).head()
+          if (!mx.isNullAt(0)) wmUs = math.max(wmUs, mx.getLong(0))
+          b.unpersist()
+          ()
+        }
+        .start()
+    try q.awaitTermination()
+    finally q.stop()
+    val expected = {
+      val lo = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
+      ev.filter(unix_micros(col("ts")) < lo + 2L * 86400000000L).count()
+    }
+    sinkSorted(spark.read.parquet(statePath.get), col("ds"))
+      .select(expr("ds DIV 1000000").as("day_start"), col("n"),
+        col("cents"),
+        lit(expected).as("n_late_expected"),
+        lit(nLate == expected).as("late_ledger_reconciles"))
+  }
+
+  val qStreamLateDataOracle: String =
+    """WITH e AS (SELECT epoch_us(ts) tu,
+        CAST(round(value * 100) AS BIGINT) c FROM events),
+      b AS (SELECT min(tu) lo FROM e),
+      onx AS (SELECT tu, c FROM e, b WHERE tu >= lo + 172800000000),
+      late AS (SELECT count(*)::BIGINT n_late FROM e, b
+        WHERE tu < lo + 172800000000),
+      g AS (SELECT (tu - tu % 86400000000) // 1000000 AS day_start,
+          count(*)::BIGINT n, sum(c)::BIGINT cents
+        FROM onx GROUP BY 1)
+      SELECT day_start, n, cents, late.n_late AS n_late_expected,
+        TRUE AS late_ledger_reconciles
+      FROM g, late ORDER BY day_start"""
+
   // ---------- Structured Streaming: custom sessionization state ----------
 
   /** One event as seen by the stateful operator (ts kept as BOTH the
@@ -2480,6 +2587,71 @@ object EventOps {
         greatest(op.open, op.open + pk.best) AS peak
       FROM op JOIN pk USING (hr) ORDER BY op.hr"""
 
+  // ---------- bot detection by inter-event regularity ----------
+  /** Scripted-traffic screen — the data-cleaning gate a training
+    * pipeline runs BEFORE any engagement statistic: humans arrive with
+    * bursty inter-event gaps (squared coefficient of variation
+    * CV² ≈ 1 for Poisson, > 1 for bursty), schedulers and replay bots
+    * arrive metronomically (CV² → 0). Reports the 20 most-regular
+    * active users (≥ 20 gaps), the candidates a reviewer actually
+    * inspects.
+    *
+    * Exactness: gaps are integer SECONDS (floor of the µs delta — the
+    * division is the same integer DIV in both engines) from one
+    * user-partitioned lag; per-user moment triples (n, Σg, Σg²) are
+    * exact integers with the CV² numerator n·Σg² − (Σg)² in
+    * DECIMAL(38,0) ([[qStatsTtest]] discipline — Σg² alone passes
+    * BIGINT near decade-long gaps at µs precision, which is why the
+    * gap unit is seconds); CV² is one double division rounded 1e-6,
+    * and the flag (CV² < 0.1) is a certified boolean. Top-20 is a
+    * TakeOrdered on (cv2, user), never a global sort.
+    *
+    * Scale shape: one user-keyed window shuffle (shared with every
+    * sequence operator), one combine-fed per-user aggregate, a
+    * TakeOrdered. Nothing else.
+    */
+  def qEventsBots(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tu"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tu"),
+        col("event_id"))
+      .withColumn("g", col("tu") - lag(col("tu"), 1).over(w))
+      .filter(col("g").isNotNull)
+      .withColumn("g", expr("g DIV 1000000"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("g")).as("sg"),
+        sum(col("g") * col("g")).as("sgg"))
+      .filter(col("n_gaps") >= 20L)
+      .withColumn("cv2", (col("n_gaps").cast(dec) * col("sgg").cast(dec) -
+          col("sg").cast(dec) * col("sg").cast(dec)).cast("double") /
+        (col("sg").cast(dec) * col("sg").cast(dec)).cast("double"))
+      .select(col("user_id"), col("n_gaps"),
+        expr("sg DIV n_gaps").as("mean_gap_s"),
+        round(col("cv2"), 6).as("cv2_6"),
+        (col("cv2") < 0.1).as("bot_flag"))
+      .orderBy(col("cv2_6"), col("user_id")).limit(20)
+  }
+
+  val qEventsBotsOracle: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) tu, event_id FROM events),
+      g AS (SELECT user_id,
+          (tu - lag(tu) OVER (PARTITION BY user_id
+            ORDER BY tu, event_id)) // 1000000 AS g
+        FROM e),
+      m AS (SELECT user_id, count(*)::BIGINT n_gaps, sum(g)::BIGINT sg,
+          sum(g * g)::BIGINT sgg
+        FROM g WHERE g IS NOT NULL GROUP BY 1
+        HAVING count(*) >= 20),
+      f AS (SELECT user_id, n_gaps, sg,
+          (n_gaps::HUGEINT * sgg - sg::HUGEINT * sg)::DOUBLE /
+            (sg::HUGEINT * sg)::DOUBLE AS cv2
+        FROM m)
+      SELECT user_id, n_gaps, sg // n_gaps AS mean_gap_s,
+        round(cv2, 6) AS cv2_6, cv2 < 0.1 AS bot_flag
+      FROM f ORDER BY cv2_6, user_id LIMIT 20"""
+
   // ---------- index-of-dispersion test (is activity Poisson?) ----------
   /** Overdispersion test of per-(user, day) event counts — the
     * question behind every rate model and anomaly threshold: if daily
@@ -3268,6 +3440,8 @@ object EventOps {
     "q_events_session" -> (qEventsSession _),
     "q_events_asof" -> (qEventsAsof _),
     "q_events_asof_nearest" -> (qEventsAsofNearest _),
+    "q_stream_late_data" -> (qStreamLateData _),
+    "q_events_bots" -> (qEventsBots _),
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_recovery" -> (qStreamRecovery _),
     "q_stream_session" -> (qStreamSession _),
@@ -3323,6 +3497,8 @@ object EventOps {
     "q_events_session" -> qEventsSessionOracle,
     "q_events_asof" -> qEventsAsofOracle,
     "q_events_asof_nearest" -> qEventsAsofNearestOracle,
+    "q_stream_late_data" -> qStreamLateDataOracle,
+    "q_events_bots" -> qEventsBotsOracle,
     "q_stream_tumbling" -> qEventsTumblingOracle,
     "q_stream_recovery" -> qStreamRecoveryOracle,
     "q_stream_session" -> qEventsSessionOracle,

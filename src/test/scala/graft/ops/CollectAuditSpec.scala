@@ -42,7 +42,12 @@ class CollectAuditSpec extends AnyFunSuite {
   test("ops collect()/head() sites match the pinned fixed-size models") {
     val expected = Map(
       "Dedup.scala" -> 2,
-      "EventOps.scala" -> 3,
+      // EventOps: the three 1-row span/total aggregates the pre-r10 ops
+      // collect, plus qStreamLateData's three 1-row heads (fixture-build
+      // min, expected-late min, per-batch max feeding the driver-held
+      // watermark — each a single-row aggregate, the fixed-size-model
+      // shape)
+      "EventOps.scala" -> 6,
       "GraphOps.scala" -> 1,
       "Similarity.scala" -> 8,
       "TextAnalysis.scala" -> 1)

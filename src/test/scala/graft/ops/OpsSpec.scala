@@ -1833,6 +1833,60 @@ class OpsSpec extends AnyFunSuite {
       s"single community must score exactly 0, got $q")
   }
 
+  test("stream late data: the routed state equals the on-time batch " +
+    "aggregate, the dead-letter ledger reconciles, and nothing late " +
+    "leaked into the aggregate") {
+    val evs = Tables.events(spark, dir)
+      .selectExpr("unix_micros(ts) AS tu",
+        "CAST(round(value * 100) AS BIGINT) AS c").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val lo = evs.map(_._1).min
+    val cut = lo + 2L * 86400000000L
+    val (late, onTime) = evs.partition(_._1 < cut)
+    val localAgg = onTime.groupBy(e => (e._1 - e._1 % 86400000000L))
+      .map { case (ds, xs) =>
+        ds / 1000000L -> (xs.length.toLong, xs.map(_._2).sum) }
+    val rows = EventOps.qStreamLateData(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.map(_._1).toSet == localAgg.keySet)
+    rows.foreach { case (ds, n, cents, nl, ok) =>
+      assert((n, cents) == localAgg(ds), s"day $ds")
+      assert(nl == late.length.toLong && ok,
+        "dead-letter ledger must reconcile with the split formula")
+    }
+    assert(rows.map(_._2).sum == onTime.length.toLong,
+      "late rows leaked into the aggregate")
+    assert(late.nonEmpty, "no late rows: the router was never exercised")
+  }
+
+  test("bots: gap moments replay locally and the regularity ranking " +
+    "is consistent with its own flag") {
+    val evs = Tables.events(spark, dir)
+      .selectExpr("user_id", "unix_micros(ts) AS tu", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val local = evs.groupBy(_._1).flatMap { case (u, xs) =>
+      val gaps = xs.sortBy(e => (e._2, e._3)).map(_._2)
+        .sliding(2).collect { case Array(a, b) => (b - a) / 1000000L }
+        .toArray
+      if (gaps.length >= 20) {
+        val n = gaps.length.toLong
+        val sg = gaps.sum
+        val sgg = gaps.map(g => BigInt(g) * g).sum
+        val cv2 = (BigInt(n) * sgg - BigInt(sg) * sg).toDouble /
+          (BigInt(sg) * sg).toDouble
+        Some((u, n, sg / n, math.rint(cv2 * 1e6) / 1e6, cv2 < 0.1))
+      } else None
+    }.toSeq.sortBy(x => (x._4, x._1)).take(20)
+    val rows = EventOps.qEventsBots(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(rows.toSeq == local, s"bots ${rows.toSeq} != $local")
+    rows.foreach { case (u, _, _, cv2, flag) =>
+      assert(cv2 >= 0.0, s"user $u negative cv2")
+    }
+  }
+
   test("ldp: the randomized-response mechanism replays locally event " +
     "by event and the debiased estimator tracks the true counts") {
     val events = Tables.events(spark, dir)
