@@ -967,6 +967,11 @@ object EventOps {
       Thread.sleep(5) // distinct mtimes → on-time file listed first
       ev.filter(unix_micros(col("ts")) < cut).coalesce(1)
         .write.mode("append").parquet(s"$fixture/in")
+      // expected late count rides with the fixture: the split formula
+      // is deterministic, so recomputing it per call is two wasted scans
+      java.nio.file.Files.writeString(
+        new java.io.File(fixture, "_META").toPath,
+        ev.filter(unix_micros(col("ts")) < cut).count().toString)
       new java.io.File(fixture, "_READY").createNewFile()
     }
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-late")
@@ -984,10 +989,14 @@ object EventOps {
         .option("checkpointLocation", s"$tmp/ckpt")
         .foreachBatch { (batch: DataFrame, id: Long) =>
           val b = batch.withColumn("tu", unix_micros(col("ts")))
-            .localCheckpoint()
           val wm = if (wmUs == Long.MinValue) Long.MinValue
             else wmUs - 3600000000L
-          nLate += b.filter(col("tu") < wm).count()
+          // two jobs per batch: the ledger/watermark scalars fold into
+          // ONE aggregate row; the state merge is the second action
+          val st = b.agg(
+            sum(when(col("tu") < wm, 1L).otherwise(0L)).as("nl"),
+            max(col("tu")).as("mx")).head()
+          nLate += (if (st.isNullAt(0)) 0L else st.getLong(0))
           val onTime = b.filter(col("tu") >= wm)
             .groupBy(expr("tu - tu % 86400000000").as("ds"))
             .agg(count(lit(1)).as("n"), sum(col("c")).as("cents"))
@@ -999,18 +1008,14 @@ object EventOps {
           }
           merged.write.mode("overwrite").parquet(s"$tmp/state$id")
           statePath = Some(s"$tmp/state$id")
-          val mx = b.agg(max(col("tu"))).head()
-          if (!mx.isNullAt(0)) wmUs = math.max(wmUs, mx.getLong(0))
-          b.unpersist()
+          if (!st.isNullAt(1)) wmUs = math.max(wmUs, st.getLong(1))
           ()
         }
         .start()
     try q.awaitTermination()
     finally q.stop()
-    val expected = {
-      val lo = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
-      ev.filter(unix_micros(col("ts")) < lo + 2L * 86400000000L).count()
-    }
+    val expected = java.nio.file.Files.readString(
+      new java.io.File(fixture, "_META").toPath).trim.toLong
     sinkSorted(spark.read.parquet(statePath.get), col("ds"))
       .select(expr("ds DIV 1000000").as("day_start"), col("n"),
         col("cents"),

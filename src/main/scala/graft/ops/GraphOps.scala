@@ -185,7 +185,29 @@ object GraphOps {
     * the same partition the labelprop query reports. Returns a
     * checkpointed frame (lineage truncated per round).
     */
-  private def lpaLabels(spark: SparkSession, dir: String): DataFrame = {
+  /** LPA label frame shared by labelprop/modularity/conductance — the
+    * same build-once discipline as [[coPurchaseEdges]] (and Dedup's CC
+    * labels): three queries each re-running the 3-round fixpoint per
+    * call is pure waste, and every consumer's oracle STILL recomputes
+    * the full LPA from the raw corpus, so fidelity stays proven per
+    * query. Single slot; evicted checkpoint blocks released.
+    */
+  private var lpaSlot: (String, DataFrame) = null
+
+  private def lpaLabels(spark: SparkSession, dir: String): DataFrame =
+    synchronized {
+      val k = SessionFixtures.key(spark, dir)
+      if (lpaSlot != null && lpaSlot._1 == k) lpaSlot._2
+      else {
+        if (lpaSlot != null) Dedup.releaseCheckpoint(lpaSlot._2)
+        val l = lpaLabelsBuild(spark, dir)
+        lpaSlot = (k, l)
+        SessionFixtures.pin("graph_lpa_labels", l)
+        l
+      }
+    }
+
+  private def lpaLabelsBuild(spark: SparkSession, dir: String): DataFrame = {
     val e = coPurchaseEdges(spark, dir)
     val nbrs = e.union(e.select(col("pb"), col("pa"))).toDF("u", "v")
       .localCheckpoint()

@@ -43,11 +43,10 @@ class CollectAuditSpec extends AnyFunSuite {
     val expected = Map(
       "Dedup.scala" -> 2,
       // EventOps: the three 1-row span/total aggregates the pre-r10 ops
-      // collect, plus qStreamLateData's three 1-row heads (fixture-build
-      // min, expected-late min, per-batch max feeding the driver-held
-      // watermark — each a single-row aggregate, the fixed-size-model
-      // shape)
-      "EventOps.scala" -> 6,
+      // collect, plus qStreamLateData's two 1-row heads (fixture-build
+      // min; the fused per-batch ledger/watermark scalar row — each a
+      // single-row aggregate, the fixed-size-model shape)
+      "EventOps.scala" -> 5,
       "GraphOps.scala" -> 1,
       "Similarity.scala" -> 8,
       "TextAnalysis.scala" -> 1)
