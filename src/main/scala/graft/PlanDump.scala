@@ -101,7 +101,9 @@ object PlanDump {
     "q_eval_auc", "q_calibrate_isotonic", "q_eval_spearman",
     "q_stats_linreg", "q_events_concurrency", "q_ann_mmr",
     "q_text_kneserney", "q_graph_conductance", "q_layout_hilbert",
-    "q_stats_poisson", "q_text_jsd")
+    "q_stats_poisson", "q_text_jsd",
+    "q_privacy_ldp", "q_events_asof_nearest", "q_text_burstiness",
+    "q_events_bots", "q_stream_late_data")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -2592,6 +2592,173 @@ object EventOps {
         greatest(op.open, op.open + pk.best) AS peak
       FROM op JOIN pk USING (hr) ORDER BY op.hr"""
 
+  // ---------- multiple testing: Benjamini–Hochberg FDR ----------
+  /** The multiple-comparisons discipline every metrics platform needs
+    * the day it runs five tests at once: a per-type Welch z (does this
+    * event type's value differ from the rest?) would produce ~one
+    * false positive per screen at α = 0.05 uncorrected. BH at
+    * FDR = 0.05: sort |z| descending, find the largest rank k with
+    * |z|_(k) ≥ z(α·k/m/2), reject ranks ≤ k.
+    *
+    * Exactness: per-type moment triples are exact integers from ONE
+    * combine-fed pass (complement moments by subtraction from the
+    * totals — no second scan); z is the [[qStatsTtest]] closed form.
+    * p-values never materialize — the BH comparison runs on |z|
+    * against the PRECOMPUTED two-sided normal quantiles for α·i/m
+    * (five literal doubles, identical in both engines), so no erf —
+    * whose libm implementations differ — enters the hash. The 5-row
+    * rank/threshold logic runs behind eager localCheckpoints (the
+    * [[qStatsKs]] discipline).
+    */
+  def qStatsFdr(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    // two-sided normal quantiles for alpha*i/m, i = 1..5, alpha = .05
+    val thr = Seq(2.5758293035489004, 2.3263478740408408,
+      2.170090378034251, 2.0537489106318225, 1.959963984540054)
+    val m = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("q"))
+      .localCheckpoint() // 5 rows: the whole test table
+    val tot = m.agg(sum(col("n")).as("tn"), sum(col("s")).as("ts"),
+      sum(col("q")).as("tq"))
+    def vexpr(n: String, s: String, q: String): String =
+      s"(CAST($n AS DECIMAL(38,0)) * CAST($q AS DECIMAL(38,0)) - " +
+        s"CAST($s AS DECIMAL(38,0)) * CAST($s AS DECIMAL(38,0)))" +
+        s" / (CAST($n AS DOUBLE) * (CAST($n AS DOUBLE) - 1.0))"
+    val z = m.crossJoin(broadcast(tot))
+      .withColumn("nc", col("tn") - col("n"))
+      .withColumn("sc", col("ts") - col("s"))
+      .withColumn("qc", col("tq") - col("q"))
+      .withColumn("v", expr(vexpr("n", "s", "q")).cast("double"))
+      .withColumn("vc", expr(vexpr("nc", "sc", "qc")).cast("double"))
+      .withColumn("z",
+        (col("s").cast("double") / col("n").cast("double") -
+          col("sc").cast("double") / col("nc").cast("double")) /
+        sqrt(col("v") / col("n").cast("double") +
+          col("vc") / col("nc").cast("double")))
+      .withColumn("az", abs(col("z")))
+      .localCheckpoint()
+    val ranked = z
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("az").desc, col("event_type"))))
+      .withColumn("thr",
+        element_at(array(thr.map(lit): _*), col("rank")))
+      .withColumn("pass", col("az") >= col("thr"))
+      .localCheckpoint()
+    val k = ranked.agg(max(when(col("pass"), col("rank"))
+      .otherwise(lit(0))).as("k"))
+    ranked.crossJoin(broadcast(k))
+      .select(col("event_type"), col("n"), round(col("z"), 6).as("z6"),
+        col("rank"), round(col("thr"), 6).as("bh_critical6"),
+        (col("rank") <= col("k")).as("rejected"))
+      .orderBy(col("rank"))
+  }
+
+  val qStatsFdrOracle: String = {
+    val thr = Seq(2.5758293035489004, 2.3263478740408408,
+      2.170090378034251, 2.0537489106318225, 1.959963984540054)
+    val thrCase = thr.zipWithIndex.map { case (t, i) =>
+      s"WHEN ${i + 1} THEN $t" }.mkString(" ")
+    s"""WITH p AS (SELECT event_type,
+        CAST(round(value * 100) AS BIGINT) c FROM events),
+      m AS (SELECT event_type, count(*)::BIGINT n, sum(c)::BIGINT s,
+          sum(c * c)::BIGINT q FROM p GROUP BY 1),
+      t AS (SELECT sum(n)::BIGINT tn, sum(s)::BIGINT ts,
+          sum(q)::BIGINT tq FROM m),
+      d AS (SELECT m.*, t.tn - m.n AS nc, t.ts - m.s AS sc,
+          t.tq - m.q AS qc FROM m CROSS JOIN t),
+      v AS (SELECT *,
+          (n::HUGEINT * q - s::HUGEINT * s)::DOUBLE
+            / (n::DOUBLE * (n::DOUBLE - 1.0)) AS v,
+          (nc::HUGEINT * qc - sc::HUGEINT * sc)::DOUBLE
+            / (nc::DOUBLE * (nc::DOUBLE - 1.0)) AS vc
+        FROM d),
+      z AS (SELECT event_type, n,
+          (s::DOUBLE / n::DOUBLE - sc::DOUBLE / nc::DOUBLE) /
+            sqrt(v / n::DOUBLE + vc / nc::DOUBLE) AS z
+        FROM v),
+      r AS (SELECT *, abs(z) AS az, row_number() OVER
+            (ORDER BY abs(z) DESC, event_type) AS rank FROM z),
+      w AS (SELECT *, CASE rank $thrCase END AS thr FROM r),
+      k AS (SELECT coalesce(max(CASE WHEN az >= thr THEN rank END), 0)
+          AS k FROM w)
+      SELECT event_type, n, round(z, 6) z6, rank,
+        round(thr, 6) bh_critical6, rank <= k.k AS rejected
+      FROM w CROSS JOIN k ORDER BY rank"""
+  }
+
+  // ---------- Gini concentration of purchase revenue ----------
+  /** Revenue-concentration readout — the Gini coefficient and
+    * top-decile share of per-purchase value, the "how unequal is this
+    * distribution" number behind whale analysis and mixture-balance
+    * decisions. Computed EXACTLY without any corpus-scale sort: value
+    * lives on the bounded 2-dp cents domain, so per-value cells
+    * (n_v, v) + a cumulative window on the cell table (the
+    * [[graft.ops.TextAnalysis.qEvalAuc]] discipline) give both the
+    * tie-correct Gini sum Σ v·n_v·(2·cum_< + n_v − n) and the exact
+    * top-decile split (straddling cells contribute
+    * min(n_v, cum − (n − k)) items), all in DECIMAL(38,0); each emitted
+    * statistic is one final integral/double division.
+    */
+  def qStatsGini(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("nv"))
+      .localCheckpoint() // bounded value domain (2-dp cents)
+    val tot = cells.agg(sum(col("nv")).as("n"),
+      sum(col("v") * col("nv")).cast(dec).as("sv"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = cells
+      .withColumn("cum", sum(col("nv")).over(w))
+      .localCheckpoint()
+    scored.crossJoin(broadcast(tot))
+      .withColumn("contrib", col("v").cast(dec) * col("nv").cast(dec) *
+        (lit(2L).cast(dec) * (col("cum") - col("nv")).cast(dec) +
+          col("nv").cast(dec) - col("n").cast(dec)))
+      .withColumn("k", expr("n DIV 10"))
+      .withColumn("topn", greatest(lit(0L),
+        least(col("nv"), col("cum") - (col("n") - col("k")))))
+      .agg(max(col("n")).as("n"), max(col("sv")).cast(dec).as("cents"),
+        sum(col("contrib")).cast(dec).as("gnum"),
+        sum(col("v").cast(dec) * col("topn").cast(dec)).cast(dec)
+          .as("top_cents"),
+        max(col("k")).as("k"))
+      .select(col("n"), expr("CAST(cents AS BIGINT)").as("total_cents"),
+        round(col("gnum").cast("double") /
+          (col("n").cast("double") * col("cents").cast("double")), 6)
+          .as("gini6"),
+        col("k").as("top_decile_n"),
+        expr("CAST(top_cents * 1000000 DIV cents AS BIGINT)")
+          .as("top_decile_share_e6"))
+  }
+
+  val qStatsGiniOracle: String =
+    """WITH p AS (SELECT CAST(round(value * 100) AS BIGINT) v FROM events
+        WHERE event_type = 'purchase'),
+      cells AS (SELECT v, count(*)::BIGINT nv FROM p GROUP BY 1),
+      t AS (SELECT sum(nv)::BIGINT n, sum(v::HUGEINT * nv)::HUGEINT sv
+        FROM cells),
+      c AS (SELECT v, nv, sum(nv) OVER (ORDER BY v)::BIGINT cum
+        FROM cells),
+      s AS (SELECT c.*, t.n, t.sv, t.n // 10 AS k,
+          v::HUGEINT * nv * (2 * (cum::HUGEINT - nv) + nv - t.n)
+            AS contrib,
+          greatest(0, least(nv, cum - (t.n - t.n // 10))) AS topn
+        FROM c CROSS JOIN t)
+      SELECT max(n)::BIGINT n, max(sv)::BIGINT total_cents,
+        round(sum(contrib)::DOUBLE / (max(n)::DOUBLE * max(sv)::DOUBLE),
+          6) AS gini6,
+        max(k)::BIGINT top_decile_n,
+        (sum(v::HUGEINT * topn) * 1000000 // max(sv))::BIGINT
+          AS top_decile_share_e6
+      FROM s"""
+
   // ---------- bot detection by inter-event regularity ----------
   /** Scripted-traffic screen — the data-cleaning gate a training
     * pipeline runs BEFORE any engagement statistic: humans arrive with
@@ -3433,6 +3600,8 @@ object EventOps {
     "q_series_lttb" -> (qSeriesLttb _),
     "q_series_m4" -> (qSeriesM4 _),
     "q_stats_poisson" -> (qStatsPoisson _),
+    "q_stats_fdr" -> (qStatsFdr _),
+    "q_stats_gini" -> (qStatsGini _),
     "q_join_pit" -> (qJoinPit _),
     "q_events_did" -> (qEventsDid _),
     "q_events_seasonality" -> (qEventsSeasonality _),
@@ -3490,6 +3659,8 @@ object EventOps {
     "q_series_lttb" -> qSeriesLttbOracle,
     "q_series_m4" -> qSeriesM4Oracle,
     "q_stats_poisson" -> qStatsPoissonOracle,
+    "q_stats_fdr" -> qStatsFdrOracle,
+    "q_stats_gini" -> qStatsGiniOracle,
     "q_join_pit" -> qJoinPitOracle,
     "q_events_did" -> qEventsDidOracle,
     "q_events_seasonality" -> qEventsSeasonalityOracle,

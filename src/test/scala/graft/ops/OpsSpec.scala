@@ -1833,6 +1833,75 @@ class OpsSpec extends AnyFunSuite {
       s"single community must score exactly 0, got $q")
   }
 
+  test("fdr: per-type z replays from local moments, BH rejects a " +
+    "prefix of the |z| ranking, and the critical values are monotone") {
+    val rows = EventOps.qStatsFdr(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3), r.getDouble(4), r.getBoolean(5)))
+    assert(rows.length == 5 && rows.map(_._4).toSeq == (1 to 5))
+    val cents = Tables.events(spark, dir)
+      .selectExpr("event_type", "CAST(round(value * 100) AS BIGINT) c")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byType = cents.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def mom(xs: Iterable[Long]) = {
+      val n = xs.size.toLong; val s = xs.sum
+      val q = xs.map(x => BigInt(x) * x).sum
+      (n, s, (BigInt(n) * q - BigInt(s) * s).toDouble / (n.toDouble * (n - 1)))
+    }
+    val all = cents.map(_._2)
+    val zLocal = byType.map { case (t, xs) =>
+      val (n1, s1, v1) = mom(xs)
+      val rest = all.diff(xs.toSeq)
+      val (n0, s0, v0) = mom(rest)
+      t -> ((s1.toDouble / n1 - s0.toDouble / n0) /
+        math.sqrt(v1 / n1 + v0 / n0))
+    }
+    rows.foreach { case (t, n, z6, _, _, _) =>
+      assert(n == byType(t).size.toLong)
+      assert(math.abs(z6 - math.rint(zLocal(t) * 1e6) / 1e6) < 1e-9,
+        s"$t: z $z6 != ${zLocal(t)}")
+    }
+    // BH on the same thresholds, local
+    val thr = Seq(2.5758293035489004, 2.3263478740408408,
+      2.170090378034251, 2.0537489106318225, 1.959963984540054)
+    val sorted = zLocal.toSeq.sortBy { case (t, z) => (-math.abs(z), t) }
+    val k = sorted.zipWithIndex
+      .filter { case ((_, z), i) => math.abs(z) >= thr(i) }
+      .map(_._2 + 1).lastOption.getOrElse(0)
+    rows.foreach { case (t, _, _, rank, crit, rej) =>
+      assert(rej == (rank <= k), s"$t: BH rejection")
+      assert(crit == math.rint(thr(rank - 1) * 1e6) / 1e6)
+    }
+    // structural: rejections form a prefix; thresholds decrease
+    assert(rows.sortBy(_._4).map(_._6).toSeq.sliding(2).forall {
+      case Seq(a, b) => a || !b; case _ => true })
+    assert(thr.sliding(2).forall { case Seq(a, b) => a > b })
+  }
+
+  test("gini: coefficient and top-decile share equal a brute-force " +
+    "sorted replay and land in their theoretical ranges") {
+    val vals = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .selectExpr("CAST(round(value * 100) AS BIGINT) v")
+      .collect().map(_.getLong(0)).sorted
+    val n = vals.length.toLong
+    val sv = vals.map(BigInt(_)).sum
+    val gnum = vals.zipWithIndex.map { case (v, i) =>
+      BigInt(v) * (2L * (i + 1) - n - 1) }.sum
+    val gini = gnum.toDouble / (n.toDouble * sv.toDouble)
+    val k = n / 10
+    val topCents = vals.takeRight(k.toInt).map(BigInt(_)).sum
+    val r = EventOps.qStatsGini(spark, dir).collect().head
+    assert(r.getLong(0) == n && BigInt(r.getLong(1)) == sv)
+    assert(math.abs(r.getDouble(2) - math.rint(gini * 1e6) / 1e6) < 1e-9,
+      s"gini ${r.getDouble(2)} != local $gini")
+    assert(r.getLong(3) == k &&
+      r.getLong(4) == (topCents * 1000000 / sv).toLong)
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0)
+    // top decile must hold at least its proportional share
+    assert(r.getLong(4) >= 100000L)
+  }
+
   test("stream late data: the routed state equals the on-time batch " +
     "aggregate, the dead-letter ledger reconciles, and nothing late " +
     "leaked into the aggregate") {
