@@ -239,6 +239,66 @@ object WavHeader {
     Array(n.toLong, ss, peak)
   }
 
+  /** Energy-threshold voice-activity fold over FULL 160-sample frames
+    * (the trailing partial frame is dropped): a frame is ACTIVE iff its
+    * mean square exceeds HALF the whole-clip mean square, decided on
+    * the cross-multiplied integers 2·n·e_f > 160·ss (exact — no
+    * division anywhere). Returns (n_frames, n_active, longest_run) or
+    * null when no 16-bit PCM payload exists. Same chunk walk and
+    * signed-sample fold as [[pcmStats]].
+    */
+  private def vadStats(b: Array[Byte]): Array[Long] = {
+    if (!isWav(b)) return null
+    var bits = -1L; var off = -1; var len = -1
+    var i = 12
+    while (i + 8 <= b.length && (bits < 0 || off < 0)) {
+      val id = tag(b, i)
+      val size = u32le(b, i + 4)
+      if (id == "fmt " && size >= 16 && i + 24 <= b.length)
+        bits = u16le(b, i + 22).toLong
+      else if (id == "data") { off = i + 8; len = size.toInt }
+      if (size > Int.MaxValue - 9) return null
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (bits != 16 || off < 0 || len < 0 || off + len > b.length) return null
+    val n = len / 2
+    val frames = n / 160
+    if (frames == 0) return Array(0L, 0L, 0L)
+    // pass 1: total sum of squares over the FULL-FRAME prefix
+    var ss = 0L; var k = 0
+    val m = frames * 160
+    while (k < m) {
+      val v = (((b(off + 2 * k + 1)) << 8) | (b(off + 2 * k) & 0xff))
+        .toShort.toLong
+      ss += v * v; k += 1
+    }
+    // pass 2: per-frame energies vs the cross-multiplied threshold
+    var active = 0L; var run = 0L; var best = 0L
+    var f = 0
+    while (f < frames) {
+      var e = 0L; var j = f * 160; val end = j + 160
+      while (j < end) {
+        val v = (((b(off + 2 * j + 1)) << 8) | (b(off + 2 * j) & 0xff))
+          .toShort.toLong
+        e += v * v; j += 1
+      }
+      if (2L * m * e > 160L * ss) { active += 1; run += 1
+        if (run > best) best = run }
+      else run = 0
+      f += 1
+    }
+    Array(frames.toLong, active, best)
+  }
+
+  def vadFrames(b: Array[Byte]): java.lang.Long =
+    { val p = vadStats(b); if (p == null) null else java.lang.Long.valueOf(p(0)) }
+
+  def vadActive(b: Array[Byte]): java.lang.Long =
+    { val p = vadStats(b); if (p == null) null else java.lang.Long.valueOf(p(1)) }
+
+  def vadRun(b: Array[Byte]): java.lang.Long =
+    { val p = vadStats(b); if (p == null) null else java.lang.Long.valueOf(p(2)) }
+
   def pcmSamples(b: Array[Byte]): java.lang.Long =
     { val p = pcmStats(b); if (p == null) null else java.lang.Long.valueOf(p(0)) }
 
@@ -269,10 +329,12 @@ object WavHeader {
   */
 case class WavHeaderAttr(child: Expression, attr: String) extends UnaryExpression {
   require(Set("channels", "sample_rate", "duration_ms",
-    "pcm_samples", "pcm_sum_sq", "pcm_peak")(attr),
+    "pcm_samples", "pcm_sum_sq", "pcm_peak",
+    "vad_frames", "vad_active", "vad_run")(attr),
     s"unknown wav attr $attr")
 
-  private val longAttrs = Set("duration_ms", "pcm_samples", "pcm_sum_sq")
+  private val longAttrs = Set("duration_ms", "pcm_samples", "pcm_sum_sq",
+    "vad_frames", "vad_active", "vad_run")
   private val method = attr match {
     case "channels"    => "channels"
     case "sample_rate" => "sampleRate"
@@ -280,6 +342,9 @@ case class WavHeaderAttr(child: Expression, attr: String) extends UnaryExpressio
     case "pcm_samples" => "pcmSamples"
     case "pcm_sum_sq"  => "pcmSumSq"
     case "pcm_peak"    => "pcmPeak"
+    case "vad_frames"  => "vadFrames"
+    case "vad_active"  => "vadActive"
+    case "vad_run"     => "vadRun"
   }
 
   override def dataType: DataType =
@@ -294,6 +359,9 @@ case class WavHeaderAttr(child: Expression, attr: String) extends UnaryExpressio
     case "pcm_samples" => WavHeader.pcmSamples(input.asInstanceOf[Array[Byte]])
     case "pcm_sum_sq"  => WavHeader.pcmSumSq(input.asInstanceOf[Array[Byte]])
     case "pcm_peak"    => WavHeader.pcmPeak(input.asInstanceOf[Array[Byte]])
+    case "vad_frames"  => WavHeader.vadFrames(input.asInstanceOf[Array[Byte]])
+    case "vad_active"  => WavHeader.vadActive(input.asInstanceOf[Array[Byte]])
+    case "vad_run"     => WavHeader.vadRun(input.asInstanceOf[Array[Byte]])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -497,4 +565,10 @@ object WavHeaderOps {
     ColumnBridge.column(WavHeaderAttr(ColumnBridge.expression(c), "pcm_sum_sq"))
   def wavPcmPeak(c: Column): Column =
     ColumnBridge.column(WavHeaderAttr(ColumnBridge.expression(c), "pcm_peak"))
+  def wavVadFrames(c: Column): Column =
+    ColumnBridge.column(WavHeaderAttr(ColumnBridge.expression(c), "vad_frames"))
+  def wavVadActive(c: Column): Column =
+    ColumnBridge.column(WavHeaderAttr(ColumnBridge.expression(c), "vad_active"))
+  def wavVadRun(c: Column): Column =
+    ColumnBridge.column(WavHeaderAttr(ColumnBridge.expression(c), "vad_run"))
 }

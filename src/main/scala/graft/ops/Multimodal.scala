@@ -422,6 +422,70 @@ object Multimodal {
     * < 128, so all samples are positive and sign handling is exercised
     * only as a no-op — the kernel still decodes signed).
     */
+  // ---------- energy-threshold voice activity detection ----------
+  /** VAD over the decoded PCM — the stage every speech-data pipeline
+    * runs before ASR/diarization to bill only voiced audio: 160-sample
+    * frames (trailing partial dropped), a frame ACTIVE iff its mean
+    * square exceeds HALF the clip's mean square, plus the longest
+    * active run (the "is there a continuous utterance" readout). The
+    * decision is the cross-multiplied integer 2·n·e_f > 160·ss inside
+    * the [[graft.functions.WavHeader]] codegen fold — no division, no
+    * floats, scan-side next to the byte decode.
+    *
+    * The oracle never sees the WAV bytes: it rebuilds samples from the
+    * generating text formula, re-frames them in SQL, and replays the
+    * same integer threshold and a gaps-and-islands longest-run — so a
+    * defect anywhere in chunk walk, sample signing, framing, or the
+    * run-length logic diverges the hash.
+    */
+  def qMultimodalVad(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.WavHeaderOps._
+    withWavPayload(Tables.documents(spark, dir))
+      .select(
+        col("doc_id"),
+        wavVadFrames(col("payload")).as("n_frames"),
+        wavVadActive(col("payload")).as("n_active"),
+        wavVadRun(col("payload")).as("longest_run"))
+      .filter(col("n_frames") > 0)
+      .withColumn("active_e6", expr("n_active * 1000000 DIV n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qMultimodalVadOracle: String =
+    """WITH d AS (SELECT doc_id, text,
+        octet_length(encode(text)) blen, (1 + doc_id % 2) * 2 block
+        FROM documents),
+      p AS (SELECT doc_id, text, (blen // block) * block AS ds FROM d),
+      s AS (SELECT doc_id, text, unnest(range(0, (ds // 2 // 160) * 160)) k
+        FROM p WHERE ds // 2 // 160 > 0),
+      v AS (SELECT doc_id, k // 160 AS f,
+          (ascii(substr(text, (2 * k)::INT + 1, 1))
+            + 256 * ascii(substr(text, (2 * k + 1)::INT + 1, 1)))::BIGINT
+            AS smp
+        FROM s),
+      fe AS (SELECT doc_id, f, sum(smp * smp)::BIGINT e
+        FROM v GROUP BY 1, 2),
+      tot AS (SELECT doc_id, sum(e)::BIGINT ss, count(*)::BIGINT frames
+        FROM fe GROUP BY 1),
+      act AS (SELECT fe.doc_id, fe.f,
+          (2 * tot.frames * 160 * fe.e > 160 * tot.ss)::INT a
+        FROM fe JOIN tot USING (doc_id)),
+      grp AS (SELECT doc_id, f, a,
+          f - row_number() OVER (PARTITION BY doc_id, a ORDER BY f) AS g
+        FROM act),
+      runs AS (SELECT doc_id, max(cnt)::BIGINT longest FROM (
+          SELECT doc_id, g, count(*)::BIGINT cnt FROM grp
+          WHERE a = 1 GROUP BY doc_id, g) GROUP BY doc_id)
+      SELECT tot.doc_id, tot.frames AS n_frames,
+        coalesce(sumact.n_active, 0)::BIGINT AS n_active,
+        coalesce(runs.longest, 0)::BIGINT AS longest_run,
+        coalesce(sumact.n_active, 0) * 1000000 // tot.frames AS active_e6
+      FROM tot
+      LEFT JOIN (SELECT doc_id, sum(a)::BIGINT n_active FROM act
+        GROUP BY 1) sumact USING (doc_id)
+      LEFT JOIN runs ON runs.doc_id = tot.doc_id
+      ORDER BY tot.doc_id"""
+
   val qAudioPcmOracle: String =
     """WITH d AS (SELECT doc_id, text,
         octet_length(encode(text)) blen, (1 + doc_id % 2) * 2 block
@@ -712,6 +776,7 @@ object Multimodal {
     "q_image_dedup" -> (qImageDedup _),
     "q_image_neardup" -> (qImageNeardup _),
     "q_audio_pcm" -> (qAudioPcm _),
+    "q_multimodal_vad" -> (qMultimodalVad _),
     "q_multimodal_tar" -> (qMultimodalTar _),
     "q_multimodal_shard_write" -> (qMultimodalShardWrite _),
   )
@@ -725,6 +790,7 @@ object Multimodal {
     "q_image_dedup" -> qImageDedupOracle,
     "q_image_neardup" -> qImageNeardupOracle,
     "q_audio_pcm" -> qAudioPcmOracle,
+    "q_multimodal_vad" -> qMultimodalVadOracle,
     "q_multimodal_tar" -> qMultimodalTarOracle,
     "q_multimodal_shard_write" -> qMultimodalShardWriteOracle,
   )

@@ -1833,6 +1833,64 @@ class OpsSpec extends AnyFunSuite {
       s"single community must score exactly 0, got $q")
   }
 
+  test("vad: frame decisions replay from an independent local PCM " +
+    "decode and the screen actually discriminates across clips") {
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8")))
+    val local = docs.flatMap { case (id, body) =>
+      val block = (1 + id % 2).toInt * 2
+      val ds = body.length / block * block
+      val n = ds / 2
+      val frames = n / 160
+      if (frames == 0) None
+      else {
+        // unsigned LE 16-bit (ASCII bodies: hi byte < 0x80 ⇒ == signed)
+        val smp = (0 until frames * 160).map(k =>
+          (body(2 * k) & 0xff).toLong + 256L * (body(2 * k + 1) & 0xff))
+        val ss = smp.map(v => v * v).sum
+        val m = frames * 160L
+        val act = (0 until frames).map { f =>
+          val e = (f * 160 until (f + 1) * 160).map(k =>
+            smp(k) * smp(k)).sum
+          2L * m * e > 160L * ss
+        }
+        var run = 0L; var best = 0L
+        act.foreach { a =>
+          if (a) { run += 1; if (run > best) best = run } else run = 0 }
+        Some((id, frames.toLong, act.count(identity).toLong, best))
+      }
+    }
+    val rows = Multimodal.qMultimodalVad(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(r => (r._1, r._2, r._3, r._4)).toSeq == local.toSeq)
+    rows.foreach { case (id, nf, na, run, e6) =>
+      assert(na <= nf && run <= na, s"doc $id accounting")
+      assert(e6 == na * 1000000L / nf)
+    }
+    // discrimination on crafted audio: text-derived clips are near-
+    // uniform (every frame active — the replay above proves the
+    // threshold math, not the split), so drive the kernel itself with
+    // 10 silent frames then 10 loud frames and demand a clean split
+    val frames = 20
+    val data = new Array[Byte](frames * 160 * 2)
+    (10 * 160 until frames * 160).foreach { k =>
+      data(2 * k) = 0x10; data(2 * k + 1) = 0x27 // 10000 LE
+    }
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val wav = "RIFF".getBytes ++ le32(36 + data.length) ++
+      "WAVEfmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(data.length) ++ data
+    assert(graft.functions.WavHeader.vadFrames(wav) == 20L &&
+      graft.functions.WavHeader.vadActive(wav) == 10L &&
+      graft.functions.WavHeader.vadRun(wav) == 10L,
+      "kernel must flag exactly the loud half as one run")
+  }
+
   test("fdr: per-type z replays from local moments, BH rejects a " +
     "prefix of the |z| ranking, and the critical values are monotone") {
     val rows = EventOps.qStatsFdr(spark, dir).collect()
