@@ -288,6 +288,65 @@ object EventOps {
       WHERE ts::DATE >= DATE '2024-01-08' AND ts::DATE <= DATE '2024-01-14'
       GROUP BY dt ORDER BY dt"""
 
+  // ---------- dynamic partition pruning (runtime dim-driven skip) ----------
+  /** DYNAMIC partition pruning driven end-to-end — the lakehouse scan
+    * optimization [[qPartitionedLayout]]'s static range cannot express:
+    * the probe days come from a FILTERED dimension table (a campaign
+    * calendar, itself a parquet fixture), so the fact partitions to
+    * read are only known at RUNTIME. Catalyst plans a
+    * DynamicPruningExpression on the fact's partition column fed by the
+    * reused broadcast of the dim side: at 100 TB this is the difference
+    * between scanning 3 partitions and scanning 90 — and none of it is
+    * written in the query. PlanAuditSpec pins `dynamicpruning` into the
+    * fact scan's partition filters so a regression (conf off, fold-away
+    * dim, non-broadcast join) fails loudly.
+    *
+    * Exactness: counts + 2-dp rounded sums per day (the
+    * [[qEventsTumbling]] float discipline); the campaign flag is a
+    * deterministic day-of-month formula the oracle replays.
+    */
+  def qJoinDpp(spark: SparkSession, dir: String): DataFrame = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val factPath = s"$wh/graft_events_by_day"
+    if (SessionFixtures.stale("events_by_day", spark, dir) ||
+        !new java.io.File(factPath, "_SUCCESS").isFile) {
+      Tables.events(spark, dir)
+        .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.mode("overwrite").partitionBy("dt").parquet(factPath)
+      SessionFixtures.mark("events_by_day", spark, dir)
+    }
+    val dimPath = s"$wh/graft_campaign_days"
+    if (SessionFixtures.stale("campaign_days", spark, dir) ||
+        !new java.io.File(dimPath, "_SUCCESS").isFile) {
+      Tables.events(spark, dir)
+        .select(to_date(col("ts")).as("day")).distinct()
+        .withColumn("campaign",
+          when(dayofmonth(col("day")) % 10 === 3, "launch")
+            .when(dayofmonth(col("day")) % 10 === 7, "retarget")
+            .otherwise("none"))
+        .coalesce(1).write.mode("overwrite").parquet(dimPath)
+      SessionFixtures.mark("campaign_days", spark, dir)
+    }
+    val fact = spark.read.parquet(factPath)
+    val dim = spark.read.parquet(dimPath)
+      .filter(col("campaign") === "launch")
+    fact.join(dim, fact("dt") === dim("day"))
+      .groupBy(col("dt"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 2).as("total"))
+      .orderBy(col("dt"))
+  }
+
+  val qJoinDppOracle: String =
+    """WITH f AS (SELECT ts::DATE dt, user_id, value FROM events),
+      dim AS (SELECT DISTINCT dt AS day FROM f
+        WHERE dayofmonth(dt) % 10 = 3)
+      SELECT dt, count(*) AS n, count(DISTINCT user_id) AS n_users,
+        round(sum(value), 2) AS total
+      FROM f JOIN dim ON f.dt = dim.day
+      GROUP BY dt ORDER BY dt"""
+
   // ---------- longest purchase streak (gaps-and-islands on days) ----------
   /** Longest run of CONSECUTIVE calendar days with a purchase, per user
     * (top 20 by streak) — the retention/habit metric behind "N-day
@@ -3637,6 +3696,7 @@ object EventOps {
     "q_events_engagement" -> (qEventsEngagement _),
     "q_events_streaks" -> (qEventsStreaks _),
     "q_partitioned_layout" -> (qPartitionedLayout _),
+    "q_join_dpp" -> (qJoinDpp _),
     "q_stats_drift" -> (qStatsDrift _),
     "q_stream_drift" -> (qStreamDrift _),
     "q_skew_diagnose" -> (qSkewDiagnose _),
@@ -3696,6 +3756,7 @@ object EventOps {
     "q_events_engagement" -> qEventsEngagementOracle,
     "q_events_streaks" -> qEventsStreaksOracle,
     "q_partitioned_layout" -> qPartitionedLayoutOracle,
+    "q_join_dpp" -> qJoinDppOracle,
     "q_stats_drift" -> qStatsDriftOracle,
     "q_stream_drift" -> qStatsDriftOracle,
     "q_skew_diagnose" -> qSkewDiagnoseOracle,

@@ -689,6 +689,16 @@ class PlanAuditSpec extends AnyFunSuite {
         "here with a bounded-input rationale")
   }
 
+  test("q_join_dpp: the fact scan carries a DynamicPruningExpression on " +
+    "its partition column and the dim side broadcasts") {
+    val p = plan("q_join_dpp")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"dynamic partition pruning must be planned: $p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the campaign dim must broadcast (DPP reuses that exchange): $p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_spatial_join: radius join is an equi join on the grid cell — " +
     "never a nested loop; the 9x fan-out stays on one side") {
     val p = plan("q_spatial_join")
