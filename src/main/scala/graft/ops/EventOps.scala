@@ -288,6 +288,75 @@ object EventOps {
       WHERE ts::DATE >= DATE '2024-01-08' AND ts::DATE <= DATE '2024-01-14'
       GROUP BY dt ORDER BY dt"""
 
+  // ---------- conversion latency distribution (view → purchase) ----------
+  /** Time-to-convert — the latency DISTRIBUTION behind funnel
+    * percentile SLOs ("half our buyers convert within N minutes"),
+    * which [[qEventsFunnel]]'s counts and [[qEventsAsof]]'s pairing
+    * don't expose: per user, first view → first subsequent purchase,
+    * the gap in whole minutes, and exact type-1 quantiles (p25/50/75/
+    * 90) of that distribution.
+    *
+    * Exactness: first-view/first-purchase are per-user min aggregates
+    * (one combine-fed pass); latency floors to the bounded MINUTE
+    * domain, so quantiles come from per-value cells + a cumulative
+    * window on the bounded cell table (the [[qStatsGini]] discipline)
+    * with the explicit type-1 rank rule q_p = min{v : cum(v) ≥
+    * ⌈p·n/100⌉} spelled in integer arithmetic in BOTH engines — no
+    * engine quantile function, whose interpolation conventions differ,
+    * ever runs.
+    */
+  def qEventsTimeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val firsts = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view",
+          unix_micros(col("ts")))).as("v"),
+        min(when(col("event_type") === "purchase",
+          unix_micros(col("ts")))).as("p"))
+      // two consumers (latency cells + viewed denominator): persist the
+      // user-cardinality table so the fact scans once
+      .persist()
+    val lat = firsts
+      .filter(col("v").isNotNull && col("p").isNotNull && col("p") >= col("v"))
+      .select(expr("(p - v) DIV 60000000").as("m"))
+    val cells = lat.groupBy(col("m")).agg(count(lit(1)).as("nv"))
+      .localCheckpoint() // bounded minute domain
+    val viewed = firsts.agg(sum(col("v").isNotNull.cast("long")).as("nw"))
+    val w = Window.orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells.withColumn("cum", sum(col("nv")).over(w))
+      .localCheckpoint()
+    val tot = cum.agg(max(col("cum")).as("n"))
+    def q(p: Int): Column =
+      min(when(col("cum") * 100 >= col("n") * p, col("m"))).as(s"p${p}_min")
+    cum.crossJoin(broadcast(tot)).crossJoin(broadcast(viewed))
+      .agg(max(col("n")).as("n_converters"), max(col("nw")).as("n_viewed"),
+        q(25), q(50), q(75), q(90))
+      .select(col("n_viewed"), col("n_converters"),
+        expr("n_converters * 1000000 DIV n_viewed").as("conv_rate_e6"),
+        col("p25_min"), col("p50_min"), col("p75_min"), col("p90_min"))
+  }
+
+  val qEventsTimeToConvertOracle: String =
+    """WITH f AS (SELECT user_id,
+        min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) v,
+        min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) p
+      FROM events WHERE event_type IN ('view', 'purchase')
+      GROUP BY user_id),
+      lat AS (SELECT (p - v) // 60000000 AS m FROM f
+        WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v),
+      viewed AS (SELECT count(*)::BIGINT nw FROM f WHERE v IS NOT NULL),
+      cells AS (SELECT m, count(*)::BIGINT nv FROM lat GROUP BY 1),
+      cum AS (SELECT m, sum(nv) OVER (ORDER BY m)::BIGINT cum FROM cells),
+      tot AS (SELECT max(cum)::BIGINT n FROM cum)
+      SELECT viewed.nw AS n_viewed, tot.n AS n_converters,
+        tot.n * 1000000 // viewed.nw AS conv_rate_e6,
+        (SELECT min(m) FROM cum, tot WHERE cum * 100 >= n * 25) AS p25_min,
+        (SELECT min(m) FROM cum, tot WHERE cum * 100 >= n * 50) AS p50_min,
+        (SELECT min(m) FROM cum, tot WHERE cum * 100 >= n * 75) AS p75_min,
+        (SELECT min(m) FROM cum, tot WHERE cum * 100 >= n * 90) AS p90_min
+      FROM viewed, tot"""
+
   // ---------- dynamic partition pruning (runtime dim-driven skip) ----------
   /** DYNAMIC partition pruning driven end-to-end — the lakehouse scan
     * optimization [[qPartitionedLayout]]'s static range cannot express:
@@ -3697,6 +3766,7 @@ object EventOps {
     "q_events_streaks" -> (qEventsStreaks _),
     "q_partitioned_layout" -> (qPartitionedLayout _),
     "q_join_dpp" -> (qJoinDpp _),
+    "q_events_timetoconvert" -> (qEventsTimeToConvert _),
     "q_stats_drift" -> (qStatsDrift _),
     "q_stream_drift" -> (qStreamDrift _),
     "q_skew_diagnose" -> (qSkewDiagnose _),
@@ -3757,6 +3827,7 @@ object EventOps {
     "q_events_streaks" -> qEventsStreaksOracle,
     "q_partitioned_layout" -> qPartitionedLayoutOracle,
     "q_join_dpp" -> qJoinDppOracle,
+    "q_events_timetoconvert" -> qEventsTimeToConvertOracle,
     "q_stats_drift" -> qStatsDriftOracle,
     "q_stream_drift" -> qStatsDriftOracle,
     "q_skew_diagnose" -> qSkewDiagnoseOracle,

@@ -1833,6 +1833,34 @@ class OpsSpec extends AnyFunSuite {
       s"single community must score exactly 0, got $q")
   }
 
+  test("time-to-convert: quantiles equal a sorted local replay under " +
+    "the explicit type-1 rank rule and the quartiles are ordered") {
+    val firsts = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS tu")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1).map { case (u, es) =>
+        (u, es.filter(_._2 == "view").map(_._3).minOption,
+          es.filter(_._2 == "purchase").map(_._3).minOption)
+      }.toSeq
+    val lats = firsts.collect {
+      case (_, Some(v), Some(p)) if p >= v => (p - v) / 60000000L
+    }.sorted
+    val nViewed = firsts.count(_._2.isDefined).toLong
+    val n = lats.length.toLong
+    def q(p: Int): Long = lats((math.ceil(n * p / 100.0) - 1).toInt.max(0))
+    val r = EventOps.qEventsTimeToConvert(spark, dir).collect().head
+    assert(r.getLong(0) == nViewed && r.getLong(1) == n)
+    assert(r.getLong(2) == n * 1000000L / nViewed)
+    assert((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      ((q(25), q(50), q(75), q(90))),
+      s"quantiles ${(r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))}" +
+        s" != ${(q(25), q(50), q(75), q(90))}")
+    assert(r.getLong(3) <= r.getLong(4) && r.getLong(4) <= r.getLong(5) &&
+      r.getLong(5) <= r.getLong(6))
+    assert(n > 0 && n < nViewed, "conversion must be a strict subset")
+  }
+
   test("vad: frame decisions replay from an independent local PCM " +
     "decode and the screen actually discriminates across clips") {
     val docs = Tables.documents(spark, dir)
