@@ -1676,8 +1676,92 @@ object Similarity {
       SELECT a_id, b_id, rank, rel, score::BIGINT AS mmr_e7
       FROM sel ORDER BY a_id, rank"""
 
+  // ---------- cross-modal cluster profiling (embeddings × text) ----------
+  /** Semantic-slice quality profile — the cross-modal readout curation
+    * dashboards are built from (SemDeDup/Dolma-style cluster reports):
+    * every embedding is assigned to its nearest of the 8 seed vectors
+    * (the [[qClusterKmeans]] scan-side packed-broadcast argmin, same
+    * tie rule), the assignment joins the DOCUMENTS table on the shared
+    * id, and each cluster reports its size, en-rate, mean length, and
+    * mean hashed-classifier margin ([[graft.ops.TextAnalysis]]'s
+    * qQualityClassifier formula) — "which semantic regions are long /
+    * English / high-quality".
+    *
+    * Exactness: all profile statistics are integer counts/sums with
+    * floor-e6 or integer-DIV emissions; the only doubles are the
+    * assignment distances, whose ordering the kmeans margin audit
+    * already certifies and whose ORDER alone is consumed.
+    *
+    * Scale shape: one packed 8-centroid broadcast + scan-side argmin
+    * over the embeddings; one equi-join to documents on the id (both
+    * corpus-scale — the shuffle every cross-modal join pays, and the
+    * reason production tables co-bucket the two modalities on doc_id);
+    * one 8-row aggregate.
+    */
+  def qClusterProfile(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val pts = Tables.embeddings(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val packed = pts.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+      .agg(collect_list(struct(col("cid"), col("cv"))).as("cs"))
+    val assigned = pts.crossJoin(broadcast(packed))
+      .withColumn("best", expr(
+        "array_sort(transform(cs, s -> struct(" +
+          "aggregate(zip_with(v, s.cv, (x, y) -> (x - y) * (x - y)), " +
+          "0D, (acc, z) -> acc + z) AS dist, s.cid AS cid)))[0]"))
+      .select(col("vec_id").as("doc_id"), col("best.cid").as("cluster"))
+    val words = split(col("text"), " ", -1)
+    val docs = Tables.documents(spark, dir)
+      .withColumn("n_words", size(words).cast("long"))
+      .withColumn("raw_score", aggregate(
+        transform(words, w =>
+          pmod(conv(substring(md5(w), 1, 6), 16, 10).cast("long"),
+            lit(4096L)) % 101 - 50),
+        lit(0L), (acc, x) => acc + x))
+      .select(col("doc_id"), (col("lang") === "en").as("en"),
+        col("n_words"),
+        expr("raw_score * 10000 DIV (n_words * 50)").as("margin_e4"))
+    assigned.join(docs, "doc_id")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("en").cast("long")).as("n_en"),
+        sum(col("n_words")).as("total_words"),
+        sum(col("margin_e4")).as("sum_margin_e4"))
+      .select(col("cluster"), col("n_docs"), col("n_en"),
+        expr("n_en * 1000000 DIV n_docs").as("en_rate_e6"),
+        expr("total_words DIV n_docs").as("mean_words"),
+        expr("sum_margin_e4 DIV n_docs").as("mean_margin_e4"))
+      .orderBy(col("cluster"))
+  }
+
+  val qClusterProfileOracle: String =
+    """WITH p AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      seeds AS (SELECT vec_id::INT cid, v cv FROM p WHERE vec_id < 8),
+      a AS (SELECT vec_id AS doc_id, cid AS cluster FROM (
+        SELECT p.vec_id, s.cid, row_number() OVER (PARTITION BY p.vec_id
+          ORDER BY list_distance(p.v, s.cv) ASC, s.cid ASC) rn
+        FROM p, seeds s) x WHERE rn = 1),
+      d AS (SELECT doc_id, lang = 'en' AS en,
+          len(string_split(text, ' '))::BIGINT n_words,
+          list_sum(list_transform(string_split(text, ' '), w ->
+            ('0x' || substr(md5(w), 1, 6))::BIGINT % 4096 % 101 - 50
+          ))::BIGINT raw_score
+        FROM documents),
+      m AS (SELECT doc_id, en, n_words,
+          raw_score * 10000 // (n_words * 50) AS margin_e4 FROM d)
+      SELECT a.cluster, count(*)::BIGINT n_docs,
+        sum(CASE WHEN m.en THEN 1 ELSE 0 END)::BIGINT n_en,
+        sum(CASE WHEN m.en THEN 1 ELSE 0 END) * 1000000 // count(*)
+          AS en_rate_e6,
+        sum(m.n_words)::BIGINT // count(*) AS mean_words,
+        sum(m.margin_e4)::BIGINT // count(*) AS mean_margin_e4
+      FROM a JOIN m USING (doc_id)
+      GROUP BY a.cluster ORDER BY a.cluster"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_mmr" -> (qAnnMmr _),
+    "q_cluster_profile" -> (qClusterProfile _),
     "q_eval_ndcg" -> (qEvalNdcg _),
     "q_ann_refresh" -> (qAnnRefresh _),
     "q_embed_neardup" -> (qEmbedNeardup _),
@@ -1710,6 +1794,7 @@ object Similarity {
     "q_decontaminate_semantic" -> qDecontaminateSemanticOracle,
     "q_ann_topk" -> qAnnTopkOracle,
     "q_ann_mmr" -> qAnnMmrOracle,
+    "q_cluster_profile" -> qClusterProfileOracle,
     "q_ann_negatives" -> qAnnNegativesOracle,
     "q_ann_lsh" -> certifyOracle("lsh", 0.0, 0.30),
     "q_ann_ivf" -> certifyOracle("ivf", 0.1, 0.50),

@@ -1833,6 +1833,53 @@ class OpsSpec extends AnyFunSuite {
       s"single community must score exactly 0, got $q")
   }
 
+  test("cluster profile: the cross-modal join replays locally (seed " +
+    "assignment x text stats) and the clusters partition the corpus") {
+    val vecs = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS DOUBLE)) v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val seeds = vecs.filter(_._1 < 8).sortBy(_._1)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val z = a(i) - b(i); s += z * z; i += 1 }
+      s
+    }
+    val assign = vecs.map { case (id, v) =>
+      id -> seeds.map { case (c, cv) => (d2(v, cv), c) }.min._2 }.toMap
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "lang", "text").collect()
+      .map { r =>
+        val ws = r.getString(2).split(" ", -1)
+        val score = ws.map { w =>
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(w.getBytes("UTF-8")).take(3)
+            .map("%02x".format(_)).mkString
+          java.lang.Long.parseLong(hex, 16) % 4096 % 101 - 50
+        }.sum
+        (r.getLong(0), r.getString(1) == "en", ws.length.toLong,
+          score * 10000L / (ws.length * 50L))
+      }
+    val local = docs.groupBy(x => assign(x._1)).map { case (c, xs) =>
+      c -> (xs.length.toLong, xs.count(_._2).toLong,
+        xs.count(_._2) * 1000000L / xs.length,
+        xs.map(_._3).sum / xs.length,
+        { val sm = xs.map(_._4).sum
+          // integer DIV truncates toward zero in both engines
+          sm / xs.length })
+    }
+    val rows = Similarity.qClusterProfile(spark, dir).collect()
+      .map(r => r.getInt(0).toLong -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSet == local.keySet)
+    rows.foreach { case (c, got) =>
+      assert(got == local(c), s"cluster $c: $got != ${local(c)}") }
+    assert(rows.map(_._2._1).sum == docs.length.toLong,
+      "clusters must partition the corpus")
+    // cross-modal non-vacuity: profiles differ across clusters
+    assert(rows.map(_._2._5).distinct.length > 1,
+      "identical margins everywhere: profiling is vacuous")
+  }
+
   test("time-to-convert: quantiles equal a sorted local replay under " +
     "the explicit type-1 rank rule and the quartiles are ordered") {
     val firsts = Tables.events(spark, dir)
