@@ -104,7 +104,8 @@ object PlanDump {
     "q_stats_poisson", "q_text_jsd",
     "q_privacy_ldp", "q_events_asof_nearest", "q_text_burstiness",
     "q_events_bots", "q_stream_late_data", "q_stats_fdr", "q_stats_gini",
-    "q_multimodal_vad", "q_join_dpp")
+    "q_multimodal_vad", "q_join_dpp", "q_events_timetoconvert",
+    "q_cluster_profile")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
