@@ -1711,17 +1711,8 @@ object Similarity {
           "aggregate(zip_with(v, s.cv, (x, y) -> (x - y) * (x - y)), " +
           "0D, (acc, z) -> acc + z) AS dist, s.cid AS cid)))[0]"))
       .select(col("vec_id").as("doc_id"), col("best.cid").as("cluster"))
-    val words = split(col("text"), " ", -1)
-    val docs = Tables.documents(spark, dir)
-      .withColumn("n_words", size(words).cast("long"))
-      .withColumn("raw_score", aggregate(
-        transform(words, w =>
-          pmod(conv(substring(md5(w), 1, 6), 16, 10).cast("long"),
-            lit(4096L)) % 101 - 50),
-        lit(0L), (acc, x) => acc + x))
-      .select(col("doc_id"), (col("lang") === "en").as("en"),
-        col("n_words"),
-        expr("raw_score * 10000 DIV (n_words * 50)").as("margin_e4"))
+    val docs = TextAnalysis.scoredDocs(spark, dir)
+      .select(col("doc_id"), col("en"), col("n_words"), col("margin_e4"))
     assigned.join(docs, "doc_id")
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_docs"),

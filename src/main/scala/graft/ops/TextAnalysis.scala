@@ -17,6 +17,47 @@ import graft.functions.RollingHash
   */
 object TextAnalysis {
 
+  /** Hashed-classifier document scores shared across the quality family
+    * (classifier, calibration, AUC, Spearman, isotonic — and
+    * Similarity's cross-modal cluster profile): (doc_id, lang, en,
+    * n_words, raw_score, margin_e4). The md5-per-word scoring scan is
+    * the family's dominant cost and each consumer was re-running it
+    * (~0.5 s apiece at sf0.1); one build-once fixture per
+    * (session, dir, content) — the [[graft.ops.GraphOps]] LPA-labels
+    * discipline — pays it once. Every consumer's ORACLE still
+    * recomputes the scores from raw text, so per-query round-trip
+    * fidelity is unchanged. At production scale this is exactly the
+    * scored-documents table a pipeline materializes once and reads
+    * everywhere.
+    */
+  private var scoredSlot: (String, DataFrame) = null
+
+  private[ops] def scoredDocs(spark: SparkSession, dir: String): DataFrame =
+    synchronized {
+      val k = SessionFixtures.key(spark, dir)
+      if (scoredSlot != null && scoredSlot._1 == k) scoredSlot._2
+      else {
+        if (scoredSlot != null) Dedup.releaseCheckpoint(scoredSlot._2)
+        val words = split(col("text"), " ", -1)
+        val d = Tables.documents(spark, dir)
+          .withColumn("n_words", size(words).cast("long"))
+          .withColumn("raw_score", aggregate(
+            transform(words, w =>
+              pmod(conv(substring(md5(w), 1, 6), 16, 10).cast("long"),
+                lit(4096L)) % 101 - 50),
+            lit(0L), (acc, x) => acc + x))
+          .withColumn("margin_e4",
+            expr("raw_score * 10000 DIV (n_words * 50)"))
+          .select(col("doc_id"), col("lang"),
+            (col("lang") === "en").as("en"), col("n_words"),
+            col("raw_score"), col("margin_e4"))
+          .localCheckpoint()
+        scoredSlot = (k, d)
+        SessionFixtures.pin("text_scored_docs", d)
+        d
+      }
+    }
+
   /** Marker vocabulary for the n-gram-frequency language heuristic. The
     * testdata vocabulary is shared across languages with per-language
     * frequency bias, so markers are the empirically most-biased words.
@@ -2099,22 +2140,12 @@ object TextAnalysis {
     * of the bucket id (a real model would broadcast a 4096-float
     * array; the PLAN is identical).
     */
-  def qQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
-    val words = split(col("text"), " ")
-    Tables.documents(spark, dir)
-      .withColumn("n_words", size(words))
-      .withColumn("raw_score", aggregate(
-        transform(words, w =>
-          pmod(conv(substring(md5(w), 1, 6), 16, 10).cast("long"),
-            lit(4096L)) % 101 - 50),
-        lit(0L), (acc, x) => acc + x))
-      .withColumn("margin_e4",
-        expr("raw_score * 10000 DIV (n_words * 50)"))
-      .select(col("doc_id"), col("n_words"), col("raw_score"),
-        col("margin_e4"),
+  def qQualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    scoredDocs(spark, dir)
+      .select(col("doc_id"), col("n_words").cast("int").as("n_words"),
+        col("raw_score"), col("margin_e4"),
         (col("raw_score") > 0).cast("int").as("keep"))
       .orderBy(col("doc_id"))
-  }
 
   val qQualityClassifierOracle: String =
     """WITH s AS (SELECT doc_id,
@@ -2916,15 +2947,7 @@ object TextAnalysis {
     * scan-side score pass + one ten-group combine-fed aggregate.
     */
   def qQualityCalibration(spark: SparkSession, dir: String): DataFrame = {
-    val words = split(col("text"), " ", -1)
-    Tables.documents(spark, dir)
-      .withColumn("n_words", size(words))
-      .withColumn("raw_score", aggregate(
-        transform(words, w =>
-          pmod(conv(substring(md5(w), 1, 6), 16, 10).cast("long"),
-            lit(4096L)) % 101 - 50),
-        lit(0L), (acc, x) => acc + x))
-      .withColumn("margin_e4", expr("raw_score * 10000 DIV (n_words * 50)"))
+    scoredDocs(spark, dir)
       .withColumn("bin",
         expr("greatest(0L, least(9L, (margin_e4 + 10000) DIV 2000))"))
       .groupBy(col("bin"))
@@ -3484,15 +3507,8 @@ object TextAnalysis {
     */
   def qEvalAuc(spark: SparkSession, dir: String): DataFrame = {
     val dec = "decimal(38,0)"
-    val words = split(col("text"), " ", -1)
-    val cell = Tables.documents(spark, dir)
-      .withColumn("n_words", size(words))
-      .withColumn("raw_score", aggregate(
-        transform(words, w =>
-          pmod(conv(substring(md5(w), 1, 6), 16, 10).cast("long"),
-            lit(4096L)) % 101 - 50),
-        lit(0L), (acc, x) => acc + x))
-      .withColumn("s", expr("raw_score * 10000 DIV (n_words * 50)"))
+    val cell = scoredDocs(spark, dir)
+      .withColumn("s", col("margin_e4"))
       .groupBy(col("s"))
       .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("np"),
         sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("nn"))
@@ -3561,15 +3577,7 @@ object TextAnalysis {
     */
   def qCalibrateIsotonic(spark: SparkSession, dir: String): DataFrame = {
     val dec = "decimal(38,0)"
-    val words = split(col("text"), " ", -1)
-    val bins = Tables.documents(spark, dir)
-      .withColumn("n_words", size(words))
-      .withColumn("raw_score", aggregate(
-        transform(words, w =>
-          pmod(conv(substring(md5(w), 1, 6), 16, 10).cast("long"),
-            lit(4096L)) % 101 - 50),
-        lit(0L), (acc, x) => acc + x))
-      .withColumn("margin_e4", expr("raw_score * 10000 DIV (n_words * 50)"))
+    val bins = scoredDocs(spark, dir)
       .withColumn("bin",
         expr("greatest(0L, least(9L, (margin_e4 + 10000) DIV 2000))"))
       .groupBy(col("bin"))
@@ -3679,20 +3687,8 @@ object TextAnalysis {
     */
   def qEvalSpearman(spark: SparkSession, dir: String): DataFrame = {
     val dec = "decimal(38,0)"
-    val words = split(col("text"), " ", -1)
-    val base = Tables.documents(spark, dir)
-      .withColumn("n_words", size(words).cast("long"))
-      .withColumn("raw_score", aggregate(
-        transform(words, w =>
-          pmod(conv(substring(md5(w), 1, 6), 16, 10).cast("long"),
-            lit(4096L)) % 101 - 50),
-        lit(0L), (acc, x) => acc + x))
-      .withColumn("m", expr("raw_score * 10000 DIV (n_words * 50)"))
-      .select(col("doc_id"), col("m"), col("n_words"))
-      // the md5-per-word scoring pass feeds three consumers (two cell
-      // aggregates + the rank join); persist the 3-column projection so
-      // it runs once — recomputable, so the bench sweep may drop it
-      .persist()
+    val base = scoredDocs(spark, dir)
+      .select(col("doc_id"), col("margin_e4").as("m"), col("n_words"))
     def rank2Map(df: DataFrame, v: String): DataFrame = {
       val cells = df.groupBy(col(v)).agg(count(lit(1)).as("nv"))
         .localCheckpoint() // bounded value domain

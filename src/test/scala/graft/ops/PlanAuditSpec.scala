@@ -536,7 +536,11 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q_quality_classifier")
     assert(!p.contains("Exchange hashpartitioning"),
       s"classifier scoring must not shuffle:\n$p")
-    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p)
+    // the scoring scan is the shared scored-docs fixture (one eager
+    // build per session; TextAnalysis.scoredDocs): the planned query
+    // reads its checkpoint, not the corpus
+    assert(p.contains("Scan ExistingRDD") &&
+      !p.contains("FileScan parquet"), p)
   }
 
   test("q_curate_funnel: one hash exchange (the dedup window's prefix-" +
