@@ -604,43 +604,49 @@ object GraphOps {
     * family, [[BfsRounds]] synchronous frontier expansions unrolled
     * (bounded rounds = bounded cost AND an oracle-replayable
     * trajectory, the [[qGraphLabelprop]] discipline). Each round joins
-    * the CURRENT frontier (nodes first reached last round) against the
-    * checkpointed edge list in both directions and min-folds
-    * discoveries; per-level output aggregates to (count, min, max,
-    * sum) so the result is dimension-sized while still hashing every
-    * reached node's identity.
+    * the UNDIRECTED adjacency view of the checkpointed edge fixture
+    * (e ∪ e.swap, a narrow union — scanned, never re-shuffled) against
+    * the broadcast frontier, and the distinct/dedup is FOLDED into the
+    * node-keyed min-aggregate; per-level output aggregates to (count,
+    * min, max, sum) so the result is dimension-sized while still
+    * hashing every reached node's identity.
     *
-    * Scale shape: per round one frontier-keyed join against the edge
-    * fixture and one node-keyed min-aggregate; frontier and distance
-    * tables are node-scale. The DuckDB oracle walks the same graph
-    * with a recursive CTE under set semantics (`UNION` dedups (node,
-    * dist) states, so cycles terminate) and takes min(dist) per node —
-    * an independent algorithm whose agreement proves the unrolled
-    * rounds lose nothing within the bound.
+    * Scale shape: per round ONE broadcast-hash join (frontier build
+    * side — the graph's node set is dimension-scale by construction,
+    * parts with p_size <= 10) + one broadcast anti-join against the
+    * visited set + one node-keyed aggregate, all inside a single
+    * eager-checkpoint job — ~3 jobs/round versus the previous shape's
+    * two directed shuffled joins + distinct + anti-join (~7 jobs/round,
+    * and the repo's top bench line at 5.6 s: pure scheduling floor).
+    * The DuckDB oracle walks the same graph with a recursive CTE under
+    * set semantics (`UNION` dedups (node, dist) states, so cycles
+    * terminate) and takes min(dist) per node — an independent algorithm
+    * whose agreement proves the unrolled rounds lose nothing within the
+    * bound.
     */
   private val BfsRounds = 4
 
   def qGraphBfs(spark: SparkSession, dir: String): DataFrame = {
     val e = coPurchaseEdges(spark, dir)
+    val adj = e.select(col("pa").as("node"), col("pb").as("nbr"))
+      .unionByName(e.select(col("pb").as("node"), col("pa").as("nbr")))
     val src = e.agg(least(min(col("pa")), min(col("pb"))).as("p"))
       .collect().head.getLong(0)
     import spark.implicits._
     var dist = Seq((src, 0L)).toDF("node", "dist")
-    var frontier = dist
+    var frontier = dist.select(col("node"))
     for (round <- 1 to BfsRounds) {
-      val neighbors = frontier.join(e, col("node") === col("pa"))
-        .select(col("pb").as("node"))
-        .unionByName(frontier.join(e, col("node") === col("pb"))
-          .select(col("pa").as("node")))
-        .distinct()
-      val discovered = neighbors
-        .join(dist.select(col("node")), Seq("node"), "left_anti")
-        .select(col("node"), lit(round.toLong).as("dist"))
+      val discovered = adj
+        .join(broadcast(frontier), "node")
+        .select(col("nbr").as("node"))
+        .join(broadcast(dist.select(col("node"))), Seq("node"), "left_anti")
+        .groupBy(col("node"))
+        .agg(min(lit(round.toLong)).as("dist"))
         .localCheckpoint()
       // dist stays a flat union of checkpointed level tables — no
       // re-checkpoint needed, lineage depth is the constant round count
       dist = dist.unionByName(discovered)
-      frontier = discovered
+      frontier = discovered.select(col("node"))
     }
     dist.groupBy(col("dist"))
       .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"),
