@@ -282,7 +282,12 @@ object WavHeader {
           .toShort.toLong
         e += v * v; j += 1
       }
-      if (2L * m * e > 160L * ss) { active += 1; run += 1
+      // reduced form of 2·m·e > 160·ss with m = frames·160: dividing by
+      // 160 gives 2·frames·e > ss, and for integers that is EXACTLY
+      // e > ss DIV (2·frames) (e ≥ q+1 in every remainder case) — the
+      // direct product 2·m·e overflows Long past ~27k full-scale
+      // samples, the floor-divided compare never does
+      if (e > ss / (2L * frames)) { active += 1; run += 1
         if (run > best) best = run }
       else run = 0
       f += 1

@@ -1085,16 +1085,38 @@ object EventOps {
   def qStreamLateData(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("ts"), expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    // fixture key = CONTENT fingerprint (count/min/max/sum), not the
+    // path: a regenerated dataset at the same path must never reuse a
+    // stale /tmp fixture (and its _META count) from a previous run
+    val finger = ev.agg(count(lit(1)).as("n"),
+      min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi"), sum(col("c")).as("s")).head()
+    val lo = finger.getLong(1)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest((0 until 4).map(finger.get(_)).mkString(",").getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(16)
     val fixture = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-stream-late-in-${dir.hashCode.toHexString}")
+      s"graft-stream-late-in-$key")
     if (!new java.io.File(fixture, "_READY").isFile) {
-      val lo = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
       val cut = lo + 2L * 86400000000L
-      ev.filter(unix_micros(col("ts")) >= cut).coalesce(1)
-        .write.mode("overwrite").parquet(s"$fixture/in")
-      Thread.sleep(5) // distinct mtimes → on-time file listed first
-      ev.filter(unix_micros(col("ts")) < cut).coalesce(1)
-        .write.mode("append").parquet(s"$fixture/in")
+      // FileStreamSource orders files by (mtime, path): pin BOTH axes
+      // explicitly — a sleep between two writes is a granularity race
+      // on coarse-mtime filesystems
+      def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+        val d = new java.io.File(fixture, "stage")
+        df.coalesce(1).write.mode("overwrite").parquet(d.getAbsolutePath)
+        val part = d.listFiles.filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(new java.io.File(fixture, "in"), name)
+        dst.getParentFile.mkdirs()
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(mtime)
+        d.listFiles.foreach(_.delete()); d.delete(); ()
+      }
+      val t0 = System.currentTimeMillis() - 600000L
+      stage(ev.filter(unix_micros(col("ts")) >= cut), "0_ontime.parquet", t0)
+      stage(ev.filter(unix_micros(col("ts")) < cut), "1_late.parquet",
+        t0 + 60000L)
       // expected late count rides with the fixture: the split formula
       // is deterministic, so recomputing it per call is two wasted scans
       java.nio.file.Files.writeString(
@@ -2814,7 +2836,7 @@ object EventOps {
       k AS (SELECT coalesce(max(CASE WHEN az >= thr THEN rank END), 0)
           AS k FROM w)
       SELECT event_type, n, round(z, 6) z6, rank,
-        round(thr, 6) bh_critical6, rank <= k.k AS rejected
+        round(thr::DOUBLE, 6) bh_critical6, rank <= k.k AS rejected
       FROM w CROSS JOIN k ORDER BY rank"""
   }
 
@@ -3241,7 +3263,16 @@ object EventOps {
     * Exactness: the triangle-area argmax is decided on the EXACT
     * integer cross product scaled by nl²·nr (clearing the two bucket-
     * mean denominators) in DECIMAL(38,0) — no doubles anywhere in the
-    * ordering, ties broken toward the earlier day.
+    * ordering, ties broken toward the earlier day. The emitted area is
+    * a VARCHAR rendering of that integer: DECIMAL(38,0)/HUGEINT result
+    * columns normalize engine-specifically (int128-backed objects),
+    * and a BIGINT emit would overflow once nd⁴·dailyCents passes 2⁶³;
+    * the decimal→string rendering is identical in both engines at any
+    * scale. A bucket whose NEIGHBOR bucket is empty (gappy series —
+    * the bucket index floors days into eighths, so missing days can
+    * empty an interior bucket) has NULL area on BOTH sides: only the
+    * two pinned endpoints zero their area, exactly as the oracle's
+    * CASE spells it.
     *
     * Scale shape: ONE combine-fed day aggregate over the fact; the
     * bucket stats table (B = 8 rows) broadcasts to the day table for
@@ -3293,7 +3324,8 @@ object EventOps {
     keyed.groupBy(col("b")).agg(max(col("key")).as("k"))
       .select(col("b").as("bucket"), col("k.d").as("sel_date"),
         col("k.y").as("sel_cents"),
-        coalesce(col("k.a"), lit(0).cast(dec)).as("area2_scaled"))
+        when(col("b").isin(0L, B - 1L), lit("0"))
+          .otherwise(col("k.a").cast("string")).as("area2_scaled"))
       .orderBy(col("bucket"))
   }
 
@@ -3324,7 +3356,7 @@ object EventOps {
             CASE WHEN b = 7 THEN -x ELSE x END ASC) rn
         FROM c)
       SELECT b bucket, d sel_date, y sel_cents,
-        CASE WHEN b IN (0, 7) THEN 0 ELSE area2 END::DECIMAL(38,0)
+        CASE WHEN b IN (0, 7) THEN '0' ELSE area2::VARCHAR END
           AS area2_scaled
       FROM sel WHERE rn = 1 ORDER BY bucket"""
 

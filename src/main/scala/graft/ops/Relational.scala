@@ -2894,6 +2894,98 @@ object Relational {
         sum(dist2)::BIGINT sum_d2
       FROM pairs WHERE dist2 <= 256 GROUP BY 1 ORDER BY 1"""
 
+  // ---------- local differential privacy (k-ary randomized response) ----------
+  /** LOCAL differential privacy (k-ary randomized response) — the
+    * companion of [[qPrivacyDp]]'s central mechanism: each EVENT
+    * reports its type through k-RR before any aggregation, so the
+    * collector never sees a true row. ε = ln 3 is chosen to make the
+    * whole mechanism EXACT RATIONALS: p = e^ε/(e^ε+k−1) = 3/7 with
+    * k = 5, and the seeded per-event draw h = md5(event_id) mod 7·10⁵
+    * lives on a domain DIVISIBLE by e^ε+k−1 = 7, so "report truth iff
+    * h < 3·10⁵" hits 3/7 exactly and each of the k−1 decoy arms gets
+    * exactly 10⁵ residues (a 10⁶ domain would make p = 0.428572 and
+    * the arms non-uniform — a bias the unbiased estimator doesn't
+    * correct). Derandomization IS the testability discipline, as in
+    * q_privacy_dp; the unbiased estimator
+    * n̂ = (o·(k−1+e^ε) − n)/(e^ε−1) = (7o − n)/2 emits as the exact
+    * integer 2n̂ plus one rounded double. The oracle replays draw,
+    * report, and debias bit-for-bit.
+    *
+    * Scale shape: one broadcast of the k-row alphabet, one scan-side
+    * report pass, two combine-fed counts. The per-type relative error
+    * lands near √n/n — visible in the emitted rel_err column.
+    */
+  def qPrivacyLdp(spark: SparkSession, dir: String): DataFrame = {
+    val types = Tables.events(spark, dir)
+      .select(col("event_type")).distinct()
+      .withColumn("rt", row_number()
+        .over(Window.orderBy(col("event_type"))) - 1)
+      .localCheckpoint() // the k-row type alphabet (k = 5)
+    // e^ε = 3 ⇒ p_truth = 3/(3 + k − 1); a draw domain of
+    // unit·(3 + k − 1) makes the truth arm and each decoy arm an exact
+    // residue count — no 1e6-domain rounding bias
+    val k = 5
+    val unit = 100000L
+    val dom = (3 + k - 1) * unit // 700000
+    val reported = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"))
+      .join(broadcast(types), "event_type")
+      .withColumn("h", pmod(
+        conv(substring(md5(col("event_id").cast("string")), 1, 6), 16, 10)
+          .cast("long"), lit(dom)))
+      // report truth iff h < 3·unit (p = 3/7 exactly); otherwise
+      // r = h − 3·unit ∈ [0, (k−1)·unit) picks j = r DIV unit uniformly
+      .withColumn("truth", col("h") < 3 * unit)
+      .withColumn("j", expr(s"(h - ${3 * unit}) DIV $unit"))
+      .withColumn("rr",
+        when(col("truth"), col("rt"))
+          .otherwise(when(col("j") < col("rt"), col("j"))
+            .otherwise(col("j") + 1L)))
+    val obs = reported.groupBy(col("rr"))
+      .agg(count(lit(1)).as("o"))
+      .join(broadcast(types.select(col("rt").as("rr"),
+        col("event_type"))), "rr")
+    val truth = Tables.events(spark, dir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_true"))
+      .localCheckpoint() // k rows; also supplies the total below
+    val n = truth.agg(sum(col("n_true")).as("n"))
+    obs.join(truth, "event_type").crossJoin(broadcast(n))
+      .select(col("event_type"), col("n_true"), col("o").as("n_observed"),
+        (lit(7L) * col("o") - col("n")).as("est2"),
+        round((lit(7L) * col("o") - col("n")).cast("double") / 2.0, 6)
+          .as("est6"),
+        round(abs((lit(7L) * col("o") - col("n")).cast("double") / 2.0 -
+          col("n_true").cast("double")) /
+          col("n_true").cast("double"), 6).as("rel_err6"))
+      .orderBy(col("event_type"))
+  }
+
+  val qPrivacyLdpOracle: String =
+    """WITH types AS (SELECT event_type,
+        row_number() OVER (ORDER BY event_type) - 1 AS rt
+      FROM (SELECT DISTINCT event_type FROM events)),
+      rep AS (SELECT e.event_id, t.rt,
+          ('0x' || substr(md5(e.event_id::VARCHAR), 1, 6))::BIGINT
+            % 700000 AS h
+        FROM events e JOIN types t USING (event_type)),
+      rr AS (SELECT CASE WHEN h < 300000 THEN rt
+          ELSE CASE WHEN (h - 300000) // 100000 < rt
+            THEN (h - 300000) // 100000
+            ELSE (h - 300000) // 100000 + 1 END END AS r
+        FROM rep),
+      obs AS (SELECT t.event_type, count(*)::BIGINT o
+        FROM rr JOIN types t ON t.rt = rr.r GROUP BY 1),
+      tr AS (SELECT event_type, count(*)::BIGINT n_true FROM events
+        GROUP BY 1),
+      nn AS (SELECT count(*)::BIGINT n FROM events)
+      SELECT obs.event_type, tr.n_true, obs.o AS n_observed,
+        7 * obs.o - nn.n AS est2,
+        round((7 * obs.o - nn.n)::DOUBLE / 2.0, 6) AS est6,
+        round(abs((7 * obs.o - nn.n)::DOUBLE / 2.0 - tr.n_true::DOUBLE)
+          / tr.n_true::DOUBLE, 6) AS rel_err6
+      FROM obs JOIN tr USING (event_type) CROSS JOIN nn
+      ORDER BY obs.event_type"""
+
   // ---------- differentially-private count/sum release ----------
   /** Differentially-private release of the per-segment customer counts
     * and (clipped) balance sums — the privacy-budgeted aggregate a data
@@ -2919,89 +3011,6 @@ object Relational {
     * Scale shape: one combine-fed aggregate over the fact; the noise
     * arithmetic runs on the 5-row segment table. Nothing else.
     */
-  def qPrivacyLdp(spark: SparkSession, dir: String): DataFrame = {
-    val types = Tables.events(spark, dir)
-      .select(col("event_type")).distinct()
-      .withColumn("rt", row_number()
-        .over(Window.orderBy(col("event_type"))) - 1)
-      .localCheckpoint() // the k-row type alphabet (k = 5)
-    val k = lit(5L)
-    val reported = Tables.events(spark, dir)
-      .select(col("event_id"), col("event_type"))
-      .join(broadcast(types), "event_type")
-      .withColumn("h", pmod(
-        conv(substring(md5(col("event_id").cast("string")), 1, 6), 16, 10)
-          .cast("long"), lit(1000000L)))
-      // report truth iff h·7 < 3e6 (p = 3/7 exactly); otherwise
-      // r = h·7 − 3e6 ∈ [0, 4e6) picks j = r DIV 1e6 among the others
-      .withColumn("truth", col("h") * 7L < 3000000L)
-      .withColumn("j", expr("(h * 7 - 3000000) DIV 1000000"))
-      .withColumn("rr",
-        when(col("truth"), col("rt"))
-          .otherwise(when(col("j") < col("rt"), col("j"))
-            .otherwise(col("j") + 1L)))
-    val obs = reported.groupBy(col("rr"))
-      .agg(count(lit(1)).as("o"))
-      .join(broadcast(types.select(col("rt").as("rr"),
-        col("event_type"))), "rr")
-    val truth = Tables.events(spark, dir).groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_true"))
-      .localCheckpoint() // k rows; also supplies the total below
-    val n = truth.agg(sum(col("n_true")).as("n"))
-    obs.join(truth, "event_type").crossJoin(broadcast(n))
-      .select(col("event_type"), col("n_true"), col("o").as("n_observed"),
-        (lit(7L) * col("o") - col("n")).as("est2"),
-        round((lit(7L) * col("o") - col("n")).cast("double") / 2.0, 6)
-          .as("est6"),
-        round(abs((lit(7L) * col("o") - col("n")).cast("double") / 2.0 -
-          col("n_true").cast("double")) /
-          col("n_true").cast("double"), 6).as("rel_err6"))
-      .orderBy(col("event_type"))
-  }
-
-  /** LOCAL differential privacy (k-ary randomized response) — the
-    * companion of [[qPrivacyDp]]'s central mechanism: each EVENT
-    * reports its type through k-RR before any aggregation, so the
-    * collector never sees a true row. ε = ln 3 is chosen to make the
-    * whole mechanism EXACT RATIONALS: p = e^ε/(e^ε+k−1) = 3/7 with
-    * k = 5, so "report truth iff h·7 < 3·10⁶" is an integer compare on
-    * the seeded per-event draw h = md5(event_id) mod 10⁶
-    * (derandomization IS the testability discipline, as in
-    * q_privacy_dp), and the unbiased estimator
-    * n̂ = (o·(k−1+e^ε) − n)/(e^ε−1) = (7o − n)/2 emits as the exact
-    * integer 2n̂ plus one rounded double. The oracle replays draw,
-    * report, and debias bit-for-bit.
-    *
-    * Scale shape: one broadcast of the k-row alphabet, one scan-side
-    * report pass, two combine-fed counts. The per-type relative error
-    * lands near √n/n — visible in the emitted rel_err column.
-    */
-  val qPrivacyLdpOracle: String =
-    """WITH types AS (SELECT event_type,
-        row_number() OVER (ORDER BY event_type) - 1 AS rt
-      FROM (SELECT DISTINCT event_type FROM events)),
-      rep AS (SELECT e.event_id, t.rt,
-          ('0x' || substr(md5(e.event_id::VARCHAR), 1, 6))::BIGINT
-            % 1000000 AS h
-        FROM events e JOIN types t USING (event_type)),
-      rr AS (SELECT CASE WHEN h * 7 < 3000000 THEN rt
-          ELSE CASE WHEN (h * 7 - 3000000) // 1000000 < rt
-            THEN (h * 7 - 3000000) // 1000000
-            ELSE (h * 7 - 3000000) // 1000000 + 1 END END AS r
-        FROM rep),
-      obs AS (SELECT t.event_type, count(*)::BIGINT o
-        FROM rr JOIN types t ON t.rt = rr.r GROUP BY 1),
-      tr AS (SELECT event_type, count(*)::BIGINT n_true FROM events
-        GROUP BY 1),
-      nn AS (SELECT count(*)::BIGINT n FROM events)
-      SELECT obs.event_type, tr.n_true, obs.o AS n_observed,
-        7 * obs.o - nn.n AS est2,
-        round((7 * obs.o - nn.n)::DOUBLE / 2.0, 6) AS est6,
-        round(abs((7 * obs.o - nn.n)::DOUBLE / 2.0 - tr.n_true::DOUBLE)
-          / tr.n_true::DOUBLE, 6) AS rel_err6
-      FROM obs JOIN tr USING (event_type) CROSS JOIN nn
-      ORDER BY obs.event_type"""
-
   def qPrivacyDp(spark: SparkSession, dir: String): DataFrame = {
     def lap(tag: String, scale: Double): Column = {
       val h = pmod(
@@ -3099,13 +3108,15 @@ object Relational {
         sum(CASE WHEN fid IS NULL THEN 1 ELSE 0 END)::BIGINT n_kept,
         0::BIGINT AS n_residual FROM ck
       UNION ALL
-      SELECT 'events', count(*),
-        sum(CASE WHEN fid IS NOT NULL THEN 1 ELSE 0 END),
-        sum(CASE WHEN fid IS NULL THEN 1 ELSE 0 END), 0 FROM ek
+      SELECT 'events', count(*)::BIGINT,
+        sum(CASE WHEN fid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT,
+        sum(CASE WHEN fid IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        0::BIGINT FROM ek
       UNION ALL
-      SELECT 'orders', count(*),
-        sum(CASE WHEN fid IS NOT NULL THEN 1 ELSE 0 END),
-        sum(CASE WHEN fid IS NULL THEN 1 ELSE 0 END), 0 FROM ok
+      SELECT 'orders', count(*)::BIGINT,
+        sum(CASE WHEN fid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT,
+        sum(CASE WHEN fid IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        0::BIGINT FROM ok
       ORDER BY tbl"""
 
   // ---------- entity resolution: fuzzy pairs → components → canon ----------

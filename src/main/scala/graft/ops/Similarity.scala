@@ -1688,9 +1688,14 @@ object Similarity {
     * English / high-quality".
     *
     * Exactness: all profile statistics are integer counts/sums with
-    * floor-e6 or integer-DIV emissions; the only doubles are the
-    * assignment distances, whose ordering the kmeans margin audit
-    * already certifies and whose ORDER alone is consumed.
+    * floor-e6 or integer-DIV emissions — and the ASSIGNMENT itself is
+    * integer-exact: coordinates are quantized to e6 BIGINTs (the same
+    * half-away-from-zero rounding in both engines) and the argmin runs
+    * on the exact integer squared distance Σ(Δq)², so a near-tie in
+    * double precision can never flip a cluster between engines (the
+    * q_ann_mmr "move the decision to integers" discipline; max
+    * |Σ(Δq)²| ≈ dim·(2·10⁶·max|x|)² ≪ 2⁶³ for unit-normalized
+    * embeddings to dim ~10⁵). Ties break toward the lower cid.
     *
     * Scale shape: one packed 8-centroid broadcast + scan-side argmin
     * over the embeddings; one equi-join to documents on the id (both
@@ -1701,7 +1706,8 @@ object Similarity {
   def qClusterProfile(spark: SparkSession, dir: String): DataFrame = {
     val k = 8
     val pts = Tables.embeddings(spark, dir).select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1000000).cast("long")).as("v"))
     val packed = pts.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
       .agg(collect_list(struct(col("cid"), col("cv"))).as("cs"))
@@ -1709,7 +1715,7 @@ object Similarity {
       .withColumn("best", expr(
         "array_sort(transform(cs, s -> struct(" +
           "aggregate(zip_with(v, s.cv, (x, y) -> (x - y) * (x - y)), " +
-          "0D, (acc, z) -> acc + z) AS dist, s.cid AS cid)))[0]"))
+          "0L, (acc, z) -> acc + z) AS dist, s.cid AS cid)))[0]"))
       .select(col("vec_id").as("doc_id"), col("best.cid").as("cluster"))
     val docs = TextAnalysis.scoredDocs(spark, dir)
       .select(col("doc_id"), col("en"), col("n_words"), col("margin_e4"))
@@ -1727,11 +1733,15 @@ object Similarity {
   }
 
   val qClusterProfileOracle: String =
-    """WITH p AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+    """WITH p AS (SELECT vec_id,
+        list_transform(embedding::DOUBLE[],
+          x -> CAST(round(x * 1000000) AS BIGINT)) v FROM embeddings),
       seeds AS (SELECT vec_id::INT cid, v cv FROM p WHERE vec_id < 8),
       a AS (SELECT vec_id AS doc_id, cid AS cluster FROM (
         SELECT p.vec_id, s.cid, row_number() OVER (PARTITION BY p.vec_id
-          ORDER BY list_distance(p.v, s.cv) ASC, s.cid ASC) rn
+          ORDER BY list_sum(list_transform(list_zip(p.v, s.cv),
+            z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC,
+            s.cid ASC) rn
         FROM p, seeds s) x WHERE rn = 1),
       d AS (SELECT doc_id, lang = 'en' AS en,
           len(string_split(text, ' '))::BIGINT n_words,
@@ -1743,8 +1753,8 @@ object Similarity {
           raw_score * 10000 // (n_words * 50) AS margin_e4 FROM d)
       SELECT a.cluster, count(*)::BIGINT n_docs,
         sum(CASE WHEN m.en THEN 1 ELSE 0 END)::BIGINT n_en,
-        sum(CASE WHEN m.en THEN 1 ELSE 0 END) * 1000000 // count(*)
-          AS en_rate_e6,
+        (sum(CASE WHEN m.en THEN 1 ELSE 0 END) * 1000000
+          // count(*))::BIGINT AS en_rate_e6,
         sum(m.n_words)::BIGINT // count(*) AS mean_words,
         sum(m.margin_e4)::BIGINT // count(*) AS mean_margin_e4
       FROM a JOIN m USING (doc_id)

@@ -3496,7 +3496,12 @@ object TextAnalysis {
     * Exactness: 2U and the denominator 2·n_pos·n_neg are formed in
     * DECIMAL(38,0) (corpus² — a BIGINT would overflow past ~3·10⁹
     * docs); auc_e6/gini2_e6 are integral floor divisions, identical in
-    * both engines.
+    * both engines. The EMITTED u2 column is cast down to BIGINT:
+    * int128-backed result columns (DECIMAL(38,0)/HUGEINT) normalize
+    * engine-specifically in downstream readers, and the report value
+    * fits 2⁶³ to ~3·10⁹ docs — past that the report would emit the
+    * string rendering (the q_series_lttb discipline), while the
+    * internal math is already DECIMAL either way.
     *
     * Scale shape: one scan-side score pass, one combine-fed aggregate
     * to the score-value domain (margin_e4 ∈ [−10⁴, 10⁴] ⇒ ≤ 20001
@@ -3522,7 +3527,7 @@ object TextAnalysis {
       .localCheckpoint() // window resolved; final agg sees a flat table
     scored.agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
         sum(col("u2")).cast(dec).as("u2"))
-      .select(col("n_pos"), col("n_neg"), col("u2"),
+      .select(col("n_pos"), col("n_neg"), col("u2").cast("long").as("u2"),
         expr("CAST(u2 * 1000000 DIV " +
           "(CAST(n_pos AS DECIMAL(38,0)) * n_neg * 2) AS BIGINT)")
           .as("auc_e6"),
@@ -3548,7 +3553,7 @@ object TextAnalysis {
           sum(np::HUGEINT * (2 * cn::HUGEINT + nn))::HUGEINT u2
         FROM cum)
       SELECT n_pos::BIGINT n_pos, n_neg::BIGINT n_neg,
-        u2::DECIMAL(38,0) u2,
+        u2::BIGINT u2,
         (u2 * 1000000 // (n_pos * n_neg * 2))::BIGINT auc_e6,
         (u2 * 1000000 // (n_pos * n_neg) - 1000000)::BIGINT gini2_e6
       FROM u"""
@@ -3706,9 +3711,13 @@ object TextAnalysis {
     ranked.agg(count(lit(1)).as("n"),
         sum(col("r_m").cast(dec)).as("sr"),
         sum(col("r_n_words").cast(dec)).as("ss"),
-        sum((col("r_m") * col("r_m")).cast(dec)).as("srr"),
-        sum((col("r_n_words") * col("r_n_words")).cast(dec)).as("sss"),
-        sum((col("r_m") * col("r_n_words")).cast(dec)).as("srs"))
+        // cast EACH FACTOR before multiplying: doubled ranks reach 2n+1,
+        // so a BIGINT product 4n² overflows past n ≈ 1.5·10⁹ docs — the
+        // DECIMAL(38,0) product never does
+        sum(col("r_m").cast(dec) * col("r_m").cast(dec)).as("srr"),
+        sum(col("r_n_words").cast(dec) * col("r_n_words").cast(dec))
+          .as("sss"),
+        sum(col("r_m").cast(dec) * col("r_n_words").cast(dec)).as("srs"))
       .select(col("n"),
         (col("n").cast(dec) * col("srs") - col("sr") * col("ss"))
           .cast("double").as("num"),

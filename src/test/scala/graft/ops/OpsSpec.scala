@@ -1964,6 +1964,25 @@ class OpsSpec extends AnyFunSuite {
       graft.functions.WavHeader.vadActive(wav) == 10L &&
       graft.functions.WavHeader.vadRun(wav) == 10L,
       "kernel must flag exactly the loud half as one run")
+    // overflow boundary: at full-scale amplitude a frame energy e is
+    // 160·32767² ≈ 1.7e11, so the naive threshold product 2·m·e passes
+    // 2⁶³ once m exceeds ~2.7e7 samples (a HALF-HOUR 16 kHz clip) and
+    // flips sign — silently deactivating every loud frame. The reduced
+    // compare e > ss DIV (2·frames) never leaves Long range.
+    val bigFrames = 180000 // 28.8e6 samples: 2·m·e ≈ 9.9e18 > Long.Max
+    val bigData = new Array[Byte](bigFrames * 160 * 2)
+    (bigFrames / 2 * 160 until bigFrames * 160).foreach { k =>
+      bigData(2 * k) = 0xff.toByte; bigData(2 * k + 1) = 0x7f // 32767 LE
+    }
+    val bigWav = "RIFF".getBytes ++ le32(36 + bigData.length) ++
+      "WAVEfmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(16000) ++ le32(32000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(bigData.length) ++ bigData
+    assert(graft.functions.WavHeader.vadFrames(bigWav) == bigFrames.toLong &&
+      graft.functions.WavHeader.vadActive(bigWav) == bigFrames / 2L &&
+      graft.functions.WavHeader.vadRun(bigWav) == bigFrames / 2L,
+      "full-scale half-hour clip: the loud half must stay active — an " +
+        "overflowing 2·m·e compare wraps negative and reports silence")
   }
 
   test("fdr: per-type z replays from local moments, BH rejects a " +
@@ -2099,14 +2118,14 @@ class OpsSpec extends AnyFunSuite {
       val hex = java.security.MessageDigest.getInstance("MD5")
         .digest(id.toString.getBytes("UTF-8")).take(3)
         .map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex, 16) % 1000000L
+      java.lang.Long.parseLong(hex, 16) % 700000L
     }
     val reported = events.map { case (id, t) =>
       val rt = types.indexOf(t)
       val hv = h(id)
-      if (hv * 7 < 3000000L) rt
+      if (hv < 300000L) rt
       else {
-        val j = ((hv * 7 - 3000000L) / 1000000L).toInt
+        val j = ((hv - 300000L) / 100000L).toInt
         if (j < rt) j else j + 1
       }
     }
@@ -3177,5 +3196,35 @@ class OpsSpec extends AnyFunSuite {
       assert(best._3 == selD && best._4 == selY,
         s"bucket $b: spark ($selD,$selY) != local argmax (${best._3},${best._4})")
     }
+  }
+
+  test("lttb: a gappy series with EMPTY interior buckets emits NULL " +
+    "area for neighbor-less buckets and zero ONLY at the endpoints") {
+    // 6 day-rows across a 100-day span: bucket index floors x*8/6 so
+    // only buckets {0,1,7} are occupied — bucket 1's RIGHT neighbor
+    // (bucket 2) is empty, making its cross product NULL. The old
+    // coalesce(area, 0) emission turned that NULL into 0 while the
+    // oracle's CASE kept it NULL — the exact data-dependent asymmetry
+    // that cannot arise on the dense sandbox series.
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-lttb-gappy").toString
+    val day0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    Seq(0, 1, 50, 97, 98, 99)
+      .map(i => (new java.sql.Timestamp(day0.getTime + i * 86400000L),
+        "purchase", (i + 1) * 10.0, i.toLong, i.toLong))
+      .toDF("ts", "event_type", "value", "event_id", "user_id")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val rows = EventOps.qSeriesLttb(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getString(3)))
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 7L),
+      s"occupied buckets: ${rows.map(_._1).mkString(",")}")
+    val byB = rows.map(r => r._1 -> r._3).toMap
+    assert(byB(0L) == "0" && byB(7L) == "0",
+      "endpoint buckets pin area to the literal zero string")
+    assert(byB(1L) == null,
+      "an interior bucket with an empty neighbor must keep its NULL " +
+        "area — zeroing it diverges from the oracle's CASE")
   }
 }

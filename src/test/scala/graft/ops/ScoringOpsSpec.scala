@@ -601,8 +601,8 @@ class ScoringOpsSpec extends AnyFunSuite {
     val r = TextAnalysis.qEvalAuc(spark, dir).collect().head
     assert(r.getLong(0) == pos.length.toLong &&
       r.getLong(1) == neg.length.toLong)
-    assert(BigInt(r.getDecimal(2).toBigInteger) == u2,
-      s"2U ${r.getDecimal(2)} != pairwise $u2")
+    assert(BigInt(r.getLong(2)) == u2,
+      s"2U ${r.getLong(2)} != pairwise $u2")
     val denom = BigInt(pos.length) * neg.length
     assert(r.getLong(3) == (u2 * 1000000 / (denom * 2)).toLong)
     assert(r.getLong(4) == (u2 * 1000000 / denom - 1000000).toLong)
