@@ -177,6 +177,35 @@ object Bench {
         Array.empty[Double]
     }
 
+    // at-size conversion probe: ONE pass over a 10× file (2M rows), NOT
+    // in the suite totals — records the sustained rate plus the SPLIT
+    // FAN-OUT, the evidence that a single multi-hundred-MB container
+    // converts in parallel (sync-marker splits, AvroCdcReader.planSplits)
+    // rather than serially per file. maxPartitionBytes is pinned to 8m
+    // around the probe so the fan-out regime matches a 100 TB layout
+    // where containers exceed the split size.
+    val (cdcRate10x, cdcSplits10x) = try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bench-cdc10x")
+      val in = tmp.resolve("landing/avro/bench10x/part-0.avro").toString
+      BenchData.writeCdcAvro(in, rows = 2000000)
+      val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      try {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+        val splits = graft.avro.AvroCdcReader.planSplits(spark, Seq(in),
+          spark.sparkContext.hadoopConfiguration).size
+        val t = timeIt {
+          graft.convert.AvroToParquetJob.runOnce(spark,
+            s"$tmp/landing/avro/*/*.avro", tmp.resolve("out").toString)
+          ()
+        }
+        ((2000000.0 / t).round, splits.toLong)
+      } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] cdc_convert_10x failed: ${e.getMessage}")
+        (-1L, -1L)
+    }
+
     def median(ts: Array[Double]): Double = if (ts.isEmpty) -1.0 else ts(ts.length / 2)
     val total = results.values.filter(_.nonEmpty).map(median).sum
     // Noise-robust companion statistic: the sum of per-query MINIMUM pass
@@ -235,7 +264,7 @@ object Bench {
     val cdcRate = results.get("cdc_convert").filter(_.nonEmpty)
       .map(ts => (200000.0 / median(ts)).round).getOrElse(-1L)
     val out =
-      s"""{"metric":"total","value":${fmt(total, 2)},"total_min":${fmt(totalMin, 2)},"unit":"sec","stat":"median_of_$Passes","queries":{},"queries_ok":$nOk,"queries_total":${results.size},"cdc_rows_s":$cdcRate,"sf":"$sfTag"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"total_min":${fmt(totalMin, 2)},"unit":"sec","stat":"median_of_$Passes","queries":{},"queries_ok":$nOk,"queries_total":${results.size},"cdc_rows_s":$cdcRate,"cdc_rows_s_10x":$cdcRate10x,"cdc_splits_10x":$cdcSplits10x,"sf":"$sfTag"}"""
 
     spark.sparkContext.setLogLevel("ERROR") // quiet stop(): nothing may print after the JSON line
     spark.stop()

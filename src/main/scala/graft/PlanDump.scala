@@ -105,7 +105,9 @@ object PlanDump {
     "q_privacy_ldp", "q_events_asof_nearest", "q_text_burstiness",
     "q_events_bots", "q_stream_late_data", "q_stats_fdr", "q_stats_gini",
     "q_multimodal_vad", "q_join_dpp", "q_events_timetoconvert",
-    "q_cluster_profile")
+    "q_cluster_profile",
+    // round 12: frame decode via sample table, co-bucketed cross-modal
+    "q_multimodal_frames", "q_layout_comodal")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

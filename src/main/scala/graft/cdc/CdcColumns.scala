@@ -247,8 +247,8 @@ object CdcColumns {
 
   /** [[qCdcApply]] run the way the REFERENCE runs (main.py:601-613 is a
     * continuously-consuming pipeline, not a batch): the synthesized
-    * change stream arrives in three micro-batches (split on
-    * `l_linenumber`, so most keys receive versions in SEVERAL batches)
+    * change stream arrives in two micro-batches (split on
+    * `l_linenumber`, so most keys receive versions in BOTH batches)
     * and a materialized current-state table is advanced per batch with a
     * `foreachBatch` MERGE — `latestPerKey(state ∪ batch)`, tombstones
     * kept in state so later batches cannot resurrect deleted keys, each
@@ -256,6 +256,9 @@ object CdcColumns {
     * pattern of [[graft.ops.Dedup.runStreamingDedup]]). The final state,
     * tombstones filtered at read, hash-matches the UNCHANGED batch
     * oracle — the stream ≡ batch proof, riding on argmax associativity.
+    * (Two batches, not three: the hazard needs ONE batch boundary with
+    * older versions landing after a delete — a third merge pass buys no
+    * extra semantics, only another full micro-batch plan.)
     *
     * Scale posture: per batch one key shuffle over state ∪ batch with a
     * map-side WindowGroupLimit — the same single-shuffle MERGE any table
@@ -270,17 +273,30 @@ object CdcColumns {
       col("l_quantity").cast("long").as("qty"),
       round(col("l_extendedprice"), 2).as("amount"))
     val fixture = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-stream-cdc-in-${dir.hashCode.toHexString}")
+      s"graft-stream-cdc2-in-${dir.hashCode.toHexString}")
     if (!new java.io.File(fixture, "_READY").isFile) {
       // batches arrive in DESCENDING tx order on purpose: a key deleted
-      // at high tx sees its older live versions arrive in LATER batches —
-      // the resurrection hazard that tombstone-keeping exists for
-      Seq(col("tx_id") >= 5, col("tx_id") === 3 || col("tx_id") === 4,
-        col("tx_id") <= 2).foreach { p =>
-        events.filter(p).coalesce(1).write.mode("append")
-          .parquet(s"$fixture/in")
-        Thread.sleep(5) // distinct mtimes → deterministic file order
+      // at high tx sees its older live versions arrive in the LATER
+      // batch — the resurrection hazard that tombstone-keeping exists
+      // for. File order is pinned on BOTH source axes (mtime, path) —
+      // a sleep between writes is a granularity race on coarse-mtime
+      // filesystems.
+      def stage(p: org.apache.spark.sql.Column, name: String,
+          mtime: Long): Unit = {
+        val d = new java.io.File(fixture, "stage")
+        events.filter(p).coalesce(1).write.mode("overwrite")
+          .parquet(d.getAbsolutePath)
+        val part = d.listFiles.filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(new java.io.File(fixture, "in"), name)
+        dst.getParentFile.mkdirs()
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(mtime)
+        d.listFiles.foreach(_.delete()); d.delete(); ()
       }
+      val t0 = System.currentTimeMillis() - 600000L
+      stage(col("tx_id") >= 4, "0_high_tx.parquet", t0)
+      stage(col("tx_id") <= 3, "1_low_tx.parquet", t0 + 60000L)
       new java.io.File(fixture, "_READY").createNewFile()
     }
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-cdc")

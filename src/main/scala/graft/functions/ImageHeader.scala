@@ -490,6 +490,89 @@ object Mp4Header {
     val m = findBox(b, 0, b.length, "mdat")
     if (m == null) null else java.lang.Long.valueOf((m(1) - m(0)).toLong)
   }
+
+  /** ISO BMFF container boxes whose payload is again a box sequence —
+    * the recursive sample-table walk descends ONLY through these.
+    */
+  private val containerBoxes =
+    Set("moov", "trak", "mdia", "minf", "stbl", "edts", "udta")
+
+  /** Finds `boxType` anywhere under [from, to), descending into standard
+    * container boxes — stsz lives at moov/trak/mdia/minf/stbl in a full
+    * writer's output and directly under moov in minimal ones; a walk
+    * (not a fixed path) reads both.
+    */
+  private def findBoxRec(
+      b: Array[Byte], from: Int, to: Int, boxType: String): Array[Int] = {
+    var i = from
+    while (i + 8 <= to) {
+      val size0 = u32be(b, i)
+      var hdr = 8
+      var size = size0
+      if (size0 == 1) {
+        if (i + 16 > to) return null
+        size = u64be(b, i + 8); hdr = 16
+      } else if (size0 == 0) size = (to - i).toLong
+      if (size < hdr || size > to - i) return null
+      val t = tag(b, i + 4)
+      if (t == boxType) return Array(i + hdr, i + size.toInt)
+      if (containerBoxes(t)) {
+        val r = findBoxRec(b, i + hdr, i + size.toInt, boxType)
+        if (r != null) return r
+      }
+      i += size.toInt
+    }
+    null
+  }
+
+  /** Per-sample byte sizes from the `stsz` box (version/flags u32,
+    * fixed sample_size u32 — 0 means the per-sample table follows —
+    * then sample_count u32): THE seek plan of a frame extractor, since
+    * sample k starts at mdatOffset + Σ sizes[0..k). Null if absent or
+    * malformed; count capped at 2²⁰ as a corruption guard.
+    */
+  def stszSizes(b: Array[Byte])
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (b == null || !isBmff(b)) return null
+    val moov = findBox(b, 0, b.length, "moov")
+    if (moov == null) return null
+    val s = findBoxRec(b, moov(0), moov(1), "stsz")
+    if (s == null || s(0) + 12 > s(1)) return null
+    val p = s(0)
+    val fixed = u32be(b, p + 4)
+    val n = u32be(b, p + 8)
+    if (n < 0 || n > (1L << 20)) return null
+    val out = new Array[Long](n.toInt)
+    if (fixed != 0L) java.util.Arrays.fill(out, fixed)
+    else {
+      if (p + 12 + 4L * n > s(1)) return null
+      var i = 0
+      while (i < n) { out(i) = u32be(b, p + 12 + 4 * i); i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** stsz sample-size table as a codegen expression: array<long> of the
+  * per-sample byte sizes, null when the container carries no sample
+  * table (see [[Mp4Header.stszSizes]]).
+  */
+case class Mp4StszSizes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "mp4_stsz_sizes"
+
+  override def nullSafeEval(input: Any): Any =
+    Mp4Header.stszSizes(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""org.apache.spark.sql.catalyst.util.ArrayData a =
+           graft.functions.Mp4Header.stszSizes($c);
+         if (a == null) { ${ev.isNull} = true; } else { ${ev.value} = a; }""")
+
+  override protected def withNewChildInternal(newChild: Expression): Mp4StszSizes =
+    copy(child = newChild)
 }
 
 /** MP4 attribute as a codegen expression:
@@ -555,6 +638,8 @@ object Mp4HeaderOps {
     ColumnBridge.column(Mp4HeaderAttr(ColumnBridge.expression(c), "mdat_offset"))
   def mp4MdatSize(c: Column): Column =
     ColumnBridge.column(Mp4HeaderAttr(ColumnBridge.expression(c), "mdat_size"))
+  def mp4StszSizes(c: Column): Column =
+    ColumnBridge.column(Mp4StszSizes(ColumnBridge.expression(c)))
 }
 
 object WavHeaderOps {

@@ -982,16 +982,30 @@ object EventOps {
       // scans 40% of the rows
       .filter(col("event_type").isin("view", "click"))
     val fixture = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-stream-ojoin2-in-${dir.hashCode.toHexString}")
+      s"graft-stream-ojoin3-in-${dir.hashCode.toHexString}")
     if (!new java.io.File(fixture, "_READY").isFile) {
-      ev.coalesce(1).write.mode("overwrite").parquet(s"$fixture/in")
+      // file order pinned on BOTH source axes (mtime, path) — the data
+      // bulk must precede the watermark sentinel or the whole corpus
+      // arrives "late"; a sleep between writes is a granularity race
+      def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+        val d = new java.io.File(fixture, "stage")
+        df.coalesce(1).write.mode("overwrite").parquet(d.getAbsolutePath)
+        val part = d.listFiles.filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(new java.io.File(fixture, "in"), name)
+        dst.getParentFile.mkdirs()
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(mtime)
+        d.listFiles.foreach(_.delete()); d.delete(); ()
+      }
       val maxTsMs = ev.agg(max(col("ts"))).head().getTimestamp(0).getTime
-      Thread.sleep(5) // distinct mtimes → deterministic file order
       import spark.implicits._
-      Seq((-1L, -1L, new java.sql.Timestamp(maxTsMs + 2 * 86400000L),
+      val t0 = System.currentTimeMillis() - 600000L
+      stage(ev, "0_events.parquet", t0)
+      stage(Seq((-1L, -1L, new java.sql.Timestamp(maxTsMs + 2 * 86400000L),
         "wm_sentinel"))
-        .toDF("event_id", "user_id", "ts", "event_type")
-        .coalesce(1).write.mode("append").parquet(s"$fixture/in")
+        .toDF("event_id", "user_id", "ts", "event_type"),
+        "1_sentinel.parquet", t0 + 60000L)
       new java.io.File(fixture, "_READY").createNewFile()
     }
 

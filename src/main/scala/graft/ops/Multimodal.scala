@@ -14,11 +14,12 @@ import org.apache.spark.sql.types._
   * inside whole-stage codegen) — and PNG pixels are GENUINELY decoded:
   * [[qMultimodalResize]] runs a full zlib inflate + filter reconstruction
   * through [[graft.functions.PngCodec]] (the JVM ships zlib, so no
-  * external codec is needed). JPEG entropy decode and video frame
-  * extraction DO need codecs this container lacks; where they would
-  * appear ([[qMultimodalFrames]]'s per-frame payload windows) the byte
-  * plumbing is real and the pixel interpretation is the documented
-  * deterministic placeholder.
+  * external codec is needed) — and VIDEO FRAMES are too:
+  * [[qMultimodalFrames]] walks the MP4 box tree to the `stsz` sample
+  * table, seeks each frame by prefix-summed sample sizes, and decodes
+  * the frame pixels through the same CRC-verified PNG path. Only JPEG
+  * ENTROPY decode (Huffman+DCT) still needs a codec this container
+  * lacks; the JPEG leg parses markers/dimensions and stops there.
   *
   * Scale posture: decode runs inside `mapPartitions` (one JVM-side batch
   * per partition, no per-row UDF serialization), the binary column is
@@ -293,51 +294,105 @@ object Multimodal {
       (160 + octet_length(encode(text)))::BIGINT AS byte_len
       FROM documents ORDER BY doc_id"""
 
-  /** Frame sampling from a REAL container: each document is an MP4 (same
-    * construction as [[qMultimodalVideo]]), and the four frame windows
-    * are cut from the `mdat` payload at offsets derived from the PARSED
-    * `mdat` position and size ([[graft.functions.Mp4Header.mdatOffset]]
-    * — the box walk, not an assumed constant). The oracle knows the
-    * construction puts mdat data at byte 160, so a box walk that
-    * mis-locates mdat shifts every window and fails every md5. Frame
-    * CONTENT interpretation still needs video codecs; the seek plan and
-    * byte windows are what a real frame extractor hands the decoder.
+  /** Documents as MP4 containers whose `mdat` carries FOUR real
+    * PNG-encoded video frames (genuine zlib-deflated scanlines, filter
+    * bytes, CRC-32s — [[graft.functions.PngCodec]]), with a real `stsz`
+    * sample-size box in `moov` recording each frame's byte size — the
+    * sample table a demuxer reads to seek. Frame i of doc d is the
+    * w×h grayscale pattern seeded `d·4 + i` (w,h the
+    * [[qMultimodalResize]] dims), so frame CONTENT is formula-known to
+    * the oracle while frame SIZES are deflate-dependent and only
+    * recoverable by actually parsing the container.
+    */
+  private def withMp4FramesPayload(df: DataFrame): DataFrame = {
+    import graft.functions.PngOps._
+    val be32 = (c: Column) => lpad(hex(c.cast("long")), 8, "0")
+    var d = df
+      .withColumn("w", (lit(8) + pmod(col("doc_id"), lit(9))).cast("int"))
+      .withColumn("h", (lit(8) + pmod(col("doc_id") * 3, lit(9))).cast("int"))
+    (0 until 4).foreach { i =>
+      d = d.withColumn(s"f$i",
+        pngEncodeGray(col("w"), col("h"), col("doc_id") * 4 + lit(i.toLong)))
+    }
+    val sizes = (0 until 4).map(i => length(col(s"f$i")).cast("long"))
+    // stsz: size(36) type ver/flags sample_size=0 (per-sample table)
+    // count=4 then the four u32 sizes
+    val stszHex = concat(
+      lit("00000024" + "7374737A" + "00000000" + "00000000" + "00000004"),
+      be32(sizes(0)), be32(sizes(1)), be32(sizes(2)), be32(sizes(3)))
+    // mvhd v0 (timescale 600, duration 400 units): the frames query
+    // reads only the sample table, but the header keeps the file a
+    // spec-valid movie
+    val mvhdHex =
+      lit("0000006C" + "6D766864" + "00000000" + "00000000" + "00000000" +
+        "00000258" + "00000190" +
+        "00010000" + "01000000" + "0000000000000000" +
+        "000100000000000000000000" + "000000000001000000000000" +
+        "000000000000000040000000" + "0" * 48 + "FFFFFFFF")
+    val mdatLen = sizes.reduce(_ + _)
+    val hdr = concat(
+      lit("00000014" + "66747970" + "69736F6D" + "00000200" + "69736F6D"),
+      lit("000000A8" + "6D6F6F76"), // moov (168: free + mvhd + stsz)
+      lit("00000010" + "66726565" + "4752414654523132"), // free box
+      mvhdHex, stszHex,
+      be32(mdatLen + 8L), lit("6D646174")) // mdat
+    d.withColumn("payload", concat(unhex(hdr),
+      col("f0"), col("f1"), col("f2"), col("f3")))
+  }
+
+  /** Frame EXTRACTION + DECODE from a real container, end to end: walk
+    * the box tree to the `stsz` sample table
+    * ([[graft.functions.Mp4Header.stszSizes]] — recursing through
+    * container boxes, not a fixed path), prefix-sum the sample sizes
+    * into seek offsets from the parsed `mdat` position, slice each
+    * frame's exact bytes, and PNG-decode the pixels (CRC-verified
+    * inflate + filter reconstruction). Emitted per frame: dimensions
+    * and mean brightness of the DECODED pixels. The oracle recomputes
+    * both from the pixel formula and never sees container or
+    * compressed bytes — any defect in the box walk, the sample table,
+    * the offset arithmetic (a mis-seek lands mid-stream and fails the
+    * PNG CRC → null), or the decode itself diverges the hash.
+    *
+    * Scale shape: pure scan-side codegen kernels (container parse +
+    * inflate per row), a 4-way posexplode, no shuffle before the final
+    * presentation sort — the same per-row cost profile a production
+    * frame sampler pays, minus only the codec's arithmetic being DCT.
     */
   def qMultimodalFrames(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Mp4HeaderOps._
-    withMp4Payload(Tables.documents(spark, dir))
+    import graft.functions.ImageHeaderOps._
+    import graft.functions.PngOps._
+    withMp4FramesPayload(Tables.documents(spark, dir))
+      .withColumn("sizes", mp4StszSizes(col("payload")))
       .withColumn("mo", mp4MdatOffset(col("payload")))
-      .withColumn("ms", mp4MdatSize(col("payload")))
-      .select(col("doc_id"), col("payload"), col("mo"), col("ms"),
-        posexplode(transform(sequence(lit(0L), lit(3L)),
-          i => col("mo") + i * (col("ms") / lit(4L)).cast("long")))
-          .as(Seq("frame_idx", "offset")))
-      .withColumn("frame",
-        expr("substring(payload, cast(offset + 1 AS INT), 16)"))
-      .select(col("doc_id"), col("frame_idx"), col("offset"),
-        length(col("frame")).cast("long").as("frame_bytes"),
-        md5(col("frame")).as("frame_md5"))
+      .select(col("doc_id"), col("payload"), col("mo"), col("sizes"),
+        posexplode(col("sizes")).as(Seq("frame_idx", "fsz")))
+      .withColumn("off", col("mo") +
+        expr("aggregate(slice(sizes, 1, frame_idx), 0L, (a, x) -> a + x)"))
+      .withColumn("png",
+        expr("substring(payload, CAST(off + 1 AS INT), CAST(fsz AS INT))"))
+      .select(col("doc_id"), col("frame_idx"),
+        size(col("sizes")).cast("long").as("n_frames"),
+        imageWidth(col("png")).as("width"),
+        imageHeight(col("png")).as("height"),
+        round(pngBrightness(col("png")), 4).as("brightness"))
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
-  /** The oracle derives offsets from the KNOWN construction (mdat data at
-    * byte 160, size = body length) — the Spark side must find the same
-    * numbers by walking the boxes. DuckDB's substring does not operate on
-    * BLOBs; the docs are ASCII so byte offsets equal character offsets
-    * and the oracle slices the text, byte-identical to Spark's binary
-    * slice of the mdat payload.
+  /** Pixel-formula recompute, the [[qMultimodalResize]] discipline:
+    * brightness of frame i = mean((7x + 13y + doc_id·4 + i) mod 256)
+    * over the w×h grid. The 4-dp round is boundary-safe (denominator
+    * ≤ 256 cannot land on an exact half at 4 dp).
     */
   val qMultimodalFramesOracle: String =
-    """WITH d AS (SELECT doc_id, text,
-        octet_length(encode(text))::BIGINT byte_len FROM documents),
-      f AS (SELECT doc_id, text, byte_len,
-        unnest(range(0, 4)) frame_idx,
-        unnest([160 + i * (byte_len // 4) for i in range(0, 4)]) AS off
-        FROM d)
-      SELECT doc_id, frame_idx::INT AS frame_idx, off AS offset,
-        octet_length(encode(substr(text, (off - 160 + 1)::INT, 16)))::BIGINT
-          AS frame_bytes,
-        md5(substr(text, (off - 160 + 1)::INT, 16)) AS frame_md5
+    """WITH d AS (SELECT doc_id,
+        8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 9 AS h FROM documents),
+      f AS (SELECT doc_id, w, h, unnest(range(0, 4)) AS fi FROM d)
+      SELECT doc_id, fi::INT AS frame_idx, 4::BIGINT AS n_frames,
+        w::INT AS width, h::INT AS height,
+        round(list_sum(list_transform(range(0, w * h), k ->
+          (7 * (k % w) + 13 * (k // w) + doc_id * 4 + fi) % 256
+        ))::DOUBLE / (w * h), 4) AS brightness
       FROM f ORDER BY doc_id, frame_idx"""
 
   /** REAL pixel decode end to end (no codecs needed — PNG's compression
@@ -767,7 +822,83 @@ object Multimodal {
         count(*)::BIGINT n_names
       FROM b GROUP BY s ORDER BY shard"""
 
+  // ---------- co-bucketed cross-modal layout (zero-exchange join) ----------
+  /** The cure for [[graft.ops.Similarity.qClusterProfile]]'s documented
+    * cost: every cross-modal readout joins documents to embeddings on
+    * the shared doc_id, and an unbucketed layout pays a corpus-scale
+    * shuffle of BOTH modalities per query. Here the two tables are
+    * written ONCE co-bucketed on doc_id (8 buckets, bucket-sorted —
+    * the [[graft.ops.Relational.qJoinBucketed]] discipline extended
+    * across modalities), after which the cross-modal join plans with
+    * ZERO exchange on doc_id — pinned by the PlanAudit. At 100 TB this
+    * is the layout decision that makes per-cluster/per-slice quality
+    * dashboards affordable: the doc_id shuffle is paid once at ingest,
+    * not per report.
+    *
+    * The report: per language, document count, total words, and the
+    * total/mean e3-quantized embedding energy Σ round(x·10³)² — all
+    * exact integers (the energy is the integer-quantization discipline
+    * of qClusterProfile's argmin), oracled against DuckDB joining the
+    * ORIGINAL parquet, proving the bucketed round-trip byte-preserves
+    * both modalities.
+    */
+  def qLayoutComodal(spark: SparkSession, dir: String): DataFrame = {
+    val B = 8
+    val haveCatalog = spark.catalog.tableExists("graft_bucketed_docs") &&
+      spark.catalog.tableExists("graft_bucketed_embs")
+    if (SessionFixtures.stale("comodal_layout", spark, dir) || !haveCatalog) {
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq("graft_bucketed_docs", "graft_bucketed_embs").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        fs.delete(new org.apache.hadoop.fs.Path(wh, t), true)
+      }
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ", -1)).cast("long").as("n_words"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(B, "doc_id").sortBy("doc_id")
+        .saveAsTable("graft_bucketed_docs")
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("doc_id"),
+          expr("""aggregate(transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+             0L, (a, q) -> a + q * q)""").as("norm2_q"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(B, "doc_id").sortBy("doc_id")
+        .saveAsTable("graft_bucketed_embs")
+      SessionFixtures.mark("comodal_layout", spark, dir)
+    }
+    spark.table("graft_bucketed_docs")
+      .join(spark.table("graft_bucketed_embs"), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_words"),
+        sum(col("norm2_q")).as("total_norm2_q"))
+      .select(col("lang"), col("n_docs"), col("total_words"),
+        col("total_norm2_q"),
+        expr("total_norm2_q DIV n_docs").as("mean_norm2_q"))
+      .orderBy(col("lang"))
+  }
+
+  val qLayoutComodalOracle: String =
+    """WITH d AS (SELECT doc_id, lang,
+        len(string_split(text, ' '))::BIGINT n_words FROM documents),
+      e AS (SELECT vec_id AS doc_id,
+        list_sum(list_transform(embedding::DOUBLE[],
+          x -> CAST(round(x * 1000) AS BIGINT)
+             * CAST(round(x * 1000) AS BIGINT)))::BIGINT norm2_q
+        FROM embeddings)
+      SELECT lang, count(*)::BIGINT n_docs,
+        sum(n_words)::BIGINT total_words,
+        sum(norm2_q)::BIGINT total_norm2_q,
+        (sum(norm2_q) // count(*))::BIGINT mean_norm2_q
+      FROM d JOIN e USING (doc_id)
+      GROUP BY lang ORDER BY lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_layout_comodal" -> (qLayoutComodal _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_audio" -> (qMultimodalAudio _),
     "q_multimodal_video" -> (qMultimodalVideo _),
@@ -782,6 +913,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_layout_comodal" -> qLayoutComodalOracle,
     "q_multimodal_meta" -> qMultimodalMetaOracle,
     "q_multimodal_audio" -> qMultimodalAudioOracle,
     "q_multimodal_video" -> qMultimodalVideoOracle,

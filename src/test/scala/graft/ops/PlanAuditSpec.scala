@@ -974,6 +974,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin"), p)
   }
 
+  test("q_layout_comodal: the cross-modal join reads co-bucketed " +
+    "modalities — zero exchanges on doc_id; only the lang rollup shuffles") {
+    // at-scale regime: both modalities are corpus-sized, neither
+    // broadcasts — the co-bucketed layout must carry the join alone
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p = try plan("q_layout_comodal")
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert(p.linesIterator.exists(l =>
+      l.contains("FileScan") && l.contains("Bucketed: true")),
+      s"both modalities must scan bucketed layouts: $p")
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(!hashEx.exists(_.contains("doc_id")),
+      s"co-bucketed modalities must not re-shuffle doc_id:\n${hashEx.mkString("\n")}")
+    assert(hashEx.forall(_.contains("lang")),
+      s"only the lang rollup exchange may exist:\n${hashEx.mkString("\n")}")
+    assert(p.contains("SortMergeJoin"), p)
+  }
+
   test("q_market_basket: support sides broadcast; the top-5 cut runs " +
     "map-side (partial WindowGroupLimit) before the part exchange") {
     val p = plan("q_market_basket")
