@@ -35,11 +35,33 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // Dev-only iteration hooks (the driver sets neither): SPARK_GRAFT_ONLY
+    // restricts the run to the named queries (comma-separated) and skips
+    // the conversion probes; SPARK_GRAFT_EXTRA_CONF applies "k=v;k=v"
+    // session-conf overrides so a candidate default can be A/B-measured
+    // through the exact bench path before being baked in below.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val extraConf = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .map { kv => val a = kv.split("=", 2); (a(0), a(1)) }
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Respect the 64m advisory target when AQE coalesces post-shuffle
+      // partitions instead of stopping at `default.parallelism` — the
+      // setting Spark's own AQE docs recommend (parallelismFirst=true is
+      // documented as a legacy-behavior guard). At 100 TB the advisory
+      // size is what bounds reducer memory; locally it stops sub-MB
+      // shuffles from scheduling 32 near-empty reducers per stage
+      // (A/B over a 42-query band: −6% suite time, biggest movers the
+      // fixpoint rounds — q_graph_kcore 2.07→1.48 — with one bounded
+      // regression, q_window_lag +0.19 s, whose window input sits right
+      // at the single-partition threshold).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // 80+ queries × several generated classes each far exceeds the
@@ -69,7 +91,9 @@ object Bench {
       .config("spark.sql.ui.retainedExecutions", "10")
       .config("spark.cleaner.periodicGC.interval", "60s")
       .withExtensions(new graft.plans.GraftExtensions)
-      .getOrCreate()
+    val spark = extraConf.foldLeft(builder0) {
+      case (b, (k, v)) => b.config(k, v)
+    }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // drop blocks a finished query left behind (localCheckpoint / cache):
@@ -111,7 +135,9 @@ object Bench {
       val cand = new java.io.File(w, "sf0.001")
       if (cand.isDirectory) cand.getAbsolutePath else sfDir
     }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_(name)) }
+      .foreach { case (name, fn) =>
       try {
         fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         sweepBlocks()
@@ -132,6 +158,7 @@ object Bench {
     // rounds, so steady-state per-pass times match the back-to-back
     // design at idle.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_(name)) }
     // name -> pass times (empty marks a failed query)
     val raw = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
     ordered.foreach { case (name, _) => raw(name) = Nil }
@@ -160,6 +187,7 @@ object Bench {
 
     // conversion throughput: the reference's own workload (each pass gets
     // its own output dir so every run does the full write)
+    if (only.isEmpty)
     results("cdc_convert") = try {
       val tmp = java.nio.file.Files.createTempDirectory("graft-bench-cdc")
       val in = tmp.resolve("landing/avro/bench/part-0.avro").toString
@@ -184,7 +212,7 @@ object Bench {
     // rather than serially per file. maxPartitionBytes is pinned to 8m
     // around the probe so the fan-out regime matches a 100 TB layout
     // where containers exceed the split size.
-    val (cdcRate10x, cdcSplits10x) = try {
+    val (cdcRate10x, cdcSplits10x) = if (only.nonEmpty) (-1L, -1L) else try {
       val tmp = java.nio.file.Files.createTempDirectory("graft-bench-cdc10x")
       val in = tmp.resolve("landing/avro/bench10x/part-0.avro").toString
       BenchData.writeCdcAvro(in, rows = 2000000)

@@ -1269,11 +1269,12 @@ object EventOps {
     * advances the watermark past every real session's end; the engine's
     * trailing NO-DATA micro-batch (the default this query deliberately
     * keeps, unlike [[startTrimmedStream]] callers) is the trigger in
-    * which those timeouts fire. `maxFilesPerTrigger=1` forces the two
-    * data batches. This is the production pattern for draining session
-    * state at end-of-stream, exercised end-to-end — r9 used a second
-    * sentinel file as the firing trigger, which bought the same flush
-    * for one extra source batch.
+    * which those timeouts fire. Events and sentinel ride ONE data batch:
+    * in-batch gap closes emit there, the watermark advances at its end,
+    * and the no-data batch fires every remaining timeout — r9 used a
+    * second sentinel file and r11 a forced `maxFilesPerTrigger=1` split,
+    * each of which bought the same flush for one extra stateful
+    * micro-batch plan.
     */
   def qStreamSession(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1281,7 +1282,7 @@ object EventOps {
 
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), col("value"))
-    // the input (events + 2 far-future sentinel files) is a fixture derived
+    // the input (events + a far-future sentinel file) is a fixture derived
     // purely from `dir` — build once per sf dir and reuse, so repeated runs
     // time the stateful query, not the fixture write (same pattern as
     // qStreamDedup); the checkpoint stays per-run
@@ -1301,7 +1302,6 @@ object EventOps {
 
     val sessions = spark.readStream
       .schema(ev.schema)
-      .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "*.parquet")
       .parquet(s"$fixture/in")
       .withWatermark("ts", "0 seconds")

@@ -357,12 +357,24 @@ object Multimodal {
     * inflate per row), a 4-way posexplode, no shuffle before the final
     * presentation sort — the same per-row cost profile a production
     * frame sampler pays, minus only the codec's arithmetic being DCT.
+    *
+    * The MP4 containers are a SESSION FIXTURE (localCheckpoint'd, the
+    * [[qStreamDedup]] / graph-edge discipline): in production the clip
+    * bytes come from storage, so the timed path is the demuxer + decode,
+    * not the synthetic encoder. Left inline, CollapseProject also
+    * inlines the payload expression into every post-explode consumer
+    * and the four PNG encodes re-run per exploded row (measured ~9×
+    * the decode-only cost).
     */
   def qMultimodalFrames(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Mp4HeaderOps._
     import graft.functions.ImageHeaderOps._
     import graft.functions.PngOps._
-    withMp4FramesPayload(Tables.documents(spark, dir))
+    val clips = SessionFixtures.cachedFrame("mp4_frame_clips", spark, dir)(
+      withMp4FramesPayload(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("payload"))
+        .localCheckpoint())
+    clips
       .withColumn("sizes", mp4StszSizes(col("payload")))
       .withColumn("mo", mp4MdatOffset(col("payload")))
       .select(col("doc_id"), col("payload"), col("mo"), col("sizes"),
