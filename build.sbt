@@ -38,5 +38,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: local[32] runs 32 executor threads in THIS one JVM, and
+  // an 8g heap (256 MB/thread) showed up in the bench as multi-second GC
+  // stop-the-world spikes inflating the MEDIANS of whichever queries they
+  // landed on (measured: q_dedup_cc_incr median 8.5 s at 8g vs 1.4 s at
+  // 16g on an idle box, same plans — the spread, not the floor, moved).
+  // The box has 128 GiB; 16g still leaves >100 GiB of page cache.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -62,6 +62,19 @@ object Bench {
       // at the single-partition threshold).
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         "false")
+      // Companion advisory for local[32] at sub-GB scale factors: with
+      // the 64m default, parallelismFirst=false collapses every mid-size
+      // (10-40 MB) shuffle to ONE partition, serializing the CPU-bound
+      // stage above it — measured: q_window_running 2.35→1.0 s,
+      // q_cdc_scd2 2.39→1.19, q_cdc_timetravel 2.28→1.21 at 2m, while
+      // the KB-scale fixpoint shuffles (the parallelismFirst win,
+      // q_graph_kcore et al.) still coalesce to a single reducer. A/B
+      // swept 64m/8m/4m/2m/1m over the 12 affected queries: 2m is the
+      // knee (total_min 20.7→16.6 s; 1m saves 0.7 s more but doubles
+      // the pass spread). On a real cluster at 100 TB keep the 64m
+      // default — there the advisory bounds reducer MEMORY, and input
+      // shuffles are GB-scale, nowhere near the collapse regime.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // 80+ queries × several generated classes each far exceeds the
