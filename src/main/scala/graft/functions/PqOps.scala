@@ -76,9 +76,19 @@ object PqOps {
     new GenericArrayData(out)
   }
 
-  /** approx dot(query, corpus) = Σ_m lut(m*K + codes(m)) — M reads. */
-  def adc(lutArr: ArrayData, codes: ArrayData, k: Int): Double = {
+  /** approx dot(query, corpus) = Σ_m lut(m*K + codes(m)) — M reads.
+    * The stride K is DERIVED from the two arrays (lut length / code
+    * count), never passed as a constant: the codebook's per-sub-space
+    * size is data-dependent (the deterministic init takes the first
+    * PqK corpus vectors — a sparse-id corpus yields fewer), and a
+    * caller-supplied stride that disagreed with [[lut]]'s layout read
+    * misaligned garbage scores (caught by a perturbed-data sweep:
+    * recall collapsed only when ids 0..15 weren't all present).
+    */
+  def adc(lutArr: ArrayData, codes: ArrayData): Double = {
     val m = codes.numElements()
+    if (m == 0) return 0.0
+    val k = lutArr.numElements() / m
     var acc = 0.0
     var j = 0
     while (j < m) { acc += lutArr.getDouble(j * k + codes.getInt(j)); j += 1 }
@@ -91,9 +101,9 @@ object PqOps {
   def lutCol(v: Column, book: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(PqLut(ColumnBridge.expression(v), book))
 
-  def adcCol(lut: Column, codes: Column, k: Int): Column =
+  def adcCol(lut: Column, codes: Column): Column =
     ColumnBridge.column(PqAdc(
-      ColumnBridge.expression(lut), ColumnBridge.expression(codes), k))
+      ColumnBridge.expression(lut), ColumnBridge.expression(codes)))
 }
 
 case class PqEncode(child: Expression, book: Array[Array[Array[Double]]])
@@ -126,13 +136,13 @@ case class PqLut(child: Expression, book: Array[Array[Array[Double]]])
     copy(child = newChild)
 }
 
-case class PqAdc(left: Expression, right: Expression, k: Int)
+case class PqAdc(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullSafeEval(l: Any, r: Any): Any =
-    PqOps.adc(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], k)
+    PqOps.adc(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (l, r) => s"graft.functions.PqOps.adc($l, $r, $k)")
+    defineCodeGen(ctx, ev, (l, r) => s"graft.functions.PqOps.adc($l, $r)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PqAdc =
     copy(left = newLeft, right = newRight)

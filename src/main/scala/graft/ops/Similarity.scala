@@ -432,7 +432,11 @@ object Similarity {
       e: org.apache.spark.sql.DataFrame): Array[Array[Array[Double]]] = {
     val subDim = Dim / PqM
     val sample = e.filter(col("vec_id") < PqTrainSample)
-    val init = e.filter(col("vec_id") < PqK).orderBy(col("vec_id"))
+    // FIRST PqK vectors BY ID, not `vec_id < PqK`: ids need not be
+    // contiguous from 0 (a filtered/compacted corpus), and a shrunken
+    // init silently changes the codebook's per-sub-space size. A
+    // TakeOrderedAndProject of 16 rows — constant driver traffic.
+    val init = e.orderBy(col("vec_id")).limit(PqK)
       .collect()
       .map(_.getAs[Seq[Double]]("vd").toArray)
     var book = Array.tabulate(PqM)(m =>
@@ -477,7 +481,7 @@ object Similarity {
     val approx = broadcast(anchors)
       .join(corpus, col("a_id") =!= col("b_id"))
       .withColumn("qscore",
-        graft.functions.PqOps.adcCol(col("a_lut"), col("b_codes"), PqK)
+        graft.functions.PqOps.adcCol(col("a_lut"), col("b_codes"))
           / (col("a_nrm") * col("b_nrm")))
     val wq = Window.partitionBy(col("a_id"))
       .orderBy(col("qscore").desc, col("b_id").asc)

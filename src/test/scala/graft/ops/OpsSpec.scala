@@ -702,6 +702,27 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"pq top-10 recall $recall too low ($hit/${brute.size})")
   }
 
+  test("ann pq: recall survives a SPARSE-ID corpus (no id-contiguity " +
+    "assumption in codebook init or ADC stride)") {
+    // A perturbed-data sweep caught PQ recall collapsing when vec_ids
+    // 0..15 weren't all present: the init codebook shrank below PqK and
+    // the caller-supplied ADC stride misread the LUT. Replay that data
+    // shape: drop every 7th id, re-run the certified contract.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq-sparse")
+    Tables.embeddings(spark, dir).filter(col("vec_id") % 7 =!= 3)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    val row = SparkEntry.queries("q_ann_pq")(spark, tmp.toString).collect()
+    assert(row.length == 1)
+    val r = row.head
+    val nAnchors = r.getAs[Long]("n_anchors")
+    assert(nAnchors > 0)
+    assert(r.getAs[Long]("n_ge_floor") == nAnchors,
+      s"per-anchor recall floor broken on sparse ids: $r")
+    assert(r.getAs[Long]("mean_ge_spec") == 1L,
+      s"mean recall spec broken on sparse ids: $r")
+  }
+
   test("ann ivf: cosines agree with brute force on shared pairs; " +
     "probed rerank achieves top-1 recall") {
     val brute = Similarity.qAnnTopk(spark, dir).collect()
