@@ -226,8 +226,13 @@ object Similarity {
     */
   private[ops] def trainCentroids(e: org.apache.spark.sql.DataFrame): Array[Array[Double]] = {
     val sample = e.filter(col("vec_id") < PqTrainSample)
-    var cents: Array[Array[Double]] = e.filter(col("vec_id") < IvfLists)
-      .orderBy(col("vec_id"))
+    // FIRST IvfLists vectors BY ID, not `vec_id < IvfLists`: ids need
+    // not be contiguous from 0 (a filtered/compacted corpus), and a
+    // shrunken — or EMPTY — init crashed every consumer's argmin
+    // (caught by a low-id block-drop perturbed sweep). Same discipline
+    // as [[trainPqCodebook]]; a TopK of 16 rows, constant driver traffic.
+    var cents: Array[Array[Double]] = e
+      .orderBy(col("vec_id")).limit(IvfLists)
       .collect()
       .map(_.getAs[Seq[Double]]("vd").toArray)
 
@@ -859,20 +864,33 @@ object Similarity {
       sqrt(aggregate(
         zip_with(col("vd"), typedlit(c), (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x))
-    val first = pts.filter(col("vec_id") === 0).head()
+    // seed = MINIMUM id present, not the literal id 0: a filtered
+    // corpus may not contain vec_id 0 (caught by a low-id block-drop
+    // perturbed sweep — the head call threw). Mirrored in the oracle.
+    val first = pts.orderBy(col("vec_id")).limit(1).head()
+    val firstId = first.getLong(0)
     var centers = Vector(first.getSeq[Double](2).toArray)
-    var ids = Vector(0L)
+    var ids = Vector(firstId)
     val rows = scala.collection.mutable.ArrayBuffer(
-      (1, 0L, first.getInt(1), 0.0))
-    while (rows.length < k) {
+      (1, firstId, first.getInt(1), 0.0))
+    var exhausted = false
+    while (rows.length < k && !exhausted) {
       val minDist = centers.map(distTo).reduce(least(_, _))
-      val w = pts.filter(!col("vec_id").isInCollection(ids))
+      val cand = pts.filter(!col("vec_id").isInCollection(ids))
         .withColumn("d", minDist)
         .orderBy(col("d").desc, col("vec_id"))
-        .limit(1).head()
-      centers :+= w.getSeq[Double](2).toArray
-      ids :+= w.getLong(0)
-      rows += ((rows.length + 1, w.getLong(0), w.getInt(1), w.getDouble(3)))
+        .limit(1).collect()
+      cand.headOption match {
+        case Some(w) =>
+          centers :+= w.getSeq[Double](2).toArray
+          ids :+= w.getLong(0)
+          rows += ((rows.length + 1, w.getLong(0), w.getInt(1),
+            w.getDouble(3)))
+        case None =>
+          // corpus smaller than k: the oracle's LATERAL recursion just
+          // stops — match it instead of throwing on head()
+          exhausted = true
+      }
     }
     import spark.implicits._
     rows.toSeq.toDF("step", "vec_id", "label", "dist")
@@ -884,12 +902,13 @@ object Similarity {
   val qSampleKcenterOracle: String =
     """WITH RECURSIVE e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
         FROM embeddings),
+      seed AS (SELECT vec_id, label, v FROM e ORDER BY vec_id LIMIT 1),
       sel AS (
-        SELECT 1 AS step, 0::BIGINT AS vec_id,
-          (SELECT label FROM e WHERE vec_id = 0) AS label,
+        SELECT 1 AS step, (SELECT vec_id FROM seed)::BIGINT AS vec_id,
+          (SELECT label FROM seed) AS label,
           0.0::DOUBLE AS dist, -- bare 0.0 unifies the union to DECIMAL(2,1)
-          [(SELECT v FROM e WHERE vec_id = 0)] AS centers,
-          [0::BIGINT] AS ids
+          [(SELECT v FROM seed)] AS centers,
+          [(SELECT vec_id FROM seed)::BIGINT] AS ids
         UNION ALL
         SELECT s.step + 1, w.vec_id, w.label, w.d,
           list_append(s.centers, w.v), list_append(s.ids, w.vec_id)
@@ -938,7 +957,12 @@ object Similarity {
     val k = 8
     val pts = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    val seeds = pts.filter(col("vec_id") < k)
+    // FIRST k vectors BY ID, not `vec_id < k`: ids need not be
+    // contiguous from 0, and an id-threshold seed set shrinks — or
+    // empties, crashing the argmin's [0] — on a filtered corpus
+    // (caught by a low-id block-drop perturbed sweep). Mirrored in the
+    // oracle's seeds CTE.
+    val seeds = pts.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
 
     // Scan-side argmin: the k centroids are packed into ONE broadcast row
@@ -987,7 +1011,7 @@ object Similarity {
   val qClusterKmeansOracle: String =
     """WITH p AS (SELECT vec_id, label, embedding::DOUBLE[] v
         FROM embeddings),
-      seeds AS (SELECT vec_id::INT cid, v cv FROM p WHERE vec_id < 8),
+      seeds AS (SELECT vec_id::INT cid, v cv FROM p ORDER BY vec_id LIMIT 8),
       a0 AS (SELECT vec_id, label, v, cid AS cluster FROM (
         SELECT p.*, s.cid, row_number() OVER (PARTITION BY p.vec_id
           ORDER BY list_distance(p.v, s.cv) ASC, s.cid ASC) rn
@@ -1712,7 +1736,9 @@ object Similarity {
     val pts = Tables.embeddings(spark, dir).select(col("vec_id"),
       transform(col("embedding"),
         x => round(x.cast("double") * 1000000).cast("long")).as("v"))
-    val packed = pts.filter(col("vec_id") < k)
+    // first k BY ID (not an id threshold) — the [[qClusterKmeans]]
+    // sparse-id discipline, mirrored in the oracle's seeds CTE
+    val packed = pts.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
       .agg(collect_list(struct(col("cid"), col("cv"))).as("cs"))
     val assigned = pts.crossJoin(broadcast(packed))
@@ -1740,7 +1766,7 @@ object Similarity {
     """WITH p AS (SELECT vec_id,
         list_transform(embedding::DOUBLE[],
           x -> CAST(round(x * 1000000) AS BIGINT)) v FROM embeddings),
-      seeds AS (SELECT vec_id::INT cid, v cv FROM p WHERE vec_id < 8),
+      seeds AS (SELECT vec_id::INT cid, v cv FROM p ORDER BY vec_id LIMIT 8),
       a AS (SELECT vec_id AS doc_id, cid AS cluster FROM (
         SELECT p.vec_id, s.cid, row_number() OVER (PARTITION BY p.vec_id
           ORDER BY list_sum(list_transform(list_zip(p.v, s.cv),

@@ -702,6 +702,25 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"pq top-10 recall $recall too low ($hit/${brute.size})")
   }
 
+  test("kmeans/ivf/kcenter: seeds survive a corpus MISSING its low ids " +
+    "(init is first-k-by-id, never an id threshold)") {
+    // A low-id block-drop perturbed sweep crashed all six centroid
+    // consumers: `vec_id < k` seed sets emptied and the argmin's [0]
+    // (or head()) threw. Replay that data shape end-to-end.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lowid-drop")
+    Seq("embeddings", "documents").foreach { t =>
+      val full = Tables.table(spark, dir, t)
+      val cut = (full.count() * 9 / 100).max(1)
+      full.filter(col(if (t == "embeddings") "vec_id" else "doc_id") >= cut)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/$t.parquet")
+    }
+    Seq("q_ann_ivf", "q_ann_ivf_sq8", "q_ann_refresh", "q_cluster_kmeans",
+      "q_cluster_profile", "q_sample_kcenter").foreach { q =>
+      val out = SparkEntry.queries(q)(spark, tmp.toString).collect()
+      assert(out.nonEmpty, s"$q returned no rows on a low-id-dropped corpus")
+    }
+  }
+
   test("ann pq: recall survives a SPARSE-ID corpus (no id-contiguity " +
     "assumption in codebook init or ADC stride)") {
     // A perturbed-data sweep caught PQ recall collapsing when vec_ids
