@@ -158,7 +158,7 @@ object CdcColumns {
     l.select(
       col("l_orderkey"),
       canonicalJson(map(
-        lit("qty"), col("l_quantity").cast("long"),
+        lit("qty"), round(col("l_quantity")).cast("long"),
         lit("line"), col("l_linenumber").cast("long"))).as("map_json"),
       canonicalJson(array(col("l_partkey"), col("l_suppkey"))).as("arr_json"),
       canonicalJson(struct(
@@ -224,7 +224,7 @@ object CdcColumns {
       col("l_orderkey").as("id"),
       col("l_linenumber").cast("long").as("tx_id"),
       ((col("l_orderkey") + col("l_linenumber")) % 7 === 0).as("is_deleted"),
-      col("l_quantity").cast("long").as("qty"),
+      round(col("l_quantity")).cast("long").as("qty"),
       round(col("l_extendedprice"), 2).as("amount"))
     // (id, tx_id) is NOT unique in the synthesized stream; the tie-break
     // covers every emitted column so the surviving row is value-determined
@@ -238,7 +238,7 @@ object CdcColumns {
   val qCdcApplyOracle: String =
     """WITH e AS (SELECT l_orderkey AS id, l_linenumber::BIGINT AS tx_id,
         (l_orderkey + l_linenumber) % 7 = 0 AS is_deleted,
-        l_quantity::BIGINT AS qty, round(l_extendedprice, 2) AS amount
+        round(l_quantity)::BIGINT AS qty, round(l_extendedprice, 2) AS amount
         FROM lineitem),
       r AS (SELECT *, row_number() OVER (PARTITION BY id
         ORDER BY tx_id DESC, qty DESC, amount DESC) AS rn FROM e)
@@ -270,7 +270,7 @@ object CdcColumns {
       col("l_orderkey").as("id"),
       col("l_linenumber").cast("long").as("tx_id"),
       ((col("l_orderkey") + col("l_linenumber")) % 7 === 0).as("is_deleted"),
-      col("l_quantity").cast("long").as("qty"),
+      round(col("l_quantity")).cast("long").as("qty"),
       round(col("l_extendedprice"), 2).as("amount"))
     val fixture = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft-stream-cdc2-in-${dir.hashCode.toHexString}")
@@ -349,7 +349,7 @@ object CdcColumns {
       col("l_orderkey").as("id"),
       col("l_linenumber").cast("long").as("tx_id"),
       ((col("l_orderkey") + col("l_linenumber")) % 7 === 0).as("is_deleted"),
-      col("l_quantity").cast("long").as("qty"),
+      round(col("l_quantity")).cast("long").as("qty"),
       round(col("l_extendedprice"), 2).as("amount"))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("tx_id"), col("qty"), col("amount"))
@@ -365,7 +365,7 @@ object CdcColumns {
   val qCdcScd2Oracle: String =
     """WITH e AS (SELECT l_orderkey AS id, l_linenumber::BIGINT AS tx_id,
         (l_orderkey + l_linenumber) % 7 = 0 AS is_deleted,
-        l_quantity::BIGINT AS qty, round(l_extendedprice, 2) AS amount
+        round(l_quantity)::BIGINT AS qty, round(l_extendedprice, 2) AS amount
         FROM lineitem)
       SELECT id, (row_number() OVER w)::INT AS version, tx_id, qty, amount,
         is_deleted,
@@ -393,7 +393,7 @@ object CdcColumns {
       col("l_orderkey").as("id"),
       col("l_linenumber").cast("long").as("tx_id"),
       ((col("l_orderkey") + col("l_linenumber")) % 7 === 0).as("is_deleted"),
-      col("l_quantity").cast("long").as("qty"),
+      round(col("l_quantity")).cast("long").as("qty"),
       round(col("l_extendedprice"), 2).as("amount"))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("tx_id"), col("qty"), col("amount"))
@@ -412,7 +412,7 @@ object CdcColumns {
   val qCdcTimetravelOracle: String =
     """WITH e AS (SELECT l_orderkey AS id, l_linenumber::BIGINT AS tx_id,
         (l_orderkey + l_linenumber) % 7 = 0 AS is_deleted,
-        l_quantity::BIGINT AS qty, round(l_extendedprice, 2) AS amount
+        round(l_quantity)::BIGINT AS qty, round(l_extendedprice, 2) AS amount
         FROM lineitem),
       h AS (SELECT *, lead(tx_id, 1) OVER (PARTITION BY id
           ORDER BY tx_id, qty, amount) AS valid_to_tx FROM e),

@@ -148,7 +148,9 @@ object Formats {
     spark.read.orc(orcDir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
-        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        // round-then-cast (Spark truncates bare double→long, DuckDB
+        // ::BIGINT rounds) — identical on any data, not just integral qty
+        round(sum(col("l_quantity"))).cast("long").as("sum_qty"),
         sum(col("l_extendedprice").cast("decimal(18,2)")).cast("string")
           .as("sum_price"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -156,7 +158,7 @@ object Formats {
 
   val qOrcRoundtripOracle: String =
     """SELECT l_returnflag, l_linestatus, count(*) AS n,
-      sum(l_quantity)::BIGINT AS sum_qty,
+      round(sum(l_quantity))::BIGINT AS sum_qty,
       sum(l_extendedprice::DECIMAL(18,2))::VARCHAR AS sum_price
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01'

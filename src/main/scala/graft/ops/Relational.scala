@@ -1770,9 +1770,9 @@ object Relational {
         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING) AS revenue_sum
       FROM li17 l JOIN pt17 p ON l.l_partkey = p.p_partkey
       WHERE p.p_brand = 'Brand#3'
-        AND 5 * CAST(l.l_quantity AS BIGINT) *
+        AND 5 * CAST(round(l.l_quantity) AS BIGINT) *
               (SELECT count(*) FROM li17 l2 WHERE l2.l_partkey = l.l_partkey)
-            < (SELECT CAST(sum(l2.l_quantity) AS BIGINT) FROM li17 l2
+            < (SELECT CAST(round(sum(l2.l_quantity)) AS BIGINT) FROM li17 l2
                WHERE l2.l_partkey = l.l_partkey)""")
   }
 
@@ -1781,9 +1781,9 @@ object Relational {
       sum(l_extendedprice::DECIMAL(18,2))::VARCHAR AS revenue_sum
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       WHERE p.p_brand = 'Brand#3'
-        AND 5 * l.l_quantity::BIGINT *
+        AND 5 * round(l.l_quantity)::BIGINT *
               (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
-            < (SELECT sum(l2.l_quantity)::BIGINT FROM lineitem l2
+            < (SELECT round(sum(l2.l_quantity))::BIGINT FROM lineitem l2
                WHERE l2.l_partkey = l.l_partkey)"""
 
   // ---------- q18 shape: large-volume orders (IN-subquery with HAVING) ----
@@ -1797,7 +1797,11 @@ object Relational {
   def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
     val big = Tables.lineitem(spark, dir)
       .groupBy($"l_orderkey")
-      .agg(sum($"l_quantity").cast("long").as("sum_qty"))
+      // round-then-cast, both engines: Spark's bare double→long cast
+      // TRUNCATES while DuckDB's ::BIGINT rounds half-even — identical
+      // only while quantities stay integral. round() is away-from-zero
+      // on the exact binary value in BOTH engines, data-independent.
+      .agg(round(sum($"l_quantity")).cast("long").as("sum_qty"))
       .filter($"sum_qty" > 150)
     big.join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
       .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
@@ -1811,9 +1815,9 @@ object Relational {
   val q18Oracle: String =
     """SELECT c_custkey, c_name, o_orderkey, o_orderdate AS orderdate,
       round(o_totalprice, 2) AS totalprice, sum_qty
-      FROM (SELECT l_orderkey, sum(l_quantity)::BIGINT AS sum_qty
+      FROM (SELECT l_orderkey, round(sum(l_quantity))::BIGINT AS sum_qty
             FROM lineitem GROUP BY l_orderkey
-            HAVING sum(l_quantity)::BIGINT > 150) t
+            HAVING round(sum(l_quantity))::BIGINT > 150) t
       JOIN orders ON o_orderkey = l_orderkey
       JOIN customer ON c_custkey = o_custkey
       ORDER BY totalprice DESC, o_orderkey ASC LIMIT 100"""
