@@ -1037,6 +1037,9 @@ object EventOps {
     // null-padded emission trigger (see scaladoc)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val q = try {
+      // 8 is measured optimum: 4 loses join parallelism (+0.4 s), 16
+      // doubles the per-batch state-store commit I/O (4 stores per
+      // side per partition; +3 s) — re-swept this round
       spark.conf.set("spark.sql.shuffle.partitions", "8")
       joined
         .select(col("v_user").as("user_id"), col("v_id"), col("c_id"),
