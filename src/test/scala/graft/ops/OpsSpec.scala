@@ -721,6 +721,17 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kcenter: corpus smaller than k stops gracefully (matches the " +
+    "oracle's recursion ending) instead of throwing") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tiny-corpus")
+    Tables.embeddings(spark, dir).orderBy(col("vec_id")).limit(5)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    val out = SparkEntry.queries("q_sample_kcenter")(spark, tmp.toString)
+      .collect()
+    assert(out.length == 5, s"expected 5 trajectory steps, got ${out.length}")
+  }
+
   test("ann pq: recall survives a SPARSE-ID corpus (no id-contiguity " +
     "assumption in codebook init or ADC stride)") {
     // A perturbed-data sweep caught PQ recall collapsing when vec_ids
