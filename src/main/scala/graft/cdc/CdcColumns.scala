@@ -169,7 +169,7 @@ object CdcColumns {
 
   val qCdcStringifyOracle: String =
     """SELECT l_orderkey,
-      '{"line":' || l_linenumber || ',"qty":' || CAST(l_quantity AS BIGINT) || '}'
+      '{"line":' || l_linenumber || ',"qty":' || CAST(round(l_quantity) AS BIGINT) || '}'
         AS map_json,
       '[' || l_partkey || ',' || l_suppkey || ']' AS arr_json,
       '{"pk":' || l_partkey || ',"rf":"' || l_returnflag || '"}' AS struct_json

@@ -640,12 +640,13 @@ object GraphOps {
         .join(broadcast(frontier), "node")
         .select(col("nbr").as("node"))
         // visited-set anti-join: the build side grows monotonically with
-        // the rounds, so the explicit broadcast is safe ONLY because the
-        // node universe is dimension-bounded (parts with p_size <= 10 —
-        // the same bound the scaladoc's scale-shape argument rests on).
-        // On an unbounded node domain drop this hint and let the planner
-        // pick a shuffled anti-join once the set outgrows the threshold.
-        .join(broadcast(dist.select(col("node"))), Seq("node"), "left_anti")
+        // the rounds, so it carries NO broadcast hint — AQE sees the
+        // checkpointed level tables' real sizes at runtime and picks
+        // broadcast while the set is small, falling back to a shuffled
+        // anti-join once it outgrows autoBroadcastJoinThreshold. A forced
+        // hint here would be a driver-memory hazard on an unbounded node
+        // domain.
+        .join(dist.select(col("node")), Seq("node"), "left_anti")
         .groupBy(col("node"))
         .agg(min(lit(round.toLong)).as("dist"))
         .localCheckpoint()

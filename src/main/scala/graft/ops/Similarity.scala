@@ -839,7 +839,7 @@ object Similarity {
     * farthest-point heuristic) — the coreset/curation primitive that
     * picks a maximally-spread representative subset of an embedding
     * corpus (seed prompts, eval panels, balanced fine-tune subsets).
-    * Deterministic: seed = vec_id 0, then k−1 rounds of "farthest point
+    * Deterministic: seed = minimum vec_id present, then k−1 rounds of "farthest point
     * from the selected set" with ties broken on vec_id. Emits the
     * selection trajectory — (step, chosen id, its distance to the prior
     * set); that distance sequence is non-increasing and step i+1's value

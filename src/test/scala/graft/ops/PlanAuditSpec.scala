@@ -1298,4 +1298,34 @@ class PlanAuditSpec extends AnyFunSuite {
       s"history side must read the materialized state file: $p")
     assert(p.contains("partial_sum"), "merge must partial-aggregate map-side")
   }
+
+  test("bfs: hint-free visited-set anti-join still plans small-side " +
+    "(AQE broadcasts it at runtime; a forced hint would be a driver " +
+    "hazard on an unbounded node domain)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val e = GraphOps.coPurchaseEdges(spark, dir)
+    val adj = e.select(col("pa").as("node"), col("pb").as("nbr"))
+      .unionByName(e.select(col("pb").as("node"), col("pa").as("nbr")))
+    val src = e.agg(least(min(col("pa")), min(col("pb"))).as("p"))
+      .collect().head.getLong(0)
+    import spark.implicits._
+    // round-1 shape of qGraphBfs, verbatim: frontier inner join keeps its
+    // hint (one-row level table), visited anti-join is hint-free
+    val dist = Seq((src, 0L)).toDF("node", "dist").localCheckpoint()
+    val discovered = adj
+      .join(broadcast(dist.select(col("node"))), "node")
+      .select(col("nbr").as("node"))
+      .join(dist.select(col("node")), Seq("node"), "left_anti")
+      .groupBy(col("node")).agg(count(lit(1)).as("n"))
+    discovered.collect()
+    val p = discovered.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case other => other.toString
+    }
+    val anti = p.linesIterator.filter(_.contains("LeftAnti")).toSeq
+    assert(anti.nonEmpty, s"no anti-join in plan:\n$p")
+    assert(anti.forall(_.contains("BroadcastHashJoin")),
+      s"visited-set anti-join must plan broadcast-small-side at this SF:\n$p")
+  }
 }
