@@ -32,6 +32,34 @@ object Bench {
   private def passesOf(n: Int)(f: => Unit): Array[Double] =
     Array.fill(n)(timeIt(f)).sorted
 
+  // JIT-proof sink for the calibration loop below: a volatile write can't
+  // be dead-code-eliminated, so the fixed work always runs in full.
+  @volatile private var probeSink: Long = 0L
+
+  /** Fixed-work, Spark-free box-speed calibration: 500M xorshift64* steps
+    * on ONE thread, in seconds. The same work every round on every box, so
+    * BENCH_r{N}.json totals become comparable across driver VMs — r10→r12
+    * driver boxes decayed ~1.9× (cdc_rows_s 274,830→145,826 on a
+    * conversion path that only got faster) and without an in-artifact
+    * scalar the absolute-seconds gate was unfalsifiable either way.
+    * Min over `n` passes: the best pass is the least load-polluted, i.e.
+    * the box's true single-thread speed. See BASELINE.md §calibration for
+    * the normalization arithmetic.
+    */
+  private def cpuProbe(n: Int): Double = {
+    def pass(): Double = timeIt {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0L
+      while (i < 500000000L) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        i += 1L
+      }
+      probeSink = x
+    }
+    pass() // untimed JIT warmup of the loop itself
+    (1 to n).map(_ => pass()).min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -45,6 +73,11 @@ object Bench {
     val extraConf = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
       .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
       .map { kv => val a = kv.split("=", 2); (a(0), a(1)) }
+    // box calibration, sampled at run START (before any Spark state
+    // exists) and again at run END so the scalar reflects the box across
+    // the whole window; the machine line carries the overall min.
+    val cpuProbeStart = cpuProbe(3)
+
     val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -218,13 +251,16 @@ object Bench {
         Array.empty[Double]
     }
 
-    // at-size conversion probe: ONE pass over a 10× file (2M rows), NOT
-    // in the suite totals — records the sustained rate plus the SPLIT
-    // FAN-OUT, the evidence that a single multi-hundred-MB container
-    // converts in parallel (sync-marker splits, AvroCdcReader.planSplits)
-    // rather than serially per file. maxPartitionBytes is pinned to 8m
-    // around the probe so the fan-out regime matches a 100 TB layout
-    // where containers exceed the split size.
+    // at-size conversion probe over a 10× file (2M rows), NOT in the
+    // suite totals — records the sustained rate plus the SPLIT FAN-OUT,
+    // the evidence that a single multi-hundred-MB container converts in
+    // parallel (sync-marker splits, AvroCdcReader.planSplits) rather than
+    // serially per file. maxPartitionBytes is pinned to 8m around the
+    // probe so the fan-out regime matches a 100 TB layout where
+    // containers exceed the split size. Min-of-3 like cdc_convert: the
+    // r12 single-pass reading swung 3× on driver load (45,671 recorded
+    // vs 137,241 idle, same tree) and read as a scaling cliff that
+    // wasn't there.
     val (cdcRate10x, cdcSplits10x) = if (only.nonEmpty) (-1L, -1L) else try {
       val tmp = java.nio.file.Files.createTempDirectory("graft-bench-cdc10x")
       val in = tmp.resolve("landing/avro/bench10x/part-0.avro").toString
@@ -234,12 +270,14 @@ object Bench {
         spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
         val splits = graft.avro.AvroCdcReader.planSplits(spark, Seq(in),
           spark.sparkContext.hadoopConfiguration).size
-        val t = timeIt {
+        var pass = 0
+        val ts = passesOf(Passes) {
+          pass += 1
           graft.convert.AvroToParquetJob.runOnce(spark,
-            s"$tmp/landing/avro/*/*.avro", tmp.resolve("out").toString)
+            s"$tmp/landing/avro/*/*.avro", tmp.resolve(s"out$pass").toString)
           ()
         }
-        ((2000000.0 / t).round, splits.toLong)
+        ((2000000.0 / ts.head).round, splits.toLong)
       } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
     } catch {
       case e: Throwable =>
@@ -298,6 +336,7 @@ object Bench {
     // the total_detail line above.
     val sfTag = new java.io.File(sfDir).getName
     val nOk = results.values.count(_.nonEmpty)
+    val cpuProbeS = math.min(cpuProbeStart, cpuProbe(3))
     // conversion throughput (rows/s over the 200k-row generated file) —
     // the reference's own workload, stated as a rate so the artifact
     // carries the "matches-or-beats single-node throughput" evidence
@@ -305,7 +344,7 @@ object Bench {
     val cdcRate = results.get("cdc_convert").filter(_.nonEmpty)
       .map(ts => (200000.0 / median(ts)).round).getOrElse(-1L)
     val out =
-      s"""{"metric":"total","value":${fmt(total, 2)},"total_min":${fmt(totalMin, 2)},"unit":"sec","stat":"median_of_$Passes","queries":{},"queries_ok":$nOk,"queries_total":${results.size},"cdc_rows_s":$cdcRate,"cdc_rows_s_10x":$cdcRate10x,"cdc_splits_10x":$cdcSplits10x,"sf":"$sfTag"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"total_min":${fmt(totalMin, 2)},"unit":"sec","stat":"median_of_$Passes","queries":{},"queries_ok":$nOk,"queries_total":${results.size},"cdc_rows_s":$cdcRate,"cdc_rows_s_10x":$cdcRate10x,"cdc_splits_10x":$cdcSplits10x,"cpu_probe_s":${fmt(cpuProbeS, 3)},"sf":"$sfTag"}"""
 
     spark.sparkContext.setLogLevel("ERROR") // quiet stop(): nothing may print after the JSON line
     spark.stop()

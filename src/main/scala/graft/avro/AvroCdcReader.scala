@@ -128,13 +128,34 @@ object AvroCdcReader {
     new DataFileStream[GenericRecord](fs.open(p), new GenericDatumReader[GenericRecord]())
   }
 
+  /** Whole-file read with a TRUNCATION GUARD. avro-java's
+    * `DataFileStream.hasNext` swallows the EOFException of a cut-short
+    * final block and reports a clean end-of-stream — so a half-written
+    * container (upload died, writer crashed) would silently convert its
+    * readable prefix, get ledgered as seen, and lose its tail forever
+    * with no operator signal. The reference's fastavro reader raises on
+    * the same input (main.py's per-file try/except turns that into a
+    * terminal file failure), so failing loudly here is both the safe and
+    * the faithful semantics. Detection: after a clean full read,
+    * `previousSync() == file length` (every well-formed container ends
+    * exactly at a sync boundary); a truncated file ends its read at the
+    * last complete block, strictly below the byte length. Probability of
+    * a false pass is that of 16 arbitrary bytes matching the sync marker.
+    */
   private def readAll(path: String, conf: Configuration): (ArrayBuffer[GenericRecord], Unit) = {
-    val stream = openStream(path, conf)
+    val in = new org.apache.avro.mapred.FsInput(new Path(path), conf)
+    val len = in.length()
+    val reader = new org.apache.avro.file.DataFileReader[GenericRecord](
+      in, new GenericDatumReader[GenericRecord]())
     try {
       val buf = new ArrayBuffer[GenericRecord]()
-      while (stream.hasNext) buf += stream.next()
+      while (reader.hasNext) buf += reader.next()
+      if (reader.previousSync() != len)
+        throw new java.io.EOFException(
+          s"truncated Avro container: $path ends mid-block at byte $len " +
+            s"(last complete block boundary ${reader.previousSync()})")
       (buf, ())
-    } finally stream.close()
+    } finally reader.close()
   }
 
   /** One byte range of one container file; `[start, end)` owns every data
@@ -194,7 +215,28 @@ object AvroCdcReader {
     try {
       reader.sync(split.start)
       val buf = new ArrayBuffer[GenericRecord]()
-      while (reader.hasNext && !reader.pastSync(split.end)) buf += reader.next()
+      // the exit condition must be CAPTURED, not re-queried: after
+      // avro-java swallows the EOF of a cut-short block, a repeated
+      // hasNext() call re-attempts the block load on a garbage stream
+      // position and can flip back to true (measured), which would blind
+      // the truncation guard below
+      var more = reader.hasNext
+      while (more && !reader.pastSync(split.end)) {
+        buf += reader.next()
+        more = reader.hasNext
+      }
+      // Truncation guard, split form (see [[readAll]] for the rationale):
+      // a range whose loop ended on end-of-stream rather than pastSync
+      // must have ended exactly at the end-of-file sync boundary. The
+      // range OWNING the cut block observes prevSync at the last complete
+      // block and throws; ranges past it sync() straight to EOF with
+      // prevSync == length and stay clean — so the guard fires exactly
+      // once per truncated file, whatever the split grid.
+      if (!more && reader.previousSync() != split.length)
+        throw new java.io.EOFException(
+          s"truncated Avro container: ${split.path} ends mid-block at " +
+            s"byte ${split.length} (last complete block boundary " +
+            s"${reader.previousSync()})")
       buf
     } finally reader.close()
   }
