@@ -31,6 +31,13 @@ object StreamProbe {
         val p = e.progress
         println(s"[probe] batch=${p.batchId} rows=${p.numInputRows} " +
           s"durations=${p.durationMs}")
+        p.stateOperators.foreach { so =>
+          println(s"[probe]   state op=${so.operatorName} " +
+            s"updated=${so.numRowsUpdated} removed=${so.numRowsRemoved} " +
+            s"total=${so.numRowsTotal} updMs=${so.allUpdatesTimeMs} " +
+            s"rmMs=${so.allRemovalsTimeMs} commitMs=${so.commitTimeMs} " +
+            s"mem=${so.memoryUsedBytes}")
+        }
       }
       override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit =

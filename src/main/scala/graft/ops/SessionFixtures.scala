@@ -101,6 +101,10 @@ private[graft] object SessionFixtures {
     * everything else persistent is either per-query leakage (safe to
     * drop) or plain `persist()` (recomputable by definition).
     */
+  /** Stable per-session tag for other single-slot caches (Tables). */
+  private[graft] def sessionTag(spark: SparkSession): String =
+    sessionKey(spark)
+
   private[graft] def pinnedRddIds: Set[Int] = {
     import scala.jdk.CollectionConverters._
     (frames.values.asScala.map(_._2) ++ pinnedFrames.values.asScala)

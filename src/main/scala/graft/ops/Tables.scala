@@ -12,8 +12,45 @@ import org.apache.spark.sql.functions._
   * comparison honest.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+
+  // Relation cache: `spark.read.parquet` pays a driver-side file listing
+  // + footer schema read PER CALL, and the bench calls each loader
+  // ~4× per query over 286 queries — thousands of redundant small FS
+  // round-trips that are pure per-entry floor. The returned DataFrame is
+  // immutable, so reusing it is safe; the key re-stats the path on every
+  // call (one stat, not a listing) and rebuilds the relation whenever the
+  // file content, the session, or — for the vintage-sensitive events
+  // table — the nanosAsLong conf differs from the cached read.
+  private val frameCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def statFingerprint(f: java.io.File): String =
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .sortBy(_.getName)
+        .map(c => s"${c.getName}:${c.lastModified}:${c.length}")
+        .mkString(",")
+    else s"${f.lastModified}:${f.length}"
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val conf =
+      if (name == "events")
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+      else ""
+    val key = SessionFixtures.sessionTag(spark) + "|" + path + "|" +
+      statFingerprint(new java.io.File(path)) + "|" + conf
+    val cached = frameCache.get(key)
+    if (cached != null) cached
+    else {
+      // unbounded growth guard: test suites touch hundreds of temp dirs;
+      // the cache only ever needs the live handful, so reset crudely
+      if (frameCache.size > 256) frameCache.clear()
+      val df = spark.read.parquet(path)
+      frameCache.put(key, df)
+      df
+    }
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
