@@ -163,7 +163,9 @@ object Bench {
       .mode("overwrite").save()
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "documents", "embeddings").foreach { t =>
-      try spark.read.parquet(s"$sfDir/$t.parquet").write.format("noop")
+      // via Tables.table (not a bare spark.read) so the warmup also
+      // populates the relation cache for the timed sf dir
+      try graft.ops.Tables.table(spark, sfDir, t).write.format("noop")
         .mode("overwrite").save()
       catch { case _: Throwable => () }
     }
@@ -283,6 +285,37 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] cdc_convert_10x failed: ${e.getMessage}")
         (-1L, -1L)
+    }
+
+    // 100× stretch probe (env-gated, single pass, NOT in gated totals):
+    // a ~20M-row / ~1.4 GB single container — real container sizes, so
+    // the split fan-out story is pinned where it matters. Run with
+    // SPARK_GRAFT_CDC_100X=1; prints its own JSON line which the driver
+    // ignores (the machine line stays count-independent).
+    if (only.isEmpty && sys.env.contains("SPARK_GRAFT_CDC_100X")) {
+      try {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-bench-cdc100x")
+        val in = tmp.resolve("landing/avro/bench100x/part-0.avro").toString
+        val tw = timeIt(BenchData.writeCdcAvro(in, rows = 20000000))
+        val bytes = new java.io.File(in).length()
+        val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        try {
+          spark.conf.set("spark.sql.files.maxPartitionBytes", "32m")
+          val splits = graft.avro.AvroCdcReader.planSplits(spark, Seq(in),
+            spark.sparkContext.hadoopConfiguration).size
+          val t = timeIt {
+            graft.convert.AvroToParquetJob.runOnce(spark,
+              s"$tmp/landing/avro/*/*.avro", tmp.resolve("out").toString)
+            ()
+          }
+          def f2(v: Double): String =
+            String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+          println(s"""{"metric":"cdc_100x","rows":20000000,"bytes":$bytes,"gen_s":${f2(tw)},"convert_s":${f2(t)},"rows_s":${(20000000.0 / t).round},"splits":$splits}""")
+        } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] cdc_100x failed: ${e.getMessage}")
+      }
     }
 
     def median(ts: Array[Double]): Double = if (ts.isEmpty) -1.0 else ts(ts.length / 2)

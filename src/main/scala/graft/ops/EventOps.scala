@@ -843,6 +843,17 @@ object EventOps {
     * passes), and the downstream tumbling aggregation then matches the
     * batch oracle exactly — proving the dedup removed precisely the
     * redelivered rows.
+    *
+    * The oracle aggregates over DISTINCT (event_id, ts, type, value),
+    * not the raw table: if the SOURCE itself already carries redelivered
+    * event_ids (the at-least-once shape the r13 dup10 mutation sweep
+    * replays), the engine's key dedup rightly collapses those too — an
+    * oracle on the raw rows would then overcount. On unique-id data the
+    * DISTINCT is the identity, so pristine hashes are unchanged. Per the
+    * at-least-once contract a redelivered event_id carries an identical
+    * payload; ids with CONFLICTING payloads are outside the contract
+    * (engine keeps an arrival-order winner — inherently racy — while
+    * the oracle would keep both).
     */
   def qStreamDedup(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -890,6 +901,16 @@ object EventOps {
     finally q.stop()
     sinkSorted(spark.table(name), col("ws"), col("event_type"))
   }
+
+  /** [[qEventsTumblingOracle]] over one row per event — see the
+    * [[qStreamDedup]] scaladoc for why the DISTINCT is the honest batch
+    * equivalent of key-dedup on any (not just unique-id) source data.
+    */
+  val qStreamDedupOracle: String =
+    """SELECT epoch(date_trunc('hour', ts))::BIGINT AS ws, event_type,
+      count(*) AS n, round(sum(value), 2) AS total
+      FROM (SELECT DISTINCT event_id, ts, event_type, value FROM events)
+      GROUP BY ws, event_type ORDER BY ws, event_type"""
 
   // ---------- Structured Streaming: stream-stream interval join ----------
   /** REAL stream-stream inner join: views and clicks are two independent
@@ -3857,7 +3878,7 @@ object EventOps {
     "q_stream_tumbling" -> qEventsTumblingOracle,
     "q_stream_recovery" -> qStreamRecoveryOracle,
     "q_stream_session" -> qEventsSessionOracle,
-    "q_stream_dedup" -> qEventsTumblingOracle,
+    "q_stream_dedup" -> qStreamDedupOracle,
     "q_stream_join" -> qStreamJoinOracle,
     "q_stream_outer_join" -> qStreamOuterJoinOracle,
     "q_stream_static_join" -> qStreamStaticJoinOracle,

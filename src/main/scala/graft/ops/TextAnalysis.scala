@@ -1473,6 +1473,10 @@ object TextAnalysis {
     * collapsed stopword, ~6.6% of each group's mass vs the N/17 bar) and
     * ~200 distinct keys ≫ k, so each group's summary trims constantly
     * and a summary that lost its guaranteed key fails the hash.
+    * (On perturbed data a group may have ZERO guaranteed keys — the
+    * oracle LEFT-joins the guaranteed counts so such groups report 0
+    * like the engine instead of vanishing; caught by the r13 dup10
+    * mutation sweep.)
     */
   def qHeavyHittersGrouped(spark: SparkSession, dir: String): DataFrame = {
     val K = 16
@@ -1526,9 +1530,10 @@ object TextAnalysis {
         FROM e JOIN t ON t.lang = e.lang
         WHERE cnt * 17 > n_words GROUP BY e.lang)
       SELECT t.lang, 16::BIGINT AS k, n_words, n_distinct,
-        n_guaranteed, n_guaranteed AS n_guaranteed_found,
+        coalesce(n_guaranteed, 0)::BIGINT AS n_guaranteed,
+        coalesce(n_guaranteed, 0)::BIGINT AS n_guaranteed_found,
         0::BIGINT AS bound_violations
-      FROM t JOIN g ON g.lang = t.lang ORDER BY t.lang"""
+      FROM t LEFT JOIN g ON g.lang = t.lang ORDER BY t.lang"""
 
   /** The whole curation pipeline as ONE composed plan — the point of an
     * engine is that the stages fuse: Gopher keep-rules (scan-side integer

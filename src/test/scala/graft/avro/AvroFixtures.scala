@@ -12,11 +12,14 @@ import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
 /** Test-only CDC Avro fixture writer (FIXTURES.md §A). */
 object AvroFixtures {
 
-  def writeAvro(path: String, schemaJson: String, rows: Seq[Map[String, Any]]): Unit = {
+  def writeAvro(path: String, schemaJson: String, rows: Seq[Map[String, Any]],
+      codec: Option[String] = None): Unit = {
     val schema = new Schema.Parser().parse(schemaJson)
     val file = new File(path)
     file.getParentFile.mkdirs()
     val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    codec.foreach(c =>
+      writer.setCodec(org.apache.avro.file.CodecFactory.fromString(c)))
     writer.create(schema, file)
     try rows.foreach(r => writer.append(record(schema, r)))
     finally writer.close()

@@ -158,6 +158,26 @@ class ConverterMutationSpec extends AnyFunSuite {
     }
   }
 
+  test("M8 codec coverage: null, deflate and snappy containers of the " +
+    "same schema convert together in one batch, rows exactly once") {
+    val in = tmpDir("graft-mut-codec"); val out = tmpDir("graft-mut-codec-out")
+    def rows(base: Long) = (1 to 20).map(i => Map[String, Any](
+      "uuid" -> s"u$i", "read_timestamp" -> 0L,
+      "source_metadata" -> AvroFixtures.sm("t"),
+      "payload" -> Map("id" -> (base + i), "name" -> s"n$i")))
+    AvroFixtures.writeAvro(s"$in/avro/t/plain.avro",
+      AvroFixtures.BasicEnvelope, rows(0))
+    AvroFixtures.writeAvro(s"$in/avro/t/deflate.avro",
+      AvroFixtures.BasicEnvelope, rows(100), codec = Some("deflate"))
+    AvroFixtures.writeAvro(s"$in/avro/t/snappy.avro",
+      AvroFixtures.BasicEnvelope, rows(200), codec = Some("snappy"))
+    val report = AvroToParquetJob.runOnce(
+      spark, s"$in/avro/*/*.avro", out, ingestionDate = Some("2024-06-01"))
+    assert(report.failed.isEmpty && report.converted.size == 3, s"$report")
+    assert(outIds(out) ==
+      ((1L to 20L) ++ (101L to 120L) ++ (201L to 220L)).sorted)
+  }
+
   // ["null","long","string"]: the union rules derive LONG (only the
   // second branch is inspected, main.py:324) — so the string branch is
   // "never seen at schema-derivation time" and only shows up in data

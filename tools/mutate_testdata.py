@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Write a perturbed copy of a testdata SF dir for correct-on-any-data
+sweeps (driver-side dev tool; pairs with graft.Verify + check_oracle.py).
+
+Modes (comma-separable, applied in order):
+  drop9    - drop every 9th row of every table (id gaps, sparse ids)
+  reverse  - reverse row order per table (order-independence)
+  dup10    - re-append 10% of documents/embeddings under fresh ids and
+             redeliver 5% of events (crawl-dup / at-least-once shape)
+
+Usage: mutate_testdata.py <src_sf_dir> <dst_dir> [modes]
+"""
+import os
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+ID_COL = {"documents": "doc_id", "embeddings": "vec_id"}
+
+
+def main() -> None:
+    src, dst = sys.argv[1], sys.argv[2]
+    modes = (sys.argv[3] if len(sys.argv) > 3 else "drop9,reverse").split(",")
+    os.makedirs(dst, exist_ok=True)
+    for t in TABLES:
+        p = f"{src}/{t}.parquet"
+        if not os.path.exists(p):
+            continue
+        q = f"SELECT *, row_number() OVER () AS __rn FROM read_parquet('{p}')"
+        if "drop9" in modes:
+            q = f"SELECT * FROM ({q}) WHERE __rn % 9 != 0"
+        if "dup10" in modes and t in ("documents", "embeddings"):
+            idc = ID_COL[t]
+            q = (f"SELECT * FROM ({q}) UNION ALL "
+                 f"SELECT * REPLACE (({idc} + (SELECT max({idc}) + 1 FROM "
+                 f"read_parquet('{p}'))) AS {idc}, (__rn + 1000000000) AS __rn) "
+                 f"FROM ({q}) WHERE __rn % 10 = 0")
+        if "dup10" in modes and t == "events":
+            q = (f"SELECT * FROM ({q}) UNION ALL SELECT * REPLACE "
+                 f"((__rn + 1000000000) AS __rn) FROM ({q}) WHERE __rn % 20 = 0")
+        order = "ORDER BY __rn DESC" if "reverse" in modes else "ORDER BY __rn"
+        duckdb.sql(
+            f"COPY (SELECT * EXCLUDE (__rn) FROM ({q}) {order}) TO "
+            f"'{dst}/{t}.parquet' (FORMAT PARQUET)")
+        n = duckdb.sql(f"SELECT count(*) FROM read_parquet('{dst}/{t}.parquet')").fetchone()[0]
+        print(f"[mutate] {t}: {n} rows -> {dst}/{t}.parquet")
+
+
+if __name__ == "__main__":
+    main()
