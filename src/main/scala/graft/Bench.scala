@@ -300,7 +300,11 @@ object Bench {
         val bytes = new java.io.File(in).length()
         val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
         try {
-          spark.conf.set("spark.sql.files.maxPartitionBytes", "32m")
+          // 16m, not 32m: readRange buffers a split's records strictly
+          // (the atomic-failure contract), so 32 concurrent tasks on 32m
+          // snappy splits decompress to several GB at once — measured as
+          // a driver OOM at 20M rows in a 16g heap after a full suite run
+          spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
           val splits = graft.avro.AvroCdcReader.planSplits(spark, Seq(in),
             spark.sparkContext.hadoopConfiguration).size
           val t = timeIt {

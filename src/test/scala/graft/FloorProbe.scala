@@ -2,8 +2,11 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Scratch probe (deleted before commit): decompose the per-entry floor of
-  * cheap queries — construction vs analysis/optimization vs execution.
+/** Dev-only diagnostic: decompose the per-entry floor of cheap queries —
+  * construction vs analysis/optimization vs execution, with per-stage
+  * task counts and walls. (r13 finding: execution dominates at ~300 ms
+  * even for trivial queries — 3-5 single-task AQE QueryStage jobs; the
+  * relation-loading share of construction was cured by the Tables cache.)
   */
 object FloorProbe {
   def main(args: Array[String]): Unit = {

@@ -3,8 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch probe (deleted before commit): cost of the finishing global
-  * orderBy vs a single-partition sort on representative result shapes.
+/** Dev-only diagnostic: cost of the finishing global orderBy vs a
+  * single-partition sort on representative result shapes. (r13 finding:
+  * in this isolated context rep1sort wins ~0.4 s, but the SAME rewrite
+  * applied as an optimizer rule REGRESSED a mixed bench band +1.2 s min
+  * — do not retry the root presentation-sort rewrite without re-running
+  * the in-bench A/B; see SURVEY round 13.)
   */
 object SortProbe {
   def main(args: Array[String]): Unit = {
