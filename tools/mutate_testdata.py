@@ -7,6 +7,9 @@ Modes (comma-separable, applied in order):
   reverse  - reverse row order per table (order-independence)
   dup10    - re-append 10% of documents/embeddings under fresh ids and
              redeliver 5% of events (crawl-dup / at-least-once shape)
+  vintage  - rewrite events.ts as raw int64 NANOSECONDS (the old
+             generator vintage; Tables.normalizedTs must absorb it —
+             applied alone, Spark-side row hashes must equal pristine)
 
 Usage: mutate_testdata.py <src_sf_dir> <dst_dir> [modes]
 """
@@ -41,6 +44,8 @@ def main() -> None:
         if "dup10" in modes and t == "events":
             q = (f"SELECT * FROM ({q}) UNION ALL SELECT * REPLACE "
                  f"((__rn + 1000000000) AS __rn) FROM ({q}) WHERE __rn % 20 = 0")
+        if "vintage" in modes and t == "events":
+            q = f"SELECT * REPLACE (epoch_ns(ts)::BIGINT AS ts) FROM ({q})"
         order = "ORDER BY __rn DESC" if "reverse" in modes else "ORDER BY __rn"
         duckdb.sql(
             f"COPY (SELECT * EXCLUDE (__rn) FROM ({q}) {order}) TO "
