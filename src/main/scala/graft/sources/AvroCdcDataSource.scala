@@ -352,9 +352,10 @@ class AvroCdcPartitionReader(
   // seekable reader so a byte-range partition can sync to its first owned
   // block; `sync(0)` lands on the header's trailing sync marker, i.e. the
   // first block, so a whole-file read goes through the same path
+  private val fsIn = new org.apache.avro.mapred.FsInput(hPath, conf.value)
+  private val fileLen = fsIn.length()
   private val stream = new org.apache.avro.file.DataFileReader[GenericRecord](
-    new org.apache.avro.mapred.FsInput(hPath, conf.value),
-    new GenericDatumReader[GenericRecord]())
+    fsIn, new GenericDatumReader[GenericRecord]())
   stream.sync(start)
   // whole-file sentinel stays clear of Long.MaxValue: DataFileReader
   // .pastSync computes `position + SYNC_SIZE`, which overflows negative at
@@ -403,7 +404,27 @@ class AvroCdcPartitionReader(
 
   private def nextUnsafe(): Boolean = {
     if (limit >= 0 && emitted >= limit) return false // pushed-down LIMIT
-    if (!stream.hasNext || stream.pastSync(endPos)) return false
+    if (!stream.hasNext) {
+      // TRUNCATION GUARD (same contract as AvroCdcReader.readRange):
+      // avro-java's hasNext SWALLOWS the EOF of a cut-short final block
+      // and reports a clean end-of-stream — without this check a
+      // truncated container would silently drop its tail in the DSv2
+      // scan and the streaming source. A clean end of a well-formed
+      // container leaves the read position exactly at the end-of-file
+      // sync boundary; the partition owning the cut block sees
+      // previousSync at the last complete block instead and fails
+      // loudly (ignoreCorruptFiles routes the throw into the documented
+      // skip-rest-of-file path). The condition is checked HERE, on the
+      // single hasNext result that ended the stream — hasNext is not
+      // idempotent after the swallow and may flip back to true.
+      if (stream.previousSync() != fileLen)
+        throw new java.io.EOFException(
+          s"truncated Avro container: $path ends mid-block at byte " +
+            s"$fileLen (last complete block boundary " +
+            s"${stream.previousSync()})")
+      return false
+    }
+    if (stream.pastSync(endPos)) return false
     emitted += 1
     val record = stream.next()
     val payload = record.getSchema.getField("payload") match {

@@ -178,6 +178,32 @@ class ConverterMutationSpec extends AnyFunSuite {
       ((1L to 20L) ++ (101L to 120L) ++ (201L to 220L)).sorted)
   }
 
+  test("M9 truncated container through the DSv2 scan: loud failure by " +
+    "default, documented prefix-read under ignoreCorruptFiles") {
+    val in = tmpDir("graft-mut-dsv2")
+    val p = s"$in/avro/t/bad.avro"
+    writeRows(p, 300)
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(p), StandardOpenOption.WRITE)
+    try ch.truncate(ch.size() - 37) finally ch.close()
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("cdc-avro").load(p).select("id").collect()
+    }
+    assert(e.getMessage.contains("truncated Avro container") ||
+      Option(e.getCause).exists(_.toString.contains("truncated")),
+      s"default scan must fail loudly on truncation: $e")
+    val ids = spark.read.format("cdc-avro")
+      .option("ignoreCorruptFiles", "true").load(p)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.nonEmpty && ids.length < 300 && ids.distinct.length == ids.length,
+      "ignoreCorruptFiles keeps the intact prefix exactly once")
+    // clean end-of-stream of a zero-row container must NOT trip the guard
+    AvroFixtures.writeAvro(s"$in/avro/t2/empty.avro",
+      AvroFixtures.BasicEnvelope, Seq.empty)
+    assert(spark.read.format("cdc-avro")
+      .load(s"$in/avro/t2/empty.avro").count() == 0)
+  }
+
   // ["null","long","string"]: the union rules derive LONG (only the
   // second branch is inspected, main.py:324) — so the string branch is
   // "never seen at schema-derivation time" and only shows up in data
