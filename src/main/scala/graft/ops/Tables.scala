@@ -34,12 +34,21 @@ object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
+    // The staleness key stats through java.io.File, which only sees the
+    // LOCAL filesystem. For a remote URI (hdfs://, s3a://, ...) the stat
+    // reads 0:0 regardless of content and the cache would serve stale
+    // relations across file replacements — so any path the local stat
+    // cannot see BYPASSES the cache entirely (cluster deployments keep
+    // Spark's own FileStatusCache; this cache targets the local bench/
+    // test loop where the listing+footer cost was measured).
+    val f = new java.io.File(path)
+    if (!f.exists()) return spark.read.parquet(path)
     val conf =
       if (name == "events")
         spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
       else ""
     val key = SessionFixtures.sessionTag(spark) + "|" + path + "|" +
-      statFingerprint(new java.io.File(path)) + "|" + conf
+      statFingerprint(f) + "|" + conf
     val cached = frameCache.get(key)
     if (cached != null) cached
     else {
