@@ -32,6 +32,19 @@ object Bench {
   private def passesOf(n: Int)(f: => Unit): Array[Double] =
     Array.fill(n)(timeIt(f)).sorted
 
+  /** Best-effort recursive delete for the conversion probes' temp trees —
+    * the 10× probe writes 3 × ~140 MB output passes and the 100× probe a
+    * ~1.4 GB input, so repeated bench runs would otherwise fill /tmp.
+    */
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(f => try java.nio.file.Files.deleteIfExists(f) catch {
+          case _: java.io.IOException =>
+        })
+    } catch { case _: Throwable => }
+
   // JIT-proof sink for the calibration loop below: a volatile write can't
   // be dead-code-eliminated, so the fixed work always runs in full.
   @volatile private var probeSink: Long = 0L
@@ -238,15 +251,17 @@ object Bench {
     if (only.isEmpty)
     results("cdc_convert") = try {
       val tmp = java.nio.file.Files.createTempDirectory("graft-bench-cdc")
-      val in = tmp.resolve("landing/avro/bench/part-0.avro").toString
-      BenchData.writeCdcAvro(in, rows = 200000)
-      var pass = 0
-      passesOf(Passes) {
-        pass += 1
-        graft.convert.AvroToParquetJob.runOnce(
-          spark, s"$tmp/landing/avro/*/*.avro", tmp.resolve(s"out$pass").toString)
-        ()
-      }
+      try {
+        val in = tmp.resolve("landing/avro/bench/part-0.avro").toString
+        BenchData.writeCdcAvro(in, rows = 200000)
+        var pass = 0
+        passesOf(Passes) {
+          pass += 1
+          graft.convert.AvroToParquetJob.runOnce(
+            spark, s"$tmp/landing/avro/*/*.avro", tmp.resolve(s"out$pass").toString)
+          ()
+        }
+      } finally deleteRecursively(tmp)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] cdc_convert failed: ${e.getMessage}")
@@ -280,7 +295,10 @@ object Bench {
           ()
         }
         ((2000000.0 / ts.head).round, splits.toLong)
-      } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+      } finally {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+        deleteRecursively(tmp)
+      }
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] cdc_convert_10x failed: ${e.getMessage}")
@@ -295,6 +313,7 @@ object Bench {
     if (only.isEmpty && sys.env.contains("SPARK_GRAFT_CDC_100X")) {
       try {
         val tmp = java.nio.file.Files.createTempDirectory("graft-bench-cdc100x")
+        try {
         val in = tmp.resolve("landing/avro/bench100x/part-0.avro").toString
         val tw = timeIt(BenchData.writeCdcAvro(in, rows = 20000000))
         val bytes = new java.io.File(in).length()
@@ -314,8 +333,9 @@ object Bench {
           }
           def f2(v: Double): String =
             String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-          println(s"""{"metric":"cdc_100x","rows":20000000,"bytes":$bytes,"gen_s":${f2(tw)},"convert_s":${f2(t)},"rows_s":${(20000000.0 / t).round},"splits":$splits}""")
+          println(s"""{"metric":"cdc_100x","rows":20000000,"bytes":$bytes,"gen_s":${f2(tw)},"convert_s":${f2(t)},"rows_s":${(20000000.0 / t).round},"splits":$splits,"cpu_probe_s":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(cpuProbeStart))}}""")
         } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+        } finally deleteRecursively(tmp)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] cdc_100x failed: ${e.getMessage}")
@@ -381,7 +401,7 @@ object Bench {
     val cdcRate = results.get("cdc_convert").filter(_.nonEmpty)
       .map(ts => (200000.0 / median(ts)).round).getOrElse(-1L)
     val out =
-      s"""{"metric":"total","value":${fmt(total, 2)},"total_min":${fmt(totalMin, 2)},"unit":"sec","stat":"median_of_$Passes","queries":{},"queries_ok":$nOk,"queries_total":${results.size},"cdc_rows_s":$cdcRate,"cdc_rows_s_10x":$cdcRate10x,"cdc_splits_10x":$cdcSplits10x,"cpu_probe_s":${fmt(cpuProbeS, 3)},"sf":"$sfTag"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"total_min":${fmt(totalMin, 2)},"unit":"sec","stat":"median_of_$Passes","queries":{},"queries_ok":$nOk,"queries_total":${results.size},"cdc_rows_s":$cdcRate,"cdc_rows_s_10x":$cdcRate10x,"cdc_rows_s_10x_stat":"min_of_$Passes","cdc_splits_10x":$cdcSplits10x,"cpu_probe_s":${fmt(cpuProbeS, 3)},"sf":"$sfTag"}"""
 
     spark.sparkContext.setLogLevel("ERROR") // quiet stop(): nothing may print after the JSON line
     spark.stop()

@@ -63,7 +63,9 @@ object Similarity {
     SessionFixtures.cachedFrame("ann_scored", spark, dir)(
       annScoredCompute(spark, dir).localCheckpoint())
 
-  private def annScoredCompute(spark: SparkSession, dir: String): DataFrame = {
+  // private[ops] so PlanAuditSpec can audit the fixture-producing plan
+  // (the checkpoint truncates lineage in the consumer plans).
+  private[ops] def annScoredCompute(spark: SparkSession, dir: String): DataFrame = {
     val e = withVec(Tables.embeddings(spark, dir))
     val anchors = e.filter(col("vec_id") < Anchors)
       .select(col("vec_id").as("a_id"), col("label").as("a_label"),

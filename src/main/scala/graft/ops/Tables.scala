@@ -18,19 +18,56 @@ object Tables {
   // ~4× per query over 286 queries — thousands of redundant small FS
   // round-trips that are pure per-entry floor. The returned DataFrame is
   // immutable, so reusing it is safe; the key re-stats the path on every
-  // call (one stat, not a listing) and rebuilds the relation whenever the
-  // file content, the session, or — for the vintage-sensitive events
-  // table — the nanosAsLong conf differs from the cached read.
+  // call and rebuilds the relation whenever the file content, the
+  // session, or — for the vintage-sensitive events table — the
+  // nanosAsLong conf differs from the cached read. Keyed per-session via
+  // a WeakHashMap so entries for stopped sessions evict with GC instead
+  // of pinning dead SparkSessions in driver memory.
   private val frameCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
-  private def statFingerprint(f: java.io.File): String =
+  private def sessionCache(spark: SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[String, DataFrame] =
+    frameCache.synchronized {
+      var m = frameCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        frameCache.put(spark, m)
+      }
+      m
+    }
+
+  private def fileSig(f: java.io.File): String = {
+    // nanosecond mtime where the filesystem provides it — a same-length
+    // rewrite inside a coarse (1 s) mtime tick must still change the key
+    val mt =
+      try java.nio.file.Files.getLastModifiedTime(f.toPath)
+        .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+      catch { case _: java.io.IOException => f.lastModified }
+    s"${f.getName}:$mt:${f.length}"
+  }
+
+  /** Content fingerprint for the staleness key: every direct child by
+    * name/mtime(ns)/length, recursing one level into child directories so
+    * an in-place change inside a partition subdirectory
+    * (`folder=a/part-....parquet`) also changes the key. private[ops] so
+    * the cache spec can retry writes until the fingerprint observably
+    * differs instead of trusting mtime granularity.
+    */
+  private[ops] def statFingerprint(f: java.io.File): String =
     if (f.isDirectory)
       Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
         .sortBy(_.getName)
-        .map(c => s"${c.getName}:${c.lastModified}:${c.length}")
+        .map { c =>
+          if (c.isDirectory)
+            s"${c.getName}/[" +
+              Option(c.listFiles()).getOrElse(Array.empty[java.io.File])
+                .sortBy(_.getName).map(fileSig).mkString(",") + "]"
+          else fileSig(c)
+        }
         .mkString(",")
-    else s"${f.lastModified}:${f.length}"
+    else fileSig(f)
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
@@ -47,16 +84,16 @@ object Tables {
       if (name == "events")
         spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
       else ""
-    val key = SessionFixtures.sessionTag(spark) + "|" + path + "|" +
-      statFingerprint(f) + "|" + conf
-    val cached = frameCache.get(key)
+    val key = path + "|" + statFingerprint(f) + "|" + conf
+    val cache = sessionCache(spark)
+    val cached = cache.get(key)
     if (cached != null) cached
     else {
       // unbounded growth guard: test suites touch hundreds of temp dirs;
       // the cache only ever needs the live handful, so reset crudely
-      if (frameCache.size > 256) frameCache.clear()
+      if (cache.size > 256) cache.clear()
       val df = spark.read.parquet(path)
-      frameCache.put(key, df)
+      cache.put(key, df)
       df
     }
   }

@@ -65,11 +65,22 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("similarity: anchor predicates are fixed-count pushed filters, " +
     "never a corpus-fraction modulo") {
+    // The exact-cosine consumers read the ann_scored session fixture, whose
+    // checkpoint truncates lineage — audit the anchor filter on the
+    // fixture-PRODUCING plan, where the scan actually runs.
+    val fixturePlan = Similarity.annScoredCompute(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(fixturePlan.contains("LessThan(vec_id,50)"),
+      s"ann_scored fixture: anchor filter not pushed to the scan:\n$fixturePlan")
+    assert(!fixturePlan.contains("%"),
+      "ann_scored fixture: modulo anchor rule reappeared — " +
+        "anchors must not scale with the corpus")
     Seq("q_embed_neardup", "q_ann_topk", "q_ann_lsh", "q_ann_quantized",
       "q_ann_pq").foreach { q =>
       val p = plan(q)
-      assert(p.contains("LessThan(vec_id,50)") || p.contains("vec_id#"),
-        s"$q: anchor filter missing")
+      assert(p.contains("LessThan(vec_id,50)") || p.contains("vec_id#") ||
+        p.contains("Scan ExistingRDD"),
+        s"$q: neither an anchor filter nor the ann_scored fixture scan")
       assert(!p.contains("%"), s"$q: modulo anchor rule reappeared — " +
         "anchors must not scale with the corpus")
     }
