@@ -201,44 +201,312 @@ object AvroCdcReader {
     }
   }
 
-  /** Read the data blocks owned by one split: seek to the first sync
-    * marker at/after `start`, decode until a block begins at/after `end`
-    * (`DataFileReader.sync`/`pastSync` — block boundaries never straddle
-    * ownership, so ranges partition the file's records exactly).
+  // ------------------------------------------------------------------
+  // Lazy split reading (round 14): the convert path used to buffer a
+  // whole split's records strictly so a failing split could contribute
+  // ZERO rows (the atomic-failure contract) — measured consequence: split
+  // size × task slots bounded converter memory and OOM'd 32 m splits on
+  // a 16 GiB driver. The DSv2 partition reader already streams
+  // record-at-a-time; the convert path now does too. The atomic contract
+  // is preserved by a STRUCTURAL PRE-VALIDATION WALK over the split's
+  // byte range: truncation and sync corruption — the failure modes that
+  // made strict buffering load-bearing — are detected BEFORE the first
+  // record is emitted, at a cost of ~20 header bytes read per block plus
+  // forward skips over the data (one bounded forward pass; on
+  // readahead-buffered object stores the skips drain within the stream).
+  // ------------------------------------------------------------------
+
+  private def readFully(in: java.io.InputStream, buf: Array[Byte]): Int = {
+    var off = 0
+    while (off < buf.length) {
+      val n = in.read(buf, off, buf.length - off)
+      if (n < 0) return off
+      off += n
+    }
+    off
+  }
+
+  private def skipFully(in: java.io.InputStream, n: Long): Boolean = {
+    var left = n
+    while (left > 0) {
+      val s = in.skip(left)
+      if (s > 0) left -= s
+      else if (in.read() >= 0) left -= 1
+      else return false
+    }
+    true
+  }
+
+  /** Parse the container header on an open stream positioned at byte 0:
+    * returns (sync marker, first block start). Throws on a malformed or
+    * cut-short header.
+    */
+  private def parseHeader(
+      raw: org.apache.hadoop.fs.FSDataInputStream,
+      path: String): (Array[Byte], Long) = {
+    raw.seek(0L)
+    // never closed directly — closing falls to the caller's `raw` close
+    val in = new java.io.BufferedInputStream(raw, 1 << 16)
+    var pos = 0L
+    def vlong(): Long = {
+      var b = in.read()
+      if (b < 0) throw new java.io.EOFException(s"EOF in header: $path")
+      var n: Long = b & 0x7f
+      var shift = 7
+      pos += 1
+      while ((b & 0x80) != 0) {
+        if (shift > 63) throw new java.io.IOException(s"malformed varint: $path")
+        b = in.read()
+        if (b < 0) throw new java.io.EOFException(s"EOF in header: $path")
+        n |= (b & 0x7fL) << shift
+        shift += 7
+        pos += 1
+      }
+      (n >>> 1) ^ -(n & 1L)
+    }
+    val magic = new Array[Byte](4)
+    if (readFully(in, magic) != 4 ||
+      !(magic(0) == 'O' && magic(1) == 'b' && magic(2) == 'j' && magic(3) == 1))
+      throw new java.io.IOException(s"not an Avro container: $path")
+    pos += 4
+    // file metadata: map<string, bytes> — blocked encoding, 0-count ends
+    var count = vlong()
+    while (count != 0L) {
+      val entries = if (count < 0) { vlong(); -count } else count
+      var i = 0L
+      while (i < entries) {
+        val kLen = vlong()
+        if (kLen < 0 || !skipFully(in, kLen))
+          throw new java.io.EOFException(s"EOF in header metadata: $path")
+        pos += kLen
+        val vLen = vlong()
+        if (vLen < 0 || !skipFully(in, vLen))
+          throw new java.io.EOFException(s"EOF in header metadata: $path")
+        pos += vLen
+        i += 1
+      }
+      count = vlong()
+    }
+    val marker = new Array[Byte](16)
+    if (readFully(in, marker) != 16)
+      throw new java.io.EOFException(s"EOF in header sync marker: $path")
+    pos += 16
+    (marker, pos)
+  }
+
+  /** Structural validation of the data blocks owned by `[start, end)` —
+    * the same ownership rule as the decode path (`sync`/`pastSync`) —
+    * WITHOUT decoding any record: walk `count`/`size` block headers,
+    * skip the data bytes, and require each block to fit inside the file
+    * and close with the header's 16-byte sync marker. Detects the two
+    * silent-data-loss shapes (a cut-short final block; a corrupt sync
+    * marker) BEFORE the lazy reader emits a single row, so a failing
+    * split still contributes zero rows — the contract that previously
+    * required buffering the whole split in memory.
+    */
+  private[graft] def validateRange(split: FileSplit, conf: Configuration): Unit = {
+    val p = new Path(split.path)
+    val fs = p.getFileSystem(conf)
+    val raw = fs.open(p)
+    try {
+      val (marker, headerEnd) = parseHeader(raw, split.path)
+      val len = split.length
+      var blockStart =
+        if (split.start == 0L) headerEnd
+        else {
+          // first sync marker whose first byte is at/after `start`
+          // (DataFileReader.sync semantics); none ⇒ no owned blocks
+          raw.seek(split.start)
+          val chunk = new Array[Byte](1 << 16)
+          var base = split.start
+          var found = -1L
+          var carry = Array.emptyByteArray
+          while (found < 0 && base < len) {
+            val want = math.min(chunk.length.toLong, len - base).toInt
+            raw.readFully(base, chunk, 0, want)
+            val hay = if (carry.isEmpty) chunk.take(want) else carry ++ chunk.take(want)
+            val off = base - carry.length
+            var i = 0
+            val limit = hay.length - 16
+            while (found < 0 && i <= limit) {
+              var j = 0
+              while (j < 16 && hay(i + j) == marker(j)) j += 1
+              if (j == 16) found = off + i + 16
+              i += 1
+            }
+            carry = hay.takeRight(15)
+            base += want
+          }
+          if (found < 0) len else found
+        }
+      val stopAt = math.min(split.end + 16L, len)
+      if (blockStart < stopAt) {
+        raw.seek(blockStart)
+        val in = new java.io.BufferedInputStream(raw, 1 << 16)
+        var pos = blockStart
+        val syncBuf = new Array[Byte](16)
+        while (pos < stopAt) {
+          val before = pos
+          def vlong(): Long = {
+            var b = in.read()
+            if (b < 0) throw new java.io.EOFException(
+              s"truncated Avro container: ${split.path} ends mid-block at " +
+                s"byte $len (block started at $before)")
+            var n: Long = b & 0x7f
+            var shift = 7
+            pos += 1
+            while ((b & 0x80) != 0) {
+              if (shift > 63)
+                throw new java.io.IOException(
+                  s"corrupt Avro block header in ${split.path} at byte $before")
+              b = in.read()
+              if (b < 0) throw new java.io.EOFException(
+                s"truncated Avro container: ${split.path} ends mid-block " +
+                  s"at byte $len (block started at $before)")
+              n |= (b & 0x7fL) << shift
+              shift += 7
+              pos += 1
+            }
+            (n >>> 1) ^ -(n & 1L)
+          }
+          val nRecords = vlong()
+          val nBytes = vlong()
+          if (nRecords < 0 || nBytes < 0)
+            throw new java.io.IOException(
+              s"corrupt Avro block header in ${split.path} at byte $before " +
+                s"(count=$nRecords size=$nBytes)")
+          if (pos + nBytes + 16 > len)
+            throw new java.io.EOFException(
+              s"truncated Avro container: ${split.path} ends mid-block at " +
+                s"byte $len (last complete block boundary $before)")
+          if (!skipFully(in, nBytes))
+            throw new java.io.EOFException(
+              s"truncated Avro container: ${split.path} ends mid-block at " +
+                s"byte $len (block started at $before)")
+          pos += nBytes
+          if (readFully(in, syncBuf) != 16 ||
+            !java.util.Arrays.equals(syncBuf, marker))
+            throw new java.io.IOException(
+              s"corrupt sync marker in ${split.path} after block at byte " +
+                s"$before")
+          pos += 16
+        }
+      }
+    } finally raw.close()
+  }
+
+  /** Record-at-a-time reader over one split — the DSv2 partition reader's
+    * emission shape for the convert path. Holds ONE Avro block buffer +
+    * one record regardless of split size, so converter memory no longer
+    * couples to `maxPartitionBytes × task slots`. The captured-hasNext
+    * truncation guard stays as a second line of defense behind
+    * [[validateRange]] (a file replaced between validation and read).
+    */
+  private[graft] final class RangeRecordIterator(
+      split: FileSplit, conf: Configuration)
+      extends Iterator[GenericRecord] with java.io.Closeable {
+    private val reader = new org.apache.avro.file.DataFileReader[GenericRecord](
+      new org.apache.avro.mapred.FsInput(new Path(split.path), conf),
+      new GenericDatumReader[GenericRecord]())
+    reader.sync(split.start)
+    // the exit condition must be CAPTURED, not re-queried: after
+    // avro-java swallows the EOF of a cut-short block, a repeated
+    // hasNext() call re-attempts the block load on a garbage stream
+    // position and can flip back to true (measured), which would blind
+    // the truncation guard below
+    private var more = reader.hasNext
+    private var closed = false
+
+    override def hasNext: Boolean = {
+      if (closed) return false
+      val live = more && !reader.pastSync(split.end)
+      if (!live) {
+        val truncated = !more && reader.previousSync() != split.length
+        close()
+        if (truncated)
+          throw new java.io.EOFException(
+            s"truncated Avro container: ${split.path} ends mid-block at " +
+              s"byte ${split.length}")
+      }
+      live
+    }
+
+    override def next(): GenericRecord = {
+      val r = reader.next()
+      more = reader.hasNext
+      r
+    }
+
+    override def close(): Unit = if (!closed) { closed = true; reader.close() }
+  }
+
+  /** Strict form of the split read (tests and small bounded callers):
+    * validates the range, then drains the lazy iterator. Production
+    * emission goes through [[lazyRows]] instead.
     */
   private[graft] def readRange(split: FileSplit, conf: Configuration): ArrayBuffer[GenericRecord] = {
-    if (split.start == 0L && split.end == split.length)
-      return readAll(split.path, conf)._1
-    val in = new org.apache.avro.mapred.FsInput(new Path(split.path), conf)
-    val reader = new org.apache.avro.file.DataFileReader[GenericRecord](
-      in, new GenericDatumReader[GenericRecord]())
+    validateRange(split, conf)
+    val it = new RangeRecordIterator(split, conf)
     try {
-      reader.sync(split.start)
       val buf = new ArrayBuffer[GenericRecord]()
-      // the exit condition must be CAPTURED, not re-queried: after
-      // avro-java swallows the EOF of a cut-short block, a repeated
-      // hasNext() call re-attempts the block load on a garbage stream
-      // position and can flip back to true (measured), which would blind
-      // the truncation guard below
-      var more = reader.hasNext
-      while (more && !reader.pastSync(split.end)) {
-        buf += reader.next()
-        more = reader.hasNext
-      }
-      // Truncation guard, split form (see [[readAll]] for the rationale):
-      // a range whose loop ended on end-of-stream rather than pastSync
-      // must have ended exactly at the end-of-file sync boundary. The
-      // range OWNING the cut block observes prevSync at the last complete
-      // block and throws; ranges past it sync() straight to EOF with
-      // prevSync == length and stay clean — so the guard fires exactly
-      // once per truncated file, whatever the split grid.
-      if (!more && reader.previousSync() != split.length)
-        throw new java.io.EOFException(
-          s"truncated Avro container: ${split.path} ends mid-block at " +
-            s"byte ${split.length} (last complete block boundary " +
-            s"${reader.previousSync()})")
+      while (it.hasNext) buf += it.next()
       buf
-    } finally reader.close()
+    } finally it.close()
+  }
+
+  /** Guarded lazy row emission for one split inside a task: structural
+    * validation up front (a failing split emits ZERO rows and lands in
+    * `failedAcc`), then record-at-a-time conversion; a decode/convert
+    * failure that slips past validation (codec-level corruption, a file
+    * swapped mid-read) stops emission at the failing record — rows
+    * already emitted stand, Spark's own `ignoreCorruptFiles` semantics —
+    * and the path is still reported failed.
+    */
+  private def lazyRows(
+      split: FileSplit,
+      conf: Configuration,
+      failedAcc: CollectionAccumulator[String])(
+      f: GenericRecord => Row): Iterator[Row] = {
+    val opened =
+      try {
+        validateRange(split, conf)
+        val it = new RangeRecordIterator(split, conf)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => it.close()))
+        Some(it)
+      } catch {
+        case e: Exception =>
+          failedAcc.add(s"${split.path}\t${e.toString}")
+          None
+      }
+    opened match {
+      case None => Iterator.empty
+      case Some(it) =>
+        new scala.collection.AbstractIterator[Row] {
+          private var done = false
+          private var pending: Row = _
+          private def fetch(): Unit = {
+            if (done || pending != null) return
+            try {
+              if (it.hasNext) pending = f(it.next())
+              else done = true
+            } catch {
+              case e: Exception =>
+                failedAcc.add(s"${split.path}\t${e.toString}")
+                try it.close() catch { case _: Exception => () }
+                done = true
+            }
+          }
+          override def hasNext: Boolean = { fetch(); pending != null }
+          override def next(): Row = {
+            fetch()
+            if (pending == null) throw new NoSuchElementException("empty split")
+            val r = pending
+            pending = null
+            r
+          }
+        }
+    }
   }
 
   private def payloadOf(r: GenericRecord): GenericRecord =
@@ -303,8 +571,19 @@ object AvroCdcReader {
       .parallelize(paths, slices(paths.size, spark))
       .map { p =>
         try {
-          val (records, _) = readAll(p, conf.value)
-          records.foreach(r => AvroValueConverter.flatten(r, flatB.value, ConvertMode.ReferenceExact))
+          // happy path streams record-at-a-time (a probe file is WHOLE —
+          // no split bound — so strict buffering here was the worst
+          // memory offender of all the read paths); the fallback branch
+          // below still buffers, bounded by the failure rate
+          val hp = new Path(p)
+          val len = hp.getFileSystem(conf.value).getFileStatus(hp).getLen
+          val whole = FileSplit(p, 0L, len, len)
+          validateRange(whole, conf.value)
+          val it = new RangeRecordIterator(whole, conf.value)
+          try {
+            while (it.hasNext)
+              AvroValueConverter.flatten(it.next(), flatB.value, ConvertMode.ReferenceExact)
+          } finally it.close()
           FileOk(p): FileStatus
         } catch {
           case e: FallbackConversionError =>
@@ -372,15 +651,9 @@ object AvroCdcReader {
     val rows = spark.sparkContext
       .parallelize(splits, slices(splits.size, spark))
       .flatMap { s =>
-        try {
-          readRange(s, conf.value).map { r =>
-            val base = AvroValueConverter.flatten(r, flatB.value, mode)
-            Row.fromSeq(base.toSeq :+ s.path)
-          }
-        } catch {
-          case e: Exception =>
-            failedAcc.add(s"${s.path}\t${e.toString}")
-            Seq.empty[Row]
+        lazyRows(s, conf.value, failedAcc) { r =>
+          val base = AvroValueConverter.flatten(r, flatB.value, mode)
+          Row.fromSeq(base.toSeq :+ s.path)
         }
       }
     spark.createDataFrame(rows, sparkSchemaWithPath(flat))
@@ -401,15 +674,9 @@ object AvroCdcReader {
     val rows = spark.sparkContext
       .parallelize(splits, slices(splits.size, spark))
       .flatMap { s =>
-        try {
-          readRange(s, conf.value).map { r =>
-            val base = AvroValueConverter.flattenFallback(r, flatB.value)
-            Row.fromSeq(base.toSeq :+ s.path)
-          }
-        } catch {
-          case e: Exception =>
-            failedAcc.add(s"${s.path}\t${e.toString}")
-            Seq.empty[Row]
+        lazyRows(s, conf.value, failedAcc) { r =>
+          val base = AvroValueConverter.flattenFallback(r, flatB.value)
+          Row.fromSeq(base.toSeq :+ s.path)
         }
       }
     spark.createDataFrame(rows, sparkSchemaWithPath(fallbackFlat))
