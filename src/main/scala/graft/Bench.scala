@@ -319,10 +319,11 @@ object Bench {
         val bytes = new java.io.File(in).length()
         val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
         try {
-          // 16m, not 32m: readRange buffers a split's records strictly
-          // (the atomic-failure contract), so 32 concurrent tasks on 32m
-          // snappy splits decompress to several GB at once — measured as
-          // a driver OOM at 20M rows in a 16g heap after a full suite run
+          // 16m kept for cross-round artifact comparability (r13 recorded
+          // 56 splits at 16m). The memory reason for the pin is GONE: the
+          // round-14 lazy split reader holds one block + one record per
+          // task, and the Probe100x sweep measures flat peak heap across
+          // 16m/32m/64m (the strict reader OOM'd a 16g heap at 32m).
           spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
           val splits = graft.avro.AvroCdcReader.planSplits(spark, Seq(in),
             spark.sparkContext.hadoopConfiguration).size
