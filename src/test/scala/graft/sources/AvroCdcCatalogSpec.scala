@@ -80,4 +80,61 @@ class AvroCdcCatalogSpec extends AnyFunSuite {
     assert(df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((1L, "5"), (2L, "seven")))
   }
+
+  test("two schema fingerprints INTERLEAVED in one landing directory: the " +
+    "catalog serves one merged view — type conflict to string, new column " +
+    "null-backfilled, every file read exactly once, aggregates correct") {
+    val root = Files.createTempDirectory("graft-cat3").toFile.getAbsolutePath
+    // generation A: qty long; generation B: qty STRING + new column city.
+    // Files interleave by name (a1, b1, a2, b2) — the discovery order a
+    // real landing zone produces when both writer generations are live.
+    def envelope(gen: Char) = {
+      val fields =
+        if (gen == 'A') """{"name":"id","type":"long"},{"name":"qty","type":"long"}"""
+        else
+          """{"name":"id","type":"long"},{"name":"qty","type":"string"},
+             {"name":"city","type":["null","string"]}"""
+      s"""{"type":"record","name":"e","fields":[
+        {"name":"source_metadata","type":{"type":"record","name":"sm","fields":[
+          {"name":"schema","type":"string"},{"name":"table","type":"string"},
+          {"name":"is_deleted","type":"boolean"},{"name":"change_type","type":"string"},
+          {"name":"tx_id","type":["null","long"]},{"name":"lsn","type":["null","string"]},
+          {"name":"primary_keys","type":{"type":"array","items":"string"}}]}},
+        {"name":"payload","type":["null",{"type":"record","name":"p","fields":[
+          $fields]}]}
+      ]}"""
+    }
+    def rowA(id: Long, qty: Long) = Map[String, Any](
+      "source_metadata" -> AvroFixtures.sm("t"),
+      "payload" -> Map("id" -> id, "qty" -> qty))
+    def rowB(id: Long, qty: String, city: String) = Map[String, Any](
+      "source_metadata" -> AvroFixtures.sm("t"),
+      "payload" -> Map("id" -> id, "qty" -> qty, "city" -> city))
+    AvroFixtures.writeAvro(s"$root/avro/t/a1.avro", envelope('A'),
+      Seq(rowA(1L, 5L), rowA(2L, 6L)))
+    AvroFixtures.writeAvro(s"$root/avro/t/b1.avro", envelope('B'),
+      Seq(rowB(3L, "7", "berlin")))
+    AvroFixtures.writeAvro(s"$root/avro/t/a2.avro", envelope('A'),
+      Seq(rowA(4L, 8L)))
+    AvroFixtures.writeAvro(s"$root/avro/t/b2.avro", envelope('B'),
+      Seq(rowB(5L, "9", "tokyo")))
+
+    val cat = "cdc_t3"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[AvroCdcCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+
+    val df = spark.sql(s"SELECT id, qty, city FROM $cat.t ORDER BY id")
+    assert(df.schema("qty").dataType == org.apache.spark.sql.types.StringType)
+    assert(df.schema("city").dataType == org.apache.spark.sql.types.StringType)
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    assert(rows.toSeq == Seq(
+      (1L, "5", None), (2L, "6", None), (3L, "7", Some("berlin")),
+      (4L, "8", None), (5L, "9", Some("tokyo"))),
+      s"merged view must coerce per-file and null-backfill: ${rows.toSeq}")
+    // an aggregate through SQL over the merged view
+    val agg = spark.sql(
+      s"SELECT count(*) n, count(city) c FROM $cat.t").collect()(0)
+    assert(agg.getLong(0) == 5L && agg.getLong(1) == 2L)
+  }
 }

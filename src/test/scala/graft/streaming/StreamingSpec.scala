@@ -181,31 +181,39 @@ class StreamingSpec extends AnyFunSuite {
     })
   }
 
+  /** Two writer-schema generations for the drift/generation-boundary
+    * scenarios: generation B adds a nullable `extra` payload column.
+    */
+  private def driftEnvelope(withExtra: Boolean): String = {
+    val extra =
+      if (withExtra) """,{"name":"extra","type":["null","string"]}""" else ""
+    s"""{"type":"record","name":"cdc_event","fields":[
+      {"name":"uuid","type":"string"},
+      {"name":"read_timestamp","type":{"type":"long","logicalType":"timestamp-millis"}},
+      {"name":"source_metadata","type":{"type":"record","name":"sm","fields":[
+        {"name":"schema","type":"string"},{"name":"table","type":"string"},
+        {"name":"is_deleted","type":"boolean"},{"name":"change_type","type":"string"},
+        {"name":"tx_id","type":["null","long"]},{"name":"lsn","type":["null","string"]},
+        {"name":"primary_keys","type":{"type":"array","items":"string"}}]}},
+      {"name":"payload","type":["null",{"type":"record","name":"p","fields":[
+        {"name":"id","type":"long"},
+        {"name":"name","type":["null","string"]}$extra]}]}
+    ]}"""
+  }
+
+  private def driftRow(id: Long, name: String, extra: Option[String]): Map[String, Any] =
+    Map("uuid" -> s"u$id", "read_timestamp" -> 0L,
+      "source_metadata" -> graft.avro.AvroFixtures.sm("t"),
+      "payload" -> (Map("id" -> id, "name" -> name) ++
+        extra.map("extra" -> _)))
+
   test("mid-stream schema drift: a NEW payload column arriving after " +
     "stream start is projected away (typed sink never corrupted); a " +
     "mergeSchema restart picks it up with nulls for old generations") {
     import graft.avro.AvroFixtures
-    def envelope(withExtra: Boolean): String = {
-      val extra =
-        if (withExtra) """,{"name":"extra","type":["null","string"]}""" else ""
-      s"""{"type":"record","name":"cdc_event","fields":[
-        {"name":"uuid","type":"string"},
-        {"name":"read_timestamp","type":{"type":"long","logicalType":"timestamp-millis"}},
-        {"name":"source_metadata","type":{"type":"record","name":"sm","fields":[
-          {"name":"schema","type":"string"},{"name":"table","type":"string"},
-          {"name":"is_deleted","type":"boolean"},{"name":"change_type","type":"string"},
-          {"name":"tx_id","type":["null","long"]},{"name":"lsn","type":["null","string"]},
-          {"name":"primary_keys","type":{"type":"array","items":"string"}}]}},
-        {"name":"payload","type":["null",{"type":"record","name":"p","fields":[
-          {"name":"id","type":"long"},
-          {"name":"name","type":["null","string"]}$extra]}]}
-      ]}"""
-    }
+    def envelope(withExtra: Boolean): String = driftEnvelope(withExtra)
     def row(id: Long, name: String, extra: Option[String]): Map[String, Any] =
-      Map("uuid" -> s"u$id", "read_timestamp" -> 0L,
-        "source_metadata" -> AvroFixtures.sm("t"),
-        "payload" -> (Map("id" -> id, "name" -> name) ++
-          extra.map("extra" -> _)))
+      driftRow(id, name, extra)
 
     val root = java.nio.file.Files.createTempDirectory("graft-drift")
       .toFile.getAbsolutePath
@@ -243,6 +251,76 @@ class StreamingSpec extends AnyFunSuite {
     assert(out2.select("id", "extra").collect()
       .map(r => (r.getLong(0), Option(r.getString(1)))).toSet ==
       Set((1L, None), (2L, Some("X"))))
+  }
+
+  test("generation boundary, pinned → merged: a SAME-CHECKPOINT restart " +
+    "with mergeSchema picks up the new generation's column, processes " +
+    "only the new file (exactly-once across the restart)") {
+    import graft.avro.AvroFixtures
+    val root = java.nio.file.Files.createTempDirectory("graft-gen-pm")
+      .toFile.getAbsolutePath
+    val glob = s"$root/landing/avro/*/*.avro"
+    AvroFixtures.writeAvro(s"$root/landing/avro/t/a.avro",
+      driftEnvelope(withExtra = false), Seq(driftRow(1L, "one", None)))
+
+    val q1 = graft.convert.AvroToParquetJob.runStreaming(spark, glob,
+      s"$root/out", s"$root/ckpt", ingestionDate = Some("2024-01-01"))
+    try q1.processAllAvailable() finally q1.stop()
+
+    // generation B lands while the stream is DOWN; restart reuses the
+    // checkpoint but resolves the merged schema
+    AvroFixtures.writeAvro(s"$root/landing/avro/t/b.avro",
+      driftEnvelope(withExtra = true), Seq(driftRow(2L, "two", Some("X"))))
+    val q2 = graft.convert.AvroToParquetJob.runStreaming(spark, glob,
+      s"$root/out", s"$root/ckpt", ingestionDate = Some("2024-01-01"),
+      readerOptions = Map("mergeSchema" -> "true"))
+    try q2.processAllAvailable() finally q2.stop()
+
+    val out = spark.read.option("mergeSchema", "true")
+      .parquet(s"$root/out/t")
+    val rows = out.select("id", "name", "extra").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    assert(rows.sortBy(_._1).toSeq ==
+      Seq((1L, "one", None), (2L, "two", Some("X"))),
+      s"checkpoint must skip a.avro and the restart must widen: ${rows.toSeq}")
+  }
+
+  test("generation boundary, merged → pinned: a SAME-CHECKPOINT restart " +
+    "without mergeSchema pins to the first generation and still converts " +
+    "a late old-generation file exactly once") {
+    import graft.avro.AvroFixtures
+    val root = java.nio.file.Files.createTempDirectory("graft-gen-mp")
+      .toFile.getAbsolutePath
+    val glob = s"$root/landing/avro/*/*.avro"
+    AvroFixtures.writeAvro(s"$root/landing/avro/t/a.avro",
+      driftEnvelope(withExtra = false), Seq(driftRow(1L, "one", None)))
+    AvroFixtures.writeAvro(s"$root/landing/avro/t/b.avro",
+      driftEnvelope(withExtra = true), Seq(driftRow(2L, "two", Some("X"))))
+
+    val q1 = graft.convert.AvroToParquetJob.runStreaming(spark, glob,
+      s"$root/out", s"$root/ckpt", ingestionDate = Some("2024-01-01"),
+      readerOptions = Map("mergeSchema" -> "true"))
+    try q1.processAllAvailable() finally q1.stop()
+
+    // an OLD-generation writer is still alive and lands c.avro while the
+    // stream is down; the restart drops mergeSchema (pins to the first
+    // file's generation) — the late file's known columns must convert,
+    // previously-seen files must not reprocess
+    AvroFixtures.writeAvro(s"$root/landing/avro/t/c.avro",
+      driftEnvelope(withExtra = false), Seq(driftRow(3L, "three", None)))
+    val q2 = graft.convert.AvroToParquetJob.runStreaming(spark, glob,
+      s"$root/out", s"$root/ckpt", ingestionDate = Some("2024-01-01"))
+    try q2.processAllAvailable() finally q2.stop()
+
+    val out = spark.read.option("mergeSchema", "true")
+      .parquet(s"$root/out/t")
+    val ids = out.select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L),
+      s"each file exactly once across both restarts: ${ids.toSeq}")
+    val extras = out.select("id", "extra").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    assert(extras(2L) == Some("X") && extras(1L).isEmpty && extras(3L).isEmpty,
+      s"merged-era rows keep extra, pinned-era rows read null: $extras")
   }
 
   test("flatMapGroupsWithState sessionization equals batch session_window " +
