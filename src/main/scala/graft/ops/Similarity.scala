@@ -1593,11 +1593,14 @@ object Similarity {
     * membership.
     *
     * Scale shape: candidate generation is the O(K·n) broadcast scan of
-    * [[qAnnTopk]]; everything after runs on K·10 rows (candidate
-    * lists) and K·90 rows (in-list pairs) behind eager localCheckpoints
-    * — four bounded rounds, each an equi-join + per-anchor window, the
-    * [[qSampleKcenter]] fixed-round discipline with NO driver-side
-    * state at all.
+    * [[qAnnTopk]] and the in-shortlist cosine pass runs distributed on
+    * the K·90 pair rows; the greedy itself then COLLECTS the K·10
+    * shortlist and K·90 integer similarities — both fixed-size by
+    * construction (CollectAuditSpec-pinned, the trained-model
+    * discipline) — and iterates driver-side. The previous all-DataFrame
+    * spelling scheduled ~10 bounded jobs (6 checkpoints + 4 greedy
+    * rounds) of pure fixpoint floor per invocation for ≤5 000 rows —
+    * measured 1.5 s of scheduling against ~0 s of arithmetic.
     */
   def qAnnMmr(spark: SparkSession, dir: String): DataFrame = {
     // candidate stage reads the shared scored fixture; vectors for the
@@ -1626,41 +1629,33 @@ object Similarity {
         (col("c_nrm") * col("s_nrm")), 6))
       .select(col("a_id"), col("c_id"), col("s_id"),
         expr("CAST(round(sim * 1e6) AS BIGINT)").as("sim_e6"))
-      .localCheckpoint() // Anchors×90 rows: in-shortlist similarities
-    val slim = cand.select(col("a_id"), col("b_id"), col("rel"),
-      col("rel_e6"))
-    val wSel = Window.partitionBy(col("a_id"))
-      .orderBy(col("score").desc, col("b_id").asc)
-    // NEGATIVE RESULT (do not retry): lazy persist() here instead of the
-    // eager localCheckpoint measured 1.24 → 3.3 s — the un-materialized
-    // union/anti-join/window tower compiles into one enormous final job
-    // whose stages dwarf the five small checkpoint jobs it saves
-    var selected = slim.withColumn("score", col("rel_e6") * 10L)
-      .withColumn("rank", row_number().over(wSel))
-      .filter(col("rank") === 1)
-      .select(col("a_id"), col("b_id"), col("rank"), col("rel"),
-        col("score"))
-      .localCheckpoint()
-    for (r <- 2 to 5) {
-      val maxsim = pairs
-        .join(selected.select(col("a_id"), col("b_id").as("s_id")),
-          Seq("a_id", "s_id"))
-        .groupBy(col("a_id"), col("c_id"))
-        .agg(max(col("sim_e6")).as("ms_e6"))
-      val next = slim
-        .join(selected.select(col("a_id"), col("b_id")),
-          Seq("a_id", "b_id"), "left_anti")
-        .join(maxsim.select(col("a_id"), col("c_id").as("b_id"),
-          col("ms_e6")), Seq("a_id", "b_id"))
-        .withColumn("score", col("rel_e6") * 7L - col("ms_e6") * 3L)
-        .withColumn("rank", row_number().over(wSel) + lit(r - 1))
-        .filter(col("rank") === r)
-        .select(col("a_id"), col("b_id"), col("rank"), col("rel"),
-          col("score"))
-      selected = selected.unionByName(next).localCheckpoint()
+    // fixed-size model collects: K·10 shortlist rows, K·90 integer sims
+    val shortlist = cand.select(col("a_id"), col("b_id"), col("rel"),
+      col("rel_e6")).collect()
+    val simE6 = pairs.collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+      .toMap
+    final case class C(b: Long, rel: Double, relE6: Long)
+    val picked = shortlist.groupBy(_.getLong(0)).toSeq.flatMap {
+      case (a, rs) =>
+        val cs = rs.map(r => C(r.getLong(1), r.getDouble(2), r.getLong(3)))
+        val sel = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Int, Double, Long)]
+        // round 1: pure relevance; ties toward the smaller candidate id
+        val first = cs.maxBy(c => (c.relE6 * 10L, -c.b))
+        sel += ((first.b, 1, first.rel, first.relE6 * 10L))
+        for (r <- 2 to 5) {
+          val selIds = sel.map(_._1).toSet
+          val pick = cs.filterNot(c => selIds(c.b)).map { c =>
+            val ms = selIds.iterator.map(s => simE6((a, c.b, s))).max
+            (c, c.relE6 * 7L - ms * 3L)
+          }.maxBy { case (c, s) => (s, -c.b) }
+          sel += ((pick._1.b, r, pick._1.rel, pick._2))
+        }
+        sel.map { case (b, rank, rel, score) => (a, b, rank, rel, score) }
     }
-    selected.select(col("a_id"), col("b_id"), col("rank"),
-        col("rel"), col("score").as("mmr_e7"))
+    import spark.implicits._
+    picked.toDF("a_id", "b_id", "rank", "rel", "mmr_e7")
       .orderBy(col("a_id"), col("rank"))
   }
 

@@ -45,10 +45,14 @@ class CollectAuditSpec extends AnyFunSuite {
       // EventOps: the three 1-row span/total aggregates the pre-r10 ops
       // collect, plus qStreamLateData's two 1-row heads (fixture-build
       // min; the fused per-batch ledger/watermark scalar row — each a
-      // single-row aggregate, the fixed-size-model shape)
-      "EventOps.scala" -> 5,
+      // single-row aggregate, the fixed-size-model shape), plus
+      // qEventsPagerank's |types|²-bounded edge aggregate (the walk
+      // iterates the dimension-scale model driver-side)
+      "EventOps.scala" -> 6,
       "GraphOps.scala" -> 1,
-      "Similarity.scala" -> 8,
+      // Similarity: +2 for qAnnMmr's K·10 shortlist + K·90 integer-sim
+      // collects (fixed by Anchors, the trained-model discipline)
+      "Similarity.scala" -> 10,
       "TextAnalysis.scala" -> 1)
     assert(sites("ops") == expected,
       s"collect-site drift: found ${sites("ops")}, pinned $expected — " +

@@ -884,17 +884,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"no join belongs in this plan: $p")
   }
 
-  test("q_events_pagerank: the corpus pays one user_id shuffle; iteration " +
-    "joins run over the bounded type graph") {
+  test("q_events_pagerank: the corpus pays one user_id shuffle (inside " +
+    "the shared transition fixture); the walk is a driver-side model") {
     val p = plan("q_events_pagerank")
-    // the corpus pass ran exactly once while the persisted edge
-    // aggregate materialized; the returned plan reads only checkpointed
-    // |types|-row state — no file scan, no corpus shuffle can remain
+    // the corpus pass lives in the typeTransitions fixture; the returned
+    // plan presents a |types|-row LOCAL result — no file scan, no corpus
+    // shuffle, no join machinery can remain
     assert(!p.contains("FileScan"),
-      s"final plan must touch only checkpointed dimension state: $p")
-    assert(p.contains("Scan ExistingRDD"), p)
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"), p)
+      s"final plan must present only the local model result: $p")
+    assert(p.contains("LocalTableScan") || p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Join"), s"no join belongs in this plan: $p")
   }
 
   test("q_text_winnow: the whole selection runs as one scan-side kernel — " +
