@@ -178,6 +178,47 @@ class ConverterMutationSpec extends AnyFunSuite {
       ((1L to 20L) ++ (101L to 120L) ++ (201L to 220L)).sorted)
   }
 
+  test("M10 codec-level corruption with INTACT structure (snappy CRC " +
+    "breaks, every sync/size is valid): structural validation passes, " +
+    "decode stops at the corrupt block — prefix rows stand, path failed, " +
+    "sibling untouched (the documented ignoreCorruptFiles-like semantics " +
+    "of the lazy reader's guarded emission)") {
+    val in = tmpDir("graft-mut-crc"); val out = tmpDir("graft-mut-crc-out")
+    writeRows(s"$in/avro/t/good.avro", 50)
+    val p = s"$in/avro/t/bad.avro"
+    val pad = "x" * 1024
+    AvroFixtures.writeAvro(p, AvroFixtures.BasicEnvelope,
+      (1 to 300).map(i => Map[String, Any](
+        "uuid" -> s"u$i", "read_timestamp" -> 0L,
+        "source_metadata" -> AvroFixtures.sm("t"),
+        "payload" -> Map("id" -> (1000L + i), "name" -> s"$pad-$i"))),
+      codec = Some("snappy"))
+    val (bytes, hits) = syncOffsets(p)
+    assert(hits.size >= 3, s"need a multi-block snappy container: ${hits.size}")
+    // corrupt one byte DEEP inside a middle block's compressed data —
+    // far from the block-header varints and from both bounding syncs,
+    // so the structural walk sees a perfectly healthy container and
+    // only snappy's CRC can catch it
+    val dataMid = (hits(1) + 16 + 64 + (hits(2) - hits(1) - 80) / 2)
+    bytes(dataMid) = (bytes(dataMid) ^ 0x5A).toByte
+    Files.write(Paths.get(p), bytes)
+    // the walk must PASS — this corruption is invisible to structure
+    val len = bytes.length.toLong
+    graft.avro.AvroCdcReader.validateRange(
+      graft.avro.AvroCdcReader.FileSplit(p, 0L, len, len),
+      spark.sparkContext.hadoopConfiguration)
+    val report = AvroToParquetJob.runOnce(
+      spark, s"$in/avro/*/*.avro", out, ingestionDate = Some("2024-06-01"))
+    assert(report.failed.exists(_.endsWith("bad.avro")),
+      s"CRC-corrupt file must be reported failed: $report")
+    assert(report.converted.exists(_.endsWith("good.avro")))
+    val ids = outIds(out)
+    assert(ids.take(50) == (1L to 50L), "sibling rows must all convert")
+    assert(ids.distinct == ids, "corruption must never duplicate rows")
+    assert(ids.count(_ > 1000L) < 300,
+      "the corrupt block and everything after it must not convert")
+  }
+
   test("M9 truncated container through the DSv2 scan: loud failure by " +
     "default, documented prefix-read under ignoreCorruptFiles") {
     val in = tmpDir("graft-mut-dsv2")

@@ -10,6 +10,9 @@ Modes (comma-separable, applied in order):
   vintage  - rewrite events.ts as raw int64 NANOSECONDS (the old
              generator vintage; Tables.normalizedTs must absorb it —
              applied alone, Spark-side row hashes must equal pristine)
+  skew     - replicate the single busiest user's events 19 extra times
+             under fresh event_ids (one ~20x hot key: the user-window,
+             session and stream state paths under heavy key skew)
 
 Usage: mutate_testdata.py <src_sf_dir> <dst_dir> [modes]
 """
@@ -44,6 +47,14 @@ def main() -> None:
         if "dup10" in modes and t == "events":
             q = (f"SELECT * FROM ({q}) UNION ALL SELECT * REPLACE "
                  f"((__rn + 1000000000) AS __rn) FROM ({q}) WHERE __rn % 20 = 0")
+        if "skew" in modes and t == "events":
+            hot = (f"SELECT user_id FROM ({q}) GROUP BY user_id "
+                   f"ORDER BY count(*) DESC, user_id LIMIT 1")
+            q = (f"SELECT * FROM ({q}) UNION ALL "
+                 f"SELECT e.* REPLACE ((event_id + 1000000000 * g) AS event_id, "
+                 f"(__rn + 1000000000 * g) AS __rn) "
+                 f"FROM ({q}) e, range(1, 20) r(g) "
+                 f"WHERE user_id = ({hot})")
         if "vintage" in modes and t == "events":
             q = f"SELECT * REPLACE (epoch_ns(ts)::BIGINT AS ts) FROM ({q})"
         order = "ORDER BY __rn DESC" if "reverse" in modes else "ORDER BY __rn"
