@@ -39,10 +39,13 @@ object Bench {
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     try {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
-        .foreach(f => try java.nio.file.Files.deleteIfExists(f) catch {
-          case _: java.io.IOException =>
-        })
+      val walk = java.nio.file.Files.walk(p)
+      try
+        walk.iterator().asScala.toSeq.reverseIterator
+          .foreach(f => try java.nio.file.Files.deleteIfExists(f) catch {
+            case _: java.io.IOException =>
+          })
+      finally walk.close() // the stream holds directory handles
     } catch { case _: Throwable => }
 
   // JIT-proof sink for the calibration loop below: a volatile write can't

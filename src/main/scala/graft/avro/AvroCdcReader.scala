@@ -63,6 +63,16 @@ object AvroCdcReader {
       sampleValue: String,
       error: String) extends Serializable
 
+  /** Wraps any exception thrown by the CONVERSION side of a lazy split
+    * read (see [[lazyRows]]): fails the task so the job-level caller can
+    * distinguish "valid data we failed to convert" (→ probe-and-rewrite
+    * fallback, whole-file atomicity) from read/structural failures
+    * (→ per-split isolation in `failedAcc`).
+    */
+  final case class ConversionTaskError(path: String, cause: Throwable)
+    extends RuntimeException(
+      s"graft.ConversionTaskError: hard conversion failure in $path", cause)
+
   sealed trait FileStatus { def path: String }
   final case class FileOk(path: String) extends FileStatus
   final case class FileNeedsFallback(
@@ -216,25 +226,53 @@ object AvroCdcReader {
   // readahead-buffered object stores the skips drain within the stream).
   // ------------------------------------------------------------------
 
-  private def readFully(in: java.io.InputStream, buf: Array[Byte]): Int = {
-    var off = 0
-    while (off < buf.length) {
-      val n = in.read(buf, off, buf.length - off)
-      if (n < 0) return off
-      off += n
-    }
-    off
-  }
+  /** Byte-counting reader for the structural walk: zigzag varints,
+    * exact reads and skips, all advancing one shared position counter.
+    * Error messages come from the caller (by-name) so the header parse
+    * and the block walk report their own context through ONE decoder.
+    */
+  private final class CountingReader(in: java.io.InputStream, start: Long) {
+    var pos: Long = start
 
-  private def skipFully(in: java.io.InputStream, n: Long): Boolean = {
-    var left = n
-    while (left > 0) {
-      val s = in.skip(left)
-      if (s > 0) left -= s
-      else if (in.read() >= 0) left -= 1
-      else return false
+    def vlong(eofMsg: => String, malformedMsg: => String): Long = {
+      var b = in.read()
+      if (b < 0) throw new java.io.EOFException(eofMsg)
+      var n: Long = b & 0x7f
+      var shift = 7
+      pos += 1
+      while ((b & 0x80) != 0) {
+        if (shift > 63) throw new java.io.IOException(malformedMsg)
+        b = in.read()
+        if (b < 0) throw new java.io.EOFException(eofMsg)
+        n |= (b & 0x7fL) << shift
+        shift += 7
+        pos += 1
+      }
+      (n >>> 1) ^ -(n & 1L)
     }
-    true
+
+    def readFully(buf: Array[Byte]): Int = {
+      var off = 0
+      while (off < buf.length) {
+        val n = in.read(buf, off, buf.length - off)
+        if (n < 0) { pos += off; return off }
+        off += n
+      }
+      pos += off
+      off
+    }
+
+    def skipFully(n: Long): Boolean = {
+      var left = n
+      while (left > 0) {
+        val s = in.skip(left)
+        if (s > 0) left -= s
+        else if (in.read() >= 0) left -= 1
+        else { pos += n - left; return false }
+      }
+      pos += n
+      true
+    }
   }
 
   /** Parse the container header on an open stream positioned at byte 0:
@@ -246,29 +284,13 @@ object AvroCdcReader {
       path: String): (Array[Byte], Long) = {
     raw.seek(0L)
     // never closed directly — closing falls to the caller's `raw` close
-    val in = new java.io.BufferedInputStream(raw, 1 << 16)
-    var pos = 0L
-    def vlong(): Long = {
-      var b = in.read()
-      if (b < 0) throw new java.io.EOFException(s"EOF in header: $path")
-      var n: Long = b & 0x7f
-      var shift = 7
-      pos += 1
-      while ((b & 0x80) != 0) {
-        if (shift > 63) throw new java.io.IOException(s"malformed varint: $path")
-        b = in.read()
-        if (b < 0) throw new java.io.EOFException(s"EOF in header: $path")
-        n |= (b & 0x7fL) << shift
-        shift += 7
-        pos += 1
-      }
-      (n >>> 1) ^ -(n & 1L)
-    }
+    val c = new CountingReader(new java.io.BufferedInputStream(raw, 1 << 16), 0L)
+    def vlong(): Long =
+      c.vlong(s"EOF in header: $path", s"malformed varint: $path")
     val magic = new Array[Byte](4)
-    if (readFully(in, magic) != 4 ||
+    if (c.readFully(magic) != 4 ||
       !(magic(0) == 'O' && magic(1) == 'b' && magic(2) == 'j' && magic(3) == 1))
       throw new java.io.IOException(s"not an Avro container: $path")
-    pos += 4
     // file metadata: map<string, bytes> — blocked encoding, 0-count ends
     var count = vlong()
     while (count != 0L) {
@@ -276,22 +298,19 @@ object AvroCdcReader {
       var i = 0L
       while (i < entries) {
         val kLen = vlong()
-        if (kLen < 0 || !skipFully(in, kLen))
+        if (kLen < 0 || !c.skipFully(kLen))
           throw new java.io.EOFException(s"EOF in header metadata: $path")
-        pos += kLen
         val vLen = vlong()
-        if (vLen < 0 || !skipFully(in, vLen))
+        if (vLen < 0 || !c.skipFully(vLen))
           throw new java.io.EOFException(s"EOF in header metadata: $path")
-        pos += vLen
         i += 1
       }
       count = vlong()
     }
     val marker = new Array[Byte](16)
-    if (readFully(in, marker) != 16)
+    if (c.readFully(marker) != 16)
       throw new java.io.EOFException(s"EOF in header sync marker: $path")
-    pos += 16
-    (marker, pos)
+    (marker, c.pos)
   }
 
   /** Structural validation of the data blocks owned by `[start, end)` —
@@ -321,7 +340,13 @@ object AvroCdcReader {
           var base = split.start
           var found = -1L
           var carry = Array.emptyByteArray
-          while (found < 0 && base < len) {
+          // cap the scan at the ownership boundary: a marker STARTING at
+          // or after split.end cannot make this split own a block, so
+          // scanning past end+15 is wasted I/O (matters when blocks are
+          // larger than splits — the decode path's sync() would re-scan
+          // the same region anyway)
+          val scanStop = math.min(split.end + 15L, len)
+          while (found < 0 && base < scanStop) {
             val want = math.min(chunk.length.toLong, len - base).toInt
             raw.readFully(base, chunk, 0, want)
             val hay = if (carry.isEmpty) chunk.take(want) else carry ++ chunk.take(want)
@@ -342,54 +367,32 @@ object AvroCdcReader {
       val stopAt = math.min(split.end + 16L, len)
       if (blockStart < stopAt) {
         raw.seek(blockStart)
-        val in = new java.io.BufferedInputStream(raw, 1 << 16)
-        var pos = blockStart
+        val c = new CountingReader(
+          new java.io.BufferedInputStream(raw, 1 << 16), blockStart)
         val syncBuf = new Array[Byte](16)
-        while (pos < stopAt) {
-          val before = pos
-          def vlong(): Long = {
-            var b = in.read()
-            if (b < 0) throw new java.io.EOFException(
-              s"truncated Avro container: ${split.path} ends mid-block at " +
-                s"byte $len (block started at $before)")
-            var n: Long = b & 0x7f
-            var shift = 7
-            pos += 1
-            while ((b & 0x80) != 0) {
-              if (shift > 63)
-                throw new java.io.IOException(
-                  s"corrupt Avro block header in ${split.path} at byte $before")
-              b = in.read()
-              if (b < 0) throw new java.io.EOFException(
-                s"truncated Avro container: ${split.path} ends mid-block " +
-                  s"at byte $len (block started at $before)")
-              n |= (b & 0x7fL) << shift
-              shift += 7
-              pos += 1
-            }
-            (n >>> 1) ^ -(n & 1L)
-          }
-          val nRecords = vlong()
-          val nBytes = vlong()
+        while (c.pos < stopAt) {
+          val before = c.pos
+          def eofMsg =
+            s"truncated Avro container: ${split.path} ends mid-block at " +
+              s"byte $len (block started at $before)"
+          def malformedMsg =
+            s"corrupt Avro block header in ${split.path} at byte $before"
+          val nRecords = c.vlong(eofMsg, malformedMsg)
+          val nBytes = c.vlong(eofMsg, malformedMsg)
           if (nRecords < 0 || nBytes < 0)
             throw new java.io.IOException(
-              s"corrupt Avro block header in ${split.path} at byte $before " +
-                s"(count=$nRecords size=$nBytes)")
-          if (pos + nBytes + 16 > len)
+              s"$malformedMsg (count=$nRecords size=$nBytes)")
+          if (c.pos + nBytes + 16 > len)
             throw new java.io.EOFException(
               s"truncated Avro container: ${split.path} ends mid-block at " +
                 s"byte $len (last complete block boundary $before)")
-          if (!skipFully(in, nBytes))
-            throw new java.io.EOFException(
-              s"truncated Avro container: ${split.path} ends mid-block at " +
-                s"byte $len (block started at $before)")
-          pos += nBytes
-          if (readFully(in, syncBuf) != 16 ||
+          if (!c.skipFully(nBytes))
+            throw new java.io.EOFException(eofMsg)
+          if (c.readFully(syncBuf) != 16 ||
             !java.util.Arrays.equals(syncBuf, marker))
             throw new java.io.IOException(
               s"corrupt sync marker in ${split.path} after block at byte " +
                 s"$before")
-          pos += 16
         }
       }
     } finally raw.close()
@@ -454,13 +457,22 @@ object AvroCdcReader {
     } finally it.close()
   }
 
-  /** Guarded lazy row emission for one split inside a task: structural
-    * validation up front (a failing split emits ZERO rows and lands in
-    * `failedAcc`), then record-at-a-time conversion; a decode/convert
-    * failure that slips past validation (codec-level corruption, a file
-    * swapped mid-read) stops emission at the failing record — rows
-    * already emitted stand, Spark's own `ignoreCorruptFiles` semantics —
-    * and the path is still reported failed.
+  /** Guarded lazy row emission for one split inside a task. Two error
+    * classes, two contracts:
+    *
+    *  - READ failures (structural validation, decode, codec) are caught:
+    *    the split stops emitting (rows from complete blocks already
+    *    decoded stand — the data is valid and exactly-once; Spark's own
+    *    `ignoreCorruptFiles` shape) and the path lands in `failedAcc`.
+    *  - CONVERSION failures (`f` throws — e.g. the reference's strict
+    *    int rule) PROPAGATE and fail the task: valid input data exists
+    *    past the failing record, so a partial emission would be an
+    *    incomplete conversion of available data. The job-level caller
+    *    ([[graft.convert.AvroToParquetJob.runOnce]]) catches the job
+    *    failure and falls back to probe-and-rewrite, restoring the
+    *    reference's whole-file atomic failure (zero output rows from a
+    *    file that fails conversion) at a cost bounded by the failure
+    *    rate.
     */
   private def lazyRows(
       split: FileSplit,
@@ -487,15 +499,25 @@ object AvroCdcReader {
           private var pending: Row = _
           private def fetch(): Unit = {
             if (done || pending != null) return
-            try {
-              if (it.hasNext) pending = f(it.next())
-              else done = true
-            } catch {
-              case e: Exception =>
-                failedAcc.add(s"${split.path}\t${e.toString}")
-                try it.close() catch { case _: Exception => () }
-                done = true
-            }
+            val rec: GenericRecord =
+              try {
+                if (it.hasNext) it.next()
+                else { done = true; null }
+              } catch {
+                case e: Exception =>
+                  failedAcc.add(s"${split.path}\t${e.toString}")
+                  try it.close() catch { case _: Exception => () }
+                  done = true
+                  null
+              }
+            // conversion runs OUTSIDE the read guard: a throw here fails
+            // the task (see contract above), typed so the job-level
+            // caller can classify it
+            if (rec != null) pending =
+              try f(rec)
+              catch {
+                case e: Exception => throw ConversionTaskError(split.path, e)
+              }
           }
           override def hasNext: Boolean = { fetch(); pending != null }
           override def next(): Row = {
@@ -563,7 +585,8 @@ object AvroCdcReader {
   def probe(
       spark: SparkSession,
       paths: Seq[String],
-      flat: AvroSchemaConverter.FlatSchema): Seq[FileStatus] = {
+      flat: AvroSchemaConverter.FlatSchema,
+      mode: ConvertMode = ConvertMode.ReferenceExact): Seq[FileStatus] = {
     if (paths.isEmpty) return Seq.empty
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val flatB = spark.sparkContext.broadcast(flat)
@@ -582,7 +605,7 @@ object AvroCdcReader {
           val it = new RangeRecordIterator(whole, conf.value)
           try {
             while (it.hasNext)
-              AvroValueConverter.flatten(it.next(), flatB.value, ConvertMode.ReferenceExact)
+              AvroValueConverter.flatten(it.next(), flatB.value, mode)
           } finally it.close()
           FileOk(p): FileStatus
         } catch {

@@ -126,13 +126,44 @@ object AvroToParquetJob {
         val groupPaths = sub.map(_.path)
         mode match {
           case ConvertMode.Standard =>
-            val acc = spark.sparkContext.collectionAccumulator[String]("graft.failedFiles")
-            val df = AvroCdcReader.readGroup(spark, groupPaths, flat, mode, acc)
-            write(df, outputPrefix, folder, date)
             import scala.jdk.CollectionConverters._
-            val bad = acc.value.asScala.map(_.split('\t').head).toSet
-            failed ++= bad
-            converted ++= groupPaths.filterNot(bad.contains)
+            val acc = spark.sparkContext.collectionAccumulator[String]("graft.failedFiles")
+            try {
+              // optimistic single-pass: one decode, rows stream straight
+              // to the parquet writer (the 2M-rows/s path)
+              val df = AvroCdcReader.readGroup(spark, groupPaths, flat, mode, acc)
+              write(df, outputPrefix, folder, date)
+              val bad = acc.value.asScala.map(_.split('\t').head).toSet
+              failed ++= bad
+              converted ++= groupPaths.filterNot(bad.contains)
+            } catch {
+              case e: Throwable if hasConversionCause(e) =>
+                // a HARD conversion error (reference main.py's strict
+                // casts) failed the write job — the v1 committer discards
+                // the aborted job's files, so the output holds NO rows
+                // from this group yet. Fall back to probe-and-rewrite:
+                // decode+convert each file (the reference's own
+                // double-read), isolate the failing files, and re-write
+                // only the clean ones — whole-file atomic failure
+                // restored at a cost bounded by the failure rate.
+                val statuses =
+                  AvroCdcReader.probe(spark, groupPaths, flat, mode)
+                val ok = statuses.collect { case AvroCdcReader.FileOk(p) => p }
+                val bad = statuses.collect {
+                  case AvroCdcReader.FileFailed(p, _) => p
+                  // Standard mode never routes to fallback; a
+                  // FileNeedsFallback here would mean probe-mode drift
+                  case f: AvroCdcReader.FileNeedsFallback => f.path
+                }
+                val acc2 = spark.sparkContext
+                  .collectionAccumulator[String]("graft.failedFiles")
+                if (ok.nonEmpty)
+                  write(AvroCdcReader.readGroup(spark, ok, flat, mode, acc2),
+                    outputPrefix, folder, date)
+                val bad2 = acc2.value.asScala.map(_.split('\t').head).toSet
+                failed ++= bad ++ bad2
+                converted ++= ok.filterNot(bad2.contains)
+            }
 
           case ConvertMode.ReferenceExact =>
             val statuses = AvroCdcReader.probe(spark, groupPaths, flat)
@@ -168,6 +199,26 @@ object AvroToParquetJob {
     // retried by the reference either; its DoFn failure is terminal)
     ledger.foreach(_.add(paths))
     ConvertReport(paths.size, converted, fellBack, failed, colFailures)
+  }
+
+  /** True when a failed Spark job's cause chain bottoms out in a hard
+    * conversion error (executor-side exceptions survive serialization as
+    * the same class; the message check covers re-wrapped forms).
+    */
+  private def hasConversionCause(e: Throwable): Boolean = {
+    var cur = e
+    var depth = 0
+    while (cur != null && depth < 20) {
+      cur match {
+        case _: AvroCdcReader.ConversionTaskError => return true
+        case _ if cur.getMessage != null &&
+          cur.getMessage.contains("graft.ConversionTaskError") => return true
+        case _ => ()
+      }
+      cur = cur.getCause
+      depth += 1
+    }
+    false
   }
 
   private def write(

@@ -1693,6 +1693,12 @@ object EventOps {
       .agg(sum(col("cnt")).as("w"))
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    import spark.implicits._
+    if (edges.isEmpty)
+      // empty/one-event-per-user corpus: no transitions, no walk (the
+      // DataFrame spelling returned empty too; avoids 1e12 DIV 0 below)
+      return Seq.empty[(String, Long, Long)]
+        .toDF("event_type", "rank_e12", "out_transitions")
     val out = edges.groupBy(_._1).map { case (f, es) => f -> es.map(_._3).sum }
     // parts-per-million transition probabilities — the only place raw
     // counts enter, so later products stay < 1e18 at any corpus size

@@ -1646,11 +1646,16 @@ object Similarity {
         sel += ((first.b, 1, first.rel, first.relE6 * 10L))
         for (r <- 2 to 5) {
           val selIds = sel.map(_._1).toSet
-          val pick = cs.filterNot(c => selIds(c.b)).map { c =>
-            val ms = selIds.iterator.map(s => simE6((a, c.b, s))).max
-            (c, c.relE6 * 7L - ms * 3L)
-          }.maxBy { case (c, s) => (s, -c.b) }
-          sel += ((pick._1.b, r, pick._1.rel, pick._2))
+          val remaining = cs.filterNot(c => selIds(c.b))
+          // an anchor with < 5 candidates just yields a shorter list
+          // (the DataFrame spelling's anti-join did the same)
+          if (remaining.nonEmpty) {
+            val pick = remaining.map { c =>
+              val ms = selIds.iterator.map(s => simE6((a, c.b, s))).max
+              (c, c.relE6 * 7L - ms * 3L)
+            }.maxBy { case (c, s) => (s, -c.b) }
+            sel += ((pick._1.b, r, pick._1.rel, pick._2))
+          }
         }
         sel.map { case (b, rank, rel, score) => (a, b, rank, rel, score) }
     }

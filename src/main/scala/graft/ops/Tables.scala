@@ -20,9 +20,11 @@ object Tables {
   // immutable, so reusing it is safe; the key re-stats the path on every
   // call and rebuilds the relation whenever the file content, the
   // session, or — for the vintage-sensitive events table — the
-  // nanosAsLong conf differs from the cached read. Keyed per-session via
-  // a WeakHashMap so entries for stopped sessions evict with GC instead
-  // of pinning dead SparkSessions in driver memory.
+  // nanosAsLong conf differs from the cached read. Keyed per-session;
+  // NOTE a cached DataFrame strongly references its own SparkSession, so
+  // weak keys alone can never evict (the WeakHashMap value→key pitfall)
+  // — stopped sessions are purged explicitly on access, which breaks the
+  // strong chain and lets GC reclaim both the session and its frames.
   private val frameCache =
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
@@ -30,6 +32,11 @@ object Tables {
   private def sessionCache(spark: SparkSession)
       : java.util.concurrent.ConcurrentHashMap[String, DataFrame] =
     frameCache.synchronized {
+      val it = frameCache.keySet.iterator()
+      while (it.hasNext) {
+        val s = it.next()
+        if (s != null && s.sparkContext.isStopped) it.remove()
+      }
       var m = frameCache.get(spark)
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()

@@ -219,6 +219,45 @@ class ConverterMutationSpec extends AnyFunSuite {
       "the corrupt block and everything after it must not convert")
   }
 
+  test("M11 hard CONVERSION error mid-file (strict-cast failure at row " +
+    "~150 of 300): whole-file atomic — zero rows from the bad file, the " +
+    "same-folder sibling converts exactly once via the probe-and-rewrite " +
+    "fallback") {
+    val in = tmpDir("graft-mut-conv"); val out = tmpDir("graft-mut-conv-out")
+    // tx_id declared ["null","string"] but flattened strict-long (the
+    // reference's _to_int): a non-numeric value is a HARD error
+    val schema =
+      """{"type":"record","name":"e","fields":[
+        {"name":"source_metadata","type":{"type":"record","name":"sm","fields":[
+          {"name":"schema","type":"string"},{"name":"table","type":"string"},
+          {"name":"is_deleted","type":"boolean"},{"name":"change_type","type":"string"},
+          {"name":"tx_id","type":["null","string"]},
+          {"name":"lsn","type":["null","string"]},
+          {"name":"primary_keys","type":{"type":"array","items":"string"}}]}},
+        {"name":"payload","type":["null",{"type":"record","name":"p","fields":[
+          {"name":"id","type":"long"},{"name":"name","type":["null","string"]}]}]}
+      ]}"""
+    val pad = "x" * 512
+    def row(id: Long, tx: String) = Map[String, Any](
+      "source_metadata" -> (AvroFixtures.sm("t") + ("tx_id" -> tx)),
+      "payload" -> Map("id" -> id, "name" -> s"$pad-$id"))
+    AvroFixtures.writeAvro(s"$in/avro/t/good.avro", schema,
+      (1 to 50).map(i => row(i.toLong, "7")))
+    AvroFixtures.writeAvro(s"$in/avro/t/bad.avro", schema,
+      (1 to 300).map(i => row(1000L + i,
+        if (i == 150) "not-a-number" else "7")))
+    val report = AvroToParquetJob.runOnce(
+      spark, s"$in/avro/*/*.avro", out, ConvertMode.Standard,
+      ingestionDate = Some("2024-06-01"))
+    assert(report.failed.exists(_.endsWith("bad.avro")),
+      s"hard conversion error must fail the file: $report")
+    assert(report.converted.size == 1 &&
+      report.converted.head.endsWith("good.avro"), s"$report")
+    assert(outIds(out) == (1L to 50L),
+      "conversion failure must be whole-file atomic: no prefix rows from " +
+        "the bad file, the sibling's rows exactly once")
+  }
+
   test("M9 truncated container through the DSv2 scan: loud failure by " +
     "default, documented prefix-read under ignoreCorruptFiles") {
     val in = tmpDir("graft-mut-dsv2")

@@ -50,9 +50,11 @@ def main() -> None:
         if "skew" in modes and t == "events":
             hot = (f"SELECT user_id FROM ({q}) GROUP BY user_id "
                    f"ORDER BY count(*) DESC, user_id LIMIT 1")
+            # offset base 2e9 keeps skew's __rn/event_id spaces disjoint
+            # from dup10's +1e9 copies when modes are combined
             q = (f"SELECT * FROM ({q}) UNION ALL "
-                 f"SELECT e.* REPLACE ((event_id + 1000000000 * g) AS event_id, "
-                 f"(__rn + 1000000000 * g) AS __rn) "
+                 f"SELECT e.* REPLACE ((event_id + 2000000000 * g) AS event_id, "
+                 f"(__rn + 2000000000 * g) AS __rn) "
                  f"FROM ({q}) e, range(1, 20) r(g) "
                  f"WHERE user_id = ({hot})")
         if "vintage" in modes and t == "events":
