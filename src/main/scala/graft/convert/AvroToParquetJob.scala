@@ -151,8 +151,11 @@ object AvroToParquetJob {
                 val ok = statuses.collect { case AvroCdcReader.FileOk(p) => p }
                 val bad = statuses.collect {
                   case AvroCdcReader.FileFailed(p, _) => p
-                  // Standard mode never routes to fallback; a
-                  // FileNeedsFallback here would mean probe-mode drift
+                  // Standard-mode flatten can throw the fallback-class
+                  // errors too (string in a timestamp union, complex-type
+                  // mismatch); Standard has no all-string fallback path,
+                  // so those files FAIL — the pre-lazy per-split catch
+                  // classified them identically
                   case f: AvroCdcReader.FileNeedsFallback => f.path
                 }
                 val acc2 = spark.sparkContext

@@ -258,6 +258,44 @@ class ConverterMutationSpec extends AnyFunSuite {
         "the bad file, the sibling's rows exactly once")
   }
 
+  test("M12 fallback-CLASS conversion error in Standard mode (string in " +
+    "a timestamp-derived union mid-file): Standard has no all-string " +
+    "fallback, so the file fails whole-file atomically, sibling intact") {
+    val in = tmpDir("graft-mut-fbc"); val out = tmpDir("graft-mut-fbc-out")
+    // ts declared ["null", long timestamp-micros, string]: derivation
+    // inspects only the 2nd branch → TIMESTAMP; a string datum at row
+    // 150 is a FallbackConversionError at convert time in BOTH modes
+    val schema =
+      """{"type":"record","name":"e","fields":[
+        {"name":"source_metadata","type":{"type":"record","name":"sm","fields":[
+          {"name":"schema","type":"string"},{"name":"table","type":"string"},
+          {"name":"is_deleted","type":"boolean"},{"name":"change_type","type":"string"},
+          {"name":"tx_id","type":["null","long"]},
+          {"name":"lsn","type":["null","string"]},
+          {"name":"primary_keys","type":{"type":"array","items":"string"}}]}},
+        {"name":"payload","type":["null",{"type":"record","name":"p","fields":[
+          {"name":"id","type":"long"},
+          {"name":"ts","type":["null",{"type":"long","logicalType":"timestamp-micros"},"string"]}]}]}
+      ]}"""
+    def row(id: Long, ts: Any) = Map[String, Any](
+      "source_metadata" -> AvroFixtures.sm("t"),
+      "payload" -> Map("id" -> id, "ts" -> ts))
+    AvroFixtures.writeAvro(s"$in/avro/t/good.avro", schema,
+      (1 to 50).map(i => row(i.toLong, 1000000L * i)))
+    AvroFixtures.writeAvro(s"$in/avro/t/bad.avro", schema,
+      (1 to 300).map(i => row(1000L + i,
+        if (i == 150) "not-a-timestamp" else 1000000L * i)))
+    val report = AvroToParquetJob.runOnce(
+      spark, s"$in/avro/*/*.avro", out, ConvertMode.Standard,
+      ingestionDate = Some("2024-06-01"))
+    assert(report.failed.exists(_.endsWith("bad.avro")),
+      s"fallback-class error must fail the file in Standard mode: $report")
+    assert(report.converted.size == 1 &&
+      report.converted.head.endsWith("good.avro"), s"$report")
+    assert(outIds(out) == (1L to 50L),
+      "whole-file atomic: no prefix rows from the bad file")
+  }
+
   test("M9 truncated container through the DSv2 scan: loud failure by " +
     "default, documented prefix-read under ignoreCorruptFiles") {
     val in = tmpDir("graft-mut-dsv2")
