@@ -17,6 +17,10 @@ import graft.convert.AvroToParquetJob
   *   --window_duration <30m|1h|2d>  poll interval (default 1h)
   *   --ledger_dir <dir>         processed-file ledger
   *                              (default <output_prefix>/_graft_ledger)
+  *   --ledger_shards <n>        hash-prefix shard count for the ledger
+  *                              (default 1; raise at millions of ledgered
+  *                              files — per-poll membership reads and
+  *                              compaction then touch 1/n of history)
   *   --mode <standard|exact>    conversion mode (default standard;
   *                              'exact' reproduces the reference's
   *                              all-string fallback quirks)
@@ -83,13 +87,15 @@ object Convert {
       println(s"""{"discovered":${r.discovered},"converted":${r.converted.size},""" +
         s""""fallback":${r.fallback.size},"failed":${r.failed.size}}""")
 
+    val ledgerShards = opts.get("ledger_shards").map(_.toInt).getOrElse(1)
     try {
       if (opts.contains("once")) {
-        report(AvroToParquetJob.runOnce(spark, input, output, mode, Some(ledger)))
+        report(AvroToParquetJob.runOnce(spark, input, output, mode, Some(ledger),
+          ledgerShards = ledgerShards))
       } else {
         val maxIter = opts.get("max_iterations").map(_.toInt).getOrElse(Int.MaxValue)
         AvroToParquetJob.runContinuous(spark, input, output, ledger, interval,
-          mode, maxIter).foreach(report)
+          mode, maxIter, ledgerShards = ledgerShards).foreach(report)
       }
     } finally spark.stop()
   }

@@ -408,16 +408,31 @@ object AvroCdcReader {
   private[graft] final class RangeRecordIterator(
       split: FileSplit, conf: Configuration)
       extends Iterator[GenericRecord] with java.io.Closeable {
-    private val reader = new org.apache.avro.file.DataFileReader[GenericRecord](
-      new org.apache.avro.mapred.FsInput(new Path(split.path), conf),
-      new GenericDatumReader[GenericRecord]())
-    reader.sync(split.start)
+    private val reader = {
+      val in = new org.apache.avro.mapred.FsInput(new Path(split.path), conf)
+      try new org.apache.avro.file.DataFileReader[GenericRecord](
+        in, new GenericDatumReader[GenericRecord]())
+      catch {
+        case e: Throwable =>
+          try in.close() catch { case _: Exception => () }
+          throw e
+      }
+    }
     // the exit condition must be CAPTURED, not re-queried: after
     // avro-java swallows the EOF of a cut-short block, a repeated
     // hasNext() call re-attempts the block load on a garbage stream
     // position and can flip back to true (measured), which would blind
-    // the truncation guard below
-    private var more = reader.hasNext
+    // the truncation guard below. Constructor-time sync/first-hasNext can
+    // throw (file replaced or corrupted between validateRange and open);
+    // the caller never receives an instance to close, so the handle must
+    // be closed HERE before the throw propagates.
+    private var more =
+      try { reader.sync(split.start); reader.hasNext }
+      catch {
+        case e: Throwable =>
+          try reader.close() catch { case _: Exception => () }
+          throw e
+      }
     private var closed = false
 
     override def hasNext: Boolean = {
@@ -650,17 +665,28 @@ object AvroCdcReader {
     StructType(relaxed.fields :+ StructField(InputPathCol, StringType, nullable = false))
   }
 
-  /** Typed read of one schema group. Per-file hard failures are isolated:
-    * the file contributes no rows and its path lands in `failedAcc`.
-    */
   /** Typed conversion of one schema group, parallelized over BYTE-RANGE
     * splits (not just files): a handful of multi-GB containers fans out
-    * across the cluster instead of pinning one core per file. A file at
-    * or below the split size keeps the whole-file atomic failure
-    * semantics (all rows or none + a failedAcc entry); a SPLIT file that
-    * corrupts mid-block drops the corrupt range's rows only — the path is
-    * still reported failed, and header-level corruption is caught one
-    * stage earlier by [[schemaFingerprints]] regardless.
+    * across the cluster instead of pinning one core per file.
+    *
+    * READ-failure contract — GUARDED EMISSION, not whole-file atomicity
+    * (pinned by mutation scenario M10): rows from Avro blocks decoded
+    * before a mid-range codec/decode failure STAND — whether the range is
+    * one split of a large container or the whole of a small file — the
+    * failure stops further emission from that range and the path lands in
+    * `failedAcc`. The emitted prefix is valid, exactly-decoded data
+    * (Spark's own `ignoreCorruptFiles` shape); header-level corruption is
+    * caught a stage earlier by [[schemaFingerprints]] and contributes
+    * zero rows. CONSEQUENCE for callers: a path reported in
+    * `ConvertReport.failed` MAY already have prefix rows in the written
+    * output. Re-ingesting a repaired copy of such a file duplicates those
+    * rows unless the re-ingest dedups on a row identity — this is the one
+    * deliberate divergence from the reference's per-file DoFn, which
+    * buffers the whole file and emits nothing on failure (that shape is
+    * exactly the memory coupling the lazy reader exists to remove).
+    * CONVERSION failures keep whole-file atomicity via the job-level
+    * probe-and-rewrite (see [[lazyRows]] and
+    * [[graft.convert.AvroToParquetJob.runOnce]]).
     */
   def readGroup(
       spark: SparkSession,

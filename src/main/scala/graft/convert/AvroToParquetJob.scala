@@ -74,12 +74,17 @@ object AvroToParquetJob {
       mode: ConvertMode = ConvertMode.Standard,
       ledgerDir: Option[String] = None,
       ingestionDate: Option[String] = None,
-      audit: Option[String => Unit] = None): ConvertReport = {
+      audit: Option[String => Unit] = None,
+      ledgerShards: Int = 1): ConvertReport = {
 
-    val ledger = ledgerDir.map(d => new FileLedger(d, spark.sparkContext.hadoopConfiguration))
+    val ledger = ledgerDir.map(d =>
+      new FileLedger(d, spark.sparkContext.hadoopConfiguration, ledgerShards))
     val all = discover(spark, inputPattern)
-    val seen = ledger.map(_.seen()).getOrElse(Set.empty)
-    val paths = all.filterNot(seen.contains)
+    // shard-filtered membership: only the shards this poll's discovery
+    // touches are read, one at a time — at millions of ledgered files the
+    // per-poll driver load is candidates + ONE shard's seen-set, not the
+    // full history Set (FileLedger.filterUnseen)
+    val paths = ledger.map(_.filterUnseen(all)).getOrElse(all)
     if (paths.isEmpty) return ConvertReport(0, Nil, Nil, Nil)
 
     val date = ingestionDate.getOrElse(LocalDate.now(ZoneOffset.UTC).toString)
@@ -204,19 +209,49 @@ object AvroToParquetJob {
     ConvertReport(paths.size, converted, fellBack, failed, colFailures)
   }
 
-  /** True when a failed Spark job's cause chain bottoms out in a hard
-    * conversion error (executor-side exceptions survive serialization as
-    * the same class; the message check covers re-wrapped forms).
+  /** The `toString` prefix a re-wrapped [[AvroCdcReader.ConversionTaskError]]
+    * leaves inside a driver-side wrapper's message (class name + the
+    * message prefix our constructor builds): the full marker, not the bare
+    * "graft.ConversionTaskError" tag, so a wrapper that merely QUOTES a
+    * prior error line (e.g. a log echo) cannot reroute a read failure into
+    * the probe-and-rewrite double-read.
     */
-  private def hasConversionCause(e: Throwable): Boolean = {
+  private val ConversionErrorMarker: String =
+    classOf[AvroCdcReader.ConversionTaskError].getName +
+      ": graft.ConversionTaskError: hard conversion failure in "
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** True when a failed Spark job's cause chain bottoms out in a hard
+    * conversion error. Executor-side exceptions survive serialization as
+    * the same class (typed match); the marker check covers re-wrapped
+    * forms where the driver only sees the remote exception's toString —
+    * it must sit at a frame boundary (string start, or after whitespace /
+    * ": " the way Throwable.toString chains render), and a hit on this
+    * weaker branch is logged so a misrouted double-read is visible.
+    */
+  private[convert] def hasConversionCause(e: Throwable): Boolean = {
     var cur = e
     var depth = 0
     while (cur != null && depth < 20) {
       cur match {
         case _: AvroCdcReader.ConversionTaskError => return true
-        case _ if cur.getMessage != null &&
-          cur.getMessage.contains("graft.ConversionTaskError") => return true
-        case _ => ()
+        case _ =>
+          val msg = cur.getMessage
+          if (msg != null) {
+            val i = msg.indexOf(ConversionErrorMarker)
+            val atFrameStart = i == 0 || (i > 0 && {
+              val c = msg.charAt(i - 1)
+              c == ' ' || c == '\n' || c == '\t'
+            })
+            if (atFrameStart) {
+              log.warn(
+                "hasConversionCause matched by message marker, not exception " +
+                  s"class (wrapper: ${cur.getClass.getName}); routing to " +
+                  "probe-and-rewrite")
+              return true
+            }
+          }
       }
       cur = cur.getCause
       depth += 1
@@ -245,9 +280,12 @@ object AvroToParquetJob {
     * per poll — at millions of landing-zone files, split the deployment by
     * prefix (one `runContinuous` per source-folder glob, each with its own
     * ledger dir), which bounds BOTH the listing and the ledger per worker;
-    * [[FileLedger]]'s `shards` parameter additionally caps per-worker seen-
-    * set memory and compaction cost. The [[runStreaming]] path scales
-    * further still (incremental checkpoint log, no full listing diff).
+    * `ledgerShards` additionally caps per-POLL driver memory: membership
+    * runs through [[FileLedger.filterUnseen]], which reads only the shards
+    * this poll's candidates touch, ONE at a time, so the full seen-history
+    * Set is never resident (and compaction rewrites 1/n of history). The
+    * [[runStreaming]] path scales further still (incremental checkpoint
+    * log, no full listing diff).
     */
   def runContinuous(
       spark: SparkSession,
@@ -257,12 +295,15 @@ object AvroToParquetJob {
       intervalSeconds: Int,
       mode: ConvertMode = ConvertMode.Standard,
       maxIterations: Int = Int.MaxValue,
-      shouldStop: () => Boolean = () => false): Seq[ConvertReport] = {
+      shouldStop: () => Boolean = () => false,
+      ledgerShards: Int = 1): Seq[ConvertReport] = {
     var reports = Vector.empty[ConvertReport]
-    val ledger = new FileLedger(ledgerDir, spark.sparkContext.hadoopConfiguration)
+    val ledger = new FileLedger(
+      ledgerDir, spark.sparkContext.hadoopConfiguration, ledgerShards)
     var i = 0
     while (i < maxIterations && !shouldStop()) {
-      reports :+= runOnce(spark, inputPattern, outputPrefix, mode, Some(ledgerDir))
+      reports :+= runOnce(spark, inputPattern, outputPrefix, mode,
+        Some(ledgerDir), ledgerShards = ledgerShards)
       // fold accumulated per-poll batch files back into one past 64: a
       // year of 30s polls is ~1M ledger files otherwise (see FileLedger)
       ledger.compact()

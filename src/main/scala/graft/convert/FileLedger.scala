@@ -77,6 +77,30 @@ final class FileLedger(dir: String, conf: Configuration, shards: Int = 1) {
   def seen(): Set[String] =
     (0 until shards).iterator.map(seenShard).foldLeft(Set.empty[String])(_ ++ _)
 
+  /** Membership filter that exploits the shard layout: loads ONLY the
+    * shards this poll's candidate paths route to, one shard at a time, so
+    * peak driver memory is a single shard's seen-set (1/N of history) plus
+    * the candidates — never the full ledger — and shards no candidate
+    * touches are never opened. With `shards = 1` this degenerates to one
+    * full load, i.e. exactly the old `seen()` read. Order-preserving.
+    *
+    * `onShardLoad` fires once per shard actually read (test/metrics hook:
+    * LedgerShardSpec asserts untouched shards stay unread).
+    */
+  def filterUnseen(
+      paths: Seq[String],
+      onShardLoad: Int => Unit = _ => ()): Seq[String] = {
+    if (paths.isEmpty) return paths
+    // kept holds only this poll's UNSEEN candidates (small); each shard's
+    // seen-set is dropped before the next shard loads
+    val kept = paths.groupBy(shardOf).iterator.flatMap { case (i, ps) =>
+      onShardLoad(i)
+      val s = seenShard(i)
+      ps.iterator.filterNot(s.contains)
+    }.toSet
+    paths.filter(kept.contains)
+  }
+
   def add(paths: Seq[String]): Unit = {
     if (paths.isEmpty) return
     paths.groupBy(shardOf).foreach { case (i, shardPaths) =>

@@ -464,4 +464,96 @@ class AvroToParquetJobSpec extends AnyFunSuite {
       assert(idsUnder("orders") == Set(10L))
     } finally q2.stop()
   }
+
+  test("filterUnseen loads ONLY the shards this poll's candidates touch " +
+    "(per-poll driver memory = one shard, not the full history)") {
+    val dir = tmpDir("graft-ledger-filter")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val shards = 8
+    val ledger = new FileLedger(dir, conf, shards)
+    val history = (1 to 200).map(i => s"/data/old$i.avro")
+    ledger.add(history)
+
+    // candidates: a seen path + two unseen ones, chosen to span few shards
+    val seenOne = history.head
+    val fresh = Seq("/data/new1.avro", "/data/new2.avro")
+    val candidates = Seq(fresh.head, seenOne, fresh(1))
+    val touched = candidates.map(ledger.shardOf).toSet
+
+    val loaded = scala.collection.mutable.ArrayBuffer[Int]()
+    val unseen = ledger.filterUnseen(candidates, loaded += _)
+    assert(unseen == fresh.head +: fresh.drop(1),
+      "seen path filtered out, caller order preserved")
+    assert(loaded.toSet == touched,
+      s"must read exactly the touched shards, got $loaded vs $touched")
+    assert(loaded.size == touched.size, "each touched shard read once")
+    assert(touched.size < shards,
+      "fixture sanity: candidates must not touch every shard")
+
+    // empty candidates: zero shard reads
+    val loads2 = scala.collection.mutable.ArrayBuffer[Int]()
+    assert(ledger.filterUnseen(Nil, loads2 += _).isEmpty && loads2.isEmpty)
+
+    // shards=1 degenerates to the flat full read
+    val flat = new FileLedger(tmpDir("graft-ledger-flat"), conf)
+    flat.add(Seq("/d/a.avro"))
+    assert(flat.filterUnseen(Seq("/d/a.avro", "/d/b.avro")) == Seq("/d/b.avro"))
+  }
+
+  test("runOnce with a sharded ledger: dedup across polls holds, only new " +
+    "files convert (the millions-of-ledgered-files driver-memory posture)") {
+    val in = tmpDir("graft-in-shardledger")
+    val out = tmpDir("graft-out-shardledger")
+    val ledger = tmpDir("graft-ledger-sharded")
+    AvroFixtures.writeAvro(s"$in/avro/a/one.avro", AvroFixtures.BasicEnvelope, Seq(
+      Map("uuid" -> "u1", "read_timestamp" -> 0L,
+        "source_metadata" -> AvroFixtures.sm("a"),
+        "payload" -> Map("id" -> 1L, "name" -> "n1"))))
+    val rep1 = AvroToParquetJob.runOnce(spark, s"$in/avro/*/*.avro", out,
+      ConvertMode.Standard, Some(ledger), ingestionDate = Some("2024-06-01"),
+      ledgerShards = 4)
+    assert(rep1.discovered == 1 && rep1.converted.size == 1)
+    // second poll: membership via shard-filtered loads, nothing new
+    val rep2 = AvroToParquetJob.runOnce(spark, s"$in/avro/*/*.avro", out,
+      ConvertMode.Standard, Some(ledger), ingestionDate = Some("2024-06-01"),
+      ledgerShards = 4)
+    assert(rep2.discovered == 0)
+    // a new file converts alone; the ledger laid out shard dirs
+    AvroFixtures.writeAvro(s"$in/avro/a/two.avro", AvroFixtures.BasicEnvelope, Seq(
+      Map("uuid" -> "u2", "read_timestamp" -> 0L,
+        "source_metadata" -> AvroFixtures.sm("a"),
+        "payload" -> Map("id" -> 2L, "name" -> "n2"))))
+    val rep3 = AvroToParquetJob.runOnce(spark, s"$in/avro/*/*.avro", out,
+      ConvertMode.Standard, Some(ledger), ingestionDate = Some("2024-06-01"),
+      ledgerShards = 4)
+    assert(rep3.discovered == 1 && rep3.converted.head.endsWith("two.avro"))
+    assert(new File(ledger).listFiles().exists(f =>
+      f.isDirectory && f.getName.startsWith("shard-")))
+    val ids = spark.read.parquet(s"$out/a").collect()
+      .map(_.getAs[Long]("id")).toSet
+    assert(ids == Set(1L, 2L), "no duplicate conversion across sharded polls")
+  }
+
+  test("hasConversionCause: typed cause and full re-wrapped marker route " +
+    "to probe-and-rewrite; a message merely quoting the tag does NOT") {
+    val typed = new RuntimeException("outer",
+      graft.avro.AvroCdcReader.ConversionTaskError("/p/f.avro",
+        new IllegalArgumentException("bad int")))
+    assert(AvroToParquetJob.hasConversionCause(typed))
+
+    // driver-only re-wrap: remote toString at a frame boundary
+    val marker = classOf[graft.avro.AvroCdcReader.ConversionTaskError].getName +
+      ": graft.ConversionTaskError: hard conversion failure in /p/f.avro"
+    assert(AvroToParquetJob.hasConversionCause(
+      new RuntimeException(s"Job aborted: Lost task 0.0: $marker\n\tat x")))
+    assert(AvroToParquetJob.hasConversionCause(new RuntimeException(marker)))
+
+    // the round-14 false-positive class: a wrapper quoting the bare tag
+    assert(!AvroToParquetJob.hasConversionCause(new RuntimeException(
+      "upstream log mentioned graft.ConversionTaskError while reading")))
+    assert(!AvroToParquetJob.hasConversionCause(new RuntimeException(
+      "prefix(" + marker + ")"))  , "marker mid-token is not a frame start")
+    assert(!AvroToParquetJob.hasConversionCause(
+      new RuntimeException("plain read failure")))
+  }
 }
