@@ -1,5 +1,7 @@
 package graft.ops
 
+import Checkpoints._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -106,7 +108,7 @@ object Dedup {
     */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     SessionFixtures.cachedFrame("shingled_corpus", spark, dir)(
-      shingleFrame(Tables.documents(spark, dir)).localCheckpoint())
+      shingleFrame(Tables.documents(spark, dir)).stageCheckpoint())
 
   /** The 64-bit shingle-id form of the corpus (doc_id, hs: array<long> —
     * [[graft.functions.TextFeatures.wordShingleHashesCol]], sorted
@@ -123,7 +125,7 @@ object Dedup {
         .select(col("doc_id"),
           graft.functions.TextFeatures.wordShingleHashesCol(col("text"), 3)
             .as("hs"))
-        .localCheckpoint())
+        .stageCheckpoint())
 
   /** MinHash signatures (doc_id, sig: array<long>, [[K]] entries) over
     * [[shingled]] — one narrow kernel pass, checkpointed once per
@@ -138,7 +140,7 @@ object Dedup {
       shingled(spark, dir).select(col("doc_id"),
         graft.functions.Sketches.minhashSig(col("sh"),
           hashCoeffs.map(_._1), hashCoeffs.map(_._2)).as("sig"))
-        .localCheckpoint())
+        .stageCheckpoint())
 
   private def shingleFrame(docs: DataFrame): DataFrame =
     docs
@@ -197,7 +199,7 @@ object Dedup {
     */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     SessionFixtures.cachedFrame("minhash_pairs", spark, dir)(
-      minhashPairsCompute(spark, dir).localCheckpoint())
+      minhashPairsCompute(spark, dir).stageCheckpoint())
 
   private def minhashPairsCompute(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingled(spark, dir)
@@ -457,7 +459,7 @@ object Dedup {
 
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint() // truncate lineage before the iterative joins
+      .stageCheckpoint() // truncate lineage before the iterative joins
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 20) {
@@ -474,7 +476,7 @@ object Dedup {
         .union(prop)
         .groupBy(col("id"))
         .agg(min(col("label")).as("label"), min(col("old")).as("old"))
-        .localCheckpoint()
+        .stageCheckpoint()
       changed = next.filter(col("label") =!= col("old")).count()
       // next is materialized (count above): the previous round's
       // checkpoint blocks are dead — release rather than accumulate
@@ -714,7 +716,7 @@ object Dedup {
       (r.getLong(0), r.getLong(1))
     }
 
-    var edges = pairs.toDF("u", "v").localCheckpoint()
+    var edges = pairs.toDF("u", "v").stageCheckpoint()
     var sig = signature(edges)
     // Round bound: star contraction halves component diameter per round, so
     // ceil(log2(nodes)) + slack rounds always suffice. Nodes ≤ 2 × edges,
@@ -729,7 +731,7 @@ object Dedup {
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges)).stageCheckpoint()
       val nextSig = signature(next)
       converged = nextSig == sig
       // next is checkpointed, so the previous round's blocks are dead the
@@ -1216,7 +1218,7 @@ object Dedup {
     val toks = hashedShingles(spark, dir)
       .select(col("doc_id"), size(col("hs")).as("sz"),
         explode(col("hs")).as("s"))
-      .localCheckpoint()
+      .stageCheckpoint()
     val df = toks.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // the tokenized corpus in canonical rarest-first order — materialized
     // once (linear, doc-sized rows); consumed by the prefix explode and
@@ -1239,7 +1241,7 @@ object Dedup {
           array_sort(collect_list(struct(col("df"), col("s")))),
           x => x.getField("s")).as("toks"),
         array_sort(collect_list(col("s"))).as("tsrt"))
-      .localCheckpoint()
+      .stageCheckpoint()
     // slim prefix rows: (doc, size, 1-based prefix position, token id) —
     // no arrays, no strings cross this shuffle
     val pre = ordered.select(col("doc_id"), col("sz"),

@@ -1,5 +1,7 @@
 package graft.ops
 
+import Checkpoints._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -113,7 +115,7 @@ object EventOps {
           unix_micros(col("w.start")).as("session_start"),
           unix_micros(col("w.end")).as("session_end"), col("n"),
           col("total"))
-        .localCheckpoint())
+        .stageCheckpoint())
 
   def qEventsSession(spark: SparkSession, dir: String): DataFrame =
     userSessions(spark, dir)
@@ -336,12 +338,12 @@ object EventOps {
       .filter(col("v").isNotNull && col("p").isNotNull && col("p") >= col("v"))
       .select(expr("(p - v) DIV 60000000").as("m"))
     val cells = lat.groupBy(col("m")).agg(count(lit(1)).as("nv"))
-      .localCheckpoint() // bounded minute domain
+      .stageCheckpoint() // bounded minute domain
     val viewed = firsts.agg(sum(col("v").isNotNull.cast("long")).as("nw"))
     val w = Window.orderBy(col("m"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = cells.withColumn("cum", sum(col("nv")).over(w))
-      .localCheckpoint()
+      .stageCheckpoint()
     val tot = cum.agg(max(col("cum")).as("n"))
     def q(p: Int): Column =
       min(when(col("cum") * 100 >= col("n") * p, col("m"))).as(s"p${p}_min")
@@ -1510,7 +1512,7 @@ object EventOps {
   def qEventsActiveUsers(spark: SparkSession, dir: String): DataFrame = {
     val du = Tables.events(spark, dir)
       .select(to_date(col("ts")).as("dte"), col("user_id")).distinct()
-      .localCheckpoint() // shared by the three rolling windows
+      .stageCheckpoint() // shared by the three rolling windows
     val days = du.select(col("dte").as("d")).distinct()
     def rolling(win: Int, name: String): DataFrame =
       broadcast(days)
@@ -1624,7 +1626,7 @@ object EventOps {
         .groupBy(col("event_type").as("from_type"), col("to_type"),
           col("user_id"))
         .agg(count(lit(1)).as("cnt"))
-        .localCheckpoint()
+        .stageCheckpoint()
     }
 
   /** Behavioral path analysis: the most common event-type transitions
@@ -1642,11 +1644,14 @@ object EventOps {
     */
   def qEventsPaths(spark: SparkSession, dir: String): DataFrame =
     // fixture rows are unique per (from, to, user), so the distinct-user
-    // support is a plain row count per pair
+    // support is a count of NON-NULL user_id rows per pair: count(col)
+    // skips the one NULL-user fixture row a nullable user_id would form,
+    // exactly as the oracle's count(DISTINCT user_id) excludes NULLs —
+    // count(lit(1)) here would silently count that row as one "user"
     typeTransitions(spark, dir)
       .groupBy(col("from_type"), col("to_type"))
       .agg(sum(col("cnt")).as("n_transitions"),
-        count(lit(1)).as("n_users"))
+        count(col("user_id")).as("n_users"))
       .orderBy(col("n_transitions").desc, col("from_type"), col("to_type"))
       .limit(15)
 
@@ -2764,12 +2769,12 @@ object EventOps {
     val hourNet = cells.groupBy(col("hr"))
       .agg(sum(col("a") - col("d")).as("net"), sum(col("a")).as("starts"),
         sum(col("d")).as("ends"))
-      .localCheckpoint() // hour-bounded table feeds the global opener sum
+      .stageCheckpoint() // hour-bounded table feeds the global opener sum
     val wHours = Window.orderBy(col("hr"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val opens = hourNet
       .withColumn("open", sum(col("net")).over(wHours) - col("net"))
-      .localCheckpoint()
+      .stageCheckpoint()
     val wIn = Window.partitionBy(col("hr")).orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val peaks = cells
@@ -2835,7 +2840,7 @@ object EventOps {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
         sum(col("c") * col("c")).as("q"))
-      .localCheckpoint() // 5 rows: the whole test table
+      .stageCheckpoint() // 5 rows: the whole test table
     val tot = m.agg(sum(col("n")).as("tn"), sum(col("s")).as("ts"),
       sum(col("q")).as("tq"))
     def vexpr(n: String, s: String, q: String): String =
@@ -2854,14 +2859,14 @@ object EventOps {
         sqrt(col("v") / col("n").cast("double") +
           col("vc") / col("nc").cast("double")))
       .withColumn("az", abs(col("z")))
-      .localCheckpoint()
+      .stageCheckpoint()
     val ranked = z
       .withColumn("rank", row_number()
         .over(Window.orderBy(col("az").desc, col("event_type"))))
       .withColumn("thr",
         element_at(array(thr.map(lit): _*), col("rank")))
       .withColumn("pass", col("az") >= col("thr"))
-      .localCheckpoint()
+      .stageCheckpoint()
     val k = ranked.agg(max(when(col("pass"), col("rank"))
       .otherwise(lit(0))).as("k"))
     ranked.crossJoin(broadcast(k))
@@ -2923,14 +2928,14 @@ object EventOps {
       .filter(col("event_type") === "purchase")
       .select(expr("CAST(round(value * 100) AS BIGINT)").as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("nv"))
-      .localCheckpoint() // bounded value domain (2-dp cents)
+      .stageCheckpoint() // bounded value domain (2-dp cents)
     val tot = cells.agg(sum(col("nv")).as("n"),
       sum(col("v") * col("nv")).cast(dec).as("sv"))
     val w = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val scored = cells
       .withColumn("cum", sum(col("nv")).over(w))
-      .localCheckpoint()
+      .stageCheckpoint()
     scored.crossJoin(broadcast(tot))
       .withColumn("contrib", col("v").cast(dec) * col("nv").cast(dec) *
         (lit(2L).cast(dec) * (col("cum") - col("nv")).cast(dec) +
@@ -3594,7 +3599,7 @@ object EventOps {
       .groupBy(col("bin"))
       .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("n1"),
         sum(when(!col("isa"), 1L).otherwise(0L)).as("n2"))
-      .localCheckpoint() // ~100 rows, feeds totals + CDF + argmax
+      .stageCheckpoint() // ~100 rows, feeds totals + CDF + argmax
     val tot = cell.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
     val w = Window.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -3605,7 +3610,7 @@ object EventOps {
       .withColumn("dnum",
         abs(col("c1").cast(dec) * col("t2").cast(dec) -
           col("c2").cast(dec) * col("t1").cast(dec)))
-      .localCheckpoint()
+      .stageCheckpoint()
     val mx = scored.agg(max(col("dnum")).as("mx"))
     scored.crossJoin(broadcast(mx))
       .agg(max(col("t1")).as("n1"), max(col("t2")).as("n2"),
@@ -3660,7 +3665,7 @@ object EventOps {
       .select(col("user_id"), to_date(col("ts")).as("d"),
         col("event_type"), col("value"))
     val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
-      .localCheckpoint() // reused by the cohort-size and revenue branches
+      .stageCheckpoint() // reused by the cohort-size and revenue branches
     val cohortN = first.groupBy(col("d0")).agg(
       count(lit(1)).as("n_users"))
     val cells = ev.filter(col("event_type") === "purchase")
@@ -3722,7 +3727,7 @@ object EventOps {
       .filter(col("event_type") === "purchase")
       .groupBy(to_date(col("ts")).as("dte"))
       .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
-      .localCheckpoint() // calendar-bounded; feeds both branches
+      .stageCheckpoint() // calendar-bounded; feeds both branches
     val dow = daily
       .groupBy((weekday(col("dte")) + 1).as("dow"))
       .agg(sum(col("cents")).as("sc"), count(lit(1)).as("nd"))

@@ -1,5 +1,7 @@
 package graft.ops
 
+import Checkpoints._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -47,7 +49,7 @@ object GraphOps {
           .where(col("pa") < col("pb"))
           .select(col("pa"), col("pb"))
           .distinct()
-          .localCheckpoint()
+          .stageCheckpoint()
         edgeSlot = (k, e)
         SessionFixtures.pin("graph_copurchase_edges", e)
         e
@@ -108,7 +110,7 @@ object GraphOps {
           .as("edge"))
       .select(col("edge.src").as("src"), col("edge.dst").as("dst"),
         col("edge.rank").as("rank"))
-      .localCheckpoint()
+      .stageCheckpoint()
     // wedges at the orientation-minimal vertex; the closing edge between
     // the two out-neighbors is oriented rank-smaller → rank-larger, so a
     // single equi-join on (v, w) closes the triangle
@@ -210,7 +212,7 @@ object GraphOps {
   private def lpaLabelsBuild(spark: SparkSession, dir: String): DataFrame = {
     val e = coPurchaseEdges(spark, dir)
     val nbrs = e.union(e.select(col("pb"), col("pa"))).toDF("u", "v")
-      .localCheckpoint()
+      .stageCheckpoint()
     // argmax (count desc, label asc) as max(struct(c, -lbl)) — a second
     // COMBINE-FED aggregate instead of a row_number window: no per-node
     // sort, map-side partials on both exchanges (labels are nonnegative
@@ -222,9 +224,9 @@ object GraphOps {
       .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))
       .select(col("u").as("n"), (-col("m.neg")).as("lbl"))
     var labels = nbrs.select(col("u").as("n")).distinct()
-      .select(col("n"), col("n").as("lbl")).localCheckpoint()
+      .select(col("n"), col("n").as("lbl")).stageCheckpoint()
     for (_ <- 1 to LabelPropRounds) {
-      val next = round(labels).localCheckpoint()
+      val next = round(labels).stageCheckpoint()
       Dedup.releaseCheckpoint(labels)
       labels = next
     }
@@ -381,12 +383,12 @@ object GraphOps {
       .select(col("n"))
 
     var alive = deg0.filter(col("deg0") >= CoreK)
-      .select(col("n")).localCheckpoint()
+      .select(col("n")).stageCheckpoint()
     var aliveCount = alive.count()
     var rounds = 0 // counted in SINGLE peels, to match the oracle's unroll
     var converged = false
     while (!converged && rounds < CorePeelRounds) {
-      val next = peel(alive).localCheckpoint()
+      val next = peel(alive).stageCheckpoint()
       val nextCount = next.count()
       converged = nextCount == aliveCount
       Dedup.releaseCheckpoint(alive)
@@ -467,7 +469,7 @@ object GraphOps {
       .join(broadcast(small), "p")
       .select(col("o"), col("p"))
       .distinct()
-      .localCheckpoint()
+      .stageCheckpoint()
     val n = li.agg(countDistinct(col("o")).as("n"))
     val cnt = li.groupBy(col("p")).agg(count(lit(1)).as("c"))
     val pairs = li.toDF("o", "pa")
@@ -649,7 +651,7 @@ object GraphOps {
         .join(dist.select(col("node")), Seq("node"), "left_anti")
         .groupBy(col("node"))
         .agg(min(lit(round.toLong)).as("dist"))
-        .localCheckpoint()
+        .stageCheckpoint()
       // dist stays a flat union of checkpointed level tables — no
       // re-checkpoint needed, lineage depth is the constant round count
       dist = dist.unionByName(discovered)

@@ -1,5 +1,7 @@
 package graft.ops
 
+import Checkpoints._
+
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -373,7 +375,7 @@ object Multimodal {
     val clips = SessionFixtures.cachedFrame("mp4_frame_clips", spark, dir)(
       withMp4FramesPayload(Tables.documents(spark, dir))
         .select(col("doc_id"), col("payload"))
-        .localCheckpoint())
+        .stageCheckpoint())
     clips
       .withColumn("sizes", mp4StszSizes(col("payload")))
       .withColumn("mo", mp4MdatOffset(col("payload")))

@@ -1,5 +1,7 @@
 package graft.ops
 
+import Checkpoints._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -923,7 +925,7 @@ object Relational {
   private def nameDict(spark: SparkSession, dir: String): DataFrame =
     SessionFixtures.cachedFrame("name_dict", spark, dir)(
       Tables.part(spark, dir)
-        .groupBy($"p_name").agg(count(lit(1)).as("n")).localCheckpoint())
+        .groupBy($"p_name").agg(count(lit(1)).as("n")).stageCheckpoint())
 
   /** The verified ≤τ-edit pair graph over [[nameDict]] — like the dedup
     * pair table, a persisted pipeline artifact (pair-table-sized) with
@@ -933,7 +935,7 @@ object Relational {
     */
   private def fuzzyNamePairs(spark: SparkSession, dir: String): DataFrame =
     SessionFixtures.cachedFrame("fuzzy_name_pairs", spark, dir)(
-      fuzzyPairs(nameDict(spark, dir)).localCheckpoint())
+      fuzzyPairs(nameDict(spark, dir)).stageCheckpoint())
 
   def qFuzzyMatch(spark: SparkSession, dir: String): DataFrame =
     fuzzyNamePairs(spark, dir)
@@ -2942,7 +2944,7 @@ object Relational {
       .select(col("event_type")).distinct()
       .withColumn("rt", row_number()
         .over(Window.orderBy(col("event_type"))) - 1)
-      .localCheckpoint() // the k-row type alphabet (k = 5)
+      .stageCheckpoint() // the k-row type alphabet (k = 5)
     // e^ε = 3 ⇒ p_truth = 3/(3 + k − 1); a draw domain of
     // unit·(3 + k − 1) makes the truth arm and each decoy arm an exact
     // residue count — no 1e6-domain rounding bias
@@ -2969,7 +2971,7 @@ object Relational {
         col("event_type"))), "rr")
     val truth = Tables.events(spark, dir).groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_true"))
-      .localCheckpoint() // k rows; also supplies the total below
+      .stageCheckpoint() // k rows; also supplies the total below
     val n = truth.agg(sum(col("n_true")).as("n"))
     obs.join(truth, "event_type").crossJoin(broadcast(n))
       .select(col("event_type"), col("n_true"), col("o").as("n_observed"),
@@ -3168,9 +3170,9 @@ object Relational {
     val names = nameDict(spark, dir)
     val pairs = fuzzyNamePairs(spark, dir).select($"a", $"b")
     val edges = pairs.union(pairs.select($"b", $"a")).toDF("src", "dst")
-      .localCheckpoint()
+      .stageCheckpoint()
     var labels = names.select($"p_name".as("node"), $"p_name".as("lab"))
-      .localCheckpoint()
+      .stageCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 20) {
@@ -3179,7 +3181,7 @@ object Relational {
       val next = labels.select($"node", $"lab", $"lab".as("old"))
         .union(prop)
         .groupBy($"node").agg(min($"lab").as("lab"), min($"old").as("old"))
-        .localCheckpoint()
+        .stageCheckpoint()
       changed = next.filter($"lab" =!= $"old").count()
       labels = next.select($"node", $"lab")
       rounds += 1

@@ -1,5 +1,7 @@
 package graft.ops
 
+import Checkpoints._
+
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -51,7 +53,7 @@ object TextAnalysis {
           .select(col("doc_id"), col("lang"),
             (col("lang") === "en").as("en"), col("n_words"),
             col("raw_score"), col("margin_e4"))
-          .localCheckpoint()
+          .stageCheckpoint()
         scoredSlot = (k, d)
         SessionFixtures.pin("text_scored_docs", d)
         d
@@ -2212,7 +2214,7 @@ object TextAnalysis {
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(col("w"), split(col("w"), "").as("syms"), col("freq"))
-      .localCheckpoint()
+      .stageCheckpoint()
 
     var vocab = vocab0
     val merges = Seq.newBuilder[(Int, String, String, Long)]
@@ -2244,7 +2246,7 @@ object TextAnalysis {
               THEN concat(slice(acc, 1, size(acc) - 1),
                 array(element_at(acc, -1) || s))
               ELSE concat(acc, array(s)) END)""").as("syms"),
-        col("freq")).localCheckpoint()
+        col("freq")).stageCheckpoint()
       if (vocab ne vocab0) graft.ops.Dedup.releaseCheckpoint(vocab)
       vocab = next
     }
@@ -2666,7 +2668,7 @@ object TextAnalysis {
       .join(broadcast(dict.select(col("lang").as("b_lang"),
         col("rk").cast("long").as("b_rk"))), "b_rk")
     val conf = noisy.groupBy(col("lang"), col("b_lang"))
-      .agg(count(lit(1)).as("n")).localCheckpoint()
+      .agg(count(lit(1)).as("n")).stageCheckpoint()
     val rA = conf.groupBy(col("lang")).agg(sum(col("n")).as("ra"))
     val rB = conf.groupBy(col("b_lang")).agg(sum(col("n")).as("rb"))
     val pe = rA.join(rB, col("lang") === col("b_lang"))
@@ -2727,7 +2729,7 @@ object TextAnalysis {
   def qStatsChisq(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(col("lang"), col("source"))
     val cells = d.groupBy(col("lang"), col("source"))
-      .agg(count(lit(1)).as("o")).localCheckpoint()
+      .agg(count(lit(1)).as("o")).stageCheckpoint()
     val rowT = cells.groupBy(col("lang")).agg(sum(col("o")).as("r"))
     val colT = cells.groupBy(col("source")).agg(sum(col("o")).as("c"))
     val n = cells.agg(sum(col("o")).as("n"))
@@ -2777,7 +2779,7 @@ object TextAnalysis {
       .select(col("lang"), explode(split(col("text"), " ", -1)).as("w"))
       .select(col("lang"), bucket)
       .groupBy(col("b"), col("lang")).agg(count(lit(1)).as("cbl"))
-      .localCheckpoint()
+      .stageCheckpoint()
     val cb = cells.groupBy(col("b")).agg(sum(col("cbl")).as("cb"))
     val cl = cells.groupBy(col("lang")).agg(sum(col("cbl")).as("cl"))
     val n = cells.agg(sum(col("cbl")).as("n"))
@@ -3104,7 +3106,7 @@ object TextAnalysis {
       .groupBy(col("w"))
       .agg(sum(when(col("en"), 1L).otherwise(0L)).as("cp"),
         sum(when(!col("en"), 1L).otherwise(0L)).as("cq"))
-      .localCheckpoint() // vocabulary-sized
+      .stageCheckpoint() // vocabulary-sized
     val tot = cells.agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"))
     val terms = cells.crossJoin(broadcast(tot))
       .withColumn("p", col("cp").cast("double") / col("np").cast("double"))
@@ -3522,14 +3524,14 @@ object TextAnalysis {
       .groupBy(col("s"))
       .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("np"),
         sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("nn"))
-      .localCheckpoint() // ≤ 20001 rows, feeds cum + totals
+      .stageCheckpoint() // ≤ 20001 rows, feeds cum + totals
     val w = Window.orderBy(col("s"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val scored = cell
       .withColumn("cn", sum(col("nn")).over(w) - col("nn"))
       .withColumn("u2", col("np").cast(dec) *
         (col("cn").cast(dec) * 2 + col("nn").cast(dec)))
-      .localCheckpoint() // window resolved; final agg sees a flat table
+      .stageCheckpoint() // window resolved; final agg sees a flat table
     scored.agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
         sum(col("u2")).cast(dec).as("u2"))
       .select(col("n_pos"), col("n_neg"), col("u2").cast("long").as("u2"),
@@ -3593,13 +3595,13 @@ object TextAnalysis {
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
-      .localCheckpoint() // ≤ 10 rows: the whole model state
+      .stageCheckpoint() // ≤ 10 rows: the whole model state
     val w = Window.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = bins
       .withColumn("cd", sum(col("n_docs")).over(w))
       .withColumn("ce", sum(col("n_en")).over(w))
-      .localCheckpoint()
+      .stageCheckpoint()
     // candidate intervals j..k with their weighted-mean fraction
     val ends = cum.select(col("bin").as("k"), col("cd").as("cdk"),
       col("ce").as("cek"))
@@ -3701,14 +3703,14 @@ object TextAnalysis {
       .select(col("doc_id"), col("margin_e4").as("m"), col("n_words"))
     def rank2Map(df: DataFrame, v: String): DataFrame = {
       val cells = df.groupBy(col(v)).agg(count(lit(1)).as("nv"))
-        .localCheckpoint() // bounded value domain
+        .stageCheckpoint() // bounded value domain
       val w = Window.orderBy(col(v))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       cells.withColumn("cum", sum(col("nv")).over(w))
         .select(col(v),
           (lit(2L) * (col("cum") - col("nv")) + col("nv") + 1L)
             .as(s"r_$v"))
-        .localCheckpoint()
+        .stageCheckpoint()
     }
     val ranked = base
       .join(broadcast(rank2Map(base, "m")), "m")
