@@ -62,15 +62,21 @@ object ArrayOps {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("pos"))
+      // `+ 0` normalizes the SIGN of a zero average (IEEE: -0.0 + 0.0 =
+      // +0.0, all other doubles unchanged): a per-dimension mean sitting
+      // within float-sum noise of zero gets its sign decided by SUMMATION
+      // ORDER, which no distributed engine pins — the sf0.1 mutation
+      // capstone caught DuckDB at -0.0 vs Spark at +0.0 on one dimension.
+      // Mirrored in the oracle, so both engines canonicalize.
       .agg(count(lit(1)).as("n"),
-        round(avg(col("v").cast("double")), 5).as("avg_v"),
+        (round(avg(col("v").cast("double")), 5) + lit(0.0)).as("avg_v"),
         round(max(col("v")).cast("double"), 6).as("max_v"),
         round(min(col("v")).cast("double"), 6).as("min_v"))
       .orderBy(col("pos"))
 
   val qUnnestOrdinalOracle: String =
     """SELECT pos, count(*) AS n,
-      round(avg(v::DOUBLE), 5) AS avg_v,
+      round(avg(v::DOUBLE), 5) + 0 AS avg_v,
       round(max(v)::DOUBLE, 6) AS max_v,
       round(min(v)::DOUBLE, 6) AS min_v
       FROM (SELECT (generate_subscripts(embedding, 1) - 1)::INT AS pos,

@@ -1,5 +1,7 @@
 package graft.ops
 
+import Checkpoints._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -61,7 +63,7 @@ object Similarity {
     */
   private def annScored(spark: SparkSession, dir: String): DataFrame =
     SessionFixtures.cachedFrame("ann_scored", spark, dir)(
-      annScoredCompute(spark, dir).localCheckpoint())
+      annScoredCompute(spark, dir).stageCheckpoint())
 
   // private[ops] so PlanAuditSpec can audit the fixture-producing plan
   // (the checkpoint truncates lineage in the consumer plans).
@@ -474,10 +476,11 @@ object Similarity {
     * float64, the difference between an in-memory index and a spilling
     * one at 100 TB. Each anchor precomputes its `M × K` dot-product
     * lookup table ONCE ([[graft.functions.PqOps.lut]]); scoring a corpus
-    * vector is then 8 table reads (no float math per pair), a top-30 cut
-    * on the ADC score, and an exact float re-rank of just those
-    * candidates. Approximate → no SQL oracle; recall vs `q_ann_topk` is
-    * asserted in OpsSpec.
+    * vector is then 8 table reads (no float math per pair), a top-90 cut
+    * on the ADC score (a 9× over-fetch — PQ4 is the coarsest index in
+    * the family and needs the margin, see the cut's comment), and an
+    * exact float re-rank of just those candidates. Approximate → no SQL
+    * oracle; recall vs `q_ann_topk` is asserted in OpsSpec.
     */
   def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
     val e = withVec(Tables.embeddings(spark, dir))
@@ -500,7 +503,17 @@ object Similarity {
       .orderBy(col("cosine").desc, col("b_id").asc)
     approx
       .withColumn("qrnk", row_number().over(wq))
-      .filter(col("qrnk") <= 30) // candidate cut on the compressed score
+      // Candidate cut on the compressed score: 90 = a 9× over-fetch for
+      // k=10. PQ4 (8 subspaces × 16 centroids) is the COARSEST index in
+      // the family, and the 30-cut left no recall margin — the sf0.1
+      // mutation capstone (drop9+dup10+reverse) pushed one anchor to
+      // 0/10 exact hits inside a 30-candidate shortlist. 90 restores
+      // the per-anchor floor with margin on both pristine and mutated
+      // data (one hostile anchor sits AT the floor with 1 hit even at 90
+      // — its neighborhood is genuinely PQ4-adversarial); refine cost is
+      // still 90 float dots per anchor — O(K)
+      // driver-fixed, invisible at any corpus size.
+      .filter(col("qrnk") <= 90)
       .withColumn("cosine", // exact refine on the float vectors
         round(dot(col("a_vd"), col("b_vd")) / (col("a_nrm") * col("b_nrm")), 6))
       .withColumn("rnk", row_number().over(w))
@@ -1619,7 +1632,7 @@ object Similarity {
       .join(vecs, "b_id")
       .select(col("a_id"), col("b_id"), col("rel"), col("rel_e6"),
         col("b_vd"), col("b_nrm"))
-      .localCheckpoint() // Anchors×10 rows: the per-anchor shortlist
+      .stageCheckpoint() // Anchors×10 rows: the per-anchor shortlist
     val pairs = cand.select(col("a_id"), col("b_id").as("c_id"),
         col("b_vd").as("c_vd"), col("b_nrm").as("c_nrm"))
       .join(cand.select(col("a_id"), col("b_id").as("s_id"),
