@@ -404,6 +404,45 @@ object Bench {
     // without cross-referencing the detail line
     val cdcRate = results.get("cdc_convert").filter(_.nonEmpty)
       .map(ts => (200000.0 / median(ts)).round).getOrElse(-1L)
+    // Regression canary (round-15): per-query min vs the committed
+    // baseline mins, cpu_probe-normalized (BenchCanary). Trips are
+    // printed as their own JSON line + stderr warnings — loud, but the
+    // machine line still goes out so the round artifact exists either
+    // way. Skipped (with a reason) when the baseline file is absent or
+    // was recorded at a different scale factor.
+    if (only.isEmpty) {
+      val canaryPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+        "BENCH_BASELINE_QUERIES.json")
+      val f = new java.io.File(canaryPath)
+      val canaryLine =
+        if (!f.isFile)
+          s"""{"metric":"canary","status":"skipped","reason":"no baseline at $canaryPath"}"""
+        else {
+          val src = scala.io.Source.fromFile(f, "UTF-8")
+          val txt = try src.mkString finally src.close()
+          BenchCanary.parse(txt) match {
+            case None =>
+              s"""{"metric":"canary","status":"skipped","reason":"unparseable baseline"}"""
+            case Some(base) if base.sf != sfTag =>
+              s"""{"metric":"canary","status":"skipped","reason":"baseline sf ${base.sf} != run sf $sfTag"}"""
+            case Some(base) =>
+              val runMins = results.collect {
+                case (k, ts) if ts.nonEmpty => k -> ts.head
+              }.toMap
+              val regs = BenchCanary.regressions(base, runMins, cpuProbeS)
+              regs.foreach { case (n, b, norm) =>
+                System.err.println(f"[bench] CANARY REGRESSION $n: " +
+                  f"min ${norm}%.3f s (normalized) vs committed ${b}%.3f s")
+              }
+              val regJson = regs.map { case (n, b, norm) =>
+                "\"" + n + "\":[" + fmt(b, 3) + "," + fmt(norm, 3) + "]"
+              }.mkString("{", ",", "}")
+              s"""{"metric":"canary","status":"${if (regs.isEmpty) "ok" else "REGRESSED"}","base_cpu_probe_s":${fmt(base.cpuProbeS, 3)},"run_cpu_probe_s":${fmt(cpuProbeS, 3)},"compared":${runMins.keySet.intersect(base.mins.keySet).size},"regressions":$regJson}"""
+          }
+        }
+      println(canaryLine)
+    }
+
     val out =
       s"""{"metric":"total","value":${fmt(total, 2)},"total_min":${fmt(totalMin, 2)},"unit":"sec","stat":"median_of_$Passes","queries":{},"queries_ok":$nOk,"queries_total":${results.size},"cdc_rows_s":$cdcRate,"cdc_rows_s_10x":$cdcRate10x,"cdc_rows_s_10x_stat":"min_of_$Passes","cdc_splits_10x":$cdcSplits10x,"cpu_probe_s":${fmt(cpuProbeS, 3)},"sf":"$sfTag"}"""
 

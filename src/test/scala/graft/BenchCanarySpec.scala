@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench-regression tripwire's parse + compare rules
+  * ([[BenchCanary]]): cpu_probe normalization direction, the 2×-AND-0.25s
+  * trip condition, new-query and failed-query skips, worst-first order.
+  */
+class BenchCanarySpec extends AnyFunSuite {
+
+  private val baselineJson =
+    """{
+      "sf": "sf0.1",
+      "cpu_probe_s": 1.0,
+      "stat": "min_of_3",
+      "queries": {"q_a": 0.500, "q_b": 1.000, "q_floor": 0.080,
+        "cdc_convert": 0.700}
+    }"""
+
+  test("parse: sf, probe and query mins come back; garbage returns None") {
+    val b = BenchCanary.parse(baselineJson).get
+    assert(b.sf == "sf0.1" && b.cpuProbeS == 1.0)
+    assert(b.mins == Map("q_a" -> 0.5, "q_b" -> 1.0, "q_floor" -> 0.08,
+      "cdc_convert" -> 0.7))
+    assert(BenchCanary.parse("not json at all").isEmpty)
+    assert(BenchCanary.parse("""{"queries":{"q_a":1.0}}""").isEmpty,
+      "missing sf/probe must not parse")
+  }
+
+  test("same box: only a >2x AND >0.25s-excess min trips") {
+    val b = BenchCanary.parse(baselineJson).get
+    val regs = BenchCanary.regressions(b, Map(
+      "q_a" -> 1.9, // 3.8x, excess 1.4 → trips
+      "q_b" -> 1.9, // 1.9x → no (ratio rule)
+      "q_floor" -> 0.2, // 2.5x but excess 0.12 → no (absolute floor)
+      "cdc_convert" -> 0.71), runProbeS = 1.0)
+    assert(regs.map(_._1) == Seq("q_a"))
+    val (_, base, norm) = regs.head
+    assert(base == 0.5 && math.abs(norm - 1.9) < 1e-9)
+  }
+
+  test("cpu_probe normalization: a faster run box scales times UP onto " +
+    "the baseline box before comparing") {
+    val b = BenchCanary.parse(baselineJson).get
+    // run box 2x faster (probe 0.5 vs baseline 1.0): 0.6s here ≈ 1.2s
+    // there → 2.4x of 0.5 → trips; the raw ratio (1.2x) would not
+    assert(BenchCanary.regressions(b, Map("q_a" -> 0.6), 0.5)
+      .map(_._1) == Seq("q_a"))
+    // symmetric: a 2x slower run box scales DOWN — 1.9s here ≈ 0.95s
+    // there → not a regression
+    assert(BenchCanary.regressions(b, Map("q_a" -> 1.9), 2.0).isEmpty)
+  }
+
+  test("new queries (absent from baseline) and failed runs (t<=0) are " +
+    "skipped; trips sort worst-first") {
+    val b = BenchCanary.parse(baselineJson).get
+    val regs = BenchCanary.regressions(b, Map(
+      "q_new" -> 99.0, "q_a" -> 5.0, "q_b" -> 99.0, "q_gone" -> -1.0), 1.0)
+    assert(regs.map(_._1) == Seq("q_b", "q_a"),
+      "q_b at 99x must sort ahead of q_a at 10x; q_new/q_gone skipped")
+  }
+
+  test("the committed baseline file parses and is at the bench sf") {
+    val f = new java.io.File("BENCH_BASELINE_QUERIES.json")
+    assert(f.isFile, "BENCH_BASELINE_QUERIES.json must be committed " +
+      "(regenerate with tools/make_bench_baseline.py after a full bench)")
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    val txt = try src.mkString finally src.close()
+    val b = BenchCanary.parse(txt).get
+    assert(b.sf == "sf0.1" && b.cpuProbeS > 0 && b.mins.size > 200,
+      s"baseline looks wrong: sf=${b.sf} probe=${b.cpuProbeS} n=${b.mins.size}")
+  }
+}
