@@ -279,7 +279,9 @@ object EventOps {
   def qPartitionedLayout(spark: SparkSession, dir: String): DataFrame = {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
       .stripPrefix("file:")
-    val path = s"$wh/graft_events_by_day"
+    // content-tagged path: concurrent processes over different data never
+    // share a layout (SessionFixtures.contentTag)
+    val path = s"$wh/graft_events_by_day_${SessionFixtures.contentTag(spark, dir)}"
     if (SessionFixtures.stale("events_by_day", spark, dir) ||
         !new java.io.File(path, "_SUCCESS").isFile) {
       Tables.events(spark, dir)
@@ -394,7 +396,8 @@ object EventOps {
     */
   def qJoinDpp(spark: SparkSession, dir: String): DataFrame = {
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val factPath = s"$wh/graft_events_by_day"
+    val tag = SessionFixtures.contentTag(spark, dir)
+    val factPath = s"$wh/graft_events_by_day_$tag"
     if (SessionFixtures.stale("events_by_day", spark, dir) ||
         !new java.io.File(factPath, "_SUCCESS").isFile) {
       Tables.events(spark, dir)
@@ -402,7 +405,7 @@ object EventOps {
         .write.mode("overwrite").partitionBy("dt").parquet(factPath)
       SessionFixtures.mark("events_by_day", spark, dir)
     }
-    val dimPath = s"$wh/graft_campaign_days"
+    val dimPath = s"$wh/graft_campaign_days_$tag"
     if (SessionFixtures.stale("campaign_days", spark, dir) ||
         !new java.io.File(dimPath, "_SUCCESS").isFile) {
       Tables.events(spark, dir)

@@ -858,13 +858,18 @@ object Multimodal {
     */
   def qLayoutComodal(spark: SparkSession, dir: String): DataFrame = {
     val B = 8
-    val haveCatalog = spark.catalog.tableExists("graft_bucketed_docs") &&
-      spark.catalog.tableExists("graft_bucketed_embs")
+    // content-tagged table names — see qJoinBucketed: concurrent
+    // processes over different data never share the layout directories
+    val tag = SessionFixtures.contentTag(spark, dir)
+    val docsTable = s"graft_bucketed_docs_$tag"
+    val embsTable = s"graft_bucketed_embs_$tag"
+    val haveCatalog = spark.catalog.tableExists(docsTable) &&
+      spark.catalog.tableExists(embsTable)
     if (SessionFixtures.stale("comodal_layout", spark, dir) || !haveCatalog) {
       val wh = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"))
       val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      Seq("graft_bucketed_docs", "graft_bucketed_embs").foreach { t =>
+      Seq(docsTable, embsTable).foreach { t =>
         spark.sql(s"DROP TABLE IF EXISTS $t")
         fs.delete(new org.apache.hadoop.fs.Path(wh, t), true)
       }
@@ -873,7 +878,7 @@ object Multimodal {
           size(split(col("text"), " ", -1)).cast("long").as("n_words"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(B, "doc_id").sortBy("doc_id")
-        .saveAsTable("graft_bucketed_docs")
+        .saveAsTable(docsTable)
       Tables.embeddings(spark, dir)
         .select(col("vec_id").as("doc_id"),
           expr("""aggregate(transform(embedding,
@@ -881,11 +886,11 @@ object Multimodal {
              0L, (a, q) -> a + q * q)""").as("norm2_q"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(B, "doc_id").sortBy("doc_id")
-        .saveAsTable("graft_bucketed_embs")
+        .saveAsTable(embsTable)
       SessionFixtures.mark("comodal_layout", spark, dir)
     }
-    spark.table("graft_bucketed_docs")
-      .join(spark.table("graft_bucketed_embs"), "doc_id")
+    spark.table(docsTable)
+      .join(spark.table(embsTable), "doc_id")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_words")).as("total_words"),

@@ -432,8 +432,16 @@ object Relational {
     */
   def qJoinBucketed(spark: SparkSession, dir: String): DataFrame = {
     val B = 8
-    val haveCatalog = spark.catalog.tableExists("graft_bucketed_lineitem") &&
-      spark.catalog.tableExists("graft_bucketed_orders")
+    // content-tagged table names: concurrent processes over different
+    // data never share a bucketed layout's warehouse directory
+    // (SessionFixtures.contentTag); old-content generations leak one dir
+    // each until the warehouse is cleaned — the price of not deleting a
+    // directory another live process may be reading
+    val tag = SessionFixtures.contentTag(spark, dir)
+    val liTable = s"graft_bucketed_lineitem_$tag"
+    val ordTable = s"graft_bucketed_orders_$tag"
+    val haveCatalog = spark.catalog.tableExists(liTable) &&
+      spark.catalog.tableExists(ordTable)
     if (SessionFixtures.stale("bucketed_layout", spark, dir) || !haveCatalog) {
       // the managed-table LOCATION outlives the in-memory catalog: a fresh
       // session doesn't know the table, so overwrite can't reclaim it —
@@ -441,7 +449,7 @@ object Relational {
       val wh = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"))
       val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      Seq("graft_bucketed_lineitem", "graft_bucketed_orders").foreach { t =>
+      Seq(liTable, ordTable).foreach { t =>
         spark.sql(s"DROP TABLE IF EXISTS $t")
         fs.delete(new org.apache.hadoop.fs.Path(wh, t), true)
       }
@@ -449,16 +457,16 @@ object Relational {
         .select($"l_orderkey", $"l_quantity", $"l_extendedprice", $"l_discount")
         .write.mode("overwrite").format("parquet")
         .bucketBy(B, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("graft_bucketed_lineitem")
+        .saveAsTable(liTable)
       Tables.orders(spark, dir)
         .select($"o_orderkey", $"o_orderpriority")
         .write.mode("overwrite").format("parquet")
         .bucketBy(B, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("graft_bucketed_orders")
+        .saveAsTable(ordTable)
       SessionFixtures.mark("bucketed_layout", spark, dir)
     }
-    spark.table("graft_bucketed_orders")
-      .join(spark.table("graft_bucketed_lineitem"),
+    spark.table(ordTable)
+      .join(spark.table(liTable),
         $"o_orderkey" === $"l_orderkey")
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_items"),
@@ -2421,7 +2429,9 @@ object Relational {
     */
   def qMatviewMerge(spark: SparkSession, dir: String): DataFrame = {
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val state = s"$wh/graft_mv_orders_state"
+    // content-tagged: concurrent processes over different data never share
+    // the matview state (SessionFixtures.contentTag)
+    val state = s"$wh/graft_mv_orders_state_${SessionFixtures.contentTag(spark, dir)}"
     val cutoff = lit("2001-01-01").cast("timestamp")
     def partial(df: DataFrame): DataFrame =
       df.groupBy(year($"o_orderdate").as("yr"),

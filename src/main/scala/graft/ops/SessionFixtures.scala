@@ -59,6 +59,24 @@ private[graft] object SessionFixtures {
   def key(spark: SparkSession, dir: String): String =
     sessionKey(spark) + "|" + dir + "|" + dirFingerprint(dir)
 
+  /** Stable 12-hex tag of (dir, content) — NO session part. Materialized
+    * fixture paths/table names under the shared warehouse embed this tag
+    * (`graft_events_by_day_<tag>`), so two PROCESSES pointed at the same
+    * warehouse but different data (sf0.01 gate vs a mutated-sf0.1 sweep —
+    * a measured collision: concurrent Verify runs clobbered
+    * `graft_events_by_day` and flipped q_join_dpp's hash) can never read
+    * each other's layouts. Same data in two sessions SHARES the path —
+    * the single-writer-per-content assumption every materialized-layout
+    * store makes; the in-memory stale marks + the on-disk _SUCCESS check
+    * keep one writer's rebuild idempotent.
+    */
+  def contentTag(spark: SparkSession, dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest((dir + "|" + dirFingerprint(dir))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.map("%02x".format(_)).mkString.take(12)
+  }
+
   /** True when the named fixture was not built for this exact
     * (session, dir, content) key. Callers may OR in their own staleness
     * signals (missing _SUCCESS, dropped catalog table) and must call

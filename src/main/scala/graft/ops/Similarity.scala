@@ -1448,7 +1448,9 @@ object Similarity {
         expr("array_position(cs, array_max(cs))").cast("int") - 1)
       .select(col("vec_id"), col("list_id"))
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val state = s"$wh/graft_ann_ivf_state"
+    // content-tagged: concurrent processes over different data never share
+    // the index state (SessionFixtures.contentTag)
+    val state = s"$wh/graft_ann_ivf_state_${SessionFixtures.contentTag(spark, dir)}"
     if (SessionFixtures.stale("ann_ivf_state", spark, dir) ||
         !new java.io.File(state, "_SUCCESS").isFile) {
       assign(hist).write.mode("overwrite").parquet(state)
