@@ -29,7 +29,11 @@ object BenchCanary {
   def parse(txt: String): Option[Baseline] = {
     val sfRe = """"sf"\s*:\s*"([^"]+)"""".r
     val probeRe = """"cpu_probe_s"\s*:\s*([0-9.Ee+\-]+)""".r
-    val qRe = """"((?:q_|cdc_)[^"]+)"\s*:\s*([0-9.Ee+\-]+)""".r
+    // `q...` covers both name families (q_dedup_*, q01_pricing_summary —
+    // the first cut's `q_` prefix silently dropped the 23 TPC-H-numbered
+    // queries from comparison, compared=263 of 286); cdc_ covers the
+    // conversion probes. cpu_probe_s starts with "cp", not matched.
+    val qRe = """"(q[^"]*|cdc_[^"]*)"\s*:\s*([0-9.Ee+\-]+)""".r
     for {
       sf <- sfRe.findFirstMatchIn(txt).map(_.group(1))
       probe <- probeRe.findFirstMatchIn(txt).map(_.group(1).toDouble)

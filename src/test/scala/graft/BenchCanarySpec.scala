@@ -14,14 +14,15 @@ class BenchCanarySpec extends AnyFunSuite {
       "cpu_probe_s": 1.0,
       "stat": "min_of_3",
       "queries": {"q_a": 0.500, "q_b": 1.000, "q_floor": 0.080,
-        "cdc_convert": 0.700}
+        "q01_pricing_summary": 0.250, "cdc_convert": 0.700}
     }"""
 
-  test("parse: sf, probe and query mins come back; garbage returns None") {
+  test("parse: sf, probe and query mins come back — including the " +
+    "TPC-H-numbered q01 style — and garbage returns None") {
     val b = BenchCanary.parse(baselineJson).get
     assert(b.sf == "sf0.1" && b.cpuProbeS == 1.0)
     assert(b.mins == Map("q_a" -> 0.5, "q_b" -> 1.0, "q_floor" -> 0.08,
-      "cdc_convert" -> 0.7))
+      "q01_pricing_summary" -> 0.25, "cdc_convert" -> 0.7))
     assert(BenchCanary.parse("not json at all").isEmpty)
     assert(BenchCanary.parse("""{"queries":{"q_a":1.0}}""").isEmpty,
       "missing sf/probe must not parse")

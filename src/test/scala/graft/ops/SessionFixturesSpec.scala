@@ -62,4 +62,26 @@ class SessionFixturesSpec extends AnyFunSuite {
     SessionFixtures.mark("spec_fixture_c", spark, d1)
     assert(SessionFixtures.stale("spec_fixture_c", spark, d2))
   }
+
+  test("contentTag: session-free, stable for same (dir, content), distinct " +
+    "across dirs and across content changes — the warehouse-collision key") {
+    val d1 = tempTable()
+    val d2 = tempTable()
+    val t1 = SessionFixtures.contentTag(spark, d1.getAbsolutePath)
+    assert(t1.matches("[0-9a-f]{12}"), s"tag must be 12 hex chars: $t1")
+    assert(t1 == SessionFixtures.contentTag(spark, d1.getAbsolutePath),
+      "same dir+content must tag identically")
+    // session-free: another session over the same data shares the layout
+    assert(t1 == SessionFixtures.contentTag(spark.newSession(),
+      d1.getAbsolutePath))
+    assert(t1 != SessionFixtures.contentTag(spark, d2.getAbsolutePath),
+      "different dirs (even with equal bytes) must not share a layout path")
+    // in-place regeneration changes the tag → the layout is rebuilt at a
+    // NEW path instead of clobbering one a concurrent reader may hold
+    val f = new java.io.File(d1, "events.parquet")
+    Files.write(f.toPath, Array[Byte](7, 7, 7, 7, 7))
+    f.setLastModified(f.lastModified() + 5000)
+    assert(t1 != SessionFixtures.contentTag(spark, d1.getAbsolutePath),
+      "content change must re-tag")
+  }
 }
