@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fault-injection companion to [[ClusterSmoke]] (round 15): proves the
+  * claim [[graft.ops.Checkpoints]] exists for, by actually KILLING an
+  * executor JVM under `local-cluster[2,2,2048]` and consuming a staged
+  * frame afterwards:
+  *
+  *  - reliable mode (`spark.graft.checkpoint.dir` set): the staged
+  *    frame's blocks are FILES — the consume after the kill must succeed
+  *    (tasks reschedule onto the surviving/relaunched executor and
+  *    re-read the checkpoint);
+  *  - default mode (`localCheckpoint`): blocks lived in the killed JVM
+  *    and are unrecomputable by design — the consume is EXPECTED to fail
+  *    (the CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND class). That failure firing
+  *    is the PASS condition for the leg: it demonstrates the hazard the
+  *    reliable mode removes.
+  *
+  * A probe main, not a spec: killing JVMs mid-flight is timing-dependent
+  * enough to be flaky under a test runner, but as a documented smoke the
+  * two legs are decisive. Run:
+  * `SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13
+  *  sbt "runMain graft.FaultSmoke"`; expect `[fault] RESULT ok`.
+  */
+object FaultSmoke {
+
+  private def executorPids(): Seq[Long] = {
+    val p = new ProcessBuilder("pgrep", "-f", "CoarseGrainedExecutorBackend")
+      .start()
+    val out = new String(p.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    p.waitFor()
+    out.split("\n").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+  }
+
+  private def killOne(): Option[Long] = {
+    val pids = executorPids()
+    pids.headOption.map { pid =>
+      new ProcessBuilder("kill", "-9", pid.toString).start().waitFor()
+      pid
+    }
+  }
+
+  /** Wait until the app has at least `n` live executors again (the
+    * standalone master relaunches a killed one on the worker).
+    */
+  private def awaitExecutors(spark: SparkSession, n: Int): Unit = {
+    val deadline = System.nanoTime() + 60L * 1000000000L
+    while (spark.sparkContext.statusTracker.getExecutorInfos.length - 1 < n
+      && System.nanoTime() < deadline) Thread.sleep(500)
+  }
+
+  // a staged frame with a real shuffle upstream, 16 partitions spread
+  // over both executor JVMs so a kill always loses blocks
+  private def staged(s: SparkSession): DataFrame =
+    graft.ops.Checkpoints.stage(
+      s.range(0, 200000, 1, 16).toDF("id")
+        .withColumn("k", col("id") % 97)
+        .groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("id")).as("s"))
+        .repartition(16))
+
+  def main(args: Array[String]): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fault").toString
+    val spark = SparkSession.builder()
+      .master("local-cluster[2,2,2048]")
+      .appName("graft-fault-smoke")
+      .config("spark.executor.extraClassPath",
+        new java.io.File("target/scala-2.13/classes").getAbsolutePath)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // keep retries short so the default-mode leg fails fast instead of
+      // cycling the full 4 attempts against permanently missing blocks
+      .config("spark.task.maxFailures", "2")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var ok = true
+    try {
+      awaitExecutors(spark, 2)
+
+      // ---- leg 1: reliable mode survives the kill ----
+      val rel = spark.newSession()
+      rel.conf.set(graft.ops.Checkpoints.DirConf, s"$tmp/ckpt")
+      val relFrame = staged(rel)
+      val before = relFrame.agg(sum("n"), sum("s")).collect().head
+      val killed1 = killOne()
+      println(s"[fault] reliable leg: killed executor pid=$killed1")
+      Thread.sleep(1500)
+      val after =
+        try Some(relFrame.agg(sum("n"), sum("s")).collect().head)
+        catch { case e: Throwable =>
+          println(s"[fault] reliable consume FAILED: ${e.toString.take(200)}")
+          None
+        }
+      if (!after.exists(_ == before)) {
+        println(s"[fault] reliable leg FAILED: $before vs $after"); ok = false
+      } else println(s"[fault] reliable leg ok: totals stable across kill " +
+        s"($before)")
+
+      awaitExecutors(spark, 2)
+
+      // ---- leg 2: default localCheckpoint loses blocks (expected) ----
+      val loc = spark.newSession() // no checkpoint dir conf
+      val locFrame = staged(loc)
+      locFrame.count() // materialized on the executors
+      val killed2 = killOne()
+      println(s"[fault] default leg: killed executor pid=$killed2")
+      Thread.sleep(1500)
+      val failedAsExpected =
+        try { locFrame.agg(sum("n")).collect(); false }
+        catch { case e: Throwable =>
+          println(s"[fault] default consume failed AS EXPECTED: " +
+            e.toString.take(160))
+          true
+        }
+      if (!failedAsExpected) {
+        // not fatal for the tool's exit code decision — but report it:
+        // all consumed blocks happening to live on the survivor is the
+        // only benign explanation, and it weakens the demonstration
+        println("[fault] default leg WARNING: consume survived the kill " +
+          "(blocks may all have lived on the surviving executor)")
+      }
+    } finally spark.stop()
+    println(if (ok) "[fault] RESULT ok" else "[fault] RESULT FAILED")
+    if (!ok) sys.exit(1)
+  }
+}
