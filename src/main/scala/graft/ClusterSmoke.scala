@@ -47,13 +47,18 @@ object ClusterSmoke {
     val dir = "/root/testdata/sf0.001"
     var failed = List.empty[String]
 
+    var probes = 0
     def probe(name: String)(f: => Long): Unit = {
+      probes += 1
       try {
         val t0 = System.nanoTime()
         val n = f
         val s = (System.nanoTime() - t0) / 1e9
-        println(f"[smoke] $name rows=$n time=$s%.1fs ok")
-        if (n <= 0) { failed ::= s"$name: zero rows" }
+        if (n > 0) println(f"[smoke] $name rows=$n time=$s%.1fs ok")
+        else {
+          println(f"[smoke] $name rows=$n time=$s%.1fs FAILED (zero rows)")
+          failed ::= s"$name: zero rows"
+        }
       } catch {
         case e: Throwable =>
           println(s"[smoke] $name FAILED: ${e.toString.take(300)}")
@@ -105,7 +110,8 @@ object ClusterSmoke {
       spark.stop()
     }
 
-    if (failed.isEmpty) println(s"[smoke] RESULT ok (12 probes, 2 executor JVMs)")
+    if (failed.isEmpty)
+      println(s"[smoke] RESULT ok ($probes probes, 2 executor JVMs)")
     else {
       println(s"[smoke] RESULT FAILED: ${failed.reverse.mkString("; ")}")
       sys.exit(1)

@@ -26,17 +26,23 @@ import org.apache.spark.sql.functions._
   */
 object FaultSmoke {
 
-  private def executorPids(): Seq[Long] = {
-    val p = new ProcessBuilder("pgrep", "-f", "CoarseGrainedExecutorBackend")
-      .start()
+  /** PIDs of THIS app's executors only: the backend's command line
+    * carries `--app-id <applicationId>`, so another Spark job's (or
+    * another user's) executors on the same box can never be matched —
+    * killing one of those would both damage the bystander and let this
+    * probe pass vacuously.
+    */
+  private def executorPids(appId: String): Seq[Long] = {
+    val p = new ProcessBuilder("pgrep", "-f",
+      s"CoarseGrainedExecutorBackend.*$appId").start()
     val out = new String(p.getInputStream.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8)
     p.waitFor()
     out.split("\n").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
   }
 
-  private def killOne(): Option[Long] = {
-    val pids = executorPids()
+  private def killOne(appId: String): Option[Long] = {
+    val pids = executorPids(appId)
     pids.headOption.map { pid =>
       new ProcessBuilder("kill", "-9", pid.toString).start().waitFor()
       pid
@@ -85,7 +91,7 @@ object FaultSmoke {
       rel.conf.set(graft.ops.Checkpoints.DirConf, s"$tmp/ckpt")
       val relFrame = staged(rel)
       val before = relFrame.agg(sum("n"), sum("s")).collect().head
-      val killed1 = killOne()
+      val killed1 = killOne(spark.sparkContext.applicationId)
       println(s"[fault] reliable leg: killed executor pid=$killed1")
       Thread.sleep(1500)
       val after =
@@ -105,7 +111,7 @@ object FaultSmoke {
       val loc = spark.newSession() // no checkpoint dir conf
       val locFrame = staged(loc)
       locFrame.count() // materialized on the executors
-      val killed2 = killOne()
+      val killed2 = killOne(spark.sparkContext.applicationId)
       println(s"[fault] default leg: killed executor pid=$killed2")
       Thread.sleep(1500)
       val failedAsExpected =

@@ -209,25 +209,38 @@ object AvroToParquetJob {
     ConvertReport(paths.size, converted, fellBack, failed, colFailures)
   }
 
-  /** The `toString` prefix a re-wrapped [[AvroCdcReader.ConversionTaskError]]
-    * leaves inside a driver-side wrapper's message (class name + the
-    * message prefix our constructor builds): the full marker, not the bare
-    * "graft.ConversionTaskError" tag, so a wrapper that merely QUOTES a
-    * prior error line (e.g. a log echo) cannot reroute a read failure into
-    * the probe-and-rewrite double-read.
+  /** The message prefix [[AvroCdcReader.ConversionTaskError]]'s constructor
+    * builds. Every re-wrapped form carries it: a toString-based wrapper as
+    * `<FQCN>: graft.ConversionTaskError: hard conversion failure in …`, a
+    * getMessage-based wrapper without the class name — and in BOTH the
+    * prefix sits at a frame boundary (string start, or after whitespace —
+    * Throwable.toString chains render "…: " before it). Requiring the full
+    * prefix at a boundary (not the bare "graft.ConversionTaskError" tag
+    * anywhere) keeps a log line quoting the tag mid-token from rerouting a
+    * read failure into the probe-and-rewrite double-read.
     */
-  private val ConversionErrorMarker: String =
-    classOf[AvroCdcReader.ConversionTaskError].getName +
-      ": graft.ConversionTaskError: hard conversion failure in "
+  private val ConversionMessageMarker: String =
+    "graft.ConversionTaskError: hard conversion failure in "
+
+  private def markerAtFrameStart(msg: String): Boolean = {
+    var i = msg.indexOf(ConversionMessageMarker)
+    while (i >= 0) {
+      if (i == 0) return true
+      val c = msg.charAt(i - 1)
+      if (c == ' ' || c == '\n' || c == '\t') return true
+      i = msg.indexOf(ConversionMessageMarker, i + 1)
+    }
+    false
+  }
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** True when a failed Spark job's cause chain bottoms out in a hard
     * conversion error. Executor-side exceptions survive serialization as
     * the same class (typed match); the marker check covers re-wrapped
-    * forms where the driver only sees the remote exception's toString —
-    * it must sit at a frame boundary (string start, or after whitespace /
-    * ": " the way Throwable.toString chains render), and a hit on this
+    * forms where the driver only sees the remote exception's toString or
+    * message — every occurrence is scanned (a quoted copy early in the
+    * message cannot hide a legitimate one later), and a hit on this
     * weaker branch is logged so a misrouted double-read is visible.
     */
   private[convert] def hasConversionCause(e: Throwable): Boolean = {
@@ -238,19 +251,12 @@ object AvroToParquetJob {
         case _: AvroCdcReader.ConversionTaskError => return true
         case _ =>
           val msg = cur.getMessage
-          if (msg != null) {
-            val i = msg.indexOf(ConversionErrorMarker)
-            val atFrameStart = i == 0 || (i > 0 && {
-              val c = msg.charAt(i - 1)
-              c == ' ' || c == '\n' || c == '\t'
-            })
-            if (atFrameStart) {
-              log.warn(
-                "hasConversionCause matched by message marker, not exception " +
-                  s"class (wrapper: ${cur.getClass.getName}); routing to " +
-                  "probe-and-rewrite")
-              return true
-            }
+          if (msg != null && markerAtFrameStart(msg)) {
+            log.warn(
+              "hasConversionCause matched by message marker, not exception " +
+                s"class (wrapper: ${cur.getClass.getName}); routing to " +
+                "probe-and-rewrite")
+            return true
           }
       }
       cur = cur.getCause

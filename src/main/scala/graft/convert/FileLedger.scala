@@ -41,11 +41,65 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * rewrites 1/N of the history instead of the whole set. The layout is
   * append-only per shard, so the crash-safety argument below is unchanged.
   * `shards = 1` (default) keeps the original flat layout byte-for-byte.
+  * Reopening an existing ledger under a DIFFERENT shard count migrates
+  * stranded prior-layout entries into the current layout on first access
+  * (write-first, delete-after — the compact() crash-safety ordering), so
+  * changing `--ledger_shards` on a live deployment can never abandon
+  * history and re-convert the landing zone.
   */
 final class FileLedger(dir: String, conf: Configuration, shards: Int = 1) {
   require(shards >= 1, s"shards must be >= 1, got $shards")
   private val dirPath = new Path(dir)
   private val fs: FileSystem = dirPath.getFileSystem(conf)
+
+  // ---- layout migration (lazy, once per instance) ----
+  // Changing `shards` against an existing ledger must MOVE history, not
+  // silently abandon it: a flat ledger reopened sharded would hide every
+  // root batch file from the shard-scoped reads (and vice versa), so the
+  // next poll re-converts the whole landing zone — duplicate output rows.
+  // Migration re-routes every stranded entry through the CURRENT layout
+  // (write first, delete inputs after: a crash in between leaves
+  // duplicates, harmless under union-of-sets reads — the compact()
+  // crash-safety argument verbatim).
+  private lazy val migrated: Unit = {
+    if (shards > 1) {
+      // flat → sharded: root batch files move into shard dirs
+      val rootFiles =
+        if (!fs.exists(dirPath)) Array.empty[org.apache.hadoop.fs.FileStatus]
+        else fs.listStatus(dirPath).filter(st =>
+          st.isFile && st.getPath.getName.startsWith("batch-"))
+      if (rootFiles.nonEmpty) {
+        val paths = readAll(rootFiles)
+        addRouted(paths.toSeq)
+        rootFiles.foreach(st => fs.delete(st.getPath, false))
+      }
+    } else {
+      // sharded → flat: shard-NN dirs fold into the root
+      val shardDirs =
+        if (!fs.exists(dirPath)) Array.empty[org.apache.hadoop.fs.FileStatus]
+        else fs.listStatus(dirPath).filter(st =>
+          st.isDirectory && st.getPath.getName.startsWith("shard-"))
+      shardDirs.foreach { d =>
+        val files = fs.listStatus(d.getPath).filter(st =>
+          st.isFile && st.getPath.getName.startsWith("batch-"))
+        val paths = readAll(files)
+        if (paths.nonEmpty) writeBatch(dirPath, paths.toSeq)
+        fs.delete(d.getPath, true)
+      }
+    }
+  }
+
+  private def readAll(
+      files: Array[org.apache.hadoop.fs.FileStatus]): Set[String] = {
+    val out = mutable.Set.empty[String]
+    files.foreach { st =>
+      val in = fs.open(st.getPath)
+      try Source.fromInputStream(in, "UTF-8").getLines().foreach { l =>
+        if (l.nonEmpty) out += l
+      } finally in.close()
+    }
+    out.toSet
+  }
 
   /** Stable path→shard routing (JLS-specified String.hashCode). */
   private[convert] def shardOf(path: String): Int =
@@ -55,6 +109,7 @@ final class FileLedger(dir: String, conf: Configuration, shards: Int = 1) {
     if (shards == 1) dirPath else new Path(dirPath, f"shard-$i%02d")
 
   private def batchFiles(i: Int): Array[org.apache.hadoop.fs.FileStatus] = {
+    migrated // stranded prior-layout entries move before any read
     val d = shardDir(i)
     if (!fs.exists(d)) Array.empty
     else fs.listStatus(d).filter(st =>
@@ -62,16 +117,7 @@ final class FileLedger(dir: String, conf: Configuration, shards: Int = 1) {
   }
 
   /** All processed paths in shard `i` (one shard's worth of driver heap). */
-  def seenShard(i: Int): Set[String] = {
-    val out = mutable.Set.empty[String]
-    batchFiles(i).foreach { st =>
-      val in = fs.open(st.getPath)
-      try Source.fromInputStream(in, "UTF-8").getLines().foreach { l =>
-        if (l.nonEmpty) out += l
-      } finally in.close()
-    }
-    out.toSet
-  }
+  def seenShard(i: Int): Set[String] = readAll(batchFiles(i))
 
   /** Union of all shards — the flat-ledger read semantics. */
   def seen(): Set[String] =
@@ -102,6 +148,11 @@ final class FileLedger(dir: String, conf: Configuration, shards: Int = 1) {
   }
 
   def add(paths: Seq[String]): Unit = {
+    migrated
+    addRouted(paths)
+  }
+
+  private def addRouted(paths: Seq[String]): Unit = {
     if (paths.isEmpty) return
     paths.groupBy(shardOf).foreach { case (i, shardPaths) =>
       val d = shardDir(i)

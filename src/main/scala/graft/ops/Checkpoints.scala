@@ -33,25 +33,45 @@ import org.apache.spark.sql.Dataset
   */
 private[graft] object Checkpoints {
 
-  /** Runtime conf key selecting reliable checkpointing (value = directory). */
+  /** Runtime conf key selecting reliable checkpointing (value = directory).
+    * The underlying `setCheckpointDir` is CONTEXT-global: one directory
+    * per SparkContext. Configure the same value on every session of a
+    * context — with two sessions naming different directories, each
+    * stage() re-points the context and a concurrently launching
+    * checkpoint may land its files under the other session's directory
+    * (both still reliable, just co-mingled).
+    */
   val DirConf = "spark.graft.checkpoint.dir"
 
-  // last directory applied to the context: setCheckpointDir mints a fresh
+  // last (context, directory) applied: setCheckpointDir mints a fresh
   // UUID subdir per call, so re-setting per stage() would litter one dir
-  // per checkpoint; one JVM drives one context, a volatile slot suffices
-  @volatile private var applied: String = null
+  // per checkpoint — but the cache must be keyed on the CONTEXT, not the
+  // JVM: after a context restart with the same conf value, a static
+  // string cache would skip setCheckpointDir on the NEW context and
+  // checkpoint() would throw "Checkpoint directory has not been set"
+  @volatile private var applied: (org.apache.spark.SparkContext, String) = null
 
   def stage[T](ds: Dataset[T]): Dataset[T] = {
     val spark = ds.sparkSession
     spark.conf.getOption(DirConf).filter(_.nonEmpty) match {
       case Some(dir) =>
-        if (applied != dir) synchronized {
-          if (applied != dir) {
-            spark.sparkContext.setCheckpointDir(dir)
-            applied = dir
+        val sc = spark.sparkContext
+        if (applied != ((sc, dir))) synchronized {
+          if (applied != ((sc, dir))) {
+            sc.setCheckpointDir(dir)
+            applied = (sc, dir)
           }
         }
-        ds.checkpoint()
+        // persist before the eager checkpoint: without it Spark computes
+        // the plan TWICE (the eager count job, then the checkpoint-file
+        // write job recomputes from lineage — the documented
+        // RDD.checkpoint-without-persist behavior), doubling every
+        // fixpoint round in exactly the mode built for big clusters.
+        // With the cache, the write job reads the just-computed blocks;
+        // unpersist after (the files are the durable copy).
+        ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try ds.checkpoint()
+        finally ds.unpersist(blocking = false)
       case None => ds.localCheckpoint()
     }
   }

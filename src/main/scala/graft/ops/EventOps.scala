@@ -280,14 +280,16 @@ object EventOps {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
       .stripPrefix("file:")
     // content-tagged path: concurrent processes over different data never
-    // share a layout (SessionFixtures.contentTag)
+    // share a layout (SessionFixtures.contentTag). Because the path
+    // embeds the content, an existing _SUCCESS alone proves validity —
+    // gating on it (and NOT on the per-session stale mark) lets a fresh
+    // process REUSE the layout instead of overwrite-deleting files a
+    // concurrent same-content reader may be scanning.
     val path = s"$wh/graft_events_by_day_${SessionFixtures.contentTag(spark, dir)}"
-    if (SessionFixtures.stale("events_by_day", spark, dir) ||
-        !new java.io.File(path, "_SUCCESS").isFile) {
+    if (!new java.io.File(path, "_SUCCESS").isFile) {
       Tables.events(spark, dir)
         .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
         .write.mode("overwrite").partitionBy("dt").parquet(path)
-      SessionFixtures.mark("events_by_day", spark, dir)
     }
     spark.read.parquet(path)
       .filter(col("dt") >= "2024-01-08" && col("dt") <= "2024-01-14")
@@ -397,17 +399,17 @@ object EventOps {
   def qJoinDpp(spark: SparkSession, dir: String): DataFrame = {
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     val tag = SessionFixtures.contentTag(spark, dir)
+    // _SUCCESS at the content-tagged path alone gates the rebuild — see
+    // qPartitionedLayout: a fresh process reuses a valid layout instead
+    // of overwrite-deleting under a concurrent same-content reader
     val factPath = s"$wh/graft_events_by_day_$tag"
-    if (SessionFixtures.stale("events_by_day", spark, dir) ||
-        !new java.io.File(factPath, "_SUCCESS").isFile) {
+    if (!new java.io.File(factPath, "_SUCCESS").isFile) {
       Tables.events(spark, dir)
         .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
         .write.mode("overwrite").partitionBy("dt").parquet(factPath)
-      SessionFixtures.mark("events_by_day", spark, dir)
     }
     val dimPath = s"$wh/graft_campaign_days_$tag"
-    if (SessionFixtures.stale("campaign_days", spark, dir) ||
-        !new java.io.File(dimPath, "_SUCCESS").isFile) {
+    if (!new java.io.File(dimPath, "_SUCCESS").isFile) {
       Tables.events(spark, dir)
         .select(to_date(col("ts")).as("day")).distinct()
         .withColumn("campaign",
@@ -415,7 +417,6 @@ object EventOps {
             .when(dayofmonth(col("day")) % 10 === 7, "retarget")
             .otherwise("none"))
         .coalesce(1).write.mode("overwrite").parquet(dimPath)
-      SessionFixtures.mark("campaign_days", spark, dir)
     }
     val fact = spark.read.parquet(factPath)
     val dim = spark.read.parquet(dimPath)

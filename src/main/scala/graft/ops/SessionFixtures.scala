@@ -65,10 +65,14 @@ private[graft] object SessionFixtures {
     * warehouse but different data (sf0.01 gate vs a mutated-sf0.1 sweep —
     * a measured collision: concurrent Verify runs clobbered
     * `graft_events_by_day` and flipped q_join_dpp's hash) can never read
-    * each other's layouts. Same data in two sessions SHARES the path —
-    * the single-writer-per-content assumption every materialized-layout
-    * store makes; the in-memory stale marks + the on-disk _SUCCESS check
-    * keep one writer's rebuild idempotent.
+    * each other's layouts. Same data in two sessions SHARES the path: the
+    * plain-parquet fixtures gate their rebuild on the on-disk _SUCCESS
+    * alone (the tagged path already proves content validity, so a fresh
+    * process REUSES the layout instead of overwrite-deleting it under a
+    * concurrent same-content reader); the bucketed CATALOG tables must
+    * still rebuild per process (bucket metadata lives in the in-memory
+    * catalog, not the files) and keep the single-writer-per-content
+    * assumption.
     */
   def contentTag(spark: SparkSession, dir: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -1451,10 +1451,11 @@ object Similarity {
     // content-tagged: concurrent processes over different data never share
     // the index state (SessionFixtures.contentTag)
     val state = s"$wh/graft_ann_ivf_state_${SessionFixtures.contentTag(spark, dir)}"
-    if (SessionFixtures.stale("ann_ivf_state", spark, dir) ||
-        !new java.io.File(state, "_SUCCESS").isFile) {
+    // _SUCCESS at the content-tagged path alone gates the rebuild (see
+    // qPartitionedLayout): a valid state is reused, never overwritten
+    // under a concurrent same-content reader
+    if (!new java.io.File(state, "_SUCCESS").isFile) {
       assign(hist).write.mode("overwrite").parquet(state)
-      SessionFixtures.mark("ann_ivf_state", spark, dir)
     }
     val merged = spark.read.parquet(state).toDF("vec_id", "ml")
       .unionByName(assign(delta).toDF("vec_id", "ml"))

@@ -465,6 +465,36 @@ class AvroToParquetJobSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("ledger layout migration: flat history reopened sharded (and back) " +
+    "keeps the seen set — a shard-count change never re-converts history") {
+    val dir = tmpDir("graft-ledger-migrate")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val flat = new FileLedger(dir, conf)
+    val history = (1 to 50).map(i => s"/data/m$i.avro")
+    flat.add(history)
+
+    // reopen SHARDED: root batch files move into shard dirs on first
+    // access, so membership still sees the full flat history
+    val sharded = new FileLedger(dir, conf, shards = 4)
+    assert(sharded.filterUnseen(history :+ "/data/new.avro")
+      == Seq("/data/new.avro"),
+      "flat history must stay visible after re-opening sharded")
+    assert(sharded.seen() == history.toSet)
+    assert(new File(dir).listFiles().count(f =>
+      f.isFile && f.getName.startsWith("batch-")) == 0,
+      "root batch files must have migrated into shards")
+    sharded.add(Seq("/data/new.avro"))
+
+    // reopen FLAT again: shard dirs fold back into the root
+    val flat2 = new FileLedger(dir, conf)
+    assert(flat2.seen() == history.toSet + "/data/new.avro")
+    assert(new File(dir).listFiles().count(_.isDirectory) == 0,
+      "shard dirs must have folded back to the flat layout")
+    // and the migrated ledger keeps deduplicating
+    assert(flat2.filterUnseen(Seq(history.head, "/data/new2.avro"))
+      == Seq("/data/new2.avro"))
+  }
+
   test("filterUnseen loads ONLY the shards this poll's candidates touch " +
     "(per-poll driver memory = one shard, not the full history)") {
     val dir = tmpDir("graft-ledger-filter")
@@ -534,25 +564,35 @@ class AvroToParquetJobSpec extends AnyFunSuite {
     assert(ids == Set(1L, 2L), "no duplicate conversion across sharded polls")
   }
 
-  test("hasConversionCause: typed cause and full re-wrapped marker route " +
-    "to probe-and-rewrite; a message merely quoting the tag does NOT") {
+  test("hasConversionCause: typed cause and both re-wrapped marker forms " +
+    "route to probe-and-rewrite; a message merely quoting the tag does NOT") {
     val typed = new RuntimeException("outer",
       graft.avro.AvroCdcReader.ConversionTaskError("/p/f.avro",
         new IllegalArgumentException("bad int")))
     assert(AvroToParquetJob.hasConversionCause(typed))
 
-    // driver-only re-wrap: remote toString at a frame boundary
-    val marker = classOf[graft.avro.AvroCdcReader.ConversionTaskError].getName +
-      ": graft.ConversionTaskError: hard conversion failure in /p/f.avro"
-    assert(AvroToParquetJob.hasConversionCause(
-      new RuntimeException(s"Job aborted: Lost task 0.0: $marker\n\tat x")))
-    assert(AvroToParquetJob.hasConversionCause(new RuntimeException(marker)))
+    val msgForm = "graft.ConversionTaskError: hard conversion failure in /p/f.avro"
+    val toStringForm =
+      classOf[graft.avro.AvroCdcReader.ConversionTaskError].getName +
+        ": " + msgForm
+    // driver-only re-wraps: remote toString (FQCN-prefixed) AND a
+    // getMessage-based wrapper (no class name) — both at frame boundaries
+    assert(AvroToParquetJob.hasConversionCause(new RuntimeException(
+      s"Job aborted: Lost task 0.0: $toStringForm\n\tat x")))
+    assert(AvroToParquetJob.hasConversionCause(new RuntimeException(toStringForm)))
+    assert(AvroToParquetJob.hasConversionCause(new RuntimeException(
+      s"Writing job aborted: $msgForm")))
+    assert(AvroToParquetJob.hasConversionCause(new RuntimeException(msgForm)))
+    // a quoted copy early in the message must not hide a real one later
+    assert(AvroToParquetJob.hasConversionCause(new RuntimeException(
+      s"saw(${msgForm}) then: $msgForm")))
 
-    // the round-14 false-positive class: a wrapper quoting the bare tag
+    // the round-14 false-positive class: the bare tag, or the full
+    // marker only mid-token
     assert(!AvroToParquetJob.hasConversionCause(new RuntimeException(
       "upstream log mentioned graft.ConversionTaskError while reading")))
     assert(!AvroToParquetJob.hasConversionCause(new RuntimeException(
-      "prefix(" + marker + ")"))  , "marker mid-token is not a frame start")
+      "prefix(" + msgForm + ")")), "marker mid-token is not a frame start")
     assert(!AvroToParquetJob.hasConversionCause(
       new RuntimeException("plain read failure")))
   }
