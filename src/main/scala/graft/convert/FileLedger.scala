@@ -54,39 +54,62 @@ final class FileLedger(dir: String, conf: Configuration, shards: Int = 1) {
 
   // ---- layout migration (lazy, once per instance) ----
   // Changing `shards` against an existing ledger must MOVE history, not
-  // silently abandon it: a flat ledger reopened sharded would hide every
-  // root batch file from the shard-scoped reads (and vice versa), so the
-  // next poll re-converts the whole landing zone — duplicate output rows.
-  // Migration re-routes every stranded entry through the CURRENT layout
-  // (write first, delete inputs after: a crash in between leaves
-  // duplicates, harmless under union-of-sets reads — the compact()
-  // crash-safety argument verbatim).
-  private lazy val migrated: Unit = {
-    if (shards > 1) {
-      // flat → sharded: root batch files move into shard dirs
-      val rootFiles =
-        if (!fs.exists(dirPath)) Array.empty[org.apache.hadoop.fs.FileStatus]
-        else fs.listStatus(dirPath).filter(st =>
-          st.isFile && st.getPath.getName.startsWith("batch-"))
-      if (rootFiles.nonEmpty) {
-        val paths = readAll(rootFiles)
-        addRouted(paths.toSeq)
-        rootFiles.foreach(st => fs.delete(st.getPath, false))
-      }
-    } else {
-      // sharded → flat: shard-NN dirs fold into the root
-      val shardDirs =
-        if (!fs.exists(dirPath)) Array.empty[org.apache.hadoop.fs.FileStatus]
-        else fs.listStatus(dirPath).filter(st =>
-          st.isDirectory && st.getPath.getName.startsWith("shard-"))
+  // silently abandon or mis-route it: a flat ledger reopened sharded
+  // would hide every root batch file from the shard-scoped reads; a
+  // ledger reopened under a DIFFERENT shard count routes by a different
+  // modulus, so membership probes look in the wrong shard (the
+  // property-sweep counterexample: 8 → 5 strands shard-05..07 AND
+  // mis-routes 00..04). Either way the next poll re-converts the landing
+  // zone — duplicate output rows.
+  //
+  // The on-disk layout is therefore recorded in a `_shards` marker; when
+  // it disagrees with `shards` (or stranded files sit outside the current
+  // layout), migration reads EVERY entry under the ledger — root and all
+  // shard dirs, whatever vintage — re-routes the union through the
+  // current layout, deletes exactly the pre-existing batch files, and
+  // re-stamps the marker. Orderings are crash-safe by the compact()
+  // argument: new files are written before old ones are deleted and a
+  // re-run re-reads everything, so any crash leaves only harmless
+  // duplicates for the next open to converge.
+  private lazy val migrated: Unit = if (fs.exists(dirPath)) {
+    val rootFiles = fs.listStatus(dirPath).filter(st =>
+      st.isFile && st.getPath.getName.startsWith("batch-"))
+    val shardDirs = fs.listStatus(dirPath).filter(st =>
+      st.isDirectory && st.getPath.getName.startsWith("shard-"))
+    val marker = readMarker()
+    val needsReroute =
+      (shards > 1 && rootFiles.nonEmpty) ||
+        (shardDirs.nonEmpty && (shards == 1 || !marker.contains(shards)))
+    if (needsReroute) {
+      val shardFiles = shardDirs.flatMap(d =>
+        fs.listStatus(d.getPath).filter(st =>
+          st.isFile && st.getPath.getName.startsWith("batch-")))
+      val old = rootFiles ++ shardFiles
+      val all = readAll(old)
+      if (all.nonEmpty) addRouted(all.toSeq.sorted)
+      old.foreach(st => fs.delete(st.getPath, false))
+      // stranded dirs outside the current layout become empty — drop them
       shardDirs.foreach { d =>
-        val files = fs.listStatus(d.getPath).filter(st =>
-          st.isFile && st.getPath.getName.startsWith("batch-"))
-        val paths = readAll(files)
-        if (paths.nonEmpty) writeBatch(dirPath, paths.toSeq)
-        fs.delete(d.getPath, true)
+        if (fs.listStatus(d.getPath).isEmpty) fs.delete(d.getPath, true)
       }
     }
+    if (!marker.contains(shards)) writeMarker()
+  }
+
+  private def layoutMarker = new Path(dirPath, "_shards")
+
+  private def readMarker(): Option[Int] =
+    if (!fs.exists(layoutMarker)) None
+    else {
+      val in = fs.open(layoutMarker)
+      try Some(Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+      finally in.close()
+    }
+
+  private def writeMarker(): Unit = {
+    val out = fs.create(layoutMarker, true)
+    try out.write(s"$shards\n".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   private def readAll(
@@ -150,6 +173,9 @@ final class FileLedger(dir: String, conf: Configuration, shards: Int = 1) {
   def add(paths: Seq[String]): Unit = {
     migrated
     addRouted(paths)
+    // stamp a fresh ledger's layout so a later reopen under a different
+    // shard count knows to re-route (and a same-count reopen knows NOT to)
+    if (paths.nonEmpty && !fs.exists(layoutMarker)) writeMarker()
   }
 
   private def addRouted(paths: Seq[String]): Unit = {
