@@ -137,6 +137,24 @@ object EventOps {
         count(*) AS n, round(sum(value), 2) AS total
       FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
 
+  /** [[qEventsSessionOracle]] restricted to identified users — the
+    * streaming sessionizer's keyed state has no NULL identity (the same
+    * rule as stream-stream join keys), where the batch window artifact
+    * pools anonymous rows per the SQL convention.
+    */
+  val qStreamSessionOracle: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) eu, value FROM events
+        WHERE user_id IS NOT NULL),
+      m AS (SELECT *, CASE WHEN lag(eu) OVER w IS NULL
+          OR eu - lag(eu) OVER w >= 600000000 THEN 1 ELSE 0 END AS brk
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY eu)),
+      s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY eu
+          ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+      SELECT user_id, min(eu) AS session_start,
+        max(eu) + 600000000 AS session_end,
+        count(*) AS n, round(sum(value), 2) AS total
+      FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
+
   // ---------- first-touch conversion attribution ----------
   /** Marketing-style first-touch attribution: every `purchase` is
     * credited to the event type that OPENED its session (10-minute gap
@@ -506,10 +524,15 @@ object EventOps {
     tagged
       .withColumn("last_view", last(col("v_info"), ignoreNulls = true).over(w))
       .filter(col("tag") === 1)
+      // NULL-user clicks stay UNMATCHED (standard as-of join semantics:
+      // NULL keys never equal — DuckDB ASOF, pandas merge_asof). The
+      // window would otherwise pool every anonymous user into ONE
+      // partition and carry views across them (caught by the nulls
+      // sweep against the oracle's equality LATERAL join).
       .select(col("event_id").as("click_id"), col("user_id"),
         unix_micros(col("ts")).as("click_ts"),
-        col("last_view.v_id").as("view_id"),
-        col("last_view.v_ts").as("view_ts"))
+        when(col("user_id").isNotNull, col("last_view.v_id")).as("view_id"),
+        when(col("user_id").isNotNull, col("last_view.v_ts")).as("view_ts"))
       .orderBy(col("click_id"))
   }
 
@@ -560,12 +583,17 @@ object EventOps {
       .withColumn("fwd_ok", col("df").isNotNull && col("df") <= TolUs)
       .withColumn("use_back", col("back_ok") &&
         (!col("fwd_ok") || col("db") <= col("df")))
+      // NULL-user clicks stay unmatched — the qEventsAsof family rule
+      // (NULL keys never match; the NULL window partition would pool
+      // all anonymous users otherwise), mirrored in the oracle
       .select(col("event_id").as("click_id"), col("user_id"),
         col("t").as("click_ts"),
-        when(col("use_back"), col("back.v_id"))
-          .otherwise(when(col("fwd_ok"), col("fwd.v_id"))).as("view_id"),
-        when(col("use_back"), -col("db"))
-          .otherwise(when(col("fwd_ok"), col("df"))).as("delta_us"))
+        when(col("user_id").isNotNull,
+          when(col("use_back"), col("back.v_id"))
+            .otherwise(when(col("fwd_ok"), col("fwd.v_id")))).as("view_id"),
+        when(col("user_id").isNotNull,
+          when(col("use_back"), -col("db"))
+            .otherwise(when(col("fwd_ok"), col("df")))).as("delta_us"))
       .orderBy(col("click_id"))
   }
 
@@ -595,9 +623,11 @@ object EventOps {
           f_ts IS NOT NULL AND f_ts - tu <= 7200000000 AS fwd_ok
         FROM m WHERE tag = 1)
       SELECT event_id AS click_id, user_id, tu AS click_ts,
-        CASE WHEN back_ok AND (NOT fwd_ok OR db <= df) THEN b_id
+        CASE WHEN user_id IS NULL THEN NULL
+          WHEN back_ok AND (NOT fwd_ok OR db <= df) THEN b_id
           WHEN fwd_ok THEN f_id END AS view_id,
-        CASE WHEN back_ok AND (NOT fwd_ok OR db <= df) THEN -db
+        CASE WHEN user_id IS NULL THEN NULL
+          WHEN back_ok AND (NOT fwd_ok OR db <= df) THEN -db
           WHEN fwd_ok THEN df END AS delta_us
       FROM c ORDER BY click_id"""
 
@@ -1097,7 +1127,11 @@ object EventOps {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     try q.awaitTermination()
     finally q.stop()
-    sinkSorted(spark.table(name).filter(col("user_id") >= 0),
+    // drop ONLY the sentinel's null-padded row (user −1), null-safely: a
+    // `user_id >= 0` spelling also swallowed anonymous (NULL-user) views,
+    // which the stream correctly emits as unmatched left rows and the
+    // batch oracle keeps (caught by the nulls sweep)
+    sinkSorted(spark.table(name).filter(!(col("user_id") <=> lit(-1L))),
       col("v_id"), col("c_id"))
   }
 
@@ -1252,14 +1286,20 @@ object EventOps {
   /** One event as seen by the stateful operator (ts kept as BOTH the
     * TimestampType watermark column and exact micros).
     */
+  /** `value` is boxed: a NULL event value must survive the encoder (a
+    * primitive Double threw NOT_NULL_ASSERT_VIOLATION under the nulls
+    * mutation sweep) and fold with SQL `sum` semantics — skipped, and an
+    * all-NULL session totals NULL, not 0.0 (`has_value` in the state).
+    */
   final case class SessEvent(user_id: Long, ts: java.sql.Timestamp,
-      ts_us: Long, value: Double)
+      ts_us: Long, value: java.lang.Double)
 
   /** Open session carried in [[org.apache.spark.sql.streaming.GroupState]]. */
-  final case class SessState(start_us: Long, last_us: Long, n: Long, total: Double)
+  final case class SessState(start_us: Long, last_us: Long, n: Long,
+      total: Double, has_value: Boolean)
 
   final case class SessOut(user_id: Long, session_start: Long,
-      session_end: Long, n: Long, total: Double)
+      session_end: Long, n: Long, total: java.lang.Double)
 
   private val SessionGapUs = 600000000L // 10 minutes
 
@@ -1275,7 +1315,10 @@ object EventOps {
       events: Iterator[SessEvent],
       state: org.apache.spark.sql.streaming.GroupState[SessState]): Iterator[SessOut] = {
     def out(s: SessState) =
-      SessOut(uid, s.start_us, s.last_us + SessionGapUs, s.n, s.total)
+      SessOut(uid, s.start_us, s.last_us + SessionGapUs, s.n,
+        if (s.has_value) s.total else null)
+    def v(e: SessEvent): Double = if (e.value == null) 0.0 else e.value
+    def hv(e: SessEvent): Boolean = e.value != null
     if (state.hasTimedOut) {
       val closed = out(state.get)
       state.remove()
@@ -1287,12 +1330,13 @@ object EventOps {
     sorted.foreach { e =>
       open match {
         case Some(s) if e.ts_us - s.last_us < SessionGapUs =>
-          open = Some(SessState(s.start_us, e.ts_us, s.n + 1, s.total + e.value))
+          open = Some(SessState(s.start_us, e.ts_us, s.n + 1,
+            s.total + v(e), s.has_value || hv(e)))
         case Some(s) =>
           closed += out(s)
-          open = Some(SessState(e.ts_us, e.ts_us, 1L, e.value))
+          open = Some(SessState(e.ts_us, e.ts_us, 1L, v(e), hv(e)))
         case None =>
-          open = Some(SessState(e.ts_us, e.ts_us, 1L, e.value))
+          open = Some(SessState(e.ts_us, e.ts_us, 1L, v(e), hv(e)))
       }
     }
     open.foreach { s =>
@@ -1351,6 +1395,12 @@ object EventOps {
       .option("pathGlobFilter", "*.parquet")
       .parquet(s"$fixture/in")
       .withWatermark("ts", "0 seconds")
+      // keyed state has no NULL identity (the stream-stream join rule):
+      // anonymous events are excluded rather than pooled into one
+      // pseudo-user, and the query carries its own oracle with the same
+      // restriction — where the BATCH session artifact (a window) pools
+      // them by the SQL convention. Also unblocks the Long-keyed encoder.
+      .filter(col("user_id").isNotNull)
       .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
         col("value"))
       .as[SessEvent]
@@ -2276,11 +2326,17 @@ object EventOps {
         expr("variant_get(vj, '$.meta.k', 'long')").as("k"),
         expr("variant_get(vj, '$.cents[0]', 'long')").as("c0"),
         expr("variant_get(vj, '$.cents[1]', 'long')").as("c1"),
-        expr("schema_of_variant(vj)").as("vschema"))
+        col("vj"))
       .groupBy(col("vtype"))
+      // schema_of_variant_agg MERGES row schemas: a NULL-valued event's
+      // cents render as ARRAY<VOID> per row, and the previous
+      // max(schema_of_variant) picked that string over ARRAY<BIGINT>
+      // ('V' > 'B', caught by the nulls sweep); the merge resolves VOID
+      // against the typed rows to the column's true schema — identical
+      // output on NULL-free data
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
         sum(col("c0")).as("sum_cents"), max(col("c1")).as("max_double_cents"),
-        max(col("vschema")).as("vschema"))
+        expr("schema_of_variant_agg(vj)").as("vschema"))
       .orderBy(col("vtype"))
   }
 
@@ -2929,7 +2985,12 @@ object EventOps {
   def qStatsGini(spark: SparkSession, dir: String): DataFrame = {
     val dec = "decimal(38,0)"
     val cells = Tables.events(spark, dir)
-      .filter(col("event_type") === "purchase")
+      // value IS NOT NULL: a valueless purchase has no amount to
+      // concentrate — and a NULL cell would otherwise sit at OPPOSITE
+      // ends of the cumulative window in the two engines (Spark orders
+      // NULLS FIRST ascending, DuckDB NULLS LAST), shifting every rank
+      // (caught by the `nulls` mutation sweep; no-op on NULL-free data)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
       .select(expr("CAST(round(value * 100) AS BIGINT)").as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("nv"))
       .stageCheckpoint() // bounded value domain (2-dp cents)
@@ -2963,7 +3024,7 @@ object EventOps {
 
   val qStatsGiniOracle: String =
     """WITH p AS (SELECT CAST(round(value * 100) AS BIGINT) v FROM events
-        WHERE event_type = 'purchase'),
+        WHERE event_type = 'purchase' AND value IS NOT NULL),
       cells AS (SELECT v, count(*)::BIGINT nv FROM p GROUP BY 1),
       t AS (SELECT sum(nv)::BIGINT n, sum(v::HUGEINT * nv)::HUGEINT sv
         FROM cells),
@@ -3598,6 +3659,10 @@ object EventOps {
   def qStatsKs(spark: SparkSession, dir: String): DataFrame = {
     val dec = "decimal(38,0)"
     val cell = Tables.events(spark, dir)
+      // NULL values carry no sample for either distribution, and a NULL
+      // bin would sit at opposite cum-window ends across engines (the
+      // qStatsGini NULLS FIRST/LAST divergence; no-op on NULL-free data)
+      .filter(col("value").isNotNull)
       .select(floor(col("value") / 5).cast("long").as("bin"),
         (col("event_type") === "purchase").as("isa"))
       .groupBy(col("bin"))
@@ -3628,7 +3693,7 @@ object EventOps {
 
   val qStatsKsOracle: String =
     """WITH b AS (SELECT floor(value / 5)::BIGINT bin,
-        event_type = 'purchase' isa FROM events),
+        event_type = 'purchase' isa FROM events WHERE value IS NOT NULL),
       cell AS (SELECT bin,
           sum(CASE WHEN isa THEN 1 ELSE 0 END)::BIGINT n1,
           sum(CASE WHEN NOT isa THEN 1 ELSE 0 END)::BIGINT n2
@@ -3908,7 +3973,7 @@ object EventOps {
     "q_events_bots" -> qEventsBotsOracle,
     "q_stream_tumbling" -> qEventsTumblingOracle,
     "q_stream_recovery" -> qStreamRecoveryOracle,
-    "q_stream_session" -> qEventsSessionOracle,
+    "q_stream_session" -> qStreamSessionOracle,
     "q_stream_dedup" -> qStreamDedupOracle,
     "q_stream_join" -> qStreamJoinOracle,
     "q_stream_outer_join" -> qStreamOuterJoinOracle,

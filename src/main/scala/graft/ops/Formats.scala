@@ -116,7 +116,12 @@ object Formats {
     // line) makes count(doc_id) include quarantined rows; count ids on
     // CLEAN rows explicitly so the metric is parser-version-independent
     parsed
-      .groupBy(coalesce(col("lang"), lit("__corrupt")).as("lang_bucket"))
+      // bucket on CORRUPTNESS, not lang-nullability: a clean row whose
+      // lang is genuinely NULL (untagged doc — to_json drops the field,
+      // so it parses back as NULL) must land in its own NULL bucket like
+      // the oracle's CASE, not be folded into __corrupt (nulls sweep)
+      .groupBy(when(col("_corrupt_record").isNotNull, lit("__corrupt"))
+        .otherwise(col("lang")).as("lang_bucket"))
       .agg(count(lit(1)).as("n"),
         count(when(col("_corrupt_record").isNull, col("doc_id")))
           .as("n_parsed_ids"))

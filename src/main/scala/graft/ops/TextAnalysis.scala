@@ -1498,8 +1498,18 @@ object TextAnalysis {
       .select(col("lang"), col("e.key").as("w"), col("e.est").as("est"))
     val tot = exact.groupBy(col("lang"))
       .agg(sum(col("cnt")).as("n_words"), count(lit(1)).as("n_distinct"))
-    exact.join(mg, Seq("lang", "w"), "left_outer")
-      .join(broadcast(tot), "lang")
+    // <=> on lang: groupBy keeps an untagged-language (NULL) group in
+    // BOTH engines, but a plain equi-join key would silently drop it
+    // here while the oracle's LEFT JOIN shape keeps it (caught by the
+    // nulls sweep); null-safe equality preserves the group end to end
+    val withMg = exact
+      .join(mg, exact("lang") <=> mg("lang") && exact("w") === mg("w"),
+        "left_outer")
+      .select(exact("lang"), exact("w"), col("cnt"), col("est"))
+    withMg
+      .join(broadcast(tot), withMg("lang") <=> tot("lang"))
+      .select(withMg("lang"), col("w"), col("cnt"), col("est"),
+        col("n_words"), col("n_distinct"))
       .withColumn("guaranteed", col("cnt") * (K + 1) > col("n_words"))
       .withColumn("found", col("est").isNotNull)
       .withColumn("violation",
@@ -1529,13 +1539,14 @@ object TextAnalysis {
       t AS (SELECT lang, sum(cnt)::BIGINT AS n_words,
           count(*)::BIGINT AS n_distinct FROM e GROUP BY lang),
       g AS (SELECT e.lang, count(*)::BIGINT AS n_guaranteed
-        FROM e JOIN t ON t.lang = e.lang
+        FROM e JOIN t ON t.lang IS NOT DISTINCT FROM e.lang
         WHERE cnt * 17 > n_words GROUP BY e.lang)
       SELECT t.lang, 16::BIGINT AS k, n_words, n_distinct,
         coalesce(n_guaranteed, 0)::BIGINT AS n_guaranteed,
         coalesce(n_guaranteed, 0)::BIGINT AS n_guaranteed_found,
         0::BIGINT AS bound_violations
-      FROM t LEFT JOIN g ON g.lang = t.lang ORDER BY t.lang"""
+      FROM t LEFT JOIN g ON g.lang IS NOT DISTINCT FROM t.lang
+      ORDER BY t.lang"""
 
   /** The whole curation pipeline as ONE composed plan — the point of an
     * engine is that the stages fuse: Gopher keep-rules (scan-side integer

@@ -10,6 +10,10 @@ Modes (comma-separable, applied in order):
   vintage  - rewrite events.ts as raw int64 NANOSECONDS (the old
              generator vintage; Tables.normalizedTs must absorb it —
              applied alone, Spark-side row hashes must equal pristine)
+  nulls    - NULL out ~3% of events.user_id, ~2.5% of events.value and
+             ~2% of documents.lang (NULL-semantics divergence sweep:
+             count vs count(DISTINCT), grouping on NULL keys, null
+             arithmetic)
   skew     - replicate the single busiest user's events 19 extra times
              under fresh event_ids (one ~20x hot key: the user-window,
              session and stream state paths under heavy key skew)
@@ -59,6 +63,21 @@ def main() -> None:
                  f"WHERE user_id = ({hot})")
         if "vintage" in modes and t == "events":
             q = f"SELECT * REPLACE (epoch_ns(ts)::BIGINT AS ts) FROM ({q})"
+        if "nulls" in modes and t == "events":
+            # deterministic NULL injection into the columns a real event
+            # stream leaves nullable: anonymous users (~3%) and events
+            # with no monetary value (~2.5%) — the class of divergence
+            # the round-15 advice flagged for n_users (count vs
+            # count(DISTINCT) NULL semantics)
+            q = (f"SELECT * REPLACE ("
+                 f"CASE WHEN user_id % 37 = 5 THEN NULL ELSE user_id END"
+                 f" AS user_id, "
+                 f"CASE WHEN event_id % 41 = 7 THEN NULL ELSE value END"
+                 f" AS value) FROM ({q})")
+        if "nulls" in modes and t == "documents":
+            # untagged-language documents (~2%)
+            q = (f"SELECT * REPLACE (CASE WHEN doc_id % 53 = 11 THEN NULL "
+                 f"ELSE lang END AS lang) FROM ({q})")
         order = "ORDER BY __rn DESC" if "reverse" in modes else "ORDER BY __rn"
         duckdb.sql(
             f"COPY (SELECT * EXCLUDE (__rn) FROM ({q}) {order}) TO "
