@@ -81,6 +81,14 @@ final class FileLedger(dir: String, conf: Configuration, shards: Int = 1) {
       (shards > 1 && rootFiles.nonEmpty) ||
         (shardDirs.nonEmpty && (shards == 1 || !marker.contains(shards)))
     if (needsReroute) {
+      // the marker is INVALIDATED before anything destructive happens:
+      // a crash anywhere below leaves no marker, so ANY later reopen —
+      // including a rollback to the previous shard count — sees
+      // marker-absent-with-shard-dirs and reroutes from the full union
+      // (a stale old-count marker would instead match a rolled-back
+      // `shards` and suppress the recovery reroute, leaving 7/8 of
+      // history mis-routed)
+      fs.delete(layoutMarker, false)
       val shardFiles = shardDirs.flatMap(d =>
         fs.listStatus(d.getPath).filter(st =>
           st.isFile && st.getPath.getName.startsWith("batch-")))
@@ -93,17 +101,23 @@ final class FileLedger(dir: String, conf: Configuration, shards: Int = 1) {
         if (fs.listStatus(d.getPath).isEmpty) fs.delete(d.getPath, true)
       }
     }
-    if (!marker.contains(shards)) writeMarker()
+    if (!marker.contains(shards) || needsReroute) writeMarker()
   }
 
   private def layoutMarker = new Path(dirPath, "_shards")
 
+  /** None on a missing OR unreadable/unparseable marker (a crash during
+    * the in-place re-stamp can leave an empty file): unparseable falls
+    * back to the safe full-reroute path instead of throwing from every
+    * ledger operation forever.
+    */
   private def readMarker(): Option[Int] =
     if (!fs.exists(layoutMarker)) None
     else {
       val in = fs.open(layoutMarker)
-      try Some(Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+      val txt = try Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
+      scala.util.Try(txt.trim.toInt).toOption
     }
 
   private def writeMarker(): Unit = {

@@ -521,18 +521,27 @@ object EventOps {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("tag").asc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tagged
-      .withColumn("last_view", last(col("v_info"), ignoreNulls = true).over(w))
-      .filter(col("tag") === 1)
-      // NULL-user clicks stay UNMATCHED (standard as-of join semantics:
-      // NULL keys never equal — DuckDB ASOF, pandas merge_asof). The
-      // window would otherwise pool every anonymous user into ONE
-      // partition and carry views across them (caught by the nulls
-      // sweep against the oracle's equality LATERAL join).
+    // NULL-user clicks stay UNMATCHED (standard as-of join semantics:
+    // NULL keys never equal — DuckDB ASOF, pandas merge_asof), and they
+    // BYPASS the window entirely: routing them through partitionBy
+    // (user_id) would pool every anonymous row into ONE hot partition —
+    // a straggler sort at a realistic anonymous-traffic share — only to
+    // mask the result afterwards. Anonymous views vanish (they can match
+    // nothing); anonymous clicks union back with literal-NULL matches.
+    val anonClicks = clicks.filter(col("user_id").isNull)
       .select(col("event_id").as("click_id"), col("user_id"),
         unix_micros(col("ts")).as("click_ts"),
-        when(col("user_id").isNotNull, col("last_view.v_id")).as("view_id"),
-        when(col("user_id").isNotNull, col("last_view.v_ts")).as("view_ts"))
+        lit(null).cast("long").as("view_id"),
+        lit(null).cast("long").as("view_ts"))
+    tagged
+      .filter(col("user_id").isNotNull)
+      .withColumn("last_view", last(col("v_info"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_micros(col("ts")).as("click_ts"),
+        col("last_view.v_id").as("view_id"),
+        col("last_view.v_ts").as("view_ts"))
+      .unionByName(anonClicks)
       .orderBy(col("click_id"))
   }
 
@@ -570,7 +579,16 @@ object EventOps {
     val wf = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").desc, col("tag").desc, col("event_id").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // NULL-user clicks bypass the windows and union back unmatched —
+    // the qEventsAsof family rule (NULL keys never match) without the
+    // pooled NULL hot partition; mirrored in the oracle
+    val anonClicks = clicks.filter(col("user_id").isNull)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_micros(col("ts")).as("click_ts"),
+        lit(null).cast("long").as("view_id"),
+        lit(null).cast("long").as("delta_us"))
     tagged
+      .filter(col("user_id").isNotNull)
       .withColumn("back", last(col("v_info"), ignoreNulls = true).over(wb))
       .withColumn("fwd", last(col("v_info"), ignoreNulls = true).over(wf))
       .filter(col("tag") === 1)
@@ -583,17 +601,13 @@ object EventOps {
       .withColumn("fwd_ok", col("df").isNotNull && col("df") <= TolUs)
       .withColumn("use_back", col("back_ok") &&
         (!col("fwd_ok") || col("db") <= col("df")))
-      // NULL-user clicks stay unmatched — the qEventsAsof family rule
-      // (NULL keys never match; the NULL window partition would pool
-      // all anonymous users otherwise), mirrored in the oracle
       .select(col("event_id").as("click_id"), col("user_id"),
         col("t").as("click_ts"),
-        when(col("user_id").isNotNull,
-          when(col("use_back"), col("back.v_id"))
-            .otherwise(when(col("fwd_ok"), col("fwd.v_id")))).as("view_id"),
-        when(col("user_id").isNotNull,
-          when(col("use_back"), -col("db"))
-            .otherwise(when(col("fwd_ok"), col("df")))).as("delta_us"))
+        when(col("use_back"), col("back.v_id"))
+          .otherwise(when(col("fwd_ok"), col("fwd.v_id"))).as("view_id"),
+        when(col("use_back"), -col("db"))
+          .otherwise(when(col("fwd_ok"), col("df"))).as("delta_us"))
+      .unionByName(anonClicks)
       .orderBy(col("click_id"))
   }
 

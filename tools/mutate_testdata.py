@@ -2,11 +2,19 @@
 """Write a perturbed copy of a testdata SF dir for correct-on-any-data
 sweeps (driver-side dev tool; pairs with graft.Verify + check_oracle.py).
 
-Modes (comma-separable, applied in order):
+Modes (comma-separable; application order is FIXED by the code —
+drop9, dup10, skew, vintage, nulls, with `reverse` flipping the final
+row order — regardless of the order given on the command line. The
+fixed order is load-bearing: skew picks its hot user BEFORE nulls
+injects NULL user_ids, else the NULL pseudo-group could win the
+busiest-user argmax and `user_id = NULL` would match nothing, silently
+turning the skew mode into a no-op):
   drop9    - drop every 9th row of every table (id gaps, sparse ids)
-  reverse  - reverse row order per table (order-independence)
   dup10    - re-append 10% of documents/embeddings under fresh ids and
              redeliver 5% of events (crawl-dup / at-least-once shape)
+  skew     - replicate the single busiest user's events 19 extra times
+             under fresh event_ids (one ~20x hot key: the user-window,
+             session and stream state paths under heavy key skew)
   vintage  - rewrite events.ts as raw int64 NANOSECONDS (the old
              generator vintage; Tables.normalizedTs must absorb it —
              applied alone, Spark-side row hashes must equal pristine)
@@ -14,9 +22,7 @@ Modes (comma-separable, applied in order):
              ~2% of documents.lang (NULL-semantics divergence sweep:
              count vs count(DISTINCT), grouping on NULL keys, null
              arithmetic)
-  skew     - replicate the single busiest user's events 19 extra times
-             under fresh event_ids (one ~20x hot key: the user-window,
-             session and stream state paths under heavy key skew)
+  reverse  - reverse row order per table (order-independence)
 
 Usage: mutate_testdata.py <src_sf_dir> <dst_dir> [modes]
 """
