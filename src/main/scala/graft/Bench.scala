@@ -76,6 +76,44 @@ object Bench {
     (1 to n).map(_ => pass()).min
   }
 
+  /** Fixed-work, Spark-free MEMORY-BANDWIDTH calibration: 16 threads each
+    * sweep a private 64 MB long array twice (2 GB of sequential reads per
+    * pass), in seconds. Complements [[cpuProbe]], which measures
+    * single-thread ALU speed only: the round-15 sessions measured boxes
+    * whose cpu_probe matched (~0.95 s) while the 32-thread snappy+parquet
+    * path ran up to 5× apart (`cdc_rows_s_10x` 327k vs 1.6M) — exactly
+    * the vintage axis the suite's shuffle/scan-bound queries live on.
+    * The thread count is FIXED at 16 (not the box's core count) so the
+    * work is identical on every box; aggregate bandwidth saturates well
+    * below 16 streams on everything we run on. Min over `n` passes after
+    * an untimed warmup (the min is the least contention-polluted pass).
+    */
+  private def memProbe(n: Int): Double = {
+    val threads = 16
+    val words = 8 << 20 // 8M longs = 64 MB per thread
+    val arrays = Array.fill(threads)(
+      Array.tabulate(words)(i => i.toLong * 0x9E3779B97F4A7C15L))
+    def pass(): Double = timeIt {
+      val ts = arrays.map { a =>
+        val t = new Thread(() => {
+          var acc = 0L
+          var sweep = 0
+          while (sweep < 2) {
+            var i = 0
+            while (i < a.length) { acc ^= a(i); i += 1 }
+            sweep += 1
+          }
+          probeSink ^= acc // volatile write: the sweeps cannot be elided
+        })
+        t.start()
+        t
+      }
+      ts.foreach(_.join())
+    }
+    pass()
+    (1 to n).map(_ => pass()).min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -93,6 +131,7 @@ object Bench {
     // exists) and again at run END so the scalar reflects the box across
     // the whole window; the machine line carries the overall min.
     val cpuProbeStart = cpuProbe(3)
+    val memProbeStart = memProbe(3)
 
     val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -398,6 +437,7 @@ object Bench {
     val sfTag = new java.io.File(sfDir).getName
     val nOk = results.values.count(_.nonEmpty)
     val cpuProbeS = math.min(cpuProbeStart, cpuProbe(3))
+    val memProbeS = math.min(memProbeStart, memProbe(3))
     // conversion throughput (rows/s over the 200k-row generated file) —
     // the reference's own workload, stated as a rate so the artifact
     // carries the "matches-or-beats single-node throughput" evidence
@@ -429,22 +469,25 @@ object Bench {
               val runMins = results.collect {
                 case (k, ts) if ts.nonEmpty => k -> ts.head
               }.toMap
-              val regs = BenchCanary.regressions(base, runMins, cpuProbeS)
-              regs.foreach { case (n, b, norm) =>
+              val res = BenchCanary.regressions(base, runMins, cpuProbeS,
+                Some(memProbeS))
+              res.regs.foreach { case (n, b, norm) =>
                 System.err.println(f"[bench] CANARY REGRESSION $n: " +
                   f"min ${norm}%.3f s (normalized) vs committed ${b}%.3f s")
               }
-              val regJson = regs.map { case (n, b, norm) =>
+              val regJson = res.regs.map { case (n, b, norm) =>
                 "\"" + n + "\":[" + fmt(b, 3) + "," + fmt(norm, 3) + "]"
               }.mkString("{", ",", "}")
-              s"""{"metric":"canary","status":"${if (regs.isEmpty) "ok" else "REGRESSED"}","base_cpu_probe_s":${fmt(base.cpuProbeS, 3)},"run_cpu_probe_s":${fmt(cpuProbeS, 3)},"compared":${runMins.keySet.intersect(base.mins.keySet).size},"regressions":$regJson}"""
+              val baseMem = base.memProbeS
+                .map(m => s""""base_mem_probe_s":${fmt(m, 3)},""").getOrElse("")
+              s"""{"metric":"canary","status":"${if (res.regs.isEmpty) "ok" else "REGRESSED"}","base_cpu_probe_s":${fmt(base.cpuProbeS, 3)},"run_cpu_probe_s":${fmt(cpuProbeS, 3)},$baseMem"run_mem_probe_s":${fmt(memProbeS, 3)},"box_shift":${fmt(res.boxShift, 3)},"compared":${runMins.keySet.intersect(base.mins.keySet).size},"regressions":$regJson}"""
           }
         }
       println(canaryLine)
     }
 
     val out =
-      s"""{"metric":"total","value":${fmt(total, 2)},"total_min":${fmt(totalMin, 2)},"unit":"sec","stat":"median_of_$Passes","queries":{},"queries_ok":$nOk,"queries_total":${results.size},"cdc_rows_s":$cdcRate,"cdc_rows_s_10x":$cdcRate10x,"cdc_rows_s_10x_stat":"min_of_$Passes","cdc_splits_10x":$cdcSplits10x,"cpu_probe_s":${fmt(cpuProbeS, 3)},"sf":"$sfTag"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"total_min":${fmt(totalMin, 2)},"unit":"sec","stat":"median_of_$Passes","queries":{},"queries_ok":$nOk,"queries_total":${results.size},"cdc_rows_s":$cdcRate,"cdc_rows_s_10x":$cdcRate10x,"cdc_rows_s_10x_stat":"min_of_$Passes","cdc_splits_10x":$cdcSplits10x,"cpu_probe_s":${fmt(cpuProbeS, 3)},"mem_probe_s":${fmt(memProbeS, 3)},"sf":"$sfTag"}"""
 
     spark.sparkContext.setLogLevel("ERROR") // quiet stop(): nothing may print after the JSON line
     spark.stop()

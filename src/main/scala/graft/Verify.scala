@@ -105,8 +105,22 @@ object Verify {
     // dev convenience: extra args restrict the dump to named queries
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // Dev-only gate-hardening hooks (the driver sets neither, keeping its
+    // gate byte-for-byte unchanged): SPARK_GRAFT_MASTER runs the FULL
+    // 285-query gate under another master — e.g. `local-cluster[2,8,6144]`
+    // for real multi-JVM executors (pair with SPARK_GRAFT_EXTRA_CONF=
+    // "spark.executor.extraClassPath=<classes+jars>" and
+    // SPARK_SCALA_VERSION=2.13, see ClusterSmoke) — and
+    // SPARK_GRAFT_EXTRA_CONF ("k=v;k=v") applies session confs, e.g.
+    // `spark.graft.checkpoint.dir=/tmp/ck` to run the whole surface in
+    // reliable-checkpoint mode. Results must be identical either way;
+    // check with tools/spark_hashes.py against the committed HASHES.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val extraConf = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .map { kv => val a = kv.split("=", 2); (a(0), a(1)) }
+    val builder0 = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -114,6 +128,8 @@ object Verify {
       // 100-entry codegen cache and recompile per query (static conf)
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .withExtensions(new graft.plans.GraftExtensions)
+    val spark = extraConf
+      .foldLeft(builder0) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -3,8 +3,9 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins the bench-regression tripwire's parse + compare rules
-  * ([[BenchCanary]]): cpu_probe normalization direction, the 2×-AND-0.25s
-  * trip condition, new-query and failed-query skips, worst-first order.
+  * ([[BenchCanary]]): cpu/mem probe normalization direction, the
+  * 2×-AND-0.25s trip condition, new-query and failed-query skips,
+  * worst-first order, and the ≥30-pair box-shift median correction.
   */
 class BenchCanarySpec extends AnyFunSuite {
 
@@ -21,11 +22,19 @@ class BenchCanarySpec extends AnyFunSuite {
     "TPC-H-numbered q01 style — and garbage returns None") {
     val b = BenchCanary.parse(baselineJson).get
     assert(b.sf == "sf0.1" && b.cpuProbeS == 1.0)
+    assert(b.memProbeS.isEmpty, "pre-round-15-late baselines have no mem probe")
     assert(b.mins == Map("q_a" -> 0.5, "q_b" -> 1.0, "q_floor" -> 0.08,
       "q01_pricing_summary" -> 0.25, "cdc_convert" -> 0.7))
     assert(BenchCanary.parse("not json at all").isEmpty)
     assert(BenchCanary.parse("""{"queries":{"q_a":1.0}}""").isEmpty,
       "missing sf/probe must not parse")
+  }
+
+  test("parse: optional mem_probe_s comes back when present") {
+    val b = BenchCanary.parse(
+      """{"sf":"sf0.1","cpu_probe_s":1.0,"mem_probe_s":0.42,
+        "queries":{"q_a":0.5}}""").get
+    assert(b.memProbeS.contains(0.42))
   }
 
   test("same box: only a >2x AND >0.25s-excess min trips") {
@@ -34,7 +43,7 @@ class BenchCanarySpec extends AnyFunSuite {
       "q_a" -> 1.9, // 3.8x, excess 1.4 → trips
       "q_b" -> 1.9, // 1.9x → no (ratio rule)
       "q_floor" -> 0.2, // 2.5x but excess 0.12 → no (absolute floor)
-      "cdc_convert" -> 0.71), runProbeS = 1.0)
+      "cdc_convert" -> 0.71), runProbeS = 1.0).regs
     assert(regs.map(_._1) == Seq("q_a"))
     val (_, base, norm) = regs.head
     assert(base == 0.5 && math.abs(norm - 1.9) < 1e-9)
@@ -46,17 +55,72 @@ class BenchCanarySpec extends AnyFunSuite {
     // run box 2x faster (probe 0.5 vs baseline 1.0): 0.6s here ≈ 1.2s
     // there → 2.4x of 0.5 → trips; the raw ratio (1.2x) would not
     assert(BenchCanary.regressions(b, Map("q_a" -> 0.6), 0.5)
-      .map(_._1) == Seq("q_a"))
+      .regs.map(_._1) == Seq("q_a"))
     // symmetric: a 2x slower run box scales DOWN — 1.9s here ≈ 0.95s
     // there → not a regression
-    assert(BenchCanary.regressions(b, Map("q_a" -> 1.9), 2.0).isEmpty)
+    assert(BenchCanary.regressions(b, Map("q_a" -> 1.9), 2.0).regs.isEmpty)
+  }
+
+  test("mem probe: the more forgiving probe ratio wins; one-sided mem " +
+    "probes are ignored") {
+    val b = BenchCanary.parse(
+      """{"sf":"sf0.1","cpu_probe_s":1.0,"mem_probe_s":1.0,
+        "queries":{"q_a":0.5}}""").get
+    // box reads FASTER on ALU (0.5) but 2x slower on memory (2.0): a
+    // 1.9 s min is 0.95 s on the baseline's memory vintage → no trip
+    // (cpu-only normalization would read it as 3.8 s → trip)
+    assert(BenchCanary.regressions(b, Map("q_a" -> 1.9), 0.5, Some(2.0))
+      .regs.isEmpty)
+    // same numbers but the baseline lacks mem_probe_s → cpu-only → trip
+    val noMem = BenchCanary.parse(baselineJson).get
+    assert(BenchCanary.regressions(noMem, Map("q_a" -> 1.9), 0.5, Some(2.0))
+      .regs.nonEmpty)
+    // and the forgiving direction is symmetric: mem says faster box,
+    // cpu says slower — cpu's scale (the smaller) applies
+    assert(BenchCanary.regressions(b, Map("q_a" -> 1.9), 2.0, Some(0.5))
+      .regs.isEmpty)
+  }
+
+  test("box-shift: >=30 pairs, a box-wide uniform slowdown is divided " +
+    "out; a single regressed query still trips above the shifted floor") {
+    val qs = (1 to 30).map(i => s"q_x$i" -> 0.4)
+    val base = BenchCanary.Baseline("sf0.1", 1.0, None,
+      qs.toMap + ("q_bad" -> 0.4))
+    // every query 2.6x slower (box-wide contention the probes missed),
+    // q_bad 9x slower (a real plan regression)
+    val run = qs.map { case (n, t) => n -> t * 2.6 }.toMap +
+      ("q_bad" -> 3.6)
+    val res = BenchCanary.regressions(base, run, 1.0)
+    assert(math.abs(res.boxShift - 2.6) < 1e-9)
+    assert(res.regs.map(_._1) == Seq("q_bad"),
+      s"only the true regression may trip, got ${res.regs}")
+    // without the correction every one of the 31 would have tripped
+  }
+
+  test("box-shift: never applied in the inflating direction (a faster-" +
+    "than-probe box must not manufacture trips), and skipped below 30 " +
+    "pairs") {
+    val qs = (1 to 30).map(i => s"q_x$i" -> 0.4)
+    val base = BenchCanary.Baseline("sf0.1", 1.0, None, qs.toMap)
+    // run uniformly 2x FASTER than the probe predicts: shift floor at 1.0
+    val fast = qs.map { case (n, t) => n -> t / 2 }.toMap
+    val res = BenchCanary.regressions(base, fast, 1.0)
+    assert(res.boxShift == 1.0 && res.regs.isEmpty)
+    // 29 pairs: no correction computed
+    val small = qs.take(29).map { case (n, t) => n -> t * 2.6 }.toMap
+    val res2 = BenchCanary.regressions(
+      BenchCanary.Baseline("sf0.1", 1.0, None, qs.take(29).toMap),
+      small, 1.0)
+    assert(res2.boxShift == 1.0 && res2.regs.size == 29,
+      "below the pair floor the old cpu-only behavior holds exactly")
   }
 
   test("new queries (absent from baseline) and failed runs (t<=0) are " +
     "skipped; trips sort worst-first") {
     val b = BenchCanary.parse(baselineJson).get
     val regs = BenchCanary.regressions(b, Map(
-      "q_new" -> 99.0, "q_a" -> 5.0, "q_b" -> 99.0, "q_gone" -> -1.0), 1.0)
+      "q_new" -> 99.0, "q_a" -> 5.0, "q_b" -> 99.0, "q_gone" -> -1.0),
+      1.0).regs
     assert(regs.map(_._1) == Seq("q_b", "q_a"),
       "q_b at 99x must sort ahead of q_a at 10x; q_new/q_gone skipped")
   }

@@ -39,6 +39,11 @@ def main() -> None:
         "stat": "min_of_3",
         "queries": dict(sorted(mins.items())),
     }
+    # memory-bandwidth vintage (round-15-late): when the committed
+    # baseline carries it, BenchCanary normalizes with the more
+    # forgiving of the cpu/mem probe ratios
+    if "mem_probe_s" in machine:
+        out["mem_probe_s"] = machine["mem_probe_s"]
     with open(out_path, "w", encoding="utf-8") as fh:
         json.dump(out, fh, indent=1)
         fh.write("\n")
