@@ -128,6 +128,46 @@ object FaultSmoke {
         println("[fault] default leg WARNING: consume survived the kill " +
           "(blocks may all have lived on the surviving executor)")
       }
+
+      awaitExecutors(spark, 2)
+
+      // ---- leg 3: the CONVERTER survives an executor kill ----
+      // The reference's own workload under executor loss: the convert
+      // path is parallelize(splits) → flatMap(lazyRows) → v1-committed
+      // parquet write — no checkpoints, no shuffle — so recovery rests
+      // on (a) task retry re-reading the lost splits from the source
+      // bytes (pure recomputation) and (b) the committer discarding the
+      // killed attempt's uncommitted files. PASS = zero failed paths,
+      // output EXACTLY-ONCE: 1.2M rows, all payload ids distinct (the
+      // generator writes id = 0..N-1; a leaked dead-attempt file would
+      // surface as duplicate ids).
+      val conv = spark.newSession()
+      // ~56 MB container / 6 MB splits ≈ 10 byte-range tasks across both
+      // executor JVMs, so the kill always lands on in-flight split reads
+      conv.conf.set("spark.sql.files.maxPartitionBytes", "6m")
+      val convRows = 1200000
+      BenchData.writeCdcAvro(s"$tmp/landing/avro/orders/part-0.avro", convRows)
+      val killer = new Thread(() => {
+        Thread.sleep(2000) // land inside the conversion stage
+        val k = killOne(spark.sparkContext.applicationId)
+        println(s"[fault] converter leg: killed executor pid=$k")
+      })
+      killer.start()
+      val report = graft.convert.AvroToParquetJob.runOnce(conv,
+        s"$tmp/landing/avro/*/*.avro", s"$tmp/out")
+      killer.join()
+      awaitExecutors(spark, 2)
+      val outDf = conv.read.parquet(s"$tmp/out/orders")
+      val nOut = outDf.count()
+      val nIds = outDf.select("id").distinct().count()
+      if (report.failed.nonEmpty || report.converted.size != 1 ||
+        nOut != convRows || nIds != convRows) {
+        println(s"[fault] converter leg FAILED: failed=${report.failed} " +
+          s"converted=${report.converted.size} rows=$nOut distinct=$nIds " +
+          s"(want $convRows/$convRows)")
+        ok = false
+      } else println(s"[fault] converter leg ok: $nOut rows, $nIds " +
+        "distinct ids (exactly-once across the kill)")
     } finally spark.stop()
     println(if (ok) "[fault] RESULT ok" else "[fault] RESULT FAILED")
     if (!ok) sys.exit(1)
