@@ -39,7 +39,11 @@ object Coercions {
     case null => null
     case b: java.lang.Boolean => b
     case other =>
-      val s = scalarString(other).trim.toLowerCase
+      // Locale.ROOT matches the reference's locale-independent
+      // str.lower() token table (main.py _to_bool); a default-locale
+      // lowercase would make data coercion depend on the executor
+      // JVM's -Duser.language (the tr-TR I→ı class)
+      val s = scalarString(other).trim.toLowerCase(java.util.Locale.ROOT)
       if (Set("true", "t", "1", "yes", "y").contains(s)) java.lang.Boolean.TRUE
       else if (Set("false", "f", "0", "no", "n").contains(s)) java.lang.Boolean.FALSE
       else if (IntegerRe.matches(s))

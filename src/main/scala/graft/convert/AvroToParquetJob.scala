@@ -380,7 +380,10 @@ object AvroToParquetJob {
     val m = "(?i)\\s*(\\d+)\\s*([smhd])\\s*".r
     text.trim match {
       case m(n, u) =>
-        val mult = u.toLowerCase match {
+        // Locale.ROOT: under tr-TR the default-locale lowercase maps
+        // I→ı — none of [smhd] today, but config parsing must not
+        // depend on the JVM's locale staying out of the hazard set
+        val mult = u.toLowerCase(java.util.Locale.ROOT) match {
           case "s" => 1; case "m" => 60; case "h" => 3600; case "d" => 86400
         }
         n.toInt * mult
