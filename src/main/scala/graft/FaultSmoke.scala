@@ -147,15 +147,24 @@ object FaultSmoke {
       conv.conf.set("spark.sql.files.maxPartitionBytes", "6m")
       val convRows = 1200000
       BenchData.writeCdcAvro(s"$tmp/landing/avro/orders/part-0.avro", convRows)
+      @volatile var killedAt = 0L
       val killer = new Thread(() => {
         Thread.sleep(2000) // land inside the conversion stage
         val k = killOne(spark.sparkContext.applicationId)
+        killedAt = System.nanoTime()
         println(s"[fault] converter leg: killed executor pid=$k")
       })
       killer.start()
       val report = graft.convert.AvroToParquetJob.runOnce(conv,
         s"$tmp/landing/avro/*/*.avro", s"$tmp/out")
+      val convDoneAt = System.nanoTime()
       killer.join()
+      if (killedAt >= convDoneAt)
+        // correctness still holds either way, but the demonstration is
+        // only decisive when the kill preempts in-flight split tasks
+        println("[fault] converter leg WARNING: kill landed after the " +
+          "conversion completed (fast box?) — raise convRows to make " +
+          "the fault window real")
       awaitExecutors(spark, 2)
       val outDf = conv.read.parquet(s"$tmp/out/orders")
       val nOut = outDf.count()
