@@ -88,11 +88,20 @@ object Bench {
     * below 16 streams on everything we run on. Min over `n` passes after
     * an untimed warmup (the min is the least contention-polluted pass).
     */
-  private def memProbe(n: Int): Double = {
+  // allocated ONCE and shared between the start- and end-of-run samples:
+  // re-allocating 1 GiB at run end, while the local[32] executors' block
+  // state is still resident, risks GC thrash after every query already
+  // succeeded — and per-call allocation would fold alloc+init noise into
+  // a probe meant to measure steady-state read bandwidth
+  private lazy val memProbeArrays: Array[Array[Long]] = {
     val threads = 16
     val words = 8 << 20 // 8M longs = 64 MB per thread
-    val arrays = Array.fill(threads)(
+    Array.fill(threads)(
       Array.tabulate(words)(i => i.toLong * 0x9E3779B97F4A7C15L))
+  }
+
+  private def memProbe(n: Int): Double = {
+    val arrays = memProbeArrays
     def pass(): Double = timeIt {
       val ts = arrays.map { a =>
         val t = new Thread(() => {
@@ -124,9 +133,8 @@ object Bench {
     // through the exact bench path before being baked in below.
     val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val extraConf = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
-      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
-      .map { kv => val a = kv.split("=", 2); (a(0), a(1)) }
+    val extraConf =
+      EnvConf.parseExtraConf(sys.env.get("SPARK_GRAFT_EXTRA_CONF"), "bench")
     // box calibration, sampled at run START (before any Spark state
     // exists) and again at run END so the scalar reflects the box across
     // the whole window; the machine line carries the overall min.
@@ -479,15 +487,22 @@ object Bench {
                 "\"" + n + "\":[" + fmt(b, 3) + "," + fmt(norm, 3) + "]"
               }.mkString("{", ",", "}")
               val baseMem = base.memProbeS
-                .map(m => s""""base_mem_probe_s":${fmt(m, 3)},""").getOrElse("")
-              s"""{"metric":"canary","status":"${if (res.regs.isEmpty) "ok" else "REGRESSED"}","base_cpu_probe_s":${fmt(base.cpuProbeS, 3)},"run_cpu_probe_s":${fmt(cpuProbeS, 3)},$baseMem"run_mem_probe_s":${fmt(memProbeS, 3)},"box_shift":${fmt(res.boxShift, 3)},"compared":${runMins.keySet.intersect(base.mins.keySet).size},"regressions":$regJson}"""
+                .map(m => s""""base_mem_probe_s":${fmt(m, 4)},""").getOrElse("")
+              // box_shifted flags a large residual correction: zero trips
+              // is then conditional on the median shift being BOX-caused —
+              // corroborate via cdc_rows_s_10x / a same-box worktree A/B
+              // before trusting it, since a code change slowing >half the
+              // suite produces the same signature (BASELINE.md §shift)
+              val shifted =
+                if (res.boxShift > 1.25) s""","box_shifted":true""" else ""
+              s"""{"metric":"canary","status":"${if (res.regs.isEmpty) "ok" else "REGRESSED"}","base_cpu_probe_s":${fmt(base.cpuProbeS, 3)},"run_cpu_probe_s":${fmt(cpuProbeS, 3)},$baseMem"run_mem_probe_s":${fmt(memProbeS, 4)},"box_shift":${fmt(res.boxShift, 3)}$shifted,"compared":${res.compared},"regressions":$regJson}"""
           }
         }
       println(canaryLine)
     }
 
     val out =
-      s"""{"metric":"total","value":${fmt(total, 2)},"total_min":${fmt(totalMin, 2)},"unit":"sec","stat":"median_of_$Passes","queries":{},"queries_ok":$nOk,"queries_total":${results.size},"cdc_rows_s":$cdcRate,"cdc_rows_s_10x":$cdcRate10x,"cdc_rows_s_10x_stat":"min_of_$Passes","cdc_splits_10x":$cdcSplits10x,"cpu_probe_s":${fmt(cpuProbeS, 3)},"mem_probe_s":${fmt(memProbeS, 3)},"sf":"$sfTag"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"total_min":${fmt(totalMin, 2)},"unit":"sec","stat":"median_of_$Passes","queries":{},"queries_ok":$nOk,"queries_total":${results.size},"cdc_rows_s":$cdcRate,"cdc_rows_s_10x":$cdcRate10x,"cdc_rows_s_10x_stat":"min_of_$Passes","cdc_splits_10x":$cdcSplits10x,"cpu_probe_s":${fmt(cpuProbeS, 3)},"mem_probe_s":${fmt(memProbeS, 4)},"sf":"$sfTag"}"""
 
     spark.sparkContext.setLogLevel("ERROR") // quiet stop(): nothing may print after the JSON line
     spark.stop()

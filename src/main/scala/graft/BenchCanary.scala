@@ -51,11 +51,14 @@ object BenchCanary {
       mins: Map[String, Double])
 
   /** Tripwire outcome: regressions as (name, committed min, normalized
-    * run min) worst-first, plus the box-shift median actually observed
-    * (1.0 when not computed or not applied) for the artifact line.
+    * run min) worst-first, the box-shift median actually observed (1.0
+    * when not computed or not applied), and the number of pairs that
+    * actually compared (both sides present AND positive — the same
+    * population the box-shift gate counts, so the artifact's `compared`
+    * can never imply a correction that was skipped).
     */
   final case class Result(
-      regs: Seq[(String, Double, Double)], boxShift: Double)
+      regs: Seq[(String, Double, Double)], boxShift: Double, compared: Int)
 
   /** Parse the committed baseline JSON. Hand-rolled (the classpath rule:
     * no libraries beyond Spark's), tolerant of whitespace: top-level
@@ -100,7 +103,10 @@ object BenchCanary {
     val memScale = for {
       bm <- base.memProbeS
       rm <- runMemProbeS
-      if rm > 0
+      // BOTH sides must be positive: a baseline probe quantized to 0.0
+      // (or a failed run sample) would otherwise zero probeScale and
+      // normalize every min to 0.0 — a canary that reports ok forever
+      if bm > 0 && rm > 0
     } yield bm / rm
     // the more forgiving (smaller) of the available probe ratios
     val probeScale = memScale.fold(cpuScale)(m => math.min(cpuScale, m))
@@ -124,6 +130,6 @@ object BenchCanary {
       if (norm > factor * b && norm - b > 0.25) Some((name, b, norm))
       else None
     }.sortBy { case (_, b, n) => -(n / b) }
-    Result(regs, boxShift)
+    Result(regs, boxShift, pairs.size)
   }
 }

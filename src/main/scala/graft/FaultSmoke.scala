@@ -92,7 +92,13 @@ object FaultSmoke {
       val relFrame = staged(rel)
       val before = relFrame.agg(sum("n"), sum("s")).collect().head
       val killed1 = killOne(spark.sparkContext.applicationId)
-      println(s"[fault] reliable leg: killed executor pid=$killed1")
+      if (killed1.isEmpty) {
+        // no executor matched: the fault was NOT injected — the leg must
+        // not pass vacuously on an intact cluster
+        println("[fault] reliable leg FAILED: no executor pid matched " +
+          "(pgrep pattern drift?)"); ok = false
+      }
+      println(s"[fault] reliable leg: killed executor pid=${killed1.getOrElse(-1L)}")
       Thread.sleep(1500)
       val after =
         try Some(relFrame.agg(sum("n"), sum("s")).collect().head)
@@ -112,7 +118,11 @@ object FaultSmoke {
       val locFrame = staged(loc)
       locFrame.count() // materialized on the executors
       val killed2 = killOne(spark.sparkContext.applicationId)
-      println(s"[fault] default leg: killed executor pid=$killed2")
+      if (killed2.isEmpty) {
+        println("[fault] default leg FAILED: no executor pid matched")
+        ok = false
+      }
+      println(s"[fault] default leg: killed executor pid=${killed2.getOrElse(-1L)}")
       Thread.sleep(1500)
       val failedAsExpected =
         try { locFrame.agg(sum("n")).collect(); false }
@@ -148,18 +158,32 @@ object FaultSmoke {
       val convRows = 1200000
       BenchData.writeCdcAvro(s"$tmp/landing/avro/orders/part-0.avro", convRows)
       @volatile var killedAt = 0L
+      @volatile var killerFailed: Option[String] = None
       val killer = new Thread(() => {
-        Thread.sleep(2000) // land inside the conversion stage
-        val k = killOne(spark.sparkContext.applicationId)
-        killedAt = System.nanoTime()
-        println(s"[fault] converter leg: killed executor pid=$k")
+        try {
+          Thread.sleep(2000) // land inside the conversion stage
+          val k = killOne(spark.sparkContext.applicationId)
+          if (k.isEmpty) killerFailed = Some("no executor pid matched")
+          else {
+            killedAt = System.nanoTime()
+            println(s"[fault] converter leg: killed executor pid=${k.get}")
+          }
+        } catch {
+          // an exception here would otherwise die with the thread and the
+          // leg would pass with NO fault injected
+          case e: Throwable => killerFailed = Some(e.toString.take(160))
+        }
       })
       killer.start()
       val report = graft.convert.AvroToParquetJob.runOnce(conv,
         s"$tmp/landing/avro/*/*.avro", s"$tmp/out")
       val convDoneAt = System.nanoTime()
       killer.join()
-      if (killedAt >= convDoneAt)
+      killerFailed.foreach { why =>
+        println(s"[fault] converter leg FAILED: kill not injected ($why)")
+        ok = false
+      }
+      if (killerFailed.isEmpty && killedAt >= convDoneAt)
         // correctness still holds either way, but the demonstration is
         // only decisive when the kill preempts in-flight split tasks
         println("[fault] converter leg WARNING: kill landed after the " +

@@ -116,9 +116,8 @@ object Verify {
     // reliable-checkpoint mode. Results must be identical either way;
     // check with tools/spark_hashes.py against the committed HASHES.
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
-    val extraConf = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
-      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
-      .map { kv => val a = kv.split("=", 2); (a(0), a(1)) }
+    val extraConf =
+      EnvConf.parseExtraConf(sys.env.get("SPARK_GRAFT_EXTRA_CONF"), "verify")
     val builder0 = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)

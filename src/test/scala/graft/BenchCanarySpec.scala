@@ -81,6 +81,27 @@ class BenchCanarySpec extends AnyFunSuite {
       .regs.isEmpty)
   }
 
+  test("mem probe: a zero/garbage baseline probe is ignored, not used " +
+    "as a zero scale that would normalize every min to 0 forever") {
+    val b = BenchCanary.parse(
+      """{"sf":"sf0.1","cpu_probe_s":1.0,"mem_probe_s":0.0,
+        "queries":{"q_a":0.5}}""").get
+    assert(b.memProbeS.contains(0.0))
+    // with an unguarded bm, probeScale would be 0 and 1.9 s would
+    // normalize to 0.0 → no trip; the guard falls back to cpu-only → trip
+    assert(BenchCanary.regressions(b, Map("q_a" -> 1.9), 1.0, Some(0.02))
+      .regs.nonEmpty)
+  }
+
+  test("compared counts the pairs the shift gate counts: both sides " +
+    "present AND positive") {
+    val b = BenchCanary.parse(baselineJson).get
+    val res = BenchCanary.regressions(b, Map(
+      "q_a" -> 0.5, "q_new" -> 1.0, "q_gone" -> -1.0), 1.0)
+    assert(res.compared == 1,
+      "q_new absent from baseline and q_gone failed must not count")
+  }
+
   test("box-shift: >=30 pairs, a box-wide uniform slowdown is divided " +
     "out; a single regressed query still trips above the shifted floor") {
     val qs = (1 to 30).map(i => s"q_x$i" -> 0.4)
