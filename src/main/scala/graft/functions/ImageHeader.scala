@@ -182,28 +182,48 @@ object WavHeader {
   private def isWav(b: Array[Byte]): Boolean =
     b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE"
 
-  /** (channels, sampleRate, bitsPerSample, blockAlign, dataSize) or null. */
-  private def parse(b: Array[Byte]): Array[Long] = {
+  /** The ONE RIFF chunk walk behind [[parse]], [[pcmStats]] and
+    * [[vadStats]] (previously three hand-copied walks — which drifted:
+    * each had the same Int-overflow defect). Returns (channels, rate,
+    * bits, block, dataOff, dataLen) with −1 for absent fields, or null
+    * for non-WAV bytes. ALL position arithmetic is Long: a hostile
+    * 32-bit size field near Int.MaxValue must neither wrap the chunk
+    * index negative (`b(-2147483644)` — AIOOBE instead of the
+    * documented null) nor slip a `off + len > length` bounds check by
+    * wrapping it negative. A size field whose payload runs past the
+    * buffer simply ends the walk — truncated containers degrade to
+    * whatever chunks were complete, exactly the fixed-offset-free
+    * posture the scaladoc promises.
+    */
+  private def walk(b: Array[Byte]): Array[Long] = {
     if (!isWav(b)) return null
     var channels = -1L; var rate = -1L; var bits = -1L; var block = -1L
-    var dataSize = -1L
-    var i = 12
-    while (i + 8 <= b.length && (channels < 0 || dataSize < 0)) {
-      val id = tag(b, i)
-      val size = u32le(b, i + 4)
-      if (id == "fmt " && size >= 16 && i + 8 + 16 <= b.length) {
-        channels = u16le(b, i + 10).toLong
-        rate = u32le(b, i + 12)
-        block = u16le(b, i + 20).toLong
-        bits = u16le(b, i + 22).toLong
+    var dataOff = -1L; var dataLen = -1L
+    var i = 12L
+    while (i + 8 <= b.length && (channels < 0 || dataOff < 0)) {
+      val ii = i.toInt // safe: i + 8 <= b.length <= Int.MaxValue
+      val id = tag(b, ii)
+      val size = u32le(b, ii + 4) // unsigned 32-bit, always fits Long
+      if (id == "fmt " && size >= 16 && i + 24 <= b.length) {
+        channels = u16le(b, ii + 10).toLong
+        rate = u32le(b, ii + 12)
+        block = u16le(b, ii + 20).toLong
+        bits = u16le(b, ii + 22).toLong
       } else if (id == "data") {
-        dataSize = size
+        dataOff = i + 8; dataLen = size
       }
-      if (size > Int.MaxValue - 9) return null // corrupt size field
-      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      i += 8L + size + (size & 1L) // chunks are word-aligned
     }
-    if (channels <= 0 || rate <= 0 || block <= 0 || dataSize < 0) null
-    else Array(channels, rate, bits, block, dataSize)
+    Array(channels, rate, bits, block, dataOff, dataLen)
+  }
+
+  /** (channels, sampleRate, bitsPerSample, blockAlign, dataSize) or null. */
+  private def parse(b: Array[Byte]): Array[Long] = {
+    val w = walk(b)
+    if (w == null) return null
+    val Array(channels, rate, bits, block, _, dataLen) = w
+    if (channels <= 0 || rate <= 0 || block <= 0 || dataLen < 0) null
+    else Array(channels, rate, bits, block, dataLen)
   }
 
   /** Locate the 16-bit PCM payload and fold it: (n_samples, sum of
@@ -213,19 +233,14 @@ object WavHeader {
     * engine-reproducible. Null unless a 16-bit PCM data chunk is found.
     */
   private def pcmStats(b: Array[Byte]): Array[Long] = {
-    if (!isWav(b)) return null
-    var bits = -1L; var off = -1; var len = -1
-    var i = 12
-    while (i + 8 <= b.length && (bits < 0 || off < 0)) {
-      val id = tag(b, i)
-      val size = u32le(b, i + 4)
-      if (id == "fmt " && size >= 16 && i + 24 <= b.length)
-        bits = u16le(b, i + 22).toLong
-      else if (id == "data") { off = i + 8; len = size.toInt }
-      if (size > Int.MaxValue - 9) return null
-      i += 8 + size.toInt + (size.toInt & 1)
-    }
-    if (bits != 16 || off < 0 || len < 0 || off + len > b.length) return null
+    val w = walk(b)
+    if (w == null) return null
+    val bits = w(2); val offL = w(4); val lenL = w(5)
+    // Long compare: a near-Int.MaxValue claimed len cannot wrap the
+    // bounds check negative and send the fold past the buffer
+    if (bits != 16 || offL < 0 || lenL < 0 || offL + lenL > b.length)
+      return null
+    val off = offL.toInt; val len = lenL.toInt // both <= b.length
     val n = len / 2
     var ss = 0L; var peak = 0L; var k = 0
     while (k < n) {
@@ -248,19 +263,12 @@ object WavHeader {
     * signed-sample fold as [[pcmStats]].
     */
   private def vadStats(b: Array[Byte]): Array[Long] = {
-    if (!isWav(b)) return null
-    var bits = -1L; var off = -1; var len = -1
-    var i = 12
-    while (i + 8 <= b.length && (bits < 0 || off < 0)) {
-      val id = tag(b, i)
-      val size = u32le(b, i + 4)
-      if (id == "fmt " && size >= 16 && i + 24 <= b.length)
-        bits = u16le(b, i + 22).toLong
-      else if (id == "data") { off = i + 8; len = size.toInt }
-      if (size > Int.MaxValue - 9) return null
-      i += 8 + size.toInt + (size.toInt & 1)
-    }
-    if (bits != 16 || off < 0 || len < 0 || off + len > b.length) return null
+    val w = walk(b)
+    if (w == null) return null
+    val bits = w(2); val offL = w(4); val lenL = w(5)
+    if (bits != 16 || offL < 0 || lenL < 0 || offL + lenL > b.length)
+      return null
+    val off = offL.toInt; val len = lenL.toInt
     val n = len / 2
     val frames = n / 160
     if (frames == 0) return Array(0L, 0L, 0L)
@@ -443,7 +451,10 @@ object Mp4Header {
   def brand(b: Array[Byte]): UTF8String = {
     if (b == null || !isBmff(b)) return null
     val f = findBox(b, 0, b.length, "ftyp")
-    if (f == null || f(0) + 4 > b.length) null
+    // bound the brand read by the ftyp box's own END, not the buffer:
+    // a truncated ftyp (declared size 8, no payload) must parse to
+    // null, not return the NEXT box's size field as a garbage "brand"
+    if (f == null || f(0) + 4 > f(1)) null
     else UTF8String.fromString(tag(b, f(0)))
   }
 

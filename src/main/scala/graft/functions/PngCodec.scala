@@ -147,6 +147,15 @@ object PngCodec {
       pos += 12 + len.toInt
     }
     if (w <= 0 || h <= 0 || idat.size() == 0) return null
+    // dimension sanity BEFORE allocation: a crafted IHDR with valid CRCs
+    // can declare w=2^31-1 (NegativeArraySizeException from (w+1)*h),
+    // w=h=65536 ((w+1)*h wraps Int to a tiny array → AIOOBE in the
+    // filter loop), or 50000×50000 (a multi-GB allocation bomb) — all
+    // must return the documented null, not crash the task. The Long
+    // product bound also caps memory: a real decode of anything bigger
+    // than 64M gray pixels does not belong in a scan-side expression.
+    if (w.toLong * h.toLong > (64L << 20) ||
+      (w.toLong + 1L) * h.toLong > Int.MaxValue.toLong) return null
 
     val inflater = new Inflater()
     inflater.setInput(idat.toByteArray)

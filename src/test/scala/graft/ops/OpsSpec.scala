@@ -1012,6 +1012,43 @@ class OpsSpec extends AnyFunSuite {
     assert(WavHeader.channels("RIFFxxxxNOPE".getBytes) == null)
     assert(WavHeader.channels(hexBytes("52494646 00000000 57415645")) == null)
     assert(WavHeader.durationMs(Array.empty[Byte]) == null)
+    // HOSTILE 32-bit size fields (review finding): a chunk size near
+    // Int.MaxValue used to wrap the Int walk index negative (AIOOBE at
+    // b(-2147483644)) instead of the documented null — size LE F0FFFF7F
+    // = 0x7FFFFFF0 as the FIRST chunk
+    val hugeChunk = hexBytes(
+      "52494646 3C000000 57415645 4C495354 F0FFFF7F")
+    assert(WavHeader.channels(hugeChunk) == null)
+    assert(WavHeader.pcmSamples(hugeChunk) == null)
+    assert(WavHeader.vadFrames(hugeChunk) == null)
+    // a valid fmt followed by a data chunk CLAIMING 0x7FFFFFF6 bytes:
+    // the old `off + len > length` bounds check wrapped negative and the
+    // PCM fold read past the buffer — must be null on all three folds
+    val hugeData = hexBytes(
+      "52494646 3C000000 57415645" +
+        " 666D7420 10000000 0100 0100 803E0000 007D0000 0200 1000" +
+        " 64617461 F6FFFF7F " + "00" * 8)
+    assert(WavHeader.pcmSamples(hugeData) == null)
+    assert(WavHeader.pcmSumSq(hugeData) == null)
+    assert(WavHeader.vadFrames(hugeData) == null)
+    // metadata view still parses: the claimed size IS the header's word
+    assert(WavHeader.channels(hugeData) == 1)
+  }
+
+  test("multimodal header decoder: a NULL payload is a filterable " +
+    "'unknown' row, not an NPE that fails the task") {
+    val m = graft.ops.Multimodal.HeaderDecoder.decode(null)
+    assert(m.format == "unknown" && m.byteLen == 0L &&
+      m.width.isEmpty && m.height.isEmpty && m.frames.isEmpty)
+  }
+
+  test("mp4 brand: truncated ftyp (no payload) parses to null, not the " +
+    "next box's bytes") {
+    import graft.functions.Mp4Header
+    // ftyp declares size 8 (header only); a moov header follows — the
+    // old buffer-bound check returned the moov SIZE FIELD as the brand
+    val b = hexBytes("00000008 66747970 0000000C 6D6F6F76 00000000")
+    assert(Mp4Header.brand(b) == null)
   }
 
   test("png codec: encode/decode round-trip, CRC verification, " +
@@ -1033,6 +1070,29 @@ class OpsSpec extends AnyFunSuite {
     val corrupt = png.clone()
     corrupt(45) = (corrupt(45) ^ 0x55).toByte
     assert(PngCodec.decodeGray(corrupt) == null)
+
+    // HOSTILE IHDR dimensions with VALID CRCs (review finding): w=2^31-1
+    // used to throw NegativeArraySizeException from (w+1)*h, 65536x65536
+    // wrapped the raw buffer tiny (AIOOBE in the filter loop), and
+    // 50000x50000 was a multi-GB allocation bomb — all must be null
+    def withDims(w: Int, h: Int): Array[Byte] = {
+      val p = png.clone()
+      def putBE(off: Int, v: Int): Unit = {
+        p(off) = (v >>> 24).toByte; p(off + 1) = (v >>> 16).toByte
+        p(off + 2) = (v >>> 8).toByte; p(off + 3) = v.toByte
+      }
+      putBE(16, w); putBE(20, h) // IHDR data starts at byte 16
+      val crc = new java.util.zip.CRC32()
+      crc.update(p, 12, 4 + 13) // type + 13-byte IHDR data
+      putBE(29, crc.getValue.toInt)
+      p
+    }
+    assert(PngCodec.decodeGray(withDims(Int.MaxValue, 1)) == null)
+    assert(PngCodec.decodeGray(withDims(65536, 65536)) == null)
+    assert(PngCodec.decodeGray(withDims(50000, 50000)) == null)
+    // and the guard does not clip legitimate sizes: the 5x4 original
+    // still round-trips after the same patch-and-recrc path
+    assert(PngCodec.decodeGray(withDims(5, 4)) != null)
     // truncated stream
     assert(PngCodec.decodeGray(png.take(40)) == null)
     assert(PngCodec.decodeGray("nope".getBytes) == null)
