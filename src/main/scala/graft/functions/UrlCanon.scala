@@ -31,8 +31,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *   5. trailing slashes stripped from a non-root path; an empty path
   *      becomes `/`;
   *   6. percent-encoding and IDN are out of scope (left byte-identical);
-  *   7. input without `://` is not a URL — returned unchanged;
-  *      null → null.
+  *   7. input without a valid RFC-3986 scheme anchored at position 0
+  *      (`ALPHA *(ALPHA/DIGIT/+/-/.) "://"`) is not a URL — returned
+  *      unchanged (a relative path whose QUERY embeds an absolute URL
+  *      must not be parsed from the embedded `://`); null → null.
+  *
+  * Caveat on rule 6: the kernel operates on Spark's StringType, whose
+  * contract is valid UTF-8. Raw crawl bytes that are NOT valid UTF-8
+  * must be carried in a BINARY column (this expression's String
+  * round-trip would replace invalid sequences with U+FFFD, merging
+  * byte-distinct keys); canonicalize after a validated decode.
   */
 case class UrlCanonicalExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
@@ -68,10 +76,33 @@ object UrlCanonicalExpr {
     name.startsWith("utm_") || TrackingExact.contains(name)
   }
 
+  /** True iff s(0, end) is an RFC-3986 scheme: ALPHA *(ALPHA / DIGIT /
+    * "+" / "-" / "."). Anchoring the scheme this way (not a bare
+    * indexOf("://")) keeps rule 7 honest: a RELATIVE url carrying an
+    * absolute url in its query ("/go?to=https://b.com/x/") has no
+    * scheme and must pass through unchanged — the old code parsed
+    * "/go?to=https" as the scheme and rewrote the non-URL input,
+    * colliding distinct documents onto one dedup key.
+    */
+  private def isScheme(s: String, end: Int): Boolean = {
+    if (end <= 0) return false
+    val c0 = s.charAt(0)
+    if (!((c0 >= 'a' && c0 <= 'z') || (c0 >= 'A' && c0 <= 'Z'))) return false
+    var i = 1
+    while (i < end) {
+      val c = s.charAt(i)
+      val ok = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.'
+      if (!ok) return false
+      i += 1
+    }
+    true
+  }
+
   def compute(u: UTF8String): UTF8String = {
     val s = u.toString
     val schemeEnd = s.indexOf("://")
-    if (schemeEnd < 0) return u
+    if (schemeEnd < 0 || !isScheme(s, schemeEnd)) return u
     val scheme = s.substring(0, schemeEnd).toLowerCase(Locale.ROOT)
     val rest = s.substring(schemeEnd + 3)
 

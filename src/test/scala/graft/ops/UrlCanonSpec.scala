@@ -70,6 +70,21 @@ class UrlCanonSpec extends AnyFunSuite {
     assert(canon("mailto:x@y.z") === "mailto:x@y.z")
   }
 
+  test("scheme must be RFC-3986 and anchored at position 0: a relative " +
+    "path embedding an absolute URL in its query is identity") {
+    // review finding: indexOf("://") parsed "/go?to=https" as the scheme
+    // and rewrote the NON-URL input, colliding "/go?to=https://b.com/x/"
+    // and "/go?to=https://b.com/x" onto one dedup key
+    assert(canon("/go?to=https://b.com/x/") === "/go?to=https://b.com/x/")
+    assert(canon("see https://a.com/ for details") ===
+      "see https://a.com/ for details")
+    assert(canon("ht tp://a.com/") === "ht tp://a.com/")
+    assert(canon("1http://a.com/") === "1http://a.com/")
+    // valid RFC-3986 schemes beyond http(s) still canonicalize
+    assert(canon("FTP://A.com/Dir/") === "ftp://a.com/Dir")
+    assert(canon("a+b-c.d://Host/p/") === "a+b-c.d://host/p")
+  }
+
   test("SQL registration: url_canonical is callable from plain SQL") {
     val spark = SparkTestSession.spark
     val out = spark.sql(
