@@ -100,24 +100,36 @@ object Bench {
       Array.tabulate(words)(i => i.toLong * 0x9E3779B97F4A7C15L))
   }
 
+  // fixed pool shared by every pass: spawning 16 fresh threads per
+  // ~30 ms sample made thread-startup a box-dependent fraction of the
+  // very probe meant to read steady-state bandwidth (ADVICE r15) —
+  // pooled workers are warm after the untimed first pass. Daemon
+  // threads: the pool must not hold the JVM open after main returns.
+  private lazy val memProbePool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(16, r => {
+      val t = new Thread(r, "graft-mem-probe")
+      t.setDaemon(true)
+      t
+    })
+
   private def memProbe(n: Int): Double = {
     val arrays = memProbeArrays
     def pass(): Double = timeIt {
-      val ts = arrays.map { a =>
-        val t = new Thread(() => {
-          var acc = 0L
-          var sweep = 0
-          while (sweep < 2) {
-            var i = 0
-            while (i < a.length) { acc ^= a(i); i += 1 }
-            sweep += 1
+      val fs = arrays.map { a =>
+        memProbePool.submit(new Runnable {
+          def run(): Unit = {
+            var acc = 0L
+            var sweep = 0
+            while (sweep < 2) {
+              var i = 0
+              while (i < a.length) { acc ^= a(i); i += 1 }
+              sweep += 1
+            }
+            probeSink ^= acc // volatile write: the sweeps cannot be elided
           }
-          probeSink ^= acc // volatile write: the sweeps cannot be elided
         })
-        t.start()
-        t
       }
-      ts.foreach(_.join())
+      fs.foreach(_.get())
     }
     pass()
     (1 to n).map(_ => pass()).min

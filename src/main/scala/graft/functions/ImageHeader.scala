@@ -33,15 +33,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ImageHeader {
 
-  private def u16be(b: Array[Byte], i: Int): Int =
-    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
-
-  private def u16le(b: Array[Byte], i: Int): Int =
-    ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
-
-  private def u32be(b: Array[Byte], i: Int): Long =
-    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
-      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  import BinReader.{u16be, u16le, u32be}
 
   private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
 
@@ -168,19 +160,10 @@ object ImageHeaderOps {
   */
 object WavHeader {
 
-  private def u16le(b: Array[Byte], i: Int): Int =
-    ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
-
-  private def u32le(b: Array[Byte], i: Int): Long =
-    ((b(i + 3) & 0xffL) << 24) | ((b(i + 2) & 0xffL) << 16) |
-      ((b(i + 1) & 0xffL) << 8) | (b(i) & 0xffL)
-
-  private def tag(b: Array[Byte], i: Int): String =
-    new String(Array(b(i), b(i + 1), b(i + 2), b(i + 3)),
-      java.nio.charset.StandardCharsets.US_ASCII)
+  import BinReader.{tag4, u16le, u32le}
 
   private def isWav(b: Array[Byte]): Boolean =
-    b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE"
+    b.length >= 12 && tag4(b, 0) == "RIFF" && tag4(b, 8) == "WAVE"
 
   /** The ONE RIFF chunk walk behind [[parse]], [[pcmStats]] and
     * [[vadStats]] (previously three hand-copied walks — which drifted:
@@ -202,7 +185,7 @@ object WavHeader {
     var i = 12L
     while (i + 8 <= b.length && (channels < 0 || dataOff < 0)) {
       val ii = i.toInt // safe: i + 8 <= b.length <= Int.MaxValue
-      val id = tag(b, ii)
+      val id = tag4(b, ii)
       val size = u32le(b, ii + 4) // unsigned 32-bit, always fits Long
       if (id == "fmt " && size >= 16 && i + 24 <= b.length) {
         channels = u16le(b, ii + 10).toLong
@@ -410,16 +393,7 @@ case class WavHeaderAttr(child: Expression, attr: String) extends UnaryExpressio
   */
 object Mp4Header {
 
-  private def u32be(b: Array[Byte], i: Int): Long =
-    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
-      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
-
-  private def u64be(b: Array[Byte], i: Int): Long =
-    (u32be(b, i) << 32) | u32be(b, i + 4)
-
-  private def tag(b: Array[Byte], i: Int): String =
-    new String(Array(b(i), b(i + 1), b(i + 2), b(i + 3)),
-      java.nio.charset.StandardCharsets.US_ASCII)
+  import BinReader.{tag4, u32be, u64be}
 
   /** Walks boxes in [from, to) for `boxType`; returns payload offset and
     * box end, or null. Handles largesize (size==1) and to-eof (size==0).
@@ -438,14 +412,14 @@ object Mp4Header {
         size = (to - i).toLong
       }
       if (size < hdr || size > to - i) return null // corrupt size
-      if (tag(b, i + 4) == boxType) return Array(i + hdr, i + size.toInt)
+      if (tag4(b, i + 4) == boxType) return Array(i + hdr, i + size.toInt)
       i += size.toInt
     }
     null
   }
 
   private def isBmff(b: Array[Byte]): Boolean =
-    b.length >= 12 && tag(b, 4) == "ftyp"
+    b.length >= 12 && tag4(b, 4) == "ftyp"
 
   /** Major brand from the ftyp box, e.g. "isom", "mp42". */
   def brand(b: Array[Byte]): UTF8String = {
@@ -455,7 +429,7 @@ object Mp4Header {
     // a truncated ftyp (declared size 8, no payload) must parse to
     // null, not return the NEXT box's size field as a garbage "brand"
     if (f == null || f(0) + 4 > f(1)) null
-    else UTF8String.fromString(tag(b, f(0)))
+    else UTF8String.fromString(tag4(b, f(0)))
   }
 
   /** (timescale, durationMs) from moov/mvhd, or null. */
@@ -525,7 +499,7 @@ object Mp4Header {
         size = u64be(b, i + 8); hdr = 16
       } else if (size0 == 0) size = (to - i).toLong
       if (size < hdr || size > to - i) return null
-      val t = tag(b, i + 4)
+      val t = tag4(b, i + 4)
       if (t == boxType) return Array(i + hdr, i + size.toInt)
       if (containerBoxes(t)) {
         val r = findBoxRec(b, i + hdr, i + size.toInt, boxType)

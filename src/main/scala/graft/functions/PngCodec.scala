@@ -36,12 +36,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object PngCodec {
 
+  import BinReader.u32be
+
   private val Sig: Array[Int] =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
-
-  private def u32be(b: Array[Byte], i: Int): Long =
-    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
-      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
 
   private def putU32(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
     out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
@@ -197,24 +195,13 @@ object PngCodec {
     (w, h, out)
   }
 
-  /** Mean gray value of the DECODED pixels, null if undecodable. */
-  def brightness(b: Array[Byte]): java.lang.Double = {
-    val d = decodeGray(b)
-    if (d == null) return null
-    val (w, h, p) = d
+  private def brightnessOf(w: Int, h: Int, p: Array[Byte]): Double = {
     var s = 0L; var i = 0
     while (i < p.length) { s += (p(i) & 0xff); i += 1 }
-    java.lang.Double.valueOf(s.toDouble / (w * h))
+    s.toDouble / (w * h)
   }
 
-  /** Nearest-neighbor 4×4 downsample of the decoded pixels, as CSV (the
-    * driver compare cannot hash array columns). Sample grid:
-    * `(floor(cx·w/4), floor(cy·h/4))` for cx, cy in 0..3, row-major.
-    */
-  def resizeCsv(b: Array[Byte]): UTF8String = {
-    val d = decodeGray(b)
-    if (d == null) return null
-    val (w, h, p) = d
+  private def resizeCsvOf(w: Int, h: Int, p: Array[Byte]): UTF8String = {
     val sb = new java.lang.StringBuilder()
     var cy = 0
     while (cy < 4) {
@@ -228,6 +215,43 @@ object PngCodec {
       cy += 1
     }
     UTF8String.fromString(sb.toString)
+  }
+
+  /** Mean gray value of the DECODED pixels, null if undecodable. */
+  def brightness(b: Array[Byte]): java.lang.Double = {
+    val d = decodeGray(b)
+    if (d == null) return null
+    val (w, h, p) = d
+    java.lang.Double.valueOf(brightnessOf(w, h, p))
+  }
+
+  /** Nearest-neighbor 4×4 downsample of the decoded pixels, as CSV (the
+    * driver compare cannot hash array columns). Sample grid:
+    * `(floor(cx·w/4), floor(cy·h/4))` for cx, cy in 0..3, row-major.
+    */
+  def resizeCsv(b: Array[Byte]): UTF8String = {
+    val d = decodeGray(b)
+    if (d == null) return null
+    val (w, h, p) = d
+    resizeCsvOf(w, h, p)
+  }
+
+  /** EVERY decoded statistic from ONE decode — (width, height,
+    * brightness, resized) as a Catalyst struct row, null if undecodable.
+    * This is what [[PngDecodeStats]] evaluates: a query that needs
+    * several readouts of the same image previously planned one
+    * [[PngDecodeStat]] per readout, and each ran the full chunk walk +
+    * CRC verify + inflate + filter reconstruction independently — a
+    * per-row 2× (or worse) decode cost the adjudicated round-15 review
+    * flagged on `q_multimodal_resize`'s hot path.
+    */
+  def decodeStatsRow(b: Array[Byte])
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val d = decodeGray(b)
+    if (d == null) return null
+    val (w, h, p) = d
+    org.apache.spark.sql.catalyst.InternalRow(
+      w, h, brightnessOf(w, h, p), resizeCsvOf(w, h, p))
   }
 
   /** Average-hash (aHash) of the DECODED pixels: nearest-neighbor
@@ -325,7 +349,45 @@ case class PngDecodeStat(child: Expression, attr: String) extends UnaryExpressio
     copy(child = newChild)
 }
 
+/** All decoded readouts of one PNG as a STRUCT from a SINGLE decode:
+  * `png_decode_stats(binary)` → `STRUCT<width INT, height INT,
+  * brightness DOUBLE, resized STRING>`, null when undecodable. The
+  * expression is deliberately NOT cheap in CollapseProject's sense, so
+  * aliasing it in one projection and extracting fields in the next keeps
+  * exactly one decode per row in the plan — the optimizer refuses to
+  * inline a non-trivial producer into several consumers (pinned by
+  * PlanAuditSpec on `q_multimodal_resize`).
+  */
+case class PngDecodeStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("brightness", DoubleType, nullable = false),
+    StructField("resized", StringType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "png_decode_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    PngCodec.decodeStatsRow(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      // freshName: with a non-nullable child the snippet is emitted
+      // without an enclosing block, and a fixed local would collide if
+      // two decodes land in one generated function
+      val r = ctx.freshName("pngStats")
+      s"""org.apache.spark.sql.catalyst.InternalRow $r =
+           graft.functions.PngCodec.decodeStatsRow($c);
+         if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }"""
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PngDecodeStats =
+    copy(child = newChild)
+}
+
 object PngOps {
+  def pngDecodeStats(c: Column): Column =
+    ColumnBridge.column(PngDecodeStats(ColumnBridge.expression(c)))
   def pngEncodeGray(w: Column, h: Column, seed: Column): Column =
     ColumnBridge.column(PngEncodeGray(ColumnBridge.expression(w),
       ColumnBridge.expression(h), ColumnBridge.expression(seed)))

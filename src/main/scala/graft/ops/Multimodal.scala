@@ -427,18 +427,28 @@ object Multimodal {
     * leg of the pipeline with the decode genuinely performed.
     */
   def qMultimodalResize(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.ImageHeaderOps._
     import graft.functions.PngOps._
+    // ONE decode per row: all four readouts come out of a single
+    // png_decode_stats struct (chunk walk + CRC verify + inflate + filter
+    // reconstruction run once), and because the struct expression is not
+    // cheap, CollapseProject keeps it in its own projection instead of
+    // inlining a full decode per extracted field — previously width/
+    // height/brightness/resized each decoded independently, an
+    // adjudicated 2× on this query's hot path (PlanAuditSpec pins the
+    // single-decode plan). The decoded width/height ARE the round-trip
+    // proof: they come out of the verified IHDR, same values the header
+    // sniff returned.
     Tables.documents(spark, dir)
       .withColumn("w", (lit(8) + pmod(col("doc_id"), lit(9))).cast("int"))
       .withColumn("h", (lit(8) + pmod(col("doc_id") * 3, lit(9))).cast("int"))
       .withColumn("png", pngEncodeGray(col("w"), col("h"), col("doc_id")))
+      .withColumn("st", pngDecodeStats(col("png")))
       .select(
         col("doc_id"),
-        imageWidth(col("png")).as("width"),
-        imageHeight(col("png")).as("height"),
-        round(pngBrightness(col("png")), 4).as("brightness"),
-        pngResize4(col("png")).as("resized"))
+        col("st.width").as("width"),
+        col("st.height").as("height"),
+        round(col("st.brightness"), 4).as("brightness"),
+        col("st.resized").as("resized"))
       .orderBy(col("doc_id"))
   }
 

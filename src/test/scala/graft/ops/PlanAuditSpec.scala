@@ -815,6 +815,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(hashEx.forall(_.contains("l_returnflag")), hashEx.mkString("\n"))
   }
 
+  test("q_multimodal_resize: ONE png decode per row — the struct-returning " +
+    "expression stays in its own projection, never inlined per field") {
+    val p = plan("q_multimodal_resize")
+    // exactly one decode: the four readouts (width/height/brightness/
+    // resized) extract from ONE png_decode_stats struct; a CollapseProject
+    // regression (or a revert to per-stat expressions) would print the
+    // decode — or png_brightness/png_resize4 — once per consumed field
+    assert(p.sliding("png_decode_stats".length).count(
+      _ == "png_decode_stats") == 1,
+      s"q_multimodal_resize must decode exactly once per row: $p")
+    assert(!p.contains("png_brightness") && !p.contains("png_resize4"),
+      s"per-stat decoders would re-run the full inflate per field: $p")
+    // and the decode is still scan-side: only the presentation sort
+    // exchanges
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1,
+      s"q_multimodal_resize must stay a pure scan-side pipeline: $p")
+  }
+
   test("q_image_dedup: encode+decode+hash are one scan-side projection — " +
     "the only exchange keys on the hash") {
     val p = plan("q_image_dedup")
