@@ -146,7 +146,32 @@ class BenchCanarySpec extends AnyFunSuite {
       "q_b at 99x must sort ahead of q_a at 10x; q_new/q_gone skipped")
   }
 
-  test("the committed baseline file parses and is at the bench sf") {
+  test("both-probe path end-to-end: a memory-vintage slowdown the cpu " +
+    "probe can't see is normalized by the mem ratio, the residual by the " +
+    "box-shift median, and a true regression still trips through both") {
+    val qs = (1 to 30).map(i => s"q_x$i" -> 0.4)
+    val base = BenchCanary.Baseline("sf0.1", 1.0, Some(0.03),
+      qs.toMap + ("q_bad" -> 0.4))
+    // run box: same ALU speed (cpu ratio 1.0) but 2x slower memory
+    // (mem scale = 0.03/0.06 = 0.5 — times here HALVE onto the baseline
+    // box) — plus a further 1.3x ambient residual neither probe saw;
+    // q_bad additionally 6x (the one true plan regression).
+    val run = qs.map { case (n, t) => n -> t * 2.0 * 1.3 }.toMap +
+      ("q_bad" -> 0.4 * 2.0 * 1.3 * 6.0)
+    val res = BenchCanary.regressions(base, run,
+      runProbeS = 1.0, runMemProbeS = Some(0.06))
+    // mem ratio (0.5) is more forgiving than cpu (1.0) → applied FIRST,
+    // so the shift median reads the 1.3 ambient residual, not the full
+    // 2.6 (a 2.6 shift here would mean the mem probe never engaged);
+    // only q_bad survives both corrections
+    assert(math.abs(res.boxShift - 1.3) < 1e-9, s"shift=${res.boxShift}")
+    assert(res.regs.map(_._1) == Seq("q_bad"), res.regs.toString)
+    assert(math.abs(BenchCanary.regressions(base, run, 1.0, None).boxShift
+      - 2.6) < 1e-9, "without the mem probe the median must absorb 2.6x")
+  }
+
+  test("the committed baseline file parses, is at the bench sf, and " +
+    "carries the mem probe (round 16+) so two-probe normalization engages") {
     val f = new java.io.File("BENCH_BASELINE_QUERIES.json")
     assert(f.isFile, "BENCH_BASELINE_QUERIES.json must be committed " +
       "(regenerate with tools/make_bench_baseline.py after a full bench)")
@@ -155,5 +180,8 @@ class BenchCanarySpec extends AnyFunSuite {
     val b = BenchCanary.parse(txt).get
     assert(b.sf == "sf0.1" && b.cpuProbeS > 0 && b.mins.size > 200,
       s"baseline looks wrong: sf=${b.sf} probe=${b.cpuProbeS} n=${b.mins.size}")
+    assert(b.memProbeS.exists(_ > 0),
+      "the committed baseline must carry mem_probe_s — without it the " +
+        "two-probe canary normalization is dormant (r15 verdict item 1)")
   }
 }
