@@ -16,19 +16,25 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q05LocalSupplier(spark, "/root/testdata/sf0.001")
+    RelationalTpch.q05LocalSupplier(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Dedup.queries ++ Similarity.queries ++
+    Relational.queries ++ RelationalTpch.queries ++
+      RelationalQuality.queries ++ Dedup.queries ++ Similarity.queries ++
       GraphOps.queries ++
-      TextAnalysis.queries ++ EventOps.queries ++ Multimodal.queries ++
+      TextAnalysis.queries ++ TextModels.queries ++ TextEval.queries ++
+      TextSampling.queries ++ EventOps.queries ++ EventStreaming.queries ++
+      EventStats.queries ++ Multimodal.queries ++
       ArrayOps.queries ++ Formats.queries ++ Layout.queries ++
       graft.cdc.CdcColumns.queries ++ graft.convert.ConvertQueries.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+    Relational.oracles ++ RelationalTpch.oracles ++
+      RelationalQuality.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       GraphOps.oracles ++
-      TextAnalysis.oracles ++ EventOps.oracles ++ Multimodal.oracles ++
+      TextAnalysis.oracles ++ TextModels.oracles ++ TextEval.oracles ++
+      TextSampling.oracles ++ EventOps.oracles ++ EventStreaming.oracles ++
+      EventStats.oracles ++ Multimodal.oracles ++
       ArrayOps.oracles ++ Formats.oracles ++ Layout.oracles ++
       graft.cdc.CdcColumns.oracles ++ graft.convert.ConvertQueries.oracles
 }

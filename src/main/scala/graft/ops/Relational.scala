@@ -25,370 +25,6 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
-  // ---------- q01: pricing summary (scan → partial agg → final agg) ----------
-  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy($"l_returnflag", $"l_linestatus")
-      .agg(
-        sum($"l_quantity").as("sum_qty"),
-        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
-        round(avg($"l_quantity"), 4).as("avg_qty"),
-        round(avg($"l_discount"), 4).as("avg_disc"),
-        count(lit(1)).as("count_order"))
-      .orderBy($"l_returnflag", $"l_linestatus")
-
-  val q01Oracle: String =
-    """SELECT l_returnflag, l_linestatus,
-      sum(l_quantity) AS sum_qty,
-      round(sum(l_extendedprice), 2) AS sum_base_price,
-      round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-      round(avg(l_quantity), 4) AS avg_qty,
-      round(avg(l_discount), 4) AS avg_disc,
-      count(*) AS count_order
-      FROM lineitem GROUP BY l_returnflag, l_linestatus
-      ORDER BY l_returnflag, l_linestatus"""
-
-  // ---------- q02: global top-k with tie-break (TakeOrderedAndProject) ----------
-  def q02TopkOrders(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
-      .select($"o_orderkey", $"o_custkey", round($"o_totalprice", 2).as("price"),
-        $"o_orderdate")
-      .orderBy($"price".desc, $"o_orderkey".asc)
-      .limit(20)
-
-  val q02Oracle: String =
-    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price, o_orderdate
-      FROM orders ORDER BY price DESC, o_orderkey ASC LIMIT 20"""
-
-  // ---------- q03: selective join + agg + top-k ----------
-  def q03ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
-    val cust = Tables.customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
-    val ord = Tables.orders(spark, dir)
-    val li = Tables.lineitem(spark, dir)
-    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
-      .groupBy($"o_orderkey", $"o_orderdate")
-      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
-      .orderBy($"revenue".desc, $"o_orderkey".asc)
-      .limit(10)
-  }
-
-  val q03Oracle: String =
-    """SELECT o_orderkey, o_orderdate,
-      round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      JOIN customer ON o_custkey = c_custkey
-      WHERE c_mktsegment = 'BUILDING'
-      GROUP BY o_orderkey, o_orderdate
-      ORDER BY revenue DESC, o_orderkey ASC LIMIT 10"""
-
-  // ---------- q05: multi-way join through the star schema ----------
-  def q05LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
-    val r = Tables.region(spark, dir)
-    val n = Tables.nation(spark, dir)
-    val c = Tables.customer(spark, dir)
-    val o = Tables.orders(spark, dir)
-    val l = Tables.lineitem(spark, dir)
-    val s = Tables.supplier(spark, dir)
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(broadcast(s), l("l_suppkey") === s("s_suppkey") &&
-        c("c_nationkey") === s("s_nationkey"))
-      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
-      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-      .groupBy($"n_name")
-      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
-      .orderBy($"n_name")
-  }
-
-  val q05Oracle: String =
-    """SELECT n_name,
-      round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      JOIN customer ON o_custkey = c_custkey
-      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-      JOIN nation ON s_nationkey = n_nationkey
-      JOIN region ON n_regionkey = r_regionkey
-      GROUP BY n_name ORDER BY n_name"""
-
-  // ---------- q06: pure scan + filter + agg (full pushdown showcase) ----------
-  /** TPC-H Q6 shape: a single selective scan with every predicate pushed
-    * to the parquet reader (shipdate band, discount band, quantity cap)
-    * and a two-column ReadSchema — the query whose plan proves the
-    * scan-side machinery (PushedFilters + column pruning) is working.
-    * At 100 TB the date band additionally prunes partitions when the
-    * table is date-partitioned; no shuffle at all (partial + final agg
-    * over a single global group).
-    */
-  def q06ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
-        $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
-        $"l_discount".between(0.02, 0.04) && $"l_quantity" < 24)
-      .agg(round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"),
-        count(lit(1)).as("n_items"))
-
-  val q06Oracle: String =
-    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
-      count(*) AS n_items
-      FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-        AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24"""
-
-  // ---------- q04: correlated EXISTS with a date window ----------
-  /** TPC-H Q4 shape: priority distribution of orders in a date window that
-    * have at least one late line item. The correlated EXISTS becomes a
-    * LEFT SEMI join — Spark dedups order keys inside the join instead of
-    * materializing the multiplied order×lineitem rows, and the EXISTS
-    * predicate (shipped > 60 days after the order date, this schema's
-    * stand-in for Q4's `l_commitdate < l_receiptdate`) rides the join
-    * condition. At scale both sides shuffle once on orderkey; the date
-    * window prunes the orders scan before the shuffle, and the aggregate
-    * is 5 groups — the semi join is the whole query.
-    */
-  def q04OrderPriority(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
-      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
-        $"o_orderdate" < lit("1996-07-01").cast("timestamp"))
-    val l = Tables.lineitem(spark, dir)
-    o.join(l,
-        o("o_orderkey") === l("l_orderkey") &&
-          l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAY"),
-        "left_semi")
-      .groupBy($"o_orderpriority")
-      .agg(count(lit(1)).as("order_count"))
-      .orderBy($"o_orderpriority")
-  }
-
-  val q04Oracle: String =
-    """SELECT o_orderpriority, count(*) AS order_count
-      FROM orders o
-      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-        AND o_orderdate < TIMESTAMP '1996-07-01'
-        AND EXISTS (SELECT 1 FROM lineitem l
-              WHERE l.l_orderkey = o.o_orderkey
-                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
-      GROUP BY o_orderpriority ORDER BY o_orderpriority"""
-
-  // ---------- q12: fact-to-fact join + CASE aggregate ----------
-  /** TPC-H Q12 shape: line items in a ship-date year joined to their
-    * orders, classified into high/low priority CASE counts per class
-    * column (this schema has no `l_shipmode`; `l_returnflag` plays the
-    * class role). The join is fact-to-fact — orders is NOT broadcast at
-    * 100 TB — so the right plan is a single shuffle on orderkey with the
-    * date filter pushed to the lineitem scan and orders pruned to
-    * (orderkey, priority) before the exchange; the CASE aggregation is
-    * map-side partial over 3 groups.
-    */
-  def q12PriorityClass(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
-      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
-        $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
-    val o = Tables.orders(spark, dir).select($"o_orderkey", $"o_orderpriority")
-    val high = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .groupBy($"l_returnflag")
-      .agg(
-        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
-        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
-      .orderBy($"l_returnflag")
-  }
-
-  val q12Oracle: String =
-    """SELECT l_returnflag,
-      sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-          THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
-      sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-          THEN 0 ELSE 1 END)::BIGINT AS low_line_count
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-        AND l_shipdate < TIMESTAMP '1997-01-01'
-      GROUP BY l_returnflag ORDER BY l_returnflag"""
-
-  // ---------- q14: conditional ratio aggregate over a part join ----------
-  /** TPC-H Q14 shape: the share of revenue from promo parts in one ship
-    * month — a conditional-sum / total-sum ratio over lineitem⋈part.
-    * Both sums come out of ONE aggregate pass (the CASE rides the same
-    * partial aggregation; no second join or self-join for the
-    * denominator), and the ratio is derived from the ROUNDED sums so the
-    * two engines divide hash-identical inputs instead of racing summation
-    * order in the 4th decimal. part is broadcast by size at test scale
-    * but grows with the corpus — the query forces neither join strategy,
-    * so AQE's size decision stands at 100 TB.
-    */
-  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
-      .filter($"l_shipdate" >= lit("1996-03-01").cast("timestamp") &&
-        $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
-    val p = Tables.part(spark, dir).select($"p_partkey", $"p_type")
-    val rev = $"l_extendedprice" * (lit(1.0) - $"l_discount")
-    l.join(p, l("l_partkey") === p("p_partkey"))
-      .agg(
-        round(sum(when($"p_type" === "PROMO", rev).otherwise(0.0)), 2)
-          .as("promo_revenue"),
-        round(sum(rev), 2).as("total_revenue"))
-      .select($"promo_revenue", $"total_revenue",
-        round($"promo_revenue" * 100.0 / $"total_revenue", 4).as("promo_pct"))
-  }
-
-  val q14Oracle: String =
-    """WITH t AS (SELECT
-        round(sum(CASE WHEN p_type = 'PROMO'
-          THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2)
-          AS promo_revenue,
-        round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
-      FROM lineitem JOIN part ON l_partkey = p_partkey
-      WHERE l_shipdate >= TIMESTAMP '1996-03-01'
-        AND l_shipdate < TIMESTAMP '1996-04-01')
-      SELECT promo_revenue, total_revenue,
-        round(promo_revenue * 100.0 / total_revenue, 4) AS promo_pct
-      FROM t"""
-
-  // ---------- q10: returned-item reporting (4-way join + group + top-k) ----------
-  /** TPC-H Q10 shape: revenue lost to returned items per customer in a
-    * quarter, top 20 customers. Both selective predicates are pushed to
-    * their scans (returnflag on lineitem, the date window on orders)
-    * BEFORE the fact-fact join; customer joins by size (broadcast at
-    * test scale, shuffle at corpus scale — unforced); nation is a true
-    * fixed-size dimension and is broadcast explicitly. The top-20 runs
-    * as TakeOrderedAndProject on the rounded revenue with custkey
-    * tiebreak, so the LIMIT boundary is deterministic on both engines.
-    */
-  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
-      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
-        $"o_orderdate" < lit("1996-04-01").cast("timestamp"))
-    val l = Tables.lineitem(spark, dir).filter($"l_returnflag" === "R")
-    val c = Tables.customer(spark, dir)
-    val n = Tables.nation(spark, dir)
-    // Revenue in EXACT decimal, not rounded double: a double sum is
-    // order-dependent in its last ULP, and at sf0.01 this query's top
-    // customer landed within an ULP of a cent boundary — Spark and DuckDB
-    // rounded opposite ways. Price and discount are 2-dp values stored as
-    // doubles, so casting each to DECIMAL recovers the exact operand and
-    // the sum becomes associative: identical on both engines regardless
-    // of aggregation order. Emitted as a string (the gate's decimal
-    // convention); ordering happens on the decimal value itself.
-    val revDec = sum($"l_extendedprice".cast("decimal(18,2)") *
-      (lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(18,2)")))
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(c, o("o_custkey") === c("c_custkey"))
-      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-      .groupBy($"c_custkey", $"c_name", $"n_name", $"c_acctbal")
-      .agg(revDec.as("rev_dec"))
-      .orderBy($"rev_dec".desc, $"c_custkey".asc)
-      .limit(20)
-      .select($"c_custkey", $"c_name", $"n_name",
-        round($"c_acctbal", 2).as("acctbal"),
-        // full scale-4 string, no rescale: Spark rounds HALF_UP on a
-        // decimal down-cast while DuckDB rounds half toward zero, and
-        // exact .xx50 sums are common when 2-dp prices meet 2-dp
-        // discounts — emitting the exact sum sidesteps the mode entirely
-        $"rev_dec".cast("string").as("revenue"))
-  }
-
-  val q10Oracle: String =
-    """SELECT c_custkey, c_name, n_name, round(c_acctbal, 2) AS acctbal,
-      sum(l_extendedprice::DECIMAL(18,2)
-        * (1 - l_discount::DECIMAL(18,2)))::VARCHAR AS revenue
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      JOIN customer ON o_custkey = c_custkey
-      JOIN nation ON c_nationkey = n_nationkey
-      WHERE l_returnflag = 'R'
-        AND o_orderdate >= TIMESTAMP '1996-01-01'
-        AND o_orderdate < TIMESTAMP '1996-04-01'
-      GROUP BY c_custkey, c_name, n_name, c_acctbal
-      ORDER BY sum(l_extendedprice::DECIMAL(18,2)
-        * (1 - l_discount::DECIMAL(18,2))) DESC, c_custkey ASC LIMIT 20"""
-
-  // ---------- q13: customer order-count distribution (count of counts) ----------
-  /** TPC-H Q13 shape: the histogram of orders-per-customer — a LEFT OUTER
-    * join with an extra non-key condition (so customers with zero
-    * qualifying orders appear with count 0), a per-customer count, then a
-    * count-of-counts regroup. Two shuffles by necessity (custkey, then
-    * c_count); all-integer output, so the hash compare has no rounding
-    * surface at all. The outer join keys on custkey — at 100 TB both
-    * sides shuffle once and the second aggregate is tiny (distinct count
-    * values).
-    */
-  def q13CustomerDistribution(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(spark, dir)
-    val o = Tables.orders(spark, dir)
-    c.join(o,
-        c("c_custkey") === o("o_custkey") &&
-          o("o_orderpriority") =!= "1-URGENT", "left_outer")
-      .groupBy($"c_custkey")
-      .agg(count($"o_orderkey").as("c_count"))
-      .groupBy($"c_count")
-      .agg(count(lit(1)).as("custdist"))
-      .orderBy($"custdist".desc, $"c_count".desc)
-  }
-
-  val q13Oracle: String =
-    """SELECT c_count, count(*) AS custdist FROM (
-        SELECT c_custkey, count(o_orderkey) AS c_count
-        FROM customer LEFT OUTER JOIN orders
-          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
-        GROUP BY c_custkey) t
-      GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""
-
-  // ---------- q07: nation-pair volume shipping ----------
-  /** TPC-H Q7 shape: bilateral trade volume between two nations per ship
-    * year — supplier nation and customer nation joined through
-    * lineitem→orders→customer, with the symmetric PAIR predicate
-    * `(n1, n2) ∈ {(A,B), (B,A)}` and a year extraction as the group key.
-    * Revenue uses the exact-decimal pattern ([[q10ReturnedItems]]): only
-    * 4 output rows, but each aggregates thousands of line items, so a
-    * cent boundary is one unlucky dataset away — exact decimal removes
-    * the class instead of betting on the data.
-    */
-  def q07VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
-    val n1 = Tables.nation(spark, dir)
-      .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))
-    val n2 = Tables.nation(spark, dir)
-      .select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation"))
-    val l = Tables.lineitem(spark, dir)
-      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
-        $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
-    val o = Tables.orders(spark, dir)
-    val c = Tables.customer(spark, dir)
-    val s = Tables.supplier(spark, dir)
-    val revDec = sum($"l_extendedprice".cast("decimal(18,2)") *
-      (lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(18,2)")))
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
-      .join(c, o("o_custkey") === c("c_custkey"))
-      .join(broadcast(n1), s("s_nationkey") === $"s_nk")
-      .join(broadcast(n2), c("c_nationkey") === $"c_nk")
-      .filter(
-        ($"supp_nation" === "NATION_18" && $"cust_nation" === "NATION_19") ||
-          ($"supp_nation" === "NATION_19" && $"cust_nation" === "NATION_18"))
-      .groupBy($"supp_nation", $"cust_nation",
-        year($"l_shipdate").as("l_year"))
-      .agg(revDec.cast("string").as("revenue"),
-        count(lit(1)).as("n_items"))
-      .orderBy($"supp_nation", $"cust_nation", $"l_year")
-  }
-
-  val q07Oracle: String =
-    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-      year(l_shipdate)::INT AS l_year,
-      sum(l_extendedprice::DECIMAL(18,2)
-        * (1 - l_discount::DECIMAL(18,2)))::VARCHAR AS revenue,
-      count(*) AS n_items
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      JOIN supplier ON l_suppkey = s_suppkey
-      JOIN customer ON o_custkey = c_custkey
-      JOIN nation n1 ON s_nationkey = n1.n_nationkey
-      JOIN nation n2 ON c_nationkey = n2.n_nationkey
-      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-        AND l_shipdate < TIMESTAMP '1998-01-01'
-        AND ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
-          OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
-      GROUP BY supp_nation, cust_nation, l_year
-      ORDER BY supp_nation, cust_nation, l_year"""
-
   // ---------- broadcast dimension join ----------
   def qJoinBroadcast(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -930,7 +566,7 @@ object Relational {
     * checkpointed once per (session, dir, content) and shared by both
     * fuzzy consumers.
     */
-  private def nameDict(spark: SparkSession, dir: String): DataFrame =
+  private[ops] def nameDict(spark: SparkSession, dir: String): DataFrame =
     SessionFixtures.cachedFrame("name_dict", spark, dir)(
       Tables.part(spark, dir)
         .groupBy($"p_name").agg(count(lit(1)).as("n")).stageCheckpoint())
@@ -941,7 +577,7 @@ object Relational {
     * each of which previously re-ran the q-gram blocking + levenshtein
     * verify per invocation.
     */
-  private def fuzzyNamePairs(spark: SparkSession, dir: String): DataFrame =
+  private[ops] def fuzzyNamePairs(spark: SparkSession, dir: String): DataFrame =
     SessionFixtures.cachedFrame("fuzzy_name_pairs", spark, dir)(
       fuzzyPairs(nameDict(spark, dir)).stageCheckpoint())
 
@@ -1396,7 +1032,7 @@ object Relational {
       FROM long GROUP BY m ORDER BY m"""
 
   import org.apache.spark.sql.SparkSession
-  private implicit class Dollar(val sc: StringContext) {
+  private[ops] implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
   }
 
@@ -1775,536 +1411,6 @@ object Relational {
                 AND o.o_orderstatus = 'F' AND o.o_totalprice > 200000)
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
-  // ---------- q17 shape: correlated scalar subqueries (small-qty revenue) ----
-  /** TPC-H Q17 re-shaped to this schema: revenue from lineitems whose
-    * quantity is below 20% of their part's average. The Spark side is
-    * deliberately written as SQL with TWO correlated scalar subqueries so
-    * Catalyst's decorrelation (`DecorrelateInnerQuery` → outer join on a
-    * per-part aggregate) is exercised: the plan has no nested loop, but
-    * Catalyst does NOT merge the two correlated aggregates, so lineitem
-    * is scanned three times — at 100 TB one writes the single joint
-    * aggregate + join form instead (the shape q18 demonstrates); this
-    * query exists to pin the subquery path's correctness.
-    * The 20%-of-average predicate is integer cross-multiplied
-    * (`5·qty·cnt < sum`): quantities are integral, so both engines compare
-    * exact BIGINTs and the decision is FP-free. Revenue is the exact
-    * DECIMAL sum emitted as a string (q10's convention).
-    */
-  def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir).createOrReplaceTempView("li17")
-    Tables.part(spark, dir).createOrReplaceTempView("pt17")
-    spark.sql("""
-      SELECT count(*) AS n_items,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING) AS revenue_sum
-      FROM li17 l JOIN pt17 p ON l.l_partkey = p.p_partkey
-      WHERE p.p_brand = 'Brand#3'
-        AND 5 * CAST(round(l.l_quantity) AS BIGINT) *
-              (SELECT count(*) FROM li17 l2 WHERE l2.l_partkey = l.l_partkey)
-            < (SELECT CAST(round(sum(l2.l_quantity)) AS BIGINT) FROM li17 l2
-               WHERE l2.l_partkey = l.l_partkey)""")
-  }
-
-  val q17Oracle: String =
-    """SELECT count(*) AS n_items,
-      sum(l_extendedprice::DECIMAL(18,2))::VARCHAR AS revenue_sum
-      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-      WHERE p.p_brand = 'Brand#3'
-        AND 5 * round(l.l_quantity)::BIGINT *
-              (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
-            < (SELECT round(sum(l2.l_quantity))::BIGINT FROM lineitem l2
-               WHERE l2.l_partkey = l.l_partkey)"""
-
-  // ---------- q18 shape: large-volume orders (IN-subquery with HAVING) ----
-  /** TPC-H Q18: orders whose total quantity exceeds 150, with customer.
-    * The heavy side is one shuffle on `l_orderkey` with map-side partial
-    * sums; the HAVING filter reduces the key set to ~0.3% BEFORE the
-    * orders/customer joins, and the final top-100 is a
-    * TakeOrderedAndProject, not a global sort. Quantity sums are integral
-    * doubles → exact BIGINTs on both engines.
-    */
-  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
-    val big = Tables.lineitem(spark, dir)
-      .groupBy($"l_orderkey")
-      // round-then-cast, both engines: Spark's bare double→long cast
-      // TRUNCATES while DuckDB's ::BIGINT rounds half-even — identical
-      // only while quantities stay integral. round() is away-from-zero
-      // on the exact binary value in BOTH engines, data-independent.
-      .agg(round(sum($"l_quantity")).cast("long").as("sum_qty"))
-      .filter($"sum_qty" > 150)
-    big.join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
-      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
-      .select($"c_custkey", $"c_name", $"o_orderkey",
-        $"o_orderdate".as("orderdate"),
-        round($"o_totalprice", 2).as("totalprice"), $"sum_qty")
-      .orderBy($"totalprice".desc, $"o_orderkey".asc)
-      .limit(100)
-  }
-
-  val q18Oracle: String =
-    """SELECT c_custkey, c_name, o_orderkey, o_orderdate AS orderdate,
-      round(o_totalprice, 2) AS totalprice, sum_qty
-      FROM (SELECT l_orderkey, round(sum(l_quantity))::BIGINT AS sum_qty
-            FROM lineitem GROUP BY l_orderkey
-            HAVING round(sum(l_quantity))::BIGINT > 150) t
-      JOIN orders ON o_orderkey = l_orderkey
-      JOIN customer ON c_custkey = o_custkey
-      ORDER BY totalprice DESC, o_orderkey ASC LIMIT 100"""
-
-  // ---------- q19 shape: disjunctive join predicates ----------
-  /** TPC-H Q19: revenue under an OR of three brand/size/quantity windows.
-    * The interesting planner property: the join stays a plain equi-join on
-    * `p_partkey` (broadcast — part is a dimension) with the disjunction
-    * applied as a post-join filter, and the common `p_partkey` conjunct is
-    * NOT lost inside the OR. Revenue is decimal-exact (2-dp price × 2-dp
-    * discount factor → scale-4, associative on both engines).
-    */
-  def q19DisjunctivePredicates(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
-    val p = Tables.part(spark, dir)
-    val rev = sum($"l_extendedprice".cast("decimal(18,2)") *
-      (lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(18,2)")))
-    l.join(broadcast(p), $"l_partkey" === $"p_partkey")
-      .filter(
-        ($"p_brand" === "Brand#12" && $"p_size".between(1, 15) &&
-          $"l_quantity".between(1, 11)) ||
-        ($"p_brand" === "Brand#23" && $"p_size".between(1, 25) &&
-          $"l_quantity".between(10, 20)) ||
-        ($"p_brand" === "Brand#3" && $"p_size".between(1, 35) &&
-          $"l_quantity".between(20, 30)))
-      .agg(count(lit(1)).as("n_items"), rev.cast("string").as("revenue"))
-  }
-
-  val q19Oracle: String =
-    """SELECT count(*) AS n_items,
-      sum(l_extendedprice::DECIMAL(18,2)
-        * (1 - l_discount::DECIMAL(18,2)))::VARCHAR AS revenue
-      FROM lineitem JOIN part ON l_partkey = p_partkey
-      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
-               AND l_quantity BETWEEN 1 AND 11)
-         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
-               AND l_quantity BETWEEN 10 AND 20)
-         OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
-               AND l_quantity BETWEEN 20 AND 30)"""
-
-  // ---------- q15 shape: top supplier by revenue (max-equality on agg) ----
-  /** TPC-H Q15: supplier(s) achieving the maximum 3-month revenue. The
-    * revenue per supplier is an exact DECIMAL sum, so the `revenue =
-    * max(revenue)` equality is deterministic — with double sums the
-    * last-ULP summation order could pick a different supplier near a tie.
-    * The global max is a separate `agg(max)` broadcast back as an equality
-    * join — NO unpartitioned window anywhere in the plan. The two uses of
-    * `rev` plan the same `Exchange hashpartitioning(l_suppkey)` subtree,
-    * which Spark's exchange reuse dedupes at execution (the plan carries a
-    * `ReusedExchange`, pinned by PlanAuditSpec): the fact is scanned,
-    * partially aggregated and shuffled ONCE, and the max side reads the
-    * reused shuffle output — same single-scan cost as the old window
-    * spelling without serializing the dimension-sized aggregate through
-    * one task.
-    */
-  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
-    // the explicit isnotnull mirrors what the supplier join pushes into
-    // the join branch — WITHOUT it the two rev subtrees canonicalize
-    // differently (one has the pushed filter, the max side doesn't) and
-    // AQE cannot reuse the shuffle stage
-    val rev = Tables.lineitem(spark, dir)
-      .filter($"l_suppkey".isNotNull &&
-        $"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
-        $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
-      .groupBy($"l_suppkey")
-      .agg(sum($"l_extendedprice".cast("decimal(18,2)") *
-        (lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(18,2)")))
-        .as("total_rev"))
-    val maxRev = rev.agg(max($"total_rev").as("max_rev"))
-    rev.join(broadcast(maxRev), $"total_rev" === $"max_rev")
-      .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
-      .select($"s_suppkey", $"s_name", $"total_rev".cast("string").as("total_revenue"))
-      .orderBy($"s_suppkey")
-  }
-
-  val q15Oracle: String =
-    """WITH rev AS (SELECT l_suppkey,
-        sum(l_extendedprice::DECIMAL(18,2)
-          * (1 - l_discount::DECIMAL(18,2))) AS total_rev
-        FROM lineitem
-        WHERE l_suppkey IS NOT NULL
-          AND l_shipdate >= TIMESTAMP '1996-01-01'
-          AND l_shipdate < TIMESTAMP '1996-04-01'
-        GROUP BY l_suppkey)
-      SELECT s_suppkey, s_name, total_rev::VARCHAR AS total_revenue
-      FROM rev JOIN supplier ON l_suppkey = s_suppkey
-      WHERE total_rev = (SELECT max(total_rev) FROM rev)
-      ORDER BY s_suppkey"""
-
-  // ---------- q02 shape: min-cost supplier per part ----------
-  /** TPC-H Q2's shape without a partsupp table: the part↔supplier bridge
-    * is derived from lineitem (cheapest observed sale price per pair —
-    * exact DECIMAL min, so the min-equality is deterministic). The
-    * correlated scalar subquery `cost = (SELECT min(cost) ... WHERE
-    * partkey = outer.partkey)` decorrelates to a min window PARTITIONED BY
-    * the part key over the pair aggregate — partkey cardinality grows with
-    * the catalog, so the window partitions stay small at any scale (this
-    * is the high-cardinality-safe sibling of the q15 global max, which
-    * needs the agg+broadcast spelling instead). The selective part filter
-    * broadcasts and prunes the fact scan BEFORE the aggregation.
-    */
-  def q02MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
-    val pSel = Tables.part(spark, dir)
-      .filter($"p_size" <= 5 && $"p_type" === "SMALL")
-      .select($"p_partkey", $"p_name")
-    val offers = Tables.lineitem(spark, dir)
-      .join(broadcast(pSel), $"l_partkey" === $"p_partkey")
-      .groupBy($"l_partkey", $"p_name", $"l_suppkey")
-      .agg(min($"l_extendedprice".cast("decimal(18,2)")).as("cost"))
-    val wMin = Window.partitionBy($"l_partkey")
-    offers
-      .withColumn("min_cost", min($"cost").over(wMin))
-      .filter($"cost" === $"min_cost")
-      .join(broadcast(Tables.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
-      .join(broadcast(Tables.nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
-      .select($"l_partkey".as("p_partkey"), $"p_name", $"s_name", $"n_name",
-        $"cost".cast("string").as("cost"))
-      .orderBy($"p_partkey", $"s_name")
-  }
-
-  val q02MinCostOracle: String =
-    """WITH offers AS (SELECT l_partkey, p_name, l_suppkey,
-        min(l_extendedprice::DECIMAL(18,2)) AS cost
-        FROM lineitem JOIN part ON p_partkey = l_partkey
-        WHERE p_size <= 5 AND p_type = 'SMALL'
-        GROUP BY 1, 2, 3),
-      m AS (SELECT *, min(cost) OVER (PARTITION BY l_partkey) AS min_cost
-        FROM offers)
-      SELECT l_partkey AS p_partkey, p_name, s_name, n_name,
-        cost::VARCHAR AS cost
-      FROM m
-      JOIN supplier ON s_suppkey = l_suppkey
-      JOIN nation ON n_nationkey = s_nationkey
-      WHERE cost = min_cost
-      ORDER BY p_partkey, s_name"""
-
-  // ---------- q11 shape: parts above a global value fraction ----------
-  /** TPC-H Q11's shape: per-part traded value, kept where it exceeds a
-    * fraction of the GLOBAL total — the scalar-subquery-over-aggregate
-    * pattern. The global total is a second-level aggregate of the same
-    * per-part aggregate, broadcast back through a 1-row cross join (never
-    * an unpartitioned window); both branches plan the identical
-    * per-partkey exchange, which AQE's exchange reuse dedupes — one fact
-    * scan, one fact shuffle. All sums are exact DECIMAL and the threshold
-    * multiply is DECIMAL×DECIMAL, so the strict > keep-set is
-    * deterministic on both engines.
-    */
-  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
-    val vals = Tables.lineitem(spark, dir)
-      .filter($"l_partkey".isNotNull)
-      .groupBy($"l_partkey")
-      .agg(sum($"l_extendedprice".cast("decimal(18,2)")).as("value"))
-    val total = vals.agg(
-      (sum($"value") * lit(0.0008).cast("decimal(8,6)")).as("threshold"))
-    vals.crossJoin(broadcast(total))
-      .filter($"value" > $"threshold")
-      .select($"l_partkey", $"value".cast("string").as("value"))
-      .orderBy(desc("value"), $"l_partkey")
-  }
-
-  val q11Oracle: String =
-    """WITH vals AS (SELECT l_partkey,
-        sum(l_extendedprice::DECIMAL(18,2)) AS value
-        FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1)
-      SELECT l_partkey, value::VARCHAR AS value
-      FROM vals
-      WHERE value > (SELECT sum(value) FROM vals) * 0.0008::DECIMAL(8,6)
-      ORDER BY value DESC, l_partkey"""
-
-  // ---------- q16 shape: supplier diversity minus excluded suppliers ----
-  /** TPC-H Q16's shape: distinct supplier count per part attribute,
-    * excluding suppliers from a NOT IN subquery. The bridge is the
-    * DISTINCT (part, supplier) pair set from lineitem (map-side
-    * pre-aggregated); the NOT IN decorrelates to a broadcast LEFT ANTI
-    * join (keys are non-null, so NOT IN ≡ NOT EXISTS); the distinct count
-    * shuffles once on the attribute key. Part attributes ride the
-    * broadcast dimension join.
-    */
-  def q16SupplierDiversity(spark: SparkSession, dir: String): DataFrame = {
-    val sizes = Seq(1, 5, 9, 14, 19, 23, 36, 45)
-    val pairs = Tables.lineitem(spark, dir)
-      .select($"l_partkey", $"l_suppkey").distinct()
-    val excl = Tables.supplier(spark, dir)
-      .filter($"s_name".like("%1%")).select($"s_suppkey")
-    val p = Tables.part(spark, dir)
-      .filter($"p_type" =!= "ECONOMY" && $"p_size".isin(sizes: _*))
-    pairs
-      .join(broadcast(p), $"l_partkey" === $"p_partkey")
-      .join(broadcast(excl), $"l_suppkey" === $"s_suppkey", "left_anti")
-      .groupBy($"p_brand", $"p_type", $"p_size")
-      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
-      .orderBy(desc("supplier_cnt"), $"p_brand", $"p_type", $"p_size")
-  }
-
-  val q16Oracle: String =
-    """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
-      SELECT p_brand, p_type, p_size,
-        count(DISTINCT l_suppkey) AS supplier_cnt
-      FROM pairs JOIN part ON p_partkey = l_partkey
-      WHERE p_type <> 'ECONOMY' AND p_size IN (1,5,9,14,19,23,36,45)
-        AND NOT EXISTS (SELECT 1 FROM supplier
-          WHERE s_suppkey = l_suppkey AND s_name LIKE '%1%')
-      GROUP BY 1, 2, 3
-      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
-
-  // ---------- q20 shape: excess-share suppliers (nested IN chain) ------
-  /** TPC-H Q20's shape: suppliers who shipped MORE THAN HALF of some
-    * filtered part's 1996 volume — a two-level nested IN chain,
-    * decorrelated to two LEFT SEMI joins. The part-name IN prunes the
-    * fact BEFORE aggregation (broadcast semi); the per-part total is a
-    * sum window partitioned by the high-cardinality part key over the
-    * pair aggregate (no second shuffle of the same data); the final
-    * supplier IN is a semi join against the qualifying-supplier set.
-    * Quantities are integral doubles, so the sums and the ·0.5 threshold
-    * are exact and the strict > is deterministic.
-    */
-  def q20ExcessShareSupplier(spark: SparkSession, dir: String): DataFrame = {
-    val selParts = Tables.part(spark, dir)
-      .filter($"p_name".like("red%")).select($"p_partkey")
-    val perPair = Tables.lineitem(spark, dir)
-      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
-        $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
-      .join(broadcast(selParts), $"l_partkey" === $"p_partkey", "left_semi")
-      .groupBy($"l_partkey", $"l_suppkey")
-      .agg(sum($"l_quantity").as("q"))
-    val qualified = perPair
-      .withColumn("total_q", sum($"q").over(Window.partitionBy($"l_partkey")))
-      .filter($"q" > $"total_q" * 0.5)
-      .select($"l_suppkey")
-    Tables.supplier(spark, dir)
-      .join(qualified, $"s_suppkey" === $"l_suppkey", "left_semi")
-      .select($"s_suppkey", $"s_name")
-      .orderBy($"s_suppkey")
-  }
-
-  val q20Oracle: String =
-    """WITH ps AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS q,
-        sum(sum(l_quantity)) OVER (PARTITION BY l_partkey) AS total_q
-        FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-          AND l_shipdate < TIMESTAMP '1997-01-01'
-          AND l_partkey IN (SELECT p_partkey FROM part
-            WHERE p_name LIKE 'red%')
-        GROUP BY l_partkey, l_suppkey)
-      SELECT s_suppkey, s_name FROM supplier
-      WHERE s_suppkey IN (SELECT l_suppkey FROM ps WHERE q > 0.5 * total_q)
-      ORDER BY s_suppkey"""
-
-  // ---------- q09 shape: product-type profit by nation and year ----------
-  /** TPC-H Q9's shape (the last classic shape in the suite): profit per
-    * supplier nation per order year over name-filtered parts, with the
-    * cost side derived from `p_retailprice` (no partsupp in this schema).
-    * Both profit terms are exact DECIMAL products carried through one
-    * aggregation pass — revenue at scale 4, cost at scale 6, difference
-    * at scale 6 in BOTH engines (Spark's precision-capped multiply and
-    * DuckDB's width-capped multiply land on the same scale here, so the
-    * VARCHAR render is identical). The selective part filter broadcasts
-    * and prunes the fact first; lineitem⋈orders is the one fact-fact join
-    * (co-keyed on orderkey); the group-by shuffles once on
-    * (nation, year).
-    */
-  def q09ProductProfit(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
-    val o = Tables.orders(spark, dir).select($"o_orderkey", $"o_orderdate")
-    val p = Tables.part(spark, dir)
-      .filter($"p_name".like("%bolt%"))
-      .select($"p_partkey", $"p_retailprice")
-    val s = Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey")
-    val n = Tables.nation(spark, dir).select($"n_nationkey", $"n_name")
-    val profitTerm =
-      $"l_extendedprice".cast("decimal(18,2)") *
-        (lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(18,2)")) -
-      $"p_retailprice".cast("decimal(18,2)") *
-        $"l_quantity".cast("decimal(18,2)") * lit("0.06").cast("decimal(3,2)")
-    l.join(broadcast(p), $"l_partkey" === $"p_partkey")
-      .join(o, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(s), $"l_suppkey" === $"s_suppkey")
-      .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
-      .groupBy($"n_name".as("nation"), year($"o_orderdate").as("o_year"))
-      .agg(sum(profitTerm).cast("string").as("profit"))
-      .orderBy($"nation", desc("o_year"))
-  }
-
-  val q09Oracle: String =
-    """SELECT n_name AS nation, EXTRACT(year FROM o_orderdate)::INT AS o_year,
-      sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))
-        - p_retailprice::DECIMAL(18,2) * l_quantity::DECIMAL(18,2)
-          * 0.06::DECIMAL(3,2))::VARCHAR AS profit
-      FROM lineitem
-      JOIN orders ON o_orderkey = l_orderkey
-      JOIN part ON p_partkey = l_partkey AND p_name LIKE '%bolt%'
-      JOIN supplier ON s_suppkey = l_suppkey
-      JOIN nation ON n_nationkey = s_nationkey
-      GROUP BY 1, 2
-      ORDER BY nation, o_year DESC"""
-
-  // ---------- q21 shape: sole failing supplier (EXISTS + NOT EXISTS) ----
-  /** TPC-H Q21's join topology on the available columns: suppliers (from a
-    * nation subset) who returned items on COMPLETED multi-supplier orders
-    * where no OTHER supplier on the order also returned — the hardest
-    * decorrelation shape in the suite, a multi-way EXISTS + NOT EXISTS
-    * against the SAME fact table. Spelled directly as one left-semi and
-    * one left-anti self-join (no correlated subquery survives to the
-    * plan):
-    *
-    *   - all three lineitem legs join on `l_orderkey`, so the shuffles are
-    *     CO-PARTITIONED — at 100 TB the fact is hashed on the one key
-    *     three times and never re-keyed (the reference Q21 bottleneck);
-    *   - the nation→supplier filter broadcasts and prunes l1 rows ~5×
-    *     BEFORE the self-joins (dimension filter first, like q05);
-    *   - `orders(status='F')` joins on the same l_orderkey key;
-    *   - the final top-k is TakeOrderedAndProject over the per-supplier
-    *     aggregate (supplier-cardinality), never a global sort of facts.
-    *
-    * The (numwait DESC, s_name) order is total (names unique), so the
-    * LIMIT is deterministic.
-    */
-  def q21SoleFailingSupplier(spark: SparkSession, dir: String): DataFrame = {
-    val nations = Seq("NATION_1", "NATION_7", "NATION_13", "NATION_19",
-      "NATION_24")
-    val li = Tables.lineitem(spark, dir)
-    val l1 = li.filter($"l_returnflag" === "R")
-      .select($"l_orderkey", $"l_suppkey")
-    val l2 = li.select($"l_orderkey".as("l2_orderkey"),
-      $"l_suppkey".as("l2_suppkey"))
-    val l3 = li.filter($"l_returnflag" === "R")
-      .select($"l_orderkey".as("l3_orderkey"), $"l_suppkey".as("l3_suppkey"))
-    val o = Tables.orders(spark, dir)
-      .filter($"o_orderstatus" === "F").select($"o_orderkey")
-    val sn = Tables.supplier(spark, dir)
-      .join(broadcast(Tables.nation(spark, dir)
-        .filter($"n_name".isin(nations: _*))),
-        $"s_nationkey" === $"n_nationkey")
-      .select($"s_suppkey", $"s_name")
-    l1.join(broadcast(sn), $"l_suppkey" === $"s_suppkey")
-      .join(o, $"l_orderkey" === $"o_orderkey")
-      .join(l2, $"l_orderkey" === $"l2_orderkey" &&
-        $"l_suppkey" =!= $"l2_suppkey", "left_semi")
-      .join(l3, $"l_orderkey" === $"l3_orderkey" &&
-        $"l_suppkey" =!= $"l3_suppkey", "left_anti")
-      .groupBy($"s_name")
-      .agg(count(lit(1)).as("numwait"))
-      .orderBy(desc("numwait"), $"s_name")
-      .limit(10)
-  }
-
-  val q21Oracle: String =
-    """SELECT s_name, count(*) AS numwait
-      FROM lineitem l1
-      JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
-      JOIN supplier ON s_suppkey = l1.l_suppkey
-      JOIN nation ON n_nationkey = s_nationkey
-        AND n_name IN ('NATION_1','NATION_7','NATION_13','NATION_19','NATION_24')
-      WHERE l1.l_returnflag = 'R'
-        AND EXISTS (SELECT 1 FROM lineitem l2
-          WHERE l2.l_orderkey = l1.l_orderkey
-            AND l2.l_suppkey <> l1.l_suppkey)
-        AND NOT EXISTS (SELECT 1 FROM lineitem l3
-          WHERE l3.l_orderkey = l1.l_orderkey
-            AND l3.l_suppkey <> l1.l_suppkey
-            AND l3.l_returnflag = 'R')
-      GROUP BY s_name
-      ORDER BY numwait DESC, s_name
-      LIMIT 10"""
-
-  // ---------- q08 shape: national market share ----------
-  /** TPC-H Q8 reshaped: NATION_2's share of supplier revenue into ASIA
-    * customers, per order year. Both the share's numerator and
-    * denominator are exact DECIMAL sums carried through the aggregate
-    * (numerator = CASE-gated partial sum riding the same pass as the
-    * denominator — one aggregation, no second join); the final share is
-    * ONE double division of two engine-identical decimals, which IEEE
-    * rounds identically on both sides — so round(·,6) is deterministic
-    * with no summation-order audit needed. Dimension sides all broadcast;
-    * the fact shuffles once on the year.
-    */
-  def q08MarketShare(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
-    val o = Tables.orders(spark, dir)
-    val c = Tables.customer(spark, dir)
-    val s = Tables.supplier(spark, dir)
-    val nC = Tables.nation(spark, dir)
-      .select($"n_nationkey".as("cn_key"), $"n_regionkey".as("cn_region"))
-    val nS = Tables.nation(spark, dir)
-      .select($"n_nationkey".as("sn_key"), $"n_name".as("sn_name"))
-    val r = Tables.region(spark, dir).filter($"r_name" === "ASIA")
-    val vol = $"l_extendedprice".cast("decimal(18,2)") *
-      (lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(18,2)"))
-    l.join(o, $"l_orderkey" === $"o_orderkey")
-      .join(c, $"o_custkey" === $"c_custkey")
-      .join(broadcast(nC), $"c_nationkey" === $"cn_key")
-      .join(broadcast(r), $"cn_region" === $"r_regionkey")
-      .join(s, $"l_suppkey" === $"s_suppkey")
-      .join(broadcast(nS), $"s_nationkey" === $"sn_key")
-      .groupBy(year($"o_orderdate").as("o_year"))
-      .agg(
-        sum(when($"sn_name" === "NATION_2", vol)
-          .otherwise(lit(0).cast("decimal(18,2)"))).as("nation_vol"),
-        sum(vol).as("total_vol"))
-      .select($"o_year",
-        round($"nation_vol".cast("double") / $"total_vol".cast("double"), 6)
-          .as("mkt_share"),
-        $"nation_vol".cast("string").as("nation_vol"),
-        $"total_vol".cast("string").as("total_vol"))
-      .orderBy($"o_year")
-  }
-
-  val q08Oracle: String =
-    """SELECT year(o_orderdate)::INT AS o_year,
-      round((sum(CASE WHEN n2.n_name = 'NATION_2'
-            THEN l_extendedprice::DECIMAL(18,2)
-              * (1 - l_discount::DECIMAL(18,2))
-            ELSE 0::DECIMAL(18,2) END))::DOUBLE
-        / (sum(l_extendedprice::DECIMAL(18,2)
-            * (1 - l_discount::DECIMAL(18,2))))::DOUBLE, 6) AS mkt_share,
-      sum(CASE WHEN n2.n_name = 'NATION_2'
-          THEN l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))
-          ELSE 0::DECIMAL(18,2) END)::VARCHAR AS nation_vol,
-      sum(l_extendedprice::DECIMAL(18,2)
-          * (1 - l_discount::DECIMAL(18,2)))::VARCHAR AS total_vol
-      FROM lineitem
-      JOIN orders ON l_orderkey = o_orderkey
-      JOIN customer ON o_custkey = c_custkey
-      JOIN nation n1 ON c_nationkey = n1.n_nationkey
-      JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
-      JOIN supplier ON l_suppkey = s_suppkey
-      JOIN nation n2 ON s_nationkey = n2.n_nationkey
-      GROUP BY o_year ORDER BY o_year"""
-
-  // ---------- q22 shape: dormant positive-balance customers ----------
-  /** TPC-H Q22 reshaped (no phone column): positive-balance customers with
-    * no order in the final data year, grouped by nation. The NOT EXISTS is
-    * a left-anti join against the date-filtered orders (the filter reaches
-    * the orders scan before the join), and the per-nation balance total is
-    * decimal-exact so no rounded-sum boundary exists.
-    */
-  def q22DormantCustomers(spark: SparkSession, dir: String): DataFrame = {
-    val recent = Tables.orders(spark, dir)
-      .filter($"o_orderdate" >= lit("2001-01-01").cast("timestamp"))
-      .select($"o_custkey")
-    Tables.customer(spark, dir)
-      .filter($"c_acctbal" > 0)
-      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
-      .groupBy($"c_nationkey")
-      .agg(count(lit(1)).as("n_cust"),
-        sum($"c_acctbal".cast("decimal(18,2)")).cast("string").as("total_bal"))
-      .orderBy($"c_nationkey")
-  }
-
-  val q22Oracle: String =
-    """SELECT c_nationkey, count(*) AS n_cust,
-      sum(c_acctbal::DECIMAL(18,2))::VARCHAR AS total_bal
-      FROM customer c
-      WHERE c_acctbal > 0
-        AND NOT EXISTS (SELECT 1 FROM orders o
-              WHERE o.o_custkey = c.c_custkey
-                AND o.o_orderdate >= TIMESTAMP '2001-01-01')
-      GROUP BY c_nationkey ORDER BY c_nationkey"""
-
   // ---------- bloom-reduced shuffle join (runtime-filter shape) ----------
   /** Bloom parameters for the join runtime filter: 2^20 bits = 128 KB of
     * broadcast for ~40× fewer bits set than slots even at sf1 build-side
@@ -2404,859 +1510,8 @@ object Relational {
       WHERE o_orderpriority = '1-URGENT'
       GROUP BY yr, mo ORDER BY yr, mo"""
 
-  // ---------- incremental materialized-view maintenance ----------
-  /** The refresh path of a 100 TB materialized view: history lives as
-    * COMPACT partial-aggregate state — one row per (year, month,
-    * priority) carrying only ALGEBRAIC measures (a count and an exact
-    * DECIMAL sum) — and a refresh touches ONLY the delta rows
-    * (`o_orderdate >= cutoff`, pushed into the scan) plus that state.
-    * The merge is re-aggregation of the union: counts and decimal sums
-    * are associative and exact, so merged state ≡ full recompute
-    * bit-for-bit — which is exactly what the oracle checks by
-    * recomputing the view from the whole base table. The query first
-    * builds the state file (the "previous refresh" output, written
-    * once), then returns the merge plan, which scans orders.parquet
-    * exactly ONCE — the delta side, date filter pushed down; history
-    * never touches the fact again (PlanAudit-pinned). DECIMAL, not
-    * DOUBLE, is load-bearing: float partials would make the merged sum
-    * order-dependent and the view would drift from the recompute.
-    */
-  /** Which sf dir the session's MV state was built from — the state file
-    * is the "previous refresh" fixture; like the bucketed layout and the
-    * CC label table, it is built once per (session, dir) so repeated
-    * calls time the REFRESH (state read + delta scan + merge), which is
-    * the operation this query exists to demonstrate.
-    */
-  def qMatviewMerge(spark: SparkSession, dir: String): DataFrame = {
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    // content-tagged: concurrent processes over different data never share
-    // the matview state (SessionFixtures.contentTag)
-    val state = s"$wh/graft_mv_orders_state_${SessionFixtures.contentTag(spark, dir)}"
-    val cutoff = lit("2001-01-01").cast("timestamp")
-    def partial(df: DataFrame): DataFrame =
-      df.groupBy(year($"o_orderdate").as("yr"),
-          month($"o_orderdate").as("mo"), $"o_orderpriority")
-        .agg(count(lit(1)).as("n_orders"),
-          sum($"o_totalprice".cast("decimal(18,2)")).as("sum_total"))
-    // _SUCCESS at the content-tagged path alone gates the rebuild (see
-    // qPartitionedLayout): a valid state is reused, never overwritten
-    // under a concurrent same-content reader
-    if (!new java.io.File(state, "_SUCCESS").isFile) {
-      partial(Tables.orders(spark, dir).filter($"o_orderdate" < cutoff))
-        .write.mode("overwrite").parquet(state)
-    }
-    val delta = partial(
-      Tables.orders(spark, dir).filter($"o_orderdate" >= cutoff))
-    spark.read.parquet(state).unionByName(delta)
-      .groupBy($"yr", $"mo", $"o_orderpriority")
-      .agg(sum($"n_orders").as("n_orders"),
-        sum($"sum_total").as("sum_total"))
-      .select($"yr", $"mo", $"o_orderpriority", $"n_orders",
-        $"sum_total".cast("string").as("sum_total"))
-      .orderBy($"yr", $"mo", $"o_orderpriority")
-  }
-
-  val qMatviewMergeOracle: String =
-    """SELECT year(o_orderdate)::INT AS yr, month(o_orderdate)::INT AS mo,
-      o_orderpriority, count(*) AS n_orders,
-      (sum(o_totalprice::DECIMAL(18,2)))::VARCHAR AS sum_total
-      FROM orders
-      GROUP BY yr, mo, o_orderpriority ORDER BY yr, mo, o_orderpriority"""
-
-  // ---------- declarative constraint validation (DQ audit) ----------
-  /** Referential-integrity + domain + nullability constraints validated
-    * in one audit pass — the data-contract check that gates a pipeline
-    * promotion (dbt tests / Deequ's verification suite, re-expressed as
-    * plain combine-fed plans). Each FK check is a LEFT ANTI join counted
-    * (null-keyed rows are orphans by definition here: an FK with a NULL
-    * key cannot resolve, and anti-join semantics keep them — documented
-    * because NOT-IN style SQL would silently drop them); domain and
-    * nullability checks are scan-side predicates summed. Every check
-    * emits `(check_name, n_violations, n_checked)` so a clean run still
-    * proves it LOOKED (n_checked carries the evidence; a 0/0 row is a
-    * broken audit, not a clean table).
-    *
-    * Scale shape: anti joins shuffle on their key like any join (orders
-    * is NOT assumed broadcastable); predicate checks ride their scan and
-    * aggregate partially map-side. The seven one-row aggregates union
-    * into one result — dimension-bounded, no collect.
-    */
-  def qDqConstraints(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-    val o = Tables.orders(spark, dir)
-    val c = Tables.customer(spark, dir)
-    val p = Tables.part(spark, dir)
-    val s = Tables.supplier(spark, dir)
-
-    def fkCheck(name: String, fact: DataFrame, key: Column,
-        dim: DataFrame, dimKey: Column): DataFrame = {
-      val orphans = fact.select(key.as("k"))
-        .join(dim.select(dimKey.as("k")), Seq("k"), "left_anti")
-        .agg(count(lit(1)).as("n_violations"))
-      val checked = fact.agg(count(lit(1)).as("n_checked"))
-      orphans.crossJoin(broadcast(checked))
-        .select(lit(name).as("check_name"), $"n_violations", $"n_checked")
-    }
-
-    def predCheck(name: String, df: DataFrame, bad: Column): DataFrame =
-      df.agg(
-        sum(when(bad, 1L).otherwise(0L)).as("n_violations"),
-        count(lit(1)).as("n_checked"))
-        .select(lit(name).as("check_name"), $"n_violations", $"n_checked")
-
-    fkCheck("fk_lineitem_orders", li, $"l_orderkey", o, $"o_orderkey")
-      .unionByName(fkCheck("fk_orders_customer", o, $"o_custkey",
-        c, $"c_custkey"))
-      .unionByName(fkCheck("fk_lineitem_part", li, $"l_partkey",
-        p, $"p_partkey"))
-      .unionByName(fkCheck("fk_lineitem_supplier", li, $"l_suppkey",
-        s, $"s_suppkey"))
-      .unionByName(predCheck("dom_quantity_1_50", li,
-        $"l_quantity" < 1 || $"l_quantity" > 50))
-      .unionByName(predCheck("dom_discount_0_10", li,
-        $"l_discount" < 0 || $"l_discount" > 0.10))
-      .unionByName(predCheck("null_orderdate", o, $"o_orderdate".isNull))
-      .orderBy($"check_name")
-  }
-
-  val qDqConstraintsOracle: String =
-    """SELECT 'dom_discount_0_10' check_name,
-        sum(CASE WHEN l_discount < 0 OR l_discount > 0.10
-          THEN 1 ELSE 0 END)::BIGINT n_violations,
-        count(*)::BIGINT n_checked FROM lineitem
-      UNION ALL
-      SELECT 'dom_quantity_1_50',
-        sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
-          THEN 1 ELSE 0 END)::BIGINT, count(*)::BIGINT FROM lineitem
-      UNION ALL
-      SELECT 'fk_lineitem_orders',
-        (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
-          (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)
-          OR l_orderkey IS NULL)::BIGINT,
-        count(*)::BIGINT FROM lineitem
-      UNION ALL
-      SELECT 'fk_lineitem_part',
-        (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN
-          (SELECT p_partkey FROM part WHERE p_partkey IS NOT NULL)
-          OR l_partkey IS NULL)::BIGINT,
-        count(*)::BIGINT FROM lineitem
-      UNION ALL
-      SELECT 'fk_lineitem_supplier',
-        (SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN
-          (SELECT s_suppkey FROM supplier WHERE s_suppkey IS NOT NULL)
-          OR l_suppkey IS NULL)::BIGINT,
-        count(*)::BIGINT FROM lineitem
-      UNION ALL
-      SELECT 'fk_orders_customer',
-        (SELECT count(*) FROM orders WHERE o_custkey NOT IN
-          (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
-          OR o_custkey IS NULL)::BIGINT,
-        count(*)::BIGINT FROM orders
-      UNION ALL
-      SELECT 'null_orderdate',
-        sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT,
-        count(*)::BIGINT FROM orders
-      ORDER BY check_name"""
-
-  // ---------- k-anonymity audit (privacy risk before release) ----------
-  /** k-anonymity screen over a quasi-identifier tuple — the privacy
-    * audit run before releasing or sharing a derived dataset: customers
-    * whose (nation, market segment, account-balance band) combination
-    * is shared by fewer than k = 5 others are re-identifiable by
-    * linkage. Output is the per-segment risk readout (equivalence-class
-    * counts, risky classes, customers exposed, smallest class) — the
-    * numbers a release review actually reads. Balance bands are integer
-    * thousand-dollar FLOORS over cents — written as an explicit
-    * `floor()` in BOTH engines because the obvious shortcuts disagree
-    * on the negative balances TPC-H contains: DuckDB's `//` TRUNCATES
-    * integers toward zero (−199999//100000 = −1, floor says −2) and
-    * stays fractional on DECIMAL inputs (measured −2.5), while floor is
-    * floor everywhere.
-    *
-    * Scale shape: one combine-fed groupBy over the quasi-identifier
-    * domain (bounded: nations × segments × bands), then a groupBy over
-    * segments — both dimension-scale. No windows, no collects.
-    */
-  def qPrivacyKanon(spark: SparkSession, dir: String): DataFrame = {
-    val k = 5
-    val qi = Tables.customer(spark, dir)
-      .select($"c_mktsegment".as("seg"), $"c_nationkey".as("nat"),
-        expr("CAST(floor(CAST(c_acctbal AS DECIMAL(18,2)) * 100 / 100000)" +
-          " AS BIGINT)").as("band"))
-    qi.groupBy($"seg", $"nat", $"band").agg(count(lit(1)).as("cls"))
-      .groupBy($"seg")
-      .agg(count(lit(1)).as("n_classes"),
-        sum(when($"cls" < k, 1L).otherwise(0L)).as("risky_classes"),
-        sum(when($"cls" < k, $"cls").otherwise(0L)).as("exposed_customers"),
-        min($"cls").as("min_class"), max($"cls").as("max_class"))
-      .orderBy($"seg")
-  }
-
-  val qPrivacyKanonOracle: String =
-    """WITH qi AS (SELECT c_mktsegment seg, c_nationkey nat,
-        floor((c_acctbal::DECIMAL(18,2) * 100) / 100000)::BIGINT band
-      FROM customer),
-      cls AS (SELECT seg, nat, band, count(*)::BIGINT cls FROM qi
-        GROUP BY 1, 2, 3)
-      SELECT seg, count(*)::BIGINT n_classes,
-        sum(CASE WHEN cls < 5 THEN 1 ELSE 0 END)::BIGINT risky_classes,
-        sum(CASE WHEN cls < 5 THEN cls ELSE 0 END)::BIGINT exposed_customers,
-        min(cls)::BIGINT min_class, max(cls)::BIGINT max_class
-      FROM cls GROUP BY seg ORDER BY seg"""
-
-  // ---------- HLL sketch mergeability (per-partition union ≡ global) ----------
-  /** The sketch-merge contract that makes distinct-counting feasible at
-    * 100 TB: per-day (= per-partition) HLL sketches unioned into one
-    * estimate, certified against both the single-pass global sketch and
-    * the exact count. The Datasketches HLL register state is
-    * order-insensitive (each register is a max over item hashes), but
-    * the ESTIMATORS differ — a directly-built sketch answers with the
-    * HIP estimator while a union must fall back to the composite
-    * estimator — so the merged and global estimates are certified equal
-    * within 2 % of the exact count rather than bit-equal, and both
-    * within 5 % of exact (lgK = 12 ⇒ σ ≈ 0.8 %, so these bounds hold
-    * with enormous margin; the self-certifying-boolean discipline of
-    * `q_approx_distinct`). The oracle contributes the exact count and
-    * `true` for both certificates.
-    *
-    * Scale shape: two combine-fed sketch aggregates over the fact (the
-    * per-day one is exactly the daily-rollup + monthly-merge pattern),
-    * one broadcast single-row join. No distinct-shuffle of raw ids
-    * anywhere — that is the point.
-    */
-  def qSketchMerge(spark: SparkSession, dir: String): DataFrame = {
-    val du = Tables.events(spark, dir)
-      .select(to_date($"ts").as("dte"), $"user_id")
-    val merged = du
-      .groupBy($"dte").agg(hll_sketch_agg($"user_id").as("sk"))
-      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est_merged"))
-    du.agg(
-        hll_sketch_estimate(hll_sketch_agg($"user_id")).as("est_global"),
-        countDistinct($"user_id").as("exact_users"))
-      .crossJoin(broadcast(merged))
-      .select($"exact_users",
-        (abs($"est_merged" - $"est_global") <=
-          $"exact_users" * 2 / 100).as("merge_consistent"),
-        (abs($"est_global" - $"exact_users") <=
-          $"exact_users" * 5 / 100).as("within_bound"))
-  }
-
-  val qSketchMergeOracle: String =
-    """SELECT count(DISTINCT user_id) AS exact_users,
-      true AS merge_consistent, true AS within_bound FROM events"""
-
-  // ---------- Count-Min join-size estimation ----------
-  /** Join-cardinality estimation via Count-Min sketch inner product —
-    * the optimizer-side sketch that answers "how big is events ⋈ orders
-    * on the customer key?" WITHOUT running the join: each side collapses
-    * to a d×w = 4×512 counter grid (h_r(k) = md5-derived bucket), the
-    * per-row bucket-wise inner products upper-bound the true size
-    * Σ_k c₁(k)·c₂(k), and the minimum over rows is the estimate. The CM
-    * guarantee is one-sided — estimate ≥ exact ALWAYS (collisions only
-    * add) and exceeds it by ≤ ‖c₁‖₁‖c₂‖₁/w in expectation per row — and
-    * both sides of that sandwich are emitted as exact integers along
-    * with the true size, so the readout IS the proof.
-    *
-    * Scale shape: this is the whole point — the exact answer needs a
-    * key join of two count tables (a shuffle), while the sketch needs
-    * ONE combine-fed aggregate per side into 2048 cells and a
-    * cell-aligned broadcast join; at 100 TB the sketch path is the only
-    * one an optimizer can afford at plan time. Products route through
-    * DECIMAL(38,0); everything is integer end-to-end.
-    */
-  def qSketchJoinsize(spark: SparkSession, dir: String): DataFrame = {
-    val dec = "decimal(38,0)"
-    val w = 512L
-    val left = Tables.events(spark, dir)
-      .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("c"))
-    val right = Tables.orders(spark, dir)
-      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("c"))
-    def cm(df: DataFrame, out: String): DataFrame =
-      df.withColumn("r", explode(sequence(lit(0), lit(3))))
-        .withColumn("b", pmod(conv(substring(md5(concat(col("r"),
-          lit(":"), col("k"))), 1, 6), 16, 10).cast("long"), lit(w)))
-        .groupBy(col("r"), col("b")).agg(sum(col("c")).as(out))
-    val est = cm(left, "c1").join(cm(right, "c2"), Seq("r", "b"))
-      .groupBy(col("r"))
-      .agg(sum(col("c1").cast(dec) * col("c2").cast(dec)).as("ip"))
-      .agg(min(col("ip")).as("est"))
-    val exact = left.join(right, "k")
-      .agg(sum(left("c").cast(dec) * right("c").cast(dec)).as("exact"))
-    val tot = left.agg(sum(col("c")).as("n1"))
-      .crossJoin(broadcast(right.agg(sum(col("c")).as("n2"))))
-    tot.crossJoin(broadcast(exact)).crossJoin(broadcast(est))
-      .select(col("n1"), col("n2"),
-        col("exact").cast("long").as("exact_size"),
-        col("est").cast("long").as("est_size"),
-        (col("est") - col("exact")).cast("long").as("overcount"),
-        (col("est") >= col("exact") &&
-          (col("est") - col("exact")).cast("double") <=
-            lit(4.0) * col("n1").cast("double") * col("n2").cast("double")
-              / w).as("bound_ok"))
-  }
-
-  val qSketchJoinsizeOracle: String =
-    """WITH l AS (SELECT user_id k, count(*)::BIGINT c FROM events
-        GROUP BY 1),
-      r AS (SELECT o_custkey k, count(*)::BIGINT c FROM orders GROUP BY 1),
-      cml AS (SELECT rr r, ('0x' || substr(md5(rr::VARCHAR || ':' ||
-            k::VARCHAR), 1, 6))::BIGINT % 512 b, sum(c)::BIGINT c1
-        FROM l CROSS JOIN (SELECT unnest(range(0, 4)) rr) GROUP BY 1, 2),
-      cmr AS (SELECT rr r, ('0x' || substr(md5(rr::VARCHAR || ':' ||
-            k::VARCHAR), 1, 6))::BIGINT % 512 b, sum(c)::BIGINT c2
-        FROM r CROSS JOIN (SELECT unnest(range(0, 4)) rr) GROUP BY 1, 2),
-      ip AS (SELECT cml.r, sum(c1::HUGEINT * c2)::HUGEINT ip FROM cml
-        JOIN cmr ON cml.r = cmr.r AND cml.b = cmr.b GROUP BY 1),
-      est AS (SELECT min(ip) est FROM ip),
-      ex AS (SELECT sum(l.c::HUGEINT * r.c)::HUGEINT exact FROM l
-        JOIN r ON l.k = r.k),
-      t AS (SELECT (SELECT sum(c) FROM l)::BIGINT n1,
-        (SELECT sum(c) FROM r)::BIGINT n2)
-      SELECT n1, n2, exact::BIGINT exact_size, est::BIGINT est_size,
-        (est - exact)::BIGINT overcount,
-        (est >= exact AND (est - exact)::DOUBLE <=
-          4.0 * n1::DOUBLE * n2::DOUBLE / 512) AS bound_ok
-      FROM t CROSS JOIN ex CROSS JOIN est"""
-
-  // ---------- RFM segmentation (histogram-exact median cutoffs) ----------
-  /** Recency/Frequency/Monetary customer segmentation — the classic
-    * marketing-analytics cut, built the way exact data-dependent
-    * cutoffs stay computable at corpus scale: a global `ntile(4)` needs
-    * a single-partition window over every customer (a scale-killer),
-    * so instead each metric is QUANTIZED to a bounded domain (recency
-    * in days, frequency in orders, monetary in whole thousands of
-    * dollars) and its exact lower median read off a VALUE HISTOGRAM —
-    * one combine-fed `groupBy(metric, value)` whose cardinality is the
-    * metric domain, not the customer count, then a running sum
-    * partitioned BY METRIC (3 partitions of domain-bounded series).
-    * The three cutoffs pivot to one broadcast row; segment labeling is
-    * a pure map. Integer end-to-end (cents, days, counts) ⇒ hash-exact.
-    *
-    * The lower median is `min{v : 2·cum(v) ≥ N}` — stated once and
-    * reimplemented verbatim in the oracle, so both engines share the
-    * definition rather than trusting two `median()` builtins to agree
-    * on interpolation.
-    */
-  def qRfmSegments(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
-    val anchor = o.agg(max(to_date($"o_orderdate")).as("anchor"))
-    val cust = o.groupBy($"o_custkey")
-      .agg(max(to_date($"o_orderdate")).as("last_order"),
-        count(lit(1)).as("freq"),
-        sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"))
-          .as("cents"))
-    val m = cust.crossJoin(broadcast(anchor))
-      .select($"o_custkey",
-        datediff($"anchor", $"last_order").cast("long").as("recency"),
-        $"freq", expr("cents div 100000").as("mon_k"), $"cents")
-    val stacked = m.select(explode(map(
-      lit("recency"), $"recency",
-      lit("freq"), $"freq",
-      lit("mon_k"), $"mon_k")).as(Seq("metric", "v")))
-    val hist = stacked.groupBy($"metric", $"v").agg(count(lit(1)).as("c"))
-    val tot = hist.groupBy($"metric").agg(sum($"c").as("n"))
-    val cut = hist
-      .withColumn("cum", sum($"c").over(
-        Window.partitionBy($"metric").orderBy($"v")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .join(broadcast(tot), "metric")
-      .filter($"cum" * 2 >= $"n")
-      .groupBy($"metric").agg(min($"v").as("med"))
-    val cuts = cut.groupBy()
-      .pivot("metric", Seq("recency", "freq", "mon_k")).agg(first($"med"))
-      .select($"recency".as("r_med"), $"freq".as("f_med"),
-        $"mon_k".as("m_med"))
-    m.crossJoin(broadcast(cuts))
-      .withColumn("seg", concat(
-        when($"recency" <= $"r_med", lit("R")).otherwise(lit("r")),
-        when($"freq" > $"f_med", lit("F")).otherwise(lit("f")),
-        when($"mon_k" > $"m_med", lit("M")).otherwise(lit("m"))))
-      .groupBy($"seg")
-      .agg(count(lit(1)).as("n_cust"), sum($"cents").as("total_cents"),
-        sum($"freq").as("n_orders"))
-      .orderBy($"seg")
-  }
-
-  val qRfmSegmentsOracle: String =
-    """WITH anchor AS (SELECT max(o_orderdate::DATE) a FROM orders),
-      cust AS (SELECT o_custkey, max(o_orderdate::DATE) last_order,
-          count(*)::BIGINT freq,
-          sum((o_totalprice::DECIMAL(18,2) * 100)::BIGINT)::BIGINT cents
-        FROM orders GROUP BY 1),
-      m AS (SELECT o_custkey,
-          date_diff('day', last_order, a)::BIGINT recency,
-          freq, cents // 100000 AS mon_k, cents FROM cust, anchor),
-      stacked AS (
-        SELECT 'recency' metric, recency v FROM m
-        UNION ALL SELECT 'freq', freq FROM m
-        UNION ALL SELECT 'mon_k', mon_k FROM m),
-      hist AS (SELECT metric, v, count(*)::BIGINT c FROM stacked
-        GROUP BY 1, 2),
-      cum AS (SELECT metric, v,
-          sum(c) OVER (PARTITION BY metric ORDER BY v) cum,
-          sum(c) OVER (PARTITION BY metric) n FROM hist),
-      cut AS (SELECT metric, min(v) med FROM cum WHERE cum * 2 >= n
-        GROUP BY 1),
-      cuts AS (SELECT
-        max(CASE WHEN metric = 'recency' THEN med END) r_med,
-        max(CASE WHEN metric = 'freq' THEN med END) f_med,
-        max(CASE WHEN metric = 'mon_k' THEN med END) m_med FROM cut)
-      SELECT (CASE WHEN recency <= r_med THEN 'R' ELSE 'r' END ||
-              CASE WHEN freq > f_med THEN 'F' ELSE 'f' END ||
-              CASE WHEN mon_k > m_med THEN 'M' ELSE 'm' END) AS seg,
-        count(*)::BIGINT n_cust, sum(cents)::BIGINT total_cents,
-        sum(freq)::BIGINT n_orders
-      FROM m, cuts GROUP BY seg ORDER BY seg"""
-
-  // ---------- rolling exact median over a bounded window frame ----------
-  /** Rolling 7-day EXACT median of daily revenue per order priority —
-    * the robust companion to a rolling mean (one outlier day skews a
-    * mean for a week; the median shrugs). Exactness without doubles:
-    * revenue is summed in integer cents per (priority, day) — ONE
-    * combine-fed aggregate collapsing the fact to a calendar-bounded
-    * series — and the median over each ≤7-row frame is read from the
-    * sorted frame list as `L[(n+1) div 2] + L[(n+2) div 2]` (twice the
-    * median; odd n doubles the middle, even n sums the two middles), so
-    * the output `med2` is a BIGINT both engines agree on bit-for-bit —
-    * no division, no `.5` rendering hazard.
-    *
-    * Scale shape: the window partitions by priority over the per-day
-    * aggregate — its input is domain-bounded (#priorities × #days), the
-    * frame is a constant 7 rows, and the corpus-scale fact never
-    * reaches the window. The year filter is applied before aggregation
-    * IDENTICALLY in both engines, so the frames align.
-    */
-  def qWindowMedian(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.orders(spark, dir)
-      .filter(year($"o_orderdate") === 1995)
-      .groupBy($"o_orderpriority".as("prio"),
-        to_date($"o_orderdate").as("dte"))
-      .agg(sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"))
-        .as("cents"))
-    val w = Window.partitionBy($"prio").orderBy($"dte").rowsBetween(-6, 0)
-    daily
-      .withColumn("ls", sort_array(collect_list($"cents").over(w)))
-      .withColumn("n", size($"ls"))
-      .withColumn("med2",
-        element_at($"ls", expr("(n + 1) div 2").cast("int")) +
-          element_at($"ls", expr("(n + 2) div 2").cast("int")))
-      .select($"prio", $"dte".cast("string").as("dte"), $"cents", $"med2")
-      .orderBy($"prio", $"dte")
-  }
-
-  val qWindowMedianOracle: String =
-    """WITH daily AS (SELECT o_orderpriority prio, o_orderdate::DATE dte,
-        sum((o_totalprice::DECIMAL(18,2) * 100)::BIGINT)::BIGINT cents
-      FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1, 2),
-      r AS (SELECT prio, dte, cents,
-        list_sort(list(cents) OVER (PARTITION BY prio ORDER BY dte
-          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) ls FROM daily)
-      SELECT prio, dte::VARCHAR dte, cents,
-        (ls[(len(ls) + 1) // 2] + ls[(len(ls) + 2) // 2])::BIGINT AS med2
-      FROM r ORDER BY prio, dte"""
-
-  // ---------- spatial distance join (grid-blocked, provably complete) ----------
-  /** All-pairs distance join on a 2-D integer grid — the spatial-blocking
-    * pattern (geohash/S2-cell style) reduced to its provable core. Points
-    * get deterministic integer coordinates derived from the key by two
-    * Lehmer-style scrambles (pure 64-bit arithmetic both engines
-    * reproduce bit-for-bit), and the radius-r self-join never goes
-    * quadratic: each point buckets to a ⌈cell = r⌉ grid square, ONE side
-    * expands to its 3×3 neighborhood, and the candidate join is an
-    * EQUI-join on the cell key. Completeness is the floor-function
-    * pigeonhole: |Δx| ≤ r = cell ⇒ the cell indices differ by at most 1
-    * (⌊(a+r)/r⌋ = ⌊a/r⌋+1), so every true pair meets in exactly one of
-    * the 9 probed cells — exactly once, so no distinct is needed. The
-    * oracle is the NAIVE all-pairs join, making the hash match an
-    * end-to-end completeness proof of the blocking (the PPJoin /
-    * fuzzy-match discipline applied to geometry). Distances stay
-    * squared integers (`dist2`), so the compare is exact.
-    *
-    * Scale shape: 9× fan-out on one side of a shuffle equi-join —
-    * linear in the corpus, never quadratic; per-cell density bounds the
-    * verify fan-in the way LSH band buckets do.
-    */
-  private[ops] def spatialPairs(pts: DataFrame, radius: Int): DataFrame = {
-    val cells = pts.select($"id", $"x", $"y",
-      expr(s"x div $radius").as("cx"), expr(s"y div $radius").as("cy"))
-    val probe = cells.select($"id".as("a"), $"x".as("ax"), $"y".as("ay"),
-      explode(expr("flatten(transform(sequence(-1, 1), dx -> " +
-        "transform(sequence(-1, 1), dy -> " +
-        "struct(cx + dx AS jx, cy + dy AS jy))))")).as("c"))
-      .select($"a", $"ax", $"ay", $"c.jx", $"c.jy")
-    probe
-      .join(cells.select($"id".as("b"), $"x".as("bx"), $"y".as("by_"),
-        $"cx", $"cy"),
-        $"jx" === $"cx" && $"jy" === $"cy" && $"a" < $"b")
-      .withColumn("dist2",
-        ($"ax" - $"bx") * ($"ax" - $"bx") +
-          ($"ay" - $"by_") * ($"ay" - $"by_"))
-      .filter($"dist2" <= radius * radius)
-  }
-
-  def qSpatialJoin(spark: SparkSession, dir: String): DataFrame = {
-    // quadratic (not affine) scramble: an affine map of the key makes
-    // every pair's distance a function of Δkey alone — the measured
-    // distance spectrum degenerated to two values. The k² term breaks
-    // the translation symmetry; k is reduced mod a prime first so k²·7
-    // stays far from the 64-bit edge at any conceivable key
-    val pts = Tables.customer(spark, dir)
-      .filter($"c_mktsegment" === "BUILDING")
-      .select($"c_custkey".as("id"),
-        expr("((c_custkey % 65521) * (c_custkey % 65521) * 3 + " +
-          "(c_custkey % 65521) * 48271 + 11) % 1024").as("x"),
-        expr("((c_custkey % 65521) * (c_custkey % 65521) * 7 + " +
-          "(c_custkey % 65521) * 69621 + 5) % 1024").as("y"))
-    spatialPairs(pts, 16)
-      .groupBy(expr("dist2 div 64").as("qbin"))
-      .agg(count(lit(1)).as("n_pairs"), min($"dist2").as("min_d2"),
-        max($"dist2").as("max_d2"), sum($"dist2").as("sum_d2"))
-      .orderBy($"qbin")
-  }
-
-  val qSpatialJoinOracle: String =
-    """WITH pts AS (SELECT c_custkey id,
-        ((c_custkey % 65521) * (c_custkey % 65521) * 3 +
-          (c_custkey % 65521) * 48271 + 11) % 1024 x,
-        ((c_custkey % 65521) * (c_custkey % 65521) * 7 +
-          (c_custkey % 65521) * 69621 + 5) % 1024 y
-      FROM customer WHERE c_mktsegment = 'BUILDING'),
-      pairs AS (SELECT a.id a, b.id b,
-          (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
-        FROM pts a JOIN pts b ON a.id < b.id)
-      SELECT dist2 // 64 AS qbin, count(*)::BIGINT n_pairs,
-        min(dist2)::BIGINT min_d2, max(dist2)::BIGINT max_d2,
-        sum(dist2)::BIGINT sum_d2
-      FROM pairs WHERE dist2 <= 256 GROUP BY 1 ORDER BY 1"""
-
-  // ---------- local differential privacy (k-ary randomized response) ----------
-  /** LOCAL differential privacy (k-ary randomized response) — the
-    * companion of [[qPrivacyDp]]'s central mechanism: each EVENT
-    * reports its type through k-RR before any aggregation, so the
-    * collector never sees a true row. ε = ln 3 is chosen to make the
-    * whole mechanism EXACT RATIONALS: p = e^ε/(e^ε+k−1) = 3/7 with
-    * k = 5, and the seeded per-event draw h = md5(event_id) mod 7·10⁵
-    * lives on a domain DIVISIBLE by e^ε+k−1 = 7, so "report truth iff
-    * h < 3·10⁵" hits 3/7 exactly and each of the k−1 decoy arms gets
-    * exactly 10⁵ residues (a 10⁶ domain would make p = 0.428572 and
-    * the arms non-uniform — a bias the unbiased estimator doesn't
-    * correct). Derandomization IS the testability discipline, as in
-    * q_privacy_dp; the unbiased estimator
-    * n̂ = (o·(k−1+e^ε) − n)/(e^ε−1) = (7o − n)/2 emits as the exact
-    * integer 2n̂ plus one rounded double. The oracle replays draw,
-    * report, and debias bit-for-bit.
-    *
-    * Scale shape: one broadcast of the k-row alphabet, one scan-side
-    * report pass, two combine-fed counts. The per-type relative error
-    * lands near √n/n — visible in the emitted rel_err column.
-    */
-  def qPrivacyLdp(spark: SparkSession, dir: String): DataFrame = {
-    val types = Tables.events(spark, dir)
-      .select(col("event_type")).distinct()
-      .withColumn("rt", row_number()
-        .over(Window.orderBy(col("event_type"))) - 1)
-      .stageCheckpoint() // the k-row type alphabet (k = 5)
-    // e^ε = 3 ⇒ p_truth = 3/(3 + k − 1); a draw domain of
-    // unit·(3 + k − 1) makes the truth arm and each decoy arm an exact
-    // residue count — no 1e6-domain rounding bias
-    val k = 5
-    val unit = 100000L
-    val dom = (3 + k - 1) * unit // 700000
-    val reported = Tables.events(spark, dir)
-      .select(col("event_id"), col("event_type"))
-      .join(broadcast(types), "event_type")
-      .withColumn("h", pmod(
-        conv(substring(md5(col("event_id").cast("string")), 1, 6), 16, 10)
-          .cast("long"), lit(dom)))
-      // report truth iff h < 3·unit (p = 3/7 exactly); otherwise
-      // r = h − 3·unit ∈ [0, (k−1)·unit) picks j = r DIV unit uniformly
-      .withColumn("truth", col("h") < 3 * unit)
-      .withColumn("j", expr(s"(h - ${3 * unit}) DIV $unit"))
-      .withColumn("rr",
-        when(col("truth"), col("rt"))
-          .otherwise(when(col("j") < col("rt"), col("j"))
-            .otherwise(col("j") + 1L)))
-    val obs = reported.groupBy(col("rr"))
-      .agg(count(lit(1)).as("o"))
-      .join(broadcast(types.select(col("rt").as("rr"),
-        col("event_type"))), "rr")
-    val truth = Tables.events(spark, dir).groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_true"))
-      .stageCheckpoint() // k rows; also supplies the total below
-    val n = truth.agg(sum(col("n_true")).as("n"))
-    obs.join(truth, "event_type").crossJoin(broadcast(n))
-      .select(col("event_type"), col("n_true"), col("o").as("n_observed"),
-        (lit(7L) * col("o") - col("n")).as("est2"),
-        round((lit(7L) * col("o") - col("n")).cast("double") / 2.0, 6)
-          .as("est6"),
-        round(abs((lit(7L) * col("o") - col("n")).cast("double") / 2.0 -
-          col("n_true").cast("double")) /
-          col("n_true").cast("double"), 6).as("rel_err6"))
-      .orderBy(col("event_type"))
-  }
-
-  val qPrivacyLdpOracle: String =
-    """WITH types AS (SELECT event_type,
-        row_number() OVER (ORDER BY event_type) - 1 AS rt
-      FROM (SELECT DISTINCT event_type FROM events)),
-      rep AS (SELECT e.event_id, t.rt,
-          ('0x' || substr(md5(e.event_id::VARCHAR), 1, 6))::BIGINT
-            % 700000 AS h
-        FROM events e JOIN types t USING (event_type)),
-      rr AS (SELECT CASE WHEN h < 300000 THEN rt
-          ELSE CASE WHEN (h - 300000) // 100000 < rt
-            THEN (h - 300000) // 100000
-            ELSE (h - 300000) // 100000 + 1 END END AS r
-        FROM rep),
-      obs AS (SELECT t.event_type, count(*)::BIGINT o
-        FROM rr JOIN types t ON t.rt = rr.r GROUP BY 1),
-      tr AS (SELECT event_type, count(*)::BIGINT n_true FROM events
-        GROUP BY 1),
-      nn AS (SELECT count(*)::BIGINT n FROM events)
-      SELECT obs.event_type, tr.n_true, obs.o AS n_observed,
-        7 * obs.o - nn.n AS est2,
-        round((7 * obs.o - nn.n)::DOUBLE / 2.0, 6) AS est6,
-        round(abs((7 * obs.o - nn.n)::DOUBLE / 2.0 - tr.n_true::DOUBLE)
-          / tr.n_true::DOUBLE, 6) AS rel_err6
-      FROM obs JOIN tr USING (event_type) CROSS JOIN nn
-      ORDER BY obs.event_type"""
-
-  // ---------- differentially-private count/sum release ----------
-  /** Differentially-private release of the per-segment customer counts
-    * and (clipped) balance sums — the privacy-budgeted aggregate a data
-    * platform publishes when the raw counts themselves are sensitive.
-    * Standard Laplace mechanism, ε = 0.5 per statistic (sequential
-    * composition ⇒ ε_total = 1.0 for the pair): count sensitivity 1,
-    * sum sensitivity = the CLIP WIDTH — balances are clamped to
-    * [−1000, 10000] dollars (1,100,000 cents) before summing, the
-    * clipping step that BOUNDS a sum release's sensitivity (here the
-    * natural data range already sits inside the clamp, so clipping is
-    * numerically a no-op while still establishing the bound).
-    *
-    * Noise is the inverse-CDF Laplace draw from a DETERMINISTIC uniform
-    * seeded per (segment, statistic) by md5 — u = (h + 0.5)/10⁶ with
-    * h = md5 % 10⁶, so u is never exactly ½ and 1 − 2|u − ½| ≥ 10⁻⁶ keeps
-    * the log finite — which the oracle replays exactly (a production
-    * system would draw from a secure RNG; the derandomization is what
-    * makes the release hash-checkable, the same plant discipline as
-    * q_text_pii). Dollar sums go through DECIMAL(18,2)·100 integer cents
-    * (exact, associative); the ONLY doubles are the final noise adds,
-    * rounded to 1e-6.
-    *
-    * Scale shape: one combine-fed aggregate over the fact; the noise
-    * arithmetic runs on the 5-row segment table. Nothing else.
-    */
-  def qPrivacyDp(spark: SparkSession, dir: String): DataFrame = {
-    def lap(tag: String, scale: Double): Column = {
-      val h = pmod(
-        conv(substring(md5(concat($"seg", lit(":" + tag))), 1, 6), 16, 10)
-          .cast("long"), lit(1000000L))
-      val u = (h.cast("double") + lit(0.5)) / lit(1000000.0)
-      val c = u - lit(0.5)
-      -lit(scale) * signum(c) * log(lit(1.0) - lit(2.0) * abs(c))
-    }
-    Tables.customer(spark, dir)
-      .select($"c_mktsegment".as("seg"),
-        expr("CAST(least(greatest(CAST(c_acctbal AS DECIMAL(18,2)), " +
-          "-1000.00), 10000.00) * 100 AS BIGINT)").as("cents"))
-      .groupBy($"seg")
-      .agg(count(lit(1)).as("n_true"), sum($"cents").as("clip_cents"))
-      .select($"seg", $"n_true",
-        round($"n_true".cast("double") + lap("n", 2.0), 6).as("noisy_n6"),
-        $"clip_cents",
-        round($"clip_cents".cast("double") + lap("sum", 2200000.0), 6)
-          .as("noisy_cents6"),
-        lit(1.0).as("eps_total"))
-      .orderBy($"seg")
-  }
-
-  val qPrivacyDpOracle: String =
-    """WITH agg AS (SELECT c_mktsegment seg, count(*)::BIGINT n_true,
-        sum(CAST(least(greatest(c_acctbal::DECIMAL(18,2), -1000.00),
-          10000.00) * 100 AS BIGINT))::BIGINT clip_cents
-      FROM customer GROUP BY 1),
-      noise AS (SELECT seg, n_true, clip_cents,
-        (('0x' || substr(md5(seg || ':n'), 1, 6))::BIGINT % 1000000 + 0.5)
-          / 1000000.0 AS un,
-        (('0x' || substr(md5(seg || ':sum'), 1, 6))::BIGINT % 1000000 + 0.5)
-          / 1000000.0 AS us
-      FROM agg)
-      SELECT seg, n_true,
-        round(n_true + (-2.0 * sign(un - 0.5) *
-          ln(1.0 - 2.0 * abs(un - 0.5))), 6) AS noisy_n6,
-        clip_cents,
-        round(clip_cents + (-2200000.0 * sign(us - 0.5) *
-          ln(1.0 - 2.0 * abs(us - 0.5))), 6) AS noisy_cents6,
-        1.0::DOUBLE AS eps_total
-      FROM noise ORDER BY seg"""
-
-  // ---------- GDPR right-to-be-forgotten purge audit ----------
-  /** Right-to-be-forgotten propagation: given a forget-list of user ids
-    * (deterministic ~5 % md5-parity sample of customers — the plant
-    * discipline), run the purge as a LEFT ANTI join on every fact table
-    * that references users and report, per table, total rows, rows
-    * purged, rows kept, and the RESIDUAL count — forgotten ids still
-    * present after the purge, recomputed from the purged output itself
-    * (the audit is only evidence if it re-derives zero from the result,
-    * not from the construction). This is the governance counterpart of
-    * q_privacy_kanon/q_text_pii: deletion, not masking.
-    *
-    * Scale shape: the forget-list is broadcast (deletion requests are
-    * bounded — thousands, not billions); each fact pays one scan with a
-    * broadcast-hash anti probe plus one aggregate; no shuffle of fact
-    * rows at all. At 100 TB this is exactly the shape of a compaction
-    * pass with an anti-join predicate pushed into the rewrite.
-    */
-  def qGdprForget(spark: SparkSession, dir: String): DataFrame = {
-    val forget = Tables.customer(spark, dir)
-      .select($"c_custkey".as("fid"))
-      .filter(pmod(conv(substring(md5($"fid".cast("string")), 1, 6), 16, 10)
-        .cast("long"), lit(20L)) === 0L)
-    def audit(df: DataFrame, key: Column, tbl: String): DataFrame = {
-      val total = df.agg(count(lit(1)).as("n_rows"))
-      val kept = df.join(broadcast(forget), key === $"fid", "left_anti")
-      kept.join(broadcast(forget), key === $"fid", "left_outer")
-        .agg(count(lit(1)).as("n_kept"),
-          sum(when($"fid".isNotNull, 1L).otherwise(0L)).as("n_residual"))
-        .crossJoin(broadcast(total))
-        .select(lit(tbl).as("tbl"), $"n_rows",
-          ($"n_rows" - $"n_kept").as("n_purged"), $"n_kept", $"n_residual")
-    }
-    audit(Tables.customer(spark, dir), $"c_custkey", "customer")
-      .unionByName(audit(Tables.orders(spark, dir), $"o_custkey", "orders"))
-      .unionByName(audit(Tables.events(spark, dir), $"user_id", "events"))
-      .orderBy($"tbl")
-  }
-
-  val qGdprForgetOracle: String =
-    """WITH forget AS (SELECT c_custkey fid FROM customer
-        WHERE ('0x' || substr(md5(c_custkey::VARCHAR), 1, 6))::BIGINT
-          % 20 = 0),
-      ck AS (SELECT c.c_custkey, f.fid FROM customer c
-        LEFT JOIN forget f ON c.c_custkey = f.fid),
-      ok AS (SELECT o.o_custkey, f.fid FROM orders o
-        LEFT JOIN forget f ON o.o_custkey = f.fid),
-      ek AS (SELECT e.user_id, f.fid FROM events e
-        LEFT JOIN forget f ON e.user_id = f.fid)
-      SELECT 'customer' AS tbl, count(*)::BIGINT n_rows,
-        sum(CASE WHEN fid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT n_purged,
-        sum(CASE WHEN fid IS NULL THEN 1 ELSE 0 END)::BIGINT n_kept,
-        0::BIGINT AS n_residual FROM ck
-      UNION ALL
-      SELECT 'events', count(*)::BIGINT,
-        sum(CASE WHEN fid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT,
-        sum(CASE WHEN fid IS NULL THEN 1 ELSE 0 END)::BIGINT,
-        0::BIGINT FROM ek
-      UNION ALL
-      SELECT 'orders', count(*)::BIGINT,
-        sum(CASE WHEN fid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT,
-        sum(CASE WHEN fid IS NULL THEN 1 ELSE 0 END)::BIGINT,
-        0::BIGINT FROM ok
-      ORDER BY tbl"""
-
-  // ---------- entity resolution: fuzzy pairs → components → canon ----------
-  /** Full entity resolution over the name dictionary: the
-    * [[qFuzzyMatch]] edit-distance pair graph closed into CONNECTED
-    * COMPONENTS, each component collapsed to a canonical entity (min
-    * name) with its member count and total row coverage — the step that
-    * turns pairwise fuzzy matches into an actual dedup table
-    * (transitivity matters: "blue bolt" ~ "blue bolts" ~ "blue boltz"
-    * must land in ONE entity even when the ends differ by more than τ).
-    * Singleton names become their own entity, so the output is a total
-    * mapping of the dictionary.
-    *
-    * Scale shape: pairs come from the provably-complete q-gram blocking
-    * equi-join (never a cartesian — see [[fuzzyPairs]]); the min-label
-    * propagation fixpoint runs on the DICTIONARY graph (distinct names —
-    * vocabulary-scale, corpus-independent), with lineage truncated per
-    * round and rounds bounded by component diameter (edit-chains are
-    * short in practice; the loop asserts convergence). The corpus pays
-    * only the initial name aggregate. The oracle's recursive
-    * transitive closure over the naive pair join doubles as the
-    * end-to-end completeness proof of blocking + fixpoint.
-    */
-  def qEntityResolve(spark: SparkSession, dir: String): DataFrame = {
-    // dictionary and pair graph come from the shared session fixtures —
-    // the per-invocation work is the fixpoint + rollup only
-    val names = nameDict(spark, dir)
-    val pairs = fuzzyNamePairs(spark, dir).select($"a", $"b")
-    val edges = pairs.union(pairs.select($"b", $"a")).toDF("src", "dst")
-      .stageCheckpoint()
-    var labels = names.select($"p_name".as("node"), $"p_name".as("lab"))
-      .stageCheckpoint()
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 20) {
-      val prop = edges.join(labels, $"dst" === $"node")
-        .select($"src".as("node"), $"lab", lit(null).cast("string").as("old"))
-      val next = labels.select($"node", $"lab", $"lab".as("old"))
-        .union(prop)
-        .groupBy($"node").agg(min($"lab").as("lab"), min($"old").as("old"))
-        .stageCheckpoint()
-      changed = next.filter($"lab" =!= $"old").count()
-      labels = next.select($"node", $"lab")
-      rounds += 1
-    }
-    require(changed == 0, s"entity fixpoint did not converge in $rounds rounds")
-    labels.join(names, $"node" === $"p_name")
-      .groupBy($"lab".as("canonical"))
-      .agg(countDistinct($"node").as("n_names"), sum($"n").as("total_rows"))
-      .orderBy($"canonical")
-  }
-
-  val qEntityResolveOracle: String =
-    """WITH RECURSIVE names AS (SELECT p_name, count(*)::BIGINT n FROM part
-        GROUP BY 1),
-      pairs AS (SELECT a.p_name a, b.p_name b FROM names a JOIN names b
-        ON a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 3),
-      edges AS (SELECT a src, b dst FROM pairs UNION SELECT b, a FROM pairs),
-      reach(node, lab) AS (
-        SELECT p_name, p_name FROM names
-        UNION
-        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
-      labels AS (SELECT node, min(lab) lab FROM reach GROUP BY node)
-      SELECT l.lab AS canonical, count(*)::BIGINT n_names,
-        sum(nm.n)::BIGINT total_rows
-      FROM labels l JOIN names nm ON nm.p_name = l.node
-      GROUP BY 1 ORDER BY canonical"""
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_entity_resolve" -> (qEntityResolve _),
-    "q_sketch_joinsize" -> (qSketchJoinsize _),
-    "q_privacy_dp" -> (qPrivacyDp _),
-    "q_privacy_ldp" -> (qPrivacyLdp _),
-    "q_gdpr_forget" -> (qGdprForget _),
-    "q_dq_constraints" -> (qDqConstraints _),
-    "q_privacy_kanon" -> (qPrivacyKanon _),
-    "q_sketch_merge" -> (qSketchMerge _),
-    "q_spatial_join" -> (qSpatialJoin _),
-    "q_rfm_segments" -> (qRfmSegments _),
-    "q_window_median" -> (qWindowMedian _),
     "q_join_bloom" -> (qJoinBloom _),
-    "q_matview_merge" -> (qMatviewMerge _),
-    "q01_pricing_summary" -> (q01PricingSummary _),
-    "q02_topk_orders" -> (q02TopkOrders _),
-    "q03_shipping_priority" -> (q03ShippingPriority _),
-    "q04_order_priority" -> (q04OrderPriority _),
-    "q05_local_supplier" -> (q05LocalSupplier _),
-    "q06_forecast_revenue" -> (q06ForecastRevenue _),
-    "q07_volume_shipping" -> (q07VolumeShipping _),
-    "q10_returned_items" -> (q10ReturnedItems _),
-    "q13_customer_distribution" -> (q13CustomerDistribution _),
-    "q12_priority_class" -> (q12PriorityClass _),
-    "q14_promo_revenue" -> (q14PromoRevenue _),
-    "q08_market_share" -> (q08MarketShare _),
-    "q15_top_supplier" -> (q15TopSupplier _),
-    "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
-    "q18_large_orders" -> (q18LargeOrders _),
-    "q19_disjunctive_pred" -> (q19DisjunctivePredicates _),
-    "q02_min_cost_supplier" -> (q02MinCostSupplier _),
-    "q09_product_profit" -> (q09ProductProfit _),
-    "q11_important_parts" -> (q11ImportantParts _),
-    "q16_supplier_diversity" -> (q16SupplierDiversity _),
-    "q20_excess_share_supplier" -> (q20ExcessShareSupplier _),
-    "q21_sole_failing_supplier" -> (q21SoleFailingSupplier _),
-    "q22_dormant_customers" -> (q22DormantCustomers _),
     "q_window_firstlast" -> (qWindowFirstLast _),
     "q_join_broadcast" -> (qJoinBroadcast _),
     "q_join_bucketed" -> (qJoinBucketed _),
@@ -3301,43 +1556,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
-    "q_entity_resolve" -> qEntityResolveOracle,
-    "q_sketch_joinsize" -> qSketchJoinsizeOracle,
-    "q_privacy_dp" -> qPrivacyDpOracle,
-    "q_privacy_ldp" -> qPrivacyLdpOracle,
-    "q_gdpr_forget" -> qGdprForgetOracle,
-    "q_dq_constraints" -> qDqConstraintsOracle,
-    "q_privacy_kanon" -> qPrivacyKanonOracle,
-    "q_sketch_merge" -> qSketchMergeOracle,
-    "q_spatial_join" -> qSpatialJoinOracle,
-    "q_rfm_segments" -> qRfmSegmentsOracle,
-    "q_window_median" -> qWindowMedianOracle,
     "q_join_bloom" -> qJoinBloomOracle,
-    "q_matview_merge" -> qMatviewMergeOracle,
     "q_approx_distinct" -> qApproxDistinctOracle,
-    "q01_pricing_summary" -> q01Oracle,
-    "q02_topk_orders" -> q02Oracle,
-    "q03_shipping_priority" -> q03Oracle,
-    "q04_order_priority" -> q04Oracle,
-    "q05_local_supplier" -> q05Oracle,
-    "q06_forecast_revenue" -> q06Oracle,
-    "q07_volume_shipping" -> q07Oracle,
-    "q10_returned_items" -> q10Oracle,
-    "q13_customer_distribution" -> q13Oracle,
-    "q12_priority_class" -> q12Oracle,
-    "q14_promo_revenue" -> q14Oracle,
-    "q08_market_share" -> q08Oracle,
-    "q15_top_supplier" -> q15Oracle,
-    "q17_small_qty_revenue" -> q17Oracle,
-    "q18_large_orders" -> q18Oracle,
-    "q19_disjunctive_pred" -> q19Oracle,
-    "q02_min_cost_supplier" -> q02MinCostOracle,
-    "q09_product_profit" -> q09Oracle,
-    "q11_important_parts" -> q11Oracle,
-    "q16_supplier_diversity" -> q16Oracle,
-    "q20_excess_share_supplier" -> q20Oracle,
-    "q21_sole_failing_supplier" -> q21Oracle,
-    "q22_dormant_customers" -> q22Oracle,
     "q_window_firstlast" -> qWindowFirstLastOracle,
     "q_join_broadcast" -> qJoinBroadcastOracle,
     "q_join_bucketed" -> qJoinBucketedOracle,

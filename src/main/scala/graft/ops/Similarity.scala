@@ -1417,7 +1417,7 @@ object Similarity {
       FROM pred GROUP BY label ORDER BY label"""
 
   // ---------- IVF index incremental refresh (no retraining) ----------
-  /** The [[graft.ops.Relational.qMatviewMerge]] discipline applied to the
+  /** The [[graft.ops.RelationalQuality.qMatviewMerge]] discipline applied to the
     * vector index: the IVF assignment table for the HISTORY corpus lives
     * as persisted state, and a new batch is folded in by assigning ONLY
     * the delta to the EXISTING centroids and unioning the list tables —

@@ -81,7 +81,7 @@ object TextAnalysis {
   }
 
   /** SQL VALUES list for the oracle, kept in lock-step with [[markers]]. */
-  private def markerValues: String =
+  private[ops] def markerValues: String =
     markers.map { case (l, w) => s"('$l','$w')" }.mkString(", ")
 
   // ---------- language identification (marker-frequency heuristic) ----------
@@ -355,35 +355,6 @@ object TextAnalysis {
         max(length(shingle))::INT AS max_len
       FROM sh GROUP BY doc_id ORDER BY doc_id"""
 
-  // ---------- deterministic hash sampling ----------
-  /** Reproducible stratified subsampling — the curation primitive behind
-    * "train on 10% of the corpus": a document is in the sample iff the
-    * first two hex chars of `md5(doc_id)` fall below 0x1a (26/256 ≈
-    * 10.2%). Content-independent, seed-free, stable across engines and
-    * runs, and embarrassingly parallel: the filter is evaluated
-    * scan-side with zero shuffle — at 100 TB the sample never
-    * materializes the rejected 90%. The per-language report (the only
-    * shuffle) verifies the exact selected set via count + char sum.
-    */
-  def qSampleHash(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .withColumn("sampled",
-        substring(md5(col("doc_id").cast("string")), 1, 2) < "1a")
-      .groupBy(col("lang"))
-      .agg(
-        count(lit(1)).as("n_total"),
-        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
-        sum(when(col("sampled"), col("n_chars"))).as("chars_sampled"))
-      .orderBy(col("lang"))
-
-  val qSampleHashOracle: String =
-    """SELECT lang, count(*) AS n_total,
-      sum(CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < '1a'
-          THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
-      sum(CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < '1a'
-          THEN n_chars END)::BIGINT AS chars_sampled
-      FROM documents GROUP BY lang ORDER BY lang"""
-
   // ---------- benchmark decontamination ----------
   /** Fixed phrase list standing in for a benchmark eval set (the real
     * pipeline would load it from the eval suite's test split).
@@ -420,38 +391,6 @@ object TextAnalysis {
       WHERE NOT EXISTS (SELECT 1 FROM (VALUES $phrasesValuesSql) p(phrase)
         WHERE contains(d.text, p.phrase))
       GROUP BY lang ORDER BY lang"""
-
-  // ---------- per-source diversity cap (domain cap) ----------
-  /** The "domain cap" curation primitive (C4 / RefinedWeb style): no
-    * single source may contribute more than K documents to the corpus,
-    * and within a source the K kept are the best by a deterministic
-    * quality key (longest first, doc_id tiebreak). One window top-k per
-    * source — the shuffle keys on `source`, which is high-cardinality at
-    * web scale (domains), so partitions stay balanced; the same plan
-    * swaps to the [[graft.functions]] heap top-k aggregate when K×|src|
-    * output must avoid the sort entirely. Emits the kept rows (the
-    * keep-list a downstream sampler consumes) plus each row's in-source
-    * rank, all integers/strings — no rounding surface.
-    */
-  def qCurateDomainCap(spark: SparkSession, dir: String): DataFrame = {
-    val k = 30
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("n_chars").desc, col("doc_id").asc)
-    Tables.documents(spark, dir)
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("source"), col("rnk"), col("doc_id"), col("lang"),
-        col("n_chars"))
-      .orderBy(col("source"), col("rnk"))
-  }
-
-  val qCurateDomainCapOracle: String =
-    """SELECT source, rnk, doc_id, lang, n_chars FROM (
-        SELECT source, doc_id, lang, n_chars,
-          row_number() OVER (PARTITION BY source
-            ORDER BY n_chars DESC, doc_id ASC)::INT AS rnk
-        FROM documents) t
-      WHERE rnk <= 30 ORDER BY source, rnk"""
 
   // ---------- n-gram overlap decontamination (bucketed equi-join) ----------
   /** Benchmark decontamination the way large-scale pipelines actually run
@@ -516,164 +455,6 @@ object TextAnalysis {
         sum(CASE WHEN cont.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_clean
       FROM corpus LEFT JOIN cont USING (doc_id)
       GROUP BY lang ORDER BY lang"""
-
-  // ---------- sequence packing (token-budget batching) ----------
-  /** Training-batch construction: pack documents (in stable doc_id order
-    * per language) into batches of ≤ 2048 tokens by greedy cumulative
-    * fill — `batch = floor(tokens_before_this_doc / budget)`. One
-    * window-cumsum per language partition, no iteration, deterministic;
-    * at 100 TB the same plan packs per (language, shard) so partitions
-    * stay independent. The per-batch report is the oracle surface.
-    */
-  def qPackBatches(spark: SparkSession, dir: String): DataFrame = {
-    val budget = 2048
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-    Tables.documents(spark, dir)
-      .withColumn("tokens", size(split(col("text"), " ", -1)).cast("long"))
-      .withColumn("before",
-        coalesce(sum(col("tokens")).over(w) - col("tokens"), lit(0L)))
-      .withColumn("batch_id", floor(col("before") / budget))
-      .groupBy(col("lang"), col("batch_id"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("tokens")).as("batch_tokens"),
-        min(col("doc_id")).as("first_doc"),
-        max(col("doc_id")).as("last_doc"))
-      .orderBy(col("lang"), col("batch_id"))
-  }
-
-  val qPackBatchesOracle: String =
-    """WITH t AS (SELECT lang, doc_id,
-        len(string_split(text, ' '))::BIGINT AS tokens FROM documents),
-      c AS (SELECT lang, doc_id, tokens,
-        coalesce(sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id)
-          - tokens, 0) AS before FROM t)
-      SELECT lang, (before // 2048)::BIGINT AS batch_id,
-        count(*) AS n_docs, sum(tokens)::BIGINT AS batch_tokens,
-        min(doc_id) AS first_doc, max(doc_id) AS last_doc
-      FROM c GROUP BY lang, batch_id ORDER BY lang, batch_id"""
-
-  // ---------- epoch-aware mixture materialization ----------
-  /** Upsampling a weighted mixture into ACTUAL training epochs — the step
-    * after [[qMixTemperature]] computes weights: a source with weight w
-    * contributes floor(w) full passes over its documents plus one
-    * fractional pass holding a deterministic hash-selected
-    * (w − floor(w)) share. Every repetition is materialized (one row per
-    * (doc, epoch)) because that is what a data loader consumes; the
-    * fractional membership is a fixed LCG on doc_id — reproducible on
-    * both engines, no RNG, so a rerun yields the byte-identical mixture
-    * (the reproducibility property a training run needs).
-    *
-    * Scale shape: the explode factor is Σ wᵢ (the mixture's true token
-    * multiplier — materialization is the product, not overhead), the
-    * epoch sequence is generated scan-side, and the per-(source, epoch)
-    * rollup is one combine-fed exchange.
-    */
-  def qMixEpochs(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
-      .withColumn("w",
-        when(col("source").isin("src0", "src1", "src2"), 2.5)
-          .when(col("source").isin("src3", "src4"), 1.5)
-          .otherwise(1.0))
-      .withColumn("n_ep", floor(col("w")).cast("int") +
-        ((col("doc_id") * lit(2654435761L)) % 1000000L <
-          (col("w") - floor(col("w"))) * 1000000.0).cast("int"))
-    d.select(col("source"), col("n_tok"),
-        explode(sequence(lit(0), col("n_ep") - 1)).as("epoch"))
-      .groupBy(col("source"), col("epoch"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
-      .orderBy(col("source"), col("epoch"))
-  }
-
-  val qMixEpochsOracle: String =
-    """WITH d AS (SELECT doc_id, source,
-        len(string_split(text, ' '))::BIGINT AS n_tok,
-        CASE WHEN source IN ('src0', 'src1', 'src2') THEN 2.5
-             WHEN source IN ('src3', 'src4') THEN 1.5 ELSE 1.0 END AS w
-      FROM documents),
-      e AS (SELECT source, n_tok, floor(w)::INT +
-          (CASE WHEN (doc_id * 2654435761) % 1000000
-                     < (w - floor(w)) * 1000000 THEN 1 ELSE 0 END) AS n_ep
-        FROM d),
-      x AS (SELECT source, n_tok, unnest(range(0, n_ep)) AS epoch FROM e)
-      SELECT source, epoch::INT AS epoch, count(*) AS n_docs,
-        sum(n_tok)::BIGINT AS n_tokens
-      FROM x GROUP BY source, epoch ORDER BY source, epoch"""
-
-  // ---------- greedy sequence packing (context-window bin-pack) ----------
-  /** The last step between curated documents and a training batch: pack
-    * whole tokenized documents into fixed [[PackWindow]]-token context
-    * windows, greedy NEXT-FIT in doc_id order — a new window opens when
-    * the next document doesn't fit (a document longer than the window
-    * gets a window of its own; documents are never split — the spanning
-    * variant is [[qPackBatches]]). Next-fit (state = current window only)
-    * rather than first-fit (state = every open window) because it is the
-    * ONLINE packer: one sequential pass, O(1) state, the same decision a
-    * streaming ingest makes.
-    *
-    * Scale shape: packing is inherently sequential WITHIN a stream, so
-    * the unit of parallelism is the group — here `source`, at corpus
-    * scale (source, shard). One hash exchange on the group key, then
-    * [[org.apache.spark.sql.KeyValueGroupedDataset.flatMapSortedGroups]]
-    * runs the O(1)-state fold per group with the sort given to the
-    * SHUFFLE (no separate per-group sort pass) — the idiomatic Spark
-    * operator for per-group sequential logic that aggregates can't
-    * express. Emits one row per document: its window (`seq_id`, per
-    * group) and offset within it.
-    */
-  private val PackWindow = 512L
-
-  /** The per-group next-fit fold, extracted so the spec can drive it on
-    * inputs the testdata lacks (oversize docs, exact-fit boundaries).
-    * Input docs must already be in doc_id order.
-    */
-  private[ops] def packGroup(src: String, docs: Iterator[(String, Long, Long)],
-      window: Long = PackWindow): Iterator[(String, Long, Long, Long, Long)] = {
-    var seq = 0L
-    var fill = 0L
-    docs.map { case (_, id, n) =>
-      if (fill > 0 && fill + n > window) { seq += 1; fill = 0 }
-      val off = fill
-      fill += n
-      (src, id, n, seq, off)
-    }
-  }
-
-  def qPackSequences(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("source"), col("doc_id"),
-        size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
-      .as[(String, Long, Long)]
-      .groupByKey(_._1)
-      .flatMapSortedGroups(col("doc_id"))(packGroup(_, _))
-      .toDF("source", "doc_id", "n_tok", "seq_id", "off")
-      .orderBy(col("source"), col("doc_id"))
-  }
-
-  /** The oracle replays the identical fold as a recursive CTE stepping
-    * one document per iteration within each source (rn joins rn+1).
-    */
-  val qPackSequencesOracle: String =
-    """WITH RECURSIVE t AS (SELECT source, doc_id,
-        len(string_split(text, ' '))::BIGINT AS n_tok,
-        row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-      FROM documents),
-      pack AS (
-        SELECT source, doc_id, n_tok, rn,
-          0::BIGINT AS seq_id, n_tok AS fill, 0::BIGINT AS off
-        FROM t WHERE rn = 1
-        UNION ALL
-        SELECT t.source, t.doc_id, t.n_tok, t.rn,
-          CASE WHEN p.fill + t.n_tok <= 512 THEN p.seq_id
-               ELSE p.seq_id + 1 END,
-          CASE WHEN p.fill + t.n_tok <= 512 THEN p.fill + t.n_tok
-               ELSE t.n_tok END,
-          CASE WHEN p.fill + t.n_tok <= 512 THEN p.fill ELSE 0::BIGINT END
-        FROM t JOIN pack p ON t.source = p.source AND t.rn = p.rn + 1)
-      SELECT source, doc_id, n_tok, seq_id, off
-      FROM pack ORDER BY source, doc_id"""
 
   // ---------- denylist redaction (PII-scrub shape) ----------
   /** Denylist scrubbing, the shape of a PII pass over training text:
@@ -953,223 +734,6 @@ object TextAnalysis {
         b.distinct_ratio, b.dup_bigram_ratio
       FROM base b JOIN t ON b.doc_id = t.doc_id AND t.rn = 1
       ORDER BY b.doc_id"""
-
-  // ---------- stratified hash sampling (per-language rates) ----------
-  /** Mixture re-balancing: each language keeps a different deterministic
-    * fraction of its documents — the primitive behind "up-sample
-    * under-represented languages / down-sample the head" in training-data
-    * mixtures. Membership is `md5(doc_id) < per-language threshold`, so
-    * the sample is reproducible, content-independent, and evaluated
-    * scan-side with zero shuffle (rates ride in a literal map; 'g0' sorts
-    * above every hex pair = keep-all). The per-language report verifies
-    * the exact selected set.
-    */
-  val stratThresholds: Seq[(String, String)] = Seq(
-    "de" -> "40", // 0x40/256 = 25%
-    "en" -> "cc", // 0xcc/256 ≈ 80%
-    "es" -> "1a", // 0x1a/256 ≈ 10%
-    "fr" -> "80", // 0x80/256 = 50%
-    "zh" -> "g0") // > 'ff' → 100%
-
-  def qSampleStratified(spark: SparkSession, dir: String): DataFrame = {
-    val thrMap = map(stratThresholds.flatMap {
-      case (l, t) => Seq(lit(l), lit(t)) }: _*)
-    Tables.documents(spark, dir)
-      .withColumn("sampled",
-        substring(md5(col("doc_id").cast("string")), 1, 2) <
-          element_at(thrMap, col("lang")))
-      .groupBy(col("lang"))
-      .agg(
-        count(lit(1)).as("n_total"),
-        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
-        sum(when(col("sampled"), col("n_chars"))).as("chars_sampled"))
-      .withColumn("realized_rate",
-        round(col("n_sampled").cast("double") / col("n_total"), 6))
-      .orderBy(col("lang"))
-  }
-
-  val qSampleStratifiedOracle: String = {
-    val cases = stratThresholds.map {
-      case (l, t) => s"WHEN '$l' THEN '$t'" }.mkString(" ")
-    s"""WITH t AS (SELECT lang, n_chars,
-        substr(md5(doc_id::VARCHAR), 1, 2) <
-          CASE lang $cases END AS sampled
-        FROM documents)
-      SELECT lang, count(*) AS n_total,
-        sum(CASE WHEN sampled THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
-        sum(CASE WHEN sampled THEN n_chars END)::BIGINT AS chars_sampled,
-        round(sum(CASE WHEN sampled THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
-          AS realized_rate
-      FROM t GROUP BY lang ORDER BY lang"""
-  }
-
-  // ---------- weighted sampling (Efraimidis–Spirakis A-ES keys) ----------
-  /** Deterministic weighted sampling without replacement: each document
-    * draws the A-ES key `u^(1/w)` (Efraimidis & Spirakis 2006) with
-    * weight `w = n_chars` and a reproducible uniform `u` derived from
-    * `rolling_hash(md5(doc_id))` — the top-k keys per language ARE a
-    * weighted sample without replacement (longer documents
-    * proportionally likelier). This is the "sample 1M docs
-    * length-weighted" curation primitive. Keys are computed scan-side;
-    * the only work beyond the scan is the per-language top-k window —
-    * at scale the same plan runs with the heap top-k aggregate instead
-    * of row_number to keep the shuffle O(groups × k).
-    */
-  def qSampleWeighted(spark: SparkSession, dir: String): DataFrame = {
-    val M = 1000000007L // rolling-hash modulus: u is uniform over [0, M)
-    val u = (RollingHash.rollingHash(md5(col("doc_id").cast("string")))
-      .cast("double") + lit(0.5)) / lit(M.toDouble)
-    // Rank on the ROUNDED key: Java Math.pow and DuckDB's libm may differ
-    // in the last ULP, and a full-precision ordering would let that ULP
-    // decide a rank near a tie. At 6 dp the engines' pow results agree
-    // (both round the same underlying value), rounding-induced ties are
-    // broken by doc_id identically on both sides, and the emitted sel_key
-    // is the ranking key itself — no hidden full-precision ordering.
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("sel_key").desc, col("doc_id").asc)
-    Tables.documents(spark, dir)
-      .withColumn("sel_key",
-        round(pow(u, lit(1.0) / col("n_chars").cast("double")), 6))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 10)
-      .select(col("lang"), col("rnk"), col("doc_id"), col("n_chars"),
-        col("sel_key"))
-      .orderBy(col("lang"), col("rnk"))
-  }
-
-  val qSampleWeightedOracle: String =
-    """WITH t AS (SELECT lang, doc_id, n_chars,
-        round(pow((list_reduce(list_transform(string_split(md5(doc_id::VARCHAR), ''),
-              c -> ascii(c)::BIGINT),
-            (h, c) -> (h * 31 + c) % 1000000007)::DOUBLE + 0.5)
-          / 1000000007.0, 1.0 / n_chars::DOUBLE), 6) AS sel_key
-        FROM documents),
-      r AS (SELECT *, row_number() OVER (PARTITION BY lang
-        ORDER BY sel_key DESC, doc_id ASC)::INT AS rnk FROM t)
-      SELECT lang, rnk, doc_id, n_chars, sel_key
-      FROM r WHERE rnk <= 10 ORDER BY lang, rnk"""
-
-  /** Deterministic train/val/test split: the split of a document is a
-    * pure function of `md5(doc_id)` — two hex digits give 256 buckets,
-    * split 242/7/7 ≈ 94.5%/2.7%/2.7% — so membership is reproducible
-    * run-to-run, cluster-size-independent, and stable under re-ingestion
-    * (the properties a training pipeline actually needs from a split;
-    * `rand()`-based splits have none of them). Zero shuffle for the
-    * assignment; the per-split report is a 3-group aggregate. String
-    * compares on hex digits keep both engines byte-identical.
-    */
-  def qSplitTrainValTest(spark: SparkSession, dir: String): DataFrame = {
-    val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
-    Tables.documents(spark, dir)
-      .withColumn("split",
-        when(h2 < "f2", "train").when(h2 < "f9", "val").otherwise("test"))
-      .groupBy(col("split"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).as("n_chars"),
-        countDistinct(col("source")).as("n_sources"))
-      .orderBy(col("split"))
-  }
-
-  val qSplitTrainValTestOracle: String =
-    """SELECT CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'f2' THEN 'train'
-             WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'f9' THEN 'val'
-             ELSE 'test' END AS split,
-      count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars,
-      count(DISTINCT source) AS n_sources
-      FROM documents GROUP BY 1 ORDER BY split"""
-
-  /** Deterministic corpus shuffle: training order as a seeded permutation,
-    * `order by md5(seed || doc_id)` — the standard way to randomize
-    * example order reproducibly at any scale (a total order on a hash is
-    * a uniform permutation; changing the seed literal reshuffles). At
-    * 100 TB this is exactly one range-partitioned sort, which is also how
-    * the shuffled dataset would be WRITTEN (sortWithinPartitions after a
-    * range exchange); emitting the first 50 pins the permutation prefix.
-    */
-  def qShuffleDeterministic(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .withColumn("shuffle_key",
-        md5(concat(lit("epoch-0:"), col("doc_id").cast("string"))))
-      .select(col("doc_id"), col("source"), col("shuffle_key"))
-      .orderBy(col("shuffle_key"))
-      .limit(50)
-
-  val qShuffleDeterministicOracle: String =
-    """SELECT doc_id, source, md5('epoch-0:' || doc_id::VARCHAR) AS shuffle_key
-      FROM documents ORDER BY shuffle_key LIMIT 50"""
-
-  /** Heavy hitters via the [[graft.functions.MisraGriesAgg]] summary,
-    * SELF-CERTIFIED: the raw estimates depend on Spark's merge order, so
-    * the query emits the summary's deterministic GUARANTEES — every key
-    * with true frequency above N/(k+1) is present, no estimate overcounts,
-    * no undercount exceeds N/(k+1) — checked against the exact counts
-    * in-plan (integer cross-multiplications, no FP). The oracle recomputes
-    * N, the key-space size, and the guaranteed-key count exactly; the
-    * certification columns collapse to those constants exactly when the
-    * sketch honors its contract (the ANN self-certification discipline).
-    *
-    * The key is DELIBERATELY skewed: stopwords collapse into one heavy
-    * key (~6.6% of N at every SF — above the N/17 ≈ 5.9% presence bar)
-    * while every other word shards 7 ways (204 keys ≫ k = 16, so the
-    * summary trims constantly). Raw words would certify nothing: the
-    * corpus vocabulary is 31 near-uniform words, every frequency sits
-    * under the bar, and an aggregate that lost every key would still
-    * pass. With this key the presence arm has exactly one guaranteed
-    * key to lose at all three SFs — a broken summary fails the hash.
-    * The exact side is key-space-sized here; at 100 TB one keeps ONLY
-    * the sketch — the certification is the harness, the operator is the
-    * aggregate.
-    */
-  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    val K = 16
-    val stops = Seq("the", "a", "of", "and", "to")
-    val words = Tables.documents(spark, dir)
-      .select(explode(split(col("text"), " ")).as("w"), col("doc_id"))
-      .select(when(col("w").isin(stops: _*), lit("stopword"))
-        .otherwise(concat(col("w"), lit("_"),
-          pmod(col("doc_id"), lit(7)).cast("string"))).as("w"))
-    val exact = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    val mg = words
-      .agg(graft.functions.MisraGriesAgg.misraGries(col("w"), K).as("mg"))
-      .select(explode(col("mg")).as("e"))
-      .select(col("e.key").as("w"), col("e.est").as("est"))
-    val tot = exact.agg(sum(col("cnt")).as("n_words"),
-      count(lit(1)).as("n_distinct"))
-    exact.join(mg, Seq("w"), "left_outer")
-      .crossJoin(broadcast(tot))
-      .withColumn("guaranteed", col("cnt") * (K + 1) > col("n_words"))
-      .withColumn("found", col("est").isNotNull)
-      .withColumn("violation",
-        (col("est").isNotNull &&
-          (col("est") > col("cnt") ||
-            (col("cnt") - col("est")) * (K + 1) > col("n_words"))) ||
-        (col("guaranteed") && !col("found")))
-      .agg(
-        first(lit("misra_gries")).as("algo"),
-        first(lit(K.toLong)).as("k"),
-        first(col("n_words")).as("n_words"),
-        first(col("n_distinct")).as("n_distinct"),
-        sum(when(col("guaranteed"), 1L).otherwise(0L)).as("n_guaranteed"),
-        sum(when(col("guaranteed") && col("found"), 1L).otherwise(0L))
-          .as("n_guaranteed_found"),
-        sum(when(col("violation"), 1L).otherwise(0L)).as("bound_violations"))
-  }
-
-  val qHeavyHittersOracle: String =
-    """WITH raw AS (SELECT unnest(string_split(text, ' ')) AS w, doc_id
-        FROM documents),
-      w AS (SELECT CASE WHEN w IN ('the','a','of','and','to')
-          THEN 'stopword'
-          ELSE w || '_' || (doc_id % 7)::VARCHAR END AS w FROM raw),
-      e AS (SELECT w, count(*) AS cnt FROM w GROUP BY w),
-      t AS (SELECT sum(cnt)::BIGINT AS n_words, count(*)::BIGINT AS n_distinct
-        FROM e),
-      g AS (SELECT count(*)::BIGINT AS n_guaranteed FROM e, t
-        WHERE cnt * 17 > n_words)
-      SELECT 'misra_gries' AS algo, 16::BIGINT AS k, n_words, n_distinct,
-        n_guaranteed, n_guaranteed AS n_guaranteed_found,
-        0::BIGINT AS bound_violations
-      FROM t, g"""
 
   // ---------- vocabulary growth (Heaps-law curve) ----------
   /** Heaps-law curve for the corpus: cumulative 3-gram type count vs
@@ -1698,8 +1262,8 @@ object TextAnalysis {
           .otherwise(0L)).as("kept_tokens"))
     val name = "graft_stream_quality"
     // complete-mode, no watermark: the trailing no-data micro-batch is
-    // pure fixed cost here (see EventOps.startTrimmedStream)
-    val q = EventOps.startTrimmedStream(spark, parts = None) {
+    // pure fixed cost here (see EventStreaming.startTrimmedStream)
+    val q = EventStreaming.startTrimmedStream(spark, parts = None) {
       stream.writeStream
         .outputMode("complete")
         .format("memory")
@@ -1709,7 +1273,7 @@ object TextAnalysis {
     }
     try q.awaitTermination()
     finally q.stop()
-    EventOps.sinkSorted(spark.table(name), col("lang"))
+    EventStreaming.sinkSorted(spark.table(name), col("lang"))
   }
 
   val qStreamQualityOracle: String =
@@ -1865,504 +1429,6 @@ object TextAnalysis {
           AS alloc_tokens
       FROM s ORDER BY source"""
 
-  // ---------- BM25 retrieval scoring ----------
-  /** Okapi BM25 (k1 = 1.2, b = 0.75) over the whitespace token stream for
-    * a fixed query-term set — the retrieval primitive a training pipeline
-    * uses for relevance filtering and hard-negative mining. idf is the
-    * standard ln(1 + (N - df + 0.5)/(df + 0.5)) form; length
-    * normalization uses the corpus mean token count computed in-plan (a
-    * one-row aggregate cross-broadcast — no driver action).
-    *
-    * Per-term contributions are rounded to 6 dp and summed in
-    * DECIMAL(18,6), so the per-document score is associative and
-    * engine-identical regardless of which order the ≤|terms| addends
-    * combine in (the q10 lesson: a double sum is order-dependent in its
-    * last ULP). Top-15 by score, doc_id tiebreak, score emitted as the
-    * exact decimal string.
-    *
-    * Scale shape: the term filter rides the token scan so only
-    * query-term postings (O(|terms| · match rate)) ever shuffle; doc
-    * lengths are a keyed count off the same scan; df and corpus stats
-    * are broadcast one-row/tiny aggregates. No all-corpus shuffle other
-    * than the per-doc length count.
-    */
-  def qTextBm25(spark: SparkSession, dir: String): DataFrame = {
-    val qterms = Seq("hash", "query", "table", "vector", "scan")
-    val k1 = 1.2
-    val b = 0.75
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(sum(col("dl")).as("sum_dl"), count(lit(1)).as("n_docs"))
-    val tf = toks.filter(col("w").isInCollection(qterms))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-    val dft = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val avgdl = col("sum_dl") * lit(1.0) / col("n_docs")
-    val idf = log(lit(1.0) +
-      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val contrib = idf * (col("tf") * lit(k1 + 1)) /
-      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
-    tf.join(broadcast(dft), "w")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .withColumn("c", round(contrib, 6).cast("decimal(18,6)"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("s"), count(lit(1)).as("n_terms"))
-      .orderBy(col("s").desc, col("doc_id").asc)
-      .limit(15)
-      .select(col("doc_id"), col("n_terms"),
-        col("s").cast("string").as("score"))
-  }
-
-  // ---------- hybrid retrieval: reciprocal-rank fusion ----------
-  /** Reciprocal-rank fusion (Cormack et al. 2009) of the BM25 lexical
-    * ranking and an embedding cosine ranking — THE standard hybrid
-    * retrieval combiner (every vector DB's `hybrid` mode). Each source
-    * contributes `1/(60 + rank)`; a document missing from one top-15
-    * contributes 0 from that side. The fused score is computed as an
-    * EXACT RATIONAL collapsed to a fixed-point millionth —
-    * `(n1·d2 + n2·d1)·1e6 DIV (d1·d2)` on integer ranks — so the final
-    * ordering is pure integer comparison; the only floats live INSIDE
-    * the two source rankers, each already rounding-disciplined
-    * ([[qTextBm25]]'s decimal summation, the ANN family's rounded
-    * cosine). The vector side ranks the embedded subset (vec_id aligns
-    * with doc_id), querying by doc 0's embedding.
-    *
-    * Scale shape: both source rankings end in TakeOrdered top-15s; the
-    * only partition-less windows rank those FIFTEEN-row lists (pinned in
-    * the global-window allowlist with that bound); the fusion is a
-    * 15×15 full-outer join on doc_id. Everything upstream is the
-    * sources' own scale-safe plans.
-    */
-  def qTextRrf(spark: SparkSession, dir: String): DataFrame = {
-    val wBm = Window.orderBy(col("s").desc, col("doc_id"))
-    val bm = qTextBm25(spark, dir)
-      .select(col("doc_id"), col("score").cast("decimal(18,6)").as("s"))
-      .withColumn("r1", row_number().over(wBm))
-      .select(col("doc_id"), col("r1"))
-    val e = Tables.embeddings(spark, dir)
-      .selectExpr("vec_id",
-        "transform(embedding, x -> cast(x AS DOUBLE)) vd")
-      .withColumn("nrm",
-        sqrt(aggregate(col("vd"), lit(0.0), (a, x) => a + x * x)))
-    val qv = e.filter(col("vec_id") === 0)
-      .select(col("vd").as("q_vd"), col("nrm").as("q_nrm"))
-    val wEm = Window.orderBy(col("cos").desc, col("doc_id"))
-    val em = e.crossJoin(broadcast(qv))
-      .filter(col("vec_id") =!= 0)
-      .withColumn("cos", round(
-        expr("aggregate(zip_with(vd, q_vd, (a, b) -> a * b), 0D, (acc, x) -> acc + x)")
-          / (col("nrm") * col("q_nrm")), 6))
-      .select(col("vec_id").as("doc_id"), col("cos"))
-      .orderBy(col("cos").desc, col("doc_id")).limit(15)
-      .withColumn("r2", row_number().over(wEm))
-      .select(col("doc_id"), col("r2"))
-    bm.join(em, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"),
-        coalesce(col("r1"), lit(0)).as("r_bm25"),
-        coalesce(col("r2"), lit(0)).as("r_emb"),
-        expr("""CAST(((CASE WHEN r1 IS NULL THEN 0 ELSE 1 END)
-                 * (CASE WHEN r2 IS NULL THEN 1 ELSE 60 + r2 END)
-               + (CASE WHEN r2 IS NULL THEN 0 ELSE 1 END)
-                 * (CASE WHEN r1 IS NULL THEN 1 ELSE 60 + r1 END)) AS BIGINT)
-              * 1000000
-              DIV ((CASE WHEN r1 IS NULL THEN 1 ELSE 60 + r1 END)
-                 * (CASE WHEN r2 IS NULL THEN 1 ELSE 60 + r2 END))""")
-          .as("rrf6"))
-      .orderBy(col("rrf6").desc, col("doc_id"))
-      .limit(10)
-  }
-
-  val qTextRrfOracle: String =
-    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) w
-        FROM documents),
-      dl AS (SELECT doc_id, count(*) dl FROM toks GROUP BY doc_id),
-      stats AS (SELECT sum(dl) sum_dl, count(*) n_docs FROM dl),
-      tf AS (SELECT doc_id, w, count(*) tf FROM toks
-        WHERE w IN ('hash', 'query', 'table', 'vector', 'scan')
-        GROUP BY doc_id, w),
-      dft AS (SELECT w, count(*) df FROM tf GROUP BY w),
-      c AS (SELECT tf.doc_id,
-        round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-          * (tf * 2.2)
-          / (tf + 1.2 * (0.25 + 0.75 * dl / (sum_dl * 1.0 / n_docs))),
-          6)::DECIMAL(18,6) AS c
-        FROM tf JOIN dft USING (w) JOIN dl USING (doc_id), stats),
-      bmtop AS (SELECT doc_id, sum(c) s FROM c GROUP BY doc_id
-        ORDER BY s DESC, doc_id LIMIT 15),
-      bm AS (SELECT doc_id,
-        row_number() OVER (ORDER BY s DESC, doc_id) r1 FROM bmtop),
-      ev AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-      qv AS (SELECT v FROM ev WHERE vec_id = 0),
-      emtop AS (SELECT vec_id doc_id,
-          round(list_cosine_similarity(ev.v, qv.v), 6) cos
-        FROM ev, qv WHERE vec_id <> 0
-        ORDER BY cos DESC, doc_id LIMIT 15),
-      em AS (SELECT doc_id,
-        row_number() OVER (ORDER BY cos DESC, doc_id) r2 FROM emtop),
-      fused AS (SELECT coalesce(bm.doc_id, em.doc_id) doc_id,
-          coalesce(r1, 0) r_bm25, coalesce(r2, 0) r_emb,
-          ((CASE WHEN r1 IS NULL THEN 0 ELSE 1 END)
-             * (CASE WHEN r2 IS NULL THEN 1 ELSE 60 + r2 END)
-           + (CASE WHEN r2 IS NULL THEN 0 ELSE 1 END)
-             * (CASE WHEN r1 IS NULL THEN 1 ELSE 60 + r1 END)) * 1000000
-          // ((CASE WHEN r1 IS NULL THEN 1 ELSE 60 + r1 END)
-             * (CASE WHEN r2 IS NULL THEN 1 ELSE 60 + r2 END)) AS rrf6
-        FROM bm FULL OUTER JOIN em ON bm.doc_id = em.doc_id)
-      SELECT doc_id, r_bm25, r_emb, rrf6 FROM fused
-      ORDER BY rrf6 DESC, doc_id LIMIT 10"""
-
-  val qTextBm25Oracle: String =
-    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) w
-        FROM documents),
-      dl AS (SELECT doc_id, count(*) dl FROM toks GROUP BY doc_id),
-      stats AS (SELECT sum(dl) sum_dl, count(*) n_docs FROM dl),
-      tf AS (SELECT doc_id, w, count(*) tf FROM toks
-        WHERE w IN ('hash', 'query', 'table', 'vector', 'scan')
-        GROUP BY doc_id, w),
-      dft AS (SELECT w, count(*) df FROM tf GROUP BY w),
-      c AS (SELECT tf.doc_id,
-        round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-          * (tf * 2.2)
-          / (tf + 1.2 * (0.25 + 0.75 * dl / (sum_dl * 1.0 / n_docs))),
-          6)::DECIMAL(18,6) AS c
-        FROM tf JOIN dft USING (w) JOIN dl USING (doc_id), stats)
-      SELECT doc_id, count(*) n_terms, sum(c)::VARCHAR score FROM c
-      GROUP BY doc_id ORDER BY sum(c) DESC, doc_id ASC LIMIT 15"""
-
-  // ---------- BPE merge-candidate pair counts ----------
-  /** The statistic a BPE tokenizer trainer consumes each merge round:
-    * adjacent symbol-pair frequencies within words, here at the
-    * character level (round 0 of training, before any merges). Words
-    * are maximal `[a-z]+` runs of the lowercased text; every word of
-    * length ≥ 2 contributes its `len-1` adjacent character bigrams.
-    * Emitted: top-20 pairs by total occurrences (the merge-priority
-    * queue head), with the distinct-word support count alongside —
-    * ties broken on the pair string so the cut is total-ordered.
-    *
-    * Scale shape: both explodes (words, then bigrams) are scan-side —
-    * no shuffle moves the exploded rows, because the hash aggregate's
-    * map-side combine collapses them to O(tasks · |alphabet|²) partial
-    * rows before the exchange. The distinct-word support adds one
-    * expand pass shuffling (pair, word) combinations — bounded by
-    * vocabulary size, not corpus size. All integer counts; nothing
-    * float-dependent crosses engines.
-    */
-  def qBpePairs(spark: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(spark, dir)
-      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
-      .filter(length(col("w")) >= 2)
-    words
-      .select(col("w"), explode(expr(
-        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
-        .as("pair"))
-      .groupBy(col("pair"))
-      .agg(count(lit(1)).as("n_occurrences"),
-        countDistinct(col("w")).as("n_words"))
-      .orderBy(col("n_occurrences").desc, col("pair").asc)
-      .limit(20)
-  }
-
-  val qBpePairsOracle: String =
-    """WITH words AS (SELECT unnest(list_filter(
-        string_split_regex(lower(text), '[^a-z]+'), x -> length(x) >= 2)) w
-        FROM documents),
-      pr AS (SELECT w, unnest([substring(w, i, 2) for i in
-        range(1, length(w))]) pair FROM words)
-      SELECT pair, count(*)::BIGINT n_occurrences,
-        count(DISTINCT w)::BIGINT n_words
-      FROM pr GROUP BY pair
-      ORDER BY n_occurrences DESC, pair ASC LIMIT 20"""
-
-  // ---------- winnowing fingerprint selection (MOSS) ----------
-  /** Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): from the stream of
-    * character 5-gram hashes, select the minimum of every 4-hash window
-    * (rightmost on ties) — the guarantee is that any shared substring of
-    * length >= k + w - 1 = 8 contributes at least one IDENTICAL selected
-    * fingerprint to both documents, which is what makes the selected set
-    * (not the full gram set) sufficient for plagiarism/overlap detection
-    * at a fraction of the index size.
-    *
-    * Everything is integer: the gram hash is an exact base-131 polynomial
-    * over the code points (max < 131^4 * 128 * 1.01, well inside BIGINT —
-    * no modulus, so no overflow-semantics question either), and the
-    * rightmost-min rule is encoded by packing `(hash, position)` into one
-    * key = `h * 2^20 + (2^20 - 1 - i)` so a plain `min` resolves
-    * value-then-rightmost in a single pass (documented position bound:
-    * documents up to 2^20 chars).
-    *
-    * Scale shape: selection is per-document SEQUENTIAL work, so the
-    * whole pipeline — gram hashing, w-window min, distinct-selection
-    * rollup — runs as ONE scan-side codegen kernel
-    * ([[graft.functions.WinnowStats]], O(n·w) per document, each code
-    * point read once) with ZERO exchanges before the output sort. The
-    * declarative spelling this replaces exploded to a gram row per
-    * character and paid an O(n²)-CPU `substr` chain plus a doc-keyed
-    * window shuffle; the DuckDB oracle still runs that declarative
-    * form, so the hash match is the kernel's exactness proof.
-    */
-  def qTextWinnow(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .where(length(col("text")) >= 8) // shortest text with a complete window
-      .select(col("doc_id"),
-        graft.functions.WinnowStats.winnowStats(col("text")).as("w"))
-      .where(col("w").isNotNull)
-      .select(col("doc_id"), col("w.n_grams"), col("w.n_fingerprints"),
-        col("w.fp_sum"), col("w.fp_min"), col("w.fp_max"))
-      .orderBy(col("doc_id"))
-
-  val qTextWinnowOracle: String =
-    """WITH d AS (SELECT doc_id, text, length(text) n FROM documents
-        WHERE length(text) >= 5),
-      pos AS (SELECT doc_id, text, n, unnest(range(0, n - 4)) i FROM d),
-      g AS (SELECT doc_id, n, i,
-          ((((ascii(substr(text, i::INT + 1, 1))::BIGINT * 131
-            + ascii(substr(text, i::INT + 2, 1))) * 131
-            + ascii(substr(text, i::INT + 3, 1))) * 131
-            + ascii(substr(text, i::INT + 4, 1))) * 131
-            + ascii(substr(text, i::INT + 5, 1))) h
-        FROM pos),
-      k AS (SELECT doc_id, n, i, h * 1048576 + (1048575 - i) AS key FROM g),
-      m AS (SELECT doc_id, n, i, min(key) OVER (PARTITION BY doc_id
-          ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) wkey
-        FROM k),
-      sel AS (SELECT DISTINCT doc_id, n, wkey // 1048576 AS fp,
-          1048575 - (wkey % 1048576) AS pos
-        FROM m WHERE i <= n - 8)
-      SELECT doc_id, max(n) - 4 AS n_grams, count(*)::BIGINT n_fingerprints,
-        sum(fp)::BIGINT fp_sum, min(fp) fp_min, max(fp) fp_max
-      FROM sel GROUP BY doc_id ORDER BY doc_id"""
-
-  // ---------- hashed linear quality classifier ----------
-  /** fastText-style linear classifier scoring via the hashing trick: each
-    * token hashes into one of 4096 feature buckets (md5-derived so the
-    * oracle reproduces it bit-for-bit — [[qSampleHash]] discipline) and
-    * each bucket carries a fixed integer weight in [-50, 50]; a
-    * document's raw score is the BIGINT sum of its tokens' weights —
-    * associative and exact, so no fold-order hazard. The normalized
-    * margin is emitted ×10⁴ via INTEGER division (both engines truncate
-    * toward zero) and the keep decision compares the integer raw score
-    * to zero — the whole result is exact; no double ever reaches the
-    * output. (A sigmoid-probability form was tried first and REJECTED
-    * by the boundary audit: on this very corpus one document's
-    * `round(1/(1+exp(...)), 6)` landed within 2e-16 of a rounding
-    * boundary — it hash-matched DuckDB only because both libm `exp`s
-    * agreed to the last ulp that day. The audit exists to refuse that
-    * bet; a real pipeline thresholds on the monotone margin anyway.)
-    *
-    * This is the scoring pass of every learned quality filter (fastText
-    * langid, DCLM-style classifiers): the model needs NO vocabulary
-    * broadcast — the hashing trick makes the feature map a pure
-    * function — so the query is a single scan with zero exchanges
-    * before the output sort. Weights here are a deterministic function
-    * of the bucket id (a real model would broadcast a 4096-float
-    * array; the PLAN is identical).
-    */
-  def qQualityClassifier(spark: SparkSession, dir: String): DataFrame =
-    scoredDocs(spark, dir)
-      .select(col("doc_id"), col("n_words").cast("int").as("n_words"),
-        col("raw_score"), col("margin_e4"),
-        (col("raw_score") > 0).cast("int").as("keep"))
-      .orderBy(col("doc_id"))
-
-  val qQualityClassifierOracle: String =
-    """WITH s AS (SELECT doc_id,
-        len(string_split(text, ' ')) AS n_words,
-        list_sum(list_transform(string_split(text, ' '), w ->
-          ('0x' || substr(md5(w), 1, 6))::BIGINT % 4096 % 101 - 50
-        ))::BIGINT AS raw_score
-      FROM documents)
-      SELECT doc_id, n_words, raw_score,
-        raw_score * 10000 // (n_words * 50) AS margin_e4,
-        (raw_score > 0)::INT AS keep
-      FROM s ORDER BY doc_id"""
-
-  // ---------- BPE merge training (iterative) ----------
-  /** Distributed byte-pair-encoding TRAINING — the merge-learning loop
-    * behind every BPE/SentencePiece tokenizer, run the way production
-    * trainers actually run it: the corpus is touched ONCE to build the
-    * (word, freq) table, and all iteration happens on that aggregate,
-    * whose size is the VOCABULARY (Heaps-law sublinear in corpus size),
-    * not the corpus. Each of the [[BpeMerges]] rounds: (1) per-word
-    * adjacent symbol pairs explode scan-side weighted by word frequency
-    * and reduce in one vocabulary-sized combine-fed exchange; (2) the
-    * argmax pair (count desc, then lexicographic — fully deterministic)
-    * comes to the driver as ONE row (fixed-size model state, the
-    * [[graft.ops.Similarity]] kmeans/PQ discipline); (3) the merge is
-    * applied to every word's symbol array with a greedy left-to-right
-    * `aggregate` fold (non-overlapping, the standard BPE application
-    * order), and the tiny vocab state is localCheckpoint'd so plans
-    * stay bounded across rounds ([[graft.ops.Dedup.releaseCheckpoint]]
-    * discipline).
-    *
-    * Emits the learned merge table (step, pa, pb, weighted count) — the
-    * tokenizer model itself. The oracle replays all rounds exactly:
-    * per-round CTEs unrolled ([[graft.ops.GraphOps]] k-core style) with
-    * the same fold via `list_reduce` and the same tie-break, so a hash
-    * match proves the full iterative trajectory, not just the last
-    * state. Complements [[qBpePairs]] (single-round pair statistics).
-    */
-  val BpeMerges = 8
-
-  /** The learned model: merge table + final per-word symbol state (word
-    * retained so application can join on it).
-    */
-  private[ops] final case class BpeModel(
-      merges: Seq[(Int, String, String, Long)], vocab: DataFrame)
-
-  /** [[qBpeEncode]]'s model cache: SINGLE slot keyed like every session
-    * fixture (session object + dir + content fingerprint), the evicted
-    * model's checkpoint released so stale sessions/data never pin
-    * blocks. [[qBpeTrain]] does NOT read it: training IS that query's
-    * measured work, while for encoding the model is an input artifact
-    * (the `q_ann_refresh` index-state discipline).
-    */
-  private var bpeModelSlot: (String, BpeModel) = null
-
-  private[ops] def bpeTrainState(spark: SparkSession, dir: String): BpeModel = {
-    val vocab0 = Tables.documents(spark, dir)
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(col("w"), split(col("w"), "").as("syms"), col("freq"))
-      .stageCheckpoint()
-
-    var vocab = vocab0
-    val merges = Seq.newBuilder[(Int, String, String, Long)]
-    for (step <- 1 to BpeMerges) {
-      val best = vocab
-        // slice-based adjacency (NOT sequence(1, n-1): Spark's sequence
-        // DESCENDS when start > stop, so 1-symbol words would index out
-        // of bounds instead of yielding zero pairs)
-        .select(col("freq"), explode(expr(
-          "zip_with(slice(syms, 1, size(syms) - 1), " +
-            "slice(syms, 2, size(syms) - 1), " +
-            "(a, b) -> struct(a AS pa, b AS pb))")).as("p"))
-        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
-        .agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("pa"), col("pb"))
-        .limit(1).collect()
-      require(best.nonEmpty, s"bpe_train: no pairs left at step $step")
-      val (pa, pb, cnt) =
-        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-      // symbols come from corpus tokens: require them SQL-literal-safe
-      // rather than escaping silently (the corpus alphabet is alnum)
-      require(!pa.contains("'") && !pb.contains("'"),
-        s"bpe_train: symbol needs escaping: '$pa' '$pb'")
-      merges += ((step, pa, pb, cnt))
-      val next = vocab.select(col("w"), expr(
-        s"""aggregate(syms, CAST(array() AS array<string>),
-            (acc, s) -> CASE WHEN size(acc) > 0
-                AND element_at(acc, -1) = '$pa' AND s = '$pb'
-              THEN concat(slice(acc, 1, size(acc) - 1),
-                array(element_at(acc, -1) || s))
-              ELSE concat(acc, array(s)) END)""").as("syms"),
-        col("freq")).stageCheckpoint()
-      if (vocab ne vocab0) graft.ops.Dedup.releaseCheckpoint(vocab)
-      vocab = next
-    }
-    graft.ops.Dedup.releaseCheckpoint(vocab0)
-    BpeModel(merges.result(), vocab) // final state stays checkpointed
-  }
-
-  def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val model = bpeTrainState(spark, dir)
-    graft.ops.Dedup.releaseCheckpoint(model.vocab)
-    model.merges.toDF("step", "pa", "pb", "cnt").orderBy(col("step"))
-  }
-
-  // ---------- BPE application (encode with the learned model) ----------
-  /** Tokenization with the trained BPE model, done the way it scales:
-    * the merge loop's FINAL per-word symbol state is the tokenizer —
-    * each vocabulary word already carries its token count — so encoding
-    * the corpus is a scan-side explode of words, a BROADCAST join
-    * against the vocabulary-sized model table, and one per-doc
-    * combine-fed aggregate. No per-occurrence merge replay: the fold
-    * runs once per DISTINCT word at training time, not once per corpus
-    * token (on 100 TB the ratio between those is the whole game).
-    * Emits per-doc char/token counts and the ×100 integer compression
-    * ratio — the "tokens per document" accounting a training pipeline
-    * feeds its batch planner ([[qPackSequences]]).
-    *
-    * The model is a session fixture (built once per (session, dir,
-    * content), the index-state discipline of `q_ann_refresh`): this
-    * query times APPLICATION; [[qBpeTrain]] times training.
-    */
-  def qBpeEncode(spark: SparkSession, dir: String): DataFrame = {
-    val k = SessionFixtures.key(spark, dir)
-    val model = synchronized {
-      if (bpeModelSlot != null && bpeModelSlot._1 == k) bpeModelSlot._2
-      else {
-        if (bpeModelSlot != null)
-          graft.ops.Dedup.releaseCheckpoint(bpeModelSlot._2.vocab)
-        val m = bpeTrainState(spark, dir)
-        bpeModelSlot = (k, m)
-        SessionFixtures.pin("bpe_model_vocab", m.vocab)
-        m
-      }
-    }
-    val tok = model.vocab
-      .select(col("w"), size(col("syms")).as("n_tok"))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .join(broadcast(tok), "w")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"),
-        sum(length(col("w"))).as("n_chars"),
-        sum(col("n_tok")).as("n_tokens"))
-      .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_tokens"),
-        expr("n_chars * 100 DIV n_tokens").as("ratio_x100"))
-      .orderBy(col("doc_id"))
-  }
-
-  /** The shared unrolled replay (v0..vN, p_i, b_i) both BPE oracles
-    * build on; the word column rides through so the final state can be
-    * joined back to the corpus.
-    */
-  private def bpeOracleCtes: String = {
-    val rounds = (1 to BpeMerges).map { i =>
-      s"""p$i AS (SELECT pr.pa, pr.pb, sum(freq)::BIGINT cnt
-           FROM (SELECT freq, unnest(list_transform(
-               range(1, len(syms)), j ->
-                 {'pa': syms[j], 'pb': syms[j + 1]})) pr
-             FROM v${i - 1}) GROUP BY pr.pa, pr.pb),
-         b$i AS (SELECT $i::INT AS step, pa, pb, cnt FROM p$i
-           ORDER BY cnt DESC, pa, pb LIMIT 1),
-         v$i AS MATERIALIZED (SELECT w, list_reduce(
-             list_transform(syms, s -> [s]),
-             (acc, x) -> CASE WHEN acc[-1] = b$i.pa AND x[1] = b$i.pb
-               THEN acc[1:len(acc)-1] || [acc[-1] || x[1]]
-               ELSE acc || x END) AS syms, freq
-           FROM v${i - 1}, b$i)"""
-    }.mkString(",\n      ")
-    s"""WITH v0 AS MATERIALIZED (
-        SELECT w, list_transform(range(1, length(w) + 1), i -> w[i]) AS syms,
-          count(*)::BIGINT freq
-        FROM (SELECT unnest(string_split(text, ' ')) w FROM documents)
-        WHERE length(w) > 0 GROUP BY w),
-      $rounds"""
-  }
-
-  val qBpeTrainOracle: String =
-    s"""$bpeOracleCtes
-      ${(1 to BpeMerges).map(i => s"SELECT * FROM b$i")
-        .mkString("", " UNION ALL ", "")}
-      ORDER BY step"""
-
-  val qBpeEncodeOracle: String =
-    s"""$bpeOracleCtes,
-      tok AS (SELECT w, len(syms)::BIGINT n_tok FROM v$BpeMerges),
-      d AS (SELECT doc_id, unnest(string_split(text, ' ')) w
-        FROM documents)
-      SELECT doc_id, count(*)::BIGINT n_words,
-        sum(length(w))::BIGINT n_chars, sum(n_tok)::BIGINT n_tokens,
-        (sum(length(w))::BIGINT * 100 // sum(n_tok)::BIGINT)::BIGINT
-          AS ratio_x100
-      FROM d JOIN tok USING (w)
-      GROUP BY doc_id ORDER BY doc_id"""
-
   // ---------- dataset profiling report (dataset card) ----------
   /** One-pass multi-column profiling — the automated "dataset card"
     * (Deequ-style) every corpus release ships: per column, row count,
@@ -2505,321 +1571,6 @@ object TextAnalysis {
         (n_in - n_out) * 100 // n_in AS drop_pct_x100
       FROM st ORDER BY stage_no"""
 
-  // ---------- bigram-LM perplexity (conditional language model) ----------
-  /** Per-document mean negative log-likelihood under an add-one-smoothed
-    * BIGRAM language model trained on the corpus itself — the
-    * conditional complement of [[qTextSurprisal]]'s unigram model and
-    * the cheap stand-in for the KenLM-style perplexity filters
-    * (CCNet/RedPajama) that gate web corpora: documents whose word
-    * TRANSITIONS are off-distribution (shuffled text, keyword stuffing,
-    * wrong language) score high even when their unigrams look fine.
-    * `P(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V)` where `c(w1·)` counts w1 as
-    * a bigram CONTEXT (so the denominator marginalizes exactly) and V
-    * is the corpus vocabulary.
-    *
-    * Scale shape: bigrams explode scan-side from one `zip_with` of two
-    * array slices (no window, no self-join); the bigram-count table is
-    * Heaps-law sublinear in corpus size but NOT dimension-tiny, so the
-    * score join shuffles keyed on the bigram — combine-fed on both
-    * sides; the context-count and vocabulary tables ARE
-    * vocabulary-scale and broadcast. Corpus is touched twice (train,
-    * score) — the honest minimum for self-trained scoring.
-    */
-  def qTextPerplexity(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
-    val big = d.select(col("doc_id"), explode(expr(
-      """zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),
-         (a, b) -> struct(a AS w1, b AS w2))""")).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val c2 = big.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).cast("double").as("c2"))
-    val c1 = big.groupBy(col("w1"))
-      .agg(count(lit(1)).cast("double").as("c1"))
-    val v = d.select(explode(col("ws")).as("w"))
-      .agg(countDistinct(col("w")).cast("double").as("v"))
-    big.join(c2, Seq("w1", "w2"))
-      .join(broadcast(c1), Seq("w1"))
-      .crossJoin(broadcast(v))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(-log((col("c2") + 1) / (col("c1") + col("v")))), 6)
-          .as("nll2"))
-      .orderBy(col("doc_id"))
-  }
-
-  val qTextPerplexityOracle: String =
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
-      pos AS (SELECT doc_id, ws, unnest(range(1, len(ws))) i FROM d),
-      big AS (SELECT doc_id, ws[i::INT] w1, ws[(i + 1)::INT] w2 FROM pos),
-      c2 AS (SELECT w1, w2, count(*)::DOUBLE c2 FROM big GROUP BY 1, 2),
-      c1 AS (SELECT w1, count(*)::DOUBLE c1 FROM big GROUP BY 1),
-      v AS (SELECT count(DISTINCT w)::DOUBLE v FROM
-        (SELECT unnest(ws) w FROM d))
-      SELECT doc_id, count(*)::BIGINT n_bigrams,
-        round(avg(-ln((c2 + 1) / (c1 + v))), 6) AS nll2
-      FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
-      GROUP BY doc_id ORDER BY doc_id"""
-
-  // ---------- DSIR importance weighting (targeted data selection) ----------
-  /** Data Selection via Importance Resampling (Xie et al. 2023): score
-    * every document by how much more likely its hashed-unigram features
-    * are under a TARGET distribution (here the `lang = 'en'` slice —
-    * standing in for "looks like Wikipedia") than under the raw-corpus
-    * distribution. Each token hashes into one of [[DsirBuckets]]
-    * buckets via the md5 chain (the [[qSampleHash]] discipline, so the
-    * oracle reproduces the feature map bit-for-bit); bucket
-    * distributions are add-one smoothed; a document's log importance
-    * weight is the sum over its tokens of ONE `ln` of the exact rational
-    * ratio `((c_t[b]+1)·(T_r+B)) / ((c_r[b]+1)·(T_t+B))` — both engines
-    * evaluate the identical expression on identical integers, so the
-    * only doubles are the final ln's.
-    *
-    * Scale shape: the feature map is a pure function (hashing trick —
-    * no vocabulary broadcast, the [[qQualityClassifier]] argument); both
-    * bucket-count tables are FIXED [[DsirBuckets]]-row aggregates that
-    * broadcast back, so the corpus pays two combine-fed scans and zero
-    * wide shuffles. This is the exact access pattern of production DSIR
-    * at 100 TB: train tiny bucketed n-gram models once, then stream the
-    * corpus through a stateless scorer.
-    */
-  private val DsirBuckets = 256
-
-  def qCurateDsir(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(
-      conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long"),
-      lit(DsirBuckets.toLong)).as("b")
-    val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        explode(split(col("text"), " ", -1)).as("w"))
-      .select(col("doc_id"), col("lang"), bucket)
-    val raw = tok.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val tgt = tok.where(col("lang") === "en")
-      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    // complete 256-bucket model: buckets unseen in the target slice
-    // still carry their add-one mass (left join, zero-fill)
-    val model = raw.join(tgt, Seq("b"), "left_outer")
-      .select(col("b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
-    val totals = model.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
-    tok.join(broadcast(model), Seq("b"))
-      .crossJoin(broadcast(totals))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        round(sum(log(((col("ct") + 1) * (col("tr") + DsirBuckets)) /
-          ((col("cr") + 1) * (col("tt") + DsirBuckets)))), 6).as("logw"))
-      .orderBy(col("doc_id"))
-  }
-
-  val qCurateDsirOracle: String =
-    s"""WITH tok AS (SELECT doc_id, lang,
-        ('0x' || substr(md5(w), 1, 6))::BIGINT % $DsirBuckets AS b
-        FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) w
-              FROM documents)),
-      raw AS (SELECT b, count(*) cr FROM tok GROUP BY b),
-      tgt AS (SELECT b, count(*) ct FROM tok WHERE lang = 'en' GROUP BY b),
-      model AS (SELECT raw.b, cr, coalesce(ct, 0) ct
-        FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
-      tot AS (SELECT sum(cr)::BIGINT tr, sum(ct)::BIGINT tt FROM model)
-      SELECT doc_id, count(*)::BIGINT n_tokens,
-        round(sum(ln(((ct + 1) * (tr + $DsirBuckets))::DOUBLE /
-          ((cr + 1) * (tt + $DsirBuckets)))), 6) AS logw
-      FROM tok JOIN model USING (b) CROSS JOIN tot
-      GROUP BY doc_id ORDER BY doc_id"""
-
-  // ---------- mutual information feature audit ----------
-  /** Mutual information between hashed token features and the document
-    * language label — the feature-selection / leakage-audit pass run
-    * before training any quality or language classifier: buckets with
-    * outsized `MI(bucket; label)` are the discriminative features (or,
-    * against a should-be-independent label like train/test split, the
-    * leaks). Tokens hash into [[MiBuckets]] buckets (md5 chain again);
-    * per (bucket, label) cell the contribution is
-    * `p(b,l) · ln(p(b,l)/(p(b)p(l)))`, evaluated as one `ln` of the
-    * exact integer rational `(c_bl·N)/(c_b·c_l)` scaled by exact
-    * `c_bl/N` — summed per bucket and reported with the bucket's token
-    * count. Output is the full fixed-size bucket table ordered by id —
-    * no double ordering anywhere.
-    *
-    * Scale shape: one scan-side hash, ONE combine-fed (bucket, label)
-    * aggregate whose state is at most [[MiBuckets]]·|labels| cells, and
-    * arithmetic on the resulting dimension-scale table; marginals come
-    * from re-aggregating the CELL table (never the corpus), and N
-    * crosses as one broadcast row.
-    */
-  private val MiBuckets = 64
-
-  // ---------- inter-annotator agreement (Cohen's kappa) ----------
-  /** COHEN'S KAPPA — the label-QC number for human- or model-annotated
-    * training data: chance-corrected agreement between two annotators.
-    * Annotator A is the corpus `lang` label; annotator B is a
-    * deterministic noisy copy (an md5-parity ~20% of docs shift to the
-    * cyclically-next language — the dictionary and shift both derived
-    * in-plan, so the oracle replays them exactly). The whole statistic
-    * reduces to integers: with `agree` = matching docs, `rA_k`/`rB_k`
-    * the per-class marginals, κ = (N·agree − Σ_k rA_k·rB_k) /
-    * (N² − Σ_k rA_k·rB_k) — ONE double divide of identical exact
-    * operands at the very end, the repo's exactness discipline. Scale
-    * shape: one scan to label B (broadcast 5-row dictionary), one
-    * confusion-matrix aggregate (class² cells), marginal products on the
-    * domain-bounded dictionary.
-    */
-  def qLabelKappa(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
-    val dict = d.select(col("lang")).distinct()
-      .withColumn("rk", row_number().over(Window.orderBy(col("lang"))))
-    val L = dict.count() // 5-row dictionary; fixed-size model
-    val noisy = d
-      .withColumn("flip", pmod(
-        conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
-          .cast("long"), lit(5L)) === 0L)
-      .join(broadcast(dict), "lang")
-      .withColumn("b_rk",
-        when(col("flip"), pmod(col("rk").cast("long"), lit(L)) + 1L)
-          .otherwise(col("rk").cast("long")))
-      .join(broadcast(dict.select(col("lang").as("b_lang"),
-        col("rk").cast("long").as("b_rk"))), "b_rk")
-    val conf = noisy.groupBy(col("lang"), col("b_lang"))
-      .agg(count(lit(1)).as("n")).stageCheckpoint()
-    val rA = conf.groupBy(col("lang")).agg(sum(col("n")).as("ra"))
-    val rB = conf.groupBy(col("b_lang")).agg(sum(col("n")).as("rb"))
-    val pe = rA.join(rB, col("lang") === col("b_lang"))
-      .agg(sum(col("ra") * col("rb")).as("spe"))
-    val tot = conf.agg(sum(col("n")).as("nn"),
-      sum(when(col("lang") === col("b_lang"), col("n")).otherwise(0L))
-        .as("agree"))
-    tot.crossJoin(broadcast(pe))
-      .select(col("nn").as("n"), col("agree"),
-        round(col("agree").cast("double") / col("nn"), 6).as("po6"),
-        round((col("nn") * col("agree") - col("spe")).cast("double") /
-          (col("nn") * col("nn") - col("spe")).cast("double"), 6)
-          .as("kappa6"))
-  }
-
-  val qLabelKappaOracle: String =
-    """WITH d AS (SELECT doc_id, lang FROM documents),
-      dict AS (SELECT lang, row_number() OVER (ORDER BY lang) AS rk
-        FROM (SELECT DISTINCT lang FROM d)),
-      l AS (SELECT count(*)::BIGINT nl FROM dict),
-      noisy AS (SELECT d.doc_id, d.lang,
-          CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 6))::BIGINT
-            % 5 = 0 THEN (dict.rk % l.nl) + 1 ELSE dict.rk END AS b_rk
-        FROM d JOIN dict USING (lang) CROSS JOIN l),
-      lab AS (SELECT n.lang, d2.lang AS b_lang FROM noisy n
-        JOIN dict d2 ON d2.rk = n.b_rk),
-      conf AS (SELECT lang, b_lang, count(*)::BIGINT n FROM lab
-        GROUP BY 1, 2),
-      ra AS (SELECT lang, sum(n)::BIGINT ra FROM conf GROUP BY 1),
-      rb AS (SELECT b_lang, sum(n)::BIGINT rb FROM conf GROUP BY 1),
-      pe AS (SELECT sum(ra * rb)::BIGINT spe FROM ra JOIN rb
-        ON ra.lang = rb.b_lang),
-      tot AS (SELECT sum(n)::BIGINT nn,
-          sum(CASE WHEN lang = b_lang THEN n ELSE 0 END)::BIGINT agree
-        FROM conf)
-      SELECT nn AS n, agree,
-        round(agree / nn::DOUBLE, 6) AS po6,
-        round((nn * agree - spe)::DOUBLE /
-          (nn::HUGEINT * nn - spe)::DOUBLE, 6) AS kappa6
-      FROM tot CROSS JOIN pe"""
-
-  // ---------- chi-square independence (lang × source contingency) ----------
-  /** Pearson χ² independence audit of the lang × source contingency
-    * table — the monitoring number that says whether a corpus's language
-    * mix is uniform across sources or some source skews (a routing bug,
-    * a crawl drift). Every cell of the FULL grid participates, including
-    * structural zeros (the classic chi-square mistake is grouping only
-    * observed combos): the grid is the cross of two domain-bounded
-    * dimension tables, so it is tiny at any corpus size. Exactness per
-    * the repo discipline: the per-cell statistic is regrouped as
-    * `(O·N − R·C)² / (N·R·C)` — integer numerator/denominator routed
-    * through DECIMAL(38,0) (no 63-bit overflow at any N), ONE double
-    * divide of identical exact operands per cell, then per-term
-    * quantization to 1e-9 BIGINT so the per-language sum is associative
-    * and engine-identical (the q_graph_linkpred lesson applied to a
-    * test statistic).
-    */
-  def qStatsChisq(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).select(col("lang"), col("source"))
-    val cells = d.groupBy(col("lang"), col("source"))
-      .agg(count(lit(1)).as("o")).stageCheckpoint()
-    val rowT = cells.groupBy(col("lang")).agg(sum(col("o")).as("r"))
-    val colT = cells.groupBy(col("source")).agg(sum(col("o")).as("c"))
-    val n = cells.agg(sum(col("o")).as("n"))
-    val dec = "decimal(38,0)"
-    val grid = broadcast(rowT).crossJoin(broadcast(colT))
-      .join(cells, Seq("lang", "source"), "left_outer")
-      .withColumn("o", coalesce(col("o"), lit(0L)))
-      .crossJoin(broadcast(n))
-    grid
-      .withColumn("num",
-        col("o").cast(dec) * col("n").cast(dec) -
-          col("r").cast(dec) * col("c").cast(dec))
-      .withColumn("t9", round(
-        (col("num") * col("num")).cast("double") /
-          (col("n").cast(dec) * col("r").cast(dec) * col("c").cast(dec))
-            .cast("double") * lit(1e9)).cast("long"))
-      .groupBy(col("lang"))
-      .agg(max(col("r")).as("n_docs"),
-        round(sum(col("t9")) / lit(1e9), 6).as("chisq_contrib6"))
-      .orderBy(col("lang"))
-  }
-
-  val qStatsChisqOracle: String =
-    """WITH cells AS (SELECT lang, source, count(*)::BIGINT o
-        FROM documents GROUP BY 1, 2),
-      rt AS (SELECT lang, sum(o)::BIGINT r FROM cells GROUP BY 1),
-      ct AS (SELECT source, sum(o)::BIGINT c FROM cells GROUP BY 1),
-      n AS (SELECT sum(o)::BIGINT n FROM cells),
-      grid AS (SELECT rt.lang, ct.source, rt.r, ct.c,
-          coalesce(cells.o, 0)::BIGINT AS o, n.n
-        FROM rt CROSS JOIN ct CROSS JOIN n
-        LEFT JOIN cells ON cells.lang = rt.lang AND cells.source = ct.source),
-      t AS (SELECT lang, r,
-          round(((o::HUGEINT * n - r::HUGEINT * c) *
-                 (o::HUGEINT * n - r::HUGEINT * c))::DOUBLE /
-            (n::HUGEINT * r * c)::DOUBLE * 1e9)::BIGINT AS t9
-        FROM grid)
-      SELECT lang, max(r) AS n_docs,
-        round(sum(t9)::BIGINT / 1e9, 6) AS chisq_contrib6
-      FROM t GROUP BY lang ORDER BY lang"""
-
-  def qStatsMutualinfo(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(
-      conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long"),
-      lit(MiBuckets.toLong)).as("b")
-    val cells = Tables.documents(spark, dir)
-      .select(col("lang"), explode(split(col("text"), " ", -1)).as("w"))
-      .select(col("lang"), bucket)
-      .groupBy(col("b"), col("lang")).agg(count(lit(1)).as("cbl"))
-      .stageCheckpoint()
-    val cb = cells.groupBy(col("b")).agg(sum(col("cbl")).as("cb"))
-    val cl = cells.groupBy(col("lang")).agg(sum(col("cbl")).as("cl"))
-    val n = cells.agg(sum(col("cbl")).as("n"))
-    cells.join(broadcast(cb), Seq("b"))
-      .join(broadcast(cl), Seq("lang"))
-      .crossJoin(broadcast(n))
-      .groupBy(col("b"))
-      .agg(sum(col("cbl")).as("n_tokens"),
-        round(sum((col("cbl") / col("n")) *
-          log((col("cbl") * col("n")) / (col("cb") * col("cl")))), 9)
-          .as("mi9"))
-      .orderBy(col("b"))
-  }
-
-  val qStatsMutualinfoOracle: String =
-    s"""WITH tok AS (SELECT lang,
-        ('0x' || substr(md5(w), 1, 6))::BIGINT % $MiBuckets AS b
-        FROM (SELECT lang, unnest(string_split(text, ' ')) w
-              FROM documents)),
-      cells AS (SELECT b, lang, count(*) cbl FROM tok GROUP BY 1, 2),
-      cb AS (SELECT b, sum(cbl)::BIGINT cb FROM cells GROUP BY b),
-      cl AS (SELECT lang, sum(cbl)::BIGINT cl FROM cells GROUP BY lang),
-      n AS (SELECT sum(cbl)::BIGINT n FROM cells)
-      SELECT b, sum(cbl)::BIGINT n_tokens,
-        round(sum((cbl::DOUBLE / n) *
-          ln((cbl * n)::DOUBLE / (cb * cl))), 9) AS mi9
-      FROM cells JOIN cb USING (b) JOIN cl USING (lang) CROSS JOIN n
-      GROUP BY b ORDER BY b"""
-
   // ---------- curation under a per-source token budget ----------
   /** The final act of corpus curation: spend a fixed TOKEN budget per
     * source on the highest-quality documents — greedy by classifier
@@ -2883,903 +1634,7 @@ object TextAnalysis {
         min(CASE WHEN kept = 1 THEN score END) cutoff_score
       FROM k GROUP BY source ORDER BY source"""
 
-  // ---------- classifier evaluation: confusion matrix + P/R/F1 ----------
-  /** The evaluation pass every production classifier ships with: the
-    * [[qTextLangid]] heuristic scored against the corpus's TRUE `lang`
-    * labels — per class, support / true positives / false
-    * positives+negatives and precision/recall/F1 in fixed-point
-    * millionths (integer DIV on exact confusion counts, so the whole
-    * scorecard hash-matches; a class the model never predicts gets
-    * NULL precision via a lazy guard rather than a divide-by-zero).
-    * This is the missing half of deploying [[qQualityClassifier]]-style
-    * filters: the filter is only as good as an eval harness can prove.
-    *
-    * Scale shape: the prediction pipeline is [[qTextLangid]]'s
-    * (broadcast marker join + doc-keyed rank); everything after is
-    * arithmetic on the |classes|² confusion cells.
-    */
-  def qLangidEval(spark: SparkSession, dir: String): DataFrame = {
-    val cells = qTextLangid(spark, dir)
-      .groupBy(col("lang"), col("pred_lang"))
-      .agg(count(lit(1)).as("n"))
-    val byTrue = cells.groupBy(col("lang"))
-      .agg(sum(col("n")).as("n_docs"),
-        sum(when(col("pred_lang") === col("lang"), col("n"))
-          .otherwise(0L)).as("tp"))
-    val byPred = cells.groupBy(col("pred_lang"))
-      .agg(sum(col("n")).as("n_pred"))
-    byTrue
-      .join(byPred, col("lang") === col("pred_lang"), "left_outer")
-      .select(col("lang"), col("n_docs"), col("tp"),
-        coalesce(col("n_pred"), lit(0L)).as("n_pred"))
-      .select(col("lang"), col("n_docs"), col("tp"),
-        (col("n_pred") - col("tp")).as("fp"),
-        (col("n_docs") - col("tp")).as("fn"),
-        when(col("n_pred") > 0,
-          expr("tp * 1000000 DIV n_pred")).as("precision_e6"),
-        expr("tp * 1000000 DIV n_docs").as("recall_e6"),
-        when(col("n_pred") + col("n_docs") > 0,
-          expr("2 * tp * 1000000 DIV (n_pred + n_docs)")).as("f1_e6"))
-      .orderBy(col("lang"))
-  }
-
-  val qLangidEvalOracle: String =
-    s"""WITH m(m_lang, m_word) AS (VALUES $markerValues),
-      tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) w
-        FROM documents),
-      sc AS (SELECT doc_id, m_lang, count(*) score FROM tok
-        JOIN m ON w = m_word GROUP BY doc_id, m_lang),
-      best AS (SELECT doc_id, m_lang, score FROM (
-        SELECT *, row_number() OVER (PARTITION BY doc_id
-          ORDER BY score DESC, m_lang ASC) rn FROM sc) t WHERE rn = 1),
-      pred AS (SELECT d.lang, coalesce(best.m_lang, 'unknown') pred_lang
-        FROM documents d LEFT JOIN best ON d.doc_id = best.doc_id),
-      cells AS (SELECT lang, pred_lang, count(*)::BIGINT n
-        FROM pred GROUP BY 1, 2),
-      bt AS (SELECT lang, sum(n)::BIGINT n_docs,
-          sum(CASE WHEN pred_lang = lang THEN n ELSE 0 END)::BIGINT tp
-        FROM cells GROUP BY lang),
-      bp AS (SELECT pred_lang, sum(n)::BIGINT n_pred
-        FROM cells GROUP BY pred_lang)
-      SELECT lang, n_docs, tp,
-        coalesce(n_pred, 0) - tp AS fp,
-        n_docs - tp AS fn,
-        CASE WHEN coalesce(n_pred, 0) > 0
-          THEN tp * 1000000 // n_pred END AS precision_e6,
-        tp * 1000000 // n_docs AS recall_e6,
-        CASE WHEN coalesce(n_pred, 0) + n_docs > 0
-          THEN 2 * tp * 1000000 // (coalesce(n_pred, 0) + n_docs)
-          END AS f1_e6
-      FROM bt LEFT JOIN bp ON lang = pred_lang
-      ORDER BY lang"""
-
-  // ---------- classifier calibration (reliability table) ----------
-  /** Reliability diagram for the hashed linear classifier: documents
-    * bucket by normalized margin into ten fixed bins and each bin
-    * reports its observed `lang = 'en'` rate — does a higher score
-    * actually mean more English? The classifier's weights are
-    * hash-derived (not trained), so this is the HARNESS being proven:
-    * every value is an exact integer (bin index by integer floor
-    * division with clamping, rates in fixed-point millionths), and the
-    * same table built on a trained model drops in unchanged. One
-    * scan-side score pass + one ten-group combine-fed aggregate.
-    */
-  def qQualityCalibration(spark: SparkSession, dir: String): DataFrame = {
-    scoredDocs(spark, dir)
-      .withColumn("bin",
-        expr("greatest(0L, least(9L, (margin_e4 + 10000) DIV 2000))"))
-      .groupBy(col("bin"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
-        sum(col("margin_e4")).as("sum_margin_e4"))
-      .select(col("bin"), col("n_docs"), col("n_en"),
-        expr("n_en * 1000000 DIV n_docs").as("en_rate_e6"),
-        expr("sum_margin_e4 DIV n_docs").as("avg_margin_e4"))
-      .orderBy(col("bin"))
-  }
-
-  val qQualityCalibrationOracle: String =
-    """WITH s AS (SELECT lang,
-        len(string_split(text, ' '))::BIGINT AS n_words,
-        list_sum(list_transform(string_split(text, ' '), w ->
-          ('0x' || substr(md5(w), 1, 6))::BIGINT % 4096 % 101 - 50
-        ))::BIGINT AS raw_score
-      FROM documents),
-      b AS (SELECT lang,
-        greatest(0, least(9,
-          (raw_score * 10000 // (n_words * 50) + 10000) // 2000)) AS bin,
-        raw_score * 10000 // (n_words * 50) AS margin_e4
-      FROM s)
-      SELECT bin, count(*)::BIGINT n_docs,
-        sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT n_en,
-        sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT
-          * 1000000 // count(*) AS en_rate_e6,
-        sum(margin_e4)::BIGINT // count(*) AS avg_margin_e4
-      FROM b GROUP BY bin ORDER BY bin"""
-
-  // ---------- held-out language-model evaluation (no leakage) ----------
-  /** The leakage-free complement of [[qTextSurprisal]] /
-    * [[qTextPerplexity]]: those score the corpus under a model trained
-    * on ITSELF (fine for outlier filtering, methodologically wrong for
-    * measuring a model). Here the corpus splits by the deterministic
-    * md5 rule ([[qSampleHash]] discipline — first two hex digits of
-    * `md5(doc_id)` below 0x20 ≈ 12.5% become the HELD-OUT set), a
-    * unigram model with add-one smoothing over `V+1` outcomes (the +1
-    * is the OOV slot) trains on the TRAIN slice only, and every
-    * held-out document reports its token count, OOV count, and mean
-    * NLL — the number a tokenizer/corpus ablation would actually
-    * compare. OOV handling is exact: an unseen word's count is 0, so
-    * the same `(c+1)/(T+V+1)` formula covers both cases via a
-    * null-coalesce.
-    *
-    * Scale shape: one combine-fed count pass over the train slice
-    * (vocabulary-sized result, broadcast back), one scan of the
-    * held-out slice through the broadcast score join — no wide
-    * shuffle anywhere; both slices come from the same scan-side hash
-    * predicate, no materialized split needed.
-    */
-  def qTextLmHeldout(spark: SparkSession, dir: String): DataFrame = {
-    val splitKey = substring(md5(col("doc_id").cast("string")), 1, 2)
-    val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), (splitKey < "20").as("heldout"),
-        explode(split(col("text"), " ", -1)).as("w"))
-    val trainTok = tok.where(!col("heldout"))
-    val counts = trainTok.groupBy(col("w")).agg(count(lit(1)).as("ct"))
-    val denom = counts
-      .agg((sum(col("ct")) + count(lit(1)) + 1).cast("double").as("tv1"))
-    tok.where(col("heldout"))
-      .join(broadcast(counts), Seq("w"), "left_outer")
-      .crossJoin(broadcast(denom))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(col("ct").isNull.cast("long")).as("n_oov"),
-        round(avg(-log((coalesce(col("ct"), lit(0L)) + 1) / col("tv1"))), 6)
-          .as("nll"))
-      .orderBy(col("doc_id"))
-  }
-
-  val qTextLmHeldoutOracle: String =
-    """WITH tok AS (SELECT doc_id,
-        substr(md5(doc_id::VARCHAR), 1, 2) < '20' AS heldout,
-        unnest(string_split(text, ' ')) w
-      FROM documents),
-      counts AS (SELECT w, count(*)::BIGINT ct FROM tok
-        WHERE NOT heldout GROUP BY w),
-      denom AS (SELECT (sum(ct) + count(*) + 1)::DOUBLE tv1 FROM counts)
-      SELECT doc_id, count(*)::BIGINT n_tokens,
-        sum(CASE WHEN ct IS NULL THEN 1 ELSE 0 END)::BIGINT n_oov,
-        round(avg(-ln((coalesce(ct, 0) + 1) / tv1)), 6) AS nll
-      FROM tok LEFT JOIN counts USING (w) CROSS JOIN denom
-      WHERE heldout
-      GROUP BY doc_id ORDER BY doc_id"""
-
-  // ---------- word burstiness (Church–Gale cf/df) ----------
-  /** Burstiness of the top-50 collection-frequency words: cf/df — mean
-    * occurrences per CONTAINING document (Church & Gale: content words
-    * burst, function words spread; a Poisson word would sit at
-    * cf/df ≈ cf/N·e^… ≈ 1 for rare words), plus document coverage.
-    * The per-word readout IDF-style rankers and stopword inducers
-    * consume.
-    *
-    * Exactness: cf and df are exact integers from ONE combine-fed
-    * (word, doc) → word aggregate (count + count of distinct docs via
-    * pre-grouping, never count-distinct over the corpus); burst and
-    * coverage emit as floor-e6 integral divisions. Top-50 is a
-    * TakeOrdered (cf desc, word), never a global sort.
-    */
-  def qTextBurstiness(spark: SparkSession, dir: String): DataFrame = {
-    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("nd"))
-    val wd = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("w"))
-      .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("c"))
-    wd.groupBy(col("w"))
-      .agg(sum(col("c")).as("cf"), count(lit(1)).as("df"))
-      .orderBy(col("cf").desc, col("w")).limit(50)
-      .crossJoin(broadcast(nDocs))
-      .select(col("w"), col("cf"), col("df"),
-        expr("cf * 1000000 DIV df").as("burst_e6"),
-        expr("df * 1000000 DIV nd").as("coverage_e6"))
-      .orderBy(col("cf").desc, col("w"))
-  }
-
-  val qTextBurstinessOracle: String =
-    """WITH nd AS (SELECT count(*)::BIGINT nd FROM documents),
-      wd AS (SELECT w, doc_id, count(*)::BIGINT c FROM (
-        SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents)
-        GROUP BY 1, 2),
-      agg AS (SELECT w, sum(c)::BIGINT cf, count(*)::BIGINT df FROM wd
-        GROUP BY 1 ORDER BY cf DESC, w LIMIT 50)
-      SELECT w, cf, df, cf * 1000000 // df AS burst_e6,
-        df * 1000000 // nd.nd AS coverage_e6
-      FROM agg CROSS JOIN nd ORDER BY cf DESC, w"""
-
-  // ---------- Jensen–Shannon divergence between language slices ----------
-  /** JSD between the unigram distributions of the `en` slice and the
-    * rest of the corpus — the bounded, symmetric distribution distance
-    * drift monitors and mixture designers quote (PSI's principled
-    * sibling: defined even where one side has zero mass, bounded by
-    * ln 2). JSD(P‖Q) = ½KL(P‖M) + ½KL(Q‖M), M = (P+Q)/2.
-    *
-    * Exactness: per-word counts are exact integers from one vocab-
-    * scale combine-fed aggregate; each word's two KL terms
-    * p·ln(p/m) are doubles over the exact fractions (identical
-    * left-to-right expressions both engines) quantized to integer
-    * nano-units BEFORE summing (zero-mass words contribute a true 0 —
-    * coalesced, not NaN), so the sum is order-independent. The ln 2
-    * bound emits as a certified boolean.
-    *
-    * Scale shape: one vocabulary-sized aggregate, one 1-row reduce.
-    */
-  def qTextJsd(spark: SparkSession, dir: String): DataFrame = {
-    val cells = Tables.documents(spark, dir)
-      .select((col("lang") === "en").as("en"),
-        explode(split(col("text"), " ", -1)).as("w"))
-      .groupBy(col("w"))
-      .agg(sum(when(col("en"), 1L).otherwise(0L)).as("cp"),
-        sum(when(!col("en"), 1L).otherwise(0L)).as("cq"))
-      .stageCheckpoint() // vocabulary-sized
-    val tot = cells.agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"))
-    val terms = cells.crossJoin(broadcast(tot))
-      .withColumn("p", col("cp").cast("double") / col("np").cast("double"))
-      .withColumn("q", col("cq").cast("double") / col("nq").cast("double"))
-      .withColumn("m", (col("p") + col("q")) / 2.0)
-      .withColumn("tp", when(col("cp") > 0L,
-        col("p") * log(col("p") / col("m"))).otherwise(lit(0.0)))
-      .withColumn("tq", when(col("cq") > 0L,
-        col("q") * log(col("q") / col("m"))).otherwise(lit(0.0)))
-      .withColumn("t9", expr(
-        "CAST(round(tp * 5e8) AS BIGINT) + CAST(round(tq * 5e8) AS BIGINT)"))
-    terms.agg(count(lit(1)).as("vocab"), max(col("np")).as("n_en"),
-        max(col("nq")).as("n_rest"), sum(col("t9")).as("jsd_n9"))
-      .select(col("vocab"), col("n_en"), col("n_rest"), col("jsd_n9"),
-        round(col("jsd_n9").cast("double") / 1e9, 6).as("jsd6"),
-        (col("jsd_n9") <= 693147181L).as("within_ln2"))
-  }
-
-  val qTextJsdOracle: String =
-    """WITH tok AS (SELECT lang = 'en' AS en,
-        unnest(string_split(text, ' ')) w FROM documents),
-      cells AS (SELECT w,
-          sum(CASE WHEN en THEN 1 ELSE 0 END)::BIGINT cp,
-          sum(CASE WHEN NOT en THEN 1 ELSE 0 END)::BIGINT cq
-        FROM tok GROUP BY 1),
-      tot AS (SELECT sum(cp)::BIGINT np, sum(cq)::BIGINT nq FROM cells),
-      t AS (SELECT cp, cq,
-          cp::DOUBLE / np::DOUBLE AS p, cq::DOUBLE / nq::DOUBLE AS q
-        FROM cells CROSS JOIN tot),
-      u AS (SELECT cp, cq, p, q, (p + q) / 2.0 AS m FROM t),
-      v AS (SELECT
-          CASE WHEN cp > 0 THEN p * ln(p / m) ELSE 0.0 END AS tp,
-          CASE WHEN cq > 0 THEN q * ln(q / m) ELSE 0.0 END AS tq
-        FROM u),
-      s AS (SELECT count(*)::BIGINT vocab,
-          sum(CAST(round(tp * 5e8) AS BIGINT)
-            + CAST(round(tq * 5e8) AS BIGINT))::BIGINT jsd_n9
-        FROM v)
-      SELECT s.vocab, tot.np n_en, tot.nq n_rest, s.jsd_n9,
-        round(s.jsd_n9::DOUBLE / 1e9, 6) jsd6,
-        s.jsd_n9 <= 693147181 AS within_ln2
-      FROM s CROSS JOIN tot"""
-
-  // ---------- Kneser–Ney smoothed bigram LM (held-out scored) ----------
-  /** Interpolated Kneser–Ney — the smoothing that actually ships in
-    * n-gram LMs — trained on the [[qSampleHash]] train slice and
-    * scored on the held-out slice, upgrading [[qTextLmHeldout]]'s
-    * add-one unigram model:
-    *
-    *   P(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁·)
-    *            + D·N₁₊(w₁·)/c(w₁·) · P_cont(w₂),
-    *
-    * with D = 0.75 (EXACTLY representable in binary64 — 3/4; a 0.7
-    * discount would re-open the rounding-boundary class of bugs) and a
-    * +1-smoothed continuation P_cont(w₂) = (N₁₊(·w₂)+1)/(N₁₊(··)+V+1)
-    * so unseen continuations stay finite (the OOV slot, as in
-    * lm_heldout). Unseen CONTEXT (c(w₁·) = 0) backs off to P_cont
-    * alone.
-    *
-    * Exactness: every model quantity is an exact integer count; P is
-    * the same left-to-right double expression in both engines, and
-    * each bigram's −ln P quantizes to integer nano-units BEFORE the
-    * per-doc sum (the [[qStatsChisq]] discipline), so document NLLs
-    * are order-independent BIGINTs.
-    *
-    * Scale shape: counting is three combine-fed aggregates (bigram-,
-    * context-, and continuation-typed — all Heaps-sublinear); scoring
-    * joins the held-out bigrams to the bigram table by equi-join
-    * (bigram-keyed SHUFFLE — at 100 TB that table outgrows any
-    * broadcast) and to the two unigram-scale tables by broadcast.
-    */
-  def qTextKneserNey(spark: SparkSession, dir: String): DataFrame = {
-    val splitKey = substring(md5(col("doc_id").cast("string")), 1, 2)
-    val bi = Tables.documents(spark, dir)
-      .select(col("doc_id"), (splitKey < "20").as("heldout"),
-        split(col("text"), " ", -1).as("ws"))
-      .filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), col("heldout"), explode(expr(
-        """zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),
-           (a, b) -> struct(a AS w1, b AS w2))""")).as("g"))
-      .select(col("doc_id"), col("heldout"), col("g.w1"), col("g.w2"))
-    val big = bi.where(!col("heldout"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val ctx = big.groupBy(col("w1"))
-      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
-    val cont = big.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
-    val tot = big.agg(count(lit(1)).as("ntot"),
-      countDistinct(col("w1")).as("v"))
-    bi.where(col("heldout"))
-      .join(big, Seq("w1", "w2"), "left_outer")
-      .join(broadcast(ctx), Seq("w1"), "left_outer")
-      .join(broadcast(cont), Seq("w2"), "left_outer")
-      .crossJoin(broadcast(tot))
-      .withColumn("pcont",
-        (coalesce(col("n1b"), lit(0L)) + 1L).cast("double") /
-          (col("ntot") + col("v") + 1L).cast("double"))
-      .withColumn("p", when(col("c1").isNull, col("pcont"))
-        .otherwise(
-          greatest(coalesce(col("c12"), lit(0L)).cast("double") - 0.75,
-            lit(0.0)) / col("c1").cast("double") +
-          lit(0.75) * col("n1f").cast("double") / col("c1").cast("double")
-            * col("pcont")))
-      .withColumn("t9", expr("CAST(round(-ln(p) * 1e9) AS BIGINT)"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(col("c1").isNull.cast("long")).as("n_ctx_oov"),
-        sum(col("t9")).as("nll_n9"))
-      .select(col("doc_id"), col("n_bigrams"), col("n_ctx_oov"),
-        col("nll_n9"),
-        round(col("nll_n9").cast("double") / 1e9 /
-          col("n_bigrams").cast("double"), 6).as("nll6"))
-      .orderBy(col("doc_id"))
-  }
-
-  val qTextKneserNeyOracle: String =
-    """WITH d AS (SELECT doc_id,
-        substr(md5(doc_id::VARCHAR), 1, 2) < '20' AS heldout,
-        string_split(text, ' ') ws
-      FROM documents WHERE len(string_split(text, ' ')) >= 2),
-      bi AS (SELECT doc_id, heldout,
-          unnest(ws[1:len(ws)-1]) w1, unnest(ws[2:len(ws)]) w2
-        FROM d),
-      big AS (SELECT w1, w2, count(*)::BIGINT c12 FROM bi
-        WHERE NOT heldout GROUP BY 1, 2),
-      ctx AS (SELECT w1, sum(c12)::BIGINT c1, count(*)::BIGINT n1f
-        FROM big GROUP BY 1),
-      cont AS (SELECT w2, count(*)::BIGINT n1b FROM big GROUP BY 1),
-      tot AS (SELECT count(*)::BIGINT ntot,
-          count(DISTINCT w1)::BIGINT v FROM big),
-      sc AS (SELECT bi.doc_id,
-          (coalesce(cont.n1b, 0) + 1)::DOUBLE /
-            (tot.ntot + tot.v + 1)::DOUBLE AS pcont,
-          ctx.c1, ctx.n1f, big.c12
-        FROM bi LEFT JOIN big USING (w1, w2)
-          LEFT JOIN ctx USING (w1) LEFT JOIN cont USING (w2)
-          CROSS JOIN tot
-        WHERE bi.heldout),
-      t AS (SELECT doc_id, c1,
-          CASE WHEN c1 IS NULL THEN pcont
-            ELSE greatest(coalesce(c12, 0)::DOUBLE - 0.75, 0.0)
-                / c1::DOUBLE +
-              0.75 * n1f::DOUBLE / c1::DOUBLE * pcont END AS p
-        FROM sc)
-      SELECT doc_id, count(*)::BIGINT n_bigrams,
-        sum(CASE WHEN c1 IS NULL THEN 1 ELSE 0 END)::BIGINT n_ctx_oov,
-        sum(CAST(round(-ln(p) * 1e9) AS BIGINT))::BIGINT nll_n9,
-        round(sum(CAST(round(-ln(p) * 1e9) AS BIGINT))::DOUBLE / 1e9
-          / count(*)::DOUBLE, 6) AS nll6
-      FROM t GROUP BY doc_id ORDER BY doc_id"""
-
-  // ---------- Zipf-law fit over the bigram frequency spectrum ----------
-  /** Zipf diagnostic of the corpus frequency spectrum: least-squares
-    * slope and R² of log(freq) against log(rank) over the TOP-100
-    * bigram types — the one-row readout that distinguishes natural
-    * language (slope ≈ −1, high R²) from template/boilerplate corpora
-    * (flat spectrum, low R²); a standard screen before training-data
-    * inclusion. Bigrams rather than unigrams because the regression
-    * needs a frequency SPECTRUM (the synthetic corpus has 31 unigram
-    * types but ~1k bigram types; natural corpora are unbounded either
-    * way).
-    *
-    * Exactness: regression inputs quantize per term — x₉ = round(10⁹·
-    * ln rank), y₉ = round(10⁹·ln freq) — then all five regression sums
-    * (Σx, Σy, Σxy, Σx², Σy²) run in DECIMAL(38,0) (cross products reach
-    * ~10²³, far past 2⁶³ but far under 10³⁸), and slope = A/B,
-    * R² = A²/(B·C) are computed from the exact integer moments with
-    * identical double ops in both engines (A = nΣxy−ΣxΣy etc.; A² as a
-    * DOUBLE product because squaring the exact integer would pass
-    * 10³⁸).
-    *
-    * Scale shape: bigram counting is one combine-fed aggregate
-    * (vocabulary², still Heaps-sublinear); the top-100 cut is a
-    * TakeOrderedAndProject, never a global sort; ranks and moments run
-    * on the 100-row result (partition-less window pinned in the
-    * allowlist with that bound).
-    */
-  def qTextZipf(spark: SparkSession, dir: String): DataFrame = {
-    val dec = "decimal(38,0)"
-    val top = Tables.documents(spark, dir)
-      .select(split(col("text"), " ", -1).as("ws"))
-      .filter(size(col("ws")) >= 2)
-      .select(explode(expr(
-        """zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),
-           (a, b) -> concat(a, ' ', b))""")).as("g"))
-      .groupBy(col("g")).agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("g")).limit(100)
-    val ranked = top
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("freq").desc, col("g"))))
-      .withColumn("x9", round(log(col("rank")) * 1e9).cast("long").cast(dec))
-      .withColumn("y9", round(log(col("freq")) * 1e9).cast("long").cast(dec))
-    ranked
-      .agg(count(lit(1)).cast(dec).as("n"),
-        sum(col("x9")).as("sx"), sum(col("y9")).as("sy"),
-        sum(col("x9") * col("y9")).as("sxy"),
-        sum(col("x9") * col("x9")).as("sxx"),
-        sum(col("y9") * col("y9")).as("syy"),
-        max(when(col("rank") === 1, col("g"))).as("top_gram"),
-        max(when(col("rank") === 1, col("freq"))).as("top_freq"))
-      .withColumn("a", (col("n") * col("sxy") - col("sx") * col("sy"))
-        .cast("double"))
-      .withColumn("b", (col("n") * col("sxx") - col("sx") * col("sx"))
-        .cast("double"))
-      .withColumn("c", (col("n") * col("syy") - col("sy") * col("sy"))
-        .cast("double"))
-      .select(col("n").cast("long").as("n_terms"), col("top_gram"),
-        col("top_freq"),
-        round(col("a") / col("b"), 6).as("slope6"),
-        round(col("a") * col("a") / (col("b") * col("c")), 6).as("r2_6"))
-  }
-
-  val qTextZipfOracle: String =
-    """WITH d AS (SELECT string_split(text, ' ') ws FROM documents
-        WHERE len(string_split(text, ' ')) >= 2),
-      bg AS (SELECT unnest([ws[i] || ' ' || ws[i + 1]
-          for i in range(1, len(ws))]) g FROM d),
-      tf AS (SELECT g, count(*)::BIGINT freq FROM bg GROUP BY g),
-      top AS (SELECT g, freq FROM tf ORDER BY freq DESC, g LIMIT 100),
-      ranked AS (SELECT g, freq,
-          row_number() OVER (ORDER BY freq DESC, g) rank FROM top),
-      qq AS (SELECT g, freq, rank,
-          round(ln(rank) * 1e9)::BIGINT x9,
-          round(ln(freq) * 1e9)::BIGINT y9 FROM ranked),
-      s AS (SELECT count(*)::HUGEINT n,
-          sum(x9)::HUGEINT sx, sum(y9)::HUGEINT sy,
-          sum(x9::HUGEINT * y9)::HUGEINT sxy,
-          sum(x9::HUGEINT * x9)::HUGEINT sxx,
-          sum(y9::HUGEINT * y9)::HUGEINT syy,
-          max(CASE WHEN rank = 1 THEN g END) top_gram,
-          max(CASE WHEN rank = 1 THEN freq END) top_freq
-        FROM qq)
-      SELECT n::BIGINT n_terms, top_gram, top_freq,
-        round((n * sxy - sx * sy)::DOUBLE /
-          (n * sxx - sx * sx)::DOUBLE, 6) AS slope6,
-        round(((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE) /
-          ((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE), 6)
-          AS r2_6
-      FROM s"""
-
-  // ---------- corpus BLEU (clipped n-gram precision) ----------
-  /** Corpus-level BLEU-2 — the generation-quality metric, run the way an
-    * eval harness scores a model against references: candidate texts are
-    * a DETERMINISTIC degradation of each document (every (pos+doc_id)
-    * ≡ 0 mod 11 word substituted with 'unk', every ≡ 0 mod 7 position
-    * dropped — substitution dents unigram precision, deletion both
-    * creates unseen bigrams and triggers the brevity penalty), so the
-    * oracle replays the candidate and the hash match certifies the whole
-    * metric pipeline: clipped counts, the geometric mean, the BP curve.
-    *
-    * Exactness: the four precision components are EXACT INTEGER
-    * numerator/denominator pairs (clipped count sums — min of two
-    * integer counts — and candidate n-gram totals), emitted alongside
-    * the score; the BLEU combine is one closed-form double expression
-    * over those integers (exp(1−r/c)·√(p₁p₂)), identical operand-for-
-    * operand in both engines, rounded 1e-6.
-    *
-    * Scale shape: candidate derivation is scan-side lambda work; each
-    * n-gram order pays ONE (doc, gram)-keyed combine-fed aggregate with
-    * both sides tagged in the same pass (no join of two corpus-scale
-    * count tables — the clip happens inside the aggregate row); the
-    * final reduce is a one-row digest. This is the shape that scores a
-    * 100 TB eval set without any per-doc driver loop.
-    */
-  def qEvalBleu(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
-      .filter(size(col("ws")) >= 2)
-      .withColumn("cand", expr(
-        """filter(
-             transform(ws, (w, i) ->
-               IF(pmod(i + 1 + doc_id, 11) = 0, 'unk', w)),
-             (w, i) -> pmod(i + 1 + doc_id, 7) != 0)"""))
-    def grams(c: String, n: Int): Column =
-      if (n == 1) col(c)
-      else expr(s"zip_with(slice($c, 1, size($c) - 1), " +
-        s"slice($c, 2, size($c) - 1), (a, b) -> concat(a, ' ', b))")
-    def clipped(n: Int): DataFrame =
-      base.select(col("doc_id"), explode(grams("cand", n)).as("g"),
-          lit(1L).as("c"), lit(0L).as("r"))
-        .unionByName(base.select(col("doc_id"), explode(grams("ws", n)).as("g"),
-          lit(0L).as("c"), lit(1L).as("r")))
-        .groupBy(col("doc_id"), col("g"))
-        .agg(sum(col("c")).as("nc"), sum(col("r")).as("nr"))
-        .agg(sum(least(col("nc"), col("nr"))).as("num"),
-          sum(col("nc")).as("den"))
-        .select(lit(n).as("n"), col("num"), col("den"))
-    val lens = base.agg(sum(size(col("cand"))).cast("long").as("c_len"),
-      sum(size(col("ws"))).cast("long").as("r_len"))
-    clipped(1).select(col("num").as("p1_num"), col("den").as("p1_den"))
-      .crossJoin(broadcast(clipped(2)
-        .select(col("num").as("p2_num"), col("den").as("p2_den"))))
-      .crossJoin(broadcast(lens))
-      .select(col("c_len"), col("r_len"),
-        col("p1_num"), col("p1_den"), col("p2_num"), col("p2_den"),
-        round(
-          when(col("c_len") < col("r_len"),
-            exp(lit(1.0) - col("r_len").cast("double") /
-              col("c_len").cast("double"))).otherwise(lit(1.0)) *
-          sqrt((col("p1_num").cast("double") / col("p1_den").cast("double")) *
-            (col("p2_num").cast("double") / col("p2_den").cast("double"))),
-          6).as("bleu6"))
-  }
-
-  val qEvalBleuOracle: String =
-    """WITH base AS (SELECT doc_id, string_split(text, ' ') ws
-        FROM documents WHERE len(string_split(text, ' ')) >= 2),
-      nz AS (SELECT doc_id, ws,
-          [CASE WHEN (i + doc_id) % 11 = 0 THEN 'unk' ELSE ws[i] END
-            for i in range(1, len(ws) + 1)] rep FROM base),
-      cd AS (SELECT doc_id, ws,
-          [rep[i] for i in range(1, len(rep) + 1)
-            if (i + doc_id) % 7 != 0] cand FROM nz),
-      u AS (SELECT doc_id, g, sum(c)::BIGINT nc, sum(r)::BIGINT nr FROM (
-          SELECT doc_id, unnest(cand) g, 1 c, 0 r FROM cd
-          UNION ALL SELECT doc_id, unnest(ws) g, 0, 1 FROM cd)
-        GROUP BY 1, 2),
-      b AS (SELECT doc_id, g, sum(c)::BIGINT nc, sum(r)::BIGINT nr FROM (
-          SELECT doc_id, unnest([cand[i] || ' ' || cand[i + 1]
-            for i in range(1, len(cand))]) g, 1 c, 0 r FROM cd
-          UNION ALL
-          SELECT doc_id, unnest([ws[i] || ' ' || ws[i + 1]
-            for i in range(1, len(ws))]) g, 0, 1 FROM cd)
-        GROUP BY 1, 2),
-      p1 AS (SELECT sum(least(nc, nr))::BIGINT p1_num,
-          sum(nc)::BIGINT p1_den FROM u),
-      p2 AS (SELECT sum(least(nc, nr))::BIGINT p2_num,
-          sum(nc)::BIGINT p2_den FROM b),
-      l AS (SELECT sum(len(cand))::BIGINT c_len,
-          sum(len(ws))::BIGINT r_len FROM cd)
-      SELECT c_len, r_len, p1_num, p1_den, p2_num, p2_den,
-        round(
-          (CASE WHEN c_len < r_len
-            THEN exp(1.0 - r_len::DOUBLE / c_len::DOUBLE)
-            ELSE 1.0 END) *
-          sqrt((p1_num::DOUBLE / p1_den::DOUBLE) *
-            (p2_num::DOUBLE / p2_den::DOUBLE)), 6) AS bleu6
-      FROM l CROSS JOIN p1 CROSS JOIN p2"""
-
-  // ---------- class-balanced downsampling ----------
-  /** Label-balanced downsampling — the class-rebalancing step before
-    * training a classifier on skewed labels: every language keeps
-    * exactly m = min(class size) documents, chosen by HASH RANK
-    * (md5(doc_id) order) so the sample is deterministic, uniform within
-    * class, and reproducible across runs/engines — the same
-    * hash-as-randomness discipline as q_sample_hash. The per-class
-    * readout pins the selection itself (sum of kept doc_ids), not just
-    * its size, so a different-but-same-sized sample cannot pass.
-    *
-    * Scale shape: one combine-fed class-count aggregate (broadcast m —
-    * one row), one rank window PARTITIONED BY CLASS (the mixture
-    * dimension), one final per-class aggregate. No global sort, no
-    * driver-side sampling state.
-    */
-  def qSampleBalanced(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        md5(col("doc_id").cast("string")).as("hk"))
-    val m = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-      .agg(min(col("n")).as("m"))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("hk"), col("doc_id"))
-    d.withColumn("rk", row_number().over(w))
-      .crossJoin(broadcast(m))
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_before"),
-        sum(when(col("rk") <= col("m"), 1L).otherwise(0L)).as("n_after"),
-        sum(when(col("rk") <= col("m"), col("doc_id")).otherwise(0L))
-          .as("sel_sum"))
-      .orderBy(col("lang"))
-  }
-
-  val qSampleBalancedOracle: String =
-    """WITH d AS (SELECT doc_id, lang, md5(doc_id::VARCHAR) hk
-        FROM documents),
-      m AS (SELECT min(n)::BIGINT m FROM
-        (SELECT lang, count(*)::BIGINT n FROM d GROUP BY 1)),
-      r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
-          ORDER BY hk, doc_id) rk FROM d)
-      SELECT lang, count(*)::BIGINT n_before,
-        sum(CASE WHEN rk <= m THEN 1 ELSE 0 END)::BIGINT n_after,
-        sum(CASE WHEN rk <= m THEN doc_id ELSE 0 END)::BIGINT sel_sum
-      FROM r CROSS JOIN m GROUP BY lang ORDER BY lang"""
-
-  // ---------- ROC AUC (tie-aware Mann–Whitney) ----------
-  /** Ranking quality of the hashed linear classifier
-    * ([[qQualityClassifier]]) against the `lang = 'en'` label — the
-    * threshold-free companion of [[qQualityCalibration]]'s reliability
-    * table. AUC is computed as the tie-aware Mann–Whitney statistic:
-    * with documents grouped by score value s into (n_pos(s), n_neg(s))
-    * cells, 2·U = Σ_s n_pos(s)·(2·cneg_<(s) + n_neg(s)), where ties
-    * contribute the ½ each concordant orientation deserves — exact
-    * integers end-to-end, no per-pair work.
-    *
-    * Exactness: 2U and the denominator 2·n_pos·n_neg are formed in
-    * DECIMAL(38,0) (corpus² — a BIGINT would overflow past ~3·10⁹
-    * docs); auc_e6/gini2_e6 are integral floor divisions, identical in
-    * both engines. The EMITTED u2 column is cast down to BIGINT:
-    * int128-backed result columns (DECIMAL(38,0)/HUGEINT) normalize
-    * engine-specifically in downstream readers, and the report value
-    * fits 2⁶³ to ~3·10⁹ docs — past that the report would emit the
-    * string rendering (the q_series_lttb discipline), while the
-    * internal math is already DECIMAL either way.
-    *
-    * Scale shape: one scan-side score pass, one combine-fed aggregate
-    * to the score-value domain (margin_e4 ∈ [−10⁴, 10⁴] ⇒ ≤ 20001
-    * cells at ANY corpus size), then the cumulative window runs on the
-    * bounded cell table behind an eager localCheckpoint (the
-    * [[graft.ops.EventOps.qStatsKs]] discipline) and the final
-    * aggregate returns one row.
-    */
-  def qEvalAuc(spark: SparkSession, dir: String): DataFrame = {
-    val dec = "decimal(38,0)"
-    val cell = scoredDocs(spark, dir)
-      .withColumn("s", col("margin_e4"))
-      .groupBy(col("s"))
-      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("np"),
-        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("nn"))
-      .stageCheckpoint() // ≤ 20001 rows, feeds cum + totals
-    val w = Window.orderBy(col("s"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val scored = cell
-      .withColumn("cn", sum(col("nn")).over(w) - col("nn"))
-      .withColumn("u2", col("np").cast(dec) *
-        (col("cn").cast(dec) * 2 + col("nn").cast(dec)))
-      .stageCheckpoint() // window resolved; final agg sees a flat table
-    scored.agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
-        sum(col("u2")).cast(dec).as("u2"))
-      .select(col("n_pos"), col("n_neg"), col("u2").cast("long").as("u2"),
-        expr("CAST(u2 * 1000000 DIV " +
-          "(CAST(n_pos AS DECIMAL(38,0)) * n_neg * 2) AS BIGINT)")
-          .as("auc_e6"),
-        expr("CAST(u2 * 1000000 DIV " +
-          "(CAST(n_pos AS DECIMAL(38,0)) * n_neg) - 1000000 AS BIGINT)")
-          .as("gini2_e6"))
-  }
-
-  val qEvalAucOracle: String =
-    """WITH s AS (SELECT lang,
-        len(string_split(text, ' '))::BIGINT AS n_words,
-        list_sum(list_transform(string_split(text, ' '), w ->
-          ('0x' || substr(md5(w), 1, 6))::BIGINT % 4096 % 101 - 50
-        ))::BIGINT AS raw_score
-      FROM documents),
-      cell AS (SELECT raw_score * 10000 // (n_words * 50) AS sc,
-          sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT np,
-          sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)::BIGINT nn
-        FROM s GROUP BY 1),
-      cum AS (SELECT sc, np, nn,
-          sum(nn) OVER (ORDER BY sc) - nn AS cn FROM cell),
-      u AS (SELECT sum(np)::HUGEINT n_pos, sum(nn)::HUGEINT n_neg,
-          sum(np::HUGEINT * (2 * cn::HUGEINT + nn))::HUGEINT u2
-        FROM cum)
-      SELECT n_pos::BIGINT n_pos, n_neg::BIGINT n_neg,
-        u2::BIGINT u2,
-        (u2 * 1000000 // (n_pos * n_neg * 2))::BIGINT auc_e6,
-        (u2 * 1000000 // (n_pos * n_neg) - 1000000)::BIGINT gini2_e6
-      FROM u"""
-
-  // ---------- isotonic calibration (PAV via the minimax identity) ----------
-  /** Isotonic regression of the observed `lang = 'en'` rate on the
-    * classifier margin bins — the calibration map a production scorer
-    * actually ships (monotone by construction, unlike the raw
-    * reliability table of [[qQualityCalibration]]). The sequential
-    * pool-adjacent-violators algorithm is replaced by its closed-form
-    * minimax identity — ŷ_i = max_{j≤i} min_{k≥i} wmean(y_j..y_k) —
-    * which is order-free and therefore distributes: after ONE fact-
-    * scale aggregate to the 10 margin bins, all candidate intervals
-    * (≤ 55) materialize from cumulative sums and the min/max resolve
-    * by ANTI-JOINS under EXACT fraction comparison (cross-multiplied
-    * in DECIMAL(38,0) — no float ordering anywhere), ties to the
-    * shortest interval.
-    *
-    * Output: per bin the raw and isotonic en-rates plus the fitted
-    * fraction (num, den) — exact integers; rates are floor-e6
-    * divisions (BIGINT-safe to ~10¹² docs; past that the e6 emit also
-    * moves to DECIMAL).
-    *
-    * Scale shape: one combine-fed 10-row aggregate from the corpus;
-    * everything after is constant-size (10 bins ⇒ 55 intervals).
-    */
-  def qCalibrateIsotonic(spark: SparkSession, dir: String): DataFrame = {
-    val dec = "decimal(38,0)"
-    val bins = scoredDocs(spark, dir)
-      .withColumn("bin",
-        expr("greatest(0L, least(9L, (margin_e4 + 10000) DIV 2000))"))
-      .groupBy(col("bin"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
-      .stageCheckpoint() // ≤ 10 rows: the whole model state
-    val w = Window.orderBy(col("bin"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = bins
-      .withColumn("cd", sum(col("n_docs")).over(w))
-      .withColumn("ce", sum(col("n_en")).over(w))
-      .stageCheckpoint()
-    // candidate intervals j..k with their weighted-mean fraction
-    val ends = cum.select(col("bin").as("k"), col("cd").as("cdk"),
-      col("ce").as("cek"))
-    val starts = cum.select((col("bin") + 1L).as("j"),
-        col("cd").as("cdj"), col("ce").as("cej"))
-      .unionByName(cum.sparkSession.range(1).select(lit(0L).as("j"),
-        lit(0L).as("cdj"), lit(0L).as("cej")))
-    val iv = ends.join(broadcast(starts), col("k") >= col("j"))
-      .select(col("j"), col("k"),
-        (col("cek") - col("cej")).cast(dec).as("num"),
-        (col("cdk") - col("cdj")).cast(dec).as("den"))
-    // m(i,j) = min over k ≥ i of the interval mean (tie: smallest k)
-    val cand = cum.select(col("bin").as("i"))
-      .join(broadcast(iv), col("j") <= col("i") && col("k") >= col("i"))
-    val mins = cand.alias("a").join(cand.alias("b"),
-        col("a.i") === col("b.i") && col("a.j") === col("b.j") &&
-          (col("b.num") * col("a.den") < col("a.num") * col("b.den") ||
-            (col("b.num") * col("a.den") === col("a.num") * col("b.den")
-              && col("b.k") < col("a.k"))),
-        "left_anti")
-    // iso(i) = max over j of m(i,j) (tie: smallest j)
-    val iso = mins.alias("a").join(mins.alias("b"),
-        col("a.i") === col("b.i") &&
-          (col("b.num") * col("a.den") > col("a.num") * col("b.den") ||
-            (col("b.num") * col("a.den") === col("a.num") * col("b.den")
-              && col("b.j") < col("a.j"))),
-        "left_anti")
-      .select(col("i").as("bin"), col("num").as("iso_num"),
-        col("den").as("iso_den"))
-    bins.join(broadcast(iso), "bin")
-      .select(col("bin"), col("n_docs"), col("n_en"),
-        expr("n_en * 1000000 DIV n_docs").as("raw_rate_e6"),
-        expr("CAST(iso_num AS BIGINT)").as("iso_num"),
-        expr("CAST(iso_den AS BIGINT)").as("iso_den"),
-        expr("CAST(iso_num * 1000000 DIV iso_den AS BIGINT)")
-          .as("iso_rate_e6"))
-      .orderBy(col("bin"))
-  }
-
-  val qCalibrateIsotonicOracle: String =
-    """WITH s AS (SELECT lang,
-        len(string_split(text, ' '))::BIGINT AS n_words,
-        list_sum(list_transform(string_split(text, ' '), w ->
-          ('0x' || substr(md5(w), 1, 6))::BIGINT % 4096 % 101 - 50
-        ))::BIGINT AS raw_score
-      FROM documents),
-      b AS (SELECT greatest(0, least(9,
-            (raw_score * 10000 // (n_words * 50) + 10000) // 2000)) AS bin,
-          (lang = 'en')::INT en FROM s),
-      bins AS (SELECT bin, count(*)::BIGINT n_docs,
-          sum(en)::BIGINT n_en FROM b GROUP BY 1),
-      cum AS (SELECT bin, sum(n_docs) OVER (ORDER BY bin)::BIGINT cd,
-          sum(n_en) OVER (ORDER BY bin)::BIGINT ce FROM bins),
-      iv AS (SELECT j.j, k.bin AS k,
-          (k.ce - j.cej)::HUGEINT num, (k.cd - j.cdj)::HUGEINT den
-        FROM cum k JOIN (
-          SELECT bin + 1 AS j, cd AS cdj, ce AS cej FROM cum
-          UNION ALL SELECT 0, 0, 0) j ON k.bin >= j.j),
-      cand AS (SELECT i.bin AS i, iv.* FROM cum i
-        JOIN iv ON iv.j <= i.bin AND iv.k >= i.bin),
-      mins AS (SELECT * FROM cand a WHERE NOT EXISTS (
-        SELECT 1 FROM cand b WHERE b.i = a.i AND b.j = a.j AND
-          (b.num * a.den < a.num * b.den OR
-            (b.num * a.den = a.num * b.den AND b.k < a.k)))),
-      iso AS (SELECT * FROM mins a WHERE NOT EXISTS (
-        SELECT 1 FROM mins b WHERE b.i = a.i AND
-          (b.num * a.den > a.num * b.den OR
-            (b.num * a.den = a.num * b.den AND b.j < a.j))))
-      SELECT bins.bin, bins.n_docs, bins.n_en,
-        bins.n_en * 1000000 // bins.n_docs AS raw_rate_e6,
-        iso.num::BIGINT iso_num, iso.den::BIGINT iso_den,
-        (iso.num * 1000000 // iso.den)::BIGINT iso_rate_e6
-      FROM bins JOIN iso ON iso.i = bins.bin
-      ORDER BY bins.bin"""
-
-  // ---------- Spearman rank correlation (tie-aware, exact ranks) ----------
-  /** Spearman ρ between the classifier margin and document length —
-    * "is the quality score just a length proxy?", the rank-based
-    * dependence check that survives any monotone transform of either
-    * variable. Tie-aware: each value gets the AVERAGE rank of its tie
-    * group, computed WITHOUT a corpus-scale sort: both variables live
-    * on bounded domains (margin_e4 ∈ [−10⁴,10⁴]; length caps at the
-    * longest document), so cumulative counts over the per-value cell
-    * tables (eager-localCheckpoint'd, the [[qEvalAuc]] discipline)
-    * give rank2(v) = 2·cum_<(v) + n_v + 1 — DOUBLED average ranks, so
-    * the ½ stays integral — and broadcast-join back to the corpus
-    * scan. ρ is then Pearson on rank2 (affine-invariant, the factor 2
-    * cancels): five DECIMAL(38,0) moments in ONE combine-fed pass,
-    * numerator and the two variance legs exact, one double division,
-    * rounded 1e-6.
-    *
-    * Scale shape: two bounded-domain cell aggregates + two broadcast
-    * joins + one moment aggregate — no global sort ever touches the
-    * fact, which is the entire trick of distributed rank statistics.
-    */
-  def qEvalSpearman(spark: SparkSession, dir: String): DataFrame = {
-    val dec = "decimal(38,0)"
-    val base = scoredDocs(spark, dir)
-      .select(col("doc_id"), col("margin_e4").as("m"), col("n_words"))
-    def rank2Map(df: DataFrame, v: String): DataFrame = {
-      val cells = df.groupBy(col(v)).agg(count(lit(1)).as("nv"))
-        .stageCheckpoint() // bounded value domain
-      val w = Window.orderBy(col(v))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      cells.withColumn("cum", sum(col("nv")).over(w))
-        .select(col(v),
-          (lit(2L) * (col("cum") - col("nv")) + col("nv") + 1L)
-            .as(s"r_$v"))
-        .stageCheckpoint()
-    }
-    val ranked = base
-      .join(broadcast(rank2Map(base, "m")), "m")
-      .join(broadcast(rank2Map(base, "n_words")), "n_words")
-    ranked.agg(count(lit(1)).as("n"),
-        sum(col("r_m").cast(dec)).as("sr"),
-        sum(col("r_n_words").cast(dec)).as("ss"),
-        // cast EACH FACTOR before multiplying: doubled ranks reach 2n+1,
-        // so a BIGINT product 4n² overflows past n ≈ 1.5·10⁹ docs — the
-        // DECIMAL(38,0) product never does
-        sum(col("r_m").cast(dec) * col("r_m").cast(dec)).as("srr"),
-        sum(col("r_n_words").cast(dec) * col("r_n_words").cast(dec))
-          .as("sss"),
-        sum(col("r_m").cast(dec) * col("r_n_words").cast(dec)).as("srs"))
-      .select(col("n"),
-        (col("n").cast(dec) * col("srs") - col("sr") * col("ss"))
-          .cast("double").as("num"),
-        (col("n").cast(dec) * col("srr") - col("sr") * col("sr"))
-          .cast("double").as("varr"),
-        (col("n").cast(dec) * col("sss") - col("ss") * col("ss"))
-          .cast("double").as("vars"))
-      .select(col("n"),
-        round(col("num") / sqrt(col("varr") * col("vars")), 6)
-          .as("spearman6"))
-  }
-
-  val qEvalSpearmanOracle: String =
-    """WITH s AS (SELECT doc_id,
-        len(string_split(text, ' '))::BIGINT AS n_words,
-        list_sum(list_transform(string_split(text, ' '), w ->
-          ('0x' || substr(md5(w), 1, 6))::BIGINT % 4096 % 101 - 50
-        ))::BIGINT AS raw_score
-      FROM documents),
-      b AS (SELECT doc_id, raw_score * 10000 // (n_words * 50) AS m,
-        n_words FROM s),
-      cm AS (SELECT m, count(*)::BIGINT nv FROM b GROUP BY 1),
-      rm AS (SELECT m, 2 * (sum(nv) OVER (ORDER BY m) - nv) + nv + 1
-          AS r_m FROM cm),
-      cw AS (SELECT n_words, count(*)::BIGINT nv FROM b GROUP BY 1),
-      rw AS (SELECT n_words, 2 * (sum(nv) OVER (ORDER BY n_words) - nv)
-          + nv + 1 AS r_w FROM cw),
-      j AS (SELECT r_m::HUGEINT r, r_w::HUGEINT w FROM b
-        JOIN rm USING (m) JOIN rw USING (n_words)),
-      mm AS (SELECT count(*)::HUGEINT n, sum(r) sr, sum(w) ss,
-          sum(r * r) srr, sum(w * w) sss, sum(r * w) srs FROM j)
-      SELECT n::BIGINT n,
-        round((n * srs - sr * ss)::DOUBLE /
-          sqrt((n * srr - sr * sr)::DOUBLE * (n * sss - ss * ss)::DOUBLE),
-          6) AS spearman6
-      FROM mm"""
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_eval_auc" -> (qEvalAuc _),
-    "q_eval_spearman" -> (qEvalSpearman _),
-    "q_calibrate_isotonic" -> (qCalibrateIsotonic _),
-    "q_sample_balanced" -> (qSampleBalanced _),
-    "q_eval_bleu" -> (qEvalBleu _),
-    "q_text_zipf" -> (qTextZipf _),
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_tokens" -> (qTextTokens _),
@@ -3787,66 +1642,32 @@ object TextAnalysis {
     "q_text_tfidf" -> (qTextTfidf _),
     "q_text_chunks" -> (qTextChunks _),
     "q_pipeline_curate" -> (qPipelineCurate _),
-    "q_curate_domain_cap" -> (qCurateDomainCap _),
     "q_shingle_generator" -> (qShingleGenerator _),
-    "q_sample_hash" -> (qSampleHash _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontaminate_ngram" -> (qDecontaminateNgram _),
-    "q_pack_batches" -> (qPackBatches _),
-    "q_pack_sequences" -> (qPackSequences _),
-    "q_mix_epochs" -> (qMixEpochs _),
     "q_text_redact" -> (qTextRedact _),
     "q_text_pii" -> (qTextPii _),
     "q_quality_mad" -> (qQualityMad _),
     "q_text_surprisal" -> (qTextSurprisal _),
     "q_text_repetition" -> (qTextRepetition _),
-    "q_sample_stratified" -> (qSampleStratified _),
-    "q_sample_weighted" -> (qSampleWeighted _),
     "q_quality_gopher" -> (qQualityGopher _),
-    "q_quality_classifier" -> (qQualityClassifier _),
     "q_curate_funnel" -> (qCurateFunnel _),
-    "q_bpe_train" -> (qBpeTrain _),
-    "q_bpe_encode" -> (qBpeEncode _),
     "q_stats_profile" -> (qStatsProfile _),
     "q_mix_temperature" -> (qMixTemperature _),
-    "q_split_train_val_test" -> (qSplitTrainValTest _),
-    "q_shuffle_deterministic" -> (qShuffleDeterministic _),
-    "q_heavy_hitters" -> (qHeavyHitters _),
     "q_heavy_hitters_grouped" -> (qHeavyHittersGrouped _),
     "q_text_boilerplate" -> (qTextBoilerplate _),
     "q_text_postings" -> (qTextPostings _),
     "q_text_pmi" -> (qTextPmi _),
     "q_quality_normalize" -> (qQualityNormalize _),
     "q_vocab_growth" -> (qVocabGrowth _),
-    "q_text_rrf" -> (qTextRrf _),
     "q_pipeline_full" -> (qPipelineFull _),
     "q_stream_quality" -> (qStreamQuality _),
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_length_histogram" -> (qLengthHistogram _),
-    "q_text_bm25" -> (qTextBm25 _),
-    "q_bpe_pairs" -> (qBpePairs _),
-    "q_text_winnow" -> (qTextWinnow _),
-    "q_text_perplexity" -> (qTextPerplexity _),
-    "q_curate_dsir" -> (qCurateDsir _),
-    "q_stats_mutualinfo" -> (qStatsMutualinfo _),
-    "q_stats_chisq" -> (qStatsChisq _),
-    "q_label_kappa" -> (qLabelKappa _),
     "q_curate_token_budget" -> (qCurateTokenBudget _),
-    "q_langid_eval" -> (qLangidEval _),
-    "q_quality_calibration" -> (qQualityCalibration _),
-    "q_text_lm_heldout" -> (qTextLmHeldout _),
-    "q_text_kneserney" -> (qTextKneserNey _),
-    "q_text_jsd" -> (qTextJsd _),
-    "q_text_burstiness" -> (qTextBurstiness _),
   )
 
   val oracles: Map[String, String] = Map(
-    "q_eval_auc" -> qEvalAucOracle,
-    "q_eval_spearman" -> qEvalSpearmanOracle,
-    "q_calibrate_isotonic" -> qCalibrateIsotonicOracle,
-    "q_sample_balanced" -> qSampleBalancedOracle,
-    "q_eval_bleu" -> qEvalBleuOracle,
-    "q_text_zipf" -> qTextZipfOracle,
     "q_text_langid" -> qTextLangidOracle,
     "q_text_quality" -> qTextQualityOracle,
     "q_text_tokens" -> qTextTokensOracle,
@@ -3854,56 +1675,28 @@ object TextAnalysis {
     "q_text_tfidf" -> qTextTfidfOracle,
     "q_text_chunks" -> qTextChunksOracle,
     "q_pipeline_curate" -> qPipelineCurateOracle,
-    "q_curate_domain_cap" -> qCurateDomainCapOracle,
     "q_shingle_generator" -> qShingleGeneratorOracle,
-    "q_sample_hash" -> qSampleHashOracle,
     "q_decontaminate" -> qDecontaminateOracle,
     "q_decontaminate_ngram" -> qDecontaminateNgramOracle,
-    "q_pack_batches" -> qPackBatchesOracle,
-    "q_pack_sequences" -> qPackSequencesOracle,
-    "q_mix_epochs" -> qMixEpochsOracle,
     "q_text_redact" -> qTextRedactOracle,
     "q_text_pii" -> qTextPiiOracle,
     "q_quality_mad" -> qQualityMadOracle,
     "q_text_surprisal" -> qTextSurprisalOracle,
     "q_text_repetition" -> qTextRepetitionOracle,
-    "q_sample_stratified" -> qSampleStratifiedOracle,
-    "q_sample_weighted" -> qSampleWeightedOracle,
     "q_quality_gopher" -> qQualityGopherOracle,
-    "q_quality_classifier" -> qQualityClassifierOracle,
     "q_curate_funnel" -> qCurateFunnelOracle,
-    "q_bpe_train" -> qBpeTrainOracle,
-    "q_bpe_encode" -> qBpeEncodeOracle,
     "q_stats_profile" -> qStatsProfileOracle,
     "q_mix_temperature" -> qMixTemperatureOracle,
-    "q_split_train_val_test" -> qSplitTrainValTestOracle,
-    "q_shuffle_deterministic" -> qShuffleDeterministicOracle,
-    "q_heavy_hitters" -> qHeavyHittersOracle,
     "q_heavy_hitters_grouped" -> qHeavyHittersGroupedOracle,
     "q_text_boilerplate" -> qTextBoilerplateOracle,
     "q_text_postings" -> qTextPostingsOracle,
     "q_text_pmi" -> qTextPmiOracle,
     "q_quality_normalize" -> qQualityNormalizeOracle,
     "q_vocab_growth" -> qVocabGrowthOracle,
-    "q_text_rrf" -> qTextRrfOracle,
     "q_pipeline_full" -> qPipelineFullOracle,
     "q_stream_quality" -> qStreamQualityOracle,
     "q_vocab_coverage" -> qVocabCoverageOracle,
     "q_length_histogram" -> qLengthHistogramOracle,
-    "q_text_bm25" -> qTextBm25Oracle,
-    "q_bpe_pairs" -> qBpePairsOracle,
-    "q_text_winnow" -> qTextWinnowOracle,
-    "q_text_perplexity" -> qTextPerplexityOracle,
-    "q_curate_dsir" -> qCurateDsirOracle,
-    "q_stats_mutualinfo" -> qStatsMutualinfoOracle,
-    "q_stats_chisq" -> qStatsChisqOracle,
-    "q_label_kappa" -> qLabelKappaOracle,
     "q_curate_token_budget" -> qCurateTokenBudgetOracle,
-    "q_langid_eval" -> qLangidEvalOracle,
-    "q_quality_calibration" -> qQualityCalibrationOracle,
-    "q_text_lm_heldout" -> qTextLmHeldoutOracle,
-    "q_text_kneserney" -> qTextKneserNeyOracle,
-    "q_text_jsd" -> qTextJsdOracle,
-    "q_text_burstiness" -> qTextBurstinessOracle,
   )
 }

@@ -42,18 +42,23 @@ class CollectAuditSpec extends AnyFunSuite {
   test("ops collect()/head() sites match the pinned fixed-size models") {
     val expected = Map(
       "Dedup.scala" -> 2,
-      // EventOps: the three 1-row span/total aggregates the pre-r10 ops
-      // collect, plus qStreamLateData's two 1-row heads (fixture-build
-      // min; the fused per-batch ledger/watermark scalar row — each a
-      // single-row aggregate, the fixed-size-model shape), plus
-      // qEventsPagerank's |types|²-bounded edge aggregate (the walk
-      // iterates the dimension-scale model driver-side)
-      "EventOps.scala" -> 6,
+      // the round-16 family split moved sites with their queries, total
+      // unchanged (6 event + 1 text): EventOps keeps qEventsPagerank's
+      // |types|²-bounded edge aggregate (the walk iterates the
+      // dimension-scale model driver-side); EventStreaming holds the
+      // 1-row max-ts fixture heads and qStreamLateData's fused
+      // per-batch ledger/watermark scalar rows (each a single-row
+      // aggregate, the fixed-size-model shape); EventStats holds
+      // qEventsSurvival's 12-row life table
+      "EventOps.scala" -> 1,
+      "EventStreaming.scala" -> 4,
+      "EventStats.scala" -> 1,
       "GraphOps.scala" -> 1,
       // Similarity: +2 for qAnnMmr's K·10 shortlist + K·90 integer-sim
       // collects (fixed by Anchors, the trained-model discipline)
       "Similarity.scala" -> 10,
-      "TextAnalysis.scala" -> 1)
+      // the BPE-train iterative merge's per-round 1-row argmax
+      "TextModels.scala" -> 1)
     assert(sites("ops") == expected,
       s"collect-site drift: found ${sites("ops")}, pinned $expected — " +
         "a NEW site needs a fixed-size-model justification in scaladoc " +

@@ -21,7 +21,7 @@ class CurationSpec extends AnyFunSuite {
   test("pack_sequences invariants: windows never exceed 512 tokens " +
     "except a lone oversize doc; offsets are contiguous; next-fit is " +
     "greedy (each window break was forced)") {
-    val rows = TextAnalysis.qPackSequences(spark, dirs(1))
+    val rows = TextSampling.qPackSequences(spark, dirs(1))
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))
@@ -55,7 +55,7 @@ class CurationSpec extends AnyFunSuite {
   test("packGroup edge cases the corpus lacks: oversize docs get a " +
     "window alone (and close it), exact fits stay, zero-fill reopen") {
     def pack(lens: Long*): Seq[(Long, Long, Long)] =
-      TextAnalysis.packGroup("s",
+      TextSampling.packGroup("s",
         lens.zipWithIndex.map { case (n, i) => ("s", i.toLong, n) }.iterator,
         window = 10L)
         .map(r => (r._3, r._4, r._5)).toSeq // (n_tok, seq_id, off)

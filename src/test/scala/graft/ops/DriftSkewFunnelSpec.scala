@@ -22,7 +22,7 @@ class DriftSkewFunnelSpec extends AnyFunSuite {
   test("stats_drift: bins partition the corpus, every PSI contribution " +
     "is non-negative and finite, and rounded values are boundary-safe") {
     for (dir <- dirs) {
-      val rows = EventOps.qStatsDrift(spark, dir).collect()
+      val rows = EventStats.qStatsDrift(spark, dir).collect()
       assert(rows.nonEmpty && rows.length <= 10, s"$dir: ${rows.length} bins")
       val total = Tables.events(spark, dir).count()
       assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == total,
@@ -59,7 +59,7 @@ class DriftSkewFunnelSpec extends AnyFunSuite {
   test("quality_classifier: raw score recomputes from md5 hashing " +
     "per-token; margin is exact truncating integer division; keep is " +
     "the integer sign") {
-    val rows = TextAnalysis.qQualityClassifier(spark, sf001).collect()
+    val rows = TextModels.qQualityClassifier(spark, sf001).collect()
     val docs = Tables.documents(spark, sf001)
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -88,9 +88,9 @@ class DriftSkewFunnelSpec extends AnyFunSuite {
 
   test("bpe_train: the merge table equals a local replay of the whole " +
     "greedy trajectory, and the chosen pair count never increases") {
-    val rows = TextAnalysis.qBpeTrain(spark, sf001).collect()
+    val rows = TextModels.qBpeTrain(spark, sf001).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
-    assert(rows.length == TextAnalysis.BpeMerges)
+    assert(rows.length == TextModels.BpeMerges)
     // local replay: word freqs -> greedy argmax merge loop
     var vocab: Map[Vector[String], Long] = Tables.documents(spark, sf001)
       .selectExpr("explode(split(text, ' ')) AS w").collect()
@@ -104,7 +104,7 @@ class DriftSkewFunnelSpec extends AnyFunSuite {
           acc.init :+ (acc.last + s)
         else acc :+ s
       }
-    val local = (1 to TextAnalysis.BpeMerges).map { step =>
+    val local = (1 to TextModels.BpeMerges).map { step =>
       val counts = collection.mutable.Map.empty[(String, String), Long]
       vocab.foreach { case (syms, f) =>
         syms.sliding(2).filter(_.length == 2).foreach { p =>
@@ -127,7 +127,7 @@ class DriftSkewFunnelSpec extends AnyFunSuite {
 
   test("bpe_encode: per-doc token counts equal the local model applied " +
     "to every word; merging always compresses") {
-    val rows = TextAnalysis.qBpeEncode(spark, sf001).collect()
+    val rows = TextModels.qBpeEncode(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))
     // local model: replay training to the final per-word token count
@@ -143,7 +143,7 @@ class DriftSkewFunnelSpec extends AnyFunSuite {
           acc.init :+ (acc.last + s)
         else acc :+ s
       }
-    (1 to TextAnalysis.BpeMerges).foreach { _ =>
+    (1 to TextModels.BpeMerges).foreach { _ =>
       val counts = collection.mutable.Map.empty[(String, String), Long]
       vocab.foreach { case (syms, f) =>
         syms.sliding(2).filter(_.length == 2).foreach { p =>

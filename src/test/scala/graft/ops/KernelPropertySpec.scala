@@ -129,7 +129,7 @@ class KernelPropertySpec extends AnyFunSuite {
       Gen.listOfN(n, Gen.frequency(8 -> Gen.choose(1L, 9L),
         1 -> Gen.choose(11L, 40L))))
     forAll(lens, n = 200) { ls =>
-      val out = TextAnalysis.packGroup("s",
+      val out = TextSampling.packGroup("s",
         ls.zipWithIndex.map { case (l, i) => ("s", i.toLong, l) }.iterator,
         window = 10L).toSeq
       out.groupBy(_._4).foreach { case (_, docs) =>

@@ -491,10 +491,10 @@ class OpsSpec extends AnyFunSuite {
 
   test("rrf: the fusion recomputes exactly from the two source rankings " +
     "and every fused doc comes from a source top-15") {
-    val rows = TextAnalysis.qTextRrf(spark, dir).collect()
+    val rows = TextModels.qTextRrf(spark, dir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
     assert(rows.length == 10)
-    val bmRank = TextAnalysis.qTextBm25(spark, dir).collect()
+    val bmRank = TextModels.qTextBm25(spark, dir).collect()
       .map(_.getLong(0)).zipWithIndex.map { case (d, i) => d -> (i + 1) }.toMap
     val vecs = Tables.embeddings(spark, dir)
       .selectExpr("vec_id", "transform(embedding, x -> cast(x AS DOUBLE)) v")
@@ -594,7 +594,7 @@ class OpsSpec extends AnyFunSuite {
 
   test("stratified sampling: realized rates track the per-language " +
     "thresholds (zh keeps everything)") {
-    val rows = TextAnalysis.qSampleStratified(spark, dir).collect()
+    val rows = TextSampling.qSampleStratified(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(rows.keySet == Set("de", "en", "es", "fr", "zh"))
     val (zhTotal, zhSampled) = rows("zh")
@@ -1573,7 +1573,7 @@ class OpsSpec extends AnyFunSuite {
         sel += (s until s + 4).map(j => (h(j), j)).minBy(t => (t._1, -t._2))
       sel.toSeq
     }
-    val rows = TextAnalysis.qTextWinnow(spark, dir).collect().map(r =>
+    val rows = TextModels.qTextWinnow(spark, dir).collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5)))
     val local = Tables.documents(spark, dir).select("doc_id", "text")
@@ -1621,7 +1621,7 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("bm25: scores agree with a local reference computation") {
-    val rows = TextAnalysis.qTextBm25(spark, dir).collect()
+    val rows = TextModels.qTextBm25(spark, dir).collect()
     assert(rows.length == 15)
     // local reference: recompute BM25 from raw text with plain Scala
     val docs = Tables.documents(spark, dir)
@@ -1655,7 +1655,7 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("bpe pairs: top-20 equals a local reference count") {
-    val rows = TextAnalysis.qBpePairs(spark, dir).collect()
+    val rows = TextModels.qBpePairs(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(rows.length == 20)
     val words = Tables.documents(spark, dir).select("text").collect()
@@ -1752,7 +1752,7 @@ class OpsSpec extends AnyFunSuite {
 
   test("stream recovery: restarted query equals the batch aggregate — " +
     "file 0's contribution survives the checkpointed stop") {
-    val got = EventOps.qStreamRecovery(spark, dir).collect()
+    val got = EventStreaming.qStreamRecovery(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     val want = Tables.events(spark, dir)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -1769,7 +1769,7 @@ class OpsSpec extends AnyFunSuite {
   test("dq constraints: all seven checks report, clean TPC-H data has " +
     "zero violations, and a planted orphan is caught") {
     import spark.implicits._
-    val rows = Relational.qDqConstraints(spark, dir).collect()
+    val rows = RelationalQuality.qDqConstraints(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(rows.length == 7, rows.mkString(","))
     rows.foreach { case (name, viol, checked) =>
@@ -1799,7 +1799,7 @@ class OpsSpec extends AnyFunSuite {
         (seg, sizes.size.toLong, sizes.count(_ < 5).toLong,
           sizes.filter(_ < 5).sum, sizes.min, sizes.max)
       }.toSeq.sortBy(_._1)
-    val rows = Relational.qPrivacyKanon(spark, dir).collect()
+    val rows = RelationalQuality.qPrivacyKanon(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5)))
     assert(rows.toSeq == local, s"engine ${rows.toSeq} vs local $local")
@@ -1807,7 +1807,7 @@ class OpsSpec extends AnyFunSuite {
 
   test("sketch merge: per-day HLL union certifies against the global " +
     "sketch and the exact distinct count") {
-    val r = Relational.qSketchMerge(spark, dir).collect()
+    val r = RelationalQuality.qSketchMerge(spark, dir).collect()
     assert(r.length == 1)
     val row = r.head
     assert(row.getLong(0) > 0)
@@ -1827,7 +1827,7 @@ class OpsSpec extends AnyFunSuite {
       (12L, 500L, 500L), (13L, 500L, 516L), (14L, 516L, 500L),
       (15L, 484L, 500L), (16L, 500L, 484L))
     val df = pts.toDF("id", "x", "y")
-    val got = Relational.spatialPairs(df, r).select("a", "b", "dist2")
+    val got = RelationalQuality.spatialPairs(df, r).select("a", "b", "dist2")
       .collect().map(row => (row.getLong(0), row.getLong(1), row.getLong(2)))
       .toSet
     val want = (for {
@@ -1849,7 +1849,7 @@ class OpsSpec extends AnyFunSuite {
       prefix += c
       (d, c, prefix, math.abs(n * prefix - (i + 1) * total))
     }.sortBy { case (d, _, _, s) => (-s, d) }.take(5)
-    val rows = EventOps.qEventsChangepoint(spark, dir).collect()
+    val rows = EventStats.qEventsChangepoint(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(rows.toSeq == local, s"engine ${rows.toSeq} vs local $local")
   }
@@ -1884,7 +1884,7 @@ class OpsSpec extends AnyFunSuite {
     }.map { case (seg, rs) =>
       (seg, rs.size.toLong, rs.map(_._5).sum, rs.map(_._3).sum)
     }.toSeq.sortBy(_._1)
-    val rows = Relational.qRfmSegments(spark, dir).collect()
+    val rows = RelationalQuality.qRfmSegments(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(rows.toSeq == local, s"engine ${rows.toSeq} vs local $local")
     assert(rows.map(_._2).sum == perCust.size.toLong)
@@ -1892,7 +1892,7 @@ class OpsSpec extends AnyFunSuite {
 
   test("rolling median: med2 equals a brute-force frame recompute and is " +
     "robust where a rolling mean is not (bounded by frame min/max)") {
-    val rows = Relational.qWindowMedian(spark, dir).collect()
+    val rows = RelationalQuality.qWindowMedian(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(rows.nonEmpty)
     rows.groupBy(_._1).foreach { case (_, rs) =>
@@ -2101,7 +2101,7 @@ class OpsSpec extends AnyFunSuite {
 
   test("fdr: per-type z replays from local moments, BH rejects a " +
     "prefix of the |z| ranking, and the critical values are monotone") {
-    val rows = EventOps.qStatsFdr(spark, dir).collect()
+    val rows = EventStats.qStatsFdr(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
         r.getInt(3), r.getDouble(4), r.getBoolean(5)))
     assert(rows.length == 5 && rows.map(_._4).toSeq == (1 to 5))
@@ -2157,7 +2157,7 @@ class OpsSpec extends AnyFunSuite {
     val gini = gnum.toDouble / (n.toDouble * sv.toDouble)
     val k = n / 10
     val topCents = vals.takeRight(k.toInt).map(BigInt(_)).sum
-    val r = EventOps.qStatsGini(spark, dir).collect().head
+    val r = EventStats.qStatsGini(spark, dir).collect().head
     assert(r.getLong(0) == n && BigInt(r.getLong(1)) == sv)
     assert(math.abs(r.getDouble(2) - math.rint(gini * 1e6) / 1e6) < 1e-9,
       s"gini ${r.getDouble(2)} != local $gini")
@@ -2181,7 +2181,7 @@ class OpsSpec extends AnyFunSuite {
     val localAgg = onTime.groupBy(e => (e._1 - e._1 % 86400000000L))
       .map { case (ds, xs) =>
         ds / 1000000L -> (xs.length.toLong, xs.map(_._2).sum) }
-    val rows = EventOps.qStreamLateData(spark, dir).collect()
+    val rows = EventStreaming.qStreamLateData(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getBoolean(4)))
     assert(rows.map(_._1).toSet == localAgg.keySet)
@@ -2213,7 +2213,7 @@ class OpsSpec extends AnyFunSuite {
         Some((u, n, sg / n, math.rint(cv2 * 1e6) / 1e6, cv2 < 0.1))
       } else None
     }.toSeq.sortBy(x => (x._4, x._1)).take(20)
-    val rows = EventOps.qEventsBots(spark, dir).collect()
+    val rows = EventStats.qEventsBots(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
         r.getBoolean(4)))
     assert(rows.toSeq == local, s"bots ${rows.toSeq} != $local")
@@ -2246,7 +2246,7 @@ class OpsSpec extends AnyFunSuite {
     val obs = reported.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val n = events.length.toLong
     val trueCnt = events.groupBy(_._2).view.mapValues(_.size.toLong).toMap
-    val rows = Relational.qPrivacyLdp(spark, dir).collect()
+    val rows = RelationalQuality.qPrivacyLdp(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(rows.map(_._1).toSeq == types.toSeq)
     rows.foreach { case (t, nTrue, o, est2) =>
@@ -2305,7 +2305,7 @@ class OpsSpec extends AnyFunSuite {
         (xs.length.toLong, xs.map(_._2).distinct.length.toLong) }.toMap
     val top = agg.toSeq.map { case (w, (cf, df)) => (w, cf, df) }
       .sortBy(x => (-x._2, x._1)).take(50)
-    val rows = TextAnalysis.qTextBurstiness(spark, dir).collect()
+    val rows = TextEval.qTextBurstiness(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))
     assert(rows.map(x => (x._1, x._2, x._3)).toSeq == top)
@@ -2328,7 +2328,7 @@ class OpsSpec extends AnyFunSuite {
     val mean = s.toDouble / n
     val disp = (n - 1.0) * v / mean
     val z = (disp - (n - 1.0)) / math.sqrt(2.0 * (n - 1.0))
-    val r = EventOps.qStatsPoisson(spark, dir).collect().head
+    val r = EventStats.qStatsPoisson(spark, dir).collect().head
     assert(r.getLong(0) == n && r.getLong(1) == s)
     assert(r.getDouble(2) == math.rint(mean * 1e6) / 1e6 &&
       r.getDouble(3) == math.rint(v * 1e6) / 1e6 &&
@@ -2358,7 +2358,7 @@ class OpsSpec extends AnyFunSuite {
       }
       math.rint(tp * 5e8).toLong + math.rint(tq * 5e8).toLong
     }.sum
-    val r = TextAnalysis.qTextJsd(spark, dir).collect().head
+    val r = TextEval.qTextJsd(spark, dir).collect().head
     assert(r.getLong(0) == cells.size.toLong &&
       r.getLong(1) == np && r.getLong(2) == nq)
     assert(r.getLong(3) == jsdOf(swap = false),
@@ -2461,7 +2461,7 @@ class OpsSpec extends AnyFunSuite {
 
   test("cm join-size: the sketch estimate replays locally, never " +
     "undercounts, and sits inside the inner-product error bound") {
-    val r = Relational.qSketchJoinsize(spark, dir).collect().head
+    val r = RelationalQuality.qSketchJoinsize(spark, dir).collect().head
     val (n1, n2, exact, est, over, ok) = (r.getLong(0), r.getLong(1),
       r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))
     val lc = Tables.events(spark, dir).groupBy(col("user_id")).count()
@@ -2539,7 +2539,7 @@ class OpsSpec extends AnyFunSuite {
     val q = groups.values.flatten.map(x => BigInt(x) * x).sum
     val ssb = (sumT - grand).toDouble
     val ssw = q.toDouble - sumT.toDouble
-    val r = EventOps.qStatsAnova(spark, dir).collect().head
+    val r = EventStats.qStatsAnova(spark, dir).collect().head
     assert(r.getLong(0) == k && r.getLong(1) == n)
     val f = (ssb / (k - 1)) / (ssw / (n - k))
     assert(math.abs(r.getDouble(2) - math.rint(f * 1e6) / 1e6) < 1e-9)
@@ -2558,7 +2558,7 @@ class OpsSpec extends AnyFunSuite {
       .map("%02x".format(_)).mkString
     val byLang = docs.groupBy(_._2)
     val m = byLang.values.map(_.size).min
-    val rows = TextAnalysis.qSampleBalanced(spark, dir).collect()
+    val rows = TextSampling.qSampleBalanced(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(rows.length == byLang.size)
     rows.foreach { case (lang, before, after, selSum) =>
@@ -2598,7 +2598,7 @@ class OpsSpec extends AnyFunSuite {
     val seWant = math.rint(math.sqrt(
       (BigInt(32) * sm2 - sm * sm).toDouble / (32 * 31)) / 1e6 / 100.0
       * 1e6) / 1e6
-    val r = EventOps.qStatsBootstrap(spark, dir).collect().head
+    val r = EventStats.qStatsBootstrap(spark, dir).collect().head
     assert(r.getLong(0) == cents.length.toLong && r.getLong(1) == 32L)
     assert(math.abs(r.getDouble(3) - seWant) < 1e-9,
       s"bootstrap SE ${r.getDouble(3)} != local $seWant")
@@ -2628,7 +2628,7 @@ class OpsSpec extends AnyFunSuite {
     val cells = purchases.groupBy(p => (treat(p._1), p._2 > 15))
       .map { case (k, ps) => k -> (ps.length.toLong, ps.map(_._3).sum) }
     assert(cells.size == 4, "all four DiD cells must be populated")
-    val r = EventOps.qEventsDid(spark, dir).collect().head
+    val r = EventStats.qEventsDid(spark, dir).collect().head
     val (tpre, tpost) = (cells((true, false)), cells((true, true)))
     val (cpre, cpost) = (cells((false, false)), cells((false, true)))
     assert((r.getLong(0), r.getLong(1)) == tpre &&
@@ -2679,7 +2679,7 @@ class OpsSpec extends AnyFunSuite {
       p2n += cb.map { case (g, c) => math.min(c, rb.getOrElse(g, 0L)) }.sum
       p2d += cb.values.sum
     }
-    val r = TextAnalysis.qEvalBleu(spark, dir).collect().head
+    val r = TextEval.qEvalBleu(spark, dir).collect().head
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
       r.getLong(4), r.getLong(5)) == ((cl, rl, p1n, p1d, p2n, p2d)))
     val bp = if (cl < rl) math.exp(1.0 - rl.toDouble / cl) else 1.0
@@ -2847,7 +2847,7 @@ class OpsSpec extends AnyFunSuite {
     val a = (n * sxy - sx * sy).toDouble
     val b = (n * sxx - sx * sx).toDouble
     val c = (n * syy - sy * sy).toDouble
-    val r = TextAnalysis.qTextZipf(spark, dir).collect().head
+    val r = TextEval.qTextZipf(spark, dir).collect().head
     assert(r.getLong(0) == pts.size.toLong)
     assert(r.getString(1) == top.head._1 && r.getLong(2) == top.head._2)
     assert(math.abs(r.getDouble(3) - math.rint(a / b * 1e6) / 1e6) < 1e-9,
@@ -2905,7 +2905,7 @@ class OpsSpec extends AnyFunSuite {
 
   test("ks drift: the binned two-sample statistic equals a local exact " +
     "CDF recompute and sits in [0, 1]") {
-    val r = EventOps.qStatsKs(spark, dir).collect()
+    val r = EventStats.qStatsKs(spark, dir).collect()
     assert(r.length == 1)
     val (n1, n2, ksBin, d6) =
       (r.head.getLong(0), r.head.getLong(1), r.head.getLong(2),
@@ -2934,7 +2934,7 @@ class OpsSpec extends AnyFunSuite {
 
   test("dp release: noise replays the seeded Laplace inverse-CDF exactly, " +
     "stays within the tail bound, and the budget composes to 1.0") {
-    val rows = Relational.qPrivacyDp(spark, dir).collect()
+    val rows = RelationalQuality.qPrivacyDp(spark, dir).collect()
     assert(rows.length == 5)
     rows.foreach { r =>
       val (seg, nTrue, noisyN, cents, noisyC, eps) = (r.getString(0),
@@ -2964,7 +2964,7 @@ class OpsSpec extends AnyFunSuite {
   test("gdpr forget: purge counts reconcile per table, the residual " +
     "re-derived from the purged output is zero, and the forget list is " +
     "exactly the md5-parity customers") {
-    val rows = Relational.qGdprForget(spark, dir).collect()
+    val rows = RelationalQuality.qGdprForget(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))
     assert(rows.map(_._1).toSeq == Seq("customer", "events", "orders"))
@@ -2997,7 +2997,7 @@ class OpsSpec extends AnyFunSuite {
       val s = es.sortBy(e => (e._2.getTime, e._2.getNanos, e._3)).map(_._4)
       s.zip(s.drop(1))
     }.groupBy(identity).view.mapValues(_.size.toLong).toMap
-    val rows = EventOps.qEventsMarkov(spark, dir).collect()
+    val rows = EventStats.qEventsMarkov(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5)))
     assert(rows.map(r => (r._1, r._2) -> r._3).toMap == localTrans)
@@ -3041,7 +3041,7 @@ class OpsSpec extends AnyFunSuite {
       (n, s, v)
     }
     val ((nt, st, vt), (nc, sc, vc)) = (mom(a), mom(b))
-    val r = EventOps.qStatsTtest(spark, dir).collect().head
+    val r = EventStats.qStatsTtest(spark, dir).collect().head
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
       ((nt, nc, st, sc)))
     assert(r.getDouble(4) == math.rint(vt * 1e6) / 1e6 &&
@@ -3075,7 +3075,7 @@ class OpsSpec extends AnyFunSuite {
         k -> (es.length.toLong, es.map(_._4).min, es.map(_._4).max,
           sorted.head._2, sorted.head._4, sorted.last._2, sorted.last._4)
       }
-    val rows = EventOps.qSeriesM4(spark, dir).collect()
+    val rows = EventStats.qSeriesM4(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2),
         r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
         r.getLong(7), r.getLong(8)))
@@ -3122,7 +3122,7 @@ class OpsSpec extends AnyFunSuite {
     val den = math.sqrt(rm.map(a => (a - mr) * (a - mr)).sum *
       rw.map(b => (b - mw) * (b - mw)).sum)
     val want = num / den
-    val r = TextAnalysis.qEvalSpearman(spark, dir).collect().head
+    val r = TextEval.qEvalSpearman(spark, dir).collect().head
     assert(r.getLong(0) == n.toLong)
     assert(math.abs(r.getDouble(1) - want) < 1e-6,
       s"spearman ${r.getDouble(1)} != local $want")
@@ -3215,7 +3215,7 @@ class OpsSpec extends AnyFunSuite {
       .toDouble / d.toDouble
     val b2 = det3(Seq(BigInt(n), s1, sy, s1, s11, s1y, s2, s12, s2y))
       .toDouble / d.toDouble
-    val r = EventOps.qStatsLinreg(spark, dir).collect().head
+    val r = EventStats.qStatsLinreg(spark, dir).collect().head
     assert(r.getLong(0) == n && r.getDouble(1) == d.toDouble)
     assert(r.getDouble(2) == math.rint(b0 / 100.0 * 1e6) / 1e6 &&
       r.getDouble(3) == math.rint(b1 / 100.0 * 1e6) / 1e6 &&
@@ -3292,7 +3292,7 @@ class OpsSpec extends AnyFunSuite {
       (d, y, dayIdx(d), math.min(dayIdx(d) * 8 / nd, 7L)) }
     val bk = pts.groupBy(_._4).view.mapValues { xs =>
       (xs.length.toLong, xs.map(_._3).sum, xs.map(_._2).sum) }.toMap
-    val rows = EventOps.qSeriesLttb(spark, dir).collect()
+    val rows = EventStats.qSeriesLttb(spark, dir).collect()
       .map(r => (r.getLong(0), r.getDate(1), r.getLong(2)))
     assert(rows.map(_._1).toSeq == (0L to 7L))
     assert(rows.head._2 == days.head._1 && rows.last._2 == days.last._1,
@@ -3329,7 +3329,7 @@ class OpsSpec extends AnyFunSuite {
         "purchase", (i + 1) * 10.0, i.toLong, i.toLong))
       .toDF("ts", "event_type", "value", "event_id", "user_id")
       .write.mode("overwrite").parquet(s"$tmp/events.parquet")
-    val rows = EventOps.qSeriesLttb(spark, tmp).collect()
+    val rows = EventStats.qSeriesLttb(spark, tmp).collect()
       .map(r => (r.getLong(0), r.getLong(2),
         if (r.isNullAt(3)) null else r.getString(3)))
     assert(rows.map(_._1).toSeq == Seq(0L, 1L, 7L),

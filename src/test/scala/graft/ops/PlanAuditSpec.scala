@@ -672,22 +672,22 @@ class PlanAuditSpec extends AnyFunSuite {
     //    (decile-cardinality by construction; TextAnalysis.qVocabGrowth
     //    scaladoc)
     //  - q_text_rrf: rank windows over the two FIFTEEN-row top-k lists
-    //    (TakeOrdered bounds them; TextAnalysis.qTextRrf scaladoc)
+    //    (TakeOrdered bounds them; TextModels.qTextRrf scaladoc)
     //  - q_events_survival: at-risk reverse running sum over the
     //    per-lifetime life table (calendar-bounded, ~#days rows;
-    //    EventOps.qEventsSurvival scaladoc)
+    //    EventStats.qEventsSurvival scaladoc)
     //  - q_skyline: running-max frontier test over the per-size maxima
     //    (bounded by the size DOMAIN, ~50 rows; Relational.qSkyline
     //    scaladoc)
     //  - q_events_changepoint: row_number + running sum over the per-day
     //    count series (calendar-bounded, ~#days rows;
-    //    EventOps.qEventsChangepoint scaladoc)
+    //    EventStats.qEventsChangepoint scaladoc)
     //  - q_text_zipf: rank window over the LIMIT-100 bigram cut
-    //    (TakeOrdered bounds it; TextAnalysis.qTextZipf scaladoc)
+    //    (TakeOrdered bounds it; TextEval.qTextZipf scaladoc)
     // q_stats_ks also runs a partition-less CDF window over its ~100-row
     // bin table, but behind an eager localCheckpoint — the planned query
     // no longer contains it, so it needs no pin (bound documented in
-    // EventOps.qStatsKs scaladoc).
+    // EventStats.qStatsKs scaladoc).
     val allow = Set("q_mix_temperature", "q_events_cum_users",
       "q_vocab_growth", "q_text_rrf", "q_events_survival", "q_skyline",
       "q_events_changepoint", "q_text_zipf")

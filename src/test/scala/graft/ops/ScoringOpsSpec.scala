@@ -85,7 +85,7 @@ class ScoringOpsSpec extends AnyFunSuite {
 
   test("perplexity: per-doc bigram NLL equals a local add-one-smoothed " +
     "LM recompute") {
-    val rows = TextAnalysis.qTextPerplexity(spark, dir).collect()
+    val rows = TextModels.qTextPerplexity(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(rows.nonEmpty)
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
@@ -116,7 +116,7 @@ class ScoringOpsSpec extends AnyFunSuite {
 
   test("dsir: per-doc importance log-weights equal a local reference " +
     "and rank the target language above the rest on average") {
-    val rows = TextAnalysis.qCurateDsir(spark, dir).collect()
+    val rows = TextModels.qCurateDsir(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(rows.nonEmpty)
     val docs = Tables.documents(spark, dir)
@@ -156,7 +156,7 @@ class ScoringOpsSpec extends AnyFunSuite {
 
   test("mutual info: bucket contributions equal a local reference and " +
     "are non-negative (each is p(b) * KL(p(l|b) || p(l)))") {
-    val rows = TextAnalysis.qStatsMutualinfo(spark, dir).collect()
+    val rows = TextEval.qStatsMutualinfo(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(rows.nonEmpty)
     val docs = Tables.documents(spark, dir).select("lang", "text")
@@ -190,7 +190,7 @@ class ScoringOpsSpec extends AnyFunSuite {
 
   test("survival: gap life table equals a local replay and satisfies " +
     "the at-risk / exhaustiveness invariants") {
-    val rows = EventOps.qEventsSurvival(spark, dir).collect()
+    val rows = EventStats.qEventsSurvival(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))
     assert(rows.nonEmpty)
@@ -235,7 +235,7 @@ class ScoringOpsSpec extends AnyFunSuite {
 
   test("sql recursive: the fixed-point Kaplan-Meier curve equals a " +
     "local sequential replay and is monotone non-increasing") {
-    val rows = EventOps.qSqlRecursive(spark, dir).collect()
+    val rows = EventStats.qSqlRecursive(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))
     assert(rows.nonEmpty && rows.head._1 == 0L)
@@ -359,7 +359,7 @@ class ScoringOpsSpec extends AnyFunSuite {
 
   test("abtest: per-type z statistics equal a local recompute on " +
     "user-day exposure units") {
-    val rows = EventOps.qEventsAbtest(spark, dir).collect()
+    val rows = EventStats.qEventsAbtest(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getDouble(5)))
     assert(rows.nonEmpty)
@@ -393,7 +393,7 @@ class ScoringOpsSpec extends AnyFunSuite {
 
   test("langid eval: scorecard equals a confusion recompute from the " +
     "prediction table and satisfies the count identities") {
-    val rows = TextAnalysis.qLangidEval(spark, dir).collect()
+    val rows = TextEval.qLangidEval(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4),
         if (r.isNullAt(5)) None else Some(r.getLong(5)),
@@ -422,7 +422,7 @@ class ScoringOpsSpec extends AnyFunSuite {
 
   test("calibration: reliability bins equal a local recompute and the " +
     "bins partition the corpus") {
-    val rows = TextAnalysis.qQualityCalibration(spark, dir).collect()
+    val rows = TextEval.qQualityCalibration(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))
     assert(rows.nonEmpty)
@@ -451,7 +451,7 @@ class ScoringOpsSpec extends AnyFunSuite {
 
   test("lm heldout: per-doc NLL on the held-out slice equals a local " +
     "replay and no train doc leaks into the eval") {
-    val rows = TextAnalysis.qTextLmHeldout(spark, dir).collect()
+    val rows = TextEval.qTextLmHeldout(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(rows.nonEmpty)
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
@@ -558,7 +558,7 @@ class ScoringOpsSpec extends AnyFunSuite {
         math.rint(-math.log(p(a, b)) * 1e9).toLong }.sum
       (id, bs.length.toLong, bs.count(b => !ctx.contains(b._1)).toLong, n9)
     }
-    val rows = TextAnalysis.qTextKneserNey(spark, dir).collect()
+    val rows = TextEval.qTextKneserNey(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(rows.toSeq == local.toSeq)
     // proper-distribution check on the three heaviest contexts: the
@@ -598,7 +598,7 @@ class ScoringOpsSpec extends AnyFunSuite {
         if (p > n) u2 += 2 else if (p == n) u2 += 1
       }
     }
-    val r = TextAnalysis.qEvalAuc(spark, dir).collect().head
+    val r = TextEval.qEvalAuc(spark, dir).collect().head
     assert(r.getLong(0) == pos.length.toLong &&
       r.getLong(1) == neg.length.toLong)
     assert(BigInt(r.getLong(2)) == u2,
@@ -637,7 +637,7 @@ class ScoringOpsSpec extends AnyFunSuite {
     }
     val fitted = stack.zip(sizes).flatMap { case (b, k) =>
       Seq.fill(k)(b) }
-    val rows = TextAnalysis.qCalibrateIsotonic(spark, dir).collect()
+    val rows = TextEval.qCalibrateIsotonic(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getLong(6)))
     assert(rows.map(r => (r._1, r._2, r._3)).toSeq == bins,

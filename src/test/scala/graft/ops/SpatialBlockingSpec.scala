@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestSession
 
 /** Completeness property of the grid blocking behind `q_spatial_join`
-  * (`Relational.spatialPairs`): on random point clouds — dense enough
+  * (`RelationalQuality.spatialPairs`): on random point clouds — dense enough
   * that many pairs straddle cell boundaries — the blocked equi-join
   * finds EXACTLY the pairs a naive all-pairs distance scan finds, for
   * several radii. The production oracle proves the same end-to-end on
@@ -24,7 +24,7 @@ class SpatialBlockingSpec extends AnyFunSuite {
 
   private def blocked(pts: Seq[(Long, Long, Long)], r: Int) = {
     import spark.implicits._
-    Relational.spatialPairs(pts.toDF("id", "x", "y"), r)
+    RelationalQuality.spatialPairs(pts.toDF("id", "x", "y"), r)
       .select("a", "b", "dist2").collect()
       .map(row => (row.getLong(0), row.getLong(1), row.getLong(2))).toSet
   }

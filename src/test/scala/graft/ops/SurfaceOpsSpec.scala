@@ -78,8 +78,8 @@ class SurfaceOpsSpec extends AnyFunSuite {
 
   test("stream abtest: the streaming panel reproduces the batch readout " +
     "row for row") {
-    val batch = EventOps.qEventsAbtest(spark, dir).collect().map(_.toSeq)
-    val stream = EventOps.qStreamAbtest(spark, dir).collect().map(_.toSeq)
+    val batch = EventStats.qEventsAbtest(spark, dir).collect().map(_.toSeq)
+    val stream = EventStreaming.qStreamAbtest(spark, dir).collect().map(_.toSeq)
     assert(batch.nonEmpty)
     assert(stream.toSeq == batch.toSeq,
       s"stream ${stream.take(2).toSeq} vs batch ${batch.take(2).toSeq}")
@@ -253,7 +253,7 @@ class SurfaceOpsSpec extends AnyFunSuite {
     val local = byRoot.values.map { members =>
       (members.min, members.size.toLong, members.map(counts).sum)
     }.toSeq.sortBy(_._1)
-    val rows = Relational.qEntityResolve(spark, dir).collect()
+    val rows = RelationalQuality.qEntityResolve(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(rows.toSeq == local, s"engine ${rows.take(4).toSeq} vs " +
       s"local ${local.take(4)}")

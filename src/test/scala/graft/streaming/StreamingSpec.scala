@@ -173,7 +173,7 @@ class StreamingSpec extends AnyFunSuite {
     // full pipeline vs the registered batch oracle shape, on real testdata
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/events.parquet").isFile)
-    val streamed = graft.ops.EventOps.qStreamJoin(spark, dir).collect()
+    val streamed = graft.ops.EventStreaming.qStreamJoin(spark, dir).collect()
     assert(streamed.nonEmpty)
     assert(streamed.forall { r =>
       val (vt, ct) = (r.getLong(3), r.getLong(4))
@@ -327,7 +327,7 @@ class StreamingSpec extends AnyFunSuite {
     "(event-time timeout drains the final sessions)") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/events.parquet").isFile)
-    val streamed = graft.ops.EventOps.qStreamSession(spark, dir).collect()
+    val streamed = graft.ops.EventStreaming.qStreamSession(spark, dir).collect()
     val batch = graft.ops.EventOps.qEventsSession(spark, dir).collect()
     assert(streamed.length == batch.length)
     streamed.zip(batch).foreach { case (s, b) =>
