@@ -286,8 +286,21 @@ object WavHeader {
     Array(frames.toLong, active, best)
   }
 
-  def vadFrames(b: Array[Byte]): java.lang.Long =
-    { val p = vadStats(b); if (p == null) null else java.lang.Long.valueOf(p(0)) }
+  /** Frame count WITHOUT the energy fold — pure chunk-walk arithmetic
+    * ((data bytes / 2) / 160 under [[pcmStats]]'s exact guards), so a
+    * query can gate on "has full frames" for the cost of a header walk
+    * instead of a whole-payload pass. Same null/zero contract as the
+    * fold: null when no 16-bit PCM chunk parses, 0 when the payload is
+    * shorter than one frame.
+    */
+  def vadFrames(b: Array[Byte]): java.lang.Long = {
+    val w = walk(b)
+    if (w == null) return null
+    val bits = w(2); val offL = w(4); val lenL = w(5)
+    if (bits != 16 || offL < 0 || lenL < 0 || offL + lenL > b.length)
+      return null
+    java.lang.Long.valueOf((lenL.toInt / 2 / 160).toLong)
+  }
 
   def vadActive(b: Array[Byte]): java.lang.Long =
     { val p = vadStats(b); if (p == null) null else java.lang.Long.valueOf(p(1)) }
@@ -295,8 +308,41 @@ object WavHeader {
   def vadRun(b: Array[Byte]): java.lang.Long =
     { val p = vadStats(b); if (p == null) null else java.lang.Long.valueOf(p(2)) }
 
-  def pcmSamples(b: Array[Byte]): java.lang.Long =
-    { val p = pcmStats(b); if (p == null) null else java.lang.Long.valueOf(p(0)) }
+  /** Sample count WITHOUT the fold — data-chunk size / 2 under
+    * [[pcmStats]]'s exact guards (see [[vadFrames]]).
+    */
+  def pcmSamples(b: Array[Byte]): java.lang.Long = {
+    val w = walk(b)
+    if (w == null) return null
+    val bits = w(2); val offL = w(4); val lenL = w(5)
+    if (bits != 16 || offL < 0 || lenL < 0 || offL + lenL > b.length)
+      return null
+    java.lang.Long.valueOf((lenL.toInt / 2).toLong)
+  }
+
+  /** All three PCM fold readouts from ONE pass — (n_samples, sum_sq,
+    * peak) as a Catalyst struct row, null when no 16-bit PCM chunk
+    * parses. The per-stat accessors each re-fold the whole payload;
+    * [[WavPcmStats]] evaluates this instead so a query reading several
+    * readouts pays the byte fold once (the `png_decode_stats`
+    * discipline).
+    */
+  def pcmStatsRow(b: Array[Byte])
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val p = pcmStats(b)
+    if (p == null) null
+    else org.apache.spark.sql.catalyst.InternalRow(p(0), p(1), p(2).toInt)
+  }
+
+  /** All three VAD readouts from ONE two-pass fold — (n_frames,
+    * n_active, longest_run) as a struct row (see [[pcmStatsRow]]).
+    */
+  def vadStatsRow(b: Array[Byte])
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val p = vadStats(b)
+    if (p == null) null
+    else org.apache.spark.sql.catalyst.InternalRow(p(0), p(1), p(2))
+  }
 
   def pcmSumSq(b: Array[Byte]): java.lang.Long =
     { val p = pcmStats(b); if (p == null) null else java.lang.Long.valueOf(p(1)) }
@@ -373,6 +419,63 @@ case class WavHeaderAttr(child: Expression, attr: String) extends UnaryExpressio
            else { ${ev.value} = v.intValue(); }""")
 
   override protected def withNewChildInternal(newChild: Expression): WavHeaderAttr =
+    copy(child = newChild)
+}
+
+/** The PCM fold as ONE struct-returning expression:
+  * `wav_pcm_stats(binary)` → `STRUCT<n_samples BIGINT, sum_sq BIGINT,
+  * peak INT>`, null when no 16-bit PCM data chunk parses. Deliberately
+  * not cheap in CollapseProject's sense (the [[PngDecodeStats]]
+  * discipline): aliased once, field-extracted many times, folded once.
+  */
+case class WavPcmStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_samples", LongType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false),
+    StructField("peak", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "wav_pcm_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    WavHeader.pcmStatsRow(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("pcmStats")
+      s"""org.apache.spark.sql.catalyst.InternalRow $r =
+           graft.functions.WavHeader.pcmStatsRow($c);
+         if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }"""
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WavPcmStats =
+    copy(child = newChild)
+}
+
+/** The VAD two-pass fold as ONE struct-returning expression:
+  * `wav_vad_stats(binary)` → `STRUCT<n_frames BIGINT, n_active BIGINT,
+  * longest_run BIGINT>`, null when no 16-bit PCM data chunk parses
+  * (see [[WavPcmStats]]).
+  */
+case class WavVadStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_frames", LongType, nullable = false),
+    StructField("n_active", LongType, nullable = false),
+    StructField("longest_run", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "wav_vad_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    WavHeader.vadStatsRow(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("vadStats")
+      s"""org.apache.spark.sql.catalyst.InternalRow $r =
+           graft.functions.WavHeader.vadStatsRow($c);
+         if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }"""
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WavVadStats =
     copy(child = newChild)
 }
 
@@ -628,6 +731,10 @@ object Mp4HeaderOps {
 }
 
 object WavHeaderOps {
+  def wavPcmStats(c: Column): Column =
+    ColumnBridge.column(WavPcmStats(ColumnBridge.expression(c)))
+  def wavVadStats(c: Column): Column =
+    ColumnBridge.column(WavVadStats(ColumnBridge.expression(c)))
   def wavChannels(c: Column): Column =
     ColumnBridge.column(WavHeaderAttr(ColumnBridge.expression(c), "channels"))
   def wavSampleRate(c: Column): Column =

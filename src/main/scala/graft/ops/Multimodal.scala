@@ -487,19 +487,28 @@ object Multimodal {
     */
   def qAudioPcm(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.WavHeaderOps._
+    // ONE fold per row (the qMultimodalResize discipline): the three
+    // readouts previously each ran the full PCM byte fold, and the
+    // zero-sample filter ran a fourth — 4 whole-payload passes per row.
+    // Now the filter gates on the WALK-ONLY sample count (data-chunk
+    // size / 2, no fold) and all readouts extract from one
+    // wav_pcm_stats struct, which CollapseProject keeps in its own
+    // projection (PlanAuditSpec pins both).
+    //
+    // Zero-sample guard, mirroring qMultimodalVad's n_frames > 0: a
+    // document shorter than its block align yields n_samples=0 here
+    // (rms = floor(NaN)→0) while the oracle's unnest(range(0,0))
+    // produces no rows for it — the GROUP BY drops the doc and the
+    // hash diverges. No row matches at current fixtures (all texts
+    // exceed block align), so this is a contract pin, not a change.
     withWavPayload(Tables.documents(spark, dir))
+      .filter(wavPcmSamples(col("payload")) > 0)
+      .withColumn("st", wavPcmStats(col("payload")))
       .select(
         col("doc_id"),
-        wavPcmSamples(col("payload")).as("n_samples"),
-        wavPcmSumSq(col("payload")).as("sum_sq"),
-        wavPcmPeak(col("payload")).as("peak"))
-      // zero-sample guard, mirroring qMultimodalVad's n_frames > 0: a
-      // document shorter than its block align yields n_samples=0 here
-      // (rms = floor(NaN)→0) while the oracle's unnest(range(0,0))
-      // produces no rows for it — the GROUP BY drops the doc and the
-      // hash diverges. No row matches at current fixtures (all texts
-      // exceed block align), so this is a contract pin, not a change.
-      .filter(col("n_samples") > 0)
+        col("st.n_samples").as("n_samples"),
+        col("st.sum_sq").as("sum_sq"),
+        col("st.peak").as("peak"))
       .withColumn("rms_x1000",
         floor(sqrt(col("sum_sq").cast("double") / col("n_samples")) * 1000)
           .cast("long"))
@@ -529,13 +538,17 @@ object Multimodal {
     */
   def qMultimodalVad(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.WavHeaderOps._
+    // ONE two-pass fold per row (see qAudioPcm): the filter gates on
+    // the walk-only frame count ((data bytes / 2) / 160 — no fold) and
+    // the three readouts extract from one wav_vad_stats struct.
     withWavPayload(Tables.documents(spark, dir))
+      .filter(wavVadFrames(col("payload")) > 0)
+      .withColumn("st", wavVadStats(col("payload")))
       .select(
         col("doc_id"),
-        wavVadFrames(col("payload")).as("n_frames"),
-        wavVadActive(col("payload")).as("n_active"),
-        wavVadRun(col("payload")).as("longest_run"))
-      .filter(col("n_frames") > 0)
+        col("st.n_frames").as("n_frames"),
+        col("st.n_active").as("n_active"),
+        col("st.longest_run").as("longest_run"))
       .withColumn("active_e6", expr("n_active * 1000000 DIV n_frames"))
       .orderBy(col("doc_id"))
   }

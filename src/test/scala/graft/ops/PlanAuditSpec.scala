@@ -833,6 +833,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q_multimodal_resize must stay a pure scan-side pipeline: $p")
   }
 
+  test("q_audio_pcm / q_multimodal_vad: ONE payload fold per row — the " +
+    "filter gates on the walk-only count, readouts extract from one struct") {
+    Seq(("q_audio_pcm", "wav_pcm_stats", "wav_pcm_samples",
+      Seq("wav_pcm_sum_sq", "wav_pcm_peak")),
+      ("q_multimodal_vad", "wav_vad_stats", "wav_vad_frames",
+        Seq("wav_vad_active", "wav_vad_run"))).foreach {
+      case (q, structFn, gateFn, perStat) =>
+        val p = plan(q)
+        assert(p.sliding(structFn.length).count(_ == structFn) == 1,
+          s"$q must fold the payload exactly once: $p")
+        perStat.foreach(f => assert(!p.contains(f),
+          s"$q: per-stat fold $f would re-run the whole-payload pass: $p"))
+        // the zero-row gate costs a header walk, not a fold
+        assert(p.contains(gateFn), s"$q must gate on the walk-only count: $p")
+        assert(p.linesIterator.count(_.contains("Exchange")) == 1,
+          s"$q must stay a pure scan-side pipeline: $p")
+    }
+  }
+
   test("q_image_dedup: encode+decode+hash are one scan-side projection — " +
     "the only exchange keys on the hash") {
     val p = plan("q_image_dedup")
