@@ -1065,11 +1065,19 @@ class OpsSpec extends AnyFunSuite {
       yield PngCodec.px(x, y, 42L)).sum.toDouble / 20
     assert(math.abs(PngCodec.brightness(png) - expectedMean) < 1e-12)
     assert(PngCodec.resizeCsv(png) != null)
+    // the single-decode struct row (round 16) agrees field-for-field
+    // with the per-stat accessors — the q_multimodal_resize seam
+    val st = PngCodec.decodeStatsRow(png)
+    assert(st.getInt(0) == 5 && st.getInt(1) == 4)
+    assert(st.getDouble(2) == PngCodec.brightness(png).doubleValue)
+    assert(st.getUTF8String(3) == PngCodec.resizeCsv(png))
 
     // corrupt one IDAT byte: CRC check must reject, not mis-decode
     val corrupt = png.clone()
     corrupt(45) = (corrupt(45) ^ 0x55).toByte
     assert(PngCodec.decodeGray(corrupt) == null)
+    assert(PngCodec.decodeStatsRow(corrupt) == null,
+      "the struct decode nulls exactly where the scalar decode nulls")
 
     // HOSTILE IHDR dimensions with VALID CRCs (review finding): w=2^31-1
     // used to throw NegativeArraySizeException from (w+1)*h, 65536x65536
@@ -1290,6 +1298,23 @@ class OpsSpec extends AnyFunSuite {
     assert(WavHeader.pcmSamples(wav(s, bits = 8)) == null, "8-bit must null")
     assert(WavHeader.pcmSumSq("RIFFxxxxWAVE".getBytes) == null)
     assert(WavHeader.pcmPeak(Array.empty[Byte]) == null)
+    // the single-fold struct row (round 16) agrees field-for-field with
+    // the per-stat accessors, and nulls exactly where they null — the
+    // seam the q_audio_pcm/q_multimodal_vad rewrite leans on
+    val pr = WavHeader.pcmStatsRow(b)
+    assert(pr.getLong(0) == 5L && pr.getLong(1) == s.map(v => v.toLong * v).sum
+      && pr.getInt(2) == 32768)
+    assert(WavHeader.pcmStatsRow(wav(s, bits = 8)) == null)
+    assert(WavHeader.pcmStatsRow("RIFFxxxxWAVE".getBytes) == null)
+    // walk-only counts (no fold) keep the fold's exact guards: the
+    // 8-bit and non-wav paths null, the valid path is data-bytes / 2
+    assert(WavHeader.pcmSamples(b) == 5L &&
+      WavHeader.vadFrames(b) == 0L, "5 samples < one 160-sample frame")
+    val big = wav(Seq.tabulate[Short](400)(i => (i % 7).toShort))
+    assert(WavHeader.vadFrames(big) == 2L, "400 samples = 2 full frames")
+    val vr = WavHeader.vadStatsRow(big)
+    assert(vr.getLong(0) == 2L, "struct frame count matches the walk-only gate")
+    assert(WavHeader.vadStatsRow(wav(s, bits = 8)) == null)
   }
 
   test("novelty: per-doc first-occurrence fractions equal a local " +
