@@ -210,7 +210,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
     }
     Seq("channels", "sample_rate", "duration_ms",
-      "pcm_samples", "pcm_sum_sq", "pcm_peak").foreach { attr =>
+      "pcm_samples", "pcm_sum_sq", "pcm_peak",
+      "vad_frames", "vad_active", "vad_run").foreach { attr =>
       register(e, s"wav_$attr",
         s"$attr parsed from WAV RIFF chunks, null if not a WAV", 1) {
         a => graft.functions.WavHeaderAttr(a(0), attr)
@@ -238,6 +239,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(e, "png_ahash",
       "64-bit average-hash of the decoded pixels (8x8 downsample), hex", 1) {
       a => graft.functions.PngDecodeStat(a(0), "ahash")
+    }
+    // single-pass struct variants (round 16): several readouts of the
+    // same payload for ONE decode/fold — the per-stat functions above
+    // re-run the whole pass per call
+    register(e, "png_decode_stats",
+      "struct<width,height,brightness,resized> from ONE png decode", 1) {
+      a => graft.functions.PngDecodeStats(a(0))
+    }
+    register(e, "wav_pcm_stats",
+      "struct<n_samples,sum_sq,peak> from ONE 16-bit PCM fold", 1) {
+      a => graft.functions.WavPcmStats(a(0))
+    }
+    register(e, "wav_vad_stats",
+      "struct<n_frames,n_active,longest_run> from ONE VAD energy fold", 1) {
+      a => graft.functions.WavVadStats(a(0))
     }
     register(e, "tar_entries",
       "checksum-verified ustar members of a tar shard as " +

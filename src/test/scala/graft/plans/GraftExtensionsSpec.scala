@@ -27,6 +27,44 @@ class GraftExtensionsSpec extends AnyFunSuite {
     s
   }
 
+  test("single-pass struct kernels are SQL-reachable and agree with the " +
+    "per-stat functions (round 16)") {
+    val rows = spark.sql("""
+      SELECT
+        png_decode_stats(png_encode_gray(6, 5, CAST(11 AS BIGINT))) AS ps,
+        image_width(png_encode_gray(6, 5, CAST(11 AS BIGINT))) AS w,
+        round(png_brightness(png_encode_gray(6, 5, CAST(11 AS BIGINT))), 10) AS br,
+        png_resize4(png_encode_gray(6, 5, CAST(11 AS BIGINT))) AS rz
+      """).collect().head
+    val ps = rows.getStruct(0)
+    assert(ps.getInt(0) == rows.getInt(1) && ps.getInt(1) == 5)
+    assert(math.abs(ps.getDouble(2) - rows.getDouble(2)) < 1e-9)
+    assert(ps.getString(3) == rows.getString(3))
+    // WAV: build a 16-bit PCM container in SQL via unhex and compare
+    // struct vs per-stat on the same bytes; non-wav bytes null the struct
+    val wavHex = "52494646" + "24000000" + "57415645" + "666D7420" +
+      "10000000" + "0100" + "0100" + "401F0000" + "803E0000" + "0200" +
+      "1000" + "64617461" + "06000000" + "0100" + "FFFF" + "0080"
+    val w = spark.sql(s"""
+      SELECT wav_pcm_stats(unhex('$wavHex')) AS st,
+        wav_pcm_samples(unhex('$wavHex')) AS n,
+        wav_pcm_sum_sq(unhex('$wavHex')) AS ss,
+        wav_pcm_peak(unhex('$wavHex')) AS pk,
+        wav_vad_stats(unhex('$wavHex')) AS vs,
+        wav_vad_frames(unhex('$wavHex')) AS nf,
+        wav_pcm_stats(CAST('not a wav' AS BINARY)) AS bad
+      """).collect().head
+    val st = w.getStruct(0)
+    assert(st.getLong(0) == w.getLong(1) && st.getLong(0) == 3L)
+    assert(st.getLong(1) == w.getLong(2) &&
+      st.getLong(1) == 1L + 1L + 32768L * 32768L)
+    assert(st.getInt(2) == w.getInt(3) && st.getInt(2) == 32768)
+    val vs = w.getStruct(4)
+    assert(vs.getLong(0) == w.getLong(5) && vs.getLong(0) == 0L,
+      "3 samples < one 160-sample frame")
+    assert(w.isNullAt(6), "non-wav bytes must null the struct")
+  }
+
   test("jaccard threshold filters get size-ratio prefilters injected; " +
     "results unchanged") {
     import spark.implicits._
