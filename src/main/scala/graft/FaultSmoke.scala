@@ -30,9 +30,11 @@ object FaultSmoke {
     * carries `--app-id <applicationId>`, so another Spark job's (or
     * another user's) executors on the same box can never be matched —
     * killing one of those would both damage the bystander and let this
-    * probe pass vacuously.
+    * probe pass vacuously. `private[graft]`: [[Probe100xFault]] injects
+    * its kill through the SAME implementation, so a pgrep-pattern fix
+    * for a future Spark's command line lands in one place.
     */
-  private def executorPids(appId: String): Seq[Long] = {
+  private[graft] def executorPids(appId: String): Seq[Long] = {
     val p = new ProcessBuilder("pgrep", "-f",
       s"CoarseGrainedExecutorBackend.*$appId").start()
     val out = new String(p.getInputStream.readAllBytes(),
@@ -41,7 +43,7 @@ object FaultSmoke {
     out.split("\n").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
   }
 
-  private def killOne(appId: String): Option[Long] = {
+  private[graft] def killOne(appId: String): Option[Long] = {
     val pids = executorPids(appId)
     pids.headOption.map { pid =>
       new ProcessBuilder("kill", "-9", pid.toString).start().waitFor()

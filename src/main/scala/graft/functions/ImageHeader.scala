@@ -209,6 +209,23 @@ object WavHeader {
     else Array(channels, rate, bits, block, dataLen)
   }
 
+  /** THE 16-bit-PCM data-range guard: (offset, length) of the verified
+    * in-bounds data payload as Ints, or null. One implementation behind
+    * [[pcmStats]], [[vadStats]], [[pcmSamples]] and [[vadFrames]] — the
+    * walk-only gates and the folds MUST agree null-for-null (the
+    * filter-then-extract query rewrite leans on it), so the guard lives
+    * exactly once. Long compares: a near-Int.MaxValue claimed len cannot
+    * wrap the bounds check negative and send a fold past the buffer.
+    */
+  private def pcmDataRange(b: Array[Byte]): Array[Int] = {
+    val w = walk(b)
+    if (w == null) return null
+    val bits = w(2); val offL = w(4); val lenL = w(5)
+    if (bits != 16 || offL < 0 || lenL < 0 || offL + lenL > b.length)
+      return null
+    Array(offL.toInt, lenL.toInt) // both <= b.length by the guard
+  }
+
   /** Locate the 16-bit PCM payload and fold it: (n_samples, sum of
     * squares, peak |sample|). The walk is the same chunk scan as
     * [[parse]] but keeps the data OFFSET; samples are signed 16-bit
@@ -216,14 +233,9 @@ object WavHeader {
     * engine-reproducible. Null unless a 16-bit PCM data chunk is found.
     */
   private def pcmStats(b: Array[Byte]): Array[Long] = {
-    val w = walk(b)
-    if (w == null) return null
-    val bits = w(2); val offL = w(4); val lenL = w(5)
-    // Long compare: a near-Int.MaxValue claimed len cannot wrap the
-    // bounds check negative and send the fold past the buffer
-    if (bits != 16 || offL < 0 || lenL < 0 || offL + lenL > b.length)
-      return null
-    val off = offL.toInt; val len = lenL.toInt // both <= b.length
+    val r = pcmDataRange(b)
+    if (r == null) return null
+    val off = r(0); val len = r(1)
     val n = len / 2
     var ss = 0L; var peak = 0L; var k = 0
     while (k < n) {
@@ -246,12 +258,9 @@ object WavHeader {
     * signed-sample fold as [[pcmStats]].
     */
   private def vadStats(b: Array[Byte]): Array[Long] = {
-    val w = walk(b)
-    if (w == null) return null
-    val bits = w(2); val offL = w(4); val lenL = w(5)
-    if (bits != 16 || offL < 0 || lenL < 0 || offL + lenL > b.length)
-      return null
-    val off = offL.toInt; val len = lenL.toInt
+    val r = pcmDataRange(b)
+    if (r == null) return null
+    val off = r(0); val len = r(1)
     val n = len / 2
     val frames = n / 160
     if (frames == 0) return Array(0L, 0L, 0L)
@@ -294,12 +303,9 @@ object WavHeader {
     * shorter than one frame.
     */
   def vadFrames(b: Array[Byte]): java.lang.Long = {
-    val w = walk(b)
-    if (w == null) return null
-    val bits = w(2); val offL = w(4); val lenL = w(5)
-    if (bits != 16 || offL < 0 || lenL < 0 || offL + lenL > b.length)
-      return null
-    java.lang.Long.valueOf((lenL.toInt / 2 / 160).toLong)
+    val r = pcmDataRange(b)
+    if (r == null) return null
+    java.lang.Long.valueOf((r(1) / 2 / 160).toLong)
   }
 
   def vadActive(b: Array[Byte]): java.lang.Long =
@@ -312,12 +318,9 @@ object WavHeader {
     * [[pcmStats]]'s exact guards (see [[vadFrames]]).
     */
   def pcmSamples(b: Array[Byte]): java.lang.Long = {
-    val w = walk(b)
-    if (w == null) return null
-    val bits = w(2); val offL = w(4); val lenL = w(5)
-    if (bits != 16 || offL < 0 || lenL < 0 || offL + lenL > b.length)
-      return null
-    java.lang.Long.valueOf((lenL.toInt / 2).toLong)
+    val r = pcmDataRange(b)
+    if (r == null) return null
+    java.lang.Long.valueOf((r(1) / 2).toLong)
   }
 
   /** All three PCM fold readouts from ONE pass — (n_samples, sum_sq,
