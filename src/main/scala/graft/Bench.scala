@@ -106,7 +106,7 @@ object Bench {
   // pooled workers are warm after the untimed first pass. Daemon
   // threads: the pool must not hold the JVM open after main returns.
   private lazy val memProbePool: java.util.concurrent.ExecutorService =
-    java.util.concurrent.Executors.newFixedThreadPool(16, r => {
+    java.util.concurrent.Executors.newFixedThreadPool(memProbeArrays.length, r => {
       val t = new Thread(r, "graft-mem-probe")
       t.setDaemon(true)
       t

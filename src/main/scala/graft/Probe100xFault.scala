@@ -111,8 +111,9 @@ object Probe100xFault {
             }
         }
         spark.sparkContext.addSparkListener(listener)
+        var report: graft.convert.AvroToParquetJob.ConvertReport = null
         val convS = try timeIt {
-          graft.convert.AvroToParquetJob.runOnce(spark,
+          report = graft.convert.AvroToParquetJob.runOnce(spark,
             s"$tmp/landing$n/avro/*/*.avro", out)
           ()
         } finally spark.sparkContext.removeSparkListener(listener)
@@ -143,7 +144,15 @@ object Probe100xFault {
           f"rows_s=${(rows / convS).round} rows=$nOut distinct_ids=$nIds " +
           f"driver_peak_heap_mb=$driverPeakMb " +
           f"executor_peak_heap_mb=$peakExecHeapMb executor_cap_mb=4096")
-        if (nOut != rows || nIds != rows) {
+        // the converter's own report must agree with the read-back: a
+        // conversion that internally recorded a failed or extra table
+        // must not pass on row counts alone (FaultSmoke.converterLeg's
+        // criteria, applied here per ADVICE r16)
+        if (report.failed.nonEmpty || report.converted.size != 1) {
+          println(s"[100xfault] FAILED: report failed=${report.failed} " +
+            s"converted=${report.converted.size} (want 0 failed, 1 table)")
+          (true, false)
+        } else if (nOut != rows || nIds != rows) {
           println(s"[100xfault] FAILED: want $rows rows/$rows distinct ids")
           (true, false)
         } else (true, true)

@@ -42,7 +42,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(ps.getString(3) == rows.getString(3))
     // WAV: build a 16-bit PCM container in SQL via unhex and compare
     // struct vs per-stat on the same bytes; non-wav bytes null the struct
-    val wavHex = "52494646" + "24000000" + "57415645" + "666D7420" +
+    // RIFF size = total bytes after the size field (WAVE + fmt + data
+    // chunks = 4 + 24 + 14 = 42 = 0x2A); the parser does not validate it
+    // today, but the fixture must stay spec-correct (ADVICE r16)
+    val wavHex = "52494646" + "2A000000" + "57415645" + "666D7420" +
       "10000000" + "0100" + "0100" + "401F0000" + "803E0000" + "0200" +
       "1000" + "64617461" + "06000000" + "0100" + "FFFF" + "0080"
     val w = spark.sql(s"""
