@@ -255,35 +255,43 @@ object Bench {
       .mode("overwrite").save()
     catch { case _: Throwable => () }
 
+    // Median-of-5 (decided r17, BASELINE.md §passes): the gate statistic
+    // is the per-query MEDIAN, and a median-of-3 window lets an in-run
+    // load spike through whenever it lands on 2 of the 3 interleaved
+    // sweeps (BENCH_r16's q_graph_linkpred 11.03 s median vs a 1.75 s
+    // floor). Median-of-5 needs 3 polluted sweeps to lie; the same-box
+    // A/B measured 112.4–114.6 s sum-of-medians vs 125.6 at 3 passes
+    // (more clean passes per query) for +1.3 min wall once the sf0.001
+    // warmup sweep is traded in (below). SPARK_GRAFT_PASSES remains the
+    // dev A/B override.
+    val Passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(5)
+
     // per-query warmup at the SMALLEST scale factor (untimed): a single-shot
     // run otherwise charges each query its own whole-stage-codegen compile +
     // kernel classloading (measured 2-4x the steady-state time on the
     // heavier queries) — warm at sf0.001 so the timed sf run measures the
     // engine, not the JIT. Falls back to the bench dir if no sibling exists.
+    // SKIPPED at Passes >= 5 (measured ~80 s of wall at sf0.1): with five
+    // timed passes the first pass absorbs the compile costs while the
+    // median discards it (4 clean passes remain; the MIN is untouched
+    // either way) — trading the sweep in part-funds the extra passes
+    // (BASELINE.md §passes A/B).
     val warmDir = {
       val w = new java.io.File(sfDir).getParentFile
       val cand = new java.io.File(w, "sf0.001")
       if (cand.isDirectory) cand.getAbsolutePath else sfDir
     }
-    SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_(name)) }
-      .foreach { case (name, fn) =>
-      try {
-        fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-        sweepBlocks()
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+    if (Passes < 5)
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_(name)) }
+        .foreach { case (name, fn) =>
+        try {
+          fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+          sweepBlocks()
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+        }
       }
-    }
-
-    // SPARK_GRAFT_PASSES (dev-only A/B knob, verdict r16 #6): the gate
-    // statistic is the per-query MEDIAN, and a median-of-3 window lets a
-    // single in-run load spike through whenever it lands on 2 of the 3
-    // interleaved sweeps (BENCH_r16's q_graph_linkpred 11.03 s median vs
-    // a 1.75 s floor). Median-of-5 needs 3 polluted sweeps to lie. The
-    // default stays whatever BASELINE.md records as the decided value;
-    // the env exists so both variants run through the EXACT bench path.
-    val Passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(3)
     // Passes are INTERLEAVED round-robin (3 full sweeps over the query
     // list), not back-to-back per query: a transient load window on the
     // driver box then inflates ONE pass of many queries — which the
