@@ -128,6 +128,22 @@ object SoakContinuous {
       .appName("graft-soak-continuous")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      // Long-running-driver retention bounds (found BY this soak at 1000
+      // polls): `spark.ui.enabled=false` does NOT disable the
+      // AppStatusStore — every poll's jobs/stages/tasks and SQL
+      // executions accrue in driver memory up to the DEFAULT caps
+      // (1000/1000/100k items, 1000 SQL executions with full plan
+      // graphs), which at ~5 jobs + ~10 tasks + ~3 executions per poll
+      // means the heap climbs for thousands of polls before Spark's own
+      // eviction kicks in (measured 65→98 MB over 1000 polls uncapped,
+      // decelerating but unbounded until ~poll 10k). A continuous-mode
+      // deployment should bound these; with the caps below the series
+      // plateaus once each store saturates. Same recommendation recorded
+      // in runContinuous's scaladoc.
+      .config("spark.ui.retainedJobs", "200")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "5000")
+      .config("spark.sql.ui.retainedExecutions", "100")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -292,6 +292,16 @@ object AvroToParquetJob {
     * Set is never resident (and compaction rewrites 1/n of history). The
     * [[runStreaming]] path scales further still (incremental checkpoint
     * log, no full listing diff).
+    *
+    * Driver heap at production duration: Spark's AppStatusStore retains
+    * job/stage/task wrappers and SQL-execution plan graphs up to its
+    * DEFAULT caps even with the UI disabled — at a few jobs per poll the
+    * driver climbs for thousands of polls before eviction starts
+    * (measured by `graft.SoakContinuous`: 65→98 MB over 1000 polls on
+    * defaults; flat under bounded retention). Long-running deployments
+    * should set `spark.ui.retainedJobs`/`retainedStages`/`retainedTasks`
+    * and `spark.sql.ui.retainedExecutions` to bounded values sized to
+    * their monitoring needs.
     */
   def runContinuous(
       spark: SparkSession,
@@ -341,6 +351,10 @@ object AvroToParquetJob {
     * column appears, old-generation files read null for it. Type
     * CONFLICTS across generations merge to string (the catalog rule,
     * `AvroCdcDataSource.mergeFlatSchemas`).
+    *
+    * Driver heap at production duration: same AppStatusStore retention
+    * note as [[runContinuous]] — bound the `spark.ui.retained*` /
+    * `spark.sql.ui.retainedExecutions` confs on a long-running stream.
     */
   def runStreaming(
       spark: SparkSession,

@@ -87,7 +87,7 @@ class AvroCdcCatalog extends TableCatalog with SupportsNamespaces {
       try {
         val in = new DataFileStream[GenericRecord](
           p.getFileSystem(hadoopConf).open(p),
-          new GenericDatumReader[GenericRecord]())
+          graft.avro.AvroCdcReader.newDatumReader())
         try Some(in.getSchema.toString) finally in.close()
       } catch { case _: Exception => None }
     }

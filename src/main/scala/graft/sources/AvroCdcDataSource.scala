@@ -69,7 +69,7 @@ class AvroCdcDataSource extends TableProvider with DataSourceRegister {
       .sparkContext.hadoopConfiguration
     val p = new Path(file)
     val in = new DataFileStream[GenericRecord](
-      p.getFileSystem(conf).open(p), new GenericDatumReader[GenericRecord]())
+      p.getFileSystem(conf).open(p), graft.avro.AvroCdcReader.newDatumReader())
     try in.getSchema.toString finally in.close()
   }
 
@@ -355,7 +355,7 @@ class AvroCdcPartitionReader(
   private val fsIn = new org.apache.avro.mapred.FsInput(hPath, conf.value)
   private val fileLen = fsIn.length()
   private val stream = new org.apache.avro.file.DataFileReader[GenericRecord](
-    fsIn, new GenericDatumReader[GenericRecord]())
+    fsIn, graft.avro.AvroCdcReader.newDatumReader())
   stream.sync(start)
   // whole-file sentinel stays clear of Long.MaxValue: DataFileReader
   // .pastSync computes `position + SYNC_SIZE`, which overflows negative at

@@ -95,6 +95,18 @@ object AvroFixtures {
         case r: GenericRecord => r
         case x => throw new IllegalArgumentException(s"record field got $x")
       }
+      case ENUM => v match {
+        // the writer validates datum instanceof GenericEnumSymbol — wrap
+        // a plain symbol string here, like FIXED below
+        case s: String => new GenericData.EnumSymbol(schema, s)
+        case x => x
+      }
+      case FIXED => v match {
+        // GenericDatumWriter.writeFixed casts to GenericFixed — wrap raw
+        // bytes here so value generators don't need the parsed schema
+        case b: Array[Byte] => new GenericData.Fixed(schema, b)
+        case x => x
+      }
       case _ => v
     }
   }
@@ -109,6 +121,10 @@ object AvroFixtures {
       case FLOAT => v.isInstanceOf[Float]
       case DOUBLE => v.isInstanceOf[Double] || v.isInstanceOf[Float]
       case BYTES => v.isInstanceOf[Array[Byte]] || v.isInstanceOf[ByteBuffer]
+      case ENUM => v.isInstanceOf[String] &&
+        branch.getEnumSymbols.contains(v.asInstanceOf[String])
+      case FIXED => v.isInstanceOf[Array[Byte]] &&
+        v.asInstanceOf[Array[Byte]].length == branch.getFixedSize
       case ARRAY => v.isInstanceOf[Seq[_]] || v.isInstanceOf[java.util.List[_]]
       case MAP => v.isInstanceOf[Map[_, _]]
       case RECORD => v.isInstanceOf[Map[_, _]] || v.isInstanceOf[GenericRecord]

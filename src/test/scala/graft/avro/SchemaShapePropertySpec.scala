@@ -84,7 +84,7 @@ class SchemaShapePropertySpec extends AnyFunSuite {
     */
   private def genField(rnd: Random, names: Iterator[String],
       depth: Int): FieldShape = {
-    val pick = rnd.nextInt(if (depth > 0) 10 else 7)
+    val pick = rnd.nextInt(if (depth > 0) 12 else 7)
     pick match {
       case 0 => // bare primitive → non-nullable
         val (n, t, v) = prims(rnd.nextInt(prims.size))
@@ -117,6 +117,25 @@ class SchemaShapePropertySpec extends AnyFunSuite {
         }
         FieldShape(s"""["null",$complexJson]""", Some((TString, true)),
           r => null) // null is always a valid value for a null-first union
+      case 10 => // enum: named-type miss in BOTH tables → nullable string
+        val j =
+          s"""{"type":"enum","name":"${names.next()}","symbols":["A","B","C"]}"""
+        if (rnd.nextBoolean())
+          FieldShape(j, Some((TString, true)), // bare dict catch-all
+            r => Seq("A", "B", "C")(r.nextInt(3)))
+        else
+          FieldShape(s"""["null",$j]""", Some((TString, true)),
+            r => if (r.nextInt(4) == 0) null
+            else Seq("A", "B", "C")(r.nextInt(3)))
+      case 11 => // fixed(4): same named-type miss → nullable string
+        val j = s"""{"type":"fixed","name":"${names.next()}","size":4}"""
+        if (rnd.nextBoolean())
+          FieldShape(j, Some((TString, true)),
+            r => Array.fill[Byte](4)(r.nextInt(256).toByte))
+        else
+          FieldShape(s"""["null",$j]""", Some((TString, true)),
+            r => if (r.nextInt(4) == 0) null
+            else Array.fill[Byte](4)(r.nextInt(256).toByte))
       case _ => // bare complex: array / map / nested record, recursive
         val inner = genField(rnd, names, depth - 1)
         rnd.nextInt(3) match {
@@ -222,7 +241,11 @@ class SchemaShapePropertySpec extends AnyFunSuite {
             "primary_keys" -> Seq("f0")),
           "payload" -> payload)
       }
-      AvroFixtures.writeAvro(s"$tmp/landing/avro/s$i/f.avro", json, rows)
+      try AvroFixtures.writeAvro(s"$tmp/landing/avro/s$i/f.avro", json, rows)
+      catch { case e: Throwable =>
+        fail(s"writeAvro failed for seed=$i: $e\nschema=$json\n" +
+          fields.map { case (n, f) => s"$n -> ${f.json}" }.mkString("\n"))
+      }
     }
     val report = graft.convert.AvroToParquetJob.runOnce(
       spark, s"$tmp/landing/avro/*/*.avro", s"$tmp/out")
