@@ -199,6 +199,21 @@ object Bench {
       // 3-10× slower inside the full bench than in isolation, identical
       // plans). Static conf — must be set before the session exists.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // Spark 4.1's checkpoint-file checksums (new in 4.1, default on)
+      // write a SIDECAR checksum file for every offset-log, commit-log
+      // and state-store delta file — doubling the synchronous file
+      // creations on every micro-batch commit path. A/B over the
+      // 12-query streaming band (min-over-2-legs per side, r17):
+      // 19.33 s → 16.60 s (−14%), biggest movers the join-state queries
+      // (q_stream_outer_join 3.25→2.30, q_stream_quality 1.58→1.22).
+      // Off restores the ≤4.0 checkpoint layout; the corruption it
+      // detects is in-flight/at-rest file damage that HDFS block
+      // checksums and object-store ETag validation already cover in
+      // production, and nothing covers better locally. Re-enable per
+      // deployment (SPARK_GRAFT_EXTRA_CONF or session conf) on storage
+      // without its own integrity layer.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        "false")
       // Suite hygiene: a 233-query run in one 8g JVM accumulates state
       // that inflates LATER queries (measured: q_stream_quality 1.45 s
       // isolated vs 3.40 s in-suite, q_text_tfidf 1.0 vs 1.8 — late
