@@ -364,6 +364,11 @@ object AvroToParquetJob {
       ingestionDate: Option[String] = None,
       readerOptions: Map[String, String] = Map.empty)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // checkpoint-I/O defaults for the production stream (checksum
+    // sidecars off unless the deployment pinned them in the SparkConf —
+    // see CheckpointTuning; the bench session sets the same conf, so the
+    // shipped path and the measured path now agree)
+    graft.streaming.CheckpointTuning.applyStreamingDefaults(spark)
     val pathCol = graft.sources.AvroCdcDataSource.InputPathCol
     val folderCol = when(
       regexp_extract(col(pathCol), "/avro/([^/]+)/", 1) === "", "unknown")

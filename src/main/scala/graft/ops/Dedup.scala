@@ -309,6 +309,10 @@ object Dedup {
   def runStreamingDedup(spark: SparkSession, inputDir: String,
       schema: org.apache.spark.sql.types.StructType, indexDir: String,
       pairsDir: String, checkpointDir: String): Unit = {
+    // production streaming entry point: apply the checkpoint-I/O
+    // defaults (checksum sidecars off unless pinned in the SparkConf —
+    // graft.streaming.CheckpointTuning)
+    graft.streaming.CheckpointTuning.applyStreamingDefaults(spark)
     val q = spark.readStream.schema(schema).parquet(inputDir)
       .writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -794,6 +794,11 @@ object EventStreaming {
   def qStreamDrift(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = Tables.table(spark, dir, "events").schema
+    // NO ingest repartition here, unlike qStreamQuality: the bin
+    // projection is two comparisons per row, so the single-split scan
+    // stage is already cheap and the added exchange measured NET SLOWER
+    // (min 0.80 → 1.06 s A/B) — the repartition discipline pays only
+    // where the map side carries a real kernel.
     val stream = EventStats.driftBinAgg(spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
@@ -830,6 +835,10 @@ object EventStreaming {
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
+      // NO ingest repartition (the qStreamQuality discipline was A/B'd
+      // here and measured FLAT on the min statistic — the complete-mode
+      // sink re-emit, not the single-split partial aggregate, is this
+      // query's cost): reverted rather than shipped as a paper win.
       .withColumn("ts", Tables.normalizedTs(rawSchema("ts").dataType))
       .select(col("user_id"), (col("user_id") % 2).as("variant"),
         to_date(col("ts")).as("dte"), col("event_type"))
@@ -850,7 +859,11 @@ object EventStreaming {
     // both finishing branches read the memory sink; re-wrapping one side
     // mints fresh attribute ids (MemoryPlan exposes the SAME attrs to
     // every reader, and joining two such subplans trips Catalyst's
-    // conflicting-reference check)
+    // conflicting-reference check). A collected-LocalRelation remint
+    // (`createDataFrame(t.collectAsList(), schema)`) was A/B'd here and
+    // REVERTED: the driver-side catalyst conversion of the user-day
+    // panel cost more than the RDD round-trip it replaced (abtest min
+    // 1.45 → 1.66 s).
     val t2 = spark.createDataFrame(t.rdd, t.schema)
     val exposure = t2.groupBy(col("variant")).agg(count(lit(1)).as("n_ud"))
     val conv = t.select(col("variant"), explode(col("types")).as("event_type"))

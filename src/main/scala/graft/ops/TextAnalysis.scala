@@ -1253,6 +1253,16 @@ object TextAnalysis {
       .schema(rawSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
+      // a micro-batch arrives as ONE small parquet file (single
+      // row-group = one scan split), so without this the gopher kernel —
+      // ~240 µs/doc, the batch's dominant cost — runs on ONE core while
+      // 31 idle (StreamCost probe: addBatch 1.2-1.5 s of a 1.7 s query).
+      // Redistributing a kernel-heavy micro-batch before the per-row
+      // work is the qSqlKernels REPARTITION-hint discipline applied to
+      // the stream; the exchange moves the raw docs once (~0.6 MB here,
+      // and at scale a micro-batch is small relative to the cluster).
+      // Result-safe: every downstream aggregate is an integer count.
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("n_words", size(split(col("text"), " ")))
       .withColumn("keep", gopherKeep(col("text")).cast("int"))
       .groupBy(col("lang"))

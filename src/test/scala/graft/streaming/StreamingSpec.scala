@@ -336,4 +336,28 @@ class StreamingSpec extends AnyFunSuite {
         s"streamed $s != batch $b")
     }
   }
+
+  test("CheckpointTuning: checksum sidecars off by default on production " +
+    "entry points, SparkConf pin respected") {
+    val key = CheckpointTuning.FileChecksumKey
+    // a deployment that pinned the conf in the SparkConf is never overridden
+    val pinned = new org.apache.spark.SparkConf().set(key, "true")
+    assert(CheckpointTuning.pinnedInSubmitConf(pinned))
+    assert(!CheckpointTuning.pinnedInSubmitConf(new org.apache.spark.SparkConf()))
+    // the shared test session carries no SparkConf pin → the entry-point
+    // helper applies the engine default (off); restore afterwards
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "true") // runtime set (not a SparkConf pin)
+      CheckpointTuning.applyStreamingDefaults(spark)
+      assert(spark.conf.get(key) == "false",
+        "entry points apply the checksum-off default when the deployment " +
+          "expressed no SparkConf preference")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
