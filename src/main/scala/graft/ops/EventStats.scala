@@ -198,11 +198,13 @@ object EventStats {
     * of a published life table) so the spine is contiguous and the
     * recursion depth is a CONSTANT 12 — independent of corpus span,
     * safely inside Spark's default 100-level recursion budget at any
-    * scale. Depth is the COST dimension of UnionLoop: each level runs
-    * as its own Spark job (~150-200 ms floor even over a 1-row cached
-    * table), so the bucket width is chosen to keep the loop at 12
-    * levels; hour-granular hazards stay available from
-    * [[qEventsSurvival]]. Overflow budget: each step multiplies s_e9
+    * scale. Depth is the COST dimension of UnionLoop — each level is
+    * planned and executed separately — so the bucket width is chosen
+    * to keep the loop at 12 levels, and the recursive term is kept
+    * JOIN-FREE (arithmetic over bucket-indexed array literals; see the
+    * in-function comment) so a level folds to a LocalRelation instead
+    * of planning a per-level broadcast join; hour-granular hazards
+    * stay available from [[qEventsSurvival]]. Overflow budget: each step multiplies s_e9
     * (≤1e9) by the at-risk count, so BIGINT holds past ~9e9 subjects;
     * beyond that a deployment drops to e6 fixed-point. Scale shape:
     * corpus work is the same user-partitioned `lead` + combine-fed
@@ -242,30 +244,42 @@ object EventStats {
     val byBucket = gaps.groupBy(col("t"))
       .agg(sum(col("completed")).as("d"),
         sum(lit(1L) - col("completed")).as("c"))
-    // the 12-row life table collects to the driver and re-enters as a
-    // LocalRelation (fixed-size model state, the kmeans/BPE discipline):
-    // every UnionLoop level then iterates over a LocalTableScan instead
-    // of scheduling cluster tasks against cached blocks
+    // the 12-row life table collects to the driver and re-enters as
+    // BIGINT ARRAY LITERALS indexed by bucket (fixed-size model state,
+    // the kmeans/BPE discipline). The r17 form re-entered it as a
+    // LocalRelation temp view the recursive term JOINED per level —
+    // but a UnionLoop level containing a join plans a
+    // BroadcastExchange + BroadcastHashJoin every iteration, and the
+    // per-level broadcast machinery measured ~95% of the recursion's
+    // cost (graft.RecCost: 12 join-levels ≈ 2.0 s steady-state vs
+    // 0.11-0.16 s for the identical arithmetic over `element_at` on
+    // the literal arrays — Catalyst's ConvertToLocalRelation folds a
+    // join-free Project/Filter level without any exchange). Same
+    // recursion, same fixed-point arithmetic, same termination bound
+    // (the join on lt.t = r.t+1 ran dry after bucket KmMaxBucket; the
+    // explicit r.t < KmMaxBucket bound is that same edge), so the
+    // result is bit-identical — proven by the unchanged oracle hash.
     val ltRows = byBucket.collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    import spark.implicits._
-    (0L to KmMaxBucket.toLong).map { t =>
-      val (d, c) = ltRows.getOrElse(t, (0L, 0L))
-      (t, d, c)
-    }.toDF("t", "d", "c").createOrReplaceTempView("graft_km_lt")
-    spark.sql("""
+    val lt = (0L to KmMaxBucket.toLong).map(t => ltRows.getOrElse(t, (0L, 0L)))
+    val dArr = lt.map(_._1 + "L").mkString("array(", ",", ")")
+    val cArr = lt.map(_._2 + "L").mkString("array(", ",", ")")
+    val n0 = lt.map { case (d, c) => d + c }.sum
+    spark.sql(s"""
       WITH RECURSIVE
-      n0 AS (SELECT sum(d + c) AS n FROM graft_km_lt),
       r (t, n_risk, n_completed, n_censored, s_e9) AS (
-        SELECT lt.t, n0.n, lt.d, lt.c,
-          ((n0.n - lt.d) * CAST(1000000000 AS BIGINT)) DIV n0.n
-        FROM graft_km_lt lt CROSS JOIN n0 WHERE lt.t = 0
+        SELECT CAST(0 AS BIGINT), ${n0}L, ${lt.head._1}L, ${lt.head._2}L,
+          ((${n0}L - ${lt.head._1}L) * CAST(1000000000 AS BIGINT)) DIV ${n0}L
         UNION ALL
-        SELECT lt.t, r.n_risk - r.n_completed - r.n_censored, lt.d, lt.c,
-          (r.s_e9 * (r.n_risk - r.n_completed - r.n_censored - lt.d))
+        SELECT r.t + 1, r.n_risk - r.n_completed - r.n_censored,
+          element_at($dArr, CAST(r.t + 2 AS INT)),
+          element_at($cArr, CAST(r.t + 2 AS INT)),
+          (r.s_e9 * (r.n_risk - r.n_completed - r.n_censored
+            - element_at($dArr, CAST(r.t + 2 AS INT))))
             DIV (r.n_risk - r.n_completed - r.n_censored)
-        FROM r JOIN graft_km_lt lt ON lt.t = r.t + 1
-        WHERE r.n_risk - r.n_completed - r.n_censored > 0
+        FROM r
+        WHERE r.t < $KmMaxBucket
+          AND r.n_risk - r.n_completed - r.n_censored > 0
       )
       SELECT t, n_risk, n_completed, n_censored, s_e9
       FROM r ORDER BY t""")
