@@ -374,9 +374,16 @@ object GraphOps {
     val deg0 = e.select(explode(array(col("pa"), col("pb"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("deg0"))
 
+    // alive carries an explicit broadcast hint: it is node-set sized
+    // (dimension-scale by construction — parts with p_size <= 10, the
+    // qGraphBfs frontier precedent) and the peel runs ~a dozen rounds,
+    // so without the hint every round materializes shuffle stages for
+    // AQE to *discover* the small side before converting the join —
+    // 3-4 extra jobs per round of pure scheduling floor (JobCost: 55-64
+    // jobs per run before, wall 4.2-5.7 s steady vs 2.3 s of job time)
     def peel(s: DataFrame): DataFrame = e
-      .join(s.toDF("pa"), "pa")
-      .join(s.toDF("pb"), "pb")
+      .join(broadcast(s.toDF("pa")), "pa")
+      .join(broadcast(s.toDF("pb")), "pb")
       .select(explode(array(col("pa"), col("pb"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
       .filter(col("d") >= CoreK)
@@ -399,7 +406,8 @@ object GraphOps {
     require(converged, s"k-core peeling did not converge in $rounds rounds")
     require(rounds < CorePeelRounds,
       s"oracle unrolls $CorePeelRounds rounds; engine needed $rounds")
-    e.join(alive.toDF("pa"), "pa").join(alive.toDF("pb"), "pb")
+    e.join(broadcast(alive.toDF("pa")), "pa")
+      .join(broadcast(alive.toDF("pb")), "pb")
       .select(explode(array(col("pa"), col("pb"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("core_deg"))
       .join(deg0, "n")
@@ -563,6 +571,16 @@ object GraphOps {
       .groupBy(col("w"), col("aw"))
       .agg(sort_array(collect_list(col("n"))).as("ns"))
       .where(size(col("ns")) >= 2)
+      // redistribute the (few-MB) center table before the cap²/2 pair
+      // fan-out: AQE sizes the post-groupBy stage by its INPUT (the
+      // coalesced center exchange lands at 1-2 partitions under the 2m
+      // advisory), so the explode — the query's Ω(output) step — ran as
+      // ONE 1.5-1.6 s task while 31 cores idled (JobCost stage dump).
+      // The round-robin exchange moves center rows once, BEFORE the
+      // fan-out multiplies them — the §explode-before-join rule's
+      // data-layout twin; pair counts/sums are integer aggregates, so
+      // the result is partition-order-free.
+      .repartition(spark.sparkContext.defaultParallelism)
       // sequence(2, n) with n >= 2 only — sequence DESCENDS when
       // start > stop (the BPE adjacency lesson)
       .select(col("aw"), explode(expr(

@@ -529,6 +529,13 @@ object TextAnalysis {
 
   def qTextPii(spark: SparkSession, dir: String): DataFrame = {
     val planted = Tables.documents(spark, dir)
+      // documents is a single parquet file (one scan split), and this
+      // query is per-doc regex-heavy — 8 regexp ops per row ran on ONE
+      // core (JobCost: two ~0.5 s single-task jobs of a 1.1 s floor).
+      // The qSqlKernels REPARTITION-hint discipline, stated there for
+      // the same table; row-level projection + filter, so the result
+      // is partition-independent.
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("t", concat(col("text"),
         when(col("doc_id") % 3 === 0, concat(lit(" reach me at user"),
           col("doc_id"), lit("@mail.example.org,"))).otherwise(""),
