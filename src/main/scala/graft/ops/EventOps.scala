@@ -1254,6 +1254,13 @@ object EventOps {
     */
   def qVariantJson(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
+      // events is one scan split and the JSON build→parse→extract chain
+      // is the query's whole cost: it ran as a single 1.0-2.3 s task
+      // (JobCost). The qSqlKernels repartition discipline; every
+      // aggregate below is an integer sum/count/max or the
+      // order-insensitive schema merge, so results are
+      // partition-order-free.
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("vj", expr(
         """parse_json(to_json(named_struct(
              'meta', named_struct(

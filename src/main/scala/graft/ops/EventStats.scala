@@ -1339,6 +1339,13 @@ object EventStats {
       .filter(col("event_type") === "purchase")
       .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
         col("event_id"))
+      // events is one scan split, and the 32× explode + per-(row, b)
+      // md5 draw — the query's whole cost — ran as a single ~1.0 s task
+      // (JobCost). Redistribute the (narrow) purchase rows BEFORE the
+      // fan-out multiplies them — the q_graph_linkpred rule; the draw
+      // depends only on (event_id, b) and every aggregate is an integer
+      // sum, so the result is partition-order-free.
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("b", explode(sequence(lit(0), lit(b - 1))))
     val u = (pmod(conv(substring(md5(concat(col("event_id"),
       lit(":"), col("b"))), 1, 6), 16, 10).cast("long"),

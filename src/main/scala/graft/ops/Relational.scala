@@ -1045,11 +1045,17 @@ object Relational {
     */
   def qSqlKernels(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir).createOrReplaceTempView("docs_sqlk")
-    // REPARTITION hint: documents is a single parquet file (one input
-    // partition) and this query is per-doc kernel-heavy — without the
-    // hint it runs single-core
+    // REPARTITION hint in the INNER block: documents is a single parquet
+    // file (one input partition) and this query is per-doc kernel-heavy.
+    // The hint used to sit on the OUTER select, which planned its
+    // exchange ABOVE the kernel projection — Scan→Filter→Project(all
+    // kernels)→Exchange — so the kernels still ran as ONE task and the
+    // repartition redistributed finished rows (JobCost: a 1.06 s
+    // single-task stage feeding a 32-task sort). Hinting the subquery
+    // puts the exchange between the filter and the kernels, which is
+    // what the hint was always meant to buy.
     spark.sql(s"""
-      SELECT /*+ REPARTITION(${spark.sparkContext.defaultParallelism}) */
+      SELECT
         doc_id,
         size(word_shingles(text, 3)) AS n_shingles,
         size(char_grams(text, 5)) AS n_grams,
@@ -1061,8 +1067,11 @@ object Relational {
         round(png_brightness(
           png_encode_gray(CAST(8 + doc_id % 9 AS INT), 8, doc_id)), 4)
           AS png_bright
-      FROM docs_sqlk
-      WHERE size(split(text, ' ', -1)) >= 3
+      FROM (
+        SELECT /*+ REPARTITION(${spark.sparkContext.defaultParallelism}) */
+          doc_id, text
+        FROM docs_sqlk
+        WHERE size(split(text, ' ', -1)) >= 3)
       ORDER BY doc_id""")
   }
 
