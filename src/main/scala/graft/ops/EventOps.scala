@@ -611,6 +611,10 @@ object EventOps {
     */
   def qJsonFuncs(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
+      // single-split scan + two per-row JSON parses (the query's whole
+      // cost, one ~0.5 s task — JobCost): the qSqlKernels repartition
+      // discipline; every aggregate below is an integer count/sum/min/max
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("k_path",
         get_json_object(col("props"), "$.k").cast("long"))
       .withColumn("k_typed",
